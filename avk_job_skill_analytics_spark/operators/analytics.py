@@ -1,0 +1,209 @@
+"""Analytics query library — the reference's BI layer as DataFrame builders.
+
+Every dashboard query in the reference's Power BI semantic model
+(``job-skill.pbix``; SURVEY.md §2.4–2.6: A1–A12, J2/J3, O1–O3)
+re-expressed as a parameterized, Catalyst-compiled query builder.
+All functions are lazy: they return DataFrames, never collect.
+
+Scale notes (100 TB design point):
+- every grouped aggregate here is a hash aggregate with map-side
+  partial aggregation (Catalyst default) — one shuffle on the group key;
+- Top-N uses ``TakeOrderedAndProject`` (per-partition limit, then a
+  single-reducer merge of N-row heaps) — no global sort;
+- Top-N *semi-joins* broadcast the N-row side (explicit
+  ``F.broadcast``), so the fact table is never shuffled for them;
+- distinct counts have ``approx_`` variants for interactive use at
+  scale (A2; SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _apply_filters(df: DataFrame, filters: Sequence[Column] | None) -> DataFrame:
+    """P7 slicer/filter context: every BI query is parameterized by
+    optional WHERE clauses (site, month/day slicers in the reference)."""
+    for f in filters or ():
+        df = df.filter(f)
+    return df
+
+
+# ---------------------------------------------------------------- A1-A5: KPIs
+def count_nonnull(df: DataFrame, col: str, alias: str = "n", filters=None) -> DataFrame:
+    """A1 — CountNonNull(col): 'Total Jobs Posted' card."""
+    return _apply_filters(df, filters).agg(F.count(col).alias(alias))
+
+
+def distinct_count(df: DataFrame, col: str, alias: str = "n_distinct", filters=None,
+                   approx: bool = False) -> DataFrame:
+    """A2 — distinct count ('Total Companies Hiring', 'unique Cities').
+
+    ``approx=True`` swaps in HyperLogLog++ (`approx_count_distinct`) —
+    the 100 TB-scale variant: no exact-distinct shuffle, mergeable
+    sketches (SURVEY.md §4)."""
+    agg = F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    return _apply_filters(df, filters).agg(agg.alias(alias))
+
+
+def kpi_cards(df: DataFrame, measures: dict[str, Column], filters=None) -> DataFrame:
+    """A1–A5 combined — one pass over the fact table computing every
+    scalar card (count/min/max/avg/sum) in a single hash-less global
+    aggregate, instead of one scan per card as a BI engine would."""
+    return _apply_filters(df, filters).agg(
+        *[expr.alias(name) for name, expr in measures.items()]
+    )
+
+
+# ------------------------------------------------------- A6/A7: grouped aggs
+def grouped_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column],
+                filters=None) -> DataFrame:
+    """A6/A7 — grouped aggregation by one or more dimensions (donut,
+    treemap, stacked-area visuals). Partial+final aggregation is
+    Catalyst-automatic; one shuffle on `keys`."""
+    return (
+        _apply_filters(df, filters)
+        .groupBy(*keys)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+
+
+def count_by_dim(df: DataFrame, dim: str, alias: str = "cnt", filters=None) -> DataFrame:
+    """A6 — jobs per site / company / city / type / skill."""
+    return grouped_agg(df, [dim], {alias: F.count(F.lit(1))}, filters)
+
+
+# ------------------------------------------------- A8/O1-O3: argmax & top-N
+def top_n_by_agg(df: DataFrame, dim: str, agg: Column, n: int,
+                 agg_alias: str = "cnt", filters=None) -> DataFrame:
+    """O3 + A8 — top-N categories by an aggregate, deterministic
+    tie-break on the dimension value. n=1 is the argmax ('Top Hiring
+    City' — exact DAX recovered in job-skill.pbix →
+    DAXQueries/Query%201.dax: TOPN(1, SUMMARIZE(...), [c], DESC)).
+
+    Physical plan: hash agg → TakeOrderedAndProject (bounded heap per
+    partition; no global sort) — survives any fact-table size since
+    only |distinct dim| rows reach the ordering."""
+    return (
+        _apply_filters(df, filters)
+        .groupBy(dim)
+        .agg(agg.alias(agg_alias))
+        .orderBy(F.desc(agg_alias), F.asc(dim))
+        .limit(n)
+    )
+
+
+def top_n_rows(df: DataFrame, order: Sequence[Column], n: int, filters=None) -> DataFrame:
+    """O1–O3 — top-N raw rows by an ordering (e.g. highest-salary
+    postings). TakeOrderedAndProject; pass deterministic tie-breaks."""
+    return _apply_filters(df, filters).orderBy(*order).limit(n)
+
+
+def topn_semijoin(fact: DataFrame, dim: str, agg: Column, n: int,
+                  filters=None) -> DataFrame:
+    """J2 — the PBIX Top-N filter: keep fact rows whose `dim` is in the
+    top-N by `agg` (Where In(subquery) in every 'Top 10 ...' visual).
+
+    The N-row build side is broadcast — the fact side is NOT shuffled,
+    which is the only viable physical strategy at 100 TB."""
+    fact = _apply_filters(fact, filters)
+    top = top_n_by_agg(fact, dim, agg, n).select(dim)
+    return fact.join(F.broadcast(top), dim, "left_semi")
+
+
+def topn_by_rank(df: DataFrame, dim: str, agg: Column, n: int,
+                 agg_alias: str = "cnt", filters=None) -> DataFrame:
+    """J2 (window-rank form) — equivalent alternative to the semi-join:
+    rank aggregated categories and keep rank <= n. Single partition-less
+    window over the (small) aggregated result, not over the fact table."""
+    grouped = (
+        _apply_filters(df, filters).groupBy(dim).agg(agg.alias(agg_alias))
+    )
+    w = Window.orderBy(F.desc(agg_alias), F.asc(dim))
+    return (
+        grouped.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+# ------------------------------------------------------ A9-A11: BI measures
+def time_scoped_count(df: DataFrame, ts_col: str, alias: str = "n",
+                      filters=None) -> DataFrame:
+    """A9 — 'Jobs this month': count rows in the month of max(ts).
+    'Current' month = month of the latest timestamp, for determinism
+    (the reference counts the latest loaded month). The 1-row max side
+    is broadcast; the fact side streams through a filter."""
+    df = _apply_filters(df, filters)
+    latest = df.agg(
+        F.date_trunc("month", F.max(ts_col)).alias("_latest_month")
+    )
+    return (
+        df.join(
+            F.broadcast(latest),
+            F.date_trunc("month", F.col(ts_col)) == F.col("_latest_month"),
+        )
+        .agg(F.count(F.lit(1)).alias(alias))
+    )
+
+
+def ratio_per_day(df: DataFrame, ts_col: str, alias: str = "per_day",
+                  filters=None) -> DataFrame:
+    """A10 — 'Average Jobs per Day' = count(*) / countDistinct(date)."""
+    return _apply_filters(df, filters).agg(
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct(F.to_date(ts_col)), 4
+        ).alias(alias)
+    )
+
+
+def pct_of_total(df: DataFrame, dim: str, cnt_alias: str = "cnt",
+                 pct_alias: str = "pct", filters=None) -> DataFrame:
+    """A11 — percent-of-total per category (donut labels: '83.06%').
+    Window over the aggregated result (|distinct dim| rows), never over
+    the fact table."""
+    grouped = count_by_dim(df, dim, cnt_alias, filters)
+    total = Window.partitionBy()
+    return grouped.withColumn(
+        pct_alias,
+        F.round(F.col(cnt_alias) * 100.0 / F.sum(cnt_alias).over(total), 4),
+    )
+
+
+# ------------------------------------------------- A12/F6/J3: skills bridge
+def explode_delimited(df: DataFrame, id_cols: Sequence[str], list_col: str,
+                      token_alias: str, sep: str = r",\s*") -> DataFrame:
+    """F6 — unnest a delimited-string list column into one row per
+    (id, token): the PBIX `jobskills` bridge. Empty tokens dropped,
+    tokens trimmed+lowercased (matching the reference's normalization,
+    src/transform.py:128-134)."""
+    tok = F.explode(F.split(F.col(list_col), sep)).alias(token_alias)
+    out = df.select(*id_cols, tok)
+    return out.filter(F.trim(F.col(token_alias)) != "").withColumn(
+        token_alias, F.lower(F.trim(F.col(token_alias)))
+    )
+
+
+def bridge_join(fact: DataFrame, bridge: DataFrame, key: str) -> DataFrame:
+    """J3 — job_data ⋈ jobskills on the surrogate key (1-to-many).
+    Plain equi join; Catalyst/AQE picks broadcast when the dim side is
+    small, sort-merge otherwise."""
+    return fact.join(bridge, key, "inner")
+
+
+def exploded_counts(df: DataFrame, id_cols: Sequence[str], list_col: str,
+                    token_alias: str = "token", n: int | None = None,
+                    sep: str = r",\s*") -> DataFrame:
+    """A12 — per-token counts over the exploded bridge ('Top 10 Skills':
+    python 3480, sql 2248, ...)."""
+    out = (
+        explode_delimited(df, id_cols, list_col, token_alias, sep)
+        .groupBy(token_alias)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if n is not None:
+        out = out.orderBy(F.desc("cnt"), F.asc(token_alias)).limit(n)
+    return out

@@ -1,0 +1,48 @@
+"""Sampling (SURVEY.md §2.6 O4).
+
+The reference draws a seeded exact-n sample
+(`df.sample(n, random_state=42)`, src/data_extract.py:100-101) before
+its expensive LLM enrichment. Three Spark-native recipes with
+different scale/determinism trade-offs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative-hash constant (2^32 / phi). Public-domain
+# folklore; gives a well-mixed deterministic bucket from an integer key
+# computable identically in any SQL engine (no engine-specific hash).
+_KNUTH = 2654435761
+
+
+def sample_exact_n(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """Exact-n seeded sample — closest to pandas `.sample(n, seed)`.
+    Global TakeOrdered over rand(seed): bounded heap per partition,
+    single N-row merge. Fine for the reference's n~250; for huge n
+    prefer `sample_fraction`."""
+    return (
+        df.withColumn("_r", F.rand(seed))
+        .orderBy("_r")
+        .limit(n)
+        .drop("_r")
+    )
+
+
+def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Approximate-fraction Bernoulli sample — fully parallel, no
+    shuffle, the scale path. Row count is binomial around
+    fraction*N, not exact (documented divergence from pandas)."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def sample_hash_bucket(df: DataFrame, key: str, pct: int,
+                       modulus: int = 100) -> DataFrame:
+    """Deterministic, engine-portable sample: keep rows whose
+    multiplicative key hash falls in the first `pct` of `modulus`
+    buckets. No shuffle, no RNG — the same rows are selected on any
+    engine, which makes it oracle-verifiable and stable across reruns
+    (useful for repeatable pipeline debugging at 100 TB)."""
+    bucket = (F.col(key).cast("long") * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(modulus)
+    return df.filter(bucket < pct)

@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for this engine.
+
+The reference has no engine config at all (eager single-threaded
+pandas); here we centralize the Spark settings that matter for the
+100 TB design point:
+
+- AQE on (runtime re-plan: auto-broadcast, skew-join splitting,
+  partition coalescing) — subsumes every manual rewrite the reference
+  performs (SURVEY.md §4).
+- shuffle partitions sized to the local core count for tests; on a
+  real cluster this is overridden to ~2-3x total cores (AQE coalesces
+  down, so erring high is safe).
+- session timezone pinned to UTC so timestamp semantics are stable
+  across engines (the DuckDB oracle uses UTC-naive timestamps).
+- Arrow enabled for the few Pandas-UDF paths (skills UD1, multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "avk-job-skill-analytics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata carries INT64 TIMESTAMP(NANOS) parquet columns,
+        # which Spark's reader has no timestamp type for; read as long
+        # nanos and convert in plans.schemas.load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable defaults to an externally
+    provided session (the driver hands us one in ``entry``)."""
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static confs on a running session: keep going
+    return spark

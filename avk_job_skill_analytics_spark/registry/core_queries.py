@@ -1,0 +1,400 @@
+"""Core operator inventory (SURVEY.md §2.2-2.7) bound to driver testdata.
+
+Each query maps a reference capability (BI visual / pipeline op) onto
+the synthetic star schema per FIXTURES.md §B, with the equivalent
+DuckDB SQL for the correctness oracle. Conventions for oracle parity:
+
+- every computed column is aliased identically on both sides;
+- double aggregates are rounded (sum/avg drift is below 1e-8 relative,
+  far from the rounding boundary);
+- int-ish derived values are cast to BIGINT on both sides (DuckDB
+  returns HUGEINT for integer sums, BIGINT for month());
+- every LIMIT has a deterministic tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import analytics as A
+from ..operators import sampling, setops
+from ..plans.schemas import load
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# --------------------------------------------------------------- A1: count
+@_q("a1_total_count", "SELECT count(o_orderkey) AS total_orders FROM orders")
+def a1_total_count(spark, sf_dir):
+    """A1 CountNonNull — 'Total Jobs Posted' card ≙ count(orders)."""
+    return A.count_nonnull(load(spark, sf_dir, "orders"), "o_orderkey", "total_orders")
+
+
+# ------------------------------------------------------ A2: distinct counts
+@_q(
+    "a2_distinct_counts",
+    """SELECT count(DISTINCT c_mktsegment) AS n_segments,
+              count(DISTINCT c_nationkey) AS n_nations
+       FROM customer""",
+)
+def a2_distinct_counts(spark, sf_dir):
+    """A2 — 'Total Companies Hiring' / 'unique Cities' cards."""
+    return A.kpi_cards(
+        load(spark, sf_dir, "customer"),
+        {
+            "n_segments": F.countDistinct("c_mktsegment"),
+            "n_nations": F.countDistinct("c_nationkey"),
+        },
+    )
+
+
+# --------------------------------------------------- A3/A4/A5: KPI scalars
+@_q(
+    "a3_a5_kpi_cards",
+    """SELECT round(avg(o_totalprice), 2) AS avg_price,
+              round(min(o_totalprice), 2) AS min_price,
+              round(max(o_totalprice), 2) AS max_price,
+              round(sum(o_totalprice), 2) AS sum_price,
+              max(o_orderdate) AS latest_order
+       FROM orders""",
+)
+def a3_a5_kpi_cards(spark, sf_dir):
+    """A3 avg / A4 min-max (incl. max(date) 'Recent job date') / A5 sum
+    — all KPI cards in one scan."""
+    return A.kpi_cards(
+        load(spark, sf_dir, "orders"),
+        {
+            "avg_price": F.round(F.avg("o_totalprice"), 2),
+            "min_price": F.round(F.min("o_totalprice"), 2),
+            "max_price": F.round(F.max("o_totalprice"), 2),
+            "sum_price": F.round(F.sum("o_totalprice"), 2),
+            "latest_order": F.max("o_orderdate"),
+        },
+    )
+
+
+# ------------------------------------------------------ A6: count by dim
+@_q(
+    "a6_count_by_dim",
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+)
+def a6_count_by_dim(spark, sf_dir):
+    """A6 — jobs per site/company/city donut ≙ events per type."""
+    return A.count_by_dim(load(spark, sf_dir, "events"), "event_type")
+
+
+# ------------------------------------------- A7: multi-key agg (flagship)
+@_q(
+    "a7_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2)                                   AS sum_qty,
+              round(sum(l_extendedprice), 2)                              AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              round(avg(l_quantity), 2)                                   AS avg_qty,
+              round(avg(l_extendedprice), 2)                              AS avg_price,
+              round(avg(l_discount), 4)                                   AS avg_disc,
+              count(*)                                                    AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def a7_pricing_summary(spark, sf_dir):
+    """A7 multi-key grouped agg — the engine's flagship (TPC-H-Q1-shaped:
+    scan → 8-way hash agg with map-side partials → tiny result).
+    At 100 TB this is one shuffle of |groups| rows per partition."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return A.grouped_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
+            "sum_disc_price": F.round(F.sum(disc), 2),
+            "sum_charge": F.round(F.sum(disc * (1 + F.col("l_tax"))), 2),
+            "avg_qty": F.round(F.avg("l_quantity"), 2),
+            "avg_price": F.round(F.avg("l_extendedprice"), 2),
+            "avg_disc": F.round(F.avg("l_discount"), 4),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+
+
+# ----------------------------------------------------------- A8: argmax
+@_q(
+    "a8_argmax_top_type",
+    """SELECT event_type, count(*) AS cnt FROM events
+       GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 1""",
+)
+def a8_argmax_top_type(spark, sf_dir):
+    """A8 — 'Top Hiring City' argmax (recovered DAX TOPN(1,...) form)."""
+    return A.top_n_by_agg(
+        load(spark, sf_dir, "events"), "event_type", F.count(F.lit(1)), 1
+    )
+
+
+# ------------------------------------------------- A9: time-scoped count
+@_q(
+    "a9_events_latest_month",
+    """SELECT count(*) AS n FROM events
+       WHERE date_trunc('month', ts) =
+             (SELECT date_trunc('month', max(ts)) FROM events)""",
+)
+def a9_events_latest_month(spark, sf_dir):
+    """A9 — 'Jobs this month' (month of the latest timestamp)."""
+    return A.time_scoped_count(load(spark, sf_dir, "events"), "ts")
+
+
+# ------------------------------------------------------ A10: ratio of aggs
+@_q(
+    "a10_events_per_day",
+    """SELECT round(count(*) / count(DISTINCT CAST(ts AS DATE)), 4)
+              AS per_day FROM events""",
+)
+def a10_events_per_day(spark, sf_dir):
+    """A10 — 'Average Jobs per Day' = count / distinct days."""
+    return A.ratio_per_day(load(spark, sf_dir, "events"), "ts")
+
+
+# -------------------------------------------------- A11: percent of total
+@_q(
+    "a11_pct_of_total",
+    """SELECT event_type, count(*) AS cnt,
+              round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+       FROM events GROUP BY event_type""",
+)
+def a11_pct_of_total(spark, sf_dir):
+    """A11 — donut percent labels (83.06% / 16.94%)."""
+    return A.pct_of_total(load(spark, sf_dir, "events"), "event_type")
+
+
+# ------------------------------------- A12/F6: exploded token counts
+@_q(
+    "a12_top_tokens",
+    """SELECT token, count(*) AS cnt
+       FROM (SELECT lower(trim(unnest(string_split(text, ' ')))) AS token
+             FROM documents) t
+       WHERE token <> ''
+       GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
+)
+def a12_top_tokens(spark, sf_dir):
+    """A12 — 'Top 10 Skills' over the exploded bridge ≙ top document
+    tokens. explode(split) → hash agg → TakeOrderedAndProject."""
+    return A.exploded_counts(
+        load(spark, sf_dir, "documents"), ["doc_id"], "text",
+        token_alias="token", n=20, sep=" ",
+    )
+
+
+# --------------------------------------------------- J1: manifest anti-join
+@_q(
+    "j1_anti_join",
+    """SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users
+       FROM events e
+       WHERE NOT EXISTS (SELECT 1 FROM events s
+                         WHERE s.event_type = 'signup'
+                           AND s.user_id = e.user_id)""",
+)
+def j1_anti_join(spark, sf_dir):
+    """J1 — processed-file set-difference ≙ events from users with no
+    signup event (left_anti against a broadcast exclusion set)."""
+    ev = load(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    kept = setops.anti_join(ev, signups, "user_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------- J2: top-N semi-join
+@_q(
+    "j2_topn_semijoin",
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+       FROM events
+       WHERE user_id IN (SELECT user_id FROM events
+                         GROUP BY user_id
+                         ORDER BY count(*) DESC, user_id LIMIT 3)
+       GROUP BY user_id""",
+)
+def j2_topn_semijoin(spark, sf_dir):
+    """J2 — the PBIX 'Top N' filter: fact rows restricted to the top-3
+    categories, then re-aggregated. Broadcast left-semi: fact side is
+    never shuffled for the filter."""
+    ev = load(spark, sf_dir, "events")
+    kept = A.topn_semijoin(ev, "user_id", F.count(F.lit(1)), 3)
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# -------------------------------------------------- J2 (window-rank form)
+@_q(
+    "j2_topn_window",
+    """SELECT c_mktsegment, cnt FROM (
+         SELECT c_mktsegment, count(*) AS cnt,
+                row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) AS rk
+         FROM customer GROUP BY c_mktsegment) t
+       WHERE rk <= 2""",
+)
+def j2_topn_window(spark, sf_dir):
+    """J2 (rank form) — 'Top 2 Job Posting Sites' via dense ranking of
+    the aggregated (tiny) result."""
+    return A.topn_by_rank(
+        load(spark, sf_dir, "customer"), "c_mktsegment", F.count(F.lit(1)), 2
+    )
+
+
+# ------------------------------------------------------ J3: bridge join
+@_q(
+    "j3_bridge_join",
+    """SELECT d.lang, count(*) AS n_tokens, count(DISTINCT b.token) AS n_distinct
+       FROM (SELECT doc_id, lower(trim(unnest(string_split(text, ' ')))) AS token
+             FROM documents) b
+       JOIN documents d ON b.doc_id = d.doc_id
+       WHERE b.token <> ''
+       GROUP BY d.lang""",
+)
+def j3_bridge_join(spark, sf_dir):
+    """J3 — job_data ⋈ jobskills relationship join: the exploded token
+    bridge joined back to its dimension row, aggregated by a dimension
+    attribute."""
+    docs = load(spark, sf_dir, "documents")
+    bridge = A.explode_delimited(docs, ["doc_id"], "text", "token", sep=" ")
+    joined = A.bridge_join(docs.select("doc_id", "lang"), bridge, "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+
+
+# ----------------------------------------------------------- O3: top-k rows
+@_q(
+    "o3_topk_customers",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       ORDER BY c_acctbal DESC, c_custkey LIMIT 10""",
+)
+def o3_topk_customers(spark, sf_dir):
+    """O3 — 'Top 10 ...' raw-row top-k (TakeOrderedAndProject)."""
+    return A.top_n_rows(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        10,
+    )
+
+
+# ------------------------------------------------------- O4: sampling
+@_q(
+    "o4_sample_hash",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE (c_custkey * 2654435761) % 4294967296 % 100 < 10""",
+)
+def o4_sample_hash(spark, sf_dir):
+    """O4 — deterministic engine-portable sample (multiplicative hash
+    bucket). The seeded-RNG variants live in operators/sampling.py;
+    this form is the oracle-verifiable one."""
+    return sampling.sample_hash_bucket(
+        load(spark, sf_dir, "customer"), "c_custkey", 10
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------- U1: union
+@_q(
+    "u1_union_by_name",
+    """SELECT kind, count(*) AS cnt, round(sum(acctbal), 2) AS total_bal FROM (
+         SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+         UNION ALL
+         SELECT s_name, s_acctbal, 'supplier' FROM supplier) u
+       GROUP BY kind""",
+)
+def u1_union_by_name(spark, sf_dir):
+    """U1 — pd.concat of normalized sources (kaggle + HF ≙ customer +
+    supplier projected to a shared schema)."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return setops.union_by_name([cust, supp]).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("acctbal"), 2).alias("total_bal"),
+    )
+
+
+# ------------------------------------------------- U2: keep-first dedup
+@_q(
+    "u2_dedup_keep_first",
+    """SELECT event_id, user_id, event_type FROM (
+         SELECT event_id, user_id, event_type,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id) AS rn
+         FROM events) t
+       WHERE rn = 1""",
+)
+def u2_dedup_keep_first(spark, sf_dir):
+    """U2 — drop_duplicates(keep='first') with a deterministic winner
+    (lowest event_id ≙ pandas input order)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return setops.dedup_keep_first(ev, ["user_id", "event_type"], [F.asc("event_id")])
+
+
+# ------------------------------------------------------ P3: isin filter
+@_q(
+    "p3_isin_filter",
+    """SELECT o_orderpriority, count(*) AS cnt FROM orders
+       WHERE lower(o_orderpriority) IN ('1-urgent', '2-high')
+       GROUP BY o_orderpriority""",
+)
+def p3_isin_filter(spark, sf_dir):
+    """P3 — equality-set filter (country isin, case-normalized)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.lower(F.col("o_orderpriority")).isin("1-urgent", "2-high"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ----------------------------------------------------- P4: regex filter
+@_q(
+    "p4_regex_filter",
+    """SELECT lang, count(*) AS cnt FROM documents
+       WHERE regexp_matches(text, '\\b(spark|query)\\b')
+       GROUP BY lang""",
+)
+def p4_regex_filter(spark, sf_dir):
+    """P4 — word-boundary regex predicate (US-location filter shape),
+    with NULL→false semantics (na=False)."""
+    d = load(spark, sf_dir, "documents")
+    pred = F.coalesce(F.col("text").rlike(r"\b(spark|query)\b"), F.lit(False))
+    return d.filter(pred).groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ----------------------------------------------------- P5: range filter
+@_q(
+    "p5_range_filter",
+    """SELECT count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
+       FROM lineitem WHERE l_extendedprice BETWEEN 10000 AND 50000""",
+)
+def p5_range_filter(spark, sf_dir):
+    """P5 — salary-outlier band filter (NULLs drop automatically)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_extendedprice").between(10000, 50000)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+    )
