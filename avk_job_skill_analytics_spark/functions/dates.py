@@ -9,9 +9,11 @@ from pyspark.sql import functions as F
 
 
 def parse_timestamp(col: Column | str) -> Column:
-    """F7 — pd.to_datetime(errors='coerce'): NULL on failure."""
+    """F7 — pd.to_datetime(errors='coerce'): NULL on failure.
+    try_to_timestamp, because Spark 4's default ANSI mode makes
+    to_timestamp throw on unparseable input."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(c)
+    return F.try_to_timestamp(c)
 
 
 def year_of(col: Column | str) -> Column:

@@ -18,9 +18,10 @@ HOURS_PER_YEAR = 2000.0
 
 def parse_numeric(col: Column | str) -> Column:
     """F8 — pd.to_numeric(errors='coerce'): cast to double, NULL on
-    failure (Spark's default non-ANSI cast)."""
+    failure. Spark 4 runs ANSI mode by default (malformed casts THROW),
+    so coerce semantics require try_cast."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("double")
+    return c.try_cast("double")
 
 
 def normalize_salary(col: Column | str,
@@ -32,6 +33,6 @@ def normalize_salary(col: Column | str,
     across engines (some SQL engines round on double→int casts)."""
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(c.cast("string"), r"[$,]", "")
-    num = cleaned.cast("double")
+    num = cleaned.try_cast("double")  # ANSI-safe coerce-to-null
     annual = F.when(num <= hourly_threshold, num * hours_per_year).otherwise(num)
     return F.floor(annual).cast("int")

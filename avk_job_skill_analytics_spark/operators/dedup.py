@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond-reference capabilities (the reference's only dedup is the
+exact keep-first U2, src/transform.py:138): the standard toolbox a
+training-data pipeline needs at 100 TB, each built from shuffles that
+scale linearly in corpus size — never an all-pairs comparison:
+
+- exact dedup: hash-groupBy on the full text (one shuffle);
+- MinHash + LSH near-dup: shingle → minhash signature → band buckets →
+  candidate pairs only within buckets → exact-Jaccard verification
+  (Broder 1997; the shuffle volume is O(docs × bands), and candidate
+  verification touches only bucket-colliding pairs);
+- SimHash: 64 locality-sensitive signature bits per doc, near-dups
+  collide on signature (Charikar 2002); one shuffle;
+- n-gram Jaccard: exact all-pairs similarity via an inverted-index
+  join on shingles — the exact (expensive) baseline the approximate
+  ops are judged against; the shingle join explodes quadratically in
+  per-shingle document frequency, so it is only for validation scale;
+- embedding near-dup: blocked cosine pairs (see similarity.py for the
+  ANN path).
+
+All hashing is the engine-portable MD5/affine family from hashing.py,
+so results are reproducible across engines and across runs — a hard
+requirement for incremental dedup of a growing corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import MERSENNE_P, affine_hash, md5_long, minhash_coeffs
+
+# ------------------------------------------------------------- exact dedup
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: one row per distinct text with the
+    surviving (minimum) id and the group size. Single hash-aggregate
+    shuffle on the text value.
+
+    At scale, group on ``md5(text)`` instead of the raw text to keep
+    shuffle rows small (collision probability negligible)."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row (lowest id) per distinct text."""
+    w = Window.partitionBy(text_col).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------- shingles
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle). Documents
+    with fewer than k words produce no shingles."""
+    w = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + off) for off in range(k)]
+        ),
+    )
+    return (
+        df.filter(F.size(w) >= k)
+        .select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(shingles: DataFrame, id_col: str,
+                       num_hashes: int = 16, seed: int = 7) -> DataFrame:
+    """MinHash signature per document: m_j = min over shingles of
+    (a_j * h(shingle) + b_j) mod P. One aggregate over the shingle
+    frame — num_hashes mins computed in a single pass."""
+    h = md5_long(F.col("shingle")) % MERSENNE_P
+    aggs = [
+        F.min(affine_hash(h, a, b)).alias(f"m{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str, bands: int,
+              rows_per_band: int) -> DataFrame:
+    """Unpivot a signature into (id, band, sig): the band signature is
+    the '_'-joined row values. Docs sharing any (band, sig) are
+    candidates."""
+    pairs = []
+    for b in range(bands):
+        cols = [
+            F.col(f"m{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        pairs.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("_", *cols).alias("sig"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*pairs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Bucket-join: distinct (a, b) id pairs (a < b) sharing a band
+    signature. The join key (band, sig) keeps comparisons inside
+    buckets — the whole point of LSH at scale. AQE's skew handling
+    covers pathological buckets (e.g. a boilerplate shingle set)."""
+    left = bands_df.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("a")
+    )
+    right = bands_df.select(
+        F.col("band"), F.col("sig"), F.col(id_col).alias("b")
+    )
+    return (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def verify_jaccard(pairs: DataFrame, shingles: DataFrame, id_col: str,
+                   threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs via the shingle inverted
+    index: |A∩B| from a shingle-equijoin restricted to candidates,
+    |A∪B| = |A| + |B| - |A∩B|. Only candidate pairs are scored."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .join(pairs, ["a", "b"], "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a").join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "jaccard"
+        )
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 3, num_hashes: int = 16, bands: int = 8,
+                      threshold: float = 0.5, seed: int = 7) -> DataFrame:
+    """End-to-end MinHash-LSH near-duplicate pairs ≥ threshold.
+    bands × rows_per_band must equal num_hashes; with 8 bands × 2 rows
+    the candidate probability at Jaccard j is 1-(1-j²)⁸ (≈0.90 at
+    j=0.5, ≈1.0 at j=0.8)."""
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, num_hashes, seed)
+    cand = candidate_pairs(lsh_bands(sig, id_col, bands, rows_per_band), id_col)
+    return verify_jaccard(cand, sh, id_col, threshold)
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact all-pairs shingle-Jaccard ≥ threshold via the inverted
+    index (no LSH pruning): the correctness baseline for
+    ``minhash_lsh_dedup``. Cost grows with Σ_shingle df² — use only at
+    validation scale or after aggressive shingle-df capping."""
+    sh = word_shingles(df, id_col, text_col, k)
+    all_pairs = (
+        sh.select(F.col(id_col).alias("a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return verify_jaccard(all_pairs, sh, id_col, threshold)
+
+
+# ----------------------------------------------------------------- SimHash
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       bits: int = 16) -> DataFrame:
+    """Per-document SimHash (Charikar 2002) over distinct word tokens:
+    bit j of the signature is the sign of Σ_token (±1 by bit j of the
+    token hash). Near-duplicate docs agree on most bits; equal
+    signatures form dedup buckets. One explode + one aggregate."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    h = md5_long(F.col("tok"))
+    votes = [
+        F.sum(
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    sig = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = (bit * F.lit(1 << j)).cast("long")
+        sim = term if sim is None else sim + term
+    return sig.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_buckets(df: DataFrame, id_col: str, text_col: str,
+                    bits: int = 16) -> DataFrame:
+    """Signature-collision buckets: (simhash, n_docs, min id) for
+    buckets with >1 doc — the SimHash analogue of exact_dup_groups."""
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    return (
+        sig.groupBy("simhash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,57 @@
+"""Engine-portable deterministic hashing.
+
+All dedup/fingerprint operators need a string→int hash that (a) is
+computable identically in Spark and in any ANSI-ish SQL engine (for
+oracle verification and cross-system reproducibility), and (b) mixes
+well. We use the top 60 bits of MD5: both Spark and DuckDB expose
+``md5`` over UTF-8 strings, and 15 hex digits parse into a BIGINT
+without overflow.
+
+The multiplicative MinHash family ``h_j(x) = (a_j * x + b_j) mod P``
+over the Mersenne prime P = 2^31 - 1 is the standard construction
+(Broder, "On the resemblance and containment of documents", 1997).
+Constants come from a fixed LCG so the Python-built DataFrame plan and
+the generated oracle SQL share them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def md5_long(col: Column) -> Column:
+    """Top-60-bit MD5 of a string column as a non-negative BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    """DuckDB-equivalent of ``md5_long`` (hex literal cast)."""
+    return f"CAST(concat('0x', substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """(a_j, b_j) pairs from a fixed LCG (deterministic, shared between
+    the Spark plan and the generated oracle SQL). a_j in [1, P-1],
+    b_j in [0, P-1]."""
+    coeffs = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (MERSENNE_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def affine_hash(h: Column, a: int, b: int, p: int = MERSENNE_P) -> Column:
+    """(a*h + b) mod p over an already-reduced h (h < p keeps a*h within
+    63 bits for a < p ... use h % p first)."""
+    return (F.lit(a) * (h % p) + F.lit(b)) % p
+
+
+def affine_hash_sql(h_expr: str, a: int, b: int, p: int = MERSENNE_P) -> str:
+    return f"(({a} * (({h_expr}) % {p}) + {b}) % {p})"

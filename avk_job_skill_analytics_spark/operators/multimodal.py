@@ -1,0 +1,93 @@
+"""Multimodal column plumbing (beyond-reference).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata alongside. The Spark-side machinery — schema, Arrow batch
+shape, ``mapInPandas`` signature, partition sizing — is real and
+tested; the actual codec work is stubbed (no image/audio libraries in
+this environment) behind ``_decode_stub``, which computes
+deterministic fake metadata from the bytes so pipelines are testable
+end-to-end.
+
+Scale notes: binary payloads ride through Arrow record batches;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in the session
+factory path) bounds batch memory when payloads are megabytes each.
+Keep payload columns OUT of shuffles: derive metadata first, drop the
+bytes, then join/aggregate the metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes long, width long, height long, format string"
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text",
+                  out: str = "payload") -> DataFrame:
+    """Testdata adapter: materialize an opaque binary payload column
+    (UTF-8 bytes of the text stand in for an encoded image)."""
+    return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
+    """STUB for the real decoder (PIL/ffmpeg are not installed here).
+    Deterministic fake: dimensions derived from the byte length, format
+    from a byte checksum. Replace the body with a real decode
+    (PIL.Image.open(BytesIO(payload))) in production."""
+    n = len(payload)
+    width = n % 640 + 1
+    height = (n * 7) % 480 + 1
+    fmt = ("jpeg", "png", "webp")[n % 3]
+    return n, width, height, fmt
+
+
+def decode_metadata(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched decode: mapInPandas over (id, payload) yielding
+    typed metadata. Pattern for any per-asset Python work (decode,
+    resize, frame-sample, feature-extract): batch in, batch out, bytes
+    never shuffled."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            meta = pdf[payload_col].map(_decode_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": meta.map(lambda m: m[0]),
+                    "width": meta.map(lambda m: m[1]),
+                    "height": meta.map(lambda m: m[2]),
+                    "format": meta.map(lambda m: m[3]),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload",
+                      every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    index. The decode itself is stubbed (raises NotImplementedError) —
+    the distributed plan (explode of a frame-index sequence, then
+    per-frame decode) is the deliverable."""
+    n_frames = (F.length(F.col(payload_col)) % 100 + 1).alias("n_frames")
+    frames = df.select(F.col(id_col), n_frames).withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))),
+    )
+
+    def decode_frame(*_args, **_kwargs):  # pragma: no cover - stub
+        raise NotImplementedError(
+            "real frame decode requires ffmpeg/PIL; wire it into "
+            "decode_metadata's mapInPandas pattern"
+        )
+
+    frame_sample_plan.decode_frame = decode_frame
+    return frames.select(id_col, "frame_idx")

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (beyond-reference).
+
+Approximate-nearest-neighbor over an ``array<float>`` column:
+
+- ``cosine_topk``: brute-force exact top-k for a (small) query set —
+  broadcast the queries, stream the corpus once, per-query bounded
+  heap via window rank. The correctness baseline.
+- ``blocked_cosine_pairs``: all-pairs cosine ≥ threshold within a
+  blocking key (cluster/label/LSH bucket) — near-dup detection where
+  candidate pairs are confined to blocks.
+- ``lsh_topk``: random-hyperplane LSH (sign-bit signatures) bucketing
+  the corpus so each query only scores its bucket — the scale path
+  when the query set is itself huge.
+
+All dot products run as JVM-side higher-order functions
+(``zip_with`` + ``aggregate``) in double precision — no Python UDFs in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_long
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision via a left-fold (deterministic
+    summation order — reproducible across engines)."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "norm") -> DataFrame:
+    """Precompute L2 norms once (reused across every comparison)."""
+    return df.withColumn(out, _norm(F.col(vec_col)))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+                vec_col: str, k: int = 5,
+                round_digits: int = 6) -> DataFrame:
+    """Exact brute-force cosine top-k per query vector.
+
+    queries is broadcast (it must be small — the brute-force regime);
+    the corpus is scanned exactly once with no shuffle of the vectors;
+    only (query, candidate, cosine) triples reach the per-query top-k
+    window. Ranking uses the ROUNDED cosine with an id tie-break so
+    results are deterministic and engine-portable.
+
+    Self-matches (same id) are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def blocked_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
+                         block_col: str, threshold: float,
+                         round_digits: int = 6) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold) within each block.
+    The equi-join on the block key bounds the pair explosion to
+    Σ_block n²; blocks come from labels, clusters, or LSH buckets."""
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _plane_sign(p: int, i: int) -> float:
+    """±1 component of pseudo-random hyperplane p at dim i, derived
+    from md5 of a fixed string — computed driver-side (it's a pure
+    constant) so the plan carries literals, not 64×planes hash calls."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def hyperplane_signature(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Random-hyperplane LSH signature (Charikar 2002): bit p is the
+    sign of <v, r_p> with deterministic ±1 hyperplane components.
+    Cosine-similar vectors agree on most bits."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        # zip_with against a literal ±1 array: one vectorized
+        # expression per plane instead of dim scalar terms
+        r = F.array(*[F.lit(_plane_sign(p, i)) for i in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(vec, r, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, dim: int, k: int = 5, planes: int = 8,
+             round_digits: int = 6) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane
+    signature, score only within matching buckets. Recall < 1 by
+    construction (a neighbor in a different bucket is missed) —
+    multiprobe or fewer planes trade recall for cost. This is the path
+    when |queries| is too large to broadcast-score the whole corpus."""
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+        hyperplane_signature(F.col(vec_col), dim, planes).alias("_sig"),
+    )
+    cs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+        hyperplane_signature(F.col(vec_col), dim, planes).alias("_sig"),
+    )
+    scored = (
+        cs.join(qs, "_sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rk").cast("long").alias("rk"))
+    )

@@ -1,0 +1,118 @@
+"""Text analysis operators for corpus curation (beyond-reference).
+
+Language ID (marker-word heuristic), quality scoring, token counting,
+and document fingerprinting — all pure Column expressions over the
+``documents`` table shape, no UDFs, so they run inside whole-stage
+codegen at full scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import MERSENNE_P, md5_long
+
+# language → marker-word regex (an n-gram/stopword heuristic in the
+# spirit of langid's feature tables; deliberately tiny & deterministic)
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|data)\b",
+    "es": r"\b(el|la|los|las|de)\b",
+    "fr": r"\b(le|la|les|des|une)\b",
+}
+
+STOPWORD_RX = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+PUNCT_RX = r"[^\w\s]"
+
+
+def lang_scores(text: Column, markers: dict[str, str] | None = None) -> dict[str, Column]:
+    """Per-language marker-hit counts."""
+    return {
+        lang: F.regexp_count(text, F.lit(rx))
+        for lang, rx in (markers or LANG_MARKERS).items()
+    }
+
+
+def predict_lang(text: Column, markers: dict[str, str] | None = None,
+                 default: str = "unknown") -> Column:
+    """Argmax language by marker count; ties break by language-code
+    order; all-zero → default. Expressed as a nested CASE so the same
+    logic is writable in ANSI SQL."""
+    scores = lang_scores(text, markers)
+    langs = sorted(scores)
+    # forward CASE: first language (code order) with a positive score
+    # that is >= every later language wins — earlier code wins ties
+    expr = None
+    for idx, lang in enumerate(langs):
+        cond = scores[lang] > 0
+        for later in langs[idx + 1:]:
+            cond = cond & (scores[lang] >= scores[later])
+        clause = F.when(cond, F.lit(lang))
+        expr = clause if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(default))
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count (empty tokens from repeated spaces are
+    not counted)."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda x: x != "")).cast("long")
+
+
+def bpe_token_estimate(text: Column, chars_per_token: float = 4.0) -> Column:
+    """BPE-ish token-count estimate: ceil(chars / 4) — the standard
+    chars-per-token rule of thumb for byte-pair encodings."""
+    return F.ceil(F.length(text) / F.lit(chars_per_token)).cast("long")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features for document
+    quality filtering (the usual pre-training heuristics)."""
+    n_chars = F.length(text).cast("long")
+    n_words = word_count(text)
+    n_stop = F.regexp_count(text, F.lit(STOPWORD_RX)).cast("long")
+    n_punct = F.regexp_count(text, F.lit(PUNCT_RX)).cast("long")
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 4)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    avg_word_len = F.round(n_chars / F.greatest(n_words, F.lit(1)), 4)
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "avg_word_len": avg_word_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0,1]: rewards in-range length, real
+    words, and stopword presence; penalizes punctuation soup. Weights
+    are fixed and documented — the point is a deterministic, cheap,
+    interpretable score, not a learned model."""
+    f = quality_features(text)
+    length_ok = F.when(
+        (f["n_chars"] >= 50) & (f["n_chars"] <= 10000), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    stop_ok = F.when(f["stop_ratio"] >= 0.05, F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, F.lit(1.0)).otherwise(F.lit(0.4))
+    return F.round((length_ok * 0.4 + stop_ok * 0.3 + punct_ok * 0.3), 4)
+
+
+def canonical_fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint over the canonical form (lowercase,
+    whitespace collapsed): md5 hex. Robust to formatting noise."""
+    canon = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(canon)
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over word-token hashes:
+    fp = fold(tokens, 0, (acc, t) -> (acc*31 + h(t)) mod P). Unlike a
+    set-based signature, token ORDER matters — reorderings produce
+    different fingerprints. Pure fold, engine-portable."""
+    toks = F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    hashes = F.transform(toks, lambda t: md5_long(t) % MERSENNE_P)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % MERSENNE_P,
+    )

@@ -12,9 +12,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import core_queries, scalar_queries, scale_queries, streaming_queries
+from . import (
+    core_queries,
+    pipeline_queries,
+    scalar_queries,
+    scale_queries,
+    streaming_queries,
+)
 
-_MODULES = (core_queries, scalar_queries, scale_queries, streaming_queries)
+_MODULES = (
+    core_queries,
+    scalar_queries,
+    scale_queries,
+    streaming_queries,
+    pipeline_queries,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,6 +1,368 @@
-"""Beyond-reference scale operators (dedup / similarity / text analysis)."""
+"""Beyond-reference scale operators bound to driver testdata.
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), ANN similarity search, text analysis, and multimodal
+plumbing — each with a DuckDB oracle where SQL can express it.
+
+Oracle-generation notes:
+- MinHash/SimHash/fingerprint SQL is GENERATED from the same constants
+  as the Spark plan (operators/hashing.py), so both engines compute
+  bit-identical signatures;
+- dot products are strict left folds on both sides
+  (Spark ``aggregate`` / DuckDB ``list_reduce`` with a prepended 0.0)
+  so float summation order is identical;
+- the LSH-bucketed ANN variant has no SQL equivalent → rows-only check.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, textstats
+from ..operators.hashing import (
+    MERSENNE_P,
+    affine_hash_sql,
+    md5_long_sql,
+    minhash_coeffs,
+)
+from ..plans.schemas import load
+
 QUERIES = {}
 ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# ---------------------------------------------------------- exact dedup
+@_q(
+    "dd_exact_groups",
+    """WITH all_docs AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+       SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+              count(*) AS n_copies
+       FROM all_docs GROUP BY md5(text)""",
+)
+def dd_exact_groups(spark, sf_dir):
+    """Exact dedup via hash-groupBy. Duplicates are synthesized
+    in-query (testdata texts are all distinct): every 5th doc is
+    re-inserted under a shifted id, so 1/5 of groups have n_copies=2."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    groups = dedup.exact_dup_groups(d.unionByName(dup), "doc_id", "text")
+    return groups.select(
+        F.md5("text").alias("text_hash"), "keep_id", "n_copies"
+    )
+
+
+# ------------------------------------------------------- shared SQL CTEs
+_SHINGLE_CTE = """
+  w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+         FROM w WHERE len(w) >= 3)
+"""
+
+_VERIFY_SQL = """
+  sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (SELECT c.a, c.b, count(*) AS i
+            FROM cand c
+            JOIN sh s1 ON s1.doc_id = c.a
+            JOIN sh s2 ON s2.doc_id = c.b AND s1.shingle = s2.shingle
+            GROUP BY c.a, c.b)
+  SELECT i.a AS doc_a, i.b AS doc_b,
+         round(i.i / (x.n + y.n - i.i), 4) AS jaccard
+  FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
+  WHERE round(i.i / (x.n + y.n - i.i), 4) >= {thr}
+"""
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    rows = num_hashes // bands
+    h = f"({md5_long_sql('shingle')} % {MERSENNE_P})"
+    mins = ",\n            ".join(
+        f"min({affine_hash_sql(h, a, b)}) AS m{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, concat({cols}) AS sig FROM sig_t".format(
+            b=b,
+            cols=", '_', ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""WITH {_SHINGLE_CTE},
+  sig_t AS (SELECT doc_id,
+            {mins}
+            FROM sh GROUP BY doc_id),
+  bands_t AS (
+{band_selects}),
+  cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bands_t x JOIN bands_t y
+             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+{_VERIFY_SQL.format(thr=threshold)}"""
+
+
+@_q("dd_minhash_lsh", _minhash_sql(16, 8, 0.5))
+def dd_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(8 bands x 2 rows) near-dup pairs, exact-Jaccard
+    verified at >= 0.5. The oracle SQL is generated from the same hash
+    constants, so candidate sets match bit-for-bit."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(
+        d, "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.5
+    )
+
+
+@_q(
+    "dd_ngram_jaccard",
+    f"""WITH {_SHINGLE_CTE},
+  cand AS (SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+           FROM sh s1 JOIN sh s2
+             ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
+{_VERIFY_SQL.format(thr=0.5)}""",
+)
+def dd_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs 3-gram Jaccard >= 0.5 via the inverted index —
+    the exhaustive baseline for the LSH path (same verify stage, no
+    candidate pruning)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+
+
+# --------------------------------------------------------------- SimHash
+def _simhash_sql(bits: int) -> str:
+    h = md5_long_sql("tok")
+    votes = ",\n           ".join(
+        f"sum((( {h} >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+  v AS (SELECT doc_id,
+           {votes}
+        FROM t WHERE tok <> '' GROUP BY doc_id)
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v"""
+
+
+@_q("dd_simhash", _simhash_sql(16))
+def dd_simhash(spark, sf_dir):
+    """16-bit SimHash signatures per document (near-dups collide;
+    bucket by signature to dedup). Oracle generated from the same
+    bit-vote construction."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(d, "doc_id", "text", bits=16)
+
+
+# ------------------------------------------------- embedding cosine dedup
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
+    )
+
+
+@_q(
+    "dd_embedding_cosine",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4""",
+)
+def dd_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= 0.4 blocked by label
+    (all-pairs within a block only — the blocked/clustered regime that
+    scales; label stands in for a cluster/LSH-bucket assignment)."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.blocked_cosine_pairs(
+        e, "vec_id", "embedding", "label", threshold=0.4
+    ).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
+    )
+
+
+# ------------------------------------------------------------ ANN top-k
+@_q(
+    "ann_cosine_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cosine
+             FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+       SELECT query_id, neighbor_id, cosine, rk FROM (
+         SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM s) t
+       WHERE rk <= 5""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for a 10-query batch: broadcast
+    queries, single corpus scan, per-query bounded window. The exact
+    baseline every ANN variant is measured against."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+@_q("ann_lsh_topk")  # no SQL equivalent -> rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH bucketing (recall<1
+    by design — scale path for huge query sets). Not SQL-expressible
+    (per-plane derived hyperplanes); driver records rows-only."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        dim=64, k=5, planes=4,
+    )
+
+
+# ------------------------------------------------------------- text: lang
+@_q(
+    "txt_lang_id",
+    r"""SELECT pred_lang, count(*) AS cnt FROM (
+         SELECT CASE
+           WHEN len(regexp_extract_all(text, '\b(the|and|of|to|data)\b')) > 0
+            AND len(regexp_extract_all(text, '\b(the|and|of|to|data)\b'))
+                >= len(regexp_extract_all(text, '\b(el|la|los|las|de)\b'))
+            AND len(regexp_extract_all(text, '\b(the|and|of|to|data)\b'))
+                >= len(regexp_extract_all(text, '\b(le|la|les|des|une)\b'))
+           THEN 'en'
+           WHEN len(regexp_extract_all(text, '\b(el|la|los|las|de)\b')) > 0
+            AND len(regexp_extract_all(text, '\b(el|la|los|las|de)\b'))
+                >= len(regexp_extract_all(text, '\b(le|la|les|des|une)\b'))
+           THEN 'es'
+           WHEN len(regexp_extract_all(text, '\b(le|la|les|des|une)\b')) > 0
+           THEN 'fr'
+           ELSE 'unknown' END AS pred_lang
+         FROM documents) t
+       GROUP BY pred_lang""",
+)
+def txt_lang_id(spark, sf_dir):
+    """Marker-word language ID (argmax with code-order tie-break)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(textstats.predict_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------- text: quality
+@_q(
+    "txt_quality",
+    r"""SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS BIGINT) AS n_words,
+              round(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
+                    / greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                               x -> x <> '')), 1), 4) AS stop_ratio,
+              round(len(regexp_extract_all(text, '[^\w\s]'))
+                    / greatest(length(text), 1), 4) AS punct_ratio
+       FROM documents""",
+)
+def txt_quality(spark, sf_dir):
+    """Quality features: length, word count, stopword & punctuation
+    ratios (the standard pre-training heuristics)."""
+    d = load(spark, sf_dir, "documents")
+    f = textstats.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_words"].alias("n_words"),
+        f["stop_ratio"].alias("stop_ratio"),
+        f["punct_ratio"].alias("punct_ratio"),
+    )
+
+
+# ------------------------------------------------------- text: token count
+@_q(
+    "txt_token_counts",
+    r"""SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+              CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe
+       FROM documents""",
+)
+def txt_token_counts(spark, sf_dir):
+    """Whitespace token count + BPE-ish estimate (ceil(chars/4))."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.word_count(F.col("text")).alias("n_tokens_ws"),
+        textstats.bpe_token_estimate(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+# ------------------------------------------------------ text: fingerprints
+_ROLL_H = f"({md5_long_sql('x')} % {MERSENNE_P})"
+
+@_q(
+    "txt_fingerprint",
+    rf"""SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(
+                    list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                    x -> {_ROLL_H})),
+                (a, b) -> (a * 31 + b) % {MERSENNE_P}) AS fp_rolling
+       FROM documents""",
+)
+def txt_fingerprint(spark, sf_dir):
+    """Document fingerprints: canonical-form md5 (formatting-robust
+    exact dup) + order-sensitive polynomial rolling hash over token
+    hashes."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.canonical_fingerprint(F.col("text")).alias("fp_md5"),
+        textstats.rolling_fingerprint(F.col("text")).alias("fp_rolling"),
+    )
+
+
+# ------------------------------------------------------------- multimodal
+@_q(
+    "mm_decode_metadata",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+              CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
+              CASE octet_length(encode(text)) % 3
+                WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp'
+              END AS format
+       FROM documents""",
+)
+def mm_decode_metadata(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column → Arrow-batched
+    mapInPandas 'decode' producing typed metadata. The decode itself is
+    a deterministic stub (no codec libs here); the distributed shape —
+    binary column, batch iterator, output schema — is the real thing,
+    and the oracle checks it end-to-end."""
+    d = load(spark, sf_dir, "documents")
+    return multimodal.decode_metadata(multimodal.attach_binary(d))

@@ -1,0 +1,72 @@
+"""S7/S8 — idempotent-load manifest (SURVEY.md §2.1, §2.9).
+
+The reference tracks loaded files in a one-column SQL table /
+SQLite db (`dbo.etl_loaded_files`, src/load_sqlserver.py:37-56;
+`loaded_files.db`) and diffs raw-vs-processed S3 listings
+(src/transform.py:186-198). Engine version: a parquet manifest table;
+membership is a broadcast anti-join (J1), marking is an append.
+Structured Streaming's file-source checkpoint subsumes this for the
+streaming path (streaming/incremental.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.schemas import MANIFEST
+
+
+class Manifest:
+    """Exactly-once file-load bookkeeping over a parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _exists(self) -> bool:
+        # local-FS check; on object stores rely on the read failing over
+        # to the empty frame
+        return os.path.exists(self.path)
+
+    def loaded(self) -> DataFrame:
+        """All file names marked loaded (empty frame if none yet)."""
+        if self._exists():
+            try:
+                return self.spark.read.schema(MANIFEST).parquet(self.path)
+            except Exception:
+                pass
+        return self.spark.createDataFrame([], MANIFEST)
+
+    def is_loaded(self, file_name: str) -> bool:
+        """S7 point lookup (`SELECT 1 FROM tracker WHERE file_name=?`,
+        src/load_sqlserver.py:37-44)."""
+        return (
+            self.loaded().filter(F.col("file_name") == file_name).limit(1).count()
+            > 0
+        )
+
+    def new_files(self, candidates: DataFrame) -> DataFrame:
+        """S8 — set-difference of candidate vs loaded names as a
+        broadcast anti-join (src/transform.py:186-196). `candidates`
+        must carry a `file_name` column."""
+        return candidates.join(
+            F.broadcast(self.loaded()), "file_name", "left_anti"
+        )
+
+    def filter_new_rows(self, df: DataFrame,
+                        file_col: str = "_source_file") -> DataFrame:
+        """Row-level variant: keep rows whose provenance file is not in
+        the manifest (pairs with readers' ``with_provenance``)."""
+        manifest = self.loaded().withColumnRenamed("file_name", file_col)
+        return df.join(F.broadcast(manifest), file_col, "left_anti")
+
+    def mark_loaded(self, file_names: list[str]) -> None:
+        """S7 conditional insert (`IF NOT EXISTS ... INSERT`,
+        src/load_sqlserver.py:51-54): append names not already present."""
+        new = self.spark.createDataFrame(
+            [(f,) for f in file_names], MANIFEST
+        ).join(F.broadcast(self.loaded()), "file_name", "left_anti")
+        new.write.mode("append").parquet(self.path)

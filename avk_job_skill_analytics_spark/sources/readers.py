@@ -1,0 +1,82 @@
+"""Sources S1–S4 (SURVEY.md §2.1).
+
+The reference lists S3 objects and reads them one-by-one with pandas
+(src/transform.py:32-41, src/data_extract.py:50-66). Spark's file
+sources subsume the listing: a glob over a prefix is a distributed
+scan with partition pruning and (for parquet/orc) predicate pushdown.
+``s3a://`` URIs work unchanged when the hadoop-aws jars are on the
+classpath; tests use ``file://`` paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def csv_source(spark: SparkSession, path: str, schema: StructType | None = None,
+               with_provenance: bool = False, **options) -> DataFrame:
+    """S1+S2 — CSV over a path/glob/prefix (header on; explicit schema
+    preferred — schema inference is a full extra pass at scale).
+    ``with_provenance`` adds the source file per row (the reference
+    tracks per-file lineage for idempotency)."""
+    reader = spark.read.option("header", True)
+    reader = reader.schema(schema) if schema is not None else reader.option(
+        "inferSchema", True
+    )
+    df = reader.options(**options).csv(path)
+    if with_provenance:
+        df = df.withColumn("_source_file", F.input_file_name())
+    return df
+
+
+def parquet_source(spark: SparkSession, path: str,
+                   with_provenance: bool = False) -> DataFrame:
+    """Parquet — the engine's curated-zone format (columnar, pushdown,
+    partition pruning; replaces the reference's CSV interchange)."""
+    df = spark.read.parquet(path)
+    if with_provenance:
+        df = df.withColumn("_source_file", F.input_file_name())
+    return df
+
+
+def json_source(spark: SparkSession, path: str,
+                schema: StructType | None = None, **options) -> DataFrame:
+    """JSON lines source (beyond-reference; schema strongly advised)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).json(path)
+
+
+def excel_source(spark: SparkSession, path: str) -> DataFrame:
+    """S3 — Excel ingest (src/data_extract.py:58, :64). Needs either
+    the spark-excel package or pandas+openpyxl; neither ships in this
+    environment, so this is a gated stub: pandas path if available,
+    else a clear error."""
+    try:
+        import pandas as pd  # noqa: F401
+
+        pdf = pd.read_excel(path)  # requires openpyxl at runtime
+        return spark.createDataFrame(pdf)
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "excel_source requires pandas+openpyxl or the spark-excel "
+            "package on the classpath"
+        ) from e
+
+
+def hf_dataset_source(spark: SparkSession, dataset_name: str) -> DataFrame:
+    """S4 — HuggingFace dataset ingest (src/data_extract.py:73-79).
+    The `datasets` library is not in this environment; gated stub with
+    the reference's fallback-to-empty contract handled by the caller."""
+    try:
+        from datasets import load_dataset  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "hf_dataset_source requires the `datasets` package; pass a "
+            "parquet/CSV snapshot to parquet_source/csv_source instead"
+        ) from e
+    ds = load_dataset(dataset_name)["train"]
+    return spark.createDataFrame(ds.to_pandas())

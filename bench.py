@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the full query inventory at a scale factor.
+
+Prints ONE JSON line:
+  {"metric": "total_query_wall", "value": <sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Config via env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] threads (default 32)
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect cost), so timings measure the Spark plan itself.
+A single warm-up query absorbs JVM/session startup so per-query
+numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+from avk_job_skill_analytics_spark.plans.session import get_spark  # noqa: E402
+from avk_job_skill_analytics_spark.registry import all_queries  # noqa: E402
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 4))
+
+    queries = all_queries()
+    only = sys.argv[1:]
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
+
+    # Warm-up: first Spark job pays JVM + parquet-footer costs.
+    next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a failed query must not hide the rest
+            timings[name] = -1.0
+            print(f"# FAIL {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(json.dumps({
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    main()
