@@ -1,0 +1,90 @@
+"""Operator-level tests: set ops, sampling determinism, Top-N forms,
+manifest idempotency (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avk_job_skill_analytics_spark.operators import analytics as A
+from avk_job_skill_analytics_spark.operators.sampling import (
+    sample_exact_n,
+    sample_hash_bucket,
+)
+from avk_job_skill_analytics_spark.operators.setops import (
+    anti_join,
+    dedup_keep_first,
+    union_by_name,
+)
+from avk_job_skill_analytics_spark.sources.manifest import Manifest
+
+
+def test_union_by_name_fills_missing(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "a"])
+    b = spark.createDataFrame([(2, "y")], ["id", "b"])
+    out = union_by_name([a, b]).orderBy("id").collect()
+    assert out[0]["a"] == "x" and out[0]["b"] is None
+    assert out[1]["a"] is None and out[1]["b"] == "y"
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "k", "first"), (2, "k", "second"), (3, "j", "only")],
+        ["seq", "key", "val"],
+    )
+    out = dedup_keep_first(df, ["key"], [F.col("seq").asc()])
+    got = {r["key"]: r["val"] for r in out.collect()}
+    assert got == {"k": "first", "j": "only"}
+
+
+def test_anti_join_excludes(spark):
+    files = spark.createDataFrame([("a",), ("b",), ("c",)], ["file_name"])
+    done = spark.createDataFrame([("b",)], ["file_name"])
+    left = sorted(r["file_name"] for r in anti_join(files, done, "file_name").collect())
+    assert left == ["a", "c"]
+
+
+def test_sample_exact_n_deterministic(spark):
+    df = spark.range(1000)
+    s1 = sorted(r["id"] for r in sample_exact_n(df, 50, seed=42).collect())
+    s2 = sorted(r["id"] for r in sample_exact_n(df, 50, seed=42).collect())
+    assert s1 == s2 and len(s1) == 50
+    s3 = sorted(r["id"] for r in sample_exact_n(df, 50, seed=7).collect())
+    assert s1 != s3  # different seed, different sample
+
+
+def test_sample_hash_bucket_stable(spark):
+    df = spark.range(2000).withColumn("key", F.col("id").cast("string"))
+    s1 = {r["id"] for r in sample_hash_bucket(df, "key", 10).collect()}
+    s2 = {r["id"] for r in sample_hash_bucket(df, "key", 10).collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < 2000
+
+
+def test_topn_semijoin_equals_window_form(spark):
+    df = spark.createDataFrame(
+        [(d, i) for i, d in enumerate("aaaabbbccd")], ["dim", "v"]
+    )
+    semi = A.topn_semijoin(df, "dim", F.count(F.lit(1)).alias("cnt"), 2)
+    rank = A.topn_by_rank(df, "dim", F.count(F.lit(1)).alias("cnt"), 2)
+    assert sorted(r["dim"] for r in semi.select("dim").distinct().collect()) == \
+        sorted(r["dim"] for r in rank.select("dim").distinct().collect())
+
+
+def test_pct_of_total_sums_to_100(spark):
+    df = spark.createDataFrame([(d,) for d in "aaabbc"], ["dim"])
+    rows = A.pct_of_total(df, "dim").collect()
+    assert abs(sum(r["pct"] for r in rows) - 100.0) < 1e-6
+
+
+def test_manifest_idempotent(spark, tmp_path):
+    m = Manifest(spark, str(tmp_path / "manifest"))
+    files = spark.createDataFrame([("f1",), ("f2",)], ["file_name"])
+    assert m.new_files(files).count() == 2
+    m.mark_loaded(["f1", "f2"])
+    assert m.new_files(files).count() == 0  # second run: no-op
+    m.mark_loaded(["f1", "f2"])  # re-mark must not duplicate
+    assert m.loaded().count() == 2
+    assert m.is_loaded("f1") and not m.is_loaded("f9")
+    more = spark.createDataFrame([("f2",), ("f3",)], ["file_name"])
+    assert sorted(r["file_name"] for r in m.new_files(more).collect()) == ["f3"]
