@@ -64,12 +64,9 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
     with fewer than k words produce no shingles."""
     w = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + off) for off in range(k)]
-        ),
-    )
+    # slice + array_join is ~2x faster than per-offset element_at here
+    # (one array view per shingle instead of k positional lookups)
+    shingle = F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
     return (
         df.filter(F.size(w) >= k)
         .select(F.col(id_col), F.explode(shingle).alias("shingle"))
@@ -83,13 +80,17 @@ def minhash_signatures(shingles: DataFrame, id_col: str,
                        num_hashes: int = 16, seed: int = 7) -> DataFrame:
     """MinHash signature per document: m_j = min over shingles of
     (a_j * h(shingle) + b_j) mod P. One aggregate over the shingle
-    frame — num_hashes mins computed in a single pass."""
-    h = md5_long(F.col("shingle")) % MERSENNE_P
+    frame — num_hashes mins computed in a single pass. The base hash
+    is projected once before the aggregate so the md5 runs once per
+    shingle, not once per hash function."""
+    hashed = shingles.select(
+        F.col(id_col), (md5_long(F.col("shingle")) % MERSENNE_P).alias("_h")
+    )
     aggs = [
-        F.min(affine_hash(h, a, b)).alias(f"m{j}")
+        F.min(affine_hash(F.col("_h"), a, b)).alias(f"m{j}")
         for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str, bands: int,
@@ -135,12 +136,25 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame, id_col: str,
                    threshold: float) -> DataFrame:
     """Exact Jaccard over candidate pairs via the shingle inverted
     index: |A∩B| from a shingle-equijoin restricted to candidates,
-    |A∪B| = |A| + |B| - |A∩B|. Only candidate pairs are scored."""
+    |A∪B| = |A| + |B| - |A∩B|. Only candidate pairs are scored.
+
+    Scale notes: (a) each shingle side is first semi-joined to the
+    candidate ids, so after LSH pruning the inverted-index join touches
+    only colliding documents (a tiny fraction of the corpus) and the
+    candidate id sets broadcast; (b) the equi-join key is the 60-bit
+    shingle hash, not the shingle text — constant-width shuffle rows."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.select(F.col(id_col).alias("a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("b"), "shingle")
+    hashed = shingles.select(
+        F.col(id_col), md5_long(F.col("shingle")).alias("sh")
+    )
+    sa = hashed.join(
+        pairs.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("a"), "sh")
+    sb = hashed.join(
+        pairs.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("b"), "sh")
     inter = (
-        sa.join(sb, "shingle")
+        sa.join(sb, "sh")
         .join(pairs, ["a", "b"], "left_semi")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("i"))
@@ -168,7 +182,10 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     the candidate probability at Jaccard j is 1-(1-j²)⁸ (≈0.90 at
     j=0.5, ≈1.0 at j=0.8)."""
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, id_col, text_col, k)
+    # the shingle frame feeds both the signature aggregate and the
+    # verify stage; persist it so the (explode + distinct) shuffle runs
+    # once — at cluster scale this is the stage you'd checkpoint
+    sh = word_shingles(df, id_col, text_col, k).persist()
     sig = minhash_signatures(sh, id_col, num_hashes, seed)
     cand = candidate_pairs(lsh_bands(sig, id_col, bands, rows_per_band), id_col)
     return verify_jaccard(cand, sh, id_col, threshold)
@@ -182,15 +199,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     index (no LSH pruning): the correctness baseline for
     ``minhash_lsh_dedup``. Cost grows with Σ_shingle df² — use only at
     validation scale or after aggressive shingle-df capping."""
-    sh = word_shingles(df, id_col, text_col, k)
-    all_pairs = (
-        sh.select(F.col(id_col).alias("a"), "shingle")
-        .join(sh.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+    sh = word_shingles(df, id_col, text_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    # single self-join on the hashed shingle: intersection counts come
+    # straight out of the join's groupBy — no separate candidate pass
+    hashed = sh.select(F.col(id_col), md5_long(F.col("shingle")).alias("sh"))
+    inter = (
+        hashed.select(F.col(id_col).alias("a"), "sh")
+        .join(hashed.select(F.col(id_col).alias("b"), "sh"), "sh")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
     )
-    return verify_jaccard(all_pairs, sh, id_col, threshold)
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a").join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "jaccard"
+        )
+    )
 
 
 # ----------------------------------------------------------------- SimHash
