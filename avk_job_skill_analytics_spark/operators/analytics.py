@@ -173,6 +173,68 @@ def pct_of_total(df: DataFrame, dim: str, cnt_alias: str = "cnt",
     )
 
 
+# ----------------------------------------- beyond-reference: OLAP windows
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column],
+               fill: str = "ALL", filters=None) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (beyond-reference: the BI
+    layer's date-hierarchy drill implies but never materializes
+    these). One shuffle; Catalyst expands the grouping sets with
+    partial aggregation per set. NULL grouping keys are labeled
+    ``fill`` for presentation."""
+    out = (
+        _apply_filters(df, filters)
+        .rollup(*keys)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    for k in keys:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(fill)))
+    return out
+
+
+def running_total(df: DataFrame, part_col: str, order_cols: Sequence[Column],
+                  value_col: str, alias: str = "running_total",
+                  round_digits: int = 2) -> DataFrame:
+    """Cumulative sum per partition in a deterministic order (frame =
+    unbounded-preceding → current row). The window shuffles on the
+    partition key only — no global sort; skew in a hot key is the
+    thing to watch at scale (salt or pre-aggregate per day first)."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        alias, F.round(F.sum(value_col).over(w), round_digits)
+    )
+
+
+def lag_delta(df: DataFrame, order_col: str, value_col: str,
+              alias: str = "delta") -> DataFrame:
+    """Step-over-step change via lag(1) — the trend-visual 'vs previous
+    day' measure. Use over an already-aggregated frame (one row per
+    step), never the raw fact table."""
+    w = Window.orderBy(order_col)
+    return df.withColumn(
+        alias, F.col(value_col) - F.lag(value_col, 1).over(w)
+    )
+
+
+def group_percentiles(df: DataFrame, key: str, col: str,
+                      probs: Sequence[float],
+                      round_digits: int = 2, filters=None) -> DataFrame:
+    """Exact interpolated percentiles per group (beyond-reference; the
+    BI layer has only min/max/avg). Exact percentile sorts within the
+    hash aggregate; at 100 TB swap in ``approx_percentile`` (t-digest
+    sketch, mergeable, no sort) — same call shape."""
+    aggs = [
+        F.round(F.percentile(col, p), round_digits).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in probs
+    ]
+    return _apply_filters(df, filters).groupBy(key).agg(*aggs)
+
+
 # ------------------------------------------------- A12/F6/J3: skills bridge
 def explode_delimited(df: DataFrame, id_cols: Sequence[str], list_col: str,
                       token_alias: str, sep: str = r",\s*") -> DataFrame:

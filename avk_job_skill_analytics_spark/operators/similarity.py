@@ -125,6 +125,98 @@ def blocked_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, k: int = 5, n_centroids: int = 8,
+             n_probe: int = 2, round_digits: int = 6) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus
+    into centroid cells, search only the ``n_probe`` cells nearest to
+    each query.
+
+    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
+    a deterministic stand-in for a k-means codebook (at production
+    scale you'd train centroids offline and broadcast them the same
+    way; the plan shape is identical). Assignment and probing both
+    broadcast the centroid table, so the corpus is scanned once with
+    no vector shuffle; only probed-cell candidates are scored.
+    Recall < 1 by construction when n_probe < n_centroids.
+
+    All rankings use the ROUNDED cosine with an id tie-break so
+    results are deterministic and engine-portable."""
+    cent = (
+        corpus.orderBy(id_col).limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("_ctv"),
+            _norm(F.col(vec_col)).alias("_ctn"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    asg_w = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("_ccos"), F.asc("cid")
+    )
+    cells = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_ccos",
+            F.round(
+                _dot(F.col("_cv"), F.col("_ctv"))
+                / (F.col("_cn") * F.col("_ctn")),
+                round_digits,
+            ),
+        )
+        .withColumn("_rk", F.row_number().over(asg_w))
+        .filter(F.col("_rk") == 1)
+        .select("neighbor_id", "_cv", "_cn", "cid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_qcos"), F.asc("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_qcos",
+            F.round(
+                _dot(F.col("_qv"), F.col("_ctv"))
+                / (F.col("_qn") * F.col("_ctn")),
+                round_digits,
+            ),
+        )
+        .withColumn("_rk", F.row_number().over(probe_w))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "_qv", "_qn", "cid")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def _plane_sign(p: int, i: int) -> float:
     """±1 component of pseudo-random hyperplane p at dim i, derived
     from md5 of a fixed string — computed driver-side (it's a pure

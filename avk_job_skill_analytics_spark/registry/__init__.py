@@ -14,10 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     core_queries,
+    io_queries,
     pipeline_queries,
     scalar_queries,
     scale_queries,
     streaming_queries,
+    window_queries,
 )
 
 _MODULES = (
@@ -26,6 +28,8 @@ _MODULES = (
     scale_queries,
     streaming_queries,
     pipeline_queries,
+    io_queries,
+    window_queries,
 )
 
 

@@ -1,0 +1,148 @@
+"""IO + UD1 inventory (SURVEY.md §2.1, §2.10) bound to driver testdata.
+
+- ``s2_s5_csv_roundtrip`` — CSV sink (S5) then CSV source with an
+  explicit schema (S2), aggregated after the round trip; the oracle
+  aggregates the original parquet, so the check proves the CSV
+  boundary is lossless for the carried types.
+- ``s7_manifest_new_files`` — the idempotent-load tracker: a parquet
+  manifest marks half the candidate files loaded; the query returns
+  the S8 set-difference via the broadcast anti-join (J1). The
+  mark-twice/no-op idempotency property is covered in tests.
+- ``ud1_skill_extract`` — the reference's one irreducible UDF
+  (LLM skill extraction, src/data_extract.py:108-135) through its
+  deterministic RuleSkillExtractor stand-in: P6 short-text guard,
+  4000-char truncation, sorted ', '-joined keyword lists. The oracle
+  is generated from the same keyword constants.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.skills import (
+    MAX_PROMPT_CHARS,
+    MIN_TEXT_LEN,
+    SOFT_KEYWORDS,
+    TECH_KEYWORDS,
+    RuleSkillExtractor,
+)
+from ..plans.schemas import load
+from ..sources import readers, sinks
+from ..sources.manifest import Manifest
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# ------------------------------------------------------ S2+S5 CSV boundary
+@_q(
+    "s2_s5_csv_roundtrip",
+    """SELECT o_orderstatus, o_orderpriority,
+              count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+       FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+)
+def s2_s5_csv_roundtrip(spark, sf_dir):
+    """Write orders scalars through the CSV sink, read them back with
+    an explicit schema (no inference pass), aggregate. Value-parity
+    against the parquet original proves the CSV edge round-trips
+    longs/doubles/strings exactly."""
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    sinks.csv_sink(o, f"{tmp}/orders_csv")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = readers.csv_source(spark, f"{tmp}/orders_csv", schema=schema)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# -------------------------------------------------- S7/S8 manifest tracker
+@_q(
+    "s7_manifest_new_files",
+    """SELECT DISTINCT concat('file_', CAST(o_orderkey % 20 AS VARCHAR))
+              AS file_name
+       FROM orders WHERE (o_orderkey % 20) % 2 = 1""",
+)
+def s7_manifest_new_files(spark, sf_dir):
+    """Idempotent-load tracker: 20 candidate file names derived from
+    order keys; the even ones are marked loaded in a parquet manifest;
+    the query returns the still-unloaded set via the broadcast
+    anti-join (S8/J1 — src/transform.py:186-196 done Spark-native)."""
+    tmp = tempfile.mkdtemp(prefix="manifest_")
+    m = Manifest(spark, f"{tmp}/manifest")
+    m.mark_loaded([f"file_{k}" for k in range(0, 20, 2)])
+    cand = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.concat(
+                F.lit("file_"), (F.col("o_orderkey") % 20).cast("string")
+            ).alias("file_name")
+        )
+        .distinct()
+    )
+    return m.new_files(cand)
+
+
+# --------------------------------------------------------------- UD1 skills
+def _skill_sql(keywords: tuple[str, ...]) -> str:
+    """DuckDB twin of RuleSkillExtractor.match_list, generated from
+    the same keyword constants (same sorted order, same guard)."""
+    items = ", ".join(
+        f"CASE WHEN contains(lower(substring(doc_text, 1, {MAX_PROMPT_CHARS})),"
+        f" '{kw}') THEN '{kw}' END"
+        for kw in sorted(keywords)
+    )
+    return (
+        f"CASE WHEN length(trim(doc_text)) >= {MIN_TEXT_LEN} THEN "
+        f"coalesce(array_to_string(list_filter([{items}],"
+        f" x -> x IS NOT NULL), ', '), '') "
+        f"ELSE '' END"
+    )
+
+
+@_q(
+    "ud1_skill_extract",
+    f"""WITH d AS (SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 0 THEN 'short' ELSE text END
+                   AS doc_text
+          FROM documents)
+       SELECT doc_id,
+              {_skill_sql(TECH_KEYWORDS)} AS technical_skills,
+              {_skill_sql(SOFT_KEYWORDS)} AS soft_skills
+       FROM d""",
+)
+def ud1_skill_extract(spark, sf_dir):
+    """UD1 via the deterministic rule extractor: keyword containment
+    over the truncated lowercased text. Every 10th doc is shortened
+    below the P6 guard in-query so the skip path is exercised (the
+    testdata texts are all long)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("short"))
+        .otherwise(F.col("text"))
+        .alias("doc_text"),
+    )
+    out = RuleSkillExtractor().extract(d, "doc_text")
+    return out.select("doc_id", "technical_skills", "soft_skills")

@@ -229,6 +229,47 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "ann_ivf_topk",
+    f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                     FROM embeddings ORDER BY vec_id LIMIT 8),
+       asg AS (SELECT e.vec_id AS neighbor_id, e.embedding AS ev, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY round({_cos_sql('e.embedding', 'c.cv')}, 6) DESC,
+                                 c.cid) AS rk
+               FROM embeddings e, cent c),
+       cell AS (SELECT neighbor_id, ev, cid FROM asg WHERE rk = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id < 10),
+       probe AS (SELECT x.query_id, x.qv, c.cid,
+                        row_number() OVER (PARTITION BY x.query_id
+                          ORDER BY round({_cos_sql('x.qv', 'c.cv')}, 6) DESC,
+                                   c.cid) AS rk
+                 FROM q x, cent c),
+       pr AS (SELECT query_id, qv, cid FROM probe WHERE rk <= 2),
+       s AS (SELECT pr.query_id, cell.neighbor_id,
+                    round({_cos_sql('pr.qv', 'cell.ev')}, 6) AS cosine
+             FROM pr JOIN cell USING (cid)
+             WHERE cell.neighbor_id <> pr.query_id)
+       SELECT query_id, neighbor_id, cosine, rk FROM (
+         SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM s) t
+       WHERE rk <= 5""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: corpus partitioned into 8 centroid
+    cells, queries probe their 2 nearest cells. The oracle replays the
+    same assignment/probe/scoring in SQL (same rounded-cosine
+    tie-breaks), so recall loss vs brute force is identical on both
+    engines."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=2,
+    )
+
+
 @_q("ann_lsh_topk")  # no SQL equivalent -> rows-only check
 def ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH bucketing (recall<1

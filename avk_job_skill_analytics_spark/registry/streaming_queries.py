@@ -1,11 +1,25 @@
 """Streaming / incremental-processing inventory (SURVEY.md §2.9).
 
-``stream_tumbling_counts`` runs a REAL Structured Streaming query
-(parquet file source → watermark → event-time tumbling window →
-availableNow → memory sink) and returns the drained result; the
-oracle is plain SQL because epoch-aligned 1-hour windows equal
-date_trunc('hour'). This is the engine's event-time path, exercised
-end-to-end, not a batch approximation.
+Every query here runs a REAL Structured Streaming query (parquet file
+source → event-time operator → availableNow → memory sink) and
+returns the drained result — the engine's event-time path exercised
+end-to-end, not a batch approximation:
+
+- ``stream_tumbling_counts`` — tumbling 1h windows (+watermark);
+  oracle: epoch-aligned 1h windows equal date_trunc('hour').
+- ``stream_sliding_counts`` — sliding 2h/1h windows; oracle: each
+  event unnested into its 2 covering windows.
+- ``stream_session_windows`` — gap-based session windows per user;
+  oracle: gaps-and-islands (lag + running break-sum).
+- ``stream_stateful_user_stats`` — custom stateful operator
+  (applyInPandasWithState) carrying per-user accumulators in explicit
+  GroupState; oracle: per-user aggregates (one batch → one final
+  emission per key).
+
+The reference has no streaming engine at all (SURVEY.md §2.9) — its
+incremental file pattern is subsumed by the file-source checkpoint
+(streaming/incremental.incremental_file_pipeline); the event-time and
+stateful operators are the beyond-reference scale surface.
 """
 
 from __future__ import annotations
@@ -17,7 +31,12 @@ import uuid
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..streaming.incremental import tumbling_window_counts
+from ..streaming.incremental import (
+    session_window_counts,
+    sliding_window_counts,
+    stateful_user_stats,
+    tumbling_window_counts,
+)
 
 QUERIES = {}
 ORACLES = {}
@@ -47,6 +66,40 @@ _EVENTS_NANOS = T.StructType(
 )
 
 
+def _events_stream(spark, sf_dir):
+    """Streaming DataFrame over the events table: the file source
+    wants a directory, so expose the single parquet through a temp-dir
+    symlink; convert nanos → timestamp in-plan."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    return (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_NANOS)
+        .load(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _drain(spark, agg, mode):
+    """Run to completion (availableNow) into a memory sink; return the
+    drained table."""
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @_q(
     "stream_tumbling_counts",
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -56,29 +109,67 @@ _EVENTS_NANOS = T.StructType(
 def stream_tumbling_counts(spark, sf_dir):
     """Event-time tumbling 1-hour window counts via an actual
     streaming query (availableNow drain into a memory sink)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    # the file streaming source wants a directory; expose the single
-    # events.parquet through a temp dir symlink
-    src_dir = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(_EVENTS_NANOS)
-        .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_window_counts(_events_stream(spark, sf_dir))
+    return _drain(spark, agg, "complete")
+
+
+@_q(
+    "stream_sliding_counts",
+    """WITH w AS (
+         SELECT event_type, value,
+                unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                        date_trunc('hour', ts)]) AS window_start
+         FROM events)
+       SELECT window_start, event_type, count(*) AS n,
+              round(sum(value), 2) AS total_value
+       FROM w GROUP BY window_start, event_type""",
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Sliding 2h windows every 1h: each event contributes to exactly
+    two windows (the oracle unnests both covering window starts)."""
+    agg = sliding_window_counts(
+        _events_stream(spark, sf_dir), window="2 hours", slide="1 hour"
     )
-    agg = tumbling_window_counts(stream)
-    name = f"wc_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    return _drain(spark, agg, "complete")
+
+
+@_q(
+    "stream_session_windows",
+    """WITH o AS (
+         SELECT user_id, ts, value,
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts)) < 1800
+                     THEN 0 ELSE 1 END AS brk
+         FROM events),
+       g AS (SELECT user_id, ts, value,
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+             FROM o)
+       SELECT min(ts) AS session_start, user_id,
+              count(*) AS n_events, round(sum(value), 2) AS total_value
+       FROM g GROUP BY user_id, grp""",
+)
+def stream_session_windows(spark, sf_dir):
+    """Gap-based session windows (30-min inactivity closes a session)
+    per user — Spark's native session_window inside a streaming
+    aggregate; the oracle replays it as gaps-and-islands SQL."""
+    agg = session_window_counts(
+        _events_stream(spark, sf_dir), gap="30 minutes"
     )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain(spark, agg, "complete")
+
+
+@_q(
+    "stream_stateful_user_stats",
+    """SELECT user_id, count(*) AS n_events,
+              round(sum(value), 2) AS total_value,
+              min(ts) AS first_ts, max(ts) AS last_ts
+       FROM events GROUP BY user_id""",
+)
+def stream_stateful_user_stats(spark, sf_dir):
+    """Custom stateful operator: per-user accumulators in explicit
+    GroupState (applyInPandasWithState). One availableNow batch →
+    exactly one final emission per key, so the oracle is the per-user
+    aggregate."""
+    agg = stateful_user_stats(_events_stream(spark, sf_dir))
+    return _drain(spark, agg, "update")

@@ -1,0 +1,145 @@
+"""Beyond-reference OLAP surface: rollup subtotals, analytic windows,
+percentiles, approximate distinct (SURVEY.md §2.4-2.5 'not present'
+rows, implemented because Spark has them built-in and the 100 TB
+design point wants them).
+
+- ``agg_rollup_region_nation`` — ROLLUP subtotal hierarchy over the
+  region→nation dimension chain (3 broadcast joins + 1 shuffle).
+- ``win_running_revenue`` — per-customer cumulative revenue
+  (deterministic frame; window shuffles on the partition key only).
+- ``win_day_over_day`` — lag-1 delta over an aggregated daily trend.
+- ``agg_percentiles`` — exact interpolated percentiles per group
+  (both engines use the same linear interpolation).
+- ``agg_approx_distinct`` — HyperLogLog++ distinct (sketch values are
+  engine-specific → rows-only check; the exact twin is a2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import analytics as A
+from ..plans.schemas import load
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+@_q(
+    "agg_rollup_region_nation",
+    """SELECT coalesce(r_name, 'ALL') AS region,
+              coalesce(n_name, 'ALL') AS nation,
+              count(*) AS n_orders,
+              round(sum(o_totalprice), 2) AS revenue
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY ROLLUP(r_name, n_name)""",
+)
+def agg_rollup_region_nation(spark, sf_dir):
+    """Revenue at nation, region-subtotal, and grand-total grain in
+    one pass (grouping-set expansion, single shuffle). The dimension
+    chain broadcasts — the orders side never shuffles for the joins."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return A.rollup_agg(
+        joined,
+        ["r_name", "n_name"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "revenue": F.round(F.sum("o_totalprice"), 2),
+        },
+    ).select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        "n_orders",
+        "revenue",
+    )
+
+
+@_q(
+    "win_running_revenue",
+    """SELECT o_custkey, o_orderkey,
+              round(sum(o_totalprice) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS UNBOUNDED PRECEDING), 2) AS running_revenue
+       FROM orders""",
+)
+def win_running_revenue(spark, sf_dir):
+    """Per-customer cumulative revenue in order-date order (ties
+    broken by key). Frame-spec window — the capability class the
+    reference's BI layer lacks entirely (SURVEY.md §2.5)."""
+    o = load(spark, sf_dir, "orders")
+    return A.running_total(
+        o,
+        "o_custkey",
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        "o_totalprice",
+        alias="running_revenue",
+    ).select("o_custkey", "o_orderkey", "running_revenue")
+
+
+@_q(
+    "win_day_over_day",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+                 FROM events GROUP BY day)
+       SELECT day, n, n - lag(n) OVER (ORDER BY day) AS delta
+       FROM d""",
+)
+def win_day_over_day(spark, sf_dir):
+    """Daily event volume with day-over-day delta: aggregate first
+    (one row per day), then a single-partition lag window over the
+    tiny trend frame — never a window over raw events."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return A.lag_delta(daily, "day", "n", alias="delta")
+
+
+@_q(
+    "agg_percentiles",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+              round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+              round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of price per return flag —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation definition, so values match to the cent."""
+    li = load(spark, sf_dir, "lineitem")
+    return A.group_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99]
+    )
+
+
+@_q("agg_approx_distinct")  # sketch values are engine-specific -> rows-only
+def agg_approx_distinct(spark, sf_dir):
+    """A2 at the 100 TB design point: HyperLogLog++ distinct customers
+    per order status (mergeable sketch, no exact-distinct shuffle).
+    Estimates are engine-specific, so the driver records rows-only;
+    the exact semantics are covered by a2_distinct_counts."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
+    )

@@ -81,6 +81,123 @@ def tumbling_window_counts(
     )
 
 
+def sliding_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Event-time sliding-window counts: each event lands in
+    window/slide overlapping windows (here 2). Spark expands the
+    event into its windows before the hash aggregate — shuffle volume
+    is rows x (window/slide), so keep the overlap factor small at
+    scale."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window, slide), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Per-key session windows (dynamic gap-based windows): a session
+    closes after ``gap`` of inactivity. Spark's native session_window
+    merges adjacent events within the gap inside one stateful
+    aggregate — one shuffle on the key."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stateful_user_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running statistics (event count, value sum, first/last event time)
+    carried in explicit GroupState across micro-batches. This is the
+    escape hatch for stateful logic Spark's built-in windows can't
+    express (the upstream analogue: per-entity accumulators over an
+    unbounded stream). Each key's state is a fixed-width tuple —
+    memory is O(distinct keys), not O(events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        f"{key_col} long, n_events long, total_value double, "
+        "first_ts timestamp, last_ts timestamp"
+    )
+    state_schema = (
+        "n long, total double, first_us long, last_us long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total, first_us, last_us = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, total, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "Update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_streaming_window_counts(
     spark: SparkSession,
     source_dir: str,
