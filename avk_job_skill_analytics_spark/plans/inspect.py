@@ -1,0 +1,68 @@
+"""Physical-plan inspection helpers.
+
+The engine's 100 TB contract is enforced structurally, not by hope:
+filters must reach the parquet scan (PushedFilters), projections must
+prune the read schema (ReadSchema), small sides must broadcast, and
+hot expression paths must stay inside whole-stage codegen. These
+helpers expose the formatted plan as a string so tests (and the bench
+audit) can assert those properties instead of eyeballing explain()
+output.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain() output as a string (modes: simple, extended,
+    codegen, cost, formatted)."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def final_plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """Execute the frame (collect) and return the FINAL adaptive plan.
+    Under AQE the pre-execution plan hides codegen annotations and
+    runtime join/partition decisions behind ``isFinalPlan=false`` —
+    inspect this one when asserting what actually ran. Materializes
+    the result: use at test scale only."""
+    df.collect()
+    return plan_string(df, mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filter predicates the parquet scan accepted for pushdown."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_string(df)):
+        inner = m.group(1).strip()
+        if inner:
+            out.extend(p.strip() for p in inner.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings, one per file scan — the columns that
+    actually get decoded (column pruning evidence)."""
+    return re.findall(r"ReadSchema: (struct<[^>]*>)", plan_string(df))
+
+
+def has_node(df: DataFrame, node: str) -> bool:
+    """True if the physical plan contains an operator whose name
+    matches ``node`` (e.g. 'BroadcastHashJoin', 'SortMergeJoin',
+    'TakeOrderedAndProject', 'WholeStageCodegen')."""
+    return node in plan_string(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen spans. Wider spans = fewer
+    virtual-call boundaries; a hot path falling out of codegen
+    (e.g. a Python UDF in the middle) shows up as a drop here."""
+    plan = plan_string(df)
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    ids |= set(re.findall(r"\[codegen id : (\d+)\]", plan))
+    return len(ids)

@@ -1,0 +1,84 @@
+"""Physical-plan contracts — the 100 TB design point asserted
+structurally (SURVEY.md §4): filters reach the parquet scan, scans
+prune columns, small join sides broadcast, Top-K avoids global sorts,
+and hot aggregate paths stay inside whole-stage codegen. A regression
+here means a query silently degraded into a scale hazard even though
+its values still match the oracle."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from avk_job_skill_analytics_spark.plans import inspect as I
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return E.queries()
+
+
+def test_range_filter_pushes_to_scan(spark, queries):
+    df = queries["p5_range_filter"](spark, SF_DIR)
+    pushed = " ".join(I.pushed_filters(df))
+    assert "GreaterThanOrEqual(l_extendedprice" in pushed
+    assert "LessThanOrEqual(l_extendedprice" in pushed
+
+
+def test_projection_prunes_read_schema(spark, queries):
+    df = queries["p5_range_filter"](spark, SF_DIR)
+    schemas = I.read_schemas(df)
+    assert schemas, "no file scan found"
+    # the 11-column lineitem scan must decode only the filtered column
+    assert all(s.count(":") <= 2 for s in schemas), schemas
+
+
+def test_topn_semijoin_broadcasts_build_side(spark, queries):
+    df = queries["j2_topn_semijoin"](spark, SF_DIR)
+    assert I.has_node(df, "BroadcastHashJoin")
+    assert not I.has_node(df, "SortMergeJoin")
+
+
+def test_anti_join_broadcasts_manifest(spark, queries):
+    df = queries["j1_anti_join"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_topk_avoids_global_sort(spark, queries):
+    df = queries["o3_topk_customers"](spark, SF_DIR)
+    assert I.has_node(df, "TakeOrderedAndProject")
+
+
+def test_pricing_summary_partial_agg_and_codegen(spark, queries):
+    df = queries["a7_pricing_summary"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    # partial (map-side) + final aggregate pair around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") >= 1
+    # AQE reveals codegen annotations only in the final executed plan
+    final = I.final_plan_string(df)
+    assert re.findall(r"\[codegen id : (\d+)\]", final)
+
+
+def test_ann_broadcasts_query_side(spark, queries):
+    df = queries["ann_cosine_topk"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    # corpus is never shuffled for the scoring join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_curation_pipeline_stays_in_codegen(spark, queries):
+    # the whole transform chain (regex cleaning, type inference,
+    # fills, dedup window, salary band) must compile to native
+    # expressions -- no Python evaluation nodes anywhere
+    df = queries["pipeline_curate"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    final = I.final_plan_string(df)
+    assert re.findall(r"\[codegen id : (\d+)\]", final)
