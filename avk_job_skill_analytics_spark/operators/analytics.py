@@ -173,6 +173,24 @@ def pct_of_total(df: DataFrame, dim: str, cnt_alias: str = "cnt",
     )
 
 
+def salted_count_by_dim(df: DataFrame, dim: str, buckets: int = 16,
+                        alias: str = "cnt", filters=None) -> DataFrame:
+    """A6 under key skew: two-phase aggregate with an explicit salt.
+    Phase 1 groups on (dim, hash(row) % buckets) so a hot key's rows
+    spread over ``buckets`` reducers; phase 2 sums the partial counts
+    on dim alone (tiny input). Same result as count_by_dim — use when
+    one category dominates (the reference's 'amazon'/'remote' heads,
+    SURVEY.md §7.4) and AQE skew handling isn't enough (it splits
+    joins, not aggregates)."""
+    salted = _apply_filters(df, filters).withColumn(
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(buckets))
+    )
+    partial = salted.groupBy(dim, "_salt").agg(
+        F.count(F.lit(1)).alias("_partial")
+    )
+    return partial.groupBy(dim).agg(F.sum("_partial").alias(alias))
+
+
 # ----------------------------------------- beyond-reference: OLAP windows
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column],
                fill: str = "ALL", filters=None) -> DataFrame:

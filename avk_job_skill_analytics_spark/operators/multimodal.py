@@ -70,6 +70,40 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(run, DECODED_SCHEMA)
 
 
+EMBED_DIM = 4
+EMBED_SCHEMA = "doc_id long, embedding array<double>"
+
+
+def _embed_stub(payload: bytes) -> list[float]:
+    """STUB for a real image/audio feature extractor (no model runtime
+    in this environment). Deterministic fake: small modular features
+    of the byte length, unit-scaled. Replace with a real encoder
+    (ONNX/torch forward pass per Arrow batch) in production — the
+    batch shape and output schema stay identical."""
+    n = len(payload)
+    return [float(n % p) / p for p in (7, 11, 13, 17)]
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction: binary payload → fixed-dim
+    ``array<double>`` embedding. Same mapInPandas contract as
+    decode_metadata; the output feeds similarity.py's ANN operators
+    directly (multimodal → embedding → dedup/search composes)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "embedding": pdf[payload_col].map(_embed_stub),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, EMBED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, id_col: str = "doc_id",
                       payload_col: str = "payload",
                       every_n: int = 10) -> DataFrame:

@@ -97,6 +97,69 @@ def quality_score(text: Column) -> Column:
     return F.round((length_ok * 0.4 + stop_ok * 0.3 + punct_ok * 0.3), 4)
 
 
+def tokens(df, id_col: str, text_col: str, distinct: bool = False):
+    """Word tokens as (id, term) rows — the base relation for tf-idf,
+    n-gram counts, and inverted indexes. One explode; ``distinct``
+    adds the per-document dedup shuffle."""
+    out = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    return out.distinct() if distinct else out
+
+
+def tf_idf(df, id_col: str, text_col: str,
+           round_digits: int = 4):
+    """TF-IDF per (document, term): tf = in-doc term count,
+    idf = ln(N / df). Two hash aggregates over the token relation plus
+    a broadcast of the (small) document-frequency side; the raw-count
+    variant keeps the math engine-portable (no smoothing constants to
+    disagree on).
+
+    At 100 TB the df table itself is large: it stays a shuffle join on
+    ``term`` (well-distributed by construction), and N is a scalar
+    broadcast."""
+    toks = tokens(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")), round_digits
+            ).alias("tfidf"),
+        )
+    )
+
+
+def top_ngrams(df, id_col: str, text_col: str, n: int = 2,
+               k: int = 20):
+    """Global top-k word n-grams by occurrence count (corpus phrase
+    statistics). Sliding n-gram expansion per document, one hash
+    aggregate, bounded TakeOrderedAndProject for the top-k."""
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    return (
+        df.filter(F.size(w) >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def canonical_fingerprint(text: Column) -> Column:
     """Exact-dup fingerprint over the canonical form (lowercase,
     whitespace collapsed): md5 hex. Robust to formatting noise."""

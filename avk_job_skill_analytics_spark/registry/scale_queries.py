@@ -387,6 +387,65 @@ def txt_fingerprint(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- text: tf-idf
+@_q(
+    "txt_tfidf",
+    r"""WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term),
+       dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                 FROM tok GROUP BY term),
+       n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+       SELECT tf.doc_id, tf.term,
+              CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+              round(tf.tf * ln(n.n / dfreq.df), 4) AS tfidf
+       FROM tf JOIN dfreq USING (term), n""",
+)
+def txt_tfidf(spark, sf_dir):
+    """TF-IDF per (document, term): two hash aggregates over the token
+    relation + a join on term; N broadcasts as a scalar. The raw-count
+    tf and ln(N/df) idf keep the math identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    return textstats.tf_idf(d, "doc_id", "text")
+
+
+@_q(
+    "txt_top_bigrams",
+    r"""WITH w AS (SELECT list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS w
+                  FROM documents),
+       g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1])) AS ngram
+             FROM w WHERE len(w) >= 2)
+       SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+       ORDER BY cnt DESC, ngram LIMIT 20""",
+)
+def txt_top_bigrams(spark, sf_dir):
+    """Global top-20 word bigrams (corpus phrase statistics): sliding
+    n-gram expansion, one aggregate, bounded top-k."""
+    d = load(spark, sf_dir, "documents")
+    return textstats.top_ngrams(d, "doc_id", "text", n=2, k=20)
+
+
+# ------------------------------------------------------ skew-safe aggregate
+@_q(
+    "a6_salted_counts",
+    "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment",
+)
+def a6_salted_counts(spark, sf_dir):
+    """A6 under key skew: explicit two-phase salted aggregate — same
+    answer as the plain groupBy (the oracle), but a hot key's rows
+    fan out over 16 reducers in phase 1 (SURVEY.md §7.4 skew note)."""
+    from ..operators import analytics as A
+
+    c = load(spark, sf_dir, "customer")
+    return A.salted_count_by_dim(c, "c_mktsegment", buckets=16)
+
+
 # ------------------------------------------------------------- multimodal
 @_q(
     "mm_decode_metadata",
@@ -407,3 +466,46 @@ def mm_decode_metadata(spark, sf_dir):
     and the oracle checks it end-to-end."""
     d = load(spark, sf_dir, "documents")
     return multimodal.decode_metadata(multimodal.attach_binary(d))
+
+
+@_q(
+    "mm_extract_features",
+    """SELECT doc_id,
+              list_transform(
+                [CAST(octet_length(encode(text)) % 7 AS DOUBLE) / 7,
+                 CAST(octet_length(encode(text)) % 11 AS DOUBLE) / 11,
+                 CAST(octet_length(encode(text)) % 13 AS DOUBLE) / 13,
+                 CAST(octet_length(encode(text)) % 17 AS DOUBLE) / 17],
+                x -> round(x, 6)) AS embedding
+       FROM documents""",
+)
+def mm_extract_features(spark, sf_dir):
+    """Multimodal feature extraction: binary payload → fixed-dim
+    embedding via Arrow-batched mapInPandas (deterministic stub body;
+    real plumbing). Output composes directly with the ANN operators."""
+    d = load(spark, sf_dir, "documents")
+    out = multimodal.extract_features(multimodal.attach_binary(d))
+    return out.select(
+        "doc_id",
+        F.transform(F.col("embedding"), lambda x: F.round(x, 6)).alias(
+            "embedding"
+        ),
+    )
+
+
+@_q(
+    "mm_frame_sample",
+    """SELECT doc_id,
+              unnest(generate_series(
+                0, octet_length(encode(text)) % 100, 10)) AS frame_idx
+       FROM documents""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: explode a stride-10 frame-index
+    sequence per asset (one row per frame to decode). The per-frame
+    decode stays a stub; the distributed expansion is the deliverable."""
+    d = load(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample_plan(
+        multimodal.attach_binary(d), every_n=10
+    )
+    return frames.select("doc_id", F.col("frame_idx").cast("long"))

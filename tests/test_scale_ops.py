@@ -109,6 +109,46 @@ def test_lag_delta_first_row_null(spark):
     assert out[1] is None and out[2] == 3 and out[3] == -2
 
 
+# ------------------------------------------------------------ text & skew
+def test_tf_idf_values(spark):
+    from avk_job_skill_analytics_spark.operators import textstats
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in textstats.tf_idf(df, "doc_id", "text").collect()
+    }
+    assert out[(1, "a")] == (2, 2, 0.0)       # 'a' in every doc -> idf 0
+    assert out[(1, "b")] == (1, 1, round(math.log(2), 4))
+    assert out[(2, "c")] == (1, 1, round(math.log(2), 4))
+
+
+def test_salted_count_matches_plain(spark):
+    from avk_job_skill_analytics_spark.operators import analytics as A
+
+    df = spark.range(1000).withColumn(
+        "k", (F.col("id") % 3).cast("string")
+    )
+    plain = {r["k"]: r["cnt"] for r in A.count_by_dim(df, "k").collect()}
+    salted = {
+        r["k"]: r["cnt"]
+        for r in A.salted_count_by_dim(df, "k", buckets=8).collect()
+    }
+    assert plain == salted
+
+
+def test_extract_features_shape(spark):
+    from avk_job_skill_analytics_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    out = multimodal.extract_features(multimodal.attach_binary(df)).collect()
+    assert len(out) == 1 and len(out[0]["embedding"]) == 4
+    assert all(0.0 <= v < 1.0 for v in out[0]["embedding"])
+
+
 # ---------------------------------------------------------------- UD1 rules
 def test_rule_extractor_guard_and_sorting(spark):
     df = spark.createDataFrame(
