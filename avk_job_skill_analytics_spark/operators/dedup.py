@@ -62,16 +62,19 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
                   k: int = 3) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle). Documents
     with fewer than k words produce no shingles."""
-    w = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(w) - (k - 1))
+    # project the split once (inlining re-evaluates it per consumer);
     # slice + array_join is ~2x faster than per-offset element_at here
     # (one array view per shingle instead of k positional lookups)
-    shingle = F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
-    return (
-        df.filter(F.size(w) >= k)
-        .select(F.col(id_col), F.explode(shingle).alias("shingle"))
-        .distinct()
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).filter(F.size("_w") >= k)
+    shingle = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
     )
+    return toks.select(
+        F.col(id_col), F.explode(shingle).alias("shingle")
+    ).distinct()
 
 
 # ---------------------------------------------------------- MinHash + LSH
