@@ -293,3 +293,33 @@ def p1_colmap_projection(spark, sf_dir):
         s, {"name": "s_name", "location": "job_location_missing"}
     )
     return out.groupBy("name", "location").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --------------------------------------------------- F11: time stamping
+_F11_T = ("(CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
+          " AS BIGINT) % 50400)")
+
+@_q(
+    "f11_stamp_times",
+    f"""SELECT o_orderkey,
+              make_timestamp(year(o_orderdate), month(o_orderdate),
+                             day(o_orderdate),
+                             9 + {_F11_T} // 3600,
+                             ({_F11_T} // 60) % 60,
+                             CAST({_F11_T} % 60 AS DOUBLE)) AS posted_ts
+       FROM orders""",
+)
+def f11_stamp_times(spark, sf_dir):
+    """F11 — stamp each row with its date plus a business-hours time
+    (09:00-22:59). The reference draws random times at extract
+    (src/data_extract.py:217-225); here the time is hash-derived from
+    the row key, so it is reproducible across runs and engines."""
+    from ..functions import dates
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        dates.stamp_business_hours(
+            F.col("o_orderdate"), F.col("o_orderkey")
+        ).alias("posted_ts"),
+    )
