@@ -229,6 +229,80 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+# -------------------------------------------------- duplicate clustering
+
+def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                       b_col: str = "doc_b",
+                       max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    in a pair gets a ``cluster_id`` = the minimum doc id reachable
+    through the pair graph. This is the step that turns pairwise
+    near-dup evidence into dedup decisions (keep cluster_id, drop the
+    rest).
+
+    Algorithm: iterative min-label propagation — each round every
+    vertex takes the min of its own label and its neighbors' labels;
+    converges in O(graph diameter) rounds, and near-dup clusters are
+    dense (diameter 2-4 in practice). Each round is one self-contained
+    join + aggregate; the loop stops at fixpoint (checked with a
+    count, capped at ``max_iter``). For adversarial long-chain graphs
+    at 100 TB, swap in the large-star/small-star alternation (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    same join primitives, O(log n) rounds."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # localCheckpoint (not persist): iterative lineage otherwise grows
+    # a plan per round and re-optimization dominates wall clock. On a
+    # cluster with failure-recovery requirements use checkpoint() to a
+    # reliable store instead — same call shape.
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(
+                labels.select(
+                    F.col("v").alias("dst"), F.col("label").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_nbmin"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels.v == nb_min.src, "left")
+            .select(
+                labels.v,
+                F.least(
+                    labels.label,
+                    F.coalesce(F.col("_nbmin"), labels.label),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,

@@ -143,6 +143,37 @@ def dd_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
 
 
+_NGRAM_PAIRS_SQL = f"""WITH {_SHINGLE_CTE},
+  cand AS (SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
+           FROM sh s1 JOIN sh s2
+             ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
+{_VERIFY_SQL.format(thr=0.5)}"""
+
+
+@_q(
+    "dd_dup_clusters",
+    f"""WITH RECURSIVE pairs AS (
+{_NGRAM_PAIRS_SQL}
+       ),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(v, r) AS (
+         SELECT s, s FROM edges
+         UNION
+         SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
+       )
+       SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""",
+)
+def dd_dup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate clusters via connected components
+    (min-label propagation; the oracle computes the same components
+    with a recursive transitive-closure CTE). cluster_id = the
+    surviving (minimum) doc id of each component."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    return dedup.duplicate_clusters(pairs)
+
+
 # --------------------------------------------------------------- SimHash
 def _simhash_sql(bits: int) -> str:
     h = md5_long_sql("tok")

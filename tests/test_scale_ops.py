@@ -109,6 +109,23 @@ def test_lag_delta_first_row_null(spark):
     assert out[1] is None and out[2] == 3 and out[3] == -2
 
 
+# ----------------------------------------------------- duplicate clusters
+def test_duplicate_clusters_components(spark):
+    from avk_job_skill_analytics_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    # two components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
 # ------------------------------------------------------------ text & skew
 def test_tf_idf_values(spark):
     from avk_job_skill_analytics_spark.operators import textstats
