@@ -398,3 +398,30 @@ def p5_range_filter(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
     )
+
+
+# ------------------------------------------- P7: slicer filter context
+@_q(
+    "p7_filtered_agg",
+    """SELECT event_type, count(*) AS cnt,
+              round(sum(value), 2) AS total_value
+       FROM events
+       WHERE month(ts) = 1 AND user_id % 2 = 0
+       GROUP BY event_type""",
+)
+def p7_filtered_agg(spark, sf_dir):
+    """P7 — the BI slicer filter context: every dashboard query takes
+    parameterizing WHERE clauses (site + Month/Day slicers in the
+    reference). Here the standard grouped aggregate runs under a
+    month slicer + a user-segment slicer via the ``filters``
+    parameter every analytics builder accepts."""
+    e = load(spark, sf_dir, "events")
+    return A.grouped_agg(
+        e,
+        ["event_type"],
+        {
+            "cnt": F.count(F.lit(1)),
+            "total_value": F.round(F.sum("value"), 2),
+        },
+        filters=[F.month("ts") == 1, F.col("user_id") % 2 == 0],
+    )
