@@ -249,26 +249,34 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a",
     at 100 TB, swap in the large-star/small-star alternation (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
     same join primitives, O(log n) rounds."""
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    # localCheckpoint (not persist): iterative lineage otherwise grows
-    # a plan per round and re-optimization dominates wall clock. On a
-    # cluster with failure-recovery requirements use checkpoint() to a
-    # reliable store instead — same call shape.
+    # materialize the (possibly expensive) upstream pair computation
+    # once — edges AND vertices both derive from it
+    fwd = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    verts = fwd.select(F.col("src").alias("v")).unionByName(
+        fwd.select(F.col("dst").alias("v"))
+    ).distinct()
+    # self-loops close each neighborhood, so one join+aggregate per
+    # round computes min over N(v) ∪ {v}. localCheckpoint (not
+    # persist): iterative lineage otherwise grows a plan per round and
+    # re-optimization dominates wall clock. On a cluster with
+    # failure-recovery requirements use checkpoint() instead.
     edges = (
-        fwd.unionByName(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        fwd.unionByName(rev)
+        .unionByName(verts.select(F.col("v").alias("src"),
+                                  F.col("v").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
-        .localCheckpoint()
-    )
+    labels = verts.withColumn("label", F.col("v")).localCheckpoint()
+    # labels only ever decrease, so the (exact, decimal) label sum is
+    # strictly monotone until the fixpoint — a 1-row convergence probe
+    # instead of a change-count join
+    prev_sum = None
     for _ in range(max_iter):
-        nb_min = (
+        labels = (
             edges.join(
                 labels.select(
                     F.col("v").alias("dst"), F.col("label").alias("_nl")
@@ -276,28 +284,16 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a",
                 "dst",
             )
             .groupBy("src")
-            .agg(F.min("_nl").alias("_nbmin"))
-        )
-        new_labels = (
-            labels.join(nb_min, labels.v == nb_min.src, "left")
-            .select(
-                labels.v,
-                F.least(
-                    labels.label,
-                    F.coalesce(F.col("_nbmin"), labels.label),
-                ).alias("label"),
-            )
+            .agg(F.min("_nl").alias("label"))
+            .select(F.col("src").alias("v"), "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     )

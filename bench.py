@@ -61,6 +61,10 @@ def main() -> None:
         except Exception as exc:  # a failed query must not hide the rest
             timings[name] = -1.0
             print(f"# FAIL {name}: {exc}", file=sys.stderr)
+        # queries are timed independently: drop any caches a query
+        # persisted so later timings don't ride on (or pay GC for)
+        # earlier queries' cached state
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(json.dumps({
