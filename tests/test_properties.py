@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the trickiest scalar
+semantics — SURVEY.md §5.5: idempotence of the normalizers, salary
+range laws, dedup invariants, and signature stability. Each example
+batch runs as ONE Spark job (a list-strategy per example), keeping
+wall-clock sane."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from avk_job_skill_analytics_spark.functions import (
+    clean_job_title,
+    normalize_salary,
+    normalize_skill_list,
+    normalize_text,
+)
+from avk_job_skill_analytics_spark.operators.setops import dedup_keep_first
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# printable-ish text including the separators/noise the cleaners target
+_титle_alphabet = st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+    whitelist_characters="()[]{}|/-#,.&+",
+)
+_texts = st.lists(
+    st.text(alphabet=_титle_alphabet, min_size=0, max_size=60),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _col_results(spark, values, expr_builder):
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    return [r["y"] for r in df.select(expr_builder("x").alias("y")).collect()]
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_clean_title_invariants(spark, titles):
+    # NOTE: F2 is deliberately NOT idempotent in the general case —
+    # stripping digits can expose a roman-numeral token that only the
+    # next pass would drop ('0v' -> 'V' -> ''); the reference's pandas
+    # regex chain (src/transform.py:67-96) behaves identically. The
+    # contract is the OUTPUT shape:
+    out = _col_results(spark, titles, clean_job_title)
+    for s in out:
+        assert s is not None
+        # only letters and single spaces, trimmed
+        assert all(c.isalpha() or c == " " for c in s), repr(s)
+        assert "  " not in s and s == s.strip()
+        # noise words and bracketed content are gone
+        low = {w.lower() for w in s.split()}
+        assert not ({"senior", "jr", "intern", "remote"} & low)
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_normalize_text_idempotent(spark, values):
+    once = _col_results(spark, values, normalize_text)
+    twice = _col_results(spark, once, normalize_text)
+    assert once == twice
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_skill_list_idempotent_and_shape(spark, values):
+    once = _col_results(spark, values, normalize_skill_list)
+    twice = _col_results(spark, once, normalize_skill_list)
+    assert once == twice
+    for s in once:
+        # canonical shape: 'not listed' or lowercase ', '-joined tokens
+        assert s == "not listed" or (
+            s == s.lower() and "  " not in s and not s.startswith(",")
+        )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(min_value=0, max_value=10_000_000,
+                      allow_nan=False, allow_infinity=False),
+            st.integers(min_value=0, max_value=10_000_000),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_salary_laws(spark, nums):
+    raw = [f"${n:,.2f}" for n in nums]
+    out = _col_results(spark, raw, normalize_salary)
+    for s, got in zip(raw, out):
+        assert got is not None
+        # law is on the PARSED value (the string carries 2 decimals)
+        parsed = float(s.replace("$", "").replace(",", ""))
+        expected = parsed * 2000 if parsed <= 1000 else parsed
+        assert got == int(expected)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_keep_first_invariants(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(rows)], ["seq", "key"]
+    )
+    out = dedup_keep_first(df, ["key"], [F.col("seq").asc()]).collect()
+    keys = [r["key"] for r in out]
+    # one survivor per key, and it is the FIRST occurrence by seq
+    assert len(keys) == len(set(keys)) == len({k for k, _ in rows})
+    first_seq = {}
+    for i, (k, _) in enumerate(rows):
+        first_seq.setdefault(k, i)
+    assert {r["key"]: r["seq"] for r in out} == first_seq
