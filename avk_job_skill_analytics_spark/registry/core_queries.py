@@ -425,3 +425,36 @@ def p7_filtered_agg(spark, sf_dir):
         },
         filters=[F.month("ts") == 1, F.col("user_id") % 2 == 0],
     )
+
+
+# ---------------------------------------- J5: fact-to-fact join (beyond)
+@_q(
+    "j5_fact_fact_revenue",
+    """SELECT month(o_orderdate) AS order_month,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              count(*) AS n_items
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderstatus = 'O'
+       GROUP BY order_month
+       ORDER BY revenue DESC, order_month LIMIT 10""",
+)
+def j5_fact_fact_revenue(spark, sf_dir):
+    """Beyond-reference large-to-large equi join (lineitem ⋈ orders on
+    the order key): the shape AQE resolves to a shuffled sort-merge /
+    hash join at scale, with the status filter pushed below the join.
+    Every reference join is small-side broadcast (J1-J3); this query
+    covers the other physical path."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return (
+        joined.groupBy(F.month("o_orderdate").alias("order_month"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("order_month"))
+        .limit(10)
+    )

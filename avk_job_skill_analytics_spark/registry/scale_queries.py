@@ -540,3 +540,38 @@ def mm_frame_sample(spark, sf_dir):
         multimodal.attach_binary(d), every_n=10
     )
     return frames.select("doc_id", F.col("frame_idx").cast("long"))
+
+
+# -------------------------------------------------- text: quality filter
+@_q(
+    "txt_quality_filter",
+    r"""WITH f AS (
+         SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
+                  / greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                             x -> x <> '')), 1) AS stop_r,
+                len(regexp_extract_all(text, '[^\w\s]'))
+                  / greatest(length(text), 1) AS punct_r
+         FROM documents)
+       SELECT doc_id,
+              round(CAST((CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.4
+                  + (CASE WHEN round(stop_r, 4) >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
+                  + (CASE WHEN round(punct_r, 4) <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.3
+                AS DOUBLE), 4) AS quality
+       FROM f
+       WHERE round(CAST((CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.4
+                 + (CASE WHEN round(stop_r, 4) >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
+                 + (CASE WHEN round(punct_r, 4) <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.3
+               AS DOUBLE), 4) >= 0.7""",
+)
+def txt_quality_filter(spark, sf_dir):
+    """Corpus quality gate: score each document with the deterministic
+    heuristic (length band, stopword presence, punctuation soup) and
+    keep docs above threshold — the standard pre-training filter pass,
+    entirely in whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    q = textstats.quality_score(F.col("text"))
+    return d.select("doc_id", q.alias("quality")).filter(
+        F.col("quality") >= 0.7
+    )
