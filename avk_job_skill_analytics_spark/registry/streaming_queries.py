@@ -35,6 +35,7 @@ from ..streaming.incremental import (
     session_window_counts,
     sliding_window_counts,
     stateful_user_stats,
+    stream_interval_join,
     tumbling_window_counts,
 )
 
@@ -157,6 +158,34 @@ def stream_session_windows(spark, sf_dir):
         _events_stream(spark, sf_dir), gap="30 minutes"
     )
     return _drain(spark, agg, "complete")
+
+
+@_q(
+    "stream_stream_join",
+    """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: attribute each purchase to clicks
+    by the same user in the preceding hour. Both sides are the events
+    stream (filtered), both carry watermarks so join state stays
+    bounded; availableNow drains the complete deterministic pair set."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withColumnRenamed("p_user_id", "user_id")
+    joined = stream_interval_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        within="1 hour", watermark="2 hours",
+    )
+    return _drain(spark, joined, "append")
 
 
 @_q(

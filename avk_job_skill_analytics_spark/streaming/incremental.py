@@ -141,6 +141,35 @@ def session_window_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "left_ts",
+    right_ts: str = "right_ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    pair each left event with right events for the same key landing in
+    [left_ts, left_ts + within]. Watermarks on BOTH sides bound the
+    join state (Spark buffers only rows inside the watermark horizon —
+    without them a stream-stream join holds state forever)."""
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = (
+        right.withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    )
+    cond = (
+        f"{right_ts} >= {left_ts} AND "
+        f"{right_ts} <= {left_ts} + interval {within}"
+    )
+    return lw.join(rw, on=[lw[key_col] == rw[key_col], F.expr(cond)]).select(
+        lw[key_col].alias(key_col), left_ts, right_ts
+    )
+
+
 def stateful_user_stats(
     events: DataFrame,
     key_col: str = "user_id",
