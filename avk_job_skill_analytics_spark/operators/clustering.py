@@ -1,0 +1,117 @@
+"""K-means clustering over embedding columns (beyond-reference).
+
+The iterative-algorithm pattern done Spark-first: Lloyd iterations as
+pure DataFrame ops — assignment is a broadcast cross join against the
+(tiny) centroid table with an argmin window; the centroid update is a
+posexplode over dimensions + per-(cluster, dim) average + re-assembly
+with ``array_agg`` ordered by dimension. No UDFs, no driver-side
+vector math beyond the k×dim centroid collect between rounds (k·dim
+doubles — negligible), so the per-round cost is two shuffles over the
+corpus regardless of scale.
+
+Initialization is deterministic (the k lowest-id vectors), matching
+the engine-wide no-RNG verification rule; swap in k-means|| offline
+for production quality — the loop body is unchanged.
+
+Rankings/assignments use the ROUNDED distance with a centroid-id
+tie-break so results are engine-portable (same convention as
+similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a strict left fold (deterministic
+    summation order, reproducible across engines)."""
+    d = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def assign_clusters(df: DataFrame, centroids: DataFrame, id_col: str,
+                    vec_col: str, round_digits: int = 6) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    argmin by (rounded distance, centroid id). Output: (id, cluster,
+    vec) — one corpus scan, no vector shuffle."""
+    c = centroids.select(
+        F.col("cluster").alias("_cid"), F.col("centroid").alias("_cv")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_dist"), F.asc("_cid"))
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "_dist", F.round(_sqdist(F.col(vec_col), F.col("_cv")), round_digits)
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(id_col), F.col("_cid").alias("cluster"), F.col(vec_col)
+        )
+    )
+
+
+def update_centroids(assigned: DataFrame, vec_col: str,
+                     round_digits: int = 6) -> DataFrame:
+    """Mean vector per cluster via posexplode → per-(cluster, dim)
+    average → ordered re-assembly. Two narrow shuffles keyed on
+    (cluster, dim) then cluster — never on the raw vectors. Averages
+    are rounded so subsequent assignments are engine-portable."""
+    dims = assigned.select(
+        "cluster", F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    per_dim = dims.groupBy("cluster", "dim").agg(
+        F.round(F.avg(F.col("x").cast("double")), round_digits).alias("m")
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("dim"), F.col("m")))
+        ).alias("_dm")
+    ).select(
+        "cluster",
+        F.transform(F.col("_dm"), lambda s: s.getField("m")).alias("centroid"),
+    )
+
+
+def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
+               iters: int = 2, round_digits: int = 6) -> DataFrame:
+    """Lloyd's algorithm for ``iters`` rounds from the deterministic
+    seed (k lowest-id vectors). Returns the final (cluster, centroid)
+    table. Empty clusters keep their previous centroid absent (they
+    drop out) — acceptable for the dedup/IVF uses here; production
+    k-means re-seeds them."""
+    centroids = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("long").alias("cluster"),
+            F.transform(
+                F.col(vec_col), lambda x: F.round(x.cast("double"), round_digits)
+            ).alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = assign_clusters(df, centroids, id_col, vec_col,
+                                   round_digits)
+        centroids = update_centroids(assigned, vec_col,
+                                     round_digits).localCheckpoint()
+    return centroids
+
+
+def inertia(df: DataFrame, centroids: DataFrame, id_col: str,
+            vec_col: str) -> float:
+    """Sum of squared distances to the assigned centroid — the k-means
+    objective (for tests / elbow diagnostics)."""
+    assigned = assign_clusters(df, centroids, id_col, vec_col)
+    c = centroids.select(
+        F.col("cluster"), F.col("centroid").alias("_cv")
+    )
+    return (
+        assigned.join(F.broadcast(c), "cluster")
+        .agg(F.sum(_sqdist(F.col(vec_col), F.col("_cv"))).alias("s"))
+        .collect()[0]["s"]
+    )

@@ -127,29 +127,37 @@ def blocked_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 5, n_centroids: int = 8,
-             n_probe: int = 2, round_digits: int = 6) -> DataFrame:
+             n_probe: int = 2, round_digits: int = 6,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus
     into centroid cells, search only the ``n_probe`` cells nearest to
     each query.
 
-    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
-    a deterministic stand-in for a k-means codebook (at production
-    scale you'd train centroids offline and broadcast them the same
-    way; the plan shape is identical). Assignment and probing both
-    broadcast the centroid table, so the corpus is scanned once with
-    no vector shuffle; only probed-cell candidates are scored.
+    ``centroids`` (a (cluster, centroid) table, e.g. from
+    clustering.kmeans_fit) is the trained codebook; when omitted, the
+    ``n_centroids`` lowest-id corpus vectors stand in — deterministic
+    and oracle-friendly. Either way the table broadcasts for both
+    assignment and probing, so the corpus is scanned once with no
+    vector shuffle; only probed-cell candidates are scored.
     Recall < 1 by construction when n_probe < n_centroids.
 
     All rankings use the ROUNDED cosine with an id tie-break so
     results are deterministic and engine-portable."""
-    cent = (
-        corpus.orderBy(id_col).limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("_ctv"),
-            _norm(F.col(vec_col)).alias("_ctn"),
+    if centroids is not None:
+        cent = centroids.select(
+            F.col("cluster").alias("cid"),
+            F.col("centroid").alias("_ctv"),
+            _norm(F.col("centroid")).alias("_ctn"),
         )
-    )
+    else:
+        cent = (
+            corpus.orderBy(id_col).limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("_ctv"),
+                _norm(F.col(vec_col)).alias("_ctn"),
+            )
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),

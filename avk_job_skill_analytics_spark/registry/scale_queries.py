@@ -575,3 +575,56 @@ def txt_quality_filter(spark, sf_dir):
     return d.select("doc_id", q.alias("quality")).filter(
         F.col("quality") >= 0.7
     )
+
+
+# ---------------------------------------------------------- k-means (ML)
+_SQDIST = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "j -> (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE)) "
+    "* (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE)))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """DuckDB twin of clustering.kmeans_fit, generated per iteration:
+    assignment (argmin by rounded distance, cluster tie-break) then
+    per-dimension mean re-assembled in dimension order."""
+    ctes = [
+        f"""cent0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster,
+              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
+                AS centroid
+           FROM embeddings ORDER BY vec_id LIMIT {k})"""
+    ]
+    for i in range(1, iters + 1):
+        prev, dist = f"cent{i-1}", _SQDIST.format(a="e.embedding", b="c.centroid")
+        ctes.append(f"""asg{i} AS (
+          SELECT e.vec_id, e.embedding, c.cluster,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round({dist}, 6), c.cluster) AS rk
+          FROM embeddings e, {prev} c)""")
+        ctes.append(f"""dims{i} AS (
+          SELECT cluster, t.j AS dim,
+                 round(avg(CAST(embedding[t.j] AS DOUBLE)), 6) AS m
+          FROM asg{i}, LATERAL (SELECT unnest(generate_series(1,
+                 len(embedding))) AS j) t
+          WHERE rk = 1 GROUP BY cluster, t.j)""")
+        ctes.append(f"""cent{i} AS (
+          SELECT cluster, list(m ORDER BY dim) AS centroid
+          FROM dims{i} GROUP BY cluster)""")
+    joined = ",\n".join(ctes)
+    return f"WITH {joined}\nSELECT cluster, centroid FROM cent{iters}"
+
+
+@_q("ml_kmeans_centroids", _kmeans_sql(4, 2))
+def ml_kmeans_centroids(spark, sf_dir):
+    """K-means (k=4, 2 Lloyd iterations, deterministic lowest-id
+    seeds) over the embeddings table — the iterative-algorithm
+    pattern as pure DataFrame ops: broadcast argmin assignment +
+    posexplode per-dimension mean update, localCheckpoint between
+    rounds. The oracle replays both iterations in generated SQL."""
+    from ..operators import clustering
+
+    e = load(spark, sf_dir, "embeddings")
+    return clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)

@@ -109,6 +109,34 @@ def test_lag_delta_first_row_null(spark):
     assert out[1] is None and out[2] == 3 and out[3] == -2
 
 
+# ----------------------------------------------------------------- k-means
+def test_kmeans_inertia_decreases(spark):
+    from avk_job_skill_analytics_spark.operators import clustering
+
+    e = _embeddings(spark)
+    seed = clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=0)
+    one = clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=1)
+    three = clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=3)
+    i0 = clustering.inertia(e, seed, "vec_id", "embedding")
+    i1 = clustering.inertia(e, one, "vec_id", "embedding")
+    i3 = clustering.inertia(e, three, "vec_id", "embedding")
+    assert i1 < i0 and i3 <= i1  # Lloyd never increases the objective
+
+
+def test_kmeans_feeds_ivf(spark):
+    from avk_job_skill_analytics_spark.operators import clustering, similarity
+    from pyspark.sql import functions as FF
+
+    e = _embeddings(spark)
+    cents = clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)
+    q = e.filter(FF.col("vec_id") < 3)
+    out = similarity.ivf_topk(
+        e, q, "vec_id", "embedding", k=3, n_probe=2, centroids=cents
+    ).collect()
+    assert {r["query_id"] for r in out} == {0, 1, 2}
+    assert all(1 <= r["rk"] <= 3 for r in out)
+
+
 # ----------------------------------------------------- duplicate clusters
 def test_duplicate_clusters_components(spark):
     from avk_job_skill_analytics_spark.operators.dedup import (
