@@ -255,17 +255,26 @@ def hyperplane_signature(vec: Column, dim: int, planes: int = 8) -> Column:
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, dim: int, k: int = 5, planes: int = 8,
-             round_digits: int = 6) -> DataFrame:
+             round_digits: int = 6, multiprobe: int = 0) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by hyperplane
     signature, score only within matching buckets. Recall < 1 by
-    construction (a neighbor in a different bucket is missed) —
-    multiprobe or fewer planes trade recall for cost. This is the path
-    when |queries| is too large to broadcast-score the whole corpus."""
+    construction (a neighbor in a different bucket is missed). This is
+    the path when |queries| is too large to broadcast-score the whole
+    corpus.
+
+    ``multiprobe=m`` additionally probes every bucket at Hamming
+    distance 1 on the first m planes (the standard recall/cost dial:
+    m extra buckets per query, no extra corpus passes — queries are
+    expanded, the corpus side is untouched)."""
+    sig = hyperplane_signature(F.col(vec_col), dim, planes)
+    probe_sigs = F.array(
+        sig, *[sig.bitwiseXOR(F.lit(1 << p)) for p in range(multiprobe)]
+    )
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         _norm(F.col(vec_col)).alias("_qn"),
-        hyperplane_signature(F.col(vec_col), dim, planes).alias("_sig"),
+        F.explode(probe_sigs).alias("_sig"),
     )
     cs = corpus.select(
         F.col(id_col).alias("neighbor_id"),

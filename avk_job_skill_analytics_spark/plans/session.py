@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch memory for mapInPandas over wide/binary
+        # payload columns (multimodal ops): batches of megabyte-scale
+        # assets must not default to 10k rows each
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # driver testdata carries INT64 TIMESTAMP(NANOS) parquet columns,
         # which Spark's reader has no timestamp type for; read as long
         # nanos and convert in plans.schemas.load
@@ -66,6 +70,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
     }.items():
         try:

@@ -109,6 +109,23 @@ def test_lag_delta_first_row_null(spark):
     assert out[1] is None and out[2] == 3 and out[3] == -2
 
 
+def test_lsh_multiprobe_improves_recall(spark):
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(m):
+        got = similarity.lsh_topk(
+            e, q, "vec_id", "embedding", dim=64, k=5, planes=4, multiprobe=m
+        )
+        hits = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        return len(hits & truth) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0  # extra probes can only widen the candidate set
+
+
 # ----------------------------------------------------------------- k-means
 def test_kmeans_inertia_decreases(spark):
     from avk_job_skill_analytics_spark.operators import clustering
