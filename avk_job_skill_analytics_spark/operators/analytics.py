@@ -209,6 +209,21 @@ def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column],
     return out
 
 
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column],
+             fill: str = "ALL", filters=None) -> DataFrame:
+    """All-combinations subtotals via CUBE — 2^|keys| grouping sets in
+    one shuffle (keep |keys| small; the expansion is multiplicative).
+    Same NULL-labeling convention as rollup_agg."""
+    out = (
+        _apply_filters(df, filters)
+        .cube(*keys)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    for k in keys:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(fill)))
+    return out
+
+
 def running_total(df: DataFrame, part_col: str, order_cols: Sequence[Column],
                   value_col: str, alias: str = "running_total",
                   round_digits: int = 2) -> DataFrame:

@@ -143,3 +143,31 @@ def agg_approx_distinct(spark, sf_dir):
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
     )
+
+
+@_q(
+    "agg_cube_status_priority",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n_orders,
+              round(avg(o_totalprice), 2) AS avg_price
+       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+)
+def agg_cube_status_priority(spark, sf_dir):
+    """CUBE over (status, priority): every subtotal combination in one
+    grouping-set shuffle — the all-slices matrix behind a BI
+    cross-tab."""
+    o = load(spark, sf_dir, "orders")
+    return A.cube_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "avg_price": F.round(F.avg("o_totalprice"), 2),
+        },
+    ).select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        "avg_price",
+    )
