@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter pruning: selective joins push a bloom
+        # filter of the build side into the probe-side scan — at the
+        # 100 TB point this skips whole row groups before the shuffle
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bound Arrow batch memory for mapInPandas over wide/binary

@@ -161,6 +161,36 @@ def stream_session_windows(spark, sf_dir):
 
 
 @_q(
+    "stream_dedup_counts",
+    """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
+)
+def stream_dedup_counts(spark, sf_dir):
+    """Streaming deduplication: the source directory exposes the SAME
+    events file twice (two symlinks), so every event arrives as an
+    exact duplicate; dropDuplicates on the key keeps one copy in
+    streaming state. The oracle counts the single-copy table — equal
+    counts prove the dedup removed exactly the duplicates. At real
+    scale, pair the key with a watermark (dropDuplicatesWithinWatermark)
+    so state ages out."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    src_dir = tempfile.mkdtemp(prefix="stream_dup_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_a.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events_b.parquet")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_NANOS)
+        .load(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = stream.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _drain(spark, agg, "complete")
+
+
+@_q(
     "stream_stream_join",
     """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
        FROM events c JOIN events p
