@@ -108,20 +108,24 @@ def curate(
     return df
 
 
-def to_warehouse(curated: DataFrame) -> DataFrame:
+DEFAULT_ID_COLS = ("company_name", "job_title", "job_location",
+                   "job_posted_site", "job_posted_date")
+
+
+def to_warehouse(curated: DataFrame,
+                 id_cols: Sequence[str] = DEFAULT_ID_COLS) -> DataFrame:
     """Load-stage projection: surrogate JobId + the fact columns the
-    BI model reads (dbo.job_data + cleaned_job_title; the key is a
-    deterministic hash of identifying columns, not monotonically_
-    increasing_id, so reloads produce stable ids)."""
+    BI model reads (dbo.job_data + cleaned_job_title). The key is the
+    engine-portable md5 hash (operators/hashing.md5_long) of the
+    identifying columns joined on an unprintable separator — not
+    monotonically_increasing_id — so reloads, re-runs, and OTHER
+    engines produce identical stable ids."""
+    from ..operators.hashing import md5_long
+
+    cols = [c for c in id_cols if c in curated.columns]
     return curated.withColumn(
         "job_id",
-        F.abs(
-            F.xxhash64(
-                *[c for c in ("company_name", "job_title", "job_location",
-                              "job_posted_site", "job_posted_date")
-                  if c in curated.columns]
-            )
-        ),
+        md5_long(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])),
     )
 
 

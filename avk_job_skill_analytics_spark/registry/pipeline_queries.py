@@ -163,3 +163,94 @@ def pipeline_curate(spark, sf_dir):
 
 QUERIES["pipeline_curate"] = pipeline_curate
 ORACLES["pipeline_curate"] = _PIPELINE_SQL
+
+
+# ------------------------------------------------- extract stage (P1+P2+U1+F4)
+_EXTRACT_SQL = """
+WITH a AS (
+  SELECT c_name AS company_name,
+         concat('Data Engineer - ', c_mktsegment) AS job_title,
+         CAST(c_acctbal AS VARCHAR) AS salary,
+         'kaggle' AS source
+  FROM customer),
+b AS (
+  SELECT s_name AS company_name, 'Analyst' AS job_title,
+         '' AS salary, '' AS source
+  FROM supplier),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT company_name, job_title, source,
+       CAST(floor(CASE WHEN num <= 1000 THEN num * 2000 ELSE num END)
+            AS INTEGER) AS salary
+FROM (SELECT *, TRY_CAST(regexp_replace(salary, '[$,]', '', 'g') AS DOUBLE)
+             AS num
+      FROM u) t
+"""
+
+
+def pipeline_extract(spark, sf_dir):
+    """Extract stage end-to-end (src/data_extract.py:160-214): two
+    heterogeneous 'sources' (different column names; one missing the
+    salary/source columns entirely) are column-mapped (P1), conformed
+    to the canonical 11-column schema (P2), unioned by name (U1), and
+    salary-normalized (F4) — one lazy plan, no per-source loop."""
+    from ..functions import normalize_salary
+    from ..plans import pipeline as P
+    from ..sources.normalize import normalize_columns
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("employer"),
+        F.concat(F.lit("Data Engineer - "), F.col("c_mktsegment")).alias("role"),
+        F.col("c_acctbal").cast("string").alias("pay"),
+        F.lit("kaggle").alias("origin"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("company"), F.lit("Analyst").alias("role")
+    )
+    a = normalize_columns(
+        c, {"company_name": "employer", "job_title": "role",
+            "salary": "pay", "source": "origin"}
+    )
+    b = normalize_columns(
+        s, {"company_name": "company", "job_title": "role",
+            "salary": "pay_missing", "source": "origin_missing"}
+    )
+    u = P.extract_normalize([a, b])
+    return u.select(
+        "company_name", "job_title", "source",
+        normalize_salary("salary").alias("salary"),
+    )
+
+
+QUERIES["pipeline_extract"] = pipeline_extract
+ORACLES["pipeline_extract"] = _EXTRACT_SQL
+
+
+# --------------------------------------------- warehouse stage (stable ids)
+_SEP = "chr(31)"
+_WAREHOUSE_SQL = f"""
+WITH base AS (
+{_PIPELINE_SQL}
+)
+SELECT CAST(concat('0x', substring(md5(concat_ws({_SEP},
+         company_name, cleaned_job_title, city, CAST(salary AS VARCHAR))),
+       1, 15)) AS BIGINT) AS job_id,
+       company_name, cleaned_job_title, salary
+FROM base
+"""
+
+
+def pipeline_warehouse(spark, sf_dir):
+    """Load stage: the curated frame plus the engine-portable surrogate
+    job_id (md5 of the identifying columns — stable across re-runs AND
+    across engines, proven by the oracle computing the same ids)."""
+    from ..plans import pipeline as P
+
+    curated = pipeline_curate(spark, sf_dir)
+    w = P.to_warehouse(
+        curated, id_cols=("company_name", "cleaned_job_title", "city", "salary")
+    )
+    return w.select("job_id", "company_name", "cleaned_job_title", "salary")
+
+
+QUERIES["pipeline_warehouse"] = pipeline_warehouse
+ORACLES["pipeline_warehouse"] = _WAREHOUSE_SQL
