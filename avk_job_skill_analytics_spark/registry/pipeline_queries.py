@@ -254,3 +254,45 @@ def pipeline_warehouse(spark, sf_dir):
 
 QUERIES["pipeline_warehouse"] = pipeline_warehouse
 ORACLES["pipeline_warehouse"] = _WAREHOUSE_SQL
+
+
+# ------------------------------------------ jobskills bridge (F6+J3+A12)
+_BRIDGE_SQL = f"""
+WITH base AS (
+{_PIPELINE_SQL}
+),
+bridge AS (
+  SELECT CAST(concat('0x', substring(md5(concat_ws(chr(31),
+           company_name, cleaned_job_title, city, CAST(salary AS VARCHAR))),
+         1, 15)) AS BIGINT) AS job_id,
+         unnest(string_split_regex(technical_skills, ',\\s*')) AS technical_skill
+  FROM base)
+SELECT technical_skill, count(*) AS n_jobs,
+       CAST(count(DISTINCT job_id) AS BIGINT) AS n_distinct_jobs
+FROM bridge WHERE trim(technical_skill) <> ''
+GROUP BY technical_skill
+"""
+
+
+def pipeline_jobskills_bridge(spark, sf_dir):
+    """The PBIX jobskills entity end-to-end: curate → warehouse (stable
+    ids) → explode the normalized skill list to one row per (job_id,
+    skill) → per-skill job counts ('Top 10 Skills' semantics over REAL
+    curated data, not a synthetic token column)."""
+    from ..plans import pipeline as P
+
+    curated = pipeline_curate(spark, sf_dir)
+    w = P.to_warehouse(
+        curated, id_cols=("company_name", "cleaned_job_title", "city", "salary")
+    )
+    bridge = P.jobskills_bridge(
+        w.withColumnRenamed("cleaned_job_title", "job_title")
+    )
+    return bridge.groupBy("technical_skill").agg(
+        F.count(F.lit(1)).alias("n_jobs"),
+        F.countDistinct("job_id").alias("n_distinct_jobs"),
+    )
+
+
+QUERIES["pipeline_jobskills_bridge"] = pipeline_jobskills_bridge
+ORACLES["pipeline_jobskills_bridge"] = _BRIDGE_SQL
