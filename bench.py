@@ -62,9 +62,13 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# FAIL {name}: {exc}", file=sys.stderr)
         # queries are timed independently: drop any caches a query
-        # persisted so later timings don't ride on (or pay GC for)
-        # earlier queries' cached state
+        # persisted and any memory-sink temp views a streaming query
+        # drained into, so later timings don't ride on (or pay GC for)
+        # earlier queries' leftover state
         spark.catalog.clearCache()
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(json.dumps({
