@@ -46,6 +46,28 @@ def with_norm(df: DataFrame, vec_col: str, out: str = "norm") -> DataFrame:
     return df.withColumn(out, _norm(F.col(vec_col)))
 
 
+def l2_normalize(df: DataFrame, vec_col: str, out: str = "unit",
+                 norm_col: str = "norm") -> DataFrame:
+    """Append the unit-length vector (and its norm) for ``vec_col``.
+
+    The norm is projected into its own column FIRST and the transform
+    divides by that column — embedding the aggregate inside the
+    lambda would re-evaluate it per element (the HOF re-evaluation
+    trap; see dedup shingles). Zero vectors map to NULL, not a
+    divide-by-zero vector of NaNs."""
+    normed = df.withColumn(norm_col, _norm(F.col(vec_col)))
+    return normed.withColumn(
+        out,
+        F.when(
+            F.col(norm_col) > 0.0,
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double") / F.col(norm_col),
+            ),
+        ),
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 vec_col: str, k: int = 5,
                 round_digits: int = 6) -> DataFrame:

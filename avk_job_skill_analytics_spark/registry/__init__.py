@@ -19,6 +19,7 @@ from . import (
     scalar_queries,
     scale_queries,
     streaming_queries,
+    tpch_queries,
     window_queries,
 )
 
@@ -30,6 +31,7 @@ _MODULES = (
     pipeline_queries,
     io_queries,
     window_queries,
+    tpch_queries,
 )
 
 

@@ -313,6 +313,30 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@_q(
+    "emb_l2_normalize",
+    f"""WITH n AS (SELECT vec_id, embedding,
+                         sqrt({_DOT.format(a='embedding', b='embedding')})
+                           AS l2_norm
+                  FROM embeddings)
+       SELECT vec_id, round(l2_norm, 6) AS l2_norm,
+              round(CAST(embedding[1] AS DOUBLE) / l2_norm, 6) AS u0
+       FROM n WHERE l2_norm > 0""",
+)
+def emb_l2_normalize(spark, sf_dir):
+    """L2-normalize the embedding column (unit vectors make cosine a
+    plain dot product downstream — normalize once, compare many).
+    Output projects the norm and the first unit component; the full
+    unit array stays available to downstream operators."""
+    e = load(spark, sf_dir, "embeddings")
+    u = similarity.l2_normalize(e, "embedding")
+    return u.filter(F.col("norm") > 0.0).select(
+        "vec_id",
+        F.round("norm", 6).alias("l2_norm"),
+        F.round(F.element_at("unit", 1), 6).alias("u0"),
+    )
+
+
 # ------------------------------------------------------------- text: lang
 @_q(
     "txt_lang_id",

@@ -16,6 +16,7 @@ design point wants them).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import analytics as A
@@ -113,6 +114,39 @@ def win_day_over_day(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     )
     return A.lag_delta(daily, "day", "n", alias="delta")
+
+
+@_q(
+    "win_month_over_month",
+    """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                         round(sum(o_totalprice), 2) AS revenue
+                  FROM orders GROUP BY month)
+       SELECT month, revenue,
+              round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
+              round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                    / lag(revenue) OVER (ORDER BY month), 2) AS mom_pct
+       FROM m""",
+)
+def win_month_over_month(spark, sf_dir):
+    """Monthly revenue trend with month-over-month delta and percent
+    change. Aggregate to month grain first (one shuffle, ~dozens of
+    rows), then the single-partition lag window runs over the tiny
+    trend frame — the raw fact table never sees a window. Deltas are
+    computed from the ROUNDED monthly revenue so both engines
+    subtract identical doubles."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    prev = F.lag("revenue").over(Window.orderBy("month"))
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_delta"),
+        F.round(F.lit(100.0) * (F.col("revenue") - prev) / prev, 2).alias(
+            "mom_pct"
+        ),
+    )
 
 
 @_q(

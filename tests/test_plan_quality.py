@@ -82,3 +82,17 @@ def test_curation_pipeline_stays_in_codegen(spark, queries):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     final = I.final_plan_string(df)
     assert re.findall(r"\[codegen id : (\d+)\]", final)
+
+
+def test_tpch_q6_filters_push_to_scan(spark, queries):
+    df = queries["tpch_q6_revenue"](spark, SF_DIR)
+    pushed = " ".join(I.pushed_filters(df))
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_tpch_q3_broadcasts_dim_and_bounds_topk(spark, queries):
+    df = queries["tpch_q3_shipping_priority"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    # filtered customer dim broadcasts; top-10 never global-sorts
+    assert "BroadcastHashJoin" in plan
+    assert I.has_node(df, "TakeOrderedAndProject")

@@ -228,3 +228,15 @@ def test_rule_extractor_guard_and_sorting(spark):
     assert out[1][0] == "aws, python, spark, sql"  # sorted, ', '-joined
     assert out[2] == ("", "")                      # guard skips short text
     assert out[3][1] == "communication, leadership"
+
+
+def test_l2_normalize_unit_length_and_zero_guard(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "id long, v array<double>",
+    )
+    out = similarity.l2_normalize(df, "v").orderBy("id").collect()
+    assert out[0]["norm"] == 5.0
+    assert out[0]["unit"] == [0.6, 0.8]
+    assert out[1]["unit"] is None  # zero vector -> NULL, not NaNs
+    assert out[2]["unit"] == [1.0, 0.0]
