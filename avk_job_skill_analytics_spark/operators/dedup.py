@@ -117,20 +117,38 @@ def lsh_bands(signatures: DataFrame, id_col: str, bands: int,
 
 
 def candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
-    """Bucket-join: distinct (a, b) id pairs (a < b) sharing a band
-    signature. The join key (band, sig) keeps comparisons inside
-    buckets — the whole point of LSH at scale. AQE's skew handling
-    covers pathological buckets (e.g. a boilerplate shingle set)."""
-    left = bands_df.select(
-        F.col("band"), F.col("sig"), F.col(id_col).alias("a")
+    """Distinct (a, b) id pairs (a < b) sharing a band signature.
+
+    Fused bucket expansion: ONE groupBy shuffle collects each
+    bucket's id set, pairs expand map-side from the sorted array
+    (i < j ⇒ a < b, so no post-filter), then one distinct shuffle
+    de-dups pairs that collide in several bands. The former
+    self-join spelling shuffled the bands frame twice and filtered
+    half the join output away; this shuffles it once and never
+    materializes a (a ≥ b) pair. Degenerate buckets (a boilerplate
+    band signature shared by n docs) cost O(n²) pairs either way —
+    AQE skew splitting handled the join flavor, here the n² stays
+    inside one task's array expansion, so pathological corpora
+    should cap bucket size upstream (drop buckets > ~10⁴ ids: a
+    band shared by that many docs prunes nothing)."""
+    buckets = (
+        bands_df.groupBy("band", "sig")
+        .agg(F.collect_set(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.array_sort("ids").alias("ids"))
     )
-    right = bands_df.select(
-        F.col("band"), F.col("sig"), F.col(id_col).alias("b")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
     )
     return (
-        left.join(right, ["band", "sig"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
