@@ -1,0 +1,112 @@
+"""Graph connectivity at scale — the two-star alternation.
+
+``dedup.duplicate_clusters`` (min-label propagation) converges in
+O(diameter) rounds, which is right for dense near-dup clusters
+(diameter 2-4) but degenerates on adversarial long-chain graphs: a
+10⁶-node path needs 10⁶ rounds. The large-star/small-star alternation
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) restructures the edge set itself each round and converges in
+O(log n) rounds regardless of diameter — the CC you'd actually run on
+a 100 TB pair graph whose shape you don't control.
+
+Each operation is one groupBy shuffle over the current edge frame:
+
+- large-star(u): every neighbor v > u re-attaches to
+  m = min(N(u) ∪ {u});
+- small-star(u): edges point large→small; u and its smaller
+  neighbors all attach to m = min(N(u) ∪ {u}).
+
+Both preserve connectivity and strictly shrink a potential function,
+so alternation reaches a fixpoint where every component is a star
+centered on its minimum id. Per-round frames are localCheckpoint-ed —
+iterative lineage otherwise grows a plan per round (same discipline
+as duplicate_clusters / kmeans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over canonical (u, v) edges."""
+    b = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = b.groupBy("u").agg(F.min(F.least("v", "u")).alias("m"))
+    return (
+        b.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large→small first."""
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = d.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_ = m.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        nbr.unionByName(self_)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_twostar(pairs: DataFrame, a_col: str = "doc_a",
+                                 b_col: str = "doc_b",
+                                 max_iter: int = 25) -> DataFrame:
+    """Connected components via large-star/small-star alternation.
+
+    Returns (doc_id, cluster_id) with cluster_id = the component's
+    minimum id — the same contract as ``dedup.duplicate_clusters``,
+    in O(log n) rounds instead of O(diameter).
+
+    Convergence probe: one tiny collect per round of
+    (count, Σ label, Σ pair-hash) — equal consecutive probes mean the
+    edge multiset is unchanged (hash-collision odds negligible), i.e.
+    the alternation hit its fixpoint. No frame diff needed."""
+    raw = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint()
+    # vertices come from the RAW pairs: a self-pair (x, x) contributes
+    # the vertex x (its own singleton cluster) but no edge
+    verts = (
+        raw.select(F.col("u").alias("doc_id"))
+        .unionByName(raw.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        probe = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.xxhash64("u", "v").cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        cur = (probe["n"], probe["s"], probe["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint edges form stars (u → root). Isolated-in-pairs nodes
+    # can't occur (every vertex came from a pair), but roots carry no
+    # outgoing edge — they label themselves via the left join.
+    roots = edges.groupBy("u").agg(F.min("v").alias("_root"))
+    return verts.join(
+        roots, verts.doc_id == roots.u, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id"),
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, textstats
+from ..operators import dedup, graph, multimodal, similarity, textstats
 from ..operators.hashing import (
     MERSENNE_P,
     affine_hash_sql,
@@ -172,6 +172,18 @@ def dd_dup_clusters(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
     return dedup.duplicate_clusters(pairs)
+
+
+@_q("dd_dup_clusters_twostar", ORACLES["dd_dup_clusters"])
+def dd_dup_clusters_twostar(spark, sf_dir):
+    """Same components, scale algorithm: large-star/small-star
+    alternation (O(log n) rounds regardless of graph diameter —
+    the variant you'd run on an adversarial 100 TB pair graph).
+    Shares dd_dup_clusters' transitive-closure oracle: identical
+    (doc_id, cluster_id) output is the point."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    return graph.connected_components_twostar(pairs)
 
 
 # --------------------------------------------------------------- SimHash

@@ -240,3 +240,32 @@ def test_l2_normalize_unit_length_and_zero_guard(spark):
     assert out[0]["unit"] == [0.6, 0.8]
     assert out[1]["unit"] is None  # zero vector -> NULL, not NaNs
     assert out[2]["unit"] == [1.0, 0.0]
+
+
+def test_twostar_matches_label_propagation(spark):
+    from avk_job_skill_analytics_spark.operators import dedup, graph
+
+    # long chain: adversarial for O(diameter) label propagation, a
+    # few rounds for the two-star alternation
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in graph.connected_components_twostar(chain).collect()
+    }
+    assert got == {(i, 0) for i in range(121)}
+
+    # self-pair keeps its vertex as a singleton cluster
+    mixed = spark.createDataFrame(
+        [(10, 11), (11, 12), (50, 60), (7, 7)], "doc_a long, doc_b long"
+    )
+    a = {
+        (r.doc_id, r.cluster_id)
+        for r in graph.connected_components_twostar(mixed).collect()
+    }
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.duplicate_clusters(mixed).collect()
+    }
+    assert a == b and (7, 7) in a
