@@ -96,3 +96,30 @@ def test_tpch_q3_broadcasts_dim_and_bounds_topk(spark, queries):
     # filtered customer dim broadcasts; top-10 never global-sorts
     assert "BroadcastHashJoin" in plan
     assert I.has_node(df, "TakeOrderedAndProject")
+
+
+def test_bucketed_join_needs_no_exchange(spark):
+    from avk_job_skill_analytics_spark.plans import bucketing
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    try:
+        bucketing.write_bucketed(o, "b_orders", "o_orderkey", buckets=4)
+        bucketing.write_bucketed(li, "b_lineitem", "l_orderkey", buckets=4)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).select("l_orderkey", "o_totalprice", "l_extendedprice")
+            plan = I.plan_string(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the write-time bucketing satisfies the join's distribution:
+        # a shuffle-free sort-merge join, sorts elided by sortBy
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        bucketing.drop_table(spark, "b_orders")
+        bucketing.drop_table(spark, "b_lineitem")
