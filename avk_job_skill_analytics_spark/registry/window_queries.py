@@ -179,6 +179,26 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+@_q("agg_approx_percentiles")  # sketch estimates are engine-specific -> rows-only
+def agg_approx_percentiles(spark, sf_dir):
+    """agg_percentiles at the 100 TB design point: Greenwald-Khanna
+    sketches merge across partitions, so the per-group state is
+    bounded (~1/accuracy) instead of requiring the full sorted value
+    set that exact interpolation needs. Estimates are
+    engine-specific, so the driver records rows-only; exact
+    semantics are covered by agg_percentiles."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+    )
+    return li.groupBy("l_returnflag").agg(q.alias("_q")).select(
+        "l_returnflag",
+        F.round(F.element_at("_q", 1), 2).alias("p50"),
+        F.round(F.element_at("_q", 2), 2).alias("p90"),
+        F.round(F.element_at("_q", 3), 2).alias("p99"),
+    )
+
+
 @_q(
     "agg_cube_status_priority",
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,

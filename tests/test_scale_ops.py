@@ -269,3 +269,20 @@ def test_twostar_matches_label_propagation(spark):
         for r in dedup.duplicate_clusters(mixed).collect()
     }
     assert a == b and (7, 7) in a
+
+
+def test_approx_percentiles_near_exact(spark):
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    exact = {
+        r.l_returnflag: r.p50
+        for r in qs["agg_percentiles"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r.l_returnflag: r.p50
+        for r in qs["agg_approx_percentiles"](spark, SF_DIR).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        assert abs(exact[k] - approx[k]) / exact[k] < 0.02, (k, exact[k], approx[k])
