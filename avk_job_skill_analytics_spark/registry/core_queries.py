@@ -458,3 +458,46 @@ def j5_fact_fact_revenue(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("order_month"))
         .limit(10)
     )
+
+
+@_q(
+    "j6_asof_attribution",
+    """WITH c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+       p AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.ts, c.click_id,
+              epoch_us(p.ts - c.click_ts) AS us_since_click
+       FROM p ASOF LEFT JOIN c
+         ON p.user_id = c.user_id AND p.ts >= c.click_ts""",
+)
+def j6_asof_attribution(spark, sf_dir):
+    """Beyond-reference as-of join: each purchase attributed to the
+    user's most recent prior (or simultaneous) click. Spark has no
+    native as-of operator — operators/temporal.py expresses it as the
+    union trick (tag, union, one last-ignorenulls window per key):
+    one shuffle, no pair explosion on hot users. The oracle is
+    DuckDB's native ASOF LEFT JOIN. Clicks pre-aggregate to one row
+    per (user, instant) so tie-breaks agree across engines."""
+    from ..operators import temporal
+
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = temporal.asof_join(p, c, on="user_id", left_time="ts",
+                           right_time="click_ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias(
+            "us_since_click"
+        ),
+    )

@@ -88,3 +88,33 @@ def test_manifest_idempotent(spark, tmp_path):
     assert m.is_loaded("f1") and not m.is_loaded("f9")
     more = spark.createDataFrame([("f2",), ("f3",)], ["file_name"])
     assert sorted(r["file_name"] for r in m.new_files(more).collect()) == ["f3"]
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime as dt
+
+    from avk_job_skill_analytics_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, dt(2024, 1, 1, 12, 0, 0)),   # matches k10's 11:00 row
+            (2, 10, dt(2024, 1, 1, 10, 30, 0)),  # matches 10:00
+            (3, 10, dt(2024, 1, 1, 9, 0, 0)),    # before any right -> null
+            (4, 11, dt(2024, 1, 1, 10, 0, 0)),   # equal time: inclusive
+            (5, 12, dt(2024, 1, 1, 10, 0, 0)),   # key with no right rows
+        ],
+        "id long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, dt(2024, 1, 1, 10, 0, 0), "a"),
+            (10, dt(2024, 1, 1, 11, 0, 0), "b"),
+            (11, dt(2024, 1, 1, 10, 0, 0), "c"),
+        ],
+        "k long, rt timestamp, tag string",
+    )
+    out = {
+        r.id: r.tag
+        for r in temporal.asof_join(left, right, "k", "t", "rt").collect()
+    }
+    assert out == {1: "b", 2: "a", 3: None, 4: "c", 5: None}
