@@ -302,3 +302,33 @@ def exploded_counts(df: DataFrame, id_cols: Sequence[str], list_col: str,
     if n is not None:
         out = out.orderBy(F.desc("cnt"), F.asc(token_alias)).limit(n)
     return out
+
+
+def sessionize(df: DataFrame, key: str, ts_col: str, gap_seconds: int,
+               tiebreak: str | None = None,
+               out: str = "session_idx") -> DataFrame:
+    """Assign gap-based session indexes per key (batch sessionization —
+    the batch twin of Structured Streaming's session_window, same
+    merge rule: events merge while the gap is strictly under
+    ``gap_seconds``).
+
+    One window shuffle on the key: a lag marks session breaks
+    (gap >= threshold), a running sum of breaks numbers the sessions.
+    ``session_idx`` is 1-based and per-key; (key, session_idx) is the
+    session identity. ``tiebreak`` orders simultaneous events
+    deterministically."""
+    order = [F.asc(ts_col)] + ([F.asc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    brk = F.when(
+        prev.isNull()
+        | (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+            >= gap_seconds * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("_brk", brk).withColumn(
+        out, F.sum("_brk").over(run)
+    ).drop("_brk")

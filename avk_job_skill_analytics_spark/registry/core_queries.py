@@ -501,3 +501,43 @@ def j6_asof_attribution(spark, sf_dir):
             "us_since_click"
         ),
     )
+
+
+_PRICE_BANDS = [
+    ("low", 0.0, 30000.0),
+    ("mid", 30000.0, 60000.0),
+    ("high", 60000.0, 90000.0),
+    ("premium", 90000.0, 200000.0),
+]
+
+
+@_q(
+    "j7_range_band_join",
+    f"""SELECT band, count(*) AS n_items,
+              round(sum(l_extendedprice), 2) AS revenue
+       FROM lineitem
+       JOIN (VALUES {", ".join(f"('{b}', CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE))" for b, lo, hi in _PRICE_BANDS)})
+            AS bands(band, lo, hi)
+         ON l_extendedprice >= lo AND l_extendedprice < hi
+       GROUP BY band""",
+)
+def j7_range_band_join(spark, sf_dir):
+    """Beyond-reference range join: price-band classification via the
+    binned equi-join spelling (operators/rangejoin.py) — bands
+    replicate to the bins they overlap, facts hash to one bin, and the
+    theta condition survives only as a residual filter. With 4 bands a
+    nested-loop would also do; the spelling is the one that still
+    works with 10^5 intervals. The oracle uses the plain BETWEEN
+    join."""
+    from ..operators.rangejoin import binned_range_join
+
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo double, hi double"
+    )
+    joined = binned_range_join(li, "l_extendedprice", bands,
+                               "lo", "hi", bin_width=30000.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

@@ -179,6 +179,37 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+@_q(
+    "win_sessionize",
+    """WITH x AS (SELECT user_id, ts, event_id,
+                        CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts - lag(ts) OVER w) >= 1800000000
+                             THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, ts,
+                    CAST(sum(brk) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             FROM x)
+       SELECT user_id, session_idx, count(*) AS n_events,
+              min(ts) AS session_start, max(ts) AS session_end
+       FROM s GROUP BY user_id, session_idx""",
+)
+def win_sessionize(spark, sf_dir):
+    """Batch sessionization: gap-based session assignment per user
+    (30-min gap, same strict-< merge rule as session_window), then
+    per-session rollup. One window shuffle on the user key + one
+    aggregate — the batch twin of stream_session_windows."""
+    e = load(spark, sf_dir, "events")
+    s = A.sessionize(e, "user_id", "ts", 1800, tiebreak="event_id")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 @_q("agg_approx_percentiles")  # sketch estimates are engine-specific -> rows-only
 def agg_approx_percentiles(spark, sf_dir):
     """agg_percentiles at the 100 TB design point: Greenwald-Khanna

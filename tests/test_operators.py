@@ -118,3 +118,24 @@ def test_asof_join_semantics(spark):
         for r in temporal.asof_join(left, right, "k", "t", "rt").collect()
     }
     assert out == {1: "b", 2: "a", 3: None, 4: "c", 5: None}
+
+
+def test_binned_range_join_boundaries(spark):
+    from avk_job_skill_analytics_spark.operators.rangejoin import (
+        binned_range_join,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 9.99), (3, 10.0), (4, 25.0), (5, 99.0)],
+        "id long, v double",
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 30.0)], "band string, lo double, hi double"
+    )
+    # bin width deliberately misaligned with band edges
+    out = {
+        r.id: r.band
+        for r in binned_range_join(facts, "v", bands, "lo", "hi", 7.0).collect()
+    }
+    # lo inclusive, hi exclusive; out-of-band values drop
+    assert out == {1: "a", 2: "a", 3: "b", 4: "b"}
