@@ -179,6 +179,70 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+_PRIORITIES = [
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"),
+    ("5-LOW", "n_low"),
+]
+
+
+@_q(
+    "agg_pivot_status_priority",
+    f"""SELECT o_orderstatus AS status,
+              {", ".join(f"CAST(sum(CASE WHEN o_orderpriority = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS {a}" for v, a in _PRIORITIES)}
+       FROM orders GROUP BY o_orderstatus""",
+)
+def agg_pivot_status_priority(spark, sf_dir):
+    """BI cross-tab: status rows × priority columns in one pivot
+    aggregate (single shuffle; the pivot values are declared, so no
+    extra distinct-scan job to discover them — always declare them at
+    scale). Absent cells are 0, not NULL, to match the oracle's
+    sum-of-cases."""
+    o = load(spark, sf_dir, "orders")
+    piv = o.groupBy("o_orderstatus").pivot(
+        "o_orderpriority", [v for v, _ in _PRIORITIES]
+    ).agg(F.count(F.lit(1)))
+    return piv.select(
+        F.col("o_orderstatus").alias("status"),
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a)
+            for v, a in _PRIORITIES
+        ],
+    )
+
+
+@_q(
+    "agg_unpivot_measures",
+    """WITH a AS (SELECT o_orderstatus AS status,
+                        round(sum(o_totalprice), 2) AS total_price,
+                        round(avg(o_totalprice), 2) AS avg_price,
+                        CAST(count(*) AS DOUBLE) AS n_orders
+                 FROM orders GROUP BY o_orderstatus)
+       SELECT status, 'total_price' AS metric, total_price AS value FROM a
+       UNION ALL SELECT status, 'avg_price', avg_price FROM a
+       UNION ALL SELECT status, 'n_orders', n_orders FROM a""",
+)
+def agg_unpivot_measures(spark, sf_dir):
+    """The inverse reshape: per-status measures melted to long
+    (status, metric, value) form — the layout BI tools and plotting
+    pipelines want. unpivot is a zero-shuffle expression over the
+    already-aggregated frame."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return agg.unpivot(
+        "status",
+        ["total_price", "avg_price", "n_orders"],
+        "metric",
+        "value",
+    )
+
+
 @_q(
     "win_sessionize",
     """WITH x AS (SELECT user_id, ts, event_id,
