@@ -541,3 +541,55 @@ def j7_range_band_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+# ----------------------------------------- U3: intersect / except cohorts
+@_q(
+    "u3_cohort_set_ops",
+    """SELECT 'retained' AS cohort, o_custkey FROM (
+         SELECT DISTINCT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01') r
+       UNION ALL
+       SELECT 'churned' AS cohort, o_custkey FROM (
+         SELECT DISTINCT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01') x""",
+)
+def u3_cohort_set_ops(spark, sf_dir):
+    """U3 (beyond reference) — INTERSECT / EXCEPT set semantics as a
+    retention cohort: customers ordering in both 1996 and 1997
+    (retained) vs 1996-only (churned). SURVEY.md §2.7 records the
+    reference has no intersect/except; Spark's set operators compile
+    to aggregate-style hash semi/anti joins on the distinct key sets,
+    so both cohorts come from two scans of the same pushed-down date
+    slices — no full-table shuffle."""
+    o = load(spark, sf_dir, "orders")
+
+    def year_keys(lo, hi):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96 = year_keys("1996-01-01", "1997-01-01")
+    y97 = year_keys("1997-01-01", "1998-01-01")
+    retained = y96.intersect(y97).select(
+        F.lit("retained").alias("cohort"), "o_custkey"
+    )
+    churned = y96.exceptAll(y97).select(
+        F.lit("churned").alias("cohort"), "o_custkey"
+    )
+    return retained.unionByName(churned)
