@@ -336,3 +336,36 @@ def tpch_q18_large_volume(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@_q(
+    "tpch_q4_order_priority",
+    """SELECT o_orderpriority, count(*) AS n_orders
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_returnflag = 'R')
+       GROUP BY o_orderpriority""",
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: priority counts for orders that have at least
+    one qualifying line — the correlated-EXISTS pattern. In Spark the
+    subquery is a LEFT SEMI join on the order key: the probe side
+    keeps each order at most once with no post-join dedup, and the
+    returned-flag filter shrinks the build side before the shuffle.
+    At 100 TB the semi join is the cheapest of the join family here —
+    it carries no payload columns from the build side at all."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

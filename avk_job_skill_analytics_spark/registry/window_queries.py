@@ -353,3 +353,43 @@ def agg_grouping_sets(spark, sf_dir):
         "n_orders",
         "total_price",
     )
+
+
+@_q(
+    "win_ntile_quartiles",
+    """SELECT c_mktsegment, quartile, count(*) AS n_customers,
+              round(min(c_acctbal), 2) AS lo_bal,
+              round(max(c_acctbal), 2) AS hi_bal
+       FROM (SELECT c_mktsegment, c_acctbal,
+                    ntile(4) OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey) AS quartile
+             FROM customer) t
+       GROUP BY c_mktsegment, quartile""",
+)
+def win_ntile_quartiles(spark, sf_dir):
+    """Partitioned ntile: account-balance quartile boundaries per
+    market segment. The window partitions by segment, so each
+    segment sorts independently inside its own shuffle partition —
+    no global sort. The (balance, custkey) ordering is a total order,
+    which makes ntile's bucket assignment deterministic and
+    engine-portable. The quartile column then feeds an ordinary
+    hash aggregate for the per-bucket boundaries."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("lo_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
+        )
+    )
