@@ -393,3 +393,45 @@ def win_ntile_quartiles(spark, sf_dir):
             F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
         )
     )
+
+
+@_q(
+    "win_percent_rank_deciles",
+    """SELECT o_orderpriority, decile, count(*) AS n_orders,
+              round(max(o_totalprice), 2) AS hi_price
+       FROM (SELECT o_orderpriority, o_totalprice,
+                    CAST(floor(percent_rank() OVER (
+                        PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) * 10) AS INT)
+                        AS decile
+             FROM orders) t
+       GROUP BY o_orderpriority, decile""",
+)
+def win_percent_rank_deciles(spark, sf_dir):
+    """percent_rank bucketed to deciles per order priority — the
+    relative-standing analytic (cume_dist's sibling). Partitioned by
+    priority so each group ranks inside its own shuffle partition (no
+    global sort); the (price, orderkey) total order makes the rank —
+    and therefore the floor(·×10) bucket — deterministic in both
+    engines. The top row of each partition lands in bucket 10
+    (percent_rank = 1.0), a documented fencepost both engines share."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.floor(F.percent_rank().over(w) * 10)
+            .cast("int")
+            .alias("decile"),
+        )
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )
