@@ -16,13 +16,21 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Seniority/noise words stripped by the title cleaner
-# (src/transform.py:78-86).
+# Seniority/noise words stripped by the title cleaner — token-for-token
+# the reference's alternation (src/transform.py:85-86), including the
+# multi-word entries ("vice president", "immediate joiner"); the single
+# \b(...)\b alternation handles them because \b anchors only the ends.
 TITLE_NOISE_WORDS = (
-    "senior", "sr", "jr", "junior", "lead", "principal", "chief", "head",
-    "manager", "director", "vp", "intern", "internship", "contract",
-    "temporary", "temp", "remote", "hybrid", "onsite", "staff",
-    "associate", "entry", "level", "mid",
+    "senior", "sr", "junior", "jr", "lead", "principal", "chief", "head",
+    "manager", "director", "vp", "vice president", "president",
+    "internship", "intern", "contract", "temp", "temporary", "remote",
+    "hybrid", "hiring", "immediate joiner", "via", "through",
+)
+
+# Extras beyond the reference (opt-in only — keeping the default list
+# reference-faithful is part of the parity contract; VERDICT r1 §wrong-1).
+EXTRA_NOISE_WORDS = (
+    "onsite", "staff", "associate", "entry", "level", "mid",
 )
 
 
@@ -31,14 +39,17 @@ def normalize_text(col: Column | str) -> Column:
     return F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
 
 
-def clean_job_title(col: Column | str, title_case: bool = True) -> Column:
+def clean_job_title(col: Column | str, title_case: bool = True,
+                    extra_noise_words: tuple = ()) -> Column:
     """F2 — the reference's title-cleaning regex pipeline
     (src/transform.py:67-96):
 
     1. drop bracketed content ``(...)``, ``[...]``, ``{...}``
     2. split on ``- # | /`` and keep the head
     3. drop roman numerals (``\\b[ivx]+\\b``, case-insensitive)
-    4. drop seniority/noise words
+    4. drop seniority/noise words (exactly src/transform.py:85-86;
+       pass ``extra_noise_words=EXTRA_NOISE_WORDS`` to also strip
+       non-reference extras like 'onsite'/'staff')
     5. strip non-alphabetic chars, collapse whitespace
     6. Title Case (``title_case=False`` keeps lowercase — used where a
        downstream engine lacks initcap)
@@ -48,7 +59,7 @@ def clean_job_title(col: Column | str, title_case: bool = True) -> Column:
     c = F.regexp_replace(c, r"\(.*?\)|\[.*?\]|\{.*?\}", " ")
     c = F.split(c, r"[-#|/]").getItem(0)
     c = F.regexp_replace(c, r"\b[ivx]+\b", " ")
-    noise = "|".join(TITLE_NOISE_WORDS)
+    noise = "|".join(TITLE_NOISE_WORDS + tuple(extra_noise_words))
     c = F.regexp_replace(c, rf"\b({noise})\b", " ")
     c = F.regexp_replace(c, r"[^a-z ]", " ")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))

