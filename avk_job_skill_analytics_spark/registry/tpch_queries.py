@@ -107,8 +107,9 @@ def tpch_q6_revenue(spark, sf_dir):
 )
 def tpch_q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: top-10 highest-revenue not-yet-shipped orders
-    for one market segment. The segment-filtered customer dim
-    broadcasts (the orders side never shuffles for it); orders ↔
+    for one market segment. The segment-filtered customer side scales
+    with SF, so no hard broadcast hint — AQE runtime-broadcasts it at
+    small SF and shuffle-joins at 100 TB; orders ↔
     lineitem shuffle-join on the order key; revenue partial-aggregates
     before the global top-10 (TakeOrderedAndProject — no full sort).
     Ranking uses cent-rounded revenue with a key tie-break so the
@@ -122,7 +123,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
     )
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
         li, o.o_orderkey == li.l_orderkey
     )
     agg = joined.groupBy(
@@ -161,11 +162,12 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 def tpch_q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: revenue by nation where the customer and the
     line's supplier share a nation inside one region. Six tables; the
-    plan that matters at 100 TB is: region/nation/supplier (and the
-    region-restricted customer set) broadcast, so the only shuffle is
-    orders ↔ lineitem on the order key — the "local supplier"
-    predicate rides along as a second equi-condition on the already
-    broadcast supplier build side rather than a separate join.
+    plan that matters at 100 TB is: region/nation (fixed-cardinality
+    dims) broadcast with hard hints; supplier scales with SF, so its
+    join is left to AQE (runtime-broadcast at small SF, shuffle at
+    100 TB) — the "local supplier" predicate rides along as a second
+    equi-condition on the supplier build side rather than a separate
+    join.
     Cited semantics: TPC-H Q5; beyond-reference OLAP surface."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation").join(
@@ -184,7 +186,7 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         o.join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (c.c_nationkey == F.col("s_nationkey")),
         )

@@ -49,14 +49,16 @@ def _q(name, oracle=None):
 )
 def agg_rollup_region_nation(spark, sf_dir):
     """Revenue at nation, region-subtotal, and grand-total grain in
-    one pass (grouping-set expansion, single shuffle). The dimension
-    chain broadcasts — the orders side never shuffles for the joins."""
+    one pass (grouping-set expansion, single shuffle). nation/region
+    (fixed-cardinality dims) broadcast; customer scales with SF, so
+    its join is left to AQE — at bench scale AQE runtime-broadcasts
+    it, at 100 TB it shuffle-joins without driver OOM."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )

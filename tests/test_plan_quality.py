@@ -90,12 +90,14 @@ def test_tpch_q6_filters_push_to_scan(spark, queries):
     assert "l_discount" in pushed and "l_quantity" in pushed
 
 
-def test_tpch_q3_broadcasts_dim_and_bounds_topk(spark, queries):
+def test_tpch_q3_aqe_broadcasts_dim_and_bounds_topk(spark, queries):
+    # customer scales with SF so the query carries no hard broadcast
+    # hint — at test scale AQE must still runtime-broadcast the
+    # filtered customer side; top-10 never global-sorts
     df = queries["tpch_q3_shipping_priority"](spark, SF_DIR)
-    plan = I.plan_string(df)
-    # filtered customer dim broadcasts; top-10 never global-sorts
-    assert "BroadcastHashJoin" in plan
     assert I.has_node(df, "TakeOrderedAndProject")
+    final = I.final_plan_string(df)
+    assert "BroadcastHashJoin" in final
 
 
 def test_bucketed_join_needs_no_exchange(spark):
@@ -123,3 +125,31 @@ def test_bucketed_join_needs_no_exchange(spark):
     finally:
         bucketing.drop_table(spark, "b_orders")
         bucketing.drop_table(spark, "b_lineitem")
+
+
+def test_ud1_filter_stays_above_python_eval(spark):
+    # SURVEY §4: a predicate added AFTER skill extraction must not be
+    # reordered below the external call (each extracted row is a billed
+    # API request). mapInPandas emits fresh output attributes, so
+    # Catalyst cannot rewrite the filter against the input — assert the
+    # plan keeps Filter above the Python eval node.
+    from avk_job_skill_analytics_spark.operators.skills import (
+        LLMSkillExtractor,
+    )
+
+    df = spark.range(8).withColumn(
+        "description",
+        F.concat(F.lit("python and sql experience required, id "), F.col("id")),
+    )
+    fake = lambda texts: [("python, sql", "teamwork")] * len(texts)
+    out = LLMSkillExtractor(fake).extract(df, "id", "description")
+    filtered = out.filter(F.col("technical_skills").contains("python"))
+    plan = I.plan_string(filtered, mode="simple")
+    eval_m = re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", plan)
+    filt_m = re.search(r"Filter", plan)
+    assert eval_m and filt_m, plan
+    # explain() prints top-down: the Filter line must appear ABOVE
+    # (i.e. at a smaller offset than) the Python eval node
+    assert filt_m.start() < eval_m.start(), plan
+    # and the filter still runs correctly above the barrier
+    assert filtered.count() == 8
