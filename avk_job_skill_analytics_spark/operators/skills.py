@@ -11,10 +11,11 @@ Engine design:
 - ``LLMSkillExtractor`` — batched external calls inside mapInPandas
   (one Arrow batch per request group); NEVER used in verification.
   The class exists so the production wiring is visible: rate limiting
-  and batching happen per-partition, and the operator must be marked
-  nondeterministic so Catalyst will not reorder filters across it
-  (the reference's cost control: filter + sample BEFORE extraction,
-  SURVEY.md §4).
+  and batching happen per-partition, and mapInPandas itself is the
+  reorder barrier — its output attributes are fresh, so Catalyst
+  cannot push a downstream filter below the external call (the
+  reference's cost control: filter + sample BEFORE extraction,
+  SURVEY.md §4; plan-asserted in tests/test_plan_quality.py).
 """
 
 from __future__ import annotations
@@ -111,9 +112,9 @@ class LLMSkillExtractor:
                     }
                 )
 
-        out = df.select(id_col, text_col).mapInPandas(run, schema)
-        # nondeterministic: stops Catalyst pushing filters through the
-        # external call (would change which rows get billed requests)
-        return out.withColumn(
-            "technical_skills", F.col("technical_skills")
-        )
+        # mapInPandas is the reorder barrier: its output attributes are
+        # fresh, so Catalyst cannot rewrite a downstream predicate in
+        # terms of the input and push it below the external call (which
+        # would change which rows get billed requests). Asserted by
+        # tests/test_plan_quality.py::test_ud1_filter_stays_above_python_eval.
+        return df.select(id_col, text_col).mapInPandas(run, schema)
