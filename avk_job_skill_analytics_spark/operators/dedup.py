@@ -116,7 +116,8 @@ def lsh_bands(signatures: DataFrame, id_col: str, bands: int,
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
-def candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+def candidate_pairs(bands_df: DataFrame, id_col: str,
+                    max_bucket_size: int = 10_000) -> DataFrame:
     """Distinct (a, b) id pairs (a < b) sharing a band signature.
 
     Fused bucket expansion: ONE groupBy shuffle collects each
@@ -125,18 +126,31 @@ def candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
     de-dups pairs that collide in several bands. The former
     self-join spelling shuffled the bands frame twice and filtered
     half the join output away; this shuffles it once and never
-    materializes a (a ≥ b) pair. Degenerate buckets (a boilerplate
-    band signature shared by n docs) cost O(n²) pairs either way —
-    AQE skew splitting handled the join flavor, here the n² stays
-    inside one task's array expansion, so pathological corpora
-    should cap bucket size upstream (drop buckets > ~10⁴ ids: a
-    band shared by that many docs prunes nothing)."""
+    materializes a (a ≥ b) pair.
+
+    Degenerate buckets — a boilerplate band signature shared by n
+    docs — would expand O(n²) pairs inside ONE task's array
+    expansion (no AQE skew rescue here, unlike the join spelling),
+    OOM-ing or straggling a single executor at 100 TB. So buckets
+    with more than ``max_bucket_size`` ids are dropped: a band
+    signature shared by that many documents prunes nothing and is
+    near-certainly template noise. Pass ``max_bucket_size=None`` to
+    disable the cap (exact small-corpus runs)."""
     buckets = (
         bands_df.groupBy("band", "sig")
         .agg(F.collect_set(F.col(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.array_sort("ids").alias("ids"))
     )
+    if max_bucket_size is not None:
+        # free runtime metric (no extra job): dropped-bucket count is
+        # published to QueryExecutionListeners under 'lsh_bucket_cap'
+        buckets = buckets.observe(
+            "lsh_bucket_cap",
+            F.count(F.when(F.size("ids") > max_bucket_size, 1)).alias(
+                "dropped_buckets"
+            ),
+        ).filter(F.size("ids") <= max_bucket_size)
+    buckets = buckets.select(F.array_sort("ids").alias("ids"))
     pairs = F.flatten(
         F.transform(
             F.col("ids"),

@@ -589,7 +589,9 @@ def u3_cohort_set_ops(spark, sf_dir):
     retained = y96.intersect(y97).select(
         F.lit("retained").alias("cohort"), "o_custkey"
     )
-    churned = y96.exceptAll(y97).select(
+    # EXCEPT DISTINCT (not exceptAll) so the set semantics match the
+    # oracle's EXCEPT independently of year_keys' upstream distinct
+    churned = y96.subtract(y97).select(
         F.lit("churned").alias("cohort"), "o_custkey"
     )
     return retained.unionByName(churned)

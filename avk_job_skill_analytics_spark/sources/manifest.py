@@ -42,7 +42,13 @@ class Manifest:
 
     def is_loaded(self, file_name: str) -> bool:
         """S7 point lookup (`SELECT 1 FROM tracker WHERE file_name=?`,
-        src/load_sqlserver.py:37-44)."""
+        src/load_sqlserver.py:37-44).
+
+        Launches one Spark job per call — faithful to the reference's
+        per-file probe and fine for a handful of files, but bulk
+        callers must use the set-based :meth:`new_files` (one
+        anti-join for the whole candidate list) instead of looping
+        over this."""
         return (
             self.loaded().filter(F.col("file_name") == file_name).limit(1).count()
             > 0

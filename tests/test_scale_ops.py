@@ -286,3 +286,18 @@ def test_approx_percentiles_near_exact(spark):
     assert exact.keys() == approx.keys()
     for k in exact:
         assert abs(exact[k] - approx[k]) / exact[k] < 0.02, (k, exact[k], approx[k])
+
+
+def test_candidate_pairs_bucket_cap(spark):
+    from avk_job_skill_analytics_spark.operators import dedup
+
+    # band 0 sig 'boiler' shared by 5 docs (degenerate), band 1 sig 'x'
+    # shared by 2 docs (genuine candidate)
+    rows = [(i, 0, "boiler") for i in range(5)] + [(10, 1, "x"), (11, 1, "x")]
+    bands = spark.createDataFrame(rows, ["doc_id", "band", "sig"])
+
+    capped = dedup.candidate_pairs(bands, "doc_id", max_bucket_size=4)
+    assert sorted(capped.collect()) == [(10, 11)]
+
+    uncapped = dedup.candidate_pairs(bands, "doc_id", max_bucket_size=None)
+    assert uncapped.count() == 10 + 1  # C(5,2) boiler pairs + the genuine one
