@@ -46,3 +46,34 @@ def sample_hash_bucket(df: DataFrame, key: str, pct: int,
     (useful for repeatable pipeline debugging at 100 TB)."""
     bucket = (F.col(key).cast("long") * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(modulus)
     return df.filter(bucket < pct)
+
+
+def sample_by(df: DataFrame, strata_col: str, fractions: dict,
+              seed: int = 42) -> DataFrame:
+    """Spark-native stratified Bernoulli sample (`df.sampleBy`): each
+    stratum keeps ~its fraction of rows. Fully parallel, no shuffle;
+    row counts are binomial, and the RNG is engine-private — use
+    :func:`sample_stratified` when reruns/oracles must select the
+    exact same rows."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def sample_stratified(df: DataFrame, strata_col: str, key: str,
+                      pcts: dict, default_pct: int = 0,
+                      modulus: int = 100) -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep-rates applied
+    through the same multiplicative hash-bucket rule as
+    :func:`sample_hash_bucket`, so any engine selects the exact same
+    rows (oracle-verifiable, rerun-stable).
+
+    ``pcts`` maps stratum value -> integer percent kept (out of
+    ``modulus``); unlisted strata keep ``default_pct``. No shuffle and
+    no RNG: the filter is a scan-level CASE over a hash of the key, so
+    at 100 TB this is a single embarrassingly-parallel pass."""
+    bucket = (
+        F.col(key).cast("long") * F.lit(_KNUTH)
+    ) % F.lit(4294967296) % F.lit(modulus)
+    pct = F.lit(default_pct)
+    for value, p in pcts.items():
+        pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
+    return df.filter(bucket < pct)

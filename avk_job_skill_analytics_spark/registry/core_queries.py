@@ -308,6 +308,29 @@ def o4_sample_hash(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
+@_q(
+    "o4_sample_stratified",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+       WHERE (o_orderkey * 2654435761) % 4294967296 % 100 <
+             CASE o_orderpriority
+               WHEN '1-URGENT' THEN 30
+               WHEN '2-HIGH' THEN 10
+               ELSE 5 END""",
+)
+def o4_sample_stratified(spark, sf_dir):
+    """O4 — deterministic stratified sample: per-stratum keep-rates
+    (urgent 30%, high 10%, rest 5%) through the multiplicative
+    hash-bucket rule, so both engines select the exact same rows.
+    The RNG twin is operators/sampling.sample_by (df.sampleBy)."""
+    return sampling.sample_stratified(
+        load(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderkey",
+        {"1-URGENT": 30, "2-HIGH": 10},
+        default_pct=5,
+    ).select("o_orderkey", "o_orderpriority")
+
+
 # ---------------------------------------------------------- U1: union
 @_q(
     "u1_union_by_name",

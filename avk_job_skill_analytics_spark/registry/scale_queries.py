@@ -513,6 +513,60 @@ def a6_salted_counts(spark, sf_dir):
     return A.salted_count_by_dim(c, "c_mktsegment", buckets=16)
 
 
+@_q(
+    "j8_skew_join",
+    """WITH f AS (
+         SELECT CASE WHEN l_partkey % 1000 < 900 THEN 0
+                     ELSE l_partkey % 1000 END AS sk,
+                l_extendedprice
+         FROM lineitem),
+       d AS (
+         SELECT p_partkey AS sk, p_type AS type_label
+         FROM part WHERE p_partkey < 1000)
+       SELECT d.type_label, count(*) AS n_lines,
+              round(sum(f.l_extendedprice), 2) AS revenue
+       FROM f JOIN d ON f.sk = d.sk
+       GROUP BY d.type_label""",
+)
+def j8_skew_join(spark, sf_dir):
+    """Join under deliberate key skew: ~90% of fact rows share one hot
+    key (the head-category pattern SURVEY.md §7.4 flags as the 100 TB
+    risk). The values are oracle-checked here; the scale story is
+    AQE's skew-join split — the hot shuffle partition fanned out over
+    several reducer tasks at runtime — which
+    tests/test_plan_quality.py::test_skew_join_aqe_splits_hot_partition
+    asserts in the executed plan under a forced shuffle-join regime
+    (at 100 TB the build side is far beyond broadcast size).
+
+    Plan-shape note: OptimizeSkewedJoin only matches
+    SMJ(Sort(shuffle), Sort(shuffle)) — both join inputs must be raw
+    shuffle stages. The dim side is therefore a plain filtered
+    relation (unique keys via the p_partkey < 1000 slice), NOT an
+    aggregate: a HashAggregate between the Sort and the shuffle
+    defeats the rewrite and silently forfeits skew handling. Also,
+    the split granularity is map-output chunks — a fact scan that
+    reads as ONE task (e.g. a single-row-group parquet file) leaves
+    the hot partition unsplittable, so the rule reports no skew; any
+    real multi-file/multi-row-group layout scans as many tasks."""
+    hot = lambda c: F.when(c % 1000 < 900, F.lit(0)).otherwise(c % 1000)
+    f = load(spark, sf_dir, "lineitem").select(
+        hot(F.col("l_partkey")).alias("sk"), "l_extendedprice"
+    )
+    d = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 1000)
+        .select(F.col("p_partkey").alias("sk"), F.col("p_type").alias("type_label"))
+    )
+    return (
+        f.join(d, "sk")
+        .groupBy("type_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
 # ------------------------------------------------------------- multimodal
 @_q(
     "mm_decode_metadata",

@@ -371,3 +371,53 @@ def tpch_q4_order_priority(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# Q2-shape SQL shared between engines (only the table names differ) so
+# the oracle cannot drift from the Spark text. {p}/{l}/{s} = part /
+# lineitem / supplier relation names.
+_Q2_SQL = """
+    WITH best AS (
+      SELECT p.p_partkey, p.p_type,
+             min(l.l_suppkey) AS s_suppkey,
+             round(min(l.l_extendedprice), 2) AS min_price
+      FROM {p} p
+      JOIN {l} l ON l.l_partkey = p.p_partkey
+      WHERE p.p_size <= 10
+        AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                 FROM {l} l2
+                                 WHERE l2.l_partkey = p.p_partkey)
+      GROUP BY p.p_partkey, p.p_type
+    )
+    SELECT b.p_partkey, b.p_type, b.s_suppkey, s.s_name,
+           round(s.s_acctbal, 2) AS s_acctbal, b.min_price
+    FROM best b
+    JOIN {s} s ON s.s_suppkey = b.s_suppkey
+    ORDER BY s_acctbal DESC, p_partkey
+"""
+
+
+@_q(
+    "tpch_q2_min_cost_supplier",
+    _Q2_SQL.format(p="part", l="lineitem", s="supplier"),
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: the supplier offering each small part at its
+    minimum observed price — the correlated-scalar-subquery pattern
+    (testdata has no partsupp, so lineitem price stands in for
+    ps_supplycost; ties resolve to the lowest supplier key).
+
+    Expressed as Spark SQL on purpose: Catalyst's subquery
+    decorrelation (RewriteCorrelatedScalarSubquery) turns the per-part
+    `SELECT min(...) WHERE l2.l_partkey = p.p_partkey` into ONE
+    per-key aggregate joined back on the part key — a single extra
+    shuffle over lineitem instead of a scan per part. That rewrite is
+    exactly what makes the shape survive 100 TB, and the plan test
+    asserts no per-row subquery remains
+    (tests/test_plan_quality.py::test_tpch_q2_decorrelates_scalar_subquery)."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("q2_part")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("q2_lineitem")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("q2_supplier")
+    return spark.sql(
+        _Q2_SQL.format(p="q2_part", l="q2_lineitem", s="q2_supplier")
+    )

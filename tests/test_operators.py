@@ -139,3 +139,31 @@ def test_binned_range_join_boundaries(spark):
     }
     # lo inclusive, hi exclusive; out-of-band values drop
     assert out == {1: "a", 2: "a", 3: "b", 4: "b"}
+
+
+def test_sample_stratified_rates_and_determinism(spark):
+    from avk_job_skill_analytics_spark.operators.sampling import (
+        sample_by,
+        sample_stratified,
+    )
+
+    df = spark.range(10_000).withColumn(
+        "stratum", F.when(F.col("id") % 2 == 0, "even").otherwise("odd")
+    )
+    s1 = sample_stratified(df, "stratum", "id", {"even": 40, "odd": 4})
+    s2 = sample_stratified(df, "stratum", "id", {"even": 40, "odd": 4})
+    rows1 = sorted(r["id"] for r in s1.collect())
+    assert rows1 == sorted(r["id"] for r in s2.collect())  # rerun-stable
+    by = {r["stratum"]: r["n"] for r in
+          s1.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    # hash buckets approximate the per-stratum rates (5k rows each)
+    assert 1500 < by["even"] < 2500 and 50 < by["odd"] < 350
+    # unlisted strata default to 0% kept
+    assert sample_stratified(df, "stratum", "id", {"even": 40}).filter(
+        F.col("stratum") == "odd").count() == 0
+
+    # the Spark-native RNG twin honours per-stratum fractions too
+    rng = sample_by(df, "stratum", {"even": 0.4, "odd": 0.04}, seed=1)
+    nby = {r["stratum"]: r["n"] for r in
+           rng.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert 1500 < nby["even"] < 2500 and 50 < nby["odd"] < 350

@@ -153,3 +153,59 @@ def test_ud1_filter_stays_above_python_eval(spark):
     assert filt_m.start() < eval_m.start(), plan
     # and the filter still runs correctly above the barrier
     assert filtered.count() == 8
+
+
+def test_tpch_q2_decorrelates_scalar_subquery(spark, queries):
+    # the per-part correlated `SELECT min(price)` must be rewritten
+    # into one per-key aggregate joined back (a single extra lineitem
+    # shuffle) — a surviving per-row ScalarSubquery would re-scan
+    # lineitem once per part row at 100 TB
+    df = queries["tpch_q2_min_cost_supplier"](spark, SF_DIR)
+    plan = I.plan_string(df, mode="simple")
+    assert "ScalarSubquery" not in plan, plan
+    assert "min(l_extendedprice" in plan  # the decorrelated aggregate
+
+
+def test_skew_join_aqe_splits_hot_partition(spark):
+    # j8_skew_join's scale contract: AQE splits the hot key's shuffle
+    # partition across several reducer tasks. The split works by map-
+    # output chunks, so the fact side must have >1 mapper — the
+    # single-row-group test parquet reads as ONE map task and is
+    # therefore unsplittable (a 100 TB table always scans as many
+    # tasks); the repartition(8) below stands in for that multi-file
+    # layout. Thresholds are lowered to make test-scale bytes "skewed".
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = lambda c: F.when(c % 1000 < 900, F.lit(0)).otherwise(c % 1000)
+        li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        f = li.repartition(8).select(
+            hot(F.col("l_partkey")).alias("sk"), "l_extendedprice"
+        )
+        d = (
+            spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+            .filter(F.col("p_partkey") < 1000)
+            .select(F.col("p_partkey").alias("sk"),
+                    F.col("p_type").alias("type_label"))
+        )
+        out = (
+            f.join(d, "sk")
+            .groupBy("type_label")
+            .agg(F.count(F.lit(1)).alias("n_lines"))
+        )
+        final = I.final_plan_string(out, mode="simple")
+        assert "skew=true" in final, final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
