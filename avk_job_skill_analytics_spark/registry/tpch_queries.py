@@ -90,7 +90,8 @@ def tpch_q6_revenue(spark, sf_dir):
     "tpch_q3_shipping_priority",
     """WITH s AS (
          SELECT l_orderkey,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
                 CAST(o_orderdate AS DATE) AS order_date,
                 o_orderpriority
          FROM customer c
@@ -113,7 +114,10 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     lineitem shuffle-join on the order key; revenue partial-aggregates
     before the global top-10 (TakeOrderedAndProject — no full sort).
     Ranking uses cent-rounded revenue with a key tie-break so the
-    limit boundary is deterministic and engine-portable."""
+    limit boundary is deterministic and engine-portable; the sum runs
+    over DECIMAL(18,4)-quantized terms, not doubles, because Spark and
+    DuckDB add floats in different orders — an exact decimal sum can't
+    land differently on a half-cent boundary and flip the LIMIT set."""
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -132,7 +136,10 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         "o_orderpriority",
     ).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double"),
             2,
         ).alias("revenue")
     )
@@ -206,7 +213,8 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
 @_q(
     "tpch_q10_returned_items",
     """SELECT c.c_custkey, c.c_name,
-              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
               n.n_name
        FROM customer c
        JOIN orders o ON c.c_custkey = o.o_custkey
@@ -225,8 +233,9 @@ def tpch_q10_returned_items(spark, sf_dir):
     two fact scans; nation broadcasts; orders ↔ lineitem shuffles on
     the order key and partial-aggregates before the bounded top-20
     (TakeOrderedAndProject — no global sort materializes). Revenue is
-    cent-rounded with a key tie-break so the limit boundary is
-    deterministic across engines."""
+    an exact DECIMAL(18,4) sum cent-rounded with a key tie-break so
+    the limit boundary is deterministic across engines regardless of
+    float-addition order."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders").filter(
@@ -243,7 +252,11 @@ def tpch_q10_returned_items(spark, sf_dir):
         joined.groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ).cast("double"),
+                2,
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -420,4 +433,453 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     load(spark, sf_dir, "supplier").createOrReplaceTempView("q2_supplier")
     return spark.sql(
         _Q2_SQL.format(p="q2_part", l="q2_lineitem", s="q2_supplier")
+    )
+
+
+@_q(
+    "tpch_q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+              round(CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 2)
+                  AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    year(l.l_shipdate) AS l_year,
+                    l.l_extendedprice * (1 - l.l_discount) AS volume
+             FROM supplier s
+             JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: trade volume between two nations by year, in
+    both directions. The disjunctive nation-pair predicate can only be
+    applied AFTER both nation joins, but each nation dim is 25 rows —
+    broadcast-hinted (fixed cardinality, safe at any SF) — so the only
+    shuffles are the two fact-fact joins on order key and the final
+    grouped aggregate. Year comes from the shipdate at line grain."""
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    joined = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(pair)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q8_market_share",
+    """WITH vol AS (
+         SELECT year(o.o_orderdate) AS o_year,
+                l.l_extendedprice * (1 - l.l_discount) AS volume,
+                n2.n_name AS supp_nation
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+         JOIN region r ON n1.n_regionkey = r.r_regionkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+         WHERE r.r_name = 'ASIA')
+       SELECT o_year,
+              round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_12'
+                                       THEN volume ELSE 0 END
+                                  AS DECIMAL(18,4))) AS DOUBLE)
+                    / CAST(sum(CAST(volume AS DECIMAL(18,4))) AS DOUBLE),
+                    4) AS mkt_share
+       FROM vol GROUP BY o_year""",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of all revenue sold
+    into a region, by order year — conditional aggregate over a
+    snowflake join. region/nation are fixed-25-row dims (hard
+    broadcast); customer and supplier scale with SF so their joins are
+    left to AQE; numerator and denominator come out of ONE pass
+    (sum of CASE), not two scans. Both sums are exact decimals before
+    the double division, so the share is bit-identical across
+    engines."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk")
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_12", F.col("volume"))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,4)")
+    ).cast("double")
+    den = F.sum(F.col("volume").cast("decimal(18,4)")).cast("double")
+    return vol.groupBy("o_year").agg(
+        F.round(num / den, 4).alias("mkt_share")
+    )
+
+
+@_q(
+    "tpch_q9_product_profit",
+    """SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+              round(CAST(sum(CAST(
+                  l.l_extendedprice * (1 - l.l_discount)
+                  - 0.6 * p.p_retailprice * l.l_quantity
+                  AS DECIMAL(18,4))) AS DOUBLE), 2) AS profit
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE p.p_name LIKE '%red%'
+       GROUP BY nation, o_year""",
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit on a product family by supplier nation
+    and year (testdata has no partsupp, so cost is modeled as 60% of
+    retail price — the plan shape, a fact joined to three dims with a
+    derived measure, is what's exercised). The part filter prunes
+    ~1/9 of parts BEFORE the join; part and supplier scale with SF so
+    AQE picks their join strategy; nation broadcasts."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(amount.cast("decimal(18,4)")).cast("double"), 2
+            ).alias("profit")
+        )
+    )
+
+
+@_q(
+    "tpch_q12_late_shipments",
+    """SELECT l.l_linestatus,
+              sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+       GROUP BY l.l_linestatus""",
+)
+def tpch_q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment counts split by order priority
+    class (testdata has no shipmode/commitdate; lateness = shipped
+    more than 60 days after ordering, which preserves the essential
+    cross-table residual predicate). The date comparison references
+    BOTH sides, so it cannot push below the join — it runs as a
+    post-join filter on the single orders↔lineitem shuffle; the CASE
+    split is one pass, integer-exact."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "tpch_q13_customer_distribution",
+    """WITH per_cust AS (
+         SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+         FROM customer c
+         LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                           AND o.o_orderpriority <> '5-LOW'
+         GROUP BY c.c_custkey)
+       SELECT c_count, count(*) AS custdist
+       FROM per_cust GROUP BY c_count""",
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer — a LEFT
+    join whose filter lives in the JOIN CONDITION (moving it to WHERE
+    would silently drop zero-order customers), then two stacked
+    aggregates. The second groupBy keys on a count with very few
+    distinct values — the classic skew point — but its input is
+    already one row per customer, so the partial aggregate collapses
+    each map partition to a handful of rows before the shuffle."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "tpch_q15_top_supplier",
+    """WITH rev AS (
+         SELECT l_suppkey AS supplier_no,
+                round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,4))) AS DOUBLE), 2)
+                    AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+           AND l_shipdate < TIMESTAMP '2000-04-01'
+         GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name, r.total_revenue
+       FROM rev r
+       JOIN supplier s ON s.s_suppkey = r.supplier_no
+       WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)""",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly
+    revenue — aggregate, then keep the rows equal to the aggregate's
+    own max (ties all surface, per the spec). The revenue frame is
+    one grouped aggregate over the date-pruned fact; the 1-row max
+    joins back as a broadcast, and equality on cent-rounded exact
+    decimal sums is engine-portable. The supplier dim joins AFTER the
+    max filter, touching only the winning keys."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double"),
+            2,
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "tpch_q17_small_quantity",
+    """WITH part_avg AS (
+         SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
+         FROM lineitem GROUP BY l_partkey)
+       SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                    AS DOUBLE) / 7.0, 2) AS avg_yearly,
+              count(*) AS n_lines
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       JOIN part_avg a ON a.l_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#3' AND l.l_quantity < a.qty_limit""",
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost by small-quantity orders of one
+    brand — the correlated `avg per part` subquery written directly in
+    its decorrelated form: one per-key aggregate over lineitem joined
+    back on the part key (what Catalyst rewrites Q2's subquery into;
+    here the DataFrame states it explicitly). The quantity threshold
+    is exact: quantities are small integers, so their double sum — in
+    any order — and the resulting avg are bit-identical across
+    engines, making the `<` boundary engine-portable."""
+    li = load(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double")
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "tpch_q19_disjunctive",
+    """SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(18,4))) AS DOUBLE), 2)
+                  AS revenue,
+              count(*) AS n_lines
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+              AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+          OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
+              AND l.l_quantity >= 20 AND l.l_quantity <= 30)""",
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of three AND-blocks that
+    mix part attributes with lineitem attributes. The optimizer's job
+    (and the test's point) is predicate decomposition: the
+    part-only disjunction (brand+size) and the lineitem-only
+    disjunction (quantity 1..30) are each implied by the OR, so
+    Catalyst's constraint propagation pushes a relaxed filter into
+    BOTH scans, and only the residual cross-side OR runs after the
+    join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "tpch_q22_dormant_customers",
+    """WITH avg_bal AS (
+         SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+       recent AS (
+         SELECT DISTINCT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+       SELECT substr(c.c_name, 18, 1) AS cntrycode,
+              count(*) AS numcust,
+              round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4)))
+                         AS DOUBLE), 2) AS totacctbal
+       FROM customer c, avg_bal
+       WHERE c.c_acctbal > avg_bal.ab
+         AND NOT EXISTS (SELECT 1 FROM recent r
+                         WHERE r.o_custkey = c.c_custkey)
+       GROUP BY cntrycode""",
+)
+def tpch_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: well-funded customers with no RECENT orders
+    (every testdata customer has some order, so the spec's "never
+    ordered" becomes "not since 2001" — same NOT EXISTS plan), grouped
+    by a derived code (here a digit of the customer name, standing in
+    for the phone country code). Three decorrelation-relevant pieces:
+    a scalar subquery (global avg balance) that becomes a 1-row
+    broadcast; a NOT EXISTS that becomes a left-anti join against the
+    distinct recent-buyer keys; and a derived grouping column. The
+    avg threshold is sums-of-doubles over a fixed filter — exact
+    enough only because acctbals are cent-quantized; the comparison
+    uses the SAME float avg in both engines (sum order over <2^53
+    cent-ints is exact)."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_ab")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 18, 1).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"),
+                2,
+            ).alias("totacctbal"),
+        )
     )

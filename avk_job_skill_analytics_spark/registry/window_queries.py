@@ -121,7 +121,8 @@ def win_day_over_day(spark, sf_dir):
 @_q(
     "win_month_over_month",
     """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-                         round(sum(o_totalprice), 2) AS revenue
+                         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                    AS DOUBLE), 2) AS revenue
                   FROM orders GROUP BY month)
        SELECT month, revenue,
               round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
@@ -135,11 +136,18 @@ def win_month_over_month(spark, sf_dir):
     rows), then the single-partition lag window runs over the tiny
     trend frame — the raw fact table never sees a window. Deltas are
     computed from the ROUNDED monthly revenue so both engines
-    subtract identical doubles."""
+    subtract identical doubles; the monthly sum itself runs over
+    DECIMAL(18,2) (o_totalprice is cents-exact, so the cast is
+    lossless) — an exact sum can't round differently across engines'
+    float-addition orders."""
     o = load(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.trunc("o_orderdate", "month").alias("month")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue")
+    )
     prev = F.lag("revenue").over(Window.orderBy("month"))
     return monthly.select(
         "month",
@@ -435,5 +443,75 @@ def win_percent_rank_deciles(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        )
+    )
+
+
+@_q(
+    "win_rolling_7d",
+    """WITH d AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(100 * sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS BIGINT) AS rev_cents
+         FROM orders GROUP BY day)
+       SELECT day, round(rev_cents / 100.0, 2) AS revenue,
+              round(sum(rev_cents) OVER (
+                    ORDER BY day
+                    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                    / 100.0, 2) AS rev_7d
+       FROM d""",
+)
+def win_rolling_7d(spark, sf_dir):
+    """Trailing-7-day revenue: aggregate to day grain first (one
+    shuffle; the raw fact never meets a window), then a RANGE frame
+    over day distance — NOT a 7-ROW frame, so calendar gaps shorten
+    the window instead of silently reaching further back. Daily
+    revenue is carried as exact integer CENTS through the rolling sum
+    (a rolling sum of rounded doubles re-adds them in engine-specific
+    incremental orders; integer cents cannot drift), converting to
+    currency only on output. The trend frame is tiny, so the
+    single-partition window is fine; at finer grains partition the
+    window by a dimension."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("rev_cents").over(w) / 100.0, 2).alias("rev_7d"),
+    )
+
+
+@_q(
+    "agg_distinct_suppliers_by_type",
+    """SELECT p.p_type,
+              count(DISTINCT l.l_suppkey) AS supplier_cnt,
+              count(*) AS n_lines
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand <> 'Brand#5'
+       GROUP BY p.p_type""",
+)
+def agg_distinct_suppliers_by_type(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per part type (minus
+    an excluded brand) alongside a plain count — a mixed
+    distinct/non-distinct aggregate, which Catalyst expands into the
+    two-phase distinct-aggregate plan (partial count + exact distinct
+    on (type, suppkey)). The exact path is the oracle-checkable twin
+    of agg_approx_distinct's HLL sketch."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
         )
     )
