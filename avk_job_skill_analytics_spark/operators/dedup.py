@@ -261,6 +261,42 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, k: int = 5) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram rule): flag
+    every training document that shares at least one k-word shingle
+    with a held-out benchmark/eval set. Returns (id, n_shared,
+    contaminated) for ALL training docs — callers drop the flagged
+    ones before training.
+
+    One shingle explode per side, an equi-join on the shingle, and a
+    per-doc count: linear passes plus one join keyed by shingle. The
+    benchmark side is tiny in practice (eval sets are thousands of
+    docs, the corpus is billions) so AQE runtime-broadcasts its
+    distinct-shingle set; no hard hint, because nothing forces callers
+    to pass a small frame."""
+    doc_sh = word_shingles(df, id_col, text_col, k)
+    bench_sh = (
+        word_shingles(benchmark, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # -------------------------------------------------- duplicate clustering
 
 def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a",

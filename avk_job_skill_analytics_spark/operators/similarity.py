@@ -68,6 +68,37 @@ def l2_normalize(df: DataFrame, vec_col: str, out: str = "unit",
     )
 
 
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the standard ANN
+    index compression: 4x smaller than float32, dot products stay
+    proportional): scale = max|xᵢ|/127, codeᵢ = round(xᵢ/scale).
+
+    Pure per-row array math — no shuffle, runs inside codegen at scan
+    speed over any corpus size. The abs-max is projected into its own
+    column first so the fold runs once, not once per element (HOF
+    re-evaluation trap). All arithmetic is in double so every engine
+    derives bit-identical codes from float32 inputs; zero vectors get
+    scale 0 and all-zero codes."""
+    amax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    proj = df.select(F.col(id_col), F.col(vec_col), amax.alias("_amax"))
+    scale = F.when(F.col("_amax") > 0.0, F.col("_amax") / F.lit(127.0))
+    codes = F.when(
+        F.col("_amax") > 0.0,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / (F.col("_amax") / F.lit(127.0)))
+            .cast("int"),
+        ),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0)))
+    return proj.select(
+        F.col(id_col),
+        F.coalesce(scale, F.lit(0.0)).alias("scale"),
+        codes.alias("codes"),
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 vec_col: str, k: int = 5,
                 round_digits: int = 6) -> DataFrame:

@@ -167,6 +167,65 @@ def top_ngrams(df, id_col: str, text_col: str, n: int = 2,
     )
 
 
+def gopher_quality(df, id_col: str, text_col: str,
+                   min_words: int = 10, max_words: int = 100_000,
+                   min_word_len: float = 2.0, max_word_len: float = 10.0,
+                   min_ttr: float = 0.2, max_top_frac: float = 0.2):
+    """Gopher-style repetition/quality rules per document (Rae et al.
+    2021 §A1.1 heuristics, re-expressed relationally): word count
+    bounds, mean word length bounds, type-token ratio floor, and a cap
+    on the most-frequent word's share. Emits the features plus a
+    ``passes`` verdict computed from the ROUNDED features so any
+    engine reproduces the same booleans.
+
+    Array-local features (count, mean length, TTR) are per-row fold
+    expressions inside codegen — no shuffle; the most-common-word
+    share needs a per-(doc, term) count, so it's one explode plus two
+    hash aggregates keyed by doc id, which scales linearly and
+    partitions evenly at 100 TB (doc ids are unique — no skew)."""
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("_w"),
+    ).filter(F.size("_w") >= 1)
+    stats = toks.select(
+        F.col(id_col),
+        F.size("_w").cast("long").alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform("_w", lambda x: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.size("_w"),
+            4,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.array_distinct("_w")) / F.size("_w").cast("double"), 4
+        ).alias("ttr"),
+    )
+    top = (
+        toks.select(F.col(id_col), F.explode("_w").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("_top_cnt"))
+    )
+    joined = stats.join(top, id_col).withColumn(
+        "top_word_frac",
+        F.round(F.col("_top_cnt") / F.col("n_words").cast("double"), 4),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_word_len, max_word_len)
+        & (F.col("ttr") >= min_ttr)
+        & (F.col("top_word_frac") <= max_top_frac)
+    )
+    return joined.select(
+        id_col, "n_words", "mean_word_len", "ttr", "top_word_frac",
+        passes.alias("passes"),
+    )
+
+
 def canonical_fingerprint(text: Column) -> Column:
     """Exact-dup fingerprint over the canonical form (lowercase,
     whitespace collapsed): md5 hex. Robust to formatting noise."""

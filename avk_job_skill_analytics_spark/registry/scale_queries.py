@@ -718,3 +718,97 @@ def ml_kmeans_centroids(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)
+
+
+@_q(
+    "txt_gopher_rules",
+    """WITH t AS (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS w
+                  FROM documents),
+       s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                    round(list_sum(list_transform(w,
+                          x -> CAST(length(x) AS DOUBLE))) / len(w), 4)
+                        AS mean_word_len,
+                    round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+                        AS ttr
+             FROM t WHERE len(w) >= 1),
+       e AS (SELECT doc_id, unnest(w) AS term FROM t),
+       c AS (SELECT doc_id, max(cnt) AS top_cnt
+             FROM (SELECT doc_id, term, count(*) AS cnt
+                   FROM e GROUP BY doc_id, term)
+             GROUP BY doc_id)
+       SELECT s.doc_id, s.n_words, s.mean_word_len, s.ttr,
+              round(c.top_cnt / CAST(s.n_words AS DOUBLE), 4)
+                  AS top_word_frac,
+              (s.n_words BETWEEN 10 AND 100000
+               AND s.mean_word_len BETWEEN 2.0 AND 10.0
+               AND s.ttr >= 0.2
+               AND round(c.top_cnt / CAST(s.n_words AS DOUBLE), 4) <= 0.2)
+                  AS passes
+       FROM s JOIN c USING (doc_id)""",
+)
+def txt_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rules per document: word-count bounds,
+    mean-word-length bounds, type-token-ratio floor, most-common-word
+    share cap, and the combined pass/fail verdict
+    (operators/textstats.gopher_quality)."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.gopher_quality(docs, "doc_id", "text")
+
+
+_DECON_SHINGLE_CTE = """
+  w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+  sh AS (SELECT DISTINCT doc_id, source,
+                unnest(list_transform(generate_series(1, len(w) - 4),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
+         FROM w WHERE len(w) >= 5)
+"""
+
+
+@_q(
+    "dd_decontaminate",
+    f"""WITH {_DECON_SHINGLE_CTE},
+       b AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+       hits AS (SELECT s.doc_id, count(*) AS n_shared
+                FROM sh s JOIN b USING (shingle)
+                WHERE s.source <> 'src0'
+                GROUP BY s.doc_id)
+       SELECT t.doc_id,
+              CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+              coalesce(h.n_shared, 0) > 0 AS contaminated
+       FROM (SELECT doc_id FROM documents WHERE source <> 'src0') t
+       LEFT JOIN hits h USING (doc_id)""",
+)
+def dd_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs from source 'src0' act as the
+    held-out eval set; every other doc is flagged if it shares any
+    5-word shingle with that set (operators/dedup.decontaminate)."""
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return dedup.decontaminate(train, bench, "doc_id", "text", k=5)
+
+
+@_q(
+    "emb_quantize_int8",
+    """WITH q AS (
+         SELECT vec_id, embedding,
+                list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS amax
+         FROM embeddings)
+       SELECT vec_id,
+              CASE WHEN amax > 0.0 THEN amax / 127.0 ELSE 0.0 END AS scale,
+              CASE WHEN amax > 0.0
+                   THEN list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0))
+                                  AS INT))
+                   ELSE list_transform(embedding, x -> 0) END AS codes
+       FROM q""",
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column
+    (operators/similarity.quantize_int8): scale = max|x|/127, codes =
+    round(x/scale) — the standard 4x ANN index compression."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb, "vec_id", "embedding")

@@ -167,3 +167,67 @@ def test_sample_stratified_rates_and_determinism(spark):
     nby = {r["stratum"]: r["n"] for r in
            rng.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
     assert 1500 < nby["even"] < 2500 and 50 < nby["odd"] < 350
+
+
+def test_gopher_quality_features_and_verdict(spark):
+    from avk_job_skill_analytics_spark.operators.textstats import gopher_quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with the red hat today"),  # passes
+            (2, "spam spam spam spam spam spam spam spam spam spam"),  # repetition
+            (3, "tiny text"),  # too few words
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1]["n_words"] == 11
+    assert out[1]["ttr"] == 0.8182  # 9 distinct / 11
+    assert out[1]["top_word_frac"] == 0.2727  # "the" x3 of 11
+    assert not out[1]["passes"]  # top_word_frac 0.27 > 0.2 cap
+    assert out[2]["ttr"] == 0.1 and out[2]["top_word_frac"] == 1.0
+    assert not out[2]["passes"]
+    assert out[3]["n_words"] == 2 and not out[3]["passes"]
+    ok = gopher_quality(
+        df, "doc_id", "text", min_words=2, max_top_frac=0.5, min_ttr=0.1
+    )
+    assert {r["doc_id"]: r["passes"] for r in ok.collect()} == {
+        1: True, 2: False, 3: True,
+    }
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    from avk_job_skill_analytics_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon suffix"),  # shares 5-grams
+            (2, "nothing in common with the benchmark at all here"),
+            (3, "alpha beta gamma nope delta epsilon zeta"),  # only 3-gram overlap
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate(train, bench, "doc_id", "text", k=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_shared"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_shared"] == 0
+    assert not out[3]["contaminated"]  # 5-gram rule ignores shorter overlaps
+
+
+def test_quantize_int8_codes_and_zero_vector(spark):
+    from avk_job_skill_analytics_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           quantize_int8(df, "vec_id", "embedding").collect()}
+    assert out[1]["codes"] == [127, -64, 32]  # round(-63.5)=-64 half-up
+    assert abs(out[1]["scale"] - 1.0 / 127.0) < 1e-12
+    assert out[2]["codes"] == [0, 0, 0] and out[2]["scale"] == 0.0
+    # codes stay in int8 range by construction
+    assert all(-127 <= c <= 127 for c in out[1]["codes"])
