@@ -32,10 +32,19 @@ class Manifest:
         return os.path.exists(self.path)
 
     def loaded(self) -> DataFrame:
-        """All file names marked loaded (empty frame if none yet)."""
+        """All file names marked loaded (empty frame if none yet).
+
+        Defensively de-duplicated: :meth:`mark_loaded`'s
+        check-then-append is not atomic (see its docstring), so a
+        retried/concurrent writer can double-append a name; consumers
+        must still see each file at most once."""
         if self._exists():
             try:
-                return self.spark.read.schema(MANIFEST).parquet(self.path)
+                return (
+                    self.spark.read.schema(MANIFEST)
+                    .parquet(self.path)
+                    .dropDuplicates(["file_name"])
+                )
             except Exception:
                 pass
         return self.spark.createDataFrame([], MANIFEST)
@@ -71,7 +80,17 @@ class Manifest:
 
     def mark_loaded(self, file_names: list[str]) -> None:
         """S7 conditional insert (`IF NOT EXISTS ... INSERT`,
-        src/load_sqlserver.py:51-54): append names not already present."""
+        src/load_sqlserver.py:51-54): append names not already present.
+
+        SINGLE-WRITER assumption: the anti-join-then-append is not
+        atomic (plain parquet has no transaction log), so two
+        concurrent drivers — or a job retried after a partial append —
+        can both pass the check and double-append a name. That matches
+        the reference's single ETL driver; under concurrency, route
+        appends through one writer (or an ACID table format) and note
+        that :meth:`loaded` de-duplicates reads defensively either
+        way, so downstream idempotency holds even if a double-append
+        slips in."""
         new = self.spark.createDataFrame(
             [(f,) for f in file_names], MANIFEST
         ).join(F.broadcast(self.loaded()), "file_name", "left_anti")
