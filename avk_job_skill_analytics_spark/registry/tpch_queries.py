@@ -29,8 +29,17 @@ features a 100 TB deployment leans on hardest:
   collapses 60k lines to a handful of keys, so AQE turns the join
   back into a broadcast at runtime.
 
+Together with the rest of this module (q2, q4, q7-q9, q11-q13, q15,
+q17, q19-q22) and the registry twins elsewhere (Q1 ≡
+``a7_pricing_summary``, Q16 ≡ ``agg_distinct_suppliers_by_type``),
+every one of the 22 classic TPC-H plan shapes has an oracle-checked
+analog — adapted where the testdata lacks a table (no partsupp:
+lineitem stands in; no commitdate: lateness is shipdate vs orderdate).
+
 Oracle parity: revenue sums rounded to cents before ranking so both
-engines rank identical doubles; LIMIT ties broken by key.
+engines rank identical doubles; sums feeding a rank or threshold run
+over DECIMAL-quantized terms (float addition order differs between
+engines); LIMIT ties broken by key.
 """
 
 from __future__ import annotations
@@ -882,4 +891,204 @@ def tpch_q22_dormant_customers(spark, sf_dir):
                 2,
             ).alias("totacctbal"),
         )
+    )
+
+
+@_q(
+    "tpch_q11_important_stock",
+    """WITH val AS (
+         SELECT l.l_partkey,
+                sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS v
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE n.n_name = 'NATION_3'
+         GROUP BY l.l_partkey),
+       tot AS (SELECT sum(v) AS t FROM val)
+       SELECT l_partkey AS p_partkey,
+              round(CAST(v AS DOUBLE), 2) AS part_value
+       FROM val, tot
+       WHERE CAST(v AS DOUBLE) > 0.001 * CAST(t AS DOUBLE)""",
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's traded value — a grouped aggregate filtered against a
+    scalar aggregate OF ITSELF (testdata has no partsupp, so traded
+    lineitem value stands in for stock value). The per-part frame is
+    computed once; its global total re-aggregates the per-part rows
+    (cheap: one row per part, not per line) and comes back as a 1-row
+    broadcast crossJoin, so the fact scans once. Sums are exact
+    decimals; the threshold compare runs on doubles derived from
+    those exact sums, so the cut is engine-portable."""
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem")
+    val = (
+        li.join(s, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("v")
+        )
+    )
+    tot = val.agg(F.sum("v").alias("_t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("v").cast("double") > F.lit(0.001) * F.col("_t").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("v").cast("double"), 2).alias("part_value"),
+        )
+    )
+
+
+@_q(
+    "tpch_q20_dominant_supplier",
+    """WITH ship AS (
+         SELECT l.l_partkey, l.l_suppkey,
+                sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_name LIKE 'small%'
+           AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+           AND l.l_shipdate < TIMESTAMP '2000-01-01'
+         GROUP BY l.l_partkey, l.l_suppkey),
+       tot AS (SELECT l_partkey, sum(qty) AS total_qty
+               FROM ship GROUP BY l_partkey)
+       SELECT DISTINCT s.s_suppkey, s.s_name
+       FROM ship sh
+       JOIN tot t ON t.l_partkey = sh.l_partkey
+       JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       WHERE n.n_name = 'NATION_5'
+         AND CAST(sh.qty AS DOUBLE) > 0.5 * CAST(t.total_qty AS DOUBLE)""",
+)
+def tpch_q20_dominant_supplier(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one nation who shipped MORE THAN
+    HALF of a part family's yearly volume (testdata has no partsupp,
+    so "holds excess stock" becomes "dominates observed shipments" —
+    the same nested-aggregate-then-semijoin plan). Per-(part,supplier)
+    quantities aggregate once; the per-part total is a window over
+    the part key on that already-collapsed frame (one extra shuffle of
+    part×supplier rows, never of raw lines). >0.5× guarantees at most
+    one dominant supplier per part, and 0.5 is a power of two, so the
+    double compare of exact decimal sums is engine-portable. The
+    supplier dim joins only the surviving keys; nation broadcasts."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    ship = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ship.withColumn("total_qty", F.sum("qty").over(w))
+        .filter(
+            F.col("qty").cast("double")
+            > F.lit(0.5) * F.col("total_qty").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@_q(
+    "tpch_q21_waiting_supplier",
+    """WITH base AS (
+         SELECT l.l_orderkey, l.l_suppkey,
+                (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE o.o_orderstatus = 'F')
+       SELECT s.s_name, count(*) AS numwait
+       FROM base l1
+       JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       WHERE l1.late AND n.n_name = 'NATION_7'
+         AND EXISTS (SELECT 1 FROM base l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM base l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.late)
+       GROUP BY s.s_name
+       ORDER BY numwait DESC, s.s_name
+       LIMIT 10""",
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers in one nation who were the SOLE
+    late supplier on a finished multi-supplier order — the classic
+    EXISTS + NOT EXISTS double correlation (lateness = shipped >60
+    days after ordering, matching tpch_q12's commitdate stand-in).
+    The order-scoped line frame is built ONCE (lineitem⋈orders with a
+    derived late flag) and reused three ways: as the probe (late lines
+    of the target nation's suppliers), as a LEFT SEMI join on the
+    order key with a `suppkey <>` residual (the EXISTS), and as a
+    LEFT ANTI join with the extra late residual (the NOT EXISTS).
+    Both self-joins are equi-joins on the order key — the correlation
+    never becomes a per-row subquery — and integer counts with a name
+    tie-break make the top-10 cut deterministic."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey", "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    l1 = (
+        base.filter("late")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = base.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = base.filter("late").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.o3) & (F.col("l_suppkey") != l3.s3),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
     )

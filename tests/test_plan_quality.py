@@ -209,3 +209,24 @@ def test_skew_join_aqe_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q21_correlation_becomes_semi_and_anti_join(spark, queries):
+    # the EXISTS / NOT EXISTS double correlation must execute as one
+    # LEFT SEMI and one LEFT ANTI equi-join on the order key (with the
+    # suppkey inequality as a residual) — never as a per-row subquery
+    df = queries["tpch_q21_waiting_supplier"](spark, SF_DIR)
+    plan = I.plan_string(df, mode="simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "ScalarSubquery" not in plan, plan
+    assert I.has_node(df, "TakeOrderedAndProject")
+
+
+def test_tpch_q11_total_joins_as_one_row_broadcast(spark, queries):
+    # the self-referential total must re-aggregate the per-part frame
+    # into ONE row and come back as a broadcast nested-loop cross
+    # join — a second scan of lineitem would double the fact I/O
+    df = queries["tpch_q11_important_stock"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("FileScan parquet") <= 3, plan  # lineitem once
