@@ -77,3 +77,19 @@ def sample_stratified(df: DataFrame, strata_col: str, key: str,
     for value, p in pcts.items():
         pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
     return df.filter(bucket < pct)
+
+
+def sample_weighted(df: DataFrame, key: str, weight,
+                    modulus: int = 1_000_000) -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability equal to its per-row ``weight`` expression (clamped to
+    [0,1]) — the standard quality-weighted downsampling step of a
+    training-data mix, made rerun-stable and oracle-verifiable by
+    replacing the RNG with the same multiplicative key hash as
+    :func:`sample_hash_bucket` (finer-grained: millionths). No
+    shuffle; one scan-level comparison per row at any corpus size."""
+    bucket = (
+        F.col(key).cast("long") * F.lit(_KNUTH)
+    ) % F.lit(4294967296) % F.lit(modulus)
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+    return df.filter(bucket.cast("double") < w * F.lit(float(modulus)))

@@ -245,3 +245,74 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % MERSENNE_P,
     )
+
+
+def unigram_logprob(df, id_col: str, text_col: str,
+                    round_digits: int = 4):
+    """Per-document mean unigram log-likelihood under the corpus's own
+    unigram distribution — the classic cheap "perplexity-ish" quality
+    signal (docs full of globally-rare tokens score low; KenLM-style
+    n-gram models plug into the same shape). Returns (id, n_tokens,
+    avg_logprob).
+
+    Two passes over the token relation: a term-frequency aggregate
+    (the "model"), then a join back on ``term`` and a per-doc mean of
+    ln(count/N). The vocabulary aggregate is tiny relative to the
+    corpus (Heaps' law), so AQE runtime-broadcasts it into the
+    scoring join — no hard hint, nothing about the corpus side ever
+    re-shuffles. N arrives as a 1-row broadcast."""
+    toks = tokens(df, id_col, text_col)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c") / F.col("n_total"))), round_digits
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def kl_by_source(df, source_col: str, text_col: str,
+                 round_digits: int = 4):
+    """Per-source KL divergence KL(p_source || p_corpus) over unigram
+    distributions — the standard distribution-shift / contamination
+    monitor for mixed-source training data (a source whose token mix
+    drifts from the corpus stands out). Returns (source, n_tokens,
+    kl).
+
+    Every source's term count and the corpus's term count come out of
+    ONE token pass (the corpus side re-aggregates the per-source
+    frame, never the raw tokens); the join is keyed on ``term``.
+    p > 0 ⇒ q > 0 by construction (every source token is a corpus
+    token), so the sum is total."""
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    per_src = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("c_st").alias("n_s")
+    )
+    corpus = per_src.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    corpus_tot = corpus.agg(F.sum("c_t").alias("n"))
+    p = F.col("c_st") / F.col("n_s")
+    q = F.col("c_t") / F.col("n")
+    return (
+        per_src.join(src_tot, "source")
+        .join(corpus, "term")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), round_digits).alias("kl"),
+        )
+    )

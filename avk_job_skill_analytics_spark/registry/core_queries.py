@@ -618,3 +618,22 @@ def u3_cohort_set_ops(spark, sf_dir):
         F.lit("churned").alias("cohort"), "o_custkey"
     )
     return retained.unionByName(churned)
+
+
+@_q(
+    "o4_sample_weighted",
+    """SELECT doc_id, n_chars
+       FROM documents
+       WHERE CAST(doc_id * 2654435761 % 4294967296 % 1000000 AS DOUBLE)
+             < least(1.0, greatest(0.0, n_chars / 400.0)) * 1000000.0""",
+)
+def o4_sample_weighted(spark, sf_dir):
+    """Deterministic importance sampling (O4 scale path): each
+    document kept with probability proportional to its length
+    (n_chars/400, clamped to 1) via the engine-portable
+    multiplicative hash — the quality-weighted downsampling move of a
+    training-data mix (operators/sampling.sample_weighted)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.sample_weighted(
+        d, "doc_id", F.col("n_chars") / F.lit(400.0)
+    )

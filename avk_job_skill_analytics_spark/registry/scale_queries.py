@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, graph, multimodal, similarity, textstats
+from ..operators import dedup, graph, multimodal, privacy, similarity, textstats
 from ..operators.hashing import (
     MERSENNE_P,
     affine_hash_sql,
@@ -812,3 +812,129 @@ def emb_quantize_int8(spark, sf_dir):
     round(x/scale) — the standard 4x ANN index compression."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.quantize_int8(emb, "vec_id", "embedding")
+
+
+# ------------------------------------------------------- PII scrubbing
+
+# The oracle SQL is GENERATED at import from the same constants the
+# Spark plan compiles (operators/privacy.PII_PATTERNS), so the two
+# engines can never drift. Testdata text is synthetic word-salad with
+# no PII, so the query laces a deterministic email/SSN/phone/IP mix
+# per doc_id: both engines build, count, and scrub identical strings.
+_PII_LACED = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' mail bob' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ip 10.0.0.7' ELSE '' END
+             AS pii_text
+  FROM documents
+"""
+
+
+def _pii_oracle_sql() -> str:
+    quote = lambda s: s.replace("'", "''")
+    counts = ",\n              ".join(
+        f"CAST(len(regexp_extract_all(pii_text, '{quote(pat)}'))"
+        f" AS BIGINT) AS n_{name}"
+        for name, (pat, _) in privacy.PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(pii_text, '{quote(pat)}'))"
+        for pat, _ in privacy.PII_PATTERNS.values()
+    )
+    red = "pii_text"
+    for pat, token in privacy.PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{quote(pat)}', '{token}', 'g')"
+    return (
+        f"WITH laced AS ({_PII_LACED})\n"
+        f"       SELECT doc_id,\n              {counts},\n"
+        f"              CAST({total} AS BIGINT) AS n_pii,\n"
+        f"              {red} AS redacted\n"
+        f"       FROM laced"
+    )
+
+
+@_q("pii_redact", _pii_oracle_sql())
+def pii_redact(spark, sf_dir):
+    """PII scan-and-scrub over the documents table
+    (operators/privacy.redact_pii): per-category counts on the raw
+    text plus the sequentially redacted text. The lacing CASEs inject
+    a deterministic email/SSN/phone/IP mix so the detectors have
+    ground truth to find."""
+    d = load(spark, sf_dir, "documents")
+    laced = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" mail bob"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" ssn 123-45-6789"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" tel 555-123-4567"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ip 10.0.0.7"))
+            .otherwise(F.lit("")),
+        ).alias("pii_text"),
+    )
+    return privacy.redact_pii(laced, "doc_id", "pii_text")
+
+
+@_q(
+    "txt_unigram_logprob",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS term
+         FROM documents),
+       vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+       tot AS (SELECT sum(c) AS n_total FROM vocab)
+       SELECT doc_id, count(*) AS n_tokens,
+              round(avg(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))), 4)
+                  AS avg_logprob
+       FROM toks JOIN vocab USING (term), tot
+       GROUP BY doc_id""",
+)
+def txt_unigram_logprob(spark, sf_dir):
+    """Mean unigram log-likelihood per document under the corpus's own
+    term distribution — the cheap perplexity-style quality signal
+    (operators/textstats.unigram_logprob)."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.unigram_logprob(docs, "doc_id", "text")
+
+
+@_q(
+    "txt_kl_by_source",
+    """WITH toks AS (
+         SELECT source,
+                unnest(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS term
+         FROM documents),
+       ps AS (SELECT source, term, count(*) AS c_st
+              FROM toks GROUP BY source, term),
+       st AS (SELECT source, sum(c_st) AS n_s FROM ps GROUP BY source),
+       ct AS (SELECT term, sum(c_st) AS c_t FROM ps GROUP BY term),
+       tot AS (SELECT sum(c_t) AS n FROM ct)
+       SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+              round(sum((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                        * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                             / (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)))),
+                    4) AS kl
+       FROM ps JOIN st USING (source) JOIN ct USING (term), tot
+       GROUP BY source""",
+)
+def txt_kl_by_source(spark, sf_dir):
+    """Unigram-distribution KL divergence of each source against the
+    whole corpus — the distribution-shift monitor for a mixed-source
+    training set (operators/textstats.kl_by_source)."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.kl_by_source(docs, "source", "text")

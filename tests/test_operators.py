@@ -231,3 +231,87 @@ def test_quantize_int8_codes_and_zero_vector(spark):
     assert out[2]["codes"] == [0, 0, 0] and out[2]["scale"] == 0.0
     # codes stay in int8 range by construction
     assert all(-127 <= c <= 127 for c in out[1]["codes"])
+
+
+def test_redact_pii_counts_and_scrubs(spark):
+    from avk_job_skill_analytics_spark.operators.privacy import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach bob.smith+x@corp.example.org or 555-867-5309 now"),
+            (2, "ssn 123-45-6789 from host 192.168.1.10"),
+            (3, "clean text with digits 12345 and no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["redacted"] == "reach [EMAIL] or [PHONE] now"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 1
+    assert out[2]["redacted"] == "ssn [SSN] from host [IP]"
+    assert out[3]["n_pii"] == 0
+    assert out[3]["redacted"] == "clean text with digits 12345 and no pii at all"
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    import math
+
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    # corpus: a a a b  => p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == round(math.log(0.75), 4)
+    assert out[2]["avg_logprob"] == round(math.log(0.25), 4)
+
+
+def test_kl_by_source_zero_for_identical_mix(spark):
+    import math
+
+    from avk_job_skill_analytics_spark.operators.textstats import kl_by_source
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a b"), ("s2", "a b"),
+            ("s3", "a a a a"),  # skews the corpus towards 'a'
+        ],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in kl_by_source(df, "source", "text").collect()}
+    # corpus: a x6, b x2 -> q(a)=0.75, q(b)=0.25
+    # s1/s2: p=(0.5,0.5) -> KL = 0.5 ln(0.5/0.75) + 0.5 ln(0.5/0.25)
+    expect_even = round(0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(2.0), 4)
+    assert out["s1"]["kl"] == expect_even == out["s2"]["kl"]
+    # s3: p(a)=1 -> KL = ln(1/0.75)
+    assert out["s3"]["kl"] == round(math.log(1 / 0.75), 4)
+    assert out["s3"]["n_tokens"] == 4
+    # a source whose mix IS the corpus mix has KL exactly 0
+    solo = spark.createDataFrame(
+        [("only", "a b b a")], ["source", "text"]
+    )
+    assert kl_by_source(solo, "source", "text").collect()[0]["kl"] == 0.0
+
+
+def test_sample_weighted_honours_clamped_probability(spark):
+    from avk_job_skill_analytics_spark.operators.sampling import (
+        sample_weighted,
+    )
+
+    df = spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 100 / 100.0).alias("w"),
+    )
+    kept = sample_weighted(df, "id", F.col("w"))
+    # E[kept] = sum(w) = 4950; the hash is uniform enough for +/-15%
+    n = kept.count()
+    assert 4200 < n < 5700, n
+    # weight 0 rows can never be kept; weight ~1 rows almost always
+    assert kept.filter(F.col("w") == 0.0).count() == 0
+    # deterministic: same selection on rerun
+    assert kept.count() == n
