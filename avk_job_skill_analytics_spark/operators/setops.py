@@ -58,3 +58,31 @@ def anti_join(df: DataFrame, exclude: DataFrame, on: str | Sequence[str],
     if broadcast_exclude:
         exclude = F.broadcast(exclude)
     return df.join(exclude, on, "left_anti")
+
+
+def upsert_keep_latest(target: DataFrame, updates: DataFrame,
+                       keys: Sequence[str], version_col: str) -> DataFrame:
+    """MERGE/upsert expressed relationally (U-family scale path):
+    union the incoming batch with the target and keep, per key, the
+    row with the highest ``version_col`` (ties resolve to the update
+    side by a stable source rank). This is how an ACID-less parquet
+    warehouse applies a changeset: compute the merged image, then
+    atomically swap it in (dynamic partition overwrite writes only
+    the partitions the changeset touches — pair with
+    ``partitionBy`` on the write).
+
+    One union (no shuffle) + one window shuffle on the key. At 100 TB
+    the shuffle touches only the TARGET PARTITIONS the keys land in
+    when the caller pre-filters target to affected partitions — the
+    standard merge-on-read compaction pattern."""
+    t = target.withColumn("_src", F.lit(0))
+    u = updates.withColumn("_src", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(version_col), F.desc("_src")
+    )
+    return (
+        t.unionByName(u)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

@@ -637,3 +637,56 @@ def o4_sample_weighted(spark, sf_dir):
     return sampling.sample_weighted(
         d, "doc_id", F.col("n_chars") / F.lit(400.0)
     )
+
+
+@_q(
+    "u4_upsert_keep_latest",
+    """WITH target AS (
+         SELECT o_orderkey, o_totalprice, 1 AS version FROM orders),
+       updates AS (
+         SELECT o_orderkey,
+                CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(1.1 AS DECIMAL(2,1)), 2)
+                     AS DOUBLE) AS o_totalprice,
+                2 AS version
+         FROM orders WHERE o_orderkey % 10 = 0),
+       merged AS (
+         SELECT *, row_number() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY version DESC) AS rn
+         FROM (SELECT * FROM target UNION ALL SELECT * FROM updates))
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, version
+       FROM merged WHERE rn = 1""",
+)
+def u4_upsert_keep_latest(spark, sf_dir):
+    """MERGE-style upsert (operators/setops.upsert_keep_latest): a
+    changeset re-pricing every 10th order (version 2) merged into the
+    full order book (version 1); per key the highest version wins.
+    The union never shuffles; the keep-latest window is ONE shuffle
+    on the order key."""
+    o = load(spark, sf_dir, "orders")
+    target = o.select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("version")
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        # exact decimal re-pricing, rounded BEFORE the double cast:
+        # x*1.1 frequently lands on a half-cent, where double rounding
+        # is engine-dependent but decimal rounding is not
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    merged = setops.upsert_keep_latest(
+        target, updates, ["o_orderkey"], "version"
+    )
+    return merged.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "version",
+    )

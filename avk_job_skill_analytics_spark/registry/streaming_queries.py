@@ -32,6 +32,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..plans.schemas import load
 from ..streaming.incremental import (
     session_window_counts,
     sliding_window_counts,
@@ -258,3 +259,63 @@ def stream_stateful_user_stats(spark, sf_dir):
     aggregate."""
     agg = stateful_user_stats(_events_stream(spark, sf_dir))
     return _drain(spark, agg, "update", "st_stateful")
+
+
+@_q(
+    "stream_static_enrich",
+    """SELECT c.c_mktsegment, count(*) AS n_events,
+              round(sum(e.value), 2) AS total_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY c.c_mktsegment""",
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment join: the events stream joined to the
+    static customer dimension, aggregated by market segment. The
+    static side is a plain batch DataFrame — Spark re-plans it per
+    micro-batch and (at dim scale) broadcasts it, so the stream is
+    never shuffled for the join; this is THE pattern for enriching a
+    100 TB/day event firehose against reference data. availableNow
+    drains the deterministic full aggregate."""
+    ev = _events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    agg = (
+        ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return _drain(spark, agg, "complete", "st_enrich")
+
+
+@_q(
+    "stream_append_late_windows",
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+       wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM ev)
+       SELECT date_trunc('hour', e.ts) AS window_start, count(*) AS n
+       FROM ev e, wm
+       GROUP BY window_start
+       HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)""",
+)
+def stream_append_late_windows(spark, sf_dir):
+    """APPEND-mode tumbling windows under a 2-hour watermark — the
+    late-data contract made observable: a window is emitted exactly
+    once, only after the watermark (max observed event time minus the
+    allowed lateness) passes its end; still-open windows at the head
+    of the stream are withheld. availableNow runs the data batch plus
+    the final no-data batch (SPARK-24156) that advances the watermark
+    and flushes closed windows, so the emitted set is exactly
+    {windows : end <= max_ts - 2h} — which is what the oracle
+    computes. Casting nanos→micros on both sides keeps the max-ts
+    boundary identical."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    return _drain(spark, agg, "append", "st_append_late")

@@ -515,3 +515,54 @@ def agg_distinct_suppliers_by_type(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@_q(
+    "win_scd2_intervals",
+    """WITH ordered AS (
+         SELECT o_custkey, o_orderstatus,
+                CAST(o_orderdate AS DATE) AS odate, o_orderkey,
+                lag(o_orderstatus) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev_status
+         FROM orders),
+       changes AS (
+         SELECT o_custkey, o_orderstatus, odate, o_orderkey
+         FROM ordered
+         WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+       SELECT o_custkey, o_orderstatus,
+              odate AS valid_from,
+              lead(odate) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY odate, o_orderkey) AS valid_to
+       FROM changes""",
+)
+def win_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: collapse each
+    customer's order-status history into change intervals
+    [valid_from, valid_to), open-ended for the current version — the
+    standard warehouse dimension-versioning op, done as two window
+    passes (change detection via lag, interval close via lead) over
+    ONE hash partitioning on the customer key: Catalyst plans a
+    single Exchange, both sorts reuse it. Orderkey breaks same-day
+    ties deterministically."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select(
+            "o_custkey", "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_orderkey",
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    return changes.select(
+        "o_custkey", "o_orderstatus",
+        F.col("odate").alias("valid_from"),
+        F.lead("odate").over(w2).alias("valid_to"),
+    )

@@ -315,3 +315,28 @@ def test_sample_weighted_honours_clamped_probability(spark):
     assert kept.filter(F.col("w") == 0.0).count() == 0
     # deterministic: same selection on rerun
     assert kept.count() == n
+
+
+def test_upsert_keep_latest_merges_changeset(spark):
+    from avk_job_skill_analytics_spark.operators.setops import (
+        upsert_keep_latest,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], ["k", "val", "version"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 2), (4, "D", 2)], ["k", "val", "version"]
+    )
+    out = {r["k"]: r for r in
+           upsert_keep_latest(target, updates, ["k"], "version").collect()}
+    assert len(out) == 4
+    assert out[2]["val"] == "B" and out[2]["version"] == 2  # updated
+    assert out[1]["val"] == "a" and out[3]["val"] == "c"    # untouched
+    assert out[4]["val"] == "D"                             # inserted
+    # same-version collision resolves to the update side
+    tie = upsert_keep_latest(
+        target, spark.createDataFrame([(1, "A", 1)], ["k", "val", "version"]),
+        ["k"], "version",
+    )
+    assert {r["k"]: r["val"] for r in tie.collect()}[1] == "A"

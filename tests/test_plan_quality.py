@@ -230,3 +230,12 @@ def test_tpch_q11_total_joins_as_one_row_broadcast(spark, queries):
     plan = I.plan_string(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("FileScan parquet") <= 3, plan  # lineitem once
+
+
+def test_scd2_windows_share_one_exchange(spark, queries):
+    # both window passes partition by o_custkey — the second sort must
+    # reuse the first hash partitioning, not add a second shuffle
+    df = queries["win_scd2_intervals"](spark, SF_DIR)
+    plan = I.plan_string(df, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 2, plan
