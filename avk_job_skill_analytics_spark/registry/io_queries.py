@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -146,3 +148,58 @@ def ud1_skill_extract(spark, sf_dir):
     )
     out = RuleSkillExtractor().extract(d, "doc_text")
     return out.select("doc_id", "technical_skills", "soft_skills")
+
+
+# ------------------------------------------- S1/S5 partitioned layout
+# One partitioned copy per (process, sf_dir), removed at exit — the
+# write is the setup, the PRUNED READ is the operator under test.
+_PART_DIRS: dict = {}
+
+
+def _partitioned_events(spark, sf_dir: str) -> str:
+    if sf_dir not in _PART_DIRS:
+        d = tempfile.mkdtemp(prefix="events_bydate_")
+        (
+            load(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(f"{d}/events_bydate")
+        )
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _PART_DIRS[sf_dir] = d
+    return f"{_PART_DIRS[sf_dir]}/events_bydate"
+
+
+@_q(
+    "io_partitioned_prune",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       FROM events
+       WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+         AND CAST(ts AS DATE) <= DATE '2024-01-19'
+       GROUP BY event_type""",
+)
+def io_partitioned_prune(spark, sf_dir):
+    """Hive-style partition pruning — the 100 TB layout move the
+    reference's flat per-day CSV drops emulate by filename games
+    (src/transform.py:186-196): events re-written
+    ``partitionBy(event_date)``, then a 10-day slice read back. The
+    date predicate is resolved against the DIRECTORY LISTING
+    (PartitionFilters in the scan — asserted in
+    tests/test_plan_quality.py), so the engine never opens a file
+    outside the window: at a year of 100 TB that's a ~97% I/O skip
+    before the first byte is read. The oracle runs the same slice as
+    a row filter on the flat table."""
+    path = _partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+            & (F.col("event_date") <= F.lit("2024-01-19").cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

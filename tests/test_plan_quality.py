@@ -239,3 +239,16 @@ def test_scd2_windows_share_one_exchange(spark, queries):
     plan = I.plan_string(df, mode="simple")
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window") == 2, plan
+
+
+def test_partitioned_read_prunes_by_directory(spark, queries):
+    # the date slice must resolve against partition directories
+    # (PartitionFilters), not as a row-level filter over all files
+    df = queries["io_partitioned_prune"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    # 30 daily partitions exist; the slice reads 10
+    m2 = re.search(r"partition count: (\d+)", plan.lower())
+    if m2:
+        assert int(m2.group(1)) == 10, plan
