@@ -316,3 +316,50 @@ def kl_by_source(df, source_col: str, text_col: str,
             F.round(F.sum(p * F.log(p / q)), round_digits).alias("kl"),
         )
     )
+
+
+def chunk_documents(df, id_col: str, text_col: str,
+                    chunk_tokens: int = 32, overlap: int = 8):
+    """Split each document into overlapping token-window chunks — the
+    standard context-window preparation step for embedding / RAG /
+    training pipelines. Chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride =
+    chunk_tokens - overlap; the final chunk may be short; a non-empty
+    document always yields at least one chunk. Returns (id,
+    chunk_idx, chunk_n_tokens, chunk_text) with a per-document dense
+    chunk index — (id, chunk_idx) is the stable chunk key.
+
+    Pure array expressions: tokenize once (projected column — HOF
+    re-evaluation trap), explode a ``sequence`` of chunk starts,
+    ``slice`` + ``array_join`` per chunk. No shuffle at all — the
+    explode is pipelined inside the scan stage, so at 100 TB this is
+    one embarrassingly parallel pass whose output is ~(1 +
+    overlap/stride)× the input bytes."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias(
+            "_w"
+        ),
+    ).filter(F.size("_w") >= 1)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("_w") - F.lit(overlap)) / F.lit(float(stride)))
+        .cast("int"),
+    )
+    exploded = toks.select(
+        F.col(id_col),
+        F.col("_w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("_w"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -938,3 +938,38 @@ def txt_kl_by_source(spark, sf_dir):
     training set (operators/textstats.kl_by_source)."""
     docs = load(spark, sf_dir, "documents")
     return textstats.kl_by_source(docs, "source", "text")
+
+
+@_q(
+    "txt_chunk_windows",
+    """WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '') AS w
+         FROM documents),
+       n AS (SELECT doc_id, w,
+                    greatest(1, CAST(ceil((len(w) - 8) / 24.0) AS INT))
+                        AS n_chunks
+             FROM t WHERE len(w) >= 1),
+       e AS (SELECT doc_id, w,
+                    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+             FROM n)
+       SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+              CAST(len(list_slice(w, chunk_idx * 24 + 1,
+                                  chunk_idx * 24 + 32)) AS BIGINT)
+                  AS chunk_n_tokens,
+              array_to_string(list_slice(w, chunk_idx * 24 + 1,
+                                         chunk_idx * 24 + 32), ' ')
+                  AS chunk_text
+       FROM e""",
+)
+def txt_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap) of every document — the RAG/embedding context-window
+    prep (operators/textstats.chunk_documents). (doc_id, chunk_idx)
+    is the stable chunk key; the oracle rebuilds identical windows
+    with list_slice."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    )

@@ -566,3 +566,29 @@ def win_scd2_intervals(spark, sf_dir):
         F.col("odate").alias("valid_from"),
         F.lead("odate").over(w2).alias("valid_to"),
     )
+
+
+@_q(
+    "win_cume_dist",
+    """SELECT o_orderpriority, o_orderkey,
+              round(cume_dist() OVER (
+                  PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice, o_orderkey), 6) AS cd
+       FROM orders WHERE o_orderkey % 100 = 0""",
+)
+def win_cume_dist(spark, sf_dir):
+    """cume_dist within order priority — the last member of the
+    rank-function family (rank/dense_rank/percent_rank/ntile are
+    covered elsewhere). The orderkey tie-break makes every row's
+    frame — and therefore the distribution value — deterministic;
+    the %100 filter keeps the oracle frame small without changing
+    the plan shape."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority", "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -340,3 +340,35 @@ def test_upsert_keep_latest_merges_changeset(spark):
         ["k"], "version",
     )
     assert {r["k"]: r["val"] for r in tie.collect()}[1] == "A"
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "short text"), (3, "   "), (4, "x " * 4 + "y")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"])
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 10 tokens, chunk 4, stride 3 -> ceil((10-1)/3) = 3 chunks
+    assert [r["chunk_text"] for r in by_doc[1]] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert by_doc[1][0]["chunk_text"].split()[-1:] == \
+        by_doc[1][1]["chunk_text"].split()[:1]
+    # short doc -> one (short) chunk; whitespace-only doc -> no chunks
+    assert [r["chunk_text"] for r in by_doc[2]] == ["short text"]
+    assert 3 not in by_doc
+    assert [r["chunk_n_tokens"] for r in by_doc[4]] == [4, 2]
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
