@@ -16,6 +16,7 @@ Oracle-generation notes:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, graph, multimodal, privacy, similarity, textstats
@@ -633,27 +634,32 @@ def mm_frame_sample(spark, sf_dir):
 
 
 # -------------------------------------------------- text: quality filter
-@_q(
-    "txt_quality_filter",
-    r"""WITH f AS (
-         SELECT doc_id,
+# Quality-score SQL shared by txt_quality_filter and the curation
+# funnel (single source — the two oracles cannot drift). {src} is the
+# relation providing (doc_id, text).
+_QUALITY_F_CTE = r"""
+         SELECT doc_id, text,
                 CAST(length(text) AS BIGINT) AS n_chars,
                 len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
                   / greatest(len(list_filter(string_split_regex(text, '\s+'),
                                              x -> x <> '')), 1) AS stop_r,
                 len(regexp_extract_all(text, '[^\w\s]'))
                   / greatest(length(text), 1) AS punct_r
-         FROM documents)
-       SELECT doc_id,
-              round(CAST((CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.4
-                  + (CASE WHEN round(stop_r, 4) >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
-                  + (CASE WHEN round(punct_r, 4) <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.3
-                AS DOUBLE), 4) AS quality
+         FROM {src}"""
+
+_QUALITY_SCORE_SQL = """round(CAST(
+        (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.4
+      + (CASE WHEN round(stop_r, 4) >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
+      + (CASE WHEN round(punct_r, 4) <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.3
+        AS DOUBLE), 4)"""
+
+
+@_q(
+    "txt_quality_filter",
+    f"""WITH f AS ({_QUALITY_F_CTE.format(src="documents")})
+       SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality
        FROM f
-       WHERE round(CAST((CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.4
-                 + (CASE WHEN round(stop_r, 4) >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
-                 + (CASE WHEN round(punct_r, 4) <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.3
-               AS DOUBLE), 4) >= 0.7""",
+       WHERE {_QUALITY_SCORE_SQL} >= 0.7""",
 )
 def txt_quality_filter(spark, sf_dir):
     """Corpus quality gate: score each document with the deterministic
@@ -972,4 +978,110 @@ def txt_chunk_windows(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return textstats.chunk_documents(
         docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+
+
+@_q(
+    "pipeline_corpus_funnel",
+    f"""WITH corpus AS (
+         SELECT doc_id, text FROM documents WHERE source <> 'src0'
+         UNION ALL
+         SELECT doc_id + 100000, text FROM documents
+         WHERE source <> 'src0' AND doc_id % 5 = 0),
+       f AS ({_QUALITY_F_CTE.format(src="corpus")}),
+       q AS (SELECT doc_id, text FROM f
+             WHERE {_QUALITY_SCORE_SQL} >= 0.7),
+       d AS (SELECT min(doc_id) AS doc_id, any_value(text) AS text
+             FROM q GROUP BY md5(text)),
+       dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+       dsh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(generate_series(1, len(w) - 4),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  || ' ' || w[i+3] || ' ' || w[i+4]))
+                          AS shingle
+               FROM dw WHERE len(w) >= 5),
+       bw AS (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE source = 'src0'),
+       bsh AS (SELECT DISTINCT
+                      unnest(list_transform(generate_series(1, len(w) - 4),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  || ' ' || w[i+3] || ' ' || w[i+4]))
+                          AS shingle
+               FROM bw WHERE len(w) >= 5),
+       hit AS (SELECT DISTINCT s.doc_id
+               FROM dsh s JOIN bsh USING (shingle)),
+       clean AS (SELECT d.doc_id FROM d
+                 LEFT JOIN hit ON hit.doc_id = d.doc_id
+                 WHERE hit.doc_id IS NULL)
+       SELECT 'raw' AS stage, (SELECT count(*) FROM corpus) AS n_docs
+       UNION ALL
+       SELECT 'quality', (SELECT count(*) FROM q)
+       UNION ALL
+       SELECT 'dedup', (SELECT count(*) FROM d)
+       UNION ALL
+       SELECT 'decontaminated', (SELECT count(*) FROM clean)""",
+)
+def pipeline_corpus_funnel(spark, sf_dir):
+    """The full corpus-curation funnel COMPOSED from the individual
+    operators, reporting survivors per stage: raw (with synthesized
+    duplicates — testdata texts are unique), quality gate
+    (textstats.quality_score >= 0.7), exact dedup keep-first, and
+    benchmark decontamination (dedup.decontaminate vs the held-out
+    src0 docs). The composition is what a real pre-training data
+    build runs nightly; each operator is oracle-verified on its own
+    elsewhere, and the funnel verifies they compose (counts chain
+    monotonically).
+
+    Single-pass shape: every document is ANNOTATED with its funnel
+    verdicts (quality boolean, keep-first rank among quality
+    survivors) and the stage totals come out of one aggregate —
+    no per-stage re-scan of the corpus. Only decontamination runs on
+    the collapsed survivor set (it needs the shingle join), with the
+    small benchmark side AQE-broadcast. At 100 TB: one scan, one
+    window shuffle on the text hash, one shingle join — and the same
+    annotated frame, filtered, IS the curated output set."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        F.desc("q_pass"), F.asc("doc_id")
+    )
+    ann = (
+        corpus.withColumn(
+            "q_pass", textstats.quality_score(F.col("text")) >= 0.7
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("kept", F.col("q_pass") & (F.col("_rn") == 1))
+    )
+    bench = docs.filter(F.col("source") == "src0")
+    clean_n = (
+        dedup.decontaminate(
+            ann.filter("kept").select("doc_id", "text"), bench,
+            "doc_id", "text", k=5,
+        )
+        .agg(
+            F.sum(F.when(~F.col("contaminated"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clean")
+        )
+    )
+    totals = ann.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("q_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dedup"),
+    )
+    return totals.crossJoin(clean_n).selectExpr(
+        """stack(4,
+                 'raw', n_raw,
+                 'quality', n_quality,
+                 'dedup', n_dedup,
+                 'decontaminated', n_clean) AS (stage, n_docs)"""
     )

@@ -252,3 +252,40 @@ def test_partitioned_read_prunes_by_directory(spark, queries):
     m2 = re.search(r"partition count: (\d+)", plan.lower())
     if m2:
         assert int(m2.group(1)) == 10, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    # the session factory enables runtime bloom-filter join pruning
+    # (plans/session.py): a selective filter on the build side must
+    # inject a might_contain() pre-filter into the probe-side scan,
+    # cutting shuffle input before the join. Size thresholds are
+    # lowered to make test-scale bytes eligible (at 100 TB the
+    # defaults fire on their own); broadcast disabled because a
+    # broadcast join already prunes via its hash table.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = I.plan_string(j, mode="simple")
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
