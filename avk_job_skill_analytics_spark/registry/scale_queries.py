@@ -1085,3 +1085,40 @@ def pipeline_corpus_funnel(spark, sf_dir):
                  'dedup', n_dedup,
                  'decontaminated', n_clean) AS (stage, n_docs)"""
     )
+
+
+@_q(
+    "dd_incremental_new_docs",
+    """WITH seen AS (
+         SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                    AS fp
+         FROM documents WHERE doc_id % 2 = 0),
+       batch AS (
+         SELECT doc_id, text,
+                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+         FROM documents WHERE doc_id % 2 = 1)
+       SELECT b.doc_id, b.fp
+       FROM batch b LEFT JOIN seen s ON s.fp = b.fp
+       WHERE s.fp IS NULL""",
+)
+def dd_incremental_new_docs(spark, sf_dir):
+    """Incremental corpus dedup: an arriving batch (odd doc ids)
+    anti-joined on canonical fingerprints against the already-ingested
+    index (even doc ids) — the nightly-growth companion to the batch
+    dedup ops (same shape as the S7/S8 file manifest, applied to
+    CONTENT identity). The fingerprint is
+    textstats.canonical_fingerprint (lowercase, whitespace-collapsed
+    md5), so formatting-only rewrites of an already-ingested doc are
+    caught. At 100 TB the index side is a compact one-column table;
+    the anti-join shuffles fingerprints, never text bytes."""
+    docs = load(spark, sf_dir, "documents")
+    fp = textstats.canonical_fingerprint(F.col("text"))
+    seen = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(fp.alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", fp.alias("fp")
+    )
+    return batch.join(seen, "fp", "left_anti").select("doc_id", "fp")
