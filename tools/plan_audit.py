@@ -1,0 +1,124 @@
+"""Physical-plan red-flag sweep across the whole query registry.
+
+For every ``queries()`` entry (streaming drains excluded — their plan
+is inside the StreamingQuery), build the DataFrame and scan its
+physical plan for patterns that are scale hazards at 100 TB even when
+sf0.01 correctness is green:
+
+- ``CartesianProduct`` — an unconditioned join that isn't a 1-row
+  broadcast;
+- ``BatchEvalPython`` / ``ArrowEvalPython`` — row/batch Python eval in
+  a batch path (only ``MapInPandas``/``FlatMapGroupsInPandas`` nodes
+  are sanctioned, and only where the operator is genuinely external);
+- a ``Window`` with an empty partition spec (all rows to one task) —
+  except over already-aggregated tiny frames, which the allowlist
+  records with a justification;
+- ``Exchange SinglePartition`` feeding a non-final stage.
+
+Usage: python tools/plan_audit.py [sf_dir]
+Exit 1 if any un-allowlisted flag fires.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+ROOT = "/root/repo"
+sys.path.insert(0, ROOT)
+
+# name -> (pattern, why it's acceptable THERE)
+ALLOW: dict[str, list[tuple[str, str]]] = {
+    "a1_total_count": [("global-window-or-single", "1-row global aggregate")],
+    "tpch_q11_important_stock": [
+        ("CartesianProduct|BroadcastNestedLoopJoin",
+         "1-row total broadcast back over per-part frame"),
+    ],
+    "tpch_q22_dormant_customers": [
+        ("CartesianProduct|BroadcastNestedLoopJoin",
+         "1-row avg-balance broadcast"),
+    ],
+    "tpch_q17_small_quantity": [
+        ("CartesianProduct|BroadcastNestedLoopJoin", "1-row threshold")
+    ],
+    "a11_pct_of_total": [
+        ("empty-partition-window", "window over the aggregated per-dim frame"),
+    ],
+    "win_month_over_month": [
+        ("empty-partition-window", "ordered trend over per-month aggregate"),
+    ],
+    "win_day_over_day": [
+        ("empty-partition-window", "ordered trend over per-day aggregate"),
+    ],
+    "win_rolling_7d": [
+        ("empty-partition-window", "range frame over day-grain aggregate"),
+    ],
+    "win_running_revenue": [
+        ("empty-partition-window", "cumulative frame over per-day aggregate"),
+    ],
+    "j2_topn_window": [
+        ("empty-partition-window",
+         "rank over the per-dimension aggregate (|dims| rows), the window "
+         "twin of the semi-join form — bounded input by construction"),
+    ],
+}
+
+
+def flags_for(plan: str) -> list[str]:
+    out = []
+    if "CartesianProduct" in plan:
+        out.append("CartesianProduct|BroadcastNestedLoopJoin")
+    if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+        out.append("python-eval")
+    # Window with empty partition spec: windowspecdefinition(<sort only>)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "ASC" in spec or "DESC" in spec:
+            head = spec.split(",")[0].strip()
+            if "ASC" in head or "DESC" in head:
+                out.append("empty-partition-window")
+                break
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    bad = 0
+    for name, fn in sorted(E.queries().items()):
+        if name.startswith("stream_"):
+            continue  # availableNow drain: plan lives in the stream
+        try:
+            df = fn(spark, sf_dir)
+            jvm = spark._jvm
+            plan = jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "extended"
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERR  {name}: {type(exc).__name__}: {exc}")
+            bad += 1
+            continue
+        allowed = {p for p, _ in ALLOW.get(name, [])}
+        hits = [
+            f
+            for f in flags_for(plan)
+            if f not in allowed
+            and not any(re.fullmatch(a, f) for a in allowed)
+        ]
+        if hits:
+            print(f"FLAG {name}: {', '.join(hits)}")
+            bad += 1
+    print(f"\n{bad} flagged")
+    raise SystemExit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
