@@ -125,3 +125,68 @@ def frame_sample_plan(df: DataFrame, id_col: str = "doc_id",
 
     frame_sample_plan.decode_frame = decode_frame
     return frames.select(id_col, "frame_idx")
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, win_idx long, start_byte long, n_bytes long, "
+    "mean_amp double"
+)
+
+
+def audio_windows(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload", window: int = 128,
+                  hop: int = 64) -> DataFrame:
+    """Audio-style framing: split each binary payload into overlapping
+    fixed-size windows (full windows only — the STFT drop-last
+    convention) and emit one feature row per frame: (id, win_idx,
+    start_byte, n_bytes, mean_amp). ``mean_amp`` is the stub feature —
+    the mean of the window's byte values standing in for a real
+    RMS/spectral feature over decoded PCM (no audio libs in this
+    environment; swap the numpy line for a real decode in
+    production).
+
+    The Python boundary is one Arrow-batched ``mapInPandas`` pass —
+    payload bytes never shuffle; the output is small typed rows. Frame
+    count per doc is (len - window)//hop + 1, so output volume is
+    ~len/hop rows per payload regardless of corpus size."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def run(batches):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def round_half_up(x: float, digits: int = 4) -> float:
+            # mean-of-bytes values are multiples of 1/window, which
+            # lands EXACTLY on 4-decimal ties whenever window is a
+            # power of two — Python's banker's round() would flip
+            # those down half the time while SQL engines round half
+            # away from zero. Values are non-negative here.
+            scale = 10 ** digits
+            return math.floor(x * scale + 0.5) / scale
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "win_idx": [], "start_byte": [],
+                "n_bytes": [], "mean_amp": [],
+            }
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n = len(buf)
+                for w in range((n - window) // hop + 1 if n >= window else 0):
+                    s = w * hop
+                    out["doc_id"].append(did)
+                    out["win_idx"].append(w)
+                    out["start_byte"].append(s)
+                    out["n_bytes"].append(window)
+                    out["mean_amp"].append(
+                        round_half_up(float(buf[s:s + window].mean()))
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )

@@ -1122,3 +1122,33 @@ def dd_incremental_new_docs(spark, sf_dir):
         "doc_id", fp.alias("fp")
     )
     return batch.join(seen, "fp", "left_anti").select("doc_id", "fp")
+
+
+@_q(
+    "mm_audio_windows",
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       w AS (SELECT doc_id, text,
+                    unnest(generate_series(0,
+                           CAST(floor((n - 128) / 64.0) AS INT))) AS win_idx
+             FROM d WHERE n >= 128)
+       SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+              CAST(win_idx * 64 AS BIGINT) AS start_byte,
+              CAST(128 AS BIGINT) AS n_bytes,
+              round(list_sum(list_transform(
+                        generate_series(win_idx * 64 + 1, win_idx * 64 + 128),
+                        i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE)))
+                    / 128.0, 4) AS mean_amp
+       FROM w""",
+)
+def mm_audio_windows(spark, sf_dir):
+    """Audio-style overlapping framing of binary payloads with a
+    per-window amplitude feature (operators/multimodal.audio_windows,
+    mapInPandas). Payloads are the UTF-8 bytes of the ASCII testdata
+    text, so the oracle recomputes the same byte means from
+    codepoints — the one multimodal op whose VALUES are
+    oracle-checkable end-to-end through the Python boundary."""
+    docs = load(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_binary(docs, "text", "payload")
+    return multimodal.audio_windows(
+        with_payload, "doc_id", "payload", window=128, hop=64
+    )

@@ -372,3 +372,25 @@ def test_chunk_documents_windows_and_edges(spark):
     assert [r["chunk_n_tokens"] for r in by_doc[4]] == [4, 2]
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_audio_windows_framing_and_feature(spark):
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        audio_windows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(10))), (2, b"\x00\x00\x00"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = sorted(
+        audio_windows(df, "doc_id", "payload", window=4, hop=2).collect(),
+        key=lambda r: (r["doc_id"], r["win_idx"]),
+    )
+    # doc 1: 10 bytes, window 4 hop 2 -> (10-4)//2+1 = 4 full windows
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert [r["start_byte"] for r in d1] == [0, 2, 4, 6]
+    assert d1[0]["mean_amp"] == 1.5  # mean(0,1,2,3)
+    assert d1[3]["mean_amp"] == 7.5  # mean(6,7,8,9)
+    # doc 2: shorter than the window -> no frames; null payload skipped
+    assert not [r for r in out if r["doc_id"] in (2, 3)]
