@@ -124,3 +124,66 @@ def test_dedup_keep_first_invariants(spark, rows):
     for i, (k, _) in enumerate(rows):
         first_seq.setdefault(k, i)
     assert {r["key"]: r["seq"] for r in out} == first_seq
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(whitelist_categories=("Ll", "Nd"),
+                                       whitelist_characters=" "),
+                min_size=0, max_size=120),
+        min_size=1, max_size=10,
+    ),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=6),
+)
+def test_chunking_reconstructs_documents(spark, texts, chunk, overlap):
+    """Dropping each chunk's leading `overlap` tokens (except the
+    first chunk) and concatenating must reproduce the document's
+    token stream exactly — no token lost, none duplicated."""
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        toks = r["chunk_text"].split() if r["chunk_text"] else []
+        prev = got.setdefault(r["doc_id"], [])
+        prev.extend(toks if r["chunk_idx"] == 0 else toks[overlap:])
+    for i, text in enumerate(texts):
+        expect = text.split()
+        assert got.get(i, []) == expect or (not expect and i not in got)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.floats(min_value=-100, max_value=100,
+                           allow_nan=False, width=32),
+                 min_size=1, max_size=8),
+        min_size=1, max_size=10,
+    )
+)
+def test_quantize_int8_error_bound(spark, vecs):
+    """Dequantized values (code*scale) must sit within scale/2 of the
+    original — the defining property of symmetric scalar quantization;
+    codes stay in [-127, 127]."""
+    from avk_job_skill_analytics_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    for r in quantize_int8(df, "vec_id", "embedding").collect():
+        orig = [float(x) for x in vecs[r["vec_id"]]]
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        if r["scale"] == 0.0:
+            assert all(c == 0 for c in r["codes"])
+            continue
+        for x, c in zip(orig, r["codes"]):
+            assert abs(c * r["scale"] - x) <= r["scale"] / 2 + 1e-9
