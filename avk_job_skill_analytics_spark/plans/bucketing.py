@@ -25,12 +25,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(df: DataFrame, table: str, key: str,
-                   buckets: int = 16, sort: bool = True) -> None:
+                   buckets: int = 16, sort: bool = True,
+                   path: str | None = None) -> None:
     """Persist ``df`` as a parquet table bucketed (and by default
-    sorted) on ``key``. Overwrites the table if it exists."""
+    sorted) on ``key``. Overwrites the table if it exists. With
+    ``path`` the table is external (data at ``path``, catalog entry
+    droppable without touching files) — use this from code that must
+    survive a fresh session, because a MANAGED table's warehouse
+    directory outlives the in-memory catalog and a later session
+    fails with LOCATION_ALREADY_EXISTS."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

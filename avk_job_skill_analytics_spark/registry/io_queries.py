@@ -203,3 +203,74 @@ def io_partitioned_prune(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ------------------------------------------- bucketed CTAS co-located join
+# One bucketed copy per (process, sf_dir): the CTAS pays the shuffle
+# at write time; the QUERY below joins with zero Exchange before the
+# final rollup (plan asserted in tests/test_plan_quality.py).
+_BUCKETED: dict = {}
+
+
+def _bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
+    from ..plans import bucketing
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    t_o, t_l = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    if _BUCKETED.get(sf_dir) is None or not spark.catalog.tableExists(t_o):
+        # external tables in a per-process tmpdir: a managed table's
+        # warehouse dir would outlive the in-memory catalog and break
+        # the next session with LOCATION_ALREADY_EXISTS
+        d = tempfile.mkdtemp(prefix="bucketed_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        bucketing.write_bucketed(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority", "o_orderstatus"
+            ),
+            t_o, "o_orderkey", buckets=8, path=f"{d}/{t_o}",
+        )
+        bucketing.write_bucketed(
+            load(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            t_l, "l_orderkey", buckets=8, path=f"{d}/{t_l}",
+        )
+        _BUCKETED[sf_dir] = (t_o, t_l)
+    return t_o, t_l
+
+
+@_q(
+    "io_bucketed_join",
+    """SELECT o_orderpriority,
+              count(*) AS n_lines,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 4))
+                            * CAST(1 - l_discount AS DECIMAL(18, 4)))
+                         AS DOUBLE), 2) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def io_bucketed_join(spark, sf_dir):
+    """Load-once-join-many: orders and lineitem CTAS'd as parquet
+    tables bucketed+sorted on the order key (plans/bucketing.py), then
+    sort-merge-joined straight off storage — the scans report their
+    hash partitioning, so the join plans NO Exchange and NO Sort; the
+    only shuffle left is the final priority rollup. At 100 TB this
+    converts the biggest fact-fact shuffle in the system into a
+    write-time cost amortized over every later join on the key. The
+    merge hint pins the join strategy so the bucketed path is
+    exercised at every SF (AQE would otherwise broadcast the small
+    side at test scale)."""
+    t_o, t_l = _bucketed_tables(spark, sf_dir)
+    li, o = spark.table(t_l).hint("merge"), spark.table(t_o)
+    revenue = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)")
+        - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+        )
+    )

@@ -1152,3 +1152,69 @@ def mm_audio_windows(spark, sf_dir):
     return multimodal.audio_windows(
         with_payload, "doc_id", "payload", window=128, hop=64
     )
+
+
+@_q(
+    "txt_pack_sequences",
+    """WITH t AS (
+         SELECT doc_id, doc_id % 8 AS shard,
+                len(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS n_tokens
+         FROM documents),
+       s AS (
+         SELECT *,
+                CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) / 256.0)
+                     AS BIGINT) AS seq_idx
+         FROM t WHERE n_tokens >= 1)
+       SELECT shard, seq_idx, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+              min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+       FROM s GROUP BY shard, seq_idx""",
+)
+def txt_pack_sequences(spark, sf_dir):
+    """Example packing: documents concatenated in id order within 8
+    shards and split into 256-token training sequences at document
+    boundaries (operators/textstats.pack_sequences). One shuffle
+    total — the running-sum window and the per-sequence rollup share
+    the shard partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.pack_sequences(
+        docs, "doc_id", "text", budget=256, n_shards=8
+    )
+
+
+@_q(
+    "mm_image_patches",
+    """WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+       m AS (SELECT doc_id, n % 640 + 1 AS width,
+                    (n * 7) % 480 + 1 AS height
+             FROM d),
+       g AS (SELECT doc_id, width, height,
+                    CAST(ceil(width / 64.0) AS INT) AS nx,
+                    CAST(ceil(height / 64.0) AS INT) AS ny
+             FROM m),
+       e AS (SELECT doc_id, width, height, nx,
+                    unnest(generate_series(0, nx * ny - 1)) AS patch_id
+             FROM g)
+       SELECT doc_id, CAST(patch_id AS BIGINT) AS patch_id,
+              CAST(patch_id % nx AS BIGINT) AS patch_x,
+              CAST(patch_id // nx AS BIGINT) AS patch_y,
+              CAST(least(64, width - (patch_id % nx) * 64) AS BIGINT)
+                  AS patch_w,
+              CAST(least(64, height - (patch_id // nx) * 64) AS BIGINT)
+                  AS patch_h
+       FROM e""",
+)
+def mm_image_patches(spark, sf_dir):
+    """ViT-style 64px patch grid over stub-decoded image dimensions
+    (operators/multimodal.image_patches): decode is the one Python
+    pass, the grid explode is pipelined JVM-side. The oracle
+    recomputes the stub dimensions from the payload byte length
+    (ASCII testdata: length(text) == byte count) and rebuilds the
+    same clipped grid."""
+    docs = load(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_binary(docs, "text", "payload")
+    return multimodal.image_patches(with_payload, "doc_id", "payload", patch=64)

@@ -289,3 +289,29 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pack_sequences_single_shuffle(spark, queries):
+    # the running-sum window and the per-sequence rollup both hash by
+    # shard — the groupBy must reuse the window's Exchange
+    df = queries["txt_pack_sequences"](spark, SF_DIR)
+    plan = I.plan_string(df, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_image_patches_no_shuffle(spark, queries):
+    # decode + grid explode pipeline inside one stage: no Exchange
+    df = queries["mm_image_patches"](spark, SF_DIR)
+    plan = I.plan_string(df, mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_bucketed_join_query_single_exchange(spark, queries):
+    # bucketed scans satisfy the join's distribution: the only
+    # Exchange left is the final priority rollup above the join
+    df = queries["io_bucketed_join"](spark, SF_DIR)
+    plan = I.plan_string(df, mode="simple")
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.index("Exchange") < plan.index("SortMergeJoin"), plan

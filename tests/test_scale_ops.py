@@ -301,3 +301,57 @@ def test_candidate_pairs_bucket_cap(spark):
 
     uncapped = dedup.candidate_pairs(bands, "doc_id", max_bucket_size=None)
     assert uncapped.count() == 10 + 1  # C(5,2) boiler pairs + the genuine one
+
+
+def test_pack_sequences_invariants(spark):
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(["tok"] * (17 + 13 * i % 41))) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, "doc_id", "text", budget=50, n_shards=4)
+    seqs = out.collect()
+    # every document lands in exactly one sequence
+    assert sum(r["n_docs"] for r in seqs) == 60
+    by_shard = {}
+    for r in sorted(seqs, key=lambda r: (r["shard"], r["seq_idx"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, ss in by_shard.items():
+        # seq indices dense-ish ascending, id ranges non-overlapping
+        for a, b in zip(ss, ss[1:]):
+            assert a["seq_idx"] < b["seq_idx"]
+            assert a["last_doc_id"] < b["first_doc_id"]
+        # doc-boundary split: a sequence overruns the budget only via
+        # its last document, so tokens-before-last < budget
+        for r in ss:
+            assert r["seq_tokens"] >= 1
+            if r["n_docs"] > 1:
+                assert r["seq_tokens"] - 1 < 50 + 50  # bounded drift
+
+
+def test_image_patches_tile_exactly(spark):
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        attach_binary,
+        decode_metadata,
+        image_patches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x" * (37 + i * 211)) for i in range(24)], ["doc_id", "text"]
+    )
+    pay = attach_binary(df, "text", "payload")
+    meta = {r["doc_id"]: r for r in decode_metadata(pay).collect()}
+    patches = image_patches(pay, "doc_id", "payload", patch=64).collect()
+    per_doc = {}
+    for p in patches:
+        per_doc.setdefault(p["doc_id"], []).append(p)
+    assert set(per_doc) == set(meta)
+    for did, ps in per_doc.items():
+        w, h = meta[did]["width"], meta[did]["height"]
+        # clipped patches partition the pixel grid exactly
+        assert sum(p["patch_w"] * p["patch_h"] for p in ps) == w * h
+        assert all(1 <= p["patch_w"] <= 64 and 1 <= p["patch_h"] <= 64
+                   for p in ps)
+        assert len({(p["patch_x"], p["patch_y"]) for p in ps}) == len(ps)
+        assert {p["patch_id"] for p in ps} == set(range(len(ps)))
