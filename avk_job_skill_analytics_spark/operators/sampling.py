@@ -93,3 +93,33 @@ def sample_weighted(df: DataFrame, key: str, weight,
     ) % F.lit(4294967296) % F.lit(modulus)
     w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
     return df.filter(bucket.cast("double") < w * F.lit(float(modulus)))
+
+
+def assign_split(df: DataFrame, key: str,
+                 splits: dict | None = None,
+                 modulus: int = 100) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split
+    step of a training pipeline, done as a pure column expression so
+    the same row lands in the same split on any engine, at any scale,
+    on every rerun (no RNG, no shuffle, no state to persist).
+
+    ``splits`` maps split name -> integer share of ``modulus``
+    (default train/val/test = 90/5/5; shares must sum to ``modulus``).
+    Buckets come from the same multiplicative hash as
+    :func:`sample_hash_bucket`; consecutive bucket ranges are carved
+    in the dict's iteration order. Adding data never moves an existing
+    row between splits — the hash depends only on the key — which is
+    the property that keeps eval sets uncontaminated as the corpus
+    grows."""
+    splits = splits or {"train": 90, "val": 5, "test": 5}
+    if sum(splits.values()) != modulus:
+        raise ValueError("split shares must sum to modulus")
+    bucket = (
+        F.col(key).cast("long") * F.lit(_KNUTH)
+    ) % F.lit(4294967296) % F.lit(modulus)
+    expr, lo = None, 0
+    for name, share in splits.items():
+        lo += share
+        cond = bucket < lo
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

@@ -46,3 +46,17 @@ def write_bucketed(df: DataFrame, table: str, key: str,
 
 def drop_table(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def time_clustered(df: DataFrame, ts_col: str, n_files: int) -> DataFrame:
+    """Range-cluster a frame on a (time) column before writing: global
+    range partitioning into ``n_files`` output partitions, each sorted
+    within itself. Every output file then covers a narrow, disjoint
+    ``ts_col`` range, so parquet footer min/max stats satisfy or
+    reject whole files for any range predicate — sort-based data
+    skipping, the within-partition complement to Hive-style directory
+    partitioning (which would explode file counts if pushed to this
+    granularity). The range exchange samples the column to pick
+    balanced boundaries, so skew in event-time density does not skew
+    file sizes."""
+    return df.repartitionByRange(n_files, ts_col).sortWithinPartitions(ts_col)

@@ -331,6 +331,40 @@ def o4_sample_stratified(spark, sf_dir):
     ).select("o_orderkey", "o_orderpriority")
 
 
+@_q(
+    "o4_split_assign",
+    """SELECT split, source, count(*) AS n_docs,
+              CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> ''))) AS BIGINT) AS n_tokens
+       FROM (SELECT *,
+                    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                           THEN 'train'
+                         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95
+                           THEN 'val'
+                         ELSE 'test' END AS split
+             FROM documents) s
+       GROUP BY split, source""",
+)
+def o4_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5) of the corpus by
+    the engine-portable hash rule (operators/sampling.assign_split),
+    rolled up per (split, source) with token counts — the
+    mix-balance report a training pipeline checks before writing
+    shards. Adding documents never moves an existing one between
+    splits, which keeps eval sets uncontaminated as the corpus
+    grows."""
+    docs = sampling.assign_split(
+        load(spark, sf_dir, "documents"), "doc_id"
+    )
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    )
+    return docs.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens.cast("long")).alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------- U1: union
 @_q(
     "u1_union_by_name",

@@ -31,6 +31,7 @@ from ..operators.skills import (
     TECH_KEYWORDS,
     RuleSkillExtractor,
 )
+from ..plans.bucketing import time_clustered
 from ..plans.schemas import load
 from ..sources import readers, sinks
 from ..sources.manifest import Manifest
@@ -272,5 +273,59 @@ def io_bucketed_join(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+# ----------------------------------------- range-sorted clustered layout
+# One time-clustered copy per (process, sf_dir). repartitionByRange +
+# sortWithinPartitions give every output file a narrow disjoint ts
+# range, so each parquet footer's min/max stats let a time-windowed
+# scan skip whole files before reading a data page — the sort-based
+# data-skipping companion to io_partitioned_prune's directory pruning
+# (clustering keeps file counts flat where per-key directories would
+# explode: at 100 TB you partition by day AND range-sort within it).
+_SORTED_DIRS: dict = {}
+
+
+def sorted_events_layout(spark, sf_dir: str) -> str:
+    if sf_dir not in _SORTED_DIRS:
+        d = tempfile.mkdtemp(prefix="events_sorted_")
+        (
+            time_clustered(load(spark, sf_dir, "events"), "ts", 8)
+            .write.mode("overwrite")
+            .parquet(f"{d}/events_sorted")
+        )
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _SORTED_DIRS[sf_dir] = d
+    return f"{_SORTED_DIRS[sf_dir]}/events_sorted"
+
+
+@_q(
+    "io_sorted_skip",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10'
+         AND ts < TIMESTAMP '2024-01-12'
+       GROUP BY event_type""",
+)
+def io_sorted_skip(spark, sf_dir):
+    """Two-day slice off the time-clustered events copy. The ts
+    predicates reach the parquet reader (PushedFilters — asserted in
+    tests/test_plan_quality.py), where the per-file min/max stats of
+    the range-sorted layout satisfy or reject whole files: the scan
+    reads ~2 days of bytes regardless of how many years the table
+    holds. The oracle runs the same slice as a row filter on the flat
+    table."""
+    ev = spark.read.parquet(sorted_events_layout(spark, sf_dir))
+    return (
+        ev.filter(
+            (F.col("ts") >= F.to_timestamp(F.lit("2024-01-10")))
+            & (F.col("ts") < F.to_timestamp(F.lit("2024-01-12")))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
     )

@@ -394,3 +394,26 @@ def test_audio_windows_framing_and_feature(spark):
     assert d1[3]["mean_amp"] == 7.5  # mean(6,7,8,9)
     # doc 2: shorter than the window -> no frames; null payload skipped
     assert not [r for r in out if r["doc_id"] in (2, 3)]
+
+
+def test_assign_split_deterministic_and_stable(spark):
+    import pytest
+
+    from avk_job_skill_analytics_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in assign_split(df, "k").collect()}
+    assert set(a.values()) == {"train", "val", "test"}
+    # 90/5/5-ish proportions
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.8 * 500 < n_train < 0.97 * 500
+    # growing the corpus never moves an existing row between splits
+    b = {
+        r["k"]: r["split"]
+        for r in assign_split(
+            spark.range(0, 1000).withColumnRenamed("id", "k"), "k"
+        ).collect()
+    }
+    assert all(b[k] == v for k, v in a.items())
+    with pytest.raises(ValueError):
+        assign_split(df, "k", {"train": 50, "test": 40})

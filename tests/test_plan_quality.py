@@ -315,3 +315,21 @@ def test_bucketed_join_query_single_exchange(spark, queries):
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert plan.index("Exchange") < plan.index("SortMergeJoin"), plan
+
+
+def test_sorted_skip_pushes_ts_to_scan(spark, queries):
+    # the two ts predicates must reach the parquet reader, where the
+    # range-sorted files' footer stats can reject whole files
+    df = queries["io_sorted_skip"](spark, SF_DIR)
+    pushed = " ".join(I.pushed_filters(df))
+    assert "GreaterThanOrEqual(ts" in pushed, pushed
+    assert "LessThan(ts" in pushed, pushed
+
+
+def test_time_clustered_plans_range_exchange(spark):
+    from avk_job_skill_analytics_spark.plans.bucketing import time_clustered
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = I.plan_string(time_clustered(ev, "value", 8), mode="simple")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "Sort" in plan, plan
