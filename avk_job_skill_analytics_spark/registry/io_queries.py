@@ -329,3 +329,57 @@ def io_sorted_skip(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------- z-order clustered layout
+_ZORDER_DIRS: dict = {}
+
+
+def zorder_events_layout(spark, sf_dir: str) -> str:
+    from ..plans.zorder import zorder_clustered
+
+    if sf_dir not in _ZORDER_DIRS:
+        d = tempfile.mkdtemp(prefix="events_zorder_")
+        (
+            zorder_clustered(
+                load(spark, sf_dir, "events"), ["user_id", "value"], 8
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/events_zorder")
+        )
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _ZORDER_DIRS[sf_dir] = d
+    return f"{_ZORDER_DIRS[sf_dir]}/events_zorder"
+
+
+@_q(
+    "io_zorder_skip",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       FROM events
+       WHERE user_id BETWEEN 20 AND 40
+         AND value BETWEEN 100 AND 150
+       GROUP BY event_type""",
+)
+def io_zorder_skip(spark, sf_dir):
+    """Two-dimensional probe (a user band AND a value band) off the
+    z-order-clustered events copy (plans/zorder.py). Both range
+    predicates push to the parquet reader; because the Morton layout
+    gives every file a tight hyper-rectangle in (user_id, value)
+    space, footer stats reject files on EITHER dimension — the
+    multi-column data-skipping move Delta/Iceberg call OPTIMIZE
+    ZORDER, here as an explicit rewrite plan. The z-key orders the
+    layout only and is dropped before the write, so result parity
+    never depends on it; the oracle runs the same probe on the flat
+    table."""
+    ev = spark.read.parquet(zorder_events_layout(spark, sf_dir))
+    return (
+        ev.filter(
+            F.col("user_id").between(20, 40)
+            & F.col("value").between(100, 150)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

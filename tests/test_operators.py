@@ -417,3 +417,52 @@ def test_assign_split_deterministic_and_stable(spark):
     assert all(b[k] == v for k, v in a.items())
     with pytest.raises(ValueError):
         assign_split(df, "k", {"train": 50, "test": 40})
+
+
+def test_interleave_bits_matches_reference(spark):
+    from avk_job_skill_analytics_spark.plans.zorder import interleave_bits
+
+    def ref(x, y, bits):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    pairs = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 1), (170, 85)]
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    out = df.select(
+        "x", "y",
+        interleave_bits([F.col("x"), F.col("y")], bits=8).alias("z"),
+    ).collect()
+    for r in out:
+        assert r["z"] == ref(r["x"], r["y"], 8), (r["x"], r["y"])
+
+
+def test_zorder_partitions_are_local_rectangles(spark):
+    from avk_job_skill_analytics_spark.plans.zorder import zorder_clustered
+
+    # a 64x64 uniform grid z-clustered into 16 partitions: contiguous
+    # Morton ranges give each partition a bounding rectangle far
+    # smaller than the full space (that's what makes footer stats
+    # selective on BOTH dims)
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    parts = (
+        zorder_clustered(grid, ["x", "y"], 16, bits=6)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert sum(p["n"] for p in parts) == 64 * 64
+    areas = [
+        (p["x1"] - p["x0"] + 1) * (p["y1"] - p["y0"] + 1) for p in parts
+    ]
+    # every partition's bbox covers well under half the 4096-cell space
+    assert max(areas) <= 64 * 64 / 2, areas

@@ -333,3 +333,12 @@ def test_time_clustered_plans_range_exchange(spark):
     plan = I.plan_string(time_clustered(ev, "value", 8), mode="simple")
     assert "rangepartitioning" in plan.lower(), plan
     assert "Sort" in plan, plan
+
+
+def test_zorder_skip_pushes_both_dims_to_scan(spark, queries):
+    # both range predicates reach the reader — the z-layout makes
+    # footer stats selective on either dimension
+    df = queries["io_zorder_skip"](spark, SF_DIR)
+    pushed = " ".join(I.pushed_filters(df))
+    assert "user_id" in pushed, pushed
+    assert "value" in pushed, pushed
