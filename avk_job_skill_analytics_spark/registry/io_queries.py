@@ -383,3 +383,42 @@ def io_zorder_skip(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ------------------------------------------------ small-files compaction
+_COMPACT_DIRS: dict = {}
+
+
+def _compacted_events(spark, sf_dir: str) -> str:
+    if sf_dir not in _COMPACT_DIRS:
+        d = tempfile.mkdtemp(prefix="events_compact_")
+        # simulate micro-batch accretion: 50 tiny files, then compact
+        load(spark, sf_dir, "events").repartition(50).write.parquet(
+            f"{d}/small"
+        )
+        sinks.compact_parquet(spark, f"{d}/small", f"{d}/compacted")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _COMPACT_DIRS[sf_dir] = d
+    return f"{_COMPACT_DIRS[sf_dir]}/compacted"
+
+
+@_q(
+    "io_compact_roundtrip",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+              count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type""",
+)
+def io_compact_roundtrip(spark, sf_dir):
+    """Aggregate over a small-files table AFTER the compaction
+    rewrite (sources/sinks.compact_parquet): 50 micro-batch-sized
+    files rewritten to target-size files, value-parity against the
+    flat original proving the maintenance pass is lossless. At 100 TB
+    the same pass turns a million-file day into thousands of
+    scan-efficient files — task count, not bytes, is what the small
+    files inflate."""
+    ev = spark.read.parquet(_compacted_events(spark, sf_dir))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

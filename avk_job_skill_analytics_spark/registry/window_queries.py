@@ -592,3 +592,89 @@ def win_cume_dist(spark, sf_dir):
         "o_orderpriority", "o_orderkey",
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@_q(
+    "win_funnel_steps",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events),
+       s1 AS (SELECT user_id,
+                     min(ts) FILTER (WHERE event_type = 'view') AS t1
+              FROM e GROUP BY user_id),
+       s2 AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, min(e.ts) AS t3
+              FROM e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id),
+       u AS (SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+             FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                     LEFT JOIN s3 ON s1.user_id = s3.user_id
+             WHERE s1.t1 IS NOT NULL)
+       SELECT count(*) AS n_view_users,
+              count(t2) AS n_click_users,
+              count(t3) AS n_purchase_users,
+              round(CAST(sum(CAST(epoch(t3) - epoch(t1)
+                                  AS DECIMAL(18, 6))) AS DOUBLE)
+                    / count(t3), 2) AS avg_view_to_purchase_sec
+       FROM u""",
+)
+def win_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase) over the
+    event stream: per user, the first view, the first click AFTER
+    that view, the first purchase AFTER that click — the sequential
+    pattern a slowly-changing BI funnel shows as stage drop-off. The
+    three stage timestamps are windows over the same user partition
+    (nested conditional mins can't stack in one Window node), and the
+    per-user reduce groups by that same key — so the whole funnel
+    runs on ONE hash Exchange; only the final 1-row rollup crosses a
+    SinglePartition. Conversion time is summed as DECIMAL so both
+    engines divide identical exact sums (float addition order
+    differs)."""
+    w = Window.partitionBy("user_id")
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = (
+        s3.groupBy("user_id")
+        .agg(
+            F.first("t1").alias("t1"),
+            F.first("t2").alias("t2"),
+            F.first("t3").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull())
+    )
+    sec = (
+        F.col("t3").cast("double") - F.col("t1").cast("double")
+    ).cast("decimal(18,6)")
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_view_users"),
+        F.count("t2").alias("n_click_users"),
+        F.count("t3").alias("n_purchase_users"),
+        F.round(
+            F.sum(sec).cast("double") / F.count("t3"), 2
+        ).alias("avg_view_to_purchase_sec"),
+    )

@@ -50,3 +50,40 @@ def jdbc_sink(df: DataFrame, url: str, table: str,
         .option("batchsize", batchsize)
         .jdbc(url, table, properties=properties or {})
     )
+
+
+def compact_parquet(spark, src_path: str, dst_path: str,
+                    target_mb: int = 128) -> dict:
+    """Small-files compaction — the table-maintenance pass every
+    long-lived 100 TB lake needs: streaming micro-batches, per-day
+    drops (the reference's one-CSV-per-day layout), and fine-grained
+    partitioning all accrete files far below the efficient scan size,
+    and every later query then pays a task + open + footer read per
+    tiny file. Rewrite ``src_path`` into ``dst_path`` with
+    ``ceil(total_bytes / target_mb)`` output files of even size.
+
+    File sizes come from a driver-side directory listing (Hadoop
+    FileSystem — metadata only); the rewrite is one round-robin
+    repartition, which balances output files regardless of input
+    skew and needs no data-dependent statistics. Returns
+    {n_src_files, src_bytes, n_out_files} so callers can log the
+    before/after. Compact per partition directory in a date-
+    partitioned table to keep pruning intact."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    files = [
+        f for f in fs.listStatus(p)
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    ]
+    total = sum(f.getLen() for f in files)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    spark.read.parquet(src_path).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    return {
+        "n_src_files": len(files),
+        "src_bytes": int(total),
+        "n_out_files": int(n_out),
+    }

@@ -466,3 +466,21 @@ def test_zorder_partitions_are_local_rectangles(spark):
     ]
     # every partition's bbox covers well under half the 4096-cell space
     assert max(areas) <= 64 * 64 / 2, areas
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
+    from avk_job_skill_analytics_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    stats = compact_parquet(spark, src, dst, target_mb=128)
+    assert stats["n_src_files"] == 64
+    assert stats["n_out_files"] == 1
+    import glob
+    out_files = [
+        f for f in glob.glob(f"{dst}/*.parquet")
+    ]
+    assert len(out_files) == stats["n_out_files"]
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(10_000))

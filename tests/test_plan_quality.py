@@ -342,3 +342,12 @@ def test_zorder_skip_pushes_both_dims_to_scan(spark, queries):
     pushed = " ".join(I.pushed_filters(df))
     assert "user_id" in pushed, pushed
     assert "value" in pushed, pushed
+
+
+def test_funnel_windows_share_one_hash_exchange(spark, queries):
+    # three stage windows + the per-user reduce all hash by user_id:
+    # one hash Exchange, plus only the final 1-row SinglePartition
+    df = queries["win_funnel_steps"](spark, SF_DIR)
+    plan = I.plan_string(df, mode="simple")
+    assert plan.count("Window") == 3, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
