@@ -1218,3 +1218,64 @@ def mm_image_patches(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     with_payload = multimodal.attach_binary(docs, "text", "payload")
     return multimodal.image_patches(with_payload, "doc_id", "payload", patch=64)
+
+
+def _pagerank_sql(iterations: int = 3, damping: int = 85,
+                  scale: int = 10 ** 9) -> str:
+    """DuckDB twin of graph.pagerank_fixedpoint over the
+    customer↔supplier co-purchase graph — the iteration is unrolled
+    into chained CTEs generated from the SAME constants, and every
+    step is integer arithmetic, so both engines produce bit-identical
+    ranks."""
+    sql = f"""WITH e0 AS (
+         SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       edges AS (SELECT src, dst FROM e0
+                 UNION SELECT dst, src FROM e0),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       deg AS (SELECT src AS node, count(*) AS deg
+               FROM edges GROUP BY src),
+       r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS rank
+              FROM nodes)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+       c{i} AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s
+               FROM edges e
+               JOIN r{i - 1} r ON e.src = r.node
+               JOIN deg d ON e.src = d.node
+               GROUP BY e.dst),
+       r{i} AS (SELECT n.node,
+                      ((100 - {damping})
+                       * ({scale} // (SELECT n FROM nn))) // 100
+                      + ({damping} * coalesce(c.s, 0)) // 100 AS rank
+               FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
+    sql += f"""
+       SELECT node, CAST(rank AS BIGINT) AS rank
+       FROM r{iterations}
+       ORDER BY rank DESC, node LIMIT 25"""
+    return sql
+
+
+@_q("graph_pagerank_suppliers", _pagerank_sql())
+def graph_pagerank_suppliers(spark, sf_dir):
+    """Top-25 nodes of the customer↔supplier co-purchase graph by
+    3-iteration fixed-point PageRank (operators/graph.py). The edge
+    list is join-derived (orders ⋈ lineitem, supplier keys offset into
+    their own id space), symmetrized so no node dangles; integer
+    ranks make the LIMIT set and the hash engine-exact."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 10000000).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    rank = graph.pagerank_fixedpoint(sym, "src", "dst", iterations=3)
+    return rank.orderBy(F.desc("rank"), "node").limit(25)

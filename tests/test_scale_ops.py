@@ -355,3 +355,34 @@ def test_image_patches_tile_exactly(spark):
                    for p in ps)
         assert len({(p["patch_x"], p["patch_y"]) for p in ps}) == len(ps)
         assert {p["patch_id"] for p in ps} == set(range(len(ps)))
+
+
+def test_pagerank_fixedpoint_matches_reference(spark):
+    from avk_job_skill_analytics_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
+
+    # small directed graph with a hub (node 1) and a dangler (4)
+    edges = [(1, 2), (2, 1), (3, 1), (4, 1), (1, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixedpoint(df, iterations=4).collect()
+    }
+
+    scale, d = 10 ** 9, 85
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    base = ((100 - d) * (scale // n)) // 100
+    for _ in range(4):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += rank[u] // deg[u]
+        rank = {v: base + (d * s[v]) // 100 for v in nodes}
+    assert got == rank
+    # the hub out-ranks everything; ranks are exact ints
+    assert max(rank, key=rank.get) == 1
