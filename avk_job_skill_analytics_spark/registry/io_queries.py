@@ -422,3 +422,39 @@ def io_compact_roundtrip(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@_q(
+    "io_dynamic_partition_prune",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       FROM events
+       WHERE day(CAST(ts AS DATE)) % 7 = 3
+       GROUP BY event_type""",
+)
+def io_dynamic_partition_prune(spark, sf_dir):
+    """Dynamic partition pruning — the RUNTIME companion to
+    io_partitioned_prune's static pruning: the partitioned events
+    table joined to a small date dimension that is only filtered at
+    plan time (day-of-month band), so the partition list cannot be
+    enumerated statically. Spark broadcasts the filtered dim, then
+    re-uses the broadcast result as a partition filter on the fact
+    scan (``dynamicpruningexpression`` — asserted in
+    tests/test_plan_quality.py), so only matching directories are
+    read. At 100 TB this is the difference between scanning a year
+    and scanning the ~4 matching days per month when the filter
+    arrives through a dimension join instead of a literal."""
+    ev = spark.read.parquet(_partitioned_events(spark, sf_dir))
+    dim = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .filter(F.dayofmonth("d") % 7 == 3)
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.event_date == dim.d)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

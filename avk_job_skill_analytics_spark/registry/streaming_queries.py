@@ -38,6 +38,7 @@ from ..streaming.incremental import (
     sliding_window_counts,
     stateful_user_stats,
     stream_interval_join,
+    stream_interval_join_outer,
     tumbling_window_counts,
 )
 
@@ -319,3 +320,50 @@ def stream_append_late_windows(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "n")
     )
     return _drain(spark, agg, "append", "st_append_late")
+
+
+@_q(
+    "stream_stream_left_join",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events),
+       c AS (SELECT user_id, ts AS click_ts FROM e
+             WHERE event_type = 'click'),
+       p AS (SELECT user_id, ts AS purchase_ts FROM e
+             WHERE event_type = 'purchase'),
+       m AS (SELECT c.user_id, c.click_ts, p.purchase_ts
+             FROM c JOIN p ON c.user_id = p.user_id
+              AND p.purchase_ts >= c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR),
+       wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                           (SELECT max(purchase_ts) FROM p))
+                     - INTERVAL 2 HOUR AS w),
+       um AS (SELECT c.user_id, c.click_ts,
+                     CAST(NULL AS TIMESTAMP) AS purchase_ts
+              FROM c, wm
+              WHERE c.click_ts + INTERVAL 1 HOUR < wm.w
+                AND NOT EXISTS (SELECT 1 FROM m
+                                WHERE m.user_id = c.user_id
+                                  AND m.click_ts = c.click_ts))
+       SELECT * FROM m UNION ALL SELECT * FROM um""",
+)
+def stream_stream_left_join(spark, sf_dir):
+    """Left-outer stream-stream interval join: every click emits —
+    paired with each purchase by the same user in the following hour,
+    or null-extended once the watermark proves no purchase can still
+    arrive. The oracle mirrors the engine's eviction rule exactly:
+    unmatched clicks emit iff click_ts + 1h < min(max click ts, max
+    purchase ts) - 2h (the two-side watermark), younger ones stay in
+    state at drain end."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withColumnRenamed("p_user_id", "user_id")
+    joined = stream_interval_join_outer(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        within="1 hour", watermark="2 hours",
+    )
+    return _drain(spark, joined, "append", "st_ssljoin")

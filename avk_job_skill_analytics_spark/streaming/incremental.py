@@ -251,3 +251,42 @@ def run_streaming_window_counts(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "left_ts",
+    right_ts: str = "right_ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer stream-stream interval join: every left event
+    emits — matched rows as they pair, unmatched rows null-extended
+    only once the watermark passes the end of their join window
+    (before that, a matching right event could still arrive, so the
+    engine must hold the row in state). This is the attribution
+    shape where the NON-conversion matters: clicks that led to no
+    purchase within the hour.
+
+    State stays bounded exactly as in the inner variant; the extra
+    machinery is the eviction-time null emission, driven by the
+    no-data batch that availableNow runs after the last file (the
+    same mechanism that finalizes append-mode windows). Unmatched
+    left rows younger than (watermark - within) remain in state at
+    drain end and are NOT emitted — deterministic, and mirrored by
+    the oracle's watermark cutoff."""
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = (
+        right.withWatermark(right_ts, watermark)
+        if right.isStreaming
+        else right
+    )
+    cond = (
+        f"{right_ts} >= {left_ts} AND "
+        f"{right_ts} <= {left_ts} + interval {within}"
+    )
+    return lw.join(
+        rw, on=[lw[key_col] == rw[key_col], F.expr(cond)], how="leftOuter"
+    ).select(lw[key_col].alias(key_col), left_ts, right_ts)

@@ -351,3 +351,11 @@ def test_funnel_windows_share_one_hash_exchange(spark, queries):
     plan = I.plan_string(df, mode="simple")
     assert plan.count("Window") == 3, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, queries):
+    # the dim-join filter must appear as a runtime partition filter
+    # on the fact scan, not as a post-scan row filter
+    df = queries["io_dynamic_partition_prune"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "dynamicpruningexpression" in plan.lower(), plan
