@@ -724,3 +724,52 @@ def u4_upsert_keep_latest(spark, sf_dir):
         F.round("o_totalprice", 2).alias("o_totalprice"),
         "version",
     )
+
+
+@_q(
+    "f15_winsorize",
+    """WITH pct AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+                           quantile_cont(o_totalprice, 0.95) AS hi
+                    FROM orders)
+       SELECT o_orderstatus,
+              count(*) AS n,
+              count(*) FILTER (WHERE o_totalprice < lo) AS n_clip_lo,
+              count(*) FILTER (WHERE o_totalprice > hi) AS n_clip_hi,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18, 4)))
+                             FILTER (WHERE o_totalprice >= lo
+                                       AND o_totalprice <= hi) AS DOUBLE)
+                    + count(*) FILTER (WHERE o_totalprice < lo) * lo
+                    + count(*) FILTER (WHERE o_totalprice > hi) * hi,
+                    2) AS winsorized_sum
+       FROM orders, pct GROUP BY o_orderstatus, lo, hi""",
+)
+def f15_winsorize(spark, sf_dir):
+    """Winsorization — outlier clamping at the exact interpolated
+    p05/p95, the robust-statistics cleaning step sitting next to the
+    reference's sentinel fills (F13). The two percentiles are one
+    1-row aggregate broadcast over the fact (the same scalar pattern
+    as tpch_q11); the clamp itself is a scan-level CASE. Parity note:
+    the winsorized sum is assembled as exact-DECIMAL middle mass plus
+    count×bound products in a FIXED addition order, because summing
+    the clamped doubles directly would accumulate in partition order
+    and can flip the cent rounding between engines."""
+    o = load(spark, sf_dir, "orders")
+    pct = o.agg(
+        F.percentile("o_totalprice", 0.05).alias("lo"),
+        F.percentile("o_totalprice", 0.95).alias("hi"),
+    )
+    j = o.crossJoin(F.broadcast(pct))
+    price, lo, hi = F.col("o_totalprice"), F.col("lo"), F.col("hi")
+    mid_sum = F.sum(
+        F.when((price >= lo) & (price <= hi), price.cast("decimal(18,4)"))
+    )
+    n_lo = F.count(F.when(price < lo, 1))
+    n_hi = F.count(F.when(price > hi, 1))
+    return j.groupBy("o_orderstatus", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        n_lo.alias("n_clip_lo"),
+        n_hi.alias("n_clip_hi"),
+        F.round(
+            mid_sum.cast("double") + n_lo * lo + n_hi * hi, 2
+        ).alias("winsorized_sum"),
+    ).drop("lo", "hi")

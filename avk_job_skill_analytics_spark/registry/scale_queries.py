@@ -1279,3 +1279,74 @@ def graph_pagerank_suppliers(spark, sf_dir):
     ).distinct()
     rank = graph.pagerank_fixedpoint(sym, "src", "dst", iterations=3)
     return rank.orderBy(F.desc("rank"), "node").limit(25)
+
+
+@_q(
+    "dd_fuzzy_match",
+    """WITH t AS (SELECT p_partkey, p_name,
+                     (p_partkey % (length(p_name) - 1)) + 2 AS q
+              FROM part WHERE p_partkey % 7 = 0),
+       ty AS (SELECT p_partkey,
+                     substr(p_name, 1, q - 1) || substr(p_name, q + 1)
+                         AS typo_name
+              FROM t),
+       cat AS (SELECT DISTINCT p_name AS cand FROM part),
+       cd AS (SELECT p_partkey, typo_name, cand,
+                     levenshtein(typo_name, cand) AS dist
+              FROM ty JOIN cat
+                ON substr(typo_name, 1, 1) = substr(cand, 1, 1)
+               AND levenshtein(typo_name, cand) <= 1),
+       r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                          ORDER BY dist, cand) AS rn
+             FROM cd)
+       SELECT p_partkey, typo_name, cand AS matched_name,
+              CAST(dist AS INT) AS dist
+       FROM r WHERE rn = 1""",
+)
+def dd_fuzzy_match(spark, sf_dir):
+    """Edit-distance fuzzy matching against a canonical dictionary —
+    the typo-level dedup modality the shingle/minhash family can't
+    see (a one-character slip barely moves token sets). Every 7th
+    part name gets a deterministic single-character deletion, then is
+    matched back to the clean catalog: candidates blocked on the
+    first letter (never deleted by construction), scored with
+    ``levenshtein`` ≤ 1, best match picked by (distance, name) — a
+    deterministic argmin. The dictionary side is tiny and broadcast;
+    the blocked candidate set keeps the quadratic distance kernel off
+    the full cross product, which is the only shape that survives a
+    catalog of millions at 100 TB (block key would become (first
+    letter, length band))."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    q = (F.col("p_partkey") % (F.length("p_name") - 1)) + 2
+    typo = (
+        part.filter(F.col("p_partkey") % 7 == 0)
+        .withColumn("q", q)
+        .select(
+            "p_partkey",
+            F.concat(
+                F.expr("substr(p_name, 1, q - 1)"),
+                F.expr("substr(p_name, q + 1)"),
+            ).alias("typo_name"),
+        )
+    )
+    cat = part.select(F.col("p_name").alias("cand")).distinct()
+    cand = typo.join(
+        F.broadcast(cat),
+        (
+            F.substring("typo_name", 1, 1) == F.substring("cand", 1, 1)
+        )
+        & (F.levenshtein("typo_name", "cand") <= 1),
+    ).select(
+        "p_partkey", "typo_name", "cand",
+        F.levenshtein("typo_name", "cand").alias("dist"),
+    )
+    w = Window.partitionBy("p_partkey").orderBy("dist", "cand")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey", "typo_name",
+            F.col("cand").alias("matched_name"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
