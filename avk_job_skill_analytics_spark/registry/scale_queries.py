@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, graph, multimodal, privacy, similarity, textstats
+from ..operators import (
+    dedup,
+    graph,
+    multimodal,
+    privacy,
+    sampling,
+    similarity,
+    textstats,
+)
 from ..operators.hashing import (
     MERSENNE_P,
     affine_hash_sql,
@@ -1348,5 +1356,117 @@ def dd_fuzzy_match(spark, sf_dir):
             "p_partkey", "typo_name",
             F.col("cand").alias("matched_name"),
             F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+@_q(
+    "dd_split_leakage",
+    """WITH d AS (SELECT doc_id, text,
+                     CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                          THEN 'train' ELSE 'eval' END AS split
+              FROM documents),
+       w AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM d),
+       sh AS (SELECT DISTINCT doc_id, split,
+                     unnest(list_transform(generate_series(1, len(w) - 4),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 || ' ' || w[i+3] || ' ' || w[i+4]))
+                         AS shingle
+              FROM w WHERE len(w) >= 5),
+       tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+       hits AS (SELECT s.doc_id, count(*) AS n_shared
+                FROM sh s JOIN tr USING (shingle)
+                WHERE s.split = 'eval'
+                GROUP BY s.doc_id)
+       SELECT t.doc_id,
+              CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+              coalesce(h.n_shared, 0) > 0 AS contaminated
+       FROM (SELECT doc_id FROM d WHERE split = 'eval') t
+       LEFT JOIN hits h USING (doc_id)""",
+)
+def dd_split_leakage(spark, sf_dir):
+    """Train/eval leakage audit — the check a split pipeline runs
+    BEFORE shipping an eval set: documents land in train (90%) or
+    eval (10%) via the engine-portable hash carve
+    (operators/sampling.assign_split), and every eval doc is flagged
+    if it shares a 5-word shingle with ANY train doc
+    (operators/dedup.decontaminate with the roles swapped —
+    composition, not new machinery). The train shingle set is the big
+    side here, so the shingle-keyed equi-join shuffles instead of
+    broadcasting — same operator, opposite asymmetry, and the reason
+    decontaminate takes no hard broadcast hint."""
+    docs = sampling.assign_split(
+        load(spark, sf_dir, "documents"), "doc_id",
+        {"train": 90, "eval": 10},
+    )
+    train = docs.filter(F.col("split") == "train")
+    ev = docs.filter(F.col("split") == "eval")
+    return dedup.decontaminate(ev, train, "doc_id", "text", k=5)
+
+
+@_q(
+    "pipeline_remix_sources",
+    """WITH d AS (SELECT doc_id, source,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '')) AS n_tokens
+              FROM documents),
+       per_src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s
+                   FROM d GROUP BY source),
+       tgt AS (SELECT min(t_s) AS t_min FROM per_src),
+       wts AS (SELECT source, t_s,
+                      CAST(t_min AS DOUBLE) / t_s AS p
+               FROM per_src, tgt),
+       kept AS (SELECT d.doc_id, d.source, d.n_tokens
+                FROM d JOIN wts ON d.source = wts.source
+                WHERE CAST(d.doc_id * 2654435761 % 4294967296 % 1000000
+                           AS DOUBLE) < wts.p * 1000000)
+       SELECT w.source, w.t_s AS orig_tokens,
+              CAST(coalesce(count(k.doc_id), 0) AS BIGINT) AS kept_docs,
+              CAST(coalesce(sum(k.n_tokens), 0) AS BIGINT) AS kept_tokens
+       FROM wts w LEFT JOIN kept k ON w.source = k.source
+       GROUP BY w.source, w.t_s""",
+)
+def pipeline_remix_sources(spark, sf_dir):
+    """Source rebalancing — the data-mixing step that downsamples
+    every source to the smallest source's token budget before
+    training: per-source keep-probability p = min(T)/T_s, applied
+    per document through the deterministic millionth-bucket hash
+    rule (operators/sampling.sample_weighted), reported as the
+    per-source before/after token ledger. The weights frame is one
+    row per source (broadcast); the sample is a scan-level
+    comparison — no shuffle touches the corpus beyond the two token
+    rollups, so the remix costs two aggregates at any corpus size.
+    Engine-exact because p is an exact integer ratio and the bucket
+    rule has no RNG."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    per_src = toks.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
+    tgt = per_src.agg(F.min("t_s").alias("t_min"))
+    wts = per_src.crossJoin(F.broadcast(tgt)).select(
+        "source", "t_s",
+        (F.col("t_min").cast("double") / F.col("t_s")).alias("p"),
+    )
+    kept = sampling.sample_weighted(
+        toks.join(F.broadcast(wts.select("source", "p")), "source"),
+        "doc_id", F.col("p"),
+    )
+    stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+    return (
+        wts.select("source", "t_s")
+        .join(stats, "source", "left")
+        .select(
+            "source",
+            F.col("t_s").alias("orig_tokens"),
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long")
+            .alias("kept_tokens"),
         )
     )
