@@ -37,6 +37,7 @@ from ..streaming.incremental import (
     session_window_counts,
     sliding_window_counts,
     stateful_user_stats,
+    foreach_batch_upsert,
     stream_interval_join,
     stream_interval_join_outer,
     tumbling_window_counts,
@@ -367,3 +368,63 @@ def stream_stream_left_join(spark, sf_dir):
         within="1 hour", watermark="2 hours",
     )
     return _drain(spark, joined, "append", "st_ssljoin")
+
+
+@_q(
+    "stream_foreachbatch_upsert",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                         event_id, value
+                  FROM events),
+       r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+             FROM e)
+       SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+              round(value, 2) AS last_value
+       FROM r WHERE rn = 1""",
+)
+def stream_foreachbatch_upsert(spark, sf_dir):
+    """Latest-state table maintained by the exactly-once foreachBatch
+    upsert sink (streaming/incremental.foreach_batch_upsert): the
+    events stream is fed as TWO files drained one per micro-batch
+    (maxFilesPerTrigger=1), so the merge-with-current-state path and
+    the batch-id replay guard genuinely execute across batches; the
+    final state is the per-user latest event — which is exactly the
+    batch argmax the oracle computes, BECAUSE the sink is
+    idempotent and order-merging (duplicate delivery collapses)."""
+    import tempfile as _tf
+
+    src_dir = _source_dir(sf_dir, {"events_a.parquet": "events.parquet",
+                                   "events_b.parquet": "events.parquet"})
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_EVENTS_NANOS)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts", "event_id", "value")
+    )
+    state_dir = _tf.mkdtemp(prefix="upsert_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = _tf.mkdtemp(prefix="ckpt_upsert_")
+    try:
+        q = (
+            foreach_batch_upsert(stream, state_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    state = spark.read.parquet(f"{state_dir}/current")
+    return state.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    )

@@ -14,6 +14,7 @@ JDBC/idempotent sink.
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -290,3 +291,65 @@ def stream_interval_join_outer(
     return lw.join(
         rw, on=[lw[key_col] == rw[key_col], F.expr(cond)], how="leftOuter"
     ).select(lw[key_col].alias(key_col), left_ts, right_ts)
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    state_dir: str,
+    key_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+) -> "object":
+    """Exactly-once keyed upsert sink via ``foreachBatch`` — the
+    production pattern for maintaining a latest-state table from a
+    stream when the target is a plain file store (the reference's SQL
+    Server append, src/load_sqlserver.py:70-98, upgraded to
+    merge-on-key semantics). Per micro-batch: reduce the batch to its
+    latest row per key, merge with the current state, keep the
+    overall latest, and swap the state directory in. A ``_batch_<id>``
+    marker makes replays no-ops — foreachBatch re-delivers a batch
+    after a crash, so the sink, not the engine, owns idempotency
+    (same contract the parquet Manifest gives file loads). The swap
+    here is rename-based (single-writer, documented); on a real lake
+    you'd land this on a transactional table format and MERGE.
+
+    Scale: state rewrite cost is O(state) per batch — right for
+    dimension-sized latest-state tables (users, sessions); for
+    fact-sized state use the partitioned variant (rewrite only the
+    key partitions present in the batch)."""
+    import os
+
+    spark = stream.sparkSession
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(state_dir, f"_batch_{batch_id}")
+        cur_dir = os.path.join(state_dir, "current")
+        if os.path.exists(marker):
+            return
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
+        latest = (
+            bdf.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(cur_dir):
+            latest = (
+                spark.read.parquet(cur_dir)
+                .unionByName(latest)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        new_dir = os.path.join(state_dir, f"_new_{batch_id}")
+        latest.write.mode("overwrite").parquet(new_dir)
+        old_dir = os.path.join(state_dir, f"_old_{batch_id}")
+        if os.path.exists(cur_dir):
+            os.rename(cur_dir, old_dir)
+        os.rename(new_dir, cur_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        open(marker, "w").close()
+
+    return stream.writeStream.foreachBatch(sink)

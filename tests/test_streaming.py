@@ -61,3 +61,50 @@ def test_incremental_pipeline_applies_transform(spark, tmp_path):
         transform=lambda df: df.filter(df.id > 1),
     )
     assert got == ["y"]
+
+
+def test_foreachbatch_upsert_replay_is_noop(spark, tmp_path):
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        foreach_batch_upsert,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10, 100, 1.0), (1, 20, 101, 2.0), (2, 5, 102, 3.0)],
+        "user_id long, ts long, event_id long, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+
+    def drain():
+        ckpt = str(tmp_path / f"ckpt_{len(os.listdir(str(tmp_path)))}")
+        q = (
+            foreach_batch_upsert(
+                spark.readStream.schema(
+                    "user_id long, ts long, event_id long, value double"
+                ).parquet(src),
+                state,
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(f"{state}/current").collect()
+    }
+    assert first == {1: (20, 101), 2: (5, 102)}
+    # fresh checkpoint redelivers batch 0 — the marker must no-op it
+    drain()
+    again = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.read.parquet(f"{state}/current").collect()
+    }
+    assert again == first
+    assert os.path.exists(f"{state}/_batch_0")
