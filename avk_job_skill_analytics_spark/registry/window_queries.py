@@ -678,3 +678,64 @@ def win_funnel_steps(spark, sf_dir):
             F.sum(sec).cast("double") / F.count("t3"), 2
         ).alias("avg_view_to_purchase_sec"),
     )
+
+
+@_q(
+    "agg_trend_slope",
+    """WITH e AS (SELECT event_type,
+                     (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                       // 1000000 AS ix,
+                     CAST(round(value * 100) AS BIGINT) AS iy
+              FROM events),
+       s AS (SELECT event_type, count(*) AS n,
+                    CAST(sum(ix) AS BIGINT) AS sx,
+                    CAST(sum(iy) AS BIGINT) AS sy,
+                    CAST(sum(ix * iy) AS BIGINT) AS sxy,
+                    CAST(sum(ix * ix) AS BIGINT) AS sxx
+             FROM e GROUP BY event_type)
+       SELECT event_type, n,
+              round((n * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (n * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * 864.0, 6) AS slope_per_day
+       FROM s""",
+)
+def agg_trend_slope(spark, sf_dir):
+    """Per-type least-squares trend of event value over time — the
+    regression-line KPI a BI tool drops on a scatter, computed the
+    parity-safe way: x (seconds since a fixed epoch constant, no
+    timezone functions) and y (cent-scaled value) are INTEGERS, so
+    the four sufficient statistics are exact integer aggregates that
+    cannot drift with partition order; only the final closed-form
+    slope is double arithmetic, in a fixed operation order both
+    engines execute identically. The built-in ``regr_slope`` is the
+    one-liner twin, but its internal double accumulation is
+    order-dependent — the decomposition here is what you'd run when
+    the slope feeds a threshold at 100 TB. One shuffle (the groupBy);
+    sums fit BIGINT through sf0.1-scale epochs — rebase the epoch
+    constant per partition window beyond that."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - 1704067200000000) div 1000000"
+        ).alias("ix"),
+        F.round(F.col("value") * 100).cast("long").alias("iy"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ix").alias("sx"),
+        F.sum("iy").alias("sy"),
+        F.sum(F.col("ix") * F.col("iy")).alias("sxy"),
+        F.sum(F.col("ix") * F.col("ix")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (
+        (n * sxy.cast("double") - sx.cast("double") * sy.cast("double"))
+        / (n * sxx.cast("double") - sx.cast("double") * sx.cast("double"))
+        * 864.0
+    )
+    return s.select(
+        "event_type", "n", F.round(slope, 6).alias("slope_per_day")
+    )
