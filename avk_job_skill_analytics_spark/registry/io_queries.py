@@ -458,3 +458,54 @@ def io_dynamic_partition_prune(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@_q(
+    "s2_csv_permissive",
+    """SELECT o_orderstatus,
+              count(*) AS n,
+              count(*) FILTER (WHERE o_orderkey % 13 = 0) AS n_malformed,
+              round(sum(CASE WHEN o_orderkey % 13 = 0 THEN 0.0
+                             ELSE o_totalprice END), 2) AS good_price
+       FROM orders GROUP BY o_orderstatus""",
+)
+def s2_csv_permissive(spark, sf_dir):
+    """Malformed-input tolerance at the CSV edge — the ingestion
+    reality the reference's pandas `read_csv` meets with a crash:
+    every 13th order is written with a corrupted numeric field, and
+    the explicit-schema PERMISSIVE read turns exactly those cells
+    into NULL instead of failing the job (DROPMALFORMED/FAILFAST are
+    the documented alternatives on readers.csv_source). The query
+    accounts for the damage — row counts preserved, corrupt rows
+    identified by their NULL parse, good revenue intact — which is
+    the quarantine-and-continue contract a 100 TB daily ingest needs
+    (one bad byte must not kill a million-file load). The oracle
+    recomputes the same ledger from the clean table."""
+    tmp = tempfile.mkdtemp(prefix="csv_permissive_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("NOT_A_NUMBER"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("o_totalprice"),
+    )
+    sinks.csv_sink(o, f"{tmp}/orders_dirty")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = readers.csv_source(
+        spark, f"{tmp}/orders_dirty", schema=schema, mode="PERMISSIVE"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias(
+            "n_malformed"
+        ),
+        F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias(
+            "good_price"
+        ),
+    )
