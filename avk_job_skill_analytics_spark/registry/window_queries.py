@@ -667,8 +667,14 @@ def win_funnel_steps(spark, sf_dir):
         )
         .filter(F.col("t1").isNotNull())
     )
+    # unix_micros over a plain-timestamp cast works for both LTZ and
+    # NTZ inputs (NTZ -> DOUBLE is not a legal cast in Spark 4 ANSI).
     sec = (
-        F.col("t3").cast("double") - F.col("t1").cast("double")
+        (
+            F.unix_micros(F.col("t3").cast("timestamp"))
+            - F.unix_micros(F.col("t1").cast("timestamp"))
+        )
+        / F.lit(1000000)
     ).cast("decimal(18,6)")
     return per_user.agg(
         F.count(F.lit(1)).alias("n_view_users"),
