@@ -320,10 +320,13 @@ def sessionize(df: DataFrame, key: str, ts_col: str, gap_seconds: int,
     order = [F.asc(ts_col)] + ([F.asc(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     prev = F.lag(ts_col).over(w)
+    # cast to plain timestamp: unix_micros rejects TIMESTAMP_NTZ (the
+    # type tz-less parquet loads as in Spark 4), accepts LTZ unchanged.
     brk = F.when(
         prev.isNull()
         | (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
             >= gap_seconds * 1_000_000
         ),
         1,

@@ -554,9 +554,10 @@ def j6_asof_attribution(spark, sf_dir):
         "user_id",
         "ts",
         "click_id",
-        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias(
-            "us_since_click"
-        ),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("us_since_click"),
     )
 
 

@@ -56,19 +56,35 @@ def _q(name, oracle=None):
     return reg
 
 
-# events.parquet carries ts as INT64 TIMESTAMP(NANOS); the streaming
-# schema reads it as long and the plan converts (same convention as
-# plans.schemas.load)
-_EVENTS_NANOS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.parquet ts encoding varies by testdata generation: INT64
+# TIMESTAMP(NANOS) (reads as long under nanosAsLong, needs div 1000)
+# or TIMESTAMP(MICROS) no-tz (reads natively as TIMESTAMP_NTZ).
+# readStream needs an explicit schema, so sniff the encoding once per
+# sf_dir with a batch footer read and build the matching schema —
+# hard-coding either guess silently corrupts timestamps by 1000× when
+# the data regenerates the other way (round-3 regression class).
+_TS_TYPES: dict = {}
+
+
+def _events_ts_type(spark, sf_dir: str):
+    if sf_dir not in _TS_TYPES:
+        _TS_TYPES[sf_dir] = (
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+        )
+    return _TS_TYPES[sf_dir]
+
+
+def _events_schema(ts_type) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 # Source dirs are immutable symlink layouts over read-only testdata, so
@@ -92,21 +108,34 @@ def _source_dir(sf_dir: str, links: dict) -> str:
     return _SRC_DIRS[key]
 
 
-def _events_stream(spark, sf_dir):
+def _events_stream(spark, sf_dir, links=None, **reader_options):
     """Streaming DataFrame over the events table: the file source
-    wants a directory, so expose the single parquet through a (cached)
-    temp-dir symlink; convert nanos → timestamp in-plan."""
+    wants a directory, so expose the parquet through a (cached)
+    temp-dir symlink layout; normalize ts to event-time in-plan:
+    nanos-long → timestamp_micros(div 1000), TIMESTAMP_NTZ → cast to
+    plain TIMESTAMP (withWatermark rejects NTZ; the session timezone
+    is pinned UTC so the cast is wall-time preserving)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    src_dir = _source_dir(sf_dir, {"events.parquet": "events.parquet"})
-    return (
-        spark.readStream.format("parquet")
-        .schema(_EVENTS_NANOS)
-        .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = _events_ts_type(spark, sf_dir)
+    src_dir = _source_dir(
+        sf_dir, links or {"events.parquet": "events.parquet"}
     )
+    reader = spark.readStream.format("parquet").schema(
+        _events_schema(ts_type)
+    )
+    for k, v in reader_options.items():
+        reader = reader.option(k, v)
+    stream = reader.load(src_dir)
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _drain(spark, agg, mode, name):
@@ -202,17 +231,11 @@ def stream_dedup_counts(spark, sf_dir):
     counts prove the dedup removed exactly the duplicates. At real
     scale, pair the key with a watermark (dropDuplicatesWithinWatermark)
     so state ages out."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    src_dir = _source_dir(sf_dir, {"events_a.parquet": "events.parquet",
-                                   "events_b.parquet": "events.parquet"})
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(_EVENTS_NANOS)
-        .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _events_stream(
+        spark,
+        sf_dir,
+        links={"events_a.parquet": "events.parquet",
+               "events_b.parquet": "events.parquet"},
     )
     deduped = stream.dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -394,20 +417,13 @@ def stream_foreachbatch_upsert(spark, sf_dir):
     idempotent and order-merging (duplicate delivery collapses)."""
     import tempfile as _tf
 
-    src_dir = _source_dir(sf_dir, {"events_a.parquet": "events.parquet",
-                                   "events_b.parquet": "events.parquet"})
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(_EVENTS_NANOS)
-        .option("maxFilesPerTrigger", 1)
-        .load(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "ts", "event_id", "value")
-    )
+    stream = _events_stream(
+        spark,
+        sf_dir,
+        links={"events_a.parquet": "events.parquet",
+               "events_b.parquet": "events.parquet"},
+        maxFilesPerTrigger=1,
+    ).select("user_id", "ts", "event_id", "value")
     state_dir = _tf.mkdtemp(prefix="upsert_state_")
     atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
     ckpt = _tf.mkdtemp(prefix="ckpt_upsert_")

@@ -725,7 +725,8 @@ def agg_trend_slope(spark, sf_dir):
     e = ev.select(
         "event_type",
         F.expr(
-            "(unix_micros(ts) - 1704067200000000) div 1000000"
+            "(unix_micros(cast(ts as timestamp)) - 1704067200000000)"
+            " div 1000000"
         ).alias("ix"),
         F.round(F.col("value") * 100).cast("long").alias("iy"),
     )
