@@ -52,6 +52,34 @@ def jdbc_sink(df: DataFrame, url: str, table: str,
     )
 
 
+def jdbc_exec(spark, url: str, *statements: str,
+              properties: dict[str, str] | None = None) -> None:
+    """Run DDL/DML statements on the JDBC target from the driver.
+
+    Spark's JDBC writer only appends/overwrites; upserts and staging
+    merges need target-side SQL. ``foreachBatch`` functions run ON THE
+    DRIVER, so a driver-side ``java.sql.DriverManager`` connection is
+    the correct (and cluster-valid) place to issue them — the bulk
+    rows still move through the distributed JDBC writer, only the
+    set-based merge statements run here."""
+    props = properties or {}
+    if "driver" in props:
+        spark._jvm.java.lang.Class.forName(props["driver"])
+    if "user" in props:
+        conn = spark._jvm.java.sql.DriverManager.getConnection(
+            url, props["user"], props.get("password", "")
+        )
+    else:
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            st.execute(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
 def compact_parquet(spark, src_path: str, dst_path: str,
                     target_mb: int = 128) -> dict:
     """Small-files compaction — the table-maintenance pass every
