@@ -511,17 +511,82 @@ def s2_csv_permissive(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------- S3 Excel edge
+@_q(
+    "s3_excel_roundtrip",
+    """SELECT o_orderstatus, count(*) AS n,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders WHERE o_orderkey % 20 = 1
+       GROUP BY o_orderstatus""",
+)
+def s3_excel_roundtrip(spark, sf_dir):
+    """S3 Excel ingest proven end-to-end with real workbooks
+    (src/data_extract.py:58, :64): a 5% orders slice is written as
+    four XLSX files by the distributed sink (one stdlib-codec writer
+    task per file), read back through excel_source (binaryFile →
+    mapInPandas parse — one task per workbook, the scale unit for a
+    many-file drop zone), typed with explicit casts at the raw string
+    edge, and aggregated. Value parity against the parquet original
+    proves the whole SpreadsheetML boundary is lossless for the
+    carried longs/doubles/strings."""
+    from ..sources.readers import excel_source
+
+    tmp = tempfile.mkdtemp(prefix="excel_roundtrip_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    sinks.xlsx_sink(o, f"{tmp}/orders_xlsx", num_files=4).collect()
+    back = excel_source(spark, f"{tmp}/orders_xlsx/*.xlsx")
+    return (
+        back.select(
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ----------------------------------------------------------- S6 JDBC edge
 _DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
 
-def _derby_url(prefix: str) -> str:
+def _derby_url(spark, prefix: str) -> str:
     """Fresh embedded-Derby database under /tmp (the Derby jars ship
     inside pyspark/jars, so the driver class is always on the
-    classpath). One DB per call keeps reruns hermetic."""
+    classpath). One DB per call keeps reruns hermetic. Re-instantiating
+    the driver re-boots the engine after a prior query's shutdown —
+    Derby's documented restart protocol — so S6 queries compose in any
+    order within one session."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            _DERBY_PROPS["driver"]
+        ).newInstance()
+    except Exception:
+        pass
     tmp = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     return f"jdbc:derby:{tmp}/db;create=true"
+
+
+def _derby_shutdown(spark) -> None:
+    """Unload the embedded Derby engine after an S6 query: the engine
+    keeps its page cache + lock-manager threads resident in the shared
+    driver JVM otherwise, taxing every later query in the session.
+    Derby signals a successful full shutdown with SQLException 08006/
+    XJ015 — expected, swallowed."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            "jdbc:derby:;shutdown=true"
+        )
+    except Exception:
+        pass  # XJ015 "Derby system shutdown" is the success path
 
 
 @_q(
@@ -541,7 +606,7 @@ def s6_jdbc_roundtrip(spark, sf_dir):
     append path carries longs/doubles/strings losslessly. The slice
     keeps the single-JVM Derby cost bounded at any SF; on a real
     warehouse the same code scales writers with num_partitions."""
-    url = _derby_url("jdbc_roundtrip_")
+    url = _derby_url(spark, "jdbc_roundtrip_")
     o = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 10 == 0)
@@ -552,10 +617,16 @@ def s6_jdbc_roundtrip(spark, sf_dir):
         batchsize=1000, num_partitions=4, mode="overwrite",
     )
     back = spark.read.jdbc(url, "orders_out", properties=_DERBY_PROPS)
-    return back.groupBy("o_orderstatus").agg(
+    out = back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+    # materialize the (tiny) result so the engine can be unloaded
+    # before the caller's action — the lazy JDBC scan would otherwise
+    # pin Derby in the shared JVM for the rest of the session
+    out = out.localCheckpoint(eager=True)
+    _derby_shutdown(spark)
+    return out
 
 
 @_q(
@@ -583,7 +654,7 @@ def s6_jdbc_stream_upsert(spark, sf_dir):
     from ..streaming.incremental import foreach_batch_jdbc_upsert
     from .streaming_queries import _events_stream
 
-    url = _derby_url("jdbc_upsert_")
+    url = _derby_url(spark, "jdbc_upsert_")
     stream = (
         _events_stream(
             spark,
@@ -616,9 +687,11 @@ def s6_jdbc_stream_upsert(spark, sf_dir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     back = spark.read.jdbc(url, "events_state", properties=_DERBY_PROPS)
-    return back.select(
+    out = back.select(
         "user_id",
         F.col("ts").alias("last_ts"),
         F.col("event_id").alias("last_event_id"),
         F.round("value", 2).alias("last_value"),
-    )
+    ).localCheckpoint(eager=True)
+    _derby_shutdown(spark)
+    return out

@@ -50,21 +50,51 @@ def json_source(spark: SparkSession, path: str,
     return reader.options(**options).json(path)
 
 
-def excel_source(spark: SparkSession, path: str) -> DataFrame:
-    """S3 — Excel ingest (src/data_extract.py:58, :64). Needs either
-    the spark-excel package or pandas+openpyxl; neither ships in this
-    environment, so this is a gated stub: pandas path if available,
-    else a clear error."""
-    try:
-        import pandas as pd  # noqa: F401
+def excel_source(spark: SparkSession, path: str, sheet: int = 0,
+                 header: bool = True,
+                 with_provenance: bool = False) -> DataFrame:
+    """S3 — Excel ingest (src/data_extract.py:58, :64), Spark-native
+    and dependency-free: the ``binaryFile`` source distributes the
+    workbook bytes (one task per file — the right granularity, since
+    XLSX is a ZIP and not byte-splittable), and an Arrow-batched
+    ``mapInPandas`` runs the stdlib SpreadsheetML codec
+    (sources/xlsx.py) per file. All cells surface as strings — the
+    raw-edge convention shared with CSV; type with an explicit
+    ``select(...cast...)`` downstream.
 
-        pdf = pd.read_excel(path)  # requires openpyxl at runtime
-        return spark.createDataFrame(pdf)
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "excel_source requires pandas+openpyxl or the spark-excel "
-            "package on the classpath"
-        ) from e
+    Column names come from one driver-side parse of the first
+    matching file's header (workbooks are small; the cost is one
+    object read, same order as a parquet footer sniff). All files in
+    the glob must share the header layout — mismatches surface as
+    misaligned columns, the same contract pandas applies per-file."""
+    from .xlsx import parse_xlsx_bytes, rows_to_table
+
+    bin_df = spark.read.format("binaryFile").load(path)
+    first = bin_df.select("content").limit(1).collect()
+    if not first:
+        raise FileNotFoundError(f"no files match {path}")
+    rows, width = parse_xlsx_bytes(bytes(first[0][0]), sheet=sheet)
+    cols, _ = rows_to_table(rows, width, header=header)
+
+    out_fields = ", ".join(f"`{c}` string" for c in cols)
+    out_schema = f"{out_fields}, _source_file string"
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for _, rec in pdf.iterrows():
+                rws, w = parse_xlsx_bytes(bytes(rec["content"]), sheet=sheet)
+                _, body = rows_to_table(rws, w, header=header)
+                table = [
+                    (r + [None] * len(cols))[: len(cols)] for r in body
+                ]
+                out = pd.DataFrame(table, columns=cols, dtype=object)
+                out["_source_file"] = rec["path"]
+                yield out
+
+    df = bin_df.select("path", "content").mapInPandas(parse, out_schema)
+    return df if with_provenance else df.drop("_source_file")
 
 
 def hf_dataset_source(spark: SparkSession, dataset_name: str) -> DataFrame:

@@ -52,6 +52,44 @@ def jdbc_sink(df: DataFrame, url: str, table: str,
     )
 
 
+def xlsx_sink(df: DataFrame, dir_path: str, num_files: int = 1) -> DataFrame:
+    """Write ``df`` as ``num_files`` XLSX workbooks under ``dir_path``
+    — the custom-distributed-sink pattern: round-robin repartition to
+    the target file count, then a ``mapInPandas`` stage where each
+    task encodes its partition with the stdlib codec (sources/xlsx.py)
+    and writes one workbook as a side effect, emitting a one-row
+    manifest (file, n_rows). Returning the manifest keeps the write
+    inside the DataFrame program (the action that materializes it
+    performs the write), mirroring how Spark's own file sinks report
+    per-task commits. Values are stringified at the edge — XLSX is an
+    interchange format here, same convention as the CSV sink."""
+    import os
+
+    from .xlsx import write_xlsx
+
+    cols = df.columns
+
+    def encode(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        part_rows: list[tuple] = []
+        for pdf in batches:
+            part_rows.extend(tuple(r) for r in pdf.itertuples(index=False))
+        if part_rows:
+            pid = TaskContext.get().partitionId()
+            name = f"part-{pid:05d}.xlsx"
+            write_xlsx(os.path.join(dir_path, name), cols, part_rows)
+            yield pd.DataFrame(
+                [(name, len(part_rows))], columns=["file", "n_rows"]
+            )
+
+    os.makedirs(dir_path, exist_ok=True)
+    return df.repartition(num_files).mapInPandas(
+        encode, "file string, n_rows long"
+    )
+
+
 def jdbc_exec(spark, url: str, *statements: str,
               properties: dict[str, str] | None = None) -> None:
     """Run DDL/DML statements on the JDBC target from the driver.
@@ -63,14 +101,19 @@ def jdbc_exec(spark, url: str, *statements: str,
     rows still move through the distributed JDBC writer, only the
     set-based merge statements run here."""
     props = properties or {}
+    jprops = spark._jvm.java.util.Properties()
+    for k in ("user", "password"):
+        if k in props:
+            jprops.setProperty(k, props[k])
     if "driver" in props:
-        spark._jvm.java.lang.Class.forName(props["driver"])
-    if "user" in props:
-        conn = spark._jvm.java.sql.DriverManager.getConnection(
-            url, props["user"], props.get("password", "")
-        )
+        # connect through a fresh driver instance, not DriverManager:
+        # embedded engines (Derby) deregister their driver on shutdown,
+        # after which DriverManager reports "no suitable driver" even
+        # though the class loads fine.
+        cls = spark._jvm.java.lang.Class.forName(props["driver"])
+        conn = cls.newInstance().connect(url, jprops)
     else:
-        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         st = conn.createStatement()
         for sql in statements:

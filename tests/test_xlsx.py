@@ -1,0 +1,91 @@
+"""S3 Excel edge: stdlib SpreadsheetML codec + distributed read/write.
+
+The reference ingests .xlsx job files with pd.read_excel
+(src/data_extract.py:58, :64); this env has no openpyxl, so the codec
+is the ECMA-376 subset implemented in sources/xlsx.py and the
+distributed paths are binaryFile→mapInPandas (read) and
+mapInPandas side-effect writers (write).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from avk_job_skill_analytics_spark.sources import sinks, xlsx
+from avk_job_skill_analytics_spark.sources.readers import excel_source
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="xlsx_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("shared", [False, True], ids=["inline", "sst"])
+def test_codec_roundtrip(shared):
+    cols = ["name", "qty", "price", "ok"]
+    rows = [
+        ("widget & co", 3, 19.99, True),
+        ('<a href="x">', 0, -1.5, False),
+        (None, None, None, None),
+        ("éüñ", 42, 0.001, True),
+    ]
+    blob = xlsx.build_xlsx_bytes(cols, rows, shared_strings=shared)
+    parsed, width = xlsx.parse_xlsx_bytes(blob)
+    got_cols, body = xlsx.rows_to_table(parsed, width)
+    assert got_cols == cols
+    assert body[0] == ["widget & co", "3", "19.99", "true"]
+    assert body[1] == ['<a href="x">', "0", "-1.5", "false"]
+    assert body[2] == [None, None, None, None]
+    assert body[3] == ["éüñ", "42", "0.001", "true"]
+
+
+def test_codec_sparse_cells_keep_column_gaps():
+    # hand-build a sheet where row 2 skips column B (real producers do
+    # this — absent cells, not empty ones)
+    blob = xlsx.build_xlsx_bytes(["a", "b", "c"], [("x", None, "z")])
+    parsed, width = xlsx.parse_xlsx_bytes(blob)
+    cols, body = xlsx.rows_to_table(parsed, width)
+    assert cols == ["a", "b", "c"]
+    assert body == [["x", None, "z"]]
+
+
+def test_headerless_and_missing_header_names():
+    blob = xlsx.build_xlsx_bytes(["x", "", "z"], [("1", "2", "3")])
+    parsed, width = xlsx.parse_xlsx_bytes(blob)
+    cols, body = xlsx.rows_to_table(parsed, width)
+    assert cols == ["x", "c1", "z"]
+    cols_nh, body_nh = xlsx.rows_to_table(parsed, width, header=False)
+    assert cols_nh == ["c0", "c1", "c2"]
+    assert len(body_nh) == 2
+
+
+def test_excel_source_distributed_multifile(spark, tmpdir):
+    xlsx.write_xlsx(
+        f"{tmpdir}/a.xlsx", ["k", "v"], [("a", 1), ("b", 2)]
+    )
+    xlsx.write_xlsx(
+        f"{tmpdir}/b.xlsx", ["k", "v"], [("c", 3)], shared_strings=True
+    )
+    df = excel_source(spark, f"{tmpdir}/*.xlsx", with_provenance=True)
+    rows = df.collect()
+    got = {(r.k, r.v) for r in rows}
+    assert got == {("a", "1"), ("b", "2"), ("c", "3")}
+    assert all(r._source_file.endswith(".xlsx") for r in rows)
+    assert len({r._source_file for r in rows}) == 2
+
+
+def test_xlsx_sink_roundtrip(spark, tmpdir):
+    df = spark.range(50).selectExpr(
+        "id", "cast(id * 1.5 as string) as v"
+    )
+    manifest = sinks.xlsx_sink(df, f"{tmpdir}/out", num_files=3).collect()
+    assert sum(m.n_rows for m in manifest) == 50
+    assert 1 <= len(manifest) <= 3
+    back = excel_source(spark, f"{tmpdir}/out/*.xlsx")
+    assert back.columns == ["id", "v"]
+    assert {int(r.id) for r in back.collect()} == set(range(50))
