@@ -123,3 +123,57 @@ def assign_split(df: DataFrame, key: str,
         cond = bucket < lo
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def global_shuffle(df: DataFrame, key: str, seed: int = 7,
+                   num_buckets: int = 1024,
+                   out: str = "shuffle_pos") -> DataFrame:
+    """Deterministic global permutation — the training-order shuffle a
+    data pipeline runs last, as a POSITION COLUMN (0-based, dense)
+    instead of a physically sorted single stream.
+
+    The naive spelling (ORDER BY hash + an unpartitioned row_number)
+    funnels the corpus through one reducer. The scale spelling keyed
+    here: md5 the key with the seed, RANGE-bucket the rows on the
+    hash's top bits (so bucket order IS hash order — a modulo bucket
+    would interleave), rank WITHIN each bucket (windows partitioned by
+    bucket — parallel), count per bucket, prefix-sum the (tiny) bucket
+    histogram, broadcast the offsets back, position = bucket offset +
+    local rank. One window shuffle over the corpus + one broadcast
+    join; works unchanged at 10^12 rows with num_buckets ~ cluster
+    cores x 4 (md5 uniformity keeps range buckets balanced — no
+    sampling pass needed, unlike a generic range partitioner).
+
+    Deterministic and engine-portable (MD5 + integer ops, no RNG), so
+    the oracle's naive ORDER BY spelling must agree bit-for-bit.
+    Re-seeding re-permutes; appending rows re-ranks only buckets the
+    new keys land in... positions after the smallest changed hash
+    shift, which is inherent to dense global positions."""
+    from .hashing import md5_long
+
+    bits = num_buckets.bit_length() - 1
+    if (1 << bits) != num_buckets:
+        raise ValueError("num_buckets must be a power of two")
+    h = md5_long(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
+    # md5_long yields the top 60 bits of the digest; the top `bits`
+    # of those are the range bucket
+    b = F.shiftright(h, 60 - bits).cast("int")
+    tagged = df.withColumn("_h", h).withColumn("_b", b)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_b").orderBy("_h", key)
+    ranked = tagged.withColumn("_rk", F.row_number().over(w))
+    hist = tagged.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    # prefix sum over the bucket histogram: num_buckets rows, an
+    # intentionally tiny unpartitioned window (aggregated frame)
+    wo = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = hist.withColumn(
+        "_off", F.sum("_n").over(wo) - F.col("_n")
+    ).select("_b", "_off")
+    return (
+        ranked.join(F.broadcast(offs), "_b")
+        .withColumn(out, (F.col("_off") + F.col("_rk") - 1).cast("long"))
+        .drop("_h", "_b", "_rk", "_off")
+    )

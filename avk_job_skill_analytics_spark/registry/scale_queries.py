@@ -1470,3 +1470,29 @@ def pipeline_remix_sources(spark, sf_dir):
             .alias("kept_tokens"),
         )
     )
+
+
+@_q(
+    "pipeline_global_shuffle",
+    f"""WITH h AS (SELECT doc_id, source,
+                 {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':7')")} AS hh
+              FROM documents)
+       SELECT doc_id, source,
+              CAST(row_number() OVER (ORDER BY hh, doc_id) - 1 AS BIGINT)
+                AS shuffle_pos
+       FROM h""",
+)
+def pipeline_global_shuffle(spark, sf_dir):
+    """Deterministic global training-order permutation
+    (operators/sampling.global_shuffle): every document gets a dense
+    0-based position from a seeded MD5 ordering. The Spark plan is the
+    scale spelling — rank within hash buckets (parallel windows) +
+    prefix-summed bucket offsets broadcast back — while the oracle
+    runs the naive single-stream ORDER BY; bit-identical output
+    proves the decomposition is exact. At 100 TB the naive spelling
+    is a one-reducer funnel; this one is a single bucket-partitioned
+    window shuffle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.global_shuffle(docs, "doc_id", seed=7).select(
+        "doc_id", "source", "shuffle_pos"
+    )

@@ -444,3 +444,30 @@ def stream_foreachbatch_upsert(spark, sf_dir):
         F.col("event_id").alias("last_event_id"),
         F.round("value", 2).alias("last_value"),
     )
+
+
+@_q(
+    "stream_dedup_watermarked",
+    """SELECT event_type, count(*) AS n FROM events GROUP BY event_type""",
+)
+def stream_dedup_watermarked(spark, sf_dir):
+    """Streaming dedup with BOUNDED state — the 100 TB-correct variant
+    of stream_dedup_counts: dropDuplicatesWithinWatermark keeps a key
+    in state only until the watermark passes its event time, so state
+    size tracks the lateness window instead of the full key history
+    (plain dropDuplicates state grows forever on an unbounded
+    stream). The duplicated source (same events file linked twice)
+    arrives within one trigger, well inside the 1-hour window, so
+    exactly the duplicates collapse and the oracle is the single-copy
+    count."""
+    stream = _events_stream(
+        spark,
+        sf_dir,
+        links={"events_a.parquet": "events.parquet",
+               "events_b.parquet": "events.parquet"},
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _drain(spark, agg, "complete", "st_dedup_wm")

@@ -423,3 +423,95 @@ def _jdbc_upsert_batch_fn(url, table, key_col, order_cols, properties,
         )
 
     return sink
+
+
+# ------------------------- transformWithState (Spark 4 state API v2)
+try:  # pragma: no cover - import guard for older Spark
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserLedgerProcessor(StatefulProcessor):
+        """Per-user running ledger in explicit ValueState — the
+        transformWithState (state API v2) twin of
+        ``stateful_user_stats``'s applyInPandasWithState. The v2 API
+        is what new stateful operators should target: typed state
+        primitives (value/list/map), timers, and TTL live on the
+        handle instead of one opaque GroupState blob.
+
+        State: (n_events, total_cents, max_value) per user; cents keep
+        the running sum integer-exact across any batch/partition order
+        (float accumulation would drift with delivery order). Emits
+        the running totals each micro-batch — monotone fields, so the
+        caller's final ``max`` per key reads the end state without
+        needing emission-order bookkeeping."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n bigint, cents bigint, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, cents, mx = 0, 0, None
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    pdf["value"].astype(float).mul(100).round()
+                    .astype("int64").sum()
+                )
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+            if self._agg.exists():
+                pn, pc, pm = self._agg.get()
+                n, cents = n + pn, cents + pc
+                mx = pm if mx is None else max(mx, pm)
+            self._agg.update((n, cents, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover
+    UserLedgerProcessor = None
+
+
+def user_ledger_tws(stream: DataFrame) -> DataFrame:
+    """Keyed arbitrary-state transform via transformWithStateInPandas:
+    groupBy user, carry the integer-exact ledger across micro-batches,
+    emit running totals in Update mode.
+
+    ENV-GATED in this sandbox: the v2 state API's worker protocol
+    imports ``google.protobuf`` (pyspark's [connect] extra), which is
+    not installed here and cannot be — the operator raises cleanly at
+    plan time in that case and is exercised by a skip-gated test; the
+    applyInPandasWithState twin (``stateful_user_stats``) carries the
+    oracle-verified coverage for keyed state."""
+    if UserLedgerProcessor is None:  # pragma: no cover
+        raise NotImplementedError(
+            "transformWithState requires Spark >= 4.0"
+        )
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(pip install 'pyspark[connect]' or protobuf)"
+        ) from e
+    return stream.select("user_id", "value").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        UserLedgerProcessor(),
+        "user_id bigint, n_events bigint, total_cents bigint, max_value double",
+        "Update",
+        "None",
+    )

@@ -108,3 +108,28 @@ def test_foreachbatch_upsert_replay_is_noop(spark, tmp_path):
     }
     assert again == first
     assert os.path.exists(f"{state}/_batch_0")
+
+
+def test_transform_with_state_gated_or_runs(spark):
+    """user_ledger_tws is env-gated on protobuf (the v2 state API's
+    worker protocol). With protobuf absent it must fail fast with a
+    clear NotImplementedError at plan time — not crash mid-stream;
+    with protobuf present it must produce the per-user ledger."""
+    import pandas as pd  # noqa: F401
+    import pytest
+
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        user_ledger_tws,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value % 3 as user_id", "cast(value as double) as value")
+    )
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            user_ledger_tws(stream)
+        return
+    assert user_ledger_tws(stream).isStreaming
