@@ -695,3 +695,46 @@ def s6_jdbc_stream_upsert(spark, sf_dir):
     ).localCheckpoint(eager=True)
     _derby_shutdown(spark)
     return out
+
+
+@_q(
+    "s3_excel_datasource",
+    """SELECT o_orderstatus, count(*) AS n,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders WHERE o_orderkey % 20 = 2
+       GROUP BY o_orderstatus""",
+)
+def s3_excel_datasource(spark, sf_dir):
+    """S3 Excel through the Spark 4 Python Data Source API
+    (sources/xlsx_datasource): ``df.write.format("xlsx")`` commits one
+    workbook per task with per-task commit messages, and
+    ``spark.read.format("xlsx")`` plans one input partition per
+    workbook — the fully idiomatic V2 spelling of the same stdlib
+    codec excel_source drives through binaryFile. Value parity vs the
+    parquet original proves the V2 read AND write paths are
+    lossless."""
+    from ..sources.xlsx_datasource import register
+
+    register(spark)
+    tmp = tempfile.mkdtemp(prefix="excel_ds_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 2)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    o.repartition(4).write.format("xlsx").mode("overwrite").save(
+        f"{tmp}/orders_xlsx"
+    )
+    back = spark.read.format("xlsx").load(f"{tmp}/orders_xlsx/*.xlsx")
+    return (
+        back.select(
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

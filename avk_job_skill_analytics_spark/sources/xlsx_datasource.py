@@ -1,0 +1,139 @@
+"""``spark.read.format("xlsx")`` — S3 Excel as a real Python
+DataSource (Spark 4 Python Data Source API).
+
+``readers.excel_source`` gives the binaryFile→mapInPandas spelling;
+this module packages the same stdlib codec (sources/xlsx.py) as a
+registrable V2 source, which is the idiomatic end state: the format
+string participates in the normal reader/writer API, partition
+planning is explicit (one input partition per workbook — XLSX zips are
+not byte-splittable), and the writer commits one workbook per task
+with per-task commit messages, mirroring how Spark's own file sinks
+report commits.
+
+    from avk_job_skill_analytics_spark.sources.xlsx_datasource import register
+    register(spark)
+    df = spark.read.format("xlsx").load("/data/drops/*.xlsx")
+    df.write.format("xlsx").mode("overwrite").save("/data/out")
+
+Paths are driver-glob'd (local FS / NFS; for object stores use the
+binaryFile spelling in readers.excel_source — same codec either way).
+All cells surface as strings, the raw-edge convention shared with CSV.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .xlsx import build_xlsx_bytes, parse_xlsx_bytes, rows_to_table
+
+
+class XlsxDataSource(DataSource):
+    """Single-sheet XLSX batch source/sink (header row contract)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xlsx"
+
+    def _paths(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("xlsx source requires a path")
+        matches = sorted(_glob.glob(path)) if any(
+            ch in path for ch in "*?["
+        ) else (
+            sorted(_glob.glob(os.path.join(path, "*.xlsx")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not matches:
+            raise FileNotFoundError(f"no files match {path}")
+        return matches
+
+    def schema(self):
+        # one driver-side header parse of the first file (workbooks are
+        # small; cost is a parquet-footer-order sniff). All files in a
+        # load share the header layout, same contract as excel_source.
+        first = self._paths()[0]
+        with open(first, "rb") as f:
+            rows, width = parse_xlsx_bytes(f.read())
+        cols, _ = rows_to_table(rows, width, header=True)
+        return StructType([StructField(c, StringType()) for c in cols])
+
+    def reader(self, schema: StructType) -> "XlsxReader":
+        return XlsxReader(self._paths(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "XlsxWriter":
+        return XlsxWriter(self.options.get("path"), schema, overwrite)
+
+
+class XlsxReader(DataSourceReader):
+    def __init__(self, paths, schema):
+        self._paths = paths
+        self._cols = [f.name for f in schema.fields]
+
+    def partitions(self):
+        # one partition per workbook: the scale unit for a many-file
+        # drop zone; a single giant workbook is inherently one task
+        # (zip + shared-strings are file-global)
+        return [InputPartition(p) for p in self._paths]
+
+    def read(self, partition):
+        with open(partition.value, "rb") as f:
+            rows, width = parse_xlsx_bytes(f.read())
+        _, body = rows_to_table(rows, width, header=True)
+        n = len(self._cols)
+        for r in body:
+            yield tuple((r + [None] * n)[:n])
+
+
+class XlsxCommit(WriterCommitMessage):
+    def __init__(self, file, n_rows):
+        self.file = file
+        self.n_rows = n_rows
+
+
+class XlsxWriter(DataSourceWriter):
+    def __init__(self, path, schema, overwrite):
+        if not path:
+            raise ValueError("xlsx writer requires a path")
+        self._dir = path
+        self._cols = [f.name for f in schema.fields]
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        rows = [tuple(r) for r in iterator]
+        name = f"part-{uuid.uuid4().hex[:12]}.xlsx"
+        if rows:
+            os.makedirs(self._dir, exist_ok=True)
+            with open(os.path.join(self._dir, name), "wb") as f:
+                f.write(build_xlsx_bytes(self._cols, rows))
+        return XlsxCommit(name if rows else None, len(rows))
+
+    def commit(self, messages):
+        # all tasks committed; nothing global to finalize (files were
+        # written under unique names, so no rename dance is needed)
+        return None
+
+    def abort(self, messages):  # pragma: no cover - best-effort cleanup
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self._dir, m.file))
+                except OSError:
+                    pass
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a session."""
+    spark.dataSource.register(XlsxDataSource)

@@ -89,3 +89,24 @@ def test_xlsx_sink_roundtrip(spark, tmpdir):
     back = excel_source(spark, f"{tmpdir}/out/*.xlsx")
     assert back.columns == ["id", "v"]
     assert {int(r.id) for r in back.collect()} == set(range(50))
+
+
+def test_xlsx_python_datasource_roundtrip(spark, tmpdir):
+    from avk_job_skill_analytics_spark.sources.xlsx_datasource import (
+        register,
+    )
+
+    register(spark)
+    df = spark.range(40).selectExpr(
+        "id", "concat('row_', id) as label", "cast(id * 0.5 as string) as v"
+    )
+    df.repartition(3).write.format("xlsx").mode("overwrite").save(
+        f"{tmpdir}/ds_out"
+    )
+    back = spark.read.format("xlsx").load(f"{tmpdir}/ds_out/*.xlsx")
+    assert back.columns == ["id", "label", "v"]
+    got = {(r.id, r.label, r.v) for r in back.collect()}
+    want = {
+        (str(i), f"row_{i}", str(i * 0.5)) for i in range(40)
+    }
+    assert got == want
