@@ -416,3 +416,42 @@ def pack_sequences(df, id_col: str, text_col: str,
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+def line_filter(df, id_col: str, text_col: str, delim: str = "\n",
+                min_words: int = 5, must_contain: str | None = None):
+    """C4-style line-level cleanup (Raffel et al. 2020 §2.2: per-LINE
+    keep rules before document assembly — the cleanup pass that
+    removes nav menus, cookie banners, and stub lines which doc-level
+    stats can't see). Split on ``delim``, keep lines with at least
+    ``min_words`` whitespace words (and, when given, containing the
+    ``must_contain`` token — the stand-in for C4's terminal-punctuation
+    rule), and report the per-document ledger: total lines, kept
+    lines, kept words, plus the reassembled ``clean_text``.
+
+    Pure higher-order-function pipeline (split → filter → aggregate →
+    array_join) — every rule is array-local inside whole-stage
+    codegen, zero shuffles at any corpus size; the C4 paper's own
+    pipeline runs exactly this shape per document."""
+    lines = F.split(F.col(text_col), delim)
+    words = lambda ln: F.filter(F.split(ln, " "), lambda w: w != "")  # noqa: E731
+    keep = lambda ln: (  # noqa: E731
+        (F.size(words(ln)) >= min_words)
+        & (
+            F.array_contains(F.split(ln, " "), must_contain)
+            if must_contain is not None
+            else F.lit(True)
+        )
+    )
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        F.aggregate(
+            F.transform(kept, lambda ln: F.size(words(ln)).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("kept_words"),
+        F.array_join(kept, delim).alias("clean_text"),
+    )

@@ -1496,3 +1496,38 @@ def pipeline_global_shuffle(spark, sf_dir):
     return sampling.global_shuffle(docs, "doc_id", seed=7).select(
         "doc_id", "source", "shuffle_pos"
     )
+
+
+@_q(
+    "txt_line_filter",
+    """WITH d AS (SELECT doc_id, string_split(text, ' a ') AS lines
+              FROM documents),
+       k AS (SELECT doc_id, lines,
+                    list_filter(lines,
+                      x -> len(list_filter(string_split(x, ' '),
+                               w -> w <> '')) >= 5
+                       AND list_contains(string_split(x, ' '), 'the'))
+                      AS kept
+             FROM d)
+       SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(len(kept) AS BIGINT) AS kept_lines,
+              CAST(coalesce(list_sum(list_transform(kept,
+                     x -> len(list_filter(string_split(x, ' '),
+                              w -> w <> '')))), 0) AS BIGINT) AS kept_words
+       FROM k""",
+)
+def txt_line_filter(spark, sf_dir):
+    """C4-style per-line cleanup (textstats.line_filter): the corpus
+    texts carry no newlines, so the token ' a ' serves as the line
+    delimiter and 'the' as the must-contain token (the stand-in for
+    C4's terminal-punctuation rule — both engines split on the same
+    literal, so the ledger is engine-exact). Reports the per-doc
+    total/kept-line/kept-word ledger; the reassembled clean_text is
+    dropped here only to keep the compared surface numeric."""
+    docs = load(spark, sf_dir, "documents")
+    out = textstats.line_filter(
+        docs, "doc_id", "text", delim=" a ", min_words=5,
+        must_contain="the",
+    )
+    return out.select("doc_id", "n_lines", "kept_lines", "kept_words")

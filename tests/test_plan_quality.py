@@ -359,3 +359,19 @@ def test_dynamic_partition_pruning_fires(spark, queries):
     df = queries["io_dynamic_partition_prune"](spark, SF_DIR)
     plan = I.plan_string(df)
     assert "dynamicpruningexpression" in plan.lower(), plan
+
+
+def test_global_shuffle_avoids_single_reducer_sort(spark, queries):
+    """pipeline_global_shuffle's scale contract: positions come from
+    bucket-partitioned windows + a broadcast offsets join — NOT from a
+    global ORDER BY (rangepartitioning into one total order) or an
+    unpartitioned window over the corpus."""
+    df = queries["pipeline_global_shuffle"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    # the corpus-ranking window shuffles by the BUCKET hash, i.e. a
+    # parallel partitioned window, not a total order
+    assert re.search(r"hashpartitioning\(_b", plan), plan
+    # no range partitioning of the corpus into a single global sort
+    assert "rangepartitioning" not in plan.lower(), plan
+    # the offsets side joins as a broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
