@@ -1531,3 +1531,40 @@ def txt_line_filter(spark, sf_dir):
         must_contain="the",
     )
     return out.select("doc_id", "n_lines", "kept_lines", "kept_words")
+
+
+@_q(
+    "pii_cc_luhn",
+    """SELECT doc_id,
+              CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                AS n_cc_candidates,
+              CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                AS n_cc_valid
+       FROM documents""",
+)
+def pii_cc_luhn(spark, sf_dir):
+    """Checksum-validated card detection (privacy.credit_card_audit):
+    docs with doc_id%7==0 are laced with a Luhn-VALID test PAN
+    (4111 1111 1111 1111) and docs with doc_id%11==0 with a Luhn-
+    INVALID 16-digit run — the oracle knows the ground truth by
+    construction, so the Spark side must both extract the candidates
+    AND classify them correctly through the sequence→transform→
+    aggregate Luhn fold. The candidate-minus-valid gap is exactly the
+    false-positive mass a regex-only scrubber would mislabel."""
+    d = load(spark, sf_dir, "documents")
+    laced = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" card 4111 1111 1111 1111"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" ref 1234 5678 9012 3456"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return privacy.credit_card_audit(laced, "doc_id", "text")

@@ -422,3 +422,43 @@ def test_global_shuffle_is_dense_deterministic_permutation(spark):
         )
     }
     assert naive == first
+
+
+def test_luhn_fold_classifies_known_pans(spark):
+    import pyspark.sql.functions as F
+
+    from avk_job_skill_analytics_spark.operators.privacy import luhn_valid
+
+    cases = [
+        ("4111111111111111", True),   # classic Visa test PAN
+        ("4111 1111 1111 1111", True),  # separators stripped
+        ("5500-0000-0000-0004", True),  # Mastercard test PAN
+        ("1234567890123456", False),  # checksum fails
+        ("4111111111111112", False),  # one digit off
+        ("411111", False),            # too short (< 13 digits)
+    ]
+    df = spark.createDataFrame(
+        [(s,) for s, _ in cases], "pan string"
+    ).withColumn("ok", luhn_valid(F.col("pan")))
+    got = {r.pan: r.ok for r in df.collect()}
+    assert got == {s: v for s, v in cases}
+
+
+def test_credit_card_audit_counts_candidates_and_valid(spark):
+    from avk_job_skill_analytics_spark.operators.privacy import (
+        credit_card_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4111 1111 1111 1111 or 1234 5678 9012 3456 now"),
+            (2, "no cards here, just words"),
+            (3, "id 5500-0000-0000-0004 twice 5500-0000-0000-0004"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_cc_candidates, r.n_cc_valid)
+        for r in credit_card_audit(df, "doc_id", "text").collect()
+    }
+    assert got == {1: (2, 1), 2: (0, 0), 3: (2, 2)}
