@@ -673,17 +673,20 @@ def s6_jdbc_stream_upsert(spark, sf_dir):
     )
     ckpt = tempfile.mkdtemp(prefix="ckpt_jdbc_upsert_")
     try:
-        q = (
-            foreach_batch_jdbc_upsert(
-                stream, url, "events_state",
-                key_col="user_id", order_cols=("ts", "event_id"),
-                properties=_DERBY_PROPS,
+        from .streaming_queries import _stream_shuffle
+
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_jdbc_upsert(
+                    stream, url, "events_state",
+                    key_col="user_id", order_cols=("ts", "event_id"),
+                    properties=_DERBY_PROPS,
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     back = spark.read.jdbc(url, "events_state", properties=_DERBY_PROPS)
