@@ -259,6 +259,40 @@ def f8_parse_numeric_props(spark, sf_dir):
     return ev.groupBy("event_type").agg(F.round(F.avg(k), 4).alias("avg_k"))
 
 
+# --------------------------------------- F8 twin: VARIANT shredding
+@_q(
+    "f8_props_variant",
+    """SELECT event_type,
+              CAST(json_extract(props, '$.k')::BIGINT % 10 AS BIGINT)
+                AS k_bucket,
+              count(*) AS n,
+              CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT)
+                AS sum_k
+       FROM events GROUP BY event_type, k_bucket""",
+)
+def f8_props_variant(spark, sf_dir):
+    """F8 on the Spark 4 VARIANT path: ``parse_json`` shreds the
+    semi-structured props column ONCE into a variant, and every field
+    access is a typed ``variant_get`` — the open-schema design for
+    event payloads at scale (one binary decode per row; adding a field
+    later costs nothing, versus the regex twin f8_parse_numeric_props
+    which re-scans the string per field and silently mis-parses nested
+    shapes). Grouped ledger per (event_type, k%10) so the extraction
+    feeds keys AND measures; DuckDB's JSON extraction is the oracle
+    twin."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type", (F.col("_k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+        )
+    )
+
+
 # ------------------------------------------------ F13: sentinel fills
 @_q(
     "f13_sentinel_fill",
