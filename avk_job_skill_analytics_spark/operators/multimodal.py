@@ -231,3 +231,40 @@ def image_patches(df: DataFrame, id_col: str = "doc_id",
         F.least(F.lit(patch), F.col("height") - F.col("patch_y") * patch)
         .cast("long").alias("patch_h"),
     )
+
+
+def decode_metadata_arrow(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "payload") -> DataFrame:
+    """The ``mapInArrow`` twin of :func:`decode_metadata` — binary
+    assets processed WITHOUT a pandas round trip. mapInPandas converts
+    every Arrow batch into pandas objects (one Python ``bytes`` copy
+    per payload); mapInArrow hands the raw RecordBatch over, so this
+    stub's metadata comes entirely from the binary array's offsets
+    buffer via ``pyarrow.compute.binary_length`` — the payload bytes
+    are never copied into Python at all. A real decoder would read
+    ``payloads[i].as_py()`` per asset (copy only then), but keeps the
+    same batch shape; for length/offset-derived bookkeeping (sizing,
+    sharding, budget ledgers) this zero-copy path is the one to run at
+    100 TB."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fmts = np.array(["jpeg", "png", "webp"])
+
+    def run(batches):
+        for b in batches:
+            ids = b.column(0)
+            n = pc.binary_length(b.column(1)).to_numpy().astype("int64")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n),
+                    pa.array(n % 640 + 1),
+                    pa.array((n * 7) % 480 + 1),
+                    pa.array(fmts[n % 3]),
+                ],
+                ["doc_id", "n_bytes", "width", "height", "format"],
+            )
+
+    return df.select(id_col, payload_col).mapInArrow(run, DECODED_SCHEMA)

@@ -1568,3 +1568,25 @@ def pii_cc_luhn(spark, sf_dir):
         ).alias("text"),
     )
     return privacy.credit_card_audit(laced, "doc_id", "text")
+
+
+@_q(
+    "mm_decode_arrow",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+              CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
+              CASE octet_length(encode(text)) % 3
+                WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp'
+              END AS format
+       FROM documents""",
+)
+def mm_decode_arrow(spark, sf_dir):
+    """decode_metadata through mapInArrow (multimodal.
+    decode_metadata_arrow): same metadata ledger as mm_decode_metadata
+    but computed from the Arrow binary array's offsets buffer with the
+    payload bytes never copied into Python — the zero-copy batch path
+    for asset bookkeeping at scale. Same oracle as the pandas twin, so
+    the two spellings are proven interchangeable."""
+    d = load(spark, sf_dir, "documents")
+    return multimodal.decode_metadata_arrow(multimodal.attach_binary(d))
