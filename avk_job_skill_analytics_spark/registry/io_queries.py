@@ -741,3 +741,57 @@ def s3_excel_datasource(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@_q(
+    "s3_excel_quarantine",
+    """SELECT o_orderstatus, count(*) AS n,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders
+       WHERE o_orderkey % 20 = 3 AND (o_orderkey // 20) % 4 <> 0
+       GROUP BY o_orderstatus""",
+)
+def s3_excel_quarantine(spark, sf_dir):
+    """Corrupt-workbook tolerance at the Excel edge — the ingestion
+    reality the reference's pd.read_excel meets with a crash: four
+    key-sliced workbooks are written, slice 0's file is then truncated
+    to garbage bytes, and the DROPMALFORMED read quarantines exactly
+    that file while the other three load. The oracle computes the
+    surviving slices directly from the key rule, so the check proves
+    BOTH that corrupt input didn't kill the job AND that nothing else
+    was dropped. excel_scan_report (tested in test_xlsx) is the audit
+    twin that lists the quarantined file."""
+    from ..sources.readers import excel_source
+    from ..sources.xlsx import write_xlsx
+
+    tmp = tempfile.mkdtemp(prefix="excel_quarantine_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    d = f"{tmp}/drop_zone"
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 3)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    for slice_ix in range(4):
+        part = base.filter((F.col("o_orderkey") / 20).cast("long") % 4 == slice_ix)
+        sinks.xlsx_sink(part, d, num_files=1).collect()
+        import os as _os
+
+        written = [
+            f for f in _os.listdir(d) if f.startswith("part-")
+        ][0]
+        _os.rename(f"{d}/{written}", f"{d}/slice_{slice_ix}.xlsx")
+    with open(f"{d}/slice_0.xlsx", "wb") as f:
+        f.write(b"PK\x03\x04 truncated garbage not a zip")
+    back = excel_source(spark, f"{d}/*.xlsx", mode="DROPMALFORMED")
+    return (
+        back.select(
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

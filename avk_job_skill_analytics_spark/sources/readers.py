@@ -52,7 +52,8 @@ def json_source(spark: SparkSession, path: str,
 
 def excel_source(spark: SparkSession, path: str, sheet: int = 0,
                  header: bool = True,
-                 with_provenance: bool = False) -> DataFrame:
+                 with_provenance: bool = False,
+                 mode: str = "FAILFAST") -> DataFrame:
     """S3 — Excel ingest (src/data_extract.py:58, :64), Spark-native
     and dependency-free: the ``binaryFile`` source distributes the
     workbook bytes (one task per file — the right granularity, since
@@ -66,15 +67,32 @@ def excel_source(spark: SparkSession, path: str, sheet: int = 0,
     matching file's header (workbooks are small; the cost is one
     object read, same order as a parquet footer sniff). All files in
     the glob must share the header layout — mismatches surface as
-    misaligned columns, the same contract pandas applies per-file."""
+    misaligned columns, the same contract pandas applies per-file.
+
+    ``mode``: FAILFAST (default) raises on the first undecodable
+    workbook; DROPMALFORMED skips corrupt files and keeps the load
+    alive — the quarantine-and-continue contract a million-file drop
+    zone needs (one truncated upload must not kill the daily ingest;
+    pair with :func:`excel_scan_report` to list what was skipped)."""
     from .xlsx import parse_xlsx_bytes, rows_to_table
 
+    if mode not in ("FAILFAST", "DROPMALFORMED"):
+        raise ValueError(f"unsupported mode {mode!r}")
     bin_df = spark.read.format("binaryFile").load(path)
-    first = bin_df.select("content").limit(1).collect()
-    if not first:
-        raise FileNotFoundError(f"no files match {path}")
-    rows, width = parse_xlsx_bytes(bytes(first[0][0]), sheet=sheet)
-    cols, _ = rows_to_table(rows, width, header=header)
+    first = None
+    for rec in bin_df.select("path", "content").toLocalIterator():
+        try:
+            rows, width = parse_xlsx_bytes(bytes(rec["content"]), sheet=sheet)
+            first = rows_to_table(rows, width, header=header)
+            break
+        except Exception:
+            if mode == "FAILFAST":
+                raise
+    if first is None:
+        raise FileNotFoundError(
+            f"no parseable files match {path} (mode={mode})"
+        )
+    cols, _ = first
 
     out_fields = ", ".join(f"`{c}` string" for c in cols)
     out_schema = f"{out_fields}, _source_file string"
@@ -84,7 +102,14 @@ def excel_source(spark: SparkSession, path: str, sheet: int = 0,
 
         for pdf in batches:
             for _, rec in pdf.iterrows():
-                rws, w = parse_xlsx_bytes(bytes(rec["content"]), sheet=sheet)
+                try:
+                    rws, w = parse_xlsx_bytes(
+                        bytes(rec["content"]), sheet=sheet
+                    )
+                except Exception:
+                    if mode == "FAILFAST":
+                        raise
+                    continue  # DROPMALFORMED: quarantine the file
                 _, body = rows_to_table(rws, w, header=header)
                 table = [
                     (r + [None] * len(cols))[: len(cols)] for r in body
@@ -95,6 +120,40 @@ def excel_source(spark: SparkSession, path: str, sheet: int = 0,
 
     df = bin_df.select("path", "content").mapInPandas(parse, out_schema)
     return df if with_provenance else df.drop("_source_file")
+
+
+def excel_scan_report(spark: SparkSession, path: str,
+                      sheet: int = 0) -> DataFrame:
+    """Per-workbook health ledger for a drop zone: (file, ok, n_rows,
+    error). The audit half of DROPMALFORMED — run it on the same glob
+    to know exactly which files were quarantined and why, instead of
+    silently losing them. Same distributed shape as the read (one
+    binaryFile task per workbook)."""
+    from .xlsx import parse_xlsx_bytes
+
+    def audit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for _, rec in pdf.iterrows():
+                try:
+                    rows, _w = parse_xlsx_bytes(
+                        bytes(rec["content"]), sheet=sheet
+                    )
+                    recs.append((rec["path"], True, max(len(rows) - 1, 0), None))
+                except Exception as e:
+                    recs.append((rec["path"], False, 0, str(e)[:200]))
+            yield pd.DataFrame(
+                recs, columns=["file", "ok", "n_rows", "error"]
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(audit, "file string, ok boolean, n_rows long, error string")
+    )
 
 
 def hf_dataset_source(spark: SparkSession, dataset_name: str) -> DataFrame:

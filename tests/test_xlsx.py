@@ -110,3 +110,37 @@ def test_xlsx_python_datasource_roundtrip(spark, tmpdir):
         (str(i), f"row_{i}", str(i * 0.5)) for i in range(40)
     }
     assert got == want
+
+
+def test_excel_source_dropmalformed_quarantines_bad_file(spark, tmpdir):
+    from avk_job_skill_analytics_spark.sources.readers import (
+        excel_scan_report,
+    )
+
+    xlsx.write_xlsx(f"{tmpdir}/good_a.xlsx", ["k", "v"], [("a", 1)])
+    xlsx.write_xlsx(f"{tmpdir}/good_b.xlsx", ["k", "v"], [("b", 2)])
+    with open(f"{tmpdir}/bad.xlsx", "wb") as f:
+        f.write(b"PK\x03\x04 not actually a zip")
+
+    # FAILFAST: the corrupt file kills the read
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        excel_source(spark, f"{tmpdir}/*.xlsx", mode="FAILFAST").collect()
+
+    # DROPMALFORMED: survivors load, corrupt file is quarantined
+    got = {
+        (r.k, r.v)
+        for r in excel_source(
+            spark, f"{tmpdir}/*.xlsx", mode="DROPMALFORMED"
+        ).collect()
+    }
+    assert got == {("a", "1"), ("b", "2")}
+
+    # the audit twin names the quarantined file
+    rep = {r.file.rsplit("/", 1)[-1]: (r.ok, r.n_rows)
+           for r in excel_scan_report(spark, f"{tmpdir}/*.xlsx").collect()}
+    assert rep["good_a.xlsx"] == (True, 1)
+    assert rep["good_b.xlsx"] == (True, 1)
+    assert rep["bad.xlsx"][0] is False

@@ -44,6 +44,12 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
     "a11_pct_of_total": [
         ("empty-partition-window", "window over the aggregated per-dim frame"),
     ],
+    "pipeline_global_shuffle": [
+        ("empty-partition-window",
+         "prefix-sum over the bucket HISTOGRAM (num_buckets rows, "
+         "corpus-size independent); the corpus window itself is "
+         "partitioned by bucket — asserted in test_plan_quality"),
+    ],
     "win_month_over_month": [
         ("empty-partition-window", "ordered trend over per-month aggregate"),
     ],
