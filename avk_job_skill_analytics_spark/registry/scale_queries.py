@@ -1590,3 +1590,33 @@ def mm_decode_arrow(spark, sf_dir):
     the two spellings are proven interchangeable."""
     d = load(spark, sf_dir, "documents")
     return multimodal.decode_metadata_arrow(multimodal.attach_binary(d))
+
+
+@_q(
+    "txt_length_buckets",
+    """WITH t AS (SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n
+              FROM documents),
+       b AS (SELECT doc_id, n,
+                    CASE WHEN n <= 32 THEN 0
+                         WHEN n <= 64 THEN 1
+                         WHEN n <= 128 THEN 2
+                         ELSE 3 END AS bucket
+             FROM t)
+       SELECT bucket, count(*) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS sum_tokens,
+              CAST(max(n) AS BIGINT) AS bucket_max,
+              round((count(*) * max(n) - sum(n))
+                    / CAST(count(*) * max(n) AS DOUBLE), 6) AS pad_frac
+       FROM b GROUP BY bucket""",
+)
+def txt_length_buckets(spark, sf_dir):
+    """Length-bucketed batching ledger (textstats.length_buckets):
+    token-length buckets at fixed boundaries with per-bucket doc/token
+    mass and the padding fraction of batching each bucket to its own
+    max — the padded-batching counterpart of txt_pack_sequences'
+    concatenation strategy, and the number that justifies bucketing's
+    extra shuffle in a training-prep pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.length_buckets(docs, "doc_id", "text")
