@@ -746,3 +746,50 @@ def agg_trend_slope(spark, sf_dir):
     return s.select(
         "event_type", "n", F.round(slope, 6).alias("slope_per_day")
     )
+
+
+@_q(
+    "win_sliding_distinct_users",
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+              FROM events),
+       w AS (SELECT DISTINCT dd.d AS window_end, du.user_id
+             FROM du JOIN (SELECT DISTINCT d FROM du) dd
+               ON du.d > dd.d - 7 AND du.d <= dd.d)
+       SELECT window_end, count(*) AS n_active_users
+       FROM w GROUP BY window_end""",
+)
+def win_sliding_distinct_users(spark, sf_dir):
+    """Exact COUNT DISTINCT over sliding windows — the 7-day-active-
+    users KPI, which has no direct window-function spelling (DISTINCT
+    inside a frame isn't supported, and collect_set over a range frame
+    holds a whole window's users in one task). The scale spelling:
+    collapse events to distinct (day, user) FIRST (the mass killer —
+    events per user per day collapse to 1), explode each day-user into
+    the ≤7 window-ends it influences via sequence(), dedup
+    (window, user), count per window. Two hash shuffles over the
+    collapsed frame, no per-window state concentration; the same shape
+    computes any windowed exact-cardinality KPI. (At extreme scale
+    swap the final distinct for a per-window HLL sketch — the
+    agg_approx_distinct twin.) Oracle: day × window range join."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.col("ts")).alias("d"), "user_id"
+    ).distinct()
+    exploded = du.select(
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), 6)
+            )
+        ).alias("window_end"),
+        "user_id",
+    )
+    # only windows that end on an OBSERVED day (oracle's dd set)
+    days = du.select("d").distinct()
+    return (
+        exploded.join(
+            F.broadcast(days), exploded.window_end == days.d, "left_semi"
+        )
+        .distinct()
+        .groupBy("window_end")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
