@@ -339,29 +339,38 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "doc_a",
         .localCheckpoint()
     )
     labels = verts.withColumn("label", F.col("v")).localCheckpoint()
+    # size the loop's shuffles to the edge count: each round is a tiny
+    # join+agg whose per-partition fixed cost dominates under the
+    # session default when the graph is far smaller than the cluster
+    # ceiling (plans.session.scoped_shuffle rationale)
+    from ..plans.session import scoped_shuffle, sized_partitions
+
+    spark = pairs.sparkSession
+    n_parts = sized_partitions(spark, edges.count())
     # labels only ever decrease, so the (exact, decimal) label sum is
     # strictly monotone until the fixpoint — a 1-row convergence probe
     # instead of a change-count join
     prev_sum = None
-    for _ in range(max_iter):
-        labels = (
-            edges.join(
-                labels.select(
-                    F.col("v").alias("dst"), F.col("label").alias("_nl")
-                ),
-                "dst",
+    with scoped_shuffle(spark, n_parts):
+        for _ in range(max_iter):
+            labels = (
+                edges.join(
+                    labels.select(
+                        F.col("v").alias("dst"), F.col("label").alias("_nl")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("_nl").alias("label"))
+                .select(F.col("src").alias("v"), "label")
+                .localCheckpoint()
             )
-            .groupBy("src")
-            .agg(F.min("_nl").alias("label"))
-            .select(F.col("src").alias("v"), "label")
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            cur_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -86,20 +86,29 @@ def connected_components_twostar(pairs: DataFrame, a_col: str = "doc_a",
     edges = (
         raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     )
+    # size the per-round shuffles to the edge count (see
+    # plans.session.scoped_shuffle): alternation rounds are tiny
+    # join+agg stages whose fixed cost dominates under the session
+    # default partition count on graphs far below the cluster ceiling
+    from ..plans.session import scoped_shuffle, sized_partitions
+
+    spark = pairs.sparkSession
+    n_parts = sized_partitions(spark, edges.count())
     prev = None
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        probe = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
-            F.sum(
-                F.xxhash64("u", "v").cast("decimal(38,0)")
-            ).alias("h"),
-        ).collect()[0]
-        cur = (probe["n"], probe["s"], probe["h"])
-        if cur == prev:
-            break
-        prev = cur
+    with scoped_shuffle(spark, n_parts):
+        for _ in range(max_iter):
+            edges = _small_star(_large_star(edges)).localCheckpoint()
+            probe = edges.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+                F.sum(
+                    F.xxhash64("u", "v").cast("decimal(38,0)")
+                ).alias("h"),
+            ).collect()[0]
+            cur = (probe["n"], probe["s"], probe["h"])
+            if cur == prev:
+                break
+            prev = cur
     # fixpoint edges form stars (u → root). Isolated-in-pairs nodes
     # can't occur (every vertex came from a pair), but roots carry no
     # outgoing edge — they label themselves via the left join.

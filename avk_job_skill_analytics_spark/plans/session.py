@@ -82,3 +82,35 @@ def tune_session(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # static confs on a running session: keep going
     return spark
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def scoped_shuffle(spark, n: int):
+    """Temporarily set spark.sql.shuffle.partitions.
+
+    Iterative operators (connected components, k-means) run many tiny
+    shuffle stages whose per-partition fixed cost dominates when the
+    frames are far smaller than the session default partition count;
+    size the loop's shuffles to the DATA (rows per partition), restore
+    the default for everything else. Same principle as the streaming
+    drains' state-store sizing."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def sized_partitions(spark, n_rows: int, rows_per_partition: int = 50_000) -> int:
+    """Partition count for an iterative loop: enough to keep
+    ``rows_per_partition`` per task, never more than the session
+    default (the cluster-scale ceiling), never fewer than 4."""
+    try:
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        default = 200
+    return max(4, min(default, n_rows // rows_per_partition + 1))
