@@ -162,25 +162,35 @@ def pagerank_fixedpoint(edges: DataFrame, src_col: str = "src",
         F.count(F.lit(1)).alias("deg")
     )
     rank = nodes.withColumn("rank", F.lit(r0).cast("long"))
-    for _ in range(iterations):
-        rankdeg = rank.join(deg, "node")
-        sums = (
-            e.join(rankdeg, e.src == rankdeg.node)
-            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        rank = (
-            nodes.join(sums, nodes.node == sums.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * coalesce(s, 0)) div 100"
-                    )
-                ).cast("long").alias("rank"),
+    # size the per-round join+agg shuffles to the edge count, exactly
+    # as the CC variants do: each round is O(E) work, and under the
+    # session default partition count a small graph pays mostly
+    # per-task fixed cost. sized_partitions caps at the session
+    # default, which stays the cluster-scale ceiling at 100 TB.
+    from ..plans.session import scoped_shuffle, sized_partitions
+
+    spark = edges.sparkSession
+    n_parts = sized_partitions(spark, e.count())
+    with scoped_shuffle(spark, n_parts):
+        for _ in range(iterations):
+            rankdeg = rank.join(deg, "node")
+            sums = (
+                e.join(rankdeg, e.src == rankdeg.node)
+                .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
             )
-            .localCheckpoint()
-        )
+            rank = (
+                nodes.join(sums, nodes.node == sums.dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_pct} * coalesce(s, 0)) div 100"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+                .localCheckpoint()
+            )
     return rank

@@ -1,17 +1,37 @@
 """Benchmark harness — runs the full query inventory at a scale factor.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the FINAL stdout line, sized to fit
+the driver's 2000-char output-tail capture (r1-r3 tails truncated the
+full 159-query dict and parsed as null):
+
   {"metric": "total_query_wall", "value": <sec>, "unit": "sec",
-   "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+   "queries": {<headline name>: <sec>, ...},
+   "subtotals": {<family>: <sec>, ...},
+   "n_queries": N, "loadavg": [...], "sf": <sf>}
+
+The full per-query dict is written to BENCH_DETAIL.json (same schema,
+"queries" complete) so every number survives stdout truncation.
 
 Config via env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] threads (default 32)
 
-Each query is materialized with the noop sink (full execution, no
-driver-side collect cost), so timings measure the Spark plan itself.
-A single warm-up query absorbs JVM/session startup so per-query
-numbers reflect steady-state execution.
+Measurement protocol (noise isolation):
+- Each query is materialized with the noop sink (full execution, no
+  driver-side collect cost), so timings measure the Spark plan itself.
+- Warm-ups are NEUTRAL actions (a tiny parquet read + shuffle, a
+  mapInPandas ping for Python workers, a throwaway streaming agg for
+  state-store providers) — never an untimed run of a query that is
+  about to be timed, so no query gets a flattered cache-warm number.
+- Families run in churn order: streaming first (right after the
+  streaming warm-up — workers/state stores idle out if deferred),
+  then the pure batch set, then io-heavy (Derby JDBC, XLSX codec,
+  filesystem sinks) LAST so their JVM/GC churn can't inflate the
+  batch numbers (r03 showed uniform ~1.3x drift on unchanged batch
+  queries in a churned session).
+- A JVM System.gc() runs at family boundaries, and os.getloadavg()
+  is recorded at start/end so cross-round drift on unchanged queries
+  can be attributed to machine load rather than plan changes.
 """
 
 from __future__ import annotations
@@ -27,6 +47,44 @@ sys.path.insert(0, ROOT)
 from avk_job_skill_analytics_spark.plans.session import get_spark  # noqa: E402
 from avk_job_skill_analytics_spark.registry import all_queries  # noqa: E402
 
+# Headline queries for the compact stdout line: the most expensive /
+# most representative member of each family (full dict lands in
+# BENCH_DETAIL.json). Keep this list small enough that the final line
+# stays well under the driver's 2000-char tail capture.
+HEADLINE = [
+    "pipeline_curate",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "a7_pricing_summary",
+    "j6_asof_attribution",
+    "win_sessionize",
+    "dd_minhash_lsh",
+    "dd_dup_clusters_twostar",
+    "graph_pagerank_suppliers",
+    "ml_kmeans_centroids",
+    "ann_cosine_topk",
+    "txt_gopher_rules",
+    "mm_extract_features",
+    "stream_stateful_user_stats",
+    "s3_excel_datasource",
+    "s6_jdbc_roundtrip",
+]
+
+_FAMILIES = (
+    "tpch", "stream", "pipeline", "dd", "txt", "mm", "win",
+    "ann", "ml", "graph", "pii", "agg", "ud",
+)
+_IO_PREFIXES = ("s1_", "s2_", "s3_", "s4_", "s5_", "s6_", "s7_", "hf_", "io_")
+
+
+def family(name: str) -> str:
+    for p in _FAMILIES:
+        if name.startswith(p + "_"):
+            return p
+    if name.startswith(_IO_PREFIXES):
+        return "io"
+    return "core"
+
 
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -36,62 +94,129 @@ def sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _neutral_warmup(spark, sf_dir: str) -> None:
+    """Warm JVM codegen, the parquet reader path, the shuffle machinery
+    and the Arrow/Python worker pool WITHOUT executing any registry
+    query (every timed query starts equally cold)."""
+    try:
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).groupBy(
+            "r_name"
+        ).count().write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+    try:  # shuffle + codegen warm
+        spark.range(100_000).selectExpr("id % 7 AS k").groupBy(
+            "k"
+        ).count().write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+    try:  # Arrow + Python worker pool warm
+        spark.range(1_000).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
+
+def _streaming_warmup(spark, tiny_dir: str) -> None:
+    """Spin up the streaming engine + state-store provider with a
+    throwaway aggregation over the tiniest SF — NOT one of the timed
+    stream_* queries. The first stateful streaming query in a session
+    otherwise pays ~7-30s of session-fixed provider spin-up."""
+    import shutil
+
+    src = os.path.join(tiny_dir, "region.parquet")
+    d = os.path.join("/tmp", f"bench_warm_src_{os.getpid()}")
+    try:  # file streams need a DIRECTORY source — stage the tiny file
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(src, os.path.join(d, "region.parquet"))
+    except Exception as exc:
+        print(f"# WARN streaming warm-up stage failed: {exc}", file=sys.stderr)
+        return
+    try:
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema).parquet(d)
+            .groupBy("r_name").count()
+            .writeStream.format("noop").outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation",
+                    os.path.join("/tmp", f"bench_warm_ckpt_{os.getpid()}"))
+            .start()
+        )
+        q.awaitTermination(120)
+    except Exception as exc:
+        print(f"# WARN streaming warm-up failed: {exc}", file=sys.stderr)
+    try:
+        # the Python stateful path (applyInPandasWithState) spins up
+        # its own worker/state machinery on first use — warm it with a
+        # trivial inline stateful op, not a registry query
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def _echo(key, pdfs, state):
+            import pandas as pd
+            n = sum(len(p) for p in pdfs)
+            yield pd.DataFrame({"k": [key[0]], "n": [n]})
+
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema).parquet(d)
+            .groupBy("r_regionkey")
+            .applyInPandasWithState(
+                _echo, "k long, n long", "n long", "update",
+                GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("noop").outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation",
+                    os.path.join("/tmp", f"bench_warm_ckpt2_{os.getpid()}"))
+            .start()
+        )
+        q.awaitTermination(120)
+    except Exception as exc:
+        print(f"# WARN stateful warm-up failed: {exc}", file=sys.stderr)
+
+
+def _jvm_gc(spark) -> None:
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(master=f"local[{cpus}]",
                       shuffle_partitions=max(int(cpus), 4))
+    load_start = list(os.getloadavg())
 
     queries = all_queries()
     only = sys.argv[1:]
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
 
-    # Warm-up: first Spark job pays JVM + parquet-footer costs.
-    next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    _neutral_warmup(spark, sf_dir)
+    if any(family(n) == "stream" for n in queries):
+        _streaming_warmup(spark, "/root/testdata/sf0.001")
 
-    # Streaming warm-up: the FIRST stateful/streaming query in a
-    # session pays ~7-30s of Python-worker + state-store-provider
-    # spin-up — session-fixed cost, not plan cost. Pay it here on the
-    # tiniest SF so the timed streaming numbers reflect steady state.
-    if any(n.startswith("stream_") for n in queries):
-        try:
-            all_queries()["stream_stateful_user_stats"](
-                spark, "/root/testdata/sf0.001"
-            ).write.format("noop").mode("overwrite").save()
-        except Exception as exc:
-            print(f"# WARN streaming warm-up failed: {exc}", file=sys.stderr)
+    # Churn order: streaming → pure batch → io-heavy; alphabetical
+    # within a group for stable round-over-round comparison.
+    def group(name: str) -> int:
+        fam = family(name)
+        return 0 if fam == "stream" else (2 if fam == "io" else 1)
 
-    # Streaming queries are timed FIRST, right after the streaming
-    # warm-up: Python workers and state-store providers idle out over
-    # the ~2 min of batch queries, so deferring the stream_* family
-    # re-pays a large fraction of the session-fixed spin-up (measured
-    # 2-10x inflation when they run last).
     timings: dict[str, float] = {}
-    order = sorted(
-        queries.items(),
-        key=lambda kv: (not kv[0].startswith("stream_"), kv[0]),
-    )
-    first_batch = next(
-        (n for n, _ in order if not n.startswith("stream_")), None
-    )
-    rewarmed = False
+    order = sorted(queries.items(), key=lambda kv: (group(kv[0]), kv[0]))
+    prev_group = None
     for name, fn in order:
-        # re-warm at the streaming→batch transition: the first batch
-        # query otherwise absorbs state-store teardown + GC of the
-        # streaming family (measured 3-7x inflation on whichever
-        # query is alphabetically first)
-        if not rewarmed and name == first_batch:
-            rewarmed = True
-            try:
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                spark.catalog.clearCache()
-            except Exception:
-                pass
+        g = group(name)
+        if prev_group is not None and g != prev_group:
+            # family boundary: drop leftover state, nudge the JVM to
+            # collect so the next family doesn't pay this one's GC
+            spark.catalog.clearCache()
+            _jvm_gc(spark)
+        prev_group = g
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -109,25 +234,34 @@ def main() -> None:
                 spark.catalog.dropTempView(t.name)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    streaming = round(
-        sum(t for n, t in timings.items()
-            if n.startswith("stream_") and t >= 0), 3
-    )
-    payload = {
+    subtotals: dict[str, float] = {}
+    for n, t in timings.items():
+        if t >= 0:
+            subtotals[family(n)] = round(subtotals.get(family(n), 0) + t, 3)
+    full = {
         "metric": "total_query_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "streaming_subtotal": streaming,
+        "subtotals": subtotals,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "loadavg": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "sf": sf_from_dir(sf_dir),
     }
-    # compact separators keep the one-line JSON inside the driver's
-    # output-tail capture (r1/r2 BENCH tails truncated mid-dict and
-    # parsed as null); the same payload also lands in BENCH_DETAIL.json
-    # so per-query numbers survive any stdout truncation.
-    line = json.dumps(payload, separators=(",", ":"))
     with open(os.path.join(ROOT, "BENCH_DETAIL.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(full, separators=(",", ":")) + "\n")
+
+    compact = dict(full)
+    compact["queries"] = {
+        n: timings[n] for n in HEADLINE if n in timings
+    }
+    compact["detail"] = "BENCH_DETAIL.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never exceed tail capture
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 
