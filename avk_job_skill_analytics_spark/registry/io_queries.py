@@ -511,6 +511,51 @@ def s2_csv_permissive(spark, sf_dir):
     )
 
 
+# ------------------------------------------------ S4 HuggingFace snapshot
+@_q(
+    "s4_hf_snapshot",
+    """SELECT c_mktsegment AS country, '' AS salary, count(*) AS cnt
+       FROM customer
+       WHERE lower(c_mktsegment) IN ('building', 'automobile')
+       GROUP BY c_mktsegment""",
+)
+def s4_hf_snapshot(spark, sf_dir):
+    """S4 — HuggingFace ingest through the offline-snapshot path
+    (src/data_extract.py:73-79 done Spark-native): a parquet mirror of
+    the dataset (customer stands in for ``lukebarousse/data_jobs``) is
+    read with :func:`readers.hf_snapshot_source`, P1-mapped to the
+    canonical schema (absent ``salary`` column → ``''``), then
+    union-ed with a SECOND source call against a path that does not
+    exist — exercising the reference's fallback-to-empty contract
+    (``hf_df = pd.DataFrame()`` on load failure, src/data_extract.py:
+    78-79) inside the query itself: the union must be a no-op. The
+    US-filter shape (country-column isin, case-insensitive,
+    src/data_extract.py:85-90) runs before the aggregate."""
+    tmp = tempfile.mkdtemp(prefix="hf_snapshot_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    snap = f"{tmp}/snapshot"
+    load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    ).write.mode("overwrite").parquet(snap)
+    colmap = {
+        "name": "c_name",
+        "country": "c_mktsegment",
+        "location": "c_address_missing",
+        "salary": "job_salary_missing",
+    }
+    hf = readers.hf_snapshot_source(spark, snap, column_map=colmap)
+    fallback = readers.hf_snapshot_source(
+        spark, f"{tmp}/no_such_snapshot", column_map=colmap
+    )
+    both = hf.unionByName(fallback, allowMissingColumns=True)
+    usa_style = both.filter(
+        F.lower(F.col("country")).isin("building", "automobile")
+    )
+    return usa_style.groupBy("country", "salary").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 # ---------------------------------------------------------- S3 Excel edge
 @_q(
     "s3_excel_roundtrip",

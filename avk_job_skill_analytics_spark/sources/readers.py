@@ -156,16 +156,82 @@ def excel_scan_report(spark: SparkSession, path: str,
     )
 
 
+def hf_snapshot_source(spark: SparkSession, snapshot_path: str,
+                       column_map: dict[str, str] | None = None,
+                       with_provenance: bool = False) -> DataFrame:
+    """S4 — HuggingFace dataset ingest from an offline snapshot
+    (src/data_extract.py:73-79). HF datasets are distributed as
+    parquet (or CSV export) files; at 100 TB you mirror the dataset
+    onto shared storage once and scan it like any other source — the
+    live ``datasets.load_dataset`` call is a single-node download the
+    engine only needs at mirror time (see :func:`hf_dataset_source`).
+
+    Reference contract, reproduced end-to-end:
+
+    - ``load_dataset(...)`` failure → the pipeline CONTINUES with an
+      empty frame (``hf_df = pd.DataFrame()``, src/data_extract.py:
+      78-79). Here any unreadable/missing/empty snapshot returns an
+      empty DataFrame instead of raising: 0 columns when no
+      ``column_map`` is given (the exact ``pd.DataFrame()`` shape), or
+      the mapped schema (all-string) when one is — so a downstream
+      ``unionByName(allowMissingColumns=True)`` drops the source
+      silently, exactly like the reference's ``pd.concat``.
+    - P1 column mapping (src/data_extract.py:166-200): ``column_map``
+      ``{dst: src}`` projects to the canonical schema with ``""`` for
+      absent source columns (:func:`normalize.normalize_columns`).
+
+    Snapshot layout: a directory (or glob) of ``*.parquet`` and/or
+    ``*.csv`` files; parquet wins when both exist (columnar scan,
+    pushdown). CSV is read with header + all-string schema inference
+    disabled only for parquet-absent snapshots."""
+    from .normalize import normalize_columns
+
+    df = None
+    for fmt in ("parquet", "csv"):
+        try:
+            if fmt == "parquet":
+                cand = spark.read.parquet(snapshot_path)
+            else:
+                cand = (
+                    spark.read.option("header", True)
+                    .option("inferSchema", True).csv(snapshot_path)
+                )
+            if cand.columns:  # a readable snapshot with real columns
+                df = cand
+                break
+        except Exception:
+            continue  # fallback-to-empty: try the next format
+    if df is None:
+        empty = spark.createDataFrame([], StructType([]))
+        if column_map:
+            # project the empty frame to the mapped schema so callers
+            # can union it with the other sources without branching
+            return empty.select(
+                *[F.lit("").alias(dst) for dst in column_map]
+            ).limit(0)
+        return empty
+    if with_provenance:
+        df = df.withColumn("_source_file", F.input_file_name())
+    if column_map:
+        keep = dict(column_map)
+        if with_provenance:
+            keep["_source_file"] = "_source_file"
+        df = normalize_columns(df, keep)
+    return df
+
+
 def hf_dataset_source(spark: SparkSession, dataset_name: str) -> DataFrame:
-    """S4 — HuggingFace dataset ingest (src/data_extract.py:73-79).
-    The `datasets` library is not in this environment; gated stub with
-    the reference's fallback-to-empty contract handled by the caller."""
+    """S4 (live-network path) — HuggingFace dataset ingest via the
+    `datasets` package (src/data_extract.py:73-79). Not available in
+    this environment; production use mirrors the dataset to storage
+    once and reads it with :func:`hf_snapshot_source` (same contract,
+    distributed scan)."""
     try:
         from datasets import load_dataset  # type: ignore
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
-            "hf_dataset_source requires the `datasets` package; pass a "
-            "parquet/CSV snapshot to parquet_source/csv_source instead"
+            "hf_dataset_source requires the `datasets` package; mirror "
+            "the dataset and use hf_snapshot_source instead"
         ) from e
     ds = load_dataset(dataset_name)["train"]
     return spark.createDataFrame(ds.to_pandas())
