@@ -79,10 +79,22 @@ def excel_source(spark: SparkSession, path: str, sheet: int = 0,
     if mode not in ("FAILFAST", "DROPMALFORMED"):
         raise ValueError(f"unsupported mode {mode!r}")
     bin_df = spark.read.format("binaryFile").load(path)
+    # header sniff: list paths first (column pruning keeps the listing
+    # metadata-only — no file bytes move), then fetch ONE workbook's
+    # bytes at a time via a single-file binaryFile read until one
+    # parses. Driver traffic is one workbook per attempt, not the
+    # whole drop zone streamed through toLocalIterator.
+    paths = sorted(
+        r["path"] for r in bin_df.select("path").collect()
+    )
     first = None
-    for rec in bin_df.select("path", "content").toLocalIterator():
+    for p in paths:
         try:
-            rows, width = parse_xlsx_bytes(bytes(rec["content"]), sheet=sheet)
+            content = (
+                spark.read.format("binaryFile").load(p)
+                .select("content").collect()[0]["content"]
+            )
+            rows, width = parse_xlsx_bytes(bytes(content), sheet=sheet)
             first = rows_to_table(rows, width, header=header)
             break
         except Exception:

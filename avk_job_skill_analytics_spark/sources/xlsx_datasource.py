@@ -109,15 +109,34 @@ class XlsxReader(DataSourceReader):
 
 
 class XlsxCommit(WriterCommitMessage):
-    def __init__(self, file, n_rows):
-        self.file = file
+    def __init__(self, stage, final, n_rows):
+        self.stage = stage
+        self.final = final
         self.n_rows = n_rows
 
 
 class XlsxWriter(DataSourceArrowWriter):
     """Arrow-batch writer (DataSourceArrowWriter): partitions arrive
     as RecordBatches, so values reach the codec without per-row Spark
-    Row materialization."""
+    Row materialization.
+
+    Commit protocol (stage-and-rename, local/NFS paths — same scope
+    as the reader's driver glob):
+
+    - each task writes to a HIDDEN stage name
+      ``.part-{pid:05d}-{job}.xlsx.stage-{attempt}`` — dotfiles never
+      match the reader's ``*.xlsx`` glob, so a crashed or speculative
+      attempt can't leak rows into a concurrent read;
+    - ``commit()`` (driver, runs once after every task reported) first
+      clears the target's ``part-*.xlsx`` files when the save mode is
+      overwrite — a re-run REPLACES the directory contents instead of
+      silently doubling them — then renames exactly the staged files
+      named in the commit messages, so orphan stages from failed
+      attempts are swept, never promoted;
+    - final names are ``part-{pid:05d}-{job}.xlsx``: deterministic per
+      (job, partition) so a task retry overwrites its own stage, while
+      the job-unique token keeps append mode from colliding with the
+      parts of a previous save."""
 
     def __init__(self, path, schema, overwrite):
         if not path:
@@ -125,31 +144,63 @@ class XlsxWriter(DataSourceArrowWriter):
         self._dir = path
         self._cols = [f.name for f in schema.fields]
         self._overwrite = overwrite
+        # generated once on the driver, shared by all tasks of this job
+        self._job = uuid.uuid4().hex[:8]
 
     def write(self, iterator):
+        from pyspark import TaskContext
+
         rows: list[tuple] = []
         for batch in iterator:
             data = [col.to_pylist() for col in batch.columns]
             rows.extend(zip(*data))
-        name = f"part-{uuid.uuid4().hex[:12]}.xlsx"
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.attemptNumber() if ctx is not None else 0
+        final = f"part-{pid:05d}-{self._job}.xlsx"
+        stage = f".{final}.stage-{attempt}"
         if rows:
             os.makedirs(self._dir, exist_ok=True)
-            with open(os.path.join(self._dir, name), "wb") as f:
+            with open(os.path.join(self._dir, stage), "wb") as f:
                 f.write(build_xlsx_bytes(self._cols, rows))
-        return XlsxCommit(name if rows else None, len(rows))
+        return XlsxCommit(stage if rows else None, final, len(rows))
+
+    def _sweep_stages(self):
+        try:
+            for f in os.listdir(self._dir):
+                if f.startswith(".part-") and ".stage-" in f:
+                    try:
+                        os.remove(os.path.join(self._dir, f))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
 
     def commit(self, messages):
-        # all tasks committed; nothing global to finalize (files were
-        # written under unique names, so no rename dance is needed)
+        if self._overwrite and os.path.isdir(self._dir):
+            for f in os.listdir(self._dir):
+                if f.startswith("part-") and f.endswith(".xlsx"):
+                    try:
+                        os.remove(os.path.join(self._dir, f))
+                    except OSError:
+                        pass
+        for m in messages:
+            if m is not None and m.stage:
+                os.replace(
+                    os.path.join(self._dir, m.stage),
+                    os.path.join(self._dir, m.final),
+                )
+        self._sweep_stages()  # orphans from failed/speculative attempts
         return None
 
     def abort(self, messages):  # pragma: no cover - best-effort cleanup
         for m in messages:
-            if m is not None and m.file:
+            if m is not None and m.stage:
                 try:
-                    os.remove(os.path.join(self._dir, m.file))
+                    os.remove(os.path.join(self._dir, m.stage))
                 except OSError:
                     pass
+        self._sweep_stages()
 
 
 def register(spark) -> None:

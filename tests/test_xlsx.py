@@ -112,6 +112,34 @@ def test_xlsx_python_datasource_roundtrip(spark, tmpdir):
     assert got == want
 
 
+def test_xlsx_datasource_overwrite_replaces_contents(spark, tmpdir):
+    """mode('overwrite') on a NON-fresh directory must replace the
+    previous save's part files, not append alongside them (a re-run
+    used to double the data); append must keep both saves."""
+    import os
+
+    from avk_job_skill_analytics_spark.sources.xlsx_datasource import (
+        register,
+    )
+
+    register(spark)
+    out = f"{tmpdir}/ds_over"
+    df = spark.range(10).selectExpr("id", "concat('r', id) as label")
+    df.repartition(2).write.format("xlsx").mode("overwrite").save(out)
+    df.repartition(2).write.format("xlsx").mode("overwrite").save(out)
+    back = spark.read.format("xlsx").load(f"{out}/*.xlsx")
+    assert back.count() == 10  # NOT 20
+
+    df.repartition(2).write.format("xlsx").mode("append").save(out)
+    assert spark.read.format("xlsx").load(f"{out}/*.xlsx").count() == 20
+
+    # no stage dotfiles survive a completed job
+    assert not [f for f in os.listdir(out) if f.startswith(".part-")]
+    # part names are deterministic per (job, partition)
+    names = sorted(f for f in os.listdir(out) if f.endswith(".xlsx"))
+    assert all(n.startswith("part-0000") for n in names)
+
+
 def test_excel_source_dropmalformed_quarantines_bad_file(spark, tmpdir):
     from avk_job_skill_analytics_spark.sources.readers import (
         excel_scan_report,
