@@ -501,3 +501,101 @@ def stream_dedup_watermarked(spark, sf_dir):
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return _drain(spark, agg, "complete", "st_dedup_wm")
+
+
+# ------------------------------------------- streaming MinHash-LSH dedup
+def _stream_minhash_sql(num_hashes: int, bands: int,
+                        threshold: float) -> str:
+    """Oracle for stream_minhash_dedup: the batch MinHash SQL from
+    scale_queries restricted to cross-increment candidates — static
+    index side = even doc_ids, streamed side = odd doc_ids. Generated
+    from the same hash constants as the Spark plan."""
+    from .scale_queries import _SHINGLE_CTE, _VERIFY_SQL
+    from ..operators.hashing import (
+        MERSENNE_P,
+        affine_hash_sql,
+        md5_long_sql,
+        minhash_coeffs,
+    )
+
+    rows = num_hashes // bands
+    h = f"({md5_long_sql('shingle')} % {MERSENNE_P})"
+    mins = ",\n            ".join(
+        f"min({affine_hash_sql(h, a, b)}) AS m{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, concat({cols}) AS sig FROM sig_t".format(
+            b=b,
+            cols=", '_', ".join(
+                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""WITH {_SHINGLE_CTE},
+  sig_t AS (SELECT doc_id,
+            {mins}
+            FROM sh GROUP BY doc_id),
+  bands_t AS (
+{band_selects}),
+  cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+                  greatest(x.doc_id, y.doc_id) AS b
+           FROM bands_t x JOIN bands_t y
+             ON x.band = y.band AND x.sig = y.sig
+            AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),
+{_VERIFY_SQL.format(thr=threshold)}"""
+
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@_q("stream_minhash_dedup", _stream_minhash_sql(16, 8, 0.5))
+def stream_minhash_dedup(spark, sf_dir):
+    """Streaming near-dup dedup (streaming/minhash_stream.py): even
+    doc_ids form the curated static corpus whose banded LSH index and
+    shingle-set table are built batch-side and frozen
+    (localCheckpoint — the stream re-scans static frames every
+    micro-batch otherwise); odd doc_ids arrive on the file stream,
+    TWICE (same parquet linked twice, one file per trigger), so the
+    second delivery exercises the replay path: every pair it
+    re-generates is already in dropDuplicates state and the sink sees
+    each verified pair exactly once. Signatures on the stream side
+    are pure column expressions — no stream aggregation before the
+    index join. Oracle: the batch MinHash SQL restricted to
+    even-vs-odd candidate pairs."""
+    from ..streaming.minhash_stream import (
+        build_lsh_index,
+        stream_minhash_dedup as _op,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    static = docs.filter(F.col("doc_id") % 2 == 0)
+    index_bands, index_sets = build_lsh_index(static, "doc_id", "text")
+    index_bands = index_bands.localCheckpoint()
+    index_sets = index_sets.localCheckpoint()
+
+    src_dir = _source_dir(
+        sf_dir,
+        {"docs_a.parquet": "documents.parquet",
+         "docs_b.parquet": "documents.parquet"},
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+    )
+    out = _op(stream, index_bands, index_sets, "doc_id", "text",
+              k=3, num_hashes=16, bands=8, threshold=0.5)
+    return _drain(spark, out, "append", "st_minhash_dedup")

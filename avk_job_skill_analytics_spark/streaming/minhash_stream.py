@@ -1,0 +1,200 @@
+"""Streaming MinHash-LSH near-duplicate detection.
+
+Closes the gap between the batch dedup family (operators/dedup.py)
+and the incremental-ingest story: documents arriving on a file stream
+are checked against a STATIC banded LSH index of the already-curated
+corpus, emitting exact-Jaccard-verified near-dup pairs per
+micro-batch. The reference has no streaming at all (SURVEY.md §2.9);
+this is the beyond-reference surface a continuously-fed corpus needs
+— drop a day's crawl into the zone, get back the pairs that collide
+with the curated set before they enter it.
+
+Spark-first shape — chosen so the STREAM side needs no aggregation:
+
+- shingling + MinHash signatures are PURE column expressions (array
+  ops over the in-row token array; ``array_min`` replaces the batch
+  ``groupBy(id).agg(min)``), so signing a document is stateless and
+  whole-stage-codegen'd;
+- candidate generation is a stream-static equi-join on (band, sig);
+  Spark broadcasts the index when it fits, shuffle-hashes otherwise;
+- band-collision dedup is a keyed ``dropDuplicates`` — the one
+  stateful op; its state is one small row per emitted pair. A
+  continuous deployment bounds it with a watermark on arrival time;
+  the availableNow drains used for verification are naturally
+  bounded. The same state ALSO absorbs at-least-once file
+  re-deliveries: a replayed document re-generates the same pairs and
+  they are filtered, so the sink sees each pair exactly once;
+- exact-Jaccard verification is a second stream-static join against
+  the per-doc shingle-set table, then pure array-intersection math —
+  only bucket-colliding pairs are ever scored, same as batch.
+
+All hashing is the engine-portable MD5/affine family from
+operators/hashing.py, so the streaming result is bit-identical to the
+batch operator over the same increment — which is exactly how the
+oracle checks it.
+
+At 100 TB: the index frames are produced by the batch pipeline
+(``build_lsh_index``) and refreshed on its cadence; the stream scans
+them per micro-batch, so persist/checkpoint them (the registry query
+``localCheckpoint``s; a cluster deployment would DISK_ONLY-persist or
+write them to a fast table). Shuffle volume per trigger is
+O(new_docs × bands) — independent of corpus size; the corpus appears
+only through the (pruned) index join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_signatures, word_shingles
+from ..operators.hashing import (
+    MERSENNE_P,
+    md5_long,
+    minhash_coeffs,
+)
+
+
+def shingle_hash_array(text_col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of ``text_col`` as an ``array<long>``
+    of 60-bit MD5 hashes — the expression twin of
+    ``dedup.word_shingles`` + ``md5_long`` (same tokenization, same
+    hash, same distinct), flattened into one row so a stream can sign
+    documents without an aggregation."""
+    toks = F.split(text_col, " ")
+    # valid shingle start offsets; empty when the doc has < k words
+    # (sequence(1, size) is always ascending since size >= 1, then the
+    # filter trims the tail — a bare sequence(1, size-k+1) would flip
+    # DESCENDING for short docs and explode garbage offsets)
+    idx = F.filter(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: i <= F.size(toks) - (k - 1),
+    )
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+    return F.transform(shingles, lambda s: md5_long(s))
+
+
+def signature_columns(sh60: Column, num_hashes: int = 16,
+                      seed: int = 7) -> list[Column]:
+    """MinHash signature as column expressions over a shingle-hash
+    array: m_j = array_min((a_j * (h % P) + b_j) % P). Same constants,
+    same arithmetic as ``dedup.minhash_signatures`` — bit-identical
+    signatures, no groupBy."""
+    def _affine(a: int, b: int):
+        # closure factory: PySpark inspects the lambda's arity, so
+        # binding a/b via default args would mis-declare 3 parameters
+        return lambda h: (
+            (F.lit(a) * (h % MERSENNE_P) + F.lit(b)) % MERSENNE_P
+        )
+
+    out = []
+    for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed)):
+        out.append(
+            F.array_min(F.transform(sh60, _affine(a, b))).alias(f"m{j}")
+        )
+    return out
+
+
+def band_structs(bands: int, rows_per_band: int) -> Column:
+    """(band, sig) structs from m0..m{n-1} columns — expression twin
+    of ``dedup.lsh_bands``'s unpivot."""
+    pairs = []
+    for b in range(bands):
+        cols = [
+            F.col(f"m{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        pairs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("sig")
+            )
+        )
+    return F.array(*pairs)
+
+
+def build_lsh_index(static_df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3, num_hashes: int = 16, bands: int = 8,
+                    seed: int = 7) -> tuple[DataFrame, DataFrame]:
+    """Batch-side index over the curated corpus: the banded signature
+    table ``(band, sig, id)`` the stream joins for candidates, and the
+    per-doc shingle-set table ``(id, sh60 array<long>, n)`` it joins
+    for exact verification. Built from the SAME batch operators the
+    offline dedup uses (dedup.word_shingles/minhash_signatures), so
+    batch and stream agree bit-for-bit."""
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(static_df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, num_hashes, seed)
+    index_bands = sig.select(
+        F.col(id_col).alias("_idx_id"),
+        F.explode(band_structs(bands, rows_per_band)).alias("bs"),
+    ).select(
+        "_idx_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    index_sets = (
+        sh.select(F.col(id_col), md5_long(F.col("shingle")).alias("_h"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("_h")).alias("_idx_sh"))
+        .select(
+            F.col(id_col).alias("_idx_id"),
+            "_idx_sh",
+            F.size("_idx_sh").alias("_idx_n"),
+        )
+    )
+    return index_bands, index_sets
+
+
+def stream_minhash_dedup(stream: DataFrame, index_bands: DataFrame,
+                         index_sets: DataFrame, id_col: str, text_col: str,
+                         k: int = 3, num_hashes: int = 16, bands: int = 8,
+                         threshold: float = 0.5, seed: int = 7) -> DataFrame:
+    """Verified near-dup pairs between streaming documents and the
+    static index: (doc_a, doc_b, jaccard) with doc_a < doc_b, exact
+    Jaccard >= threshold, each pair emitted once (band collisions and
+    file re-deliveries deduplicated in state)."""
+    rows_per_band = num_hashes // bands
+    signed = stream.select(
+        F.col(id_col),
+        shingle_hash_array(F.col(text_col), k).alias("_sh"),
+    ).select(
+        id_col,
+        "_sh",
+        F.size("_sh").alias("_n"),
+        *[
+            c
+            for c in signature_columns(F.col("_sh"), num_hashes, seed)
+        ],
+    )
+    banded = signed.select(
+        id_col, "_sh", "_n",
+        F.explode(band_structs(bands, rows_per_band)).alias("bs"),
+    ).select(
+        id_col, "_sh", "_n",
+        F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+    )
+    cand = (
+        banded.join(index_bands, ["band", "sig"])
+        .filter(F.col(id_col) != F.col("_idx_id"))
+        .dropDuplicates([id_col, "_idx_id"])
+    )
+    verified = (
+        cand.join(index_sets, "_idx_id")
+        .withColumn(
+            "_i", F.size(F.array_intersect(F.col("_sh"), F.col("_idx_sh")))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_i")
+                / (F.col("_n") + F.col("_idx_n") - F.col("_i")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        F.least(F.col(id_col), F.col("_idx_id")).alias("doc_a"),
+        F.greatest(F.col(id_col), F.col("_idx_id")).alias("doc_b"),
+        "jaccard",
+    )

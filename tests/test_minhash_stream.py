@@ -1,0 +1,90 @@
+"""Streaming MinHash-LSH — expression/batch parity and replay dedup.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from avk_job_skill_analytics_spark.operators.dedup import (
+    minhash_signatures,
+    word_shingles,
+)
+from avk_job_skill_analytics_spark.operators.hashing import md5_long
+from avk_job_skill_analytics_spark.plans.schemas import load
+from avk_job_skill_analytics_spark.streaming.minhash_stream import (
+    build_lsh_index,
+    shingle_hash_array,
+    signature_columns,
+    stream_minhash_dedup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def test_shingle_expression_matches_batch_operator(spark, docs):
+    """The in-row shingle-hash array must equal the exploded batch
+    word_shingles + md5_long set, doc by doc."""
+    expr_side = docs.select(
+        "doc_id",
+        F.sort_array(shingle_hash_array(F.col("text"))).alias("sh"),
+    )
+    batch_side = (
+        word_shingles(docs, "doc_id", "text")
+        .select("doc_id", md5_long(F.col("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("sh"))
+    )
+    e = expr_side.alias("e")
+    b = batch_side.alias("b")
+    diff = e.join(b, "doc_id").filter(F.col("e.sh") != F.col("b.sh"))
+    # short-doc rows (< k words) are absent from batch_side entirely
+    missing = e.join(b, "doc_id", "left_anti")
+    assert diff.count() == 0
+    assert missing.filter(F.size("sh") > 0).count() == 0
+
+
+def test_signature_expressions_match_batch_signatures(spark, docs):
+    sh = word_shingles(docs, "doc_id", "text")
+    batch_sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    expr_sig = docs.select(
+        "doc_id", shingle_hash_array(F.col("text")).alias("_sh")
+    ).filter(F.size("_sh") > 0).select(
+        "doc_id", *signature_columns(F.col("_sh"), num_hashes=16)
+    )
+    cols = [f"m{j}" for j in range(16)]
+    joined = batch_sig.alias("b").join(expr_sig.alias("e"), "doc_id")
+    mism = joined.filter(
+        " OR ".join(f"b.{c} <> e.{c}" for c in cols)
+    )
+    assert batch_sig.count() == expr_sig.count()
+    assert mism.count() == 0
+
+
+def test_stream_matches_batch_and_replay_is_exactly_once(spark, docs):
+    """The registry query streams the odd docs TWICE; its drained
+    output must equal the one-shot batch run of the same plan."""
+    import __spark_entry__ as E
+
+    static = docs.filter(F.col("doc_id") % 2 == 0)
+    index_bands, index_sets = build_lsh_index(static, "doc_id", "text")
+    batch_out = stream_minhash_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        index_bands, index_sets, "doc_id", "text",
+    )
+    expected = {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in batch_out.collect()
+    }
+    streamed = E.queries()["stream_minhash_dedup"](spark, SF_DIR)
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in streamed.collect()
+    }
+    assert got == expected
+    # append sink + double delivery: equality above already proves no
+    # pair surfaced twice (a set can't show it) — check row count too
+    assert streamed.count() == len(expected)
