@@ -148,7 +148,15 @@ def global_shuffle(df: DataFrame, key: str, seed: int = 7,
     the oracle's naive ORDER BY spelling must agree bit-for-bit.
     Re-seeding re-permutes; appending rows re-ranks only buckets the
     new keys land in... positions after the smallest changed hash
-    shift, which is inherent to dense global positions."""
+    shift, which is inherent to dense global positions.
+
+    PRECONDITION — ``key`` values must be unique. Rows sharing a key
+    share the (_h, key) sort tuple, so row_number breaks the tie by
+    partition arrival order and their RELATIVE positions can swap
+    between runs (each duplicate still gets a distinct position, and
+    all other rows are unaffected). Bit-for-bit stability therefore
+    holds only for unique keys; dedupe first, or pass a composite
+    key column that is unique."""
     from .hashing import md5_long
 
     bits = num_buckets.bit_length() - 1
