@@ -261,6 +261,50 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Asymmetric near-dup detection via Broder's containment
+    coefficient C(A in B) = |A cap B| / |A| over k-word shingle sets.
+    Catches a document wholly (or mostly) INCLUDED in a larger one —
+    a prefix dump, a quoted article, a boilerplate-wrapped copy —
+    which Jaccard misses when the size ratio is large (|A|=n, |B|=10n
+    identical prefix: containment 1.0, Jaccard 0.1).
+
+    Returns (doc_a, doc_b, cont_a_in_b, cont_b_in_a) for pairs where
+    EITHER direction reaches the threshold; doc_a < doc_b.
+
+    Same inverted-index regime as ``ngram_jaccard_pairs`` (exact,
+    grows with Sigma_shingle df^2) — the validation-scale twin. The
+    scale path reuses the MinHash-LSH candidate generator: containment
+    survives banding on the SMALLER document's signature, so run
+    ``candidate_pairs`` first and verify containment instead of
+    Jaccard on the survivors."""
+    sh = word_shingles(df, id_col, text_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    hashed = sh.select(F.col(id_col), md5_long(F.col("shingle")).alias("sh"))
+    inter = (
+        hashed.select(F.col(id_col).alias("a"), "sh")
+        .join(hashed.select(F.col(id_col).alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a").join(nb, "b")
+        .withColumn("cont_a_in_b", F.round(F.col("i") / F.col("na"), 4))
+        .withColumn("cont_b_in_a", F.round(F.col("i") / F.col("nb"), 4))
+        .filter(
+            F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold
+        )
+        .select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+            "cont_a_in_b", "cont_b_in_a",
+        )
+    )
+
+
 def decontaminate(df: DataFrame, benchmark: DataFrame, id_col: str,
                   text_col: str, k: int = 5) -> DataFrame:
     """Benchmark decontamination (the GPT-3/PaLM n-gram rule): flag

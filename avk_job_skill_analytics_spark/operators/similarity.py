@@ -356,3 +356,51 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         .select("query_id", "neighbor_id", "cosine",
                 F.col("rk").cast("long").alias("rk"))
     )
+
+
+def semantic_prune(df: DataFrame, id_col: str, vec_col: str,
+                   k: int = 8, iters: int = 2, threshold: float = 0.4,
+                   round_digits: int = 6) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023): cluster the corpus with the deterministic
+    k-means, then within each cluster drop every vector that has a
+    LOWER-ID neighbor at cosine >= threshold. Returns one row per
+    input vector: (id, cluster, keep).
+
+    The drop rule is "dominated by any lower id", not the paper's
+    sequential greedy sweep: it is order-free (one join, no
+    iteration), deterministic, and strictly more aggressive — if B
+    duplicates A and C duplicates B, both B and C go (the greedy
+    sweep would re-admit C when C~A is below threshold). For corpus
+    curation that bias is the safe direction.
+
+    Scale shape: k-means is the existing broadcast-argmin loop;
+    within-cluster pairing is Sigma_cluster n^2, so k must scale with
+    the corpus (target 1-10K vectors per cluster at 100 TB — SemDeDup
+    itself runs ~100K clusters for web scale). Everything downstream
+    of the centroid fit is two shuffles: one cluster-keyed pair join,
+    one left join for the keep flag."""
+    from .clustering import assign_clusters, kmeans_fit
+
+    cents = kmeans_fit(df, id_col, vec_col, k=k, iters=iters,
+                       round_digits=round_digits)
+    assigned = assign_clusters(df, cents, id_col, vec_col,
+                               round_digits).localCheckpoint()
+    pairs = blocked_cosine_pairs(
+        assigned, id_col, vec_col, "cluster", threshold, round_digits
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(F.col("_drop"), F.lit(False)).alias("_d"),
+        )
+        .select(id_col, "cluster", (~F.col("_d")).alias("keep"))
+    )

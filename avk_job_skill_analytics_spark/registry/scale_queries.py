@@ -691,10 +691,11 @@ _SQDIST = (
 )
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
-    """DuckDB twin of clustering.kmeans_fit, generated per iteration:
-    assignment (argmin by rounded distance, cluster tie-break) then
-    per-dimension mean re-assembled in dimension order."""
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """Shared CTE chain for the k-means oracles: seed centroids, then
+    per iteration an assignment (argmin by rounded distance, cluster
+    tie-break) and a per-dimension mean re-assembled in dimension
+    order. Final centroid table is ``cent{iters}``."""
     ctes = [
         f"""cent0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster,
               list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
@@ -717,8 +718,42 @@ def _kmeans_sql(k: int, iters: int) -> str:
         ctes.append(f"""cent{i} AS (
           SELECT cluster, list(m ORDER BY dim) AS centroid
           FROM dims{i} GROUP BY cluster)""")
-    joined = ",\n".join(ctes)
+    return ctes
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """DuckDB twin of clustering.kmeans_fit."""
+    joined = ",\n".join(_kmeans_ctes(k, iters))
     return f"WITH {joined}\nSELECT cluster, centroid FROM cent{iters}"
+
+
+def _semantic_prune_sql(k: int, iters: int, threshold: float) -> str:
+    """DuckDB twin of similarity.semantic_prune: the k-means chain,
+    a final assignment against cent{iters} (same rounded-distance /
+    cluster tie-break as assign_clusters), within-cluster cosine
+    pairs, and the dominated-by-lower-id drop rule."""
+    ctes = _kmeans_ctes(k, iters)
+    dist = _SQDIST.format(a="e.embedding", b="c.centroid")
+    cos = _cos_sql("a.embedding", "b.embedding")
+    ctes.append(f"""asg_f AS (
+      SELECT e.vec_id, e.embedding, c.cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({dist}, 6), c.cluster) AS rk
+      FROM embeddings e, cent{iters} c)""")
+    ctes.append("""fin AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding, cluster
+      FROM asg_f WHERE rk = 1)""")
+    ctes.append(f"""drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM fin a JOIN fin b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round({cos}, 6) >= {threshold})""")
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        "SELECT f.vec_id, f.cluster, (d.vec_id IS NULL) AS keep\n"
+        "FROM fin f LEFT JOIN drops d ON d.vec_id = f.vec_id"
+    )
 
 
 @_q("ml_kmeans_centroids", _kmeans_sql(4, 2))
@@ -732,6 +767,68 @@ def ml_kmeans_centroids(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)
+
+
+@_q("dd_semantic_prune", _semantic_prune_sql(8, 2, 0.4))
+def dd_semantic_prune(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_prune):
+    deterministic k-means (k=8, 2 iterations) partitions the
+    embedding corpus, then within each cluster every vector with a
+    lower-id neighbor at cosine >= 0.4 is marked keep=false. The
+    oracle replays the full chain — both Lloyd iterations, the final
+    assignment, the within-cluster pair scan — in generated SQL with
+    the same rounding and tie-breaks."""
+    from ..operators.similarity import semantic_prune
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_prune(
+        e, "vec_id", "embedding", k=8, iters=2, threshold=0.4
+    ).select(F.col("vec_id").cast("long"), "cluster", "keep")
+
+
+@_q(
+    "dd_containment",
+    """WITH all_docs AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 200000,
+                array_to_string(list_slice(string_split(text, ' '), 1,
+                    len(string_split(text, ' ')) // 2), ' ')
+         FROM documents WHERE doc_id % 7 = 0),
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+              FROM w WHERE len(w) >= 3),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
+                 FROM sh s1 JOIN sh s2
+                   ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+                 GROUP BY s1.doc_id, s2.doc_id)
+       SELECT i.a AS doc_a, i.b AS doc_b,
+              round(i.i / x.n, 4) AS cont_a_in_b,
+              round(i.i / y.n, 4) AS cont_b_in_a
+       FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
+       WHERE greatest(round(i.i / x.n, 4), round(i.i / y.n, 4)) >= 0.8""",
+)
+def dd_containment(spark, sf_dir):
+    """Asymmetric near-dup via Broder containment
+    (dedup.containment_pairs): every 7th document gets a HALF-LENGTH
+    prefix twin synthesized in-query (id + 200000) — contained ~1.0
+    in its source while Jaccard sits near 0.5, exactly the case
+    symmetric dedup misses. Pairs where either direction reaches 0.8
+    are flagged."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    prefixes = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(text, ' '), 1,"
+            " size(split(text, ' ')) div 2), ' ')"
+        ).alias("text"),
+    )
+    return dedup.containment_pairs(
+        d.unionByName(prefixes), "doc_id", "text", k=3, threshold=0.8
+    )
 
 
 @_q(

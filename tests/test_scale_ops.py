@@ -462,3 +462,53 @@ def test_credit_card_audit_counts_candidates_and_valid(spark):
         for r in credit_card_audit(df, "doc_id", "text").collect()
     }
     assert got == {1: (2, 1), 2: (0, 0), 3: (2, 2)}
+
+
+def test_containment_catches_prefix_invisible_to_jaccard(spark):
+    from avk_job_skill_analytics_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    prefix = " ".join(f"w{i}" for i in range(12))  # 30% of the words
+    df = spark.createDataFrame(
+        [(1, long_text), (2, prefix), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in containment_pairs(df, "doc_id", "text", k=3,
+                                   threshold=0.9).collect()
+    }
+    # prefix fully contained in the long doc: 10 shingles / 10 = 1.0,
+    # while the long doc shares only 10 of its 38 shingles
+    assert got == {(1, 2): (round(10 / 38, 4), 1.0)}
+    # and Jaccard at the same bar sees nothing
+    assert (
+        ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.9).count()
+        == 0
+    )
+
+
+def test_semantic_prune_drops_dominated_vectors(spark):
+    from avk_job_skill_analytics_spark.operators.similarity import (
+        semantic_prune,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.99, 0.14, 0.0]),   # ~cos 0.990 with id 1
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.98, 0.2]),    # ~cos 0.980 with id 3
+            (5, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_prune(df, "vec_id", "embedding", k=3, iters=1,
+                         threshold=0.95)
+    keep = {r.vec_id: r.keep for r in out.collect()}
+    assert out.count() == 5  # one verdict per input vector
+    assert keep[1] and keep[3] and keep[5]
+    assert not keep[2] and not keep[4]  # dominated by lower ids
