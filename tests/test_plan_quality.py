@@ -375,3 +375,42 @@ def test_global_shuffle_avoids_single_reducer_sort(spark, queries):
     assert "rangepartitioning" not in plan.lower(), plan
     # the offsets side joins as a broadcast
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_semantic_prune_broadcasts_and_stays_native(spark, queries):
+    # centroid assignment must broadcast the k-row centroid table --
+    # the corpus is never shuffled to meet it. Assert on the
+    # assignment stage directly (the operator localCheckpoints it, so
+    # the registry query's final plan no longer shows this join).
+    from avk_job_skill_analytics_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from avk_job_skill_analytics_spark.plans.schemas import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    cents = kmeans_fit(e, "vec_id", "embedding", k=3, iters=1)
+    asg = assign_clusters(e, cents, "vec_id", "embedding")
+    assert "BroadcastNestedLoopJoin" in I.plan_string(asg)
+    # ...and the end-to-end query is pure Column expressions: no
+    # Python eval nodes, no cartesian pair expansion
+    df = queries["dd_semantic_prune"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_joins_on_hashed_shingle_no_cartesian(spark, queries):
+    # the inverted-index self-join must be an equi-join on the 60-bit
+    # shingle hash -- never a cartesian/nested-loop pair expansion
+    # (at sf0.001 every side broadcasts; the contract is the JOIN
+    # FORM, not the exchange strategy AQE picks for the size)
+    df = queries["dd_containment"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
