@@ -161,6 +161,14 @@ def pagerank_fixedpoint(edges: DataFrame, src_col: str = "src",
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    # fold the (static) out-degree into the edge list ONCE: each round
+    # then needs a single rank join instead of re-joining deg to rank
+    # first — one O(E) shuffle saved per iteration
+    ed = (
+        e.join(deg, e.src == deg.node)
+        .select("src", "dst", "deg")
+        .localCheckpoint()
+    )
     rank = nodes.withColumn("rank", F.lit(r0).cast("long"))
     # size the per-round join+agg shuffles to the edge count, exactly
     # as the CC variants do: each round is O(E) work, and under the
@@ -173,9 +181,8 @@ def pagerank_fixedpoint(edges: DataFrame, src_col: str = "src",
     n_parts = sized_partitions(spark, e.count())
     with scoped_shuffle(spark, n_parts):
         for _ in range(iterations):
-            rankdeg = rank.join(deg, "node")
             sums = (
-                e.join(rankdeg, e.src == rankdeg.node)
+                ed.join(rank, ed.src == rank.node)
                 .select(F.col("dst"), F.expr("rank div deg").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("s"))
