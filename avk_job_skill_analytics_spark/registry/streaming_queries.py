@@ -599,3 +599,62 @@ def stream_minhash_dedup(spark, sf_dir):
     out = _op(stream, index_bands, index_sets, "doc_id", "text",
               k=3, num_hashes=16, bands=8, threshold=0.5)
     return _drain(spark, out, "append", "st_minhash_dedup")
+
+
+# --------------------------------------------- streaming decontamination
+def _stream_decon_sql() -> str:
+    """Oracle for stream_decontaminate: the batch decontamination SQL
+    (scale_queries) restricted to contaminated docs — a stream can
+    only emit rows for documents that HIT the benchmark index (there
+    is no outer join against an unbounded stream), so the contract is
+    the alert set, not the full ledger."""
+    from .scale_queries import _DECON_SHINGLE_CTE
+
+    return f"""WITH {_DECON_SHINGLE_CTE},
+       b AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+       SELECT s.doc_id, count(*) AS n_shared
+       FROM sh s JOIN b USING (shingle)
+       WHERE s.source <> 'src0'
+       GROUP BY s.doc_id"""
+
+
+@_q("stream_decontaminate", _stream_decon_sql())
+def stream_decontaminate(spark, sf_dir):
+    """Streaming benchmark decontamination: documents arriving on the
+    file stream are checked against the STATIC held-out set's 5-word
+    shingle index (source 'src0', hashed + frozen batch-side, as in
+    dd_decontaminate); every contaminated doc is emitted with its
+    shared-shingle count. Stream side is an in-row shingle expression
+    (streaming/minhash_stream.shingle_hash_array at k=5) + stateless
+    explode + stream-static join; the per-doc count is the one
+    stateful aggregation, drained in update mode. Per-trigger shuffle
+    is O(new_docs x shingles), independent of corpus size — the
+    incremental twin of dd_decontaminate's alert half."""
+    from ..operators.dedup import word_shingles
+    from ..operators.hashing import md5_long
+    from ..streaming.minhash_stream import shingle_hash_array
+
+    docs = load(spark, sf_dir, "documents")
+    bench = (
+        word_shingles(
+            docs.filter(F.col("source") == "src0"), "doc_id", "text", 5
+        )
+        .select(md5_long(F.col("shingle")).alias("_h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    src_dir = _source_dir(sf_dir, {"docs.parquet": "documents.parquet"})
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_DOCS_SCHEMA)
+        .load(src_dir)
+        .filter(F.col("source") != "src0")
+    )
+    ex = stream.select(
+        "doc_id",
+        F.explode(shingle_hash_array(F.col("text"), 5)).alias("_h"),
+    )
+    hits = ex.join(bench, "_h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return _drain(spark, hits, "update", "st_decontaminate")

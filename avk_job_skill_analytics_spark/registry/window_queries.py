@@ -177,6 +177,49 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
+def _kmv_sql(k: int) -> str:
+    """DuckDB twin of sketches.kmv_sketch + kmv_estimate over
+    (o_orderstatus, o_custkey): same 60-bit MD5, same bottom-k, same
+    exact-integer estimator — byte-identical sketch and estimate."""
+    from ..operators.hashing import md5_long_sql
+    from ..operators.sketches import HASH_SPACE
+
+    h = md5_long_sql("CAST(o_custkey AS VARCHAR)")
+    return f"""WITH h AS (SELECT DISTINCT o_orderstatus, {h} AS h FROM orders),
+       r AS (SELECT o_orderstatus, h, row_number() OVER (
+                PARTITION BY o_orderstatus ORDER BY h) AS rk FROM h),
+       s AS (SELECT o_orderstatus, count(*) AS n,
+                    max(CASE WHEN rk = {k} THEN h END) AS hk
+             FROM r WHERE rk <= {k} GROUP BY o_orderstatus)
+       SELECT o_orderstatus,
+              CASE WHEN hk IS NULL THEN n
+                   ELSE CAST(({k - 1} * CAST({HASH_SPACE} AS HUGEINT)) // hk
+                             AS BIGINT)
+              END AS est_customers,
+              CAST(n AS INT) AS sketch_size
+       FROM s"""
+
+
+@_q("agg_kmv_distinct", _kmv_sql(256))
+def agg_kmv_distinct(spark, sf_dir):
+    """A2 at the 100 TB design point, VERIFIABLY: KMV bottom-256
+    distinct-customer sketch per order status
+    (operators/sketches.py). Unlike the HLL twin (rows-only below),
+    the sketch is the k smallest engine-portable MD5 hashes and the
+    estimator is exact integer arithmetic, so the DuckDB oracle
+    reproduces the estimate bit-for-bit — a mergeable distinct sketch
+    that still passes a value-hash gate."""
+    from ..operators.sketches import kmv_estimate, kmv_sketch
+
+    o = load(spark, sf_dir, "orders")
+    sk = kmv_sketch(o, ["o_orderstatus"], "o_custkey", k=256)
+    return sk.select(
+        "o_orderstatus",
+        kmv_estimate(F.col("sketch"), 256).alias("est_customers"),
+        F.size("sketch").alias("sketch_size"),
+    )
+
+
 @_q("agg_approx_distinct")  # sketch values are engine-specific -> rows-only
 def agg_approx_distinct(spark, sf_dir):
     """A2 at the 100 TB design point: HyperLogLog++ distinct customers

@@ -512,3 +512,43 @@ def test_semantic_prune_drops_dominated_vectors(spark):
     assert out.count() == 5  # one verdict per input vector
     assert keep[1] and keep[3] and keep[5]
     assert not keep[2] and not keep[4]  # dominated by lower ids
+
+
+def test_kmv_sketch_exact_when_small_and_mergeable(spark):
+    from avk_job_skill_analytics_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.range(1000).selectExpr(
+        "CASE WHEN id < 900 THEN 'big' ELSE 'small' END AS g",
+        # 'big' has 500 distinct values, 'small' only 40 (below k)
+        "CASE WHEN id < 900 THEN id % 500 ELSE id % 40 END AS v",
+    )
+    sk = kmv_sketch(df, ["g"], "v", k=64)
+    est = {
+        r.g: (r.est, r.n)
+        for r in sk.select(
+            "g",
+            kmv_estimate(F.col("sketch"), 64).alias("est"),
+            F.size("sketch").alias("n"),
+        ).collect()
+    }
+    # small group is below k: the sketch IS the distinct set -> exact
+    assert est["small"] == (40, 40)
+    # big group estimates within the ~1/sqrt(k-2) error band (x3 slack)
+    assert est["big"][1] == 64
+    assert abs(est["big"][0] - 500) / 500 < 0.4
+
+    # merge(sketch(A), sketch(B)) == sketch(A union B)
+    a = df.filter("v % 2 = 0").withColumn("g", F.lit("all"))
+    b = df.filter("v % 2 = 1").withColumn("g", F.lit("all"))
+    both = a.unionByName(b)
+    sa = kmv_sketch(a, ["g"], "v", k=64).collect()[0]["sketch"]
+    sb = kmv_sketch(b, ["g"], "v", k=64).collect()[0]["sketch"]
+    su = kmv_sketch(both, ["g"], "v", k=64).collect()[0]["sketch"]
+    merged = spark.createDataFrame(
+        [(sa, sb)], "a array<long>, b array<long>"
+    ).select(kmv_merge(F.col("a"), F.col("b"), 64).alias("m")).collect()[0]["m"]
+    assert merged == su
