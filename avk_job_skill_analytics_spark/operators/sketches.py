@@ -79,3 +79,83 @@ def kmv_merge(a: Column, b: Column, k: int = 64) -> Column:
     """Merge two sketches: union, dedup, keep the k smallest — the
     rollup operation (day -> month) that never touches raw data."""
     return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (exact two-pass)
+# ---------------------------------------------------------------------------
+
+def _mg_fold(counters: dict, batch_counts, k: int) -> dict:
+    """Fold one batch's exact value_counts into a running Misra-Gries
+    summary, keeping <= k counters (Agarwal et al., "Mergeable
+    summaries", PODS'12 merge: combine, subtract the (k+1)-th largest
+    count from everything, drop the non-positives)."""
+    import heapq
+
+    for term, c in batch_counts.items():
+        counters[term] = counters.get(term, 0) + int(c)
+    if len(counters) > k:
+        kth = heapq.nlargest(k + 1, counters.values())[-1]
+        counters = {t: c - kth for t, c in counters.items() if c > kth}
+    return counters
+
+
+def mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate pass: <= k candidate items
+    per partition, NO shuffle, bounded memory no matter how large the
+    item vocabulary is.
+
+    Guarantee (what makes the exact second pass safe): a Misra-Gries
+    summary with k counters retains every item whose partition
+    frequency exceeds n_p/(k+1). Any item with GLOBAL frequency
+    > N/(k+1) must exceed that relative share in at least one
+    partition (pigeonhole over sum(n_p) = N), so the union of
+    partition candidates is a superset of the true heavy hitters.
+
+    The fold is Arrow-batched and vectorized: pandas ``value_counts``
+    (C) per batch, then a dict merge over the batch's UNIQUE items —
+    Python cost is O(distinct-per-batch), never O(tokens)."""
+    out_schema = f"{item_col} string"
+
+    def part(pdfs):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in pdfs:
+            vc = pdf[item_col].value_counts()
+            counters = _mg_fold(counters, vc, k)
+        yield pd.DataFrame({item_col: list(counters)})
+
+    return items.select(item_col).mapInPandas(part, out_schema)
+
+
+def heavy_hitters(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """EXACT heavy hitters — every item with frequency > N/(k+1), with
+    its exact count — without ever shuffling the full vocabulary.
+
+    At 100 TB a naive ``groupBy(item).count()`` over n-grams shuffles
+    trillions of distinct keys to build counts that are then almost
+    all thrown away. This is the classic two-scan fix:
+
+    1. candidate pass: per-partition Misra-Gries (:func:`mg_candidates`)
+       — map-only, <= k rows leave each partition;
+    2. exact pass: broadcast the candidate set, semi-join it into the
+       scan (the filter runs map-side, before any shuffle), and count
+       only the survivors — the aggregate's key space is <= k * P
+       candidates instead of the full vocabulary.
+
+    Because pass 2 recounts exactly and re-applies the threshold, the
+    result is bit-identical to the naive exact query (the MG pass only
+    ever over-selects). Returns (item, freq) with freq * (k+1) > N."""
+    cand = mg_candidates(items, item_col, k).distinct()
+    tot = items.agg(F.count(F.lit(1)).alias("_n"))
+    counts = (
+        items.join(F.broadcast(cand), on=item_col, how="left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") * (k + 1) > F.col("_n"))
+        .select(item_col, "freq")
+    )

@@ -232,6 +232,39 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+@_q(
+    "agg_heavy_hitters",
+    r"""WITH w AS (SELECT list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS w
+                  FROM documents),
+       g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1])) AS ngram
+             FROM w WHERE len(w) >= 2),
+       tot AS (SELECT count(*) AS n FROM g)
+       SELECT ngram, count(*) AS freq
+       FROM g, tot GROUP BY ngram, n HAVING count(*) * 1000 > n""",
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """EXACT frequent n-grams (freq > N/1000) via the two-scan
+    Misra-Gries pattern (operators/sketches.heavy_hitters): a map-only
+    bounded-memory candidate pass (<= k rows leave each partition),
+    then a broadcast-semi-join exact recount of candidates only. At
+    100 TB the full n-gram vocabulary is trillions of keys — this
+    never shuffles it, yet the output is bit-identical to the naive
+    exact groupBy-HAVING the oracle runs."""
+    from ..operators.sketches import heavy_hitters
+
+    d = load(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    toks = d.select(w.alias("_w")).filter(F.size("_w") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
+    )
+    items = toks.select(F.explode(grams).alias("ngram"))
+    return heavy_hitters(items, "ngram", k=999)
+
+
 _PRIORITIES = [
     ("1-URGENT", "n_urgent"),
     ("2-HIGH", "n_high"),

@@ -552,3 +552,36 @@ def test_kmv_sketch_exact_when_small_and_mergeable(spark):
         [(sa, sb)], "a array<long>, b array<long>"
     ).select(kmv_merge(F.col("a"), F.col("b"), 64).alias("m")).collect()[0]["m"]
     assert merged == su
+
+
+def test_heavy_hitters_exact_with_tiny_k(spark):
+    """The two-scan Misra-Gries pattern must reproduce the naive exact
+    groupBy-HAVING result even with a candidate budget (k) far below
+    the vocabulary size and data spread over many partitions."""
+    from avk_job_skill_analytics_spark.operators.sketches import (
+        heavy_hitters,
+        mg_candidates,
+    )
+
+    # 10_000 items: 'hot' appears 3000x, 'warm' 1500x, 5500 singletons
+    items = spark.range(10_000).selectExpr(
+        """CASE WHEN id < 3000 THEN 'hot'
+                WHEN id < 4500 THEN 'warm'
+                ELSE concat('rare_', id) END AS item"""
+    ).repartition(8)
+
+    k = 9  # threshold N/(k+1) = 1000 -> exactly {hot, warm} qualify
+    got = {r.item: r.freq for r in heavy_hitters(items, "item", k).collect()}
+    assert got == {"hot": 3000, "warm": 1500}
+
+    # candidate pass is bounded: <= k rows per partition, and the
+    # candidate union contains every true heavy hitter
+    cand = mg_candidates(items, "item", k)
+    import pyspark.sql.functions as SF
+
+    per_part = (
+        cand.withColumn("p", SF.spark_partition_id())
+        .groupBy("p").count().agg(SF.max("count")).collect()[0][0]
+    )
+    assert per_part <= k
+    assert {"hot", "warm"} <= {r.item for r in cand.collect()}
