@@ -901,6 +901,24 @@ def dd_decontaminate(spark, sf_dir):
     return dedup.decontaminate(train, bench, "doc_id", "text", k=5)
 
 
+@_q("dd_bloom_prefilter", ORACLES["dd_decontaminate"])
+def dd_bloom_prefilter(spark, sf_dir):
+    """dd_decontaminate through a broadcast Bloom prefilter
+    (operators/bloom.py): an m-bit filter over the held-out shingle
+    set is OR-aggregated distributedly, broadcast as m/64 longs, and
+    applied to the training shingles inside whole-stage codegen BEFORE
+    the shuffle — at 100 TB only true hits plus the ~fp-rate sliver
+    reach the exact join. Same oracle as dd_decontaminate because the
+    exact join removes the false positives: bit-identical output by
+    construction, proven by the shared hash."""
+    from ..operators.bloom import bloom_decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return bloom_decontaminate(train, bench, "doc_id", "text", k=5)
+
+
 @_q(
     "emb_quantize_int8",
     """WITH q AS (

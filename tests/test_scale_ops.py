@@ -585,3 +585,42 @@ def test_heavy_hitters_exact_with_tiny_k(spark):
     )
     assert per_part <= k
     assert {"hot", "warm"} <= {r.item for r in cand.collect()}
+
+
+def test_bloom_prefilter_no_false_negatives_and_selective(spark):
+    from avk_job_skill_analytics_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    members = spark.range(500).selectExpr("concat('in_', id) AS v")
+    probes = spark.range(4000).selectExpr(
+        "CASE WHEN id < 500 THEN concat('in_', id) "
+        "ELSE concat('out_', id) END AS v"
+    )
+    bm = bloom_bitmap(members, "v", m_bits=1 << 14, j=3)
+    hits = probes.crossJoin(F.broadcast(bm)).filter(
+        bloom_might_contain(F.col("v"), m_bits=1 << 14, j=3)
+    )
+    got = {r.v for r in hits.collect()}
+    # every member passes (Bloom filters cannot false-negative)
+    assert all(f"in_{i}" in got for i in range(500))
+    # and the 3500 non-members are overwhelmingly rejected
+    fp = len(got) - 500
+    assert fp / 3500 < 0.05, f"false-positive rate {fp / 3500:.3f}"
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    from avk_job_skill_analytics_spark.operators.bloom import (
+        bloom_decontaminate,
+    )
+    from avk_job_skill_analytics_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    exact = decontaminate(train, bench, "doc_id", "text", k=5)
+    bloomed = bloom_decontaminate(train, bench, "doc_id", "text", k=5)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, bloomed.collect())
+    )
