@@ -201,3 +201,69 @@ def pagerank_fixedpoint(edges: DataFrame, src_col: str = "src",
                 .localCheckpoint()
             )
     return rank
+
+
+def triangle_counts(edges: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts via degree orientation (Cohen,
+    "Graph twiddling in a MapReduce world", 2009; the node-iterator++
+    scheme) — community cohesion over an entity co-occurrence graph.
+
+    The naive wedge join explodes on hubs: a degree-d node yields
+    d*(d-1)/2 wedges, and real co-occurrence graphs are heavy-tailed.
+    Orienting every edge from the (degree, id)-smaller endpoint to the
+    larger one caps the oriented out-degree at O(sqrt(m)), so total
+    wedge work is O(m^1.5) worst case instead of sum(d^2) — the bound
+    that keeps the 100 TB plan finite on a graph with million-degree
+    hubs.
+
+    Three shuffles total: degree aggregate, the wedge self-join on the
+    oriented source, and the closing semi-join back against the
+    oriented edge list. Each triangle is enumerated exactly once
+    (its (deg,id)-minimum vertex is the wedge apex), so the per-node
+    counts are exact — returns (node, n_triangles) for every node in
+    at least one triangle."""
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from the (deg, id)-smaller endpoint (a) to the
+    # larger (b); carry b's order key for the wedge comparison
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ann = e.join(du, "u").join(dv, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    ed = ann.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    e1 = ed.select(
+        F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1")
+    )
+    e2 = ed.select(
+        F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2")
+    )
+    wedges = e1.join(e2, "a").filter(
+        F.struct(F.col("db1"), F.col("b1")) < F.struct(F.col("db2"), F.col("b2"))
+    )
+    closing = ed.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tri = wedges.join(closing, ["b1", "b2"], "left_semi")
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b1").alias("node")))
+        .unionByName(tri.select(F.col("b2").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

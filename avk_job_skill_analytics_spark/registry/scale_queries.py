@@ -1405,6 +1405,53 @@ def graph_pagerank_suppliers(spark, sf_dir):
 
 
 @_q(
+    "graph_triangles",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+               FROM lineitem WHERE l_quantity >= 48),
+       e AS (SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                             greatest(a.l_suppkey, b.l_suppkey) AS v
+             FROM li a JOIN li b
+               ON a.l_orderkey = b.l_orderkey
+              AND a.l_suppkey < b.l_suppkey),
+       tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+               FROM e e1
+               JOIN e e2 ON e2.u = e1.v
+               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       n AS (SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+       SELECT node, count(*) AS n_triangles FROM n GROUP BY node""",
+)
+def graph_triangles(spark, sf_dir):
+    """Per-supplier triangle counts over the high-quantity co-supply
+    graph (suppliers sharing an order with l_quantity >= 48) —
+    community cohesion via degree-oriented triangle enumeration
+    (operators/graph.triangle_counts). The orientation caps wedge work
+    at O(m^1.5) no matter how hubby the co-occurrence graph gets; the
+    id-ordered DuckDB 3-way join enumerates the identical triangle
+    set, so the exact per-node counts hash-match."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sb")
+    )
+    e = (
+        a.join(b, "k")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return graph.triangle_counts(e)
+
+
+@_q(
     "dd_fuzzy_match",
     """WITH t AS (SELECT p_partkey, p_name,
                      (p_partkey % (length(p_name) - 1)) + 2 AS q

@@ -624,3 +624,18 @@ def test_bloom_decontaminate_matches_exact(spark):
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, bloomed.collect())
     )
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant vertex and a disjoint edge: every K4 vertex
+    is in C(3,2)=3 triangles; pendant and disjoint nodes in none."""
+    from avk_job_skill_analytics_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+             (4, 5),                                           # pendant
+             (8, 9)]                                           # disjoint
+    # feed some edges reversed/duplicated: canonicalization must absorb
+    edges += [(2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
