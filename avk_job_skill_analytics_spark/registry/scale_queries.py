@@ -1782,3 +1782,43 @@ def txt_length_buckets(spark, sf_dir):
     extra shuffle in a training-prep pipeline."""
     docs = load(spark, sf_dir, "documents")
     return textstats.length_buckets(docs, "doc_id", "text")
+
+
+@_q(
+    "emb_gram_matrix",
+    """WITH q AS (SELECT list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                    AS qv
+              FROM embeddings)
+       SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+              CAST(sum(qv[i] * qv[j]) AS BIGINT) AS gram
+       FROM q, range(1, 65) t1(i), range(1, 65) t2(j)
+       WHERE j >= i GROUP BY i, j""",
+)
+def emb_gram_matrix(spark, sf_dir):
+    """Upper-triangle integer Gram matrix of the embedding table
+    (operators/linalg.gram_matrix): per-partition numpy folds emit
+    d(d+1)/2 partial rows each, one (i,j) sum — the shuffle payload
+    is O(d^2 * partitions), never O(rows). Quantizing to integer
+    millionths BEFORE summation makes the entries bit-identical to
+    the DuckDB oracle's naive O(rows * d^2) expansion regardless of
+    partition layout — the reproducibility property a whitening /
+    drift-monitoring pipeline needs from its second-order stats."""
+    from ..operators.linalg import gram_matrix
+
+    e = load(spark, sf_dir, "embeddings")
+    return gram_matrix(e, "embedding", d=64)
+
+
+@_q("ml_pca_top_component")  # eigensolve has no SQL twin -> rows-only
+def ml_pca_top_component(spark, sf_dir):
+    """Leading principal component of the embedding cloud
+    (operators/linalg.pca_top_component): the distributed work is the
+    integer Gram + column-sum aggregates (verified bit-exact by
+    emb_gram_matrix's oracle); the d x d eigensolve happens on the
+    driver, which no SQL engine reproduces -> rows-only here, with
+    the numpy parity locked by tests/test_scale_ops."""
+    from ..operators.linalg import pca_top_component
+
+    e = load(spark, sf_dir, "embeddings")
+    return pca_top_component(e, "embedding", d=64)

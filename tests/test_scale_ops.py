@@ -639,3 +639,42 @@ def test_triangle_counts_known_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_gram_matrix_and_pca_match_numpy(spark):
+    """Distributed int-exact Gram must equal the naive numpy product
+    on the quantized matrix regardless of partitioning, and the PCA
+    component must match numpy's eigensolve of the float covariance."""
+    import numpy as np
+
+    from avk_job_skill_analytics_spark.operators.linalg import (
+        gram_matrix,
+        pca_top_component,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 6, 400
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    rows = [(int(i), m[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(7)
+
+    q = np.floor(m.astype(np.float64) * 1e6).astype(np.int64)
+    want = q.T @ q
+    got = {(r.i, r.j): r.gram for r in gram_matrix(df, "embedding", d).collect()}
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert v == want[i - 1, j - 1]
+
+    cov = np.cov(m.astype(np.float64).T, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    top = top * np.sign(top[np.argmax(np.abs(top))] or 1.0)
+    got_pc = pca_top_component(df, "embedding", d).collect()
+    loadings = np.array(
+        [r.loading for r in sorted(got_pc, key=lambda r: r.dim)]
+    )
+    # quantization perturbs the covariance at ~1e-6: loose tolerance
+    assert np.allclose(loadings, top, atol=1e-3)
+    assert abs(got_pc[0].explained_frac - w[-1] / w.sum()) < 1e-3
