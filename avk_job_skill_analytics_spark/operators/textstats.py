@@ -503,3 +503,80 @@ def length_buckets(df, id_col: str, text_col: str,
             ).alias("pad_frac"),
         )
     )
+
+
+def dsir_importance(raw, target, id_col: str, text_col: str,
+                    n_buckets: int = 64):
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23): score
+    every raw-corpus document by the log-likelihood ratio of two
+    hashed-unigram bag models — one fit on a small in-domain target
+    set, one on the raw corpus itself. Documents that look like the
+    target get positive weight; resampling by these weights is the
+    standard cheap domain-selection step before training.
+
+    Hashing words into ``n_buckets`` buckets (the paper's hashed
+    n-gram trick) makes the model size O(n_buckets) instead of
+    O(vocabulary) — the property that lets the per-bucket counts
+    partial-aggregate map-side and the log-ratio table broadcast as a
+    handful of rows, no matter how big either corpus is. Laplace +1
+    smoothing keeps every bucket finite.
+
+    Scale shape: two bucket-count aggregates (<= n_buckets keys), two
+    1-row totals, one broadcast join of the n_buckets-row ratio table
+    onto the per-doc bucket counts, one per-doc sum. The raw corpus is
+    scanned twice (once for the model, once for scoring) — at 100 TB
+    you'd persist the tokenized frame or fold the model pass into a
+    prior pipeline stage.
+
+    Returns (id, n_tokens, dsir_logweight) for every raw doc with at
+    least one token; the weight is rounded to 4 decimals (the repo's
+    float-accumulation-order convention, cf. kl_by_source)."""
+    B = n_buckets
+    spark = raw.sparkSession
+
+    def bucketed(df, *keep):
+        w = F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("_t")
+        return df.select(*keep, w).select(
+            *keep, (md5_long(F.col("_t")) % B).alias("b")
+        )
+
+    tgt = bucketed(target)
+    rawb = bucketed(raw, id_col)
+    tc = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    rc = rawb.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tt = tgt.agg(F.count(F.lit(1)).alias("t"))
+    rt = rawb.agg(F.count(F.lit(1)).alias("r"))
+    buckets = spark.range(B).select(F.col("id").cast("long").alias("b"))
+    lr = (
+        buckets.join(tc, "b", "left")
+        .join(rc, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("tc", F.lit(0)) + 1)
+                    / (F.col("t") + B).cast("double")
+                )
+                - F.log(
+                    (F.coalesce("rc", F.lit(0)) + 1)
+                    / (F.col("r") + B).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    dc = rawb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        dc.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias(
+                "dsir_logweight"
+            ),
+        )
+    )

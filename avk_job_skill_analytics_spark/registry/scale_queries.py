@@ -1822,3 +1822,46 @@ def ml_pca_top_component(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return pca_top_component(e, "embedding", d=64)
+
+
+@_q(
+    "txt_dsir_importance",
+    r"""WITH toks AS (
+         SELECT doc_id, source,
+                CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT)
+                    % 64 AS b
+         FROM (SELECT doc_id, source,
+                      unnest(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS term
+               FROM documents)),
+       tc AS (SELECT b, count(*) AS c FROM toks
+              WHERE source = 'src0' GROUP BY b),
+       rc AS (SELECT b, count(*) AS c FROM toks
+              WHERE source <> 'src0' GROUP BY b),
+       tt AS (SELECT count(*) AS t FROM toks WHERE source = 'src0'),
+       rt AS (SELECT count(*) AS r FROM toks WHERE source <> 'src0'),
+       bk AS (SELECT range AS b FROM range(0, 64)),
+       lr AS (SELECT bk.b,
+                     ln((coalesce(tc.c, 0) + 1) / CAST(t + 64 AS DOUBLE))
+                     - ln((coalesce(rc.c, 0) + 1) / CAST(r + 64 AS DOUBLE))
+                         AS lr
+              FROM bk LEFT JOIN tc ON tc.b = bk.b
+                      LEFT JOIN rc ON rc.b = bk.b, tt, rt),
+       dc AS (SELECT doc_id, b, count(*) AS c FROM toks
+              WHERE source <> 'src0' GROUP BY doc_id, b)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              round(sum(c * lr), 4) AS dsir_logweight
+       FROM dc JOIN lr USING (b) GROUP BY doc_id""",
+)
+def txt_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (textstats.dsir_importance): every
+    non-src0 document scored by the hashed-unigram log-likelihood
+    ratio against the src0 docs as the in-domain target — the cheap
+    domain-selection signal you resample by before training. The
+    64-bucket hashed model is what scales: bucket counts partial-
+    aggregate map-side and the log-ratio table broadcasts as 64 rows
+    regardless of corpus size. Same md5 bucket hash on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != "src0")
+    target = docs.filter(F.col("source") == "src0")
+    return textstats.dsir_importance(raw, target, "doc_id", "text")

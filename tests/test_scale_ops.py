@@ -678,3 +678,30 @@ def test_gram_matrix_and_pca_match_numpy(spark):
     # quantization perturbs the covariance at ~1e-6: loose tolerance
     assert np.allclose(loadings, top, atol=1e-3)
     assert abs(got_pc[0].explained_frac - w[-1] / w.sum()) < 1e-3
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs drawn from the target's vocabulary must outscore docs from
+    a disjoint vocabulary, and weights must be partitioning-invariant."""
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        dsir_importance,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta " * 5) for i in range(10)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta alpha beta"),   # target-like
+         (2, "zeta eta theta iota kappa lambada"),   # off-domain
+         (3, "alpha beta zeta eta gamma delta")],    # mixed
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.dsir_logweight
+           for r in dsir_importance(raw, target, "doc_id", "text").collect()}
+    assert out[1] > out[3] > out[2]
+    assert out[1] > 0 and out[2] < 0
+    out8 = {r.doc_id: r.dsir_logweight
+            for r in dsir_importance(raw.repartition(8), target,
+                                     "doc_id", "text").collect()}
+    assert out == out8
