@@ -840,3 +840,58 @@ def s3_excel_quarantine(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@_q(
+    "io_orc_roundtrip",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+              count(DISTINCT user_id) AS n_users
+       FROM events WHERE value >= 10 GROUP BY event_type""",
+)
+def io_orc_roundtrip(spark, sf_dir):
+    """Events through the ORC format edge (the other columnar format a
+    warehouse migration meets): write once with snappy, read back, and
+    aggregate behind a value filter. ORC carries the same scan-level
+    machinery as parquet — column pruning, min/max stripe skipping,
+    predicate pushdown — so the 100 TB read path is format-symmetric;
+    value parity against the parquet original proves the roundtrip is
+    lossless, NTZ timestamps included."""
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    load(spark, sf_dir, "events").write.option(
+        "compression", "snappy"
+    ).orc(f"{tmp}/events_orc")
+    back = spark.read.orc(f"{tmp}/events_orc").filter(F.col("value") >= 10)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_q(
+    "io_jsonl_roundtrip",
+    """SELECT source, lang, count(*) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(max(doc_id) AS BIGINT) AS max_doc_id
+       FROM documents GROUP BY source, lang""",
+)
+def io_jsonl_roundtrip(spark, sf_dir):
+    """Documents through gzipped JSON-lines — the interchange format
+    most scraped/annotated corpora actually arrive in. Write with
+    gzip, read back with an EXPLICIT schema (schema inference over
+    JSONL is a full extra pass at 100 TB — never pay it twice), then
+    aggregate. JSONL is line-splittable only when uncompressed;
+    gzip makes each file one task, which is why the writer controls
+    file count — the same reasoning as the XLSX one-partition-per-
+    workbook edge."""
+    tmp = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents")
+    docs.write.option("compression", "gzip").json(f"{tmp}/docs_jsonl")
+    back = spark.read.schema(docs.schema).json(f"{tmp}/docs_jsonl")
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )

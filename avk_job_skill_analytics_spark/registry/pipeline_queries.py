@@ -301,3 +301,50 @@ def pipeline_jobskills_bridge(spark, sf_dir):
 
 QUERIES["pipeline_jobskills_bridge"] = pipeline_jobskills_bridge
 ORACLES["pipeline_jobskills_bridge"] = _BRIDGE_SQL
+
+
+_SOURCE_MIX_SQL = r"""
+WITH s AS (SELECT source, count(*) AS n_docs,
+                  sum(len(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> ''))) AS n_tokens
+           FROM documents GROUP BY source),
+     t AS (SELECT sum(pow(n_tokens, 0.7)) AS z FROM s)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(pow(n_tokens, 0.7) / z, 6) AS mix_weight,
+       round(1000000 * (pow(n_tokens, 0.7) / z) / n_tokens, 6)
+           AS expected_epochs
+FROM s, t"""
+
+
+def pipeline_source_mix(spark, sf_dir):
+    """Temperature-based source mixing plan (the multilingual /
+    multi-corpus sampling rule of Devlin et al. 2019 §multilingual and
+    GPT-3 Table 2.2): per-source sampling weight proportional to
+    n_tokens^0.7, plus the expected epochs each source sees under a
+    fixed 1M-token budget — >1 means the source up-samples (repeats),
+    <1 down-samples. The whole computation is one per-source aggregate
+    (exact integer token counts partial-aggregated map-side) and a
+    broadcast 1-row normalizer: nothing scales with corpus size except
+    the first scan, so the plan is identical at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    s = docs.select("source", n_tok.alias("_t")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_t").alias("n_tokens")
+    )
+    z = s.agg(F.sum(F.pow("n_tokens", 0.7)).alias("z"))
+    w = F.pow("n_tokens", 0.7) / F.col("z")
+    return s.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(w, 6).alias("mix_weight"),
+        F.round(F.lit(1_000_000) * w / F.col("n_tokens"), 6).alias(
+            "expected_epochs"
+        ),
+    )
+
+
+QUERIES["pipeline_source_mix"] = pipeline_source_mix
+ORACLES["pipeline_source_mix"] = _SOURCE_MIX_SQL
