@@ -414,3 +414,59 @@ def test_containment_joins_on_hashed_shingle_no_cartesian(spark, queries):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     )
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, queries):
+    # pass 2's semi-join must broadcast the (bounded) candidate set so
+    # the filter runs map-side before the count shuffle; the full
+    # vocabulary must never be the join's shuffle key
+    df = queries["agg_heavy_hitters"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prefilter_tests_bits_in_codegen(spark, queries):
+    # the bitmap joins in as a 1-row broadcast and the j probe tests
+    # run as native expressions (shiftleft/element_at) inside codegen —
+    # no Python eval anywhere in the prefilter path
+    df = queries["dd_bloom_prefilter"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitmap side
+    assert "shiftleft" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_wedge_join_is_equi_join(spark, queries):
+    # wedge generation and closure must be hash equi-joins on node
+    # keys — a cartesian pair expansion here is the O(n^2) hazard the
+    # degree orientation exists to prevent
+    df = queries["graph_triangles"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gram_matrix_shuffles_only_partials(spark):
+    # the only exchange in the Gram plan carries the (i, j, part_gram)
+    # partial rows — d(d+1)/2 per partition — never the vectors
+    from avk_job_skill_analytics_spark.operators.linalg import gram_matrix
+    from avk_job_skill_analytics_spark.plans.schemas import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    df = gram_matrix(e, "embedding", d=64)
+    plan = I.plan_string(df)
+    ex_keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert ex_keys, "expected one hash exchange for the (i,j) sum"
+    assert all("embedding" not in s for s in ex_keys)
+    # and the sum partial-aggregates below the exchange
+    assert "partial_sum" in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, queries):
+    # the 64-row log-ratio model must broadcast onto the per-doc
+    # bucket counts; shuffling the corpus by bucket to meet the model
+    # would be the scale inversion
+    df = queries["txt_dsir_importance"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "BroadcastHashJoin" in plan
