@@ -462,3 +462,76 @@ def simhash_buckets(df: DataFrame, id_col: str, text_col: str,
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def substring_spans(df: DataFrame, id_col: str, text_col: str,
+                    min_tokens: int = 8) -> DataFrame:
+    """Exact shared-substring spans across documents (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL'22): every maximal run of >= ``min_tokens`` consecutive words
+    that two documents share verbatim, with its position in both. The
+    suffix-array method of the paper is a single-machine construction;
+    the relational equivalent is a POSITIONAL L-gram inverted index —
+    the same exact spans, built from three linear passes that
+    partition by construction:
+
+    1. (doc, pos, hash(L-gram)) — one explode, no shuffle;
+    2. index self-join on the 60-bit gram hash (doc_a < doc_b) — the
+       join key is content-distributed; boilerplate grams are the
+       skew axis and AQE's skew split handles the hot hashes;
+    3. adjacent matches merge into maximal spans with the diagonal
+       trick: matches of the same pair on the same diagonal
+       (pos_a - pos_b) with consecutive pos_a form one span — a
+       gaps-and-islands window per (pair, diagonal), tiny partitions
+       by construction.
+
+    Returns (doc_a, doc_b, start_a, start_b, span_tokens), 1-based
+    positions, one row per MAXIMAL span (runs shorter than min_tokens
+    have no matching L-gram and never appear). MD5-based gram hashes
+    make the result engine-exact."""
+    L = min_tokens
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).filter(F.size("_w") >= L)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (L - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            md5_long(F.array_join(F.slice(F.col("_w"), i, L), " ")).alias(
+                "h"
+            ),
+        ),
+    )
+    g = toks.select(F.col(id_col), F.explode(grams).alias("s")).select(
+        F.col(id_col).alias("doc"),
+        F.col("s.pos").alias("pos"),
+        F.col("s.h").alias("h"),
+    )
+    a = g.select(
+        F.col("doc").alias("da"), F.col("pos").alias("pa"), "h"
+    )
+    b = g.select(
+        F.col("doc").alias("db"), F.col("pos").alias("pb"), "h"
+    )
+    p = a.join(b, "h").filter(F.col("da") < F.col("db")).select(
+        "da", "db", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    r = p.withColumn("isl", F.col("pa") - F.row_number().over(w))
+    return (
+        r.groupBy("da", "db", "diag", "isl")
+        .agg(
+            F.min("pa").alias("min_pa"),
+            F.min("pb").alias("min_pb"),
+            F.max("pa").alias("max_pa"),
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("min_pa").cast("long").alias("start_a"),
+            F.col("min_pb").cast("long").alias("start_b"),
+            (F.col("max_pa") - F.col("min_pa") + L)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )

@@ -1865,3 +1865,56 @@ def txt_dsir_importance(spark, sf_dir):
     raw = docs.filter(F.col("source") != "src0")
     target = docs.filter(F.col("source") == "src0")
     return textstats.dsir_importance(raw, target, "doc_id", "text")
+
+
+@_q(
+    "dd_substring_spans",
+    """WITH all_docs AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 200000,
+                array_to_string(string_split(text, ' ')[11:], ' ')
+         FROM documents WHERE doc_id % 7 = 0),
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+       g AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(w) - 7),
+                           i -> {'pos': i,
+                                 'h': CAST(concat('0x',
+                                        substring(md5(array_to_string(
+                                          w[i:i+7], ' ')), 1, 15))
+                                      AS BIGINT)})) AS s
+             FROM w WHERE len(w) >= 8),
+       g2 AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g),
+       p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+                    b.pos AS pb, a.pos - b.pos AS diag
+             FROM g2 a JOIN g2 b
+               ON a.h = b.h AND a.doc_id < b.doc_id),
+       r AS (SELECT *, row_number() OVER (
+                PARTITION BY da, db, diag ORDER BY pa) AS rn FROM p)
+       SELECT da AS doc_a, db AS doc_b,
+              CAST(min(pa) AS BIGINT) AS start_a,
+              CAST(min(pb) AS BIGINT) AS start_b,
+              CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+       FROM r GROUP BY da, db, diag, pa - rn""",
+)
+def dd_substring_spans(spark, sf_dir):
+    """Exact shared-substring spans >= 8 tokens across documents
+    (dedup.substring_spans) — the Lee et al. ACL'22 exact-substring
+    dedup re-expressed as a positional L-gram inverted index +
+    diagonal gaps-and-islands merge. Overlap is synthesized in-query
+    (every 7th doc re-enters as its own 10-words-later suffix), so
+    the expected spans are knowable: each synthetic pair shares one
+    maximal span starting at (11, 1). Both engines build the same
+    md5 gram hashes -> identical span sets, hash-matched."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 11, 1_000_000), " "
+            ).alias("text"),
+        )
+    )
+    all_docs = docs.unionByName(suffix)
+    return dedup.substring_spans(all_docs, "doc_id", "text", min_tokens=8)

@@ -705,3 +705,25 @@ def test_dsir_importance_prefers_target_like_docs(spark):
             for r in dsir_importance(raw.repartition(8), target,
                                      "doc_id", "text").collect()}
     assert out == out8
+
+
+def test_substring_spans_exact_positions(spark):
+    """Known construction: doc 2 repeats doc 1's tokens 5..16 starting
+    at its position 3 -> exactly one maximal span with those
+    coordinates; sub-threshold overlaps must not appear."""
+    from avk_job_skill_analytics_spark.operators.dedup import (
+        substring_spans,
+    )
+
+    base = [f"w{i}" for i in range(30)]
+    doc1 = " ".join(base)
+    # tokens 5..16 of doc1 (1-based positions 6..17), 12 tokens shared
+    doc2 = "x1 x2 " + " ".join(base[5:17]) + " y1 y2 y3"
+    doc3 = "z " + " ".join(base[1:8])  # only 7 shared tokens: below L=8
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    got = substring_spans(df, "doc_id", "text", min_tokens=8).collect()
+    spans = {(r.doc_a, r.doc_b): (r.start_a, r.start_b, r.span_tokens)
+             for r in got}
+    assert spans == {(1, 2): (6, 3, 12)}
