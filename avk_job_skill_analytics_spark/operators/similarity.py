@@ -404,3 +404,56 @@ def semantic_prune(df: DataFrame, id_col: str, vec_col: str,
         )
         .select(id_col, "cluster", (~F.col("_d")).alias("keep"))
     )
+
+
+def standardize_dims(df: DataFrame, id_col: str, vec_col: str,
+                     scale: int = 10 ** 6,
+                     round_digits: int = 4) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the whitening-lite preprocessing step before distance-based
+    curation (k-means, cosine pruning) when dimensions have uneven
+    variance.
+
+    Engine-exact by the same trick as linalg.gram_matrix: values are
+    quantized to integer ``scale``-ths first, the per-dimension
+    sum / sum-of-squares / count aggregate over EXACT integers (the
+    z-score is scale-invariant, so quantization only perturbs at
+    1/scale), and the float math happens once per output value from
+    identical integer operands with an identical expression tree —
+    so the rounded z-scores hash-match any engine.
+
+    Shape: one posexplode + one 64-key aggregate, then the d-row
+    stats table broadcast back onto the exploded rows. Nothing
+    row-scaled shuffles except the (id, dim, q) explosion itself,
+    which is the output's own cardinality. Returns (id, dim [1-based],
+    z) with constant dimensions yielding NULL z."""
+    e = df.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("_p", "_x"),
+    ).select(
+        F.col(id_col),
+        (F.col("_p") + 1).alias("dim"),
+        F.floor(F.col("_x").cast("double") * scale).cast("long").alias("_q"),
+    )
+    s = e.groupBy("dim").agg(
+        F.sum("_q").cast("double").alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).cast("double").alias("_ss"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+    )
+    mean = F.col("_s") / F.col("_n")
+    var = F.col("_ss") / F.col("_n") - mean * mean
+    return (
+        e.join(F.broadcast(s), "dim")
+        .select(
+            F.col(id_col),
+            F.col("dim").cast("int").alias("dim"),
+            F.when(
+                var > 0.0,
+                # + 0.0 collapses IEEE -0.0 (a value that rounds to
+                # zero from below) onto +0.0 so every engine and hash
+                # normalization agrees on the textual form
+                F.round((F.col("_q") - mean) / F.sqrt(var), round_digits)
+                + F.lit(0.0),
+            ).alias("z"),
+        )
+    )

@@ -159,3 +159,76 @@ def heavy_hitters(items: DataFrame, item_col: str, k: int) -> DataFrame:
         .filter(F.col("freq") * (k + 1) > F.col("_n"))
         .select(item_col, "freq")
     )
+
+
+def histogram_quantiles(df: DataFrame, value_col: str, n_bins: int = 64,
+                        ps: tuple = (0.5, 0.9, 0.99),
+                        round_digits: int = 4) -> DataFrame:
+    """Quantile estimates from a fixed-width histogram sketch — the
+    one-extra-pass, fully mergeable alternative to an exact global
+    sort when a pipeline needs p50/p90/p99 thresholds at 100 TB.
+
+    Two linear passes: a (min, max) aggregate, then per-bin counts —
+    both partial-aggregate map-side, and the bin table is ``n_bins``
+    rows no matter the input size (daily histograms ADD for rollups,
+    like the KMV sketch above). The quantile itself interpolates
+    linearly inside the covering bin: error is bounded by one bin
+    width, chosen by ``n_bins``, not by data order — unlike
+    approx_percentile's engine-specific sketch, every term here
+    (integer counts, one float expression from identical operands) is
+    engine-portable, so the estimates hash-match an oracle.
+
+    The cumulative window runs over <= n_bins rows (single partition
+    by design — bounded cardinality, not a data-scaled sort). Returns
+    (p, n_total, estimate)."""
+    mm = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+        F.count(value_col).alias("n"),
+    )
+    binned = (
+        df.select(F.col(value_col).cast("double").alias("x"))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_bins)
+                ),
+                F.lit(n_bins - 1),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    spark = df.sparkSession
+    pf = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    cand = (
+        cum.crossJoin(F.broadcast(pf))
+        .crossJoin(F.broadcast(mm))
+        .filter(F.col("cum") >= F.col("p") * F.col("n"))
+    )
+    pick = Window.partitionBy("p").orderBy("bin")
+    width = (F.col("hi") - F.col("lo")) / n_bins
+    est = (
+        F.col("lo")
+        + width
+        * (
+            F.col("bin")
+            + (F.col("p") * F.col("n") - F.col("cum_before")) / F.col("cnt")
+        )
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "p",
+            F.col("n").cast("long").alias("n_total"),
+            (F.round(est, round_digits) + F.lit(0.0)).alias("estimate"),
+        )
+    )

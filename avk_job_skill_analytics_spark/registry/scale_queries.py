@@ -1918,3 +1918,35 @@ def dd_substring_spans(spark, sf_dir):
     )
     all_docs = docs.unionByName(suffix)
     return dedup.substring_spans(all_docs, "doc_id", "text", min_tokens=8)
+
+
+@_q(
+    "emb_standardize",
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                    AS qv
+              FROM embeddings),
+       e AS (SELECT vec_id, i AS dim, qv[i] AS q
+             FROM q, range(1, 65) t(i)),
+       s AS (SELECT dim, CAST(sum(q) AS DOUBLE) AS sm,
+                    CAST(sum(q * q) AS DOUBLE) AS ss,
+                    CAST(count(*) AS DOUBLE) AS n
+             FROM e GROUP BY dim)
+       SELECT vec_id, CAST(e.dim AS INT) AS dim,
+              CASE WHEN ss / n - (sm / n) * (sm / n) > 0.0
+                   THEN round((q - sm / n)
+                              / sqrt(ss / n - (sm / n) * (sm / n)), 4)
+                        + 0.0
+              END AS z
+       FROM e JOIN s USING (dim)""",
+)
+def emb_standardize(spark, sf_dir):
+    """Per-dimension z-scores of the embedding table
+    (similarity.standardize_dims): exact integer sum/sumsq per
+    dimension, the 64-row stats table broadcast back, one float
+    expression per output value from identical integer operands on
+    both engines -> rounded scores hash-match. The preprocessing step
+    distance-based curation runs when dimensions are unevenly
+    scaled."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.standardize_dims(e, "vec_id", "embedding")

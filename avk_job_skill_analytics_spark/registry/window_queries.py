@@ -869,3 +869,45 @@ def win_sliding_distinct_users(spark, sf_dir):
         .groupBy("window_end")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@_q(
+    "agg_histogram_quantiles",
+    """WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                          max(CAST(l_extendedprice AS DOUBLE)) AS hi,
+                          count(l_extendedprice) AS n
+               FROM lineitem),
+       b AS (SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                                     / ((hi - lo) / 64)), 63) AS INT)
+                        AS bin
+             FROM lineitem, mm),
+       c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+       cu AS (SELECT bin, cnt,
+                     sum(cnt) OVER (ORDER BY bin) AS cum,
+                     sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before
+              FROM c),
+       ps AS (SELECT CAST(p AS DOUBLE) AS p
+              FROM (VALUES (0.5), (0.9), (0.99)) t(p)),
+       cand AS (SELECT p, bin, cnt, cum, cum_before,
+                       row_number() OVER (PARTITION BY p ORDER BY bin)
+                           AS rk
+                FROM cu, ps, mm WHERE cum >= p * n)
+       SELECT p, CAST(n AS BIGINT) AS n_total,
+              round(lo + ((hi - lo) / 64)
+                         * (bin + (p * n - cum_before) / cnt), 4) + 0.0
+                  AS estimate
+       FROM cand, mm WHERE rk = 1""",
+)
+def agg_histogram_quantiles(spark, sf_dir):
+    """p50/p90/p99 of l_extendedprice from a 64-bin fixed-width
+    histogram sketch (operators/sketches.histogram_quantiles): two
+    linear map-side-combining passes and an n_bins-row cumulative
+    window — the mergeable, engine-portable way to get quantile
+    thresholds at 100 TB (agg_percentiles is the exact twin;
+    agg_approx_percentiles the engine-specific one). Counts are
+    integers and the interpolation is one float expression from
+    identical operands, so estimates hash-match the oracle."""
+    from ..operators.sketches import histogram_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice", n_bins=64)

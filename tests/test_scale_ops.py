@@ -727,3 +727,43 @@ def test_substring_spans_exact_positions(spark):
     spans = {(r.doc_a, r.doc_b): (r.start_a, r.start_b, r.span_tokens)
              for r in got}
     assert spans == {(1, 2): (6, 3, 12)}
+
+
+def test_histogram_quantiles_close_to_exact_and_mergeable_shape(spark):
+    """Estimates must land within one bin width of the exact
+    quantiles, and be invariant to partitioning (mergeability)."""
+    from avk_job_skill_analytics_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(10_000).selectExpr("CAST(id AS DOUBLE) AS v")
+    got = {r.p: r.estimate
+           for r in histogram_quantiles(df, "v", n_bins=100).collect()}
+    width = 9999 / 100
+    for p in (0.5, 0.9, 0.99):
+        assert abs(got[p] - p * 9999) <= width, (p, got[p])
+    got16 = {r.p: r.estimate
+             for r in histogram_quantiles(df.repartition(16), "v",
+                                          n_bins=100).collect()}
+    assert got == got16
+
+
+def test_standardize_dims_zero_mean_unit_var(spark):
+    import math
+
+    from avk_job_skill_analytics_spark.operators.similarity import (
+        standardize_dims,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 10.0]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    out = standardize_dims(df, "vec_id", "embedding").collect()
+    d1 = [r.z for r in out if r.dim == 1]
+    d2 = [r.z for r in out if r.dim == 2]
+    assert abs(sum(d1)) < 1e-6                    # mean ~ 0
+    assert abs(sum(z * z for z in d1) / 100 - 1) < 1e-3  # var ~ 1
+    assert all(z is None for z in d2)             # constant dim -> NULL
+    assert not any(z is not None and math.copysign(1, z) < 0 and z == 0
+                   for z in d1)                   # no -0.0 leaks
