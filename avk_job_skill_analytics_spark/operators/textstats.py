@@ -580,3 +580,69 @@ def dsir_importance(raw, target, id_col: str, text_col: str,
             ),
         )
     )
+
+
+def pmi_collocations(df, id_col: str, text_col: str,
+                     min_count: int = 20, k: int = 20):
+    """Top-k collocations by pointwise mutual information — the
+    classic phrase-mining signal (Church & Hanks 1990): word pairs
+    that co-occur far more than their unigram frequencies predict
+    (multiword entities, idioms) — the vocabulary-extension step of a
+    tokenizer/phrase pipeline.
+
+    PMI is computed as ONE log of an exact integer fraction,
+    ln((c_ab * N_uni^2) / (N_bi * c_a * c_b)): every operand is an
+    exact int64 count, so both engines take the log of the identical
+    double and the rounded value is engine-stable; ranking uses the
+    ROUNDED pmi with a lexicographic tie-break so the top-k set is
+    deterministic. ``min_count`` suppresses the low-count PMI
+    explosion (rare pairs trivially maximize PMI).
+
+    Shape: two hash aggregates (bigram and unigram counts), two joins
+    keyed by term (well-distributed), two broadcast 1-row totals, one
+    bounded top-k."""
+    w = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = df.select(w.alias("_w"))
+    uni = toks.select(F.explode("_w").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.struct(
+            F.element_at("_w", i).alias("w1"),
+            F.element_at("_w", i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.filter(F.size("_w") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").alias("nu"))
+    n_bi = toks.filter(F.size("_w") >= 2).agg(
+        F.sum(F.size("_w") - 1).alias("nb")
+    )
+    ua = uni.select(F.col("t").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") * F.col("nu") * F.col("nu"))
+            / (F.col("nb") * F.col("c_a") * F.col("c_b"))
+        ),
+        4,
+    )
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )

@@ -1950,3 +1950,35 @@ def emb_standardize(spark, sf_dir):
     scaled."""
     e = load(spark, sf_dir, "embeddings")
     return similarity.standardize_dims(e, "vec_id", "embedding")
+
+
+@_q(
+    "txt_pmi_collocations",
+    r"""WITH w AS (SELECT list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '') AS w
+                  FROM documents),
+       uni AS (SELECT unnest(w) AS t FROM w),
+       uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+       nu AS (SELECT sum(c) AS nu FROM uc),
+       bi AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                     i -> {'w1': w[i], 'w2': w[i+1]})) AS p
+              FROM w WHERE len(w) >= 2),
+       bc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_ab
+              FROM bi GROUP BY p.w1, p.w2
+              HAVING count(*) >= 20),
+       nb AS (SELECT sum(len(w) - 1) AS nb FROM w WHERE len(w) >= 2)
+       SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+              round(ln((c_ab * nu * nu)
+                       / CAST(nb * ua.c * ub.c AS DOUBLE)), 4) AS pmi
+       FROM bc JOIN uc ua ON ua.t = w1 JOIN uc ub ON ub.t = w2, nu, nb
+       ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+)
+def txt_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by PMI over the documents corpus
+    (textstats.pmi_collocations): the phrase-mining step that feeds a
+    tokenizer's multiword vocabulary. PMI is one log of an exact
+    integer fraction and ranking uses the rounded value with a
+    lexicographic tie-break, so the top-k set and every value
+    hash-match the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.pmi_collocations(docs, "doc_id", "text")

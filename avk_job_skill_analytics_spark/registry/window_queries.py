@@ -911,3 +911,50 @@ def agg_histogram_quantiles(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem")
     return histogram_quantiles(li, "l_extendedprice", n_bins=64)
+
+
+@_q(
+    "win_retention_cohorts",
+    """WITH e AS (SELECT user_id,
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+                 FROM events),
+       f AS (SELECT user_id,
+                    CAST(date_trunc('week', min(d)) AS DATE) AS cohort_week
+             FROM e GROUP BY user_id)
+       SELECT cohort_week,
+              CAST(datediff('day', cohort_week,
+                            CAST(date_trunc('week', d) AS DATE)) // 7
+                   AS INT) AS week_offset,
+              count(DISTINCT e.user_id) AS n_users
+       FROM e JOIN f ON e.user_id = f.user_id
+       GROUP BY cohort_week, week_offset""",
+)
+def win_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix — users grouped by first-seen
+    week, counted distinct in every later week they return (the BI
+    staple behind every retention curve). Two shuffles total: the
+    first-seen aggregate keyed by user (its join back to events stays
+    on the same key, so no extra exchange) and the final
+    (cohort, offset) aggregate whose key space is weeks^2 — tiny at
+    any corpus scale. The distinct count partial-aggregates on
+    (cohort, offset, user) map-side."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    f = e.groupBy("user_id").agg(
+        F.trunc(F.min("d"), "week").alias("cohort_week")
+    )
+    return (
+        e.join(f, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.trunc("d", "week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
