@@ -658,3 +658,57 @@ def stream_decontaminate(spark, sf_dir):
         F.count(F.lit(1)).alias("n_shared")
     )
     return _drain(spark, hits, "update", "st_decontaminate")
+
+
+@_q(
+    "stream_heavy_hitters",
+    r"""WITH w AS (SELECT list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '') AS w
+                  FROM documents),
+       g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1])) AS ngram
+             FROM w WHERE len(w) >= 2),
+       tot AS (SELECT count(*) AS n FROM g)
+       SELECT ngram, count(*) * 2 AS freq
+       FROM g, tot GROUP BY ngram, n
+       HAVING count(*) * 2 * 1000 > n * 2""",
+)
+def stream_heavy_hitters(spark, sf_dir):
+    """Streaming frequent-ngram tracking: documents arrive on the
+    file stream in TWO micro-batches (the same parquet linked twice,
+    one file per trigger), bigrams expand statelessly in-row, and each
+    batch folds into the bounded driver-side Misra-Gries summary
+    (streaming/incremental.stream_mg_heavy_hitters) — per batch only
+    the MG-candidate recount table moves, never the vocabulary. The
+    double delivery makes the cross-batch merge observable: every
+    count is exactly 2x the corpus count, which the oracle mirrors.
+    k=2000 exceeds the per-batch distinct-bigram count, so the merged
+    counts are exact and hash-match; the emitted set is
+    freq * 1000 > N, the same relative threshold as
+    agg_heavy_hitters."""
+    from ..streaming.incremental import stream_mg_heavy_hitters
+
+    src_dir = _source_dir(
+        sf_dir,
+        {"docs_a.parquet": "documents.parquet",
+         "docs_b.parquet": "documents.parquet"},
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
+    )
+    items = (
+        stream.select(w.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(F.explode(grams).alias("ngram"))
+    )
+    counters, n = stream_mg_heavy_hitters(items, "ngram", k=2000)
+    hot = [(t, int(c)) for t, c in counters.items() if c * 1000 > n]
+    return spark.createDataFrame(hot, "ngram string, freq long")

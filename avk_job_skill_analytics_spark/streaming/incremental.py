@@ -515,3 +515,62 @@ def user_ledger_tws(stream: DataFrame) -> DataFrame:
         "Update",
         "None",
     )
+
+
+def stream_mg_heavy_hitters(stream, item_col: str, k: int = 2000):
+    """Streaming heavy hitters: fold each micro-batch into a bounded
+    Misra-Gries summary (operators/sketches) held driver-side — the
+    streaming twin of the batch two-scan ``heavy_hitters``.
+
+    Per micro-batch the work is DISTRIBUTED and bounded end-to-end:
+    the MG candidate pass ships <= k rows per partition, the exact
+    recount of candidates is a broadcast semi-join + aggregate, and
+    only that bounded candidate-count table reaches the driver, where
+    it merges into the running k-counter summary (Agarwal et al.
+    mergeable-summaries merge — so the cross-batch error bound
+    composes to N/(k+1), exactly as for partition merges). Counts are
+    EXACT while the per-batch distinct-item count stays <= k (no
+    decrement ever fires); beyond that they degrade to lower bounds
+    and a final batch recount (agg_heavy_hitters) restores exactness.
+
+    State is a Python dict of <= k counters plus one total — replay
+    of a failed batch would double-count (foreachBatch is
+    at-least-once), which the one-shot availableNow drains here
+    accept; a long-lived deployment would version the state by
+    epoch_id like foreach_batch_jdbc_upsert's staging-merge.
+
+    Returns (counters dict, total item count) after the drain."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as SF
+
+    from ..operators.sketches import _mg_fold, mg_candidates
+
+    state = {"counters": {}, "n": 0}
+
+    def batch_fn(bdf, epoch_id):
+        items = bdf.select(item_col)
+        cand = mg_candidates(items, item_col, k).distinct()
+        agg = (
+            items.join(SF.broadcast(cand), item_col, "left_semi")
+            .groupBy(item_col)
+            .agg(SF.count(SF.lit(1)).alias("freq"))
+        )
+        batch_counts = {r[item_col]: r["freq"] for r in agg.collect()}
+        state["counters"] = _mg_fold(state["counters"], batch_counts, k)
+        state["n"] += items.count()
+
+    ckpt = _tf.mkdtemp(prefix="ckpt_hh_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(ckpt, ignore_errors=True)
+    return state["counters"], state["n"]

@@ -133,3 +133,44 @@ def test_transform_with_state_gated_or_runs(spark):
             user_ledger_tws(stream)
         return
     assert user_ledger_tws(stream).isStreaming
+
+
+def test_stream_mg_heavy_hitters_merges_batches_exactly(spark, tmp_path):
+    """Two micro-batches of known items: with k above the per-batch
+    vocabulary the merged MG counters are exact sums across batches;
+    with tiny k the true heavy item still survives (lower bound)."""
+    import pyspark.sql.functions as F
+
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        stream_mg_heavy_hitters,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df1 = spark.createDataFrame(
+        [("hot",)] * 30 + [("warm",)] * 10, "item string"
+    )
+    df2 = spark.createDataFrame(
+        [("hot",)] * 20 + [("cold",)] * 5, "item string"
+    )
+    df1.coalesce(1).write.parquet(str(src / "b1"))
+    df2.coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src) + "/*")
+    )
+    counters, n = stream_mg_heavy_hitters(stream, "item", k=100)
+    assert n == 65
+    assert counters == {"hot": 50, "warm": 10, "cold": 5}
+
+    stream2 = (
+        spark.readStream.format("parquet")
+        .schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src) + "/*")
+    )
+    tiny, n2 = stream_mg_heavy_hitters(stream2, "item", k=1)
+    assert n2 == 65
+    assert "hot" in tiny and tiny["hot"] <= 50  # lower bound survives
