@@ -267,3 +267,62 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def k_core(edges: DataFrame, k: int, src_col: str = "src",
+           dst_col: str = "dst", max_rounds: int = 20) -> DataFrame:
+    """k-core decomposition by iterative peeling (Batagelj &
+    Zaveršnik's algorithm, distributed as bounded-round peels): drop
+    every node with degree < k, recompute degrees, repeat to fixpoint
+    — the densest-subgraph screen that separates structural community
+    members from incidental co-occurrence.
+
+    Per round: one degree aggregate plus two semi-joins keyed by node
+    — O(E) shuffle, sized to the shrinking edge count via
+    scoped_shuffle (same iterative discipline as the CC variants and
+    pagerank; the session default stays the cluster-scale ceiling).
+    Frames are localCheckpoint-ed per round. Convergence is a 1-row
+    count probe; peeling can need O(n) rounds on adversarial chains,
+    so ``max_rounds`` bounds the loop — on co-occurrence graphs the
+    fixpoint lands in a handful of rounds (their degree distribution
+    collapses fast).
+
+    Returns (node, core_deg): the members of the k-core with their
+    within-core degree."""
+    from ..plans.session import scoped_shuffle, sized_partitions
+
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    n_edges = e.count()
+    with scoped_shuffle(spark, sized_partitions(spark, n_edges)):
+        for _ in range(max_rounds):
+            deg = (
+                e.select(F.col("u").alias("node"))
+                .unionByName(e.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            keep = deg.filter(F.col("deg") >= k).select("node")
+            e2 = (
+                e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+                .localCheckpoint()
+            )
+            n2 = e2.count()
+            if n2 == n_edges:
+                break
+            e, n_edges = e2, n2
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )

@@ -895,3 +895,57 @@ def io_jsonl_roundtrip(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
     )
+
+
+@_q(
+    "io_jsonl_quarantine",
+    """SELECT CASE WHEN doc_id % 50 = 0 THEN 'QUARANTINE' ELSE source END
+              AS source,
+              count(*) AS n,
+              CAST(coalesce(sum(CASE WHEN doc_id % 50 = 0 THEN NULL
+                                     ELSE n_chars END), 0) AS BIGINT)
+                  AS total_chars
+       FROM documents
+       GROUP BY CASE WHEN doc_id % 50 = 0 THEN 'QUARANTINE' ELSE source END""",
+)
+def io_jsonl_quarantine(spark, sf_dir):
+    """Malformed-line quarantine on the JSONL edge: every 50th
+    document is written as a broken line (unterminated JSON), the
+    read-back runs PERMISSIVE with columnNameOfCorruptRecord, and
+    broken lines land in a 'QUARANTINE' bucket with their count —
+    the ingest never aborts and never silently drops. This is the
+    JSONL twin of s3_excel_quarantine / s2_csv_permissive: at 100 TB
+    a scrape drop always contains garbage lines, and the quarantine
+    ledger is what makes the loss auditable. Corruption is
+    synthesized deterministically (doc_id % 50) so the oracle knows
+    the expected ledger exactly."""
+    tmp = tempfile.mkdtemp(prefix="jsonl_quarantine_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 50 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(", BROKEN")),
+    ).otherwise(F.to_json(F.struct(*docs.columns)))
+    docs.select(line.alias("value")).write.text(f"{tmp}/dropzone")
+    schema = docs.schema.add("_corrupt", "string")
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(f"{tmp}/dropzone")
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt").isNotNull(), F.lit("QUARANTINE"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+            "n_chars",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias(
+                "total_chars"
+            ),
+        )
+    )

@@ -1982,3 +1982,67 @@ def txt_pmi_collocations(spark, sf_dir):
     hash-match the oracle."""
     docs = load(spark, sf_dir, "documents")
     return textstats.pmi_collocations(docs, "doc_id", "text")
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """DuckDB twin of graph.k_core over the high-quantity co-supply
+    graph: the peel unrolled ``rounds`` times (comfortably past the
+    measured fixpoint at every test sf — 3 rounds at sf0.01, 4 at
+    sf0.1 — so the unrolled result IS the fixpoint the Spark loop's
+    convergence probe stops at)."""
+    sql = """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+               FROM lineitem WHERE l_quantity >= 48),
+       e0 AS MATERIALIZED (
+              SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                              greatest(a.l_suppkey, b.l_suppkey) AS v
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_suppkey < b.l_suppkey)"""
+    # MATERIALIZED: each e_i is referenced 4x downstream; inlined CTEs
+    # would expand the scan tree exponentially in the round count
+    # (DuckDB hit its file-handle cap at 8 rounds before this)
+    for i in range(rounds):
+        sql += f""",
+       d{i} AS MATERIALIZED (
+               SELECT node, count(*) AS deg
+               FROM (SELECT u AS node FROM e{i}
+                     UNION ALL SELECT v FROM e{i})
+               GROUP BY node),
+       k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+       e{i + 1} AS MATERIALIZED (
+                SELECT u, v FROM e{i}
+                WHERE u IN (SELECT node FROM k{i})
+                  AND v IN (SELECT node FROM k{i}))"""
+    sql += f"""
+       SELECT node, count(*) AS core_deg
+       FROM (SELECT u AS node FROM e{rounds}
+             UNION ALL SELECT v FROM e{rounds})
+       GROUP BY node"""
+    return sql
+
+
+@_q("graph_kcore", _kcore_sql(5, 8))
+def graph_kcore(spark, sf_dir):
+    """5-core of the l_quantity>=48 co-supply graph
+    (operators/graph.k_core): iterative peeling with per-round
+    edge-sized shuffles and a 1-row convergence probe. The oracle
+    unrolls 8 peel rounds — past the measured fixpoint at every test
+    sf — so both engines land on the identical core membership and
+    within-core degrees."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_suppkey").alias("sb"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return graph.k_core(e, k=5)

@@ -68,6 +68,8 @@ HEADLINE = [
     "stream_stateful_user_stats",
     "s3_excel_datasource",
     "s6_jdbc_roundtrip",
+    "dd_substring_spans",
+    "emb_gram_matrix",
 ]
 
 _FAMILIES = (

@@ -767,3 +767,18 @@ def test_standardize_dims_zero_mean_unit_var(spark):
     assert all(z is None for z in d2)             # constant dim -> NULL
     assert not any(z is not None and math.copysign(1, z) < 0 and z == 0
                    for z in d1)                   # no -0.0 leaks
+
+
+def test_k_core_peels_to_known_core(spark):
+    """K6 with a pendant chain: the 5-core is exactly the K6, each
+    member with within-core degree 5; peeling must remove the chain
+    even though its first node initially touches the clique."""
+    from avk_job_skill_analytics_spark.operators.graph import k_core
+
+    k6 = [(a, b) for a in range(1, 7) for b in range(a + 1, 7)]
+    chain = [(6, 7), (7, 8), (8, 9)]
+    df = spark.createDataFrame(k6 + chain, "src long, dst long")
+    got = {r.node: r.core_deg for r in k_core(df, k=5).collect()}
+    assert got == {n: 5 for n in range(1, 7)}
+    # and a threshold above the clique degree empties the core
+    assert k_core(df, k=6).count() == 0

@@ -67,6 +67,13 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "rank over the per-dimension aggregate (|dims| rows), the window "
          "twin of the semi-join form — bounded input by construction"),
     ],
+    "agg_histogram_quantiles": [
+        ("empty-partition-window",
+         "cumulative sum over the n_bins-row histogram (<= 64 rows by "
+         "construction, corpus-size independent — the whole point of "
+         "the sketch); the data-scaled work is the map-side-combined "
+         "bin count, not this window"),
+    ],
 }
 
 
