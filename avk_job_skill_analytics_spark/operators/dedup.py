@@ -535,3 +535,60 @@ def substring_spans(df: DataFrame, id_col: str, text_col: str,
             .alias("span_tokens"),
         )
     )
+
+
+def boilerplate_fraction(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 3, df_frac: float = 0.2) -> DataFrame:
+    """Template/boilerplate contamination ledger: a k-word shingle is
+    'boilerplate' when it appears in more than ``df_frac`` of all
+    documents (headers, footers, license blocks, scraped nav chrome —
+    the cross-document repetition C4's within-line rules can't see).
+    Each document is scored by the fraction of its shingle POSITIONS
+    covered by boilerplate shingles — the curation signal for
+    template-heavy sources.
+
+    Shape: one shingle document-frequency aggregate (map-side
+    combined), the boilerplate set joined back onto the positional
+    shingle stream (shuffle keyed by shingle — at 100 TB the
+    boilerplate set is small but its members are the HOT keys, so the
+    join deliberately stays a shuffle join and lets AQE split the hot
+    partitions), one per-doc ratio. Returns (id, n_shingles,
+    n_boiler, boiler_frac rounded 4)."""
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).filter(F.size("_w") >= k)
+    shingle = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (k - 1)),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
+    )
+    pos = toks.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+    n_docs = df.select(F.countDistinct(id_col).alias("nd"))
+    docfreq = (
+        pos.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = (
+        docfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.col("nd") * df_frac)
+        .select("shingle")
+    )
+    marked = pos.join(
+        boiler.withColumn("_b", F.lit(1)), "shingle", "left"
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_b", F.lit(0))).alias("n_boiler"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_boiler").cast("long").alias("n_boiler"),
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 4).alias(
+                "boiler_frac"
+            ),
+        )
+    )

@@ -2046,3 +2046,53 @@ def graph_kcore(spark, sf_dir):
         .distinct()
     )
     return graph.k_core(e, k=5)
+
+
+@_q(
+    "dd_boilerplate",
+    """WITH d AS (SELECT doc_id,
+                       CASE WHEN doc_id % 3 <> 0
+                            THEN text || ' spark footer generated legal text'
+                            ELSE text END AS text
+              FROM documents),
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+       pos AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                          AS shingle
+               FROM w WHERE len(w) >= 3),
+       nd AS (SELECT count(DISTINCT doc_id) AS nd FROM d),
+       dfq AS (SELECT shingle, count(DISTINCT doc_id) AS df
+               FROM pos GROUP BY shingle),
+       boiler AS (SELECT shingle FROM dfq, nd WHERE df > nd * 0.2)
+       SELECT p.doc_id, count(*) AS n_shingles,
+              CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_boiler,
+              round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 4) AS boiler_frac
+       FROM pos p LEFT JOIN boiler b ON b.shingle = p.shingle
+       GROUP BY p.doc_id""",
+)
+def dd_boilerplate(spark, sf_dir):
+    """Template/boilerplate contamination ledger
+    (dedup.boilerplate_fraction): shingles appearing in >20% of
+    documents mark boilerplate, each doc scored by the fraction of
+    its shingle positions covered. A fixed footer is synthesized onto
+    2/3 of the docs in-query (testdata texts share no natural
+    3-gram at 20% df), so the expected ledger is knowable: footer
+    shingles cross the threshold, footered docs score ~5/100, the
+    rest 0."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" spark footer generated legal text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.boilerplate_fraction(docs, "doc_id", "text",
+                                      k=3, df_frac=0.2)

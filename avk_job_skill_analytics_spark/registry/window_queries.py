@@ -958,3 +958,110 @@ def win_retention_cohorts(spark, sf_dir):
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@_q(
+    "win_dau_mau",
+    """WITH e AS (SELECT user_id,
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+                 FROM events),
+       day AS (SELECT d, count(DISTINCT user_id) AS dau
+               FROM e GROUP BY d),
+       mon AS (SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+                      count(DISTINCT user_id) AS mau
+               FROM e GROUP BY month)
+       SELECT m.month, count(*) AS n_days,
+              CAST(max(m2.mau) AS BIGINT) AS mau,
+              round(CAST(sum(day.dau) AS DOUBLE) / count(*), 4) AS avg_dau,
+              round(CAST(sum(day.dau) AS DOUBLE)
+                    / (count(*) * max(m2.mau)), 4) AS stickiness
+       FROM day
+       JOIN (SELECT CAST(date_trunc('month', d) AS DATE) AS month, d
+             FROM day) m ON m.d = day.d
+       JOIN mon m2 ON m2.month = m.month
+       GROUP BY m.month""",
+)
+def win_dau_mau(spark, sf_dir):
+    """DAU/MAU stickiness per month — the engagement ratio every
+    activity dashboard leads with. Two distinct-count aggregates
+    (day- and month-grain, both partial-aggregated on (grain, user)
+    map-side) and a months-sized final join; the ratio is one float
+    division of exact integers, so it hash-matches. At 100 TB the
+    day/month collapse-first shape is what keeps the distinct counts
+    off the raw event stream."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    day = e.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    mon = e.groupBy(F.trunc("d", "month").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        day.withColumn("month", F.trunc("d", "month"))
+        .join(mon, "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("mau").cast("long").alias("mau"),
+            F.round(
+                F.sum("dau").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_dau"),
+            F.round(
+                F.sum("dau").cast("double")
+                / (F.count(F.lit(1)) * F.max("mau")),
+                4,
+            ).alias("stickiness"),
+        )
+    )
+
+
+def _kmv_rollup_sql(k: int) -> str:
+    """Direct global KMV estimate over user_id — the merged daily
+    sketches must equal it exactly (bottom-k of a union == bottom-k
+    of the per-day bottom-k's)."""
+    from ..operators.hashing import md5_long_sql
+    from ..operators.sketches import HASH_SPACE
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""WITH h AS (SELECT DISTINCT {h} AS h FROM events),
+       r AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM h),
+       s AS (SELECT count(*) AS n,
+                    max(CASE WHEN rk = {k} THEN h END) AS hk
+             FROM r WHERE rk <= {k})
+       SELECT CASE WHEN hk IS NULL THEN n
+                   ELSE CAST(({k - 1} * CAST({HASH_SPACE} AS HUGEINT)) // hk
+                             AS BIGINT)
+              END AS est_users,
+              (SELECT count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+               FROM events) AS n_days_merged
+       FROM s"""
+
+
+@_q("agg_kmv_rollup", _kmv_rollup_sql(128))
+def agg_kmv_rollup(spark, sf_dir):
+    """The KMV rollup path PROVEN, not just documented: per-day
+    bottom-128 user sketches (the daily artifact a pipeline would
+    persist) fold into one sketch via kmv_merge, and the resulting
+    distinct-users estimate hash-matches the oracle's DIRECT sketch
+    of the whole table — bottom-k of a union equals bottom-k of the
+    per-day bottom-k's, so day->month rollups never need raw data.
+    The fold runs as an aggregate expression over the collected daily
+    sketches (<= days x k longs)."""
+    from ..operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
+
+    e = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    daily = kmv_sketch(e, ["d"], "user_id", k=128)
+    merged = daily.agg(
+        F.aggregate(
+            F.collect_list("sketch"),
+            F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+            lambda acc, x: kmv_merge(acc, x, 128),
+        ).alias("sketch"),
+        F.count(F.lit(1)).alias("n_days_merged"),
+    )
+    return merged.select(
+        kmv_estimate(F.col("sketch"), 128).alias("est_users"),
+        "n_days_merged",
+    )
