@@ -575,7 +575,9 @@ def dsir_importance(raw, target, id_col: str, text_col: str,
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_tokens"),
-            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias(
+            # + 0.0 collapses IEEE -0.0 (tiny negative rounding to
+            # zero) onto +0.0 — engine/hashing parity (cf. SCALING.md)
+            (F.round(F.sum(F.col("c") * F.col("lr")), 4) + F.lit(0.0)).alias(
                 "dsir_logweight"
             ),
         )
@@ -633,7 +635,7 @@ def pmi_collocations(df, id_col: str, text_col: str,
             / (F.col("nb") * F.col("c_a") * F.col("c_b"))
         ),
         4,
-    )
+    ) + F.lit(0.0)  # -0.0 normalization, cf. SCALING.md
     return (
         bi.join(ua, "w1")
         .join(ub, "w2")

@@ -1850,7 +1850,7 @@ def ml_pca_top_component(spark, sf_dir):
        dc AS (SELECT doc_id, b, count(*) AS c FROM toks
               WHERE source <> 'src0' GROUP BY doc_id, b)
        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-              round(sum(c * lr), 4) AS dsir_logweight
+              round(sum(c * lr), 4) + 0.0 AS dsir_logweight
        FROM dc JOIN lr USING (b) GROUP BY doc_id""",
 )
 def txt_dsir_importance(spark, sf_dir):
@@ -1969,7 +1969,7 @@ def emb_standardize(spark, sf_dir):
        nb AS (SELECT sum(len(w) - 1) AS nb FROM w WHERE len(w) >= 2)
        SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
               round(ln((c_ab * nu * nu)
-                       / CAST(nb * ua.c * ub.c AS DOUBLE)), 4) AS pmi
+                       / CAST(nb * ua.c * ub.c AS DOUBLE)), 4) + 0.0 AS pmi
        FROM bc JOIN uc ua ON ua.t = w1 JOIN uc ub ON ub.t = w2, nu, nb
        ORDER BY pmi DESC, w1, w2 LIMIT 20""",
 )
