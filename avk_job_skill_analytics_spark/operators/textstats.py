@@ -648,3 +648,80 @@ def pmi_collocations(df, id_col: str, text_col: str,
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(k)
     )
+
+
+def bpe_merges(df, text_col: str, n_merges: int = 6):
+    """Learn the first ``n_merges`` BPE merge rules from the corpus
+    (Sennrich et al., "Neural Machine Translation of Rare Words with
+    Subword Units", ACL'16) — the artifact a tokenizer-training
+    pipeline actually produces. Exactly the classic word-frequency
+    formulation every production trainer uses: the corpus-scale work
+    is ONE word-count aggregate; each merge round then runs on the
+    vocabulary-sized (word-form, freq) frame — pair counts weighted
+    by word frequency, argmax pair, rewrite.
+
+    Determinism/portability: the argmax tie-breaks on (count DESC,
+    left ASC, right ASC); the rewrite is a literal string replace
+    over a middle-dot-delimited symbol form ('·a··b··c·'), whose
+    leftmost-nonoverlapping replace semantics are identical in Spark
+    and ANSI-ish SQL AND match BPE's left-to-right merge order — so
+    the learned merge table is engine-exact and the oracle can unroll
+    the same rounds.
+
+    Scale: the per-round frame is the distinct word-form table —
+    still distributed (a real corpus has 10^7-10^8 forms) but
+    independent of corpus size; only the 1-row argmax is collected
+    per round (driver discipline), and the frame is
+    localCheckpoint-ed per round like every iterative operator here.
+
+    Returns (step, left_sym, right_sym, pair_count)."""
+    spark = df.sparkSession
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("word")
+    )
+    wf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    sym = F.concat(
+        F.lit("·"),
+        F.array_join(F.split(F.col("word"), ""), "··"),
+        F.lit("·"),
+    )
+    v = wf.select(sym.alias("sym"), "freq").localCheckpoint()
+    merges = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(
+            F.expr("trim(BOTH '·' FROM sym)"), "··"
+        )
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("_a") - 1),
+            lambda i: F.struct(
+                F.element_at("_a", i).alias("l"),
+                F.element_at("_a", i + 1).alias("r"),
+            ),
+        )
+        pc = (
+            v.select(arr.alias("_a"), "freq")
+            .filter(F.size("_a") >= 2)
+            .select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pc:
+            break
+        l, r, cnt = pc[0]["l"], pc[0]["r"], int(pc[0]["cnt"])
+        merges.append((step, l, r, cnt))
+        v = v.select(
+            F.replace(
+                F.col("sym"),
+                F.lit(f"·{l}··{r}·"),
+                F.lit(f"·{l}{r}·"),
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count long"
+    )

@@ -2096,3 +2096,56 @@ def dd_boilerplate(spark, sf_dir):
     )
     return dedup.boilerplate_fraction(docs, "doc_id", "text",
                                       k=3, df_frac=0.2)
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """DuckDB twin of textstats.bpe_merges, rounds unrolled. Every
+    round CTE is MATERIALIZED (each is referenced by both the pair
+    count and the rewrite — inlining would re-derive the whole merge
+    chain per reference). The middle-dot symbol form and the literal
+    replace give both engines identical leftmost-nonoverlapping merge
+    semantics."""
+    sql = r"""WITH toks AS (
+         SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                x -> x <> '')) AS word FROM documents),
+       wf AS MATERIALIZED (
+         SELECT word, count(*) AS freq FROM toks GROUP BY word),
+       v1 AS MATERIALIZED (
+         SELECT '·' || array_to_string(string_split_regex(word, ''), '··')
+                    || '·' AS sym,
+                freq FROM wf)"""
+    for i in range(1, n_merges + 1):
+        sql += f""",
+       a{i} AS MATERIALIZED (
+         SELECT string_split(trim(sym, '·'), '··') AS arr, freq
+         FROM v{i}),
+       p{i} AS MATERIALIZED (
+         SELECT p.l AS l, p.r AS r, sum(freq) AS cnt
+         FROM (SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+                      j -> {{'l': arr[j], 'r': arr[j+1]}})) AS p, freq
+               FROM a{i} WHERE len(arr) >= 2)
+         GROUP BY p.l, p.r),
+       m{i} AS MATERIALIZED (
+         SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+       v{i + 1} AS MATERIALIZED (
+         SELECT replace(sym, '·' || l || '··' || r || '·',
+                        '·' || l || r || '·') AS sym, freq
+         FROM v{i}, m{i})"""
+    steps = "\n       UNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return sql + f"\n       {steps}"
+
+
+@_q("txt_bpe_merges", _bpe_sql(6))
+def txt_bpe_merges(spark, sf_dir):
+    """First 6 BPE merge rules learned from the documents corpus
+    (textstats.bpe_merges): one corpus-scale word-count aggregate,
+    then vocabulary-sized merge rounds with a 1-row argmax collect
+    each — the tokenizer-training artifact, engine-exact via the
+    (count DESC, pair ASC) tie-break and shared leftmost-
+    nonoverlapping replace semantics."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.bpe_merges(docs, "text", n_merges=6)

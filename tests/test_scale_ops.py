@@ -782,3 +782,22 @@ def test_k_core_peels_to_known_core(spark):
     assert got == {n: 5 for n in range(1, 7)}
     # and a threshold above the clique degree empties the core
     assert k_core(df, k=6).count() == 0
+
+
+def test_bpe_merges_learns_known_rules(spark):
+    """Corpus engineered so the merge order is knowable: 'aa' dominates
+    round 1; the merged 'aa' symbol then pairs with 'b' and must win
+    round 2 — proving later rounds see earlier merges."""
+    from avk_job_skill_analytics_spark.operators.textstats import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab aab aab"), (2, "aab aab cd")],
+        "doc_id long, text string",
+    )
+    got = [(r.step, r.left_sym, r.right_sym, r.pair_count)
+           for r in bpe_merges(docs, "text", n_merges=3).collect()]
+    # 'aab' x6, 'cd' x1: pairs r1: (a,a)=6, (a,b)=6, (c,d)=1 ->
+    # tie broken lexicographically: (a,a) wins; r2: (aa,b)=6 beats (c,d)
+    assert got[0] == (1, "a", "a", 6)
+    assert got[1] == (2, "aa", "b", 6)
+    assert got[2] == (3, "c", "d", 1)
