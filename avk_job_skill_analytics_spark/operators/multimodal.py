@@ -268,3 +268,62 @@ def decode_metadata_arrow(df: DataFrame, id_col: str = "doc_id",
             )
 
     return df.select(id_col, payload_col).mapInArrow(run, DECODED_SCHEMA)
+
+
+def shard_assign(df: DataFrame, id_col: str, bytes_col: str,
+                 shard_bytes: int = 1 << 16,
+                 bucket_width: int = 1000) -> DataFrame:
+    """WebDataset-style shard packing plan: assign every sample to the
+    tar shard whose byte range its payload starts in (boundaries at
+    multiples of ``shard_bytes`` along the id-ordered byte stream) and
+    emit the per-shard ledger the writer job consumes.
+
+    The global byte prefix-sum is the scale hazard — a naive
+    ``sum() OVER (ORDER BY id)`` is one reducer sorting the corpus.
+    Same decomposition as sampling.global_shuffle: bucket by id range,
+    aggregate per-bucket byte totals (bucket-count rows), prefix-sum
+    THOSE on a single bounded partition, broadcast the offsets back,
+    and compute the within-bucket prefix under a window PARTITIONED by
+    bucket. Every data-scaled stage is bucket-partitioned; the only
+    single-partition step touches the bucket histogram.
+
+    Returns (shard_id, n_docs, shard_bytes, first_doc, last_doc),
+    deterministic for a fixed id order. Rows may straddle a shard
+    boundary (tar writers pad or split at the member level) — the
+    ledger records actual byte mass per shard."""
+    from pyspark.sql import Window
+
+    p = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(bytes_col).cast("long").alias("_nb"),
+        F.floor(F.col(id_col) / bucket_width).alias("_b"),
+    )
+    bsum = p.groupBy("_b").agg(F.sum("_nb").alias("_bs"))
+    w_hist = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bsum.select(
+        "_b", F.coalesce(F.sum("_bs").over(w_hist), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_b").orderBy("_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    placed = (
+        p.join(F.broadcast(offs), "_b")
+        .withColumn(
+            "_pre", F.coalesce(F.sum("_nb").over(w_in), F.lit(0))
+        )
+        .select(
+            "_id",
+            "_nb",
+            F.floor((F.col("_off") + F.col("_pre")) / shard_bytes).alias(
+                "shard_id"
+            ),
+        )
+    )
+    return placed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nb").cast("long").alias("shard_bytes"),
+        F.min("_id").alias("first_doc"),
+        F.max("_id").alias("last_doc"),
+    )

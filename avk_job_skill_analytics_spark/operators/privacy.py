@@ -100,3 +100,35 @@ def credit_card_audit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(cands).cast("long").alias("n_cc_candidates"),
         F.size(F.filter(cands, luhn_valid)).cast("long").alias("n_cc_valid"),
     )
+
+
+def k_anonymity_audit(df, quasi_cols: list[str], k: int = 5):
+    """k-anonymity audit over a quasi-identifier tuple (Sweeney 2002):
+    how many equivalence classes are smaller than k, and what fraction
+    of ROWS sits in them — the re-identification exposure a release
+    review asks for before data leaves the pipeline.
+
+    One hash aggregate on the quasi-identifier tuple plus a 1-row
+    rollup: linear, map-side combined, no skew concern (the hot
+    classes are by definition the safe ones). Returns a single row
+    (k, n_rows, n_classes, n_small_classes, n_risky_rows, risky_frac
+    rounded 6)."""
+    from pyspark.sql import functions as F
+
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    return classes.agg(
+        F.lit(k).alias("k"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum((F.col("n") < k).cast("int")).cast("long").alias(
+            "n_small_classes"
+        ),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.round(
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("risky_frac"),
+    )

@@ -2149,3 +2149,71 @@ def txt_bpe_merges(spark, sf_dir):
     nonoverlapping replace semantics."""
     docs = load(spark, sf_dir, "documents")
     return textstats.bpe_merges(docs, "text", n_merges=6)
+
+
+@_q(
+    "pii_k_anonymity",
+    """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+                       CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                       o_custkey % 100 AS cust_bucket,
+                       count(*) AS n
+              FROM orders
+              GROUP BY o_orderstatus, o_orderpriority, m, cust_bucket)
+       SELECT 5 AS k, CAST(sum(n) AS BIGINT) AS n_rows,
+              count(*) AS n_classes,
+              CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_small_classes,
+              CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                  AS n_risky_rows,
+              round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                    / CAST(sum(n) AS DOUBLE), 6) AS risky_frac
+       FROM c""",
+)
+def pii_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (privacy.k_anonymity_audit) over a
+    quasi-identifier tuple of orders (status, priority, order month,
+    customer bucket): equivalence classes smaller than k=5 and the
+    fraction of rows they expose — the release-review number for any
+    data product leaving the pipeline. One linear aggregate + 1-row
+    rollup at any scale."""
+    from ..operators.privacy import k_anonymity_audit
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.trunc("o_orderdate", "month").alias("m"),
+        (F.col("o_custkey") % 100).alias("cust_bucket"),
+    )
+    return k_anonymity_audit(
+        o, ["o_orderstatus", "o_orderpriority", "m", "cust_bucket"], k=5
+    )
+
+
+@_q(
+    "mm_shard_assign",
+    """WITH p AS (SELECT doc_id, octet_length(encode(text)) AS nb
+              FROM documents),
+       c AS (SELECT doc_id, nb,
+                    coalesce(sum(nb) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS off
+             FROM p)
+       SELECT CAST(off // 65536 AS BIGINT) AS shard_id,
+              count(*) AS n_docs,
+              CAST(sum(nb) AS BIGINT) AS shard_bytes,
+              min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM c GROUP BY shard_id""",
+)
+def mm_shard_assign(spark, sf_dir):
+    """WebDataset shard-packing ledger (multimodal.shard_assign):
+    64 KiB byte-budget shards along the id-ordered payload stream.
+    The oracle computes the naive single-window prefix sum; the
+    engine computes the SAME offsets via the bucketed two-phase
+    decomposition (per-bucket totals -> bounded histogram prefix ->
+    broadcast offsets -> bucket-partitioned window), so the ledgers
+    match bit-for-bit while the plan stays shardable at 10^12 rows."""
+    from ..operators.multimodal import attach_binary, shard_assign
+
+    docs = attach_binary(load(spark, sf_dir, "documents"))
+    sized = docs.select("doc_id", F.length("payload").alias("n_bytes"))
+    return shard_assign(sized, "doc_id", "n_bytes", shard_bytes=1 << 16)

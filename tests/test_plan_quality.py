@@ -470,3 +470,14 @@ def test_dsir_ratio_table_broadcasts(spark, queries):
     df = queries["txt_dsir_importance"](spark, SF_DIR)
     plan = I.plan_string(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_shard_assign_corpus_window_is_bucket_partitioned(spark, queries):
+    # the data-scaled prefix window must partition by bucket; only the
+    # bucket histogram may cross a single partition
+    df = queries["mm_shard_assign"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    corpus_specs = [s for s in specs if "_id" in s]
+    assert corpus_specs and all("_b" in s for s in corpus_specs)

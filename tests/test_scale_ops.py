@@ -801,3 +801,27 @@ def test_bpe_merges_learns_known_rules(spark):
     assert got[0] == (1, "a", "a", 6)
     assert got[1] == (2, "aa", "b", 6)
     assert got[2] == (3, "c", "d", 1)
+
+
+def test_shard_assign_matches_naive_prefix(spark):
+    """The bucketed two-phase byte prefix must reproduce the naive
+    cumulative assignment exactly, including across bucket borders."""
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        shard_assign,
+    )
+
+    rows = [(i, 700 + (i * 37) % 400) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_bytes long")
+    got = {r.shard_id: (r.n_docs, r.shard_bytes, r.first_doc, r.last_doc)
+           for r in shard_assign(df, "doc_id", "n_bytes",
+                                 shard_bytes=50_000,
+                                 bucket_width=321).collect()}
+    # naive python replay
+    want = {}
+    off = 0
+    for i, nb in rows:
+        sid = off // 50_000
+        n, b, f, l = want.get(sid, (0, 0, i, i))
+        want[sid] = (n + 1, b + nb, min(f, i), max(l, i))
+        off += nb
+    assert got == want

@@ -67,6 +67,13 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "rank over the per-dimension aggregate (|dims| rows), the window "
          "twin of the semi-join form — bounded input by construction"),
     ],
+    "mm_shard_assign": [
+        ("empty-partition-window",
+         "prefix-sum over the bucket byte HISTOGRAM (id_range/1000 "
+         "rows, corpus-size independent); the corpus window is "
+         "partitioned by bucket — same decomposition as "
+         "pipeline_global_shuffle, asserted in test_plan_quality"),
+    ],
     "agg_histogram_quantiles": [
         ("empty-partition-window",
          "cumulative sum over the n_bins-row histogram (<= 64 rows by "
