@@ -725,3 +725,61 @@ def bpe_merges(df, text_col: str, n_merges: int = 6):
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count long"
     )
+
+
+def bpe_encode_report(df, group_col: str, text_col: str,
+                      n_merges: int = 6):
+    """Apply the learned BPE merge table (:func:`bpe_merges`) to the
+    corpus and report per-group tokenization economics: word count,
+    character mass, BPE token count, and chars-per-token — the number
+    that tells you what a token budget buys from each source.
+
+    Because the merge rules are already known, encoding needs NO
+    iteration: the distinct word-form table gets one chained literal
+    replace per rule (pure codegen string ops) and its token count
+    joins back onto the token stream by word — the same
+    vocabulary-sized-model / corpus-sized-join split as
+    dsir_importance. Merges are collected as 6 literal rules (the
+    artifact itself, driver discipline: k rows)."""
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merges(df, text_col, n_merges).collect()
+    ]
+    toks = df.select(
+        F.col(group_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+        ).alias("word"),
+    )
+    words = toks.select("word").distinct()
+    sym = F.concat(
+        F.lit("·"),
+        F.array_join(F.split(F.col("word"), ""), "··"),
+        F.lit("·"),
+    )
+    for l, r in rules:
+        sym = F.replace(sym, F.lit(f"·{l}··{r}·"), F.lit(f"·{l}{r}·"))
+    # project the encoded symbol string first so the token-count expr
+    # can reference it by name (the HOF-reprojection discipline)
+    wc = (
+        words.select("word", sym.alias("_sym"))
+        .select(
+            "word",
+            F.length("word").cast("long").alias("nchars"),
+            F.size(F.split(F.expr("trim(BOTH '·' FROM _sym)"), "··"))
+            .cast("long")
+            .alias("ntok"),
+        )
+    )
+    return (
+        toks.join(wc, "word")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nchars").cast("long").alias("n_chars"),
+            F.sum("ntok").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("nchars") / F.sum("ntok").cast("double"), 4
+            ).alias("chars_per_token"),
+        )
+    )

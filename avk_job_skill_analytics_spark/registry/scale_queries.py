@@ -2139,6 +2139,55 @@ def _bpe_sql(n_merges: int) -> str:
     return sql + f"\n       {steps}"
 
 
+def _bpe_encode_sql(n_merges: int) -> str:
+    """Per-source tokenization-economics twin: reuses the unrolled
+    merge-learning chain, then encodes the distinct word-form table
+    with ONE nested literal replace per learned rule (no further
+    iteration — merges are known) and joins the per-word token count
+    back onto the (source, word) stream."""
+    chain = _bpe_sql(n_merges)
+    # strip the final UNION-ALL select: keep everything up to the last
+    # v{n+1} CTE (the chain ends right before the first "SELECT 1 AS")
+    cut = chain.index("\n       SELECT 1 AS step")
+    chain = chain[:cut]
+    base = ("'·' || array_to_string(string_split_regex(word, ''), '··')"
+            " || '·'")
+    expr = base
+    for i in range(1, n_merges + 1):
+        expr = (f"replace({expr}, '·' || q{i}.l || '··' || q{i}.r || '·',"
+                f" '·' || q{i}.l || q{i}.r || '·')")
+    froms = ", ".join(f"m{i} AS q{i}" for i in range(1, n_merges + 1))
+    return chain + f""",
+       tk AS MATERIALIZED (
+         SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
+                x -> x <> '')) AS word FROM documents),
+       wfw AS MATERIALIZED (SELECT DISTINCT word FROM tk),
+       enc AS MATERIALIZED (
+         SELECT word, CAST(length(word) AS BIGINT) AS nchars,
+                CAST(len(string_split(trim({expr}, '·'), '··')) AS BIGINT)
+                    AS ntok
+         FROM wfw, {froms})
+       SELECT source, count(*) AS n_words,
+              CAST(sum(nchars) AS BIGINT) AS n_chars,
+              CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+              round(sum(nchars) / CAST(sum(ntok) AS DOUBLE), 4)
+                  AS chars_per_token
+       FROM tk JOIN enc USING (word) GROUP BY source"""
+
+
+@_q("txt_bpe_encode", _bpe_encode_sql(6))
+def txt_bpe_encode(spark, sf_dir):
+    """Apply the learned BPE merge table and report per-source
+    tokenization economics (textstats.bpe_encode_report): word count,
+    character mass, BPE token count and chars-per-token — what a
+    token budget buys from each source. Encoding is iteration-free
+    (one chained literal replace per rule over the DISTINCT word-form
+    table, joined back by word), so the corpus-scale cost is one
+    token-stream join regardless of merge count."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.bpe_encode_report(docs, "source", "text", n_merges=6)
+
+
 @_q("txt_bpe_merges", _bpe_sql(6))
 def txt_bpe_merges(spark, sf_dir):
     """First 6 BPE merge rules learned from the documents corpus

@@ -825,3 +825,25 @@ def test_shard_assign_matches_naive_prefix(spark):
         want[sid] = (n + 1, b + nb, min(f, i), max(l, i))
         off += nb
     assert got == want
+
+
+def test_bpe_encode_compresses_vs_chars(spark):
+    """Encoding with merges learned from the same corpus must yield
+    fewer tokens than characters, and a corpus where one word
+    dominates should collapse that word aggressively."""
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        bpe_encode_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "g1", "data data data data") for i in range(10)]
+        + [(100 + i, "g2", "xq zv") for i in range(2)],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in bpe_encode_report(
+        docs, "source", "text", n_merges=3).collect()}
+    # 'data' (40 occurrences) gets all 3 merges -> 1 token per word
+    assert out["g1"].n_bpe_tokens == out["g1"].n_words
+    assert out["g1"].chars_per_token == 4.0
+    # rare 2-char words get no merges -> 2 tokens each
+    assert out["g2"].n_bpe_tokens == 2 * out["g2"].n_words
