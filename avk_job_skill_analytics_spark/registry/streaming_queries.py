@@ -712,3 +712,59 @@ def stream_heavy_hitters(spark, sf_dir):
     counters, n = stream_mg_heavy_hitters(items, "ngram", k=2000)
     hot = [(t, int(c)) for t, c in counters.items() if c * 1000 > n]
     return spark.createDataFrame(hot, "ngram string, freq long")
+
+
+def _stream_kmv_sql(k: int) -> str:
+    from ..operators.hashing import md5_long_sql
+    from ..operators.sketches import HASH_SPACE
+
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    return f"""WITH h AS (SELECT DISTINCT {h} AS h FROM events),
+       r AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM h),
+       s AS (SELECT count(*) AS n,
+                    max(CASE WHEN rk = {k} THEN h END) AS hk
+             FROM r WHERE rk <= {k})
+       SELECT CASE WHEN hk IS NULL THEN n
+                   ELSE CAST(({k - 1} * CAST({HASH_SPACE} AS HUGEINT)) // hk
+                             AS BIGINT)
+              END AS est_users,
+              2 AS n_batches
+       FROM s"""
+
+
+@_q("stream_kmv_distinct", _stream_kmv_sql(128))
+def stream_kmv_distinct(spark, sf_dir):
+    """Streaming distinct-user tracking with BOUNDED state
+    (streaming/incremental.stream_kmv_distinct): events arrive in two
+    micro-batches (same parquet linked twice — KMV merging is
+    idempotent, so the double delivery is absorbed, unlike the
+    heavy-hitter counts) and each batch's bottom-128 sketch folds
+    into a 128-long driver sketch. The estimate hash-matches the
+    oracle's direct global sketch: bottom-k(union) == bottom-k of
+    per-batch bottom-k's, and the state never grows past k longs on
+    an unbounded stream — the property plain streaming
+    dropDuplicates+count lacks."""
+    from ..streaming.incremental import stream_kmv_distinct as _op
+    from ..operators.sketches import HASH_SPACE
+
+    src_dir = _source_dir(
+        sf_dir,
+        {"ev_a.parquet": "events.parquet",
+         "ev_b.parquet": "events.parquet"},
+    )
+    ts_type = _events_ts_type(spark, sf_dir)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_events_schema(ts_type))
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .select("user_id")
+    )
+    sketch, n_batches = _op(stream, "user_id", k=128)
+    if len(sketch) < 128:
+        est = len(sketch)
+    else:
+        est = (127 * HASH_SPACE) // sketch[127]
+    return spark.createDataFrame(
+        [(int(est), int(n_batches))], "est_users long, n_batches int"
+    )

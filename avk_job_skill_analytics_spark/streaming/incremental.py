@@ -574,3 +574,55 @@ def stream_mg_heavy_hitters(stream, item_col: str, k: int = 2000):
 
         _sh.rmtree(ckpt, ignore_errors=True)
     return state["counters"], state["n"]
+
+
+def stream_kmv_distinct(stream, value_col: str, k: int = 128):
+    """Streaming distinct-count tracking with BOUNDED state: fold each
+    micro-batch's KMV bottom-k sketch (operators/sketches) into a
+    running k-long driver-side sketch — the streaming twin of
+    agg_kmv_distinct / agg_kmv_rollup.
+
+    Why not a plain streaming dropDuplicates + count? Its state grows
+    with the true distinct count (unbounded on a 100 TB stream); the
+    KMV sketch caps state at k longs FOREVER, stays engine-portable
+    (same MD5 hash family), and merging per-batch sketches is exact:
+    bottom-k(union) == bottom-k(per-batch bottom-k's). Per batch the
+    distributed work is one distinct + bounded rank (kmv_sketch);
+    only k longs reach the driver. Same at-least-once replay caveat
+    as stream_mg_heavy_hitters — harmless here because kmv_merge is
+    idempotent (re-merging the same sketch changes nothing).
+
+    Returns (sketch list[int], n_batches) after an availableNow
+    drain; estimate via sketches.kmv_estimate."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as SF
+
+    from ..operators.sketches import kmv_merge, kmv_sketch
+
+    state = {"sketch": [], "batches": 0}
+
+    def batch_fn(bdf, epoch_id):
+        sk = kmv_sketch(
+            bdf.withColumn("_g", SF.lit(1)), ["_g"], value_col, k
+        ).collect()
+        if sk:
+            batch_sketch = sk[0]["sketch"]
+            merged = sorted(set(state["sketch"]) | set(batch_sketch))[:k]
+            state["sketch"] = merged
+        state["batches"] += 1
+
+    ckpt = _tf.mkdtemp(prefix="ckpt_kmv_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        _sh.rmtree(ckpt, ignore_errors=True)
+    _ = kmv_merge  # the driver-side fold above IS kmv_merge's set form
+    return state["sketch"], state["batches"]

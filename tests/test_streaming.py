@@ -174,3 +174,38 @@ def test_stream_mg_heavy_hitters_merges_batches_exactly(spark, tmp_path):
     tiny, n2 = stream_mg_heavy_hitters(stream2, "item", k=1)
     assert n2 == 65
     assert "hot" in tiny and tiny["hot"] <= 50  # lower bound survives
+
+
+def test_stream_kmv_distinct_bounded_and_replay_idempotent(spark, tmp_path):
+    """Two deliveries of overlapping batches: the sketch stays <= k
+    longs, the estimate is exact below k, and replaying identical
+    data changes nothing (idempotent merge)."""
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        stream_kmv_distinct,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(60).selectExpr("id AS uid").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    spark.range(30, 90).selectExpr("id AS uid").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    def make_stream():
+        return (
+            spark.readStream.format("parquet")
+            .schema("uid long")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(src) + "/*")
+        )
+
+    sk, n = stream_kmv_distinct(make_stream(), "uid", k=128)
+    assert n == 2
+    assert len(sk) == 90          # 90 distinct < k: sketch IS the set
+    sk2, _ = stream_kmv_distinct(make_stream(), "uid", k=128)
+    assert sk2 == sk              # replay is a no-op
+    sk_small, _ = stream_kmv_distinct(make_stream(), "uid", k=16)
+    assert len(sk_small) == 16    # bounded state at tiny k
+    assert sk_small == sk[:16]    # and it IS the global bottom-k
