@@ -457,3 +457,106 @@ def standardize_dims(df: DataFrame, id_col: str, vec_col: str,
             ).alias("z"),
         )
     )
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+            vec_col: str, k: int = 5, m: int = 8, sub_d: int = 8,
+            k_star: int = 8, round_digits: int = 6) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., "Product quantization
+    for nearest neighbor search", TPAMI'11): split each vector into
+    ``m`` subspaces, quantize each sub-vector to its nearest codebook
+    centroid, and score queries against the CODES via asymmetric
+    distance computation (ADC) — per query, one m x k* lookup table
+    replaces all float math against the corpus.
+
+    Why it matters at 100 TB: the corpus representation shrinks from
+    d floats to m small codes (here 64x4B -> 8 codes, ~32x less
+    memory traffic), which is what makes exhaustive re-ranking of
+    billions of vectors feasible; compose with the IVF cells
+    (ivf_topk) for the standard IVF-PQ pipeline. Codebooks here come
+    from the deterministic seed (first k* ids' sub-vectors, rounded)
+    — swap in clustering.kmeans_fit per subspace for trained
+    codebooks; the quantize/ADC contract is identical and the
+    training path is oracle-proven by ml_kmeans_centroids.
+
+    Engine-exact: assignments argmin on (rounded distance, centroid
+    id); ADC entries are INTEGER micro-distances
+    (floor(round(d,6)*1e6 + .5)), so per-pair sums are exact and the
+    ranking (adc ASC, neighbor ASC) is deterministic on any engine.
+    Returns (query_id, neighbor_id, adc_dist, rk)."""
+    from .clustering import _sqdist
+
+    def sub(col):  # 1-based slice of subspace s
+        return lambda s: F.slice(col, s * sub_d + 1, sub_d)
+
+    corpus_sub = sub(F.col(vec_col))
+    parts_codes = []
+    parts_qt = []
+    for s in range(m):
+        cb = (
+            corpus.orderBy(id_col)
+            .limit(k_star)
+            .select(
+                F.col(id_col).cast("long").alias("_cid"),
+                F.transform(
+                    corpus_sub(s),
+                    lambda x: F.round(x.cast("double"), round_digits),
+                ).alias("_cv"),
+            )
+        )
+        w = Window.partitionBy("_id").orderBy(F.asc("_dist"), F.asc("_cid"))
+        codes_s = (
+            corpus.select(
+                F.col(id_col).alias("_id"), corpus_sub(s).alias("_sv")
+            )
+            .crossJoin(F.broadcast(cb))
+            .withColumn(
+                "_dist",
+                F.round(_sqdist(F.col("_sv"), F.col("_cv")), round_digits),
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                F.col("_id"), F.lit(s).alias("_s"),
+                F.col("_cid").alias("_code"),
+            )
+        )
+        parts_codes.append(codes_s)
+        qt_s = (
+            queries.select(
+                F.col(id_col).alias("_qid"), corpus_sub(s).alias("_qv")
+            )
+            .crossJoin(F.broadcast(cb))
+            .select(
+                "_qid", F.lit(s).alias("_s"), F.col("_cid").alias("_code"),
+                F.floor(
+                    F.round(
+                        _sqdist(F.col("_qv"), F.col("_cv")), round_digits
+                    ) * 1_000_000 + F.lit(0.5)
+                ).cast("long").alias("_d"),
+            )
+        )
+        parts_qt.append(qt_s)
+    codes = parts_codes[0]
+    for p in parts_codes[1:]:
+        codes = codes.unionByName(p)
+    qt = parts_qt[0]
+    for p in parts_qt[1:]:
+        qt = qt.unionByName(p)
+    scored = (
+        codes.join(F.broadcast(qt), ["_s", "_code"])
+        .filter(F.col("_id") != F.col("_qid"))
+        .groupBy("_qid", "_id")
+        .agg(F.sum("_d").alias("adc_dist"))
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.asc("adc_dist"), F.asc("_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_id").alias("neighbor_id"),
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+            "rk",
+        )
+    )

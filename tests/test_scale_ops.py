@@ -847,3 +847,46 @@ def test_bpe_encode_compresses_vs_chars(spark):
     assert out["g1"].chars_per_token == 4.0
     # rare 2-char words get no merges -> 2 tokens each
     assert out["g2"].n_bpe_tokens == 2 * out["g2"].n_words
+
+
+def test_pq_topk_exact_when_codebook_saturates(spark):
+    """With k* = corpus size every sub-vector quantizes to itself, so
+    ADC distance equals (quantized) exact L2 and the top-k must match
+    numpy's exact neighbors; modest k* must still get good recall."""
+    import numpy as np
+
+    from avk_job_skill_analytics_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(3)
+    n, d = 24, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    got = pq_topk(df, q, "vec_id", "embedding",
+                  k=3, m=4, sub_d=4, k_star=n)
+    got_sets = {}
+    for r in got.collect():
+        got_sets.setdefault(r.query_id, []).append((r.rk, r.neighbor_id))
+    m64 = mat.astype(np.float64)
+    for qid in range(3):
+        d2 = ((m64 - m64[qid]) ** 2).sum(axis=1)
+        order = [i for i in np.argsort(d2, kind="stable") if i != qid][:3]
+        want = [int(i) for i in order]
+        gotn = [n_ for _, n_ in sorted(got_sets[qid])]
+        assert gotn == want, (qid, gotn, want)
+
+    approx = pq_topk(df, q, "vec_id", "embedding",
+                     k=5, m=4, sub_d=4, k_star=8)
+    per_q = {}
+    for r in approx.collect():
+        per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid in range(3):
+        d2 = ((m64 - m64[qid]) ** 2).sum(axis=1)
+        exact5 = {int(j) for j in
+                  [i for i in np.argsort(d2, kind="stable") if i != qid][:5]}
+        # coarse codebook: require at least 2/5 overlap (sanity, not
+        # a recall guarantee at this tiny k*)
+        assert len(per_q[qid] & exact5) >= 2, (qid, per_q[qid], exact5)
