@@ -949,3 +949,45 @@ def io_jsonl_quarantine(spark, sf_dir):
             ),
         )
     )
+
+
+@_q(
+    "io_table_checksum",
+    """WITH r AS (SELECT CAST(concat('0x', substring(md5(
+                concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                          CAST(o_custkey AS VARCHAR), o_orderstatus,
+                          CAST(round(o_totalprice, 2) AS VARCHAR),
+                          strftime(o_orderdate, '%Y-%m-%d'),
+                          o_orderpriority)), 1, 15)) AS BIGINT) AS h
+         FROM orders)
+       SELECT count(*) AS n_rows,
+              CAST(sum(h) AS DECIMAL(38,0)) AS content_checksum
+       FROM r""",
+)
+def io_table_checksum(spark, sf_dir):
+    """Order-independent whole-table content checksum: md5 each
+    canonicalized row, SUM the 60-bit hash integers. Because addition
+    commutes, the checksum is identical for any partitioning, file
+    order, or engine — the migration-validation primitive that lets
+    you verify a 100 TB copy without sorting either side (row-count
+    collisions cancel only if a full row flips to another valid row's
+    exact hash delta — vanishing at 60 bits). Partial sums combine
+    map-side; one 1-row result. The canonical form pins column order,
+    '|' separators, cents-rounded floats, and %Y-%m-%d dates so both
+    engines hash byte-identical strings."""
+    o = load(spark, sf_dir, "orders")
+    from ..operators.hashing import md5_long
+
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round("o_totalprice", 2).cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    return o.select(md5_long(canon).alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_h").cast("decimal(38,0)")).alias("content_checksum"),
+    )

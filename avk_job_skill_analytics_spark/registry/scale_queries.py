@@ -2335,3 +2335,48 @@ def ann_pq_topk(spark, sf_dir):
         e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
         k=5, m=8, sub_d=8, k_star=8,
     )
+
+
+@_q(
+    "dd_savings_ledger",
+    f"""WITH clusters AS ({ORACLES["dd_dup_clusters"]}),
+       sized AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+                 FROM clusters c JOIN documents d USING (doc_id))
+       SELECT cluster_id, count(*) AS n_members,
+              CAST(sum(n_chars) AS BIGINT) AS bytes_total,
+              CAST(sum(n_chars)
+                   - max(CASE WHEN doc_id = cluster_id THEN n_chars END)
+                   AS BIGINT) AS bytes_saved
+       FROM sized GROUP BY cluster_id HAVING count(*) > 1""",
+)
+def dd_savings_ledger(spark, sf_dir):
+    """What dedup actually BUYS: per near-dup cluster, the member
+    count, total byte mass, and bytes reclaimed by keeping only the
+    cluster head (minimum doc id) — the ledger that justifies the
+    dedup stage's cost in a 100 TB curation budget review. One join
+    of the cluster map onto document sizes plus a cluster-keyed
+    aggregate on top of the oracle-shared connected components."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3,
+                                      threshold=0.5)
+    clusters = dedup.duplicate_clusters(pairs)
+    sized = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    return (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").cast("long").alias("bytes_total"),
+            (
+                F.sum("n_chars")
+                - F.max(
+                    F.when(
+                        F.col("doc_id") == F.col("cluster_id"),
+                        F.col("n_chars"),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("bytes_saved"),
+        )
+        .filter(F.col("n_members") > 1)
+    )

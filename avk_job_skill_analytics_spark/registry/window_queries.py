@@ -1065,3 +1065,107 @@ def agg_kmv_rollup(spark, sf_dir):
         kmv_estimate(F.col("sketch"), 128).alias("est_users"),
         "n_days_merged",
     )
+
+
+@_q(
+    "win_gap_fill",
+    """WITH base AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DOUBLE), 2) AS rev
+         FROM orders
+         WHERE day(CAST(o_orderdate AS DATE)) % 3 <> 0
+         GROUP BY day),
+       mm AS (SELECT min(day) AS lo, max(day) AS hi FROM base),
+       spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+                           INTERVAL 1 DAY)) AS DATE) AS day FROM mm),
+       j AS (SELECT s.day, b.rev FROM spine s
+             LEFT JOIN base b ON b.day = s.day),
+       f AS (SELECT day, rev,
+                    last_value(rev IGNORE NULLS) OVER w_p AS pv,
+                    last_value(CASE WHEN rev IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER w_p AS pd,
+                    first_value(rev IGNORE NULLS) OVER w_n AS nv,
+                    first_value(CASE WHEN rev IS NOT NULL THEN day END
+                                IGNORE NULLS) OVER w_n AS nd
+             FROM j
+             WINDOW w_p AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW),
+                    w_n AS (ORDER BY day ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING))
+       SELECT day, rev AS revenue_raw,
+              CASE WHEN rev IS NOT NULL THEN rev
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   THEN round(pv + (nv - pv)
+                              * datediff('day', pd, day)
+                              / datediff('day', pd, nd), 4) + 0.0
+                   ELSE coalesce(pv, nv) END AS revenue_filled,
+              CASE WHEN rev IS NOT NULL THEN 'actual'
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                   ELSE 'edge' END AS fill_method
+       FROM f""",
+)
+def win_gap_fill(spark, sf_dir):
+    """Calendar gap-filling with linear interpolation — the
+    time-series completeness operator (TimescaleDB's gapfill /
+    locf+interpolate): aggregate to day grain FIRST (gaps synthesized
+    deterministically: every 3rd calendar day dropped), build the
+    min-to-max date spine, left-join, and fill holes by interpolating
+    between the previous and next known values (nearest known at the
+    edges). The windows run over the bounded day-grain spine — never
+    the raw facts; the daily sum itself is DECIMAL-exact before
+    rounding, so both engines interpolate identical doubles."""
+    o = load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    ).filter(F.dayofmonth("day") % 3 != 0)
+    base = o.groupBy("day").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("rev")
+    )
+    mm = base.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = mm.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    j = spine.join(base, "day", "left")
+    w_p = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_n = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    known_day = F.when(F.col("rev").isNotNull(), F.col("day"))
+    f = j.select(
+        "day",
+        "rev",
+        F.last("rev", ignorenulls=True).over(w_p).alias("pv"),
+        F.last(known_day, ignorenulls=True).over(w_p).alias("pd"),
+        F.first("rev", ignorenulls=True).over(w_n).alias("nv"),
+        F.first(known_day, ignorenulls=True).over(w_n).alias("nd"),
+    )
+    interp = (
+        F.round(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("day", F.col("pd"))
+            / F.datediff(F.col("nd"), F.col("pd")),
+            4,
+        )
+        + F.lit(0.0)
+    )
+    return f.select(
+        "day",
+        F.col("rev").alias("revenue_raw"),
+        F.when(F.col("rev").isNotNull(), F.col("rev"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+        .alias("revenue_filled"),
+        F.when(F.col("rev").isNotNull(), F.lit("actual"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.lit("interp"),
+        )
+        .otherwise(F.lit("edge"))
+        .alias("fill_method"),
+    )

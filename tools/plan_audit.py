@@ -74,6 +74,12 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "partitioned by bucket — same decomposition as "
          "pipeline_global_shuffle, asserted in test_plan_quality"),
     ],
+    "win_gap_fill": [
+        ("empty-partition-window",
+         "locf/interpolation windows over the day-grain calendar "
+         "spine (bounded rows; facts are aggregated to day FIRST — "
+         "same class as win_day_over_day)"),
+    ],
     "agg_histogram_quantiles": [
         ("empty-partition-window",
          "cumulative sum over the n_bins-row histogram (<= 64 rows by "
