@@ -1169,3 +1169,85 @@ def win_gap_fill(spark, sf_dir):
         .otherwise(F.lit("edge"))
         .alias("fill_method"),
     )
+
+
+@_q(
+    "win_scd2_merge",
+    """WITH o AS (SELECT o_custkey AS k, o_orderpriority AS attr,
+                       CAST(o_orderdate AS DATE) AS d, o_orderkey AS ok
+              FROM orders),
+       cur0 AS (SELECT k, attr, d FROM (
+                 SELECT *, row_number() OVER (PARTITION BY k
+                    ORDER BY d DESC, ok DESC) AS rn
+                 FROM o WHERE d < DATE '1997-01-01') t WHERE rn = 1),
+       snap AS (SELECT k, attr, d FROM (
+                 SELECT *, row_number() OVER (PARTITION BY k
+                    ORDER BY d DESC, ok DESC) AS rn
+                 FROM o) t WHERE rn = 1)
+       SELECT s.k AS custkey, c.attr AS attr, c.d AS valid_from,
+              s.d AS valid_to, FALSE AS is_current
+       FROM snap s JOIN cur0 c ON c.k = s.k AND c.attr <> s.attr
+       UNION ALL
+       SELECT s.k, s.attr,
+              CASE WHEN c.k IS NULL OR c.attr <> s.attr
+                   THEN s.d ELSE c.d END,
+              NULL, TRUE
+       FROM snap s LEFT JOIN cur0 c ON c.k = s.k""",
+)
+def win_scd2_merge(spark, sf_dir):
+    """Incremental SCD2 merge, declaratively — the warehouse MERGE
+    the reference performs row-by-row over pyodbc (SURVEY.md §3.3),
+    re-expressed as two set operations: the current dimension (latest
+    attribute before the cutoff) merged with an incoming snapshot
+    closes changed rows (valid_to = change date), opens new versions,
+    and inserts unseen keys — all in one shuffle per argmax plus one
+    key-partitioned join, no per-row driver loop. The same plan IS
+    Delta/Iceberg's MERGE INTO logical form; here it lands as plain
+    rows so any sink (JDBC staging-merge, parquet overwrite) applies
+    it idempotently."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderpriority").alias("attr"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("d"), F.desc("ok"))
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("k", "attr", "d")
+        )
+
+    cur0 = latest(o.filter(F.col("d") < F.lit("1997-01-01").cast("date")))
+    snap = latest(o)
+    c = cur0.select(
+        F.col("k"), F.col("attr").alias("c_attr"), F.col("d").alias("c_d")
+    )
+    joined = snap.join(c, "k", "left")
+    closed = (
+        joined.filter(
+            F.col("c_attr").isNotNull() & (F.col("c_attr") != F.col("attr"))
+        )
+        .select(
+            F.col("k").alias("custkey"),
+            F.col("c_attr").alias("attr"),
+            F.col("c_d").alias("valid_from"),
+            F.col("d").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    opened = joined.select(
+        F.col("k").alias("custkey"),
+        F.col("attr"),
+        F.when(
+            F.col("c_attr").isNull() | (F.col("c_attr") != F.col("attr")),
+            F.col("d"),
+        )
+        .otherwise(F.col("c_d"))
+        .alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(opened)

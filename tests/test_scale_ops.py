@@ -890,3 +890,21 @@ def test_pq_topk_exact_when_codebook_saturates(spark):
         # coarse codebook: require at least 2/5 overlap (sanity, not
         # a recall guarantee at this tiny k*)
         assert len(per_q[qid] & exact5) >= 2, (qid, per_q[qid], exact5)
+
+
+def test_scd2_merge_invariants(spark):
+    import __spark_entry__ as E
+
+    out = E.queries()["win_scd2_merge"](spark, SF_DIR).collect()
+    current = [r for r in out if r.is_current]
+    closed = [r for r in out if not r.is_current]
+    # exactly one open row per key, none with valid_to
+    keys = [r.custkey for r in current]
+    assert len(keys) == len(set(keys))
+    assert all(r.valid_to is None for r in current)
+    # every closed row chains into its key's open row at the change date
+    open_by_key = {r.custkey: r for r in current}
+    for r in closed:
+        nxt = open_by_key[r.custkey]
+        assert nxt.valid_from == r.valid_to
+        assert nxt.attr != r.attr
