@@ -991,3 +991,40 @@ def io_table_checksum(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("_h").cast("decimal(38,0)")).alias("content_checksum"),
     )
+
+
+@_q(
+    "io_schema_evolution",
+    """SELECT event_type,
+              count(*) AS n,
+              CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_v2,
+              round(sum(CASE WHEN event_id % 2 = 1 THEN value END), 2)
+                  AS v2_value
+       FROM events GROUP BY event_type""",
+)
+def io_schema_evolution(spark, sf_dir):
+    """Schema evolution on the lake path: generation 1 files lack the
+    ``value`` column, generation 2 adds it; a single
+    ``mergeSchema`` read reconciles both under the union schema with
+    NULLs for the missing column — the contract that lets a year of
+    schema drift stay queryable without rewriting old files. The
+    oracle reproduces the same union from the flat source (even ids
+    = v1 rows whose value reads NULL)."""
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).drop("value").write.parquet(
+        f"{tmp}/t/gen=1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{tmp}/t/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/t")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value").isNotNull()).cast("int"))
+        .cast("long")
+        .alias("n_v2"),
+        F.round(F.sum("value"), 2).alias("v2_value"),
+    )

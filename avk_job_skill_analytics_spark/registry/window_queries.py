@@ -1251,3 +1251,48 @@ def win_scd2_merge(spark, sf_dir):
         F.lit(True).alias("is_current"),
     )
     return closed.unionByName(opened)
+
+
+@_q(
+    "win_anomaly_zscore",
+    """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                        count(*) AS n
+                 FROM events GROUP BY day),
+       s AS (SELECT CAST(sum(n) AS DOUBLE) AS sm,
+                    CAST(sum(n * n) AS DOUBLE) AS ss,
+                    CAST(count(*) AS DOUBLE) AS c
+             FROM d)
+       SELECT day, CAST(n AS BIGINT) AS n,
+              round((n - sm / c)
+                    / sqrt(ss / c - (sm / c) * (sm / c)), 4) + 0.0 AS z,
+              abs((n - sm / c)
+                  / sqrt(ss / c - (sm / c) * (sm / c))) > 2.0
+                  AS is_anomaly
+       FROM d, s""",
+)
+def win_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly screen over the daily event series: z-score of
+    each day's count against the global mean/std computed from EXACT
+    integer sums (one day-grain aggregate + a broadcast 1-row stats
+    join — the same integer-sufficient-statistics trick as
+    emb_standardize, so the flags are engine-identical). The
+    monitoring query a pipeline health dashboard runs after every
+    load."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = d.agg(
+        F.sum("n").cast("double").alias("sm"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("ss"),
+        F.count(F.lit(1)).cast("double").alias("c"),
+    )
+    mean = F.col("sm") / F.col("c")
+    var = F.col("ss") / F.col("c") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return d.crossJoin(F.broadcast(s)).select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
