@@ -560,3 +560,144 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             "rk",
         )
     )
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+               vec_col: str, k: int = 5, n_cells: int = 8,
+               n_probe: int = 2, m: int = 8, sub_d: int = 8,
+               k_star: int = 8, round_digits: int = 6) -> DataFrame:
+    """IVF-PQ — the standard billion-scale ANN pipeline (Jégou et al.
+    TPAMI'11 §IV): a coarse quantizer partitions the corpus into
+    cells, each vector stores only its cell id + m PQ codes of its
+    RESIDUAL (x − cell centroid), and a query scores just the
+    ``n_probe`` nearest cells through per-cell integer ADC tables.
+    Search cost ∝ probed fraction; memory ∝ m bytes/vector — the two
+    levers that make 10^9+ corpora searchable.
+
+    All the determinism conventions of ivf_topk/pq_topk compose
+    unchanged: L2 everywhere, argmin on (rounded distance, id),
+    integer micro-distance ADC sums, (adc ASC, id ASC) ranking —
+    engine-exact end to end. Codebooks are deterministic seeds
+    (coarse: first n_cells vectors; PQ: first k_star residuals);
+    kmeans_fit slots into either role for trained quantizers.
+    Returns (query_id, neighbor_id, adc_dist, rk)."""
+    from .clustering import _sqdist
+
+    def rounded(col):
+        return F.transform(
+            col, lambda x: F.round(x.cast("double"), round_digits)
+        )
+
+    cells = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).cast("long").alias("_cell"),
+            rounded(F.col(vec_col)).alias("_cv"),
+        )
+    )
+    w_cell = Window.partitionBy("_id").orderBy(F.asc("_d"), F.asc("_cell"))
+    asg = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(cells))
+        .withColumn(
+            "_d", F.round(_sqdist(F.col("_v"), F.col("_cv")), round_digits)
+        )
+        .withColumn("_rk", F.row_number().over(w_cell))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "_id",
+            "_cell",
+            F.zip_with(
+                "_v", "_cv", lambda x, y: x.cast("double") - y
+            ).alias("_res"),
+        )
+    )
+    # PQ codebooks over residual sub-vectors (seed: first k_star ids)
+    def sub(col, s):
+        return F.slice(col, s * sub_d + 1, sub_d)
+
+    asg = asg.localCheckpoint()
+    seeds = asg.orderBy("_id").limit(k_star)
+    parts_codes, cbs = [], {}
+    for s in range(m):
+        cb = seeds.select(
+            F.col("_id").cast("long").alias("_cid"),
+            rounded(sub(F.col("_res"), s)).alias("_bv"),
+        )
+        cbs[s] = cb
+        w = Window.partitionBy("_id").orderBy(F.asc("_d"), F.asc("_cid"))
+        parts_codes.append(
+            asg.select("_id", "_cell", sub(F.col("_res"), s).alias("_sv"))
+            .crossJoin(F.broadcast(cb))
+            .withColumn(
+                "_d",
+                F.round(_sqdist(F.col("_sv"), F.col("_bv")), round_digits),
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                "_id", "_cell", F.lit(s).alias("_s"),
+                F.col("_cid").alias("_code"),
+            )
+        )
+    codes = parts_codes[0]
+    for p in parts_codes[1:]:
+        codes = codes.unionByName(p)
+    # query side: probe cells, then per-(query, cell) residual tables
+    w_probe = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_cell"))
+    probes = (
+        queries.select(
+            F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+        )
+        .crossJoin(F.broadcast(cells))
+        .withColumn(
+            "_d", F.round(_sqdist(F.col("_qv"), F.col("_cv")), round_digits)
+        )
+        .withColumn("_rk", F.row_number().over(w_probe))
+        .filter(F.col("_rk") <= n_probe)
+        .select(
+            "_qid",
+            "_cell",
+            F.zip_with(
+                "_qv", "_cv", lambda x, y: x.cast("double") - y
+            ).alias("_qres"),
+        )
+    )
+    parts_qt = []
+    for s in range(m):
+        parts_qt.append(
+            probes.select(
+                "_qid", "_cell", sub(F.col("_qres"), s).alias("_qs")
+            )
+            .crossJoin(F.broadcast(cbs[s]))
+            .select(
+                "_qid", "_cell", F.lit(s).alias("_s"),
+                F.col("_cid").alias("_code"),
+                F.floor(
+                    F.round(
+                        _sqdist(F.col("_qs"), F.col("_bv")), round_digits
+                    ) * 1_000_000 + F.lit(0.5)
+                ).cast("long").alias("_d"),
+            )
+        )
+    qt = parts_qt[0]
+    for p in parts_qt[1:]:
+        qt = qt.unionByName(p)
+    scored = (
+        codes.join(F.broadcast(qt), ["_cell", "_s", "_code"])
+        .filter(F.col("_id") != F.col("_qid"))
+        .groupBy("_qid", "_id")
+        .agg(F.sum("_d").alias("adc_dist"))
+    )
+    wq = Window.partitionBy("_qid").orderBy(F.asc("adc_dist"), F.asc("_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_id").alias("neighbor_id"),
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+            "rk",
+        )
+    )

@@ -2380,3 +2380,90 @@ def dd_savings_ledger(spark, sf_dir):
         )
         .filter(F.col("n_members") > 1)
     )
+
+
+def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
+               k_star: int, n_queries: int, topk: int) -> str:
+    """DuckDB twin of similarity.ivfpq_topk: coarse cells, residual
+    encoding, per-subspace seed codebooks over residuals, integer ADC
+    restricted to probed cells — every argmin/ranking shares the
+    rounded-distance + id tie-break convention."""
+    d_full = m * sub_d
+    res = (f"list_transform(generate_series(1, {d_full}), "
+           "j -> CAST(e.embedding[j] AS DOUBLE) - c.cv[j])")
+    qres = (f"list_transform(generate_series(1, {d_full}), "
+            "j -> CAST(q.embedding[j] AS DOUBLE) - c.cv[j])")
+    dist = _SQDIST.format(a="e.embedding", b="c.cv")
+    qdist = _SQDIST.format(a="q.embedding", b="c.cv")
+    ctes = [f"""cells AS MATERIALIZED (
+          SELECT CAST(vec_id AS BIGINT) AS cell,
+                 list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
+                     AS cv
+          FROM embeddings ORDER BY vec_id LIMIT {n_cells})""",
+            f"""asg AS MATERIALIZED (
+          SELECT vec_id, cell, res FROM (
+            SELECT e.vec_id, c.cell, {res} AS res,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round({dist}, 6), c.cell) AS rk
+            FROM embeddings e, cells c) t WHERE rk = 1)""",
+            f"""probes AS MATERIALIZED (
+          SELECT qid, cell, qres FROM (
+            SELECT q.vec_id AS qid, c.cell, {qres} AS qres,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round({qdist}, 6), c.cell) AS rk
+            FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q,
+                 cells c) t WHERE rk <= {n_probe})"""]
+    for s in range(m):
+        a, b = s * sub_d + 1, (s + 1) * sub_d
+        sdist = _SQDIST.format(a=f"e.res[{a}:{b}]", b="c.bv")
+        sqd = _SQDIST.format(a=f"p.qres[{a}:{b}]", b="c.bv")
+        ctes.append(f"""cb{s} AS MATERIALIZED (
+          SELECT CAST(vec_id AS BIGINT) AS cid,
+                 list_transform(res[{a}:{b}], x -> round(x, 6)) AS bv
+          FROM asg ORDER BY vec_id LIMIT {k_star})""")
+        ctes.append(f"""code{s} AS MATERIALIZED (
+          SELECT vec_id, cell, {s} AS s, cid AS code FROM (
+            SELECT e.vec_id, e.cell, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round({sdist}, 6), c.cid) AS rk
+            FROM asg e, cb{s} c) t WHERE rk = 1)""")
+        ctes.append(f"""qt{s} AS MATERIALIZED (
+          SELECT p.qid, p.cell, {s} AS s, c.cid AS code,
+                 CAST(floor(round({sqd}, 6) * 1000000 + 0.5) AS BIGINT)
+                     AS d
+          FROM probes p, cb{s} c)""")
+    codes_u = " UNION ALL ".join(f"SELECT * FROM code{s}"
+                                 for s in range(m))
+    qt_u = " UNION ALL ".join(f"SELECT * FROM qt{s}" for s in range(m))
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+       codes AS MATERIALIZED ({codes_u}),
+       qt AS MATERIALIZED ({qt_u}),
+       adc AS (SELECT qt.qid AS query_id, codes.vec_id AS neighbor_id,
+                      sum(qt.d) AS adc_dist
+               FROM codes JOIN qt ON qt.cell = codes.cell
+                                 AND qt.s = codes.s
+                                 AND qt.code = codes.code
+               WHERE codes.vec_id <> qt.qid
+               GROUP BY qt.qid, codes.vec_id)
+       SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+              CAST(rk AS BIGINT) AS rk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id) AS rk FROM adc) t
+       WHERE rk <= {topk}"""
+
+
+@_q("ann_ivfpq_topk", _ivfpq_sql(8, 2, 8, 8, 8, 10, 5))
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-5 (similarity.ivfpq_topk) — the billion-scale ANN
+    pipeline end-to-end: coarse cells bound the search to 2 of 8
+    probed cells, residual PQ codes bound memory to 8 bytes/vector,
+    integer ADC bounds the float math to one m x k* table per
+    (query, cell). The full composition — cell assignment, residual
+    encoding, probing, ADC, ranking — hash-matches the oracle
+    replay."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
+    )

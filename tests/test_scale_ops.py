@@ -908,3 +908,40 @@ def test_scd2_merge_invariants(spark):
         nxt = open_by_key[r.custkey]
         assert nxt.valid_from == r.valid_to
         assert nxt.attr != r.attr
+
+
+def test_ivfpq_exact_when_fully_probed_and_saturated(spark):
+    """Probing every cell with a saturated residual codebook reduces
+    IVF-PQ to exact (quantized) L2 search — results must match numpy;
+    the standard 2-of-8 probe config must return well-formed ranks."""
+    import numpy as np
+
+    from avk_job_skill_analytics_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 24, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    got = ivfpq_topk(df, q, "vec_id", "embedding", k=3,
+                     n_cells=4, n_probe=4, m=4, sub_d=4, k_star=n)
+    per_q = {}
+    for r in got.collect():
+        per_q.setdefault(r.query_id, []).append((r.rk, r.neighbor_id))
+    m64 = mat.astype(np.float64)
+    for qid in range(3):
+        d2 = ((m64 - m64[qid]) ** 2).sum(axis=1)
+        want = [int(i) for i in np.argsort(d2, kind="stable")
+                if i != qid][:3]
+        gotn = [nb for _, nb in sorted(per_q[qid])]
+        assert gotn == want, (qid, gotn, want)
+
+    approx = ivfpq_topk(df, q, "vec_id", "embedding", k=5,
+                        n_cells=4, n_probe=2, m=4, sub_d=4, k_star=8)
+    for r in approx.collect():
+        assert 1 <= r.rk <= 5
