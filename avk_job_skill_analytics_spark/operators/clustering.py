@@ -127,3 +127,64 @@ def inertia(df: DataFrame, centroids: DataFrame, id_col: str,
         .agg(F.sum(_sqdist(F.col(vec_col), F.col("_cv"))).alias("s"))
         .collect()[0]["s"]
     )
+
+
+def kcenter_coreset(df: DataFrame, id_col: str, vec_col: str,
+                    k: int = 8, round_digits: int = 6) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985's 2-approx
+    farthest-point traversal; the geometric coreset rule behind
+    data-efficient training selection à la Sener & Savarese ICLR'18):
+    start from the lowest id, then repeatedly add the point farthest
+    from the current selection. The selected k points cover the corpus
+    within the final max-min radius — the diverse subset you label,
+    distill on, or seed centroids from.
+
+    Per round: one broadcast of the (tiny, <= k-row) selected set,
+    one corpus scan computing each point's min distance to it (pure
+    HOF fold, no vector shuffle), and ONE aggregated argmax row
+    collected to the driver — k bounded rounds, same driver
+    discipline as kmeans_fit/k_core. The argmax ranks on the rounded
+    distance with an id tie-break, so the selection order is
+    engine-exact. Returns (sel_order, vec_id, maxmin_dist) where
+    maxmin_dist is the integer micro-distance of the point from the
+    PREVIOUS selection (0 for the seed)."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    seed = base.orderBy("_id").limit(1).collect()[0]
+    selected = [(1, int(seed["_id"]), 0)]
+    sel_vecs = base.orderBy("_id").limit(1).select(
+        F.col("_id").alias("_sid"), F.col("_v").alias("_sv")
+    ).localCheckpoint()
+    for step in range(2, k + 1):
+        dmin = (
+            base.join(F.broadcast(sel_vecs), F.col("_id") != F.col("_sid"))
+            .withColumn(
+                "_d",
+                F.round(_sqdist(F.col("_v"), F.col("_sv")), round_digits),
+            )
+            .groupBy("_id")
+            .agg(F.min("_d").alias("_dm"))
+            .join(
+                sel_vecs.select(F.col("_sid").alias("_id")),
+                "_id",
+                "left_anti",
+            )
+        )
+        top = (
+            dmin.orderBy(F.desc("_dm"), F.asc("_id")).limit(1).collect()
+        )
+        if not top:
+            break
+        nid, nd = int(top[0]["_id"]), top[0]["_dm"]
+        selected.append(
+            (step, nid, int(nd * 1_000_000 + 0.5))
+        )
+        sel_vecs = sel_vecs.unionByName(
+            base.filter(F.col("_id") == nid).select(
+                F.col("_id").alias("_sid"), F.col("_v").alias("_sv")
+            )
+        ).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        selected, "sel_order int, vec_id long, maxmin_dist long"
+    )

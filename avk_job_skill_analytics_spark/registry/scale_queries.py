@@ -2467,3 +2467,52 @@ def ann_ivfpq_topk(spark, sf_dir):
         e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
         k=5, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
     )
+
+
+def _kcenter_sql(k: int) -> str:
+    """DuckDB twin of clustering.kcenter_coreset: the greedy
+    farthest-point traversal unrolled k-1 rounds, every argmax on
+    (rounded distance DESC, id ASC)."""
+    dist = _SQDIST.format(a="e.embedding", b="s.embedding")
+    ctes = ["""sel1 AS MATERIALIZED (
+          SELECT 1 AS step, vec_id, embedding
+          FROM embeddings ORDER BY vec_id LIMIT 1)"""]
+    for r in range(1, k):
+        ctes.append(f"""dm{r} AS MATERIALIZED (
+          SELECT e.vec_id, min(round({dist}, 6)) AS dm
+          FROM embeddings e JOIN sel{r} s ON e.vec_id <> s.vec_id
+          WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{r})
+          GROUP BY e.vec_id)""")
+        ctes.append(f"""nx{r} AS MATERIALIZED (
+          SELECT vec_id, dm FROM dm{r}
+          ORDER BY dm DESC, vec_id LIMIT 1)""")
+        ctes.append(f"""sel{r + 1} AS MATERIALIZED (
+          SELECT * FROM sel{r}
+          UNION ALL
+          SELECT {r + 1}, vec_id, embedding FROM embeddings
+          WHERE vec_id = (SELECT vec_id FROM nx{r}))""")
+    picks = "\n       UNION ALL ".join(
+        f"SELECT {r + 1} AS sel_order, vec_id, "
+        f"CAST(floor(dm * 1000000 + 0.5) AS BIGINT) AS maxmin_dist "
+        f"FROM nx{r}"
+        for r in range(1, k)
+    )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+       SELECT 1 AS sel_order, vec_id, CAST(0 AS BIGINT) AS maxmin_dist
+       FROM sel1
+       UNION ALL {picks}"""
+
+
+@_q("ml_kcenter_coreset", _kcenter_sql(8))
+def ml_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset of the embedding table
+    (clustering.kcenter_coreset): 8 farthest-point rounds, each one
+    broadcast of the <= k selected vectors + one corpus scan + a
+    1-row argmax collect — the diversity-maximizing subset selection
+    for data-efficient labeling/distillation. Selection order and
+    radii hash-match the oracle's unrolled traversal."""
+    from ..operators.clustering import kcenter_coreset
+
+    e = load(spark, sf_dir, "embeddings")
+    return kcenter_coreset(e, "vec_id", "embedding", k=8)

@@ -945,3 +945,27 @@ def test_ivfpq_exact_when_fully_probed_and_saturated(spark):
                         n_cells=4, n_probe=2, m=4, sub_d=4, k_star=8)
     for r in approx.collect():
         assert 1 <= r.rk <= 5
+
+
+def test_kcenter_coreset_greedy_order(spark):
+    """1-D construction with a knowable farthest-point order: points
+    at 0, 1, 10, 20 (ids 0..3). Seed=0; farthest is 20, then 10
+    (min-dist 10 beats 1's min-dist 1), then 1."""
+    from avk_job_skill_analytics_spark.operators.clustering import (
+        kcenter_coreset,
+    )
+
+    pts = {0: 0.0, 1: 1.0, 2: 10.0, 3: 20.0}
+    df = spark.createDataFrame(
+        [(i, [v, 0.0]) for i, v in pts.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = [(r.sel_order, r.vec_id, r.maxmin_dist)
+           for r in sorted(kcenter_coreset(df, "vec_id", "embedding",
+                                           k=4).collect())]
+    assert got == [
+        (1, 0, 0),
+        (2, 3, 400_000_000),   # 20^2 * 1e6
+        (3, 2, 100_000_000),   # min(10^2, 10^2) = 100
+        (4, 1, 1_000_000),     # 1^2
+    ]
