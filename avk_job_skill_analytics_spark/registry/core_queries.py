@@ -774,3 +774,83 @@ def f15_winsorize(spark, sf_dir):
             mid_sum.cast("double") + n_lo * lo + n_hi * hi, 2
         ).alias("winsorized_sum"),
     ).drop("lo", "hi")
+
+
+@_q(
+    "u5_table_diff",
+    """WITH v1 AS (SELECT o_orderkey AS k,
+                       md5(concat_ws('|', o_orderstatus,
+                           CAST(round(o_totalprice, 2) AS VARCHAR),
+                           o_orderpriority)) AS h
+              FROM orders WHERE o_orderkey % 97 <> 0),
+       v2 AS (SELECT o_orderkey AS k,
+                     md5(concat_ws('|', o_orderstatus,
+                         CAST(round(CASE WHEN o_orderkey % 13 = 0
+                                         THEN o_totalprice + 1
+                                         ELSE o_totalprice END, 2)
+                              AS VARCHAR),
+                         o_orderpriority)) AS h
+              FROM orders WHERE o_orderkey % 89 <> 0)
+       SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                   WHEN v2.k IS NULL THEN 'removed'
+                   ELSE 'changed' END AS change_type,
+              count(*) AS n_rows,
+              CAST(min(coalesce(v1.k, v2.k)) AS BIGINT) AS min_key,
+              CAST(max(coalesce(v1.k, v2.k)) AS BIGINT) AS max_key
+       FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+       WHERE v1.k IS NULL OR v2.k IS NULL OR v1.h <> v2.h
+       GROUP BY change_type""",
+)
+def u5_table_diff(spark, sf_dir):
+    """Row-level diff of two table versions — the migration/audit
+    companion to io_table_checksum when the checksums DISAGREE and
+    you need to know where: full outer join on the key comparing a
+    canonical content hash, classifying every divergent row as
+    added / removed / changed. One key-partitioned join; the content
+    hash collapses arbitrary row width to 32 bytes before the
+    shuffle. Versions are synthesized deterministically (v1 drops
+    key%97, v2 drops key%89 and perturbs key%13 prices) so the
+    expected ledger is knowable."""
+    o = load(spark, sf_dir, "orders")
+
+    def canon(price_col):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus"),
+                F.round(price_col, 2).cast("string"),
+                F.col("o_orderpriority"),
+            )
+        )
+
+    v1 = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k1"), canon(F.col("o_totalprice")).alias("h1")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k2"),
+        canon(
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice"))
+        ).alias("h2"),
+    )
+    j = v1.join(v2, v1.k1 == v2.k2, "full_outer").filter(
+        F.col("k1").isNull()
+        | F.col("k2").isNull()
+        | (F.col("h1") != F.col("h2"))
+    )
+    return (
+        j.select(
+            F.when(F.col("k1").isNull(), F.lit("added"))
+            .when(F.col("k2").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            F.coalesce("k1", "k2").alias("k"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").cast("long").alias("min_key"),
+            F.max("k").cast("long").alias("max_key"),
+        )
+    )

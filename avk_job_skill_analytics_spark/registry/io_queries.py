@@ -1028,3 +1028,55 @@ def io_schema_evolution(spark, sf_dir):
         .alias("n_v2"),
         F.round(F.sum("value"), 2).alias("v2_value"),
     )
+
+
+@_q(
+    "io_partition_overwrite",
+    """WITH base AS (SELECT event_id, event_type, value,
+                          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                 FROM events),
+       final AS (
+         SELECT event_id, event_type,
+                CASE WHEN day = (SELECT min(day) FROM base)
+                     THEN value * 2 ELSE value END AS value,
+                day
+         FROM base)
+       SELECT day, count(*) AS n, round(sum(value), 2) AS total_value
+       FROM final GROUP BY day""",
+)
+def io_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the lake's idempotent
+    reprocess-one-day primitive: with partitionOverwriteMode=dynamic,
+    rewriting a corrected slice of ONE day replaces only that day's
+    directory while every other partition's files stay untouched (a
+    static overwrite would wipe the whole table). The corrected day
+    doubles its values, the read-back aggregates per day, and the
+    oracle reproduces the post-overwrite state from the flat source —
+    proving both the replacement and the isolation."""
+    tmp = tempfile.mkdtemp(prefix="dyn_overwrite_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.to_date("ts").alias("day")
+    )
+    ev.write.partitionBy("day").parquet(f"{tmp}/t")
+    first_day = ev.agg(F.min("day").alias("d")).collect()[0]["d"]
+    corrected = ev.filter(F.col("day") == first_day).withColumn(
+        "value", F.col("value") * 2
+    )
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("day").parquet(
+            f"{tmp}/t"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+    back = spark.read.parquet(f"{tmp}/t")
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
