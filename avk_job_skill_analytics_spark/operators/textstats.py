@@ -783,3 +783,56 @@ def bpe_encode_report(df, group_col: str, text_col: str,
             ).alias("chars_per_token"),
         )
     )
+
+
+def canonicalize_url(url):
+    """Canonical URL form for dedup keying (the first dedup a web
+    corpus runs — before any content hashing): lowercase scheme+host,
+    strip the default port, drop the fragment, drop utm_*/fbclid
+    tracking params (keeping other query params in original order),
+    collapse a trailing slash on a bare path. Pure regexp/string
+    Column ops — runs at scan speed, and every rule is expressible in
+    ANSI-ish SQL for the oracle."""
+    u = F.trim(url)
+    # scheme+host lowercase (authority ends at first /?# after ://)
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, r"^(https?://[^/?#:]*):80(/|\?|#|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https?://[^/?#:]*):443(/|\?|#|$)", r"$1$2")
+    u = F.regexp_replace(u, r"#.*$", "")
+    # tracking params: kill utm_*/fbclid (then tidy separators)
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid)=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    # a leading utm param consumed the '?': promote the first '&'
+    u = F.regexp_replace(u, r"^([^?&]*)&", r"$1?")
+    u = F.regexp_replace(u, r"\?$", "")
+    # bare trailing slash (path only, no query)
+    # depth>=1 only: the root slash ("https://a.b/") is canonical as-is
+    u = F.regexp_replace(
+        u, r"^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/$", r"$1"
+    )
+    return u
+
+
+def strip_html(text):
+    """Regex HTML-to-text lite (the relational subset of a real
+    extractor): drop script/style blocks with their content, replace
+    block-level closers with newlines, strip remaining tags, decode
+    the five core entities, collapse whitespace. Column-only — the
+    honest declarative core of web text extraction; a production
+    pipeline swaps in a real extractor via mapInPandas with this as
+    the fallback path."""
+    # separate script/style patterns: the oracle's RE2 engine has no
+    # backreferences, so a </\1> closer is not portable
+    t = F.regexp_replace(text, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?i)</(p|div|br|li|h[1-6]|tr)\s*>", "\n")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t\r\f]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    # regex trim: plain trim() strips spaces only, not newlines
+    return F.regexp_replace(t, r"^\s+|\s+$", "")

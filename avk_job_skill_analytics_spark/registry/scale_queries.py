@@ -2516,3 +2516,170 @@ def ml_kcenter_coreset(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return kcenter_coreset(e, "vec_id", "embedding", k=8)
+
+
+@_q(
+    "dd_url_canonicalize",
+    r"""WITH raw AS (
+         SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'https://site' || ((doc_id // 5) % 7)
+                       || '.example.com/page/' || (doc_id // 5)
+                  WHEN 1 THEN 'https://site' || ((doc_id // 5) % 7)
+                       || '.example.com/page/' || (doc_id // 5)
+                       || '?utm_source=news&utm_campaign=x'
+                  WHEN 2 THEN 'https://site' || ((doc_id // 5) % 7)
+                       || '.example.com/page/' || (doc_id // 5) || '/'
+                  WHEN 3 THEN 'HTTPS://SITE' || ((doc_id // 5) % 7)
+                       || '.Example.COM/page/' || (doc_id // 5)
+                  ELSE 'https://site' || ((doc_id // 5) % 7)
+                       || '.example.com:443/page/' || (doc_id // 5)
+                END AS url
+         FROM documents),
+       canon AS (
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         lower(regexp_extract(trim(url),
+                             '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                         || substring(trim(url),
+                            length(regexp_extract(trim(url),
+                              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                            + 1),
+                       '^(https?://[^/?#:]*):80(/|\?|#|$)', '\1\2'),
+                     '^(https?://[^/?#:]*):443(/|\?|#|$)', '\1\2'),
+                   '#.*$', ''),
+                   '[?&](utm_[a-z]+|fbclid)=[^&#]*', '', 'g'),
+                 '\?&', '?'),
+               '^([^?&]*)&', '\1?'),
+             '\?$', '') AS c0
+         FROM raw),
+       canon2 AS (
+         SELECT doc_id,
+                regexp_replace(c0,
+                  '^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/$', '\1')
+                    AS canonical_url
+         FROM canon)
+       SELECT canonical_url, count(*) AS n_variants,
+              CAST(min(doc_id) AS BIGINT) AS keep_id
+       FROM canon2 GROUP BY canonical_url""",
+)
+def dd_url_canonicalize(spark, sf_dir):
+    """URL canonicalization dedup (textstats.canonicalize_url) — the
+    FIRST dedup a web corpus runs, before any content hashing:
+    lowercase authority, default-port strip, fragment drop,
+    utm_*/fbclid removal, trailing-slash collapse. Five deterministic
+    variants per page are synthesized in-query (plain, tracking
+    params, trailing slash, shouted host, explicit :443); every
+    5-block collapses to one canonical key with keep_id = min doc_id.
+    Pure regexp Column chain at scan speed; identical rules in the
+    oracle's RE2."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    base = F.concat(
+        F.lit("https://site"), (F.floor(F.col("doc_id") / 5) % 7).cast("long").cast("string"),
+        F.lit(".example.com/page/"),
+        F.floor(F.col("doc_id") / 5).cast("long").cast("string"),
+    )
+    shout = F.concat(
+        F.lit("HTTPS://SITE"), (F.floor(F.col("doc_id") / 5) % 7).cast("long").cast("string"),
+        F.lit(".Example.COM/page/"),
+        F.floor(F.col("doc_id") / 5).cast("long").cast("string"),
+    )
+    port = F.concat(
+        F.lit("https://site"), (F.floor(F.col("doc_id") / 5) % 7).cast("long").cast("string"),
+        F.lit(".example.com:443/page/"),
+        F.floor(F.col("doc_id") / 5).cast("long").cast("string"),
+    )
+    raw = (
+        F.when(F.col("doc_id") % 5 == 0, base)
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(base, F.lit("?utm_source=news&utm_campaign=x")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(base, F.lit("/")))
+        .when(F.col("doc_id") % 5 == 3, shout)
+        .otherwise(port)
+    )
+    canon = textstats.canonicalize_url(raw)
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+        )
+    )
+
+
+@_q(
+    "txt_html_strip",
+    r"""WITH raw AS (
+         SELECT doc_id,
+                '<html><head><script type="x">var a=1 &amp;&amp; 2;'
+                || '</script><style>p { color: red; }</style></head>'
+                || '<body><h1>Doc ' || doc_id || '</h1><p>' || text
+                || '</p><div>footer &amp; nav</div></body></html>'
+                    AS html
+         FROM documents),
+       s1 AS (SELECT doc_id,
+                     regexp_replace(html,
+                       '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t
+              FROM raw),
+       s2 AS (SELECT doc_id,
+                     regexp_replace(t,
+                       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t
+              FROM s1),
+       s3 AS (SELECT doc_id,
+                     regexp_replace(t,
+                       '(?i)</(p|div|br|li|h[1-6]|tr)\s*>', chr(10),
+                       'g') AS t
+              FROM s2),
+       s4 AS (SELECT doc_id,
+                     regexp_replace(t, '<[^>]+>', ' ', 'g') AS t
+              FROM s3),
+       s5 AS (SELECT doc_id,
+                     replace(replace(replace(replace(replace(t,
+                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', '''') AS t
+              FROM s4),
+       s6 AS (SELECT doc_id,
+                     regexp_replace(t, '[ \t\r\f]+', ' ', 'g') AS t
+              FROM s5),
+       s7 AS (SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(t, ' ?\n ?', chr(10), 'g'),
+                       '^\s+|\s+$', '', 'g') AS t
+              FROM s6)
+       SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_text,
+              md5(t) AS text_hash
+       FROM s7""",
+)
+def txt_html_strip(spark, sf_dir):
+    """HTML-to-text extraction lite (textstats.strip_html) over
+    documents wrapped in-query with realistic chrome (script + style
+    blocks, headings, entity-encoded footer): script/style content
+    dropped, block closers become newlines, tags stripped, core
+    entities decoded, whitespace collapsed. Pure regexp/replace chain
+    inside codegen — the declarative core of web text extraction (a
+    production pipeline swaps a real extractor in via mapInPandas
+    with this as the fallback); the md5 of every extracted text
+    hash-matches the oracle running the identical RE2 chain."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit('<html><head><script type="x">var a=1 &amp;&amp; 2;'
+              '</script><style>p { color: red; }</style></head>'
+              '<body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>footer &amp; nav</div></body></html>"),
+    )
+    stripped = textstats.strip_html(html)
+    return docs.select(
+        "doc_id",
+        F.length(stripped).cast("long").alias("n_chars_text"),
+        F.md5(stripped).alias("text_hash"),
+    )

@@ -969,3 +969,34 @@ def test_kcenter_coreset_greedy_order(spark):
         (3, 2, 100_000_000),   # min(10^2, 10^2) = 100
         (4, 1, 1_000_000),     # 1^2
     ]
+
+
+def test_url_canonicalize_rules(spark):
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        canonicalize_url,
+    )
+
+    cases = [
+        ("HTTPS://Example.COM:443/a?utm_source=x", "https://example.com/a"),
+        ("http://h.io:80/p/?utm_campaign=c&q=1#frag", "http://h.io/p/?q=1"),
+        ("https://a.b/path/", "https://a.b/path"),
+        ("https://a.b/", "https://a.b/"),          # root slash kept
+        ("https://a.b/x?fbclid=123", "https://a.b/x"),
+        ("https://a.b/x?keep=1&utm_medium=m", "https://a.b/x?keep=1"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    out = df.select("want", canonicalize_url(F.col("url")).alias("got"))
+    for r in out.collect():
+        assert r.got == r.want, (r.got, r.want)
+
+
+def test_strip_html_extraction(spark):
+    from avk_job_skill_analytics_spark.operators.textstats import strip_html
+
+    html = ('<html><head><script>if (a < b) { x(); }</script>'
+            '<style>h1 {color: red}</style></head><body>'
+            '<h1>Title</h1><p>Hello &amp; welcome</p>'
+            '<div>line two</div></body></html>')
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(strip_html(F.col("h")).alias("t")).collect()[0].t
+    assert got == "Title\nHello & welcome\nline two"
