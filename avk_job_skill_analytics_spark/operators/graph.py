@@ -326,3 +326,46 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
+
+
+def bfs_hops(edges: DataFrame, sources: DataFrame, rounds: int = 6,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Multi-source BFS hop distances, bounded-round Bellman-Ford
+    relaxation: after ``rounds`` rounds every node holds its exact
+    BFS distance from the nearest source IF that distance is
+    <= rounds (the bounded-frontier contract — both engines run the
+    same fixed round count, so results agree even short of the
+    fixpoint). The reachability radius query behind 'how close is
+    every entity to the hub set'.
+
+    Per round: one join of the current distance frame onto the
+    symmetrized edge list + one min-aggregate — O(E) shuffle, sized
+    to the edge count like every iterative operator here.
+    Returns (node, hops) for nodes within ``rounds`` of a source."""
+    from ..plans.session import scoped_shuffle, sized_partitions
+
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+    d = sources.select(
+        F.col(sources.columns[0]).alias("node"),
+        F.lit(0).alias("h"),
+    ).localCheckpoint()
+    spark = edges.sparkSession
+    n_parts = sized_partitions(spark, sym.count())
+    with scoped_shuffle(spark, n_parts):
+        for _ in range(rounds):
+            relaxed = sym.join(d, sym.u == d.node).select(
+                F.col("v").alias("node"), (F.col("h") + 1).alias("h")
+            )
+            d = (
+                d.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("h").alias("h"))
+                .localCheckpoint()
+            )
+    return d.select("node", F.col("h").cast("int").alias("hops"))

@@ -2683,3 +2683,66 @@ def txt_html_strip(spark, sf_dir):
         F.length(stripped).cast("long").alias("n_chars_text"),
         F.md5(stripped).alias("text_hash"),
     )
+
+
+def _bfs_sql(rounds: int) -> str:
+    """DuckDB twin of graph.bfs_hops over the co-supply graph from
+    its 3 lowest supplier ids, the relaxation unrolled ``rounds``
+    times with MATERIALIZED round CTEs."""
+    sql = """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+               FROM lineitem WHERE l_quantity >= 48),
+       e0 AS MATERIALIZED (
+              SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                              greatest(a.l_suppkey, b.l_suppkey) AS v
+              FROM li a JOIN li b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_suppkey < b.l_suppkey),
+       sym AS MATERIALIZED (
+              SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       d0 AS MATERIALIZED (
+              SELECT node, 0 AS h FROM (
+                SELECT u AS node FROM sym UNION SELECT v FROM sym)
+              ORDER BY node LIMIT 3)"""
+    for r in range(rounds):
+        sql += f""",
+       d{r + 1} AS MATERIALIZED (
+         SELECT node, min(h) AS h FROM (
+           SELECT node, h FROM d{r}
+           UNION ALL
+           SELECT e.v AS node, d.h + 1
+           FROM sym e JOIN d{r} d ON e.u = d.node) t
+         GROUP BY node)"""
+    return sql + f"""
+       SELECT node, CAST(h AS INT) AS hops FROM d{rounds}"""
+
+
+@_q("graph_bfs_hops", _bfs_sql(6))
+def graph_bfs_hops(spark, sf_dir):
+    """BFS hop distance of every supplier from the 3 lowest-id nodes
+    of the high-quantity co-supply graph (graph.bfs_hops): 6 fixed
+    relaxation rounds — one O(E) join+min per round, shuffles sized
+    to the edge count — matching the oracle's unrolled recurrence
+    exactly, converged or not."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_suppkey").alias("sb"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sources = nodes.orderBy("node").limit(3)
+    return graph.bfs_hops(e, sources, rounds=6)

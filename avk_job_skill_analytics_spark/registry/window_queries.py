@@ -1296,3 +1296,135 @@ def win_anomaly_zscore(spark, sf_dir):
         (F.round(z, 4) + F.lit(0.0)).alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@_q(
+    "win_rfm_segments",
+    """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref
+              FROM orders),
+       c AS (SELECT o_custkey AS k,
+                    datediff('day',
+                             max(CAST(o_orderdate AS DATE)),
+                             (SELECT ref FROM mx)) AS recency_days,
+                    count(*) AS frequency,
+                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               AS DOUBLE), 2) AS monetary
+             FROM orders GROUP BY o_custkey),
+       q AS (SELECT quantile_cont(recency_days, 0.25) AS r25,
+                    quantile_cont(recency_days, 0.50) AS r50,
+                    quantile_cont(recency_days, 0.75) AS r75,
+                    quantile_cont(frequency, 0.25) AS f25,
+                    quantile_cont(frequency, 0.50) AS f50,
+                    quantile_cont(frequency, 0.75) AS f75,
+                    quantile_cont(monetary, 0.25) AS m25,
+                    quantile_cont(monetary, 0.50) AS m50,
+                    quantile_cont(monetary, 0.75) AS m75
+             FROM c),
+       t AS (SELECT k, recency_days, frequency, monetary,
+                    4 - (CAST(recency_days > r25 AS INT)
+                         + CAST(recency_days > r50 AS INT)
+                         + CAST(recency_days > r75 AS INT)) AS r,
+                    1 + CAST(frequency > f25 AS INT)
+                      + CAST(frequency > f50 AS INT)
+                      + CAST(frequency > f75 AS INT) AS f,
+                    1 + CAST(monetary > m25 AS INT)
+                      + CAST(monetary > m50 AS INT)
+                      + CAST(monetary > m75 AS INT) AS m
+             FROM c, q)
+       SELECT concat('R', r, 'F', f, 'M', m) AS segment,
+              count(*) AS n_customers,
+              CAST(min(recency_days) AS BIGINT) AS min_recency,
+              CAST(max(frequency) AS BIGINT) AS max_frequency,
+              round(sum(monetary), 2) AS total_monetary
+       FROM t GROUP BY segment""",
+)
+def win_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the BI-staple behavioral cube:
+    recency / frequency / monetary per customer, bucketed by the
+    distribution's exact quartile THRESHOLDS (broadcast as one row)
+    rather than a global ntile window: an unpartitioned rank over the
+    per-customer frame would concentrate every customer in one task
+    at 100 TB, while threshold buckets cost one aggregate + a
+    broadcast compare — and put tied values in the same bucket, which
+    is the better-defined semantics anyway. Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the interpolation (the
+    agg_percentiles convention); agg_histogram_quantiles is the
+    sketch path for the thresholds when even one exact sort-agg is
+    too much. R4 = most recent quartile."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("ref"))
+    c = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "k",
+            F.datediff("ref", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    q = c.agg(
+        *[
+            F.percentile(col, F.lit(pp)).alias(f"{al}{int(pp * 100)}")
+            for col, al in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for pp in (0.25, 0.50, 0.75)
+        ]
+    )
+    t = c.crossJoin(F.broadcast(q)).select(
+        "recency_days",
+        "frequency",
+        "monetary",
+        (
+            F.lit(4)
+            - (
+                (F.col("recency_days") > F.col("r25")).cast("int")
+                + (F.col("recency_days") > F.col("r50")).cast("int")
+                + (F.col("recency_days") > F.col("r75")).cast("int")
+            )
+        ).alias("r"),
+        (
+            F.lit(1)
+            + (F.col("frequency") > F.col("f25")).cast("int")
+            + (F.col("frequency") > F.col("f50")).cast("int")
+            + (F.col("frequency") > F.col("f75")).cast("int")
+        ).alias("f"),
+        (
+            F.lit(1)
+            + (F.col("monetary") > F.col("m25")).cast("int")
+            + (F.col("monetary") > F.col("m50")).cast("int")
+            + (F.col("monetary") > F.col("m75")).cast("int")
+        ).alias("m"),
+    )
+    return (
+        t.select(
+            F.concat(
+                F.lit("R"), F.col("r").cast("string"),
+                F.lit("F"), F.col("f").cast("string"),
+                F.lit("M"), F.col("m").cast("string"),
+            ).alias("segment"),
+            "recency_days",
+            "frequency",
+            "monetary",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("recency_days").cast("long").alias("min_recency"),
+            F.max("frequency").cast("long").alias("max_frequency"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+    )
