@@ -2746,3 +2746,146 @@ def graph_bfs_hops(spark, sf_dir):
     )
     sources = nodes.orderBy("node").limit(3)
     return graph.bfs_hops(e, sources, rounds=6)
+
+
+def _keep_best_sql() -> str:
+    return f"""WITH clusters AS ({ORACLES["dd_dup_clusters"]}),
+       f AS ({_QUALITY_F_CTE.format(src="documents")}),
+       scored AS (SELECT c.cluster_id, c.doc_id,
+                         {_QUALITY_SCORE_SQL} AS quality
+                  FROM clusters c JOIN f USING (doc_id))
+       SELECT cluster_id, count(*) AS n_members,
+              CAST(min(doc_id) FILTER (WHERE rk = 1) AS BIGINT)
+                  AS keep_id,
+              max(quality) AS best_quality
+       FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC, doc_id) AS rk
+             FROM scored) t
+       GROUP BY cluster_id HAVING count(*) > 1"""
+
+
+@_q("dd_keep_best_quality", _keep_best_sql())
+def dd_keep_best_quality(spark, sf_dir):
+    """The dedup DECISION rule production pipelines actually use:
+    keep each near-dup cluster's highest-QUALITY member (rounded
+    quality score, doc-id tie-break) rather than the arbitrary
+    minimum id — the difference between deduping and deduping while
+    throwing away the best copy. One join of the cluster map onto the
+    codegen quality score plus a per-cluster argmax window (cluster
+    keys partition; no global window)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3,
+                                      threshold=0.5)
+    clusters = dedup.duplicate_clusters(pairs)
+    scored = clusters.join(
+        d.select(
+            "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("keep_id"),
+            F.max("quality").alias("best_quality"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def _cluster_split_sql() -> str:
+    return f"""WITH RECURSIVE pairs AS (
+{_NGRAM_PAIRS_SQL}
+       ),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(v, r) AS (
+         SELECT s, s FROM edges
+         UNION
+         SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
+       ),
+       cl AS (SELECT v AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY v),
+       allc AS (SELECT d.doc_id,
+                       coalesce(cl.cluster_id, d.doc_id) AS cid
+                FROM documents d LEFT JOIN cl USING (doc_id)),
+       sp AS (SELECT doc_id, cid,
+                     CASE WHEN (cid * 2654435761) % 4294967296 % 100 < 90
+                            THEN 'train'
+                          WHEN (cid * 2654435761) % 4294967296 % 100 < 95
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM allc),
+       leak AS (SELECT a.split, count(*) AS leaked
+                FROM pairs p
+                JOIN sp a ON a.doc_id = p.doc_a
+                JOIN sp b ON b.doc_id = p.doc_b
+                WHERE a.split <> b.split
+                GROUP BY a.split)
+       SELECT sp.split, count(*) AS n_docs,
+              count(DISTINCT cid) AS n_clusters,
+              CAST(coalesce(max(leak.leaked), 0) AS BIGINT)
+                  AS leaked_pairs
+       FROM sp LEFT JOIN leak ON leak.split = sp.split
+       GROUP BY sp.split"""
+
+
+@_q("o4_cluster_split", _cluster_split_sql())
+def o4_cluster_split(spark, sf_dir):
+    """Leakage-SAFE train/val/test assignment — the fix for the
+    failure mode dd_split_leakage detects: split by the near-dup
+    CLUSTER id (singletons use their own id), so every member of a
+    duplicate family lands in the same split by construction and the
+    cross-split near-dup pair count is provably zero. Same
+    engine-portable hash carve as o4_split_assign, keyed one level
+    up; one extra key-partitioned join over the cluster map."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3,
+                                      threshold=0.5)
+    clusters = dedup.duplicate_clusters(pairs)
+    allc = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cid"),
+        )
+    )
+    sp = sampling.assign_split(allc, "cid")
+    pa = pairs.join(
+        sp.select(F.col("doc_id").alias("doc_a"),
+                  F.col("split").alias("split_a")),
+        "doc_a",
+    ).join(
+        sp.select(F.col("doc_id").alias("doc_b"),
+                  F.col("split").alias("split_b")),
+        "doc_b",
+    )
+    leak = (
+        pa.filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count(F.lit(1)).alias("leaked"))
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cid").alias("n_clusters"),
+        )
+        .join(leak, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce("leaked", F.lit(0)).cast("long").alias(
+                "leaked_pairs"
+            ),
+        )
+    )
