@@ -2906,3 +2906,71 @@ def o4_cluster_split(spark, sf_dir):
             ),
         )
     )
+
+
+def _data_card_sql() -> str:
+    return rf"""WITH cl AS ({ORACLES["dd_dup_clusters"]}),
+       f AS ({_QUALITY_F_CTE.format(src="documents")}),
+       {_DECON_SHINGLE_CTE},
+       b AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+       contam AS (SELECT count(DISTINCT s.doc_id) AS n
+                  FROM sh s JOIN b USING (shingle)
+                  WHERE s.source <> 'src0')
+       SELECT (SELECT count(*) FROM documents) AS n_docs,
+              (SELECT CAST(sum(len(list_filter(
+                   string_split_regex(text, '\s+'), x -> x <> '')))
+                   AS BIGINT) FROM documents) AS n_tokens,
+              (SELECT count(DISTINCT source) FROM documents)
+                  AS n_sources,
+              (SELECT count(*) FROM cl) AS near_dup_docs,
+              (SELECT count(DISTINCT cluster_id) FROM cl)
+                  AS near_dup_clusters,
+              (SELECT n FROM contam) AS contaminated_docs,
+              (SELECT round(avg({_QUALITY_SCORE_SQL}), 4) FROM f)
+                  AS mean_quality"""
+
+
+@_q("pipeline_data_card", _data_card_sql())
+def pipeline_data_card(spark, sf_dir):
+    """The one-row dataset release card — the summary sheet that
+    accompanies a corpus snapshot (docs / exact token mass / source
+    count / near-dup exposure / benchmark contamination / mean
+    quality), assembled from the SAME relational pieces the pipeline
+    already maintains: the shared cluster map, the shingle index
+    against the held-out set, and the codegen quality score. Every
+    sub-aggregate is a 1-row broadcast; nothing here adds a pass a
+    curation pipeline wasn't already running."""
+    docs = load(spark, sf_dir, "documents")
+    _, clusters = _cluster_map(spark, sf_dir)
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                            lambda x: x != ""))
+        ).cast("long").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    dups = clusters.agg(
+        F.count(F.lit(1)).alias("near_dup_docs"),
+        F.countDistinct("cluster_id").alias("near_dup_clusters"),
+    )
+    decon = dedup.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id", "text", k=5,
+    )
+    contam = decon.agg(
+        F.sum(F.col("contaminated").cast("int")).cast("long").alias(
+            "contaminated_docs"
+        )
+    )
+    qual = docs.agg(
+        F.round(
+            F.avg(textstats.quality_score(F.col("text"))), 4
+        ).alias("mean_quality")
+    )
+    return (
+        base.crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(contam))
+        .crossJoin(F.broadcast(qual))
+    )
