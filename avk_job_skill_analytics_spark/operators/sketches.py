@@ -114,8 +114,11 @@ def mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
 
     The fold is Arrow-batched and vectorized: pandas ``value_counts``
     (C) per batch, then a dict merge over the batch's UNIQUE items —
-    Python cost is O(distinct-per-batch), never O(tokens)."""
-    out_schema = f"{item_col} string"
+    Python cost is O(distinct-per-batch), never O(tokens). The output
+    schema mirrors the input item type, so numeric keys survive the
+    downstream semi-join without a cast mismatch."""
+    item_type = dict(items.dtypes)[item_col]
+    out_schema = f"{item_col} {item_type}"
 
     def part(pdfs):
         import pandas as pd
@@ -179,8 +182,9 @@ def histogram_quantiles(df: DataFrame, value_col: str, n_bins: int = 64,
     engine-portable, so the estimates hash-match an oracle.
 
     The cumulative window runs over <= n_bins rows (single partition
-    by design — bounded cardinality, not a data-scaled sort). Returns
-    (p, n_total, estimate)."""
+    by design — bounded cardinality, not a data-scaled sort). A
+    degenerate column (min == max) short-circuits to that constant.
+    Returns (p, n_total, estimate)."""
     mm = df.agg(
         F.min(F.col(value_col).cast("double")).alias("lo"),
         F.max(F.col(value_col).cast("double")).alias("hi"),
@@ -190,12 +194,15 @@ def histogram_quantiles(df: DataFrame, value_col: str, n_bins: int = 64,
         df.select(F.col(value_col).cast("double").alias("x"))
         .crossJoin(F.broadcast(mm))
         .select(
-            F.least(
-                F.floor(
-                    (F.col("x") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / n_bins)
-                ),
-                F.lit(n_bins - 1),
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("x") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / n_bins)
+                    ),
+                    F.lit(n_bins - 1),
+                )
             )
             .cast("int")
             .alias("bin")
@@ -215,7 +222,7 @@ def histogram_quantiles(df: DataFrame, value_col: str, n_bins: int = 64,
     )
     pick = Window.partitionBy("p").orderBy("bin")
     width = (F.col("hi") - F.col("lo")) / n_bins
-    est = (
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
         F.col("lo")
         + width
         * (

@@ -681,6 +681,10 @@ def bpe_merges(df, text_col: str, n_merges: int = 6):
             F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
         ).alias("word")
     )
+    # the middle dot is the symbol delimiter: words containing it
+    # would corrupt the encoding, so they are excluded from training
+    # (reserved-character contract; a production trainer byte-escapes)
+    toks = toks.filter(~F.col("word").contains("·"))
     wf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     sym = F.concat(
         F.lit("·"),
@@ -748,7 +752,10 @@ def bpe_encode_report(df, group_col: str, text_col: str,
     toks = df.select(
         F.col(group_col),
         F.explode(
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+            F.filter(
+                F.split(F.col(text_col), r"\s+"),
+                lambda x: (x != "") & ~x.contains("·"),
+            )
         ).alias("word"),
     )
     words = toks.select("word").distinct()

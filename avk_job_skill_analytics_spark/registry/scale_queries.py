@@ -2107,7 +2107,8 @@ def _bpe_sql(n_merges: int) -> str:
     semantics."""
     sql = r"""WITH toks AS (
          SELECT unnest(list_filter(string_split_regex(text, '\s+'),
-                x -> x <> '')) AS word FROM documents),
+                x -> x <> '' AND NOT contains(x, '·'))) AS word
+         FROM documents),
        wf AS MATERIALIZED (
          SELECT word, count(*) AS freq FROM toks GROUP BY word),
        v1 AS MATERIALIZED (
@@ -2160,7 +2161,8 @@ def _bpe_encode_sql(n_merges: int) -> str:
     return chain + f""",
        tk AS MATERIALIZED (
          SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
-                x -> x <> '')) AS word FROM documents),
+                x -> x <> '' AND NOT contains(x, '·'))) AS word
+         FROM documents),
        wfw AS MATERIALIZED (SELECT DISTINCT word FROM tk),
        enc AS MATERIALIZED (
          SELECT word, CAST(length(word) AS BIGINT) AS nchars,
