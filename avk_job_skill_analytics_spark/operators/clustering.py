@@ -1,13 +1,15 @@
 """K-means clustering over embedding columns (beyond-reference).
 
 The iterative-algorithm pattern done Spark-first: Lloyd iterations as
-pure DataFrame ops — assignment is a broadcast cross join against the
-(tiny) centroid table with an argmin window; the centroid update is a
-posexplode over dimensions + per-(cluster, dim) average + re-assembly
-with ``array_agg`` ordered by dimension. No UDFs, no driver-side
-vector math beyond the k×dim centroid collect between rounds (k·dim
-doubles — negligible), so the per-round cost is two shuffles over the
-corpus regardless of scale.
+pure DataFrame ops — assignment inlines the (tiny) centroid table as
+literal arrays and computes the argmin as a single codegen
+``array_min`` over (dist, cid) structs (zero Exchange, zero join —
+the corpus vectors never move); the centroid update is a posexplode
+over dimensions + per-(cluster, dim) average + re-assembly with
+``array_agg`` ordered by dimension. No UDFs, no driver-side vector
+math beyond the k×dim centroid collect between rounds (k·dim doubles
+— negligible), so the per-round cost is the centroid-update shuffle
+over the exploded dims, nothing else.
 
 Initialization is deterministic (the k lowest-id vectors), matching
 the engine-wide no-RNG verification rule; swap in k-means|| offline
@@ -31,26 +33,99 @@ def _sqdist(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
+def lit_vec(values) -> Column:
+    """A literal array<double> column. Collected float32/float64 values
+    round-trip exactly through Python floats (IEEE 754), so inlining
+    them is bit-identical to casting the original column to double."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def collect_codebook(df: DataFrame, id_field: str,
+                     vec_field: str) -> list:
+    """Collect a (<=k)-row codebook to the driver as [(cid, [floats])].
+    k*dim doubles — the same bounded driver discipline as
+    kcenter_coreset's per-round argmax row. Any rounding that should
+    apply to the codebook values must already be in ``df``'s plan so
+    the collected values are exactly what the engine would compute."""
+    rows = df.select(id_field, vec_field).collect()
+    return [
+        (int(r[id_field]), [float(x) for x in r[vec_field]]) for r in rows
+    ]
+
+
+def struct_argmin(entries: list) -> Column:
+    """``array_min`` over caller-built (d, c[, ...]) structs — struct
+    ordering is lexicographic, so (dist ASC, cid ASC) is the ordering
+    itself. Pure codegen: zero Exchange, zero join."""
+    return F.array_min(F.array(*entries))
+
+
+def struct_topn(entries: list, n: int) -> Column:
+    """``array_sort`` + slice over caller-built (d, c[, ...]) structs:
+    the n best entries, same ordering contract as struct_argmin."""
+    return F.slice(F.array_sort(F.array(*entries)), 1, n)
+
+
+def codebook_argmin(dist_fn, codebook, carry_vec: bool = False) -> Column:
+    """Codegen argmin over an inlined codebook: an array of
+    (dist, cid[, vec]) structs reduced with ``array_min`` — Spark's
+    struct ordering is lexicographic, so the (dist ASC, cid ASC)
+    tie-break is the ordering itself. Pure Column expression: zero
+    Exchange, zero join — the corpus never moves to meet the codebook
+    (this replaces the old crossJoin+row_number window, whose
+    Window.partitionBy(id) forced a full-corpus hash Exchange).
+
+    ``dist_fn(lit_centroid_vec) -> Column`` computes the (rounded)
+    distance; ``carry_vec`` additionally carries the centroid vector
+    in the struct (third field — never reached by the comparison since
+    cid is unique) for residual computation downstream."""
+    return struct_argmin(_codebook_entries(dist_fn, codebook, carry_vec))
+
+
+def codebook_topn(dist_fn, codebook, n: int,
+                  carry_vec: bool = False) -> Column:
+    """Codegen top-n over an inlined codebook: ``array_sort`` on the
+    same (dist, cid[, vec]) structs, sliced to the first n. Explode the
+    result to get one row per probed entry — still no Exchange."""
+    return struct_topn(_codebook_entries(dist_fn, codebook, carry_vec), n)
+
+
+def _codebook_entries(dist_fn, codebook, carry_vec: bool) -> list:
+    entries = []
+    for cid, vals in codebook:
+        lv = lit_vec(vals)
+        fields = [
+            dist_fn(lv).alias("d"),
+            F.lit(int(cid)).cast("long").alias("c"),
+        ]
+        if carry_vec:
+            fields.append(lv.alias("v"))
+        entries.append(F.struct(*fields))
+    return entries
+
+
 def assign_clusters(df: DataFrame, centroids: DataFrame, id_col: str,
                     vec_col: str, round_digits: int = 6) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k-row centroid table,
-    argmin by (rounded distance, centroid id). Output: (id, cluster,
-    vec) — one corpus scan, no vector shuffle."""
-    c = centroids.select(
-        F.col("cluster").alias("_cid"), F.col("centroid").alias("_cv")
+    """Nearest-centroid assignment: collect the (<=k)-row centroid
+    table driver-side and inline it as literal arrays; argmin by
+    (rounded distance, centroid id) runs as a single ``array_min``
+    expression inside whole-stage codegen. Output: (id, cluster, vec)
+    — one corpus scan, ZERO Exchange (the vectors never shuffle; the
+    k*dim-double collect is the bounded driver cost)."""
+    cb = collect_codebook(centroids, "cluster", "centroid")
+    if not cb:
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("cluster"),
+            F.col(vec_col),
+        ).limit(0)
+    best = codebook_argmin(
+        lambda cv: F.round(_sqdist(F.col(vec_col), cv), round_digits), cb
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("_dist"), F.asc("_cid"))
-    return (
-        df.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(c))
-        .withColumn(
-            "_dist", F.round(_sqdist(F.col(vec_col), F.col("_cv")), round_digits)
-        )
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(
-            F.col(id_col), F.col("_cid").alias("cluster"), F.col(vec_col)
-        )
+    return df.select(
+        F.col(id_col),
+        best.getField("c").alias("cluster"),
+        F.col(vec_col),
     )
 
 

@@ -189,71 +189,75 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     ``centroids`` (a (cluster, centroid) table, e.g. from
     clustering.kmeans_fit) is the trained codebook; when omitted, the
     ``n_centroids`` lowest-id corpus vectors stand in — deterministic
-    and oracle-friendly. Either way the table broadcasts for both
-    assignment and probing, so the corpus is scanned once with no
-    vector shuffle; only probed-cell candidates are scored.
-    Recall < 1 by construction when n_probe < n_centroids.
+    and oracle-friendly. Either way the (<=k)-row codebook is
+    COLLECTED and inlined as literal arrays, so both cell assignment
+    and query probing run as pure codegen expressions (``array_min`` /
+    ``array_sort`` over (−cosine, cid) structs): the corpus is scanned
+    once with ZERO Exchange — no crossJoin, no per-row window — and
+    only probed-cell candidates are scored. Recall < 1 by
+    construction when n_probe < n_centroids.
 
     All rankings use the ROUNDED cosine with an id tie-break so
-    results are deterministic and engine-portable."""
+    results are deterministic and engine-portable (argmin on the
+    negated rounded cosine ≡ cosine DESC, cid ASC)."""
+    from .clustering import lit_vec, struct_argmin, struct_topn
+
     if centroids is not None:
-        cent = centroids.select(
-            F.col("cluster").alias("cid"),
-            F.col("centroid").alias("_ctv"),
-            _norm(F.col("centroid")).alias("_ctn"),
+        cb_src = centroids.select(
+            F.col("cluster").alias("_cid"), F.col("centroid").alias("_cv")
         )
     else:
-        cent = (
-            corpus.orderBy(id_col).limit(n_centroids)
-            .select(
-                F.col(id_col).alias("cid"),
-                F.col(vec_col).alias("_ctv"),
-                _norm(F.col(vec_col)).alias("_ctn"),
-            )
+        cb_src = corpus.orderBy(id_col).limit(n_centroids).select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv")
         )
-    c = corpus.select(
+    # collect values AND the Spark-computed norm, so the inlined norm
+    # is bit-identical to the old joined _ctn column at zero per-row
+    # cost (HOFs over literals don't constant-fold)
+    cb = [
+        (int(r["_cid"]), list(r["_cv"]), float(r["_cn"]))
+        for r in cb_src.select(
+            "_cid", "_cv", _norm(F.col("_cv")).alias("_cn")
+        ).collect()
+    ]
+
+    def neg_cos_entries(vec, nrm):
+        # negated ROUNDED cosine vs an inlined centroid: identical
+        # arithmetic to the old plan's _ccos/_qcos (literal doubles ==
+        # cast-to-double of the original values), negated so struct
+        # argmin orders (cosine DESC, cid ASC)
+        return [
+            F.struct(
+                (-F.round(
+                    _dot(vec, lit_vec(cv)) / (nrm * F.lit(cn)),
+                    round_digits,
+                )).alias("d"),
+                F.lit(int(cid)).cast("long").alias("c"),
+            )
+            for cid, cv, cn in cb
+        ]
+
+    cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cn"),
+    ).select(
+        "neighbor_id", "_cv", "_cn",
+        struct_argmin(neg_cos_entries(F.col("_cv"), F.col("_cn")))
+        .getField("c").alias("cid"),
     )
-    asg_w = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("_ccos"), F.asc("cid")
-    )
-    cells = (
-        c.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "_ccos",
-            F.round(
-                _dot(F.col("_cv"), F.col("_ctv"))
-                / (F.col("_cn") * F.col("_ctn")),
-                round_digits,
-            ),
-        )
-        .withColumn("_rk", F.row_number().over(asg_w))
-        .filter(F.col("_rk") == 1)
-        .select("neighbor_id", "_cv", "_cn", "cid")
-    )
-    q = queries.select(
+    probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         _norm(F.col(vec_col)).alias("_qn"),
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("_qcos"), F.asc("cid")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "_qcos",
-            F.round(
-                _dot(F.col("_qv"), F.col("_ctv"))
-                / (F.col("_qn") * F.col("_ctn")),
-                round_digits,
-            ),
-        )
-        .withColumn("_rk", F.row_number().over(probe_w))
-        .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "_qv", "_qn", "cid")
+    ).select(
+        "query_id", "_qv", "_qn",
+        F.explode(
+            struct_topn(
+                neg_cos_entries(F.col("_qv"), F.col("_qn")), n_probe
+            )
+        ).alias("_p"),
+    ).select(
+        "query_id", "_qv", "_qn", F.col("_p").getField("c").alias("cid")
     )
     scored = (
         cells.join(F.broadcast(probes), "cid")
@@ -461,7 +465,8 @@ def standardize_dims(df: DataFrame, id_col: str, vec_col: str,
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             vec_col: str, k: int = 5, m: int = 8, sub_d: int = 8,
-            k_star: int = 8, round_digits: int = 6) -> DataFrame:
+            k_star: int = 8, round_digits: int = 6,
+            codebooks: list | None = None) -> DataFrame:
     """Product-quantization ANN (Jégou et al., "Product quantization
     for nearest neighbor search", TPAMI'11): split each vector into
     ``m`` subspaces, quantize each sub-vector to its nearest codebook
@@ -473,81 +478,99 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     d floats to m small codes (here 64x4B -> 8 codes, ~32x less
     memory traffic), which is what makes exhaustive re-ranking of
     billions of vectors feasible; compose with the IVF cells
-    (ivf_topk) for the standard IVF-PQ pipeline. Codebooks here come
-    from the deterministic seed (first k* ids' sub-vectors, rounded)
-    — swap in clustering.kmeans_fit per subspace for trained
-    codebooks; the quantize/ADC contract is identical and the
-    training path is oracle-proven by ml_kmeans_centroids.
+    (ivf_topk) for the standard IVF-PQ pipeline. Codebooks come
+    from ``codebooks`` (per-subspace trained (cid, sub-vector)
+    tables, e.g. clustering.kmeans_fit per subspace — see
+    pq_train_codebooks) or default to the deterministic seed (first
+    k* ids' sub-vectors, rounded).
+
+    Scale shape: the (m x k*)-entry codebooks are collected and
+    inlined, so encoding is ONE corpus scan producing all m codes as
+    a codegen argmin projection (no crossJoin, no per-row window, no
+    union of m passes — ZERO Exchange on the corpus side); each query
+    carries its m integer ADC lookup tables as literal-keyed maps,
+    scoring is a broadcast join + an m-term fold. Only the final
+    per-query top-k window shuffles, and it moves (query, id, adc)
+    triples, never vectors.
 
     Engine-exact: assignments argmin on (rounded distance, centroid
-    id); ADC entries are INTEGER micro-distances
+    id) via struct ordering; ADC entries are INTEGER micro-distances
     (floor(round(d,6)*1e6 + .5)), so per-pair sums are exact and the
     ranking (adc ASC, neighbor ASC) is deterministic on any engine.
     Returns (query_id, neighbor_id, adc_dist, rk)."""
-    from .clustering import _sqdist
+    from .clustering import _sqdist, codebook_argmin, lit_vec
 
-    def sub(col):  # 1-based slice of subspace s
-        return lambda s: F.slice(col, s * sub_d + 1, sub_d)
-
-    corpus_sub = sub(F.col(vec_col))
-    parts_codes = []
-    parts_qt = []
-    for s in range(m):
-        cb = (
+    if codebooks is None:
+        seed_rows = (
             corpus.orderBy(id_col)
             .limit(k_star)
             .select(
                 F.col(id_col).cast("long").alias("_cid"),
                 F.transform(
-                    corpus_sub(s),
+                    F.col(vec_col),
                     lambda x: F.round(x.cast("double"), round_digits),
                 ).alias("_cv"),
             )
+            .collect()
         )
-        w = Window.partitionBy("_id").orderBy(F.asc("_dist"), F.asc("_cid"))
-        codes_s = (
-            corpus.select(
-                F.col(id_col).alias("_id"), corpus_sub(s).alias("_sv")
+        # python slicing of the Spark-rounded values is positional —
+        # no arithmetic, so sub-codebooks are bit-exact
+        codebooks = [
+            [
+                (int(r["_cid"]), list(r["_cv"][s * sub_d:(s + 1) * sub_d]))
+                for r in seed_rows
+            ]
+            for s in range(m)
+        ]
+
+    def sub(col, s):  # 1-based slice of subspace s
+        return F.slice(col, s * sub_d + 1, sub_d)
+
+    def micro(dist_col):
+        return F.floor(
+            F.round(dist_col, round_digits) * 1_000_000 + F.lit(0.5)
+        ).cast("long")
+
+    codes = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.array(*[
+            codebook_argmin(
+                lambda cv, s=s: F.round(
+                    _sqdist(sub(F.col(vec_col), s), cv), round_digits
+                ),
+                codebooks[s],
+            ).getField("c")
+            for s in range(m)
+        ]).alias("_codes"),
+    )
+    qtbl = queries.select(
+        F.col(id_col).alias("_qid"),
+        F.array(*[
+            F.map_from_arrays(
+                F.array(*[F.lit(int(cid)).cast("long")
+                          for cid, _ in codebooks[s]]),
+                F.array(*[
+                    micro(_sqdist(sub(F.col(vec_col), s), lit_vec(cv)))
+                    for _, cv in codebooks[s]
+                ]),
             )
-            .crossJoin(F.broadcast(cb))
-            .withColumn(
-                "_dist",
-                F.round(_sqdist(F.col("_sv"), F.col("_cv")), round_digits),
-            )
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(
-                F.col("_id"), F.lit(s).alias("_s"),
-                F.col("_cid").alias("_code"),
-            )
-        )
-        parts_codes.append(codes_s)
-        qt_s = (
-            queries.select(
-                F.col(id_col).alias("_qid"), corpus_sub(s).alias("_qv")
-            )
-            .crossJoin(F.broadcast(cb))
-            .select(
-                "_qid", F.lit(s).alias("_s"), F.col("_cid").alias("_code"),
-                F.floor(
-                    F.round(
-                        _sqdist(F.col("_qv"), F.col("_cv")), round_digits
-                    ) * 1_000_000 + F.lit(0.5)
-                ).cast("long").alias("_d"),
-            )
-        )
-        parts_qt.append(qt_s)
-    codes = parts_codes[0]
-    for p in parts_codes[1:]:
-        codes = codes.unionByName(p)
-    qt = parts_qt[0]
-    for p in parts_qt[1:]:
-        qt = qt.unionByName(p)
+            for s in range(m)
+        ]).alias("_tbls"),
+    )
     scored = (
-        codes.join(F.broadcast(qt), ["_s", "_code"])
+        codes.crossJoin(F.broadcast(qtbl))
         .filter(F.col("_id") != F.col("_qid"))
-        .groupBy("_qid", "_id")
-        .agg(F.sum("_d").alias("adc_dist"))
+        .select(
+            "_qid", "_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_codes"), F.col("_tbls"),
+                    lambda c, t: F.element_at(t, c),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
     )
     wq = Window.partitionBy("_qid").orderBy(F.asc("adc_dist"), F.asc("_id"))
     return (
@@ -560,6 +583,34 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             "rk",
         )
     )
+
+
+def pq_train_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
+                       m: int = 8, sub_d: int = 8, k_star: int = 8,
+                       iters: int = 1,
+                       round_digits: int = 6) -> list:
+    """Train per-subspace PQ codebooks with the deterministic k-means
+    (clustering.kmeans_fit) over each sub-vector slice — the trained
+    path Jégou et al. TPAMI'11 §II prescribes, composing the proven
+    Lloyd loop with the pq_topk ``codebooks`` seam. Returns the
+    [(cid, [floats])]-per-subspace structure pq_topk consumes
+    (collected — m·k*·sub_d doubles, bounded driver cost).
+
+    Cluster ids are the seed vector ids (kmeans_fit's convention), so
+    the argmin tie-break stays deterministic; centroid values are the
+    Spark-rounded Lloyd means, bit-exact for the oracle replay."""
+    from .clustering import collect_codebook, kmeans_fit
+
+    cbs = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("_sv"),
+        )
+        cent = kmeans_fit(sub, id_col, "_sv", k=k_star, iters=iters,
+                          round_digits=round_digits)
+        cbs.append(collect_codebook(cent, "cluster", "centroid"))
+    return cbs
 
 
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
@@ -580,115 +631,161 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     engine-exact end to end. Codebooks are deterministic seeds
     (coarse: first n_cells vectors; PQ: first k_star residuals);
     kmeans_fit slots into either role for trained quantizers.
+
+    Scale shape: both codebooks are collected (<= n_cells·d +
+    k*·d doubles) and inlined, so cell assignment, residual
+    encoding, and ALL m PQ code assignments happen in one codegen
+    corpus scan with ZERO Exchange — the old plan's m+2
+    crossJoin+window passes (each a full-corpus hash Exchange) are
+    gone. Queries carry per-probed-cell integer ADC maps; scoring is
+    one broadcast equi-join on the cell id + an m-term fold; only
+    the final top-k window shuffles (adc triples, never vectors).
     Returns (query_id, neighbor_id, adc_dist, rk)."""
-    from .clustering import _sqdist
+    from .clustering import (
+        _sqdist,
+        codebook_argmin,
+        codebook_topn,
+        lit_vec,
+    )
 
-    def rounded(col):
-        return F.transform(
-            col, lambda x: F.round(x.cast("double"), round_digits)
-        )
+    def sub(col, s):  # 1-based slice of subspace s
+        return F.slice(col, s * sub_d + 1, sub_d)
 
-    cells = (
+    def micro(dist_col):
+        return F.floor(
+            F.round(dist_col, round_digits) * 1_000_000 + F.lit(0.5)
+        ).cast("long")
+
+    # coarse codebook: first n_cells vectors, Spark-rounded, collected
+    cell_rows = (
         corpus.orderBy(id_col)
         .limit(n_cells)
         .select(
             F.col(id_col).cast("long").alias("_cell"),
-            rounded(F.col(vec_col)).alias("_cv"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double"), round_digits),
+            ).alias("_cv"),
         )
+        .collect()
     )
-    w_cell = Window.partitionBy("_id").orderBy(F.asc("_d"), F.asc("_cell"))
+    coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
+    # cell assignment + residual in one projection: the argmin struct
+    # carries the centroid vector (third field, never compared — cell
+    # ids are unique) so the residual subtracts the exact inlined
+    # centroid, matching the old zip_with against the joined row
+    best_cell = codebook_argmin(
+        lambda cv: F.round(_sqdist(F.col("_v"), cv), round_digits),
+        coarse,
+        carry_vec=True,
+    )
     asg = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(cells))
-        .withColumn(
-            "_d", F.round(_sqdist(F.col("_v"), F.col("_cv")), round_digits)
-        )
-        .withColumn("_rk", F.row_number().over(w_cell))
-        .filter(F.col("_rk") == 1)
+        # project the argmin struct into its own column FIRST so the
+        # two field reads below don't each re-expand the whole
+        # array_min expression (HOF re-evaluation trap)
+        .select("_id", "_v", best_cell.alias("_b"))
         .select(
             "_id",
-            "_cell",
+            F.col("_b").getField("c").alias("_cell"),
             F.zip_with(
-                "_v", "_cv", lambda x, y: x.cast("double") - y
+                F.col("_v"), F.col("_b").getField("v"),
+                lambda x, y: x.cast("double") - y,
             ).alias("_res"),
         )
+        .localCheckpoint()
     )
-    # PQ codebooks over residual sub-vectors (seed: first k_star ids)
-    def sub(col, s):
-        return F.slice(col, s * sub_d + 1, sub_d)
-
-    asg = asg.localCheckpoint()
-    seeds = asg.orderBy("_id").limit(k_star)
-    parts_codes, cbs = [], {}
-    for s in range(m):
-        cb = seeds.select(
+    # PQ codebooks over residual sub-vectors (seed: first k_star ids),
+    # collected once, python-sliced per subspace (positional — exact)
+    seed_rows = (
+        asg.orderBy("_id")
+        .limit(k_star)
+        .select(
             F.col("_id").cast("long").alias("_cid"),
-            rounded(sub(F.col("_res"), s)).alias("_bv"),
+            F.transform(
+                F.col("_res"), lambda x: F.round(x, round_digits)
+            ).alias("_rv"),
         )
-        cbs[s] = cb
-        w = Window.partitionBy("_id").orderBy(F.asc("_d"), F.asc("_cid"))
-        parts_codes.append(
-            asg.select("_id", "_cell", sub(F.col("_res"), s).alias("_sv"))
-            .crossJoin(F.broadcast(cb))
-            .withColumn(
-                "_d",
-                F.round(_sqdist(F.col("_sv"), F.col("_bv")), round_digits),
-            )
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select(
-                "_id", "_cell", F.lit(s).alias("_s"),
-                F.col("_cid").alias("_code"),
-            )
-        )
-    codes = parts_codes[0]
-    for p in parts_codes[1:]:
-        codes = codes.unionByName(p)
-    # query side: probe cells, then per-(query, cell) residual tables
-    w_probe = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_cell"))
+        .collect()
+    )
+    cbs = [
+        [
+            (int(r["_cid"]), list(r["_rv"][s * sub_d:(s + 1) * sub_d]))
+            for r in seed_rows
+        ]
+        for s in range(m)
+    ]
+    codes = asg.select(
+        "_id",
+        "_cell",
+        F.array(*[
+            codebook_argmin(
+                lambda bv, s=s: F.round(
+                    _sqdist(sub(F.col("_res"), s), bv), round_digits
+                ),
+                cbs[s],
+            ).getField("c")
+            for s in range(m)
+        ]).alias("_codes"),
+    )
+    # query side: probe the n_probe nearest cells (codegen top-n over
+    # the inlined coarse codebook, centroid carried for the residual),
+    # then per-(query, cell) integer ADC maps over the inlined PQ cbs
     probes = (
         queries.select(
             F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
         )
-        .crossJoin(F.broadcast(cells))
-        .withColumn(
-            "_d", F.round(_sqdist(F.col("_qv"), F.col("_cv")), round_digits)
+        .select(
+            "_qid",
+            F.explode(
+                codebook_topn(
+                    lambda cv: F.round(_sqdist(F.col("_qv"), cv),
+                                       round_digits),
+                    coarse,
+                    n_probe,
+                    carry_vec=True,
+                )
+            ).alias("_p"),
+            F.col("_qv"),
         )
-        .withColumn("_rk", F.row_number().over(w_probe))
-        .filter(F.col("_rk") <= n_probe)
+        .select(
+            "_qid",
+            F.col("_p").getField("c").alias("_cell"),
+            F.zip_with(
+                F.col("_qv"), F.col("_p").getField("v"),
+                lambda x, y: x.cast("double") - y,
+            ).alias("_qres"),
+        )
         .select(
             "_qid",
             "_cell",
-            F.zip_with(
-                "_qv", "_cv", lambda x, y: x.cast("double") - y
-            ).alias("_qres"),
+            F.array(*[
+                F.map_from_arrays(
+                    F.array(*[F.lit(int(cid)).cast("long")
+                              for cid, _ in cbs[s]]),
+                    F.array(*[
+                        micro(_sqdist(sub(F.col("_qres"), s), lit_vec(bv)))
+                        for _, bv in cbs[s]
+                    ]),
+                )
+                for s in range(m)
+            ]).alias("_tbls"),
         )
     )
-    parts_qt = []
-    for s in range(m):
-        parts_qt.append(
-            probes.select(
-                "_qid", "_cell", sub(F.col("_qres"), s).alias("_qs")
-            )
-            .crossJoin(F.broadcast(cbs[s]))
-            .select(
-                "_qid", "_cell", F.lit(s).alias("_s"),
-                F.col("_cid").alias("_code"),
-                F.floor(
-                    F.round(
-                        _sqdist(F.col("_qs"), F.col("_bv")), round_digits
-                    ) * 1_000_000 + F.lit(0.5)
-                ).cast("long").alias("_d"),
-            )
-        )
-    qt = parts_qt[0]
-    for p in parts_qt[1:]:
-        qt = qt.unionByName(p)
     scored = (
-        codes.join(F.broadcast(qt), ["_cell", "_s", "_code"])
+        codes.join(F.broadcast(probes), "_cell")
         .filter(F.col("_id") != F.col("_qid"))
-        .groupBy("_qid", "_id")
-        .agg(F.sum("_d").alias("adc_dist"))
+        .select(
+            "_qid", "_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_codes"), F.col("_tbls"),
+                    lambda c, t: F.element_at(t, c),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
     )
     wq = Window.partitionBy("_qid").orderBy(F.asc("adc_dist"), F.asc("_id"))
     return (

@@ -2339,6 +2339,91 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+def _pq_trained_sql(m: int, sub_d: int, k_star: int, iters: int,
+                    n_queries: int, topk: int) -> str:
+    """DuckDB twin of pq_train_codebooks + pq_topk: per-subspace
+    k-means (the _kmeans_ctes conventions — rounded seeds, argmin with
+    cluster tie-break, per-dimension rounded means — applied to each
+    sub-vector slice), then the standard PQ encode/ADC/rank chain
+    against the TRAINED codebooks. Every iterative CTE is MATERIALIZED
+    (DuckDB inlines CTEs; the multiply-referenced rounds would expand
+    the scan tree exponentially otherwise)."""
+    ctes = []
+    for s in range(m):
+        a, b = s * sub_d + 1, (s + 1) * sub_d
+        sl = f"e.embedding[{a}:{b}]"
+        ctes.append(f"""p{s}c0 AS MATERIALIZED (
+          SELECT CAST(vec_id AS BIGINT) AS cluster,
+                 list_transform(embedding[{a}:{b}],
+                                x -> round(CAST(x AS DOUBLE), 6)) AS centroid
+          FROM embeddings ORDER BY vec_id LIMIT {k_star})""")
+        for i in range(1, iters + 1):
+            dist = _SQDIST.format(a=sl, b="c.centroid")
+            ctes.append(f"""p{s}a{i} AS MATERIALIZED (
+              SELECT e.vec_id, {sl} AS sv, c.cluster,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round({dist}, 6), c.cluster) AS rk
+              FROM embeddings e, p{s}c{i-1} c)""")
+            ctes.append(f"""p{s}d{i} AS MATERIALIZED (
+              SELECT cluster, t.j AS dim,
+                     round(avg(CAST(sv[t.j] AS DOUBLE)), 6) AS m
+              FROM p{s}a{i}, LATERAL (SELECT unnest(generate_series(1,
+                     len(sv))) AS j) t
+              WHERE rk = 1 GROUP BY cluster, t.j)""")
+            ctes.append(f"""p{s}c{i} AS MATERIALIZED (
+              SELECT cluster, list(m ORDER BY dim) AS centroid
+              FROM p{s}d{i} GROUP BY cluster)""")
+        dist_f = _SQDIST.format(a=sl, b="c.centroid")
+        qdist_f = _SQDIST.format(a=f"q.embedding[{a}:{b}]", b="c.centroid")
+        ctes.append(f"""code{s} AS MATERIALIZED (
+          SELECT vec_id, {s} AS s, cluster AS code FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round({dist_f}, 6), c.cluster) AS rk
+            FROM embeddings e, p{s}c{iters} c) t WHERE rk = 1)""")
+        ctes.append(f"""qt{s} AS MATERIALIZED (
+          SELECT q.vec_id AS qid, {s} AS s, c.cluster AS code,
+                 CAST(floor(round({qdist_f}, 6) * 1000000 + 0.5) AS BIGINT)
+                     AS d
+          FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q,
+               p{s}c{iters} c)""")
+    codes_u = " UNION ALL ".join(f"SELECT * FROM code{s}" for s in range(m))
+    qt_u = " UNION ALL ".join(f"SELECT * FROM qt{s}" for s in range(m))
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+       codes AS MATERIALIZED ({codes_u}),
+       qt AS MATERIALIZED ({qt_u}),
+       adc AS (SELECT qt.qid AS query_id, codes.vec_id AS neighbor_id,
+                      sum(qt.d) AS adc_dist
+               FROM codes JOIN qt ON qt.s = codes.s
+                                 AND qt.code = codes.code
+               WHERE codes.vec_id <> qt.qid
+               GROUP BY qt.qid, codes.vec_id)
+       SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+              CAST(rk AS BIGINT) AS rk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist, neighbor_id) AS rk FROM adc) t
+       WHERE rk <= {topk}"""
+
+
+@_q("ann_pq_trained", _pq_trained_sql(8, 8, 4, 1, 10, 5))
+def ann_pq_trained(spark, sf_dir):
+    """PQ ANN with TRAINED codebooks (similarity.pq_train_codebooks →
+    pq_topk): per-subspace k-means (k*=4, one Lloyd iteration,
+    deterministic seeds) learns each codebook, proving the training
+    path composes with the quantize/ADC contract — not just the
+    seeded one. The oracle replays the per-subspace Lloyd round, the
+    encode, and the integer-ADC ranking in generated SQL."""
+    e = load(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_train_codebooks(
+        e, "vec_id", "embedding", m=8, sub_d=8, k_star=4, iters=1
+    )
+    return similarity.pq_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, m=8, sub_d=8, codebooks=cbs,
+    )
+
+
 
 
 # Shared near-dup cluster map for the composition queries

@@ -378,10 +378,11 @@ def test_global_shuffle_avoids_single_reducer_sort(spark, queries):
 
 
 def test_semantic_prune_broadcasts_and_stays_native(spark, queries):
-    # centroid assignment must broadcast the k-row centroid table --
-    # the corpus is never shuffled to meet it. Assert on the
-    # assignment stage directly (the operator localCheckpoints it, so
-    # the registry query's final plan no longer shows this join).
+    # centroid assignment inlines the collected k-row codebook as a
+    # codegen array_min -- the corpus is NEVER shuffled or joined to
+    # meet it: zero Exchange of any kind, zero join nodes. (This
+    # replaced the old broadcast-crossJoin + per-row-id window, whose
+    # Window.partitionBy(id) forced a full-corpus hash Exchange.)
     from avk_job_skill_analytics_spark.operators.clustering import (
         assign_clusters,
         kmeans_fit,
@@ -391,13 +392,44 @@ def test_semantic_prune_broadcasts_and_stays_native(spark, queries):
     e = load(spark, SF_DIR, "embeddings")
     cents = kmeans_fit(e, "vec_id", "embedding", k=3, iters=1)
     asg = assign_clusters(e, cents, "vec_id", "embedding")
-    assert "BroadcastNestedLoopJoin" in I.plan_string(asg)
+    plan = I.plan_string(asg)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
     # ...and the end-to-end query is pure Column expressions: no
     # Python eval nodes, no cartesian pair expansion
     df = queries["dd_semantic_prune"](spark, SF_DIR)
     plan = I.plan_string(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_assignment_stages_never_shuffle_the_corpus(spark):
+    # ivf/pq/ivfpq: codebooks are collected and inlined, so the ONLY
+    # shuffle Exchange left in each full plan is the final per-query
+    # top-k window over (query, id, score) triples -- the corpus
+    # vectors themselves never hash-partition. The old plans carried
+    # one full-corpus Exchange per assignment window (m+2 of them in
+    # IVF-PQ).
+    import re
+
+    from avk_job_skill_analytics_spark.operators import similarity
+    from avk_job_skill_analytics_spark.plans.schemas import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    for df in (
+        similarity.ivf_topk(e, q, "vec_id", "embedding",
+                            k=3, n_centroids=4, n_probe=2),
+        similarity.pq_topk(e, q, "vec_id", "embedding",
+                           k=3, m=8, sub_d=8, k_star=4),
+        similarity.ivfpq_topk(e, q, "vec_id", "embedding", k=3,
+                              n_cells=4, n_probe=2, m=8, sub_d=8,
+                              k_star=4),
+    ):
+        plan = I.plan_string(df)
+        shuffles = re.findall(r"Exchange (?:hash|range)partitioning", plan)
+        assert len(shuffles) <= 1, plan
+        assert "CartesianProduct" not in plan
 
 
 def test_containment_joins_on_hashed_shingle_no_cartesian(spark, queries):
