@@ -33,13 +33,6 @@ def _sqdist(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
-def lit_vec(values) -> Column:
-    """A literal array<double> column. Collected float32/float64 values
-    round-trip exactly through Python floats (IEEE 754), so inlining
-    them is bit-identical to casting the original column to double."""
-    return F.array(*[F.lit(float(v)) for v in values])
-
-
 def collect_codebook(df: DataFrame, id_field: str,
                      vec_field: str) -> list:
     """Collect a (<=k)-row codebook to the driver as [(cid, [floats])].
@@ -53,55 +46,87 @@ def collect_codebook(df: DataFrame, id_field: str,
     ]
 
 
-def struct_argmin(entries: list) -> Column:
-    """``array_min`` over caller-built (d, c[, ...]) structs — struct
-    ordering is lexicographic, so (dist ASC, cid ASC) is the ordering
-    itself. Pure codegen: zero Exchange, zero join."""
-    return F.array_min(F.array(*entries))
+# Inlined-codebook expressions are built as ONE SQL string and parsed
+# with F.expr: assembling the same tree through the Column API costs
+# thousands of py4j round trips (~3s for an 8x8-codebook argmin —
+# measured, and it dwarfed the actual execution), while one expr()
+# parse is milliseconds. repr(float) is the shortest round-tripping
+# decimal, and CAST('<repr>' AS DOUBLE) parses back to the identical
+# IEEE double, so inlined values stay bit-exact.
+
+def sql_double(v) -> str:
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
 
 
-def struct_topn(entries: list, n: int) -> Column:
-    """``array_sort`` + slice over caller-built (d, c[, ...]) structs:
-    the n best entries, same ordering contract as struct_argmin."""
-    return F.slice(F.array_sort(F.array(*entries)), 1, n)
+def sql_lit_arr(values) -> str:
+    return "array(" + ", ".join(sql_double(v) for v in values) + ")"
 
 
-def codebook_argmin(dist_fn, codebook, carry_vec: bool = False) -> Column:
-    """Codegen argmin over an inlined codebook: an array of
-    (dist, cid[, vec]) structs reduced with ``array_min`` — Spark's
-    struct ordering is lexicographic, so the (dist ASC, cid ASC)
-    tie-break is the ordering itself. Pure Column expression: zero
-    Exchange, zero join — the corpus never moves to meet the codebook
-    (this replaces the old crossJoin+row_number window, whose
-    Window.partitionBy(id) forced a full-corpus hash Exchange).
-
-    ``dist_fn(lit_centroid_vec) -> Column`` computes the (rounded)
-    distance; ``carry_vec`` additionally carries the centroid vector
-    in the struct (third field — never reached by the comparison since
-    cid is unique) for residual computation downstream."""
-    return struct_argmin(_codebook_entries(dist_fn, codebook, carry_vec))
+def sqdist_sql(vec_sql: str, values, offset: int = 0) -> str:
+    """Squared-L2 SQL against literal values: the exact fold shape of
+    ``_sqdist`` (zip_with diff, left-fold acc + x*x — deterministic
+    summation order), over ``vec[offset+1 .. offset+len]``. The slice
+    keeps zip_with lengths equal (it null-pads mismatches)."""
+    src = f"slice({vec_sql}, {offset + 1}, {len(values)})"
+    return (
+        f"aggregate(zip_with({src}, {sql_lit_arr(values)}, "
+        "(x, y) -> CAST(x AS DOUBLE) - y), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x * x)"
+    )
 
 
-def codebook_topn(dist_fn, codebook, n: int,
-                  carry_vec: bool = False) -> Column:
-    """Codegen top-n over an inlined codebook: ``array_sort`` on the
-    same (dist, cid[, vec]) structs, sliced to the first n. Explode the
-    result to get one row per probed entry — still no Exchange."""
-    return struct_topn(_codebook_entries(dist_fn, codebook, carry_vec), n)
+def dot_sql(vec_sql: str, values) -> str:
+    """Dot-product SQL against literal values — the exact fold shape
+    of similarity._dot."""
+    return (
+        f"aggregate(zip_with(slice({vec_sql}, 1, {len(values)}), "
+        f"{sql_lit_arr(values)}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
 
 
-def _codebook_entries(dist_fn, codebook, carry_vec: bool) -> list:
+def _entries_sql(dist_sql_fn, codebook, carry_vec: bool) -> str:
     entries = []
     for cid, vals in codebook:
-        lv = lit_vec(vals)
         fields = [
-            dist_fn(lv).alias("d"),
-            F.lit(int(cid)).cast("long").alias("c"),
+            f"'d', {dist_sql_fn(vals)}",
+            f"'c', CAST({int(cid)} AS BIGINT)",
         ]
         if carry_vec:
-            fields.append(lv.alias("v"))
-        entries.append(F.struct(*fields))
-    return entries
+            fields.append(f"'v', {sql_lit_arr(vals)}")
+        entries.append("named_struct(" + ", ".join(fields) + ")")
+    return ", ".join(entries)
+
+
+def codebook_argmin(dist_sql_fn, codebook,
+                    carry_vec: bool = False) -> Column:
+    """Argmin over an inlined codebook: an array of (dist, cid[, vec])
+    structs reduced with ``array_min`` — Spark's struct ordering is
+    lexicographic, so the (dist ASC, cid ASC) tie-break is the
+    ordering itself. One pure expression: ZERO Exchange, zero join —
+    the corpus never moves to meet the codebook (this replaces the old
+    crossJoin+row_number window, whose Window.partitionBy(id) forced a
+    full-corpus hash Exchange).
+
+    ``dist_sql_fn(centroid_values: list[float]) -> str`` renders the
+    (rounded) distance SQL — compose sqdist_sql/dot_sql; ``carry_vec``
+    additionally carries the centroid vector in the struct (third
+    field — never reached by the comparison since cid is unique, and
+    a folded constant) for residual computation downstream."""
+    return F.expr(
+        f"array_min(array({_entries_sql(dist_sql_fn, codebook, carry_vec)}))"
+    )
+
+
+def codebook_topn(dist_sql_fn, codebook, n: int,
+                  carry_vec: bool = False) -> Column:
+    """Top-n over an inlined codebook: ``array_sort`` on the same
+    (dist, cid[, vec]) structs, sliced to the first n. Explode the
+    result to get one row per probed entry — still no Exchange."""
+    return F.expr(
+        "slice(array_sort(array("
+        f"{_entries_sql(dist_sql_fn, codebook, carry_vec)})), 1, {int(n)})"
+    )
 
 
 def assign_clusters(df: DataFrame, centroids: DataFrame, id_col: str,
@@ -120,7 +145,8 @@ def assign_clusters(df: DataFrame, centroids: DataFrame, id_col: str,
             F.col(vec_col),
         ).limit(0)
     best = codebook_argmin(
-        lambda cv: F.round(_sqdist(F.col(vec_col), cv), round_digits), cb
+        lambda cv: f"round({sqdist_sql(f'`{vec_col}`', cv)}, {round_digits})",
+        cb,
     )
     return df.select(
         F.col(id_col),

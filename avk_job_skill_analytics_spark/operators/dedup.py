@@ -167,6 +167,38 @@ def candidate_pairs(bands_df: DataFrame, id_col: str,
     )
 
 
+def lsh_bucket_census(bands_df: DataFrame, id_col: str,
+                      max_bucket_size: int = 10_000) -> DataFrame:
+    """Relational twin of candidate_pairs' observe('lsh_bucket_cap')
+    runtime metric — the no-silent-caps artifact: per band, how many
+    buckets collide, the largest one, how many the production cap
+    DROPS, and the candidate-pair mass those dropped buckets would
+    have expanded (n·(n−1)/2 each). Publish this next to any capped
+    LSH run so pruning is a number in the release card, not a
+    footnote. One extra groupBy over the bands frame the dedup run
+    already materializes — no new corpus scan."""
+    bsz = (
+        bands_df.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    dropped = F.col("n") > max_bucket_size
+    return bsz.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.count(F.lit(1)).alias("colliding_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.count(F.when(dropped, 1)).alias("dropped_buckets"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    dropped,
+                    F.expr("CAST(n AS BIGINT) * (n - 1) div 2"),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("pruned_pairs"),
+    )
+
+
 def verify_jaccard(pairs: DataFrame, shingles: DataFrame, id_col: str,
                    threshold: float) -> DataFrame:
     """Exact Jaccard over candidate pairs via the shingle inverted
@@ -207,6 +239,68 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame, id_col: str,
             F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "jaccard"
         )
     )
+
+
+def verify_containment(pairs: DataFrame, shingles: DataFrame,
+                       id_col: str, threshold: float) -> DataFrame:
+    """Broder containment over candidate survivors — the same
+    semi-join-pruned inverted-index shape as ``verify_jaccard``, but
+    scoring BOTH directions: C(A in B) = |A∩B|/|A| and C(B in A) =
+    |A∩B|/|B|, keeping pairs where either reaches the threshold.
+
+    This is the scale path for asymmetric duplicates (prefix dumps,
+    quoted articles, boilerplate-wrapped copies): candidates come
+    from LSH banding — a mostly-contained document still collides
+    with its container through the shared shingles dominating its
+    (smaller) shingle set — and only the survivors pay the exact
+    intersection join. ``containment_pairs`` is the validation-scale
+    all-pairs twin of this composition."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    hashed = shingles.select(
+        F.col(id_col), md5_long(F.col("shingle")).alias("sh")
+    )
+    sa = hashed.join(
+        pairs.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("a"), "sh")
+    sb = hashed.join(
+        pairs.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("b"), "sh")
+    inter = (
+        sa.join(sb, "sh")
+        .join(pairs, ["a", "b"], "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a").join(nb, "b")
+        .withColumn("cont_a_in_b", F.round(F.col("i") / F.col("na"), 4))
+        .withColumn("cont_b_in_a", F.round(F.col("i") / F.col("nb"), 4))
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+            "cont_a_in_b", "cont_b_in_a",
+        )
+    )
+
+
+def containment_lsh(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3, num_hashes: int = 16, bands: int = 8,
+                    threshold: float = 0.8, seed: int = 7) -> DataFrame:
+    """End-to-end LSH-scale asymmetric near-dup detection: MinHash
+    banding generates candidates (O(docs×bands) shuffle, bucket-capped
+    — the 100 TB regime), then ``verify_containment`` scores exact
+    containment on the survivors only. Recall on a contained fraction
+    f follows the banding curve at Jaccard≈f/(1+... ) — both engines
+    share the deterministic hash family, so misses are identical."""
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, id_col, text_col, k).persist()
+    sig = minhash_signatures(sh, id_col, num_hashes, seed)
+    cand = candidate_pairs(
+        lsh_bands(sig, id_col, bands, rows_per_band), id_col
+    )
+    return verify_containment(cand, sh, id_col, threshold)
 
 
 def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
@@ -274,11 +368,9 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     EITHER direction reaches the threshold; doc_a < doc_b.
 
     Same inverted-index regime as ``ngram_jaccard_pairs`` (exact,
-    grows with Sigma_shingle df^2) — the validation-scale twin. The
-    scale path reuses the MinHash-LSH candidate generator: containment
-    survives banding on the SMALLER document's signature, so run
-    ``candidate_pairs`` first and verify containment instead of
-    Jaccard on the survivors."""
+    grows with Sigma_shingle df^2) — the validation-scale twin of
+    ``containment_lsh``, which composes the MinHash-LSH candidate
+    generator with ``verify_containment`` for the 100 TB path."""
     sh = word_shingles(df, id_col, text_col, k).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     hashed = sh.select(F.col(id_col), md5_long(F.col("shingle")).alias("sh"))

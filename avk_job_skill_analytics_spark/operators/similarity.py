@@ -200,7 +200,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     All rankings use the ROUNDED cosine with an id tie-break so
     results are deterministic and engine-portable (argmin on the
     negated rounded cosine ≡ cosine DESC, cid ASC)."""
-    from .clustering import lit_vec, struct_argmin, struct_topn
+    from .clustering import dot_sql, sql_double
 
     if centroids is not None:
         cb_src = centroids.select(
@@ -220,21 +220,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         ).collect()
     ]
 
-    def neg_cos_entries(vec, nrm):
+    def neg_cos_entries(vec_sql, nrm_sql):
         # negated ROUNDED cosine vs an inlined centroid: identical
         # arithmetic to the old plan's _ccos/_qcos (literal doubles ==
-        # cast-to-double of the original values), negated so struct
-        # argmin orders (cosine DESC, cid ASC)
-        return [
-            F.struct(
-                (-F.round(
-                    _dot(vec, lit_vec(cv)) / (nrm * F.lit(cn)),
-                    round_digits,
-                )).alias("d"),
-                F.lit(int(cid)).cast("long").alias("c"),
-            )
+        # cast-to-double of the original values, dot_sql replays the
+        # fold order), negated so struct argmin orders
+        # (cosine DESC, cid ASC)
+        return ", ".join(
+            "named_struct('d', -round("
+            f"{dot_sql(vec_sql, cv)} / ({nrm_sql} * {sql_double(cn)}), "
+            f"{round_digits}), 'c', CAST({cid} AS BIGINT))"
             for cid, cv, cn in cb
-        ]
+        )
 
     cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -242,8 +239,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         _norm(F.col(vec_col)).alias("_cn"),
     ).select(
         "neighbor_id", "_cv", "_cn",
-        struct_argmin(neg_cos_entries(F.col("_cv"), F.col("_cn")))
-        .getField("c").alias("cid"),
+        F.expr(
+            f"array_min(array({neg_cos_entries('`_cv`', '`_cn`')})).c"
+        ).alias("cid"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
@@ -252,8 +250,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     ).select(
         "query_id", "_qv", "_qn",
         F.explode(
-            struct_topn(
-                neg_cos_entries(F.col("_qv"), F.col("_qn")), n_probe
+            F.expr(
+                "slice(array_sort(array("
+                f"{neg_cos_entries('`_qv`', '`_qn`')})), 1, {int(n_probe)})"
             )
         ).alias("_p"),
     ).select(
@@ -498,7 +497,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     (floor(round(d,6)*1e6 + .5)), so per-pair sums are exact and the
     ranking (adc ASC, neighbor ASC) is deterministic on any engine.
     Returns (query_id, neighbor_id, adc_dist, rk)."""
-    from .clustering import _sqdist, codebook_argmin, lit_vec
+    from .clustering import codebook_argmin, sqdist_sql
 
     if codebooks is None:
         seed_rows = (
@@ -523,39 +522,46 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             for s in range(m)
         ]
 
-    def sub(col, s):  # 1-based slice of subspace s
-        return F.slice(col, s * sub_d + 1, sub_d)
+    def micro(dist_sql):
+        return (
+            f"CAST(floor(round({dist_sql}, {round_digits}) * 1000000 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
 
-    def micro(dist_col):
-        return F.floor(
-            F.round(dist_col, round_digits) * 1_000_000 + F.lit(0.5)
-        ).cast("long")
+    def dist(vec_sql, cv, s):
+        return (
+            f"round({sqdist_sql(vec_sql, cv, offset=s * sub_d)}, "
+            f"{round_digits})"
+        )
 
     codes = corpus.select(
         F.col(id_col).alias("_id"),
         F.array(*[
             codebook_argmin(
-                lambda cv, s=s: F.round(
-                    _sqdist(sub(F.col(vec_col), s), cv), round_digits
-                ),
+                lambda cv, s=s: dist(f"`{vec_col}`", cv, s),
                 codebooks[s],
             ).getField("c")
             for s in range(m)
         ]).alias("_codes"),
     )
+
+    def adc_map(vec_sql, s):
+        keys = ", ".join(
+            f"CAST({int(cid)} AS BIGINT)" for cid, _ in codebooks[s]
+        )
+        vals = ", ".join(
+            micro(sqdist_sql(vec_sql, cv, offset=s * sub_d))
+            for _, cv in codebooks[s]
+        )
+        return f"map_from_arrays(array({keys}), array({vals}))"
+
     qtbl = queries.select(
         F.col(id_col).alias("_qid"),
-        F.array(*[
-            F.map_from_arrays(
-                F.array(*[F.lit(int(cid)).cast("long")
-                          for cid, _ in codebooks[s]]),
-                F.array(*[
-                    micro(_sqdist(sub(F.col(vec_col), s), lit_vec(cv)))
-                    for _, cv in codebooks[s]
-                ]),
-            )
-            for s in range(m)
-        ]).alias("_tbls"),
+        F.expr(
+            "array("
+            + ", ".join(adc_map(f"`{vec_col}`", s) for s in range(m))
+            + ")"
+        ).alias("_tbls"),
     )
     scored = (
         codes.crossJoin(F.broadcast(qtbl))
@@ -642,19 +648,22 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     the final top-k window shuffles (adc triples, never vectors).
     Returns (query_id, neighbor_id, adc_dist, rk)."""
     from .clustering import (
-        _sqdist,
         codebook_argmin,
         codebook_topn,
-        lit_vec,
+        sqdist_sql,
     )
 
-    def sub(col, s):  # 1-based slice of subspace s
-        return F.slice(col, s * sub_d + 1, sub_d)
+    def micro(dist_sql):
+        return (
+            f"CAST(floor(round({dist_sql}, {round_digits}) * 1000000 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
 
-    def micro(dist_col):
-        return F.floor(
-            F.round(dist_col, round_digits) * 1_000_000 + F.lit(0.5)
-        ).cast("long")
+    def rdist(vec_sql, vals, offset=0):
+        return (
+            f"round({sqdist_sql(vec_sql, vals, offset=offset)}, "
+            f"{round_digits})"
+        )
 
     # coarse codebook: first n_cells vectors, Spark-rounded, collected
     cell_rows = (
@@ -675,9 +684,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     # ids are unique) so the residual subtracts the exact inlined
     # centroid, matching the old zip_with against the joined row
     best_cell = codebook_argmin(
-        lambda cv: F.round(_sqdist(F.col("_v"), cv), round_digits),
-        coarse,
-        carry_vec=True,
+        lambda cv: rdist("`_v`", cv), coarse, carry_vec=True
     )
     asg = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -720,9 +727,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         "_cell",
         F.array(*[
             codebook_argmin(
-                lambda bv, s=s: F.round(
-                    _sqdist(sub(F.col("_res"), s), bv), round_digits
-                ),
+                lambda bv, s=s: rdist("`_res`", bv, offset=s * sub_d),
                 cbs[s],
             ).getField("c")
             for s in range(m)
@@ -739,10 +744,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             "_qid",
             F.explode(
                 codebook_topn(
-                    lambda cv: F.round(_sqdist(F.col("_qv"), cv),
-                                       round_digits),
-                    coarse,
-                    n_probe,
+                    lambda cv: rdist("`_qv`", cv), coarse, n_probe,
                     carry_vec=True,
                 )
             ).alias("_p"),
@@ -759,17 +761,24 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         .select(
             "_qid",
             "_cell",
-            F.array(*[
-                F.map_from_arrays(
-                    F.array(*[F.lit(int(cid)).cast("long")
-                              for cid, _ in cbs[s]]),
-                    F.array(*[
-                        micro(_sqdist(sub(F.col("_qres"), s), lit_vec(bv)))
-                        for _, bv in cbs[s]
-                    ]),
-                )
-                for s in range(m)
-            ]).alias("_tbls"),
+            F.expr(
+                "array(" + ", ".join(
+                    "map_from_arrays(array({k}), array({v}))".format(
+                        k=", ".join(
+                            f"CAST({int(cid)} AS BIGINT)"
+                            for cid, _ in cbs[s]
+                        ),
+                        v=", ".join(
+                            micro(
+                                sqdist_sql("`_qres`", bv,
+                                           offset=s * sub_d)
+                            )
+                            for _, bv in cbs[s]
+                        ),
+                    )
+                    for s in range(m)
+                ) + ")"
+            ).alias("_tbls"),
         )
     )
     scored = (

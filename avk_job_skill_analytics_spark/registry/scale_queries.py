@@ -97,7 +97,11 @@ _VERIFY_SQL = """
 """
 
 
-def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+def _lsh_cand_ctes(num_hashes: int, bands: int, src: str = "sh") -> str:
+    """sig_t/bands_t/cand CTE block over an in-scope ``src(doc_id,
+    shingle)`` relation — the banding replay shared by every
+    LSH-candidate oracle (same hash constants as the engine, so
+    candidate sets match bit-for-bit)."""
     rows = num_hashes // bands
     h = f"({md5_long_sql('shingle')} % {MERSENNE_P})"
     mins = ",\n            ".join(
@@ -113,15 +117,19 @@ def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
         )
         for b in range(bands)
     )
-    return f"""WITH {_SHINGLE_CTE},
-  sig_t AS (SELECT doc_id,
+    return f"""sig_t AS (SELECT doc_id,
             {mins}
-            FROM sh GROUP BY doc_id),
+            FROM {src} GROUP BY doc_id),
   bands_t AS (
 {band_selects}),
   cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            FROM bands_t x JOIN bands_t y
-             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
+
+
+def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
+    return f"""WITH {_SHINGLE_CTE},
+  {_lsh_cand_ctes(num_hashes, bands)},
 {_VERIFY_SQL.format(thr=threshold)}"""
 
 
@@ -134,6 +142,38 @@ def dd_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_dedup(
         d, "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.5
     )
+
+
+@_q(
+    "dd_lsh_bucket_audit",
+    f"""WITH {_SHINGLE_CTE},
+  {_lsh_cand_ctes(16, 8)},
+  bsz AS (SELECT band, sig, count(*) AS n
+          FROM bands_t GROUP BY band, sig)
+  SELECT CAST(band AS BIGINT) AS band,
+         count(*) AS colliding_buckets,
+         CAST(max(n) AS BIGINT) AS max_bucket,
+         count(*) FILTER (WHERE n > 2) AS dropped_buckets,
+         CAST(coalesce(sum(CAST(n AS BIGINT) * (n - 1) // 2)
+                           FILTER (WHERE n > 2), 0) AS BIGINT)
+             AS pruned_pairs
+  FROM bsz WHERE n > 1 GROUP BY band""",
+)
+def dd_lsh_bucket_audit(spark, sf_dir):
+    """The no-silent-caps ledger for the LSH stage
+    (dedup.lsh_bucket_census): per band, colliding buckets, the
+    largest bucket, and — at a deliberately aggressive cap of 2 so
+    the drop path is exercised at test scale — how many buckets the
+    cap would drop and the candidate-pair mass they would have
+    expanded. In production the same census runs at the real
+    max_bucket_size (10,000) and lands in the data card
+    (pipeline_data_card.lsh_dropped_buckets), so candidate pruning
+    is always a published number, never a silent footnote."""
+    d = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    sig = dedup.minhash_signatures(sh, "doc_id", 16)
+    bands_df = dedup.lsh_bands(sig, "doc_id", 8, 2)
+    return dedup.lsh_bucket_census(bands_df, "doc_id", max_bucket_size=2)
 
 
 @_q(
@@ -599,6 +639,48 @@ def mm_decode_metadata(spark, sf_dir):
 
 
 @_q(
+    "mm_decode_real_headers",
+    """SELECT doc_id,
+              CAST(CASE doc_id % 4
+                WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 44
+                ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+              CAST(CASE doc_id % 4
+                WHEN 0 THEN doc_id % 640 + 1
+                WHEN 1 THEN doc_id % 320 + 1
+                WHEN 2 THEN 8000 + (doc_id % 8) * 1000
+                ELSE octet_length(encode(text)) % 640 + 1
+              END AS BIGINT) AS width,
+              CAST(CASE doc_id % 4
+                WHEN 0 THEN (doc_id * 7) % 480 + 1
+                WHEN 1 THEN doc_id % 240 + 1
+                WHEN 2 THEN doc_id % 2 + 1
+                ELSE (octet_length(encode(text)) * 7) % 480 + 1
+              END AS BIGINT) AS height,
+              CASE doc_id % 4
+                WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
+                ELSE (CASE octet_length(encode(text)) % 3
+                      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                      ELSE 'webp' END)
+              END AS format
+       FROM documents""",
+)
+def mm_decode_real_headers(spark, sf_dir):
+    """REAL media-header decode (multimodal.parse_media_header): honest
+    struct-packed PNG/BMP/WAV containers are synthesized per document
+    (geometry derived from the id), and the mapInPandas decode reads
+    the geometry back out of the actual header bytes — big-endian
+    IHDR for PNG, little-endian BITMAPINFOHEADER for BMP, a RIFF
+    chunk walk for WAV — with every 4th row a raw-text payload taking
+    the declared stub fallback. The oracle recomputes the expected
+    ledger from the synthesis parameters, so a parser that misreads
+    any field hash-mismatches immediately."""
+    d = load(spark, sf_dir, "documents")
+    return multimodal.decode_metadata(
+        multimodal.attach_synthetic_media(d, "doc_id", "text")
+    )
+
+
+@_q(
     "mm_extract_features",
     """SELECT doc_id,
               list_transform(
@@ -828,6 +910,60 @@ def dd_containment(spark, sf_dir):
     )
     return dedup.containment_pairs(
         d.unionByName(prefixes), "doc_id", "text", k=3, threshold=0.8
+    )
+
+
+_PREFIX_TWIN_DOCS = """all_docs AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 200000,
+                array_to_string(list_slice(string_split(text, ' '), 1,
+                    len(string_split(text, ' ')) // 2), ' ')
+         FROM documents WHERE doc_id % 7 = 0),
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+              FROM w WHERE len(w) >= 3)"""
+
+
+@_q(
+    "dd_containment_lsh",
+    f"""WITH {_PREFIX_TWIN_DOCS},
+       {_lsh_cand_ctes(16, 8)},
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT c.a, c.b, count(*) AS i
+                 FROM cand c
+                 JOIN sh s1 ON s1.doc_id = c.a
+                 JOIN sh s2 ON s2.doc_id = c.b AND s1.shingle = s2.shingle
+                 GROUP BY c.a, c.b)
+       SELECT i.a AS doc_a, i.b AS doc_b,
+              round(i.i / x.n, 4) AS cont_a_in_b,
+              round(i.i / y.n, 4) AS cont_b_in_a
+       FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
+       WHERE greatest(round(i.i / x.n, 4), round(i.i / y.n, 4)) >= 0.8""",
+)
+def dd_containment_lsh(spark, sf_dir):
+    """Containment at LSH scale (dedup.containment_lsh): the SAME
+    prefix-twin corpus as dd_containment, but candidates come from
+    MinHash(16)+LSH(8 bands) banding and only survivors pay the exact
+    containment verify — the composed path a 100 TB run actually
+    takes for asymmetric dups (dd_containment is the validation-scale
+    inverted-index twin). A half-prefix twin sits at Jaccard≈0.5,
+    where the 8x2 banding curve catches ≈90% of pairs; the oracle
+    replays the identical hash family, so engine and oracle miss the
+    same pairs and the survivor set hash-matches."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    prefixes = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(text, ' '), 1,"
+            " size(split(text, ' ')) div 2), ' ')"
+        ).alias("text"),
+    )
+    return dedup.containment_lsh(
+        d.unionByName(prefixes), "doc_id", "text",
+        k=3, num_hashes=16, bands=8, threshold=0.8,
     )
 
 
@@ -3002,7 +3138,24 @@ def _data_card_sql() -> str:
        b AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
        contam AS (SELECT count(DISTINCT s.doc_id) AS n
                   FROM sh s JOIN b USING (shingle)
-                  WHERE s.source <> 'src0')
+                  WHERE s.source <> 'src0'),
+       wl AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents),
+       shl AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    AS shingle
+               FROM wl WHERE len(w) >= 3),
+       {_lsh_cand_ctes(16, 8, src="shl")},
+       bsz AS (SELECT band, sig, count(*) AS n
+               FROM bands_t GROUP BY band, sig),
+       lshcap AS (SELECT
+               CAST(coalesce(count(*) FILTER (WHERE n > 10000), 0)
+                    AS BIGINT) AS db,
+               CAST(coalesce(sum(CAST(n AS BIGINT) * (n - 1) // 2)
+                                 FILTER (WHERE n > 10000), 0) AS BIGINT)
+                   AS pp
+           FROM bsz WHERE n > 1)
        SELECT (SELECT count(*) FROM documents) AS n_docs,
               (SELECT CAST(sum(len(list_filter(
                    string_split_regex(text, '\s+'), x -> x <> '')))
@@ -3014,7 +3167,9 @@ def _data_card_sql() -> str:
                   AS near_dup_clusters,
               (SELECT n FROM contam) AS contaminated_docs,
               (SELECT round(avg({_QUALITY_SCORE_SQL}), 4) FROM f)
-                  AS mean_quality"""
+                  AS mean_quality,
+              (SELECT db FROM lshcap) AS lsh_dropped_buckets,
+              (SELECT pp FROM lshcap) AS lsh_pruned_pairs"""
 
 
 @_q("pipeline_data_card", _data_card_sql())
@@ -3056,8 +3211,25 @@ def pipeline_data_card(spark, sf_dir):
             F.avg(textstats.quality_score(F.col("text"))), 4
         ).alias("mean_quality")
     )
+    # the no-silent-caps line: the LSH bucket census at the PRODUCTION
+    # cap (candidate_pairs' default), folded to two card numbers —
+    # zero means "the near-dup candidate stage pruned nothing"; a
+    # nonzero value puts the pruned pair mass on the release record
+    sh3 = dedup.word_shingles(docs, "doc_id", "text", 3)
+    bands_df = dedup.lsh_bands(
+        dedup.minhash_signatures(sh3, "doc_id", 16), "doc_id", 8, 2
+    )
+    lshcap = dedup.lsh_bucket_census(
+        bands_df, "doc_id", max_bucket_size=10_000
+    ).agg(
+        F.coalesce(F.sum("dropped_buckets"), F.lit(0))
+        .cast("long").alias("lsh_dropped_buckets"),
+        F.coalesce(F.sum("pruned_pairs"), F.lit(0))
+        .cast("long").alias("lsh_pruned_pairs"),
+    )
     return (
         base.crossJoin(F.broadcast(dups))
         .crossJoin(F.broadcast(contam))
         .crossJoin(F.broadcast(qual))
+        .crossJoin(F.broadcast(lshcap))
     )

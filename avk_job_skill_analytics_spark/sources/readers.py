@@ -79,27 +79,36 @@ def excel_source(spark: SparkSession, path: str, sheet: int = 0,
     if mode not in ("FAILFAST", "DROPMALFORMED"):
         raise ValueError(f"unsupported mode {mode!r}")
     bin_df = spark.read.format("binaryFile").load(path)
-    # header sniff: list paths first (column pruning keeps the listing
-    # metadata-only — no file bytes move), then fetch ONE workbook's
-    # bytes at a time via a single-file binaryFile read until one
-    # parses. Driver traffic is one workbook per attempt, not the
-    # whole drop zone streamed through toLocalIterator.
-    paths = sorted(
-        r["path"] for r in bin_df.select("path").collect()
-    )
+    # header sniff: PAGE the path listing (64 names at a time via a
+    # TakeOrdered limit — column-pruned, metadata-only), then fetch
+    # ONE workbook's bytes at a time via a single-file binaryFile
+    # read until one parses. Driver traffic stays bounded regardless
+    # of drop-zone size: a million-file zone puts 64 strings on the
+    # driver, not a million, and pages further only if an entire
+    # page is unparseable (DROPMALFORMED).
     first = None
-    for p in paths:
-        try:
-            content = (
-                spark.read.format("binaryFile").load(p)
-                .select("content").collect()[0]["content"]
-            )
-            rows, width = parse_xlsx_bytes(bytes(content), sheet=sheet)
-            first = rows_to_table(rows, width, header=header)
+    page_size, offset = 64, 0
+    while first is None:
+        page = [
+            r["path"]
+            for r in bin_df.select("path").orderBy("path")
+            .offset(offset).limit(page_size).collect()
+        ]
+        if not page:
             break
-        except Exception:
-            if mode == "FAILFAST":
-                raise
+        for p in page:
+            try:
+                content = (
+                    spark.read.format("binaryFile").load(p)
+                    .select("content").collect()[0]["content"]
+                )
+                rows, width = parse_xlsx_bytes(bytes(content), sheet=sheet)
+                first = rows_to_table(rows, width, header=header)
+                break
+            except Exception:
+                if mode == "FAILFAST":
+                    raise
+        offset += page_size
     if first is None:
         raise FileNotFoundError(
             f"no parseable files match {path} (mode={mode})"

@@ -517,6 +517,28 @@ def user_ledger_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+def mg_apply_epoch(state: dict, batch_counts: dict, n_batch: int,
+                   epoch_id: int, k: int) -> bool:
+    """Fold one micro-batch's candidate counts into the driver-side
+    Misra-Gries state, EXACTLY ONCE per epoch: foreachBatch is
+    at-least-once, so a crash-redelivered batch arrives again with
+    the SAME epoch_id — the guard makes the re-fold a no-op, the
+    same epoch-versioned discipline as foreach_batch_jdbc_upsert's
+    staging merge. The new summary is computed fully before any
+    state field mutates, so a mid-fold failure leaves the previous
+    (epoch, counters, n) intact and the redelivery repairs it.
+    Returns True if the epoch was applied, False if skipped."""
+    from ..operators.sketches import _mg_fold
+
+    if epoch_id <= state["last_epoch"]:
+        return False
+    new_counters = _mg_fold(state["counters"], batch_counts, k)
+    state["counters"] = new_counters
+    state["n"] += n_batch
+    state["last_epoch"] = epoch_id
+    return True
+
+
 def stream_mg_heavy_hitters(stream, item_col: str, k: int = 2000):
     """Streaming heavy hitters: fold each micro-batch into a bounded
     Misra-Gries summary (operators/sketches) held driver-side — the
@@ -533,22 +555,25 @@ def stream_mg_heavy_hitters(stream, item_col: str, k: int = 2000):
     decrement ever fires); beyond that they degrade to lower bounds
     and a final batch recount (agg_heavy_hitters) restores exactness.
 
-    State is a Python dict of <= k counters plus one total — replay
-    of a failed batch would double-count (foreachBatch is
-    at-least-once), which the one-shot availableNow drains here
-    accept; a long-lived deployment would version the state by
-    epoch_id like foreach_batch_jdbc_upsert's staging-merge.
+    State is a Python dict of <= k counters plus one total, versioned
+    by epoch_id (``mg_apply_epoch``): foreachBatch redelivery of a
+    failed batch re-presents the same epoch_id and the fold skips it,
+    so counters never double-count — replay-safe like the KMV twin
+    (whose set-merge is naturally idempotent), proven by the
+    double-delivery test.
 
     Returns (counters dict, total item count) after the drain."""
     import tempfile as _tf
 
     from pyspark.sql import functions as SF
 
-    from ..operators.sketches import _mg_fold, mg_candidates
+    from ..operators.sketches import mg_candidates
 
-    state = {"counters": {}, "n": 0}
+    state = {"counters": {}, "n": 0, "last_epoch": -1}
 
     def batch_fn(bdf, epoch_id):
+        if epoch_id <= state["last_epoch"]:
+            return  # redelivered epoch: skip even the Spark jobs
         items = bdf.select(item_col)
         cand = mg_candidates(items, item_col, k).distinct()
         agg = (
@@ -557,8 +582,7 @@ def stream_mg_heavy_hitters(stream, item_col: str, k: int = 2000):
             .agg(SF.count(SF.lit(1)).alias("freq"))
         )
         batch_counts = {r[item_col]: r["freq"] for r in agg.collect()}
-        state["counters"] = _mg_fold(state["counters"], batch_counts, k)
-        state["n"] += items.count()
+        mg_apply_epoch(state, batch_counts, items.count(), epoch_id, k)
 
     ckpt = _tf.mkdtemp(prefix="ckpt_hh_")
     try:

@@ -330,6 +330,42 @@ def test_pack_sequences_invariants(spark):
                 assert r["seq_tokens"] - 1 < 50 + 50  # bounded drift
 
 
+def test_parse_media_header_reads_real_headers_and_quarantines():
+    """Pure-stdlib header parsing: exact geometry from honest PNG /
+    BMP / WAV containers; truncated or inconsistent headers (and a
+    text doc that merely starts with 'BM' or 'RIFF') return None so
+    the decode downgrades to the stub instead of raising."""
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        build_bmp,
+        build_png,
+        build_wav,
+        parse_media_header,
+    )
+
+    png = build_png(641, 479)
+    assert parse_media_header(png) == (33, 641, 479, "png")
+    assert parse_media_header(build_bmp(320, 240)) == (54, 320, 240, "bmp")
+    # top-down BMP stores a negative height; geometry comes out positive
+    down = bytearray(build_bmp(17, 0))
+    import struct as _st
+
+    down[22:26] = _st.pack("<i", -9)
+    assert parse_media_header(bytes(down)) == (54, 17, 9, "bmp")
+    wav = build_wav(16000, 2)
+    assert parse_media_header(wav) == (44, 16000, 2, "wav")
+    # a JUNK chunk before fmt : the walk must skip it, not misparse
+    padded = (
+        wav[:12] + b"JUNK" + _st.pack("<I", 6) + b"abcdef" + wav[12:]
+    )
+    got = parse_media_header(padded)
+    assert got is not None and got[1:] == (16000, 2, "wav")
+    # quarantine cases -> None (stub fallback), never an exception
+    assert parse_media_header(png[:20]) is None        # truncated IHDR
+    assert parse_media_header(b"BM plain text that is long") is None
+    assert parse_media_header(b"RIFFxxxxNOPE" + b"\0" * 40) is None
+    assert parse_media_header(b"") is None
+
+
 def test_image_patches_tile_exactly(spark):
     from avk_job_skill_analytics_spark.operators.multimodal import (
         attach_binary,
@@ -489,6 +525,48 @@ def test_containment_catches_prefix_invisible_to_jaccard(spark):
         ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.9).count()
         == 0
     )
+
+
+def test_containment_lsh_is_banded_subset_of_exact(spark):
+    """The LSH-composed containment path returns a subset of the
+    exact all-pairs containment (banding only prunes, never invents),
+    with the scores of surviving pairs identical — and at prefix-twin
+    Jaccard (~0.5) the 8x2 banding curve should keep most of them."""
+    from avk_job_skill_analytics_spark.operators.dedup import (
+        containment_lsh,
+        containment_pairs,
+    )
+    from avk_job_skill_analytics_spark.plans.schemas import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    prefixes = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(text, ' '), 1,"
+            " size(split(text, ' ')) div 2), ' ')"
+        ).alias("text"),
+    )
+    corpus = d.unionByName(prefixes)
+    exact = {
+        (r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in containment_pairs(
+            corpus, "doc_id", "text", k=3, threshold=0.8
+        ).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in containment_lsh(
+            corpus, "doc_id", "text", k=3, num_hashes=16, bands=8,
+            threshold=0.8,
+        ).collect()
+    }
+    assert set(banded) <= set(exact)
+    for pair, scores in banded.items():
+        assert scores == exact[pair]
+    assert exact, "fixture produced no asymmetric pairs"
+    assert len(banded) / len(exact) >= 0.5  # banding-curve sanity
 
 
 def test_semantic_prune_drops_dominated_vectors(spark):

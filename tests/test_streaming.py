@@ -176,6 +176,26 @@ def test_stream_mg_heavy_hitters_merges_batches_exactly(spark, tmp_path):
     assert "hot" in tiny and tiny["hot"] <= 50  # lower bound survives
 
 
+def test_stream_mg_replay_same_epoch_is_noop(spark):
+    """foreachBatch is at-least-once: delivering the SAME epoch twice
+    (crash redelivery) must leave the MG counters and total untouched
+    — the epoch-versioned fold, mirroring the JDBC staging merge."""
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        mg_apply_epoch,
+    )
+
+    state = {"counters": {}, "n": 0, "last_epoch": -1}
+    assert mg_apply_epoch(state, {"hot": 30, "warm": 10}, 40, 0, 100)
+    assert mg_apply_epoch(state, {"hot": 20, "cold": 5}, 25, 1, 100)
+    snap = (dict(state["counters"]), state["n"], state["last_epoch"])
+    # redeliver epoch 1 (and a stale epoch 0): both must be no-ops
+    assert not mg_apply_epoch(state, {"hot": 20, "cold": 5}, 25, 1, 100)
+    assert not mg_apply_epoch(state, {"hot": 30, "warm": 10}, 40, 0, 100)
+    assert (dict(state["counters"]), state["n"], state["last_epoch"]) == snap
+    assert state["counters"] == {"hot": 50, "warm": 10, "cold": 5}
+    assert state["n"] == 65
+
+
 def test_stream_kmv_distinct_bounded_and_replay_idempotent(spark, tmp_path):
     """Two deliveries of overlapping batches: the sketch stays <= k
     longs, the estimate is exact below k, and replaying identical
