@@ -116,3 +116,61 @@ def pca_top_component(df: DataFrame, vec_col: str, d: int,
     return spark.createDataFrame(
         rows, "dim int, loading double, explained_frac double"
     )
+
+
+def _rp_sign(seed: int, j: int, i: int) -> float:
+    """Deterministic ±1 component (out-dim j, in-dim i) of the sign
+    projection matrix, derived from md5 of a fixed string — computed
+    driver-side once (it's a pure constant baked into the plan AND
+    into the oracle SQL from the same call)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{seed}:{j}:{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def rp_signs(seed: int, d_in: int, d_out: int) -> list:
+    """The full d_out × d_in sign matrix as Python floats — shared by
+    the Spark expression builder and the oracle generator so both
+    engines project with bit-identical constants."""
+    return [
+        [_rp_sign(seed, j, i) for i in range(d_in)] for j in range(d_out)
+    ]
+
+
+def random_projection(df: DataFrame, id_col: str, vec_col: str,
+                      d_in: int, d_out: int = 16, seed: int = 7,
+                      round_digits: int = 6) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003,
+    "Database-friendly random projections"): y_j = <x, s_j>/√d_out
+    with deterministic ±1 signs — the dimensionality-reduction front
+    end for ANN/clustering when d is large (distances preserved within
+    (1±ε) at d_out = O(log n / ε²)).
+
+    Scale shape: the projection matrix is d_out·d_in LITERALS inlined
+    into one SQL-string expression (same build trick as the codebook
+    argmin — one expr() parse, not thousands of py4j calls), so the
+    whole projection is a single corpus scan with zero shuffle and no
+    Python in the hot path; output is the exploded (id, out_dim,
+    value) long form, d_out rows per vector. Values round at 6 digits
+    with a +0.0 to collapse IEEE -0.0 (oracle hash convention).
+    """
+    import math
+
+    from .clustering import dot_sql, sql_double
+
+    signs = rp_signs(seed, d_in, d_out)
+    scale = sql_double(math.sqrt(float(d_out)))
+    entries = ", ".join(
+        f"named_struct('out_dim', CAST({j + 1} AS BIGINT), "
+        f"'value', round({dot_sql(f'`{vec_col}`', signs[j])} / {scale}, "
+        f"{round_digits}) + CAST(0.0 AS DOUBLE))"
+        for j in range(d_out)
+    )
+    return df.select(
+        F.col(id_col), F.expr(f"explode(array({entries}))").alias("_rp")
+    ).select(
+        id_col,
+        F.col("_rp").getField("out_dim").alias("out_dim"),
+        F.col("_rp").getField("value").alias("value"),
+    )

@@ -362,6 +362,53 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _rp_sql(d_in: int, d_out: int, seed: int) -> str:
+    """DuckDB twin of linalg.random_projection: the SAME ±1 sign
+    constants (generated by the same rp_signs call) folded in the
+    same left-to-right order, scaled and rounded identically."""
+    import math
+
+    from ..operators.linalg import rp_signs
+
+    signs = rp_signs(seed, d_in, d_out)
+    scale = f"CAST('{math.sqrt(float(d_out))!r}' AS DOUBLE)"
+
+    def arr(vals):
+        return "[" + ", ".join(
+            f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals
+        ) + "]"
+
+    selects = []
+    for j in range(d_out):
+        dot = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {d_in}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr(signs[j])})[i])), "
+            "(x, y) -> x + y)"
+        )
+        selects.append(
+            f"SELECT vec_id, CAST({j + 1} AS BIGINT) AS out_dim, "
+            f"round({dot} / {scale}, 6) + CAST(0.0 AS DOUBLE) AS value "
+            "FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+@_q("emb_random_projection", _rp_sql(64, 16, 7))
+def emb_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection 64 → 16 dims
+    (linalg.random_projection): the dimensionality-reduction front end
+    for ANN/clustering at large d, one corpus scan with the ±1 matrix
+    inlined as literals — zero shuffle, zero Python. The oracle folds
+    the identical sign constants in the identical order."""
+    from ..operators.linalg import random_projection
+
+    e = load(spark, sf_dir, "embeddings")
+    return random_projection(
+        e, "vec_id", "embedding", d_in=64, d_out=16, seed=7
+    )
+
+
 @_q("ann_lsh_topk")  # no SQL equivalent -> rows-only check
 def ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH bucketing (recall<1
@@ -866,6 +913,69 @@ def dd_semantic_prune(spark, sf_dir):
     return semantic_prune(
         e, "vec_id", "embedding", k=8, iters=2, threshold=0.4
     ).select(F.col("vec_id").cast("long"), "cluster", "keep")
+
+
+def _ivf_trained_sql(k: int, iters: int, n_probe: int, n_queries: int,
+                     topk: int) -> str:
+    """DuckDB twin of kmeans_fit → ivf_topk: the Lloyd chain trains
+    the coarse codebook, then the standard IVF assign/probe/score
+    replay (same rounded-cosine tie-breaks as ann_ivf_topk)."""
+    ctes = _kmeans_ctes(k, iters)
+    ctes.append(
+        f"cent AS MATERIALIZED (SELECT cluster AS cid, centroid AS cv "
+        f"FROM cent{iters})"
+    )
+    ctes.append(f"""asg_v AS MATERIALIZED (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS ev, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round({_cos_sql('e.embedding', 'c.cv')}, 6) DESC,
+                            c.cid) AS rk
+          FROM embeddings e, cent c)""")
+    ctes.append(
+        "cell AS MATERIALIZED "
+        "(SELECT neighbor_id, ev, cid FROM asg_v WHERE rk = 1)"
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, embedding AS qv "
+        f"FROM embeddings WHERE vec_id < {n_queries})"
+    )
+    ctes.append(f"""probe AS MATERIALIZED (
+          SELECT x.query_id, x.qv, c.cid,
+                 row_number() OVER (PARTITION BY x.query_id
+                   ORDER BY round({_cos_sql('x.qv', 'c.cv')}, 6) DESC,
+                            c.cid) AS rk
+          FROM q x, cent c)""")
+    ctes.append(
+        f"pr AS (SELECT query_id, qv, cid FROM probe WHERE rk <= {n_probe})"
+    )
+    ctes.append(f"""s AS (SELECT pr.query_id, cell.neighbor_id,
+                round({_cos_sql('pr.qv', 'cell.ev')}, 6) AS cosine
+          FROM pr JOIN cell USING (cid)
+          WHERE cell.neighbor_id <> pr.query_id)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+       SELECT query_id, neighbor_id, cosine, rk FROM (
+         SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM s) t
+       WHERE rk <= {topk}"""
+
+
+@_q("ann_ivf_trained", _ivf_trained_sql(4, 1, 2, 10, 5))
+def ann_ivf_trained(spark, sf_dir):
+    """IVF with TRAINED centroids: kmeans_fit (k=4, 1 Lloyd round)
+    learns the coarse quantizer and feeds ivf_topk's ``centroids``
+    seam — the composition a production index build actually runs
+    (train on a sample, assign the corpus). The oracle replays the
+    Lloyd round and the probe/score chain in generated SQL."""
+    from ..operators import clustering
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=1)
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_probe=2, centroids=cents,
+    )
 
 
 @_q(
