@@ -591,31 +591,205 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def mmr_select(corpus: DataFrame, id_col: str, vec_col: str,
+               k: int = 6, lam: float = 0.7,
+               round_digits: int = 6) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k items maximizing
+    λ·rel(x) − (1−λ)·max_{s∈S} cos(x, s) — the relevance/diversity
+    trade-off behind retrieval reranking and diverse training-data
+    selection (λ=1 is pure top-k, λ=0 is pure diversity).
+
+    The query is the lowest-id vector (deterministic, excluded from
+    candidates); rel(x) is its cosine, computed against the COLLECTED
+    query vector inlined as literals — one scan, no join. Each of the
+    k−1 diversity rounds is one broadcast of the ≤k selected vectors,
+    one corpus scan for the max-similarity update, and a 1-row argmax
+    collect — the same bounded driver loop as kcenter_coreset, with
+    every ranking on the (rounded score DESC, id ASC) convention and
+    a +0.0 to collapse IEEE −0.0 in the emitted score.
+
+    Returns (sel_order, vec_id, score); the seed's score is its
+    relevance."""
+    from .clustering import dot_sql, sql_double
+
+    q_row = (
+        corpus.orderBy(id_col)
+        .limit(1)
+        .select(
+            F.col(id_col).cast("long").alias("_qid"),
+            F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        )
+        .collect()[0]
+    )
+    qid, qv, qn = int(q_row["_qid"]), list(q_row["_qv"]), float(q_row["_qn"])
+    base = (
+        corpus.filter(F.col(id_col) != qid)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_n"),
+        )
+        .withColumn(
+            "_rel",
+            F.expr(
+                f"round({dot_sql('`_v`', qv)} / "
+                f"(`_n` * {sql_double(qn)}), {round_digits})"
+            ),
+        )
+        .localCheckpoint()
+    )
+    first = (
+        base.orderBy(F.desc("_rel"), F.asc("_id")).limit(1).collect()[0]
+    )
+    selected = [(1, int(first["_id"]), float(first["_rel"]) + 0.0)]
+    sel_vecs = base.filter(F.col("_id") == int(first["_id"])).select(
+        F.col("_id").alias("_sid"), F.col("_v").alias("_sv"),
+        F.col("_n").alias("_sn"),
+    ).localCheckpoint()
+    oml = 1.0 - lam
+    for step in range(2, k + 1):
+        scored = (
+            base.join(F.broadcast(sel_vecs), F.col("_id") != F.col("_sid"))
+            .withColumn(
+                "_cos",
+                F.round(
+                    _dot(F.col("_v"), F.col("_sv"))
+                    / (F.col("_n") * F.col("_sn")),
+                    round_digits,
+                ),
+            )
+            .groupBy("_id", "_rel")
+            .agg(F.max("_cos").alias("_ms"))
+            .join(
+                sel_vecs.select(F.col("_sid").alias("_id")), "_id",
+                "left_anti",
+            )
+            .withColumn(
+                "_score",
+                F.round(
+                    F.lit(lam) * F.col("_rel")
+                    - F.lit(oml) * F.col("_ms"),
+                    round_digits,
+                ) + F.lit(0.0),
+            )
+        )
+        top = scored.orderBy(
+            F.desc("_score"), F.asc("_id")
+        ).limit(1).collect()
+        if not top:
+            break
+        nid = int(top[0]["_id"])
+        selected.append((step, nid, float(top[0]["_score"]) + 0.0))
+        sel_vecs = sel_vecs.unionByName(
+            base.filter(F.col("_id") == nid).select(
+                F.col("_id").alias("_sid"), F.col("_v").alias("_sv"),
+                F.col("_n").alias("_sn"),
+            )
+        ).localCheckpoint()
+    return corpus.sparkSession.createDataFrame(
+        selected, "sel_order int, vec_id long, score double"
+    )
+
+
 def pq_train_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
                        m: int = 8, sub_d: int = 8, k_star: int = 8,
                        iters: int = 1,
                        round_digits: int = 6) -> list:
     """Train per-subspace PQ codebooks with the deterministic k-means
-    (clustering.kmeans_fit) over each sub-vector slice — the trained
-    path Jégou et al. TPAMI'11 §II prescribes, composing the proven
-    Lloyd loop with the pq_topk ``codebooks`` seam. Returns the
-    [(cid, [floats])]-per-subspace structure pq_topk consumes
-    (collected — m·k*·sub_d doubles, bounded driver cost).
+    conventions (clustering.kmeans_fit: lowest-id rounded seeds,
+    argmin on (rounded distance, cluster id), per-dimension rounded
+    means) — the trained path Jégou et al. TPAMI'11 §II prescribes.
+    Returns the [(cid, [floats])]-per-subspace structure pq_topk
+    consumes (m·k*·sub_d doubles, bounded driver cost).
 
-    Cluster ids are the seed vector ids (kmeans_fit's convention), so
-    the argmin tie-break stays deterministic; centroid values are the
-    Spark-rounded Lloyd means, bit-exact for the oracle replay."""
-    from .clustering import collect_codebook, kmeans_fit
+    All m trainings are BATCHED: the corpus explodes once into
+    (id, subspace, sub-vector) rows and every Lloyd round is ONE
+    distributed assignment+update job covering all subspaces (the
+    per-subspace argmin selected by a CASE on the subspace id, the
+    mean update a single (s, cluster, dim)-keyed aggregate) — m
+    independent kmeans_fit calls would pay m sizing scans, m seed
+    collects, and m checkpoint round-trips per iteration for the
+    same arithmetic."""
+    from .clustering import sqdist_sql
 
-    cbs = []
-    for s in range(m):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub_d + 1, sub_d).alias("_sv"),
+    sub_structs = ", ".join(
+        f"named_struct('s', {s}, "
+        f"'sv', slice(`{vec_col}`, {s * sub_d + 1}, {sub_d}))"
+        for s in range(m)
+    )
+    e = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"explode(array({sub_structs}))").alias("_e"),
+    ).select(
+        "_id", F.col("_e").getField("s").alias("_s"),
+        F.col("_e").getField("sv").alias("_sv"),
+    )
+    # one seed collect serves every subspace (seeds are the k* lowest
+    # ids in ALL of them; python slicing is positional — exact)
+    seed_rows = (
+        corpus.orderBy(id_col)
+        .limit(k_star)
+        .select(
+            F.col(id_col).cast("long").alias("_cid"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double"), round_digits),
+            ).alias("_cv"),
         )
-        cent = kmeans_fit(sub, id_col, "_sv", k=k_star, iters=iters,
-                          round_digits=round_digits)
-        cbs.append(collect_codebook(cent, "cluster", "centroid"))
+        .collect()
+    )
+    cbs = [
+        [
+            (int(r["_cid"]), list(r["_cv"][s * sub_d:(s + 1) * sub_d]))
+            for r in seed_rows
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        branches = " ".join(
+            "WHEN {s} THEN array_min(array({entries})).c".format(
+                s=s,
+                entries=", ".join(
+                    "named_struct('d', round({dist}, {rd}), "
+                    "'c', CAST({cid} AS BIGINT))".format(
+                        dist=sqdist_sql("`_sv`", vals),
+                        rd=round_digits,
+                        cid=int(cid),
+                    )
+                    for cid, vals in cbs[s]
+                ),
+            )
+            for s in range(m)
+        )
+        asg = e.select(
+            "_s", F.expr(f"CASE `_s` {branches} END").alias("_c"), "_sv"
+        )
+        means = (
+            asg.select("_s", "_c", F.posexplode("_sv").alias("_dim", "_x"))
+            .groupBy("_s", "_c", "_dim")
+            .agg(
+                F.round(F.avg(F.col("_x").cast("double")),
+                        round_digits).alias("_m")
+            )
+            .collect()
+        )
+        acc: dict = {}
+        for r in means:
+            acc.setdefault((int(r["_s"]), int(r["_c"])), {})[
+                int(r["_dim"])
+            ] = float(r["_m"])
+        cbs = [
+            sorted(
+                (
+                    (cid, [dims[i] for i in sorted(dims)])
+                    for (s2, cid), dims in acc.items()
+                    if s2 == s
+                ),
+            )
+            for s in range(m)
+        ]
     return cbs
 
 

@@ -2872,6 +2872,68 @@ def ml_kcenter_coreset(spark, sf_dir):
     return kcenter_coreset(e, "vec_id", "embedding", k=8)
 
 
+def _mmr_sql(k: int, lam: float) -> str:
+    """DuckDB twin of similarity.mmr_select: the greedy MMR sweep
+    unrolled k−1 rounds; the λ/(1−λ) constants are rendered from the
+    same Python doubles the engine inlines, every ranking on
+    (rounded score DESC, id ASC), +0.0 collapsing −0.0."""
+    oml = 1.0 - lam
+    lam_s = f"CAST('{float(lam)!r}' AS DOUBLE)"
+    oml_s = f"CAST('{oml!r}' AS DOUBLE)"
+    cos = _cos_sql("b.embedding", "s.embedding")
+    relcos = _cos_sql("e.embedding", "q.qv")
+    ctes = [
+        """q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings ORDER BY vec_id LIMIT 1)""",
+        f"""base AS MATERIALIZED (
+          SELECT e.vec_id, e.embedding, round({relcos}, 6) AS rel
+          FROM embeddings e, q WHERE e.vec_id <> q.qid)""",
+        """sel1 AS MATERIALIZED (
+          SELECT 1 AS step, vec_id, embedding, rel FROM base
+          ORDER BY rel DESC, vec_id LIMIT 1)""",
+    ]
+    for r in range(1, k):
+        ctes.append(f"""ms{r} AS MATERIALIZED (
+          SELECT b.vec_id, b.rel, max(round({cos}, 6)) AS msim
+          FROM base b JOIN sel{r} s ON b.vec_id <> s.vec_id
+          WHERE b.vec_id NOT IN (SELECT vec_id FROM sel{r})
+          GROUP BY b.vec_id, b.rel)""")
+        ctes.append(f"""nx{r} AS MATERIALIZED (
+          SELECT vec_id,
+                 round({lam_s} * rel - {oml_s} * msim, 6)
+                   + CAST(0.0 AS DOUBLE) AS score
+          FROM ms{r} ORDER BY score DESC, vec_id LIMIT 1)""")
+        ctes.append(f"""sel{r + 1} AS MATERIALIZED (
+          SELECT * FROM sel{r}
+          UNION ALL
+          SELECT {r + 1}, b.vec_id, b.embedding, b.rel FROM base b
+          WHERE b.vec_id = (SELECT vec_id FROM nx{r}))""")
+    picks = "\n       UNION ALL ".join(
+        f"SELECT {r + 1} AS sel_order, vec_id, score FROM nx{r}"
+        for r in range(1, k)
+    )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+       SELECT 1 AS sel_order, vec_id,
+              rel + CAST(0.0 AS DOUBLE) AS score
+       FROM sel1
+       UNION ALL {picks}"""
+
+
+@_q("ml_mmr_select", _mmr_sql(6, 0.7))
+def ml_mmr_select(spark, sf_dir):
+    """Maximal Marginal Relevance selection (similarity.mmr_select):
+    6 greedy rounds balancing relevance to the lowest-id query vector
+    against redundancy with what's already picked (λ=0.7) — the
+    reranking/diverse-subset primitive for retrieval and training-data
+    curation. Each round is one broadcast + one corpus scan + a 1-row
+    argmax collect; the oracle unrolls the identical sweep."""
+    from ..operators.similarity import mmr_select
+
+    e = load(spark, sf_dir, "embeddings")
+    return mmr_select(e, "vec_id", "embedding", k=6, lam=0.7)
+
+
 @_q(
     "dd_url_canonicalize",
     r"""WITH raw AS (

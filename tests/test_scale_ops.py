@@ -569,6 +569,33 @@ def test_containment_lsh_is_banded_subset_of_exact(spark):
     assert len(banded) / len(exact) >= 0.5  # banding-curve sanity
 
 
+def test_mmr_balances_relevance_and_diversity(spark):
+    """λ=1 reduces MMR to pure relevance top-k; λ<1 must skip a
+    near-clone of an already-selected item in favor of a diverse one
+    even when the clone is more relevant."""
+    from avk_job_skill_analytics_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # query (lowest id)
+        (1, [0.9, 0.1, 0.0, 0.0]),      # most relevant
+        (2, [0.9, 0.11, 0.0, 0.0]),     # near-clone of 1, 2nd most rel.
+        (3, [0.5, 0.0, 0.8, 0.0]),      # diverse, less relevant
+        (4, [0.0, 0.0, 0.0, 1.0]),      # orthogonal to everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pure = mmr_select(df, "vec_id", "embedding", k=3, lam=1.0)
+    assert [r.vec_id for r in pure.orderBy("sel_order").collect()] == [
+        1, 2, 3,
+    ]
+    mixed = mmr_select(df, "vec_id", "embedding", k=3, lam=0.5)
+    picked = [r.vec_id for r in mixed.orderBy("sel_order").collect()]
+    assert picked[0] == 1          # seed is still the most relevant
+    assert 2 not in picked[:2]     # the clone loses its slot to diversity
+    assert len(picked) == 3
+
+
 def test_semantic_prune_drops_dominated_vectors(spark):
     from avk_job_skill_analytics_spark.operators.similarity import (
         semantic_prune,
