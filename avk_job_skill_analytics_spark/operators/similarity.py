@@ -178,6 +178,59 @@ def blocked_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def _neg_cos_entries(cb, vec_sql: str, nrm_sql: str,
+                     round_digits: int) -> str:
+    """named_struct entries for the max-cosine argmin against a
+    collected [(cid, values, norm)] codebook: negated ROUNDED cosine
+    (so struct array_min orders cosine DESC, cid ASC), arithmetic
+    bit-identical to a joined-column plan (literal doubles ==
+    cast-to-double of the original values, dot_sql replays the fold
+    order)."""
+    from .clustering import dot_sql, sql_double
+
+    return ", ".join(
+        "named_struct('d', -round("
+        f"{dot_sql(vec_sql, cv)} / ({nrm_sql} * {sql_double(cn)}), "
+        f"{round_digits}), 'c', CAST({cid} AS BIGINT))"
+        for cid, cv, cn in cb
+    )
+
+
+def collect_cosine_codebook(cb_src: DataFrame) -> list:
+    """Collect a (_cid, _cv) codebook frame WITH its Spark-computed
+    norms as [(cid, values, norm)] — the input shape of
+    _neg_cos_entries / ivf_cell_assign."""
+    return [
+        (int(r["_cid"]), list(r["_cv"]), float(r["_cn"]))
+        for r in cb_src.select(
+            "_cid", "_cv", _norm(F.col("_cv")).alias("_cn")
+        ).collect()
+    ]
+
+
+def ivf_cell_assign(df: DataFrame, id_col: str, vec_col: str, cb: list,
+                    round_digits: int = 6) -> DataFrame:
+    """Nearest-cell assignment against a FROZEN collected codebook —
+    one pure projection: no state, no join, no shuffle, which makes
+    it safe on a STREAMING DataFrame as-is. This is how an IVF index
+    absorbs new vectors in production: the coarse quantizer is
+    trained/frozen batch-side, arrivals ride a file stream through
+    this expression, and the (id, cid) assignments append straight
+    to the cell inventory. Returns (id, cid)."""
+    proj = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    return proj.select(
+        F.col(id_col),
+        F.expr(
+            "array_min(array("
+            f"{_neg_cos_entries(cb, '`_cv`', '`_cn`', round_digits)})).c"
+        ).alias("cid"),
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 5, n_centroids: int = 8,
              n_probe: int = 2, round_digits: int = 6,
@@ -200,8 +253,6 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     All rankings use the ROUNDED cosine with an id tie-break so
     results are deterministic and engine-portable (argmin on the
     negated rounded cosine ≡ cosine DESC, cid ASC)."""
-    from .clustering import dot_sql, sql_double
-
     if centroids is not None:
         cb_src = centroids.select(
             F.col("cluster").alias("_cid"), F.col("centroid").alias("_cv")
@@ -213,26 +264,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     # collect values AND the Spark-computed norm, so the inlined norm
     # is bit-identical to the old joined _ctn column at zero per-row
     # cost (HOFs over literals don't constant-fold)
-    cb = [
-        (int(r["_cid"]), list(r["_cv"]), float(r["_cn"]))
-        for r in cb_src.select(
-            "_cid", "_cv", _norm(F.col("_cv")).alias("_cn")
-        ).collect()
-    ]
-
-    def neg_cos_entries(vec_sql, nrm_sql):
-        # negated ROUNDED cosine vs an inlined centroid: identical
-        # arithmetic to the old plan's _ccos/_qcos (literal doubles ==
-        # cast-to-double of the original values, dot_sql replays the
-        # fold order), negated so struct argmin orders
-        # (cosine DESC, cid ASC)
-        return ", ".join(
-            "named_struct('d', -round("
-            f"{dot_sql(vec_sql, cv)} / ({nrm_sql} * {sql_double(cn)}), "
-            f"{round_digits}), 'c', CAST({cid} AS BIGINT))"
-            for cid, cv, cn in cb
-        )
-
+    cb = collect_cosine_codebook(cb_src)
     cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -240,7 +272,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     ).select(
         "neighbor_id", "_cv", "_cn",
         F.expr(
-            f"array_min(array({neg_cos_entries('`_cv`', '`_cn`')})).c"
+            "array_min(array("
+            f"{_neg_cos_entries(cb, '`_cv`', '`_cn`', round_digits)})).c"
         ).alias("cid"),
     )
     probes = queries.select(
@@ -252,7 +285,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         F.explode(
             F.expr(
                 "slice(array_sort(array("
-                f"{neg_cos_entries('`_qv`', '`_qn`')})), 1, {int(n_probe)})"
+                f"{_neg_cos_entries(cb, '`_qv`', '`_qn`', round_digits)}"
+                f")), 1, {int(n_probe)})"
             )
         ).alias("_p"),
     ).select(

@@ -409,6 +409,44 @@ def emb_random_projection(spark, sf_dir):
     )
 
 
+@_q(
+    "ann_recall_report",
+    f"""WITH ivf AS ({ORACLES["ann_ivf_topk"]}),
+       brute AS ({ORACLES["ann_cosine_topk"]})
+       SELECT b.query_id,
+              count(i.neighbor_id) AS n_hits,
+              round(count(i.neighbor_id) / 5.0, 4) AS recall_at_5
+       FROM brute b LEFT JOIN ivf i
+         ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       GROUP BY b.query_id""",
+)
+def ann_recall_report(spark, sf_dir):
+    """The honesty ledger for approximate search: per query, how many
+    of the exact brute-force top-5 the probed IVF index actually
+    returned (recall@5). Publish this next to any ANN deployment —
+    approximation error becomes a per-query number instead of a
+    footnote, and a recall regression (bad centroids, too few probes)
+    shows up in the artifact. Composes the two existing operators;
+    the oracle composes their two existing replays."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    ivf = similarity.ivf_topk(
+        e, q, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2
+    ).select(
+        F.col("query_id"), F.col("neighbor_id"), F.lit(1).alias("_hit")
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.col("_hit")).alias("n_hits"),
+            F.round(F.count(F.col("_hit")) / F.lit(5.0), 4)
+            .alias("recall_at_5"),
+        )
+    )
+
+
 @_q("ann_lsh_topk")  # no SQL equivalent -> rows-only check
 def ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH bucketing (recall<1
@@ -913,6 +951,82 @@ def dd_semantic_prune(spark, sf_dir):
     return semantic_prune(
         e, "vec_id", "embedding", k=8, iters=2, threshold=0.4
     ).select(F.col("vec_id").cast("long"), "cluster", "keep")
+
+
+@_q(
+    "dd_chunk_dedup",
+    """WITH all_docs AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 300000, text FROM documents WHERE doc_id % 5 = 0),
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs
+             WHERE len(string_split(text, ' ')) >= 1),
+       ch AS (SELECT doc_id, i - 1 AS chunk_idx,
+                     array_to_string(list_slice(w, (i - 1) * 20 + 1,
+                         least(i * 20, len(w))), ' ') AS chunk
+              FROM w, LATERAL (SELECT unnest(generate_series(1,
+                     CAST(ceil(len(w) / 20.0) AS INT))) AS i) t),
+       r AS (SELECT doc_id, chunk_idx,
+                    row_number() OVER (PARTITION BY md5(chunk)
+                      ORDER BY doc_id, chunk_idx) AS rk
+             FROM ch)
+       SELECT doc_id, count(*) AS n_chunks,
+              CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+              round(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) / count(*), 4)
+                  AS retention
+       FROM r GROUP BY doc_id""",
+)
+def dd_chunk_dedup(spark, sf_dir):
+    """Sub-document dedup at chunk granularity (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    regime applied at paragraph/window level): split every document
+    into 20-word chunks, keep the globally FIRST copy of each
+    distinct chunk (min (doc_id, chunk_idx) — deterministic), and
+    report per-document retention. Full-document dup twins are
+    synthesized (every 5th doc re-inserted shifted), so their chunks
+    all lose to the original and retention exposes them at 0.0 while
+    unique docs sit at 1.0. One narrow chunk explode + ONE shuffle
+    keyed on the chunk hash — the sub-document dedup a 100 TB
+    curation pass actually runs (dedup the repeated boilerplate
+    paragraph, keep the surrounding document)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 300000
+        )
+    )
+    words = corpus.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_w")
+    ).filter(F.size("_w") >= 1)
+    chunks = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("_w") / F.lit(20.0)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("_w"), i * 20 + 1, 20), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w_keep = Window.partitionBy(F.md5("chunk")).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    ranked = chunks.withColumn("_rk", F.row_number().over(w_keep))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0))
+        .cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("retention"),
+    )
 
 
 def _ivf_trained_sql(k: int, iters: int, n_probe: int, n_queries: int,

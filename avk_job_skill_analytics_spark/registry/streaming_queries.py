@@ -768,3 +768,54 @@ def stream_kmv_distinct(spark, sf_dir):
     return spark.createDataFrame(
         [(int(est), int(n_batches))], "est_users long, n_batches int"
     )
+
+
+# ----------------------------------------------- streaming IVF assignment
+def _stream_ivf_sql() -> str:
+    from .scale_queries import _cos_sql
+
+    cos = _cos_sql("e.embedding", "c.cv")
+    return f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                     FROM embeddings ORDER BY vec_id LIMIT 8),
+       asg AS (SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY round({cos}, 6) DESC, c.cid) AS rk
+               FROM embeddings e, cent c)
+       SELECT vec_id, cid FROM asg WHERE rk = 1"""
+
+
+@_q("stream_ivf_assign", _stream_ivf_sql())
+def stream_ivf_assign(spark, sf_dir):
+    """Streaming IVF index maintenance: the coarse quantizer is
+    frozen batch-side (collected 8-cell codebook, inlined as
+    literals) and newly arriving vectors ride a parquet file stream
+    through the SAME zero-shuffle cell-assignment expression the
+    batch index build uses (similarity.ivf_cell_assign) — a pure
+    stateless projection, so the streaming plan carries no state
+    store at all and the per-trigger cost is exactly one scan of the
+    new files. This is how a production ANN index absorbs arrivals:
+    train/freeze the quantizer, stream assignments into the cell
+    inventory. Oracle: the batch assignment of the full table."""
+    from ..operators import similarity
+
+    e = load(spark, sf_dir, "embeddings")
+    cb_src = e.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cv")
+    )
+    cb = similarity.collect_cosine_codebook(cb_src)
+    src_dir = _source_dir(sf_dir, {"embeddings.parquet": "embeddings.parquet"})
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(emb_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    out = similarity.ivf_cell_assign(stream, "vec_id", "embedding", cb)
+    return _drain(spark, out, "append", "st_ivf_assign")
