@@ -68,7 +68,8 @@ def l2_normalize(df: DataFrame, vec_col: str, out: str = "unit",
     )
 
 
-def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str,
+                  keep: tuple = ()) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization (the standard ANN
     index compression: 4x smaller than float32, dot products stay
     proportional): scale = max|xᵢ|/127, codeᵢ = round(xᵢ/scale).
@@ -82,7 +83,10 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     amax = F.array_max(
         F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
     )
-    proj = df.select(F.col(id_col), F.col(vec_col), amax.alias("_amax"))
+    proj = df.select(
+        F.col(id_col), F.col(vec_col), amax.alias("_amax"),
+        *[F.col(c) for c in keep],
+    )
     scale = F.when(F.col("_amax") > 0.0, F.col("_amax") / F.lit(127.0))
     codes = F.when(
         F.col("_amax") > 0.0,
@@ -96,6 +100,7 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.col(id_col),
         F.coalesce(scale, F.lit(0.0)).alias("scale"),
         codes.alias("codes"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -209,7 +214,7 @@ def collect_cosine_codebook(cb_src: DataFrame) -> list:
 
 
 def ivf_cell_assign(df: DataFrame, id_col: str, vec_col: str, cb: list,
-                    round_digits: int = 6) -> DataFrame:
+                    round_digits: int = 6, keep: tuple = ()) -> DataFrame:
     """Nearest-cell assignment against a FROZEN collected codebook —
     one pure projection: no state, no join, no shuffle, which makes
     it safe on a STREAMING DataFrame as-is. This is how an IVF index
@@ -221,6 +226,7 @@ def ivf_cell_assign(df: DataFrame, id_col: str, vec_col: str, cb: list,
         F.col(id_col),
         F.col(vec_col).alias("_cv"),
         _norm(F.col(vec_col)).alias("_cn"),
+        *[F.col(c) for c in keep],
     )
     return proj.select(
         F.col(id_col),
@@ -228,6 +234,7 @@ def ivf_cell_assign(df: DataFrame, id_col: str, vec_col: str, cb: list,
             "array_min(array("
             f"{_neg_cos_entries(cb, '`_cv`', '`_cn`', round_digits)})).c"
         ).alias("cid"),
+        *[F.col(c) for c in keep],
     )
 
 

@@ -206,6 +206,88 @@ def io_partitioned_prune(spark, sf_dir):
     )
 
 
+# ------------------------------------------- ANN index physical layout
+# One cell-partitioned inventory per (process, sf_dir): the write is
+# the setup; the CELL-PRUNED read is the operator under test.
+_ANN_DIRS: dict = {}
+
+
+def _ann_index_dir(spark, sf_dir: str) -> str:
+    from ..operators import similarity
+
+    if sf_dir not in _ANN_DIRS:
+        e = load(spark, sf_dir, "embeddings")
+        cb = similarity.collect_cosine_codebook(
+            e.orderBy("vec_id").limit(8).select(
+                F.col("vec_id").alias("_cid"),
+                F.col("embedding").alias("_cv"),
+            )
+        )
+        # ONE pipelined projection computes cell id + int8 payload —
+        # no self-join to recombine (the keep= pass-throughs exist for
+        # exactly this inventory-build shape)
+        inv = similarity.quantize_int8(
+            similarity.ivf_cell_assign(
+                e, "vec_id", "embedding", cb, keep=("embedding",)
+            ),
+            "vec_id", "embedding", keep=("cid",),
+        )
+        d = tempfile.mkdtemp(prefix="ann_cells_")
+        inv.write.mode("overwrite").partitionBy("cid").parquet(
+            f"{d}/ann_cells"
+        )
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _ANN_DIRS[sf_dir] = d
+    return f"{_ANN_DIRS[sf_dir]}/ann_cells"
+
+
+def _ann_layout_sql() -> str:
+    from .scale_queries import _cos_sql
+
+    cos = _cos_sql("e.embedding", "c.cv")
+    return f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                     FROM embeddings ORDER BY vec_id LIMIT 8),
+       asg AS (SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY round({cos}, 6) DESC, c.cid) AS rk
+               FROM embeddings e, cent c),
+       a AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+       q AS (SELECT vec_id,
+                    list_max(list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE)))) AS amax,
+                    embedding
+             FROM embeddings)
+       SELECT q.vec_id,
+              CASE WHEN amax > 0.0 THEN amax / 127.0 ELSE 0.0 END AS scale,
+              CASE WHEN amax > 0.0
+                   THEN list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0))
+                                  AS INT))
+                   ELSE list_transform(embedding, x -> 0) END AS codes,
+              a.cid
+       FROM q JOIN a USING (vec_id)
+       WHERE a.cid IN (0, 1)"""
+
+
+@_q("io_ann_cell_prune", _ann_layout_sql())
+def io_ann_cell_prune(spark, sf_dir):
+    """The physical layout that makes IVF probing an I/O reduction on
+    object storage: the index inventory (vec_id, int8 codes, scale)
+    is written ``partitionBy(cell)``, so probing 2 of 8 cells resolves
+    against the DIRECTORY LISTING (PartitionFilters — asserted in
+    tests/test_plan_quality.py) and the engine never opens a file of
+    an unprobed cell: at a billion-vector index that's the
+    n_probe/n_cells fraction of the bytes, skipped before the first
+    read. Inventory build is one pipelined projection (assignment +
+    quantization, no self-join); the oracle replays assignment and
+    quantization as row filters on the flat table."""
+    path = _ann_index_dir(spark, sf_dir)
+    inv = spark.read.parquet(path)
+    return inv.filter(F.col("cid").isin(0, 1)).select(
+        "vec_id", "scale", "codes", F.col("cid").cast("long").alias("cid")
+    )
+
+
 # ------------------------------------------- bucketed CTAS co-located join
 # One bucketed copy per (process, sf_dir): the CTAS pays the shuffle
 # at write time; the QUERY below joins with zero Exchange before the

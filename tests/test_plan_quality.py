@@ -254,6 +254,18 @@ def test_partitioned_read_prunes_by_directory(spark, queries):
         assert int(m2.group(1)) == 10, plan
 
 
+def test_ann_cell_read_prunes_by_directory(spark, queries):
+    # probing 2 of 8 IVF cells must resolve against the cell partition
+    # directories, never opening an unprobed cell's files
+    df = queries["io_ann_cell_prune"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), plan
+    m2 = re.search(r"partition count: (\d+)", plan.lower())
+    if m2:
+        assert int(m2.group(1)) == 2, plan
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark):
     # the session factory enables runtime bloom-filter join pruning
     # (plans/session.py): a selective filter on the build side must
