@@ -31,6 +31,7 @@ from ..operators import (
 from ..operators.hashing import (
     MERSENNE_P,
     affine_hash_sql,
+    md5_long,
     md5_long_sql,
     minhash_coeffs,
 )
@@ -447,11 +448,56 @@ def ann_recall_report(spark, sf_dir):
     )
 
 
-@_q("ann_lsh_topk")  # no SQL equivalent -> rows-only check
+def _lsh_topk_sql(dim: int, planes: int, n_queries: int,
+                  topk: int) -> str:
+    """DuckDB twin of similarity.lsh_topk: the hyperplane components
+    are deterministic driver-side constants (similarity._plane_sign),
+    so the oracle inlines the SAME ±1 arrays and folds the same
+    left-to-right dot — signatures, buckets, and the recall loss all
+    match bit-for-bit."""
+    from ..operators.similarity import _plane_sign
+
+    def dot_p(p: int) -> str:
+        arr = "[" + ", ".join(
+            f"CAST('{_plane_sign(p, i)!r}' AS DOUBLE)" for i in range(dim)
+        ) + "]"
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
+            "(x, y) -> x + y)"
+        )
+
+    sig = " + ".join(
+        f"CASE WHEN {dot_p(p)} > 0 THEN CAST({1 << p} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for p in range(planes)
+    )
+    cos = _cos_sql("c.cv", "q.qv")
+    return f"""WITH sigs AS MATERIALIZED (
+         SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+       q AS (SELECT vec_id AS query_id, embedding AS qv, sig
+             FROM sigs WHERE vec_id < {n_queries}),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cv, sig
+             FROM sigs),
+       s AS (SELECT q.query_id, c.neighbor_id,
+                    round({cos}, 6) AS cosine
+             FROM c JOIN q USING (sig)
+             WHERE c.neighbor_id <> q.query_id)
+       SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rk FROM s) t
+       WHERE rk <= {topk}"""
+
+
+@_q("ann_lsh_topk", _lsh_topk_sql(64, 4, 10, 5))
 def ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH bucketing (recall<1
-    by design — scale path for huge query sets). Not SQL-expressible
-    (per-plane derived hyperplanes); driver records rows-only."""
+    by design — the scale path when the query set is itself huge).
+    The hyperplane signs are deterministic md5-derived constants
+    computed driver-side, so the oracle replays the identical
+    signatures and bucket joins — both engines miss the same
+    neighbors and the survivor ranking hash-matches."""
     e = load(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
@@ -2984,6 +3030,101 @@ def ml_kcenter_coreset(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return kcenter_coreset(e, "vec_id", "embedding", k=8)
+
+
+_NEG_KEY_SQL = md5_long_sql(
+    "concat('neg:', CAST(anchor_id AS VARCHAR), ':', "
+    "CAST(slot AS VARCHAR))"
+)
+
+
+@_q(
+    "ml_negative_audit",
+    f"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
+       a AS (SELECT vec_id AS anchor_id, embedding AS av
+             FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT anchor_id, av, t.slot
+             FROM a, LATERAL (SELECT unnest(generate_series(0, 3))
+                              AS slot) t),
+       x AS (SELECT anchor_id, av, slot,
+                    {_NEG_KEY_SQL} % (SELECT n FROM nrows) AS raw
+             FROM s),
+       y AS (SELECT anchor_id, av, slot,
+                    CASE WHEN raw = anchor_id
+                         THEN (raw + 1) % (SELECT n FROM nrows)
+                         ELSE raw END AS neg_id
+             FROM x)
+       SELECT y.anchor_id, CAST(y.slot AS BIGINT) AS slot, y.neg_id,
+              round({_cos_sql('y.av', 'e.embedding')}, 6) AS cosine,
+              round({_cos_sql('y.av', 'e.embedding')}, 6) >= 0.15
+                  AS hard_negative
+       FROM y JOIN embeddings e ON e.vec_id = y.neg_id""",
+)
+def ml_negative_audit(spark, sf_dir):
+    """Deterministic negative sampling + false-negative audit for
+    contrastive training pairs: each anchor draws 4 'random' negatives
+    via the engine-portable md5 hash (reproducible across reruns and
+    engines — no RNG), then every sampled negative is scored against
+    its anchor and flagged when the cosine says it is actually a NEAR
+    match (a false negative that would poison a contrastive loss).
+    Corpus side is one scan + a broadcast join against the tiny
+    (anchor × slot) table — the negatives' vectors are fetched without
+    shuffling the corpus. Oracle replays the hash, the collision
+    bump, and the scoring."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    anchors = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("_av"),
+        similarity._norm(F.col("embedding")).alias("_an"),
+    )
+    negs = (
+        anchors.select(
+            "anchor_id", "_av", "_an",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("slot"),
+        )
+        .withColumn(
+            "_raw",
+            md5_long(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ) % F.lit(n),
+        )
+        .withColumn(
+            "neg_id",
+            F.when(
+                F.col("_raw") == F.col("anchor_id"),
+                (F.col("_raw") + 1) % F.lit(n),
+            ).otherwise(F.col("_raw")),
+        )
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("_nv"),
+        similarity._norm(F.col("embedding")).alias("_nn"),
+    )
+    return (
+        corpus.join(F.broadcast(negs), "neg_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                similarity._dot(F.col("_av"), F.col("_nv"))
+                / (F.col("_an") * F.col("_nn")),
+                6,
+            ),
+        )
+        .select(
+            "anchor_id",
+            F.col("slot").cast("long").alias("slot"),
+            "neg_id",
+            "cosine",
+            (F.col("cosine") >= 0.15).alias("hard_negative"),
+        )
+    )
 
 
 def _mmr_sql(k: int, lam: float) -> str:
