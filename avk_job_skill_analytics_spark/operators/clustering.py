@@ -55,7 +55,16 @@ def collect_codebook(df: DataFrame, id_field: str,
 # IEEE double, so inlined values stay bit-exact.
 
 def sql_double(v) -> str:
-    return f"CAST('{float(v)!r}' AS DOUBLE)"
+    # Spark's string->double cast only accepts 'NaN'/'Infinity'
+    # spellings; repr() of a non-finite float ('nan'/'inf') would
+    # parse to NULL and silently corrupt an inlined codebook — fail
+    # loudly at build time instead.
+    import math
+
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError(f"non-finite codebook value: {v!r}")
+    return f"CAST('{f!r}' AS DOUBLE)"
 
 
 def sql_lit_arr(values) -> str:

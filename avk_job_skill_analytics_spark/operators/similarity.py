@@ -190,13 +190,23 @@ def _neg_cos_entries(cb, vec_sql: str, nrm_sql: str,
     (so struct array_min orders cosine DESC, cid ASC), arithmetic
     bit-identical to a joined-column plan (literal doubles ==
     cast-to-double of the original values, dot_sql replays the fold
-    order)."""
+    order).
+
+    A zero-norm codebook entry (or row vector) makes the divisor 0:
+    under ANSI that raises, and with ANSI off the NULL cosine would
+    sort FIRST in struct ``array_min`` — making the degenerate entry
+    win every assignment, the opposite of the window-rank plan's DESC
+    NULLS LAST and of the DuckDB oracles. nullif() turns the zero
+    divisor into a NULL cosine on every config, and
+    coalesce(…, +Infinity) pins it to the losing end."""
     from .clustering import dot_sql, sql_double
 
     return ", ".join(
-        "named_struct('d', -round("
-        f"{dot_sql(vec_sql, cv)} / ({nrm_sql} * {sql_double(cn)}), "
-        f"{round_digits}), 'c', CAST({cid} AS BIGINT))"
+        "named_struct('d', coalesce(-round("
+        f"{dot_sql(vec_sql, cv)} / "
+        f"nullif({nrm_sql} * {sql_double(cn)}, CAST(0.0 AS DOUBLE)), "
+        f"{round_digits}), CAST('Infinity' AS DOUBLE)), "
+        f"'c', CAST({cid} AS BIGINT))"
         for cid, cv, cn in cb
     )
 
@@ -211,6 +221,19 @@ def collect_cosine_codebook(cb_src: DataFrame) -> list:
             "_cid", "_cv", _norm(F.col("_cv")).alias("_cn")
         ).collect()
     ]
+
+
+def _empty_topk(corpus: DataFrame, score_col: str,
+                score_type: str) -> DataFrame:
+    """Correctly-typed empty (query_id, neighbor_id, <score>, rk)
+    frame — the empty-codebook result shape shared by every top-k
+    variant (an empty inlined codebook cannot render a valid
+    array_min expression)."""
+    return corpus.sparkSession.createDataFrame(
+        [],
+        f"query_id long, neighbor_id long, {score_col} {score_type}, "
+        "rk long",
+    )
 
 
 def ivf_cell_assign(df: DataFrame, id_col: str, vec_col: str, cb: list,
@@ -228,6 +251,15 @@ def ivf_cell_assign(df: DataFrame, id_col: str, vec_col: str, cb: list,
         _norm(F.col(vec_col)).alias("_cn"),
         *[F.col(c) for c in keep],
     )
+    if not cb:
+        # empty codebook would render array_min(array()).c — analysis
+        # error on the untyped empty array; same guard as
+        # clustering.assign_clusters: a correctly-typed empty frame
+        return proj.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("cid"),
+            *[F.col(c) for c in keep],
+        ).limit(0)
     return proj.select(
         F.col(id_col),
         F.expr(
@@ -272,6 +304,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     # is bit-identical to the old joined _ctn column at zero per-row
     # cost (HOFs over literals don't constant-fold)
     cb = collect_cosine_codebook(cb_src)
+    if not cb:
+        return _empty_topk(corpus, "cosine", "double")
     cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -562,6 +596,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             ]
             for s in range(m)
         ]
+
+    if not codebooks or not codebooks[0]:
+        return _empty_topk(corpus, "adc_dist", "long")
 
     def micro(dist_sql):
         return (
@@ -894,6 +931,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         .collect()
     )
     coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
+    if not coarse:
+        return _empty_topk(corpus, "adc_dist", "long")
     # cell assignment + residual in one projection: the argmin struct
     # carries the centroid vector (third field, never compared — cell
     # ids are unique) so the residual subtracts the exact inlined

@@ -1105,3 +1105,66 @@ def test_strip_html_extraction(spark):
     df = spark.createDataFrame([(html,)], "h string")
     got = df.select(strip_html(F.col("h")).alias("t")).collect()[0].t
     assert got == "Title\nHello & welcome\nline two"
+
+
+# -------------------------------------------- codebook degeneracy guards
+def test_zero_norm_centroid_never_wins_assignment(spark):
+    # A zero-norm codebook entry yields a NULL cosine (divide by
+    # zero); struct array_min sorts NULL first, so without the
+    # coalesce(+Infinity) pin the degenerate centroid would win every
+    # assignment — the opposite of DESC NULLS LAST (ADVICE r5 #1).
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    cb_src = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "_cid long, _cv array<double>",
+    )
+    cb = similarity.collect_cosine_codebook(cb_src)
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in similarity.ivf_cell_assign(
+            df, "vec_id", "embedding", cb
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1}  # zero-norm cid 0 never wins
+
+
+def test_empty_codebook_returns_typed_empty(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    empty = df.limit(0)
+    asg = similarity.ivf_cell_assign(df, "vec_id", "embedding", [])
+    assert asg.count() == 0
+    assert [f.name for f in asg.schema.fields] == ["vec_id", "cid"]
+    topk = similarity.ivf_topk(
+        empty, empty, "vec_id", "embedding", k=3, n_centroids=4
+    )
+    assert topk.count() == 0
+    assert [f.name for f in topk.schema.fields] == [
+        "query_id", "neighbor_id", "cosine", "rk"
+    ]
+    pq = similarity.pq_topk(
+        empty, empty, "vec_id", "embedding", k=3, m=1, sub_d=2
+    )
+    assert pq.count() == 0
+    ivfpq = similarity.ivfpq_topk(
+        empty, empty, "vec_id", "embedding", k=3, m=1, sub_d=2
+    )
+    assert ivfpq.count() == 0
+
+
+def test_sql_double_rejects_nonfinite():
+    import math
+
+    import pytest as _pytest
+
+    from avk_job_skill_analytics_spark.operators.clustering import sql_double
+
+    with _pytest.raises(ValueError):
+        sql_double(float("nan"))
+    with _pytest.raises(ValueError):
+        sql_double(math.inf)
+    assert "0.5" in sql_double(0.5)
