@@ -899,25 +899,6 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     one broadcast equi-join on the cell id + an m-term fold; only
     the final top-k window shuffles (adc triples, never vectors).
     Returns (query_id, neighbor_id, adc_dist, rk)."""
-    from .clustering import (
-        codebook_argmin,
-        codebook_topn,
-        sqdist_sql,
-    )
-
-    def micro(dist_sql):
-        return (
-            f"CAST(floor(round({dist_sql}, {round_digits}) * 1000000 "
-            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
-        )
-
-    def rdist(vec_sql, vals, offset=0):
-        return (
-            f"round({sqdist_sql(vec_sql, vals, offset=offset)}, "
-            f"{round_digits})"
-        )
-
-    # coarse codebook: first n_cells vectors, Spark-rounded, collected
     cell_rows = (
         corpus.orderBy(id_col)
         .limit(n_cells)
@@ -933,14 +914,37 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
     if not coarse:
         return _empty_topk(corpus, "adc_dist", "long")
-    # cell assignment + residual in one projection: the argmin struct
-    # carries the centroid vector (third field, never compared — cell
-    # ids are unique) so the residual subtracts the exact inlined
-    # centroid, matching the old zip_with against the joined row
-    best_cell = codebook_argmin(
-        lambda cv: rdist("`_v`", cv), coarse, carry_vec=True
+    asg = _ivfpq_assign(corpus, id_col, vec_col, coarse,
+                        round_digits).localCheckpoint()
+    cbs = _ivfpq_seed_cbs(asg, m, sub_d, k_star, round_digits)
+    codes = ivfpq_encode(asg, cbs, m, sub_d, round_digits)
+    probes = ivfpq_probes(queries, id_col, vec_col, coarse, cbs,
+                          n_probe, m, sub_d, round_digits)
+    return ivfpq_score(codes, probes, k)
+
+
+def _rdist(vec_sql: str, vals, offset: int, round_digits: int) -> str:
+    from .clustering import sqdist_sql
+
+    return (
+        f"round({sqdist_sql(vec_sql, vals, offset=offset)}, "
+        f"{round_digits})"
     )
-    asg = (
+
+
+def _ivfpq_assign(corpus: DataFrame, id_col: str, vec_col: str,
+                  coarse: list, round_digits: int) -> DataFrame:
+    """Cell assignment + residual in one projection: the argmin struct
+    carries the centroid vector (third field, never compared — cell
+    ids are unique) so the residual subtracts the exact inlined
+    centroid. Returns (_id, _cell, _res)."""
+    from .clustering import codebook_argmin
+
+    best_cell = codebook_argmin(
+        lambda cv: _rdist("`_v`", cv, 0, round_digits), coarse,
+        carry_vec=True,
+    )
+    return (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         # project the argmin struct into its own column FIRST so the
         # two field reads below don't each re-expand the whole
@@ -954,10 +958,14 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                 lambda x, y: x.cast("double") - y,
             ).alias("_res"),
         )
-        .localCheckpoint()
     )
-    # PQ codebooks over residual sub-vectors (seed: first k_star ids),
-    # collected once, python-sliced per subspace (positional — exact)
+
+
+def _ivfpq_seed_cbs(asg: DataFrame, m: int, sub_d: int, k_star: int,
+                    round_digits: int) -> list:
+    """Per-subspace PQ codebooks over residual sub-vectors (seed:
+    first k_star ids), collected once, python-sliced per subspace
+    (positional — exact)."""
     seed_rows = (
         asg.orderBy("_id")
         .limit(k_star)
@@ -969,28 +977,54 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         )
         .collect()
     )
-    cbs = [
+    return [
         [
             (int(r["_cid"]), list(r["_rv"][s * sub_d:(s + 1) * sub_d]))
             for r in seed_rows
         ]
         for s in range(m)
     ]
-    codes = asg.select(
+
+
+def ivfpq_encode(asg: DataFrame, cbs: list, m: int, sub_d: int,
+                 round_digits: int = 6) -> DataFrame:
+    """PQ-encode assigned residuals against inlined per-subspace
+    codebooks — all m argmins in ONE codegen projection (zero
+    Exchange). Returns the index inventory (_id, _cell, _codes):
+    m small integers per vector, the representation a stored
+    IVF-PQ index persists."""
+    from .clustering import codebook_argmin
+
+    return asg.select(
         "_id",
         "_cell",
         F.array(*[
             codebook_argmin(
-                lambda bv, s=s: rdist("`_res`", bv, offset=s * sub_d),
+                lambda bv, s=s: _rdist("`_res`", bv, s * sub_d,
+                                       round_digits),
                 cbs[s],
             ).getField("c")
             for s in range(m)
         ]).alias("_codes"),
     )
-    # query side: probe the n_probe nearest cells (codegen top-n over
-    # the inlined coarse codebook, centroid carried for the residual),
-    # then per-(query, cell) integer ADC maps over the inlined PQ cbs
-    probes = (
+
+
+def ivfpq_probes(queries: DataFrame, id_col: str, vec_col: str,
+                 coarse: list, cbs: list, n_probe: int, m: int,
+                 sub_d: int, round_digits: int = 6) -> DataFrame:
+    """Query side of IVF-PQ: probe the n_probe nearest cells (codegen
+    top-n over the inlined coarse codebook, centroid carried for the
+    residual), then per-(query, cell) integer ADC lookup maps over the
+    inlined PQ codebooks. Returns (_qid, _cell, _tbls)."""
+    from .clustering import codebook_topn, sqdist_sql
+
+    def micro(dist_sql):
+        return (
+            f"CAST(floor(round({dist_sql}, {round_digits}) * 1000000 "
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
+
+    return (
         queries.select(
             F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
         )
@@ -998,8 +1032,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             "_qid",
             F.explode(
                 codebook_topn(
-                    lambda cv: rdist("`_qv`", cv), coarse, n_probe,
-                    carry_vec=True,
+                    lambda cv: _rdist("`_qv`", cv, 0, round_digits),
+                    coarse, n_probe, carry_vec=True,
                 )
             ).alias("_p"),
             F.col("_qv"),
@@ -1035,6 +1069,14 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             ).alias("_tbls"),
         )
     )
+
+
+def ivfpq_score(codes: DataFrame, probes: DataFrame,
+                k: int) -> DataFrame:
+    """ADC scoring of a (stored or freshly encoded) code inventory
+    against probe tables: broadcast equi-join on the cell id + an
+    m-term integer fold; only the final per-query top-k window
+    shuffles (adc triples, never vectors or codes)."""
     scored = (
         codes.join(F.broadcast(probes), "_cell")
         .filter(F.col("_id") != F.col("_qid"))

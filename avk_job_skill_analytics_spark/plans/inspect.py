@@ -66,3 +66,32 @@ def codegen_stage_count(df: DataFrame) -> int:
     ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
     ids |= set(re.findall(r"\[codegen id : (\d+)\]", plan))
     return len(ids)
+
+
+def scan_partition_counts(df: DataFrame) -> list[int]:
+    """Selected-partition count per file scan in the physical plan —
+    the authoritative directory-pruning evidence (the textual explain
+    modes don't carry a count). Non-partitioned scans report 1."""
+    out: list[int] = []
+
+    def walk(plan):
+        leaves = plan.collectLeaves()
+        for i in range(leaves.length()):
+            node = leaves.apply(i)
+            name = node.getClass().getSimpleName()
+            # AQE wraps the whole query: the adaptive node is a leaf
+            # of its parent, so descend into its inner plan
+            if "AdaptiveSparkPlan" in name:
+                walk(node.initialPlan())
+            elif "QueryStage" in name:
+                walk(node.plan())
+            else:
+                try:
+                    out.append(
+                        int(node.selectedPartitions().partitionCount())
+                    )
+                except Exception:  # leaves without a file listing
+                    continue
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
