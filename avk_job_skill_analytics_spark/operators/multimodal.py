@@ -37,10 +37,10 @@ def attach_binary(df: DataFrame, text_col: str = "text",
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     """STUB for decoders of formats the stdlib parser doesn't cover
-    (JPEG/WebP/video need external codecs not installed here).
-    Deterministic fake: dimensions derived from the byte length, format
-    from a byte checksum. Replace the body with a real decode
-    (PIL.Image.open(BytesIO(payload))) in production."""
+    (video containers, pixel-level decode — external codecs not
+    installed here). Deterministic fake: dimensions derived from the
+    byte length, format from a byte checksum. Replace the body with a
+    real decode (PIL.Image.open(BytesIO(payload))) in production."""
     n = len(payload)
     width = n % 640 + 1
     height = (n * 7) % 480 + 1
@@ -49,13 +49,91 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG frame-header (SOFn) markers that carry geometry: C0-CF minus
+# DHT (C4), JPG (C8), DAC (CC) — ITU-T T.81 Table B.1
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_jpeg(payload: bytes) -> tuple[int, int, int, str] | None:
+    """JPEG marker walk to the first SOFn frame header (ITU-T T.81
+    §B.2.2): every non-standalone segment after SOI carries a
+    big-endian 2-byte length, so the walk hops segment to segment —
+    APPn/COM/DQT are skipped structurally, never scanned byte-wise —
+    until a SOF yields (height, width) at payload offset 3 of the
+    segment. Stops at SOS (entropy-coded data follows, lengths no
+    longer framed) or EOI."""
+    import struct
+
+    off = 2
+    while off + 4 <= len(payload):
+        if payload[off] != 0xFF:
+            return None
+        marker = payload[off + 1]
+        if marker == 0xFF:  # fill byte
+            off += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone TEM/RSTn
+            off += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        (seglen,) = struct.unpack(">H", payload[off + 2:off + 4])
+        if seglen < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if off + 9 > len(payload):
+                return None
+            h, w = struct.unpack(">HH", payload[off + 5:off + 9])
+            return len(payload), w, h, "jpeg"
+        if marker == 0xDA:  # SOS
+            return None
+        off += 2 + seglen
+    return None
+
+
+def _parse_webp(payload: bytes) -> tuple[int, int, int, str] | None:
+    """WebP RIFF chunk walk (container spec + RFC 9649): 'VP8 '
+    (lossy) validates the 9D 01 2A sync code and reads 14-bit
+    little-endian dimensions; 'VP8L' (lossless) validates the 2F
+    signature byte and unpacks 14-bit fields from the 32-bit stream
+    header; 'VP8X' (extended) reads the 24-bit canvas-minus-one
+    fields."""
+    import struct
+
+    off = 12
+    while off + 8 <= len(payload):
+        cid = payload[off:off + 4]
+        (csz,) = struct.unpack("<I", payload[off + 4:off + 8])
+        data = payload[off + 8:off + 8 + csz]
+        if cid == b"VP8 " and len(data) >= 10:
+            if data[3:6] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", data[6:10])
+                return len(payload), w & 0x3FFF, h & 0x3FFF, "webp"
+            return None
+        if cid == b"VP8L" and len(data) >= 5:
+            if data[0] == 0x2F:
+                (bits,) = struct.unpack("<I", data[1:5])
+                return (
+                    len(payload),
+                    (bits & 0x3FFF) + 1,
+                    ((bits >> 14) & 0x3FFF) + 1,
+                    "webp",
+                )
+            return None
+        if cid == b"VP8X" and len(data) >= 10:
+            w = int.from_bytes(data[4:7], "little") + 1
+            h = int.from_bytes(data[7:10], "little") + 1
+            return len(payload), w, h, "webp"
+        off += 8 + csz + (csz & 1)  # chunks are word-aligned
+    return None
 
 
 def parse_media_header(payload: bytes) -> tuple[int, int, int, str] | None:
     """REAL pure-stdlib media header parsing (``struct`` only — no
     codec libraries): returns (n_bytes, width, height, format) for the
-    container formats whose geometry lives in a fixed header, or None
-    for anything else (the caller falls back to the declared stub).
+    container formats whose geometry lives in a parseable header, or
+    None for anything else (the caller falls back to the declared
+    stub).
 
     - PNG: 8-byte signature, then the IHDR chunk's big-endian
       width/height at bytes 16..24 (ISO/IEC 15948 §5.2, §11.2.2).
@@ -63,6 +141,11 @@ def parse_media_header(payload: bytes) -> tuple[int, int, int, str] | None:
       height at 22 (absolute value — negative means top-down rows);
       the declared file size at bytes 2..6 must equal the payload
       length, which screens out text that merely starts with "BM".
+    - JPEG: SOI then a marker walk to the first SOFn frame header
+      (:func:`_parse_jpeg`) — the top web image format, parsed for
+      real.
+    - WebP: RIFF 'WEBP' then a chunk walk over VP8 /VP8L/VP8X
+      (:func:`_parse_webp`).
     - WAV: 'RIFF' + 'WAVE', then a real chunk walk to the 'fmt '
       chunk; the geometry slots carry (sample_rate, channels) — the
       audio analog of (width, height), same ledger columns.
@@ -81,6 +164,10 @@ def parse_media_header(payload: bytes) -> tuple[int, int, int, str] | None:
             if declared == len(payload):
                 w, h = struct.unpack("<ii", payload[18:26])
                 return len(payload), w, abs(h), "bmp"
+        if payload[:2] == b"\xff\xd8":
+            return _parse_jpeg(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return _parse_webp(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             off = 12
             while off + 8 <= len(payload):
@@ -151,6 +238,44 @@ def build_bmp(width: int, height: int) -> bytes:
     return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
 
 
+def build_jpeg(width: int, height: int) -> bytes:
+    """Minimal real JPEG: SOI + a full JFIF APP0 segment (so the
+    parser must actually hop it by declared length) + SOF0 frame
+    header carrying the geometry + EOI — 41 bytes, no entropy data."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + b"\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", height, width) + b"\x03"
+        + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def build_webp(width: int, height: int, lossless: bool = False) -> bytes:
+    """Minimal real WebP: RIFF 'WEBP' container with either a 'VP8 '
+    chunk (frame tag + 9D 01 2A sync + 14-bit LE dims — 30 bytes) or
+    a 'VP8L' chunk (2F signature + packed 14-bit fields, padded to
+    word alignment — 26 bytes)."""
+    import struct
+
+    if lossless:
+        bits = (width - 1) | ((height - 1) << 14)
+        data = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(data)) + data + b"\x00"
+    else:
+        data = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<HH", width, height)
+        )
+        chunk = b"VP8 " + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def build_wav(sample_rate: int, channels: int) -> bytes:
     """Minimal real WAV: RIFF header + canonical 16-byte 'fmt ' chunk
     + empty 'data' chunk — 44 bytes, the classic canonical layout."""
@@ -169,21 +294,29 @@ def attach_synthetic_media(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            out: str = "payload") -> DataFrame:
     """Testdata adapter for the REAL header path: synthesize honest
-    PNG/BMP/WAV containers (struct-packed — any header-reading tool
-    agrees on the geometry) with dimensions derived from the id, plus
-    raw text bytes every 4th row to exercise the stub fallback.
-    One Arrow-batched mapInPandas pass, the same boundary the decode
-    itself uses."""
+    PNG/BMP/WAV/JPEG/WebP containers (struct-packed — any
+    header-reading tool agrees on the geometry) with dimensions
+    derived from the id, plus raw text bytes every 6th row to
+    exercise the stub fallback. WebP alternates lossy VP8 and
+    lossless VP8L containers. One Arrow-batched mapInPandas pass, the
+    same boundary the decode itself uses."""
     import pandas as pd
 
     def synth(did: int, text: str) -> bytes:
-        m = did % 4
+        m = did % 6
         if m == 0:
             return build_png(did % 640 + 1, (did * 7) % 480 + 1)
         if m == 1:
             return build_bmp(did % 320 + 1, did % 240 + 1)
         if m == 2:
             return build_wav(8000 + (did % 8) * 1000, did % 2 + 1)
+        if m == 3:
+            return build_jpeg(did % 640 + 1, (did * 5) % 400 + 1)
+        if m == 4:
+            return build_webp(
+                did % 300 + 1, did % 200 + 1,
+                lossless=(did // 6) % 2 == 1,
+            )
         return text.encode("utf-8")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

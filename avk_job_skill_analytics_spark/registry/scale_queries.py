@@ -772,23 +772,31 @@ def mm_decode_metadata(spark, sf_dir):
 @_q(
     "mm_decode_real_headers",
     """SELECT doc_id,
-              CAST(CASE doc_id % 4
+              CAST(CASE doc_id % 6
                 WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 44
+                WHEN 3 THEN 41
+                WHEN 4 THEN (CASE WHEN (doc_id // 6) % 2 = 1
+                             THEN 26 ELSE 30 END)
                 ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
-              CAST(CASE doc_id % 4
+              CAST(CASE doc_id % 6
                 WHEN 0 THEN doc_id % 640 + 1
                 WHEN 1 THEN doc_id % 320 + 1
                 WHEN 2 THEN 8000 + (doc_id % 8) * 1000
+                WHEN 3 THEN doc_id % 640 + 1
+                WHEN 4 THEN doc_id % 300 + 1
                 ELSE octet_length(encode(text)) % 640 + 1
               END AS BIGINT) AS width,
-              CAST(CASE doc_id % 4
+              CAST(CASE doc_id % 6
                 WHEN 0 THEN (doc_id * 7) % 480 + 1
                 WHEN 1 THEN doc_id % 240 + 1
                 WHEN 2 THEN doc_id % 2 + 1
+                WHEN 3 THEN (doc_id * 5) % 400 + 1
+                WHEN 4 THEN doc_id % 200 + 1
                 ELSE (octet_length(encode(text)) * 7) % 480 + 1
               END AS BIGINT) AS height,
-              CASE doc_id % 4
+              CASE doc_id % 6
                 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
+                WHEN 3 THEN 'jpeg' WHEN 4 THEN 'webp'
                 ELSE (CASE octet_length(encode(text)) % 3
                       WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                       ELSE 'webp' END)
@@ -797,14 +805,16 @@ def mm_decode_metadata(spark, sf_dir):
 )
 def mm_decode_real_headers(spark, sf_dir):
     """REAL media-header decode (multimodal.parse_media_header): honest
-    struct-packed PNG/BMP/WAV containers are synthesized per document
-    (geometry derived from the id), and the mapInPandas decode reads
-    the geometry back out of the actual header bytes — big-endian
-    IHDR for PNG, little-endian BITMAPINFOHEADER for BMP, a RIFF
-    chunk walk for WAV — with every 4th row a raw-text payload taking
-    the declared stub fallback. The oracle recomputes the expected
-    ledger from the synthesis parameters, so a parser that misreads
-    any field hash-mismatches immediately."""
+    struct-packed PNG/BMP/WAV/JPEG/WebP containers are synthesized per
+    document (geometry derived from the id), and the mapInPandas
+    decode reads the geometry back out of the actual header bytes —
+    big-endian IHDR for PNG, little-endian BITMAPINFOHEADER for BMP, a
+    RIFF chunk walk for WAV, a marker walk to SOF0 for JPEG, and VP8 /
+    VP8L stream headers for WebP (lossy and lossless alternate) —
+    with every 6th row a raw-text payload taking the declared stub
+    fallback. The oracle recomputes the expected ledger from the
+    synthesis parameters, so a parser that misreads any field
+    hash-mismatches immediately."""
     d = load(spark, sf_dir, "documents")
     return multimodal.decode_metadata(
         multimodal.attach_synthetic_media(d, "doc_id", "text")

@@ -1168,3 +1168,38 @@ def test_sql_double_rejects_nonfinite():
     with _pytest.raises(ValueError):
         sql_double(math.inf)
     assert "0.5" in sql_double(0.5)
+
+
+def test_parse_media_header_jpeg_webp():
+    import struct
+
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        build_jpeg,
+        build_webp,
+        parse_media_header,
+    )
+
+    # JPEG: the walk must hop the APP0 segment by declared length and
+    # read (height, width) out of SOF0
+    j = build_jpeg(641, 399)
+    assert parse_media_header(j) == (41, 641, 399, "jpeg")
+    # SOI with no SOF before EOI -> quarantine, not a crash
+    assert parse_media_header(b"\xff\xd8\xff\xd9") is None
+    assert parse_media_header(j[:10]) is None  # truncated mid-segment
+    # WebP lossy (VP8 sync code) and lossless (VP8L bit-packed dims)
+    assert parse_media_header(build_webp(300, 200)) == (30, 300, 200, "webp")
+    assert parse_media_header(
+        build_webp(123, 77, lossless=True)
+    ) == (26, 123, 77, "webp")
+    # corrupt sync code -> None
+    bad = bytearray(build_webp(300, 200))
+    bad[23] = 0x00  # clobber the 9D 01 2A sync
+    assert parse_media_header(bytes(bad)) is None
+    # VP8X extended canvas: 24-bit minus-one fields
+    data = (b"\x00\x00\x00\x00"
+            + (499).to_bytes(3, "little") + (299).to_bytes(3, "little"))
+    x = (b"RIFF" + struct.pack("<I", 12 + len(data)) + b"WEBP"
+         + b"VP8X" + struct.pack("<I", len(data)) + data)
+    assert parse_media_header(x) == (30, 500, 300, "webp")
+    # unknown RIFF-WEBP chunk -> None (walks off the end cleanly)
+    assert parse_media_header(b"RIFF\x08\x00\x00\x00WEBPnope") is None
