@@ -680,12 +680,19 @@ def mmr_select(corpus: DataFrame, id_col: str, vec_col: str,
 
     The query is the lowest-id vector (deterministic, excluded from
     candidates); rel(x) is its cosine, computed against the COLLECTED
-    query vector inlined as literals — one scan, no join. Each of the
-    k−1 diversity rounds is one broadcast of the ≤k selected vectors,
-    one corpus scan for the max-similarity update, and a 1-row argmax
-    collect — the same bounded driver loop as kcenter_coreset, with
-    every ranking on the (rounded score DESC, id ASC) convention and
-    a +0.0 to collapse IEEE −0.0 in the emitted score.
+    query vector inlined as literals — one scan, no join.
+
+    The diversity term carries as a RUNNING MAX: the candidate frame
+    keeps a ``_ms = max_{s∈S} cos(x, s)`` column, and each of the k−1
+    rounds folds in ONLY the newest selected vector —
+    ``greatest(_ms, cos(x, new))`` against the 1-row collected vector
+    inlined as literals (max is associative, and the per-pair cosine
+    is rounded before the max exactly as before, so the selection is
+    unchanged). That's one corpus scan + one 1-row argmax collect per
+    round, O(n·k) total — not the O(n·k²) re-score of broadcasting
+    all |S| selected vectors every round. Every ranking is on the
+    (rounded score DESC, id ASC) convention with a +0.0 to collapse
+    IEEE −0.0 in the emitted score.
 
     Returns (sel_order, vec_id, score); the seed's score is its
     relevance."""
@@ -718,33 +725,41 @@ def mmr_select(corpus: DataFrame, id_col: str, vec_col: str,
         )
         .localCheckpoint()
     )
-    first = (
-        base.orderBy(F.desc("_rel"), F.asc("_id")).limit(1).collect()[0]
+    first_rows = (
+        base.select("_id", "_rel", "_v", "_n")
+        .orderBy(F.desc("_rel"), F.asc("_id"))
+        .limit(1)
+        .collect()
     )
+    if not first_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "sel_order int, vec_id long, score double"
+        )
+    first = first_rows[0]
     selected = [(1, int(first["_id"]), float(first["_rel"]) + 0.0)]
-    sel_vecs = base.filter(F.col("_id") == int(first["_id"])).select(
-        F.col("_id").alias("_sid"), F.col("_v").alias("_sv"),
-        F.col("_n").alias("_sn"),
-    ).localCheckpoint()
     oml = 1.0 - lam
+
+    def fold_newest(df, row):
+        """Remove the newly selected id and fold its (collected,
+        inlined) vector into the running max of rounded cosines."""
+        sv, sn = list(row["_v"]), float(row["_n"])
+        cos_new = F.expr(
+            f"round({dot_sql('`_v`', sv)} / "
+            f"(`_n` * {sql_double(sn)}), {round_digits})"
+        )
+        prev = (
+            F.col("_ms") if "_ms" in df.columns
+            else F.lit(None).cast("double")
+        )
+        return (
+            df.filter(F.col("_id") != int(row["_id"]))
+            .withColumn("_ms", F.greatest(prev, cos_new))
+        )
+
+    cand = fold_newest(base, first).localCheckpoint()
     for step in range(2, k + 1):
-        scored = (
-            base.join(F.broadcast(sel_vecs), F.col("_id") != F.col("_sid"))
-            .withColumn(
-                "_cos",
-                F.round(
-                    _dot(F.col("_v"), F.col("_sv"))
-                    / (F.col("_n") * F.col("_sn")),
-                    round_digits,
-                ),
-            )
-            .groupBy("_id", "_rel")
-            .agg(F.max("_cos").alias("_ms"))
-            .join(
-                sel_vecs.select(F.col("_sid").alias("_id")), "_id",
-                "left_anti",
-            )
-            .withColumn(
+        top = (
+            cand.withColumn(
                 "_score",
                 F.round(
                     F.lit(lam) * F.col("_rel")
@@ -752,20 +767,17 @@ def mmr_select(corpus: DataFrame, id_col: str, vec_col: str,
                     round_digits,
                 ) + F.lit(0.0),
             )
+            .orderBy(F.desc("_score"), F.asc("_id"))
+            .limit(1)
+            .collect()
         )
-        top = scored.orderBy(
-            F.desc("_score"), F.asc("_id")
-        ).limit(1).collect()
         if not top:
             break
-        nid = int(top[0]["_id"])
-        selected.append((step, nid, float(top[0]["_score"]) + 0.0))
-        sel_vecs = sel_vecs.unionByName(
-            base.filter(F.col("_id") == nid).select(
-                F.col("_id").alias("_sid"), F.col("_v").alias("_sv"),
-                F.col("_n").alias("_sn"),
-            )
-        ).localCheckpoint()
+        selected.append(
+            (step, int(top[0]["_id"]), float(top[0]["_score"]) + 0.0)
+        )
+        if step < k:  # no fold after the final selection
+            cand = fold_newest(cand, top[0]).localCheckpoint()
     return corpus.sparkSession.createDataFrame(
         selected, "sel_order int, vec_id long, score double"
     )

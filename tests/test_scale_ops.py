@@ -1203,3 +1203,32 @@ def test_parse_media_header_jpeg_webp():
     assert parse_media_header(x) == (30, 500, 300, "webp")
     # unknown RIFF-WEBP chunk -> None (walks off the end cleanly)
     assert parse_media_header(b"RIFF\x08\x00\x00\x00WEBPnope") is None
+
+
+def test_mmr_rounds_are_joinless_running_max(spark):
+    # the diversity update must fold ONLY the newest selected vector
+    # into a running max — a pure projection over the checkpointed
+    # candidates: no join, no broadcast of the selected set (the old
+    # plan re-scored all |S| vectors per round, O(n*k^2) total)
+    from avk_job_skill_analytics_spark.plans import inspect as I
+
+    e = _embeddings(spark).limit(40)
+    cls = type(e)  # the concrete DataFrame class instances dispatch to
+    calls = []
+    orig = cls.localCheckpoint
+
+    def spy(df, *a, **kw):
+        calls.append(I.plan_string(df, mode="simple"))
+        return orig(df, *a, **kw)
+
+    cls.localCheckpoint = spy
+    try:
+        similarity.mmr_select(e, "vec_id", "embedding", k=4, lam=0.5)
+    finally:
+        cls.localCheckpoint = orig
+    # one checkpoint for the base + one per fold; every fold plan is
+    # a scan->filter->project chain with zero join nodes
+    folds = [p for p in calls if "_ms" in p or "greatest" in p]
+    assert folds, "no running-max fold plans captured"
+    for p in folds:
+        assert "Join" not in p, p
