@@ -174,3 +174,70 @@ def random_projection(df: DataFrame, id_col: str, vec_col: str,
         F.col("_rp").getField("out_dim").alias("out_dim"),
         F.col("_rp").getField("value").alias("value"),
     )
+
+
+def pca_power_component(df: DataFrame, vec_col: str, d: int,
+                        iters: int = 12,
+                        scale: int = QUANT_SCALE) -> DataFrame:
+    """Leading principal component via FIXED-POINT power iteration —
+    the engine-exact twin of :func:`pca_top_component` (which uses a
+    LAPACK eigensolve no SQL engine reproduces).
+
+    Exactness design (the fixed-point pagerank pattern): the integer
+    Gram matrix and column sums make the covariance numerator
+    ``C_ij = n·g_ij − s_i·s_j`` an EXACT integer, so every
+    matrix-vector product ``w = C·v`` is a sum of exact integers —
+    associative, order-free, reproducible on any engine. The only
+    float ops are the per-step max-norm normalization
+    ``floor(double(w_i·scale) / double(max|w|))`` — identical
+    operands through identical IEEE ops on both engines — so after a
+    FIXED number of unrolled steps from the all-ones seed, the
+    micro-unit loading vector hash-matches a plain-SQL replay.
+    Scaling C by any positive constant only rescales w (normalized
+    away), so dividing by n or scale² is unnecessary.
+
+    Distributed part: unchanged (gram + column sums, O(d²)/O(d)
+    aggregates; vectors never shuffle). Driver part: iters·d² exact
+    integer multiplies (d ≤ 1024 — microseconds). Sign convention:
+    the largest-|loading| coordinate (lowest dim on ties) is made
+    positive. Returns (dim, loading_fp) with loading_fp in micro
+    units of the max-norm eigenvector estimate."""
+    import math
+
+    g = {
+        (int(r["i"]), int(r["j"])): int(r["gram"])
+        for r in gram_matrix(df, vec_col, d, scale).collect()
+    }
+    sums_rows = (
+        df.select(F.posexplode(vec_col).alias("p", "x"))
+        .groupBy("p")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * scale).cast("long"))
+            .alias("s")
+        )
+        .collect()
+    )
+    n = df.count()
+    s = [0] * d
+    for r in sums_rows:
+        s[int(r["p"])] = int(r["s"])
+    C = [[0] * d for _ in range(d)]
+    for (i, j), val in g.items():
+        c = n * val - s[i - 1] * s[j - 1]
+        C[i - 1][j - 1] = c
+        C[j - 1][i - 1] = c
+    v = [scale] * d
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            break
+        v = [math.floor(float(x * scale) / float(mx)) for x in w]
+    mxv = max(abs(x) for x in v)
+    jstar = min(i for i in range(d) if abs(v[i]) == mxv)
+    if v[jstar] < 0:
+        v = [-x for x in v]
+    return df.sparkSession.createDataFrame(
+        [(i + 1, int(v[i])) for i in range(d)],
+        "dim int, loading_fp long",
+    )

@@ -2226,18 +2226,74 @@ def emb_gram_matrix(spark, sf_dir):
     return gram_matrix(e, "embedding", d=64)
 
 
-@_q("ml_pca_top_component")  # eigensolve has no SQL twin -> rows-only
+def _pca_power_sql(d: int, iters: int) -> str:
+    """DuckDB twin of linalg.pca_power_component: the same integer
+    Gram/sums, the same exact-integer covariance numerator, and the
+    same ``iters`` unrolled max-norm power steps — HUGEINT keeps every
+    sum exact (order-free), and the one float op per step
+    (floor(double·scale / double(max))) runs on identical operands.
+    Every step CTE is MATERIALIZED (the DuckDB CTE-inlining trap:
+    each v{t} is referenced by w{t+1} twice transitively — unrolled
+    references would blow up the scan tree exponentially)."""
+    ctes = [
+        f"""q AS MATERIALIZED (
+          SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                 AS qv
+          FROM embeddings)""",
+        f"""g AS MATERIALIZED (
+          SELECT i, j, sum(CAST(qv[i] AS HUGEINT) * qv[j]) AS g
+          FROM q, range(1, {d + 1}) t1(i), range(1, {d + 1}) t2(j)
+          GROUP BY i, j)""",
+        f"""s AS MATERIALIZED (
+          SELECT i, sum(CAST(qv[i] AS HUGEINT)) AS s
+          FROM q, range(1, {d + 1}) t1(i) GROUP BY i)""",
+        """nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q)""",
+        """c AS MATERIALIZED (
+          SELECT g.i, g.j, nn.n * g.g - si.s * sj.s AS c
+          FROM g, nn, s si, s sj WHERE si.i = g.i AND sj.i = g.j)""",
+        f"""v0 AS MATERIALIZED (
+          SELECT i, CAST(1000000 AS HUGEINT) AS v
+          FROM range(1, {d + 1}) t(i))""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""w{t} AS MATERIALIZED (
+          SELECT c.i, sum(c.c * v.v) AS w
+          FROM c JOIN v{t - 1} v ON c.j = v.i GROUP BY c.i)""")
+        ctes.append(f"""m{t} AS MATERIALIZED (
+          SELECT max(abs(w)) AS mx FROM w{t})""")
+        ctes.append(f"""v{t} AS MATERIALIZED (
+          SELECT w.i,
+                 CAST(floor(CAST(w.w * 1000000 AS DOUBLE)
+                            / CAST(m.mx AS DOUBLE)) AS HUGEINT) AS v
+          FROM w{t} w, m{t} m)""")
+    ctes.append(f"""sg AS (
+          SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+          FROM v{iters}
+          WHERE abs(v) = (SELECT max(abs(v)) FROM v{iters})
+          ORDER BY i LIMIT 1)""")
+    joined = ",\n       ".join(ctes)
+    return f"""WITH {joined}
+       SELECT CAST(v.i AS INT) AS dim,
+              CAST(v.v * sg.sg AS BIGINT) AS loading_fp
+       FROM v{iters} v, sg"""
+
+
+@_q("ml_pca_top_component", _pca_power_sql(64, 96))
 def ml_pca_top_component(spark, sf_dir):
-    """Leading principal component of the embedding cloud
-    (operators/linalg.pca_top_component): the distributed work is the
-    integer Gram + column-sum aggregates (verified bit-exact by
-    emb_gram_matrix's oracle); the d x d eigensolve happens on the
-    driver, which no SQL engine reproduces -> rows-only here, with
-    the numpy parity locked by tests/test_scale_ops."""
-    from ..operators.linalg import pca_top_component
+    """Leading principal component via fixed-point power iteration
+    (operators/linalg.pca_power_component): the distributed work is
+    the integer Gram + column-sum aggregates (bit-exact — see
+    emb_gram_matrix); the d×d iteration runs driver-side in EXACT
+    integer arithmetic with one IEEE-identical float normalization
+    per step, so 96 unrolled steps hash-match the plain-SQL replay —
+    the former rows-only eigensolve, made oracle-checkable. Direction
+    quality vs LAPACK's eigenvector is locked by a numpy parity test
+    in tests/test_scale_ops."""
+    from ..operators.linalg import pca_power_component
 
     e = load(spark, sf_dir, "embeddings")
-    return pca_top_component(e, "embedding", d=64)
+    return pca_power_component(e, "embedding", d=64, iters=96)
 
 
 @_q(

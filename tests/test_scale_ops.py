@@ -1232,3 +1232,28 @@ def test_mmr_rounds_are_joinless_running_max(spark):
     assert folds, "no running-max fold plans captured"
     for p in folds:
         assert "Join" not in p, p
+
+
+def test_pca_power_iteration_matches_eigh_direction(spark):
+    # the fixed-point power iteration (oracle-checkable) must land on
+    # the same direction as the LAPACK eigensolve it replaced
+    import numpy as np
+
+    from avk_job_skill_analytics_spark.operators.linalg import (
+        pca_power_component,
+        pca_top_component,
+    )
+
+    e = _embeddings(spark)
+    d = 64
+    power = pca_power_component(e, "embedding", d, iters=96)
+    fp = np.zeros(d)
+    for r in power.collect():
+        fp[r["dim"] - 1] = r["loading_fp"]
+    fp = fp / np.linalg.norm(fp)
+    eig = np.zeros(d)
+    for r in pca_top_component(e, "embedding", d).collect():
+        eig[r["dim"] - 1] = r["loading"]
+    eig = eig / np.linalg.norm(eig)
+    cos = abs(float(fp @ eig))
+    assert cos >= 0.999, cos
