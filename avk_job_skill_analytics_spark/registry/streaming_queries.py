@@ -601,6 +601,83 @@ def stream_minhash_dedup(spark, sf_dir):
     return _drain(spark, out, "append", "st_minhash_dedup")
 
 
+# ------------------------------------------ growing LSH index maintenance
+_LSH_SPLIT_DIRS: dict = {}
+
+
+def _split_docs_dir(spark, sf_dir: str) -> str:
+    """documents split into two single-file parquet drops (even ids
+    then odd ids, mtime-ordered) so maxFilesPerTrigger=1 feeds them as
+    two distinct micro-batches."""
+    if sf_dir not in _LSH_SPLIT_DIRS:
+        import glob as _glob
+
+        d = tempfile.mkdtemp(prefix="lsh_stream_src_")
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        for name, par, mt in (
+            ("0_even.parquet", 0, 1_000_000_000),
+            ("1_odd.parquet", 1, 1_000_000_100),
+        ):
+            tmp = f"{d}/_tmp"
+            docs.filter(F.col("doc_id") % 2 == par).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, f"{d}/{name}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(f"{d}/{name}", (mt, mt))
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _LSH_SPLIT_DIRS[sf_dir] = d
+    return _LSH_SPLIT_DIRS[sf_dir]
+
+
+@_q("stream_lsh_index_maintain", _stream_minhash_sql(16, 8, 0.5))
+def stream_lsh_index_maintain(spark, sf_dir):
+    """Streaming LSH dedup with a GROWING index
+    (streaming/minhash_stream.foreach_batch_lsh_maintain): unlike
+    stream_minhash_dedup's frozen batch-built index, here the stream
+    itself maintains the banded index — each micro-batch is verified
+    against everything indexed so far, then its own signatures are
+    appended exactly once (marker + per-batch overwrite directories).
+    The even-id documents arrive as batch 0 (empty index — no pairs,
+    signatures appended), the odd-id documents as batch 1, whose
+    pairs exist ONLY because batch 0 grew the index; the final pair
+    set therefore equals the frozen-index query's, and the oracle is
+    the same batch MinHash SQL restricted to even-vs-odd pairs.
+    Redelivery discipline is pytest-locked (a re-presented batch
+    neither duplicates index rows nor re-emits pairs)."""
+    from ..streaming.minhash_stream import foreach_batch_lsh_maintain
+
+    src = _split_docs_dir(spark, sf_dir)
+    index_dir = tempfile.mkdtemp(prefix="lsh_index_")
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_lshmaint_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_lsh_maintain(
+                    stream, index_dir, "doc_id", "text",
+                    k=3, num_hashes=16, bands=8, threshold=0.5,
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(f"{index_dir}/pairs")
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # --------------------------------------------- streaming decontamination
 def _stream_decon_sql() -> str:
     """Oracle for stream_decontaminate: the batch decontamination SQL

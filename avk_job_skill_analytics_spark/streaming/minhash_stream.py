@@ -145,34 +145,38 @@ def build_lsh_index(static_df: DataFrame, id_col: str, text_col: str,
     return index_bands, index_sets
 
 
-def stream_minhash_dedup(stream: DataFrame, index_bands: DataFrame,
-                         index_sets: DataFrame, id_col: str, text_col: str,
-                         k: int = 3, num_hashes: int = 16, bands: int = 8,
-                         threshold: float = 0.5, seed: int = 7) -> DataFrame:
-    """Verified near-dup pairs between streaming documents and the
-    static index: (doc_a, doc_b, jaccard) with doc_a < doc_b, exact
-    Jaccard >= threshold, each pair emitted once (band collisions and
-    file re-deliveries deduplicated in state)."""
-    rows_per_band = num_hashes // bands
-    signed = stream.select(
+def _sign_documents(df: DataFrame, id_col: str, text_col: str, k: int,
+                    num_hashes: int, seed: int) -> DataFrame:
+    """(id, _sh, _n, m0..m{n-1}) via pure column expressions — the
+    stateless signing pass shared by the frozen-index dedup and the
+    growing-index maintenance sink."""
+    return df.select(
         F.col(id_col),
         shingle_hash_array(F.col(text_col), k).alias("_sh"),
     ).select(
         id_col,
         "_sh",
         F.size("_sh").alias("_n"),
-        *[
-            c
-            for c in signature_columns(F.col("_sh"), num_hashes, seed)
-        ],
+        *[c for c in signature_columns(F.col("_sh"), num_hashes, seed)],
     )
-    banded = signed.select(
+
+
+def _banded(signed: DataFrame, id_col: str, bands: int,
+            rows_per_band: int) -> DataFrame:
+    return signed.select(
         id_col, "_sh", "_n",
         F.explode(band_structs(bands, rows_per_band)).alias("bs"),
     ).select(
         id_col, "_sh", "_n",
         F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
     )
+
+
+def _verified_pairs(banded: DataFrame, index_bands: DataFrame,
+                    index_sets: DataFrame, id_col: str,
+                    threshold: float) -> DataFrame:
+    """Candidate generation (band equi-join) + exact-Jaccard verify —
+    identical math to the batch operator."""
     cand = (
         banded.join(index_bands, ["band", "sig"])
         .filter(F.col(id_col) != F.col("_idx_id"))
@@ -198,3 +202,113 @@ def stream_minhash_dedup(stream: DataFrame, index_bands: DataFrame,
         F.greatest(F.col(id_col), F.col("_idx_id")).alias("doc_b"),
         "jaccard",
     )
+
+
+def stream_minhash_dedup(stream: DataFrame, index_bands: DataFrame,
+                         index_sets: DataFrame, id_col: str, text_col: str,
+                         k: int = 3, num_hashes: int = 16, bands: int = 8,
+                         threshold: float = 0.5, seed: int = 7) -> DataFrame:
+    """Verified near-dup pairs between streaming documents and the
+    static index: (doc_a, doc_b, jaccard) with doc_a < doc_b, exact
+    Jaccard >= threshold, each pair emitted once (band collisions and
+    file re-deliveries deduplicated in state)."""
+    rows_per_band = num_hashes // bands
+    signed = _sign_documents(stream, id_col, text_col, k, num_hashes, seed)
+    banded = _banded(signed, id_col, bands, rows_per_band)
+    return _verified_pairs(banded, index_bands, index_sets, id_col,
+                           threshold)
+
+
+def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
+                           k: int, num_hashes: int, bands: int,
+                           threshold: float, seed: int):
+    """The per-batch maintenance body, exposed for redelivery tests.
+
+    Exactly-once discipline (the foreach_batch_upsert marker pattern
+    composed with per-batch overwrite directories): every artifact of
+    batch b lands in its own ``batch=<b>`` directory via
+    mode("overwrite") — a crash-redelivered batch rewrites IDENTICAL
+    rows over itself and converges — and the ``_batch_<b>`` marker
+    short-circuits clean replays entirely, so the index gains each
+    document's signatures exactly once and no pair is ever re-emitted
+    (pairs are per-batch artifacts, not appends)."""
+    import os
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        marker = os.path.join(index_dir, f"_batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        rows_per_band = num_hashes // bands
+        # localCheckpoint: one micro-batch of signatures, reused by
+        # the pair join AND both index appends without re-signing
+        signed = _sign_documents(
+            bdf, id_col, text_col, k, num_hashes, seed
+        ).withColumn("_sh", F.sort_array("_sh")).localCheckpoint()
+        banded_new = signed.select(
+            F.col(id_col).alias("_idx_id"),
+            F.explode(band_structs(bands, rows_per_band)).alias("bs"),
+        ).select(
+            "_idx_id", F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
+        sets_new = signed.select(
+            F.col(id_col).alias("_idx_id"),
+            F.col("_sh").alias("_idx_sh"),
+            F.col("_n").alias("_idx_n"),
+        )
+        bands_path = os.path.join(index_dir, "bands")
+        sets_path = os.path.join(index_dir, "sets")
+        pairs_path = os.path.join(index_dir, "pairs")
+        has_index = os.path.isdir(bands_path) and any(
+            e.startswith("batch=") for e in os.listdir(bands_path)
+        )
+        if has_index:
+            idx_b = spark.read.parquet(bands_path).drop("batch")
+            idx_s = spark.read.parquet(sets_path).drop("batch")
+            pairs = _verified_pairs(
+                _banded(signed, id_col, bands, rows_per_band),
+                idx_b, idx_s, id_col, threshold,
+            )
+        else:
+            pairs = spark.createDataFrame(
+                [], "doc_a long, doc_b long, jaccard double"
+            )
+        # pairs FIRST, then the index append: a crash between the two
+        # redelivers the batch, which rewrites both; appending first
+        # would let the redelivered pair join see the batch's own docs
+        # in the index (self-collisions) — order is part of the
+        # exactly-once contract
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch={batch_id}")
+        )
+        banded_new.write.mode("overwrite").parquet(
+            os.path.join(bands_path, f"batch={batch_id}")
+        )
+        sets_new.write.mode("overwrite").parquet(
+            os.path.join(sets_path, f"batch={batch_id}")
+        )
+        open(marker, "w").close()
+
+    return sink
+
+
+def foreach_batch_lsh_maintain(stream: DataFrame, index_dir: str,
+                               id_col: str, text_col: str, k: int = 3,
+                               num_hashes: int = 16, bands: int = 8,
+                               threshold: float = 0.5,
+                               seed: int = 7) -> "object":
+    """Growing-index streaming LSH dedup — the 100 TB maintenance
+    path the frozen-index ``stream_minhash_dedup`` defers to batch
+    refreshes: per micro-batch, (1) arrivals are verified against the
+    CURRENT banded index (pairs emitted exactly once, to a per-batch
+    artifact), then (2) their signatures and shingle sets are APPENDED
+    to the index, so later batches collide with everything that came
+    before. The index lives as plain ``batch=<id>``-partitioned
+    parquet — at cluster scale the same discipline lands on a
+    transactional table format, with periodic compaction of the batch
+    directories."""
+    sink = _lsh_maintain_batch_fn(
+        index_dir, id_col, text_col, k, num_hashes, bands, threshold, seed
+    )
+    return stream.writeStream.foreachBatch(sink)

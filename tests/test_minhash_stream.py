@@ -88,3 +88,51 @@ def test_stream_matches_batch_and_replay_is_exactly_once(spark, docs):
     # append sink + double delivery: equality above already proves no
     # pair surfaced twice (a set can't show it) — check row count too
     assert streamed.count() == len(expected)
+
+
+def test_lsh_maintain_grows_index_and_survives_redelivery(spark, tmp_path):
+    """Growing-index maintenance sink: batch 1 pairs exist only
+    because batch 0 grew the index; a re-presented batch (clean
+    replay AND crash replay with the marker gone) neither duplicates
+    index rows nor re-emits pairs."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.minhash_stream import (
+        _lsh_maintain_batch_fn,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    sink = _lsh_maintain_batch_fn(d, "doc_id", "text", 3, 16, 8, 0.5, 7)
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    b0 = spark.createDataFrame(
+        [(1, t), (2, "completely different text about spark engines here")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(11, t + " tail"), (12, "nothing like anything indexed before")],
+        "doc_id long, text string",
+    )
+
+    def state():
+        bands = spark.read.parquet(f"{d}/bands").count()
+        pairs = sorted(
+            map(tuple, spark.read.parquet(f"{d}/pairs")
+                .select("doc_a", "doc_b", "jaccard").collect())
+        )
+        return bands, pairs
+
+    sink(b0, 0)
+    bands0, pairs0 = state()
+    assert bands0 > 0 and pairs0 == []  # empty index -> no pairs
+    sink(b1, 1)
+    bands1, pairs1 = state()
+    assert bands1 > bands0  # the index grew
+    assert any(a == 1 and b == 11 for a, b, _ in pairs1), pairs1
+    # clean replay: marker short-circuits
+    sink(b1, 1)
+    assert state() == (bands1, pairs1)
+    # crash replay: marker lost mid-batch -> rewrite converges
+    os.remove(f"{d}/_batch_1")
+    sink(b1, 1)
+    assert state() == (bands1, pairs1)
