@@ -187,23 +187,30 @@ def update_centroids(assigned: DataFrame, vec_col: str,
 
 
 def kmeans_fit(df: DataFrame, id_col: str, vec_col: str, k: int = 4,
-               iters: int = 2, round_digits: int = 6) -> DataFrame:
+               iters: int = 2, round_digits: int = 6,
+               init: DataFrame | None = None) -> DataFrame:
     """Lloyd's algorithm for ``iters`` rounds from the deterministic
-    seed (k lowest-id vectors). Returns the final (cluster, centroid)
+    seed (k lowest-id vectors), or from a supplied ``init``
+    (cluster, centroid) frame — e.g. ``kmeans_parallel_init``'s
+    quality-aware seeds. Returns the final (cluster, centroid)
     table. Empty clusters keep their previous centroid absent (they
     drop out) — acceptable for the dedup/IVF uses here; production
     k-means re-seeds them."""
-    centroids = (
-        df.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(id_col).cast("long").alias("cluster"),
-            F.transform(
-                F.col(vec_col), lambda x: F.round(x.cast("double"), round_digits)
-            ).alias("centroid"),
+    if init is not None:
+        centroids = init.select("cluster", "centroid").localCheckpoint()
+    else:
+        centroids = (
+            df.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.col(id_col).cast("long").alias("cluster"),
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: F.round(x.cast("double"), round_digits),
+                ).alias("centroid"),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
     # size the loop's shuffles to the exploded (row × dim) volume the
     # centroid update actually moves — same discipline as the CC /
     # pagerank loops. sized_partitions caps at the session default,
@@ -297,4 +304,126 @@ def kcenter_coreset(df: DataFrame, id_col: str, vec_col: str,
         ).localCheckpoint()
     return df.sparkSession.createDataFrame(
         selected, "sel_order int, vec_id long, maxmin_dist long"
+    )
+
+
+def kmeans_parallel_init(df: DataFrame, id_col: str, vec_col: str,
+                         k: int = 4, rounds: int = 3, l: int | None = None,
+                         seed: int = 7,
+                         round_digits: int = 6) -> DataFrame:
+    """k-means‖ scalable initialization (Bahmani et al., "Scalable
+    k-means++", VLDB'12): instead of k sequential k-means++ passes,
+    run ``rounds`` FIXED oversampling rounds that each select ~``l``
+    candidates in parallel with probability l·d²(x,C)/φ, then reduce
+    the weighted candidate set to k seeds. Quality-aware where the
+    lowest-id seeding is quality-blind, and O(rounds) corpus passes
+    where k-means++ needs k.
+
+    Engine-exact determinism (the oracle replays every round):
+    distances quantize to integer micro-units before the cost sum φ
+    (order-free exact integer aggregation), and the "coin flip" is the
+    engine-portable 60-bit MD5 of (seed, round, id) — selection is the
+    pure integer comparison u·φ < d²·l·2⁶⁰ in DECIMAL(38,0)/HUGEINT,
+    no RNG. The reduction takes the k heaviest candidates (weight =
+    points assigned under the (rounded distance, cid) argmin; ties →
+    lowest id) — the deterministic stand-in for Bahmani's weighted
+    k-means++ recluster; the Lloyd path downstream is unchanged.
+
+    Per round: one codegen argmin scan for the micro-distances (the
+    (id, dq) frame checkpoints — 16 bytes/row), one bounded-expected
+    selection collect (E[|sel|] = l per round — driver cost is the
+    oversampled candidate set, ~l·rounds vectors, same order as the
+    codebook collects), one pushdown-filtered vector fetch. Returns a
+    (cluster, centroid) frame usable as kmeans_fit/ivf seeds."""
+    from ..operators.hashing import md5_long
+
+    if l is None:
+        l = 2 * k
+    U = 1 << 60
+    seed_rows = (
+        df.orderBy(id_col)
+        .limit(1)
+        .select(
+            F.col(id_col).cast("long").alias("_cid"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double"), round_digits),
+            ).alias("_cv"),
+        )
+        .collect()
+    )
+    if not seed_rows:
+        return df.sparkSession.createDataFrame(
+            [], "cluster long, centroid array<double>"
+        )
+    cands = [(int(r["_cid"]), list(r["_cv"])) for r in seed_rows]
+    have = {cands[0][0]}
+
+    def micro(cv):
+        return (
+            f"CAST(floor(round({sqdist_sql(f'`{vec_col}`', cv)}, "
+            f"{round_digits}) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        )
+
+    dec = "decimal(38,0)"
+    for r in range(1, rounds + 1):
+        dq = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                codebook_argmin(micro, cands).getField("d").alias("_dq"),
+            )
+            .localCheckpoint()
+        )
+        phi_row = dq.agg(F.sum("_dq").alias("p")).collect()[0]
+        phi = int(phi_row["p"]) if phi_row["p"] else 0
+        if phi == 0:
+            break
+        uq = md5_long(
+            F.concat(F.lit(f"km||:{seed}:{r}:"), F.col("_id").cast("string"))
+        )
+        sel = (
+            dq.filter(
+                uq.cast(dec) * F.lit(str(phi)).cast(dec)
+                # l*2^60 exceeds int64 at l=8 — string-literal decimal
+                < F.col("_dq").cast(dec) * F.lit(str(l * U)).cast(dec)
+            )
+            .select("_id")
+            .collect()
+        )
+        new_ids = sorted(
+            int(x["_id"]) for x in sel if int(x["_id"]) not in have
+        )
+        if not new_ids:
+            continue
+        fetched = (
+            df.filter(F.col(id_col).isin(new_ids))
+            .select(
+                F.col(id_col).cast("long").alias("_cid"),
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: F.round(x.cast("double"), round_digits),
+                ).alias("_cv"),
+            )
+            .collect()
+        )
+        cands.extend(
+            sorted((int(x["_cid"]), list(x["_cv"])) for x in fetched)
+        )
+        have.update(new_ids)
+    best = codebook_argmin(
+        lambda cv: f"round({sqdist_sql(f'`{vec_col}`', cv)}, {round_digits})",
+        cands,
+    )
+    weights = (
+        df.select(best.getField("c").alias("_cid"))
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .orderBy(F.desc("_w"), F.asc("_cid"))
+        .limit(k)
+        .collect()
+    )
+    keep = {int(r["_cid"]) for r in weights}
+    rows = [(cid, cv) for cid, cv in cands if cid in keep]
+    return df.sparkSession.createDataFrame(
+        rows, "cluster long, centroid array<double>"
     )

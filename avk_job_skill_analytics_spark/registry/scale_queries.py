@@ -914,17 +914,19 @@ _SQDIST = (
 )
 
 
-def _kmeans_ctes(k: int, iters: int) -> list[str]:
-    """Shared CTE chain for the k-means oracles: seed centroids, then
-    per iteration an assignment (argmin by rounded distance, cluster
-    tie-break) and a per-dimension mean re-assembled in dimension
-    order. Final centroid table is ``cent{iters}``."""
-    ctes = [
-        f"""cent0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster,
+def _kmeans_ctes(k: int, iters: int,
+                 cent0_sql: str | None = None) -> list[str]:
+    """Shared CTE chain for the k-means oracles: seed centroids
+    (lowest-id by default; pass ``cent0_sql`` for an alternative
+    init's (cluster, centroid) body), then per iteration an
+    assignment (argmin by rounded distance, cluster tie-break) and a
+    per-dimension mean re-assembled in dimension order. Final
+    centroid table is ``cent{iters}``."""
+    body = cent0_sql or f"""SELECT CAST(vec_id AS BIGINT) AS cluster,
               list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
                 AS centroid
-           FROM embeddings ORDER BY vec_id LIMIT {k})"""
-    ]
+           FROM embeddings ORDER BY vec_id LIMIT {k}"""
+    ctes = [f"cent0 AS ({body})"]
     for i in range(1, iters + 1):
         prev, dist = f"cent{i-1}", _SQDIST.format(a="e.embedding", b="c.centroid")
         ctes.append(f"""asg{i} AS (
@@ -948,6 +950,59 @@ def _kmeans_sql(k: int, iters: int) -> str:
     """DuckDB twin of clustering.kmeans_fit."""
     joined = ",\n".join(_kmeans_ctes(k, iters))
     return f"WITH {joined}\nSELECT cluster, centroid FROM cent{iters}"
+
+
+def _kmeans_parallel_sql(k: int, rounds: int, l: int, seed: int,
+                         lloyd_iters: int) -> str:
+    """DuckDB twin of clustering.kmeans_parallel_init + the Lloyd
+    chain from its seeds: every oversampling round replays the
+    integer micro-distance cost sum (exact, order-free), the
+    MD5-coin selection as a pure HUGEINT comparison, and the
+    weighted top-k reduction — then the shared _kmeans_ctes run with
+    cent0 = the k-means‖ seeds."""
+    from ..operators.hashing import md5_long_sql
+
+    dist = _SQDIST.format(a="e.embedding", b="c.cv")
+    rcv = "list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"
+    ctes = [f"""kp_c0 AS (
+      SELECT CAST(vec_id AS BIGINT) AS cid, {rcv} AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 1)"""]
+    for r in range(1, rounds + 1):
+        u = md5_long_sql(
+            f"concat('km||:{seed}:{r}:', CAST(d.vec_id AS VARCHAR))"
+        )
+        ctes.append(f"""kp_dq{r} AS MATERIALIZED (
+          SELECT e.vec_id,
+                 min(CAST(floor(round({dist}, 6) * 1000000 + 0.5)
+                          AS BIGINT)) AS dq
+          FROM embeddings e, kp_c{r - 1} c GROUP BY e.vec_id)""")
+        ctes.append(f"""kp_phi{r} AS (
+          SELECT CAST(sum(dq) AS HUGEINT) AS phi FROM kp_dq{r})""")
+        ctes.append(f"""kp_sel{r} AS MATERIALIZED (
+          SELECT d.vec_id FROM kp_dq{r} d, kp_phi{r} p
+          WHERE CAST({u} AS HUGEINT) * p.phi
+              < CAST(d.dq AS HUGEINT)
+                * CAST('{l * (1 << 60)}' AS HUGEINT))""")
+        ctes.append(f"""kp_c{r} AS MATERIALIZED (
+          SELECT * FROM kp_c{r - 1}
+          UNION ALL
+          SELECT CAST(e.vec_id AS BIGINT) AS cid, {rcv} AS cv
+          FROM embeddings e JOIN kp_sel{r} s ON e.vec_id = s.vec_id
+          WHERE CAST(e.vec_id AS BIGINT) NOT IN
+                (SELECT cid FROM kp_c{r - 1}))""")
+    ctes.append(f"""kp_asg AS MATERIALIZED (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round({dist}, 6), c.cid) AS rk
+      FROM embeddings e, kp_c{rounds} c)""")
+    ctes.append("""kp_w AS (
+      SELECT cid, count(*) AS w FROM kp_asg WHERE rk = 1 GROUP BY cid)""")
+    cent0 = (f"""SELECT c.cid AS cluster, c.cv AS centroid
+      FROM kp_c{rounds} c JOIN kp_w USING (cid)
+      ORDER BY kp_w.w DESC, c.cid LIMIT {k}""")
+    ctes.extend(_kmeans_ctes(k, lloyd_iters, cent0_sql=cent0))
+    joined = ",\n".join(ctes)
+    return f"WITH {joined}\nSELECT cluster, centroid FROM cent{lloyd_iters}"
 
 
 def _semantic_prune_sql(k: int, iters: int, threshold: float) -> str:
@@ -990,6 +1045,27 @@ def ml_kmeans_centroids(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)
+
+
+@_q("ml_kmeans_scalable_init", _kmeans_parallel_sql(4, 3, 8, 7, 2))
+def ml_kmeans_scalable_init(spark, sf_dir):
+    """K-means seeded by k-means‖ scalable init (Bahmani et al.
+    VLDB'12; clustering.kmeans_parallel_init): 3 parallel
+    oversampling rounds select ~l=8 candidates each by cost-share
+    (integer micro-distance sums, MD5 coin — RNG-free, replayable),
+    the k=4 heaviest candidates become the seeds, and the SAME Lloyd
+    path as ml_kmeans_centroids runs 2 iterations downstream. The
+    oracle replays every oversampling round, the weighted reduction,
+    and both Lloyd iterations in generated SQL."""
+    from ..operators import clustering
+
+    e = load(spark, sf_dir, "embeddings")
+    seeds = clustering.kmeans_parallel_init(
+        e, "vec_id", "embedding", k=4, rounds=3, l=8, seed=7
+    )
+    return clustering.kmeans_fit(
+        e, "vec_id", "embedding", k=4, iters=2, init=seeds
+    )
 
 
 @_q("dd_semantic_prune", _semantic_prune_sql(8, 2, 0.4))

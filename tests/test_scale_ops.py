@@ -1257,3 +1257,32 @@ def test_pca_power_iteration_matches_eigh_direction(spark):
     eig = eig / np.linalg.norm(eig)
     cos = abs(float(fp @ eig))
     assert cos >= 0.999, cos
+
+
+def test_kmeans_parallel_init_quality_and_determinism(spark):
+    from avk_job_skill_analytics_spark.operators import clustering
+
+    e = _embeddings(spark)
+    seeds = clustering.kmeans_parallel_init(
+        e, "vec_id", "embedding", k=4, rounds=3, l=8, seed=7
+    )
+    rows = seeds.collect()
+    assert len(rows) == 4
+    ids = sorted(r["cluster"] for r in rows)
+    # deterministic (RNG-free MD5 coin) — a re-run picks the same seeds
+    again = clustering.kmeans_parallel_init(
+        e, "vec_id", "embedding", k=4, rounds=3, l=8, seed=7
+    )
+    assert sorted(r["cluster"] for r in again.collect()) == ids
+    # quality-aware: not the quality-blind k lowest ids
+    assert ids != sorted(r["vec_id"] for r in
+                         e.orderBy("vec_id").limit(4).collect())
+    # composes with the same Lloyd path, and the oversampled cost-share
+    # seeding should not be materially worse than lowest-id seeding
+    c_def = clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)
+    c_par = clustering.kmeans_fit(
+        e, "vec_id", "embedding", k=4, iters=2, init=seeds
+    )
+    i_def = clustering.inertia(e, c_def, "vec_id", "embedding")
+    i_par = clustering.inertia(e, c_par, "vec_id", "embedding")
+    assert i_par <= i_def * 1.05, (i_par, i_def)
