@@ -1625,16 +1625,31 @@ def txt_chunk_windows(spark, sf_dir):
                FROM bw WHERE len(w) >= 5),
        hit AS (SELECT DISTINCT s.doc_id
                FROM dsh s JOIN bsh USING (shingle)),
-       clean AS (SELECT d.doc_id FROM d
+       clean AS (SELECT d.doc_id, d.text FROM d
                  LEFT JOIN hit ON hit.doc_id = d.doc_id
-                 WHERE hit.doc_id IS NULL)
-       SELECT 'raw' AS stage, (SELECT count(*) FROM corpus) AS n_docs
+                 WHERE hit.doc_id IS NULL),
+       cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM clean
+              WHERE len(string_split(text, ' ')) >= 1),
+       cch AS (SELECT doc_id, i - 1 AS chunk_idx,
+                      array_to_string(list_slice(w, (i - 1) * 20 + 1,
+                          least(i * 20, len(w))), ' ') AS chunk
+               FROM cw, LATERAL (SELECT unnest(generate_series(1,
+                      CAST(ceil(len(w) / 20.0) AS INT))) AS i) t),
+       cr AS (SELECT row_number() OVER (PARTITION BY md5(chunk)
+                       ORDER BY doc_id, chunk_idx) AS rk
+              FROM cch)
+       SELECT 'raw' AS stage, (SELECT count(*) FROM corpus) AS n_units
        UNION ALL
        SELECT 'quality', (SELECT count(*) FROM q)
        UNION ALL
        SELECT 'dedup', (SELECT count(*) FROM d)
        UNION ALL
-       SELECT 'decontaminated', (SELECT count(*) FROM clean)""",
+       SELECT 'decontaminated', (SELECT count(*) FROM clean)
+       UNION ALL
+       SELECT 'chunks_raw', (SELECT count(*) FROM cr)
+       UNION ALL
+       SELECT 'chunks_kept',
+              (SELECT count(CASE WHEN rk = 1 THEN 1 END) FROM cr)""",
 )
 def pipeline_corpus_funnel(spark, sf_dir):
     """The full corpus-curation funnel COMPOSED from the individual
@@ -1649,12 +1664,18 @@ def pipeline_corpus_funnel(spark, sf_dir):
 
     Single-pass shape: every document is ANNOTATED with its funnel
     verdicts (quality boolean, keep-first rank among quality
-    survivors) and the stage totals come out of one aggregate —
-    no per-stage re-scan of the corpus. Only decontamination runs on
-    the collapsed survivor set (it needs the shingle join), with the
-    small benchmark side AQE-broadcast. At 100 TB: one scan, one
-    window shuffle on the text hash, one shingle join — and the same
-    annotated frame, filtered, IS the curated output set."""
+    survivors) and the doc-stage totals come out of one aggregate —
+    no per-stage re-scan of the corpus. Decontamination runs on the
+    collapsed survivor set (it needs the shingle join), with the
+    small benchmark side AQE-broadcast; the release card then also
+    reports the CHUNK-level yield of the final corpus — 20-word
+    chunks, keep-first (dd_chunk_dedup's granularity) — so document-
+    AND sub-document dedup savings land in one artifact. The
+    annotated/kept frames localCheckpoint because three consumers
+    read them; at 100 TB those materializations ARE the pipeline's
+    published outputs (annotated corpus, curated set), not extra
+    cost. One corpus scan, one text-hash window shuffle, one shingle
+    join, one chunk-hash window over the survivors."""
     docs = load(spark, sf_dir, "documents")
     base = docs.filter(F.col("source") != "src0").select("doc_id", "text")
     corpus = base.unionByName(
@@ -1671,17 +1692,46 @@ def pipeline_corpus_funnel(spark, sf_dir):
         )
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("kept", F.col("q_pass") & (F.col("_rn") == 1))
+        .localCheckpoint()
     )
     bench = docs.filter(F.col("source") == "src0")
-    clean_n = (
-        dedup.decontaminate(
-            ann.filter("kept").select("doc_id", "text"), bench,
-            "doc_id", "text", k=5,
-        )
+    kept_docs = ann.filter("kept").select("doc_id", "text")
+    decon = dedup.decontaminate(
+        kept_docs, bench, "doc_id", "text", k=5
+    ).localCheckpoint()
+    clean_n = decon.agg(
+        F.sum(F.when(~F.col("contaminated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clean")
+    )
+    survivors = kept_docs.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    words = survivors.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_w")
+    ).filter(F.size("_w") >= 1)
+    chunks = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("_w") / F.lit(20.0)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("_w"), i * 20 + 1, 20), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    wk = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    chunk_n = (
+        chunks.withColumn("_rk", F.row_number().over(wk))
         .agg(
-            F.sum(F.when(~F.col("contaminated"), 1).otherwise(0))
+            F.count(F.lit(1)).alias("n_chunks_raw"),
+            F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0))
             .cast("long")
-            .alias("n_clean")
+            .alias("n_chunks_kept"),
         )
     )
     totals = ann.agg(
@@ -1693,12 +1743,14 @@ def pipeline_corpus_funnel(spark, sf_dir):
         .cast("long")
         .alias("n_dedup"),
     )
-    return totals.crossJoin(clean_n).selectExpr(
-        """stack(4,
+    return totals.crossJoin(clean_n).crossJoin(chunk_n).selectExpr(
+        """stack(6,
                  'raw', n_raw,
                  'quality', n_quality,
                  'dedup', n_dedup,
-                 'decontaminated', n_clean) AS (stage, n_docs)"""
+                 'decontaminated', n_clean,
+                 'chunks_raw', n_chunks_raw,
+                 'chunks_kept', n_chunks_kept) AS (stage, n_units)"""
     )
 
 
