@@ -288,6 +288,159 @@ def io_ann_cell_prune(spark, sf_dir):
     )
 
 
+# ----------------------------------------- int8 stored-index serving
+def _int8_served_sql() -> str:
+    from .scale_queries import _DOT, _cos_sql
+
+    cos_e = _cos_sql("e.embedding", "c.cv")
+    cos_q = _cos_sql("q.embedding", "c.cv")
+    cn2 = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           "list_transform(codes, c -> CAST(c AS BIGINT) * c)), "
+           "(x, y) -> x + y)")
+    dot_cq = _DOT.format(a="n.codes", b="q.embedding")
+    qn = f"sqrt({_DOT.format(a='q.embedding', b='q.embedding')})"
+    return f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                     FROM embeddings ORDER BY vec_id LIMIT 8),
+       asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round({cos_e}, 6) DESC, c.cid) AS rk
+           FROM embeddings e, cent c) t WHERE rk = 1),
+       qc AS MATERIALIZED (
+           SELECT vec_id,
+                  CASE WHEN amax > 0.0
+                       THEN list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE)
+                                      / (amax / 127.0)) AS INT))
+                       ELSE list_transform(embedding, x -> 0) END AS codes
+           FROM (SELECT vec_id, embedding,
+                        list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS amax
+                 FROM embeddings) t),
+       nbr AS MATERIALIZED (
+           SELECT a.vec_id, a.cid, qc.codes, {cn2} AS cn2
+           FROM asg a JOIN qc ON qc.vec_id = a.vec_id),
+       probes AS MATERIALIZED (SELECT qid, cid FROM (
+           SELECT q.vec_id AS qid, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round({cos_q}, 6) DESC, c.cid) AS rk
+           FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, cent c) t
+           WHERE rk <= 2),
+       sc AS (SELECT p.qid AS query_id, n.vec_id AS neighbor_id,
+                     round({dot_cq} / ({qn} * sqrt(CAST(n.cn2 AS DOUBLE))),
+                           6) AS score
+              FROM probes p
+              JOIN nbr n ON n.cid = p.cid AND n.vec_id <> p.qid
+              JOIN embeddings q ON q.vec_id = p.qid
+              WHERE n.cn2 > 0)
+       SELECT query_id, neighbor_id, score, CAST(rk AS BIGINT) AS rk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rk FROM sc) t
+       WHERE rk <= 5"""
+
+
+@_q("ann_int8_served", _int8_served_sql())
+def ann_int8_served(spark, sf_dir):
+    """Approximate cosine top-k served from the STORED int8 cell
+    inventory (the io_ann_cell_prune layout) — the quantized serving
+    path: probing turns into a literal isin() on the cell partition
+    column (directory pruning — n_probe/n_cells of the index bytes
+    are never read), and scoring uses ONLY stored fields. The
+    per-vector scale cancels out of the cosine — score =
+    Σ(codeᵢ·qᵢ) / (‖q‖ · √Σcodeᵢ²) — so the dequantized-cosine
+    ranking needs no side lookup of norms or scales: 4× less memory
+    traffic than float32 with the stored codes self-normalizing.
+    Engine-exact: the code dot replays the HOF fold order, Σcode² is
+    an exact integer, zero-code vectors are filtered (not NULL-d)."""
+    from ..operators import similarity
+    from ..operators.similarity import _neg_cos_entries, _norm
+
+    path = _ann_index_dir(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    cb = similarity.collect_cosine_codebook(
+        e.orderBy("vec_id").limit(8).select(
+            F.col("vec_id").alias("_cid"),
+            F.col("embedding").alias("_cv"),
+        )
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv"),
+            _norm(F.col("embedding")).alias("_qn"),
+        )
+        .select(
+            "query_id", "_qv", "_qn",
+            F.explode(
+                F.expr(
+                    "slice(array_sort(array("
+                    f"{_neg_cos_entries(cb, '`_qv`', '`_qn`', 6)})), 1, 2)"
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "query_id", "_qv", "_qn",
+            F.col("_p").getField("c").alias("cid"),
+        )
+        .localCheckpoint()
+    )
+    probed = sorted(
+        int(r["cid"]) for r in probes.select("cid").distinct().collect()
+    )
+    inv = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin(probed))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "codes",
+            F.col("cid").cast("long").alias("cid"),
+        )
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "_cn2",
+            F.aggregate(
+                F.col("codes"), F.lit(0).cast("long"),
+                lambda acc, c: acc + c.cast("long") * c.cast("long"),
+            ),
+        )
+        .filter(F.col("_cn2") > 0)
+        .withColumn(
+            "_cd",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("_qv"),
+                    lambda c, q: c.cast("double") * q.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.col("_cd")
+                / (F.col("_qn") * F.sqrt(F.col("_cn2").cast("double"))),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "score",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
 # ---------------------------------------- IVF-PQ stored-index serving
 # Build-once IVF-PQ index per (process, sf_dir): coarse codebook,
 # per-subspace PQ codebooks, and the cell-partitioned code inventory

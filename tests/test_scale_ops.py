@@ -1286,3 +1286,24 @@ def test_kmeans_parallel_init_quality_and_determinism(spark):
     i_def = clustering.inertia(e, c_def, "vec_id", "embedding")
     i_par = clustering.inertia(e, c_par, "vec_id", "embedding")
     assert i_par <= i_def * 1.05, (i_par, i_def)
+
+
+def test_int8_served_approximates_exact_ranking(spark):
+    # int8-quantized serving from the stored inventory: per-query
+    # top-5 must overlap heavily with the exact float cosine top-5
+    # (4-bit-ish quantization noise, not ranking collapse)
+    import __spark_entry__ as E
+
+    served = E.queries()["ann_int8_served"](spark, SF_DIR).collect()
+    e = _embeddings(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in served}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall
+    per_q = {}
+    for r in served:
+        per_q.setdefault(r["query_id"], []).append(r["rk"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
