@@ -293,6 +293,59 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
     return sink
 
 
+def compact_lsh_index(spark, index_dir: str, buckets: int = 1) -> dict:
+    """Compact the growing index's ``batch=<id>`` directories — the
+    periodic maintenance job that keeps the per-trigger index join
+    from degrading into a thousands-of-small-files listing as batches
+    accumulate.
+
+    All live rows rewrite into the single sentinel partition
+    ``batch=-1`` (an id foreachBatch never assigns), hash-clustered on
+    the join key and bounded to ``buckets`` files per table — the
+    partition scheme stays uniform, so readers AND future batch
+    appends are untouched. Atomic cutover: write to ``*_new``, rename
+    the live dirs away, rename the new in, delete the old — a reader
+    mid-cutover sees either layout, never a mix, and a crash leaves
+    the originals intact. Batch markers are preserved, so maintenance
+    resumes with the SAME exactly-once discipline (a redelivered
+    pre-compaction batch is still skipped, not re-appended). Returns
+    {'bands_files_before', 'bands_files_after', 'rows'}."""
+    import os
+    import shutil as _sh
+
+    bands_path = os.path.join(index_dir, "bands")
+    sets_path = os.path.join(index_dir, "sets")
+
+    def n_parquet_files(p):
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = n_parquet_files(bands_path)
+    b = spark.read.parquet(bands_path).drop("batch")
+    s = spark.read.parquet(sets_path).drop("batch")
+    rows = b.count()
+    b.repartition(buckets, "band", "sig").write.mode("overwrite").parquet(
+        f"{bands_path}_new/batch=-1"
+    )
+    s.repartition(buckets).write.mode("overwrite").parquet(
+        f"{sets_path}_new/batch=-1"
+    )
+    for path in (bands_path, sets_path):
+        old = f"{path}_old"
+        os.rename(path, old)
+        os.rename(f"{path}_new", path)
+        _sh.rmtree(old, ignore_errors=True)
+    return {
+        "bands_files_before": before,
+        "bands_files_after": n_parquet_files(bands_path),
+        "rows": rows,
+    }
+
+
 def foreach_batch_lsh_maintain(stream: DataFrame, index_dir: str,
                                id_col: str, text_col: str, k: int = 3,
                                num_hashes: int = 16, bands: int = 8,

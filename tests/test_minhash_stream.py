@@ -136,3 +136,50 @@ def test_lsh_maintain_grows_index_and_survives_redelivery(spark, tmp_path):
     os.remove(f"{d}/_batch_1")
     sink(b1, 1)
     assert state() == (bands1, pairs1)
+
+
+def test_lsh_index_compaction_preserves_behavior(spark, tmp_path):
+    """Compaction rewrites the batch dirs into one bounded layout:
+    row-identical index, fewer files, markers preserved, and the
+    maintenance sink keeps working (appends + pair detection) on the
+    compacted index."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.minhash_stream import (
+        _lsh_maintain_batch_fn,
+        compact_lsh_index,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    sink = _lsh_maintain_batch_fn(d, "doc_id", "text", 3, 16, 8, 0.5, 7)
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    sink(spark.createDataFrame([(1, t)], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame(
+        [(2, "unrelated words entirely about other topics")],
+        "doc_id long, text string"), 1)
+    rows_before = sorted(
+        map(tuple, spark.read.parquet(f"{d}/bands")
+            .select("_idx_id", "band", "sig").collect())
+    )
+    stats = compact_lsh_index(spark, d)
+    assert stats["bands_files_after"] <= stats["bands_files_before"]
+    rows_after = sorted(
+        map(tuple, spark.read.parquet(f"{d}/bands")
+            .select("_idx_id", "band", "sig").collect())
+    )
+    assert rows_after == rows_before
+    # redelivered pre-compaction batch still skips on its marker
+    sink(spark.createDataFrame([(1, t)], "doc_id long, text string"), 0)
+    assert rows_after == sorted(
+        map(tuple, spark.read.parquet(f"{d}/bands")
+            .select("_idx_id", "band", "sig").collect())
+    )
+    # and a genuinely new batch appends + collides with compacted rows
+    sink(spark.createDataFrame(
+        [(31, t + " extended")], "doc_id long, text string"), 2)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(f"{d}/pairs").collect()
+    }
+    assert (1, 31) in pairs, pairs
