@@ -275,6 +275,64 @@ def unigram_logprob(df, id_col: str, text_col: str,
             ).alias("avg_logprob"),
         )
     )
+def bigram_logprob(df, id_col: str, text_col: str,
+                   round_digits: int = 4):
+    """Per-document mean bigram log-likelihood + perplexity under the
+    corpus's own add-1-smoothed bigram LM — the CCNet-style
+    perplexity gate (Wenzek et al., "CCNet: Extracting high quality
+    monolingual datasets from web crawl data", 2020) one rung up from
+    :func:`unigram_logprob`: repetitive or boilerplate-heavy docs
+    score HIGH probability, incoherent token soup scores LOW, and
+    curation keeps the middle band.
+
+    Model and scoring come out of one bigram relation: contexts are
+    c(prev) = Σ_cur c(prev, cur) (so the distribution conditions on
+    exactly the events it normalizes over), smoothing is add-1 over
+    the successor vocabulary V, p(cur|prev) = (c+1)/(c_ctx+V).
+    Counts are exact integers, so the only float ops are one divide,
+    one ln per scored bigram, and the per-doc mean — rounded at 4
+    (the kl_by_source convention absorbing accumulation order).
+    Docs with < 2 tokens have no bigrams and drop out. The vocabulary
+    and model aggregates are Heaps-law small next to the corpus; AQE
+    broadcasts them into the scoring join. Returns
+    (id, n_bigrams, avg_logprob, ppl)."""
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+        ).alias("_w"),
+    ).filter(F.size("_w") >= 2)
+    bg = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_w"), i).alias("prev"),
+                    F.element_at(F.col("_w"), i + 1).alias("cur"),
+                ),
+            )
+        ).alias("_b"),
+    ).select(
+        id_col,
+        F.col("_b").getField("prev").alias("prev"),
+        F.col("_b").getField("cur").alias("cur"),
+    )
+    model = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
+    ctx = model.groupBy("prev").agg(F.sum("c").alias("cc"))
+    vocab = bg.agg(F.countDistinct("cur").alias("v"))
+    lp = F.log((F.col("c") + 1) / (F.col("cc") + F.col("v")).cast("double"))
+    return (
+        bg.join(model, ["prev", "cur"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), round_digits).alias("avg_logprob"),
+            F.round(F.exp(-F.avg(lp)), round_digits).alias("ppl"),
+        )
+    )
 
 
 def kl_by_source(df, source_col: str, text_col: str,

@@ -1562,6 +1562,40 @@ def txt_kl_by_source(spark, sf_dir):
 
 
 @_q(
+    "txt_bigram_perplexity",
+    r"""WITH t AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '') AS w
+         FROM documents),
+       bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+              FROM t, LATERAL (SELECT unnest(generate_series(1,
+                     len(w) - 1)) AS i) s
+              WHERE len(w) >= 2),
+       m AS (SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur),
+       ctx AS (SELECT prev, sum(c) AS cc FROM m GROUP BY prev),
+       v AS (SELECT count(DISTINCT cur) AS v FROM bg)
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(avg(ln((m.c + 1)
+                    / CAST(ctx.cc + v.v AS DOUBLE))), 4) AS avg_logprob,
+              round(exp(-avg(ln((m.c + 1)
+                    / CAST(ctx.cc + v.v AS DOUBLE)))), 4) AS ppl
+       FROM bg JOIN m USING (prev, cur) JOIN ctx USING (prev), v
+       GROUP BY doc_id""",
+)
+def txt_bigram_perplexity(spark, sf_dir):
+    """CCNet-style per-document perplexity under the corpus's own
+    add-1-smoothed bigram LM (textstats.bigram_logprob) — the
+    perplexity quality gate one rung up from txt_unigram_logprob:
+    boilerplate scores improbably LOW perplexity, token soup HIGH,
+    curation keeps the middle band. Exact-integer counts make the
+    model engine-identical; the only float ops are one divide + ln
+    per bigram and the rounded per-doc mean."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.bigram_logprob(docs, "doc_id", "text")
+
+
+@_q(
     "txt_chunk_windows",
     """WITH t AS (
          SELECT doc_id,
@@ -3698,6 +3732,68 @@ def _cluster_split_sql() -> str:
                   AS leaked_pairs
        FROM sp LEFT JOIN leak ON leak.split = sp.split
        GROUP BY sp.split"""
+
+
+def _cluster_cap_sql(cap: int) -> str:
+    from ..operators.hashing import md5_long_sql
+
+    u = md5_long_sql("concat('capsample:', CAST(doc_id AS VARCHAR))")
+    return f"""WITH RECURSIVE pairs AS (
+{_NGRAM_PAIRS_SQL}
+       ),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(v, r) AS (
+         SELECT s, s FROM edges
+         UNION
+         SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
+       ),
+       cl AS (SELECT v AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY v),
+       allc AS (SELECT d.doc_id,
+                       coalesce(cl.cluster_id, d.doc_id) AS cid
+                FROM documents d LEFT JOIN cl USING (doc_id)),
+       rk AS (SELECT doc_id, cid,
+                     row_number() OVER (PARTITION BY cid
+                       ORDER BY {u}, doc_id) AS pick_rank
+              FROM allc)
+       SELECT doc_id, cid AS cluster_id,
+              CAST(pick_rank AS BIGINT) AS pick_rank
+       FROM rk WHERE pick_rank <= {cap}"""
+
+
+@_q("o4_cluster_cap_sample", _cluster_cap_sql(2))
+def o4_cluster_cap_sample(spark, sf_dir):
+    """Cluster-capped corpus sampling: every near-dup family
+    contributes at most 2 documents to the training mix, picked by a
+    deterministic MD5 coin (no RNG — the same engine-portable hash as
+    o4_sample_hash) with a doc-id tie-break. This is the head-cap
+    that keeps boilerplate families from dominating a mixture after
+    LESS-aggressive dedup settings, and the selection composes with
+    the leakage-safe split (same shared cluster map — one connected
+    components run per (app, sf_dir) serves this, the savings ledger,
+    keep-best-quality, and the split audit)."""
+    from ..operators.hashing import md5_long
+
+    _pairs, clusters = _cluster_map(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    allc = d.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cid"),
+    )
+    u = md5_long(
+        F.concat(F.lit("capsample:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("cid").orderBy(u, F.col("doc_id"))
+    return (
+        allc.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= 2)
+        .select(
+            "doc_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+        )
+    )
 
 
 @_q("o4_cluster_split", _cluster_split_sql())

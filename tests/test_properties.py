@@ -187,3 +187,56 @@ def test_quantize_int8_error_bound(spark, vecs):
             continue
         for x, c in zip(orig, r["codes"]):
             assert abs(c * r["scale"] - x) <= r["scale"] / 2 + 1e-9
+
+
+# ------------------------------------------------- media header roundtrips
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+)
+@settings(max_examples=50, deadline=None)
+def test_jpeg_header_roundtrip(w, h):
+    # pure-Python property: every 16-bit geometry survives the SOF0
+    # encode -> marker-walk decode roundtrip
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        build_jpeg,
+        parse_media_header,
+    )
+
+    assert parse_media_header(build_jpeg(w, h)) == (41, w, h, "jpeg")
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16383),
+    h=st.integers(min_value=1, max_value=16383),
+    lossless=st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_webp_header_roundtrip(w, h, lossless):
+    # VP8 dims are 14-bit; VP8L stores (dim-1) in 14-bit fields —
+    # both must roundtrip over the full legal range
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        build_webp,
+        parse_media_header,
+    )
+
+    n = 26 if lossless else 30
+    assert parse_media_header(build_webp(w, h, lossless)) == (
+        n, w, h, "webp"
+    )
+
+
+@given(payload=st.binary(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_parse_media_header_never_raises(payload):
+    # arbitrary bytes (including ones that start with valid magics)
+    # must quarantine to None or parse — never raise
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    for prefix in (b"", b"\xff\xd8", b"RIFF\x10\x00\x00\x00WEBP",
+                   b"RIFF\x10\x00\x00\x00WAVE", b"BM", b"\x89PNG\r\n\x1a\n"):
+        out = parse_media_header(prefix + payload)
+        assert out is None or (len(out) == 4 and out[3] in
+                               ("png", "bmp", "wav", "jpeg", "webp"))
