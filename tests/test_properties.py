@@ -240,3 +240,29 @@ def test_parse_media_header_never_raises(payload):
         out = parse_media_header(prefix + payload)
         assert out is None or (len(out) == 4 and out[3] in
                                ("png", "bmp", "wav", "jpeg", "webp"))
+
+
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        min_size=1, max_size=24,
+    )
+)
+@settings(**_SETTINGS)
+def test_sql_double_roundtrips_bit_exact(spark, vals):
+    # the inlined-codebook cornerstone: CAST('<repr>' AS DOUBLE) must
+    # parse back to the IDENTICAL IEEE double for any finite value —
+    # one Spark job per example batch
+    import math
+    import struct
+
+    from avk_job_skill_analytics_spark.operators.clustering import (
+        sql_double,
+    )
+
+    exprs = [f"{sql_double(v)} AS c{i}" for i, v in enumerate(vals)]
+    row = spark.range(1).selectExpr(*exprs).collect()[0]
+    for i, v in enumerate(vals):
+        got = row[f"c{i}"]
+        assert struct.pack(">d", got) == struct.pack(">d", v), (v, got)
+        assert math.isfinite(got)
