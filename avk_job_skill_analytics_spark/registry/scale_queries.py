@@ -3125,11 +3125,16 @@ def dd_savings_ledger(spark, sf_dir):
 
 
 def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
-               k_star: int, n_queries: int, topk: int) -> str:
+               k_star: int, n_queries: int, topk: int,
+               seed_pred: str | None = None) -> str:
     """DuckDB twin of similarity.ivfpq_topk: coarse cells, residual
     encoding, per-subspace seed codebooks over residuals, integer ADC
     restricted to probed cells — every argmin/ranking shares the
-    rounded-distance + id tie-break convention."""
+    rounded-distance + id tie-break convention. ``seed_pred``
+    restricts CODEBOOK derivation (coarse seeds + PQ residual seeds)
+    to a sub-corpus — the incremental-index contract where arrivals
+    are encoded with quantizers frozen on the base corpus."""
+    seed_where = f"WHERE {seed_pred} " if seed_pred else ""
     d_full = m * sub_d
     res = (f"list_transform(generate_series(1, {d_full}), "
            "j -> CAST(e.embedding[j] AS DOUBLE) - c.cv[j])")
@@ -3141,7 +3146,7 @@ def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
           SELECT CAST(vec_id AS BIGINT) AS cell,
                  list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
                      AS cv
-          FROM embeddings ORDER BY vec_id LIMIT {n_cells})""",
+          FROM embeddings {seed_where}ORDER BY vec_id LIMIT {n_cells})""",
             f"""asg AS MATERIALIZED (
           SELECT vec_id, cell, res FROM (
             SELECT e.vec_id, c.cell, {res} AS res,
@@ -3162,7 +3167,7 @@ def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
         ctes.append(f"""cb{s} AS MATERIALIZED (
           SELECT CAST(vec_id AS BIGINT) AS cid,
                  list_transform(res[{a}:{b}], x -> round(x, 6)) AS bv
-          FROM asg ORDER BY vec_id LIMIT {k_star})""")
+          FROM asg {seed_where}ORDER BY vec_id LIMIT {k_star})""")
         ctes.append(f"""code{s} AS MATERIALIZED (
           SELECT vec_id, cell, {s} AS s, cid AS code FROM (
             SELECT e.vec_id, e.cell, c.cid,

@@ -678,6 +678,149 @@ def stream_lsh_index_maintain(spark, sf_dir):
     )
 
 
+# --------------------------------------- incremental IVF-PQ index append
+_IVFPQ_INC_DIRS: dict = {}
+
+
+def _ivfpq_base_index_dir(spark, sf_dir: str) -> str:
+    """Base IVF-PQ index over the EVEN vec_ids only: quantizers
+    trained on the base corpus and persisted as side tables; base
+    codes written into the two-level (_cell, _batch=-1) layout the
+    streaming append extends."""
+    from ..operators import similarity
+    from ..streaming.ann_maintain import write_ivfpq_cells
+
+    if sf_dir not in _IVFPQ_INC_DIRS:
+        e = load(spark, sf_dir, "embeddings")
+        base = e.filter(F.col("vec_id") % 2 == 0)
+        cell_rows = (
+            base.orderBy("vec_id")
+            .limit(8)
+            .select(
+                F.col("vec_id").cast("long").alias("_cell"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.round(x.cast("double"), 6),
+                ).alias("_cv"),
+            )
+            .collect()
+        )
+        coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
+        asg = similarity._ivfpq_assign(
+            base, "vec_id", "embedding", coarse, 6
+        ).localCheckpoint()
+        cbs = similarity._ivfpq_seed_cbs(asg, 8, 8, 8, 6)
+        codes = similarity.ivfpq_encode(asg, cbs, 8, 8, 6)
+        d = tempfile.mkdtemp(prefix="ann_ivfpq_inc_")
+        write_ivfpq_cells(codes, f"{d}/cells", -1)
+        spark.createDataFrame(
+            list(coarse), "cell long, cv array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/coarse")
+        spark.createDataFrame(
+            [(s, cid, bv) for s, sub in enumerate(cbs) for cid, bv in sub],
+            "s int, cid long, bv array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/pq")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _IVFPQ_INC_DIRS[sf_dir] = d
+    return _IVFPQ_INC_DIRS[sf_dir]
+
+
+_EMB_SPLIT_DIRS: dict = {}
+
+
+def _split_embeddings_dir(spark, sf_dir: str) -> str:
+    """Odd-id embeddings split into two single-file drops (ids ≡1 and
+    ≡3 mod 4, mtime-ordered) so the append sink runs across two real
+    micro-batches."""
+    if sf_dir not in _EMB_SPLIT_DIRS:
+        import glob as _glob
+
+        d = tempfile.mkdtemp(prefix="emb_stream_src_")
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        for name, mod4, mt in (
+            ("0_first.parquet", 1, 1_000_000_000),
+            ("1_second.parquet", 3, 1_000_000_100),
+        ):
+            tmp = f"{d}/_tmp"
+            e.filter(F.col("vec_id") % 4 == mod4).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, f"{d}/{name}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(f"{d}/{name}", (mt, mt))
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _EMB_SPLIT_DIRS[sf_dir] = d
+    return _EMB_SPLIT_DIRS[sf_dir]
+
+
+def _ivfpq_append_sql() -> str:
+    from .scale_queries import _ivfpq_sql
+
+    # the stored index after streaming absorption must serve results
+    # identical to the one-shot pipeline whose QUANTIZERS come from
+    # the base (even-id) corpus but whose codes cover everyone
+    return _ivfpq_sql(8, 2, 8, 8, 8, 10, 5, seed_pred="vec_id % 2 = 0")
+
+
+@_q("stream_ivfpq_index_append", _ivfpq_append_sql())
+def stream_ivfpq_index_append(spark, sf_dir):
+    """Incremental IVF-PQ index absorption
+    (streaming/ann_maintain.foreach_batch_ivfpq_append): the base
+    index is built over the even vec_ids (quantizers frozen + side
+    tables persisted), the odd vec_ids arrive as TWO micro-batches
+    and are encoded with the FROZEN quantizers, each batch a dynamic
+    partition overwrite of its own (_cell, _batch) leaves — so
+    redelivery converges and the marker short-circuits clean replays
+    (pytest-locked). Serving then reads the grown index (probed-cell
+    literal pruning, stored-code ADC) and must hash-match the oracle's
+    one-shot replay: base-trained quantizers, codes for the whole
+    corpus — proving absorption is lossless."""
+    from ..operators import similarity
+    from ..streaming.ann_maintain import (
+        foreach_batch_ivfpq_append,
+        load_ivfpq_codebooks,
+    )
+
+    d = _ivfpq_base_index_dir(spark, sf_dir)
+    src = _split_embeddings_dir(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ivfpqapp_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_ivfpq_append(
+                    stream, d, "vec_id", "embedding", m=8, sub_d=8
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    coarse, cbs = load_ivfpq_codebooks(spark, d)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    probes = similarity.ivfpq_probes(
+        queries, "vec_id", "embedding", coarse, cbs,
+        n_probe=2, m=8, sub_d=8,
+    ).localCheckpoint()
+    probed = sorted(
+        int(r["_cell"]) for r in probes.select("_cell").distinct().collect()
+    )
+    inv = (
+        spark.read.parquet(f"{d}/cells")
+        .filter(F.col("_cell").isin(probed))
+        .select("_id", F.col("_cell").cast("long").alias("_cell"), "_codes")
+    )
+    return similarity.ivfpq_score(inv, probes, k=5)
+
+
 # --------------------------------------------- streaming decontamination
 def _stream_decon_sql() -> str:
     """Oracle for stream_decontaminate: the batch decontamination SQL

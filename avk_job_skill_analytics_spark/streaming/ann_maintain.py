@@ -1,0 +1,101 @@
+"""Incremental IVF-PQ index maintenance on a file stream.
+
+Completes the online-index story the serving path
+(``registry/io_queries.ann_ivfpq_served``) and the streaming cell
+assignment (``stream_ivf_assign``) left open: new vectors arriving on
+a stream are ENCODED with the quantizers frozen on the base corpus
+(coarse centroids + per-subspace PQ codebooks from the index's side
+tables — the standard FAISS-style discipline: retraining is an
+offline batch job, absorption is cheap) and their codes are appended
+into the cell-partitioned inventory exactly once per micro-batch.
+
+Layout contract: the code inventory is partitioned
+``(_cell, _batch)`` — cell first, so probed serving reads still prune
+at the directory listing; batch second, so a batch's append is a
+DYNAMIC partition overwrite of exactly its own ``(_cell, _batch)``
+leaf directories. A crash-redelivered batch rewrites identical rows
+over itself and converges; the ``_batch_<id>`` marker short-circuits
+clean replays — the same exactly-once discipline as
+``minhash_stream.foreach_batch_lsh_maintain``. The base build writes
+``_batch=-1`` (an id foreachBatch never assigns).
+
+Per-trigger cost is O(arrivals): one codegen encode projection (the
+inlined-codebook argmins — zero Exchange) + one partitioned write.
+The corpus-sized index is never rewritten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def load_ivfpq_codebooks(spark, index_dir: str) -> tuple[list, list]:
+    """Read the frozen quantizers back from the index side tables
+    (n_cells·d + m·k*·sub_d doubles — parquet round-trips them
+    bit-exact)."""
+    coarse = [
+        (int(r["cell"]), list(r["cv"]))
+        for r in spark.read.parquet(f"{index_dir}/coarse").collect()
+    ]
+    pq_rows = spark.read.parquet(f"{index_dir}/pq").collect()
+    m = 1 + max(int(r["s"]) for r in pq_rows)
+    cbs = [
+        sorted(
+            (int(r["cid"]), list(r["bv"]))
+            for r in pq_rows
+            if int(r["s"]) == s
+        )
+        for s in range(m)
+    ]
+    return coarse, cbs
+
+
+def write_ivfpq_cells(codes: DataFrame, cells_path: str,
+                      batch_id: int) -> None:
+    """Write one batch's (_id, _cell, _codes) rows into the two-level
+    layout as a dynamic partition overwrite of its own leaves."""
+    (
+        codes.withColumn("_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_cell", "_batch")
+        .parquet(cells_path)
+    )
+
+
+def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
+                           m: int, sub_d: int, round_digits: int = 6):
+    """The per-batch append body, exposed for redelivery tests."""
+    import os
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        from ..operators import similarity
+
+        spark = bdf.sparkSession
+        marker = os.path.join(index_dir, f"_batch_{batch_id}")
+        if os.path.exists(marker):
+            return
+        coarse, cbs = load_ivfpq_codebooks(spark, index_dir)
+        asg = similarity._ivfpq_assign(
+            bdf, id_col, vec_col, coarse, round_digits
+        )
+        codes = similarity.ivfpq_encode(asg, cbs, m, sub_d, round_digits)
+        write_ivfpq_cells(codes, f"{index_dir}/cells", batch_id)
+        open(marker, "w").close()
+
+    return sink
+
+
+def foreach_batch_ivfpq_append(stream: DataFrame, index_dir: str,
+                               id_col: str, vec_col: str, m: int = 8,
+                               sub_d: int = 8,
+                               round_digits: int = 6) -> "object":
+    """Absorb streaming vector arrivals into a stored IVF-PQ index:
+    encode with the frozen quantizers, append codes exactly once per
+    micro-batch. Serving (``ivfpq_score`` over the probed cells)
+    immediately sees the new vectors — no index rebuild."""
+    sink = _ivfpq_append_batch_fn(
+        index_dir, id_col, vec_col, m, sub_d, round_digits
+    )
+    return stream.writeStream.foreachBatch(sink)

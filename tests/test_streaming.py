@@ -229,3 +229,63 @@ def test_stream_kmv_distinct_bounded_and_replay_idempotent(spark, tmp_path):
     sk_small, _ = stream_kmv_distinct(make_stream(), "uid", k=16)
     assert len(sk_small) == 16    # bounded state at tiny k
     assert sk_small == sk[:16]    # and it IS the global bottom-k
+
+
+def test_ivfpq_append_redelivery_converges(spark, tmp_path):
+    """Incremental IVF-PQ append: a redelivered batch (clean replay
+    AND crash replay with the marker gone) leaves the stored code
+    inventory row-identical — dynamic partition overwrite of the
+    batch's own (_cell, _batch) leaves converges."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from avk_job_skill_analytics_spark.operators import similarity
+    from avk_job_skill_analytics_spark.streaming.ann_maintain import (
+        _ivfpq_append_batch_fn,
+        write_ivfpq_cells,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    cell_rows = (
+        base.orderBy("vec_id").limit(4)
+        .select(
+            F.col("vec_id").cast("long").alias("_cell"),
+            F.transform(F.col("embedding"),
+                        lambda x: F.round(x.cast("double"), 6)).alias("_cv"),
+        ).collect()
+    )
+    coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
+    asg = similarity._ivfpq_assign(base, "vec_id", "embedding", coarse, 6)
+    cbs = similarity._ivfpq_seed_cbs(asg, 2, 8, 4, 6)
+    d = str(tmp_path / "idx")
+    write_ivfpq_cells(
+        similarity.ivfpq_encode(asg, cbs, 2, 8, 6), f"{d}/cells", -1
+    )
+    spark.createDataFrame(
+        list(coarse), "cell long, cv array<double>"
+    ).write.parquet(f"{d}/coarse")
+    spark.createDataFrame(
+        [(s, cid, bv) for s, sub in enumerate(cbs) for cid, bv in sub],
+        "s int, cid long, bv array<double>",
+    ).write.parquet(f"{d}/pq")
+
+    sink = _ivfpq_append_batch_fn(d, "vec_id", "embedding", 2, 8)
+    arrivals = e.filter(F.col("vec_id") % 2 == 1).limit(20)
+
+    def inv():
+        return sorted(
+            (int(r["_id"]), int(r["_cell"]), tuple(r["_codes"]))
+            for r in spark.read.parquet(f"{d}/cells").collect()
+        )
+
+    n_base = len(inv())
+    sink(arrivals, 0)
+    after = inv()
+    assert len(after) > n_base  # the index grew
+    sink(arrivals, 0)           # clean replay: marker short-circuits
+    assert inv() == after
+    os.remove(f"{d}/_batch_0")  # crash replay: rewrite converges
+    sink(arrivals, 0)
+    assert inv() == after
