@@ -239,6 +239,7 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
         marker = os.path.join(index_dir, f"_batch_{batch_id}")
         if os.path.exists(marker):
             return
+        _recover_compaction(index_dir)
         rows_per_band = num_hashes // bands
         # localCheckpoint: one micro-batch of signatures, reused by
         # the pair join AND both index appends without re-signing
@@ -260,12 +261,18 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
         bands_path = os.path.join(index_dir, "bands")
         sets_path = os.path.join(index_dir, "sets")
         pairs_path = os.path.join(index_dir, "pairs")
-        has_index = os.path.isdir(bands_path) and any(
-            e.startswith("batch=") for e in os.listdir(bands_path)
-        )
-        if has_index:
-            idx_b = spark.read.parquet(bands_path).drop("batch")
-            idx_s = spark.read.parquet(sets_path).drop("batch")
+        # the index view is the COMMITTED batches only (marker present
+        # or the compacted sentinel) — a crash-redelivered batch never
+        # sees its own half-written directories, so its recomputed
+        # pairs are identical to the first attempt's, and a crash
+        # between the bands and sets writes can't break the read (the
+        # uncommitted dirs are simply not in the view until the
+        # rewrite completes and the marker lands)
+        committed_b = _committed_index_dirs(index_dir, "bands")
+        committed_s = _committed_index_dirs(index_dir, "sets")
+        if committed_b:
+            idx_b = spark.read.parquet(*committed_b)
+            idx_s = spark.read.parquet(*committed_s)
             pairs = _verified_pairs(
                 _banded(signed, id_col, bands, rows_per_band),
                 idx_b, idx_s, id_col, threshold,
@@ -274,11 +281,6 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
             pairs = spark.createDataFrame(
                 [], "doc_a long, doc_b long, jaccard double"
             )
-        # pairs FIRST, then the index append: a crash between the two
-        # redelivers the batch, which rewrites both; appending first
-        # would let the redelivered pair join see the batch's own docs
-        # in the index (self-collisions) — order is part of the
-        # exactly-once contract
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"batch={batch_id}")
         )
@@ -293,28 +295,94 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
     return sink
 
 
-def compact_lsh_index(spark, index_dir: str, buckets: int = 1) -> dict:
-    """Compact the growing index's ``batch=<id>`` directories — the
-    periodic maintenance job that keeps the per-trigger index join
-    from degrading into a thousands-of-small-files listing as batches
-    accumulate.
+def _committed_index_dirs(index_dir: str, table: str) -> list[str]:
+    """``batch=<id>`` directories of ``table`` whose batch is
+    COMMITTED: the compacted sentinel (-1), or one whose
+    ``_batch_<id>`` marker exists. Markers are written AFTER all of a
+    batch's artifacts, so this set never contains half-written
+    directories."""
+    import os
 
-    All live rows rewrite into the single sentinel partition
-    ``batch=-1`` (an id foreachBatch never assigns), hash-clustered on
-    the join key and bounded to ``buckets`` files per table — the
-    partition scheme stays uniform, so readers AND future batch
-    appends are untouched. Atomic cutover: write to ``*_new``, rename
-    the live dirs away, rename the new in, delete the old — a reader
-    mid-cutover sees either layout, never a mix, and a crash leaves
-    the originals intact. Batch markers are preserved, so maintenance
-    resumes with the SAME exactly-once discipline (a redelivered
-    pre-compaction batch is still skipped, not re-appended). Returns
-    {'bands_files_before', 'bands_files_after', 'rows'}."""
+    path = os.path.join(index_dir, table)
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for e in sorted(os.listdir(path)):
+        if not e.startswith("batch="):
+            continue
+        b = e.split("=", 1)[1]
+        if b == "-1" or os.path.exists(
+            os.path.join(index_dir, f"_batch_{b}")
+        ):
+            out.append(os.path.join(path, e))
+    return out
+
+
+def _recover_compaction(index_dir: str) -> None:
+    """Finish a compaction whose commit journal exists but whose apply
+    step was interrupted — idempotent, and a no-op without a journal.
+    Consumed batch directories delete (idempotent), the staged
+    ``batch=-1`` dirs move in unless a previous attempt already moved
+    them, then the journal clears. Batch MARKERS are never touched:
+    they must outlive compaction so a late streaming redelivery of an
+    already-absorbed batch still short-circuits instead of
+    re-appending rows that now live in the sentinel partition."""
+    import json
     import os
     import shutil as _sh
 
+    journal = os.path.join(index_dir, "_compact_commit")
+    if not os.path.exists(journal):
+        return
+    with open(journal) as f:
+        consumed = json.load(f)
+    stage = os.path.join(index_dir, "_compact_stage")
+    for table in ("bands", "sets"):
+        live = os.path.join(index_dir, table)
+        for b in consumed:
+            _sh.rmtree(os.path.join(live, f"batch={b}"),
+                       ignore_errors=True)
+        staged = os.path.join(stage, table, "batch=-1")
+        target = os.path.join(live, "batch=-1")
+        if os.path.isdir(staged) and not os.path.isdir(target):
+            os.rename(staged, target)
+    _sh.rmtree(stage, ignore_errors=True)
+    os.remove(journal)
+
+
+def compact_lsh_index(spark, index_dir: str, buckets: int = 1) -> dict:
+    """Compact the growing index's COMMITTED ``batch=<id>`` directories
+    — the periodic maintenance job that keeps the per-trigger index
+    join from degrading into a thousands-of-small-files listing as
+    batches accumulate.
+
+    All committed rows rewrite into the single sentinel partition
+    ``batch=-1`` (an id foreachBatch never assigns), hash-clustered on
+    the join key and bounded to ``buckets`` files per table — the
+    layout stays uniform, so readers and future appends are untouched.
+
+    Crash-safe journaled cutover: (1) stage the compacted dirs
+    outside the live paths; (2) atomically commit by os.replace-ing
+    the ``_compact_commit`` journal (the consumed batch list) into
+    place; (3) apply — delete consumed dirs, move staged dirs in,
+    clear the journal. A crash BEFORE commit leaves the live index
+    untouched (stale staging is discarded on the next run); a crash
+    AFTER commit is finished idempotently by ``_recover_compaction``,
+    which both this function and the maintenance sink run first — so
+    no reader ever sees the empty-index window or a duplicated mix.
+    Batch markers are preserved: a redelivered pre-compaction batch
+    still short-circuits instead of re-appending rows that now live
+    in the sentinel. An uncommitted (mid-redelivery) batch directory
+    is NOT consumed — its batch still owns the rewrite. Returns
+    {'bands_files_before', 'bands_files_after', 'rows'}."""
+    import json
+    import os
+    import shutil as _sh
+
+    _recover_compaction(index_dir)
+    stage = os.path.join(index_dir, "_compact_stage")
+    _sh.rmtree(stage, ignore_errors=True)  # discard uncommitted leftovers
     bands_path = os.path.join(index_dir, "bands")
-    sets_path = os.path.join(index_dir, "sets")
 
     def n_parquet_files(p):
         return sum(
@@ -325,20 +393,29 @@ def compact_lsh_index(spark, index_dir: str, buckets: int = 1) -> dict:
         )
 
     before = n_parquet_files(bands_path)
-    b = spark.read.parquet(bands_path).drop("batch")
-    s = spark.read.parquet(sets_path).drop("batch")
+    bands_dirs = _committed_index_dirs(index_dir, "bands")
+    sets_dirs = _committed_index_dirs(index_dir, "sets")
+    if not bands_dirs:
+        return {"bands_files_before": before,
+                "bands_files_after": before, "rows": 0}
+    b = spark.read.parquet(*bands_dirs)
+    s = spark.read.parquet(*sets_dirs)
     rows = b.count()
     b.repartition(buckets, "band", "sig").write.mode("overwrite").parquet(
-        f"{bands_path}_new/batch=-1"
+        os.path.join(stage, "bands", "batch=-1")
     )
     s.repartition(buckets).write.mode("overwrite").parquet(
-        f"{sets_path}_new/batch=-1"
+        os.path.join(stage, "sets", "batch=-1")
     )
-    for path in (bands_path, sets_path):
-        old = f"{path}_old"
-        os.rename(path, old)
-        os.rename(f"{path}_new", path)
-        _sh.rmtree(old, ignore_errors=True)
+    consumed = sorted(
+        {os.path.basename(d).split("=", 1)[1]
+         for d in bands_dirs + sets_dirs}
+    )
+    journal = os.path.join(index_dir, "_compact_commit")
+    with open(journal + ".tmp", "w") as f:
+        json.dump(consumed, f)
+    os.replace(journal + ".tmp", journal)  # the atomic commit point
+    _recover_compaction(index_dir)  # apply via the shared idempotent path
     return {
         "bands_files_before": before,
         "bands_files_after": n_parquet_files(bands_path),

@@ -183,3 +183,112 @@ def test_lsh_index_compaction_preserves_behavior(spark, tmp_path):
         for r in spark.read.parquet(f"{d}/pairs").collect()
     }
     assert (1, 31) in pairs, pairs
+
+
+def test_lsh_maintain_crash_before_marker_with_intra_batch_dups(
+        spark, tmp_path):
+    """Crash window: bands+sets written but the marker lost. The
+    redelivered batch must NOT see its own half-written directories
+    in the index (no intra-batch self-collision pairs) — the pair set
+    must equal a crash-free run's."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.minhash_stream import (
+        _lsh_maintain_batch_fn,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    # batch 1 contains TWO mutual near-dups (11, 12): a redelivery
+    # that reads its own bands would emit (11, 12) spuriously
+    b0 = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(11, t + " tail"), (12, t + " tail")],
+        "doc_id long, text string",
+    )
+
+    def run(d):
+        sink = _lsh_maintain_batch_fn(
+            str(d), "doc_id", "text", 3, 16, 8, 0.5, 7
+        )
+        os.makedirs(str(d), exist_ok=True)
+        sink(b0, 0)
+        sink(b1, 1)
+        return sink
+
+    clean = tmp_path / "clean"
+    run(clean)
+    clean_pairs = sorted(
+        map(tuple, spark.read.parquet(f"{clean}/pairs")
+            .select("doc_a", "doc_b").collect())
+    )
+    crash = tmp_path / "crash"
+    sink = run(crash)
+    os.remove(f"{crash}/_batch_1")  # simulate crash before marker
+    sink(b1, 1)                     # redelivery
+    crash_pairs = sorted(
+        map(tuple, spark.read.parquet(f"{crash}/pairs")
+            .select("doc_a", "doc_b").collect())
+    )
+    assert crash_pairs == clean_pairs
+    assert (11, 12) not in crash_pairs  # intra-batch docs joined later
+
+
+def test_lsh_compaction_recovers_from_mid_apply_crash(spark, tmp_path):
+    """A compaction that committed its journal but crashed mid-apply
+    is finished idempotently by the next sink call — row-identical
+    index, no empty-index window, and a second compaction works."""
+    import json
+    import os
+    import shutil
+
+    from avk_job_skill_analytics_spark.streaming.minhash_stream import (
+        _committed_index_dirs,
+        _lsh_maintain_batch_fn,
+        compact_lsh_index,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    sink = _lsh_maintain_batch_fn(d, "doc_id", "text", 3, 16, 8, 0.5, 7)
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    sink(spark.createDataFrame([(1, t)], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame(
+        [(2, "different corpus text about engines")],
+        "doc_id long, text string"), 1)
+
+    def rows():
+        dirs = _committed_index_dirs(d, "bands")
+        return sorted(
+            map(tuple, spark.read.parquet(*dirs)
+                .select("_idx_id", "band", "sig").collect())
+        )
+
+    expected = rows()
+    # simulate: stage + journal written, apply never ran (crash right
+    # after the atomic commit point)
+    b = spark.read.parquet(*_committed_index_dirs(d, "bands"))
+    s = spark.read.parquet(*_committed_index_dirs(d, "sets"))
+    b.write.parquet(f"{d}/_compact_stage/bands/batch=-1")
+    s.write.parquet(f"{d}/_compact_stage/sets/batch=-1")
+    with open(f"{d}/_compact_commit", "w") as f:
+        json.dump(["0", "1"], f)
+    # next batch triggers recovery first, then appends on top
+    sink(spark.createDataFrame(
+        [(31, t + " extended")], "doc_id long, text string"), 2)
+    assert not os.path.exists(f"{d}/_compact_commit")
+    assert not os.path.exists(f"{d}/_compact_stage")
+    after = rows()
+    assert [r for r in after if r[0] in (1, 2)] == expected
+    assert any(r[0] == 31 for r in after)
+    # the redelivered pair for (1, 31) was found against the
+    # recovered (compacted) index
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(f"{d}/pairs").collect()
+    }
+    assert (1, 31) in pairs
+    # and a straight compaction still works afterwards (no leftover
+    # *_old/*_new obstruction)
+    stats = compact_lsh_index(spark, d)
+    assert stats["rows"] == len(after)
+    assert rows() == after
