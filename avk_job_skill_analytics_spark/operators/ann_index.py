@@ -1,0 +1,126 @@
+"""Stored IVF-PQ index lifecycle — ONE implementation of the layout
+contract shared by the batch serving queries (registry/io_queries),
+the streaming absorption sink (streaming/ann_maintain), and tests.
+
+Layout: ``<index_dir>/cells`` is the code inventory partitioned
+``(_cell, _batch)`` — cell first so probed reads prune at the
+directory listing, batch second so appends are dynamic partition
+overwrites of exactly their own leaves (``_batch=-1`` is the base
+build) — plus two tiny side tables, ``coarse/`` (cell, cv) and
+``pq/`` (s, cid, bv), persisting the frozen quantizers
+(n_cells·d + m·k*·sub_d doubles; parquet round-trips doubles
+bit-exact).
+
+Cited design: the IVF-PQ pipeline is Jégou et al. TPAMI'11; the
+store-offline/probe-pruned/absorb-online discipline mirrors how FAISS
+deployments separate index training from serving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_cells(codes: DataFrame, cells_path: str,
+                batch_id: int) -> None:
+    """Write one batch's (_id, _cell, _codes) rows into the two-level
+    layout as a DYNAMIC partition overwrite of its own leaves — a
+    redelivered batch rewrites identical directories and converges."""
+    (
+        codes.withColumn("_batch", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_cell", "_batch")
+        .parquet(cells_path)
+    )
+
+
+def load_codebooks(spark, index_dir: str) -> tuple[list, list]:
+    """Read the frozen quantizers back from the side tables as the
+    (coarse, cbs) lists the similarity operators consume."""
+    coarse = [
+        (int(r["cell"]), list(r["cv"]))
+        for r in spark.read.parquet(f"{index_dir}/coarse").collect()
+    ]
+    pq_rows = spark.read.parquet(f"{index_dir}/pq").collect()
+    m = 1 + max(int(r["s"]) for r in pq_rows)
+    cbs = [
+        sorted(
+            (int(r["cid"]), list(r["bv"]))
+            for r in pq_rows
+            if int(r["s"]) == s
+        )
+        for s in range(m)
+    ]
+    return coarse, cbs
+
+
+def build_index(spark, corpus: DataFrame, id_col: str, vec_col: str,
+                index_dir: str, n_cells: int = 8, m: int = 8,
+                sub_d: int = 8, k_star: int = 8,
+                round_digits: int = 6) -> tuple[list, list]:
+    """Train the (deterministic-seed) quantizers on ``corpus``,
+    encode it, and persist the full index: cells inventory under
+    ``_batch=-1`` plus both codebook side tables. Returns
+    (coarse, cbs) so the builder can keep serving in-process."""
+    from . import similarity
+
+    cell_rows = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).cast("long").alias("_cell"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double"), round_digits),
+            ).alias("_cv"),
+        )
+        .collect()
+    )
+    coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
+    asg = similarity._ivfpq_assign(
+        corpus, id_col, vec_col, coarse, round_digits
+    ).localCheckpoint()
+    cbs = similarity._ivfpq_seed_cbs(asg, m, sub_d, k_star, round_digits)
+    codes = similarity.ivfpq_encode(asg, cbs, m, sub_d, round_digits)
+    write_cells(codes, f"{index_dir}/cells", -1)
+    spark.createDataFrame(
+        list(coarse), "cell long, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/coarse")
+    spark.createDataFrame(
+        [(s, cid, bv) for s, sub in enumerate(cbs) for cid, bv in sub],
+        "s int, cid long, bv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq")
+    return coarse, cbs
+
+
+def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
+               vec_col: str, n_probe: int = 2, sub_d: int = 8,
+               k: int = 5, round_digits: int = 6) -> DataFrame:
+    """IVF-PQ retrieval FROM the stored index — no raw corpus
+    embedding is read: quantizers load from the side tables, the
+    query vectors probe their ``n_probe`` nearest cells, the probed
+    cell set becomes a LITERAL isin() on the partition column
+    (directory pruning — the probed fraction of the index bytes is
+    all that's opened), and scoring is the stored-code integer-ADC
+    join. The probed-cell collect is tiny (≤ n_cells values from the
+    probe frame — the bounded driver discipline of the codebook
+    collects)."""
+    from . import similarity
+
+    coarse, cbs = load_codebooks(spark, index_dir)
+    probes = similarity.ivfpq_probes(
+        queries, id_col, vec_col, coarse, cbs,
+        n_probe=n_probe, m=len(cbs), sub_d=sub_d,
+        round_digits=round_digits,
+    ).localCheckpoint()
+    probed = sorted(
+        int(r["_cell"]) for r in probes.select("_cell").distinct().collect()
+    )
+    inv = (
+        spark.read.parquet(f"{index_dir}/cells")
+        .filter(F.col("_cell").isin(probed))
+        .select("_id", F.col("_cell").cast("long").alias("_cell"), "_codes")
+    )
+    return similarity.ivfpq_score(inv, probes, k)

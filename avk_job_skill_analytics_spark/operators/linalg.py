@@ -71,6 +71,38 @@ def gram_matrix(df: DataFrame, vec_col: str, d: int,
     )
 
 
+def _integer_cov_stats(df: DataFrame, vec_col: str, d: int,
+                       scale: int) -> tuple[list, list, int]:
+    """The shared exact-integer second-order statistics both PCA
+    variants consume: the symmetric d×d Gram matrix (as a nested
+    list of Python ints), the column-sum vector, and the row count —
+    one quantization convention (floor(x·scale) int64), so the
+    eigensolve and the power-iteration oracle can never diverge on
+    their inputs."""
+    g = {
+        (int(r["i"]), int(r["j"])): int(r["gram"])
+        for r in gram_matrix(df, vec_col, d, scale).collect()
+    }
+    sums_rows = (
+        df.select(F.posexplode(vec_col).alias("p", "x"))
+        .groupBy("p")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * scale).cast("long"))
+            .alias("s")
+        )
+        .collect()
+    )
+    n = df.count()
+    s = [0] * d
+    for r in sums_rows:
+        s[int(r["p"])] = int(r["s"])
+    gm = [[0] * d for _ in range(d)]
+    for (i, j), v in g.items():
+        gm[i - 1][j - 1] = v
+        gm[j - 1][i - 1] = v
+    return gm, s, n
+
+
 def pca_top_component(df: DataFrame, vec_col: str, d: int,
                       scale: int = QUANT_SCALE) -> DataFrame:
     """Leading principal component of the embedding cloud — the
@@ -86,25 +118,9 @@ def pca_top_component(df: DataFrame, vec_col: str, d: int,
     entry, rounded to 6 to absorb LAPACK's platform variance."""
     import numpy as np
 
-    g = {(r["i"], r["j"]): r["gram"]
-         for r in gram_matrix(df, vec_col, d, scale).collect()}
-    sums_rows = (
-        df.select(F.posexplode(vec_col).alias("p", "x"))
-        .groupBy("p")
-        .agg(
-            F.sum(F.floor(F.col("x").cast("double") * scale).cast("long"))
-            .alias("s")
-        )
-        .collect()
-    )
-    n = df.count()
-    s = np.zeros(d)
-    for r in sums_rows:
-        s[r["p"]] = r["s"]
-    gm = np.zeros((d, d))
-    for (i, j), v in g.items():
-        gm[i - 1, j - 1] = v
-        gm[j - 1, i - 1] = v
+    gm_i, s_i, n = _integer_cov_stats(df, vec_col, d, scale)
+    gm = np.array(gm_i, dtype=np.float64)
+    s = np.array(s_i, dtype=np.float64)
     cov = (gm - np.outer(s, s) / n) / n / (scale * scale)
     w, vecs = np.linalg.eigh(cov)
     top = vecs[:, -1]
@@ -204,28 +220,11 @@ def pca_power_component(df: DataFrame, vec_col: str, d: int,
     units of the max-norm eigenvector estimate."""
     import math
 
-    g = {
-        (int(r["i"]), int(r["j"])): int(r["gram"])
-        for r in gram_matrix(df, vec_col, d, scale).collect()
-    }
-    sums_rows = (
-        df.select(F.posexplode(vec_col).alias("p", "x"))
-        .groupBy("p")
-        .agg(
-            F.sum(F.floor(F.col("x").cast("double") * scale).cast("long"))
-            .alias("s")
-        )
-        .collect()
-    )
-    n = df.count()
-    s = [0] * d
-    for r in sums_rows:
-        s[int(r["p"])] = int(r["s"])
-    C = [[0] * d for _ in range(d)]
-    for (i, j), val in g.items():
-        c = n * val - s[i - 1] * s[j - 1]
-        C[i - 1][j - 1] = c
-        C[j - 1][i - 1] = c
+    gm, s, n = _integer_cov_stats(df, vec_col, d, scale)
+    C = [
+        [n * gm[i][j] - s[i] * s[j] for j in range(d)]
+        for i in range(d)
+    ]
     v = [scale] * d
     for _ in range(iters):
         w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]

@@ -698,7 +698,7 @@ def mmr_select(corpus: DataFrame, id_col: str, vec_col: str,
     relevance."""
     from .clustering import dot_sql, sql_double
 
-    q_row = (
+    q_rows = (
         corpus.orderBy(id_col)
         .limit(1)
         .select(
@@ -706,8 +706,13 @@ def mmr_select(corpus: DataFrame, id_col: str, vec_col: str,
             F.col(vec_col).alias("_qv"),
             _norm(F.col(vec_col)).alias("_qn"),
         )
-        .collect()[0]
+        .collect()
     )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "sel_order int, vec_id long, score double"
+        )
+    q_row = q_rows[0]
     qid, qv, qn = int(q_row["_qid"]), list(q_row["_qv"]), float(q_row["_qn"])
     base = (
         corpus.filter(F.col(id_col) != qid)

@@ -275,6 +275,8 @@ def unigram_logprob(df, id_col: str, text_col: str,
             ).alias("avg_logprob"),
         )
     )
+
+
 def bigram_logprob(df, id_col: str, text_col: str,
                    round_digits: int = 4):
     """Per-document mean bigram log-likelihood + perplexity under the

@@ -450,44 +450,12 @@ _IVFPQ_DIRS: dict = {}
 
 
 def _ann_ivfpq_index_dir(spark, sf_dir: str) -> str:
-    from ..operators import similarity
+    from ..operators import ann_index
 
     if sf_dir not in _IVFPQ_DIRS:
         e = load(spark, sf_dir, "embeddings")
-        cell_rows = (
-            e.orderBy("vec_id")
-            .limit(8)
-            .select(
-                F.col("vec_id").cast("long").alias("_cell"),
-                F.transform(
-                    F.col("embedding"),
-                    lambda x: F.round(x.cast("double"), 6),
-                ).alias("_cv"),
-            )
-            .collect()
-        )
-        coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
-        asg = similarity._ivfpq_assign(
-            e, "vec_id", "embedding", coarse, 6
-        ).localCheckpoint()
-        cbs = similarity._ivfpq_seed_cbs(asg, 8, 8, 8, 6)
-        codes = similarity.ivfpq_encode(asg, cbs, 8, 8, 6)
         d = tempfile.mkdtemp(prefix="ann_ivfpq_")
-        # the inventory: m bytes-worth of codes per vector, laid out
-        # one directory per cell so probing prunes at the listing
-        codes.write.mode("overwrite").partitionBy("_cell").parquet(
-            f"{d}/cells"
-        )
-        # codebooks ride along as tiny side tables (the real index
-        # metadata): doubles round-trip parquet exactly, so a serving
-        # process reconstructs bit-identical ADC tables
-        spark.createDataFrame(
-            list(coarse), "cell long, cv array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/coarse")
-        spark.createDataFrame(
-            [(s, cid, bv) for s, sub in enumerate(cbs) for cid, bv in sub],
-            "s int, cid long, bv array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/pq")
+        ann_index.build_index(spark, e, "vec_id", "embedding", d)
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         _IVFPQ_DIRS[sf_dir] = d
     return _IVFPQ_DIRS[sf_dir]
@@ -520,41 +488,13 @@ def ann_ivfpq_served(spark, sf_dir):
     offline job in a real deployment); steady-state serving against
     the cached index is ~8x faster (measured: 12.5s first call vs
     1.6s serve-only at sf0.1)."""
-    from ..operators import similarity
+    from ..operators import ann_index
 
     d = _ann_ivfpq_index_dir(spark, sf_dir)
-    coarse = [
-        (int(r["cell"]), list(r["cv"]))
-        for r in spark.read.parquet(f"{d}/coarse").collect()
-    ]
-    pq_rows = spark.read.parquet(f"{d}/pq").collect()
-    m = 1 + max(int(r["s"]) for r in pq_rows)
-    cbs = [
-        sorted(
-            (int(r["cid"]), list(r["bv"]))
-            for r in pq_rows
-            if int(r["s"]) == s
-        )
-        for s in range(m)
-    ]
     queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
-    probes = similarity.ivfpq_probes(
-        queries, "vec_id", "embedding", coarse, cbs,
-        n_probe=2, m=m, sub_d=8,
-    ).localCheckpoint()
-    # the probed cell set is tiny (<= n_cells values from a 10-row
-    # query frame — bounded driver cost, same discipline as codebook
-    # collects); inlining it as literals is what turns the probe into
-    # directory pruning instead of a row filter over every cell file
-    probed = sorted(
-        int(r["_cell"]) for r in probes.select("_cell").distinct().collect()
+    return ann_index.serve_topk(
+        spark, d, queries, "vec_id", "embedding", n_probe=2, sub_d=8, k=5
     )
-    inv = (
-        spark.read.parquet(f"{d}/cells")
-        .filter(F.col("_cell").isin(probed))
-        .select("_id", F.col("_cell").cast("long").alias("_cell"), "_codes")
-    )
-    return similarity.ivfpq_score(inv, probes, k=5)
 
 
 # ------------------------------------------- bucketed CTAS co-located join

@@ -602,33 +602,6 @@ def stream_minhash_dedup(spark, sf_dir):
 
 
 # ------------------------------------------ growing LSH index maintenance
-_LSH_SPLIT_DIRS: dict = {}
-
-
-def _split_docs_dir(spark, sf_dir: str) -> str:
-    """documents split into two single-file parquet drops (even ids
-    then odd ids, mtime-ordered) so maxFilesPerTrigger=1 feeds them as
-    two distinct micro-batches."""
-    if sf_dir not in _LSH_SPLIT_DIRS:
-        import glob as _glob
-
-        d = tempfile.mkdtemp(prefix="lsh_stream_src_")
-        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-        for name, par, mt in (
-            ("0_even.parquet", 0, 1_000_000_000),
-            ("1_odd.parquet", 1, 1_000_000_100),
-        ):
-            tmp = f"{d}/_tmp"
-            docs.filter(F.col("doc_id") % 2 == par).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-            shutil.move(part, f"{d}/{name}")
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(f"{d}/{name}", (mt, mt))
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _LSH_SPLIT_DIRS[sf_dir] = d
-    return _LSH_SPLIT_DIRS[sf_dir]
 
 
 @_q("stream_lsh_index_maintain", _stream_minhash_sql(16, 8, 0.5))
@@ -648,7 +621,12 @@ def stream_lsh_index_maintain(spark, sf_dir):
     neither duplicates index rows nor re-emits pairs)."""
     from ..streaming.minhash_stream import foreach_batch_lsh_maintain
 
-    src = _split_docs_dir(spark, sf_dir)
+    src = _single_file_drops(
+        spark, sf_dir, "documents", ["doc_id", "text"],
+        [("0_even.parquet", F.col("doc_id") % 2 == 0),
+         ("1_odd.parquet", F.col("doc_id") % 2 == 1)],
+        "lsh_stream_src_",
+    )
     index_dir = tempfile.mkdtemp(prefix="lsh_index_")
     atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="ckpt_lshmaint_")
@@ -686,72 +664,48 @@ def _ivfpq_base_index_dir(spark, sf_dir: str) -> str:
     """Base IVF-PQ index over the EVEN vec_ids only: quantizers
     trained on the base corpus and persisted as side tables; base
     codes written into the two-level (_cell, _batch=-1) layout the
-    streaming append extends."""
-    from ..operators import similarity
-    from ..streaming.ann_maintain import write_ivfpq_cells
+    streaming append extends (operators/ann_index.build_index — the
+    one implementation of the layout contract)."""
+    from ..operators import ann_index
 
     if sf_dir not in _IVFPQ_INC_DIRS:
         e = load(spark, sf_dir, "embeddings")
         base = e.filter(F.col("vec_id") % 2 == 0)
-        cell_rows = (
-            base.orderBy("vec_id")
-            .limit(8)
-            .select(
-                F.col("vec_id").cast("long").alias("_cell"),
-                F.transform(
-                    F.col("embedding"),
-                    lambda x: F.round(x.cast("double"), 6),
-                ).alias("_cv"),
-            )
-            .collect()
-        )
-        coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
-        asg = similarity._ivfpq_assign(
-            base, "vec_id", "embedding", coarse, 6
-        ).localCheckpoint()
-        cbs = similarity._ivfpq_seed_cbs(asg, 8, 8, 8, 6)
-        codes = similarity.ivfpq_encode(asg, cbs, 8, 8, 6)
         d = tempfile.mkdtemp(prefix="ann_ivfpq_inc_")
-        write_ivfpq_cells(codes, f"{d}/cells", -1)
-        spark.createDataFrame(
-            list(coarse), "cell long, cv array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/coarse")
-        spark.createDataFrame(
-            [(s, cid, bv) for s, sub in enumerate(cbs) for cid, bv in sub],
-            "s int, cid long, bv array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/pq")
+        ann_index.build_index(spark, base, "vec_id", "embedding", d)
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         _IVFPQ_INC_DIRS[sf_dir] = d
     return _IVFPQ_INC_DIRS[sf_dir]
 
 
-_EMB_SPLIT_DIRS: dict = {}
+_SPLIT_DROP_DIRS: dict = {}
 
 
-def _split_embeddings_dir(spark, sf_dir: str) -> str:
-    """Odd-id embeddings split into two single-file drops (ids ≡1 and
-    ≡3 mod 4, mtime-ordered) so the append sink runs across two real
-    micro-batches."""
-    if sf_dir not in _EMB_SPLIT_DIRS:
+def _single_file_drops(spark, sf_dir: str, table: str, cols: list[str],
+                       drops: list[tuple[str, "object"]],
+                       prefix: str) -> str:
+    """Write one single-file parquet drop per (name, predicate) pair,
+    mtime-ordered, so maxFilesPerTrigger=1 feeds them as distinct
+    micro-batches — shared by every multi-batch streaming fixture."""
+    key = (sf_dir, table, prefix)
+    if key not in _SPLIT_DROP_DIRS:
         import glob as _glob
 
-        d = tempfile.mkdtemp(prefix="emb_stream_src_")
-        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        for name, mod4, mt in (
-            ("0_first.parquet", 1, 1_000_000_000),
-            ("1_second.parquet", 3, 1_000_000_100),
-        ):
+        d = tempfile.mkdtemp(prefix=prefix)
+        src = load(spark, sf_dir, table).select(*cols)
+        for i, (name, pred) in enumerate(drops):
             tmp = f"{d}/_tmp"
-            e.filter(F.col("vec_id") % 4 == mod4).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            src.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+                tmp
+            )
             part = _glob.glob(f"{tmp}/part-*.parquet")[0]
             shutil.move(part, f"{d}/{name}")
             shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(f"{d}/{name}", (mt, mt))
+            os.utime(f"{d}/{name}",
+                     (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
         atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _EMB_SPLIT_DIRS[sf_dir] = d
-    return _EMB_SPLIT_DIRS[sf_dir]
+        _SPLIT_DROP_DIRS[key] = d
+    return _SPLIT_DROP_DIRS[key]
 
 
 def _ivfpq_append_sql() -> str:
@@ -776,14 +730,16 @@ def stream_ivfpq_index_append(spark, sf_dir):
     literal pruning, stored-code ADC) and must hash-match the oracle's
     one-shot replay: base-trained quantizers, codes for the whole
     corpus — proving absorption is lossless."""
-    from ..operators import similarity
-    from ..streaming.ann_maintain import (
-        foreach_batch_ivfpq_append,
-        load_ivfpq_codebooks,
-    )
+    from ..operators import ann_index
+    from ..streaming.ann_maintain import foreach_batch_ivfpq_append
 
     d = _ivfpq_base_index_dir(spark, sf_dir)
-    src = _split_embeddings_dir(spark, sf_dir)
+    src = _single_file_drops(
+        spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+        [("0_first.parquet", F.col("vec_id") % 4 == 1),
+         ("1_second.parquet", F.col("vec_id") % 4 == 3)],
+        "emb_stream_src_",
+    )
     ckpt = tempfile.mkdtemp(prefix="ckpt_ivfpqapp_")
     stream = (
         spark.readStream.format("parquet")
@@ -804,21 +760,10 @@ def stream_ivfpq_index_append(spark, sf_dir):
             q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    coarse, cbs = load_ivfpq_codebooks(spark, d)
     queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
-    probes = similarity.ivfpq_probes(
-        queries, "vec_id", "embedding", coarse, cbs,
-        n_probe=2, m=8, sub_d=8,
-    ).localCheckpoint()
-    probed = sorted(
-        int(r["_cell"]) for r in probes.select("_cell").distinct().collect()
+    return ann_index.serve_topk(
+        spark, d, queries, "vec_id", "embedding", n_probe=2, sub_d=8, k=5
     )
-    inv = (
-        spark.read.parquet(f"{d}/cells")
-        .filter(F.col("_cell").isin(probed))
-        .select("_id", F.col("_cell").cast("long").alias("_cell"), "_codes")
-    )
-    return similarity.ivfpq_score(inv, probes, k=5)
 
 
 # --------------------------------------------- streaming decontamination

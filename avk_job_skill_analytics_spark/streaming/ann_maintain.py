@@ -27,41 +27,18 @@ The corpus-sized index is never rewritten.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
+# the layout contract lives in ONE place — operators/ann_index —
+# shared with the batch build/serve queries; these aliases keep the
+# streaming-facing names stable
+from ..operators.ann_index import load_codebooks as load_ivfpq_codebooks
+from ..operators.ann_index import write_cells as write_ivfpq_cells
 
-def load_ivfpq_codebooks(spark, index_dir: str) -> tuple[list, list]:
-    """Read the frozen quantizers back from the index side tables
-    (n_cells·d + m·k*·sub_d doubles — parquet round-trips them
-    bit-exact)."""
-    coarse = [
-        (int(r["cell"]), list(r["cv"]))
-        for r in spark.read.parquet(f"{index_dir}/coarse").collect()
-    ]
-    pq_rows = spark.read.parquet(f"{index_dir}/pq").collect()
-    m = 1 + max(int(r["s"]) for r in pq_rows)
-    cbs = [
-        sorted(
-            (int(r["cid"]), list(r["bv"]))
-            for r in pq_rows
-            if int(r["s"]) == s
-        )
-        for s in range(m)
-    ]
-    return coarse, cbs
-
-
-def write_ivfpq_cells(codes: DataFrame, cells_path: str,
-                      batch_id: int) -> None:
-    """Write one batch's (_id, _cell, _codes) rows into the two-level
-    layout as a dynamic partition overwrite of its own leaves."""
-    (
-        codes.withColumn("_batch", F.lit(int(batch_id)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_cell", "_batch")
-        .parquet(cells_path)
-    )
+__all__ = [
+    "load_ivfpq_codebooks",
+    "write_ivfpq_cells",
+    "foreach_batch_ivfpq_append",
+]
 
 
 def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
