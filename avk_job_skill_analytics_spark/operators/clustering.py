@@ -374,10 +374,28 @@ def kmeans_parallel_init(df: DataFrame, id_col: str, vec_col: str,
             )
             .localCheckpoint()
         )
-        phi_row = dq.agg(F.sum("_dq").alias("p")).collect()[0]
+        # sum in DECIMAL(38,0): a BIGINT sum of micro-distances wraps
+        # silently long before the decimal selection products overflow
+        phi_row = dq.agg(
+            F.sum(F.col("_dq").cast(dec)).alias("p")
+        ).collect()[0]
         phi = int(phi_row["p"]) if phi_row["p"] else 0
         if phi == 0:
             break
+        # overflow guard: both comparison sides live in DECIMAL(38,0);
+        # the larger is _dq * l*2^60 with _dq <= phi (and uq < 2^60 <=
+        # l*2^60 on the left), so phi < 10^38 / (l*2^60) keeps every
+        # product representable. Past that bound Spark's non-ANSI
+        # decimal multiply yields NULL and would silently DROP
+        # candidates while the HUGEINT oracle keeps selecting — fail
+        # loudly instead (the sql_double non-finite discipline).
+        phi_max = 10**38 // (l * U)
+        if phi >= phi_max:
+            raise ValueError(
+                f"kmeans_parallel_init: round-{r} cost phi={phi} would "
+                f"overflow DECIMAL(38,0) selection products (max "
+                f"{phi_max}); rescale the corpus or lower round_digits"
+            )
         uq = md5_long(
             F.concat(F.lit(f"km||:{seed}:{r}:"), F.col("_id").cast("string"))
         )

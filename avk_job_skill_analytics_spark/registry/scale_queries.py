@@ -2424,11 +2424,18 @@ def _pca_power_sql(d: int, iters: int) -> str:
           FROM c JOIN v{t - 1} v ON c.j = v.i GROUP BY c.i)""")
         ctes.append(f"""m{t} AS MATERIALIZED (
           SELECT max(abs(w)) AS mx FROM w{t})""")
+        # mx = 0 (degenerate/constant cloud: C is all zeros, so every
+        # w is too) carries the previous v forward — the SQL twin of
+        # the Python early-break (linalg.pca_power_component: `if mx
+        # == 0: break` keeps the prior v); an unguarded divide would
+        # diverge from the engine on degenerate input
         ctes.append(f"""v{t} AS MATERIALIZED (
-          SELECT w.i,
-                 CAST(floor(CAST(w.w * 1000000 AS DOUBLE)
-                            / CAST(m.mx AS DOUBLE)) AS HUGEINT) AS v
-          FROM w{t} w, m{t} m)""")
+          SELECT p.i,
+                 CASE WHEN m.mx = 0 THEN p.v
+                      ELSE CAST(floor(CAST(w.w * 1000000 AS DOUBLE)
+                                      / CAST(m.mx AS DOUBLE)) AS HUGEINT)
+                 END AS v
+          FROM v{t - 1} p JOIN w{t} w ON w.i = p.i, m{t} m)""")
     ctes.append(f"""sg AS (
           SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
           FROM v{iters}

@@ -1259,6 +1259,65 @@ def test_pca_power_iteration_matches_eigh_direction(spark):
     assert cos >= 0.999, cos
 
 
+def test_pca_power_degenerate_cloud_engine_and_oracle_agree(spark):
+    """Constant embedding cloud: the covariance numerator is all
+    zeros, so every power step's w is zero — the engine early-breaks
+    keeping the prior v, and the SQL oracle's mx=0 CASE must carry
+    the same v forward instead of dividing by zero (ADVICE r6)."""
+    import duckdb
+    import pandas as pd
+
+    from avk_job_skill_analytics_spark.operators.linalg import (
+        pca_power_component,
+    )
+    from avk_job_skill_analytics_spark.registry.scale_queries import (
+        _pca_power_sql,
+    )
+
+    vec = [0.25, -1.5, 3.0, 0.0]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["dim"]: r["loading_fp"]
+        for r in pca_power_component(df, "embedding", d=4, iters=3).collect()
+    }
+    # the all-ones fixed-point seed survives every zero step
+    assert got == {1: 1000000, 2: 1000000, 3: 1000000, 4: 1000000}
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": range(6), "embedding": [vec] * 6}),
+    )
+    oracle = {
+        int(d): int(v)
+        for d, v in con.execute(_pca_power_sql(4, 3)).fetchall()
+    }
+    assert oracle == got
+
+
+def test_kmeans_parallel_init_phi_overflow_raises(spark):
+    """Selection products live in DECIMAL(38,0); a corpus whose
+    round cost phi would overflow them must fail LOUDLY instead of
+    letting Spark's non-ANSI decimal multiply return NULL and
+    silently drop candidates the HUGEINT oracle keeps (ADVICE r6)."""
+    import pytest as _pytest
+
+    from avk_job_skill_analytics_spark.operators import clustering
+
+    # each far row's micro-distance is 9e18 (inside int64); their sum
+    # phi = 1.8e19 crosses 10^38/(8*2^60) ~ 1.08e19
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [3000000.0]), (2, [-3000000.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="overflow DECIMAL"):
+        clustering.kmeans_parallel_init(
+            df, "vec_id", "embedding", k=2, rounds=1, l=8, seed=7
+        )
+
+
 def test_kmeans_parallel_init_quality_and_determinism(spark):
     from avk_job_skill_analytics_spark.operators import clustering
 
