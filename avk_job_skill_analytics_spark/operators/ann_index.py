@@ -22,6 +22,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _delete_cells_batch(fs, b: str) -> None:
+    """Layout callback for the shared commit protocol
+    (streaming/fsio): batch ``b``'s codes live in one
+    ``_batch=<b>`` leaf under every ``_cell=<c>`` directory."""
+    for cd in fs.listdir("cells"):
+        if cd.startswith("_cell="):
+            fs.delete(f"cells/{cd}/_batch={b}")
+
+
+def _recover_cells(fs) -> None:
+    """Finish a journal-committed cells compaction — idempotent,
+    no-op without a journal."""
+    from ..streaming.fsio import recover_compaction
+
+    recover_compaction(fs, _delete_cells_batch)
+
+
 def write_cells(codes: DataFrame, cells_path: str,
                 batch_id: int) -> None:
     """Write one batch's (_id, _cell, _codes) rows into the two-level
@@ -92,6 +109,11 @@ def build_index(spark, corpus: DataFrame, id_col: str, vec_col: str,
         [(s, cid, bv) for s, sub in enumerate(cbs) for cid, bv in sub],
         "s int, cid long, bv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq")
+    # commit the base build under the shared marker protocol: readers
+    # (serve_topk, compact_cells) only trust marker-committed batches
+    from ..streaming.fsio import IndexFS
+
+    IndexFS(spark, index_dir).touch("_batch_-1")
     return coarse, cbs
 
 
@@ -109,6 +131,8 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
     collects)."""
     from . import similarity
 
+    from ..streaming.fsio import IndexFS, committed_batch_ids
+
     coarse, cbs = load_codebooks(spark, index_dir)
     probes = similarity.ivfpq_probes(
         queries, id_col, vec_col, coarse, cbs,
@@ -118,9 +142,84 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
     probed = sorted(
         int(r["_cell"]) for r in probes.select("_cell").distinct().collect()
     )
+    if not probed:
+        # degenerate query frame (no rows -> no probes): a typed
+        # empty result, not an empty-isin scan or a crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist long, rk int"
+        )
+    committed = sorted(
+        int(b) for b in committed_batch_ids(IndexFS(spark, index_dir))
+    )
     inv = (
         spark.read.parquet(f"{index_dir}/cells")
         .filter(F.col("_cell").isin(probed))
+        # trust only marker/journal-committed batches: a crashed
+        # append's half-written leaves are invisible, and compaction's
+        # journal overlay swaps generations atomically for readers
+        .filter(F.col("_batch").cast("long").isin(committed))
         .select("_id", F.col("_cell").cast("long").alias("_cell"), "_codes")
     )
     return similarity.ivfpq_score(inv, probes, k)
+
+
+def compact_cells(spark, index_dir: str, buckets: int = 1) -> dict:
+    """Merge the cells inventory's committed ``_batch`` leaves into a
+    single fresh negative GENERATION per cell — the IVF-PQ twin of
+    minhash_stream.compact_lsh_index, closing the small-files growth
+    of sustained streaming absorption (one ``(_cell, _batch)`` leaf
+    per micro-batch forever otherwise — VERDICT r6 ask #2).
+
+    Same rename-free journaled protocol (streaming/fsio docstring):
+    the compacted generation writes DIRECTLY into its final
+    ``_cell=*/_batch=<gen>`` leaves via dynamic partition overwrite
+    (invisible until committed — readers only trust marker/journal
+    batches), the ``_compact_commit`` journal is the atomic commit
+    point, and the idempotent apply deletes consumed leaves + retired
+    sentinel markers. Real batch markers survive so redelivered
+    pre-compaction batches still short-circuit. The committed
+    snapshot localCheckpoints before the rewrite (same-root read →
+    write); at cluster scale this staging lands on reliable storage.
+    Returns {'files_before', 'files_after', 'rows'}."""
+    from ..streaming.fsio import (
+        IndexFS,
+        committed_batch_ids,
+        drop_stale_generations,
+        next_generation,
+        write_journal,
+    )
+
+    fs = IndexFS(spark, index_dir)
+    _recover_cells(fs)
+    # reclaim half-written generations from a pre-commit crash
+    stale = sorted({
+        int(name.split("=", 1)[1])
+        for cd in fs.listdir("cells")
+        if cd.startswith("_cell=")
+        for name in fs.listdir(f"cells/{cd}")
+        if name.startswith("_batch=-")
+    })
+    drop_stale_generations(fs, _delete_cells_batch, stale)
+    committed = committed_batch_ids(fs)
+    before = fs.count_files("cells")
+    if not committed:
+        return {"files_before": before, "files_after": before, "rows": 0}
+    inv = (
+        spark.read.parquet(fs.uri("cells"))
+        .filter(
+            F.col("_batch").cast("string").isin(sorted(committed))
+        )
+        .select("_id", "_codes", F.col("_cell").cast("long").alias("_cell"))
+        .repartition(buckets, "_cell")
+        .localCheckpoint()
+    )
+    rows = inv.count()
+    gen = next_generation(fs)
+    write_cells(inv, fs.uri("cells"), gen)
+    write_journal(fs, gen, sorted(committed))  # the atomic commit point
+    _recover_cells(fs)  # apply via the shared idempotent path
+    return {
+        "files_before": before,
+        "files_after": fs.count_files("cells"),
+        "rows": rows,
+    }

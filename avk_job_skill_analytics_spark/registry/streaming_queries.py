@@ -467,7 +467,9 @@ def stream_foreachbatch_upsert(spark, sf_dir):
             q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    state = spark.read.parquet(f"{state_dir}/current")
+    from ..streaming.incremental import upsert_state
+
+    state = upsert_state(spark, state_dir)
     return state.select(
         "user_id",
         F.col("ts").alias("last_ts"),
@@ -642,6 +644,11 @@ def stream_lsh_index_maintain(spark, sf_dir):
                 foreach_batch_lsh_maintain(
                     stream, index_dir, "doc_id", "text",
                     k=3, num_hashes=16, bands=8, threshold=0.5,
+                    # self-compacting: after the second batch commits,
+                    # the sink folds both batch dirs into generation
+                    # -1 (journaled, rename-free) — the maintenance
+                    # path the bench therefore measures end-to-end
+                    compact_every=2,
                 )
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
@@ -717,28 +724,19 @@ def _ivfpq_append_sql() -> str:
     return _ivfpq_sql(8, 2, 8, 8, 8, 10, 5, seed_pred="vec_id % 2 = 0")
 
 
-@_q("stream_ivfpq_index_append", _ivfpq_append_sql())
-def stream_ivfpq_index_append(spark, sf_dir):
-    """Incremental IVF-PQ index absorption
-    (streaming/ann_maintain.foreach_batch_ivfpq_append): the base
-    index is built over the even vec_ids (quantizers frozen + side
-    tables persisted), the odd vec_ids arrive as TWO micro-batches
-    and are encoded with the FROZEN quantizers, each batch a dynamic
-    partition overwrite of its own (_cell, _batch) leaves — so
-    redelivery converges and the marker short-circuits clean replays
-    (pytest-locked). Serving then reads the grown index (probed-cell
-    literal pruning, stored-code ADC) and must hash-match the oracle's
-    one-shot replay: base-trained quantizers, codes for the whole
-    corpus — proving absorption is lossless."""
-    from ..operators import ann_index
+def _absorb_stream(spark, sf_dir: str, index_dir: str,
+                   drops: list, prefix: str,
+                   compact_every=None) -> None:
+    """Drain the given odd-id single-file drops into ``index_dir``
+    through the IVF-PQ append sink — the shared absorption step of
+    the incremental-index queries. Markers make a re-drain (fresh
+    checkpoint, same dir) a no-op, so memoized callers stay
+    replay-safe."""
     from ..streaming.ann_maintain import foreach_batch_ivfpq_append
 
-    d = _ivfpq_base_index_dir(spark, sf_dir)
     src = _single_file_drops(
         spark, sf_dir, "embeddings", ["vec_id", "embedding"],
-        [("0_first.parquet", F.col("vec_id") % 4 == 1),
-         ("1_second.parquet", F.col("vec_id") % 4 == 3)],
-        "emb_stream_src_",
+        drops, prefix,
     )
     ckpt = tempfile.mkdtemp(prefix="ckpt_ivfpqapp_")
     stream = (
@@ -751,7 +749,8 @@ def stream_ivfpq_index_append(spark, sf_dir):
         with _stream_shuffle(spark):
             q = (
                 foreach_batch_ivfpq_append(
-                    stream, d, "vec_id", "embedding", m=8, sub_d=8
+                    stream, index_dir, "vec_id", "embedding",
+                    m=8, sub_d=8, compact_every=compact_every,
                 )
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
@@ -760,9 +759,139 @@ def stream_ivfpq_index_append(spark, sf_dir):
             q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_IVFPQ_ABSORBED: dict = {}
+
+
+def _ivfpq_absorbed_dir(spark, sf_dir: str) -> str:
+    """The even-id base index with the odd vec_ids absorbed as TWO
+    streaming micro-batches — shared by the append and recall-served
+    queries (memoized; a second build would only replay markers)."""
+    if sf_dir not in _IVFPQ_ABSORBED:
+        d = _ivfpq_base_index_dir(spark, sf_dir)
+        _absorb_stream(
+            spark, sf_dir, d,
+            [("0_first.parquet", F.col("vec_id") % 4 == 1),
+             ("1_second.parquet", F.col("vec_id") % 4 == 3)],
+            "emb_stream_src_",
+        )
+        _IVFPQ_ABSORBED[sf_dir] = d
+    return _IVFPQ_ABSORBED[sf_dir]
+
+
+@_q("stream_ivfpq_index_append", _ivfpq_append_sql())
+def stream_ivfpq_index_append(spark, sf_dir):
+    """Incremental IVF-PQ index absorption
+    (streaming/ann_maintain.foreach_batch_ivfpq_append): the base
+    index is built over the even vec_ids (quantizers frozen + side
+    tables persisted, loaded ONCE per sink — not per trigger), the
+    odd vec_ids arrive as TWO micro-batches and are encoded with the
+    FROZEN quantizers, each batch a dynamic partition overwrite of
+    its own (_cell, _batch) leaves — so redelivery converges and the
+    marker short-circuits clean replays (pytest-locked). Serving then
+    reads the grown index (probed-cell literal pruning, stored-code
+    ADC) and must hash-match the oracle's one-shot replay:
+    base-trained quantizers, codes for the whole corpus — proving
+    absorption is lossless."""
+    from ..operators import ann_index
+
+    d = _ivfpq_absorbed_dir(spark, sf_dir)
     queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
     return ann_index.serve_topk(
         spark, d, queries, "vec_id", "embedding", n_probe=2, sub_d=8, k=5
+    )
+
+
+_IVFPQ_AC_DIRS: dict = {}
+
+
+@_q("stream_ivfpq_autocompact", _ivfpq_append_sql())
+def stream_ivfpq_autocompact(spark, sf_dir):
+    """Self-compacting incremental IVF-PQ index
+    (ann_maintain compact_every + operators/ann_index.compact_cells):
+    the odd vec_ids arrive as FOUR micro-batches on a fresh even-id
+    base, and the sink itself compacts the (_cell, _batch) leaves
+    whenever two committed real batches have accumulated — two
+    journaled, rename-free compactions run inside the drain with no
+    operator call. Serving from the compacted generations must
+    hash-match the SAME one-shot oracle as the append query: the
+    driver-gate proof that compaction is lossless and the leaf count
+    stays bounded under sustained streaming (the file-count bound and
+    crash recovery are pytest-locked in tests/test_ann_index.py)."""
+    from ..operators import ann_index
+
+    if sf_dir not in _IVFPQ_AC_DIRS:
+        e = load(spark, sf_dir, "embeddings")
+        d = tempfile.mkdtemp(prefix="ann_ivfpq_ac_")
+        ann_index.build_index(
+            spark, e.filter(F.col("vec_id") % 2 == 0),
+            "vec_id", "embedding", d,
+        )
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _absorb_stream(
+            spark, sf_dir, d,
+            [("0_q1.parquet", F.col("vec_id") % 8 == 1),
+             ("1_q3.parquet", F.col("vec_id") % 8 == 3),
+             ("2_q5.parquet", F.col("vec_id") % 8 == 5),
+             ("3_q7.parquet", F.col("vec_id") % 8 == 7)],
+            "emb_ac_src_",
+            compact_every=2,
+        )
+        _IVFPQ_AC_DIRS[sf_dir] = d
+    d = _IVFPQ_AC_DIRS[sf_dir]
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return ann_index.serve_topk(
+        spark, d, queries, "vec_id", "embedding", n_probe=2, sub_d=8, k=5
+    )
+
+
+def _recall_served_sql() -> str:
+    from .scale_queries import ORACLES as _SCALE_ORACLES
+
+    # served top-5 from the absorbed store == the one-shot replay
+    # (the append oracle); recall measured against the exact
+    # brute-force top-5 over the SAME union corpus
+    return f"""WITH ivfpq AS ({_ivfpq_append_sql()}),
+       brute AS ({_SCALE_ORACLES["ann_cosine_topk"]})
+       SELECT b.query_id,
+              count(i.neighbor_id) AS n_hits,
+              round(count(i.neighbor_id) / 5.0, 4) AS recall_at_5
+       FROM brute b LEFT JOIN ivfpq i
+         ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       GROUP BY b.query_id"""
+
+
+@_q("ann_recall_served", _recall_served_sql())
+def ann_recall_served(spark, sf_dir):
+    """Recall@5 of the SERVED, absorbed index (VERDICT r6 ask #5):
+    after round 6 the store is the product, so the honesty ledger
+    must measure what serving actually returns — stored codes, grown
+    by streaming absorption, read through probed-cell pruning — not
+    the in-memory pipeline ann_recall_report measures. Per query: how
+    many of the exact brute-force top-5 over the UNION corpus
+    (base + absorbed) the stored index returned. Green here proves
+    absorbed vectors are retrievable at the same recall as base ones,
+    not merely hash-present in the inventory."""
+    from ..operators import ann_index, similarity
+
+    d = _ivfpq_absorbed_dir(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    served = ann_index.serve_topk(
+        spark, d, q, "vec_id", "embedding", n_probe=2, sub_d=8, k=5
+    ).select(
+        F.col("query_id"), F.col("neighbor_id"), F.lit(1).alias("_hit")
+    )
+    return (
+        brute.join(served, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.col("_hit")).alias("n_hits"),
+            F.round(F.count(F.col("_hit")) / F.lit(5.0), 4)
+            .alias("recall_at_5"),
+        )
     )
 
 

@@ -305,28 +305,49 @@ def foreach_batch_upsert(
     Server append, src/load_sqlserver.py:70-98, upgraded to
     merge-on-key semantics). Per micro-batch: reduce the batch to its
     latest row per key, merge with the current state, keep the
-    overall latest, and swap the state directory in. A ``_batch_<id>``
-    marker makes replays no-ops — foreachBatch re-delivers a batch
-    after a crash, so the sink, not the engine, owns idempotency
-    (same contract the parquet Manifest gives file loads). The swap
-    here is rename-based (single-writer, documented); on a real lake
-    you'd land this on a transactional table format and MERGE.
+    overall latest, write the result as a NEW versioned directory
+    ``state_<batch_id>``, and commit it by CREATING the
+    ``_commit_state_<batch_id>`` marker — readers resolve the highest
+    committed version. Create-only commits: no directory rename, no
+    pointer overwrite, so the cutover holds on object stores where
+    rename is copy+delete and a delete-then-replace pointer would
+    have a lost-pointer crash window (all metadata goes through the
+    Hadoop FS shim, fsio.IndexFS; read the state back with
+    :func:`upsert_state`). A ``_batch_<id>`` marker makes replays
+    no-ops — foreachBatch re-delivers a batch after a crash, so the
+    sink, not the engine, owns idempotency (same contract the parquet
+    Manifest gives file loads). Crash windows: before the commit
+    marker, the redelivered batch recomputes from the OLD resolved
+    state and overwrites its own versioned dir (converges); after the
+    commit but before cleanup/marker, resolution already names the
+    batch's own output, so the redelivery just finishes cleanup
+    (retire the older version's commit file first, then its
+    directory) — readers always resolve a complete directory. On a
+    real lake you'd land this on a transactional table format and
+    MERGE.
 
     Scale: state rewrite cost is O(state) per batch — right for
     dimension-sized latest-state tables (users, sessions); for
     fact-sized state use the partitioned variant (rewrite only the
     key partitions present in the batch)."""
-    import os
+    from .fsio import IndexFS
 
     spark = stream.sparkSession
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(state_dir, f"_batch_{batch_id}")
-        cur_dir = os.path.join(state_dir, "current")
-        if os.path.exists(marker):
+        fs = IndexFS(spark, state_dir)
+        if fs.exists(f"_batch_{batch_id}"):
             return
         from pyspark.sql import Window
 
+        cur = _resolve_state(fs)
+        if cur == batch_id:
+            # crashed after the commit marker: the state is already
+            # this batch's output — finish cleanup, don't recompute
+            # (recomputing would read the dir it overwrites)
+            _retire_older_states(fs, batch_id)
+            fs.touch(f"_batch_{batch_id}")
+            return
         w = Window.partitionBy(key_col).orderBy(
             *[F.desc(c) for c in order_cols]
         )
@@ -335,24 +356,67 @@ def foreach_batch_upsert(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if os.path.exists(cur_dir):
+        if cur is not None:
             latest = (
-                spark.read.parquet(cur_dir)
+                spark.read.parquet(fs.uri(f"state_{cur}"))
                 .unionByName(latest)
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        new_dir = os.path.join(state_dir, f"_new_{batch_id}")
-        latest.write.mode("overwrite").parquet(new_dir)
-        old_dir = os.path.join(state_dir, f"_old_{batch_id}")
-        if os.path.exists(cur_dir):
-            os.rename(cur_dir, old_dir)
-        os.rename(new_dir, cur_dir)
-        shutil.rmtree(old_dir, ignore_errors=True)
-        open(marker, "w").close()
+        latest.write.mode("overwrite").parquet(fs.uri(f"state_{batch_id}"))
+        fs.touch(f"_commit_state_{batch_id}")  # the atomic cutover
+        _retire_older_states(fs, batch_id)
+        fs.touch(f"_batch_{batch_id}")
 
     return stream.writeStream.foreachBatch(sink)
+
+
+def _resolve_state(fs) -> int | None:
+    """Highest committed state version whose directory exists (a
+    commit file without its directory means retirement crashed
+    between the two deletes — skip it)."""
+    versions = sorted(
+        (
+            int(n[len("_commit_state_"):])
+            for n in fs.listdir()
+            if n.startswith("_commit_state_")
+        ),
+        reverse=True,
+    )
+    for b in versions:
+        if fs.is_dir(f"state_{b}"):
+            return b
+    return None
+
+
+def _retire_older_states(fs, keep: int) -> None:
+    """Garbage-collect superseded versions: commit file first (so a
+    crash between the deletes leaves an uncommitted dir, not a
+    committed dangle), then the directory."""
+    for n in fs.listdir():
+        if n.startswith("_commit_state_") and int(
+            n[len("_commit_state_"):]
+        ) != keep:
+            fs.delete(n)
+    for n in fs.listdir():
+        if n.startswith("state_") and n != f"state_{keep}":
+            fs.delete(n)
+
+
+def upsert_state(spark, state_dir: str) -> DataFrame:
+    """The latest-state table maintained by
+    :func:`foreach_batch_upsert`: resolve the highest committed
+    version, read that directory."""
+    from .fsio import IndexFS
+
+    fs = IndexFS(spark, state_dir)
+    cur = _resolve_state(fs)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no upsert state committed under {state_dir}"
+        )
+    return spark.read.parquet(fs.uri(f"state_{cur}"))
 
 
 def foreach_batch_jdbc_upsert(

@@ -37,9 +37,15 @@ Measurement protocol (noise isolation):
   does, the artifact carries "load_contaminated": true so a drifted
   number is never silently attributed to code. After the sweep, any
   query that regressed >25% vs the previous BENCH_DETAIL.json is
-  re-timed once post-settle and the faster of the two stands
-  ("reruns" records both) — load spikes self-heal instead of
-  masquerading as regressions.
+  re-timed MULTIPLE times post-settle and the MEDIAN of all samples
+  stands ("samples" records every observation) — a single-run load
+  spike or GC hiccup self-heals instead of masquerading as a
+  regression, while a real code regression reproduces across samples
+  and keeps its slow median.
+- SPARK_GRAFT_RERUNS=N (default 1) times EVERY selected query N times
+  and reports per-query medians — the isolation mode for pinning down
+  an outlier (e.g. `SPARK_GRAFT_RERUNS=5 python bench.py
+  a12_top_tokens`).
 """
 
 from __future__ import annotations
@@ -248,7 +254,27 @@ def main() -> None:
         fam = family(name)
         return 0 if fam == "stream" else (2 if fam == "io" else 1)
 
+    import statistics
+
+    n_reruns = max(1, int(os.environ.get("SPARK_GRAFT_RERUNS", "1")))
+
+    def _cleanup() -> None:
+        # queries are timed independently: drop any caches a query
+        # persisted and any memory-sink temp views a streaming query
+        # drained into, so later timings don't ride on (or pay GC for)
+        # earlier queries' leftover state
+        spark.catalog.clearCache()
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+
+    def _one_timing(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     order = sorted(queries.items(), key=lambda kv: (group(kv[0]), kv[0]))
     prev_group = None
     for name, fn in order:
@@ -259,27 +285,29 @@ def main() -> None:
             spark.catalog.clearCache()
             _jvm_gc(spark)
         prev_group = g
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # a failed query must not hide the rest
+        obs: list[float] = []
+        for _ in range(n_reruns):
+            try:
+                obs.append(_one_timing(fn))
+            except Exception as exc:  # a failure must not hide the rest
+                print(f"# FAIL {name}: {exc}", file=sys.stderr)
+                break
+            _cleanup()
+        if obs:
+            timings[name] = round(statistics.median(obs), 3)
+            if len(obs) > 1:
+                samples[name] = obs
+        else:
             timings[name] = -1.0
-            print(f"# FAIL {name}: {exc}", file=sys.stderr)
-        # queries are timed independently: drop any caches a query
-        # persisted and any memory-sink temp views a streaming query
-        # drained into, so later timings don't ride on (or pay GC for)
-        # earlier queries' leftover state
-        spark.catalog.clearCache()
-        for t in spark.catalog.listTables():
-            if t.isTemporary:
-                spark.catalog.dropTempView(t.name)
+        _cleanup()
 
-    # outlier re-time: queries >25% slower than last run's settled
-    # number (and big enough for the delta to matter) get ONE more
-    # shot after the load settles; the faster timing stands. A real
-    # code regression reproduces and keeps its slow number.
-    outliers = sorted(
+    # outlier re-time (single-pass mode): queries >25% slower than
+    # last run's settled number (and big enough for the delta to
+    # matter) get FOUR more samples after the load settles; the
+    # MEDIAN of all five stands. A single-run load spike or GC pause
+    # is outvoted; a real code regression reproduces and keeps its
+    # slow median.
+    outliers = [] if n_reruns > 1 else sorted(
         (
             n for n, t in timings.items()
             if t > 0.5 and n in prior and t > 1.25 * prior[n]
@@ -287,23 +315,21 @@ def main() -> None:
         key=lambda n: timings[n] - prior[n],
         reverse=True,
     )[:5]
-    reruns: dict[str, list[float]] = {}
     if outliers:
         _wait_for_settle(60)
         spark.catalog.clearCache()
         _jvm_gc(spark)
         for name in outliers:
-            t0 = time.perf_counter()
-            try:
-                queries[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                rr = round(time.perf_counter() - t0, 3)
-            except Exception:
-                continue
-            reruns[name] = [timings[name], rr]
-            timings[name] = min(timings[name], rr)
-            spark.catalog.clearCache()
+            obs = [timings[name]]
+            for _ in range(4):
+                try:
+                    obs.append(_one_timing(queries[name]))
+                except Exception:
+                    break
+                spark.catalog.clearCache()
+            samples[name] = obs
+            timings[name] = round(statistics.median(obs), 3)
+            _cleanup()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     subtotals: dict[str, float] = {}
@@ -322,7 +348,8 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "load_wait_s": load_wait_s,
         "load_contaminated": load_contaminated,
-        "reruns": reruns,
+        "samples": samples,
+        "n_reruns_per_query": n_reruns,
         "sf": sf_from_dir(sf_dir),
     }
     with open(os.path.join(ROOT, "BENCH_DETAIL.json"), "w") as f:
@@ -332,8 +359,8 @@ def main() -> None:
     compact["queries"] = {
         n: timings[n] for n in HEADLINE if n in timings
     }
-    compact.pop("reruns", None)
-    compact["n_reruns"] = len(reruns)
+    compact.pop("samples", None)
+    compact["n_reruns"] = len(samples)
     compact["detail"] = "BENCH_DETAIL.json"
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never exceed tail capture

@@ -239,8 +239,8 @@ def test_lsh_compaction_recovers_from_mid_apply_crash(spark, tmp_path):
     index, no empty-index window, and a second compaction works."""
     import json
     import os
-    import shutil
 
+    from avk_job_skill_analytics_spark.streaming.fsio import IndexFS
     from avk_job_skill_analytics_spark.streaming.minhash_stream import (
         _committed_index_dirs,
         _lsh_maintain_batch_fn,
@@ -249,6 +249,7 @@ def test_lsh_compaction_recovers_from_mid_apply_crash(spark, tmp_path):
 
     d = str(tmp_path / "idx")
     os.makedirs(d)
+    fs = IndexFS(spark, d)
     sink = _lsh_maintain_batch_fn(d, "doc_id", "text", 3, 16, 8, 0.5, 7)
     t = "the quick brown fox jumps over the lazy dog again and again"
     sink(spark.createDataFrame([(1, t)], "doc_id long, text string"), 0)
@@ -257,26 +258,30 @@ def test_lsh_compaction_recovers_from_mid_apply_crash(spark, tmp_path):
         "doc_id long, text string"), 1)
 
     def rows():
-        dirs = _committed_index_dirs(d, "bands")
+        dirs = _committed_index_dirs(fs, "bands")
         return sorted(
             map(tuple, spark.read.parquet(*dirs)
                 .select("_idx_id", "band", "sig").collect())
         )
 
     expected = rows()
-    # simulate: stage + journal written, apply never ran (crash right
-    # after the atomic commit point)
-    b = spark.read.parquet(*_committed_index_dirs(d, "bands"))
-    s = spark.read.parquet(*_committed_index_dirs(d, "sets"))
-    b.write.parquet(f"{d}/_compact_stage/bands/batch=-1")
-    s.write.parquet(f"{d}/_compact_stage/sets/batch=-1")
+    # simulate: generation written at its final path + journal
+    # committed, apply never ran (crash right after the atomic
+    # commit point)
+    b = spark.read.parquet(*_committed_index_dirs(fs, "bands"))
+    s = spark.read.parquet(*_committed_index_dirs(fs, "sets"))
+    b.write.parquet(f"{d}/bands/batch=-1")
+    s.write.parquet(f"{d}/sets/batch=-1")
     with open(f"{d}/_compact_commit", "w") as f:
-        json.dump(["0", "1"], f)
+        json.dump({"gen": -1, "consumed": ["0", "1"]}, f)
+    # journal overlay: readers already see exactly the committed rows
+    assert rows() == expected
     # next batch triggers recovery first, then appends on top
     sink(spark.createDataFrame(
         [(31, t + " extended")], "doc_id long, text string"), 2)
     assert not os.path.exists(f"{d}/_compact_commit")
-    assert not os.path.exists(f"{d}/_compact_stage")
+    assert os.path.exists(f"{d}/_batch_-1")
+    assert not os.path.exists(f"{d}/bands/batch=0")
     after = rows()
     assert [r for r in after if r[0] in (1, 2)] == expected
     assert any(r[0] == 31 for r in after)
@@ -287,8 +292,163 @@ def test_lsh_compaction_recovers_from_mid_apply_crash(spark, tmp_path):
         for r in spark.read.parquet(f"{d}/pairs").collect()
     }
     assert (1, 31) in pairs
-    # and a straight compaction still works afterwards (no leftover
-    # *_old/*_new obstruction)
+    # and a straight compaction still works afterwards
     stats = compact_lsh_index(spark, d)
     assert stats["rows"] == len(after)
     assert rows() == after
+
+
+def test_lsh_second_compaction_crash_window_preserves_index(
+        spark, tmp_path):
+    """ADVICE r6 (high): a SECOND compaction — whose consumed list
+    includes the previous generation — crashing between installing
+    the new generation and clearing the journal must not lose the
+    compacted content on recovery. Under the generation protocol the
+    new generation is never in its own consumed list, so no recovery
+    path can delete it; this locks that for every mid-apply window."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.fsio import (
+        IndexFS,
+        read_journal,
+        write_journal,
+    )
+    from avk_job_skill_analytics_spark.streaming.minhash_stream import (
+        _committed_index_dirs,
+        _delete_lsh_batch,
+        _lsh_maintain_batch_fn,
+        _recover_compaction,
+        compact_lsh_index,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    fs = IndexFS(spark, d)
+    sink = _lsh_maintain_batch_fn(d, "doc_id", "text", 3, 16, 8, 0.5, 7)
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    sink(spark.createDataFrame([(1, t)], "doc_id long, text string"), 0)
+    compact_lsh_index(spark, d)  # first compaction -> generation -1
+    sink(spark.createDataFrame(
+        [(2, "other corpus words entirely")],
+        "doc_id long, text string"), 1)
+
+    def rows():
+        return sorted(
+            map(tuple,
+                spark.read.parquet(*_committed_index_dirs(fs, "bands"))
+                .select("_idx_id", "band", "sig").collect())
+        )
+
+    expected = rows()
+    # second compaction, crash-simulated mid-apply: generation -2
+    # written and journal committed (consumed includes '-1'), then the
+    # apply is interrupted after the marker touch and ONE consumed
+    # delete — the exact shape of the round-6 ADVICE window
+    b = spark.read.parquet(*_committed_index_dirs(fs, "bands"))
+    s = spark.read.parquet(*_committed_index_dirs(fs, "sets"))
+    b.localCheckpoint().write.parquet(f"{d}/bands/batch=-2")
+    s.localCheckpoint().write.parquet(f"{d}/sets/batch=-2")
+    write_journal(fs, -2, ["-1", "1"])
+    fs.touch("_batch_-2")
+    _delete_lsh_batch(fs, "-1")  # partial apply, then "crash"
+    assert rows() == expected    # journal overlay keeps the view whole
+    _recover_compaction(fs)      # any later caller finishes it
+    assert read_journal(fs) is None
+    assert rows() == expected
+    assert os.path.exists(f"{d}/bands/batch=-2")
+    assert not os.path.exists(f"{d}/bands/batch=-1")
+    assert not os.path.exists(f"{d}/_batch_-1")
+    # running recovery AGAIN (double crash) is a no-op, not data loss
+    _recover_compaction(fs)
+    assert rows() == expected
+    # and the sink keeps working on top of generation -2
+    sink(spark.createDataFrame(
+        [(31, t + " extended")], "doc_id long, text string"), 2)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(f"{d}/pairs").collect()
+    }
+    assert (1, 31) in pairs
+
+
+def test_lsh_maintain_on_file_scheme_path(spark, tmp_path):
+    """The whole maintenance + compaction cycle must run with the
+    index root given as an explicit ``file:`` URI — any leftover
+    ``os.*`` call on index paths would fail on the scheme prefix, so
+    green here proves the Hadoop FS shim covers every touch point."""
+    from avk_job_skill_analytics_spark.streaming.fsio import IndexFS
+    from avk_job_skill_analytics_spark.streaming.minhash_stream import (
+        _committed_index_dirs,
+        _lsh_maintain_batch_fn,
+        compact_lsh_index,
+    )
+
+    d = "file:" + str(tmp_path / "idx")
+    sink = _lsh_maintain_batch_fn(d, "doc_id", "text", 3, 16, 8, 0.5, 7)
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    sink(spark.createDataFrame([(1, t)], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame(
+        [(11, t + " tail")], "doc_id long, text string"), 1)
+    stats = compact_lsh_index(spark, d)
+    assert stats["rows"] > 0
+    fs = IndexFS(spark, d)
+    assert fs.exists("_batch_0") and fs.exists("_batch_-1")
+    # post-compaction append + pair detection still work
+    sink(spark.createDataFrame(
+        [(31, t + " extended")], "doc_id long, text string"), 2)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(f"{d}/pairs").collect()
+    }
+    assert (1, 11) in pairs and (1, 31) in pairs
+    assert len(_committed_index_dirs(fs, "bands")) == 2  # gen + batch 2
+
+
+def test_lsh_auto_compaction_bounds_files(spark, tmp_path):
+    """compact_every: a long run (8 batches) with the sink's own
+    compaction trigger keeps the committed directory count bounded
+    with NO manual maintenance call, and the index content stays
+    identical to an uncompacted run's."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.fsio import IndexFS
+    from avk_job_skill_analytics_spark.streaming.minhash_stream import (
+        _committed_index_dirs,
+        _lsh_maintain_batch_fn,
+    )
+
+    texts = [
+        (i, f"document number {i} about topic {i % 3} with words "
+            f"shared across batches {i}")
+        for i in range(8)
+    ]
+
+    def run(d, compact_every):
+        sink = _lsh_maintain_batch_fn(
+            d, "doc_id", "text", 3, 16, 8, 0.5, 7,
+            compact_every=compact_every,
+        )
+        for i, (doc_id, text) in enumerate(texts):
+            sink(spark.createDataFrame(
+                [(doc_id, text)], "doc_id long, text string"), i)
+        fs = IndexFS(spark, d)
+        rows = sorted(
+            map(tuple,
+                spark.read.parquet(*_committed_index_dirs(fs, "bands"))
+                .select("_idx_id", "band", "sig").collect())
+        )
+        return fs, rows
+
+    d_plain = str(tmp_path / "plain")
+    d_auto = str(tmp_path / "auto")
+    os.makedirs(d_plain)
+    os.makedirs(d_auto)
+    fs_plain, rows_plain = run(d_plain, None)
+    fs_auto, rows_auto = run(d_auto, 3)
+    assert rows_auto == rows_plain
+    n_dirs = len(_committed_index_dirs(fs_auto, "bands"))
+    # never more than compact_every-1 real batches + one generation,
+    # where the uncompacted run keeps all 8 batch directories
+    assert n_dirs <= 3, n_dirs
+    assert len(_committed_index_dirs(fs_plain, "bands")) == 8
+    assert fs_auto.count_files("bands") < fs_plain.count_files("bands")

@@ -68,6 +68,7 @@ def test_foreachbatch_upsert_replay_is_noop(spark, tmp_path):
 
     from avk_job_skill_analytics_spark.streaming.incremental import (
         foreach_batch_upsert,
+        upsert_state,
     )
 
     src = str(tmp_path / "src")
@@ -97,17 +98,34 @@ def test_foreachbatch_upsert_replay_is_noop(spark, tmp_path):
     drain()
     first = {
         r["user_id"]: (r["ts"], r["event_id"])
-        for r in spark.read.parquet(f"{state}/current").collect()
+        for r in upsert_state(spark, state).collect()
     }
     assert first == {1: (20, 101), 2: (5, 102)}
     # fresh checkpoint redelivers batch 0 — the marker must no-op it
     drain()
     again = {
         r["user_id"]: (r["ts"], r["event_id"])
-        for r in spark.read.parquet(f"{state}/current").collect()
+        for r in upsert_state(spark, state).collect()
     }
     assert again == first
     assert os.path.exists(f"{state}/_batch_0")
+    # create-only commit artifacts: versioned dir + its commit file
+    assert os.path.exists(f"{state}/_commit_state_0")
+    assert os.path.isdir(f"{state}/state_0")
+    # crash window: committed but the replay marker was lost — the
+    # redelivery must recognize its own committed output (resolution
+    # names this batch) and finish cleanup instead of merging the
+    # batch into itself
+    os.remove(f"{state}/_batch_0")
+    drain()
+    assert {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in upsert_state(spark, state).collect()
+    } == first
+    assert os.path.exists(f"{state}/_batch_0")
+    assert [d for d in os.listdir(state) if d.startswith("state_")] == [
+        "state_0"
+    ]
 
 
 def test_transform_with_state_gated_or_runs(spark):
