@@ -1026,6 +1026,47 @@ def ivfpq_encode(asg: DataFrame, cbs: list, m: int, sub_d: int,
     )
 
 
+def quantization_error(asg: DataFrame, cbs: list, m: int, sub_d: int,
+                       round_digits: int = 6) -> DataFrame:
+    """Per-vector PQ quantization error in exact micro units — the
+    RETRAIN TRIGGER of the frozen-quantizer index lifecycle: encode
+    quality of a cohort (absorbed arrivals vs the base corpus) is the
+    sum over subspaces of the MIN rounded-squared-distance between
+    the residual sub-vector and the frozen codebook. Arrivals that
+    drift from the distribution the quantizers were trained on show a
+    rising error long before recall visibly degrades, turning "when
+    do we retrain?" into a monitored number (the FAISS-style
+    operational answer to frozen codebooks).
+
+    Engine-exact: micro-quantization floor(d·10⁶ + 0.5) is monotone,
+    so min(micro(d)) == micro(min(d)) and the expression reuses
+    ``codebook_argmin``'s 'd' field directly; the per-vector sum of m
+    BIGINTs is exact. One codegen projection over the assignment
+    frame — zero Exchange, same scan discipline as ivfpq_encode.
+    Returns (_id, _cell, _qerr)."""
+    from .clustering import codebook_argmin
+
+    def micro(d_sql: str) -> str:
+        return (
+            f"CAST(floor({d_sql} * 1000000 + CAST(0.5 AS DOUBLE)) "
+            "AS BIGINT)"
+        )
+
+    per_s = [
+        codebook_argmin(
+            lambda bv, s=s: micro(
+                _rdist("`_res`", bv, s * sub_d, round_digits)
+            ),
+            cbs[s],
+        ).getField("d")
+        for s in range(m)
+    ]
+    err = per_s[0]
+    for c in per_s[1:]:
+        err = err + c
+    return asg.select("_id", "_cell", err.alias("_qerr"))
+
+
 def ivfpq_probes(queries: DataFrame, id_col: str, vec_col: str,
                  coarse: list, cbs: list, n_probe: int, m: int,
                  sub_d: int, round_digits: int = 6) -> DataFrame:

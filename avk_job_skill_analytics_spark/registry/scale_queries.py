@@ -3207,6 +3207,117 @@ def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
        WHERE rk <= {topk}"""
 
 
+def _drift_sql(n_cells: int = 8, m: int = 8, sub_d: int = 8,
+               k_star: int = 8,
+               seed_pred: str = "vec_id % 2 = 0") -> str:
+    """DuckDB twin of similarity.quantization_error over base-trained
+    quantizers: the same cells/asg/cb CTE conventions as _ivfpq_sql
+    (seed_pred restricts quantizer derivation to the base cohort),
+    then per-vector sums of per-subspace MIN micro-distances, grouped
+    into base vs arrivals cohorts. All sums are exact integers; the
+    one float op (the cohort mean) divides identical operands."""
+    seed_where = f"WHERE {seed_pred} "
+    d_full = m * sub_d
+    res = (f"list_transform(generate_series(1, {d_full}), "
+           "j -> CAST(e.embedding[j] AS DOUBLE) - c.cv[j])")
+    dist = _SQDIST.format(a="e.embedding", b="c.cv")
+    ctes = [f"""cells AS MATERIALIZED (
+          SELECT CAST(vec_id AS BIGINT) AS cell,
+                 list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
+                     AS cv
+          FROM embeddings {seed_where}ORDER BY vec_id LIMIT {n_cells})""",
+            f"""asg AS MATERIALIZED (
+          SELECT vec_id, cell, res FROM (
+            SELECT e.vec_id, c.cell, {res} AS res,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round({dist}, 6), c.cell) AS rk
+            FROM embeddings e, cells c) t WHERE rk = 1)"""]
+    for s in range(m):
+        a, b = s * sub_d + 1, (s + 1) * sub_d
+        sdist = _SQDIST.format(a=f"e.res[{a}:{b}]", b="c.bv")
+        ctes.append(f"""cb{s} AS MATERIALIZED (
+          SELECT CAST(vec_id AS BIGINT) AS cid,
+                 list_transform(res[{a}:{b}], x -> round(x, 6)) AS bv
+          FROM asg {seed_where}ORDER BY vec_id LIMIT {k_star})""")
+        ctes.append(f"""mind{s} AS MATERIALIZED (
+          SELECT e.vec_id,
+                 min(CAST(floor(round({sdist}, 6) * 1000000
+                                + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS d
+          FROM asg e, cb{s} c GROUP BY e.vec_id)""")
+    err_sum = " + ".join(f"m{s}.d" for s in range(m))
+    err_join = " ".join(
+        f"JOIN mind{s} m{s} ON m{s}.vec_id = m0.vec_id"
+        for s in range(1, m)
+    )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+       err AS (SELECT m0.vec_id, {err_sum} AS err
+               FROM mind0 m0 {err_join})
+       SELECT CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'arrivals' END
+                  AS cohort,
+              count(*) AS n_vecs,
+              CAST(sum(err) AS BIGINT) AS total_err,
+              CAST(floor(CAST(sum(err) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)) AS BIGINT)
+                  AS mean_err_fp
+       FROM err GROUP BY 1"""
+
+
+@_q("ann_drift_monitor", _drift_sql())
+def ann_drift_monitor(spark, sf_dir):
+    """Quantizer drift monitor (similarity.quantization_error) — the
+    operational answer to FROZEN quantizers: coarse cells + PQ
+    codebooks derive from the base (even-id) cohort exactly as the
+    incremental-index family's, then EVERY vector's quantization
+    error (sum of per-subspace min micro-distances) aggregates into
+    base vs arrivals cohorts. A rising arrivals mean against the base
+    mean is the retrain signal — emitted from one zero-Exchange
+    codegen scan, exact-integer end to end, so the oracle replays it
+    bit-for-bit. Completes the stored-index lifecycle: build → absorb
+    (stream_ivfpq_index_append) → compact (stream_ivfpq_autocompact)
+    → serve (ann_ivfpq_served) → monitor → retrain offline."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    cell_rows = (
+        base.orderBy("vec_id").limit(8)
+        .select(
+            F.col("vec_id").cast("long").alias("_cell"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double"), 6),
+            ).alias("_cv"),
+        )
+        .collect()
+    )
+    coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
+    asg_all = similarity._ivfpq_assign(
+        e, "vec_id", "embedding", coarse, 6
+    ).localCheckpoint()
+    cbs = similarity._ivfpq_seed_cbs(
+        asg_all.filter(F.col("_id") % 2 == 0), 8, 8, 8, 6
+    )
+    qe = similarity.quantization_error(asg_all, cbs, 8, 8, 6)
+    return (
+        qe.select(
+            F.when(F.col("_id") % 2 == 0, "base")
+            .otherwise("arrivals").alias("cohort"),
+            "_qerr",
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_qerr").cast("long").alias("total_err"),
+        )
+        .withColumn(
+            "mean_err_fp",
+            F.expr(
+                "CAST(floor(CAST(total_err AS DOUBLE)"
+                " / CAST(n_vecs AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+    )
+
+
 @_q("ann_ivfpq_topk", _ivfpq_sql(8, 2, 8, 8, 8, 10, 5))
 def ann_ivfpq_topk(spark, sf_dir):
     """IVF-PQ top-5 (similarity.ivfpq_topk) — the billion-scale ANN

@@ -11,8 +11,6 @@ streaming path (streaming/incremental.py).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,9 +25,13 @@ class Manifest:
         self.path = path
 
     def _exists(self) -> bool:
-        # local-FS check; on object stores rely on the read failing over
-        # to the empty frame
-        return os.path.exists(self.path)
+        # resolved through the Hadoop FS of the path's own scheme: an
+        # os.path probe would return False for every hdfs:/s3a: path
+        # and silently reset the manifest to empty — the exact failure
+        # idempotent loading exists to prevent
+        from ..streaming.fsio import IndexFS
+
+        return IndexFS(self.spark, self.path).exists()
 
     def loaded(self) -> DataFrame:
         """All file names marked loaded (empty frame if none yet).

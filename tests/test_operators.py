@@ -90,6 +90,20 @@ def test_manifest_idempotent(spark, tmp_path):
     assert sorted(r["file_name"] for r in m.new_files(more).collect()) == ["f3"]
 
 
+def test_manifest_on_file_scheme_path(spark, tmp_path):
+    """The existence probe must resolve through the path's own Hadoop
+    filesystem — an os.path probe returns False for any scheme'd path
+    and silently resets the manifest to empty, re-loading every file."""
+    m = Manifest(spark, "file:" + str(tmp_path / "manifest"))
+    m.mark_loaded(["f1"])
+    files = spark.createDataFrame([("f1",), ("f2",)], ["file_name"])
+    assert sorted(
+        r["file_name"] for r in m.new_files(files).collect()
+    ) == ["f2"]
+    m.mark_loaded(["f1"])  # re-mark must not duplicate
+    assert m.loaded().count() == 1
+
+
 def test_asof_join_semantics(spark):
     from datetime import datetime as dt
 

@@ -1318,6 +1318,36 @@ def test_kmeans_parallel_init_phi_overflow_raises(spark):
         )
 
 
+def test_quantization_drift_flags_shifted_arrivals(spark):
+    """The retrain trigger must actually trigger: arrivals drawn from
+    a SHIFTED distribution quantize worse under base-trained
+    codebooks than the base cohort does."""
+    rows = []
+    for i in range(0, 40, 2):  # base cohort: even ids, small cloud
+        rows.append((i, [0.01 * i, -0.02 * i, 0.03 * (i % 5), 0.5]))
+    for i in range(1, 40, 2):  # arrivals: odd ids, shifted far away
+        rows.append((i, [5.0 + 0.01 * i, 5.0, -5.0, 5.0 + 0.02 * i]))
+    from pyspark.sql import functions as SF
+
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = e.filter(SF.col("vec_id") % 2 == 0)
+    coarse = [
+        (int(r["vec_id"]), [round(float(x), 6) for x in r["embedding"]])
+        for r in base.orderBy("vec_id").limit(4).collect()
+    ]
+    asg = similarity._ivfpq_assign(e, "vec_id", "embedding", coarse, 6)
+    cbs = similarity._ivfpq_seed_cbs(
+        asg.filter(SF.col("_id") % 2 == 0), 2, 2, 4, 6
+    )
+    qe = similarity.quantization_error(asg, cbs, 2, 2, 6)
+    means = {
+        ("base" if r["c"] == 0 else "arrivals"): r["m"]
+        for r in qe.groupBy((SF.col("_id") % 2).alias("c"))
+        .agg(SF.avg("_qerr").alias("m")).collect()
+    }
+    assert means["arrivals"] > 10 * means["base"], means
+
+
 def test_kmeans_parallel_init_quality_and_determinism(spark):
     from avk_job_skill_analytics_spark.operators import clustering
 
