@@ -22,12 +22,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _delete_cells_batch(fs, b: str) -> None:
+def _delete_cells_batches(fs, bs: list[str]) -> None:
     """Layout callback for the shared commit protocol
-    (streaming/fsio): batch ``b``'s codes live in one
-    ``_batch=<b>`` leaf under every ``_cell=<c>`` directory."""
-    for cd in fs.listdir("cells"):
-        if cd.startswith("_cell="):
+    (streaming/fsio): each batch's codes live in one ``_batch=<b>``
+    leaf under every ``_cell=<c>`` directory — the cells enumeration
+    is paid once for the whole batch list."""
+    cells = [cd for cd in fs.listdir("cells") if cd.startswith("_cell=")]
+    for cd in cells:
+        for b in bs:
             fs.delete(f"cells/{cd}/_batch={b}")
 
 
@@ -36,7 +38,21 @@ def _recover_cells(fs) -> None:
     no-op without a journal."""
     from ..streaming.fsio import recover_compaction
 
-    recover_compaction(fs, _delete_cells_batch)
+    recover_compaction(fs, _delete_cells_batches)
+
+
+def _leaf_batch_ids(fs) -> set[str]:
+    """Batch ids that actually own data leaves under cells/ — the
+    bounded set (post-compaction: one generation + recent batches)
+    that keeps reader predicates independent of how many markers
+    exist."""
+    return {
+        name.split("=", 1)[1]
+        for cd in fs.listdir("cells")
+        if cd.startswith("_cell=")
+        for name in fs.listdir(f"cells/{cd}")
+        if name.startswith("_batch=")
+    }
 
 
 def write_cells(codes: DataFrame, cells_path: str,
@@ -148,8 +164,13 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, adc_dist long, rk int"
         )
+    fs = IndexFS(spark, index_dir)
+    # committed ∩ leaves-that-exist: the predicate stays bounded by
+    # LIVE leaves (one generation + recent batches after compaction),
+    # not by how many redelivery markers have ever been written
     committed = sorted(
-        int(b) for b in committed_batch_ids(IndexFS(spark, index_dir))
+        int(b)
+        for b in committed_batch_ids(fs) & _leaf_batch_ids(fs)
     )
     inv = (
         spark.read.parquet(f"{index_dir}/cells")
@@ -163,7 +184,8 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
     return similarity.ivfpq_score(inv, probes, k)
 
 
-def compact_cells(spark, index_dir: str, buckets: int = 1) -> dict:
+def compact_cells(spark, index_dir: str, buckets: int = 1,
+                  marker_horizon: int = 1000) -> dict:
     """Merge the cells inventory's committed ``_batch`` leaves into a
     single fresh negative GENERATION per cell — the IVF-PQ twin of
     minhash_stream.compact_lsh_index, closing the small-files growth
@@ -186,21 +208,18 @@ def compact_cells(spark, index_dir: str, buckets: int = 1) -> dict:
         committed_batch_ids,
         drop_stale_generations,
         next_generation,
+        retire_real_markers,
         write_journal,
     )
 
     fs = IndexFS(spark, index_dir)
     _recover_cells(fs)
     # reclaim half-written generations from a pre-commit crash
-    stale = sorted({
-        int(name.split("=", 1)[1])
-        for cd in fs.listdir("cells")
-        if cd.startswith("_cell=")
-        for name in fs.listdir(f"cells/{cd}")
-        if name.startswith("_batch=-")
-    })
-    drop_stale_generations(fs, _delete_cells_batch, stale)
-    committed = committed_batch_ids(fs)
+    stale = sorted(
+        int(b) for b in _leaf_batch_ids(fs) if int(b) < 0
+    )
+    drop_stale_generations(fs, _delete_cells_batches, stale)
+    committed = committed_batch_ids(fs) & _leaf_batch_ids(fs)
     before = fs.count_files("cells")
     if not committed:
         return {"files_before": before, "files_after": before, "rows": 0}
@@ -218,6 +237,9 @@ def compact_cells(spark, index_dir: str, buckets: int = 1) -> dict:
     write_cells(inv, fs.uri("cells"), gen)
     write_journal(fs, gen, sorted(committed))  # the atomic commit point
     _recover_cells(fs)  # apply via the shared idempotent path
+    # every committed real batch is now absorbed — retire markers far
+    # behind the redelivery horizon so root metadata stays bounded
+    retire_real_markers(fs, marker_horizon)
     return {
         "files_before": before,
         "files_after": fs.count_files("cells"),

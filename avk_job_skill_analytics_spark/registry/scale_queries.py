@@ -3253,7 +3253,7 @@ def _drift_sql(n_cells: int = 8, m: int = 8, sub_d: int = 8,
     return f"""WITH {joined},
        err AS (SELECT m0.vec_id, {err_sum} AS err
                FROM mind0 m0 {err_join})
-       SELECT CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'arrivals' END
+       SELECT CASE WHEN {seed_pred} THEN 'base' ELSE 'arrivals' END
                   AS cohort,
               count(*) AS n_vecs,
               CAST(sum(err) AS BIGINT) AS total_err,

@@ -59,7 +59,7 @@ def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
     batches have accumulated — the auto-trigger that bounds the
     (_cell, _batch) leaf count under sustained streaming (VERDICT r6
     asks #2/#6)."""
-    from ..operators.ann_index import _recover_cells
+    from ..operators.ann_index import _leaf_batch_ids, _recover_cells
     from .fsio import IndexFS, committed_batch_ids
 
     frozen: dict = {}
@@ -82,22 +82,25 @@ def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
         write_ivfpq_cells(codes, fs.uri("cells"), batch_id)
         fs.touch(f"_batch_{batch_id}")
         if compact_every:
-            # count committed REAL batches that still own data leaves
-            # (markers outlive compaction by design — counting them
-            # would re-trigger compaction on every later batch)
-            committed = committed_batch_ids(fs)
-            leaf_ids = {
-                name.split("=", 1)[1]
-                for cd in fs.listdir("cells")
-                if cd.startswith("_cell=")
-                for name in fs.listdir(f"cells/{cd}")
-                if name.startswith("_batch=")
-            }
-            n_real = sum(
-                1 for b in leaf_ids if int(b) >= 0 and b in committed
-            )
-            if n_real >= compact_every:
+            # committed REAL batches still owning data leaves, NOT
+            # markers (markers outlive compaction by design — counting
+            # them would re-trigger on every later batch). The
+            # directory enumeration runs once per sink lifetime to
+            # seed a closure counter; afterwards each append is +1 and
+            # a compaction resets to 0 — amortized O(1) LIST calls on
+            # the hot append path.
+            if "n_real" not in frozen:
+                committed = committed_batch_ids(fs)
+                frozen["n_real"] = sum(
+                    1
+                    for b in _leaf_batch_ids(fs)
+                    if int(b) >= 0 and b in committed
+                )
+            else:
+                frozen["n_real"] += 1
+            if frozen["n_real"] >= compact_every:
                 compact_ivfpq_cells(spark, index_dir)
+                frozen["n_real"] = 0
 
     return sink
 

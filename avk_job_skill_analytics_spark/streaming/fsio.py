@@ -53,10 +53,28 @@ MARKER = "_batch_"
 JOURNAL = "_compact_commit"
 
 
+def _is_not_found(exc: Exception) -> bool:
+    """True only for a Java FileNotFoundException — the one condition
+    the protocol legitimately maps to 'missing'. Everything else
+    (credentials, throttling, network — routine transients on object
+    stores) must PROPAGATE: swallowing it would make a reader see an
+    empty index and commit wrong per-batch artifacts permanently."""
+    je = getattr(exc, "java_exception", None)
+    while je is not None:
+        if "FileNotFoundException" in je.getClass().getName():
+            return True
+        je = je.getCause()
+    return False
+
+
 class IndexFS:
     """Thin shim over ``org.apache.hadoop.fs.FileSystem`` scoped to
     one index root. Metadata ops only — bulk data still moves through
-    Spark reads/writes against :meth:`uri` paths."""
+    Spark reads/writes against :meth:`uri` paths. Missing paths map
+    to empty/None; every OTHER filesystem error raises, so a
+    transient object-store failure aborts the micro-batch (and
+    Structured Streaming retries it) instead of silently presenting
+    an empty index view."""
 
     def __init__(self, spark, root: str):
         self._jvm = spark._jvm
@@ -79,8 +97,10 @@ class IndexFS:
     def is_dir(self, rel: str = "") -> bool:
         try:
             return bool(self._fs.getFileStatus(self._p(rel)).isDirectory())
-        except Exception:
-            return False
+        except Exception as exc:
+            if _is_not_found(exc):
+                return False
+            raise
 
     def listdir(self, rel: str = "") -> list[str]:
         """Child names (empty if the directory is missing)."""
@@ -89,8 +109,10 @@ class IndexFS:
                 st.getPath().getName()
                 for st in self._fs.listStatus(self._p(rel))
             )
-        except Exception:
-            return []
+        except Exception as exc:
+            if _is_not_found(exc):
+                return []
+            raise
 
     def mkdirs(self, rel: str = "") -> None:
         self._fs.mkdirs(self._p(rel))
@@ -103,20 +125,31 @@ class IndexFS:
     def write_text(self, rel: str, text: str) -> None:
         """Atomic small-file publish: write ``<rel>.tmp`` fully, then
         swap it in. HDFS/POSIX rename is atomic; S3A's copy half is a
-        single PUT — either way no reader observes a partial file."""
+        single PUT — either way no reader observes a partial file.
+        Hadoop rename reports most failures via its boolean, so the
+        result is CHECKED — a failed publish must raise, never be
+        mistaken for a committed journal."""
         tmp = self._p(rel + ".tmp")
         out = self._fs.create(tmp, True)
         out.write(bytearray(text.encode("utf-8")))
         out.close()
         dst = self._p(rel)
-        self._fs.delete(dst, False)
-        self._fs.rename(tmp, dst)
+        if not self._fs.rename(tmp, dst):
+            # dest may exist (HDFS rename won't overwrite): clear and
+            # retry once; single-writer, so the delete races nothing
+            self._fs.delete(dst, False)
+            if not self._fs.rename(tmp, dst):
+                raise IOError(
+                    f"atomic publish failed: {tmp} -> {dst}"
+                )
 
     def read_text(self, rel: str) -> str | None:
         try:
             ins = self._fs.open(self._p(rel))
-        except Exception:
-            return None
+        except Exception as exc:
+            if _is_not_found(exc):
+                return None
+            raise
         try:
             return self._jvm.org.apache.commons.io.IOUtils.toString(
                 ins, "UTF-8"
@@ -131,8 +164,10 @@ class IndexFS:
     def count_files(self, rel: str = "", suffix: str = ".parquet") -> int:
         try:
             it = self._fs.listFiles(self._p(rel), True)
-        except Exception:
-            return 0
+        except Exception as exc:
+            if _is_not_found(exc):
+                return 0
+            raise
         n = 0
         while it.hasNext():
             if it.next().getPath().getName().endswith(suffix):
@@ -183,34 +218,62 @@ def next_generation(fs: IndexFS) -> int:
     return (min(gens) - 1) if gens else -1
 
 
-def recover_compaction(fs: IndexFS, delete_batch_fn) -> None:
+def recover_compaction(fs: IndexFS, delete_batches_fn) -> None:
     """Finish a journal-committed compaction — idempotent, no-op
     without a journal, callable from any crash window (including a
-    crash inside a previous recovery). ``delete_batch_fn(fs, b)``
-    removes batch ``b``'s data directories in the caller's layout.
-    The installed generation is never touched: it is not in its own
-    consumed list, and nothing here renames or rewrites data."""
+    crash inside a previous recovery). ``delete_batches_fn(fs, [b,
+    ...])`` removes those batches' data directories in the caller's
+    layout (list form, so a layout needing a directory enumeration
+    pays it once, not once per batch). The installed generation is
+    never touched: it is not in its own consumed list, and nothing
+    here renames or rewrites data."""
     j = read_journal(fs)
     if j is None:
         return
     gen, consumed = j["gen"], j["consumed"]
     fs.touch(f"{MARKER}{gen}")
+    delete_batches_fn(fs, consumed)
     for b in consumed:
-        delete_batch_fn(fs, b)
         if int(b) < 0:
             # consumed sentinel generations retire entirely; REAL
-            # batch markers outlive compaction (redelivery guard)
+            # batch markers outlive compaction (redelivery guard —
+            # see retire_real_markers for the bounded-horizon GC)
             fs.delete(f"{MARKER}{b}")
     fs.delete(JOURNAL)
 
 
-def drop_stale_generations(fs: IndexFS, delete_batch_fn,
+def drop_stale_generations(fs: IndexFS, delete_batches_fn,
                            present_gens: list[int]) -> None:
     """Delete half-written generations a pre-commit crash left behind
     (negative id, neither marker- nor journal-committed) — they are
     invisible to readers; this just reclaims the space before a new
     compaction writes its own generation."""
     committed = committed_batch_ids(fs)
-    for g in present_gens:
-        if g < 0 and str(g) not in committed:
-            delete_batch_fn(fs, str(g))
+    stale = [
+        str(g) for g in present_gens
+        if g < 0 and str(g) not in committed
+    ]
+    if stale:
+        delete_batches_fn(fs, stale)
+
+
+def retire_real_markers(fs: IndexFS, horizon: int = 1000) -> None:
+    """Bounded-metadata GC for the redelivery guard: delete REAL batch
+    markers more than ``horizon`` ids behind the newest one. Safe
+    because Structured Streaming only redelivers batches inside its
+    checkpoint horizon (practically the last uncommitted trigger) —
+    an id a thousand batches old can never be re-presented — and
+    compaction has already absorbed every committed batch's data, so
+    the marker is the only artifact left. Without this the index root
+    accumulates one marker per micro-batch forever and every
+    committed-set resolution lists them all. Call after a compaction
+    apply (the point where all real batches are known-absorbed)."""
+    real = sorted(
+        int(b) for b in committed_batch_ids(fs) if int(b) >= 0
+    )
+    if not real:
+        return
+    cutoff = real[-1] - horizon
+    for b in real:
+        if b < cutoff:
+            fs.delete(f"{MARKER}{b}")

@@ -219,11 +219,12 @@ def stream_minhash_dedup(stream: DataFrame, index_bands: DataFrame,
                            threshold)
 
 
-def _delete_lsh_batch(fs, b: str) -> None:
-    """Layout callback for the shared commit protocol: batch ``b``'s
+def _delete_lsh_batches(fs, bs: list[str]) -> None:
+    """Layout callback for the shared commit protocol: each batch's
     data lives in one ``batch=<b>`` directory per table."""
     for table in ("bands", "sets"):
-        fs.delete(f"{table}/batch={b}")
+        for b in bs:
+            fs.delete(f"{table}/batch={b}")
 
 
 def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
@@ -254,7 +255,12 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
         fs = IndexFS(spark, index_dir)
         if fs.exists(f"_batch_{batch_id}"):
             return
-        recover_compaction(fs, _delete_lsh_batch)
+        recover_compaction(fs, _delete_lsh_batches)
+        # ONE committed-set resolution per batch (root listing +
+        # journal read) shared by both table reads and the compaction
+        # trigger — metadata round-trips are the per-trigger cost on
+        # object stores
+        committed = committed_batch_ids(fs)
         rows_per_band = num_hashes // bands
         # localCheckpoint: one micro-batch of signatures, reused by
         # the pair join AND both index appends without re-signing
@@ -280,8 +286,8 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
         # crash between the bands and sets writes can't break the read
         # (the uncommitted dirs are simply not in the view until the
         # rewrite completes and the marker lands)
-        committed_b = _committed_index_dirs(fs, "bands")
-        committed_s = _committed_index_dirs(fs, "sets")
+        committed_b = _committed_index_dirs(fs, "bands", committed)
+        committed_s = _committed_index_dirs(fs, "sets", committed)
         if committed_b:
             idx_b = spark.read.parquet(*committed_b)
             idx_s = spark.read.parquet(*committed_s)
@@ -304,13 +310,16 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
         )
         fs.touch(f"_batch_{batch_id}")
         if compact_every:
-            committed = committed_batch_ids(fs)
+            # this batch just committed: count its dir plus the other
+            # committed real-batch dirs (the prior resolution is still
+            # valid — single writer, plus the id we just committed)
+            committed_now = committed | {str(batch_id)}
             n_real = sum(
                 1
                 for name in fs.listdir("bands")
                 if name.startswith("batch=")
                 and not name.startswith("batch=-")
-                and name.split("=", 1)[1] in committed
+                and name.split("=", 1)[1] in committed_now
             )
             if n_real >= compact_every:
                 compact_lsh_index(spark, index_dir)
@@ -318,16 +327,19 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
     return sink
 
 
-def _committed_index_dirs(fs, table: str) -> list[str]:
+def _committed_index_dirs(fs, table: str,
+                          committed: set[str] | None = None) -> list[str]:
     """``batch=<id>`` directories of ``table`` whose batch is
     COMMITTED under the shared protocol (fsio.committed_batch_ids:
     marker present or journal-committed generation, minus
     journal-consumed batches). Markers are written AFTER all of a
     batch's artifacts, so this set never contains half-written
-    directories."""
+    directories. Pass ``committed`` to reuse one resolution across
+    several tables."""
     from .fsio import committed_batch_ids
 
-    committed = committed_batch_ids(fs)
+    if committed is None:
+        committed = committed_batch_ids(fs)
     return [
         fs.uri(f"{table}/{name}")
         for name in fs.listdir(table)
@@ -342,10 +354,11 @@ def _recover_compaction(fs) -> None:
     fsio protocol with this module's table layout)."""
     from .fsio import recover_compaction
 
-    recover_compaction(fs, _delete_lsh_batch)
+    recover_compaction(fs, _delete_lsh_batches)
 
 
-def compact_lsh_index(spark, index_dir: str, buckets: int = 1) -> dict:
+def compact_lsh_index(spark, index_dir: str, buckets: int = 1,
+                      marker_horizon: int = 1000) -> dict:
     """Compact the growing index's COMMITTED ``batch=<id>`` directories
     — the periodic maintenance job that keeps the per-trigger index
     join from degrading into a thousands-of-small-files listing as
@@ -379,8 +392,10 @@ def compact_lsh_index(spark, index_dir: str, buckets: int = 1) -> dict:
     Returns {'bands_files_before', 'bands_files_after', 'rows'}."""
     from .fsio import (
         IndexFS,
+        committed_batch_ids,
         drop_stale_generations,
         next_generation,
+        retire_real_markers,
         write_journal,
     )
 
@@ -393,10 +408,11 @@ def compact_lsh_index(spark, index_dir: str, buckets: int = 1) -> dict:
         for name in fs.listdir(table)
         if name.startswith("batch=-")
     ]
-    drop_stale_generations(fs, _delete_lsh_batch, stale)
+    drop_stale_generations(fs, _delete_lsh_batches, stale)
     before = fs.count_files("bands")
-    bands_dirs = _committed_index_dirs(fs, "bands")
-    sets_dirs = _committed_index_dirs(fs, "sets")
+    committed = committed_batch_ids(fs)
+    bands_dirs = _committed_index_dirs(fs, "bands", committed)
+    sets_dirs = _committed_index_dirs(fs, "sets", committed)
     if not bands_dirs:
         return {"bands_files_before": before,
                 "bands_files_after": before, "rows": 0}
@@ -415,6 +431,9 @@ def compact_lsh_index(spark, index_dir: str, buckets: int = 1) -> dict:
     )
     write_journal(fs, gen, consumed)  # the atomic commit point
     _recover_compaction(fs)  # apply via the shared idempotent path
+    # every committed real batch is now absorbed — retire markers far
+    # behind the redelivery horizon so root metadata stays bounded
+    retire_real_markers(fs, marker_horizon)
     return {
         "bands_files_before": before,
         "bands_files_after": fs.count_files("bands"),

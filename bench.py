@@ -275,6 +275,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    sample_failures: dict[str, int] = {}
     order = sorted(queries.items(), key=lambda kv: (group(kv[0]), kv[0]))
     prev_group = None
     for name, fn in order:
@@ -293,9 +294,14 @@ def main() -> None:
                 print(f"# FAIL {name}: {exc}", file=sys.stderr)
                 break
             _cleanup()
+        if len(obs) < n_reruns:
+            # a later-rerun failure must be VISIBLE in the artifact —
+            # a flaky query in isolation mode would otherwise record a
+            # clean median while single-pass mode records -1.0
+            sample_failures[name] = n_reruns - len(obs)
         if obs:
             timings[name] = round(statistics.median(obs), 3)
-            if len(obs) > 1:
+            if n_reruns > 1:
                 samples[name] = obs
         else:
             timings[name] = -1.0
@@ -349,6 +355,7 @@ def main() -> None:
         "load_wait_s": load_wait_s,
         "load_contaminated": load_contaminated,
         "samples": samples,
+        "sample_failures": sample_failures,
         "n_reruns_per_query": n_reruns,
         "sf": sf_from_dir(sf_dir),
     }
@@ -360,7 +367,9 @@ def main() -> None:
         n: timings[n] for n in HEADLINE if n in timings
     }
     compact.pop("samples", None)
+    compact.pop("sample_failures", None)
     compact["n_reruns"] = len(samples)
+    compact["n_flaky"] = len(sample_failures)
     compact["detail"] = "BENCH_DETAIL.json"
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: never exceed tail capture

@@ -119,7 +119,7 @@ def test_cells_compaction_recovers_from_mid_apply_crash(spark, tmp_path):
     ann_index.write_cells(inv, fs.uri("cells"), -3)
     write_journal(fs, -3, ["-2", "2"])
     fs.touch("_batch_-3")
-    ann_index._delete_cells_batch(fs, "-2")
+    ann_index._delete_cells_batches(fs, ["-2"])
     assert _served(spark, d) == served  # journal overlay: view whole
     ann_index._recover_cells(fs)
     assert read_journal(fs) is None

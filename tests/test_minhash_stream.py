@@ -315,7 +315,7 @@ def test_lsh_second_compaction_crash_window_preserves_index(
     )
     from avk_job_skill_analytics_spark.streaming.minhash_stream import (
         _committed_index_dirs,
-        _delete_lsh_batch,
+        _delete_lsh_batches,
         _lsh_maintain_batch_fn,
         _recover_compaction,
         compact_lsh_index,
@@ -350,7 +350,7 @@ def test_lsh_second_compaction_crash_window_preserves_index(
     s.localCheckpoint().write.parquet(f"{d}/sets/batch=-2")
     write_journal(fs, -2, ["-1", "1"])
     fs.touch("_batch_-2")
-    _delete_lsh_batch(fs, "-1")  # partial apply, then "crash"
+    _delete_lsh_batches(fs, ["-1"])  # partial apply, then "crash"
     assert rows() == expected    # journal overlay keeps the view whole
     _recover_compaction(fs)      # any later caller finishes it
     assert read_journal(fs) is None
@@ -402,6 +402,52 @@ def test_lsh_maintain_on_file_scheme_path(spark, tmp_path):
     }
     assert (1, 11) in pairs and (1, 31) in pairs
     assert len(_committed_index_dirs(fs, "bands")) == 2  # gen + batch 2
+
+
+def test_lsh_marker_retirement_bounds_root_metadata(spark, tmp_path):
+    """retire_real_markers: markers further behind the newest real
+    batch than the horizon are GC'd after compaction (the index root
+    would otherwise accumulate one marker per micro-batch forever),
+    while rows and recent-redelivery protection are untouched."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.fsio import IndexFS
+    from avk_job_skill_analytics_spark.streaming.minhash_stream import (
+        _committed_index_dirs,
+        _lsh_maintain_batch_fn,
+        compact_lsh_index,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    fs = IndexFS(spark, d)
+    sink = _lsh_maintain_batch_fn(d, "doc_id", "text", 3, 16, 8, 0.5, 7)
+    for i in range(4):
+        sink(spark.createDataFrame(
+            [(100 + i, f"document number {i} about different topics")],
+            "doc_id long, text string"), i)
+
+    def rows():
+        return sorted(
+            map(tuple,
+                spark.read.parquet(*_committed_index_dirs(fs, "bands"))
+                .select("_idx_id", "band", "sig").collect())
+        )
+
+    expected = rows()
+    compact_lsh_index(spark, d, marker_horizon=1)
+    markers = sorted(
+        n for n in os.listdir(d) if n.startswith("_batch_")
+    )
+    # ids 0 and 1 are > horizon behind max id 3: retired; 2, 3 and
+    # the generation marker stay
+    assert markers == ["_batch_-1", "_batch_2", "_batch_3"], markers
+    assert rows() == expected
+    # the most recent batch still short-circuits on redelivery
+    sink(spark.createDataFrame(
+        [(103, "document number 3 about different topics")],
+        "doc_id long, text string"), 3)
+    assert rows() == expected
 
 
 def test_lsh_auto_compaction_bounds_files(spark, tmp_path):
