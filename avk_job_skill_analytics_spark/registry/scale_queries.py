@@ -3263,6 +3263,30 @@ def _drift_sql(n_cells: int = 8, m: int = 8, sub_d: int = 8,
        FROM err GROUP BY 1"""
 
 
+def _drift_quantizers(spark, e) -> tuple[list, list]:
+    """Base-cohort (even vec_id) coarse cells + PQ codebooks with the
+    exact conventions of `_drift_sql` / the incremental-index family —
+    shared by the batch monitor and its streaming twin."""
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    cell_rows = (
+        base.orderBy("vec_id").limit(8)
+        .select(
+            F.col("vec_id").cast("long").alias("_cell"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double"), 6),
+            ).alias("_cv"),
+        )
+        .collect()
+    )
+    coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
+    asg_base = similarity._ivfpq_assign(
+        base, "vec_id", "embedding", coarse, 6
+    )
+    cbs = similarity._ivfpq_seed_cbs(asg_base, 8, 8, 8, 6)
+    return coarse, cbs
+
+
 @_q("ann_drift_monitor", _drift_sql())
 def ann_drift_monitor(spark, sf_dir):
     """Quantizer drift monitor (similarity.quantization_error) — the
@@ -3277,25 +3301,8 @@ def ann_drift_monitor(spark, sf_dir):
     (stream_ivfpq_index_append) → compact (stream_ivfpq_autocompact)
     → serve (ann_ivfpq_served) → monitor → retrain offline."""
     e = load(spark, sf_dir, "embeddings")
-    base = e.filter(F.col("vec_id") % 2 == 0)
-    cell_rows = (
-        base.orderBy("vec_id").limit(8)
-        .select(
-            F.col("vec_id").cast("long").alias("_cell"),
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.round(x.cast("double"), 6),
-            ).alias("_cv"),
-        )
-        .collect()
-    )
-    coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
-    asg_all = similarity._ivfpq_assign(
-        e, "vec_id", "embedding", coarse, 6
-    ).localCheckpoint()
-    cbs = similarity._ivfpq_seed_cbs(
-        asg_all.filter(F.col("_id") % 2 == 0), 8, 8, 8, 6
-    )
+    coarse, cbs = _drift_quantizers(spark, e)
+    asg_all = similarity._ivfpq_assign(e, "vec_id", "embedding", coarse, 6)
     qe = similarity.quantization_error(asg_all, cbs, 8, 8, 6)
     return (
         qe.select(

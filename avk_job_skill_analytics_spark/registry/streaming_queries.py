@@ -846,6 +846,73 @@ def stream_ivfpq_autocompact(spark, sf_dir):
     )
 
 
+def _stream_drift_sql() -> str:
+    from .scale_queries import _drift_sql
+
+    # the streaming fold only ever sees the arrivals cohort; its
+    # drained totals must equal the batch monitor's arrivals row
+    return (f"WITH d AS ({_drift_sql()}) "
+            "SELECT cohort, n_vecs, total_err, mean_err_fp FROM d "
+            "WHERE cohort = 'arrivals'")
+
+
+@_q("stream_drift_monitor", _stream_drift_sql())
+def stream_drift_monitor(spark, sf_dir):
+    """Streaming quantizer drift monitor
+    (streaming/ann_maintain.foreach_batch_drift_fold): the odd
+    vec_ids arrive as TWO micro-batches and their quantization error
+    under the base-trained FROZEN quantizers folds into two exact
+    driver-side integers per trigger — the retrain signal computed
+    ONLINE, next to the absorption sink, instead of by a periodic
+    batch scan. Exact integer folding is order-free, so the drained
+    totals hash-match the batch monitor's arrivals row (the oracle) —
+    proving the online monitor loses nothing vs the offline one."""
+    import math
+
+    from ..streaming.ann_maintain import foreach_batch_drift_fold
+    from .scale_queries import _drift_quantizers
+
+    e = load(spark, sf_dir, "embeddings")
+    coarse, cbs = _drift_quantizers(spark, e)
+    src = _single_file_drops(
+        spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+        [("0_first.parquet", F.col("vec_id") % 4 == 1),
+         ("1_second.parquet", F.col("vec_id") % 4 == 3)],
+        "emb_stream_src_",
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_drift_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    state: dict = {"n": 0, "total": 0, "seen": set()}
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_drift_fold(
+                    stream, coarse, cbs, 8, 8, state,
+                    "vec_id", "embedding",
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # identical float discipline to the SQL: floor(double / double)
+    mean_fp = (
+        int(math.floor(float(state["total"]) / float(state["n"])))
+        if state["n"] else 0
+    )
+    return spark.createDataFrame(
+        [("arrivals", state["n"], state["total"], mean_fp)],
+        "cohort string, n_vecs long, total_err long, mean_err_fp long",
+    )
+
+
 def _recall_served_sql() -> str:
     from .scale_queries import ORACLES as _SCALE_ORACLES
 

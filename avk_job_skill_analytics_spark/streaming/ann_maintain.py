@@ -40,7 +40,47 @@ __all__ = [
     "write_ivfpq_cells",
     "compact_ivfpq_cells",
     "foreach_batch_ivfpq_append",
+    "foreach_batch_drift_fold",
 ]
+
+
+def foreach_batch_drift_fold(stream: DataFrame, coarse: list, cbs: list,
+                             m: int, sub_d: int, state: dict,
+                             id_col: str, vec_col: str,
+                             round_digits: int = 6) -> "object":
+    """Streaming twin of the quantizer drift monitor
+    (similarity.quantization_error): per micro-batch, the arrivals'
+    quantization error under the FROZEN quantizers folds into bounded
+    driver state — two exact integers (count, total error), so the
+    fold is order-free and the drained totals are bit-identical to a
+    one-shot batch scan of the same arrivals. The operational shape:
+    the absorption sink's co-resident monitor; when the running
+    arrivals mean pulls away from the base cohort's, schedule the
+    offline retrain. Epoch-guarded against foreachBatch's
+    at-least-once redelivery (same discipline as the heavy-hitter
+    fold). ``state``: {"n": int, "total": int, "seen": set}."""
+    from pyspark.sql import functions as SF
+
+    def batch_fn(bdf: DataFrame, epoch_id: int) -> None:
+        from ..operators import similarity
+
+        if epoch_id in state["seen"]:
+            return
+        asg = similarity._ivfpq_assign(
+            bdf, id_col, vec_col, coarse, round_digits
+        )
+        qe = similarity.quantization_error(asg, cbs, m, sub_d,
+                                           round_digits)
+        row = qe.agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.col("_qerr").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        if row["n"]:
+            state["n"] += int(row["n"])
+            state["total"] += int(row["s"])
+        state["seen"].add(epoch_id)
+
+    return stream.writeStream.foreachBatch(batch_fn)
 
 
 def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
