@@ -184,6 +184,80 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
     return similarity.ivfpq_score(inv, probes, k)
 
 
+def resolve_version(fs) -> int | None:
+    """Highest committed index version under a versioned root (a
+    ``_commit_index_<v>`` marker whose ``v<v>`` directory exists) —
+    the same create-only resolution discipline as the upsert state
+    cutover: no pointer file to overwrite, no rename, no window where
+    a reader resolves a half-built index."""
+    versions = sorted(
+        (
+            int(n[len("_commit_index_"):])
+            for n in fs.listdir()
+            if n.startswith("_commit_index_")
+        ),
+        reverse=True,
+    )
+    for v in versions:
+        if fs.is_dir(f"v{v}"):
+            return v
+    return None
+
+
+def rebuild_swap(spark, root_dir: str, corpus: DataFrame, id_col: str,
+                 vec_col: str, n_cells: int = 8, m: int = 8,
+                 sub_d: int = 8, k_star: int = 8,
+                 round_digits: int = 6) -> int:
+    """The RETRAIN arm of the index lifecycle: when the drift monitor
+    fires, build a FRESH index (quantizers retrained on the current
+    corpus) under the next version directory of a versioned root and
+    commit it by creating its ``_commit_index_<v>`` marker — serving
+    (:func:`serve_current`) cuts over atomically to the new version,
+    and superseded versions retire commit-file-first (a crash between
+    the deletes leaves an uncommitted dir, never a committed dangle).
+    The old version keeps serving until the exact commit instant;
+    a crash mid-build leaves an uncommitted ``v<v>`` directory that
+    the next rebuild overwrites. Offline retraining with an atomic
+    swap is the standard FAISS-deployment discipline the frozen
+    absorption path (ann_maintain) pairs with."""
+    from ..streaming.fsio import IndexFS
+
+    fs = IndexFS(spark, root_dir)
+    cur = resolve_version(fs)
+    v = 0 if cur is None else cur + 1
+    build_index(spark, corpus, id_col, vec_col, fs.uri(f"v{v}"),
+                n_cells=n_cells, m=m, sub_d=sub_d, k_star=k_star,
+                round_digits=round_digits)
+    fs.touch(f"_commit_index_{v}")  # the atomic cutover
+    for n in fs.listdir():
+        if n.startswith("_commit_index_") and int(
+            n[len("_commit_index_"):]
+        ) != v:
+            fs.delete(n)
+    for n in fs.listdir():
+        if n.startswith("v") and n[1:].isdigit() and n != f"v{v}":
+            fs.delete(n)
+    return v
+
+
+def serve_current(spark, root_dir: str, queries: DataFrame, id_col: str,
+                  vec_col: str, n_probe: int = 2, sub_d: int = 8,
+                  k: int = 5, round_digits: int = 6) -> DataFrame:
+    """Serve from the versioned root: resolve the highest committed
+    version, then the standard probed-cell stored-index retrieval."""
+    from ..streaming.fsio import IndexFS
+
+    fs = IndexFS(spark, root_dir)
+    v = resolve_version(fs)
+    if v is None:
+        raise FileNotFoundError(
+            f"no committed index version under {root_dir}"
+        )
+    return serve_topk(spark, fs.uri(f"v{v}"), queries, id_col, vec_col,
+                      n_probe=n_probe, sub_d=sub_d, k=k,
+                      round_digits=round_digits)
+
+
 def compact_cells(spark, index_dir: str, buckets: int = 1,
                   marker_horizon: int = 1000) -> dict:
     """Merge the cells inventory's committed ``_batch`` leaves into a

@@ -497,6 +497,46 @@ def ann_ivfpq_served(spark, sf_dir):
     )
 
 
+_REBUILD_ROOTS: dict = {}
+
+
+@_q("ann_index_rebuild_swap", _ivfpq_served_sql())
+def ann_index_rebuild_swap(spark, sf_dir):
+    """Versioned index RETRAIN + atomic swap
+    (operators/ann_index.rebuild_swap) — what happens when the drift
+    monitor (`ann_drift_monitor`) fires: v0 is the stale index
+    (quantizers trained on the even-id half only), the retrain builds
+    v1 with quantizers from the FULL corpus under the next version
+    directory, and a single create-only ``_commit_index_1`` marker
+    cuts serving over (create-only resolution — no pointer overwrite,
+    no rename, no window where a reader sees a half-built index; the
+    superseded version retires commit-file-first). Serving from the
+    resolved current version must hash-match the full-corpus one-shot
+    oracle — proving the retrained index lands byte-identical to a
+    fresh offline build, with v0 serving until the commit instant."""
+    from ..operators import ann_index
+
+    if sf_dir not in _REBUILD_ROOTS:
+        e = load(spark, sf_dir, "embeddings")
+        root = tempfile.mkdtemp(prefix="ann_vroot_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        # v0: the stale pre-retrain index (base cohort quantizers)
+        ann_index.rebuild_swap(
+            spark, root, e.filter(F.col("vec_id") % 2 == 0),
+            "vec_id", "embedding",
+        )
+        # drift fired -> retrain on the full corpus, atomic cutover
+        v = ann_index.rebuild_swap(spark, root, e, "vec_id", "embedding")
+        assert v == 1
+        _REBUILD_ROOTS[sf_dir] = root
+    root = _REBUILD_ROOTS[sf_dir]
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return ann_index.serve_current(
+        spark, root, queries, "vec_id", "embedding",
+        n_probe=2, sub_d=8, k=5,
+    )
+
+
 # ------------------------------------------- bucketed CTAS co-located join
 # One bucketed copy per (process, sf_dir): the CTAS pays the shuffle
 # at write time; the QUERY below joins with zero Exchange before the

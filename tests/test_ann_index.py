@@ -195,6 +195,54 @@ def test_serve_topk_probe_degeneracy(spark, tmp_path):
     )
 
 
+def test_rebuild_swap_versioned_cutover(spark, tmp_path):
+    """Retrain + swap: serving resolves the highest COMMITTED version
+    only — a half-built next version is invisible, the cutover is one
+    create-only marker, and the superseded version retires."""
+    root = str(tmp_path / "vroot")
+    e = spark.read.parquet(EMB)
+    v0 = ann_index.rebuild_swap(
+        spark, root, e.filter(F.col("vec_id") % 2 == 0),
+        "vec_id", "embedding",
+    )
+    assert v0 == 0
+    fs = IndexFS(spark, root)
+    q = e.filter(F.col("vec_id") < 10)
+
+    def serve():
+        return sorted(
+            map(tuple,
+                ann_index.serve_current(
+                    spark, root, q, "vec_id", "embedding",
+                    n_probe=2, sub_d=8, k=5,
+                ).collect())
+        )
+
+    served_v0 = serve()
+    # crash mid-build of v1: directory exists, no commit marker —
+    # serving must keep resolving v0
+    fs.mkdirs("v1/cells")
+    assert ann_index.resolve_version(fs) == 0
+    assert serve() == served_v0
+    # the real retrain overwrites the half-built dir and cuts over
+    v1 = ann_index.rebuild_swap(spark, root, e, "vec_id", "embedding")
+    assert v1 == 1
+    assert ann_index.resolve_version(fs) == 1
+    served_v1 = serve()
+    assert served_v1 != served_v0  # retrained quantizers really serve
+    # superseded version fully retired: commit file first, then dir
+    assert not fs.exists("_commit_index_0") and not fs.is_dir("v0")
+    # and the v1 result equals serving the v1 dir directly
+    direct = sorted(
+        map(tuple,
+            ann_index.serve_topk(
+                spark, fs.uri("v1"), q, "vec_id", "embedding",
+                n_probe=2, sub_d=8, k=5,
+            ).collect())
+    )
+    assert served_v1 == direct
+
+
 @pytest.mark.parametrize("scheme", [True])
 def test_ivfpq_lifecycle_on_file_scheme_path(spark, tmp_path, scheme):
     """Build → absorb → compact → serve with the index root as an
