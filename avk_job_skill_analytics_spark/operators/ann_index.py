@@ -207,7 +207,7 @@ def resolve_version(fs) -> int | None:
 def rebuild_swap(spark, root_dir: str, corpus: DataFrame, id_col: str,
                  vec_col: str, n_cells: int = 8, m: int = 8,
                  sub_d: int = 8, k_star: int = 8,
-                 round_digits: int = 6) -> int:
+                 round_digits: int = 6, pre_commit=None) -> int:
     """The RETRAIN arm of the index lifecycle: when the drift monitor
     fires, build a FRESH index (quantizers retrained on the current
     corpus) under the next version directory of a versioned root and
@@ -219,7 +219,13 @@ def rebuild_swap(spark, root_dir: str, corpus: DataFrame, id_col: str,
     a crash mid-build leaves an uncommitted ``v<v>`` directory that
     the next rebuild overwrites. Offline retraining with an atomic
     swap is the standard FAISS-deployment discipline the frozen
-    absorption path (ann_maintain) pairs with."""
+    absorption path (ann_maintain) pairs with.
+
+    ``pre_commit(vfs)``: optional hook handed the new version's
+    IndexFS after the build but BEFORE the commit marker — extra
+    per-version metadata written here (e.g. the auto-retrain sink's
+    ``_base_includes_<batch>`` note) becomes visible atomically with
+    the version itself."""
     from ..streaming.fsio import IndexFS
 
     fs = IndexFS(spark, root_dir)
@@ -228,6 +234,8 @@ def rebuild_swap(spark, root_dir: str, corpus: DataFrame, id_col: str,
     build_index(spark, corpus, id_col, vec_col, fs.uri(f"v{v}"),
                 n_cells=n_cells, m=m, sub_d=sub_d, k_star=k_star,
                 round_digits=round_digits)
+    if pre_commit is not None:
+        pre_commit(IndexFS(spark, fs.uri(f"v{v}")))
     fs.touch(f"_commit_index_{v}")  # the atomic cutover
     for n in fs.listdir():
         if n.startswith("_commit_index_") and int(

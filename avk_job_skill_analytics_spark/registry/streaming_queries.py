@@ -690,16 +690,22 @@ _SPLIT_DROP_DIRS: dict = {}
 
 def _single_file_drops(spark, sf_dir: str, table: str, cols: list[str],
                        drops: list[tuple[str, "object"]],
-                       prefix: str) -> str:
+                       prefix: str, mutate=None) -> str:
     """Write one single-file parquet drop per (name, predicate) pair,
     mtime-ordered, so maxFilesPerTrigger=1 feeds them as distinct
-    micro-batches — shared by every multi-batch streaming fixture."""
+    micro-batches — shared by every multi-batch streaming fixture.
+    ``mutate(df) -> df`` transforms the source frame before the drop
+    predicates apply (e.g. the auto-retrain fixture's distribution
+    shift); callers passing one must use a distinct ``prefix`` (the
+    memo key)."""
     key = (sf_dir, table, prefix)
     if key not in _SPLIT_DROP_DIRS:
         import glob as _glob
 
         d = tempfile.mkdtemp(prefix=prefix)
         src = load(spark, sf_dir, table).select(*cols)
+        if mutate is not None:
+            src = mutate(src)
         for i, (name, pred) in enumerate(drops):
             tmp = f"{d}/_tmp"
             src.filter(pred).coalesce(1).write.mode("overwrite").parquet(
@@ -910,6 +916,122 @@ def stream_drift_monitor(spark, sf_dir):
     return spark.createDataFrame(
         [("arrivals", state["n"], state["total"], mean_fp)],
         "cohort string, n_vecs long, total_err long, mean_err_fp long",
+    )
+
+
+def _auto_retrain_sql() -> str:
+    from .scale_queries import _ivfpq_sql
+
+    # final state of the self-retraining stream: the retrain fires on
+    # the SHIFTED second batch, so quantizers derive from base ∪ calm
+    # batch ∪ shifted batch (vec_id % 4 < 3) while codes cover the
+    # whole corpus (batch 3 absorbed frozen after the cutover). The
+    # shadow CTE applies the same +2.0 distribution shift to the
+    # % 4 == 2 cohort the Spark fixture streams in.
+    sql = _ivfpq_sql(8, 2, 8, 8, 8, 10, 5, seed_pred="vec_id % 4 < 3")
+    shadow = (
+        "emb_shifted AS MATERIALIZED ("
+        "SELECT vec_id, CASE WHEN vec_id % 4 = 2 "
+        "THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + 2.0) "
+        "ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END "
+        "AS embedding FROM embeddings),\n"
+    )
+    return sql.replace("FROM embeddings", "FROM emb_shifted").replace(
+        "WITH ", "WITH " + shadow, 1
+    )
+
+
+_AUTO_RETRAIN_ROOTS: dict = {}
+
+
+def _shifted_embeddings(df):
+    """The drift fixture: the ``vec_id % 4 == 2`` cohort moves +2.0 in
+    every dimension — a real distribution shift (far past the 2x drift
+    ratio at any scale factor), applied identically by the oracle's
+    shadow CTE."""
+    shifted = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") + F.lit(2.0)
+    )
+    plain = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return df.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 4 == 2, shifted)
+        .otherwise(plain)
+        .alias("embedding"),
+    )
+
+
+@_q("stream_index_auto_retrain", _auto_retrain_sql())
+def stream_index_auto_retrain(spark, sf_dir):
+    """Self-retraining index stream
+    (streaming/ann_maintain.foreach_batch_auto_retrain) — the full
+    lifecycle loop CLOSED inside one sink: v0 trains on the base
+    quarter (vec_id % 4 == 0), then three micro-batches arrive. The
+    calm first batch (% 4 == 1) absorbs frozen — its per-trigger drift
+    ratio vs the base cohort stays under 2x. The SHIFTED second batch
+    (% 4 == 2, every dimension +2.0) blows past the ratio, so the sink
+    retrains on base ∪ raw log ∪ batch and cuts over to v1 with the
+    create-only versioned commit — no operator intervention. The calm
+    third batch (% 4 == 3) absorbs frozen against v1's NEW quantizers.
+    Serving the final root must hash-match the one-shot oracle whose
+    quantizers derive from exactly the pre-retrain corpus
+    (vec_id % 4 < 3, shifted cohort included) with codes for everyone —
+    proving the policy fired on precisely the drifted batch and the
+    cutover/absorption sequence is lossless. The drift trigger is an
+    exact-integer cross-multiplication, so WHERE it fires is
+    deterministic at every scale factor."""
+    from ..operators import ann_index
+    from ..streaming.ann_maintain import foreach_batch_auto_retrain
+
+    if sf_dir not in _AUTO_RETRAIN_ROOTS:
+        e2 = _shifted_embeddings(load(spark, sf_dir, "embeddings"))
+        base = e2.filter(F.col("vec_id") % 4 == 0)
+        root = tempfile.mkdtemp(prefix="ann_autoretrain_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        v0 = ann_index.rebuild_swap(
+            spark, root, base, "vec_id", "embedding"
+        )
+        assert v0 == 0
+        src = _single_file_drops(
+            spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+            [("0_calm.parquet", F.col("vec_id") % 4 == 1),
+             ("1_shifted.parquet", F.col("vec_id") % 4 == 2),
+             ("2_calm.parquet", F.col("vec_id") % 4 == 3)],
+            "emb_ar_src_", mutate=_shifted_embeddings,
+        )
+        ckpt = tempfile.mkdtemp(prefix="ckpt_autoretrain_")
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        try:
+            with _stream_shuffle(spark):
+                q = (
+                    foreach_batch_auto_retrain(
+                        stream, root, base, "vec_id", "embedding",
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        # the policy must have fired exactly once, on the shifted batch
+        from ..streaming.fsio import IndexFS
+
+        fs = IndexFS(spark, root)
+        assert ann_index.resolve_version(fs) == 1
+        assert IndexFS(spark, fs.uri("v1")).exists("_base_includes_1")
+        _AUTO_RETRAIN_ROOTS[sf_dir] = root
+    root = _AUTO_RETRAIN_ROOTS[sf_dir]
+    e2 = _shifted_embeddings(load(spark, sf_dir, "embeddings"))
+    queries = e2.filter(F.col("vec_id") < 10)
+    return ann_index.serve_current(
+        spark, root, queries, "vec_id", "embedding",
+        n_probe=2, sub_d=8, k=5,
     )
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "compact_ivfpq_cells",
     "foreach_batch_ivfpq_append",
     "foreach_batch_drift_fold",
+    "foreach_batch_auto_retrain",
 ]
 
 
@@ -143,6 +144,164 @@ def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
                 frozen["n_real"] = 0
 
     return sink
+
+
+def _auto_retrain_batch_fn(root_dir: str, base: DataFrame, id_col: str,
+                           vec_col: str, n_cells: int = 8, m: int = 8,
+                           sub_d: int = 8, k_star: int = 8,
+                           round_digits: int = 6, ratio_num: int = 2,
+                           ratio_den: int = 1):
+    """Per-batch body of the self-retraining index sink, exposed for
+    the redelivery / crash-window tests.
+
+    The POLICY that closes the lifecycle loop: per trigger, the
+    arrivals' quantization error under the CURRENT version's frozen
+    quantizers is compared against the base cohort's — both exact
+    driver integers, so the trigger test is the cross-multiplication
+    ``batch_total * base_n * ratio_den > ratio_num * base_total *
+    batch_n`` (no float division, deterministic at every scale). Below
+    the ratio, the batch is absorbed frozen (the ann_maintain append
+    discipline, into the current version's cells). At or above it, the
+    sink RETRAINS: quantizers refit on base ∪ committed raw arrivals ∪
+    this batch, built under the next version directory and cut over by
+    ``rebuild_swap``'s create-only commit — serving flips atomically,
+    and later batches absorb against the NEW frozen quantizers.
+
+    Exactly-once machinery, all through the Hadoop FS shim:
+
+    - every batch's RAW vectors land first in ``raw/_rbatch=<id>``
+      (dynamic partition overwrite of their own leaf — redelivery
+      rewrites identical bytes), so the retrain corpus is recoverable
+      from storage, not from stream history;
+    - the root-level ``_batch_<id>`` marker is created LAST and
+      short-circuits clean redeliveries;
+    - the retrain branch writes ``_base_includes_<id>`` INSIDE the new
+      version (via ``rebuild_swap``'s pre-commit hook, so it is
+      visible iff the version is committed): a crash between the
+      version commit and the root marker re-delivers the batch, and
+      the note tells the sink its rows are already in the new base —
+      it just restores the marker instead of double-absorbing.
+
+    Per-version state (quantizers + the base cohort's exact error
+    stats) loads once per version per sink lifetime, not per trigger.
+    """
+    from pyspark.sql import functions as SF
+
+    from ..operators.ann_index import (
+        load_codebooks,
+        rebuild_swap,
+        resolve_version,
+        write_cells,
+    )
+    from .fsio import IndexFS, MARKER
+
+    state: dict = {}
+
+    def _err_stats(qe: DataFrame) -> tuple[int, int]:
+        row = qe.agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.sum(SF.col("_qerr").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return int(row["n"] or 0), int(row["s"] or 0)
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        from ..operators import similarity
+
+        spark = bdf.sparkSession
+        fs = IndexFS(spark, root_dir)
+        if fs.exists(f"{MARKER}{batch_id}"):
+            return
+        # 1. raw arrivals log — the durable retrain corpus
+        (
+            bdf.select(SF.col(id_col), SF.col(vec_col))
+            .withColumn("_rbatch", SF.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_rbatch")
+            .parquet(fs.uri("raw"))
+        )
+        # 2. current version's quantizers + base error stats (memoized
+        #    per version — reloaded only after a cutover)
+        v = resolve_version(fs)
+        if state.get("v") != v:
+            coarse, cbs = load_codebooks(spark, fs.uri(f"v{v}"))
+            basg = similarity._ivfpq_assign(
+                base, id_col, vec_col, coarse, round_digits
+            )
+            bn, btot = _err_stats(
+                similarity.quantization_error(basg, cbs, m, sub_d,
+                                              round_digits)
+            )
+            state.update(v=v, cb=(coarse, cbs), base_n=bn, base_total=btot)
+        # 3. crash between version-commit and root marker: the batch's
+        #    rows are already in this version's base — just restore
+        #    the marker
+        vfs = IndexFS(spark, fs.uri(f"v{v}"))
+        if vfs.exists(f"_base_includes_{batch_id}"):
+            fs.touch(f"{MARKER}{batch_id}")
+            return
+        coarse, cbs = state["cb"]
+        # 4. this batch's drift under the current frozen quantizers
+        asg = similarity._ivfpq_assign(
+            bdf, id_col, vec_col, coarse, round_digits
+        )
+        qe = similarity.quantization_error(asg, cbs, m, sub_d, round_digits)
+        n, total = _err_stats(qe)
+        fired = n > 0 and (
+            total * state["base_n"] * ratio_den
+            > ratio_num * state["base_total"] * n
+        )
+        if fired:
+            committed = sorted(
+                int(name[len(MARKER):])
+                for name in fs.listdir()
+                if name.startswith(MARKER)
+            )
+            corpus = base.select(SF.col(id_col), SF.col(vec_col))
+            if committed:
+                corpus = corpus.unionByName(
+                    spark.read.parquet(fs.uri("raw"))
+                    .filter(SF.col("_rbatch").isin(committed))
+                    .select(SF.col(id_col), SF.col(vec_col))
+                )
+            corpus = corpus.unionByName(
+                bdf.select(SF.col(id_col), SF.col(vec_col))
+            )
+            rebuild_swap(
+                spark, root_dir, corpus, id_col, vec_col,
+                n_cells=n_cells, m=m, sub_d=sub_d, k_star=k_star,
+                round_digits=round_digits,
+                pre_commit=lambda nvfs: nvfs.touch(
+                    f"_base_includes_{batch_id}"
+                ),
+            )
+            state.pop("v", None)  # force reload against the new version
+        else:
+            codes = similarity.ivfpq_encode(asg, cbs, m, sub_d,
+                                            round_digits)
+            write_cells(codes, fs.uri(f"v{v}/cells"), batch_id)
+            vfs.touch(f"{MARKER}{batch_id}")  # reader-trust marker
+        fs.touch(f"{MARKER}{batch_id}")  # redelivery guard, always last
+    return sink
+
+
+def foreach_batch_auto_retrain(stream: DataFrame, root_dir: str,
+                               base: DataFrame, id_col: str, vec_col: str,
+                               n_cells: int = 8, m: int = 8,
+                               sub_d: int = 8, k_star: int = 8,
+                               round_digits: int = 6, ratio_num: int = 2,
+                               ratio_den: int = 1) -> "object":
+    """Self-retraining IVF-PQ index sink over a versioned root: absorb
+    calm batches frozen, and when a batch's drift ratio vs the base
+    cohort crosses ``ratio_num/ratio_den``, retrain on everything seen
+    and cut serving over atomically (see :func:`_auto_retrain_batch_fn`
+    for the exactly-once protocol)."""
+    sink = _auto_retrain_batch_fn(
+        root_dir, base, id_col, vec_col, n_cells=n_cells, m=m,
+        sub_d=sub_d, k_star=k_star, round_digits=round_digits,
+        ratio_num=ratio_num, ratio_den=ratio_den,
+    )
+    return stream.writeStream.foreachBatch(sink)
 
 
 def foreach_batch_ivfpq_append(stream: DataFrame, index_dir: str,

@@ -260,3 +260,83 @@ def test_ivfpq_lifecycle_on_file_scheme_path(spark, tmp_path, scheme):
     stats = ann_index.compact_cells(spark, d)
     assert stats["rows"] > 0
     assert _served(spark, d) == served
+
+def _shifted(e):
+    plus2 = F.transform(F.col("embedding"),
+                        lambda x: x.cast("double") + F.lit(2.0))
+    plain = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 4 == 2, plus2).otherwise(plain)
+        .alias("embedding"),
+    )
+
+
+def test_auto_retrain_policy_and_crash_windows(spark, tmp_path):
+    """The self-retraining sink: calm batches absorb frozen, the
+    drifted batch fires a retrain + atomic cutover, and every
+    redelivery window converges — including the crash between the
+    version commit and the root marker (the _base_includes note)."""
+    from avk_job_skill_analytics_spark.streaming.ann_maintain import (
+        _auto_retrain_batch_fn,
+    )
+
+    e2 = _shifted(spark.read.parquet(EMB))
+    base = e2.filter(F.col("vec_id") % 4 == 0)
+    root = str(tmp_path / "aroot")
+    assert ann_index.rebuild_swap(
+        spark, root, base, "vec_id", "embedding"
+    ) == 0
+    sink = _auto_retrain_batch_fn(root, base, "vec_id", "embedding")
+    fs = IndexFS(spark, root)
+    b0 = e2.filter(F.col("vec_id") % 4 == 1)
+    b1 = e2.filter(F.col("vec_id") % 4 == 2)
+    b2 = e2.filter(F.col("vec_id") % 4 == 3)
+
+    sink(b0, 0)
+    assert ann_index.resolve_version(fs) == 0  # calm: absorbed frozen
+    assert fs.exists("_batch_0")
+    sink(b1, 1)
+    assert ann_index.resolve_version(fs) == 1  # drifted: fired
+    assert IndexFS(spark, fs.uri("v1")).exists("_base_includes_1")
+    sink(b2, 2)
+    assert ann_index.resolve_version(fs) == 1  # calm vs NEW quantizers
+
+    q = e2.filter(F.col("vec_id") < 10)
+
+    def serve():
+        return sorted(
+            map(tuple,
+                ann_index.serve_current(
+                    spark, root, q, "vec_id", "embedding",
+                    n_probe=2, sub_d=8, k=5,
+                ).collect())
+        )
+
+    served = serve()
+    # clean redelivery short-circuits on the root marker
+    sink(b2, 2)
+    assert serve() == served
+    # crash window: v1 committed but the root marker was lost — the
+    # redelivered batch must NOT be double-absorbed (its rows are in
+    # v1's base); the sink just restores the marker
+    fs.delete("_batch_1")
+    sink(b1, 1)
+    assert fs.exists("_batch_1")
+    assert serve() == served
+    # the final state equals a fresh reference: one-shot build on
+    # base ∪ calm ∪ shifted, with the last batch absorbed frozen
+    ref = str(tmp_path / "ref")
+    ann_index.build_index(
+        spark, base.unionByName(b0).unionByName(b1),
+        "vec_id", "embedding", ref,
+    )
+    _ivfpq_append_batch_fn(ref, "vec_id", "embedding", 8, 8)(b2, 0)
+    direct = sorted(
+        map(tuple,
+            ann_index.serve_topk(
+                spark, ref, q, "vec_id", "embedding",
+                n_probe=2, sub_d=8, k=5,
+            ).collect())
+    )
+    assert served == direct
