@@ -903,3 +903,54 @@ def strip_html(text):
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     # regex trim: plain trim() strips spaces only, not newlines
     return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def char_entropy(df, id_col: str, text_col: str,
+                 round_digits: int = 4, low_threshold: float = 2.5):
+    """Per-document Shannon entropy of the character distribution, in
+    nats — the degenerate-content tripwire quality stacks run BEFORE
+    any model-based scoring: mono-character runs, keyboard mashing,
+    base64 walls and repeated-template spam all sit far from natural
+    text's entropy band, and the signal costs one explode + two
+    aggregates (no model, no UDF).
+
+    Computed as ``ln(n) - (Σ c_i·ln c_i)/n`` over per-character counts
+    (algebraically -Σ p·ln p but with every log taken on an exact
+    integer operand, so the only cross-engine float noise is the final
+    accumulation — absorbed by the repo's round-4 convention; the
+    ``+ 0.0`` defuses IEEE -0.0 on constant docs). ``low_entropy``
+    compares the ROUNDED value so the flag is engine-stable. Scale
+    shape: the (id, char) aggregate is the only shuffle and its
+    cardinality is ≤ alphabet-size per doc; empty docs drop (no
+    characters → no distribution)."""
+    chars = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "")).alias("_ch"),
+        )
+        .filter(F.col("_ch") != "")
+    )
+    counts = chars.groupBy(id_col, "_ch").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    ent = (
+        F.round(
+            F.log(F.col("n_chars"))
+            - F.col("_clogc") / F.col("n_chars"),
+            round_digits,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_chars"),
+            F.sum(F.col("_c") * F.log("_c")).alias("_clogc"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            ent.alias("entropy_nats"),
+            (ent < F.lit(low_threshold)).alias("low_entropy"),
+        )
+    )

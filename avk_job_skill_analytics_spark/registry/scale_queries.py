@@ -3131,6 +3131,105 @@ def dd_savings_ledger(spark, sf_dir):
     )
 
 
+@_q(
+    "pipeline_mix_planner",
+    r"""WITH d AS (SELECT source,
+                len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS n_tokens
+              FROM documents),
+       per_src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s
+                   FROM d GROUP BY source),
+       tot AS (SELECT sum(t_s) AS t_tot FROM per_src),
+       w AS (SELECT source, t_s, sqrt(CAST(t_s AS DOUBLE)) AS ws
+             FROM per_src),
+       z AS (SELECT sum(ws) AS z FROM w)
+       SELECT source, t_s AS orig_tokens,
+              round(ws / z, 4) + 0.0 AS weight,
+              CAST(floor(round(ws / z * (2.0 * t_tot), 6) + 0.5)
+                   AS BIGINT) AS target_tokens,
+              round(ws / z * (2.0 * t_tot) / CAST(t_s AS DOUBLE), 4)
+                  + 0.0 AS epochs
+       FROM w, z, tot""",
+)
+def pipeline_mix_planner(spark, sf_dir):
+    """Temperature-mixture planning — the step BEFORE
+    pipeline_remix_sources' enforcement: given per-source token masses
+    T_s and a token budget B (here 2x the corpus, so some sources must
+    repeat), allocate B by temperature sampling with alpha = 0.5 —
+    w_s ∝ T_s^0.5, the standard multilingual rebalancing exponent
+    (XLM-R-style temperature sampling) that upweights small sources
+    without flattening the mixture. Emits per source the weight, the
+    target token allocation, and ``epochs`` = target/T_s (>1 means the
+    source upsamples/repeats — the number a 100 TB pretraining run
+    publishes in its data table).
+
+    Scale shape: one token rollup over the corpus (the only
+    data-sized work), then all planning math happens on the ≤|sources|
+    row frame with two 1-row broadcast joins (Σ weights, Σ tokens).
+    Floats are fenced by convention: weights/epochs round-4 (+0.0 for
+    IEEE -0.0), the token allocation quantizes via round-6 + floor+0.5
+    so both engines land the same integer."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("t_s")
+    )
+    w = per_src.withColumn("ws", F.sqrt(F.col("t_s").cast("double")))
+    z = w.agg(F.sum("ws").alias("z"))
+    tot = per_src.agg(F.sum("t_s").alias("t_tot"))
+    alloc = F.col("ws") / F.col("z") * (2.0 * F.col("t_tot"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("t_s").alias("orig_tokens"),
+            (F.round(F.col("ws") / F.col("z"), 4) + F.lit(0.0))
+            .alias("weight"),
+            F.floor(F.round(alloc, 6) + F.lit(0.5)).cast("long")
+            .alias("target_tokens"),
+            (F.round(alloc / F.col("t_s").cast("double"), 4)
+             + F.lit(0.0)).alias("epochs"),
+        )
+    )
+
+
+@_q(
+    "txt_char_entropy",
+    """WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch
+              FROM documents,
+                   LATERAL (SELECT unnest(generate_series(1, len(text)))
+                            AS i) s),
+       counts AS (SELECT doc_id, ch, count(*) AS c
+                  FROM ch GROUP BY doc_id, ch),
+       per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                      sum(c * ln(c)) AS clogc
+               FROM counts GROUP BY doc_id)
+       SELECT doc_id, n_chars,
+              round(ln(n_chars) - clogc / n_chars, 4) + 0.0
+                  AS entropy_nats,
+              (round(ln(n_chars) - clogc / n_chars, 4) + 0.0) < 2.5
+                  AS low_entropy
+       FROM per""",
+)
+def txt_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document
+    (textstats.char_entropy) — the degenerate-content tripwire run
+    before any model-based quality scoring: mono-character runs,
+    base64 walls and template spam sit far outside natural text's
+    entropy band. Every log is taken on an exact integer count
+    (ln(n) - Σc·ln(c)/n form), so the only float noise is the final
+    accumulation — round-4 absorbed; the low_entropy flag compares the
+    ROUNDED value so both engines emit identical booleans."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.char_entropy(docs, "doc_id", "text")
+
+
 def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
                k_star: int, n_queries: int, topk: int,
                seed_pred: str | None = None) -> str:

@@ -1396,3 +1396,42 @@ def test_int8_served_approximates_exact_ranking(spark):
         per_q.setdefault(r["query_id"], []).append(r["rk"])
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_char_entropy_guarantees(spark):
+    """Entropy semantics, not just oracle parity: a constant run is
+    exactly 0.0 (and flagged), a uniform alphabet hits ln(k), empty
+    text drops, and the flag derives from the rounded value."""
+    import math
+
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdabcdabcdabcd"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}  # empty doc has no distribution
+    assert rows[1]["entropy_nats"] == 0.0 and rows[1]["low_entropy"]
+    assert rows[2]["entropy_nats"] == round(math.log(4), 4)
+    assert str(rows[1]["entropy_nats"]) == "0.0"  # IEEE -0.0 defused
+
+
+def test_mix_planner_budget_and_epochs(spark):
+    """The temperature plan must conserve the budget (targets sum to
+    ~2x the corpus) and upsample small sources harder than large ones
+    (alpha = 0.5 compresses the range: epochs decrease with size)."""
+    from avk_job_skill_analytics_spark.registry.scale_queries import (
+        pipeline_mix_planner,
+    )
+
+    rows = pipeline_mix_planner(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["orig_tokens"] for r in rows)
+    tgt = sum(r["target_tokens"] for r in rows)
+    assert abs(tgt - 2 * total) <= len(rows)  # floor rounding only
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    by_size = sorted(rows, key=lambda r: r["orig_tokens"])
+    assert by_size[0]["epochs"] >= by_size[-1]["epochs"]
+    assert by_size[0]["epochs"] > 2.0 > by_size[-1]["epochs"]
