@@ -3179,6 +3179,14 @@ def pipeline_mix_planner(spark, sf_dir):
     per_src = toks.groupBy("source").agg(
         F.sum("n_tokens").cast("long").alias("t_s")
     )
+    return mix_plan_from_tokens(per_src)
+
+
+def mix_plan_from_tokens(per_src):
+    """The planning math of `pipeline_mix_planner` over a
+    (source, t_s) frame — shared with the streaming mixture monitor so
+    the drained fold and the batch planner emit IDENTICAL expressions
+    (same rounding fences, same float discipline)."""
     w = per_src.withColumn("ws", F.sqrt(F.col("t_s").cast("double")))
     z = w.agg(F.sum("ws").alias("z"))
     tot = per_src.agg(F.sum("t_s").alias("t_tot"))

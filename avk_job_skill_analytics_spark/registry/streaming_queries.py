@@ -1035,6 +1035,63 @@ def stream_index_auto_retrain(spark, sf_dir):
     )
 
 
+def _mix_monitor_sql() -> str:
+    from .scale_queries import ORACLES as _SCALE_ORACLES
+
+    # the drained fold over ALL arrival batches must replay the batch
+    # planner exactly — same corpus, same planning math
+    return _SCALE_ORACLES["pipeline_mix_planner"]
+
+
+@_q("stream_mix_monitor", _mix_monitor_sql())
+def stream_mix_monitor(spark, sf_dir):
+    """Streaming mixture monitor
+    (streaming/incremental.foreach_batch_mix_fold) — the data-mixing
+    twin of stream_drift_monitor: documents arrive as TWO micro-batches
+    and each batch's per-source token masses fold into exact driver
+    integers (bounded by |sources|, epoch-guarded). The drained state
+    runs through the SAME planning expressions as the batch
+    pipeline_mix_planner (mix_plan_from_tokens), so the online mixture
+    plan hash-matches the offline one over the identical corpus —
+    proving a continuously-ingesting pipeline can watch its source mix
+    against the data card without a periodic corpus rescan."""
+    from ..streaming.incremental import foreach_batch_mix_fold
+    from .scale_queries import mix_plan_from_tokens
+
+    src = _single_file_drops(
+        spark, sf_dir, "documents", ["doc_id", "source", "text"],
+        [("0_even.parquet", F.col("doc_id") % 2 == 0),
+         ("1_odd.parquet", F.col("doc_id") % 2 == 1)],
+        "docs_mix_src_",
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_mixmon_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    state: dict = {"tokens": {}, "seen": set()}
+    tokens_expr = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    )
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_mix_fold(stream, "source", tokens_expr, state)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    per_src = spark.createDataFrame(
+        sorted(state["tokens"].items()), "source string, t_s long"
+    )
+    return mix_plan_from_tokens(per_src)
+
+
 def _recall_served_sql() -> str:
     from .scale_queries import ORACLES as _SCALE_ORACLES
 

@@ -714,3 +714,41 @@ def stream_kmv_distinct(stream, value_col: str, k: int = 128):
         _sh.rmtree(ckpt, ignore_errors=True)
     _ = kmv_merge  # the driver-side fold above IS kmv_merge's set form
     return state["sketch"], state["batches"]
+
+
+def foreach_batch_mix_fold(stream, source_col: str, tokens_expr,
+                           state: dict):
+    """Streaming mixture monitor — the data-mixing twin of the ANN
+    drift fold: per micro-batch, arrivals' per-source token masses
+    aggregate DISTRIBUTED (one bounded |sources|-row collect) and fold
+    into exact driver integers, epoch-guarded against foreachBatch
+    redelivery. The drained state feeds the SAME planning expressions
+    as ``pipeline_mix_planner`` (registry.scale_queries.
+    mix_plan_from_tokens), so the online mixture plan is bit-identical
+    to the offline one over the same arrivals — the signal that tells
+    a continuously-ingesting curation pipeline when its source mix has
+    wandered from the published data card, computed next to the sink
+    instead of by a periodic corpus rescan.
+
+    ``state``: {"tokens": {source: int}, "seen": set()}."""
+    from pyspark.sql import functions as SF
+
+    def batch_fn(bdf, epoch_id):
+        if epoch_id in state["seen"]:
+            return
+        rows = (
+            bdf.select(
+                SF.col(source_col).alias("_src"),
+                tokens_expr.cast("long").alias("_t"),
+            )
+            .groupBy("_src")
+            .agg(SF.sum("_t").cast("long").alias("_ts"))
+            .collect()
+        )
+        for r in rows:
+            state["tokens"][r["_src"]] = (
+                state["tokens"].get(r["_src"], 0) + int(r["_ts"] or 0)
+            )
+        state["seen"].add(epoch_id)
+
+    return stream.writeStream.foreachBatch(batch_fn)

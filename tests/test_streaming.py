@@ -307,3 +307,43 @@ def test_ivfpq_append_redelivery_converges(spark, tmp_path):
     os.remove(f"{d}/_batch_0")  # crash replay: rewrite converges
     sink(arrivals, 0)
     assert inv() == after
+
+
+def test_mix_fold_redelivery_guard(spark, tmp_path):
+    """The mixture fold is epoch-guarded: draining the SAME source
+    twice (fresh checkpoint, same state — a full clean replay) must
+    not double-count any source's token mass."""
+    from pyspark.sql import functions as F
+
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        foreach_batch_mix_fold,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "web", "a b c"), (2, "web", "d e"), (3, "book", "f g h i")],
+        "doc_id long, source string, text string",
+    ).coalesce(1).write.parquet(src)
+    tokens_expr = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    )
+    state = {"tokens": {}, "seen": set()}
+
+    def drain(ck):
+        q = (
+            foreach_batch_mix_fold(
+                spark.readStream.format("parquet")
+                .schema("doc_id long, source string, text string")
+                .load(src),
+                "source", tokens_expr, state,
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("ck1")
+    assert state["tokens"] == {"web": 5, "book": 4}
+    drain("ck2")  # clean replay re-presents epoch 0 -> guard skips
+    assert state["tokens"] == {"web": 5, "book": 4}
