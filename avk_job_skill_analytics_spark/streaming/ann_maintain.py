@@ -146,6 +146,78 @@ def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
     return sink
 
 
+def _delete_raw_batches(fs, bs: list[str]) -> None:
+    """Layout callback for the raw arrivals log: one ``_rbatch=<b>``
+    leaf per batch under ``raw/``."""
+    for b in bs:
+        fs.delete(f"raw/_rbatch={b}")
+
+
+def _raw_leaf_ids(fs) -> set[str]:
+    return {
+        name.split("=", 1)[1]
+        for name in fs.listdir("raw")
+        if name.startswith("_rbatch=")
+    }
+
+
+def compact_raw_log(spark, root_dir: str, id_col: str,
+                    vec_col: str) -> dict:
+    """Merge the auto-retrain sink's committed raw-arrival leaves into
+    one fresh negative generation — the third instantiation of the
+    shared journal protocol (LSH bands/sets, IVF-PQ cells, now the raw
+    log), closing the remaining one-leaf-per-batch growth in the
+    versioned-index story. Readers of the log (the retrain corpus
+    read) already trust only root-marker/journal-committed batches, so
+    the half-written generation is invisible until the journal
+    publishes, real batch markers survive as redelivery guards, and
+    any crash window is finished by the next recovery call. Returns
+    {'files_before', 'files_after', 'rows'}."""
+    from pyspark.sql import functions as SF
+
+    from .fsio import (
+        IndexFS,
+        committed_batch_ids,
+        drop_stale_generations,
+        next_generation,
+        write_journal,
+    )
+    from .fsio import recover_compaction as _recover
+
+    fs = IndexFS(spark, root_dir)
+    _recover(fs, _delete_raw_batches)
+    drop_stale_generations(
+        fs, _delete_raw_batches,
+        sorted(int(b) for b in _raw_leaf_ids(fs) if int(b) < 0),
+    )
+    committed = committed_batch_ids(fs) & _raw_leaf_ids(fs)
+    before = fs.count_files("raw")
+    if len(committed) <= 1:
+        return {"files_before": before, "files_after": before, "rows": 0}
+    rows_df = (
+        spark.read.parquet(fs.uri("raw"))
+        .filter(SF.col("_rbatch").cast("string").isin(sorted(committed)))
+        .select(SF.col(id_col), SF.col(vec_col))
+        .localCheckpoint()
+    )
+    n = rows_df.count()
+    gen = next_generation(fs)
+    (
+        rows_df.withColumn("_rbatch", SF.lit(int(gen)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_rbatch")
+        .parquet(fs.uri("raw"))
+    )
+    write_journal(fs, gen, sorted(committed))  # the atomic commit
+    _recover(fs, _delete_raw_batches)
+    return {
+        "files_before": before,
+        "files_after": fs.count_files("raw"),
+        "rows": n,
+    }
+
+
 def _auto_retrain_batch_fn(root_dir: str, base: DataFrame, id_col: str,
                            vec_col: str, n_cells: int = 8, m: int = 8,
                            sub_d: int = 8, k_star: int = 8,
@@ -193,7 +265,8 @@ def _auto_retrain_batch_fn(root_dir: str, base: DataFrame, id_col: str,
         resolve_version,
         write_cells,
     )
-    from .fsio import IndexFS, MARKER
+    from .fsio import IndexFS, MARKER, committed_batch_ids
+    from .fsio import recover_compaction as _recover
 
     state: dict = {}
 
@@ -211,6 +284,8 @@ def _auto_retrain_batch_fn(root_dir: str, base: DataFrame, id_col: str,
         fs = IndexFS(spark, root_dir)
         if fs.exists(f"{MARKER}{batch_id}"):
             return
+        # finish any crashed raw-log compaction before touching the log
+        _recover(fs, _delete_raw_batches)
         # 1. raw arrivals log — the durable retrain corpus
         (
             bdf.select(SF.col(id_col), SF.col(vec_col))
@@ -252,16 +327,18 @@ def _auto_retrain_batch_fn(root_dir: str, base: DataFrame, id_col: str,
             > ratio_num * state["base_total"] * n
         )
         if fired:
+            # committed raw batches INCLUDING compacted generations
+            # (markers + journal overlay — the shared reader rule)
             committed = sorted(
-                int(name[len(MARKER):])
-                for name in fs.listdir()
-                if name.startswith(MARKER)
+                committed_batch_ids(fs) & _raw_leaf_ids(fs)
             )
             corpus = base.select(SF.col(id_col), SF.col(vec_col))
             if committed:
                 corpus = corpus.unionByName(
                     spark.read.parquet(fs.uri("raw"))
-                    .filter(SF.col("_rbatch").isin(committed))
+                    .filter(
+                        SF.col("_rbatch").cast("string").isin(committed)
+                    )
                     .select(SF.col(id_col), SF.col(vec_col))
                 )
             corpus = corpus.unionByName(
@@ -276,6 +353,10 @@ def _auto_retrain_batch_fn(root_dir: str, base: DataFrame, id_col: str,
                 ),
             )
             state.pop("v", None)  # force reload against the new version
+            # the retrain just paid a full log read — fold the log's
+            # committed leaves into one generation while it's cheap,
+            # so the leaf count stays bounded under sustained arrival
+            compact_raw_log(spark, root_dir, id_col, vec_col)
         else:
             codes = similarity.ivfpq_encode(asg, cbs, m, sub_d,
                                             round_digits)

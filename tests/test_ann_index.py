@@ -340,3 +340,31 @@ def test_auto_retrain_policy_and_crash_windows(spark, tmp_path):
             ).collect())
     )
     assert served == direct
+    # raw-log compaction: the journal protocol's third instantiation —
+    # committed leaves fold into one generation, the retrain corpus
+    # read is unchanged, and a re-run is a no-op
+    from avk_job_skill_analytics_spark.streaming.ann_maintain import (
+        _raw_leaf_ids,
+        compact_raw_log,
+    )
+    from avk_job_skill_analytics_spark.streaming.fsio import (
+        committed_batch_ids,
+    )
+
+    def committed_raw_ids():
+        com = committed_batch_ids(fs) & _raw_leaf_ids(fs)
+        return sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(fs.uri("raw"))
+            .filter(F.col("_rbatch").cast("string").isin(sorted(com)))
+            .select("vec_id").collect()
+        )
+
+    ids_before = committed_raw_ids()
+    stats = compact_raw_log(spark, root, "vec_id", "embedding")
+    assert stats["rows"] == len(ids_before)
+    assert {int(b) for b in _raw_leaf_ids(fs)} == {-1}
+    assert committed_raw_ids() == ids_before  # lossless for retrains
+    again = compact_raw_log(spark, root, "vec_id", "embedding")
+    assert again["rows"] == 0  # single committed generation: no-op
+    assert serve() == served  # serving untouched by log maintenance
