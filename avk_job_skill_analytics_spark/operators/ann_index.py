@@ -237,13 +237,21 @@ def rebuild_swap(spark, root_dir: str, corpus: DataFrame, id_col: str,
     if pre_commit is not None:
         pre_commit(IndexFS(spark, fs.uri(f"v{v}")))
     fs.touch(f"_commit_index_{v}")  # the atomic cutover
+    # retire with one version of GRACE: the immediately-superseded
+    # version stays committed so a reader that resolved it an instant
+    # before the cutover still finds its files (snapshot isolation for
+    # in-flight queries — the standard two-version discipline); only
+    # versions at least two generations back retire, commit-file-first
+    # so a crash between the deletes leaves an uncommitted dir, never
+    # a committed dangle
     for n in fs.listdir():
         if n.startswith("_commit_index_") and int(
             n[len("_commit_index_"):]
-        ) != v:
+        ) < v - 1:
             fs.delete(n)
     for n in fs.listdir():
-        if n.startswith("v") and n[1:].isdigit() and n != f"v{v}":
+        if (n.startswith("v") and n[1:].isdigit()
+                and int(n[1:]) < v - 1):
             fs.delete(n)
     return v
 
