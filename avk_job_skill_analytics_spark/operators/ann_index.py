@@ -127,9 +127,11 @@ def build_index(spark, corpus: DataFrame, id_col: str, vec_col: str,
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq")
     # commit the base build under the shared marker protocol: readers
     # (serve_topk, compact_cells) only trust marker-committed batches
-    from ..streaming.fsio import IndexFS
+    from ..streaming.fsio import PROTOCOL, IndexFS
 
-    IndexFS(spark, index_dir).touch("_batch_-1")
+    fs = IndexFS(spark, index_dir)
+    fs.touch("_batch_-1")
+    fs.touch(PROTOCOL)  # fresh roots are v2 from birth
     return coarse, cbs
 
 
@@ -147,7 +149,7 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
     collects)."""
     from . import similarity
 
-    from ..streaming.fsio import IndexFS, committed_batch_ids
+    from ..streaming.fsio import IndexFS, committed_batch_ids, ensure_protocol
 
     coarse, cbs = load_codebooks(spark, index_dir)
     probes = similarity.ivfpq_probes(
@@ -165,6 +167,9 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
             [], "query_id long, neighbor_id long, adc_dist long, rk int"
         )
     fs = IndexFS(spark, index_dir)
+    # one-time upgrade stamp: a pre-v2 index's base build never
+    # touched _batch_-1 — adopt it instead of silently serving nothing
+    ensure_protocol(fs, lambda: "-1" in _leaf_batch_ids(fs))
     # committed ∩ leaves-that-exist: the predicate stays bounded by
     # LIVE leaves (one generation + recent batches after compaction),
     # not by how many redelivery markers have ever been written
@@ -231,6 +236,16 @@ def rebuild_swap(spark, root_dir: str, corpus: DataFrame, id_col: str,
     fs = IndexFS(spark, root_dir)
     cur = resolve_version(fs)
     v = 0 if cur is None else cur + 1
+    # a prior rebuild may have crashed mid-build at this same version:
+    # build_index's cells write is a DYNAMIC partition overwrite that
+    # only rewrites partitions present in the NEW codes, so a crashed
+    # attempt whose corpus produced different coarse seed ids would
+    # leave stale _cell=*/_batch=-1 leaves that this retry never
+    # touches — and the marker touch below would commit them for every
+    # full-inventory reader (ADVICE r7 #1). Serving was safe (stale
+    # cells are never probed); clearing the uncommitted dir makes the
+    # retry a genuinely fresh build.
+    fs.delete(f"v{v}")
     build_index(spark, corpus, id_col, vec_col, fs.uri(f"v{v}"),
                 n_cells=n_cells, m=m, sub_d=sub_d, k_star=k_star,
                 round_digits=round_digits)
@@ -297,12 +312,14 @@ def compact_cells(spark, index_dir: str, buckets: int = 1,
         IndexFS,
         committed_batch_ids,
         drop_stale_generations,
+        ensure_protocol,
         next_generation,
         retire_real_markers,
         write_journal,
     )
 
     fs = IndexFS(spark, index_dir)
+    ensure_protocol(fs, lambda: "-1" in _leaf_batch_ids(fs))
     _recover_cells(fs)
     # reclaim half-written generations from a pre-commit crash
     stale = sorted(
@@ -330,8 +347,20 @@ def compact_cells(spark, index_dir: str, buckets: int = 1,
     # every committed real batch is now absorbed — retire markers far
     # behind the redelivery horizon so root metadata stays bounded
     retire_real_markers(fs, marker_horizon)
+    # files_after is the COMMITTED view (what every new reader opens):
+    # consumed leaves' data survives one tombstone grace cycle for
+    # in-flight scans and is purged at the next compaction's apply
+    committed_now = committed_batch_ids(fs)
+    after = sum(
+        fs.count_files(f"cells/{cd}/{name}")
+        for cd in fs.listdir("cells")
+        if cd.startswith("_cell=")
+        for name in fs.listdir(f"cells/{cd}")
+        if name.startswith("_batch=")
+        and name.split("=", 1)[1] in committed_now
+    )
     return {
         "files_before": before,
-        "files_after": fs.count_files("cells"),
+        "files_after": after,
         "rows": rows,
     }

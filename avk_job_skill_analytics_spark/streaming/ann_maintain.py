@@ -59,13 +59,17 @@ def foreach_batch_drift_fold(stream: DataFrame, coarse: list, cbs: list,
     arrivals mean pulls away from the base cohort's, schedule the
     offline retrain. Epoch-guarded against foreachBatch's
     at-least-once redelivery (same discipline as the heavy-hitter
-    fold). ``state``: {"n": int, "total": int, "seen": set}."""
+    fold). ``state``: {"n": int, "total": int, "seen": set} — the
+    guard set stays bounded (incremental.epoch_mark_applied prunes
+    behind the redelivery horizon)."""
     from pyspark.sql import functions as SF
+
+    from .incremental import epoch_already_applied, epoch_mark_applied
 
     def batch_fn(bdf: DataFrame, epoch_id: int) -> None:
         from ..operators import similarity
 
-        if epoch_id in state["seen"]:
+        if epoch_already_applied(state, epoch_id):
             return
         asg = similarity._ivfpq_assign(
             bdf, id_col, vec_col, coarse, round_digits
@@ -79,7 +83,7 @@ def foreach_batch_drift_fold(stream: DataFrame, coarse: list, cbs: list,
         if row["n"]:
             state["n"] += int(row["n"])
             state["total"] += int(row["s"])
-        state["seen"].add(epoch_id)
+        epoch_mark_applied(state, epoch_id)
 
     return stream.writeStream.foreachBatch(batch_fn)
 
@@ -101,7 +105,7 @@ def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
     (_cell, _batch) leaf count under sustained streaming (VERDICT r6
     asks #2/#6)."""
     from ..operators.ann_index import _leaf_batch_ids, _recover_cells
-    from .fsio import IndexFS, committed_batch_ids
+    from .fsio import IndexFS, committed_batch_ids, ensure_protocol
 
     frozen: dict = {}
 
@@ -112,6 +116,9 @@ def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
         fs = IndexFS(spark, index_dir)
         if fs.exists(f"_batch_{batch_id}"):
             return
+        # one-time upgrade stamp: adopt a pre-v2 index's unmarkered
+        # base build before any v2 read/recover touches it
+        ensure_protocol(fs, lambda: "-1" in _leaf_batch_ids(fs))
         _recover_cells(fs)
         if "cb" not in frozen:
             frozen["cb"] = load_ivfpq_codebooks(spark, index_dir)
@@ -211,9 +218,18 @@ def compact_raw_log(spark, root_dir: str, id_col: str,
     )
     write_journal(fs, gen, sorted(committed))  # the atomic commit
     _recover(fs, _delete_raw_batches)
+    # committed view only: consumed leaves keep their data for one
+    # tombstone grace cycle (in-flight readers), purged next apply
+    committed_now = committed_batch_ids(fs)
+    after = sum(
+        fs.count_files(f"raw/{name}")
+        for name in fs.listdir("raw")
+        if name.startswith("_rbatch=")
+        and name.split("=", 1)[1] in committed_now
+    )
     return {
         "files_before": before,
-        "files_after": fs.count_files("raw"),
+        "files_after": after,
         "rows": n,
     }
 

@@ -28,16 +28,33 @@ Commit protocol — rename-free for data (VERDICT r6 ask #1):
   its single-file creation is THE commit point. Readers overlay it —
   the new generation counts as committed, the consumed batches do
   not — so there is never an empty-index or double-counted window.
-  Apply then touches the generation's marker, deletes the consumed
-  data directories, deletes consumed SENTINEL markers (real-batch
-  markers outlive compaction so a late redelivery of an absorbed
-  batch still short-circuits), and clears the journal LAST. Every
-  apply step is idempotent, so any crash window — including a crash
-  inside recovery itself, and the round-6 ADVICE window (second
-  compaction dying between data install and journal removal) — is
-  finished by the next ``recover_compaction`` call, and the freshly
-  installed generation can never be deleted (its id is never in its
-  own consumed list).
+  Apply then touches the generation's marker, RETIRES the consumed
+  data directories into the ``_retired`` ledger (tombstone-style:
+  their data stays on disk for one full compaction cycle, excluded
+  from every new reader's committed view, and is physically deleted
+  at the NEXT compaction's apply — so a reader that resolved its
+  committed set an instant before the commit still finds every file
+  of that snapshot alive mid-scan; ADVICE r7 #2), deletes consumed
+  SENTINEL markers (real-batch markers outlive compaction so a late
+  redelivery of an absorbed batch still short-circuits), and clears
+  the journal LAST. Every apply step is idempotent, so any crash
+  window — including a crash inside recovery itself, and the round-6
+  ADVICE window (second compaction dying between data install and
+  journal removal) — is finished by the next ``recover_compaction``
+  call, and the freshly installed generation can never be deleted
+  (its id is never in its own consumed list, and the retired-ledger
+  write is guarded by the generation id so a re-run never purges the
+  list it just published).
+
+- **protocol stamp + legacy migration** ``_protocol_v2``: pre-round-7
+  roots committed their compacted data as an UNMARKERED ``batch=-1``
+  sentinel with a list-form journal. On first contact, any v2 writer
+  or reader stamps the root; if the root predates the stamp and
+  carries an unmarkered ``batch=-1``, that generation is adopted as
+  committed (its marker is touched) instead of being silently
+  excluded and then destroyed as a stale generation (ADVICE r7 #3).
+  Once the stamp exists, an unmarkered negative generation is what
+  the v2 protocol says it is: pre-commit garbage.
 
 The only rename anywhere is the tmp→final swap of the journal file
 itself: atomic on HDFS/POSIX; on S3A the copy half is one atomic PUT,
@@ -51,6 +68,8 @@ import json
 
 MARKER = "_batch_"
 JOURNAL = "_compact_commit"
+RETIRED = "_retired"
+PROTOCOL = "_protocol_v2"
 
 
 def _is_not_found(exc: Exception) -> bool:
@@ -118,9 +137,17 @@ class IndexFS:
         self._fs.mkdirs(self._p(rel))
 
     def touch(self, rel: str) -> None:
-        """Create-or-truncate an empty file (atomic visibility: a
-        create+close is one PUT on object stores)."""
-        self._fs.create(self._p(rel), True).close()
+        """Create an empty file, a no-op when it already exists —
+        actual create-only semantics (overwrite=False), so a commit
+        marker can never be truncated-and-recreated by a buggy caller
+        (ADVICE r7 #4); atomic visibility: a create+close is one PUT
+        on object stores. Every protocol touch point is idempotent,
+        so exists→return is the re-run path, not a race (single
+        writer by contract)."""
+        p = self._p(rel)
+        if self._fs.exists(p):
+            return
+        self._fs.create(p, False).close()
 
     def write_text(self, rel: str, text: str) -> None:
         """Atomic small-file publish: write ``<rel>.tmp`` fully, then
@@ -180,26 +207,63 @@ class IndexFS:
 
 def read_journal(fs: IndexFS) -> dict | None:
     """The pending compaction commit, or None. ``{"gen": int,
-    "consumed": [str, ...]}``."""
+    "consumed": [str, ...]}``. A pre-round-7 journal was a bare
+    consumed LIST (its generation was always the ``batch=-1``
+    sentinel) — accepted and normalized instead of raising, so an
+    upgrade mid-crash-window still recovers (ADVICE r7 #3)."""
     txt = fs.read_text(JOURNAL)
     if txt is None:
         return None
     j = json.loads(txt)
+    if isinstance(j, list):
+        # legacy list-form journal: {gen: -1, consumed: the list};
+        # the sentinel is never its own consumed entry
+        return {"gen": -1,
+                "consumed": [str(b) for b in j if str(b) != "-1"]}
     return {"gen": int(j["gen"]), "consumed": [str(b) for b in j["consumed"]]}
 
 
 def write_journal(fs: IndexFS, gen: int, consumed: list[str]) -> None:
-    """THE compaction commit point (atomic small-file publish)."""
+    """THE compaction commit point (atomic small-file publish).
+    REFUSES to overwrite a pending journal: callers must recover
+    first, and a second writer racing past that contract would
+    otherwise destroy a committed compaction whose apply may already
+    have retired data (ADVICE r7 #4)."""
+    if fs.exists(JOURNAL):
+        raise IOError(
+            f"pending compaction journal at {fs.uri(JOURNAL)}: "
+            "run recover_compaction before committing a new one"
+        )
     fs.write_text(JOURNAL, json.dumps(
         {"gen": int(gen), "consumed": sorted(consumed)}
     ))
+
+
+def read_retired(fs: IndexFS) -> dict | None:
+    """The tombstone ledger: batches consumed by the LAST applied
+    compaction, whose data is retained for one cycle so in-flight
+    readers that resolved the pre-compaction snapshot finish their
+    scans. ``{"by_gen": int, "batches": [str, ...]}``."""
+    txt = fs.read_text(RETIRED)
+    if txt is None:
+        return None
+    j = json.loads(txt)
+    return {"by_gen": int(j["by_gen"]),
+            "batches": [str(b) for b in j["batches"]]}
+
+
+def retired_batch_ids(fs: IndexFS) -> set[str]:
+    r = read_retired(fs)
+    return set(r["batches"]) if r else set()
 
 
 def committed_batch_ids(fs: IndexFS) -> set[str]:
     """Batch ids (as strings; negative = compacted generations) whose
     content readers may trust: marker present, overlaid with any
     pending journal — the journal's new generation counts, its
-    consumed batches do not."""
+    consumed batches do not — minus the retired tombstones (their
+    data is physically present for one grace cycle but already
+    absorbed into a generation; counting them would double-read)."""
     ids = {
         name[len(MARKER):]
         for name in fs.listdir()
@@ -209,12 +273,20 @@ def committed_batch_ids(fs: IndexFS) -> set[str]:
     if j is not None:
         ids.add(str(j["gen"]))
         ids -= set(j["consumed"])
+    ids -= retired_batch_ids(fs)
     return ids
 
 
 def next_generation(fs: IndexFS) -> int:
-    """Fresh negative generation id: below every committed one."""
-    gens = [int(b) for b in committed_batch_ids(fs) if int(b) < 0]
+    """Fresh negative generation id: below every committed one AND
+    every retired tombstone — a retired generation's data is still on
+    disk for its grace cycle, so reusing its id would overwrite files
+    an in-flight reader may be scanning."""
+    gens = [
+        int(b)
+        for b in committed_batch_ids(fs) | retired_batch_ids(fs)
+        if int(b) < 0
+    ]
     return (min(gens) - 1) if gens else -1
 
 
@@ -224,18 +296,36 @@ def recover_compaction(fs: IndexFS, delete_batches_fn) -> None:
     crash inside a previous recovery). ``delete_batches_fn(fs, [b,
     ...])`` removes those batches' data directories in the caller's
     layout (list form, so a layout needing a directory enumeration
-    pays it once, not once per batch). The installed generation is
-    never touched: it is not in its own consumed list, and nothing
-    here renames or rewrites data."""
+    pays it once, not once per batch).
+
+    Apply = marker the generation; PURGE the PREVIOUS cycle's retired
+    tombstones (their one-cycle grace ends here) and publish this
+    cycle's consumed list as the new tombstones — the ``by_gen`` guard
+    makes a crashed re-run skip the publish instead of purging the
+    list it just wrote; delete consumed sentinel markers; clear the
+    journal LAST. The installed generation is never touched: it is
+    not in its own consumed list, never in the tombstone ledger it
+    publishes, and nothing here renames or rewrites data."""
     j = read_journal(fs)
     if j is None:
         return
     gen, consumed = j["gen"], j["consumed"]
     fs.touch(f"{MARKER}{gen}")
-    delete_batches_fn(fs, consumed)
+    r = read_retired(fs)
+    if r is None or r["by_gen"] != gen:
+        if r is not None:
+            # previous cycle's grace period ends: every reader that
+            # resolved after that cycle committed never saw these
+            # batches, and one full compaction cycle has passed for
+            # scans that resolved before it
+            delete_batches_fn(fs, r["batches"])
+        fs.write_text(RETIRED, json.dumps(
+            {"by_gen": int(gen), "batches": sorted(consumed)}
+        ))
     for b in consumed:
         if int(b) < 0:
-            # consumed sentinel generations retire entirely; REAL
+            # consumed sentinel generations drop out of the committed
+            # view now (data stays until the tombstone purge); REAL
             # batch markers outlive compaction (redelivery guard —
             # see retire_real_markers for the bounded-horizon GC)
             fs.delete(f"{MARKER}{b}")
@@ -245,13 +335,16 @@ def recover_compaction(fs: IndexFS, delete_batches_fn) -> None:
 def drop_stale_generations(fs: IndexFS, delete_batches_fn,
                            present_gens: list[int]) -> None:
     """Delete half-written generations a pre-commit crash left behind
-    (negative id, neither marker- nor journal-committed) — they are
-    invisible to readers; this just reclaims the space before a new
-    compaction writes its own generation."""
+    (negative id, neither marker- nor journal-committed, and NOT a
+    retired tombstone — tombstones keep their grace-cycle data until
+    the next compaction's apply purges them) — they are invisible to
+    readers; this just reclaims the space before a new compaction
+    writes its own generation."""
     committed = committed_batch_ids(fs)
+    retired = retired_batch_ids(fs)
     stale = [
         str(g) for g in present_gens
-        if g < 0 and str(g) not in committed
+        if g < 0 and str(g) not in committed and str(g) not in retired
     ]
     if stale:
         delete_batches_fn(fs, stale)
@@ -264,12 +357,18 @@ def retire_real_markers(fs: IndexFS, horizon: int = 1000) -> None:
     checkpoint horizon (practically the last uncommitted trigger) —
     an id a thousand batches old can never be re-presented — and
     compaction has already absorbed every committed batch's data, so
-    the marker is the only artifact left. Without this the index root
-    accumulates one marker per micro-batch forever and every
-    committed-set resolution lists them all. Call after a compaction
-    apply (the point where all real batches are known-absorbed)."""
+    the marker is the only artifact left. Scans the marker files
+    directly (not the committed view, which excludes freshly-retired
+    batches whose markers are exactly the ones to GC). Without this
+    the index root accumulates one marker per micro-batch forever and
+    every committed-set resolution lists them all. Call after a
+    compaction apply (the point where all real batches are
+    known-absorbed)."""
     real = sorted(
-        int(b) for b in committed_batch_ids(fs) if int(b) >= 0
+        int(name[len(MARKER):])
+        for name in fs.listdir()
+        if name.startswith(MARKER)
+        and not name[len(MARKER):].startswith("-")
     )
     if not real:
         return
@@ -277,3 +376,22 @@ def retire_real_markers(fs: IndexFS, horizon: int = 1000) -> None:
     for b in real:
         if b < cutoff:
             fs.delete(f"{MARKER}{b}")
+
+
+def ensure_protocol(fs: IndexFS, legacy_gen_probe) -> None:
+    """One-time upgrade stamp (ADVICE r7 #3). Pre-round-7 roots
+    committed compacted data as an UNMARKERED ``batch=-1`` sentinel;
+    under v2 semantics that partition would be silently excluded from
+    every read and then DELETED as a stale uncommitted generation.
+    On first contact with an unstamped root: if ``legacy_gen_probe()``
+    (lazy — layouts differ) finds the legacy sentinel data and no
+    ``_batch_-1`` marker exists, adopt it as committed by touching
+    the marker; then stamp the root. After the stamp, an unmarkered
+    negative generation is what v2 says it is — pre-commit garbage —
+    so every v2 writer calls this BEFORE its first write to the root.
+    One exists() probe per call once stamped."""
+    if fs.exists(PROTOCOL):
+        return
+    if not fs.exists(f"{MARKER}-1") and legacy_gen_probe():
+        fs.touch(f"{MARKER}-1")
+    fs.touch(PROTOCOL)

@@ -22,6 +22,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def epoch_already_applied(state: dict, epoch_id: int) -> bool:
+    """Redelivery guard for driver-side foreachBatch folds: True when
+    this epoch's contribution is already in ``state``. Epochs at or
+    below the pruned floor were applied before their ids were dropped
+    from the seen-set (see :func:`epoch_mark_applied`)."""
+    return epoch_id <= state.get("_floor", -1) or epoch_id in state["seen"]
+
+
+def epoch_mark_applied(state: dict, epoch_id: int,
+                       horizon: int = 128) -> None:
+    """Record an applied epoch and PRUNE the guard set to a bounded
+    redelivery horizon (ADVICE r7 #5: the bare ``seen`` set grows one
+    entry per trigger for the life of the stream — pure driver-memory
+    leak). Safe because foreachBatch only re-presents epochs at/after
+    the last uncommitted trigger: an id ``horizon`` batches behind the
+    max can never arrive again, so ids below the floor collapse into
+    one integer."""
+    seen = state["seen"]
+    seen.add(epoch_id)
+    floor = max(state.get("_floor", -1), max(seen) - horizon)
+    if floor > state.get("_floor", -1):
+        state["seen"] = {e for e in seen if e > floor}
+        state["_floor"] = floor
+
+
 def incremental_file_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -357,8 +382,18 @@ def foreach_batch_upsert(
             .drop("_rn")
         )
         if cur is not None:
+            prev = fs.uri(f"state_{cur}")
+        elif fs.is_dir("current"):
+            # pre-versioning layout (rename-swapped ``current/`` dir):
+            # adopt it as the merge source so upgrading doesn't
+            # silently restart the state from empty (ADVICE r7 #3's
+            # upsert twin); it retires after one full versioned cycle
+            prev = fs.uri("current")
+        else:
+            prev = None
+        if prev is not None:
             latest = (
-                spark.read.parquet(fs.uri(f"state_{cur}"))
+                spark.read.parquet(prev)
                 .unionByName(latest)
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
@@ -391,17 +426,34 @@ def _resolve_state(fs) -> int | None:
 
 
 def _retire_older_states(fs, keep: int) -> None:
-    """Garbage-collect superseded versions: commit file first (so a
-    crash between the deletes leaves an uncommitted dir, not a
-    committed dangle), then the directory."""
+    """Garbage-collect superseded versions with ONE version of grace
+    (ADVICE r7 #5): the immediately-superseded version stays committed
+    so a reader that resolved it an instant before the cutover still
+    finds its files mid-scan — the rebuild_swap two-version
+    discipline. Everything older retires commit-file-first (a crash
+    between the deletes leaves an uncommitted dir, not a committed
+    dangle). The legacy pre-versioning ``current/`` dir retires once a
+    full versioned cycle has superseded it."""
+    committed = sorted(
+        int(n[len("_commit_state_"):])
+        for n in fs.listdir()
+        if n.startswith("_commit_state_")
+    )
+    older = [v for v in committed if v < keep]
+    grace = {keep} | set(older[-1:])
     for n in fs.listdir():
         if n.startswith("_commit_state_") and int(
             n[len("_commit_state_"):]
-        ) != keep:
+        ) not in grace:
             fs.delete(n)
     for n in fs.listdir():
-        if n.startswith("state_") and n != f"state_{keep}":
+        if (n.startswith("state_") and n[len("state_"):].isdigit()
+                and int(n[len("state_"):]) not in grace):
             fs.delete(n)
+    if older and fs.is_dir("current"):
+        # migrated pre-versioning state: superseded at least one full
+        # cycle ago, every in-flight legacy reader has finished
+        fs.delete("current")
 
 
 def upsert_state(spark, state_dir: str) -> DataFrame:
@@ -413,6 +465,10 @@ def upsert_state(spark, state_dir: str) -> DataFrame:
     fs = IndexFS(spark, state_dir)
     cur = _resolve_state(fs)
     if cur is None:
+        if fs.is_dir("current"):
+            # pre-versioning layout, not yet superseded by a
+            # versioned commit — still the live state
+            return spark.read.parquet(fs.uri("current"))
         raise FileNotFoundError(
             f"no upsert state committed under {state_dir}"
         )
@@ -730,11 +786,13 @@ def foreach_batch_mix_fold(stream, source_col: str, tokens_expr,
     wandered from the published data card, computed next to the sink
     instead of by a periodic corpus rescan.
 
-    ``state``: {"tokens": {source: int}, "seen": set()}."""
+    ``state``: {"tokens": {source: int}, "seen": set()} — the guard
+    set stays bounded (epoch_mark_applied prunes behind the
+    redelivery horizon)."""
     from pyspark.sql import functions as SF
 
     def batch_fn(bdf, epoch_id):
-        if epoch_id in state["seen"]:
+        if epoch_already_applied(state, epoch_id):
             return
         rows = (
             bdf.select(
@@ -749,6 +807,6 @@ def foreach_batch_mix_fold(stream, source_col: str, tokens_expr,
             state["tokens"][r["_src"]] = (
                 state["tokens"].get(r["_src"], 0) + int(r["_ts"] or 0)
             )
-        state["seen"].add(epoch_id)
+        epoch_mark_applied(state, epoch_id)
 
     return stream.writeStream.foreachBatch(batch_fn)

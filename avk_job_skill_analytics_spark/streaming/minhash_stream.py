@@ -248,13 +248,21 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
     append whenever the committed REAL-batch directory count reaches
     the threshold — bounded amortized maintenance with no operator
     involvement (VERDICT r6 ask #6)."""
-    from .fsio import IndexFS, committed_batch_ids, recover_compaction
+    from .fsio import (
+        IndexFS,
+        committed_batch_ids,
+        ensure_protocol,
+        recover_compaction,
+    )
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
         fs = IndexFS(spark, index_dir)
         if fs.exists(f"_batch_{batch_id}"):
             return
+        # one-time upgrade stamp: adopt a pre-v2 index's unmarkered
+        # batch=-1 sentinel before any v2 read/recover touches it
+        ensure_protocol(fs, lambda: fs.is_dir("bands/batch=-1"))
         recover_compaction(fs, _delete_lsh_batches)
         # ONE committed-set resolution per batch (root listing +
         # journal read) shared by both table reads and the compaction
@@ -394,12 +402,14 @@ def compact_lsh_index(spark, index_dir: str, buckets: int = 1,
         IndexFS,
         committed_batch_ids,
         drop_stale_generations,
+        ensure_protocol,
         next_generation,
         retire_real_markers,
         write_journal,
     )
 
     fs = IndexFS(spark, index_dir)
+    ensure_protocol(fs, lambda: fs.is_dir("bands/batch=-1"))
     _recover_compaction(fs)
     # reclaim half-written generations from a pre-commit crash
     stale = [
@@ -434,9 +444,20 @@ def compact_lsh_index(spark, index_dir: str, buckets: int = 1,
     # every committed real batch is now absorbed — retire markers far
     # behind the redelivery horizon so root metadata stays bounded
     retire_real_markers(fs, marker_horizon)
+    # files_after is the COMMITTED view (what every new reader lists):
+    # consumed batches' data survives one tombstone grace cycle for
+    # in-flight scans, so the raw directory count transiently includes
+    # it until the next compaction purges the ledger
+    committed_now = committed_batch_ids(fs)
+    after = sum(
+        fs.count_files(f"bands/{name}")
+        for name in fs.listdir("bands")
+        if name.startswith("batch=")
+        and name.split("=", 1)[1] in committed_now
+    )
     return {
         "bands_files_before": before,
-        "bands_files_after": fs.count_files("bands"),
+        "bands_files_after": after,
         "rows": rows,
     }
 

@@ -63,35 +63,44 @@ def test_cells_compaction_preserves_serving(spark, tmp_path):
     still work."""
     d = str(tmp_path / "idx")
     e, sink = _grown_index(spark, d)
-    before_rows = sorted(
-        (int(r["_id"]), int(r["_cell"]), tuple(r["_codes"]))
-        for r in spark.read.parquet(f"{d}/cells").collect()
-    )
+
+    def committed_rows(fs):
+        com = sorted(committed_batch_ids(fs) & _leaf_ids(fs))
+        return sorted(
+            (int(r["_id"]), int(r["_cell"]), tuple(r["_codes"]))
+            for r in spark.read.parquet(f"{d}/cells")
+            .filter(F.col("_batch").cast("string").isin(com))
+            .collect()
+        )
+
+    fs = IndexFS(spark, d)
+    before_rows = committed_rows(fs)
     served_before = _served(spark, d)
     stats = ann_index.compact_cells(spark, d)
-    fs = IndexFS(spark, d)
     assert stats["rows"] == len(before_rows)
     assert stats["files_after"] <= stats["files_before"]
-    # every cell collapsed to the single generation leaf
-    assert _leaf_ids(fs) == {"-2"}
-    after_rows = sorted(
-        (int(r["_id"]), int(r["_cell"]), tuple(r["_codes"]))
-        for r in spark.read.parquet(f"{d}/cells").collect()
-    )
-    assert after_rows == before_rows
+    # the committed VIEW collapsed to the single generation; consumed
+    # leaves survive one tombstone grace cycle for in-flight readers
+    assert committed_batch_ids(fs) & _leaf_ids(fs) == {"-2"}
+    assert {"-1", "0", "1"} <= _leaf_ids(fs)
+    assert committed_rows(fs) == before_rows
     assert _served(spark, d) == served_before
     # real-batch markers survive: a redelivered absorbed batch
     # short-circuits instead of re-appending into the generation
     sink(e.filter(F.col("vec_id") % 4 == 1), 0)
-    assert _leaf_ids(fs) == {"-2"}
+    assert committed_batch_ids(fs) & _leaf_ids(fs) == {"-2"}
     # and a genuinely new batch appends + serves on top
     n = e.count()
     extra = spark.createDataFrame(
         [(n + 7, [0.01] * 64)], "vec_id long, embedding array<double>"
     )
     sink(extra, 2)
-    assert _leaf_ids(fs) == {"-2", "2"}
+    assert committed_batch_ids(fs) & _leaf_ids(fs) == {"-2", "2"}
     assert len(_served(spark, d)) == len(served_before)
+    # the NEXT compaction's apply purges the previous cycle's
+    # tombstones — grace is one cycle, not forever
+    ann_index.compact_cells(spark, d)
+    assert not ({"-1", "0", "1"} & _leaf_ids(fs))
 
 
 def test_cells_compaction_recovers_from_mid_apply_crash(spark, tmp_path):
@@ -123,7 +132,11 @@ def test_cells_compaction_recovers_from_mid_apply_crash(spark, tmp_path):
     assert _served(spark, d) == served  # journal overlay: view whole
     ann_index._recover_cells(fs)
     assert read_journal(fs) is None
-    assert _leaf_ids(fs) == {"-3"}
+    # committed view is exactly the fresh generation; batch 2's data
+    # is tombstoned (one grace cycle), the first cycle's tombstones
+    # (-1, 0, 1) were purged by this apply
+    assert committed_batch_ids(fs) & _leaf_ids(fs) == {"-3"}
+    assert _leaf_ids(fs) == {"-3", "2"}
     assert not fs.exists("_batch_-2")
     assert _served(spark, d) == served
     # double recovery is a no-op, not data loss
@@ -150,11 +163,14 @@ def test_ivfpq_auto_compaction_bounds_leaves(spark, tmp_path):
         sink(e.filter(F.col("vec_id") % 8 == 3).limit(5), 3)
     fs_auto = IndexFS(spark, d_auto)
     fs_plain = IndexFS(spark, d_plain)
-    real_auto = {b for b in _leaf_ids(fs_auto) if int(b) >= 0}
-    real_plain = {b for b in _leaf_ids(fs_plain) if int(b) >= 0}
+    com_auto = committed_batch_ids(fs_auto) & _leaf_ids(fs_auto)
+    com_plain = committed_batch_ids(fs_plain) & _leaf_ids(fs_plain)
+    real_plain = {b for b in com_plain if int(b) >= 0}
     assert len(real_plain) == 4  # 0,1,2,3 all still separate leaves
-    assert len(real_auto) == 0   # every trigger point absorbed them
-    assert fs_auto.count_files("cells") < fs_plain.count_files("cells")
+    # every trigger point absorbed the real batches out of the
+    # committed view (their leaves may linger one tombstone cycle)
+    assert {b for b in com_auto if int(b) >= 0} == set()
+    assert len(com_auto) < len(com_plain)
     assert _served(spark, d_auto) == _served(spark, d_plain)
 
 
@@ -220,18 +236,33 @@ def test_rebuild_swap_versioned_cutover(spark, tmp_path):
 
     served_v0 = serve()
     # crash mid-build of v1: directory exists, no commit marker —
-    # serving must keep resolving v0
+    # serving must keep resolving v0. Plant a STALE cells leaf from
+    # the crashed attempt (a coarse seed id the retry won't produce):
+    # build_index's dynamic partition overwrite would never touch it,
+    # so without the pre-build clear the retry would commit garbage
+    # into the full inventory (ADVICE r7 #1)
     fs.mkdirs("v1/cells")
+    spark.createDataFrame(
+        [(999999, [1] * 8)], "_id long, _codes array<int>"
+    ).withColumn("_cell", F.lit(424242)).withColumn(
+        "_batch", F.lit(-1)
+    ).write.partitionBy("_cell", "_batch").parquet(
+        fs.uri("v1/cells"), mode="append"
+    )
     assert ann_index.resolve_version(fs) == 0
     assert serve() == served_v0
-    # the real retrain overwrites the half-built dir and cuts over
+    # the real retrain clears the crashed dir, rebuilds, and cuts over
     v1 = ann_index.rebuild_swap(spark, root, e, "vec_id", "embedding")
     assert v1 == 1
     assert ann_index.resolve_version(fs) == 1
+    # the crashed attempt's stale cell is gone from the inventory
+    assert not fs.is_dir("v1/cells/_cell=424242")
     served_v1 = serve()
     assert served_v1 != served_v0  # retrained quantizers really serve
-    # superseded version fully retired: commit file first, then dir
-    assert not fs.exists("_commit_index_0") and not fs.is_dir("v0")
+    # superseded version retires with ONE version of grace: v0 stays
+    # committed while v1 is newest (a reader that resolved v0 an
+    # instant before the cutover still finds its files mid-scan)
+    assert fs.exists("_commit_index_0") and fs.is_dir("v0")
     # and the v1 result equals serving the v1 dir directly
     direct = sorted(
         map(tuple,
@@ -241,6 +272,14 @@ def test_rebuild_swap_versioned_cutover(spark, tmp_path):
             ).collect())
     )
     assert served_v1 == direct
+    # a SECOND cutover ends v0's grace: commit file first, then dir
+    v2 = ann_index.rebuild_swap(
+        spark, root, e.filter(F.col("vec_id") % 3 != 2),
+        "vec_id", "embedding",
+    )
+    assert v2 == 2
+    assert not fs.exists("_commit_index_0") and not fs.is_dir("v0")
+    assert fs.exists("_commit_index_1") and fs.is_dir("v1")
 
 
 @pytest.mark.parametrize("scheme", [True])
@@ -363,7 +402,9 @@ def test_auto_retrain_policy_and_crash_windows(spark, tmp_path):
     ids_before = committed_raw_ids()
     stats = compact_raw_log(spark, root, "vec_id", "embedding")
     assert stats["rows"] == len(ids_before)
-    assert {int(b) for b in _raw_leaf_ids(fs)} == {-1}
+    # committed view = the generation; consumed leaves are tombstoned
+    # one grace cycle for in-flight readers
+    assert committed_batch_ids(fs) & _raw_leaf_ids(fs) == {"-1"}
     assert committed_raw_ids() == ids_before  # lossless for retrains
     again = compact_raw_log(spark, root, "vec_id", "embedding")
     assert again["rows"] == 0  # single committed generation: no-op

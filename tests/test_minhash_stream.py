@@ -145,36 +145,40 @@ def test_lsh_index_compaction_preserves_behavior(spark, tmp_path):
     compacted index."""
     import os
 
+    from avk_job_skill_analytics_spark.streaming.fsio import IndexFS
     from avk_job_skill_analytics_spark.streaming.minhash_stream import (
+        _committed_index_dirs,
         _lsh_maintain_batch_fn,
         compact_lsh_index,
     )
 
     d = str(tmp_path / "idx")
     os.makedirs(d)
+    fs = IndexFS(spark, d)
     sink = _lsh_maintain_batch_fn(d, "doc_id", "text", 3, 16, 8, 0.5, 7)
     t = "the quick brown fox jumps over the lazy dog again and again"
     sink(spark.createDataFrame([(1, t)], "doc_id long, text string"), 0)
     sink(spark.createDataFrame(
         [(2, "unrelated words entirely about other topics")],
         "doc_id long, text string"), 1)
-    rows_before = sorted(
-        map(tuple, spark.read.parquet(f"{d}/bands")
-            .select("_idx_id", "band", "sig").collect())
-    )
+
+    def rows():
+        return sorted(
+            map(tuple,
+                spark.read.parquet(*_committed_index_dirs(fs, "bands"))
+                .select("_idx_id", "band", "sig").collect())
+        )
+
+    rows_before = rows()
     stats = compact_lsh_index(spark, d)
     assert stats["bands_files_after"] <= stats["bands_files_before"]
-    rows_after = sorted(
-        map(tuple, spark.read.parquet(f"{d}/bands")
-            .select("_idx_id", "band", "sig").collect())
-    )
-    assert rows_after == rows_before
+    assert rows() == rows_before
+    # consumed batch dirs survive one tombstone grace cycle for
+    # in-flight readers, excluded from the committed view above
+    assert os.path.exists(f"{d}/bands/batch=0")
     # redelivered pre-compaction batch still skips on its marker
     sink(spark.createDataFrame([(1, t)], "doc_id long, text string"), 0)
-    assert rows_after == sorted(
-        map(tuple, spark.read.parquet(f"{d}/bands")
-            .select("_idx_id", "band", "sig").collect())
-    )
+    assert rows() == rows_before
     # and a genuinely new batch appends + collides with compacted rows
     sink(spark.createDataFrame(
         [(31, t + " extended")], "doc_id long, text string"), 2)
@@ -281,7 +285,10 @@ def test_lsh_compaction_recovers_from_mid_apply_crash(spark, tmp_path):
         [(31, t + " extended")], "doc_id long, text string"), 2)
     assert not os.path.exists(f"{d}/_compact_commit")
     assert os.path.exists(f"{d}/_batch_-1")
-    assert not os.path.exists(f"{d}/bands/batch=0")
+    # consumed batch dirs are TOMBSTONED, not deleted at apply: their
+    # data stays one grace cycle for in-flight readers, excluded from
+    # every new committed-view resolution (ADVICE r7 #2)
+    assert os.path.exists(f"{d}/bands/batch=0")
     after = rows()
     assert [r for r in after if r[0] in (1, 2)] == expected
     assert any(r[0] == 31 for r in after)
@@ -292,10 +299,12 @@ def test_lsh_compaction_recovers_from_mid_apply_crash(spark, tmp_path):
         for r in spark.read.parquet(f"{d}/pairs").collect()
     }
     assert (1, 31) in pairs
-    # and a straight compaction still works afterwards
+    # and a straight compaction still works afterwards — its apply is
+    # the point where the previous cycle's tombstones get purged
     stats = compact_lsh_index(spark, d)
     assert stats["rows"] == len(after)
     assert rows() == after
+    assert not os.path.exists(f"{d}/bands/batch=0")
 
 
 def test_lsh_second_compaction_crash_window_preserves_index(
