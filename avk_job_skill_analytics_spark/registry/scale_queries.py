@@ -4187,3 +4187,220 @@ def pipeline_data_card(spark, sf_dir):
         .crossJoin(F.broadcast(qual))
         .crossJoin(F.broadcast(lshcap))
     )
+
+
+# ------------------------------------------------- lexical retrieval: BM25
+_BM25_TERMS = ("scan", "hash", "merge")
+
+
+def _bm25_sql(terms=_BM25_TERMS, k=10) -> str:
+    """DuckDB twin of retrieval.bm25_topk: same Lucene-variant idf,
+    same canonical operand order for every double (dl·N/total, never
+    dl/avgdl), per-term scores quantized to 1e-4 fixed point BEFORE
+    the per-doc integer sum. All float literals CAST('x' AS DOUBLE)
+    (bare decimals are DECIMAL in DuckDB — the known parity trap)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    d = "CAST('{v}' AS DOUBLE)"
+    k1, b, half, one = (d.format(v="1.2"), d.format(v="0.75"),
+                        d.format(v="0.5"), d.format(v="1.0"))
+    return rf"""WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS term
+         FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+              WHERE term IN ({in_list}) GROUP BY doc_id, term),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       s AS (SELECT tf.doc_id,
+               CAST(floor(round(
+                 ln((stats.n - dfreq.df + {half}) / (dfreq.df + {half})
+                    + {one})
+                 * tf.tf * ({k1} + {one})
+                 / (tf.tf + {k1} * ({one} - {b}
+                    + {b} * (CAST(dl.dl AS DOUBLE) * stats.n / stats.tot)))
+               , 4) * CAST(10000 AS DOUBLE) + {half}) AS BIGINT) AS s_fp
+             FROM tf
+             JOIN dfreq USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id, stats),
+       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                      CAST(sum(s_fp) AS BIGINT) AS bm25_fp
+               FROM s GROUP BY doc_id)
+       SELECT doc_id, n_terms, bm25_fp, CAST(rk AS BIGINT) AS rk
+       FROM (SELECT *, row_number() OVER (
+                ORDER BY bm25_fp DESC, doc_id) AS rk FROM agg) t
+       WHERE rk <= {k}"""
+
+
+@_q("txt_bm25_topk", _bm25_sql())
+def txt_bm25_topk(spark, sf_dir):
+    """BM25 top-10 documents for a bag-of-words query
+    (retrieval.bm25_topk — Robertson & Zaragoza's Okapi weighting):
+    the lexical-retrieval baseline every RAG/curation stack pairs with
+    its vector index. The query-term filter pushes below the tf
+    aggregate (only matching postings shuffle), df and corpus stats
+    broadcast, and per-term partial scores quantize to fixed point
+    before the per-doc sum — exact integer addition, hash-exact
+    against the oracle."""
+    from ..operators import retrieval
+
+    docs = load(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(
+        docs, "doc_id", "text", list(_BM25_TERMS), k=10
+    )
+
+
+# --------------------------------------------- hybrid retrieval: RRF fusion
+def _rrf_sql() -> str:
+    """DuckDB twin of retrieval.rrf_fuse over (BM25 top-10, cosine
+    top-10 for query vec_id 0): contributions are exact integers
+    floor(1e6 / (60 + rank)) — no floats anywhere in the fusion."""
+    vec_cos = _cos_sql("q.embedding", "c.embedding")
+    return f"""WITH lex AS ({_bm25_sql()}),
+       vec AS (SELECT neighbor_id AS doc_id, rk FROM (
+           SELECT c.vec_id AS neighbor_id,
+                  row_number() OVER (
+                    ORDER BY round({vec_cos}, 6) DESC, c.vec_id) AS rk
+           FROM (SELECT * FROM embeddings WHERE vec_id = 0) q,
+                embeddings c
+           WHERE c.vec_id <> 0) t
+         WHERE rk <= 10),
+       u AS (SELECT doc_id, 'lex' AS sys, rk FROM lex
+             UNION ALL
+             SELECT doc_id, 'vec' AS sys, rk FROM vec),
+       agg AS (SELECT doc_id,
+                 CAST(coalesce(max(CASE WHEN sys = 'lex' THEN rk END), 0)
+                      AS BIGINT) AS lex_rk,
+                 CAST(coalesce(max(CASE WHEN sys = 'vec' THEN rk END), 0)
+                      AS BIGINT) AS vec_rk,
+                 CAST(sum(CAST(floor(CAST(1000000 AS DOUBLE) / (60 + rk))
+                               AS BIGINT)) AS BIGINT) AS rrf_fp
+               FROM u GROUP BY doc_id)
+       SELECT doc_id, lex_rk, vec_rk, rrf_fp, CAST(rk AS BIGINT) AS rk
+       FROM (SELECT *, row_number() OVER (
+                ORDER BY rrf_fp DESC, doc_id) AS rk FROM agg) t
+       WHERE rk <= 10"""
+
+
+@_q("ml_hybrid_rrf", _rrf_sql())
+def ml_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (retrieval.rrf_fuse
+    — Cormack et al. SIGIR'09): the BM25 lexical top-10 and the
+    brute-cosine vector top-10 (query = embedding 0; vec_id aligns
+    with doc_id in the testdata) fuse on RANKS with exact integer
+    1/(60+rank) contributions — no score calibration between the two
+    incommensurable scales, no floats in the fold. The fused list is
+    what a retrieval endpoint actually serves when both indexes
+    exist."""
+    from ..operators import retrieval, similarity
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_topk(
+        docs, "doc_id", "text", list(_BM25_TERMS), k=10
+    ).select("doc_id", "rk")
+    vec = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=10,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rk")
+    return retrieval.rrf_fuse([("lex", lex), ("vec", vec)], "doc_id",
+                              k=10, k0=60)
+
+
+# --------------------------------------- ANN: exact re-rank of PQ candidates
+def _refine_sql(r: int = 20, k: int = 5) -> str:
+    """DuckDB twin of retrieval.ivfpq_refine_topk: the IVF-PQ ADC
+    top-r oracle as the candidate CTE, exact squared-L2 on the raw
+    vectors in the shared ADC fixed-point convention for the final
+    rank."""
+    sq = _SQDIST.format(a="q.embedding", b="c.embedding")
+    return f"""WITH cand AS MATERIALIZED ({_ivfpq_sql(8, 2, 8, 8, 8, 10, r)}),
+       ref AS (SELECT cand.query_id, cand.neighbor_id,
+                 CAST(floor(round({sq}, 6) * 1000000
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dist_fp
+               FROM cand
+               JOIN embeddings c ON c.vec_id = cand.neighbor_id
+               JOIN embeddings q ON q.vec_id = cand.query_id)
+       SELECT query_id, neighbor_id, dist_fp, CAST(rk AS BIGINT) AS rk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY dist_fp, neighbor_id) AS rk FROM ref) t
+       WHERE rk <= {k}"""
+
+
+@_q("ann_ivfpq_refine", _refine_sql())
+def ann_ivfpq_refine(spark, sf_dir):
+    """Two-stage ANN (retrieval.ivfpq_refine_topk — the FAISS
+    IndexRefine discipline): IVF-PQ integer ADC proposes top-20
+    candidates per query from the compressed domain, then the |Q|·20
+    candidate ids BROADCAST against the corpus for an exact L2
+    re-rank of the top-5 — recall recovered at r raw-vector reads per
+    query, never a corpus shuffle. Candidate stage, refine join, and
+    final ranking all hash-match the oracle replay."""
+    from ..operators import retrieval
+
+    e = load(spark, sf_dir, "embeddings")
+    return retrieval.ivfpq_refine_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, r=20, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
+    )
+
+
+# ------------------------------------- trained Naive Bayes quality classifier
+def _nb_sql() -> str:
+    """DuckDB twin of classify.nb_train_weights + nb_score: exact
+    integer counts, each weight ONE log of one exact integer fraction
+    quantized at 1e-6, document scores exact integer sums."""
+    return r"""WITH lab AS (
+         SELECT doc_id, text,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM documents),
+       tok AS (SELECT doc_id, y,
+                      unnest(list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '')) AS term
+               FROM lab),
+       cnt AS (SELECT term, sum(y) AS c1, sum(1 - y) AS c0
+               FROM tok GROUP BY term),
+       tot AS (SELECT sum(y) AS t1, sum(1 - y) AS t0,
+                      count(DISTINCT term) AS v
+               FROM tok),
+       w AS (SELECT term,
+               CAST(floor(round(
+                 ln(CAST((c1 + 1) * (t0 + v) AS DOUBLE)
+                    / CAST((c0 + 1) * (t1 + v) AS DOUBLE)), 6)
+                 * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_fp
+             FROM cnt, tot),
+       pri AS (SELECT CAST(floor(round(
+                 ln(CAST(sum(y) AS DOUBLE) / CAST(sum(1 - y) AS DOUBLE)),
+                 6) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS prior_fp
+               FROM lab),
+       tf AS (SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term),
+       sc AS (SELECT tf.doc_id, sum(tf.tf * w.w_fp) AS s
+              FROM tf JOIN w USING (term) GROUP BY tf.doc_id)
+       SELECT lab.doc_id,
+              CAST(sc.s + pri.prior_fp AS BIGINT) AS score_fp,
+              CAST(CASE WHEN sc.s + pri.prior_fp > 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS pred,
+              CAST(lab.y AS BIGINT) AS actual
+       FROM sc JOIN lab ON lab.doc_id = sc.doc_id, pri"""
+
+
+@_q("txt_nb_classifier", _nb_sql())
+def txt_nb_classifier(spark, sf_dir):
+    """Distributed multinomial Naive Bayes, trained AND served
+    (operators/classify.py) — the fastText-style document classifier
+    curation pipelines gate on (CCNet's lang/quality filters), done
+    as pure aggregations: two training aggregates build the per-term
+    weight table (each weight one log of an exact integer fraction,
+    fixed-point), scoring is one term join + one exact integer sum
+    per document. Labels here are lang='en' — the engine-portability
+    point is that TRAINING, the model table, and SERVING all replay
+    bit-for-bit in the oracle."""
+    from ..operators import classify
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    return classify.nb_score(docs, w, "doc_id", "text", "_y")

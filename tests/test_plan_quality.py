@@ -587,3 +587,27 @@ def test_ivfpq_served_matches_in_memory(spark, queries):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, mem.collect())
     )
+
+
+def test_bm25_topk_scale_shape(spark, queries):
+    """BM25's corpus-sized selection must be TakeOrderedAndProject
+    (sort+limit heaps) — the rank window runs over k rows only — and
+    the df / corpus-stats sides must broadcast, never shuffle the
+    posting relation against them."""
+    df = queries["txt_bm25_topk"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # the only SortMergeJoin permitted is none: dl joins on id are
+    # AQE-planned over aggregated frames, stats/df sides broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_refine_broadcasts_candidates(spark, queries):
+    """The refine stage must fetch raw vectors via a BROADCAST of the
+    |Q|*r candidate list — a corpus shuffle here would defeat the
+    point of searching the compressed domain first."""
+    df = queries["ann_ivfpq_refine"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

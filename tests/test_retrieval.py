@@ -1,0 +1,122 @@
+"""Retrieval + classifier operator guarantees (not just oracle
+values): BM25 ordering semantics, RRF fusion arithmetic, refine
+recall, Naive Bayes separation on a controlled corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avk_job_skill_analytics_spark.operators import (
+    classify,
+    retrieval,
+    similarity,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ordering_semantics(spark):
+    """Higher tf wins at equal length; at equal tf the SHORTER doc
+    wins (length normalization); docs without query terms are
+    absent."""
+    d = _docs(spark, [
+        (1, "spark spark spark pad pad pad"),
+        (2, "spark pad pad pad pad pad"),
+        (3, "spark pad"),
+        (4, "pad pad pad pad pad pad"),
+    ])
+    out = retrieval.bm25_topk(d, "doc_id", "text", ["spark"], k=10)
+    rows = {r["doc_id"]: (r["bm25_fp"], r["rk"]) for r in out.collect()}
+    assert 4 not in rows
+    assert rows[3][0] > rows[2][0]      # shorter doc, same tf
+    assert rows[1][0] > rows[2][0]      # more tf, same length
+    assert [r for r, _ in sorted(
+        ((r["rk"], r["doc_id"]) for r in out.collect())
+    )] == [1, 2, 3]
+    # n_terms counts matched query terms, not occurrences
+    out2 = retrieval.bm25_topk(
+        d, "doc_id", "text", ["spark", "pad"], k=10
+    )
+    assert {r["doc_id"]: r["n_terms"] for r in out2.collect()} == {
+        1: 2, 2: 2, 3: 2, 4: 1
+    }
+
+
+def test_rrf_fusion_arithmetic(spark):
+    """Exact integer contributions: doc in BOTH lists scores the sum
+    of both 1/(k0+rank) terms; absent system rank reports 0."""
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rk long")
+    vec = spark.createDataFrame([(1, 2), (3, 1)], "doc_id long, rk long")
+    out = retrieval.rrf_fuse(
+        [("lex", lex), ("vec", vec)], "doc_id", k=10, k0=60
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["rrf_fp"] == 1_000_000 // 61 + 1_000_000 // 62
+    assert rows[2]["rrf_fp"] == 1_000_000 // 62
+    assert rows[3]["rrf_fp"] == 1_000_000 // 61
+    assert rows[1]["lex_rk"] == 1 and rows[1]["vec_rk"] == 2
+    assert rows[3]["lex_rk"] == 0 and rows[3]["vec_rk"] == 1
+    assert rows[1]["rk"] == 1  # in both lists -> fused winner
+
+
+def test_refine_subset_and_recall(spark):
+    """Refined results are a subset of the ADC candidate list, ranked
+    exactly as brute-force L2 restricted to those candidates; recall@5
+    vs exact search is at least the unrefined IVF-PQ's."""
+    e = spark.read.parquet(EMB)
+    q = e.filter(F.col("vec_id") < 10)
+    refined = retrieval.ivfpq_refine_topk(
+        e, q, "vec_id", "embedding", k=5, r=20
+    ).collect()
+    cand = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(
+            e, q, "vec_id", "embedding", k=20
+        ).collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"]) for r in refined} <= cand
+    # exact top-5 (brute L2 via cosine twin is a different metric —
+    # recompute exact squared-L2 brute force here)
+    brute = retrieval.ivfpq_refine_topk(
+        e, q, "vec_id", "embedding", k=5, r=e.count(), n_probe=8
+    ).collect()
+    brute_set = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(
+            e, q, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    ref_set = {(r["query_id"], r["neighbor_id"]) for r in refined}
+    assert len(ref_set & brute_set) >= len(plain & brute_set)
+
+
+def test_nb_classifier_separates_controlled_corpus(spark):
+    """On a corpus where class-1 docs use one vocabulary and class-0
+    another, the trained NB separates them perfectly, and the weight
+    signs match the class conditionals."""
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma alpha", 1))
+    for i in range(20, 45):
+        rows.append((i, "delta epsilon zeta delta", 0))
+    # two ambiguous docs sharing both vocabularies
+    rows.append((45, "alpha delta", 1))
+    rows.append((46, "alpha delta", 0))
+    d = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w = classify.nb_train_weights(d, "doc_id", "text", "y")
+    weights = {r["term"]: r["w_fp"] for r in w.collect()}
+    assert weights["alpha"] > 0 and weights["beta"] > 0
+    assert weights["delta"] < 0 and weights["epsilon"] < 0
+    scored = classify.nb_score(d, w, "doc_id", "text", "y").collect()
+    clean = [r for r in scored if r["doc_id"] < 45]
+    assert all(r["pred"] == r["actual"] for r in clean)
+    # the ambiguous pair gets the SAME score (identical text) — the
+    # classifier is a function of the text alone
+    amb = {r["doc_id"]: r["score_fp"] for r in scored
+           if r["doc_id"] >= 45}
+    assert amb[45] == amb[46]

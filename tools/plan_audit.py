@@ -62,6 +62,17 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
     "win_running_revenue": [
         ("empty-partition-window", "cumulative frame over per-day aggregate"),
     ],
+    "txt_bm25_topk": [
+        ("empty-partition-window",
+         "rank stamp over the ALREADY-LIMITED top-k frame (k=10 rows): "
+         "the corpus-sized selection runs as TakeOrderedAndProject "
+         "(sort+limit), only the k survivors enter the window"),
+    ],
+    "ml_hybrid_rrf": [
+        ("empty-partition-window",
+         "rank stamp over the already-limited fused top-k (k=10 rows); "
+         "fusion input is bounded at |systems|*topn rank rows"),
+    ],
     "j2_topn_window": [
         ("empty-partition-window",
          "rank over the per-dimension aggregate (|dims| rows), the window "
