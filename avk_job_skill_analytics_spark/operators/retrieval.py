@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from .similarity import ivfpq_topk
 from .textstats import tokens
 
-__all__ = ["bm25_topk", "rrf_fuse", "ivfpq_refine_topk"]
+__all__ = ["bm25_topk", "bm25_rank", "rrf_fuse", "ivfpq_refine_topk"]
 
 
 def _fp(x: Column, digits: int) -> Column:
@@ -71,14 +71,27 @@ def bm25_topk(docs: DataFrame, id_col: str, text_col: str,
     bm25_fp, rk)."""
     toks = tokens(docs, id_col, text_col)
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_dl").alias("_tot"),
-    )
     tf = (
         toks.filter(F.col("term").isin(list(terms)))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    return bm25_rank(tf, dl, id_col, k=k, k1=k1, b=b, digits=digits)
+
+
+def bm25_rank(tf: DataFrame, dl: DataFrame, id_col: str, k: int = 10,
+              k1: str = "1.2", b: str = "0.75",
+              digits: int = 4) -> DataFrame:
+    """The BM25 scoring core over pre-built statistics — shared by
+    the batch query (tf from a fresh explode) and stored-index
+    serving (tf from committed posting partitions, where the term
+    filter became a parquet pushdown). ``tf``: (id, term, _tf)
+    already restricted to the query terms; ``dl``: (id, _dl) for the
+    WHOLE corpus (document-length normalization needs corpus stats,
+    not just matching docs)."""
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_tot"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     k1c = F.lit(k1).cast("double")

@@ -4404,3 +4404,110 @@ def txt_nb_classifier(spark, sf_dir):
     )
     w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
     return classify.nb_score(docs, w, "doc_id", "text", "_y")
+
+
+# --------------------------------------- retrieval quality metrics (per query)
+def _retrieval_metrics_sql() -> str:
+    """DuckDB twin of ml_retrieval_metrics: relevance = exact brute
+    cosine top-5, system = IVF-PQ ADC top-5; MRR and binary-relevance
+    NDCG@5 in exact fixed point (the per-rank 1/log2(i+1) gains are
+    five shared constants, ratios are exact integer division)."""
+    gains = ", ".join(
+        f"({i}, {_ndcg_gain_fp(i)})" for i in range(1, 6)
+    )
+    idcg = sum(_ndcg_gain_fp(i) for i in range(1, 6))
+    return f"""WITH brute AS ({ORACLES["ann_cosine_topk"]}),
+       sys AS ({_ivfpq_sql(8, 2, 8, 8, 8, 10, 5)}),
+       g(rk, gain_fp) AS (VALUES {gains}),
+       hits AS (SELECT s.query_id, s.rk,
+                       CASE WHEN b.neighbor_id IS NULL THEN 0 ELSE 1 END
+                           AS rel
+                FROM sys s LEFT JOIN brute b
+                  ON b.query_id = s.query_id
+                 AND b.neighbor_id = s.neighbor_id),
+       agg AS (SELECT h.query_id,
+                 CAST(coalesce(
+                   max(CASE WHEN h.rel = 1
+                       THEN CAST(floor(CAST(1000000 AS DOUBLE) / h.rk)
+                                 AS BIGINT) END), 0) AS BIGINT) AS mrr_fp,
+                 CAST(sum(h.rel * g.gain_fp) AS BIGINT) AS dcg_fp
+               FROM hits h JOIN g ON g.rk = h.rk
+               GROUP BY h.query_id)
+       SELECT query_id, mrr_fp, dcg_fp,
+              CAST(dcg_fp * 1000000 / {idcg} AS BIGINT) AS ndcg_fp
+       FROM agg"""
+
+
+def _ndcg_gain_fp(rank: int) -> int:
+    """floor(round(1/log2(rank+1), 6)·1e6): the five binary-relevance
+    DCG gain constants, computed ONCE in Python and inlined as
+    literals on both engines — no cross-engine log2 at query time."""
+    import math
+
+    return int(math.floor(round(1.0 / math.log2(rank + 1), 6) * 1e6))
+
+
+@_q("ml_retrieval_metrics", _retrieval_metrics_sql())
+def ml_retrieval_metrics(spark, sf_dir):
+    """The retrieval honesty ledger beyond recall: per query, MRR
+    (reciprocal rank of the first exact-top-5 hit in the ADC list)
+    and binary-relevance NDCG@5 of IVF-PQ against the exact
+    brute-force ranking — the two metrics a retrieval deployment
+    reports next to recall@k. All arithmetic is exact fixed point:
+    rank reciprocals are integer divisions, the DCG gains are five
+    Python-computed literals shared by both engines, and the NDCG
+    ratio is exact integer division by the constant ideal DCG."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    sys_ = similarity.ivfpq_topk(
+        e, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=2,
+        m=8, sub_d=8, k_star=8,
+    )
+    gains = spark.createDataFrame(
+        [(i, _ndcg_gain_fp(i)) for i in range(1, 6)],
+        "rk long, gain_fp long",
+    )
+    idcg = sum(_ndcg_gain_fp(i) for i in range(1, 6))
+    hits = (
+        sys_.join(
+            brute.select(
+                F.col("query_id").alias("_bq"),
+                F.col("neighbor_id").alias("_bn"),
+            ),
+            on=[
+                sys_["query_id"] == F.col("_bq"),
+                sys_["neighbor_id"] == F.col("_bn"),
+            ],
+            how="left",
+        ).select(
+            "query_id",
+            "rk",
+            F.when(F.col("_bn").isNull(), F.lit(0))
+            .otherwise(F.lit(1)).alias("rel"),
+        )
+    )
+    agg = (
+        hits.join(F.broadcast(gains), "rk")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.floor(
+                            F.lit(1_000_000.0) / F.col("rk")
+                        ).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("mrr_fp"),
+            F.sum(F.col("rel") * F.col("gain_fp")).cast("long")
+            .alias("dcg_fp"),
+        )
+    )
+    return agg.withColumn(
+        "ndcg_fp",
+        (F.col("dcg_fp") * F.lit(1_000_000) / F.lit(idcg))
+        .cast("long"),
+    )

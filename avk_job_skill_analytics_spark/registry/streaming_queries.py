@@ -1359,3 +1359,62 @@ def stream_ivf_assign(spark, sf_dir):
     )
     out = similarity.ivf_cell_assign(stream, "vec_id", "embedding", cb)
     return _drain(spark, out, "append", "st_ivf_assign")
+
+
+# ------------------------------------------ growing BM25 lexical index
+def _stream_bm25_sql() -> str:
+    from .scale_queries import _bm25_sql
+
+    return _bm25_sql()
+
+
+@_q("stream_bm25_index_maintain", _stream_bm25_sql())
+def stream_bm25_index_maintain(spark, sf_dir):
+    """Growing lexical (BM25) index on a document stream
+    (streaming/lexical_stream.foreach_batch_bm25_maintain — the shared
+    journal protocol's fourth instantiation): even-id documents arrive
+    as batch 0, odd-id as batch 1, each batch's (doc, term, tf)
+    postings and (doc, dl) lengths append exactly once, and
+    ``compact_every=2`` makes the sink fold both batches into a
+    generation inside the drain — so serving (serve_bm25: committed
+    partitions only, query-term parquet pushdown, the shared
+    bm25_rank core) runs against the COMPACTED store and must still
+    hash-match the one-shot batch BM25 over all documents (the
+    txt_bm25_topk oracle)."""
+    from .scale_queries import _BM25_TERMS
+    from ..streaming.lexical_stream import (
+        foreach_batch_bm25_maintain,
+        serve_bm25,
+    )
+
+    src = _single_file_drops(
+        spark, sf_dir, "documents", ["doc_id", "text"],
+        [("0_even.parquet", F.col("doc_id") % 2 == 0),
+         ("1_odd.parquet", F.col("doc_id") % 2 == 1)],
+        "bm25_stream_src_",
+    )
+    index_dir = tempfile.mkdtemp(prefix="bm25_index_")
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_bm25maint_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_bm25_maintain(
+                    stream, index_dir, "doc_id", "text",
+                    compact_every=2,
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return serve_bm25(spark, index_dir, list(_BM25_TERMS), "doc_id",
+                      k=10)
