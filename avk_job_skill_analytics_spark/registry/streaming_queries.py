@@ -1418,3 +1418,130 @@ def stream_bm25_index_maintain(spark, sf_dir):
         shutil.rmtree(ckpt, ignore_errors=True)
     return serve_bm25(spark, index_dir, list(_BM25_TERMS), "doc_id",
                       k=10)
+
+
+# ----------------------------------- partitioned (fact-sized) upsert state
+@_q(
+    "stream_upsert_partitioned",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                         event_id, value
+                  FROM events),
+       r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+             FROM e)
+       SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+              round(value, 2) AS last_value
+       FROM r WHERE rn = 1""",
+)
+def stream_upsert_partitioned(spark, sf_dir):
+    """Fact-sized exactly-once upsert
+    (incremental.foreach_batch_upsert_partitioned): the state is
+    hash-bucketed on the key and each micro-batch rewrites ONLY the
+    buckets its keys touch, every bucket committing its own
+    create-only version with one retire-grace version — per-trigger
+    cost O(touched buckets) where the plain upsert pays O(state).
+    Same two-file drain and the same latest-row oracle as
+    stream_foreachbatch_upsert: the partitioning must change the
+    COST, never the answer."""
+    import tempfile as _tf
+
+    from ..streaming.incremental import (
+        foreach_batch_upsert_partitioned,
+        upsert_state_partitioned,
+    )
+
+    stream = _events_stream(
+        spark,
+        sf_dir,
+        links={"events_a.parquet": "events.parquet",
+               "events_b.parquet": "events.parquet"},
+        maxFilesPerTrigger=1,
+    ).select("user_id", "ts", "event_id", "value")
+    state_dir = _tf.mkdtemp(prefix="upsert_part_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = _tf.mkdtemp(prefix="ckpt_upsert_part_")
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_upsert_partitioned(
+                    stream, state_dir, buckets=8
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    state = upsert_state_partitioned(spark, state_dir)
+    return state.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@_q(
+    "stream_agg_mv_partitioned",
+    """SELECT user_id,
+              round(sum(value), 2) AS sum_value,
+              CAST(count(*) AS BIGINT) AS n_rows
+       FROM events GROUP BY user_id""",
+)
+def stream_agg_mv_partitioned(spark, sf_dir):
+    """Incrementally-maintained aggregate materialized view
+    (incremental.foreach_batch_agg_mv_partitioned): per trigger the
+    batch's PARTIAL per-key sums fold into the stored running
+    aggregates on the same per-bucket create-only commit machinery —
+    the streaming answer to 'keep this groupBy current' at
+    O(batch + touched buckets) per trigger instead of re-scanning
+    history. Drained over two micro-batches, the view must equal the
+    one-shot groupBy (the oracle). Unlike the latest-row sinks the
+    additive fold is NOT duplicate-tolerant across redeliveries of
+    different batch ids, so the fixture drains two DISJOINT halves
+    (the upsert fixtures' duplicated source would legitimately
+    double-count here)."""
+    import tempfile as _tf
+
+    from ..streaming.incremental import (
+        foreach_batch_agg_mv_partitioned,
+        upsert_state_partitioned,
+    )
+
+    src = _single_file_drops(
+        spark, sf_dir, "events", ["user_id", "value", "event_id"],
+        [("0_even.parquet", F.col("event_id") % 2 == 0),
+         ("1_odd.parquet", F.col("event_id") % 2 == 1)],
+        "agg_mv_src_",
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id long, value double, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    ).select("user_id", "value")
+    state_dir = _tf.mkdtemp(prefix="agg_mv_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = _tf.mkdtemp(prefix="ckpt_agg_mv_")
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_agg_mv_partitioned(
+                    stream, state_dir, "user_id",
+                    {"sum_value": "value"}, buckets=8,
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    state = upsert_state_partitioned(spark, state_dir)
+    return state.select(
+        "user_id",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -5,6 +5,7 @@ processed exactly once."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from avk_job_skill_analytics_spark.streaming.incremental import (
@@ -347,3 +348,143 @@ def test_mix_fold_redelivery_guard(spark, tmp_path):
     assert state["tokens"] == {"web": 5, "book": 4}
     drain("ck2")  # clean replay re-presents epoch 0 -> guard skips
     assert state["tokens"] == {"web": 5, "book": 4}
+
+
+def test_partitioned_upsert_touches_only_batch_buckets(spark, tmp_path):
+    """The fact-sized-state contract: a batch whose keys hash to one
+    bucket must leave every other bucket's committed version
+    untouched (no rewrite, no retire), and the state reads back
+    merged across bucket generations."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.fsio import IndexFS
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        _partitioned_state_batch_fn,
+        _latest_merge,
+        _latest_reduce,
+        _resolve_bucket,
+        upsert_state_partitioned,
+    )
+
+    d = str(tmp_path / "state")
+    os.makedirs(d)
+    B = 4
+    sink = _partitioned_state_batch_fn(
+        d, _latest_reduce("user_id", ("ts", "event_id"), B),
+        _latest_merge("user_id", ("ts", "event_id")),
+        lambda df: df.withColumn(
+            "_b", F.pmod(F.col("user_id").cast("long"), F.lit(B))
+        ),
+    )
+    schema = "user_id long, ts long, event_id long"
+    sink(spark.createDataFrame(
+        [(0, 10, 1), (1, 10, 2), (2, 10, 3)], schema), 0)
+    fs = IndexFS(spark, d)
+    assert _resolve_bucket(fs, 0) == 0 and _resolve_bucket(fs, 2) == 0
+    # batch 1 touches ONLY bucket 1 (keys 1 and 5)
+    sink(spark.createDataFrame([(1, 20, 4), (5, 20, 5)], schema), 1)
+    assert _resolve_bucket(fs, 1) == 1
+    assert _resolve_bucket(fs, 0) == 0  # untouched: version unchanged
+    assert _resolve_bucket(fs, 2) == 0
+    assert not fs.is_dir("data/_b=0/_v=1")  # no rewrite happened
+    state = {
+        r["user_id"]: r["ts"]
+        for r in upsert_state_partitioned(spark, d).collect()
+    }
+    assert state == {0: 10, 1: 20, 2: 10, 5: 20}
+
+
+def test_partitioned_upsert_partial_commit_redelivery(spark, tmp_path):
+    """Crash after SOME bucket commits but before the root marker:
+    the redelivered batch must skip the committed buckets (their
+    version already is this batch's output — re-merging would be
+    reading a leaf while overwriting it) and finish the rest; the
+    final state equals a crash-free run's."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.fsio import IndexFS
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        _partitioned_state_batch_fn,
+        _latest_merge,
+        _latest_reduce,
+        upsert_state_partitioned,
+    )
+
+    B = 4
+    schema = "user_id long, ts long, event_id long"
+    b0 = spark.createDataFrame(
+        [(0, 10, 1), (1, 10, 2), (2, 10, 3)], schema)
+    b1 = spark.createDataFrame(
+        [(0, 20, 4), (1, 20, 5)], schema)
+
+    def mk(d):
+        os.makedirs(d)
+        return _partitioned_state_batch_fn(
+            d, _latest_reduce("user_id", ("ts", "event_id"), B),
+            _latest_merge("user_id", ("ts", "event_id")),
+            lambda df: df.withColumn(
+                "_b", F.pmod(F.col("user_id").cast("long"), F.lit(B))
+            ),
+        )
+
+    clean_d = str(tmp_path / "clean")
+    sink = mk(clean_d)
+    sink(b0, 0)
+    sink(b1, 1)
+    expected = sorted(
+        map(tuple, upsert_state_partitioned(spark, clean_d)
+            .select("user_id", "ts", "event_id").collect())
+    )
+    crash_d = str(tmp_path / "crash")
+    sink = mk(crash_d)
+    sink(b0, 0)
+    sink(b1, 1)
+    fs = IndexFS(spark, crash_d)
+    # simulate: root marker lost, AND bucket 1's commit lost while
+    # its data leaf survives (the worst partial window)
+    fs.delete("_batch_1")
+    fs.delete("_commit_b1_1")
+    sink(b1, 1)  # redelivery
+    assert fs.exists("_batch_1") and fs.exists("_commit_b1_1")
+    got = sorted(
+        map(tuple, upsert_state_partitioned(spark, crash_d)
+            .select("user_id", "ts", "event_id").collect())
+    )
+    assert got == expected
+
+
+def test_partitioned_upsert_retire_grace(spark, tmp_path):
+    """A bucket rewritten twice keeps exactly its newest version plus
+    one superseded version (snapshot isolation), retiring older ones
+    commit-file-first."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.fsio import IndexFS
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        _partitioned_state_batch_fn,
+        _latest_merge,
+        _latest_reduce,
+    )
+
+    B = 2
+    schema = "user_id long, ts long, event_id long"
+    d = str(tmp_path / "state")
+    os.makedirs(d)
+    sink = _partitioned_state_batch_fn(
+        d, _latest_reduce("user_id", ("ts", "event_id"), B),
+        _latest_merge("user_id", ("ts", "event_id")),
+        lambda df: df.withColumn(
+            "_b", F.pmod(F.col("user_id").cast("long"), F.lit(B))
+        ),
+    )
+    for i in range(3):
+        sink(spark.createDataFrame([(0, 10 + i, i)], schema), i)
+    fs = IndexFS(spark, d)
+    markers = sorted(
+        n for n in fs.listdir() if n.startswith("_commit_b0_")
+    )
+    assert markers == ["_commit_b0_1", "_commit_b0_2"]
+    leaves = sorted(
+        n for n in fs.listdir("data/_b=0") if n.startswith("_v=")
+    )
+    assert leaves == ["_v=1", "_v=2"]
