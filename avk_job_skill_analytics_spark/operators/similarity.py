@@ -891,7 +891,8 @@ def pq_train_codebooks(corpus: DataFrame, id_col: str, vec_col: str,
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                vec_col: str, k: int = 5, n_cells: int = 8,
                n_probe: int = 2, m: int = 8, sub_d: int = 8,
-               k_star: int = 8, round_digits: int = 6) -> DataFrame:
+               k_star: int = 8, round_digits: int = 6,
+               allowed: DataFrame | None = None) -> DataFrame:
     """IVF-PQ — the standard billion-scale ANN pipeline (Jégou et al.
     TPAMI'11 §IV): a coarse quantizer partitions the corpus into
     cells, each vector stores only its cell id + m PQ codes of its
@@ -935,6 +936,18 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                         round_digits).localCheckpoint()
     cbs = _ivfpq_seed_cbs(asg, m, sub_d, k_star, round_digits)
     codes = ivfpq_encode(asg, cbs, m, sub_d, round_digits)
+    if allowed is not None:
+        # filtered vector search over a SHARED index: quantizers stay
+        # trained on the full corpus, only the inventory the ADC join
+        # scores is restricted — a broadcast semi-join on the id
+        # (the metadata-predicate table is tiny next to the vectors)
+        codes = codes.join(
+            F.broadcast(
+                allowed.select(F.col(id_col).alias("_id")).distinct()
+            ),
+            "_id",
+            "semi",
+        )
     probes = ivfpq_probes(queries, id_col, vec_col, coarse, cbs,
                           n_probe, m, sub_d, round_digits)
     return ivfpq_score(codes, probes, k)

@@ -3240,15 +3240,23 @@ def txt_char_entropy(spark, sf_dir):
 
 def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
                k_star: int, n_queries: int, topk: int,
-               seed_pred: str | None = None) -> str:
+               seed_pred: str | None = None,
+               inv_pred: str | None = None) -> str:
     """DuckDB twin of similarity.ivfpq_topk: coarse cells, residual
     encoding, per-subspace seed codebooks over residuals, integer ADC
     restricted to probed cells — every argmin/ranking shares the
     rounded-distance + id tie-break convention. ``seed_pred``
     restricts CODEBOOK derivation (coarse seeds + PQ residual seeds)
     to a sub-corpus — the incremental-index contract where arrivals
-    are encoded with quantizers frozen on the base corpus."""
+    are encoded with quantizers frozen on the base corpus.
+    ``inv_pred`` restricts the INVENTORY the ADC join scores (the
+    filtered-search contract: shared quantizers, metadata-constrained
+    candidates)."""
     seed_where = f"WHERE {seed_pred} " if seed_pred else ""
+    inv_where = (
+        f" AND codes.vec_id IN (SELECT vec_id FROM embeddings "
+        f"WHERE {inv_pred})" if inv_pred else ""
+    )
     d_full = m * sub_d
     res = (f"list_transform(generate_series(1, {d_full}), "
            "j -> CAST(e.embedding[j] AS DOUBLE) - c.cv[j])")
@@ -3305,7 +3313,7 @@ def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
                FROM codes JOIN qt ON qt.cell = codes.cell
                                  AND qt.s = codes.s
                                  AND qt.code = codes.code
-               WHERE codes.vec_id <> qt.qid
+               WHERE codes.vec_id <> qt.qid{inv_where}
                GROUP BY qt.qid, codes.vec_id)
        SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
               CAST(rk AS BIGINT) AS rk
@@ -4510,4 +4518,53 @@ def ml_retrieval_metrics(spark, sf_dir):
         "ndcg_fp",
         (F.col("dcg_fp") * F.lit(1_000_000) / F.lit(idcg))
         .cast("long"),
+    )
+
+
+# ------------------------------------------------ filtered vector search
+@_q(
+    "ann_filtered_brute",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cosine
+             FROM q, embeddings c
+             WHERE c.vec_id <> q.query_id AND c.label < 3)
+       SELECT query_id, neighbor_id, cosine, rk FROM (
+         SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM s) t
+       WHERE rk <= 5""",
+)
+def ann_filtered_brute(spark, sf_dir):
+    """Filtered vector search, exact path: top-5 among ONLY the
+    vectors satisfying a metadata predicate (label < 3 — ~30% of the
+    corpus). The pre-filter composes with the brute scan: the
+    predicate pushes into the corpus read, so selectivity directly
+    cuts the scan — the right strategy when the filter is strong
+    enough that the survivor set is brute-forceable."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        e.filter(F.col("label") < 3),
+        e.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5,
+    )
+
+
+@_q("ann_filtered_ivfpq",
+    _ivfpq_sql(8, 2, 8, 8, 8, 10, 5, inv_pred="label < 3"))
+def ann_filtered_ivfpq(spark, sf_dir):
+    """Filtered vector search over a SHARED index: the IVF-PQ
+    quantizers stay trained on the FULL corpus (one index serves
+    every predicate), and the metadata constraint restricts only the
+    inventory the ADC join scores — a broadcast semi-join of the
+    allowed-id table against the codes, applied BEFORE ranking so the
+    top-5 are the best among eligible candidates, not a post-filtered
+    stump of the unfiltered list (the classic filtered-ANN recall
+    bug). Hash-matches the oracle replay with the same predicate."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
+        allowed=e.filter(F.col("label") < 3),
     )

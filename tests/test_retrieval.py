@@ -120,3 +120,26 @@ def test_nb_classifier_separates_controlled_corpus(spark):
     amb = {r["doc_id"]: r["score_fp"] for r in scored
            if r["doc_id"] >= 45}
     assert amb[45] == amb[46]
+
+
+def test_filtered_ivfpq_filters_before_ranking(spark):
+    """Filtered ANN must rank among ELIGIBLE candidates, not
+    post-filter the unfiltered top-k: every result satisfies the
+    predicate, and each query still gets a full k results whenever k
+    eligible candidates share its probed cells."""
+    e = spark.read.parquet(EMB)
+    q = e.filter(F.col("vec_id") < 10)
+    allowed = e.filter(F.col("label") < 3)
+    out = similarity.ivfpq_topk(
+        e, q, "vec_id", "embedding", k=5, allowed=allowed
+    ).collect()
+    ok_ids = {r["vec_id"] for r in allowed.select("vec_id").collect()}
+    assert out and all(r["neighbor_id"] in ok_ids for r in out)
+    # post-filtering the unfiltered list would keep only its eligible
+    # subset — strictly fewer hits than filter-before-rank whenever
+    # the unfiltered top-5 contains ineligible ids (it does here)
+    unfiltered = similarity.ivfpq_topk(
+        e, q, "vec_id", "embedding", k=5
+    ).collect()
+    post = [r for r in unfiltered if r["neighbor_id"] in ok_ids]
+    assert len(out) > len(post)
