@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .textstats import tokens
 
-__all__ = ["nb_train_weights", "nb_score"]
+__all__ = ["nb_train_weights", "nb_score", "nb_prior_fp"]
 
 _FP = 1_000_000.0
 
@@ -73,20 +73,43 @@ def nb_train_weights(docs: DataFrame, id_col: str, text_col: str,
     )
 
 
+def nb_prior_fp(docs: DataFrame, label_col: str) -> int:
+    """The model's class-prior term as one fixed-point integer —
+    compute it ONCE on the training corpus and freeze it alongside
+    the weight table (scoring a stream with a per-batch prior would
+    make the gate drift with arrival mix, not with content)."""
+    row = docs.agg(
+        F.sum(F.col(label_col)).alias("_n1"),
+        F.sum(F.lit(1) - F.col(label_col)).alias("_n0"),
+    ).select(
+        _llr_fp(F.col("_n1"), F.lit(1), F.col("_n0"), F.lit(1))
+        .alias("_p")
+    ).collect()[0]
+    return int(row["_p"])
+
+
 def nb_score(docs: DataFrame, weights: DataFrame, id_col: str,
-             text_col: str, label_col: str) -> DataFrame:
+             text_col: str, label_col: str,
+             prior_fp: int | None = None) -> DataFrame:
     """Score every document under the trained model: score(d) =
     prior_fp + Σ_t tf(d, t)·w_fp(t) — one (doc, term) aggregate, one
-    join on term, one exact integer sum. Returns (doc_id, score_fp,
-    pred, actual) with pred = score > 0."""
+    join on term, one exact integer sum. ``prior_fp`` freezes the
+    prior (serving a stream with the training-corpus prior); None
+    computes it from ``docs`` (train-equals-score corpora). Returns
+    (doc_id, score_fp, pred, actual) with pred = score > 0."""
     tf = tokens(docs, id_col, text_col).groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("_tf")
     )
-    prior = docs.agg(
-        F.sum(F.col(label_col)).alias("_n1"),
-        F.sum(F.lit(1) - F.col(label_col)).alias("_n0"),
-    ).select(_llr_fp(F.col("_n1"), F.lit(1), F.col("_n0"),
-                     F.lit(1)).alias("_prior_fp"))
+    if prior_fp is None:
+        prior = docs.agg(
+            F.sum(F.col(label_col)).alias("_n1"),
+            F.sum(F.lit(1) - F.col(label_col)).alias("_n0"),
+        ).select(_llr_fp(F.col("_n1"), F.lit(1), F.col("_n0"),
+                         F.lit(1)).alias("_prior_fp"))
+    else:
+        prior = docs.sparkSession.range(1).select(
+            F.lit(int(prior_fp)).cast("long").alias("_prior_fp")
+        )
     scored = (
         tf.join(weights, "term")
         .groupBy(id_col)

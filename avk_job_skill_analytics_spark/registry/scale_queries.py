@@ -4568,3 +4568,72 @@ def ann_filtered_ivfpq(spark, sf_dir):
         k=5, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
         allowed=e.filter(F.col("label") < 3),
     )
+
+
+# ------------------------------------- preference-pair construction (RLHF)
+def _pref_pairs_sql() -> str:
+    return f"""WITH clusters AS ({ORACLES["dd_dup_clusters"]}),
+       f AS ({_QUALITY_F_CTE.format(src="documents")}),
+       scored AS (SELECT c.cluster_id, c.doc_id,
+                         {_QUALITY_SCORE_SQL} AS quality
+                  FROM clusters c JOIN f USING (doc_id)),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY quality DESC, doc_id) AS rk
+                  FROM scored)
+       SELECT ch.cluster_id,
+              CAST(ch.doc_id AS BIGINT) AS chosen_id,
+              CAST(rj.doc_id AS BIGINT) AS rejected_id,
+              ch.quality AS q_chosen,
+              rj.quality AS q_rejected,
+              round(ch.quality - rj.quality, 4) AS margin
+       FROM ranked ch JOIN ranked rj
+         ON rj.cluster_id = ch.cluster_id AND rj.rk > 1
+       WHERE ch.rk = 1 AND rj.quality < ch.quality"""
+
+
+@_q("pipeline_preference_pairs", _pref_pairs_sql())
+def pipeline_preference_pairs(spark, sf_dir):
+    """Preference-pair construction for reward-model / DPO training
+    data: within each near-dup cluster (same content, different
+    copies), the highest-quality member becomes CHOSEN and every
+    strictly-lower-quality sibling becomes REJECTED — semantically
+    matched pairs whose only contrast is quality, the cheapest honest
+    preference signal a curation pipeline can mint without human
+    labels. Composes the oracle-shared cluster map with the codegen
+    quality score: one join, one cluster-partitioned rank window, one
+    per-cluster chosen×rejected join (bounded by cluster sizes, which
+    the LSH bucket cap already bounds upstream). Ties are EXCLUDED —
+    an equal-quality pair teaches the reward model noise."""
+    d = load(spark, sf_dir, "documents")
+    _, clusters = _cluster_map(spark, sf_dir)
+    scored = clusters.join(
+        d.select(
+            "doc_id",
+            textstats.quality_score(F.col("text")).alias("quality"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    chosen = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").cast("long").alias("chosen_id"),
+        F.col("quality").alias("q_chosen"),
+    )
+    rejected = ranked.filter(F.col("rk") > 1).select(
+        "cluster_id",
+        F.col("doc_id").cast("long").alias("rejected_id"),
+        F.col("quality").alias("q_rejected"),
+    )
+    return (
+        chosen.join(rejected, "cluster_id")
+        .filter(F.col("q_rejected") < F.col("q_chosen"))
+        .select(
+            "cluster_id", "chosen_id", "rejected_id",
+            "q_chosen", "q_rejected",
+            F.round(F.col("q_chosen") - F.col("q_rejected"), 4)
+            .alias("margin"),
+        )
+    )

@@ -1545,3 +1545,83 @@ def stream_agg_mv_partitioned(spark, sf_dir):
         F.round("sum_value", 2).alias("sum_value"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+# ------------------------------------------ NB classifier gate at ingest
+def _nb_gate_sql() -> str:
+    from .scale_queries import _nb_sql
+
+    return f"""WITH nb AS ({_nb_sql()})
+       SELECT pred, actual, CAST(count(*) AS BIGINT) AS n
+       FROM nb GROUP BY pred, actual"""
+
+
+@_q("stream_nb_gate", _nb_gate_sql())
+def stream_nb_gate(spark, sf_dir):
+    """Classifier gate at ingest (operators/classify + the
+    epoch-guarded driver fold): the Naive Bayes model trains OFFLINE
+    on the corpus — weight table and prior both frozen — and each
+    micro-batch of arriving documents is scored with exact integer
+    sums against the broadcast weights, folding a (pred, actual)
+    confusion matrix into exact driver counters. The drained matrix
+    hash-matches the batch scoring of the same documents: gating at
+    the stream is the same function as gating the lake, which is the
+    property that lets a pipeline move its quality filter upstream
+    without re-auditing it."""
+    from ..operators import classify
+    from ..streaming.incremental import (
+        epoch_already_applied,
+        epoch_mark_applied,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    weights = classify.nb_train_weights(
+        docs, "doc_id", "text", "_y"
+    ).localCheckpoint()
+    prior_fp = classify.nb_prior_fp(docs, "_y")
+    src = _single_file_drops(
+        spark, sf_dir, "documents", ["doc_id", "text", "lang"],
+        [("0_even.parquet", F.col("doc_id") % 2 == 0),
+         ("1_odd.parquet", F.col("doc_id") % 2 == 1)],
+        "nb_gate_src_",
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    state: dict = {"counts": {}, "seen": set()}
+
+    def fold(bdf, epoch_id):
+        if epoch_already_applied(state, epoch_id):
+            return
+        scored = classify.nb_score(
+            bdf.withColumn("_y", (F.col("lang") == "en").cast("int")),
+            weights, "doc_id", "text", "_y", prior_fp=prior_fp,
+        )
+        for r in scored.groupBy("pred", "actual").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect():
+            key = (int(r["pred"]), int(r["actual"]))
+            state["counts"][key] = state["counts"].get(key, 0) + int(r["n"])
+        epoch_mark_applied(state, epoch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_nbgate_")
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        [(p, a, n) for (p, a), n in sorted(state["counts"].items())],
+        "pred long, actual long, n long",
+    )
