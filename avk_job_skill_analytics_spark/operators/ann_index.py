@@ -137,7 +137,8 @@ def build_index(spark, corpus: DataFrame, id_col: str, vec_col: str,
 
 def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
                vec_col: str, n_probe: int = 2, sub_d: int = 8,
-               k: int = 5, round_digits: int = 6) -> DataFrame:
+               k: int = 5, round_digits: int = 6,
+               allowed: DataFrame | None = None) -> DataFrame:
     """IVF-PQ retrieval FROM the stored index — no raw corpus
     embedding is read: quantizers load from the side tables, the
     query vectors probe their ``n_probe`` nearest cells, the probed
@@ -186,6 +187,19 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
         .filter(F.col("_batch").cast("long").isin(committed))
         .select("_id", F.col("_cell").cast("long").alias("_cell"), "_codes")
     )
+    if allowed is not None:
+        # filtered serving over the SHARED stored index: the metadata
+        # predicate's id table broadcast-semi-joins the probed
+        # inventory BEFORE ranking (best eligible candidates, not a
+        # post-filtered stump) — directory pruning still applies, the
+        # filter only thins what the probed cells yielded
+        inv = inv.join(
+            F.broadcast(
+                allowed.select(F.col(id_col).alias("_id")).distinct()
+            ),
+            "_id",
+            "semi",
+        )
     return similarity.ivfpq_score(inv, probes, k)
 
 

@@ -1411,3 +1411,31 @@ def io_partition_overwrite(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+def _ivfpq_filtered_served_sql() -> str:
+    from .scale_queries import _ivfpq_sql
+
+    return _ivfpq_sql(8, 2, 8, 8, 8, 10, 5, inv_pred="label < 3")
+
+
+@_q("ann_filtered_served", _ivfpq_filtered_served_sql())
+def ann_filtered_served(spark, sf_dir):
+    """Filtered retrieval FROM THE STORED INDEX — the serving-path
+    twin of ann_filtered_ivfpq: one shared index answers every
+    metadata predicate (quantizers and the cell-partitioned inventory
+    are predicate-agnostic), the probed-cell directory pruning still
+    bounds what's opened, and the allowed-id table (label < 3)
+    broadcast-semi-joins the probed codes BEFORE ranking. Reuses the
+    SAME persisted index as ann_ivfpq_served — filtered and
+    unfiltered serving from one store, each hash-matching its
+    oracle."""
+    from ..operators import ann_index
+
+    d = _ann_ivfpq_index_dir(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    return ann_index.serve_topk(
+        spark, d, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        n_probe=2, sub_d=8, k=5,
+        allowed=e.filter(F.col("label") < 3).select("vec_id"),
+    )
