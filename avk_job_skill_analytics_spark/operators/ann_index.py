@@ -150,7 +150,11 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
     collects)."""
     from . import similarity
 
-    from ..streaming.fsio import IndexFS, committed_batch_ids, ensure_protocol
+    from ..streaming.fsio import (
+        IndexFS,
+        committed_batch_ids,
+        legacy_overlay_ids,
+    )
 
     coarse, cbs = load_codebooks(spark, index_dir)
     probes = similarity.ivfpq_probes(
@@ -168,15 +172,20 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
             [], "query_id long, neighbor_id long, adc_dist long, rk int"
         )
     fs = IndexFS(spark, index_dir)
-    # one-time upgrade stamp: a pre-v2 index's base build never
-    # touched _batch_-1 — adopt it instead of silently serving nothing
-    ensure_protocol(fs, lambda: "-1" in _leaf_batch_ids(fs))
+    # pre-v2 compat, READ-ONLY: a legacy base build never touched
+    # _batch_-1 — overlay it into this read's committed view instead
+    # of silently serving nothing (serving tiers may lack write
+    # permission on the index root; the next writer stamps durably)
+    leaves = _leaf_batch_ids(fs)
+    overlay = legacy_overlay_ids(
+        fs, lambda: "-1" in leaves, lambda b: b in leaves
+    )
     # committed ∩ leaves-that-exist: the predicate stays bounded by
     # LIVE leaves (one generation + recent batches after compaction),
     # not by how many redelivery markers have ever been written
     committed = sorted(
         int(b)
-        for b in committed_batch_ids(fs) & _leaf_batch_ids(fs)
+        for b in (committed_batch_ids(fs) | overlay) & leaves
     )
     inv = (
         spark.read.parquet(f"{index_dir}/cells")
@@ -325,6 +334,7 @@ def compact_cells(spark, index_dir: str, buckets: int = 1,
     from ..streaming.fsio import (
         IndexFS,
         committed_batch_ids,
+        count_committed_files,
         drop_stale_generations,
         ensure_protocol,
         next_generation,
@@ -333,7 +343,9 @@ def compact_cells(spark, index_dir: str, buckets: int = 1,
     )
 
     fs = IndexFS(spark, index_dir)
-    ensure_protocol(fs, lambda: "-1" in _leaf_batch_ids(fs))
+    _leaves0 = _leaf_batch_ids(fs)
+    ensure_protocol(fs, lambda: "-1" in _leaves0,
+                    lambda b: b in _leaves0)
     _recover_cells(fs)
     # reclaim half-written generations from a pre-commit crash
     stale = sorted(
@@ -366,12 +378,10 @@ def compact_cells(spark, index_dir: str, buckets: int = 1,
     # in-flight scans and is purged at the next compaction's apply
     committed_now = committed_batch_ids(fs)
     after = sum(
-        fs.count_files(f"cells/{cd}/{name}")
+        count_committed_files(fs, f"cells/{cd}", prefix="_batch=",
+                              committed=committed_now)
         for cd in fs.listdir("cells")
         if cd.startswith("_cell=")
-        for name in fs.listdir(f"cells/{cd}")
-        if name.startswith("_batch=")
-        and name.split("=", 1)[1] in committed_now
     )
     return {
         "files_before": before,

@@ -110,24 +110,34 @@ def nb_score(docs: DataFrame, weights: DataFrame, id_col: str,
         prior = docs.sparkSession.range(1).select(
             F.lit(int(prior_fp)).cast("long").alias("_prior_fp")
         )
-    scored = (
-        tf.join(weights, "term")
+    # LEFT joins end to end: an out-of-vocabulary term contributes 0
+    # (no evidence), and a document with NO matching terms — or no
+    # tokens at all — scores prior-only instead of silently vanishing
+    # from the gate (a gate that neither passes nor rejects an
+    # arrival under-counts it)
+    term_scores = (
+        tf.join(weights, "term", "left")
         .groupBy(id_col)
-        .agg(F.sum(F.col("_tf") * F.col("w_fp")).alias("_s"))
+        .agg(
+            F.sum(F.col("_tf") * F.coalesce(F.col("w_fp"), F.lit(0)))
+            .alias("_s")
+        )
+    )
+    return (
+        docs.select(F.col(id_col),
+                    F.col(label_col).cast("long").alias("actual"))
+        .join(term_scores, id_col, "left")
         .crossJoin(F.broadcast(prior))
         .select(
             F.col(id_col),
-            (F.col("_s") + F.col("_prior_fp")).cast("long")
-            .alias("score_fp"),
+            (F.coalesce(F.col("_s"), F.lit(0)) + F.col("_prior_fp"))
+            .cast("long").alias("score_fp"),
+            "actual",
         )
-    )
-    return scored.join(
-        docs.select(F.col(id_col),
-                    F.col(label_col).cast("long").alias("actual")),
-        id_col,
-    ).select(
-        id_col,
-        "score_fp",
-        (F.col("score_fp") > 0).cast("long").alias("pred"),
-        "actual",
+        .select(
+            id_col,
+            "score_fp",
+            (F.col("score_fp") > 0).cast("long").alias("pred"),
+            "actual",
+        )
     )

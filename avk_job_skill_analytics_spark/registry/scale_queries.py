@@ -4384,14 +4384,16 @@ def _nb_sql() -> str:
                FROM lab),
        tf AS (SELECT doc_id, term, count(*) AS tf
               FROM tok GROUP BY doc_id, term),
-       sc AS (SELECT tf.doc_id, sum(tf.tf * w.w_fp) AS s
-              FROM tf JOIN w USING (term) GROUP BY tf.doc_id)
+       sc AS (SELECT tf.doc_id,
+                     sum(tf.tf * coalesce(w.w_fp, 0)) AS s
+              FROM tf LEFT JOIN w USING (term) GROUP BY tf.doc_id)
        SELECT lab.doc_id,
-              CAST(sc.s + pri.prior_fp AS BIGINT) AS score_fp,
-              CAST(CASE WHEN sc.s + pri.prior_fp > 0 THEN 1 ELSE 0 END
-                   AS BIGINT) AS pred,
+              CAST(coalesce(sc.s, 0) + pri.prior_fp AS BIGINT)
+                  AS score_fp,
+              CAST(CASE WHEN coalesce(sc.s, 0) + pri.prior_fp > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS pred,
               CAST(lab.y AS BIGINT) AS actual
-       FROM sc JOIN lab ON lab.doc_id = sc.doc_id, pri"""
+       FROM lab LEFT JOIN sc ON sc.doc_id = lab.doc_id, pri"""
 
 
 @_q("txt_nb_classifier", _nb_sql())
@@ -4442,7 +4444,8 @@ def _retrieval_metrics_sql() -> str:
                FROM hits h JOIN g ON g.rk = h.rk
                GROUP BY h.query_id)
        SELECT query_id, mrr_fp, dcg_fp,
-              CAST(dcg_fp * 1000000 / {idcg} AS BIGINT) AS ndcg_fp
+              CAST(floor(CAST(dcg_fp * 1000000 AS DOUBLE) / {idcg})
+                   AS BIGINT) AS ndcg_fp
        FROM agg"""
 
 
@@ -4514,10 +4517,15 @@ def ml_retrieval_metrics(spark, sf_dir):
             .alias("dcg_fp"),
         )
     )
+    # explicit floor on BOTH engines: a bare cast truncates in Spark
+    # but rounds-half-away in DuckDB — a parity break the fixture's
+    # current dcg values merely happen to dodge
     return agg.withColumn(
         "ndcg_fp",
-        (F.col("dcg_fp") * F.lit(1_000_000) / F.lit(idcg))
-        .cast("long"),
+        F.floor(
+            (F.col("dcg_fp") * F.lit(1_000_000)).cast("double")
+            / F.lit(idcg)
+        ).cast("long"),
     )
 
 
@@ -4572,66 +4580,72 @@ def ann_filtered_ivfpq(spark, sf_dir):
 
 # ------------------------------------- preference-pair construction (RLHF)
 def _pref_pairs_sql() -> str:
-    return f"""WITH clusters AS ({ORACLES["dd_dup_clusters"]}),
-       f AS ({_QUALITY_F_CTE.format(src="documents")}),
-       scored AS (SELECT c.cluster_id, c.doc_id,
+    return f"""WITH f AS (
+         SELECT d.doc_id, d.source, ff.n_chars, ff.stop_r, ff.punct_r
+         FROM documents d JOIN ({_QUALITY_F_CTE.format(src="documents")}) ff
+           ON ff.doc_id = d.doc_id),
+       scored AS (SELECT source, doc_id,
                          {_QUALITY_SCORE_SQL} AS quality
-                  FROM clusters c JOIN f USING (doc_id)),
-       ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
-                     ORDER BY quality DESC, doc_id) AS rk
+                  FROM f),
+       ranked AS (SELECT *,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY quality DESC, doc_id) AS rk_top,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY quality ASC, doc_id) AS rk_low
                   FROM scored)
-       SELECT ch.cluster_id,
+       SELECT ch.source,
               CAST(ch.doc_id AS BIGINT) AS chosen_id,
               CAST(rj.doc_id AS BIGINT) AS rejected_id,
               ch.quality AS q_chosen,
               rj.quality AS q_rejected,
               round(ch.quality - rj.quality, 4) AS margin
        FROM ranked ch JOIN ranked rj
-         ON rj.cluster_id = ch.cluster_id AND rj.rk > 1
-       WHERE ch.rk = 1 AND rj.quality < ch.quality"""
+         ON rj.source = ch.source AND rj.rk_low <= 3
+       WHERE ch.rk_top = 1 AND rj.quality < ch.quality"""
 
 
 @_q("pipeline_preference_pairs", _pref_pairs_sql())
 def pipeline_preference_pairs(spark, sf_dir):
     """Preference-pair construction for reward-model / DPO training
-    data: within each near-dup cluster (same content, different
-    copies), the highest-quality member becomes CHOSEN and every
-    strictly-lower-quality sibling becomes REJECTED — semantically
-    matched pairs whose only contrast is quality, the cheapest honest
-    preference signal a curation pipeline can mint without human
-    labels. Composes the oracle-shared cluster map with the codegen
-    quality score: one join, one cluster-partitioned rank window, one
-    per-cluster chosen×rejected join (bounded by cluster sizes, which
-    the LSH bucket cap already bounds upstream). Ties are EXCLUDED —
-    an equal-quality pair teaches the reward model noise."""
+    data: within each SOURCE cohort (same domain, comparable style),
+    the highest-quality document becomes CHOSEN and each of the
+    cohort's 3 lowest-quality documents with STRICTLY lower quality
+    becomes REJECTED — matched-context pairs whose contrast is
+    quality, the cheapest honest preference signal a curation
+    pipeline mints without human labels (ties excluded: an
+    equal-quality pair teaches the reward model noise). One codegen
+    quality scan, two source-partitioned rank windows, one bounded
+    chosen×bottom-3 join — at 100 TB the pair count is
+    |sources| × 3, never quadratic in documents."""
     d = load(spark, sf_dir, "documents")
-    _, clusters = _cluster_map(spark, sf_dir)
-    scored = clusters.join(
-        d.select(
-            "doc_id",
-            textstats.quality_score(F.col("text")).alias("quality"),
-        ),
-        "doc_id",
+    scored = d.select(
+        "source", "doc_id",
+        textstats.quality_score(F.col("text")).alias("quality"),
     )
-    w = Window.partitionBy("cluster_id").orderBy(
+    w_top = Window.partitionBy("source").orderBy(
         F.desc("quality"), F.asc("doc_id")
     )
-    ranked = scored.withColumn("rk", F.row_number().over(w))
-    chosen = ranked.filter(F.col("rk") == 1).select(
-        "cluster_id",
+    w_low = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn(
+        "rk_top", F.row_number().over(w_top)
+    ).withColumn("rk_low", F.row_number().over(w_low))
+    chosen = ranked.filter(F.col("rk_top") == 1).select(
+        "source",
         F.col("doc_id").cast("long").alias("chosen_id"),
         F.col("quality").alias("q_chosen"),
     )
-    rejected = ranked.filter(F.col("rk") > 1).select(
-        "cluster_id",
+    rejected = ranked.filter(F.col("rk_low") <= 3).select(
+        "source",
         F.col("doc_id").cast("long").alias("rejected_id"),
         F.col("quality").alias("q_rejected"),
     )
     return (
-        chosen.join(rejected, "cluster_id")
+        chosen.join(rejected, "source")
         .filter(F.col("q_rejected") < F.col("q_chosen"))
         .select(
-            "cluster_id", "chosen_id", "rejected_id",
+            "source", "chosen_id", "rejected_id",
             "q_chosen", "q_rejected",
             F.round(F.col("q_chosen") - F.col("q_rejected"), 4)
             .alias("margin"),

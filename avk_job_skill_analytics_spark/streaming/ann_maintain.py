@@ -117,8 +117,18 @@ def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
         if fs.exists(f"_batch_{batch_id}"):
             return
         # one-time upgrade stamp: adopt a pre-v2 index's unmarkered
-        # base build before any v2 read/recover touches it
-        ensure_protocol(fs, lambda: "-1" in _leaf_batch_ids(fs))
+        # base build before any v2 read/recover touches it (the leaf
+        # listing is memoized and only ever taken while UNSTAMPED —
+        # zero extra LIST calls on the steady-state hot path)
+        probe: dict = {}
+
+        def _leaves():
+            if "v" not in probe:
+                probe["v"] = _leaf_batch_ids(fs)
+            return probe["v"]
+
+        ensure_protocol(fs, lambda: "-1" in _leaves(),
+                        lambda b: b in _leaves())
         _recover_cells(fs)
         if "cb" not in frozen:
             frozen["cb"] = load_ivfpq_codebooks(spark, index_dir)
@@ -185,6 +195,7 @@ def compact_raw_log(spark, root_dir: str, id_col: str,
     from .fsio import (
         IndexFS,
         committed_batch_ids,
+        count_committed_files,
         drop_stale_generations,
         next_generation,
         write_journal,
@@ -220,13 +231,7 @@ def compact_raw_log(spark, root_dir: str, id_col: str,
     _recover(fs, _delete_raw_batches)
     # committed view only: consumed leaves keep their data for one
     # tombstone grace cycle (in-flight readers), purged next apply
-    committed_now = committed_batch_ids(fs)
-    after = sum(
-        fs.count_files(f"raw/{name}")
-        for name in fs.listdir("raw")
-        if name.startswith("_rbatch=")
-        and name.split("=", 1)[1] in committed_now
-    )
+    after = count_committed_files(fs, "raw", prefix="_rbatch=")
     return {
         "files_before": before,
         "files_after": after,

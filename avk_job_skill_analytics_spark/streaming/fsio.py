@@ -48,13 +48,18 @@ Commit protocol — rename-free for data (VERDICT r6 ask #1):
 
 - **protocol stamp + legacy migration** ``_protocol_v2``: pre-round-7
   roots committed their compacted data as an UNMARKERED ``batch=-1``
-  sentinel with a list-form journal. On first contact, any v2 writer
-  or reader stamps the root; if the root predates the stamp and
-  carries an unmarkered ``batch=-1``, that generation is adopted as
-  committed (its marker is touched) instead of being silently
-  excluded and then destroyed as a stale generation (ADVICE r7 #3).
-  Once the stamp exists, an unmarkered negative generation is what
-  the v2 protocol says it is: pre-commit garbage.
+  sentinel with a list-form journal. On first contact, a v2 WRITER
+  stamps the root; if the root predates the stamp, carries an
+  unmarkered ``batch=-1``, and the adoption evidence holds (some real
+  marker's data dir already consumed, or no real markers at all —
+  see ``_legacy_adoptable``; a crashed pre-commit generation matches
+  neither and stays garbage), that generation is adopted as committed
+  instead of being silently excluded and then destroyed as a stale
+  generation (ADVICE r7 #3). Read-only serving paths never write:
+  they union ``legacy_overlay_ids`` into their committed view and
+  leave the durable stamp to the next writer. Once the stamp exists,
+  an unmarkered negative generation is what the v2 protocol says it
+  is: pre-commit garbage.
 
 The only rename anywhere is the tmp→final swap of the journal file
 itself: atomic on HDFS/POSIX; on S3A the copy half is one atomic PUT,
@@ -147,7 +152,15 @@ class IndexFS:
         p = self._p(rel)
         if self._fs.exists(p):
             return
-        self._fs.create(p, False).close()
+        try:
+            self._fs.create(p, False).close()
+        except Exception:
+            if self._fs.exists(p):
+                # benign lost race: some other caller created the
+                # same marker between the probe and the create —
+                # create-only semantics held, the file exists
+                return
+            raise
 
     def write_text(self, rel: str, text: str) -> None:
         """Atomic small-file publish: write ``<rel>.tmp`` fully, then
@@ -277,6 +290,23 @@ def committed_batch_ids(fs: IndexFS) -> set[str]:
     return ids
 
 
+def count_committed_files(fs: IndexFS, table: str,
+                          prefix: str = "batch=",
+                          committed: set[str] | None = None) -> int:
+    """Data files under ``table``'s COMMITTED leaf directories — the
+    file count a new reader actually opens (tombstoned leaves retain
+    their bytes for one grace cycle but are invisible to the
+    committed view). Shared by every layout's compactor stats."""
+    if committed is None:
+        committed = committed_batch_ids(fs)
+    return sum(
+        fs.count_files(f"{table}/{name}")
+        for name in fs.listdir(table)
+        if name.startswith(prefix)
+        and name.split("=", 1)[1] in committed
+    )
+
+
 def next_generation(fs: IndexFS) -> int:
     """Fresh negative generation id: below every committed one AND
     every retired tombstone — a retired generation's data is still on
@@ -378,20 +408,68 @@ def retire_real_markers(fs: IndexFS, horizon: int = 1000) -> None:
             fs.delete(f"{MARKER}{b}")
 
 
-def ensure_protocol(fs: IndexFS, legacy_gen_probe) -> None:
-    """One-time upgrade stamp (ADVICE r7 #3). Pre-round-7 roots
-    committed compacted data as an UNMARKERED ``batch=-1`` sentinel;
-    under v2 semantics that partition would be silently excluded from
-    every read and then DELETED as a stale uncommitted generation.
-    On first contact with an unstamped root: if ``legacy_gen_probe()``
-    (lazy — layouts differ) finds the legacy sentinel data and no
-    ``_batch_-1`` marker exists, adopt it as committed by touching
-    the marker; then stamp the root. After the stamp, an unmarkered
-    negative generation is what v2 says it is — pre-commit garbage —
-    so every v2 writer calls this BEFORE its first write to the root.
+def _legacy_adoptable(fs: IndexFS, legacy_gen_probe,
+                      batch_dir_probe) -> bool:
+    """True when an unmarkered ``batch=-1`` on an UNSTAMPED root is
+    best explained as a pre-v2 COMMITTED sentinel rather than a
+    crashed compaction's pre-commit garbage. Evidence: a pre-v2 apply
+    deleted its consumed batch directories but kept their real
+    markers, so either (a) some real marker exists whose data
+    directory is gone (a past legacy compaction really consumed it),
+    or (b) no real markers exist at all (a pure legacy base build —
+    the old ann build_index wrote ``batch=-1`` with no marker and no
+    batches). A crashed pre-commit generation coexists with the
+    batches it would have consumed — every real marker still has its
+    directory — so it matches neither arm and stays garbage."""
+    if not legacy_gen_probe():
+        return False
+    real = [
+        name[len(MARKER):]
+        for name in fs.listdir()
+        if name.startswith(MARKER)
+        and not name[len(MARKER):].startswith("-")
+    ]
+    if not real:
+        return True
+    return any(not batch_dir_probe(b) for b in real)
+
+
+def ensure_protocol(fs: IndexFS, legacy_gen_probe,
+                    batch_dir_probe) -> None:
+    """WRITER-path one-time upgrade stamp (ADVICE r7 #3). Pre-round-7
+    roots committed compacted data as an UNMARKERED ``batch=-1``
+    sentinel; under v2 semantics that partition would be silently
+    excluded from every read and then DELETED as a stale uncommitted
+    generation. On first contact with an unstamped root: if the
+    sentinel data exists, no ``_batch_-1`` marker does, and the
+    adoption EVIDENCE holds (:func:`_legacy_adoptable` — so a crashed
+    pre-commit generation from the unstamped predecessor is not
+    promoted into committed duplicate rows), adopt it by touching the
+    marker; then stamp the root. After the stamp, an unmarkered
+    negative generation is what v2 says it is — pre-commit garbage.
+    Writers only (sinks, compactors — single writer by contract);
+    read-only serving paths use :func:`legacy_overlay_ids` instead.
     One exists() probe per call once stamped."""
     if fs.exists(PROTOCOL):
         return
-    if not fs.exists(f"{MARKER}-1") and legacy_gen_probe():
+    if not fs.exists(f"{MARKER}-1") and _legacy_adoptable(
+        fs, legacy_gen_probe, batch_dir_probe
+    ):
         fs.touch(f"{MARKER}-1")
     fs.touch(PROTOCOL)
+
+
+def legacy_overlay_ids(fs: IndexFS, legacy_gen_probe,
+                       batch_dir_probe) -> set[str]:
+    """READ-ONLY twin of :func:`ensure_protocol` for serving paths: a
+    reader of a pre-v2 root must see the legacy sentinel as committed
+    but must not WRITE to the index root (query tiers commonly hold
+    read-only credentials, and concurrent readers must not race on a
+    stamp). Returns the extra batch ids to union into the committed
+    view — {'-1'} on an unstamped root with adoptable legacy data,
+    else empty. The next writer contact performs the durable stamp."""
+    if fs.exists(PROTOCOL) or fs.exists(f"{MARKER}-1"):
+        return set()
+    if _legacy_adoptable(fs, legacy_gen_probe, batch_dir_probe):
+        return {"-1"}
+    return set()

@@ -36,13 +36,23 @@ from ..operators.textstats import tokens
 from .fsio import (
     IndexFS,
     committed_batch_ids,
+    count_committed_files,
     drop_stale_generations,
     ensure_protocol,
+    legacy_overlay_ids,
     next_generation,
     recover_compaction,
     retire_real_markers,
     write_journal,
 )
+
+
+def _legacy_probes(fs):
+    """(legacy_gen_probe, batch_dir_probe) for this layout."""
+    return (
+        lambda: fs.is_dir("postings/batch=-1"),
+        lambda b: fs.is_dir(f"postings/batch={b}"),
+    )
 
 __all__ = [
     "foreach_batch_bm25_maintain",
@@ -83,7 +93,7 @@ def _bm25_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
         fs = IndexFS(spark, index_dir)
         if fs.exists(f"_batch_{batch_id}"):
             return
-        ensure_protocol(fs, lambda: fs.is_dir("postings/batch=-1"))
+        ensure_protocol(fs, *_legacy_probes(fs))
         recover_compaction(fs, _delete_bm25_batches)
         toks = tokens(bdf, id_col, text_col).localCheckpoint()
         tf = toks.groupBy(id_col, "term").agg(
@@ -137,8 +147,11 @@ def serve_bm25(spark, index_dir: str, terms: list[str], id_col: str,
     and the shared ``bm25_rank`` scoring core — hash-identical to the
     batch BM25 over the same committed documents."""
     fs = IndexFS(spark, index_dir)
-    ensure_protocol(fs, lambda: fs.is_dir("postings/batch=-1"))
-    committed = committed_batch_ids(fs)
+    # pre-v2 compat, READ-ONLY: overlay a legacy sentinel into this
+    # read's committed view (serving must not write to the root)
+    committed = committed_batch_ids(fs) | legacy_overlay_ids(
+        fs, *_legacy_probes(fs)
+    )
     p_dirs = _committed_dirs(fs, "postings", committed)
     d_dirs = _committed_dirs(fs, "doclen", committed)
     if not p_dirs:
@@ -164,7 +177,7 @@ def compact_bm25_index(spark, index_dir: str, buckets: int = 1,
     pruning. Returns {'postings_files_before', 'postings_files_after',
     'rows'}."""
     fs = IndexFS(spark, index_dir)
-    ensure_protocol(fs, lambda: fs.is_dir("postings/batch=-1"))
+    ensure_protocol(fs, *_legacy_probes(fs))
     recover_compaction(fs, _delete_bm25_batches)
     stale = [
         int(name.split("=", 1)[1])
@@ -196,13 +209,7 @@ def compact_bm25_index(spark, index_dir: str, buckets: int = 1,
     write_journal(fs, gen, consumed)  # the atomic commit point
     recover_compaction(fs, _delete_bm25_batches)
     retire_real_markers(fs, marker_horizon)
-    committed_now = committed_batch_ids(fs)
-    after = sum(
-        fs.count_files(f"postings/{name}")
-        for name in fs.listdir("postings")
-        if name.startswith("batch=")
-        and name.split("=", 1)[1] in committed_now
-    )
+    after = count_committed_files(fs, "postings")
     return {
         "postings_files_before": before,
         "postings_files_after": after,

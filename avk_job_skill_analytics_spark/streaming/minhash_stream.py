@@ -262,7 +262,8 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
             return
         # one-time upgrade stamp: adopt a pre-v2 index's unmarkered
         # batch=-1 sentinel before any v2 read/recover touches it
-        ensure_protocol(fs, lambda: fs.is_dir("bands/batch=-1"))
+        ensure_protocol(fs, lambda: fs.is_dir("bands/batch=-1"),
+                        lambda b: fs.is_dir(f"bands/batch={b}"))
         recover_compaction(fs, _delete_lsh_batches)
         # ONE committed-set resolution per batch (root listing +
         # journal read) shared by both table reads and the compaction
@@ -401,6 +402,7 @@ def compact_lsh_index(spark, index_dir: str, buckets: int = 1,
     from .fsio import (
         IndexFS,
         committed_batch_ids,
+        count_committed_files,
         drop_stale_generations,
         ensure_protocol,
         next_generation,
@@ -409,7 +411,8 @@ def compact_lsh_index(spark, index_dir: str, buckets: int = 1,
     )
 
     fs = IndexFS(spark, index_dir)
-    ensure_protocol(fs, lambda: fs.is_dir("bands/batch=-1"))
+    ensure_protocol(fs, lambda: fs.is_dir("bands/batch=-1"),
+                    lambda b: fs.is_dir(f"bands/batch={b}"))
     _recover_compaction(fs)
     # reclaim half-written generations from a pre-commit crash
     stale = [
@@ -448,13 +451,7 @@ def compact_lsh_index(spark, index_dir: str, buckets: int = 1,
     # consumed batches' data survives one tombstone grace cycle for
     # in-flight scans, so the raw directory count transiently includes
     # it until the next compaction purges the ledger
-    committed_now = committed_batch_ids(fs)
-    after = sum(
-        fs.count_files(f"bands/{name}")
-        for name in fs.listdir("bands")
-        if name.startswith("batch=")
-        and name.split("=", 1)[1] in committed_now
-    )
+    after = count_committed_files(fs, "bands")
     return {
         "bands_files_before": before,
         "bands_files_after": after,

@@ -165,10 +165,73 @@ def test_ensure_protocol_probe_skipped_once_stamped(spark, tmp_path):
         calls["n"] += 1
         return False
 
-    ensure_protocol(fs, probe)
+    ensure_protocol(fs, probe, lambda b: True)
     assert calls["n"] == 1 and fs.exists(PROTOCOL)
-    ensure_protocol(fs, probe)
+    ensure_protocol(fs, probe, lambda b: True)
     assert calls["n"] == 1  # stamped: one exists() check, no probe
+
+
+def test_unstamped_precommit_garbage_not_adopted(spark, tmp_path):
+    """An UNSTAMPED root whose batch=-1 came from a CRASHED pre-commit
+    compaction (every real marker still has its data dir) must NOT be
+    adopted as committed — adopting it would double-count the batches
+    it half-copied. Only a root with legacy-apply evidence (a real
+    marker whose dir was consumed, or no real markers at all) is
+    migrated."""
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    fs = IndexFS(spark, d)
+    sig = spark.createDataFrame(
+        [(1, 0, "11_22")], "_idx_id long, band int, sig string"
+    )
+    sets = spark.createDataFrame(
+        [(1, [11, 22], 2)],
+        "_idx_id long, _idx_sh array<long>, _idx_n int",
+    )
+    sig.write.parquet(f"{d}/bands/batch=0")
+    sets.write.parquet(f"{d}/sets/batch=0")
+    open(f"{d}/_batch_0", "w").close()
+    # crashed compaction's half-written generation: batch 0's dir is
+    # still present alongside it
+    sig.write.parquet(f"{d}/bands/batch=-1")
+    sets.write.parquet(f"{d}/sets/batch=-1")
+    sink = _lsh_maintain_batch_fn(d, "doc_id", "text", 3, 16, 8, 0.5, 7)
+    sink(spark.createDataFrame(
+        [(5, "fresh words")], "doc_id long, text string"), 1)
+    assert fs.exists(PROTOCOL)
+    assert not fs.exists("_batch_-1")  # garbage stayed garbage
+    assert {"0", "1"} <= committed_batch_ids(fs)
+    # the next compaction reclaims it as a stale generation
+    compact_lsh_index(spark, d)
+    rows = sorted(
+        map(tuple, spark.read.parquet(*_committed_index_dirs(fs, "bands"))
+            .select("_idx_id", "band", "sig").collect())
+    )
+    # exactly one copy of doc 1's legacy row — no double-count
+    assert rows.count((1, 0, "11_22")) == 1
+
+
+def test_readonly_overlay_serves_legacy_without_writing(spark, tmp_path):
+    """serve paths on a pre-v2 root must see the legacy sentinel WITHOUT
+    writing anything to the root (read-only serving credentials)."""
+    from avk_job_skill_analytics_spark.streaming.lexical_stream import (
+        serve_bm25,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    # pure legacy base: postings at batch=-1, no markers at all
+    spark.createDataFrame(
+        [(1, "spark", 3), (2, "spark", 1)],
+        "doc_id long, term string, _tf long",
+    ).write.parquet(f"{d}/postings/batch=-1")
+    spark.createDataFrame(
+        [(1, 5), (2, 5)], "doc_id long, _dl long"
+    ).write.parquet(f"{d}/doclen/batch=-1")
+    before = sorted(os.listdir(d))
+    out = serve_bm25(spark, d, ["spark"], "doc_id", k=10).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert sorted(os.listdir(d)) == before  # nothing written
 
 
 def test_epoch_guard_state_is_bounded():

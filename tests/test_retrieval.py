@@ -143,3 +143,29 @@ def test_filtered_ivfpq_filters_before_ranking(spark):
     ).collect()
     post = [r for r in unfiltered if r["neighbor_id"] in ok_ids]
     assert len(out) > len(post)
+
+
+def test_nb_scores_oov_documents_prior_only(spark):
+    """A document whose every token is out-of-vocabulary (or that has
+    no tokens) must still be scored — prior-only — not silently
+    dropped from the gate."""
+    train = spark.createDataFrame(
+        [(1, "alpha alpha", 1), (2, "beta beta", 0),
+         (3, "beta", 0)],
+        "doc_id long, text string, y int",
+    )
+    w = classify.nb_train_weights(train, "doc_id", "text", "y")
+    prior = classify.nb_prior_fp(train, "y")
+    arrivals = spark.createDataFrame(
+        [(10, "zzz qqq", 0), (11, "", 1), (12, "alpha", 1)],
+        "doc_id long, text string, y int",
+    )
+    scored = {
+        r["doc_id"]: r["score_fp"]
+        for r in classify.nb_score(
+            arrivals, w, "doc_id", "text", "y", prior_fp=prior
+        ).collect()
+    }
+    assert set(scored) == {10, 11, 12}   # nothing vanished
+    assert scored[10] == prior == scored[11]  # OOV/empty: prior-only
+    assert scored[12] > prior            # in-vocab evidence added
