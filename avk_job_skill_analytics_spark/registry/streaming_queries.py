@@ -1625,3 +1625,79 @@ def stream_nb_gate(spark, sf_dir):
         [(p, a, n) for (p, a), n in sorted(state["counts"].items())],
         "pred long, actual long, n long",
     )
+
+
+# ------------------------------------------ incremental NB model training
+def _nb_weights_sql() -> str:
+    """The weight-table arm of scale_queries._nb_sql — batch training
+    over ALL documents, the oracle the incrementally-trained model
+    must equal."""
+    return r"""WITH lab AS (
+         SELECT doc_id, text,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM documents),
+       tok AS (SELECT doc_id, y,
+                      unnest(list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '')) AS term
+               FROM lab),
+       cnt AS (SELECT term, sum(y) AS c1, sum(1 - y) AS c0
+               FROM tok GROUP BY term),
+       tot AS (SELECT sum(y) AS t1, sum(1 - y) AS t0,
+                      count(DISTINCT term) AS v
+               FROM tok)
+       SELECT term,
+              CAST(floor(round(
+                ln(CAST((c1 + 1) * (t0 + v) AS DOUBLE)
+                   / CAST((c0 + 1) * (t1 + v) AS DOUBLE)), 6)
+                * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_fp
+       FROM cnt, tot"""
+
+
+@_q("stream_nb_train", _nb_weights_sql())
+def stream_nb_train(spark, sf_dir):
+    """Incrementally-TRAINED Naive Bayes
+    (streaming/classify_stream.foreach_batch_nb_train — the shared
+    journal protocol's fifth layout, and the first whose compaction
+    SUM-merges instead of concatenating): labeled documents arrive as
+    two disjoint micro-batches, each appending only its per-term
+    count deltas; ``compact_every=2`` folds both delta partitions
+    into one summed generation inside the drain. The weights served
+    from the compacted store must be bit-identical to one-shot batch
+    training over all documents — associative integer statistics are
+    WHY a classifier can train continuously without rescanning its
+    corpus, and this query is that claim under the hash gate."""
+    from ..streaming.classify_stream import (
+        foreach_batch_nb_train,
+        serve_nb_weights,
+    )
+
+    src = _single_file_drops(
+        spark, sf_dir, "documents", ["doc_id", "text", "lang"],
+        [("0_even.parquet", F.col("doc_id") % 2 == 0),
+         ("1_odd.parquet", F.col("doc_id") % 2 == 1)],
+        "nb_train_src_",
+    )
+    index_dir = tempfile.mkdtemp(prefix="nb_model_")
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_nbtrain_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    ).withColumn("_y", (F.col("lang") == "en").cast("int"))
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_nb_train(
+                    stream, index_dir, "doc_id", "text", "_y",
+                    compact_every=2,
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return serve_nb_weights(spark, index_dir)
