@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     core_queries,
     io_queries,
+    linkage_queries,
     pipeline_queries,
     scalar_queries,
     scale_queries,
@@ -32,6 +33,7 @@ _MODULES = (
     io_queries,
     window_queries,
     tpch_queries,
+    linkage_queries,
 )
 
 

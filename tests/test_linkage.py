@@ -1,0 +1,78 @@
+"""Entity-resolution operator guarantees (values are oracle-checked by
+verify_local; these tests pin the *contracts*: blocking cap, linkage
+ground truth, survivorship rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from avk_job_skill_analytics_spark.operators import linkage
+from avk_job_skill_analytics_spark.registry.linkage_queries import (
+    dirty_registry,
+)
+from tests.conftest import SF_DIR
+
+
+def test_block_cap_bounds_pair_fanout(spark):
+    # 40 records in ONE block (same nation, same digit tail) must be
+    # dropped by the census cap, not exploded into 780 pairs.
+    rows = [(i, "crm", "Junk#000000999", 7, 100.0, "AUTO")
+            for i in range(40)]
+    recs = spark.createDataFrame(
+        rows, ["rec_id", "src", "name", "nation", "acctbal", "segment"]
+    )
+    pairs = linkage.candidate_pairs_blocked(recs, max_block=16)
+    assert pairs.count() == 0
+    # and the same 40 records split across distinct tails DO pair
+    ok = spark.createDataFrame(
+        [(i, "crm", f"Junk#{i:09d}", 7, 100.0, "AUTO") for i in range(4)]
+        + [(100 + i, "web", f"junk {i:09d}", 7, 100.1, "AUTO")
+           for i in range(4)],
+        ["rec_id", "src", "name", "nation", "acctbal", "segment"],
+    )
+    assert linkage.candidate_pairs_blocked(ok, max_block=16).count() == 4
+
+
+def test_linkage_recovers_ground_truth(spark):
+    # Every synthesized web copy (rec_id = 2k+1, k%3==0) must match its
+    # crm original (rec_id = 2k) and nothing else: precision = recall = 1.
+    recs = dirty_registry(spark, SF_DIR)
+    scored = linkage.fs_score(linkage.candidate_pairs_blocked(recs))
+    matches = scored.filter(F.col("decision") == "match").select(
+        "a_rec_id", "b_rec_id"
+    )
+    got = {(r.a_rec_id, r.b_rec_id) for r in matches.collect()}
+    web_ids = {r.rec_id for r in
+               recs.filter(F.col("src") == "web").collect()}
+    want = {(w - 1, w) for w in web_ids}
+    assert got == want
+    assert len(got) == len(web_ids)
+
+
+def test_survivorship_rules(spark):
+    recs = dirty_registry(spark, SF_DIR)
+    scored = linkage.fs_score(linkage.candidate_pairs_blocked(recs))
+    resolved = linkage.resolve_entities(
+        recs, scored.filter(F.col("decision") == "match")
+    )
+    golden = linkage.golden_records(resolved)
+    joined = golden.join(
+        recs.filter(F.col("src") == "crm").select(
+            F.col("rec_id").alias("entity_id"),
+            F.col("name").alias("crm_name"),
+            F.col("acctbal").alias("crm_bal"),
+            F.col("segment").alias("crm_seg"),
+        ),
+        "entity_id",
+    )
+    bad = joined.filter(
+        (F.col("name") != F.col("crm_name"))          # crm name survives
+        | (F.col("acctbal") != F.round(F.col("crm_bal") + 0.25, 2))
+        | F.col("segment").isNull()                   # NULL never survives
+        | (F.col("segment") != F.col("crm_seg"))
+    )
+    assert golden.count() > 0
+    assert bad.count() == 0
+    # every golden entity is exactly the 2-record crm+web pair
+    assert golden.filter(F.col("n_records") != 2).count() == 0
+    assert golden.filter(F.col("n_sources") != 2).count() == 0
