@@ -102,6 +102,64 @@ def credit_card_audit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# ------------------------------- differential-privacy release helpers
+#
+# Two-sided geometric ("discrete Laplace") noise — the standard DP
+# mechanism for integer counts (Ghosh, Roughgarden & Sundararajan,
+# "Universally Utility-Maximizing Privacy Mechanisms", STOC 2009).
+# The noise draw is derived from a keyed hash of the release key
+# instead of an RNG: u = md5_long(seed|key) is uniform on [0, 2^60),
+# the low bit picks the sign, and the magnitude is how many
+# precomputed integer thresholds T_i = floor(2^59 * (1 - alpha^i))
+# the remaining 59 bits exceed, so P(|noise| >= i) ~ alpha^i with
+# alpha = exp(-eps/sensitivity).  Every comparison is exact integer
+# arithmetic on constants computed once driver-side — bit-identical
+# on any engine, which is what makes the release auditable/replayable
+# (a production deployment would swap the hash for a sealed RNG seed;
+# the mechanism and its calibration are unchanged).
+
+import math
+
+_DP_BITS = 59
+
+
+def geometric_thresholds(eps: float, cap: int = 12) -> list[int]:
+    """T_i = floor(2^59 * (1 - alpha^i)), i = 1..cap, alpha=exp(-eps).
+    The magnitude of the noise is #{i : v >= T_i} for v uniform on
+    [0, 2^59) — a geometric tail truncated at cap (the truncation
+    bias is alpha^cap, negligible for cap >= 12 at eps >= 0.5)."""
+    alpha = math.exp(-eps)
+    return [int((1 - alpha ** i) * (1 << _DP_BITS)) for i in
+            range(1, cap + 1)]
+
+
+def dp_noise(key: Column, seed: str, eps: float, cap: int = 12) -> Column:
+    """Keyed two-sided geometric noise as a BIGINT column."""
+    from .hashing import md5_long
+
+    u = md5_long(F.concat(F.lit(seed + "|"), key))
+    sign = (u % 2) * 2 - 1
+    v = F.floor(u / 2).cast("long")
+    mag = None
+    for t in geometric_thresholds(eps, cap):
+        term = (v >= F.lit(t)).cast("long")
+        mag = term if mag is None else mag + term
+    return (sign * mag).cast("long")
+
+
+def dp_noise_sql(key_expr: str, seed: str, eps: float,
+                 cap: int = 12) -> str:
+    """DuckDB twin of dp_noise — same thresholds, same hash."""
+    from .hashing import md5_long_sql
+
+    u = md5_long_sql(f"concat('{seed}|', {key_expr})")
+    mag = " + ".join(
+        f"CASE WHEN (({u}) // 2) >= {t} THEN 1 ELSE 0 END"
+        for t in geometric_thresholds(eps, cap)
+    )
+    return f"CAST(((({u}) % 2) * 2 - 1) * ({mag}) AS BIGINT)"
+
+
 def k_anonymity_audit(df, quasi_cols: list[str], k: int = 5):
     """k-anonymity audit over a quasi-identifier tuple (Sweeney 2002):
     how many equivalence classes are smaller than k, and what fraction

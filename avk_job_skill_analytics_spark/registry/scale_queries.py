@@ -1510,6 +1510,99 @@ def pii_redact(spark, sf_dir):
     return privacy.redact_pii(laced, "doc_id", "pii_text")
 
 
+# --------------------------------------- differential-privacy release
+_DP_EPS = 0.5
+_DP_TAU = 20  # noisy-count suppression threshold
+_DP_CAP_EVENTS = 3        # max events one user contributes
+_DP_CLAMP = 50.0          # per-event value clamp [0, 50]
+_DP_SENS_CENTS = 15000    # = cap_events * clamp * 100
+
+
+def _dp_release_sql() -> str:
+    noise = privacy.dp_noise_sql("event_type", "dp-count-v1", _DP_EPS)
+    return f"""WITH agg AS (
+         SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+       SELECT event_type, CAST(n + ({noise}) AS BIGINT) AS noisy_n
+       FROM agg WHERE n + ({noise}) >= {_DP_TAU}"""
+
+
+@_q("pii_dp_release", _dp_release_sql())
+def pii_dp_release(spark, sf_dir):
+    """Differentially-private count release (two-sided geometric /
+    discrete-Laplace mechanism — Ghosh et al., STOC 2009): per-group
+    true counts from one hash aggregate, integer noise derived from a
+    keyed hash of the release key (operators/privacy.dp_noise — pure
+    threshold comparisons against driver-precomputed constants, so
+    the draw replays bit-identically on any engine), and
+    noisy-threshold suppression of small groups (the release never
+    looks at the true count when deciding to publish — tau applies to
+    the noised value). Cost at 100 TB: the aggregate's one shuffle;
+    the mechanism itself is constant work per released row."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    noisy = agg.withColumn(
+        "noisy_n",
+        (F.col("n")
+         + privacy.dp_noise(F.col("event_type"), "dp-count-v1", _DP_EPS)
+         ).cast("long"),
+    )
+    return noisy.filter(F.col("noisy_n") >= _DP_TAU).select(
+        "event_type", "noisy_n"
+    )
+
+
+def _dp_bounded_sum_sql() -> str:
+    noise = privacy.dp_noise_sql("event_type", "dp-sum-v1", _DP_EPS)
+    return f"""WITH ranked AS (
+         SELECT event_type,
+                CAST(floor(least(greatest(value, 0.0), {_DP_CLAMP}) * 100)
+                     AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rk
+         FROM events),
+       agg AS (SELECT event_type, sum(cents) AS s
+               FROM ranked WHERE rk <= {_DP_CAP_EVENTS}
+               GROUP BY event_type)
+       SELECT event_type,
+              CAST(s + ({noise}) * {_DP_SENS_CENTS} AS BIGINT)
+                  AS noisy_total_cents
+       FROM agg"""
+
+
+@_q("pii_dp_bounded_sum", _dp_bounded_sum_sql())
+def pii_dp_bounded_sum(spark, sf_dir):
+    """DP sum with BOUNDED SENSITIVITY — the step naive noisy sums
+    skip: every user's contribution is capped at 3 events (earliest
+    by time — a per-user window, partition-bounded by that user's
+    rows) and every value clamped to [0, 50] before aggregation, so
+    one user can shift any group total by at most 3*50 = 150.00 and
+    the geometric noise scaled by that sensitivity actually delivers
+    its epsilon. Sums run in exact integer cents end to end — the
+    released value is a BIGINT, immune to float accumulation order.
+    Contribution bounding IS the scale design: without the cap, a
+    single bot user makes the sensitivity — and the required noise —
+    unbounded."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(
+        F.least(F.greatest(F.col("value"), F.lit(0.0)),
+                F.lit(_DP_CLAMP)) * 100
+    ).cast("long")
+    capped = (
+        ev.select("event_type", "user_id", "ts", "event_id",
+                  cents.alias("cents"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _DP_CAP_EVENTS)
+    )
+    agg = capped.groupBy("event_type").agg(F.sum("cents").alias("s"))
+    return agg.select(
+        "event_type",
+        (F.col("s")
+         + privacy.dp_noise(F.col("event_type"), "dp-sum-v1", _DP_EPS)
+         * F.lit(_DP_SENS_CENTS)).cast("long").alias("noisy_total_cents"),
+    )
+
+
 @_q(
     "txt_unigram_logprob",
     """WITH toks AS (
