@@ -121,6 +121,26 @@ def connected_components_twostar(pairs: DataFrame, a_col: str = "doc_a",
     )
 
 
+def mutual_edges(edges: DataFrame, src_col: str = "src",
+                 dst_col: str = "dst") -> DataFrame:
+    """Keep only RECIPROCATED directed edges, undirected (src < dst).
+
+    The mutual-kNN filter: in an approximate k-NN graph, a one-way
+    edge often just means the target sits in a dense region (hubness);
+    requiring both directions is the standard robustness step before
+    clustering on the graph. One self-join on the (already shuffled)
+    edge key — no new shuffle axis."""
+    rev = edges.select(
+        F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col)
+    )
+    return (
+        edges.select(src_col, dst_col)
+        .join(rev, [src_col, dst_col])
+        .filter(F.col(src_col) < F.col(dst_col))
+        .distinct()
+    )
+
+
 def pagerank_fixedpoint(edges: DataFrame, src_col: str = "src",
                         dst_col: str = "dst", iterations: int = 3,
                         damping_pct: int = 85,

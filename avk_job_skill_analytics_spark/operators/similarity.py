@@ -436,6 +436,28 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def knn_graph(df: DataFrame, id_col: str, vec_col: str, dim: int,
+              k: int = 3, planes: int = 4,
+              round_digits: int = 6) -> DataFrame:
+    """Approximate k-NN graph: every vector is simultaneously query
+    and corpus, bucketed by hyperplane signature, with top-k cosine
+    neighbors ranked within each node's bucket only.
+
+    This is the all-pairs regime where brute force is n^2 and even
+    per-query IVF probing is n·cells — LSH bucketing caps the join at
+    sum(bucket^2) pairs, and planes is the dial: each extra plane
+    halves expected bucket size (quartering pair cost) at some recall
+    loss. The graph (src, neighbor_id, cosine, rk) feeds mutual-kNN
+    clustering, SemDeDup-style pruning, and graph-based diversity
+    sampling downstream."""
+    return lsh_topk(
+        df, df, id_col, vec_col, dim=dim, k=k, planes=planes,
+        round_digits=round_digits,
+    ).select(
+        F.col("query_id").alias("src"), "neighbor_id", "cosine", "rk"
+    )
+
+
 def semantic_prune(df: DataFrame, id_col: str, vec_col: str,
                    k: int = 8, iters: int = 2, threshold: float = 0.4,
                    round_digits: int = 6) -> DataFrame:

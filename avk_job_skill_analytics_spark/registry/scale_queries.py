@@ -505,6 +505,111 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------- k-NN graph
+def _knn_graph_ctes(dim: int, planes: int, topk: int) -> str:
+    """sigs/knn CTE block — the DuckDB replay of similarity.knn_graph
+    (same hyperplane constants, same within-bucket top-k)."""
+    from ..operators.similarity import _plane_sign
+
+    def dot_p(p: int) -> str:
+        arr = "[" + ", ".join(
+            f"CAST('{_plane_sign(p, i)!r}' AS DOUBLE)" for i in range(dim)
+        ) + "]"
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
+            "(x, y) -> x + y)"
+        )
+
+    sig = " + ".join(
+        f"CASE WHEN {dot_p(p)} > 0 THEN CAST({1 << p} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for p in range(planes)
+    )
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""sigs AS MATERIALIZED (
+         SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+       sp AS (SELECT a.vec_id AS src, b.vec_id AS neighbor_id,
+                     round({cos}, 6) AS cosine
+              FROM sigs a JOIN sigs b
+                ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+       knn AS MATERIALIZED (
+         SELECT src, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
+         FROM (SELECT *, row_number() OVER (PARTITION BY src
+                  ORDER BY cosine DESC, neighbor_id) AS rk FROM sp) t
+         WHERE rk <= {topk})"""
+
+
+@_q(
+    "ann_knn_graph",
+    f"""WITH {_knn_graph_ctes(64, 4, 3)}
+       SELECT src, neighbor_id, cosine, rk FROM knn""",
+)
+def ann_knn_graph(spark, sf_dir):
+    """Approximate k-NN GRAPH over the whole corpus — the all-pairs
+    regime (every vector is query and corpus at once) where brute
+    force is n^2: hyperplane-LSH bucketing caps the self-join at
+    sum(bucket_size^2) pairs and each node ranks its top-3 inside its
+    bucket only. planes is the cost dial (each extra plane halves
+    expected bucket size). The oracle replays identical signatures
+    and ranking, so both engines miss exactly the same cross-bucket
+    neighbors. The edge list feeds mutual-kNN clustering and
+    SemDeDup-style graph pruning downstream."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(
+        e, "vec_id", "embedding", dim=64, k=3, planes=4
+    )
+
+
+@_q(
+    "graph_knn_mutual_components",
+    f"""WITH RECURSIVE {_knn_graph_ctes(64, 4, 3)},
+       mut AS (SELECT x.src AS s, x.neighbor_id AS d
+               FROM knn x JOIN knn y
+                 ON x.src = y.neighbor_id AND x.neighbor_id = y.src
+               WHERE x.src < x.neighbor_id),
+       edges AS (SELECT s, d FROM mut UNION SELECT d, s FROM mut),
+       reach(v, r) AS (
+         SELECT s, s FROM edges
+         UNION
+         SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v),
+       comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+       sizes AS (SELECT cluster_id, count(*) AS csize
+                 FROM comp GROUP BY cluster_id)
+       SELECT csize, count(*) AS n_components
+       FROM sizes GROUP BY csize""",
+)
+def graph_knn_mutual_components(spark, sf_dir):
+    """Mutual-kNN clustering: keep only RECIPROCATED 3-NN edges (the
+    hubness filter — a one-way edge usually just points into a dense
+    region), then connected components via two-star alternation
+    (O(log n) rounds) and a component-size histogram. This is the
+    scalable semantic-clustering recipe (mutual-kNN components are
+    the standard cheap proxy for cluster structure before anything
+    as heavy as k-means): LSH bounds edge generation, the mutual
+    filter is a self-join on the existing edge key, and CC never
+    materializes anything bigger than the edge list. Oracle replays
+    the closure with a recursive CTE."""
+    e = load(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(
+        e, "vec_id", "embedding", dim=64, k=3, planes=4
+    )
+    mut = graph.mutual_edges(edges, "src", "neighbor_id")
+    comp = graph.connected_components_twostar(
+        mut.select(
+            F.col("src").alias("doc_a"),
+            F.col("neighbor_id").alias("doc_b"),
+        )
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    return sizes.groupBy("csize").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )
+
+
 @_q(
     "emb_l2_normalize",
     f"""WITH n AS (SELECT vec_id, embedding,

@@ -1435,3 +1435,34 @@ def test_mix_planner_budget_and_epochs(spark):
     by_size = sorted(rows, key=lambda r: r["orig_tokens"])
     assert by_size[0]["epochs"] >= by_size[-1]["epochs"]
     assert by_size[0]["epochs"] > 2.0 > by_size[-1]["epochs"]
+
+
+def test_mutual_edges_requires_reciprocation(spark):
+    from avk_job_skill_analytics_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (4, 5), (5, 4), (5, 4)],
+        ["src", "dst"],
+    )
+    got = {(r.src, r.dst)
+           for r in graph.mutual_edges(edges, "src", "dst").collect()}
+    # 1<->2 and 4<->5 reciprocate (each emitted once, src<dst);
+    # 1->3 is one-way and must be dropped
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_knn_graph_is_bucketed_and_ranked(spark):
+    from avk_job_skill_analytics_spark.operators import similarity
+
+    # two orthogonal clusters land in different LSH buckets: no edge
+    # may cross them, and ranks are 1..k within each node
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(3)] + [
+        (10 + i, [0.0, 0.0, -1.0, 0.0]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    g = similarity.knn_graph(df, "vec_id", "embedding", dim=4, k=2,
+                             planes=2)
+    out = g.collect()
+    assert all((r.src < 10) == (r.neighbor_id < 10) for r in out)
+    assert all(r.rk in (1, 2) for r in out)
+    assert all(r.src != r.neighbor_id for r in out)
