@@ -86,3 +86,30 @@ def upsert_keep_latest(target: DataFrame, updates: DataFrame,
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def cdc_apply(target: DataFrame, changes: DataFrame,
+              keys: Sequence[str], seq_col: str,
+              op_col: str = "op") -> DataFrame:
+    """Apply a CDC change log (inserts/updates as ``op='U'`` rows,
+    deletes as ``op='D'`` tombstones) onto a target snapshot.
+
+    upsert_keep_latest handles latest-row-wins; what CDC adds is the
+    DELETE: per key the highest-``seq_col`` entry wins (change side
+    beats target on ties), and if that winner is a tombstone the key
+    disappears from the result — a late update with a lower sequence
+    number can never resurrect a deleted key. Same cost shape as the
+    upsert: one shuffle-free union + one keyed window; at scale,
+    pre-filter the target to the partitions the changeset touches and
+    write back with dynamic partition overwrite."""
+    t = target.withColumn("_src", F.lit(0))
+    c = changes.withColumn("_src", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc("_src")
+    )
+    return (
+        t.unionByName(c)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .drop("_rn", "_src")
+    )

@@ -728,6 +728,72 @@ def u4_upsert_keep_latest(spark, sf_dir):
 
 
 @_q(
+    "u6_cdc_apply",
+    """WITH log AS (
+         SELECT o_orderkey, o_totalprice, 'U' AS op, 0 AS seq, 0 AS src
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey,
+                CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST('0.9' AS DECIMAL(2,1)), 2) AS DOUBLE),
+                'U', 1, 1
+         FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, CAST(42.42 AS DOUBLE), 'U', 1, 1
+         FROM orders WHERE o_orderkey % 100 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D', 2, 1
+         FROM orders WHERE o_orderkey % 10 = 0),
+       merged AS (
+         SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                     ORDER BY seq DESC, src DESC) AS rn
+         FROM log)
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+       FROM merged WHERE rn = 1 AND op <> 'D'""",
+)
+def u6_cdc_apply(spark, sf_dir):
+    """CDC changelog apply (operators/setops.cdc_apply) — the U-family
+    step beyond upsert: a change log carrying re-pricing updates
+    (seq 1, every 7th key), brand-new keys (inserts are just updates
+    to unseen keys), and DELETE tombstones (seq 2, every 10th key) is
+    applied in one pass. Per key the highest-sequence entry wins and
+    a winning tombstone removes the key — keys hit by both an update
+    and a later delete (70, 140, ...) must vanish. Union + one keyed
+    window shuffle; the delete needs no anti-join pass."""
+    o = load(spark, sf_dir, "orders")
+    target = o.select(
+        "o_orderkey", "o_totalprice",
+        F.lit("U").alias("op"), F.lit(0).alias("seq"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("0.9").cast("decimal(2,1)"),
+            2,
+        ).cast("double").alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit(42.42).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    final = setops.cdc_apply(
+        target, upd.unionByName(ins).unionByName(dels),
+        ["o_orderkey"], "seq",
+    )
+    return final.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@_q(
     "f15_winsorize",
     """WITH pct AS (SELECT quantile_cont(o_totalprice, 0.05) AS lo,
                            quantile_cont(o_totalprice, 0.95) AS hi

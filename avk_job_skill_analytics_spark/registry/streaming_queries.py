@@ -1420,6 +1420,107 @@ def stream_bm25_index_maintain(spark, sf_dir):
                       k=10)
 
 
+def _cdc_log(src):
+    """orders → a 3-epoch CDC change log: the snapshot as seq-0
+    upserts, re-pricing updates + brand-new keys at seq 1, delete
+    tombstones at seq 2 (same synthesis as u6_cdc_apply's)."""
+    target = src.select(
+        "o_orderkey", "o_totalprice",
+        F.lit("U").alias("op"), F.lit(0).alias("seq"),
+    )
+    upd = src.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("0.9").cast("decimal(2,1)"), 2,
+        ).cast("double").alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    ins = src.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit(42.42).alias("o_totalprice"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    dels = src.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    return target.unionByName(upd).unionByName(ins).unionByName(dels)
+
+
+@_q(
+    "stream_cdc_apply",
+    """WITH log AS (
+         SELECT o_orderkey, o_totalprice, 'U' AS op, 0 AS seq, 0 AS src
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey,
+                CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST('0.9' AS DECIMAL(2,1)), 2) AS DOUBLE),
+                'U', 1, 1
+         FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, CAST(42.42 AS DOUBLE), 'U', 1, 1
+         FROM orders WHERE o_orderkey % 100 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(NULL AS DOUBLE), 'D', 2, 1
+         FROM orders WHERE o_orderkey % 10 = 0),
+       merged AS (
+         SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                     ORDER BY seq DESC, src DESC) AS rn
+         FROM log)
+       SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+       FROM merged WHERE rn = 1 AND op <> 'D'""",
+)
+def stream_cdc_apply(spark, sf_dir):
+    """CDC changelog applied FROM A STREAM
+    (incremental.foreach_batch_cdc): the u6_cdc_apply log arrives as
+    three single-file micro-batches (snapshot, updates+inserts,
+    deletes) through the versioned exactly-once sink. Tombstones are
+    RETAINED in the stored state — that's what makes the final table
+    independent of how the log is sliced into batches (a late
+    lower-seq update can never resurrect a deleted key) — and
+    filtered only in the read view. Must equal the one-shot batch
+    apply (the same oracle as u6_cdc_apply): streaming is a cost
+    choice, never an answer choice."""
+    import tempfile as _tf
+
+    from ..streaming.incremental import cdc_state, foreach_batch_cdc
+
+    src = _single_file_drops(
+        spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"],
+        [("log0.parquet", F.col("seq") == 0),
+         ("log1.parquet", F.col("seq") == 1),
+         ("log2.parquet", F.col("seq") == 2)],
+        prefix="cdc_log_", mutate=_cdc_log,
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("o_orderkey long, o_totalprice double, op string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    state_dir = _tf.mkdtemp(prefix="cdc_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = _tf.mkdtemp(prefix="ckpt_cdc_")
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_cdc(stream, state_dir, "o_orderkey")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    live = cdc_state(spark, state_dir)
+    return live.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
 # ----------------------------------- partitioned (fact-sized) upsert state
 @_q(
     "stream_upsert_partitioned",

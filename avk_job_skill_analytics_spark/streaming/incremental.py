@@ -456,6 +456,40 @@ def _retire_older_states(fs, keep: int) -> None:
         fs.delete("current")
 
 
+def foreach_batch_cdc(
+    stream: DataFrame,
+    state_dir: str,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> "object":
+    """Exactly-once CDC-apply sink: the versioned upsert sink driven
+    by the change-log SEQUENCE instead of event time, with DELETE
+    tombstones RETAINED in the stored state.
+
+    Retention is the correctness point: if the sink dropped a
+    tombstone at apply time, a late-arriving update with a LOWER
+    sequence number in a later micro-batch would find no state row
+    and resurrect the deleted key. Keeping the tombstone (it wins the
+    per-key max-seq merge like any other row) makes the final state
+    independent of how the log is sliced into batches — any arrival
+    order converges to the same table. The read view
+    (:func:`cdc_state`) filters tombstones out; a production
+    deployment purges them once the log's replay horizon has passed.
+    Sequence ties (same key, same seq, different op) break toward the
+    update — ``op`` descends in the merge order ('U' > 'D').
+    """
+    return foreach_batch_upsert(
+        stream, state_dir, key_col=key_col, order_cols=(seq_col, op_col)
+    )
+
+
+def cdc_state(spark, state_dir: str, op_col: str = "op") -> DataFrame:
+    """Live-rows view of a :func:`foreach_batch_cdc` state: resolved
+    committed version minus the retained tombstones."""
+    return upsert_state(spark, state_dir).filter(F.col(op_col) != "D")
+
+
 def upsert_state(spark, state_dir: str) -> DataFrame:
     """The latest-state table maintained by
     :func:`foreach_batch_upsert`: resolve the highest committed

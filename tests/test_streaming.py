@@ -488,3 +488,76 @@ def test_partitioned_upsert_retire_grace(spark, tmp_path):
         n for n in fs.listdir("data/_b=0") if n.startswith("_v=")
     )
     assert leaves == ["_v=1", "_v=2"]
+
+
+def test_cdc_tombstone_blocks_late_update(spark, tmp_path):
+    """A delete must not be resurrected by a LOWER-seq update arriving
+    in a LATER micro-batch — the tombstone-retention contract of
+    foreach_batch_cdc."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        cdc_state,
+        foreach_batch_cdc,
+        upsert_state,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "k long, v double, op string, seq int"
+    drops = [
+        ("f0.parquet", [(1, 1.0, "U", 0), (2, 2.0, "U", 0)]),
+        ("f1.parquet", [(1, None, "D", 5)]),       # delete k=1
+        ("f2.parquet", [(1, 99.0, "U", 3)]),       # late, lower seq
+    ]
+    for i, (name, rows) in enumerate(drops):
+        tmp = str(tmp_path / "_tmp")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        import glob
+        import shutil as sh
+
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        sh.move(part, f"{src}/{name}")
+        sh.rmtree(tmp, ignore_errors=True)
+        os.utime(f"{src}/{name}", (1_000_000_000 + i, 1_000_000_000 + i))
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    q = (
+        foreach_batch_cdc(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            state, "k",
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    live = {r["k"]: r["v"] for r in cdc_state(spark, state).collect()}
+    assert live == {2: 2.0}  # k=1 stays dead
+    # the tombstone itself is retained in the raw state with its seq
+    raw = {(r["k"], r["op"], r["seq"])
+           for r in upsert_state(spark, state).collect()}
+    assert (1, "D", 5) in raw
+
+
+def test_cdc_apply_batch_semantics(spark):
+    from avk_job_skill_analytics_spark.operators.setops import cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, 1.0, "U", 0), (2, 2.0, "U", 0), (3, 3.0, "U", 0)],
+        "k long, v double, op string, seq int",
+    )
+    changes = spark.createDataFrame(
+        [(1, 10.0, "U", 1),   # update
+         (1, None, "D", 2),   # ...then delete the same key
+         (4, 4.0, "U", 1),    # insert unseen key
+         (2, 20.0, "U", 1)],  # plain update
+        "k long, v double, op string, seq int",
+    )
+    got = {r["k"]: r["v"]
+           for r in cdc_apply(target, changes, ["k"], "seq").collect()}
+    assert got == {2: 20.0, 3: 3.0, 4: 4.0}
