@@ -48,6 +48,29 @@ def sample_hash_bucket(df: DataFrame, key: str, pct: int,
     return df.filter(bucket < pct)
 
 
+def priority_sample(df: DataFrame, key: str, k: int,
+                    seed: str = "psample-v1") -> DataFrame:
+    """Bottom-k priority sample — the MERGEABLE exact-k uniform sample
+    (the order-statistics trick behind KMV sketches and distributed
+    reservoirs): every row gets a deterministic priority
+    ``md5_long(seed|key)`` and the k smallest win. Because min-k of a
+    union equals min-k of min-k's, partial samples from partitions,
+    days, or micro-batches merge associatively and idempotently into
+    exactly the sample the one-shot pass would draw — no RNG state to
+    coordinate. Plan: TakeOrderedAndProject (per-partition bounded
+    heap + one k-row merge), never a global sort."""
+    from .hashing import md5_long
+
+    pr = md5_long(
+        F.concat(F.lit(seed + "|"), F.col(key).cast("string"))
+    )
+    return (
+        df.withColumn("priority", pr)
+        .orderBy("priority")
+        .limit(k)
+    )
+
+
 def sample_by(df: DataFrame, strata_col: str, fractions: dict,
               seed: int = 42) -> DataFrame:
     """Spark-native stratified Bernoulli sample (`df.sampleBy`): each

@@ -674,6 +674,29 @@ def o4_sample_weighted(spark, sf_dir):
     )
 
 
+def _priority_sample_sql(k: int) -> str:
+    from ..operators.hashing import md5_long_sql
+
+    pr = md5_long_sql("concat('psample-v1|', CAST(doc_id AS VARCHAR))")
+    return f"""SELECT doc_id, priority FROM (
+         SELECT doc_id, {pr} AS priority FROM documents) t
+       ORDER BY priority LIMIT {k}"""
+
+
+@_q("o4_priority_sample", _priority_sample_sql(200))
+def o4_priority_sample(spark, sf_dir):
+    """Exact-k MERGEABLE uniform sample
+    (operators/sampling.priority_sample): deterministic bottom-k by
+    hashed priority — the order-statistics sample that composes
+    across partitions, days, and engines (min-k of a union = min-k of
+    min-k's), unlike rand()-based reservoirs whose RNG state can't be
+    merged. Plan is TakeOrderedAndProject: per-partition bounded heap,
+    one k-row merge, no global sort — the only sample_exact_n
+    replacement that stays exact AND mergeable at 100 TB."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return sampling.priority_sample(d, "doc_id", k=200)
+
+
 @_q(
     "u4_upsert_keep_latest",
     """WITH target AS (

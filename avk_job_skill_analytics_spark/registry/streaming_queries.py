@@ -1420,6 +1420,60 @@ def stream_bm25_index_maintain(spark, sf_dir):
                       k=10)
 
 
+def _priority_sample_oracle() -> str:
+    from .core_queries import _priority_sample_sql
+
+    return _priority_sample_sql(200)
+
+
+@_q("stream_priority_sample", _priority_sample_oracle())
+def stream_priority_sample(spark, sf_dir):
+    """Streaming exact-k uniform sample with k-ROW state
+    (incremental.foreach_batch_topk_sample): the documents table
+    arrives through the duplicated two-file source (every row
+    delivered twice across micro-batches) and the sink folds each
+    batch's bottom-k priorities into the stored sample on the
+    versioned commit protocol. Because min-k merging is idempotent
+    and associative, the doubled delivery and the batch slicing must
+    both be invisible — the final sample equals the one-shot batch
+    draw, which is exactly o4_priority_sample's oracle."""
+    import tempfile as _tf
+
+    from ..streaming.incremental import (
+        foreach_batch_topk_sample,
+        upsert_state,
+    )
+
+    src_dir = _source_dir(
+        sf_dir,
+        {"docs_a.parquet": "documents.parquet",
+         "docs_b.parquet": "documents.parquet"},
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .select("doc_id")
+    )
+    state_dir = _tf.mkdtemp(prefix="psample_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = _tf.mkdtemp(prefix="ckpt_psample_")
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_topk_sample(stream, state_dir, "doc_id",
+                                          k=200)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return upsert_state(spark, state_dir).select("doc_id", "priority")
+
+
 def _cdc_log(src):
     """orders → a 3-epoch CDC change log: the snapshot as seq-0
     upserts, re-pricing updates + brand-new keys at seq 1, delete

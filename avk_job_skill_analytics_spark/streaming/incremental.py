@@ -484,6 +484,60 @@ def foreach_batch_cdc(
     )
 
 
+def foreach_batch_topk_sample(
+    stream: DataFrame,
+    state_dir: str,
+    key_col: str,
+    k: int,
+    seed: str = "psample-v1",
+) -> "object":
+    """Bounded-state streaming uniform sample: maintain the bottom-k
+    priority sample (operators/sampling.priority_sample) across
+    micro-batches on the versioned create-only commit machinery.
+
+    The merge is min-k of a union — associative, commutative, and
+    IDEMPOTENT (a redelivered or double-sourced row carries the same
+    deterministic priority, and dropDuplicates on the key collapses
+    it before the cut), so any slicing of the stream converges to
+    exactly the sample a one-shot batch pass would draw. State is k
+    rows forever — the streaming reservoir whose memory does not grow
+    with the stream."""
+    from ..operators.hashing import md5_long
+    from .fsio import IndexFS
+
+    spark = stream.sparkSession
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        fs = IndexFS(spark, state_dir)
+        if fs.exists(f"_batch_{batch_id}"):
+            return
+        cur = _resolve_state(fs)
+        if cur == batch_id:
+            _retire_older_states(fs, batch_id)
+            fs.touch(f"_batch_{batch_id}")
+            return
+        pr = md5_long(
+            F.concat(F.lit(seed + "|"), F.col(key_col).cast("string"))
+        )
+        botk = (
+            bdf.withColumn("priority", pr).orderBy("priority").limit(k)
+        )
+        if cur is not None:
+            botk = (
+                spark.read.parquet(fs.uri(f"state_{cur}"))
+                .unionByName(botk)
+                .dropDuplicates([key_col])
+                .orderBy("priority")
+                .limit(k)
+            )
+        botk.write.mode("overwrite").parquet(fs.uri(f"state_{batch_id}"))
+        fs.touch(f"_commit_state_{batch_id}")
+        _retire_older_states(fs, batch_id)
+        fs.touch(f"_batch_{batch_id}")
+
+    return stream.writeStream.foreachBatch(sink)
+
+
 def cdc_state(spark, state_dir: str, op_col: str = "op") -> DataFrame:
     """Live-rows view of a :func:`foreach_batch_cdc` state: resolved
     committed version minus the retained tombstones."""

@@ -55,6 +55,27 @@ def test_topk_avoids_global_sort(spark, queries):
     assert I.has_node(df, "TakeOrderedAndProject")
 
 
+def test_priority_sample_avoids_global_sort(spark, queries):
+    df = queries["o4_priority_sample"](spark, SF_DIR)
+    assert I.has_node(df, "TakeOrderedAndProject")
+
+
+def test_er_blocking_has_no_cartesian(spark, queries):
+    # the candidate self-join must stay keyed on the blocking key
+    df = queries["er_candidate_pairs"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_graph_joins_on_signature_only(spark, queries):
+    # the all-pairs regime must be LSH-bucketed, never a cross join
+    df = queries["ann_knn_graph"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pricing_summary_partial_agg_and_codegen(spark, queries):
     df = queries["a7_pricing_summary"](spark, SF_DIR)
     plan = I.plan_string(df)
