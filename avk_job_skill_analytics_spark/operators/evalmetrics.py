@@ -1,0 +1,159 @@
+"""Classifier evaluation over a scored relation: rank-based AUC,
+confusion/precision/recall/F1, and calibration bins.
+
+The quality-classifier gate (operators/classify.py, the fastText-
+style curation discipline) is only trustworthy with an evaluation
+ledger next to it — these are the three reports a corpus-curation
+deployment runs after every retrain, computed distributively and in
+exact integer arithmetic so they replay bit-for-bit in the oracle:
+
+- **AUC** via the Mann-Whitney U rank statistic with the standard
+  tie correction: group once by distinct score, one window over the
+  |distinct scores| relation (scores, not rows) for the cumulative
+  negative count, then U = sum over score groups of
+  ``pos * neg_below + pos * neg_tied / 2``. Doubling both sides
+  keeps every term integral: ``2U = sum pos*(2*neg_below +
+  neg_tied)``, and ``auc_fp = floor(1e6 * 2U / (2 * n1 * n0))``.
+- **Precision / recall / F1** from the confusion counts, each a
+  single exact integer division (F1 uses the identity
+  ``F1 = 2tp / (2tp + fp + fn)`` — one division, no compounding).
+- **Calibration bins**: equal-count score deciles from the
+  deterministic (score, id) total order, per-bin positive rate in
+  fixed point. The global rank DECOMPOSES — a per-score-group
+  row_number (partitioned window, bounded by the largest tie group)
+  plus the cumulative count of strictly-lower score groups (the same
+  granularity-bounded distinct-score window AUC uses) — so no
+  corpus-sized single-partition sort appears anywhere in the plan,
+  yet the result is bit-identical to a naive global row_number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["binary_metrics", "calibration_bins"]
+
+
+def binary_metrics(scored: DataFrame, score_col: str,
+                   pred_col: str, label_col: str) -> DataFrame:
+    """One-row evaluation card: (n, n_pos, tp, fp, fn, tn, auc_fp,
+    prec_fp, rec_fp, f1_fp), all *_fp in 1e-6 fixed point.
+
+    The rank statistic aggregates per DISTINCT score first, so the
+    only window runs over score groups (bounded by score
+    granularity), never the scored corpus."""
+    by_score = scored.groupBy(
+        F.col(score_col).alias("_s")
+    ).agg(
+        F.sum(F.col(label_col)).alias("_pos"),
+        F.sum(F.lit(1) - F.col(label_col)).alias("_neg"),
+    )
+    w = (
+        Window.orderBy(F.asc("_s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    u2 = by_score.select(
+        (
+            F.col("_pos")
+            * (F.lit(2) * F.coalesce(F.sum("_neg").over(w), F.lit(0))
+               + F.col("_neg"))
+        ).alias("_u2"),
+        "_pos",
+        "_neg",
+    ).agg(
+        F.sum("_u2").alias("_u2"),
+        F.sum("_pos").alias("_n1"),
+        F.sum("_neg").alias("_n0"),
+    )
+
+    conf = scored.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            (F.col(pred_col) * F.col(label_col)).cast("long")
+        ).alias("_tp"),
+        F.sum(
+            (F.col(pred_col) * (F.lit(1) - F.col(label_col)))
+            .cast("long")
+        ).alias("_fp"),
+        F.sum(
+            ((F.lit(1) - F.col(pred_col)) * F.col(label_col))
+            .cast("long")
+        ).alias("_fn"),
+        F.sum(
+            ((F.lit(1) - F.col(pred_col))
+             * (F.lit(1) - F.col(label_col))).cast("long")
+        ).alias("_tn"),
+    )
+
+    mil = F.lit(1_000_000)
+    return conf.crossJoin(F.broadcast(u2)).select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_n1").cast("long").alias("n_pos"),
+        F.col("_tp").alias("tp"),
+        F.col("_fp").alias("fp"),
+        F.col("_fn").alias("fn"),
+        F.col("_tn").alias("tn"),
+        F.floor(
+            mil * F.col("_u2") / (F.lit(2) * F.col("_n1") * F.col("_n0"))
+        ).cast("long").alias("auc_fp"),
+        F.floor(mil * F.col("_tp") / (F.col("_tp") + F.col("_fp")))
+        .cast("long").alias("prec_fp"),
+        F.floor(mil * F.col("_tp") / (F.col("_tp") + F.col("_fn")))
+        .cast("long").alias("rec_fp"),
+        F.floor(
+            mil * F.lit(2) * F.col("_tp")
+            / (F.lit(2) * F.col("_tp") + F.col("_fp") + F.col("_fn"))
+        ).cast("long").alias("f1_fp"),
+    )
+
+
+def calibration_bins(scored: DataFrame, id_col: str, score_col: str,
+                     label_col: str, n_bins: int = 10) -> DataFrame:
+    """Equal-count calibration bins: (bin, n, n_pos, rate_fp,
+    sum_score_fp). bin = floor((rank-1) * n_bins / n) over the
+    deterministic (score, id) order — both engines place ties
+    identically, so the bins replay exactly.
+
+    The rank is built scalably: within-score-group offset from a
+    window PARTITIONED by score (bounded by the largest tie group)
+    plus the cumulative size of strictly-lower score groups (window
+    over the distinct-score relation) — equivalent to a global
+    row_number over (score, id) without the single-partition sort."""
+    grp = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    wg = (
+        Window.orderBy(F.asc("_s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = grp.select(
+        "_s",
+        F.coalesce(F.sum("_cnt").over(wg), F.lit(0)).alias("_start"),
+    )
+    wi = Window.partitionBy(score_col).orderBy(F.asc(id_col))
+    n_total = scored.agg(F.count(F.lit(1)).alias("_nt"))
+    binned = (
+        scored.withColumn("_off", F.row_number().over(wi))
+        .join(starts, on=F.col(score_col) == F.col("_s"))
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.col("_start") + F.col("_off") - 1)
+                * F.lit(n_bins) / F.col("_nt")
+            ).cast("long"),
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label_col)).cast("long").alias("n_pos"),
+            F.floor(
+                F.lit(1_000_000) * F.sum(F.col(label_col))
+                / F.count(F.lit(1))
+            ).cast("long").alias("rate_fp"),
+            F.sum(F.col(score_col)).cast("long").alias("sum_score_fp"),
+        )
+    )

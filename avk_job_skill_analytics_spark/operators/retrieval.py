@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from .similarity import ivfpq_topk
 from .textstats import tokens
 
-__all__ = ["bm25_topk", "bm25_rank", "rrf_fuse", "ivfpq_refine_topk"]
+__all__ = ["bm25_topk", "bm25_rank", "rrf_fuse", "ivfpq_refine_topk",
+           "cascade_rerank"]
 
 
 def _fp(x: Column, digits: int) -> Column:
@@ -234,4 +235,61 @@ def ivfpq_refine_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "dist_fp",
                 F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def cascade_rerank(docs: DataFrame, embeddings: DataFrame,
+                   doc_id_col: str, text_col: str, vec_id_col: str,
+                   vec_col: str, terms: list[str], query_vec: DataFrame,
+                   n_candidates: int = 50, k: int = 10,
+                   round_digits: int = 6) -> DataFrame:
+    """Two-stage cascade retrieval: cheap lexical candidate
+    generation, expensive vector scoring on the short list only — the
+    canonical serving topology when the exact scorer is too costly to
+    run corpus-wide (the candidate-generation / reranking split of
+    every production retrieval stack).
+
+    Stage 1 is :func:`bm25_topk` (top ``n_candidates`` — postings of
+    the query terms are the only corpus rows that shuffle). Stage 2
+    joins the BOUNDED candidate list (broadcast) to its raw vectors
+    and exact-cosine re-ranks against the single broadcast query
+    vector, so the expensive dot products number ``n_candidates``,
+    not |corpus|. Returns (doc_id, bm25_fp, lex_rk, cosine, rk).
+
+    ``query_vec`` is a 1-row (id, vec) frame; at 100 TB the stage-2
+    vector fetch is an id-equi-join against the vector store's
+    bucketed layout — still |candidates| reads."""
+    cand = bm25_topk(docs, doc_id_col, text_col, terms,
+                     k=n_candidates)
+    qv = query_vec.select(F.col(vec_col).alias("_qv"))
+    vecs = embeddings.select(
+        F.col(vec_id_col).alias("doc_id"),
+        F.col(vec_col).alias("_cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_qv"), F.col("_cv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.col(c), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    scored = (
+        vecs.join(F.broadcast(cand), "doc_id")
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cosine",
+                    F.round(dot / (nrm("_qv") * nrm("_cv")),
+                            round_digits))
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        scored.withColumnRenamed("rk", "lex_rk")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "bm25_fp",
+                F.col("lex_rk").cast("long").alias("lex_rk"),
+                "cosine", F.col("rk").cast("long").alias("rk"))
     )

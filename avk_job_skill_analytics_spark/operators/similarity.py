@@ -149,6 +149,57 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
+                       id_col: str, vec_col: str, label_col: str,
+                       k: int = 5, round_digits: int = 6) -> DataFrame:
+    """Hard-negative mining for contrastive training data: per anchor
+    (query), the top-k most-similar corpus vectors whose LABEL
+    DIFFERS from the anchor's — the highest-value negatives for a
+    contrastive or reranker objective (the in-batch-negatives
+    literature's "hard negative" selection, done corpus-side).
+
+    Same plan shape as :func:`cosine_topk` — anchors broadcast,
+    single corpus scan, label-mismatch filter evaluated before the
+    cosine so matching-label rows never pay the dot product, bounded
+    per-anchor top-k window. The 100 TB path swaps the scan for the
+    stored IVF-PQ index probed per anchor with a label partition
+    filter (ann_index.serve_topk + filtered serving), trading recall
+    for the probed-cell bound; this exact form is its oracle."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_cl") != F.col("_ql"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def blocked_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
                          block_col: str, threshold: float,
                          round_digits: int = 6) -> DataFrame:

@@ -26,6 +26,7 @@ from ..operators import (
     privacy,
     sampling,
     similarity,
+    ssjoin,
     textstats,
 )
 from ..operators.hashing import (
@@ -4848,4 +4849,216 @@ def pipeline_preference_pairs(spark, sf_dir):
             F.round(F.col("q_chosen") - F.col("q_rejected"), 4)
             .alias("margin"),
         )
+    )
+
+
+# --------------------------- exact set-similarity join (prefix filter)
+def _prefix_filter_sql(tn: int = 1, td: int = 2) -> str:
+    """DuckDB twin of ssjoin.prefix_filter_pairs over 3-word
+    shingles: same rarity order (df asc, shingle asc), same
+    exact-integer prefix length and size filter, same fixed-point
+    Jaccard — candidates and survivors replay identically."""
+    return f"""WITH {_SHINGLE_CTE.replace('AS shingle', 'AS term')},
+  dfc AS (SELECT term, count(*) AS df FROM sh GROUP BY term),
+  siz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  ord AS (SELECT t.doc_id, t.term, s.n,
+            row_number() OVER (PARTITION BY t.doc_id
+                               ORDER BY d.df, t.term) AS pos
+          FROM sh t JOIN dfc d USING (term) JOIN siz s USING (doc_id)),
+  pref AS (SELECT doc_id, term, n FROM ord
+           WHERE pos <= n - CAST(({tn}*n + {td - 1}) // {td} AS BIGINT)
+                            + 1),
+  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.n AS na, b.n AS nb
+           FROM pref a JOIN pref b
+             ON a.term = b.term AND a.doc_id < b.doc_id
+           WHERE least(a.n, b.n) * {td} >= {tn} * greatest(a.n, b.n)),
+  ver AS (SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS inter
+          FROM cand c JOIN sh x ON x.doc_id = c.id_a
+                      JOIN sh y ON y.doc_id = c.id_b
+                                AND y.term = x.term
+          GROUP BY 1, 2, 3, 4)
+  SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         CAST(na + nb - inter AS BIGINT) AS uni,
+         CAST(floor(1000000 * inter / (na + nb - inter)) AS BIGINT)
+             AS jacc_fp
+  FROM ver WHERE inter * {td} >= {tn} * (na + nb - inter)"""
+
+
+@_q("dd_prefix_filter_join", _prefix_filter_sql())
+def dd_prefix_filter_join(spark, sf_dir):
+    """EXACT set-similarity self-join at Jaccard >= 1/2 via prefix
+    filtering (AllPairs/PPJoin — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08; operators/ssjoin.py): the lossless counterpart to the
+    banded-MinHash path. Each 3-shingle set joins only on the
+    ``n - ceil(t*n) + 1`` globally RAREST of its shingles, the
+    size-ratio filter prunes the rest, and only survivors pay exact
+    verification — on this corpus 124,750 possible pairs become ~772
+    candidates and the same 25 near-dup pairs LSH finds, with a
+    no-false-negative guarantee LSH cannot give."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", k=3)
+    return ssjoin.prefix_filter_pairs(
+        sh, "doc_id", "shingle", t_num=1, t_den=2
+    )
+
+
+# ----------------------------------------------- hard-negative mining
+@_q(
+    "ml_hard_negatives",
+    f"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+                         embedding AS qv
+                  FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    round({_cos_sql('q.qv', 'c.embedding')}, 6)
+                        AS cosine
+             FROM q, embeddings c WHERE c.label <> q.ql)
+       SELECT query_id, neighbor_id, cosine, rk FROM (
+         SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM s) t
+       WHERE rk <= 5""",
+)
+def ml_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive pairs
+    (similarity.hard_negative_topk): per anchor, the top-5
+    most-similar vectors with a DIFFERENT label — the negatives that
+    actually move a contrastive or reranker objective. Broadcast
+    anchors, one corpus scan, label-mismatch filter ahead of the dot
+    product; the 100 TB serving path swaps the scan for the stored
+    IVF-PQ index with a label partition filter, and this exact form
+    is its recall oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", "label", k=5,
+    )
+
+
+# -------------------------------------------- cascade lexical→vector
+@_q(
+    "ml_cascade_rerank",
+    f"""WITH cand AS ({_bm25_sql(_BM25_TERMS, 50)}),
+       qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       s AS (SELECT c.doc_id, c.bm25_fp, c.rk AS lex_rk,
+                    round({_cos_sql('qv.qv', 'e.embedding')}, 6)
+                        AS cosine
+             FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, qv)
+       SELECT doc_id, bm25_fp, CAST(lex_rk AS BIGINT) AS lex_rk,
+              cosine, CAST(rk AS BIGINT) AS rk
+       FROM (SELECT *, row_number() OVER (
+                ORDER BY cosine DESC, doc_id) AS rk FROM s) t
+       WHERE rk <= 10""",
+)
+def ml_cascade_rerank(spark, sf_dir):
+    """Two-stage cascade retrieval (retrieval.cascade_rerank): BM25
+    generates 50 lexical candidates (only query-term postings
+    shuffle), then exact cosine re-ranks the BROADCAST candidate list
+    against one query vector — 50 dot products, not 500/|corpus|.
+    The candidate-generation → expensive-scorer split every
+    production retrieval stack serves with; both stages replay
+    bit-identically in the oracle."""
+    from ..operators import retrieval
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return retrieval.cascade_rerank(
+        docs, emb, "doc_id", "text", "vec_id", "embedding",
+        list(_BM25_TERMS),
+        emb.filter(F.col("vec_id") == 0),
+        n_candidates=50, k=10,
+    )
+
+
+# ------------------------------------------ classifier evaluation card
+@_q(
+    "ml_auc_gate",
+    f"""WITH scored AS ({_nb_sql()}),
+       bys AS (SELECT score_fp AS s, sum(actual) AS pos,
+                      sum(1 - actual) AS neg
+               FROM scored GROUP BY 1),
+       cum AS (SELECT s, pos, neg,
+                 coalesce(sum(neg) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS negb
+               FROM bys),
+       uu AS (SELECT sum(pos * (2 * negb + neg)) AS u2,
+                     sum(pos) AS n1, sum(neg) AS n0
+              FROM cum),
+       conf AS (SELECT count(*) AS n,
+                       sum(pred * actual) AS tp,
+                       sum(pred * (1 - actual)) AS fp,
+                       sum((1 - pred) * actual) AS fn,
+                       sum((1 - pred) * (1 - actual)) AS tn
+                FROM scored)
+       SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n_pos,
+              CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+              CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+              CAST(floor(1000000 * u2 / (2 * n1 * n0)) AS BIGINT)
+                  AS auc_fp,
+              CAST(floor(1000000 * tp / (tp + fp)) AS BIGINT)
+                  AS prec_fp,
+              CAST(floor(1000000 * tp / (tp + fn)) AS BIGINT)
+                  AS rec_fp,
+              CAST(floor(1000000 * 2 * tp / (2 * tp + fp + fn))
+                   AS BIGINT) AS f1_fp
+       FROM conf, uu""",
+)
+def ml_auc_gate(spark, sf_dir):
+    """The classifier-gate evaluation card
+    (operators/evalmetrics.binary_metrics) over the trained NB
+    lang-classifier's scores: tie-corrected Mann-Whitney AUC (one
+    window over DISTINCT scores, never rows), confusion counts, and
+    precision/recall/F1 — every ratio a single exact integer
+    division in 1e-6 fixed point. The report a curation deployment
+    runs after every gate retrain, and the companion the
+    stream_nb_train / stream_nb_gate pair was missing."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.binary_metrics(
+        scored, "score_fp", "pred", "actual"
+    )
+
+
+@_q(
+    "ml_calibration_bins",
+    f"""WITH scored AS ({_nb_sql()}),
+       nt AS (SELECT count(*) AS n FROM scored),
+       rn AS (SELECT doc_id, score_fp, actual,
+                row_number() OVER (ORDER BY score_fp, doc_id) AS rn
+              FROM scored),
+       b AS (SELECT actual, score_fp,
+               CAST(floor((rn - 1) * 10 / nt.n) AS BIGINT) AS bin
+             FROM rn, nt)
+       SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(actual) AS BIGINT) AS n_pos,
+              CAST(floor(1000000 * sum(actual) / count(*)) AS BIGINT)
+                  AS rate_fp,
+              CAST(sum(score_fp) AS BIGINT) AS sum_score_fp
+       FROM b GROUP BY bin""",
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Equal-count calibration deciles for the NB gate
+    (evalmetrics.calibration_bins): per bin, size, positive count and
+    rate — the reliability diagram's data. The global (score, id)
+    rank DECOMPOSES into a per-score-group window plus the
+    distinct-score cumulative (no corpus-sized single-partition sort)
+    yet replays bit-identically against the oracle's naive global
+    row_number — the same decomposed-rank discipline
+    pipeline_global_shuffle established."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.calibration_bins(
+        scored, "doc_id", "score_fp", "actual", n_bins=10
     )

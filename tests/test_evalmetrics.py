@@ -1,0 +1,189 @@
+"""Tests for the round-8 additions: prefix-filtered exact
+set-similarity join (operators/ssjoin.py), hard-negative mining and
+cascade rerank (similarity/retrieval), and the classifier evaluation
+card (operators/evalmetrics.py)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from avk_job_skill_analytics_spark.operators import (
+    dedup,
+    evalmetrics,
+    retrieval,
+    similarity,
+    ssjoin,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------ prefix-filter exact ss-join
+def test_prefix_filter_matches_bruteforce_jaccard(spark):
+    """The filter must be LOSSLESS: every pair at/above the threshold
+    appears, none below it, with exact intersection/union counts —
+    verified against an all-pairs brute force on the same sets."""
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c e"),          # J(1,2) = 3/5
+        (3, "a b c d"),          # J(1,3) = 1
+        (4, "x y z w"),          # disjoint from 1-3
+        (5, "x y z q r"),        # J(4,5) = 3/6 = 1/2 (boundary)
+        (6, "p"),                # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = {i: set(t.split()) for i, t in rows}
+    toks = df.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"], r["jacc_fp"])
+        for r in ssjoin.prefix_filter_pairs(
+            toks, "doc_id", "term", t_num=1, t_den=2
+        ).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 2 * inter >= uni:
+            want[(a, b)] = (inter, uni, 1_000_000 * inter // uni)
+    assert got == want
+    assert (1, 2) in got and (4, 5) in got  # boundary pair kept
+
+
+def test_prefix_filter_prunes_candidates_on_corpus(spark):
+    """On the sf0.001 corpus the survivors equal the brute-force
+    shingle-Jaccard pairs (no false negatives, no extras)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = dedup.word_shingles(docs, "doc_id", "text", k=3)
+    pairs = ssjoin.prefix_filter_pairs(
+        sh, "doc_id", "shingle", t_num=1, t_den=2
+    ).collect()
+    by_doc = {}
+    for r in sh.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    brute = set()
+    for a, b in itertools.combinations(sorted(by_doc), 2):
+        i = len(by_doc[a] & by_doc[b])
+        u = len(by_doc[a] | by_doc[b])
+        if u and 2 * i >= u:
+            brute.add((a, b))
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == brute
+    for r in pairs:
+        assert 2 * r["inter"] >= r["uni"]
+
+
+# ------------------------------------------------- hard-negative mining
+def test_hard_negatives_exclude_own_label(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.hard_negative_topk(
+        e, q, "vec_id", "embedding", "label", k=3
+    )
+    labels = {r["vec_id"]: r["label"] for r in e.collect()}
+    per_q = {}
+    for r in out.collect():
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        per_q.setdefault(r["query_id"], []).append(r["rk"])
+    assert set(per_q) == {r["vec_id"] for r in q.collect()}
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hard_negatives_are_hardest(spark):
+    """Each returned negative must beat every non-returned
+    different-label candidate on (rounded cosine, id) order."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0)
+    out = similarity.hard_negative_topk(
+        e, q, "vec_id", "embedding", "label", k=2
+    ).collect()
+    all_neg = similarity.hard_negative_topk(
+        e, q, "vec_id", "embedding", "label", k=10**6
+    ).collect()
+    order = [r["neighbor_id"] for r in sorted(
+        all_neg, key=lambda r: (-r["cosine"], r["neighbor_id"])
+    )]
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rk"])] \
+        == order[:2]
+
+
+# ----------------------------------------------------- cascade rerank
+def test_cascade_rerank_subset_of_candidates(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    terms = ["scan", "hash", "merge"]
+    cand = retrieval.bm25_topk(docs, "doc_id", "text", terms, k=20)
+    out = retrieval.cascade_rerank(
+        docs, emb, "doc_id", "text", "vec_id", "embedding", terms,
+        emb.filter(F.col("vec_id") == 0), n_candidates=20, k=5,
+    ).collect()
+    cand_ids = {r["doc_id"] for r in cand.collect()}
+    assert 0 < len(out) <= 5
+    cos = None
+    for r in sorted(out, key=lambda r: r["rk"]):
+        assert r["doc_id"] in cand_ids          # stage 2 never expands
+        if cos is not None:
+            assert r["cosine"] <= cos           # rerank order is cosine
+        cos = r["cosine"]
+
+
+# ------------------------------------------------- evaluation metrics
+def test_binary_metrics_hand_computed(spark):
+    """Ties included: scores [3,3,2,1], labels [1,0,1,0].
+    pairs pos>neg: (s3 vs s1)=1, (s2 vs s1)=1; ties: (s3,s3)=1
+    => U = 2 + 0.5 = 2.5, AUC = 2.5/4 = 0.625."""
+    rows = [(1, 3, 1, 1), (2, 3, 1, 0), (3, 2, 1, 1), (4, 1, 0, 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score_fp long, pred long, actual long"
+    )
+    m = evalmetrics.binary_metrics(
+        df, "score_fp", "pred", "actual"
+    ).collect()[0]
+    assert (m["n"], m["n_pos"]) == (4, 2)
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (2, 1, 0, 1)
+    assert m["auc_fp"] == 625_000
+    assert m["prec_fp"] == 666_666         # floor(1e6 * 2/3)
+    assert m["rec_fp"] == 1_000_000
+    assert m["f1_fp"] == 800_000           # 2*2/(4+1+0)
+
+
+def test_binary_metrics_perfect_separation(spark):
+    rows = [(i, 100 + i, 1, 1) for i in range(5)] + [
+        (10 + i, i, 0, 0) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score_fp long, pred long, actual long"
+    )
+    m = evalmetrics.binary_metrics(
+        df, "score_fp", "pred", "actual"
+    ).collect()[0]
+    assert m["auc_fp"] == 1_000_000
+    assert m["f1_fp"] == 1_000_000
+
+
+def test_calibration_bins_match_global_rank(spark):
+    """The decomposed rank must equal a naive global row_number
+    binning — equal-count bins, ties split deterministically by id."""
+    rows = [(i, (i * 7) % 5, i % 2) for i in range(40)]  # heavy ties
+    df = spark.createDataFrame(
+        rows, "doc_id long, score_fp long, actual long"
+    )
+    out = {r["bin"]: r for r in evalmetrics.calibration_bins(
+        df, "doc_id", "score_fp", "actual", n_bins=4
+    ).collect()}
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {}
+    for rn, (i, s, y) in enumerate(ordered):
+        b = rn * 4 // 40
+        n, pos, ssum = want.get(b, (0, 0, 0))
+        want[b] = (n + 1, pos + y, ssum + s)
+    assert set(out) == set(want)
+    for b, (n, pos, ssum) in want.items():
+        assert out[b]["n"] == n == 10       # equal-count
+        assert out[b]["n_pos"] == pos
+        assert out[b]["sum_score_fp"] == ssum
+        assert out[b]["rate_fp"] == 1_000_000 * pos // n

@@ -632,3 +632,24 @@ def test_ivfpq_refine_broadcasts_candidates(spark, queries):
     plan = I.plan_string(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_calibration_rank_partitions_by_score(spark, queries):
+    """ml_calibration_bins's scale contract: the corpus-sized rank
+    window is PARTITIONED by score (hash exchange on score_fp); the
+    only unpartitioned window runs over the distinct-score relation.
+    No range partitioning (global sort) of the scored corpus."""
+    df = queries["ml_calibration_bins"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert re.search(r"hashpartitioning\(score_fp", plan), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_prefix_filter_join_no_cartesian(spark, queries):
+    """The exact ss-join must stay an equi-join on prefix tokens with
+    the per-doc window keyed by doc id — no cartesian pair explosion,
+    no unpartitioned corpus window."""
+    df = queries["dd_prefix_filter_join"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"windowspecdefinition\(doc_id", plan), plan

@@ -91,6 +91,27 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "spine (bounded rows; facts are aggregated to day FIRST — "
          "same class as win_day_over_day)"),
     ],
+    "ml_cascade_rerank": [
+        ("empty-partition-window",
+         "two bounded windows: the BM25 rank stamp over its "
+         "TakeOrdered top-50, and the rerank over those same <= 50 "
+         "broadcast candidates — corpus-size independent by "
+         "construction (same class as txt_bm25_topk)"),
+    ],
+    "ml_auc_gate": [
+        ("empty-partition-window",
+         "cumulative-negatives window over the DISTINCT-SCORE "
+         "relation (bounded by score granularity, aggregated before "
+         "the window — the corpus never enters it); the standard "
+         "distributed Mann-Whitney decomposition"),
+    ],
+    "ml_calibration_bins": [
+        ("empty-partition-window",
+         "group-start cumulative over the DISTINCT-SCORE relation; "
+         "the corpus-sized rank is PARTITIONED by score (asserted in "
+         "test_plan_quality) — the decomposed-rank discipline of "
+         "pipeline_global_shuffle"),
+    ],
     "agg_histogram_quantiles": [
         ("empty-partition-window",
          "cumulative sum over the n_bins-row histogram (<= 64 rows by "
