@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["binary_metrics", "calibration_bins"]
+__all__ = ["binary_metrics", "calibration_bins", "pr_curve",
+           "best_threshold"]
 
 
 def binary_metrics(scored: DataFrame, score_col: str,
@@ -156,4 +157,62 @@ def calibration_bins(scored: DataFrame, id_col: str, score_col: str,
             ).cast("long").alias("rate_fp"),
             F.sum(F.col(score_col)).cast("long").alias("sum_score_fp"),
         )
+    )
+
+
+def pr_curve(scored: DataFrame, score_col: str,
+             label_col: str) -> DataFrame:
+    """The precision-recall curve over every candidate gate
+    threshold: one row per DISTINCT score, with the confusion a
+    ``score >= threshold`` gate would produce — cumulative positives
+    and negatives from a single window over the distinct-score
+    relation (granularity-bounded, the corpus never enters a window).
+    Returns (thr, tp, fp, prec_fp, rec_fp, f1_fp)."""
+    by_score = scored.groupBy(
+        F.col(score_col).alias("thr")
+    ).agg(
+        F.sum(F.col(label_col)).alias("_pos"),
+        F.sum(F.lit(1) - F.col(label_col)).alias("_neg"),
+    )
+    w = (
+        Window.orderBy(F.desc("thr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = scored.agg(
+        F.sum(F.col(label_col)).alias("_n1")
+    )
+    mil = F.lit(1_000_000)
+    cum = (
+        by_score.withColumn("tp", F.sum("_pos").over(w))
+        .withColumn("fp", F.sum("_neg").over(w))
+        .crossJoin(F.broadcast(totals))
+    )
+    return cum.select(
+        F.col("thr").cast("long").alias("thr"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.floor(mil * F.col("tp") / (F.col("tp") + F.col("fp")))
+        .cast("long").alias("prec_fp"),
+        F.floor(mil * F.col("tp") / F.col("_n1"))
+        .cast("long").alias("rec_fp"),
+        # 2tp + fp + fn = tp + fp + n1 — one exact division
+        F.floor(
+            mil * F.lit(2) * F.col("tp")
+            / (F.col("tp") + F.col("fp") + F.col("_n1"))
+        ).cast("long").alias("f1_fp"),
+    )
+
+
+def best_threshold(scored: DataFrame, score_col: str,
+                   label_col: str) -> DataFrame:
+    """The gate threshold maximizing F1 on the PR curve — ties break
+    toward the HIGHER threshold (the stricter gate). One bounded
+    top-1 over the distinct-score curve; the operational answer to
+    "where do I set the quality gate after this retrain"."""
+    curve = pr_curve(scored, score_col, label_col)
+    w = Window.orderBy(F.desc("f1_fp"), F.desc("thr"))
+    return (
+        curve.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("thr", "tp", "fp", "prec_fp", "rec_fp", "f1_fp")
     )

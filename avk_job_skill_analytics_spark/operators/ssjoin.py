@@ -57,7 +57,12 @@ def prefix_filter_pairs(sets: DataFrame, id_col: str,
     ``jacc_fp`` the 1e-6 fixed-point Jaccard. EXACT: no false
     negatives (unlike the MinHash-LSH path), the prefix filter only
     prunes pairs that provably cannot reach the threshold."""
-    toks = sets.select(F.col(id_col), F.col(term_col).alias("term"))
+    # the set relation feeds the df count, the prefix slice, and BOTH
+    # sides of the verification join — persist so the upstream
+    # explode/distinct shuffle runs once, the dedup-family discipline
+    toks = sets.select(
+        F.col(id_col), F.col(term_col).alias("term")
+    ).persist()
 
     # global rarity ORDER comes from the (df, term) key pair itself —
     # joined per token, never materialized as a single-partition rank

@@ -65,3 +65,46 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.col(f"_m.{c}").alias(c) for c in payload
     ]
     return matched.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def decayed_counts(df: DataFrame, key_col: str, ts_col: str,
+                   value_col: str, half_life_days: int = 7,
+                   digits: int = 6) -> DataFrame:
+    """Exponentially time-decayed engagement features per key: each
+    event contributes ``2^(-age_days / half_life)`` toward a decayed
+    count and ``value * 2^(-age_days / half_life)`` toward a decayed
+    value sum, anchored at the corpus max date (a 1-row broadcast, so
+    the feature is deterministic for a given snapshot). The standard
+    recency-weighted feature of engagement/CTR pipelines — a 30-day
+    half-life count is "how active is this user lately" in one
+    number.
+
+    Engine-exactness: the decay weight is quantized to 10^-digits
+    fixed point PER EVENT before the integer sum (the repo's shared
+    discipline — summation order can never matter), and the age is a
+    whole-day integer so ``pow(2, -d/h)`` sees identical arguments on
+    both engines. One map-side-combined aggregate; no window, no
+    shuffle beyond the groupBy.
+
+    Returns (key, n_events, decayed_fp, decayed_value_fp)."""
+    ref = df.agg(
+        F.max(F.to_date(F.col(ts_col))).alias("_ref")
+    )
+    half = F.lit(float(half_life_days))
+    age = F.datediff(F.col("_ref"), F.to_date(F.col(ts_col)))
+    w = F.pow(F.lit(2.0), -age.cast("double") / half)
+    scale = F.lit(float(10 ** digits))
+    w_fp = F.floor(F.round(w, digits) * scale + F.lit(0.5)).cast("long")
+    wv_fp = F.floor(
+        F.round(w * F.col(value_col).cast("double"), digits) * scale
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .groupBy(F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(w_fp).cast("long").alias("decayed_fp"),
+            F.sum(wv_fp).cast("long").alias("decayed_value_fp"),
+        )
+    )

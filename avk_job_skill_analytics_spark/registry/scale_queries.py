@@ -5062,3 +5062,127 @@ def ml_calibration_bins(spark, sf_dir):
     return evalmetrics.calibration_bins(
         scored, "doc_id", "score_fp", "actual", n_bins=10
     )
+
+
+# ---------------------------------------------- PR curve + gate tuning
+@_q(
+    "ml_pr_curve",
+    f"""WITH scored AS ({_nb_sql()}),
+       bys AS (SELECT score_fp AS thr, sum(actual) AS pos,
+                      sum(1 - actual) AS neg
+               FROM scored GROUP BY 1),
+       tot AS (SELECT sum(actual) AS n1 FROM scored),
+       cum AS (SELECT thr,
+                 sum(pos) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS tp,
+                 sum(neg) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS fp
+               FROM bys)
+       SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
+              CAST(fp AS BIGINT) AS fp,
+              CAST(floor(1000000 * tp / (tp + fp)) AS BIGINT)
+                  AS prec_fp,
+              CAST(floor(1000000 * tp / n1) AS BIGINT) AS rec_fp,
+              CAST(floor(1000000 * 2 * tp / (tp + fp + n1)) AS BIGINT)
+                  AS f1_fp
+       FROM cum, tot""",
+)
+def ml_pr_curve(spark, sf_dir):
+    """The full precision-recall curve for the NB gate
+    (evalmetrics.pr_curve): one row per distinct score, the confusion
+    a ``score >= thr`` gate would produce — cumulative sums over the
+    DISTINCT-SCORE relation only, every ratio one exact integer
+    division. The artifact you read before picking a gate threshold;
+    ml_best_threshold is its argmax."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.pr_curve(scored, "score_fp", "actual")
+
+
+@_q(
+    "ml_best_threshold",
+    f"""WITH scored AS ({_nb_sql()}),
+       bys AS (SELECT score_fp AS thr, sum(actual) AS pos,
+                      sum(1 - actual) AS neg
+               FROM scored GROUP BY 1),
+       tot AS (SELECT sum(actual) AS n1 FROM scored),
+       cum AS (SELECT thr,
+                 sum(pos) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS tp,
+                 sum(neg) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS fp
+               FROM bys),
+       curve AS (SELECT CAST(thr AS BIGINT) AS thr,
+                        CAST(tp AS BIGINT) AS tp,
+                        CAST(fp AS BIGINT) AS fp,
+                        CAST(floor(1000000 * tp / (tp + fp)) AS BIGINT)
+                            AS prec_fp,
+                        CAST(floor(1000000 * tp / n1) AS BIGINT)
+                            AS rec_fp,
+                        CAST(floor(1000000 * 2 * tp / (tp + fp + n1))
+                             AS BIGINT) AS f1_fp
+                 FROM cum, tot)
+       SELECT thr, tp, fp, prec_fp, rec_fp, f1_fp FROM (
+         SELECT *, row_number() OVER (
+            ORDER BY f1_fp DESC, thr DESC) AS rk FROM curve) t
+       WHERE rk = 1""",
+)
+def ml_best_threshold(spark, sf_dir):
+    """Gate-threshold selection (evalmetrics.best_threshold): the
+    F1-maximizing point on the PR curve, ties toward the stricter
+    gate — the one-row operational answer a retrain hands to the
+    curation filter. Bounded top-1 over the distinct-score curve."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.best_threshold(scored, "score_fp", "actual")
+
+
+# ------------------------------------------ time-decayed engagement
+@_q(
+    "agg_decayed_engagement",
+    """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
+       w AS (SELECT user_id, value,
+               date_diff('day', CAST(ts AS DATE), ref.r) AS d
+             FROM events, ref),
+       q AS (SELECT user_id,
+               CAST(floor(round(
+                 pow(CAST('2.0' AS DOUBLE),
+                     -d / CAST('7.0' AS DOUBLE)), 6)
+                 * 1000000 + CAST('0.5' AS DOUBLE)) AS BIGINT) AS w_fp,
+               CAST(floor(round(
+                 pow(CAST('2.0' AS DOUBLE),
+                     -d / CAST('7.0' AS DOUBLE)) * value, 6)
+                 * 1000000 + CAST('0.5' AS DOUBLE)) AS BIGINT) AS wv_fp
+             FROM w)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(w_fp) AS BIGINT) AS decayed_fp,
+              CAST(sum(wv_fp) AS BIGINT) AS decayed_value_fp
+       FROM q GROUP BY user_id""",
+)
+def agg_decayed_engagement(spark, sf_dir):
+    """Exponentially time-decayed per-user engagement
+    (operators/temporal.decayed_counts, half-life 7 days, anchored at
+    the corpus max date): the recency-weighted activity feature of
+    every CTR/engagement pipeline, as ONE map-side-combined
+    aggregate — each event's 2^(-age/h) weight quantizes to fixed
+    point before the integer sum, so the feature replays exactly and
+    no window or second shuffle appears."""
+    from ..operators import temporal
+
+    ev = load(spark, sf_dir, "events")
+    return temporal.decayed_counts(ev, "user_id", "ts", "value",
+                                   half_life_days=7)

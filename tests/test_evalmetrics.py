@@ -187,3 +187,58 @@ def test_calibration_bins_match_global_rank(spark):
         assert out[b]["n_pos"] == pos
         assert out[b]["sum_score_fp"] == ssum
         assert out[b]["rate_fp"] == 1_000_000 * pos // n
+
+
+def test_pr_curve_hand_computed(spark):
+    """scores [3,3,2,1], labels [1,0,1,0]: thr=3 -> tp1 fp1;
+    thr=2 -> tp2 fp1; thr=1 -> tp2 fp2."""
+    rows = [(1, 3, 1), (2, 3, 0), (3, 2, 1), (4, 1, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, score_fp long, actual long")
+    out = {r["thr"]: r for r in evalmetrics.pr_curve(
+        df, "score_fp", "actual"
+    ).collect()}
+    assert (out[3]["tp"], out[3]["fp"]) == (1, 1)
+    assert (out[2]["tp"], out[2]["fp"]) == (2, 1)
+    assert (out[1]["tp"], out[1]["fp"]) == (2, 2)
+    assert out[2]["prec_fp"] == 666_666
+    assert out[2]["rec_fp"] == 1_000_000
+    assert out[2]["f1_fp"] == 1_000_000 * 4 // 5      # 2*2/(2+1+2)
+    best = evalmetrics.best_threshold(
+        df, "score_fp", "actual"
+    ).collect()
+    assert len(best) == 1 and best[0]["thr"] == 2
+
+
+def test_best_threshold_tie_breaks_stricter(spark):
+    """Two thresholds with identical F1 -> the higher one wins."""
+    rows = [(1, 10, 1), (2, 5, 1), (3, 1, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, score_fp long, actual long")
+    curve = {r["thr"]: r["f1_fp"] for r in evalmetrics.pr_curve(
+        df, "score_fp", "actual"
+    ).collect()}
+    best = evalmetrics.best_threshold(df, "score_fp", "actual").collect()[0]
+    top = max(curve.values())
+    assert best["f1_fp"] == top
+    assert best["thr"] == max(t for t, f in curve.items() if f == top)
+
+
+def test_decayed_counts_exact(spark):
+    """Two events for one user, 0 and 7 days old: weights 1.0 and
+    0.5 -> decayed_fp = 1_500_000; values decay the same way."""
+    from avk_job_skill_analytics_spark.operators import temporal
+
+    rows = [
+        (1, "2024-01-08 12:00:00", 4.0),
+        (1, "2024-01-01 12:00:00", 2.0),
+        (2, "2024-01-08 00:00:00", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r["user_id"]: r for r in temporal.decayed_counts(
+        df, "user_id", "ts", "value", half_life_days=7
+    ).collect()}
+    assert out[1]["n_events"] == 2
+    assert out[1]["decayed_fp"] == 1_500_000           # 1.0 + 0.5
+    assert out[1]["decayed_value_fp"] == 5_000_000     # 4.0 + 1.0
+    assert out[2]["decayed_fp"] == 1_000_000
+    assert out[2]["decayed_value_fp"] == 10_000_000

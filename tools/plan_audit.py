@@ -105,6 +105,17 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "the window — the corpus never enters it); the standard "
          "distributed Mann-Whitney decomposition"),
     ],
+    "ml_pr_curve": [
+        ("empty-partition-window",
+         "cumulative tp/fp over the DISTINCT-SCORE relation "
+         "(granularity-bounded, aggregated before the window — same "
+         "class as ml_auc_gate)"),
+    ],
+    "ml_best_threshold": [
+        ("empty-partition-window",
+         "top-1 over the distinct-score PR curve plus its cumulative "
+         "— both granularity-bounded (same class as ml_auc_gate)"),
+    ],
     "ml_calibration_bins": [
         ("empty-partition-window",
          "group-start cumulative over the DISTINCT-SCORE relation; "
