@@ -1856,3 +1856,94 @@ def stream_nb_train(spark, sf_dir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return serve_nb_weights(spark, index_dir)
+
+
+# ------------------------------------ growing EXACT prefix-postings index
+def _ssjoin_stream_sql(tn: int = 1, td: int = 2) -> str:
+    """Oracle for the streaming exact ss-join drain: because the
+    operator is EXACT (no false negatives at the threshold), the
+    oracle needs no prefix machinery at all — brute-force distinct
+    3-shingle Jaccard, restricted to pairs whose members arrived in
+    DIFFERENT batches (even-id batch 0 indexed first, odd-id batch 1
+    verified against it; intra-batch pairs are by design next-batch
+    work). Intersections count DISTINCT shingles, matching the
+    hash-set arithmetic (60-bit MD5 collisions absent at this
+    scale)."""
+    return f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(w) - 2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                         AS term
+              FROM w WHERE len(w) >= 3),
+       siz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       j AS (SELECT ov.id_a, ov.id_b, ov.inter,
+                    x.n + y.n - ov.inter AS uni
+             FROM ov JOIN siz x ON x.doc_id = ov.id_a
+                     JOIN siz y ON y.doc_id = ov.id_b)
+       SELECT CAST(id_a AS BIGINT) AS id_a,
+              CAST(id_b AS BIGINT) AS id_b,
+              CAST(inter AS BIGINT) AS inter,
+              CAST(uni AS BIGINT) AS uni,
+              CAST(floor(1000000 * inter / uni) AS BIGINT) AS jacc_fp
+       FROM j
+       WHERE inter * {td} >= {tn} * uni
+         AND (id_a % 2) <> (id_b % 2)"""
+
+
+@_q("stream_ssjoin_maintain", _ssjoin_stream_sql())
+def stream_ssjoin_maintain(spark, sf_dir):
+    """Streaming EXACT near-dup detection with a growing
+    prefix-postings index (streaming/ssjoin_stream) — the
+    no-false-negative twin of stream_lsh_index_maintain: each
+    micro-batch's arrivals are verified against everything indexed so
+    far (prefix-hash candidates, exact-integer size filter,
+    array_intersect Jaccard), then their own postings append exactly
+    once under the shared marker protocol; compact_every=2 makes the
+    drain exercise the journaled generation fold end-to-end. Even-id
+    documents arrive as batch 0 (empty index — no pairs), odd-id as
+    batch 1, so the drained pairs are exactly the cross-parity
+    members of the exact Jaccard>=1/2 pair set — which is what the
+    brute-force oracle checks, no prefix machinery needed (exactness
+    makes the filter invisible in the result)."""
+    from ..streaming.ssjoin_stream import foreach_batch_ssjoin_maintain
+
+    src = _single_file_drops(
+        spark, sf_dir, "documents", ["doc_id", "text"],
+        [("0_even.parquet", F.col("doc_id") % 2 == 0),
+         ("1_odd.parquet", F.col("doc_id") % 2 == 1)],
+        "ssjoin_stream_src_",
+    )
+    index_dir = tempfile.mkdtemp(prefix="ssjoin_index_")
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ssjoin_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_ssjoin_maintain(
+                    stream, index_dir, "doc_id", "text",
+                    k=3, t_num=1, t_den=2, compact_every=2,
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(f"{index_dir}/pairs")
+        .select("id_a", "id_b", "inter", "uni", "jacc_fp")
+    )

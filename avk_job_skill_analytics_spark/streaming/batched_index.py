@@ -1,0 +1,130 @@
+"""Layout-generic maintenance for growing ``table/batch=<id>``
+indexes on the shared fsio commit protocol.
+
+Both growing-index families (the banded LSH index in
+``minhash_stream`` and the exact prefix-postings index in
+``ssjoin_stream``) persist per-batch artifacts as one
+``<table>/batch=<id>`` directory per table, committed by a
+``_batch_<id>`` marker, and periodically fold committed batches into
+a negative GENERATION partition via the journaled, rename-free
+cutover documented in ``fsio``. The only layout-specific facts are
+the table names and each table's clustering keys — this module
+parameterizes exactly those, so the crash-window guarantees the LSH
+compactor's pytest suite locks down are inherited by every index
+built on it instead of re-implemented per family.
+"""
+
+from __future__ import annotations
+
+from .fsio import (
+    IndexFS,
+    committed_batch_ids,
+    count_committed_files,
+    drop_stale_generations,
+    ensure_protocol,
+    next_generation,
+    retire_real_markers,
+    write_journal,
+)
+
+__all__ = [
+    "make_delete_batches",
+    "committed_table_dirs",
+    "compact_batched_index",
+]
+
+
+def make_delete_batches(tables: tuple[str, ...]):
+    """The shared protocol's layout callback: batch ``b``'s data is
+    one ``<table>/batch=<b>`` directory per table."""
+    def _delete(fs: IndexFS, bs: list[str]) -> None:
+        for table in tables:
+            for b in bs:
+                fs.delete(f"{table}/batch={b}")
+
+    return _delete
+
+
+def committed_table_dirs(fs: IndexFS, table: str,
+                         committed: set[str] | None = None
+                         ) -> list[str]:
+    """``batch=<id>`` directories of ``table`` whose batch is
+    COMMITTED (marker present or journal-committed generation, minus
+    journal-consumed and tombstoned batches). Markers are written
+    AFTER all of a batch's artifacts, so this never lists a
+    half-written directory. Pass ``committed`` to reuse one
+    resolution across tables."""
+    if committed is None:
+        committed = committed_batch_ids(fs)
+    return [
+        fs.uri(f"{table}/{name}")
+        for name in fs.listdir(table)
+        if name.startswith("batch=")
+        and name.split("=", 1)[1] in committed
+    ]
+
+
+def compact_batched_index(spark, index_dir: str,
+                          cluster_cols: dict[str, list[str] | None],
+                          buckets: int = 1,
+                          marker_horizon: int = 1000) -> dict:
+    """Fold every COMMITTED ``batch=<id>`` directory into one fresh
+    generation partition per table — the file-count bound that keeps
+    a growing index's per-trigger listing from degrading as batches
+    accumulate.
+
+    ``cluster_cols`` maps table name -> join-key columns to
+    hash-cluster the compacted generation on (None = plain
+    repartition); the FIRST table is the probe table (file counts,
+    legacy sentinel detection, row count). The cutover is the
+    journaled rename-free protocol of ``fsio``: write the generation
+    directly at its final (invisible-until-committed) path, publish
+    the journal atomically, apply idempotently — every crash window
+    recovers via ``recover_compaction``, consumed data survives one
+    tombstone grace cycle for in-flight readers, and real batch
+    markers persist so redelivered batches still short-circuit.
+    Returns {'files_before', 'files_after', 'rows'} for the probe
+    table, counted over the COMMITTED view."""
+    from .fsio import recover_compaction
+
+    tables = tuple(cluster_cols)
+    probe = tables[0]
+    delete_fn = make_delete_batches(tables)
+    fs = IndexFS(spark, index_dir)
+    ensure_protocol(fs, lambda: fs.is_dir(f"{probe}/batch=-1"),
+                    lambda b: fs.is_dir(f"{probe}/batch={b}"))
+    recover_compaction(fs, delete_fn)
+    # reclaim half-written generations from a pre-commit crash
+    stale = [
+        int(name.split("=", 1)[1])
+        for table in tables
+        for name in fs.listdir(table)
+        if name.startswith("batch=-")
+    ]
+    drop_stale_generations(fs, delete_fn, stale)
+    before = fs.count_files(probe)
+    committed = committed_batch_ids(fs)
+    dirs = {t: committed_table_dirs(fs, t, committed) for t in tables}
+    if not dirs[probe]:
+        return {"files_before": before, "files_after": before,
+                "rows": 0}
+    gen = next_generation(fs)
+    rows = 0
+    consumed: set[str] = set()
+    for t in tables:
+        df = spark.read.parquet(*dirs[t])
+        if t == probe:
+            rows = df.count()
+        cc = cluster_cols[t]
+        rep = (df.repartition(buckets, *cc) if cc
+               else df.repartition(buckets))
+        rep.write.mode("overwrite").parquet(fs.uri(f"{t}/batch={gen}"))
+        consumed |= {d.rsplit("=", 1)[1] for d in dirs[t]}
+    write_journal(fs, gen, sorted(consumed))  # the atomic commit point
+    recover_compaction(fs, delete_fn)  # apply via the idempotent path
+    retire_real_markers(fs, marker_horizon)
+    return {
+        "files_before": before,
+        "files_after": count_committed_files(fs, probe),
+        "rows": rows,
+    }

@@ -398,64 +398,24 @@ def compact_lsh_index(spark, index_dir: str, buckets: int = 1,
     short-circuits instead of re-appending rows that now live in the
     generation partition. An uncommitted (mid-redelivery) batch
     directory is NOT consumed — its batch still owns the rewrite.
-    Returns {'bands_files_before', 'bands_files_after', 'rows'}."""
-    from .fsio import (
-        IndexFS,
-        committed_batch_ids,
-        count_committed_files,
-        drop_stale_generations,
-        ensure_protocol,
-        next_generation,
-        retire_real_markers,
-        write_journal,
-    )
+    Returns {'bands_files_before', 'bands_files_after', 'rows'}.
 
-    fs = IndexFS(spark, index_dir)
-    ensure_protocol(fs, lambda: fs.is_dir("bands/batch=-1"),
-                    lambda b: fs.is_dir(f"bands/batch={b}"))
-    _recover_compaction(fs)
-    # reclaim half-written generations from a pre-commit crash
-    stale = [
-        int(name.split("=", 1)[1])
-        for table in ("bands", "sets")
-        for name in fs.listdir(table)
-        if name.startswith("batch=-")
-    ]
-    drop_stale_generations(fs, _delete_lsh_batches, stale)
-    before = fs.count_files("bands")
-    committed = committed_batch_ids(fs)
-    bands_dirs = _committed_index_dirs(fs, "bands", committed)
-    sets_dirs = _committed_index_dirs(fs, "sets", committed)
-    if not bands_dirs:
-        return {"bands_files_before": before,
-                "bands_files_after": before, "rows": 0}
-    b = spark.read.parquet(*bands_dirs)
-    s = spark.read.parquet(*sets_dirs)
-    rows = b.count()
-    gen = next_generation(fs)
-    b.repartition(buckets, "band", "sig").write.mode("overwrite").parquet(
-        fs.uri(f"bands/batch={gen}")
+    The protocol body lives in the layout-generic
+    ``batched_index.compact_batched_index`` (this module's layout:
+    bands clustered on the (band, sig) join key, sets plain) — one
+    implementation of the cutover shared with every growing-index
+    family, crash windows locked by this module's pytest suite."""
+    from .batched_index import compact_batched_index
+
+    stats = compact_batched_index(
+        spark, index_dir,
+        {"bands": ["band", "sig"], "sets": None},
+        buckets=buckets, marker_horizon=marker_horizon,
     )
-    s.repartition(buckets).write.mode("overwrite").parquet(
-        fs.uri(f"sets/batch={gen}")
-    )
-    consumed = sorted(
-        {d.rsplit("=", 1)[1] for d in bands_dirs + sets_dirs}
-    )
-    write_journal(fs, gen, consumed)  # the atomic commit point
-    _recover_compaction(fs)  # apply via the shared idempotent path
-    # every committed real batch is now absorbed — retire markers far
-    # behind the redelivery horizon so root metadata stays bounded
-    retire_real_markers(fs, marker_horizon)
-    # files_after is the COMMITTED view (what every new reader lists):
-    # consumed batches' data survives one tombstone grace cycle for
-    # in-flight scans, so the raw directory count transiently includes
-    # it until the next compaction purges the ledger
-    after = count_committed_files(fs, "bands")
     return {
-        "bands_files_before": before,
-        "bands_files_after": after,
-        "rows": rows,
+        "bands_files_before": stats["files_before"],
+        "bands_files_after": stats["files_after"],
+        "rows": stats["rows"],
     }
 
 
