@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["binary_metrics", "calibration_bins", "pr_curve",
-           "best_threshold"]
+           "best_threshold", "grouped_binary_metrics"]
 
 
 def binary_metrics(scored: DataFrame, score_col: str,
@@ -215,4 +215,84 @@ def best_threshold(scored: DataFrame, score_col: str,
         curve.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .select("thr", "tp", "fp", "prec_fp", "rec_fp", "f1_fp")
+    )
+
+
+def grouped_binary_metrics(scored: DataFrame, group_col: str,
+                           score_col: str, pred_col: str,
+                           label_col: str) -> DataFrame:
+    """The evaluation card PER GROUP (source, language, fold): one
+    row per group with the same tie-corrected AUC and confusion
+    ratios as :func:`binary_metrics`, every window PARTITIONED by the
+    group — the per-source gate report a curation deployment reads to
+    catch a classifier that is great on average and broken on one
+    slice. Degenerate groups (single-class, or an empty predicted
+    positive set) yield NULL for the undefined ratios instead of a
+    division blow-up."""
+    by_score = scored.groupBy(
+        F.col(group_col).alias("grp"),
+        F.col(score_col).alias("_s"),
+    ).agg(
+        F.sum(F.col(label_col)).alias("_pos"),
+        F.sum(F.lit(1) - F.col(label_col)).alias("_neg"),
+    )
+    w = (
+        Window.partitionBy("grp").orderBy(F.asc("_s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    u2 = by_score.select(
+        "grp",
+        (
+            F.col("_pos")
+            * (F.lit(2) * F.coalesce(F.sum("_neg").over(w), F.lit(0))
+               + F.col("_neg"))
+        ).alias("_u2"),
+    ).groupBy("grp").agg(F.sum("_u2").alias("_u2"))
+
+    conf = scored.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(label_col)).alias("_n1"),
+        F.sum(F.lit(1) - F.col(label_col)).alias("_n0"),
+        F.sum((F.col(pred_col) * F.col(label_col)).cast("long"))
+        .alias("_tp"),
+        F.sum((F.col(pred_col) * (F.lit(1) - F.col(label_col)))
+              .cast("long")).alias("_fp"),
+        F.sum(((F.lit(1) - F.col(pred_col)) * F.col(label_col))
+              .cast("long")).alias("_fn"),
+        F.sum(((F.lit(1) - F.col(pred_col))
+               * (F.lit(1) - F.col(label_col))).cast("long"))
+        .alias("_tn"),
+    )
+
+    mil = F.lit(1_000_000)
+    both = (F.col("_n1") > 0) & (F.col("_n0") > 0)
+    return conf.join(u2, "grp").select(
+        F.col("grp").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_n1").cast("long").alias("n_pos"),
+        F.col("_tp").alias("tp"),
+        F.col("_fp").alias("fp"),
+        F.col("_fn").alias("fn"),
+        F.col("_tn").alias("tn"),
+        F.when(
+            both,
+            F.floor(mil * F.col("_u2")
+                    / (F.lit(2) * F.col("_n1") * F.col("_n0"))),
+        ).cast("long").alias("auc_fp"),
+        F.when(
+            F.col("_tp") + F.col("_fp") > 0,
+            F.floor(mil * F.col("_tp")
+                    / (F.col("_tp") + F.col("_fp"))),
+        ).cast("long").alias("prec_fp"),
+        F.when(
+            F.col("_n1") > 0,
+            F.floor(mil * F.col("_tp")
+                    / (F.col("_tp") + F.col("_fn"))),
+        ).cast("long").alias("rec_fp"),
+        F.when(
+            F.lit(2) * F.col("_tp") + F.col("_fp") + F.col("_fn") > 0,
+            F.floor(mil * F.lit(2) * F.col("_tp")
+                    / (F.lit(2) * F.col("_tp") + F.col("_fp")
+                       + F.col("_fn"))),
+        ).cast("long").alias("f1_fp"),
     )

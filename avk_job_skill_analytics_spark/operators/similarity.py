@@ -1247,3 +1247,66 @@ def ivfpq_score(codes: DataFrame, probes: DataFrame,
             "rk",
         )
     )
+
+
+def semihard_negative_topk(corpus: DataFrame, queries: DataFrame,
+                           id_col: str, vec_col: str, label_col: str,
+                           k: int = 5,
+                           round_digits: int = 6) -> DataFrame:
+    """SEMI-HARD negative mining (the FaceNet criterion — Schroff,
+    Kalenichenko & Philbin, CVPR'15 §3.2): per anchor, the top-k
+    most-similar different-label vectors that are still LESS similar
+    than the anchor's nearest same-label vector — negatives inside
+    the margin band, the ones that tighten a triplet/contrastive
+    objective without collapsing it the way hardest-negatives can.
+
+    Two broadcast-anchor corpus scans (one for the same-label
+    positive bar, one for the mismatch candidates — the scans
+    recompute rather than cache: at corpus scale a second columnar
+    scan is cheaper than materializing the |anchors| x |corpus|
+    scored relation), then a bounded per-anchor top-k. Anchors with
+    no same-label neighbor yield no rows (no bar to be under).
+    Returns (query_id, neighbor_id, cosine, pos_sim, rk)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    cos = F.round(
+        _dot(F.col("_qv"), F.col("_cv"))
+        / (F.col("_qn") * F.col("_cn")),
+        round_digits,
+    )
+    pos_bar = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("_cl") == F.col("_ql"))
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+        .withColumn("_cos", cos)
+        .groupBy("query_id")
+        .agg(F.max("_cos").alias("pos_sim"))
+    )
+    negs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_cl") != F.col("_ql"))
+        .withColumn("cosine", cos)
+        .join(F.broadcast(pos_bar), "query_id")
+        .filter(F.col("cosine") < F.col("pos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        negs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "pos_sim",
+                F.col("rk").cast("long").alias("rk"))
+    )

@@ -5186,3 +5186,111 @@ def agg_decayed_engagement(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return temporal.decayed_counts(ev, "user_id", "ts", "value",
                                    half_life_days=7)
+
+
+# ----------------------------------------- per-slice gate evaluation
+@_q(
+    "ml_grouped_metrics",
+    f"""WITH scored AS ({_nb_sql()}),
+       s AS (SELECT sc.score_fp, sc.pred, sc.actual,
+                    d.source AS grp
+             FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id),
+       bys AS (SELECT grp, score_fp AS sv, sum(actual) AS pos,
+                      sum(1 - actual) AS neg
+               FROM s GROUP BY 1, 2),
+       cum AS (SELECT grp, pos, neg,
+                 coalesce(sum(neg) OVER (PARTITION BY grp
+                   ORDER BY sv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS negb
+               FROM bys),
+       uu AS (SELECT grp, sum(pos * (2 * negb + neg)) AS u2
+              FROM cum GROUP BY 1),
+       conf AS (SELECT grp, count(*) AS n, sum(actual) AS n1,
+                       sum(1 - actual) AS n0,
+                       sum(pred * actual) AS tp,
+                       sum(pred * (1 - actual)) AS fp,
+                       sum((1 - pred) * actual) AS fn,
+                       sum((1 - pred) * (1 - actual)) AS tn
+                FROM s GROUP BY 1)
+       SELECT conf.grp AS source, CAST(n AS BIGINT) AS n,
+              CAST(n1 AS BIGINT) AS n_pos, CAST(tp AS BIGINT) AS tp,
+              CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+              CAST(tn AS BIGINT) AS tn,
+              CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
+                     floor(1000000 * u2 / (2 * n1 * n0)) END
+                   AS BIGINT) AS auc_fp,
+              CAST(CASE WHEN tp + fp > 0 THEN
+                     floor(1000000 * tp / (tp + fp)) END
+                   AS BIGINT) AS prec_fp,
+              CAST(CASE WHEN n1 > 0 THEN
+                     floor(1000000 * tp / (tp + fn)) END
+                   AS BIGINT) AS rec_fp,
+              CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
+                     floor(1000000 * 2 * tp / (2 * tp + fp + fn)) END
+                   AS BIGINT) AS f1_fp
+       FROM conf JOIN uu ON uu.grp = conf.grp""",
+)
+def ml_grouped_metrics(spark, sf_dir):
+    """The gate evaluation card PER SOURCE
+    (evalmetrics.grouped_binary_metrics): tie-corrected AUC and
+    confusion ratios sliced by the corpus source column, every window
+    partitioned by the slice — the report that catches a classifier
+    that is fine on average and broken on one slice (the per-language
+    / per-domain honesty check every curation deployment runs).
+    Degenerate slices yield NULL ratios, not division blow-ups."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    joined = scored.join(
+        load(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+    )
+    return evalmetrics.grouped_binary_metrics(
+        joined, "source", "score_fp", "pred", "actual"
+    )
+
+
+# ----------------------------------------- semi-hard negative mining
+@_q(
+    "ml_semihard_negatives",
+    f"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+                         embedding AS qv
+                  FROM embeddings WHERE vec_id < 10),
+       pos AS (SELECT q.query_id,
+                      max(round({_cos_sql('q.qv', 'c.embedding')}, 6))
+                          AS pos_sim
+               FROM q, embeddings c
+               WHERE c.label = q.ql AND c.vec_id <> q.query_id
+               GROUP BY 1),
+       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    round({_cos_sql('q.qv', 'c.embedding')}, 6)
+                        AS cosine
+             FROM q, embeddings c WHERE c.label <> q.ql),
+       f AS (SELECT s.query_id, s.neighbor_id, s.cosine, pos.pos_sim
+             FROM s JOIN pos USING (query_id)
+             WHERE s.cosine < pos.pos_sim)
+       SELECT query_id, neighbor_id, cosine, pos_sim, rk FROM (
+         SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM f) t
+       WHERE rk <= 5""",
+)
+def ml_semihard_negatives(spark, sf_dir):
+    """Semi-hard negative mining (similarity.semihard_negative_topk —
+    the FaceNet triplet criterion, Schroff et al. CVPR'15): per
+    anchor, the top-5 different-label vectors still LESS similar than
+    the anchor's nearest same-label vector — the margin-band
+    negatives that tighten a contrastive objective without the
+    collapse risk of hardest-negatives. Two broadcast-anchor corpus
+    scans, bounded per-anchor top-k."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.semihard_negative_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", "label", k=5,
+    )

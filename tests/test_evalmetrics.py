@@ -242,3 +242,58 @@ def test_decayed_counts_exact(spark):
     assert out[1]["decayed_value_fp"] == 5_000_000     # 4.0 + 1.0
     assert out[2]["decayed_fp"] == 1_000_000
     assert out[2]["decayed_value_fp"] == 10_000_000
+
+
+def test_grouped_metrics_slices_and_guards(spark):
+    """One healthy slice (matches the global card on its subset), one
+    single-class slice (NULL auc, defined recall), one slice with no
+    predicted positives (NULL precision)."""
+    rows = (
+        [("a", i, 3 - (i % 3), 1 if i % 3 else 0, 1 if i % 2 else 0)
+         for i in range(8)]
+        + [("b", 100 + i, 5, 1, 1) for i in range(4)]     # all-positive
+        + [("c", 200 + i, 1, 0, i % 2) for i in range(4)]  # never predicts
+    )
+    df = spark.createDataFrame(
+        rows,
+        "src string, doc_id long, score_fp long, pred long, actual long",
+    )
+    out = {r["src"]: r for r in evalmetrics.grouped_binary_metrics(
+        df, "src", "score_fp", "pred", "actual"
+    ).collect()}
+    assert set(out) == {"a", "b", "c"}
+    ga = evalmetrics.binary_metrics(
+        df.filter(F.col("src") == "a"), "score_fp", "pred", "actual"
+    ).collect()[0]
+    for c in ("n", "n_pos", "tp", "fp", "fn", "tn",
+              "auc_fp", "prec_fp", "rec_fp", "f1_fp"):
+        assert out["a"][c] == ga[c], c
+    assert out["b"]["auc_fp"] is None          # single class
+    assert out["b"]["rec_fp"] == 1_000_000
+    assert out["c"]["prec_fp"] is None         # tp+fp == 0
+    assert out["c"]["tp"] == 0
+
+
+def test_semihard_negatives_under_positive_bar(spark):
+    from avk_job_skill_analytics_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.semihard_negative_topk(
+        e, q, "vec_id", "embedding", "label", k=3
+    ).collect()
+    assert out
+    hard = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.hard_negative_topk(
+            e, q, "vec_id", "embedding", "label", k=10**6
+        ).collect()
+    }
+    labels = {r["vec_id"]: r["label"] for r in e.collect()}
+    for r in out:
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+        assert r["cosine"] < r["pos_sim"]       # inside the margin band
+        # and it IS the hardest negative below the bar: nothing
+        # harder with a different label sits between it and the bar
+        # other than ones also returned
+        assert (r["query_id"], r["neighbor_id"]) in hard
