@@ -5294,3 +5294,58 @@ def ml_semihard_negatives(spark, sf_dir):
         e, e.filter(F.col("vec_id") < 10),
         "vec_id", "embedding", "label", k=5,
     )
+
+
+# ------------------------------------ LSH recall audit vs exact join
+@_q(
+    "dd_lsh_recall_audit",
+    f"""WITH ex AS ({_prefix_filter_sql()}),
+       lsh AS ({_minhash_sql(16, 8, 0.5)}),
+       j AS (SELECT ex.jacc_fp,
+                    CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END
+                        AS found
+             FROM ex LEFT JOIN lsh l
+               ON l.doc_a = ex.id_a AND l.doc_b = ex.id_b)
+       SELECT CAST(jacc_fp // 100000 AS BIGINT) AS band,
+              CAST(count(*) AS BIGINT) AS n_exact,
+              CAST(sum(found) AS BIGINT) AS n_lsh,
+              CAST(count(*) - sum(found) AS BIGINT) AS missed
+       FROM j GROUP BY 1""",
+)
+def dd_lsh_recall_audit(spark, sf_dir):
+    """The measured false-negative ledger for the LSH dedup path:
+    ground truth is the EXACT prefix-filtered join (no false
+    negatives by theorem), and per Jaccard decile band the audit
+    counts how many true pairs the banded-MinHash path actually
+    surfaced — LSH recall as a published number per similarity band,
+    not a formula. The exact side is affordable precisely because the
+    prefix filter prunes it; at 100 TB this runs on a sample and the
+    band-wise recall extrapolates (the banding S-curve is
+    similarity-determined, not corpus-size-determined)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", k=3)
+    exact = ssjoin.prefix_filter_pairs(
+        sh, "doc_id", "shingle", t_num=1, t_den=2
+    )
+    lsh = dedup.minhash_lsh_dedup(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=8,
+        threshold=0.5,
+    ).select(
+        F.col("doc_a").alias("_la"), F.col("doc_b").alias("_lb"),
+    )
+    joined = exact.join(
+        lsh,
+        on=[exact["id_a"] == F.col("_la"),
+            exact["id_b"] == F.col("_lb")],
+        how="left",
+    ).select(
+        F.floor(F.col("jacc_fp") / F.lit(100_000)).alias("band"),
+        F.when(F.col("_la").isNull(), F.lit(0)).otherwise(F.lit(1))
+        .alias("_found"),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum("_found").cast("long").alias("n_lsh"),
+        (F.count(F.lit(1)) - F.sum("_found")).cast("long")
+        .alias("missed"),
+    )
