@@ -65,34 +65,44 @@ def committed_table_dirs(fs: IndexFS, table: str,
 
 
 def compact_batched_index(spark, index_dir: str,
-                          cluster_cols: dict[str, list[str] | None],
+                          cluster_cols: dict,
                           buckets: int = 1,
-                          marker_horizon: int = 1000) -> dict:
+                          marker_horizon: int = 1000,
+                          probes=None) -> dict:
     """Fold every COMMITTED ``batch=<id>`` directory into one fresh
     generation partition per table — the file-count bound that keeps
     a growing index's per-trigger listing from degrading as batches
     accumulate.
 
-    ``cluster_cols`` maps table name -> join-key columns to
-    hash-cluster the compacted generation on (None = plain
-    repartition); the FIRST table is the probe table (file counts,
-    legacy sentinel detection, row count). The cutover is the
-    journaled rename-free protocol of ``fsio``: write the generation
-    directly at its final (invisible-until-committed) path, publish
-    the journal atomically, apply idempotently — every crash window
-    recovers via ``recover_compaction``, consumed data survives one
-    tombstone grace cycle for in-flight readers, and real batch
-    markers persist so redelivered batches still short-circuit.
-    Returns {'files_before', 'files_after', 'rows'} for the probe
-    table, counted over the COMMITTED view."""
+    ``cluster_cols`` maps table name -> how to lay out the compacted
+    generation: a list of join-key columns to hash-cluster on, None
+    for a plain repartition, or a CALLABLE ``fn(df, buckets) -> df``
+    for layouts the two simple forms can't express (an associative
+    SUM-merge, a sortWithinPartitions for row-group pruning). The
+    FIRST table is the probe table (file counts, legacy sentinel
+    detection, row count — counted AFTER the transform, so a merging
+    compactor reports merged rows). ``probes`` optionally overrides
+    the legacy-detection pair passed to ``ensure_protocol``
+    (defaults to the standard ``<probe>/batch=-1`` sentinel probes).
+    The cutover is the journaled rename-free protocol of ``fsio``:
+    write the generation directly at its final
+    (invisible-until-committed) path, publish the journal atomically,
+    apply idempotently — every crash window recovers via
+    ``recover_compaction``, consumed data survives one tombstone
+    grace cycle for in-flight readers, and real batch markers persist
+    so redelivered batches still short-circuit. Returns
+    {'files_before', 'files_after', 'rows'} for the probe table,
+    counted over the COMMITTED view."""
     from .fsio import recover_compaction
 
     tables = tuple(cluster_cols)
     probe = tables[0]
     delete_fn = make_delete_batches(tables)
     fs = IndexFS(spark, index_dir)
-    ensure_protocol(fs, lambda: fs.is_dir(f"{probe}/batch=-1"),
-                    lambda b: fs.is_dir(f"{probe}/batch={b}"))
+    if probes is None:
+        probes = (lambda: fs.is_dir(f"{probe}/batch=-1"),
+                  lambda b: fs.is_dir(f"{probe}/batch={b}"))
+    ensure_protocol(fs, *probes)
     recover_compaction(fs, delete_fn)
     # reclaim half-written generations from a pre-commit crash
     stale = [
@@ -113,11 +123,15 @@ def compact_batched_index(spark, index_dir: str,
     consumed: set[str] = set()
     for t in tables:
         df = spark.read.parquet(*dirs[t])
+        spec = cluster_cols[t]
+        if callable(spec):
+            rep = spec(df, buckets)
+        elif spec:
+            rep = df.repartition(buckets, *spec)
+        else:
+            rep = df.repartition(buckets)
         if t == probe:
-            rows = df.count()
-        cc = cluster_cols[t]
-        rep = (df.repartition(buckets, *cc) if cc
-               else df.repartition(buckets))
+            rows = rep.count()
         rep.write.mode("overwrite").parquet(fs.uri(f"{t}/batch={gen}"))
         consumed |= {d.rsplit("=", 1)[1] for d in dirs[t]}
     write_journal(fs, gen, sorted(consumed))  # the atomic commit point

@@ -32,14 +32,9 @@ from ..operators.textstats import tokens
 from .fsio import (
     IndexFS,
     committed_batch_ids,
-    count_committed_files,
-    drop_stale_generations,
     ensure_protocol,
     legacy_overlay_ids,
-    next_generation,
     recover_compaction,
-    retire_real_markers,
-    write_journal,
 )
 
 __all__ = [
@@ -167,43 +162,25 @@ def compact_nb_counts(spark, index_dir: str, buckets: int = 1,
     the protocol's first associative-merge compaction — the
     generation holds per-term SUM(c1), SUM(c0) over everything it
     consumed, so the post-compaction serve aggregates fewer rows to
-    the same integers. Journal, tombstone grace, and crash recovery
-    are the shared fsio machinery unchanged."""
-    fs = IndexFS(spark, index_dir)
-    ensure_protocol(fs, *_probes(fs))
-    recover_compaction(fs, _delete_nb_batches)
-    drop_stale_generations(
-        fs, _delete_nb_batches,
-        [
-            int(name.split("=", 1)[1])
-            for name in fs.listdir("counts")
-            if name.startswith("batch=-")
-        ],
-    )
-    before = fs.count_files("counts")
-    committed = committed_batch_ids(fs)
-    dirs = _committed_count_dirs(fs, committed)
-    if not dirs:
-        return {"files_before": before, "files_after": before, "rows": 0}
-    merged = (
-        spark.read.parquet(*dirs)
-        .groupBy("term")
-        .agg(
-            F.sum("c1").cast("long").alias("c1"),
-            F.sum("c0").cast("long").alias("c0"),
+    the same integers. The cutover body is the layout-generic
+    ``batched_index.compact_batched_index`` with a CALLABLE layout
+    (the SUM-merge, localCheckpoint-ed so the count and the write
+    share one computation) — journal, tombstone grace, and crash
+    recovery are the shared machinery unchanged."""
+    from .batched_index import compact_batched_index
+
+    def _merge(df, b):
+        return (
+            df.groupBy("term")
+            .agg(
+                F.sum("c1").cast("long").alias("c1"),
+                F.sum("c0").cast("long").alias("c0"),
+            )
+            .repartition(b)
+            .localCheckpoint()
         )
-        .repartition(buckets)
-        .localCheckpoint()
+
+    return compact_batched_index(
+        spark, index_dir, {"counts": _merge},
+        buckets=buckets, marker_horizon=marker_horizon,
     )
-    rows = merged.count()
-    gen = next_generation(fs)
-    merged.write.mode("overwrite").parquet(fs.uri(f"counts/batch={gen}"))
-    consumed = sorted({d.rsplit("=", 1)[1] for d in dirs})
-    write_journal(fs, gen, consumed)  # the atomic commit point
-    recover_compaction(fs, _delete_nb_batches)
-    retire_real_markers(fs, marker_horizon)
-    return {
-        "files_before": before,
-        "files_after": count_committed_files(fs, "counts"),
-        "rows": rows,
-    }

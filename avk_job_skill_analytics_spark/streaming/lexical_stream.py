@@ -36,14 +36,9 @@ from ..operators.textstats import tokens
 from .fsio import (
     IndexFS,
     committed_batch_ids,
-    count_committed_files,
-    drop_stale_generations,
     ensure_protocol,
     legacy_overlay_ids,
-    next_generation,
     recover_compaction,
-    retire_real_markers,
-    write_journal,
 )
 
 
@@ -175,43 +170,22 @@ def compact_bm25_index(spark, index_dir: str, buckets: int = 1,
     compactors (fsio module docstring), with the generation's
     postings re-sorted on term so serving keeps its row-group
     pruning. Returns {'postings_files_before', 'postings_files_after',
-    'rows'}."""
-    fs = IndexFS(spark, index_dir)
-    ensure_protocol(fs, *_legacy_probes(fs))
-    recover_compaction(fs, _delete_bm25_batches)
-    stale = [
-        int(name.split("=", 1)[1])
-        for table in _TABLES
-        for name in fs.listdir(table)
-        if name.startswith("batch=-")
-    ]
-    drop_stale_generations(fs, _delete_bm25_batches, stale)
-    before = fs.count_files("postings")
-    committed = committed_batch_ids(fs)
-    p_dirs = _committed_dirs(fs, "postings", committed)
-    d_dirs = _committed_dirs(fs, "doclen", committed)
-    if not p_dirs:
-        return {"postings_files_before": before,
-                "postings_files_after": before, "rows": 0}
-    p = spark.read.parquet(*p_dirs)
-    d = spark.read.parquet(*d_dirs)
-    rows = p.count()
-    gen = next_generation(fs)
-    p.repartition(buckets).sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(fs.uri(f"postings/batch={gen}"))
-    d.repartition(buckets).write.mode("overwrite").parquet(
-        fs.uri(f"doclen/batch={gen}")
+    'rows'}. The cutover body is the layout-generic
+    ``batched_index.compact_batched_index`` (postings via a CALLABLE
+    layout for the sortWithinPartitions, doclen plain)."""
+    from .batched_index import compact_batched_index
+
+    stats = compact_batched_index(
+        spark, index_dir,
+        {
+            "postings": lambda df, b:
+                df.repartition(b).sortWithinPartitions("term"),
+            "doclen": None,
+        },
+        buckets=buckets, marker_horizon=marker_horizon,
     )
-    consumed = sorted(
-        {u.rsplit("=", 1)[1] for u in p_dirs + d_dirs}
-    )
-    write_journal(fs, gen, consumed)  # the atomic commit point
-    recover_compaction(fs, _delete_bm25_batches)
-    retire_real_markers(fs, marker_horizon)
-    after = count_committed_files(fs, "postings")
     return {
-        "postings_files_before": before,
-        "postings_files_after": after,
-        "rows": rows,
+        "postings_files_before": stats["files_before"],
+        "postings_files_after": stats["files_after"],
+        "rows": stats["rows"],
     }
