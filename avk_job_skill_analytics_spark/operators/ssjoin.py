@@ -80,14 +80,22 @@ def prefix_filter_pairs(sets: DataFrame, id_col: str,
         ranked.join(sizes, id_col)
         .withColumn("_pos", F.row_number().over(pos))
         .filter(F.col("_pos") <= F.col("_n") - ceil_tn + F.lit(1))
-        .select(id_col, "term", "_n")
+        .select(id_col, "term", "_n", "_pos")
     )
 
     a = pref.select(
-        F.col(id_col).alias("id_a"), "term", F.col("_n").alias("_na")
+        F.col(id_col).alias("id_a"), "term",
+        F.col("_n").alias("_na"), F.col("_pos").alias("_pa"),
     )
     b = pref.select(
-        F.col(id_col).alias("id_b"), "term", F.col("_n").alias("_nb")
+        F.col(id_col).alias("id_b"), "term",
+        F.col("_n").alias("_nb"), F.col("_pos").alias("_pb"),
+    )
+    # required overlap α = ceil(t/(1+t)·(na+nb)) in exact integers
+    alpha = F.floor(
+        (F.lit(t_num) * (F.col("_na") + F.col("_nb"))
+         + F.lit(t_num + t_den - 1))
+        / F.lit(t_num + t_den)
     )
     cand = (
         a.join(b, "term")
@@ -96,6 +104,17 @@ def prefix_filter_pairs(sets: DataFrame, id_col: str,
         .filter(
             F.least("_na", "_nb") * F.lit(t_den)
             >= F.lit(t_num) * F.greatest("_na", "_nb")
+        )
+        # positional filter (PPJoin, Xiao et al. WWW'08 §3): with the
+        # shared token at sorted position p, the overlap can't exceed
+        # the shorter remaining suffix + 1 — prune pairs whose bound
+        # is already below the required α (lossless: the bound is an
+        # upper bound on the true intersection)
+        .filter(
+            F.least(
+                F.col("_na") - F.col("_pa"),
+                F.col("_nb") - F.col("_pb"),
+            ) + F.lit(1) >= alpha
         )
         .select("id_a", "id_b", "_na", "_nb")
         .distinct()
