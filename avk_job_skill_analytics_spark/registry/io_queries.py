@@ -1439,3 +1439,37 @@ def ann_filtered_served(spark, sf_dir):
         n_probe=2, sub_d=8, k=5,
         allowed=e.filter(F.col("label") < 3).select("vec_id"),
     )
+
+
+def _hard_neg_served_sql() -> str:
+    from .scale_queries import _ivfpq_sql
+
+    return _ivfpq_sql(
+        8, 2, 8, 8, 8, 10, 5,
+        q_pred="vec_id < 50 AND label = 0",
+        inv_pred="label <> 0",
+    )
+
+
+@_q("ann_hard_negatives_served", _hard_neg_served_sql())
+def ann_hard_negatives_served(spark, sf_dir):
+    """Hard-negative mining FROM THE STORED INDEX — the serving-path
+    claim of ml_hard_negatives made real: anchors are the label-0
+    cohort, the allowed-id table is every OTHER label, and the SAME
+    persisted IVF-PQ store that answers plain and filtered retrieval
+    serves the mining workload (probed-cell directory pruning intact,
+    the label filter broadcast-semi-joined before ranking). Per-label
+    anchor cohorts make the per-anchor exclusion a per-cohort
+    inventory filter, so one serve call handles a whole cohort — the
+    production loop is one call per label, each bounded the same
+    way."""
+    from ..operators import ann_index
+
+    d = _ann_ivfpq_index_dir(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    return ann_index.serve_topk(
+        spark, d,
+        e.filter((F.col("vec_id") < 50) & (F.col("label") == 0)),
+        "vec_id", "embedding", n_probe=2, sub_d=8, k=5,
+        allowed=e.filter(F.col("label") != 0).select("vec_id"),
+    )

@@ -3440,7 +3440,8 @@ def txt_char_entropy(spark, sf_dir):
 def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
                k_star: int, n_queries: int, topk: int,
                seed_pred: str | None = None,
-               inv_pred: str | None = None) -> str:
+               inv_pred: str | None = None,
+               q_pred: str | None = None) -> str:
     """DuckDB twin of similarity.ivfpq_topk: coarse cells, residual
     encoding, per-subspace seed codebooks over residuals, integer ADC
     restricted to probed cells — every argmin/ranking shares the
@@ -3450,8 +3451,11 @@ def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
     are encoded with quantizers frozen on the base corpus.
     ``inv_pred`` restricts the INVENTORY the ADC join scores (the
     filtered-search contract: shared quantizers, metadata-constrained
-    candidates)."""
+    candidates). ``q_pred`` overrides the query-set predicate
+    (default ``vec_id < n_queries``) — e.g. an anchor cohort by
+    label for served hard-negative mining."""
     seed_where = f"WHERE {seed_pred} " if seed_pred else ""
+    q_pred = q_pred or f"vec_id < {n_queries}"
     inv_where = (
         f" AND codes.vec_id IN (SELECT vec_id FROM embeddings "
         f"WHERE {inv_pred})" if inv_pred else ""
@@ -3479,7 +3483,7 @@ def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
             SELECT q.vec_id AS qid, c.cell, {qres} AS qres,
                    row_number() OVER (PARTITION BY q.vec_id
                      ORDER BY round({qdist}, 6), c.cell) AS rk
-            FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q,
+            FROM (SELECT * FROM embeddings WHERE {q_pred}) q,
                  cells c) t WHERE rk <= {n_probe})"""]
     for s in range(m):
         a, b = s * sub_d + 1, (s + 1) * sub_d
