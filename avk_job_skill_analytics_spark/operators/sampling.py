@@ -208,3 +208,66 @@ def global_shuffle(df: DataFrame, key: str, seed: int = 7,
         .withColumn(out, (F.col("_off") + F.col("_rk") - 1).cast("long"))
         .drop("_h", "_b", "_rk", "_off")
     )
+
+
+def match_distribution(df: DataFrame, id_col: str, group_col: str,
+                       weight) -> DataFrame:
+    """Deterministic rejection sampling to a TARGET group mix — the
+    source-rebalancing primitive of corpus curation (downsample
+    over-represented sources so retained counts follow the target
+    proportions, keeping as much data as possible).
+
+    ``weight`` is a Column expression over ``group_col`` giving the
+    target integer weight w_g. The binding group m (the one whose
+    n/w is smallest) is kept whole; every other group g keeps each
+    row with probability (n_m * w_g) / (w_m * n_g) via the
+    engine-portable Knuth-hash coin — the acceptance test is a pure
+    integer comparison (DECIMAL(38,0) products, overflow-safe at
+    corpus counts), so the retained set is deterministic and
+    oracle-replayable.
+
+    Plan shape: one group-count aggregate, a 1-row broadcast of the
+    binding group (tiny |groups|-row ordered pick), then a pure
+    map-side filter over the corpus — no window or shuffle touches
+    the data rows. Returns the per-group audit (group, n_before,
+    target_w, n_after)."""
+    grp = F.col(group_col)
+    counts = df.groupBy(grp.alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).withColumn("_w", weight(F.col("_g")))
+    binding = (
+        counts.orderBy(
+            (F.col("_n").cast("double") / F.col("_w")).asc(),
+            F.asc("_g"),
+        )
+        .limit(1)
+        .select(F.col("_n").alias("_nm"), F.col("_w").alias("_wm"))
+    )
+    dec = "decimal(38,0)"
+    u = (
+        (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    ) % F.lit(1_000_000)
+    kept = (
+        df.select(F.col(id_col), grp.alias("_g"))
+        .withColumn("_u", u)
+        .join(F.broadcast(counts), "_g")
+        .crossJoin(F.broadcast(binding))
+        .filter(
+            F.col("_u").cast(dec) * F.col("_wm").cast(dec)
+            * F.col("_n").cast(dec)
+            < F.lit(1_000_000).cast(dec) * F.col("_nm").cast(dec)
+            * F.col("_w").cast(dec)
+        )
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_kept"))
+    )
+    return (
+        counts.join(kept, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").cast("long").alias("n_before"),
+            F.col("_w").cast("long").alias("target_w"),
+            F.coalesce(F.col("_kept"), F.lit(0)).cast("long")
+            .alias("n_after"),
+        )
+    )

@@ -5353,3 +5353,39 @@ def dd_lsh_recall_audit(spark, sf_dir):
         (F.count(F.lit(1)) - F.sum("_found")).cast("long")
         .alias("missed"),
     )
+
+
+# ------------------------------------- distribution-matched sampling
+@_q(
+    "o4_match_distribution",
+    """WITH cnt AS (SELECT source AS g, count(*) AS n,
+                         1 + length(source) % 3 AS w
+               FROM documents GROUP BY source),
+       m AS (SELECT n AS nm, w AS wm FROM cnt
+             ORDER BY CAST(n AS DOUBLE) / w, g LIMIT 1),
+       kept AS (SELECT d.source AS g, count(*) AS k
+                FROM documents d JOIN cnt ON cnt.g = d.source, m
+                WHERE CAST(((d.doc_id * 2654435761) % 4294967296)
+                           % 1000000 AS HUGEINT) * m.wm * cnt.n
+                    < CAST(1000000 AS HUGEINT) * m.nm * cnt.w
+                GROUP BY d.source)
+       SELECT cnt.g AS source, CAST(cnt.n AS BIGINT) AS n_before,
+              CAST(cnt.w AS BIGINT) AS target_w,
+              CAST(coalesce(kept.k, 0) AS BIGINT) AS n_after
+       FROM cnt LEFT JOIN kept ON kept.g = cnt.g""",
+)
+def o4_match_distribution(spark, sf_dir):
+    """Source-mix rebalancing by deterministic rejection sampling
+    (sampling.match_distribution): retained counts follow the target
+    weights (here 1 + len(source) % 3 — a non-uniform synthetic
+    target) while the binding source keeps everything — the
+    downsample-to-target primitive every multi-source corpus build
+    runs. The acceptance test is a pure integer comparison on the
+    Knuth-hash coin (DECIMAL(38,0)/HUGEINT products), so both
+    engines retain the identical row set; the data rows see only a
+    map-side filter — no window, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return sampling.match_distribution(
+        docs, "doc_id", "source",
+        lambda g: (F.length(g) % 3 + F.lit(1)).cast("long"),
+    )

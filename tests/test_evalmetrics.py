@@ -297,3 +297,24 @@ def test_semihard_negatives_under_positive_bar(spark):
         # harder with a different label sits between it and the bar
         # other than ones also returned
         assert (r["query_id"], r["neighbor_id"]) in hard
+
+
+def test_match_distribution_proportions(spark):
+    """Retained counts approximate the target mix; the binding group
+    keeps everything; acceptance is deterministic."""
+    from avk_job_skill_analytics_spark.operators import sampling
+
+    rows = ([(i, "big") for i in range(3000)]
+            + [(10000 + i, "small") for i in range(300)])
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = {r["g"]: r for r in sampling.match_distribution(
+        df, "doc_id", "g", lambda g: F.lit(1).cast("long")
+    ).collect()}
+    # equal weights: small (n/w = 300) binds and keeps all rows
+    assert out["small"]["n_after"] == out["small"]["n_before"] == 300
+    # big downsamples toward ~300 (hash-coin variance at n=3000)
+    assert abs(out["big"]["n_after"] - 300) < 60
+    again = {r["g"]: r["n_after"] for r in sampling.match_distribution(
+        df, "doc_id", "g", lambda g: F.lit(1).cast("long")
+    ).collect()}
+    assert again == {g: r["n_after"] for g, r in out.items()}
