@@ -266,3 +266,46 @@ def test_sql_double_roundtrips_bit_exact(spark, vals):
         got = row[f"c{i}"]
         assert struct.pack(">d", got) == struct.pack(">d", v), (v, got)
         assert math.isfinite(got)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=12),  # small universe
+            min_size=0, max_size=10,
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.sampled_from([(1, 2), (2, 3), (7, 10)]),
+)
+@settings(**_SETTINGS)
+def test_prefix_filter_join_equals_bruteforce(spark, docs, t):
+    """EXACTNESS LAW (ssjoin.prefix_filter_pairs): for arbitrary
+    small sets and thresholds, the prefix+size+positional filters
+    must be lossless — output == all-pairs brute force, with exact
+    intersection/union counts."""
+    import itertools
+
+    from avk_job_skill_analytics_spark.operators import ssjoin
+
+    tn, td = t
+    sets = {i: set(d) for i, d in enumerate(docs)}
+    rows = [(i, str(e)) for i, d in sets.items() for e in d]
+    if not rows:
+        return
+    toks = spark.createDataFrame(rows, "doc_id long, term string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+        for r in ssjoin.prefix_filter_pairs(
+            toks, "doc_id", "term", t_num=tn, t_den=td
+        ).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        if not sets[a] or not sets[b]:
+            continue
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if i * td >= tn * u:
+            want[(a, b)] = (i, u)
+    assert got == want
