@@ -84,6 +84,10 @@ HEADLINE = [
     "s6_jdbc_roundtrip",
     "dd_substring_spans",
     "emb_gram_matrix",
+    "dd_prefix_filter_join",
+    "stream_ssjoin_maintain",
+    "ml_auc_gate",
+    "ml_cascade_rerank",
 ]
 
 _FAMILIES = (
