@@ -5389,3 +5389,54 @@ def o4_match_distribution(spark, sf_dir):
         docs, "doc_id", "source",
         lambda g: (F.length(g) % 3 + F.lit(1)).cast("long"),
     )
+
+
+# ------------------------------------------------ experiment readout
+@_q(
+    "ml_ab_test",
+    """WITH u AS (SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                 AND value > 200.0
+                           THEN 1 ELSE 0 END) AS c
+               FROM events GROUP BY user_id),
+       t AS (SELECT (user_id * 2654435761) % 4294967296 % 2 AS arm,
+                    count(*) AS n, sum(c) AS cv
+             FROM u GROUP BY 1),
+       a AS (SELECT n AS na, cv AS ca FROM t WHERE arm = 0),
+       b AS (SELECT n AS nb, cv AS cb FROM t WHERE arm = 1)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+              CAST(floor(1000000 * ca / na) AS BIGINT) AS rate_a_fp,
+              CAST(floor(1000000 * cb / nb) AS BIGINT) AS rate_b_fp,
+              CAST(floor(round(CAST(cb AS DOUBLE) / nb
+                               - CAST(ca AS DOUBLE) / na, 6)
+                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   AS BIGINT) AS lift_fp,
+              CAST(floor(round(
+                    (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+                    / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                           * (CAST('1.0' AS DOUBLE)
+                              - CAST(ca + cb AS DOUBLE) / (na + nb))
+                           * (CAST('1.0' AS DOUBLE) / na
+                              + CAST('1.0' AS DOUBLE) / nb)), 6)
+                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   AS BIGINT) AS z_fp
+       FROM a, b""",
+)
+def ml_ab_test(spark, sf_dir):
+    """The experiment readout (operators/experiment.ab_test_readout):
+    users deterministically assigned to two arms by the shared
+    Knuth-hash coin (the user id IS the assignment — no table to
+    store), per-arm conversion (a high-value purchase: value > 200)
+    and the pooled two-proportion z statistic — the one-row card
+    every launch decision reads. Counts and rates are exact
+    integers; the z float pipeline uses one canonical operand order
+    on both engines so even the statistic hash-matches. One
+    per-user aggregate, one 2-row aggregate, 1-row broadcasts."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.ab_test_readout(
+        ev, "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 200.0),
+    )

@@ -318,3 +318,47 @@ def test_match_distribution_proportions(spark):
         df, "doc_id", "g", lambda g: F.lit(1).cast("long")
     ).collect()}
     assert again == {g: r["n_after"] for g, r in out.items()}
+
+
+def test_ab_test_readout_card_and_degenerate_z(spark):
+    """The experiment card: exact counts per hash arm, z NULL when
+    the pooled rate is degenerate (everyone converts), z signed the
+    right way when arm B converts more."""
+    from avk_job_skill_analytics_spark.operators import experiment
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    # users 1..40, one event each; arm-B users convert, arm-A never
+    rows = [(u, "purchase" if arm(u) == 1 else "view")
+            for u in range(1, 41)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    card = experiment.ab_test_readout(
+        df, "user_id", F.col("event_type") == "purchase"
+    ).collect()[0]
+    n_a = sum(1 for u in range(1, 41) if arm(u) == 0)
+    assert card["n_a"] == n_a and card["n_b"] == 40 - n_a
+    assert card["conv_a"] == 0 and card["conv_b"] == card["n_b"]
+    assert card["rate_a_fp"] == 0 and card["rate_b_fp"] == 1_000_000
+    assert card["lift_fp"] == 1_000_000
+    assert card["z_fp"] is not None and card["z_fp"] > 0
+
+    # degenerate: everyone converts -> pooled p = 1 -> se = 0 -> NULL z
+    all_conv = spark.createDataFrame(
+        [(u, "purchase") for u in range(1, 41)],
+        "user_id long, event_type string")
+    card2 = experiment.ab_test_readout(
+        all_conv, "user_id", F.col("event_type") == "purchase"
+    ).collect()[0]
+    assert card2["z_fp"] is None and card2["lift_fp"] == 0
+
+    # multiple events per user count once (max, not sum)
+    dup = spark.createDataFrame(
+        [(7, "purchase"), (7, "purchase"), (7, "view"),
+         (8, "view"), (8, "view")],
+        "user_id long, event_type string")
+    card3 = experiment.ab_test_readout(
+        dup, "user_id", F.col("event_type") == "purchase"
+    ).collect()[0]
+    assert card3["conv_a"] + card3["conv_b"] == 1
+    assert card3["n_a"] + card3["n_b"] == 2
