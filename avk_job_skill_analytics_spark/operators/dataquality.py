@@ -1,0 +1,231 @@
+"""Data-quality validation — the Deequ-style gate a training
+pipeline runs before any corpus snapshot is allowed downstream
+(constraint suites, column profiles, referential orphan audits, and
+PSI distribution drift between snapshots).
+
+Design rule: a quality check may not cost more than the scan it
+validates. Every suite here is a SINGLE pass over the table —
+constraints become conditional aggregates fused into one `agg` (one
+job, map-side combined, 1-row result exploded to the long-form
+report); profiles fuse per-column stats the same way; only the
+orphan audit pays joins, and those are key-only anti-join counts.
+All metrics are 1e-6 fixed-point integers so the report replays
+bit-for-bit in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "expectation_report",
+    "column_profile",
+    "referential_orphans",
+    "psi_drift",
+]
+
+_MIL = 1_000_000
+
+
+def _fp6(x):
+    """Half-up 1e-6 fixed point of a double — the engine's shared
+    float→integer convention (round to 6 places, scale, floor)."""
+    return F.floor(F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)) \
+        .cast("long")
+
+
+def expectation_report(df: DataFrame, checks) -> DataFrame:
+    """Evaluate a constraint suite in ONE aggregate pass.
+
+    ``checks`` is a list of (name, kind, args) with kinds:
+      - ("completeness", col)            — fraction non-null
+      - ("uniqueness", col)              — distinct / total
+      - ("range", col, lo, hi)           — fraction of non-null in [lo, hi]
+      - ("membership", col, values)      — fraction of non-null in set
+      - ("non_negative", col)            — fraction of non-null >= 0
+    Each yields a row (constraint, metric_fp, passed) where metric is
+    the satisfied fraction (uniqueness: distinct ratio) in 1e-6 fixed
+    point and passed = metric == 1.0. All constraints share one scan:
+    they are conditional aggregates inside a single ``agg`` whose
+    1-row result is exploded into the long-form report — no per-check
+    jobs, no second pass, no shuffle beyond the final 1-row explode.
+    """
+    aggs, names = [], []
+    for chk in checks:
+        name, kind, args = chk[0], chk[1], chk[2:]
+        names.append(name)
+        if kind == "completeness":
+            c = F.col(args[0])
+            num = F.count(c)
+            den = F.count(F.lit(1))
+        elif kind == "uniqueness":
+            c = F.col(args[0])
+            num = F.countDistinct(c)
+            den = F.count(c)
+        elif kind == "range":
+            c, lo, hi = F.col(args[0]), args[1], args[2]
+            num = F.count(F.when(c.between(F.lit(lo), F.lit(hi)), 1))
+            den = F.count(c)
+        elif kind == "membership":
+            c, vals = F.col(args[0]), list(args[1])
+            num = F.count(F.when(c.isin(vals), 1))
+            den = F.count(c)
+        elif kind == "non_negative":
+            c = F.col(args[0])
+            num = F.count(F.when(c >= 0, 1))
+            den = F.count(c)
+        else:  # pragma: no cover - suite construction error
+            raise ValueError(f"unknown expectation kind: {kind}")
+        # exact integer fraction in 1e-6 fixed point (floor), NULL-den -> 0
+        metric = F.when(
+            den > 0, F.floor(F.lit(_MIL) * num / den)
+        ).otherwise(F.lit(0)).cast("long")
+        aggs.append(metric.alias(name))
+    one = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(n).alias("constraint"),
+            F.col(n).alias("metric_fp"),
+        )
+        for n in names
+    ])
+    return (
+        one.select(F.explode(pairs).alias("r"))
+        .select(
+            F.col("r.constraint").alias("constraint"),
+            F.col("r.metric_fp").alias("metric_fp"),
+            (F.col("r.metric_fp") == _MIL).alias("passed"),
+        )
+    )
+
+
+def column_profile(df: DataFrame, cols) -> DataFrame:
+    """Long-form per-column profile in ONE pass: rows of
+    (column, n_rows, n_null, n_distinct, min_str, max_str,
+    avg_len_fp). min/max are stringified so numeric and text columns
+    share one report schema; avg_len is the mean of the stringified
+    value length (1e-6 fixed point, floor). One fused aggregate, one
+    1-row explode."""
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        s = col.cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+            F.coalesce(
+                F.floor(F.lit(_MIL) * F.sum(F.length(s))
+                        / F.count(s)),
+                F.lit(0),
+            ).cast("long").alias(f"{c}__avglen"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_null"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+            F.col(f"{c}__avglen").alias("avg_len_fp"),
+        )
+        for c in cols
+    ])
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def referential_orphans(pairs) -> DataFrame:
+    """Referential-integrity audit: for each (name, child_df,
+    child_key, parent_df, parent_key), count child rows whose key has
+    no parent (NULL keys are orphans — a NULL FK cannot reference).
+    Key-only projections feed LEFT ANTI joins, so each relation costs
+    a join on two single-column frames (the parent side deduplicated
+    map-side); results union into (relation, n_orphans)."""
+    out = None
+    for name, child, ck, parent, pk in pairs:
+        orphans = (
+            child.select(F.col(ck).alias("_k"))
+            .join(
+                parent.select(F.col(pk).alias("_k")).distinct(),
+                on="_k", how="left_anti",
+            )
+            .agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).cast("long").alias("n_orphans"),
+            )
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out
+
+
+def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
+              lo: float, hi: float, n_buckets: int) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column over fixed-width buckets on [lo, hi) (out-of-range values
+    clamp into the edge buckets, NULLs drop).
+
+    Returns one row per bucket (bucket, share_a_fp, share_b_fp,
+    contrib_fp) plus the psi_fp total repeated on every row, so one
+    report carries both the headline number and where the drift
+    lives. PSI = sum((pa - pb) * ln(pa / pb)) with 1e-6 Laplace-style
+    smoothing on each share so empty buckets stay finite; every float
+    op keeps one canonical operand order so the statistic replays in
+    the oracle. Cost: one aggregate per snapshot (n_buckets rows),
+    then a broadcast-sized join."""
+    width = (hi - lo) / n_buckets
+
+    def bucketed(df, tag):
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+        )
+    a, b = bucketed(df_a, "a"), bucketed(df_b, "b")
+    all_b = a.sparkSession.range(n_buckets) \
+        .select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        all_b.join(F.broadcast(a), "bucket", "left")
+        .join(F.broadcast(b), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    eps = F.lit(1e-6)
+    pa = F.col("n_a").cast("double") / F.col("ta") + eps
+    pb = F.col("n_b").cast("double") / F.col("tb") + eps
+    contrib = (pa - pb) * F.log(pa / pb)
+    per = (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            _fp6(pa).alias("share_a_fp"),
+            _fp6(pb).alias("share_b_fp"),
+            _fp6(contrib).alias("contrib_fp"),
+        )
+    )
+    # total = integer sum of the per-bucket fixed-point contribs:
+    # float addition is not associative, so summing doubles would
+    # depend on partition order — the integer sum replays anywhere.
+    total = per.agg(F.sum("contrib_fp").alias("psi_fp"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select("bucket", "share_a_fp", "share_b_fp",
+                "contrib_fp", "psi_fp")
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     core_queries,
+    dq_queries,
     io_queries,
     linkage_queries,
     pipeline_queries,
@@ -26,6 +27,7 @@ from . import (
 
 _MODULES = (
     core_queries,
+    dq_queries,
     scalar_queries,
     scale_queries,
     streaming_queries,

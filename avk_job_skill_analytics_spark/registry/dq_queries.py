@@ -1,0 +1,260 @@
+"""Data-quality query family (dq_*) — the validation gate a corpus
+snapshot passes before it may feed training or BI (Deequ-style
+constraint suites, column profiles, referential orphan audits, PSI
+distribution drift).
+
+Like the er_* family, failing inputs are synthesized in-query with
+deterministic dirt (the driver testdata is clean by construction):
+a "landing-zone" view of orders NULLs every 97th custkey, shifts
+every 89th beyond the customer key range, negates every 131st total
+price, and mangles every 113th order status — so the suite reports
+real violations the oracle can replay exactly.
+
+Every metric is a 1e-6 fixed-point integer and every float pipeline
+keeps one canonical operand order, so all four reports hash-match
+the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dataquality as DQ
+from ..plans.schemas import load
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# ------------------------------------------------ dirty landing zone
+def landing_orders(spark, sf_dir):
+    """The synthesized landing-zone orders feed: deterministic dirt
+    keyed off o_orderkey so Spark and the oracle corrupt identical
+    rows (NULL FK every 97th, out-of-range FK every 89th, negative
+    price every 131st, unknown status every 113th)."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("okey"),
+        F.when(k % 97 == 0, F.lit(None).cast("long"))
+        .when(k % 89 == 0, F.col("o_custkey") + F.lit(10_000_000))
+        .otherwise(F.col("o_custkey")).alias("custkey"),
+        F.when(k % 113 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(k % 131 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")).alias("price"),
+    )
+
+
+_LANDING_SQL = """
+    SELECT o_orderkey AS okey,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                WHEN o_orderkey % 89 = 0 THEN o_custkey + 10000000
+                ELSE o_custkey END AS custkey,
+           CASE WHEN o_orderkey % 113 = 0 THEN 'X'
+                ELSE o_orderstatus END AS status,
+           CASE WHEN o_orderkey % 131 = 0 THEN -o_totalprice
+                ELSE o_totalprice END AS price
+    FROM orders
+"""
+
+
+# ------------------------------------------------ constraint suite
+@_q(
+    "dq_expectations",
+    f"""WITH landing AS ({_LANDING_SQL}),
+       m AS (SELECT
+           CAST(floor(1000000 * count(custkey) / count(*)) AS BIGINT)
+               AS completeness_custkey,
+           CAST(floor(1000000 * count(DISTINCT okey) / count(okey))
+               AS BIGINT) AS uniqueness_orderkey,
+           CAST(floor(1000000 * count(CASE WHEN price BETWEEN 0
+                    AND 600000 THEN 1 END) / count(price)) AS BIGINT)
+               AS range_price,
+           CAST(floor(1000000 * count(CASE WHEN status IN
+                    ('F','O','P') THEN 1 END) / count(status))
+               AS BIGINT) AS membership_status,
+           CAST(floor(1000000 * count(CASE WHEN price >= 0 THEN 1
+                    END) / count(price)) AS BIGINT) AS nonneg_price
+           FROM landing)
+       SELECT "constraint", metric_fp, metric_fp = 1000000 AS passed
+       FROM (
+           SELECT 'completeness_custkey' AS "constraint",
+                  completeness_custkey AS metric_fp FROM m
+           UNION ALL SELECT 'uniqueness_orderkey', uniqueness_orderkey
+               FROM m
+           UNION ALL SELECT 'range_price', range_price FROM m
+           UNION ALL SELECT 'membership_status', membership_status
+               FROM m
+           UNION ALL SELECT 'nonneg_price', nonneg_price FROM m
+       )""",
+)
+def dq_expectations(spark, sf_dir):
+    """The pre-publish constraint gate
+    (operators/dataquality.expectation_report): five constraints —
+    FK completeness, PK uniqueness, price range, status domain
+    membership, price non-negativity — evaluated over the dirty
+    landing feed in ONE fused aggregate pass (conditional aggs in a
+    single agg, 1-row result exploded to the long-form report). A
+    quality check may not cost more than the scan it validates."""
+    return DQ.expectation_report(
+        landing_orders(spark, sf_dir),
+        [
+            ("completeness_custkey", "completeness", "custkey"),
+            ("uniqueness_orderkey", "uniqueness", "okey"),
+            ("range_price", "range", "price", 0, 600000),
+            ("membership_status", "membership", "status",
+             ["F", "O", "P"]),
+            ("nonneg_price", "non_negative", "price"),
+        ],
+    )
+
+
+# ------------------------------------------------ column profile
+@_q(
+    "dq_profile",
+    """WITH m AS (SELECT
+           count(*) AS n,
+           sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+           count(DISTINCT c_custkey) AS k_dist,
+           min(CAST(c_custkey AS VARCHAR)) AS k_min,
+           max(CAST(c_custkey AS VARCHAR)) AS k_max,
+           CAST(floor(1000000 *
+                sum(length(CAST(c_custkey AS VARCHAR)))
+                / count(c_custkey)) AS BIGINT) AS k_avglen,
+           sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS nm_nulls,
+           count(DISTINCT c_name) AS nm_dist,
+           min(c_name) AS nm_min, max(c_name) AS nm_max,
+           CAST(floor(1000000 * sum(length(c_name)) / count(c_name))
+               AS BIGINT) AS nm_avglen,
+           sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+               AS sg_nulls,
+           count(DISTINCT c_mktsegment) AS sg_dist,
+           min(c_mktsegment) AS sg_min, max(c_mktsegment) AS sg_max,
+           CAST(floor(1000000 * sum(length(c_mktsegment))
+                / count(c_mktsegment)) AS BIGINT) AS sg_avglen
+           FROM customer)
+       SELECT 'c_custkey' AS "column", n AS n_rows,
+              CAST(k_nulls AS BIGINT) AS n_null, k_dist AS n_distinct,
+              k_min AS min_str, k_max AS max_str, k_avglen AS avg_len_fp
+       FROM m
+       UNION ALL
+       SELECT 'c_name', n, CAST(nm_nulls AS BIGINT), nm_dist,
+              nm_min, nm_max, nm_avglen FROM m
+       UNION ALL
+       SELECT 'c_mktsegment', n, CAST(sg_nulls AS BIGINT), sg_dist,
+              sg_min, sg_max, sg_avglen FROM m""",
+)
+def dq_profile(spark, sf_dir):
+    """Column profile card (operators/dataquality.column_profile):
+    rows/nulls/distinct/min/max/avg-length for the customer key,
+    name, and segment, in ONE fused aggregate (min/max stringified so
+    every column type shares the report schema). The thing an
+    operator reads before trusting a new snapshot."""
+    return DQ.column_profile(
+        load(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_mktsegment"],
+    )
+
+
+# ------------------------------------------------ referential audit
+@_q(
+    "dq_referential",
+    f"""WITH landing AS ({_LANDING_SQL})
+       SELECT 'lineitem->orders' AS relation,
+              CAST(count(*) AS BIGINT) AS n_orphans
+       FROM (SELECT l_orderkey AS k FROM lineitem) c
+       LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+           ON c.k = p.k WHERE p.k IS NULL
+       UNION ALL
+       SELECT 'landing_orders->customer',
+              CAST(count(*) AS BIGINT)
+       FROM (SELECT custkey AS k FROM landing) c
+       LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+           ON c.k = p.k WHERE p.k IS NULL
+       UNION ALL
+       SELECT 'events->customer', CAST(count(*) AS BIGINT)
+       FROM (SELECT user_id AS k FROM events) c
+       LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+           ON c.k = p.k WHERE p.k IS NULL""",
+)
+def dq_referential(spark, sf_dir):
+    """Referential-integrity audit
+    (operators/dataquality.referential_orphans): orphan counts for
+    three FK relations — the clean lineitem->orders (0), the dirty
+    landing feed's custkey (NULLed + out-of-range keys surface
+    here), and events->customer (0). Key-only anti-joins, parent
+    side deduplicated."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    ev = load(spark, sf_dir, "events")
+    return DQ.referential_orphans([
+        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("landing_orders->customer",
+         landing_orders(spark, sf_dir), "custkey", c, "c_custkey"),
+        ("events->customer", ev, "user_id", c, "c_custkey"),
+    ])
+
+
+# ------------------------------------------------ PSI drift
+@_q(
+    "dq_psi_drift",
+    """WITH a AS (SELECT least(greatest(CAST(floor((value - 0.0)
+                      / 50.0) AS INT), 0), 9) AS bucket,
+                      count(*) AS n_a
+              FROM events
+              WHERE value IS NOT NULL AND day(ts) <= 15
+              GROUP BY 1),
+       b AS (SELECT least(greatest(CAST(floor((value - 0.0)
+                      / 50.0) AS INT), 0), 9) AS bucket,
+                      count(*) AS n_b
+              FROM events
+              WHERE value IS NOT NULL AND day(ts) > 15
+              GROUP BY 1),
+       g AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+       j AS (SELECT g.bucket,
+                    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+             FROM g LEFT JOIN a ON g.bucket = a.bucket
+                    LEFT JOIN b ON g.bucket = b.bucket),
+       t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+       per AS (SELECT bucket,
+           CAST(floor(round(CAST(n_a AS DOUBLE) / ta + 1e-6, 6)
+                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                AS BIGINT) AS share_a_fp,
+           CAST(floor(round(CAST(n_b AS DOUBLE) / tb + 1e-6, 6)
+                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                AS BIGINT) AS share_b_fp,
+           CAST(floor(round(
+                (CAST(n_a AS DOUBLE) / ta + 1e-6
+                 - (CAST(n_b AS DOUBLE) / tb + 1e-6))
+                * ln((CAST(n_a AS DOUBLE) / ta + 1e-6)
+                     / (CAST(n_b AS DOUBLE) / tb + 1e-6)), 6)
+                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                AS BIGINT) AS contrib_fp
+           FROM j, t)
+       SELECT bucket, share_a_fp, share_b_fp, contrib_fp,
+              (SELECT sum(contrib_fp) FROM per) AS psi_fp
+       FROM per""",
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population Stability Index drift report
+    (operators/dataquality.psi_drift): event-value distribution of
+    the first half of the month vs the second, 10 fixed-width
+    buckets on [0, 500). Per-bucket shares and PSI contributions in
+    fixed point, with the integer-summed headline PSI on every row —
+    where the drift lives, not just that it exists. One aggregate per
+    snapshot, then broadcast-sized joins."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.dayofmonth("ts") <= 15)
+    b = ev.filter(F.dayofmonth("ts") > 15)
+    return DQ.psi_drift(a, b, "value", 0.0, 500.0, 10)

@@ -1,0 +1,103 @@
+"""Data-quality operator edge cases: the report machinery must stay
+correct when the inputs are degenerate — empty tables, all-NULL
+columns, empty drift buckets — because a quality gate that crashes
+on bad data defeats its purpose."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_expectation_report_clean_and_dirty(spark):
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -5.0), (3, None, 20.0), (3, "c", 7.0)],
+        "k long, s string, v double",
+    )
+    rep = {r["constraint"]: r for r in DQ.expectation_report(df, [
+        ("complete_s", "completeness", "s"),
+        ("unique_k", "uniqueness", "k"),
+        ("range_v", "range", "v", 0, 100),
+        ("member_s", "membership", "s", ["a", "b", "c"]),
+        ("nonneg_v", "non_negative", "v"),
+    ]).collect()}
+    assert rep["complete_s"]["metric_fp"] == 750_000
+    assert not rep["complete_s"]["passed"]
+    assert rep["unique_k"]["metric_fp"] == 750_000  # 3 distinct / 4
+    assert rep["range_v"]["metric_fp"] == 750_000
+    assert rep["member_s"]["metric_fp"] == 1_000_000
+    assert rep["member_s"]["passed"]
+    assert rep["nonneg_v"]["metric_fp"] == 750_000
+
+
+def test_expectation_report_empty_and_all_null(spark):
+    """Empty table and all-NULL column: metrics report 0 (den=0 guard)
+    instead of dividing by zero; nothing passes vacuously."""
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+
+    empty = spark.createDataFrame([], "k long, v double")
+    rep = {r["constraint"]: r for r in DQ.expectation_report(empty, [
+        ("complete_v", "completeness", "v"),
+        ("range_v", "range", "v", 0, 1),
+    ]).collect()}
+    assert rep["complete_v"]["metric_fp"] == 0
+    assert not rep["range_v"]["passed"]
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, v double")
+    rep2 = {r["constraint"]: r for r in DQ.expectation_report(nulls, [
+        ("complete_v", "completeness", "v"),
+        ("nonneg_v", "non_negative", "v"),
+    ]).collect()}
+    assert rep2["complete_v"]["metric_fp"] == 0
+    assert rep2["nonneg_v"]["metric_fp"] == 0  # no non-null values
+
+
+def test_column_profile_all_null_column(spark):
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, s string")
+    prof = {r["column"]: r for r in
+            DQ.column_profile(df, ["k", "s"]).collect()}
+    assert prof["k"]["n_rows"] == 2 and prof["k"]["n_null"] == 0
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["s"]["n_null"] == 2 and prof["s"]["n_distinct"] == 0
+    assert prof["s"]["min_str"] is None
+    assert prof["s"]["avg_len_fp"] == 0  # coalesced, not NULL/crash
+
+
+def test_referential_orphans_null_keys_are_orphans(spark):
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (None,), (99,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = DQ.referential_orphans(
+        [("c->p", child, "fk", parent, "pk")]).collect()
+    assert out[0]["relation"] == "c->p"
+    assert out[0]["n_orphans"] == 2  # NULL and 99
+
+
+def test_psi_drift_identical_and_disjoint(spark):
+    """Identical snapshots -> psi ~ 0; disjoint distributions -> every
+    bucket contributes positively and empty buckets stay finite via
+    the epsilon smoothing."""
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)],
+                              "v double")
+    same = DQ.psi_drift(a, a, "v", 0.0, 10.0, 5).collect()
+    assert all(r["psi_fp"] == 0 for r in same)
+    assert all(r["share_a_fp"] == r["share_b_fp"] for r in same)
+
+    lo = spark.createDataFrame([(1.0,)] * 50, "v double")
+    hi = spark.createDataFrame([(9.0,)] * 50, "v double")
+    dis = DQ.psi_drift(lo, hi, "v", 0.0, 10.0, 5).collect()
+    psi = dis[0]["psi_fp"]
+    assert psi > 10_000_000  # huge drift (PSI >> 0.25 alarm bar)
+    assert all(r["psi_fp"] == psi for r in dis)
+    # middle buckets empty on both sides: zero contribution, no NaN
+    mid = {r["bucket"]: r for r in dis}
+    assert mid[2]["contrib_fp"] == 0
