@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ab_test_readout"]
+__all__ = ["ab_test_readout", "srm_check", "cuped_readout"]
 
 
 def ab_test_readout(events: DataFrame, user_col: str,
@@ -76,4 +76,135 @@ def ab_test_readout(events: DataFrame, user_col: str,
         .alias("rate_b_fp"),
         fp6(pb - pa).alias("lift_fp"),
         F.when(se > F.lit(0.0), fp6((pb - pa) / se)).alias("z_fp"),
+    )
+
+
+def _arm(user_col: str):
+    """The engine-portable Knuth-hash coin shared with
+    sampling.assign_split: arm = (id * 2654435761) mod 2^32 mod 2."""
+    return (
+        (F.col(user_col) * F.lit(2654435761))
+        % F.lit(4294967296) % F.lit(2)
+    )
+
+
+def srm_check(events: DataFrame, user_col: str) -> DataFrame:
+    """Sample-ratio-mismatch card for a 50/50 split: (n_a, n_b,
+    chi2_fp, srm_suspect).
+
+    For expected equal arms the 1-dof chi-square collapses
+    algebraically to (n_a - n_b)^2 / N — an exact integer numerator,
+    so the only float op is one division and the statistic replays
+    anywhere. srm_suspect fires above the 0.1% critical value
+    (10.828): an experiment whose assignment is broken must be
+    thrown away before anyone reads its lift card."""
+    per_user = events.select(F.col(user_col)).distinct()
+    card = per_user.agg(
+        F.sum(F.when(_arm(user_col) == 0, 1).otherwise(0))
+        .alias("_na"),
+        F.sum(F.when(_arm(user_col) == 1, 1).otherwise(0))
+        .alias("_nb"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    chi2_fp = F.when(
+        n > 0,
+        F.floor(F.lit(1_000_000) * (na - nb) * (na - nb) / n),
+    ).cast("long")
+    return card.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        chi2_fp.alias("chi2_fp"),
+        (chi2_fp > F.lit(10_828_000)).alias("srm_suspect"),
+    )
+
+
+def cuped_readout(events: DataFrame, user_col: str, pre_expr,
+                  metric_cents) -> DataFrame:
+    """CUPED variance-reduced experiment card (Deng et al., WSDM'13):
+    (n_a, n_b, theta_fp, lift_raw_fp, lift_cuped_fp, rho2_fp).
+
+    Per user: covariate X = count of pre-period events (rows where
+    ``pre_expr`` holds) and outcome Y = integer-cents sum of
+    ``metric_cents`` over the rest. theta = cov(X,Y)/var(X) over the
+    pooled population; the adjusted per-arm mean is
+    mean(Y) - theta * (mean(X) - mean(X)_pooled), and rho^2 =
+    cov^2 / (var(X) var(Y)) is the fraction of outcome variance the
+    covariate removes.
+
+    Scale story: everything data-sized reduces to INTEGER sufficient
+    statistics — n, sum X, sum Y, sum X^2, sum XY, sum Y^2 per arm —
+    one map-side-combined pass whose sums are exact and therefore
+    independent of partition order; theta and the card are a handful
+    of float ops over 6 integers in one canonical order, so the
+    result hash-replays. NULL theta/lift when var(X) is degenerate."""
+    per_user = events.groupBy(F.col(user_col)).agg(
+        F.sum(pre_expr.cast("long")).alias("_x"),
+        F.coalesce(
+            F.sum(F.when(~pre_expr, metric_cents)), F.lit(0)
+        ).cast("long").alias("_y"),
+    )
+    moments = per_user.withColumn("_arm", _arm(user_col)).groupBy().agg(
+        *[
+            agg.alias(name)
+            for arm in (0, 1)
+            for name, agg in (
+                (f"n{arm}", F.sum(F.when(F.col("_arm") == arm, 1)
+                                  .otherwise(0))),
+                (f"sx{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                          F.col("_x")).otherwise(0))),
+                (f"sy{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                          F.col("_y")).otherwise(0))),
+                # second moments in decimal(38,0): per-user products
+                # fit a long, but their corpus-wide sums must not
+                # wrap at 1e9 users (DuckDB's HUGEINT twin is exact
+                # the same way — both engines see the same integer)
+                (f"sxx{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                           F.col("_x") * F.col("_x"))
+                                    .otherwise(0)
+                                    .cast("decimal(38,0)"))),
+                (f"sxy{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                           F.col("_x") * F.col("_y"))
+                                    .otherwise(0)
+                                    .cast("decimal(38,0)"))),
+                (f"syy{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                           F.col("_y") * F.col("_y"))
+                                    .otherwise(0)
+                                    .cast("decimal(38,0)"))),
+            )
+        ]
+    )
+    d = "double"
+    n = (F.col("n0") + F.col("n1")).cast(d)
+    sx = (F.col("sx0") + F.col("sx1")).cast(d)
+    sy = (F.col("sy0") + F.col("sy1")).cast(d)
+    sxx = (F.col("sxx0") + F.col("sxx1")).cast(d)
+    sxy = (F.col("sxy0") + F.col("sxy1")).cast(d)
+    syy = (F.col("syy0") + F.col("syy1")).cast(d)
+    # pooled (co)variances scaled by n^2: integer-derived, one order
+    var_x = sxx * n - sx * sx
+    var_y = syy * n - sy * sy
+    cov = sxy * n - sx * sy
+    theta = cov / var_x
+    mx_pool = sx / n
+    mean_y = lambda a: F.col(f"sy{a}").cast(d) / F.col(f"n{a}")  # noqa: E731
+    mean_x = lambda a: F.col(f"sx{a}").cast(d) / F.col(f"n{a}")  # noqa: E731
+    adj = lambda a: mean_y(a) - theta * (mean_x(a) - mx_pool)  # noqa: E731
+    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
+        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0) & (var_x > F.lit(0.0))
+    return moments.select(
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("n1").cast("long").alias("n_b"),
+        F.when(ok, fp6(theta)).alias("theta_fp"),
+        F.when(
+            (F.col("n0") > 0) & (F.col("n1") > 0),
+            fp6(mean_y(1) - mean_y(0)),
+        ).alias("lift_raw_fp"),
+        F.when(ok, fp6(adj(1) - adj(0))).alias("lift_cuped_fp"),
+        F.when(
+            ok & (var_y > F.lit(0.0)),
+            fp6(cov * cov / (var_x * var_y)),
+        ).alias("rho2_fp"),
     )

@@ -5440,3 +5440,120 @@ def ml_ab_test(spark, sf_dir):
         ev, "user_id",
         (F.col("event_type") == "purchase") & (F.col("value") > 200.0),
     )
+
+
+_ARM_SQL = "(user_id * 2654435761) % 4294967296 % 2"
+
+
+@_q(
+    "ml_ab_srm",
+    f"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       c AS (SELECT
+           sum(CASE WHEN {_ARM_SQL} = 0 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN {_ARM_SQL} = 1 THEN 1 ELSE 0 END) AS nb
+           FROM u)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              CAST(floor(1000000 * (na - nb) * (na - nb) / (na + nb))
+                  AS BIGINT) AS chi2_fp,
+              CAST(floor(1000000 * (na - nb) * (na - nb) / (na + nb))
+                  AS BIGINT) > 10828000 AS srm_suspect
+       FROM c""",
+)
+def ml_ab_srm(spark, sf_dir):
+    """Sample-ratio-mismatch guard (operators/experiment.srm_check):
+    before anyone reads ml_ab_test's lift card, this card proves the
+    50/50 assignment itself is healthy. The 1-dof chi-square
+    collapses algebraically to (n_a - n_b)^2 / N — exact integer
+    numerator, one float division — and srm_suspect fires at the
+    0.1% critical value. One distinct + one 2-row aggregate."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.srm_check(ev, "user_id")
+
+
+@_q(
+    "ml_ab_cuped",
+    f"""WITH pu AS (SELECT user_id,
+           sum(CASE WHEN day(ts) <= 10 THEN 1 ELSE 0 END) AS x,
+           coalesce(sum(CASE WHEN day(ts) > 10 THEN
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100, 0) AS BIGINT)
+                    ELSE 0 END END), 0) AS y
+           FROM events GROUP BY user_id),
+       pa AS (SELECT {_ARM_SQL} AS arm, x, y FROM pu),
+       m AS (SELECT
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sx0,
+           sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx1,
+           sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sy0,
+           sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sy1,
+           sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS sxx0,
+           sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS sxx1,
+           sum(CASE WHEN arm = 0 THEN x * y ELSE 0 END) AS sxy0,
+           sum(CASE WHEN arm = 1 THEN x * y ELSE 0 END) AS sxy1,
+           sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS syy0,
+           sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS syy1
+           FROM pa),
+       e AS (SELECT n0, n1,
+           CAST(n0 + n1 AS DOUBLE) AS n,
+           CAST(sx0 + sx1 AS DOUBLE) AS sx,
+           CAST(sy0 + sy1 AS DOUBLE) AS sy,
+           CAST(sxx0 + sxx1 AS DOUBLE) AS sxx,
+           CAST(sxy0 + sxy1 AS DOUBLE) AS sxy,
+           CAST(syy0 + syy1 AS DOUBLE) AS syy,
+           CAST(sy0 AS DOUBLE) / n0 AS my0,
+           CAST(sy1 AS DOUBLE) / n1 AS my1,
+           CAST(sx0 AS DOUBLE) / n0 AS mx0,
+           CAST(sx1 AS DOUBLE) / n1 AS mx1
+           FROM m),
+       f AS (SELECT n0, n1, my0, my1, mx0, mx1,
+           sxx * n - sx * sx AS var_x,
+           syy * n - sy * sy AS var_y,
+           sxy * n - sx * sy AS cov,
+           sx / n AS mxp
+           FROM e)
+       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0 THEN
+               CAST(floor(round(cov / var_x, 6)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS theta_fp,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+               CAST(floor(round(my1 - my0, 6)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS lift_raw_fp,
+           CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0 THEN
+               CAST(floor(round(
+                    (my1 - cov / var_x * (mx1 - mxp))
+                    - (my0 - cov / var_x * (mx0 - mxp)), 6)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS lift_cuped_fp,
+           CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0
+                     AND var_y > 0.0 THEN
+               CAST(floor(round(cov * cov / (var_x * var_y), 6)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS rho2_fp
+       FROM f""",
+)
+def ml_ab_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment card
+    (operators/experiment.cuped_readout, Deng et al. WSDM'13): the
+    pre-period event count (days 1-10) is the covariate, post-period
+    purchase revenue in integer cents is the outcome, theta =
+    cov/var over the pooled users, and rho^2 reports how much
+    outcome variance the covariate removed. Everything data-sized
+    reduces to integer sufficient statistics in one map-side-combined
+    pass (second moments in decimal so 1e9 users can't wrap); the
+    card is a handful of canonical-order float ops over 6 integers,
+    so it hash-replays in the oracle."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.cuped_readout(
+        ev, "user_id",
+        F.dayofmonth("ts") <= 10,
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+    )

@@ -362,3 +362,84 @@ def test_ab_test_readout_card_and_degenerate_z(spark):
     ).collect()[0]
     assert card3["conv_a"] + card3["conv_b"] == 1
     assert card3["n_a"] + card3["n_b"] == 2
+
+
+def test_srm_check_balanced_and_broken(spark):
+    """Balanced arms -> chi2 0, no alarm; an assignment bug that
+    drops one arm's users -> alarm fires."""
+    from avk_job_skill_analytics_spark.operators import experiment
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    ids = list(range(1, 201))
+    ev = spark.createDataFrame([(u, "view") for u in ids],
+                               "user_id long, event_type string")
+    ok = experiment.srm_check(ev, "user_id").collect()[0]
+    assert ok["n_a"] + ok["n_b"] == 200
+    assert not ok["srm_suspect"]
+
+    # "bug": only arm-0 users reach the logs
+    only_a = [u for u in ids if arm(u) == 0]
+    ev2 = spark.createDataFrame([(u, "view") for u in only_a],
+                                "user_id long, event_type string")
+    bad = experiment.srm_check(ev2, "user_id").collect()[0]
+    assert bad["n_b"] == 0
+    assert bad["chi2_fp"] == 1_000_000 * len(only_a)
+    assert bad["srm_suspect"]
+
+
+def test_cuped_removes_covariate_driven_false_lift(spark):
+    """The exactness law: when Y is EXACTLY linear in the covariate
+    (Y = 100*X, zero true effect), theta recovers the slope, rho2 is
+    1, and the CUPED lift is exactly 0 — even though the arms'
+    covariates are imbalanced, so the RAW lift reports a spurious
+    effect. This is precisely the failure CUPED exists to remove."""
+    from avk_job_skill_analytics_spark.operators import experiment
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    rows = []
+    for u in range(1, 121):
+        a = arm(u)
+        x = (u % 5) + 1 + (3 if a == 1 else 0)  # arm-imbalanced X
+        y = 100 * x                             # exact linear outcome
+        for _ in range(x):                      # x pre-period events
+            rows.append((u, "view", 0.0, 5))
+        rows.append((u, "purchase", y / 100.0, 20))  # post outcome
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, day int")
+    card = experiment.cuped_readout(
+        ev, "user_id",
+        F.col("day") <= 10,
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+    ).collect()[0]
+    assert card["n_a"] + card["n_b"] == 120
+    # Y = 100*X exactly => cov = 100*var(X) => theta = 100 exactly
+    assert card["theta_fp"] == 100_000_000
+    # the 3-unit X imbalance fabricates ~300 cents of raw lift
+    assert card["lift_raw_fp"] > 250_000_000
+    assert card["lift_cuped_fp"] == 0       # ...which CUPED removes
+    assert card["rho2_fp"] == 1_000_000     # X explains everything
+
+
+def test_cuped_degenerate_covariate(spark):
+    """Constant X -> var(X)=0 -> theta/lift_cuped NULL, raw lift
+    still reported."""
+    from avk_job_skill_analytics_spark.operators import experiment
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = spark.createDataFrame(
+        [(u, "purchase", 1.0, 20) for u in range(1, 41)],
+        "user_id long, event_type string, value double, day int")
+    card = experiment.cuped_readout(
+        ev, "user_id", F.col("day") <= 10,
+        F.round(F.col("value") * 100).cast("long"),
+    ).collect()[0]
+    assert card["theta_fp"] is None
+    assert card["lift_cuped_fp"] is None
+    assert card["lift_raw_fp"] == 0
