@@ -19,10 +19,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "check_num_den",
     "expectation_report",
     "column_profile",
     "referential_orphans",
     "psi_drift",
+    "skew_report",
 ]
 
 _MIL = 1_000_000
@@ -33,6 +35,33 @@ def _fp6(x):
     float→integer convention (round to 6 places, scale, floor)."""
     return F.floor(F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)) \
         .cast("long")
+
+
+def check_num_den(kind: str, args):
+    """The (numerator, denominator) aggregate pair of one
+    expectation check — shared between the batch suite and the
+    streaming fold. All pairs except ``uniqueness`` are plain
+    conditional COUNTs, i.e. exact integers that MERGE by addition
+    across micro-batches; uniqueness (countDistinct) does not merge
+    and is therefore batch-only (the streaming gate uses the KMV
+    sketch family for cardinality instead)."""
+    if kind == "completeness":
+        c = F.col(args[0])
+        return F.count(c), F.count(F.lit(1))
+    if kind == "uniqueness":
+        c = F.col(args[0])
+        return F.countDistinct(c), F.count(c)
+    if kind == "range":
+        c, lo, hi = F.col(args[0]), args[1], args[2]
+        return (F.count(F.when(c.between(F.lit(lo), F.lit(hi)), 1)),
+                F.count(c))
+    if kind == "membership":
+        c, vals = F.col(args[0]), list(args[1])
+        return F.count(F.when(c.isin(vals), 1)), F.count(c)
+    if kind == "non_negative":
+        c = F.col(args[0])
+        return F.count(F.when(c >= 0, 1)), F.count(c)
+    raise ValueError(f"unknown expectation kind: {kind}")
 
 
 def expectation_report(df: DataFrame, checks) -> DataFrame:
@@ -53,30 +82,9 @@ def expectation_report(df: DataFrame, checks) -> DataFrame:
     """
     aggs, names = [], []
     for chk in checks:
-        name, kind, args = chk[0], chk[1], chk[2:]
+        name = chk[0]
         names.append(name)
-        if kind == "completeness":
-            c = F.col(args[0])
-            num = F.count(c)
-            den = F.count(F.lit(1))
-        elif kind == "uniqueness":
-            c = F.col(args[0])
-            num = F.countDistinct(c)
-            den = F.count(c)
-        elif kind == "range":
-            c, lo, hi = F.col(args[0]), args[1], args[2]
-            num = F.count(F.when(c.between(F.lit(lo), F.lit(hi)), 1))
-            den = F.count(c)
-        elif kind == "membership":
-            c, vals = F.col(args[0]), list(args[1])
-            num = F.count(F.when(c.isin(vals), 1))
-            den = F.count(c)
-        elif kind == "non_negative":
-            c = F.col(args[0])
-            num = F.count(F.when(c >= 0, 1))
-            den = F.count(c)
-        else:  # pragma: no cover - suite construction error
-            raise ValueError(f"unknown expectation kind: {kind}")
+        num, den = check_num_den(chk[1], chk[2:])
         # exact integer fraction in 1e-6 fixed point (floor), NULL-den -> 0
         metric = F.when(
             den > 0, F.floor(F.lit(_MIL) * num / den)
@@ -228,4 +236,51 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
         per.crossJoin(F.broadcast(total))
         .select("bucket", "share_a_fp", "share_b_fp",
                 "contrib_fp", "psi_fp")
+    )
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10,
+                target_rows_per_task: int = 1_000_000) -> DataFrame:
+    """Join-key skew audit: the report an operator reads BEFORE
+    shipping a big join, so the hot keys get salted (or AQE skew
+    thresholds tuned) instead of discovered as a straggler task.
+
+    Rows are the ``top_k`` hottest keys by frequency (count desc,
+    key asc tie-break), each carrying: the stringified key, its row
+    count, its share of all rows (1e-6 fixed point), its multiple of
+    the mean per-key count (how lopsided), and ``salt_factor`` — the
+    number of salt buckets that brings the key under
+    ``target_rows_per_task`` rows per reduce task (1 = no salting
+    needed). n_rows/n_keys totals repeat on every row so one report
+    answers both "how bad" and "where".
+
+    Cost: the same single hash-agg shuffle the audited join would
+    pay on its build of the key, a TakeOrdered top-k, and 1-row
+    broadcast totals — strictly cheaper than the join it protects.
+    """
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.floor(F.lit(_MIL) * F.col("cnt") / F.col("n_rows"))
+            .cast("long").alias("share_fp"),
+            # cnt / (n_rows / n_keys), exactly in integers
+            F.floor(F.lit(_MIL) * F.col("cnt") * F.col("n_keys")
+                    / F.col("n_rows"))
+            .cast("long").alias("x_avg_fp"),
+            F.ceil(F.col("cnt") / F.lit(target_rows_per_task))
+            .cast("long").alias("salt_factor"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
     )

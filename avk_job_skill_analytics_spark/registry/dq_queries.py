@@ -258,3 +258,41 @@ def dq_psi_drift(spark, sf_dir):
     a = ev.filter(F.dayofmonth("ts") <= 15)
     b = ev.filter(F.dayofmonth("ts") > 15)
     return DQ.psi_drift(a, b, "value", 0.0, 500.0, 10)
+
+
+# ------------------------------------------------ join-key skew audit
+@_q(
+    "dq_skew_report",
+    """WITH f AS (SELECT CASE WHEN user_id % 10 < 7 THEN '0'
+                    ELSE CAST(user_id AS VARCHAR) END AS key
+              FROM events),
+       c AS (SELECT key, count(*) AS cnt FROM f GROUP BY key),
+       t AS (SELECT sum(cnt) AS n_rows, count(*) AS n_keys FROM c),
+       top AS (SELECT key, cnt FROM c
+               ORDER BY cnt DESC, key LIMIT 10)
+       SELECT key, CAST(cnt AS BIGINT) AS cnt,
+              CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_keys AS BIGINT) AS n_keys,
+              CAST(floor(1000000 * cnt / n_rows) AS BIGINT)
+                  AS share_fp,
+              CAST(floor(1000000 * cnt * n_keys / n_rows) AS BIGINT)
+                  AS x_avg_fp,
+              CAST(ceil(cnt / 2000.0) AS BIGINT) AS salt_factor
+       FROM top, t
+       ORDER BY cnt DESC, key""",
+)
+def dq_skew_report(spark, sf_dir):
+    """Join-key skew audit (operators/dataquality.skew_report): the
+    report an operator reads BEFORE shipping a big join — hottest
+    keys, their share of all rows, their multiple of the mean
+    per-key count, and the salt factor that brings each under the
+    target rows-per-task. The key is the j8-style head-category
+    remap of events.user_id (70% of rows collapse onto one hot key),
+    so the report demonstrably finds real skew. Costs one hash-agg
+    shuffle + top-k — strictly cheaper than the join it protects."""
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit("0"))
+        .otherwise(F.col("user_id").cast("string")).alias("k")
+    )
+    return DQ.skew_report(ev, "k", top_k=10,
+                          target_rows_per_task=2000)

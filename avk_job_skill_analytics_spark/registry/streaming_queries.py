@@ -1947,3 +1947,103 @@ def stream_ssjoin_maintain(spark, sf_dir):
         spark.read.parquet(f"{index_dir}/pairs")
         .select("id_a", "id_b", "inter", "uni", "jacc_fp")
     )
+
+
+def _stream_dq_sql() -> str:
+    from .dq_queries import _LANDING_SQL
+
+    return f"""WITH landing AS ({_LANDING_SQL}),
+       m AS (SELECT
+           CAST(floor(1000000 * count(custkey) / count(*)) AS BIGINT)
+               AS completeness_custkey,
+           CAST(floor(1000000 * count(CASE WHEN price BETWEEN 0
+                    AND 600000 THEN 1 END) / count(price)) AS BIGINT)
+               AS range_price,
+           CAST(floor(1000000 * count(CASE WHEN status IN
+                    ('F','O','P') THEN 1 END) / count(status))
+               AS BIGINT) AS membership_status,
+           CAST(floor(1000000 * count(CASE WHEN price >= 0 THEN 1
+                    END) / count(price)) AS BIGINT) AS nonneg_price
+           FROM landing)
+       SELECT "constraint", metric_fp, metric_fp = 1000000 AS passed
+       FROM (
+           SELECT 'completeness_custkey' AS "constraint",
+                  completeness_custkey AS metric_fp FROM m
+           UNION ALL SELECT 'range_price', range_price FROM m
+           UNION ALL SELECT 'membership_status', membership_status
+               FROM m
+           UNION ALL SELECT 'nonneg_price', nonneg_price FROM m
+       )"""
+
+
+@_q("stream_dq_gate", _stream_dq_sql())
+def stream_dq_gate(spark, sf_dir):
+    """Streaming data-quality gate
+    (streaming/dq_stream.foreach_batch_dq_fold): the orders feed
+    arrives as TWO micro-batches, the landing-zone dirt map is
+    applied per batch, and the mergeable constraint suite
+    (completeness / range / membership / non-negativity) folds into
+    two exact integers per constraint. Integer folding is
+    order-free, so the drained report hash-matches the one-shot
+    batch suite over the full feed (the oracle) — data quality
+    verified AS data lands, no nightly re-scan. Uniqueness is
+    excluded by construction (countDistinct does not merge; KMV
+    covers streaming cardinality)."""
+    from ..streaming.dq_stream import (
+        dq_state_report_rows,
+        foreach_batch_dq_fold,
+    )
+    from .dq_queries import landing_orders
+
+    src = _single_file_drops(
+        spark, sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+        [("0_even.parquet", F.col("o_orderkey") % 2 == 0),
+         ("1_odd.parquet", F.col("o_orderkey") % 2 == 1)],
+        "orders_dq_src_",
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dq_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("o_orderkey long, o_custkey long, "
+                "o_orderstatus string, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+    def landing_map(bdf):
+        k = F.col("o_orderkey")
+        return bdf.select(
+            k.alias("okey"),
+            F.when(k % 97 == 0, F.lit(None).cast("long"))
+            .when(k % 89 == 0, F.col("o_custkey") + F.lit(10_000_000))
+            .otherwise(F.col("o_custkey")).alias("custkey"),
+            F.when(k % 113 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(k % 131 == 0, -F.col("o_totalprice"))
+            .otherwise(F.col("o_totalprice")).alias("price"),
+        )
+
+    checks = [
+        ("completeness_custkey", "completeness", "custkey"),
+        ("range_price", "range", "price", 0, 600000),
+        ("membership_status", "membership", "status", ["F", "O", "P"]),
+        ("nonneg_price", "non_negative", "price"),
+    ]
+    state: dict = {"seen": set()}
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_dq_fold(stream, checks, state,
+                                      transform=landing_map)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        dq_state_report_rows(state),
+        "constraint string, metric_fp long, passed boolean",
+    )

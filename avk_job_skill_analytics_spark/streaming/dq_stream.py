@@ -1,0 +1,85 @@
+"""Streaming data-quality gate — the expectation suite evaluated
+ONLINE as files arrive, instead of by a nightly batch scan.
+
+Each micro-batch pays one fused conditional-count aggregate (the
+same ``check_num_den`` expressions the batch suite uses) and folds
+the resulting exact integers into bounded driver state. Integer
+addition is order-free, so the drained report is bit-identical to
+running the batch ``expectation_report`` over the union of every
+arrival — the oracle the driver gate replays. Uniqueness is
+deliberately unsupported here: countDistinct does not merge by
+addition across batches (the KMV sketch family covers streaming
+cardinality).
+
+Epoch-guarded against foreachBatch's at-least-once redelivery, same
+discipline as the drift/heavy-hitter folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["foreach_batch_dq_fold", "dq_state_report_rows"]
+
+_MIL = 1_000_000
+
+_MERGEABLE = ("completeness", "range", "membership", "non_negative")
+
+
+def foreach_batch_dq_fold(stream: DataFrame, checks, state: dict,
+                          transform=None) -> "object":
+    """writeStream.foreachBatch sink folding a constraint suite.
+
+    ``checks``: (name, kind, *args) tuples restricted to the
+    mergeable kinds (completeness / range / membership /
+    non_negative) — uniqueness raises at construction, loudly, not
+    at drain time. ``state``: {"acc": {name: [num, den]}, "seen":
+    set} — 2 integers per constraint, bounded regardless of stream
+    length. ``transform``: optional DataFrame->DataFrame applied to
+    each batch before the suite (the landing-zone map lives here so
+    the gate validates what the pipeline would actually ingest)."""
+    from ..operators.dataquality import check_num_den
+    from .incremental import epoch_already_applied, epoch_mark_applied
+
+    for chk in checks:
+        if chk[1] not in _MERGEABLE:
+            raise ValueError(
+                f"constraint kind '{chk[1]}' does not merge across "
+                "micro-batches; use the batch suite (or the KMV "
+                "sketch family for streaming cardinality)"
+            )
+    state.setdefault("acc", {c[0]: [0, 0] for c in checks})
+
+    def batch_fn(bdf: DataFrame, epoch_id: int) -> None:
+        if epoch_already_applied(state, epoch_id):
+            return
+        if transform is not None:
+            bdf = transform(bdf)
+        aggs = []
+        for chk in checks:
+            num, den = check_num_den(chk[1], chk[2:])
+            aggs += [num.alias(f"{chk[0]}__num"),
+                     den.alias(f"{chk[0]}__den")]
+        row = bdf.agg(*aggs).collect()[0]
+        for chk in checks:
+            acc = state["acc"][chk[0]]
+            acc[0] += int(row[f"{chk[0]}__num"] or 0)
+            acc[1] += int(row[f"{chk[0]}__den"] or 0)
+        epoch_mark_applied(state, epoch_id)
+
+    return stream.writeStream.foreachBatch(batch_fn)
+
+
+def dq_state_report_rows(state: dict):
+    """Render the drained fold state as the batch report's rows:
+    (constraint, metric_fp, passed) with the identical integer
+    discipline — floor(1e6 * num / den), 0 when the denominator is
+    0 — so the streaming gate hash-matches the one-shot suite."""
+    import math
+
+    rows = []
+    for name, (num, den) in state["acc"].items():
+        metric = int(math.floor(_MIL * num / den)) if den > 0 else 0
+        rows.append((name, metric, metric == _MIL))
+    return rows

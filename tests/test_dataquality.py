@@ -101,3 +101,61 @@ def test_psi_drift_identical_and_disjoint(spark):
     # middle buckets empty on both sides: zero contribution, no NaN
     mid = {r["bucket"]: r for r in dis}
     assert mid[2]["contrib_fp"] == 0
+
+
+def test_skew_report_finds_hot_key_and_salt(spark):
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+
+    # 700 rows on key "hot", 10 keys with 30 rows each
+    rows = [("hot",)] * 700 + [(f"k{i}",) for i in range(10)
+                               for _ in range(30)]
+    df = spark.createDataFrame(rows, "k string")
+    rep = DQ.skew_report(df, "k", top_k=3,
+                         target_rows_per_task=100).collect()
+    assert rep[0]["key"] == "hot" and rep[0]["cnt"] == 700
+    assert rep[0]["n_rows"] == 1000 and rep[0]["n_keys"] == 11
+    assert rep[0]["share_fp"] == 700_000
+    # 700 / (1000/11) = 7.7x the mean
+    assert rep[0]["x_avg_fp"] == 7_700_000
+    assert rep[0]["salt_factor"] == 7      # ceil(700/100)
+    # cold keys need no salting; ties broken by key asc
+    assert rep[1]["salt_factor"] == 1
+    assert [r["key"] for r in rep[1:]] == ["k0", "k1"]
+
+
+def test_dq_fold_redelivery_and_uniqueness_rejected(spark):
+    """foreachBatch is at-least-once: re-applying an epoch must not
+    double-count; a non-mergeable constraint is rejected at sink
+    construction, not at drain time."""
+    import pytest
+
+
+    checks = [("complete_v", "completeness", "v"),
+              ("nonneg_v", "non_negative", "v")]
+    state = {"seen": set()}
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "k long, v double")
+
+    # exercise the batch body directly via a tiny shim
+    from avk_job_skill_analytics_spark.streaming import dq_stream
+
+    class _FakeStream:
+        class writeStream:  # noqa: N801 — mimic the attribute chain
+            @staticmethod
+            def foreachBatch(fn):
+                return fn
+
+    batch_fn = dq_stream.foreach_batch_dq_fold(
+        _FakeStream(), checks, state)
+    batch_fn(df, 0)
+    batch_fn(df, 0)          # redelivery of the same epoch: ignored
+    batch_fn(df, 1)
+    rows = {r[0]: r for r in dq_stream.dq_state_report_rows(state)}
+    # two distinct epochs of the same frame: 6 rows, 4 non-null v
+    assert state["acc"]["complete_v"] == [4, 6]
+    assert rows["complete_v"][1] == 666_666
+    assert state["acc"]["nonneg_v"] == [2, 4]  # 5.0 yes, -1.0 no, x2
+
+    with pytest.raises(ValueError, match="does not merge"):
+        dq_stream.foreach_batch_dq_fold(
+            _FakeStream(), [("u", "uniqueness", "k")], {"seen": set()})
