@@ -335,3 +335,59 @@ def sessionize(df: DataFrame, key: str, ts_col: str, gap_seconds: int,
     return df.withColumn("_brk", brk).withColumn(
         out, F.sum("_brk").over(run)
     ).drop("_brk")
+
+
+def peak_concurrency(intervals: DataFrame, start_col: str,
+                     end_col: str) -> DataFrame:
+    """Daily peak concurrency of a set of intervals — the classic
+    sweep-line, partitioned so it scales: 'how many sessions were
+    simultaneously active at the busiest instant of each day'.
+
+    Multi-day intervals are SPLIT at day boundaries (explode over
+    the day sequence, clip to [day 00:00, next-day 00:00)), so the
+    running sum is windowed PARTITION BY day — no global single-
+    partition window, and a day's sweep never reads another day's
+    rows. Each clipped interval emits (+1 at clip-start, -1 at
+    clip-end); the sweep orders (ts, delta DESC), i.e. starts before
+    ends at the same instant, so touching and instantaneous
+    intervals count as concurrent. The per-day maximum of the
+    running sum is deterministic under that ordering.
+
+    Cost: one explode (bounded by interval span in days), one
+    window shuffle on the day key, one aggregate. At 1000 executors
+    each day's sweep is an independent partition; for a single
+    mega-hot day the same split applies recursively (hour buckets) —
+    the day grain is the deliberate default."""
+    day_seq = F.explode(
+        F.sequence(F.to_date(start_col), F.to_date(end_col))
+    ).alias("day")
+    clipped = intervals.select(start_col, end_col, day_seq).select(
+        "day",
+        F.greatest(F.col(start_col),
+                   F.col("day").cast("timestamp")).alias("_cs"),
+        F.least(
+            F.col(end_col),
+            F.date_add(F.col("day"), 1).cast("timestamp"),
+        ).alias("_ce"),
+    )
+    # one explode, NOT a union: a union would re-evaluate the whole
+    # upstream (sessionization included) once per branch
+    deltas = clipped.select(
+        "day",
+        F.explode(F.array(
+            F.struct(F.col("_cs").alias("_ts"), F.lit(1).alias("_delta")),
+            F.struct(F.col("_ce").alias("_ts"),
+                     F.lit(-1).alias("_delta")),
+        )).alias("_e"),
+    ).select("day", F.col("_e._ts").alias("_ts"),
+             F.col("_e._delta").alias("_delta"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.asc("_ts"), F.desc("_delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn("_run", F.sum("_delta").over(w))
+        .groupBy("day")
+        .agg(F.max("_run").cast("long").alias("peak_concurrency"))
+    )

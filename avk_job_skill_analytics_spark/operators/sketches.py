@@ -239,3 +239,80 @@ def histogram_quantiles(df: DataFrame, value_col: str, n_bins: int = 64,
             (F.round(est, round_digits) + F.lit(0.0)).alias("estimate"),
         )
     )
+
+
+def global_kmv(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
+    """ONE table-wide KMV sketch as a 1-row frame (sketch
+    array<long>, n_rows long).
+
+    The k smallest distinct hashes are found with orderBy(h).limit(k)
+    — Spark plans that as TakeOrderedAndProject (per-partition top-k
+    merged on the driver), so no single-partition sort and no
+    data-scaled window ever materializes; the only shuffle is the
+    distinct. n_rows rides along from a separate count branch of the
+    same scan."""
+    hashed = df.select(
+        md5_long(F.col(value_col).cast("string")).alias("_h")
+    )
+    bottom = (
+        hashed.distinct().orderBy("_h").limit(k)
+        .agg(F.sort_array(F.collect_list("_h")).alias("sketch"))
+    )
+    n = df.agg(F.count(F.col(value_col)).alias("n_rows"))
+    return bottom.crossJoin(F.broadcast(n))
+
+
+def kmv_join_estimate(df_a: DataFrame, key_a: str,
+                      df_b: DataFrame, key_b: str,
+                      k: int = 256) -> DataFrame:
+    """Join-cardinality estimate from two KMV sketches — the
+    planner's question ('how big is A ⋈ B on this key?') answered
+    WITHOUT shuffling either table: each side pays one distinct +
+    TakeOrdered top-k, and everything after runs on two k-element
+    arrays.
+
+    Estimator (Beyer et al., SIGMOD'07): the union's bottom-k
+    estimates |A ∪ B|; the fraction of that bottom-k present in BOTH
+    sketches estimates the Jaccard similarity; their product
+    estimates the matched key count; and uniform-multiplicity
+    scaling (n_a/d_a rows per key, n_b/d_b) turns matched keys into
+    join rows — all exact integer/decimal arithmetic, so the
+    estimate replays bit-for-bit in the oracle.
+
+    Returns 1 row: (n_a, n_b, d_a_est, d_b_est, d_union_est,
+    inter_keys_est, est_join_rows)."""
+    a = global_kmv(df_a, key_a, k).select(
+        F.col("sketch").alias("sk_a"), F.col("n_rows").alias("n_a"))
+    b = global_kmv(df_b, key_b, k).select(
+        F.col("sketch").alias("sk_b"), F.col("n_rows").alias("n_b"))
+    j = a.crossJoin(F.broadcast(b))
+    union_k = kmv_merge(F.col("sk_a"), F.col("sk_b"), k)
+    j = j.select(
+        "n_a", "n_b", "sk_a", "sk_b", union_k.alias("sk_u"),
+        F.size(F.array_intersect(
+            union_k, F.array_intersect(F.col("sk_a"), F.col("sk_b"))
+        )).alias("_inter_in_u"),
+    )
+    d_a = kmv_estimate(F.col("sk_a"), k)
+    d_b = kmv_estimate(F.col("sk_b"), k)
+    d_u = kmv_estimate(F.col("sk_u"), k)
+    dec = "decimal(38,0)"
+    # matched keys = (inter-fraction of union bottom-k) * |A ∪ B|
+    inter_est = F.floor(
+        F.col("_inter_in_u").cast(dec) * d_u.cast(dec)
+        / F.greatest(F.size("sk_u"), F.lit(1)).cast(dec)
+    ).cast("long")
+    est_rows = F.floor(
+        inter_est.cast(dec) * F.col("n_a").cast(dec)
+        * F.col("n_b").cast(dec)
+        / F.greatest((d_a.cast(dec) * d_b.cast(dec)), F.lit(1).cast(dec))
+    ).cast("long")
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        d_a.alias("d_a_est"),
+        d_b.alias("d_b_est"),
+        d_u.alias("d_union_est"),
+        inter_est.alias("inter_keys_est"),
+        est_rows.alias("est_join_rows"),
+    )

@@ -296,3 +296,80 @@ def dq_skew_report(spark, sf_dir):
     )
     return DQ.skew_report(ev, "k", top_k=10,
                           target_rows_per_task=2000)
+
+
+# ------------------------------------------------ join-size estimate
+def _join_est_sql() -> str:
+    from ..operators.hashing import md5_long_sql
+    from ..operators.sketches import HASH_SPACE
+
+    k = 256
+    ha = md5_long_sql("CAST(o_custkey AS VARCHAR)")
+    hb = md5_long_sql("CAST(user_id AS VARCHAR)")
+    est = (f"CASE WHEN cnt < {k} THEN cnt ELSE CAST(({k - 1} * "
+           f"CAST({HASH_SPACE} AS HUGEINT)) // hk AS BIGINT) END")
+    return f"""WITH ska AS (
+           SELECT h, row_number() OVER (ORDER BY h) AS rk
+           FROM (SELECT DISTINCT {ha} AS h FROM orders)
+           QUALIFY rk <= {k}),
+       skb AS (
+           SELECT h, row_number() OVER (ORDER BY h) AS rk
+           FROM (SELECT DISTINCT {hb} AS h FROM events)
+           QUALIFY rk <= {k}),
+       sku AS (
+           SELECT h, row_number() OVER (ORDER BY h) AS rk
+           FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+           QUALIFY rk <= {k}),
+       sa AS (SELECT count(*) AS cnt,
+                     max(CASE WHEN rk = {k} THEN h END) AS hk
+              FROM ska),
+       sb AS (SELECT count(*) AS cnt,
+                     max(CASE WHEN rk = {k} THEN h END) AS hk
+              FROM skb),
+       su AS (SELECT count(*) AS cnt,
+                     max(CASE WHEN rk = {k} THEN h END) AS hk
+              FROM sku),
+       ii AS (SELECT count(*) AS inter_in_u FROM sku
+              WHERE h IN (SELECT h FROM ska)
+                AND h IN (SELECT h FROM skb)),
+       nn AS (SELECT
+                (SELECT count(o_custkey) FROM orders) AS n_a,
+                (SELECT count(user_id) FROM events) AS n_b),
+       est AS (SELECT n_a, n_b,
+           (SELECT {est} FROM sa) AS d_a_est,
+           (SELECT {est} FROM sb) AS d_b_est,
+           (SELECT {est} FROM su) AS d_union_est,
+           (SELECT inter_in_u FROM ii) AS inter_in_u,
+           (SELECT greatest(cnt, 1) FROM su) AS u_cnt
+           FROM nn),
+       e2 AS (SELECT n_a, n_b, d_a_est, d_b_est, d_union_est,
+           CAST((CAST(inter_in_u AS HUGEINT) * d_union_est) // u_cnt
+               AS BIGINT) AS inter_keys_est
+           FROM est)
+       SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              CAST(d_a_est AS BIGINT) AS d_a_est,
+              CAST(d_b_est AS BIGINT) AS d_b_est,
+              CAST(d_union_est AS BIGINT) AS d_union_est,
+              inter_keys_est,
+              CAST((CAST(inter_keys_est AS HUGEINT) * n_a * n_b)
+                   // greatest(CAST(d_a_est AS HUGEINT) * d_b_est, 1)
+                   AS BIGINT) AS est_join_rows
+       FROM e2"""
+
+
+@_q("dq_join_estimate", _join_est_sql())
+def dq_join_estimate(spark, sf_dir):
+    """Join-cardinality estimate (operators/sketches.
+    kmv_join_estimate, Beyer et al. SIGMOD'07): how big is
+    orders ⋈ events on the customer key — answered from two
+    256-hash KMV sketches without shuffling either table. Each side
+    pays a distinct + TakeOrdered top-k; union/intersection/scaling
+    run on two k-element arrays in exact integer arithmetic, so the
+    estimate itself hash-replays in the oracle. The planner tool
+    that pairs with dq_skew_report: size the join before you ship
+    it."""
+    from ..operators.sketches import kmv_join_estimate
+
+    o = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    return kmv_join_estimate(o, "o_custkey", ev, "user_id", k=256)

@@ -1428,3 +1428,55 @@ def win_rfm_segments(spark, sf_dir):
             F.round(F.sum("monetary"), 2).alias("total_monetary"),
         )
     )
+
+
+@_q(
+    "win_peak_concurrency",
+    """WITH x AS (SELECT user_id, ts, event_id,
+                        CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts - lag(ts) OVER w) >= 1800000000
+                             THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, ts,
+                    CAST(sum(brk) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+             FROM x),
+       sess AS (SELECT user_id, session_idx,
+                       min(ts) AS st, max(ts) AS en
+                FROM s GROUP BY user_id, session_idx),
+       d AS (SELECT st, en,
+                    CAST(unnest(generate_series(CAST(st AS DATE),
+                        CAST(en AS DATE), INTERVAL 1 DAY)) AS DATE)
+                        AS day
+             FROM sess),
+       c AS (SELECT day,
+                    greatest(st, CAST(day AS TIMESTAMP)) AS cs,
+                    least(en, CAST(day + 1 AS TIMESTAMP)) AS ce
+             FROM d),
+       ev AS (SELECT day, cs AS ts, 1 AS delta FROM c
+              UNION ALL SELECT day, ce, -1 FROM c),
+       r AS (SELECT day, sum(delta) OVER (
+                 PARTITION BY day ORDER BY ts, delta DESC
+                 ROWS UNBOUNDED PRECEDING) AS run
+             FROM ev)
+       SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrency
+       FROM r GROUP BY day""",
+)
+def win_peak_concurrency(spark, sf_dir):
+    """Daily peak simultaneous sessions
+    (operators/analytics.peak_concurrency): gap-sessionize the event
+    stream (same 30-min rule as win_sessionize), then sweep-line the
+    session intervals — split at day boundaries so the running sum
+    windows PARTITION BY day, never a global single-partition sort.
+    The 'how many users were on at the busiest moment' card, computed
+    with a plan that holds when one day alone has billions of
+    intervals."""
+    e = load(spark, sf_dir, "events")
+    sess = (
+        A.sessionize(e, "user_id", "ts", 1800, tiebreak="event_id")
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    return A.peak_concurrency(sess, "st", "en")

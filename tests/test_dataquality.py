@@ -159,3 +159,71 @@ def test_dq_fold_redelivery_and_uniqueness_rejected(spark):
     with pytest.raises(ValueError, match="does not merge"):
         dq_stream.foreach_batch_dq_fold(
             _FakeStream(), [("u", "uniqueness", "k")], {"seen": set()})
+
+
+def test_kmv_join_estimate_accuracy_and_exact_path(spark):
+    """Both sides under k: sketches ARE the distinct sets, so every
+    figure is exact. A saturated side stays within KMV noise."""
+    from avk_job_skill_analytics_spark.operators.sketches import (
+        kmv_join_estimate,
+    )
+
+    # A: keys 0..99 x3 rows; B: keys 50..149 x2 rows; overlap 50 keys
+    a = spark.createDataFrame(
+        [(i % 100,) for i in range(300)], "ka long")
+    b = spark.createDataFrame(
+        [(50 + i % 100,) for i in range(200)], "kb long")
+    r = kmv_join_estimate(a, "ka", b, "kb", k=256).collect()[0]
+    assert r["n_a"] == 300 and r["n_b"] == 200
+    assert r["d_a_est"] == 100 and r["d_b_est"] == 100
+    assert r["d_union_est"] == 150
+    assert r["inter_keys_est"] == 50
+    # uniform multiplicity: 50 keys * 3 * 2 = 300 — exact here
+    assert r["est_join_rows"] == 50 * 3 * 2
+
+    # saturated big side (2000 distinct vs k=64) against an exact
+    # small side (40 distinct < k)
+    big = spark.createDataFrame([(i,) for i in range(2000)], "ka long")
+    small = spark.createDataFrame([(i,) for i in range(40)], "kb long")
+    r2 = kmv_join_estimate(big, "ka", small, "kb", k=64).collect()[0]
+    assert abs(r2["d_a_est"] - 2000) < 2000 * 0.35   # ~1/sqrt(64) noise
+    assert r2["d_b_est"] == 40                       # exact path
+    # every B key joins once: truth 40 rows, estimate same order
+    assert 0 < r2["est_join_rows"] < 160
+
+
+def test_kmv_join_estimate_disjoint_keys(spark):
+    """Zero overlap -> zero matched keys, zero estimated rows."""
+    from avk_job_skill_analytics_spark.operators.sketches import (
+        kmv_join_estimate,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(50)], "ka long")
+    b = spark.createDataFrame([(1000 + i,) for i in range(50)], "kb long")
+    r = kmv_join_estimate(a, "ka", b, "kb", k=128).collect()[0]
+    assert r["inter_keys_est"] == 0 and r["est_join_rows"] == 0
+
+
+def test_peak_concurrency_split_and_touching(spark):
+    """Intervals spanning midnight count on BOTH days; touching
+    intervals (end == next start) count as concurrent (starts sort
+    before ends); instantaneous intervals register."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        peak_concurrency,
+    )
+
+    rows = [
+        ("2024-01-01 23:00:00", "2024-01-02 01:00:00"),  # spans midnight
+        ("2024-01-01 23:30:00", "2024-01-01 23:45:00"),  # overlaps above
+        ("2024-01-02 01:00:00", "2024-01-02 02:00:00"),  # touches row 1
+        ("2024-01-03 05:00:00", "2024-01-03 05:00:00"),  # instantaneous
+    ]
+    df = spark.createDataFrame(rows, "s string, e string").select(
+        F.col("s").cast("timestamp").alias("st"),
+        F.col("e").cast("timestamp").alias("en"),
+    )
+    out = {str(r["day"]): r["peak_concurrency"]
+           for r in peak_concurrency(df, "st", "en").collect()}
+    assert out["2024-01-01"] == 2   # both sessions live at 23:30
+    assert out["2024-01-02"] == 2   # touching at 01:00 counts together
+    assert out["2024-01-03"] == 1   # instantaneous still registers
