@@ -24,6 +24,8 @@ __all__ = [
     "column_profile",
     "referential_orphans",
     "psi_drift",
+    "psi_bucket",
+    "psi_from_counts",
     "skew_report",
 ]
 
@@ -185,22 +187,39 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, value_col: str,
     op keeps one canonical operand order so the statistic replays in
     the oracle. Cost: one aggregate per snapshot (n_buckets rows),
     then a broadcast-sized join."""
-    width = (hi - lo) / n_buckets
-
     def bucketed(df, tag):
-        b = F.least(
-            F.greatest(
-                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
-                F.lit(0),
-            ),
-            F.lit(n_buckets - 1),
-        ).cast("int")
+        b = psi_bucket(value_col, lo, hi, n_buckets)
         return (
             df.filter(F.col(value_col).isNotNull())
             .groupBy(b.alias("bucket"))
             .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
         )
     a, b = bucketed(df_a, "a"), bucketed(df_b, "b")
+    return psi_from_counts(a, b, n_buckets)
+
+
+def psi_bucket(value_col: str, lo: float, hi: float,
+               n_buckets: int):
+    """The shared bucketing Column: fixed width on [lo, hi),
+    out-of-range clamps into the edge buckets. One definition so the
+    batch report and the streaming fold can never disagree."""
+    width = (hi - lo) / n_buckets
+    return F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+
+
+def psi_from_counts(a: DataFrame, b: DataFrame,
+                    n_buckets: int) -> DataFrame:
+    """The PSI report from two pre-bucketed count frames
+    (bucket int, n_a|n_b long) — the shared core of the batch
+    ``psi_drift`` and the streaming fold's drain, so the online
+    monitor is bit-identical to the offline report BY CONSTRUCTION
+    (same plan, same float order, same integer contrib sum)."""
     all_b = a.sparkSession.range(n_buckets) \
         .select(F.col("id").cast("int").alias("bucket"))
     j = (

@@ -207,9 +207,7 @@ def dq_referential(spark, sf_dir):
 
 
 # ------------------------------------------------ PSI drift
-@_q(
-    "dq_psi_drift",
-    """WITH a AS (SELECT least(greatest(CAST(floor((value - 0.0)
+_PSI_SQL = """WITH a AS (SELECT least(greatest(CAST(floor((value - 0.0)
                       / 50.0) AS INT), 0), 9) AS bucket,
                       count(*) AS n_a
               FROM events
@@ -244,8 +242,10 @@ def dq_referential(spark, sf_dir):
            FROM j, t)
        SELECT bucket, share_a_fp, share_b_fp, contrib_fp,
               (SELECT sum(contrib_fp) FROM per) AS psi_fp
-       FROM per""",
-)
+       FROM per"""
+
+
+@_q("dq_psi_drift", _PSI_SQL)
 def dq_psi_drift(spark, sf_dir):
     """Population Stability Index drift report
     (operators/dataquality.psi_drift): event-value distribution of

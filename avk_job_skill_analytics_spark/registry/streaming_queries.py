@@ -2047,3 +2047,57 @@ def stream_dq_gate(spark, sf_dir):
         dq_state_report_rows(state),
         "constraint string, metric_fp long, passed boolean",
     )
+
+
+def _stream_psi_sql() -> str:
+    from .dq_queries import _PSI_SQL
+
+    return _PSI_SQL
+
+
+@_q("stream_psi_drift", _stream_psi_sql())
+def stream_psi_drift(spark, sf_dir):
+    """Streaming PSI drift monitor
+    (streaming/dq_stream.foreach_batch_psi_fold): the second half of
+    the month arrives as TWO micro-batches whose bucket counts fold
+    into n_buckets driver integers (exact, order-free, epoch-guarded);
+    the drain delegates to the SAME psi_from_counts core as the batch
+    report, so online == offline by construction — and the oracle IS
+    the batch dq_psi_drift SQL. Distribution drift watched as data
+    lands, no nightly re-bucket of the arrivals."""
+    from ..streaming.dq_stream import (
+        foreach_batch_psi_fold,
+        psi_report_from_state,
+    )
+
+    src = _single_file_drops(
+        spark, sf_dir, "events", ["ts", "value"],
+        [("0_w3.parquet", (F.dayofmonth("ts") > 15)
+          & (F.dayofmonth("ts") <= 22)),
+         ("1_w4.parquet", F.dayofmonth("ts") > 22)],
+        "events_psi_src_",
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_psi_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    state: dict = {"seen": set()}
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_psi_fold(stream, "value", 0.0, 500.0,
+                                       10, state)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    ref = load(spark, sf_dir, "events").filter(F.dayofmonth("ts") <= 15)
+    return psi_report_from_state(
+        spark, ref, "value", 0.0, 500.0, 10, state
+    )

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["foreach_batch_dq_fold", "dq_state_report_rows"]
+__all__ = [
+    "foreach_batch_dq_fold",
+    "dq_state_report_rows",
+    "foreach_batch_psi_fold",
+    "psi_report_from_state",
+]
 
 _MIL = 1_000_000
 
@@ -83,3 +88,61 @@ def dq_state_report_rows(state: dict):
         metric = int(math.floor(_MIL * num / den)) if den > 0 else 0
         rows.append((name, metric, metric == _MIL))
     return rows
+
+
+def foreach_batch_psi_fold(stream: DataFrame, value_col: str,
+                           lo: float, hi: float, n_buckets: int,
+                           state: dict) -> "object":
+    """writeStream.foreachBatch sink folding the arrivals' PSI
+    bucket counts — the distribution-drift monitor running ONLINE.
+
+    Each micro-batch pays one n_buckets-row aggregate with the SAME
+    bucketing Column as the batch report (dataquality.psi_bucket);
+    the counts are exact integers, so the fold merges by addition
+    and is order-free. ``state``: {"counts": [int]*n_buckets,
+    "seen": set} — bounded by n_buckets regardless of stream
+    length. Drain via ``psi_report_from_state`` for a report
+    bit-identical to the batch ``psi_drift``."""
+    from ..operators.dataquality import psi_bucket
+    from .incremental import epoch_already_applied, epoch_mark_applied
+
+    state.setdefault("counts", [0] * n_buckets)
+
+    def batch_fn(bdf: DataFrame, epoch_id: int) -> None:
+        if epoch_already_applied(state, epoch_id):
+            return
+        rows = (
+            bdf.filter(F.col(value_col).isNotNull())
+            .groupBy(psi_bucket(value_col, lo, hi, n_buckets)
+                     .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in rows:
+            state["counts"][r["bucket"]] += int(r["n"])
+        epoch_mark_applied(state, epoch_id)
+
+    return stream.writeStream.foreachBatch(batch_fn)
+
+
+def psi_report_from_state(spark, ref_df: DataFrame, value_col: str,
+                          lo: float, hi: float, n_buckets: int,
+                          state: dict) -> DataFrame:
+    """Drain the folded arrival counts against a reference snapshot:
+    builds the arrivals' count frame from the state integers and
+    delegates to dataquality.psi_from_counts — the SAME plan, float
+    order, and integer contrib sum as the batch report, so online ==
+    offline by construction, not by luck."""
+    from ..operators.dataquality import psi_bucket, psi_from_counts
+
+    ref_counts = (
+        ref_df.filter(F.col(value_col).isNotNull())
+        .groupBy(psi_bucket(value_col, lo, hi, n_buckets)
+                 .alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    arr = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(state["counts"]) if n > 0],
+        "bucket int, n_b long",
+    )
+    return psi_from_counts(ref_counts, arr, n_buckets)

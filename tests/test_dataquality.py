@@ -227,3 +227,39 @@ def test_peak_concurrency_split_and_touching(spark):
     assert out["2024-01-01"] == 2   # both sessions live at 23:30
     assert out["2024-01-02"] == 2   # touching at 01:00 counts together
     assert out["2024-01-03"] == 1   # instantaneous still registers
+
+
+def test_psi_fold_redelivery_and_batch_parity(spark):
+    """The folded arrival counts, drained through psi_from_counts,
+    equal the batch psi_drift over the same rows — and epoch
+    redelivery does not double-count."""
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+    from avk_job_skill_analytics_spark.streaming import dq_stream
+
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "v double")
+    arr1 = spark.createDataFrame([(1.0,)] * 30 + [(None,)] * 5,
+                                 "v double")
+    arr2 = spark.createDataFrame([(8.0,)] * 20, "v double")
+
+    class _FakeStream:
+        class writeStream:  # noqa: N801 — mimic the attribute chain
+            @staticmethod
+            def foreachBatch(fn):
+                return fn
+
+    state = {"seen": set()}
+    fn = dq_stream.foreach_batch_psi_fold(
+        _FakeStream(), "v", 0.0, 10.0, 5, state)
+    fn(arr1, 0)
+    fn(arr1, 0)   # redelivered epoch: ignored
+    fn(arr2, 1)
+    assert sum(state["counts"]) == 50  # NULLs dropped, no double count
+
+    online = dq_stream.psi_report_from_state(
+        spark, ref, "v", 0.0, 10.0, 5, state).collect()
+    offline = DQ.psi_drift(
+        ref, arr1.unionByName(arr2), "v", 0.0, 10.0, 5).collect()
+    key = lambda r: r["bucket"]  # noqa: E731
+    assert sorted(map(tuple, online), key=lambda t: t[0]) == \
+        sorted(map(tuple, offline), key=lambda t: t[0])
