@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ab_test_readout", "srm_check", "cuped_readout"]
+__all__ = [
+    "ab_test_readout",
+    "srm_check",
+    "cuped_readout",
+    "bootstrap_lift_ci",
+    "POISSON1_THRESHOLDS",
+]
 
 
 def ab_test_readout(events: DataFrame, user_col: str,
@@ -207,4 +213,115 @@ def cuped_readout(events: DataFrame, user_col: str, pre_expr,
             ok & (var_y > F.lit(0.0)),
             fp6(cov * cov / (var_x * var_y)),
         ).alias("rho2_fp"),
+    )
+
+
+# Poisson(1) CDF thresholds scaled to 2^60 — exact integer constants
+# shared verbatim with the oracle SQL, so the bootstrap weights are
+# the same on every engine. Tail capped at 5 (P > 5 is 6e-4; the cap
+# is part of the estimator's definition here, not an approximation
+# bug — both engines apply it identically).
+POISSON1_THRESHOLDS = (
+    424136118829305344,     # P(X <= 0)
+    848272237658610688,     # P(X <= 1)
+    1060340297073263360,    # P(X <= 2)
+    1131029650211480960,    # P(X <= 3)
+    1148701988496035328,    # P(X <= 4)
+)
+
+
+def _poisson1_weight(u):
+    """Poisson(1) draw from a 60-bit uniform integer by inverse CDF —
+    pure integer comparisons, engine-portable."""
+    w = F.lit(5)
+    for k in reversed(range(5)):
+        w = F.when(u < F.lit(POISSON1_THRESHOLDS[k]), F.lit(k)) \
+            .otherwise(w)
+    return w
+
+
+def bootstrap_lift_ci(events: DataFrame, user_col: str, metric_cents,
+                      n_replicas: int = 40) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-user-mean
+    lift (arm B − arm A) — THE distributed bootstrap (resampling by
+    per-row independent Poisson(1) weights never materializes a
+    resample), made deterministic: replica r's weight for a user is
+    inverse-CDF'd from md5(user_id||'#'||r), so the whole CI replays
+    bit-for-bit in the oracle.
+
+    One pass builds per-user (arm, y-cents); a bounded explode (×
+    ``n_replicas``, map-side combined straight into 2·n_replicas
+    groups) accumulates integer weighted sums; each replica's lift is
+    one canonical-order float op; the CI is the 2.5%/97.5% order
+    statistics of the n_replicas lifts (floor/ceil ranks). Returns
+    1 row: (n_replicas, lift_point_fp, lift_lo_fp, lift_hi_fp)."""
+    per_user = events.groupBy(F.col(user_col)).agg(
+        F.coalesce(F.sum(metric_cents), F.lit(0)).cast("long")
+        .alias("_y")
+    ).withColumn("_arm", _arm(user_col))
+    reps = per_user.select(
+        "_arm", "_y", F.col(user_col).alias("_uid"),
+        F.explode(F.array(*[F.lit(r) for r in range(n_replicas)]))
+        .alias("_r"),
+    )
+    from .hashing import md5_long
+
+    u = md5_long(
+        F.concat(F.col("_uid").cast("string"), F.lit("#"),
+                 F.col("_r").cast("string"))
+    )
+    w = _poisson1_weight(u)
+    sums = reps.groupBy("_r", "_arm").agg(
+        F.sum(w.cast("long")).alias("_n"),
+        F.sum((w * F.col("_y")).cast("decimal(38,0)")).alias("_s"),
+    )
+    lift = (
+        sums.groupBy("_r").agg(
+            F.sum(F.when(F.col("_arm") == 0, F.col("_n"))).alias("na"),
+            F.sum(F.when(F.col("_arm") == 0, F.col("_s"))).alias("sa"),
+            F.sum(F.when(F.col("_arm") == 1, F.col("_n"))).alias("nb"),
+            F.sum(F.when(F.col("_arm") == 1, F.col("_s"))).alias("sb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            F.col("_r"),
+            (F.col("sb").cast("double") / F.col("nb")
+             - F.col("sa").cast("double") / F.col("na")).alias("_lift"),
+        )
+    )
+    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
+        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    # point estimate: the unweighted (all-weights-1) lift
+    point = per_user.groupBy().agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_y")).otherwise(0))
+        .alias("sa"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_y")).otherwise(0))
+        .alias("sb"),
+    ).select(
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            fp6(F.col("sb").cast("double") / F.col("nb")
+                - F.col("sa").cast("double") / F.col("na")),
+        ).alias("lift_point_fp")
+    )
+    # 2.5% / 97.5% order statistics over the sorted replica lifts
+    # (type-1 empirical quantile: index ceil(q * B), 1-based)
+    import math
+
+    lo_rank = max(1, math.ceil(0.025 * n_replicas))
+    hi_rank = min(n_replicas, math.ceil(0.975 * n_replicas))
+    ci = lift.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.sort_array(F.collect_list(fp6(F.col("_lift"))))
+        .alias("_sorted"),
+    ).select(
+        "n_replicas",
+        F.element_at("_sorted", lo_rank).alias("lift_lo_fp"),
+        F.element_at("_sorted", hi_rank).alias("lift_hi_fp"),
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        "n_replicas", "lift_point_fp", "lift_lo_fp", "lift_hi_fp"
     )

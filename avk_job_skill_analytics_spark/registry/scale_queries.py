@@ -5557,3 +5557,80 @@ def ml_ab_cuped(spark, sf_dir):
                F.round(F.col("value") * 100).cast("long"))
         .otherwise(F.lit(0)),
     )
+
+
+def _bootstrap_sql() -> str:
+    from ..operators.experiment import POISSON1_THRESHOLDS
+    from ..operators.hashing import md5_long_sql
+
+    t = POISSON1_THRESHOLDS
+    h = md5_long_sql(
+        "concat(CAST(user_id AS VARCHAR), '#', CAST(r AS VARCHAR))"
+    )
+    fp = ("CAST(floor(round({x}, 6) * CAST(1000000 AS DOUBLE)"
+          " + CAST('0.5' AS DOUBLE)) AS BIGINT)")
+    lift = ("CAST(sum(CASE WHEN arm = 1 THEN s END) AS DOUBLE)"
+            " / sum(CASE WHEN arm = 1 THEN n END)"
+            " - CAST(sum(CASE WHEN arm = 0 THEN s END) AS DOUBLE)"
+            " / sum(CASE WHEN arm = 0 THEN n END)")
+    return f"""WITH pu AS (SELECT user_id,
+           {_ARM_SQL} AS arm,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT)
+               ELSE 0 END), 0) AS y
+           FROM events GROUP BY user_id),
+       reps AS (SELECT user_id, arm, y, CAST(t.range AS INT) AS r
+                FROM pu, range(40) t),
+       hw AS (SELECT arm, r, y,
+           CASE WHEN {h} < {t[0]} THEN 0
+                WHEN {h} < {t[1]} THEN 1
+                WHEN {h} < {t[2]} THEN 2
+                WHEN {h} < {t[3]} THEN 3
+                WHEN {h} < {t[4]} THEN 4
+                ELSE 5 END AS w
+           FROM reps),
+       sums AS (SELECT r, arm, sum(w) AS n, sum(w * y) AS s
+                FROM hw GROUP BY r, arm),
+       lifts AS (SELECT r, {fp.format(x=lift)} AS lift_fp
+                 FROM sums GROUP BY r
+                 HAVING sum(CASE WHEN arm = 0 THEN n END) > 0
+                    AND sum(CASE WHEN arm = 1 THEN n END) > 0),
+       srt AS (SELECT list_sort(list(lift_fp)) AS ls,
+                      count(*) AS nr FROM lifts),
+       pt AS (SELECT
+           CASE WHEN sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+                 AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+           THEN {fp.format(x=(
+               "CAST(sum(CASE WHEN arm = 1 THEN y END) AS DOUBLE)"
+               " / sum(CASE WHEN arm = 1 THEN 1 END)"
+               " - CAST(sum(CASE WHEN arm = 0 THEN y END) AS DOUBLE)"
+               " / sum(CASE WHEN arm = 0 THEN 1 END)"))}
+           END AS lift_point_fp
+           FROM pu)
+       SELECT CAST(nr AS BIGINT) AS n_replicas,
+              lift_point_fp,
+              ls[1] AS lift_lo_fp,
+              ls[39] AS lift_hi_fp
+       FROM srt, pt"""
+
+
+@_q("ml_ab_bootstrap", _bootstrap_sql())
+def ml_ab_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the A/B revenue lift
+    (operators/experiment.bootstrap_lift_ci): 40 resamples without
+    ever materializing one — each replica weights every user by a
+    Poisson(1) draw inverse-CDF'd from md5(user||replica), integer
+    thresholds shared verbatim with the oracle, so the whole CI
+    replays bit-for-bit. One per-user pass, a bounded ×40 explode
+    map-side combined into 80 groups, order-statistic CI over the
+    40 replica lifts. The distributed bootstrap, deterministic."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.bootstrap_lift_ci(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+        n_replicas=40,
+    )

@@ -443,3 +443,44 @@ def test_cuped_degenerate_covariate(spark):
     assert card["theta_fp"] is None
     assert card["lift_cuped_fp"] is None
     assert card["lift_raw_fp"] == 0
+
+
+def test_bootstrap_lift_ci_brackets_and_replays(spark):
+    """The CI brackets the point estimate for a well-behaved signal,
+    a genuinely different outcome shifts the whole interval, and the
+    hash-derived weights make the result identical across runs."""
+    from avk_job_skill_analytics_spark.operators import experiment
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    # arm-B users spend 10.00, arm-A users spend 5.00 (one purchase)
+    rows = [(u, "purchase", 10.0 if arm(u) == 1 else 5.0)
+            for u in range(1, 201)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double")
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("long")) \
+        .otherwise(F.lit(0))
+    card = experiment.bootstrap_lift_ci(
+        ev, "user_id", cents, n_replicas=40).collect()[0]
+    assert card["n_replicas"] == 40
+    # constant within-arm outcomes: every resample's lift is exactly
+    # 500 cents regardless of weights -> degenerate-tight CI
+    assert card["lift_point_fp"] == 500_000_000
+    assert card["lift_lo_fp"] == 500_000_000
+    assert card["lift_hi_fp"] == 500_000_000
+
+    # heterogeneous outcomes: CI widens and brackets the point
+    rows2 = [(u, "purchase", float((u % 7) + (10 if arm(u) else 5)))
+             for u in range(1, 201)]
+    ev2 = spark.createDataFrame(
+        rows2, "user_id long, event_type string, value double")
+    c2 = experiment.bootstrap_lift_ci(
+        ev2, "user_id", cents, n_replicas=40).collect()[0]
+    assert c2["lift_lo_fp"] < c2["lift_point_fp"] < c2["lift_hi_fp"]
+    assert c2["lift_lo_fp"] < c2["lift_hi_fp"]
+    # determinism: a second run is bit-identical
+    again = experiment.bootstrap_lift_ci(
+        ev2, "user_id", cents, n_replicas=40).collect()[0]
+    assert tuple(c2) == tuple(again)
