@@ -26,6 +26,7 @@ __all__ = [
     "psi_drift",
     "psi_bucket",
     "psi_from_counts",
+    "information_value",
     "skew_report",
 ]
 
@@ -302,4 +303,61 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10,
             .cast("long").alias("salt_factor"),
         )
         .orderBy(F.col("cnt").desc(), F.col("key"))
+    )
+
+
+def information_value(df: DataFrame, value_col: str, label_expr,
+                      lo: float, hi: float,
+                      n_buckets: int) -> DataFrame:
+    """Weight-of-Evidence / Information Value report — the standard
+    feature-screening card (credit-scoring lineage): how well do
+    buckets of a numeric feature separate a binary outcome.
+
+    Per bucket: WOE = ln(share_of_positives / share_of_negatives)
+    and the IV contribution (p_share − n_share) · WOE; the headline
+    IV (> 0.3 ≈ strong predictor) repeats on every row. Same
+    discipline as the PSI report it mirrors: one aggregate pass
+    (bucket × outcome counts are exact integers), 1e-6 smoothing
+    keeps empty cells finite, canonical float order, and the
+    headline sums the per-bucket FIXED-POINT integers so it replays
+    regardless of partition order."""
+    b = psi_bucket(value_col, lo, hi, n_buckets)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.sum(label_expr.cast("long")).alias("n_pos"),
+            F.sum((~label_expr).cast("long")).alias("n_neg"),
+        )
+    )
+    all_b = df.sparkSession.range(n_buckets) \
+        .select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        all_b.join(F.broadcast(counts), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
+            F.coalesce("n_neg", F.lit(0)).alias("n_neg"),
+        )
+    )
+    tot = j.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
+    eps = F.lit(1e-6)
+    ps = F.col("n_pos").cast("double") / F.col("tp") + eps
+    ns = F.col("n_neg").cast("double") / F.col("tn") + eps
+    woe = F.log(ps / ns)
+    per = (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            _fp6(woe).alias("woe_fp"),
+            _fp6((ps - ns) * woe).alias("iv_contrib_fp"),
+        )
+    )
+    total = per.agg(F.sum("iv_contrib_fp").alias("iv_fp"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select("bucket", "n_pos", "n_neg", "woe_fp",
+                "iv_contrib_fp", "iv_fp")
     )

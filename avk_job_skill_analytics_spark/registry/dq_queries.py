@@ -373,3 +373,53 @@ def dq_join_estimate(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     ev = load(spark, sf_dir, "events")
     return kmv_join_estimate(o, "o_custkey", ev, "user_id", k=256)
+
+
+# ------------------------------------------------ WOE / IV screening
+@_q(
+    "ml_information_value",
+    """WITH c AS (SELECT
+           least(greatest(CAST(floor((o_totalprice - 0.0) / 50000.0)
+               AS INT), 0), 9) AS bucket,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS n_pos,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+               AS n_neg
+           FROM orders WHERE o_totalprice IS NOT NULL
+           GROUP BY 1),
+       g AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+       j AS (SELECT g.bucket, coalesce(n_pos, 0) AS n_pos,
+                    coalesce(n_neg, 0) AS n_neg
+             FROM g LEFT JOIN c ON g.bucket = c.bucket),
+       t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM j),
+       per AS (SELECT bucket,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(floor(round(ln((CAST(n_pos AS DOUBLE) / tp + 1e-6)
+                / (CAST(n_neg AS DOUBLE) / tn + 1e-6)), 6)
+                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                AS BIGINT) AS woe_fp,
+           CAST(floor(round(
+                (CAST(n_pos AS DOUBLE) / tp + 1e-6
+                 - (CAST(n_neg AS DOUBLE) / tn + 1e-6))
+                * ln((CAST(n_pos AS DOUBLE) / tp + 1e-6)
+                     / (CAST(n_neg AS DOUBLE) / tn + 1e-6)), 6)
+                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                AS BIGINT) AS iv_contrib_fp
+           FROM j, t)
+       SELECT bucket, n_pos, n_neg, woe_fp, iv_contrib_fp,
+              (SELECT sum(iv_contrib_fp) FROM per) AS iv_fp
+       FROM per""",
+)
+def ml_information_value(spark, sf_dir):
+    """Weight-of-Evidence / Information Value screening
+    (operators/dataquality.information_value): does order value
+    predict fulfilment ('F' status)? Ten 50k-wide price buckets,
+    per-bucket WOE and IV contribution, headline IV as the integer
+    sum of fixed-point contributions — the supervised mirror of the
+    PSI report, same one-aggregate discipline."""
+    o = load(spark, sf_dir, "orders")
+    return DQ.information_value(
+        o, "o_totalprice", F.col("o_orderstatus") == "F",
+        0.0, 500_000.0, 10,
+    )

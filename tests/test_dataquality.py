@@ -263,3 +263,26 @@ def test_psi_fold_redelivery_and_batch_parity(spark):
     key = lambda r: r["bucket"]  # noqa: E731
     assert sorted(map(tuple, online), key=lambda t: t[0]) == \
         sorted(map(tuple, offline), key=lambda t: t[0])
+
+
+def test_information_value_separation_strength(spark):
+    """A perfectly separating feature yields a large IV with
+    opposite-sign WOEs; an uninformative feature yields IV ~ 0."""
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+
+    # low values -> positive, high values -> negative: perfect signal
+    rows = [(1.0, 1)] * 50 + [(9.0, 0)] * 50
+    df = spark.createDataFrame(rows, "v double, y int")
+    out = {r["bucket"]: r for r in DQ.information_value(
+        df, "v", F.col("y") == 1, 0.0, 10.0, 5).collect()}
+    iv = out[0]["iv_fp"]
+    assert iv > 10_000_000               # IV >> 0.3 strong bar
+    assert out[0]["woe_fp"] > 0 > out[4]["woe_fp"]
+    assert all(r["iv_fp"] == iv for r in out.values())
+
+    # label independent of bucket: IV collapses toward 0
+    rows2 = [(float(i % 10), i % 2) for i in range(200)]
+    df2 = spark.createDataFrame(rows2, "v double, y int")
+    flat = DQ.information_value(
+        df2, "v", F.col("y") == 1, 0.0, 10.0, 5).collect()
+    assert abs(flat[0]["iv_fp"]) < 1_000   # ~0.001
