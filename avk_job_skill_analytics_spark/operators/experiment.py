@@ -25,6 +25,7 @@ __all__ = [
     "srm_check",
     "cuped_readout",
     "bootstrap_lift_ci",
+    "stratified_readout",
     "POISSON1_THRESHOLDS",
 ]
 
@@ -324,4 +325,79 @@ def bootstrap_lift_ci(events: DataFrame, user_col: str, metric_cents,
     )
     return ci.crossJoin(F.broadcast(point)).select(
         "n_replicas", "lift_point_fp", "lift_lo_fp", "lift_hi_fp"
+    )
+
+
+def stratified_readout(events: DataFrame, user_col: str, conv_expr,
+                       strata: DataFrame, strata_key: str,
+                       strata_col: str) -> DataFrame:
+    """Per-stratum experiment readout + post-stratified pooled lift —
+    the Simpson's-paradox guard: a lift that flips sign inside a
+    segment is invisible on the pooled card, and a segment-skewed
+    assignment fabricates pooled lift that no segment actually has.
+
+    One row per stratum: (stratum, n_a, n_b, rate_a_fp, rate_b_fp,
+    lift_fp, weight_fp) plus pooled_lift_fp repeated on every row —
+    the population-weighted average of per-stratum lifts
+    (post-stratification), summed as fixed-point INTEGERS of the
+    per-stratum contributions so the headline replays regardless of
+    partition order (the PSI report's discipline).
+
+    Cost: one per-user aggregate, one broadcast join to the stratum
+    dim, one |strata|x2 aggregate, 1-row broadcasts. Strata with a
+    missing arm report NULL lift and are excluded from the pooled
+    weight mass (their users can't estimate a contrast)."""
+    converted = events.groupBy(F.col(user_col)).agg(
+        F.max(conv_expr.cast("int")).alias("_c")
+    )
+    joined = converted.join(
+        F.broadcast(strata.select(
+            F.col(strata_key).alias(user_col),
+            F.col(strata_col).alias("_stratum"),
+        )),
+        user_col, "inner",
+    ).withColumn("_arm", _arm(user_col))
+    per = joined.groupBy("_stratum").agg(
+        F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_arm") == 0, F.col("_c")).otherwise(0))
+        .alias("_ca"),
+        F.sum(F.when(F.col("_arm") == 1, 1).otherwise(0)).alias("_nb"),
+        F.sum(F.when(F.col("_arm") == 1, F.col("_c")).otherwise(0))
+        .alias("_cb"),
+    )
+    d = "double"
+    ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
+    lift = (F.col("_cb").cast(d) / F.col("_nb")
+            - F.col("_ca").cast(d) / F.col("_na"))
+    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
+        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    # pooled weight mass counts only strata that CAN estimate a lift
+    tot = per.filter(ok).agg(
+        F.sum(F.col("_na") + F.col("_nb")).alias("_nw")
+    )
+    rows = per.crossJoin(F.broadcast(tot)).select(
+        F.col("_stratum").alias("stratum"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.when(F.col("_na") > 0,
+               F.floor(F.lit(1_000_000) * F.col("_ca") / F.col("_na"))
+               .cast("long")).alias("rate_a_fp"),
+        F.when(F.col("_nb") > 0,
+               F.floor(F.lit(1_000_000) * F.col("_cb") / F.col("_nb"))
+               .cast("long")).alias("rate_b_fp"),
+        F.when(ok, fp6(lift)).alias("lift_fp"),
+        F.when(ok, F.floor(
+            F.lit(1_000_000) * (F.col("_na") + F.col("_nb"))
+            / F.col("_nw")).cast("long")).alias("weight_fp"),
+        F.when(ok, fp6(
+            (F.col("_na") + F.col("_nb")).cast(d) / F.col("_nw") * lift
+        )).otherwise(F.lit(0)).alias("_contrib_fp"),
+    )
+    pooled = rows.agg(
+        F.sum("_contrib_fp").cast("long").alias("pooled_lift_fp")
+    )
+    return rows.crossJoin(F.broadcast(pooled)).select(
+        "stratum", "n_a", "n_b", "rate_a_fp", "rate_b_fp",
+        "lift_fp", "weight_fp", "pooled_lift_fp",
     )

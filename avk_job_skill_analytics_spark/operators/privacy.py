@@ -190,3 +190,32 @@ def k_anonymity_audit(df, quasi_cols: list[str], k: int = 5):
             6,
         ).alias("risky_frac"),
     )
+
+
+def erasure_audit(tables, subject_pred) -> "DataFrame":
+    """Right-to-erasure impact audit: before a deletion cohort is
+    purged, report per table how many rows reference a cohort member
+    and how many survive — the card a data-protection officer signs
+    off on, and the reconciliation target the purge job must hit
+    (post-purge, every n_purge must read 0).
+
+    ``tables``: list of (name, df); ``subject_pred(df) -> Column``
+    returns the boolean "row belongs to a cohort member" predicate
+    for that table (NULL references are NOT cohort rows — an
+    anonymous row needs no erasure). One conditional aggregate per
+    table — each table is scanned once, no joins, no shuffle beyond
+    the 1-row aggregates."""
+    out = None
+    for name, df in tables:
+        pred = subject_pred(df)
+        card = df.agg(
+            F.lit(name).alias("table_name"),
+            F.coalesce(F.sum(pred.cast("long")), F.lit(0))
+            .cast("long").alias("n_purge"),
+            F.coalesce(
+                F.sum((~F.coalesce(pred, F.lit(False))).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("n_keep"),
+        )
+        out = card if out is None else out.unionByName(card)
+    return out

@@ -5634,3 +5634,117 @@ def ml_ab_bootstrap(spark, sf_dir):
         .otherwise(F.lit(0)),
         n_replicas=40,
     )
+
+
+@_q(
+    "pii_erasure_audit",
+    """SELECT 'events' AS table_name,
+              CAST(sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purge,
+              CAST(sum(CASE WHEN user_id % 37 = 0 OR user_id IS NULL
+                  THEN 0 ELSE 1 END) + sum(CASE WHEN user_id IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       FROM events
+       UNION ALL
+       SELECT 'orders',
+              CAST(sum(CASE WHEN o_custkey % 37 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT),
+              CAST(sum(CASE WHEN o_custkey % 37 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT)
+       FROM orders
+       UNION ALL
+       SELECT 'customer',
+              CAST(sum(CASE WHEN c_custkey % 37 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT),
+              CAST(sum(CASE WHEN c_custkey % 37 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT)
+       FROM customer""",
+)
+def pii_erasure_audit(spark, sf_dir):
+    """Right-to-erasure impact audit (operators/privacy.erasure_audit):
+    the deletion cohort (every 37th subject key) counted across every
+    table that references it — events by user, orders by customer
+    key, and the customer master itself. One conditional aggregate
+    per table, no joins; NULL references are kept (an anonymous row
+    needs no erasure). The sign-off card before the purge job runs,
+    and its reconciliation target afterwards."""
+    from ..operators.privacy import erasure_audit
+
+    return erasure_audit(
+        [
+            ("events", load(spark, sf_dir, "events")),
+            ("orders", load(spark, sf_dir, "orders").withColumnRenamed(
+                "o_custkey", "subject_key")),
+            ("customer", load(spark, sf_dir, "customer")
+             .withColumnRenamed("c_custkey", "subject_key")),
+        ],
+        lambda df: (
+            F.col("user_id") % 37 == 0 if "user_id" in df.columns
+            else F.col("subject_key") % 37 == 0
+        ),
+    )
+
+
+@_q(
+    "ml_ab_stratified",
+    f"""WITH u AS (SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > 200.0
+               THEN 1 ELSE 0 END) AS c
+           FROM events GROUP BY user_id),
+       j AS (SELECT u.user_id, u.c, cu.c_mktsegment AS stratum,
+                    {_ARM_SQL} AS arm
+             FROM u JOIN customer cu ON u.user_id = cu.c_custkey),
+       per AS (SELECT stratum,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS ca,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+           sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS cb
+           FROM j GROUP BY stratum),
+       t AS (SELECT sum(na + nb) AS nw FROM per
+             WHERE na > 0 AND nb > 0),
+       rows_ AS (SELECT stratum,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 THEN CAST(floor(1000000 * ca / na)
+               AS BIGINT) END AS rate_a_fp,
+           CASE WHEN nb > 0 THEN CAST(floor(1000000 * cb / nb)
+               AS BIGINT) END AS rate_b_fp,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(floor(round(CAST(cb AS DOUBLE) / nb
+                    - CAST(ca AS DOUBLE) / na, 6)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS lift_fp,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(floor(1000000 * (na + nb) / nw) AS BIGINT)
+               END AS weight_fp,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(floor(round(CAST(na + nb AS DOUBLE) / nw
+                    * (CAST(cb AS DOUBLE) / nb
+                       - CAST(ca AS DOUBLE) / na), 6)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT)
+               ELSE 0 END AS contrib_fp
+           FROM per, t)
+       SELECT stratum, n_a, n_b, rate_a_fp, rate_b_fp, lift_fp,
+              weight_fp,
+              (SELECT CAST(sum(contrib_fp) AS BIGINT) FROM rows_)
+                  AS pooled_lift_fp
+       FROM rows_""",
+)
+def ml_ab_stratified(spark, sf_dir):
+    """Stratified experiment readout
+    (operators/experiment.stratified_readout): the A/B conversion
+    card per customer market segment — the Simpson's-paradox guard —
+    with the post-stratified pooled lift as the integer sum of
+    fixed-point per-stratum contributions (the PSI discipline, so
+    the headline replays regardless of partition order). One per-user
+    aggregate, one broadcast join to the customer dim, one 5x2
+    aggregate."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    return experiment.stratified_readout(
+        ev, "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 200.0),
+        cust, "c_custkey", "c_mktsegment",
+    )

@@ -286,3 +286,25 @@ def test_information_value_separation_strength(spark):
     flat = DQ.information_value(
         df2, "v", F.col("y") == 1, 0.0, 10.0, 5).collect()
     assert abs(flat[0]["iv_fp"]) < 1_000   # ~0.001
+
+
+def test_erasure_audit_counts_and_null_refs(spark):
+    """Cohort rows counted per table; NULL references are kept (an
+    anonymous row needs no erasure); purge+keep covers every row."""
+    from avk_job_skill_analytics_spark.operators.privacy import (
+        erasure_audit,
+    )
+
+    t1 = spark.createDataFrame(
+        [(37,), (74,), (5,), (None,)], "user_id long")
+    t2 = spark.createDataFrame([(0,), (1,)], "subject_key long")
+    out = {r["table_name"]: r for r in erasure_audit(
+        [("t1", t1), ("t2", t2)],
+        lambda df: (F.col("user_id") % 37 == 0
+                    if "user_id" in df.columns
+                    else F.col("subject_key") % 37 == 0),
+    ).collect()}
+    assert out["t1"]["n_purge"] == 2          # 37, 74
+    assert out["t1"]["n_keep"] == 2           # 5 and the NULL ref
+    assert out["t2"]["n_purge"] == 1          # key 0 (0 % 37 == 0)
+    assert out["t2"]["n_keep"] == 1

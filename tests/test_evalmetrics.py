@@ -484,3 +484,36 @@ def test_bootstrap_lift_ci_brackets_and_replays(spark):
     again = experiment.bootstrap_lift_ci(
         ev2, "user_id", cents, n_replicas=40).collect()[0]
     assert tuple(c2) == tuple(again)
+
+
+def test_stratified_readout_simpsons_guard(spark):
+    """Per-stratum lifts and the post-stratified pooled lift: a
+    stratum with a missing arm reports NULL lift and is excluded
+    from the pooled weight mass; the pooled value is the weighted
+    integer sum of per-stratum contributions."""
+    from avk_job_skill_analytics_spark.operators import experiment
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    # stratum g1: ids 1..80; stratum g2: only arm-0 ids (degenerate)
+    g2_only_a = [u for u in range(81, 200) if arm(u) == 0][:10]
+    rows = [(u, "purchase" if (arm(u) == 1 and u % 2 == 0) else "view")
+            for u in range(1, 81)] + \
+           [(u, "view") for u in g2_only_a]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    strata = spark.createDataFrame(
+        [(u, "g1") for u in range(1, 81)]
+        + [(u, "g2") for u in g2_only_a],
+        "k long, seg string")
+    out = {r["stratum"]: r for r in experiment.stratified_readout(
+        ev, "user_id", F.col("event_type") == "purchase",
+        strata, "k", "seg").collect()}
+    g1, g2 = out["g1"], out["g2"]
+    assert g2["n_b"] == 0 and g2["lift_fp"] is None
+    assert g2["weight_fp"] is None           # excluded from the mass
+    assert g1["weight_fp"] == 1_000_000      # g1 carries all weight
+    assert g1["rate_a_fp"] == 0 and g1["lift_fp"] == g1["rate_b_fp"]
+    # pooled = g1's contribution alone (weight 1.0 * lift)
+    assert g1["pooled_lift_fp"] == g1["lift_fp"]
+    assert g2["pooled_lift_fp"] == g1["pooled_lift_fp"]
