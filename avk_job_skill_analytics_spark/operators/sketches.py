@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .hashing import md5_long
+from .hashing import affine_hash, md5_long, minhash_coeffs
 
 HASH_SPACE = 1 << 60  # md5_long yields the top 60 bits of the digest
 
@@ -315,4 +315,88 @@ def kmv_join_estimate(df_a: DataFrame, key_a: str,
         d_u.alias("d_union_est"),
         inter_est.alias("inter_keys_est"),
         est_rows.alias("est_join_rows"),
+    )
+
+
+def cms_counts(items: DataFrame, item_col: str, d: int = 4,
+               w: int = 256, seed: int = 31) -> DataFrame:
+    """Count-Min sketch of an item stream as a (row, bucket, cnt)
+    frame — d·w cells total (Cormode & Muthukrishnan, J.Alg'05).
+
+    Each item increments one bucket per row j, where bucket_j =
+    affine_j(md5(item)) mod w from the engine-portable hash family.
+    The ONLY shuffle groups on (row, bucket) — at most d·w distinct
+    keys with map-side combine, so the vocabulary itself never
+    shuffles (the same reason heavy_hitters exists). Counts are exact
+    integers; two sketches with the same (d, w, seed) merge by
+    adding cells."""
+    cs = minhash_coeffs(d, seed=seed)
+    h = md5_long(F.col(item_col).cast("string"))
+    rows = F.array(*[
+        F.struct(
+            F.lit(j).alias("row"),
+            (affine_hash(h, a, b) % w).cast("int").alias("bucket"),
+        )
+        for j, (a, b) in enumerate(cs)
+    ])
+    return (
+        items.select(F.explode(rows).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"),
+                 F.col("_c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(items: DataFrame, item_col: str, probes,
+                 d: int = 4, w: int = 256,
+                 seed: int = 31) -> DataFrame:
+    """Frequency estimates for ``probes`` from a Count-Min sketch of
+    ``items``, side by side with the exact counts: one row per probe
+    (item, est_freq, exact_freq). est >= exact always (CM
+    overestimates, never under); the error bound is N·e/w with
+    probability 1−e^−d.
+
+    The sketch build is the only corpus pass (d·w-key aggregate);
+    estimates read d cells per probe from the broadcast sketch; the
+    exact twin is a map-side isin filter + count — validation-scale
+    honesty, never needed in production."""
+    cs = minhash_coeffs(d, seed=seed)
+    sk = cms_counts(items, item_col, d, w, seed)
+    spark = items.sparkSession
+    probe_df = spark.createDataFrame(
+        [(p,) for p in probes], f"{item_col} string")
+    h = md5_long(F.col(item_col).cast("string"))
+    probe_cells = probe_df.select(
+        item_col,
+        *[
+            (affine_hash(h, a, b) % w).cast("int").alias(f"b{j}")
+            for j, (a, b) in enumerate(cs)
+        ],
+    )
+    est = probe_cells
+    for j in range(d):
+        cell = sk.filter(F.col("row") == j).select(
+            F.col("bucket").alias(f"b{j}"),
+            F.col("cnt").alias(f"c{j}"),
+        )
+        est = est.join(F.broadcast(cell), f"b{j}", "left")
+    est = est.select(
+        item_col,
+        F.least(*[
+            F.coalesce(F.col(f"c{j}"), F.lit(0)) for j in range(d)
+        ]).cast("long").alias("est_freq"),
+    )
+    exact = (
+        items.filter(F.col(item_col).isin(list(probes)))
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("exact_freq"))
+    )
+    return (
+        est.join(F.broadcast(exact), item_col, "left")
+        .select(
+            item_col,
+            "est_freq",
+            F.coalesce("exact_freq", F.lit(0)).cast("long")
+            .alias("exact_freq"),
+        )
     )

@@ -5748,3 +5748,74 @@ def ml_ab_stratified(spark, sf_dir):
         (F.col("event_type") == "purchase") & (F.col("value") > 200.0),
         cust, "c_custkey", "c_mktsegment",
     )
+
+
+def _cms_sql() -> str:
+    from ..operators.hashing import (
+        MERSENNE_P,
+        affine_hash_sql,
+        md5_long_sql,
+        minhash_coeffs,
+    )
+
+    d, w = 4, 256
+    cs = minhash_coeffs(d, seed=31)
+    h = md5_long_sql("tok")
+    cell = lambda j: (  # noqa: E731
+        f"({affine_hash_sql(h, cs[j][0], cs[j][1], MERSENNE_P)} % {w})"
+    )
+    probes = "('join', 'hash', 'scan', 'filter', 'zz_absent')"
+    return f"""WITH toks AS (
+           SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+           FROM documents),
+       t AS (SELECT tok FROM toks WHERE tok <> ''),
+       cells AS (
+           SELECT row_j AS row, bucket, count(*) AS cnt FROM (
+               SELECT 0 AS row_j, {cell(0)} AS bucket FROM t
+               UNION ALL SELECT 1, {cell(1)} FROM t
+               UNION ALL SELECT 2, {cell(2)} FROM t
+               UNION ALL SELECT 3, {cell(3)} FROM t)
+           GROUP BY row_j, bucket),
+       probes AS (SELECT tok FROM (VALUES ('join'), ('hash'),
+           ('scan'), ('filter'), ('zz_absent')) v(tok)),
+       est AS (SELECT p.tok,
+           least(
+               coalesce((SELECT cnt FROM cells c WHERE c.row = 0
+                   AND c.bucket = ({cell(0).replace('tok', 'p.tok')})), 0),
+               coalesce((SELECT cnt FROM cells c WHERE c.row = 1
+                   AND c.bucket = ({cell(1).replace('tok', 'p.tok')})), 0),
+               coalesce((SELECT cnt FROM cells c WHERE c.row = 2
+                   AND c.bucket = ({cell(2).replace('tok', 'p.tok')})), 0),
+               coalesce((SELECT cnt FROM cells c WHERE c.row = 3
+                   AND c.bucket = ({cell(3).replace('tok', 'p.tok')})), 0)
+           ) AS est_freq
+           FROM probes p),
+       ex AS (SELECT tok, count(*) AS exact_freq FROM t
+              WHERE tok IN {probes} GROUP BY tok)
+       SELECT est.tok AS token,
+              CAST(est.est_freq AS BIGINT) AS est_freq,
+              CAST(coalesce(ex.exact_freq, 0) AS BIGINT) AS exact_freq
+       FROM est LEFT JOIN ex ON est.tok = ex.tok"""
+
+
+@_q("agg_cms_frequency", _cms_sql())
+def agg_cms_frequency(spark, sf_dir):
+    """Count-Min sketch point-frequency estimates
+    (operators/sketches.cms_counts/cms_estimate, Cormode &
+    Muthukrishnan): token frequencies estimated from a 4x256-cell
+    sketch whose ONLY corpus shuffle groups on (row, bucket) — at
+    most 1024 keys, map-side combined, the vocabulary itself never
+    shuffles. Probes read 4 cells each; the exact twin rides along
+    for the accuracy contract (est >= exact, within N·e/w whp).
+    Mergeable by cell addition — the KMV/Misra-Gries companion for
+    point lookups."""
+    from ..operators.sketches import cms_estimate
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return cms_estimate(
+        toks, "token",
+        ["join", "hash", "scan", "filter", "zz_absent"],
+    )

@@ -308,3 +308,23 @@ def test_erasure_audit_counts_and_null_refs(spark):
     assert out["t1"]["n_keep"] == 2           # 5 and the NULL ref
     assert out["t2"]["n_purge"] == 1          # key 0 (0 % 37 == 0)
     assert out["t2"]["n_keep"] == 1
+
+
+def test_cms_overestimates_never_under(spark):
+    """CM law: est >= exact for every probe, equality when no bucket
+    collisions; absent items estimate >= 0 with exact 0."""
+    from avk_job_skill_analytics_spark.operators.sketches import (
+        cms_estimate,
+    )
+
+    rows = [("a",)] * 100 + [("b",)] * 50 + [("c",)] * 7
+    df = spark.createDataFrame(rows, "token string")
+    out = {r["token"]: r for r in cms_estimate(
+        df, "token", ["a", "b", "c", "nope"], d=4, w=64).collect()}
+    assert out["a"]["exact_freq"] == 100
+    assert out["nope"]["exact_freq"] == 0
+    for r in out.values():
+        assert r["est_freq"] >= r["exact_freq"]
+    # tiny vocab, wide sketch: collisions vanishingly unlikely
+    assert out["a"]["est_freq"] == 100
+    assert out["b"]["est_freq"] == 50
