@@ -1,18 +1,25 @@
-"""Experiment (A/B test) readout over an event stream — the
-analysis-side companion of the engine's hash-based assignment
-primitives (``sampling.assign_split``).
+"""Experimentation (A/B testing) family — the analysis-side
+companion of the engine's hash-based assignment primitives
+(``sampling.assign_split``).
 
-A deployed curation/product change is judged by exactly this query:
-users deterministically assigned to arms by the engine-portable
-Knuth-hash coin (no assignment table to store or join — the user id
-IS the assignment), a per-user conversion flag, per-arm counts, and
-the pooled two-proportion z statistic. Everything integer stays
-integer (counts, fixed-point rates); the z-score's float pipeline
-uses one canonical operand order on both engines, so even the
-statistic replays bit-for-bit in the oracle.
+A deployed curation/product change is judged by these cards: the
+conversion readout with a pooled two-proportion z
+(``ab_test_readout``), the sample-ratio-mismatch guard that must
+pass before anyone reads a lift (``srm_check``), CUPED
+variance-reduced lift from integer sufficient statistics
+(``cuped_readout``), a deterministic Poisson-bootstrap CI
+(``bootstrap_lift_ci``), and the per-segment readout with
+post-stratified pooling (``stratified_readout`` — the
+Simpson's-paradox guard). Users are deterministically assigned by
+the engine-portable Knuth-hash coin (no assignment table to store or
+join — the user id IS the assignment).
 
-Scale shape: one per-user aggregate (map-side combined), one 2-row
-arm aggregate, then 1-row broadcasts — the corpus is touched once.
+Shared discipline: every data-sized reduction is an EXACT integer
+(counts, cents sums, decimal second moments, chi-square numerators,
+hash-derived bootstrap weights) — map-side combined and order-free —
+while the statistics themselves are a handful of float ops over a
+few integers in one canonical operand order, so every card replays
+bit-for-bit in the SQL oracle. The corpus is touched once per card.
 """
 
 from __future__ import annotations
@@ -45,10 +52,7 @@ def ab_test_readout(events: DataFrame, user_col: str,
     converted = events.groupBy(F.col(user_col)).agg(
         F.max(conv_expr.cast("int")).alias("_c")
     )
-    arm = (
-        (F.col(user_col) * F.lit(2654435761))
-        % F.lit(4294967296) % F.lit(2)
-    )
+    arm = _arm(user_col)
     per_arm = converted.withColumn("_arm", arm).groupBy("_arm").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_c").alias("_cv"),
@@ -88,11 +92,11 @@ def ab_test_readout(events: DataFrame, user_col: str,
 
 def _arm(user_col: str):
     """The engine-portable Knuth-hash coin shared with
-    sampling.assign_split: arm = (id * 2654435761) mod 2^32 mod 2."""
-    return (
-        (F.col(user_col) * F.lit(2654435761))
-        % F.lit(4294967296) % F.lit(2)
-    )
+    sampling.assign_split: arm = knuth(id) mod 2, via the
+    overflow-safe split multiply (hashing.knuth32)."""
+    from .hashing import knuth32
+
+    return knuth32(F.col(user_col)) % F.lit(2)
 
 
 def srm_check(events: DataFrame, user_col: str) -> DataFrame:

@@ -55,3 +55,35 @@ def affine_hash(h: Column, a: int, b: int, p: int = MERSENNE_P) -> Column:
 
 def affine_hash_sql(h_expr: str, a: int, b: int, p: int = MERSENNE_P) -> str:
     return f"(({a} * (({h_expr}) % {p}) + {b}) % {p})"
+
+
+KNUTH = 2654435761  # 2^32 / phi — Knuth's multiplicative constant
+
+
+def knuth32(col: Column) -> Column:
+    """(col * KNUTH) mod 2^32 for ANY non-negative 64-bit id,
+    without overflow — the engine's sampling/assignment coin made
+    scale-safe.
+
+    The naive ``col * 2654435761`` wraps 64 bits once ids exceed
+    2^63/K ~ 3.47e9 (Spark 4 ANSI mode raises ARITHMETIC_OVERFLOW —
+    caught by the sf1 scale probe, whose key-shifted replicas reach
+    ~7.7e10). Split multiply fixes it with pure long ops:
+    with y = col mod 2^32 = h·2^16 + l,
+
+        y·K mod 2^32 = ( (h·K mod 2^16)·2^16 + l·K ) mod 2^32
+
+    since (a·2^16) mod 2^32 = (a mod 2^16)·2^16. Every intermediate
+    fits comfortably in 63 bits (l·K <= 1.8e14), and the result is
+    bit-identical to the naive form wherever that form didn't
+    overflow — so every recorded oracle stays hash-matched. The
+    DuckDB oracles keep the naive spelling: they evaluate only at
+    validation scale (ids < 2^31), where the forms agree; an oracle
+    at sf1-shifted ids would need a HUGEINT cast."""
+    y = col.cast("long") % F.lit(4294967296)
+    h = F.shiftright(y, 16)
+    lo = y.bitwiseAND(F.lit(65535))
+    return (
+        (h * F.lit(KNUTH) % F.lit(65536)) * F.lit(65536)
+        + lo * F.lit(KNUTH)
+    ) % F.lit(4294967296)

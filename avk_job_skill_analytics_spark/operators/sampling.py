@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import knuth32
+
 # Knuth's multiplicative-hash constant (2^32 / phi). Public-domain
 # folklore; gives a well-mixed deterministic bucket from an integer key
 # computable identically in any SQL engine (no engine-specific hash).
@@ -44,7 +46,7 @@ def sample_hash_bucket(df: DataFrame, key: str, pct: int,
     buckets. No shuffle, no RNG — the same rows are selected on any
     engine, which makes it oracle-verifiable and stable across reruns
     (useful for repeatable pipeline debugging at 100 TB)."""
-    bucket = (F.col(key).cast("long") * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(modulus)
+    bucket = knuth32(F.col(key)) % F.lit(modulus)
     return df.filter(bucket < pct)
 
 
@@ -94,8 +96,8 @@ def sample_stratified(df: DataFrame, strata_col: str, key: str,
     no RNG: the filter is a scan-level CASE over a hash of the key, so
     at 100 TB this is a single embarrassingly-parallel pass."""
     bucket = (
-        F.col(key).cast("long") * F.lit(_KNUTH)
-    ) % F.lit(4294967296) % F.lit(modulus)
+        knuth32(F.col(key))
+    ) % F.lit(modulus)
     pct = F.lit(default_pct)
     for value, p in pcts.items():
         pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
@@ -112,8 +114,8 @@ def sample_weighted(df: DataFrame, key: str, weight,
     :func:`sample_hash_bucket` (finer-grained: millionths). No
     shuffle; one scan-level comparison per row at any corpus size."""
     bucket = (
-        F.col(key).cast("long") * F.lit(_KNUTH)
-    ) % F.lit(4294967296) % F.lit(modulus)
+        knuth32(F.col(key))
+    ) % F.lit(modulus)
     w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
     return df.filter(bucket.cast("double") < w * F.lit(float(modulus)))
 
@@ -138,8 +140,8 @@ def assign_split(df: DataFrame, key: str,
     if sum(splits.values()) != modulus:
         raise ValueError("split shares must sum to modulus")
     bucket = (
-        F.col(key).cast("long") * F.lit(_KNUTH)
-    ) % F.lit(4294967296) % F.lit(modulus)
+        knuth32(F.col(key))
+    ) % F.lit(modulus)
     expr, lo = None, 0
     for name, share in splits.items():
         lo += share
@@ -245,7 +247,7 @@ def match_distribution(df: DataFrame, id_col: str, group_col: str,
     )
     dec = "decimal(38,0)"
     u = (
-        (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+        knuth32(F.col(id_col))
     ) % F.lit(1_000_000)
     kept = (
         df.select(F.col(id_col), grp.alias("_g"))

@@ -309,3 +309,49 @@ def test_prefix_filter_join_equals_bruteforce(spark, docs, t):
         if i * td >= tn * u:
             want[(a, b)] = (i, u)
     assert got == want
+
+
+def test_knuth32_split_identity_and_scale_safety(spark):
+    """hashing.knuth32 must equal the naive (x*K) mod 2^32 wherever
+    the naive form doesn't overflow, and must RUN for ids past the
+    2^63/K overflow horizon that sank the naive form at sf1 (the
+    sf1 replicas shift keys by r*2^33)."""
+    from hypothesis import given, settings, strategies as st
+
+    from avk_job_skill_analytics_spark.operators.hashing import (
+        KNUTH,
+        knuth32,
+    )
+
+    @given(st.integers(min_value=0, max_value=(1 << 63) - 1))
+    @settings(max_examples=300, deadline=None)
+    def identity(x):
+        y = x % (1 << 32)
+        h, lo = y >> 16, y & 65535
+        split = ((h * KNUTH % 65536) * 65536 + lo * KNUTH) % (1 << 32)
+        assert split == (x * KNUTH) % (1 << 32)
+
+    identity()
+
+    # the Column version agrees with Python on the overflow horizon
+    ids = [0, 1, 149, 2**31 - 1, 2**32 - 1, 2**33 * 9 + 12345,
+           2**62 + 7, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "x long")
+    got = {r["x"]: r["k"] for r in df.select(
+        "x", knuth32(F.col("x")).alias("k")).collect()}
+    for x in ids:
+        assert got[x] == (x * KNUTH) % (1 << 32)
+
+
+def test_assign_split_survives_sf1_scale_ids(spark):
+    """The sampling coin must not raise ARITHMETIC_OVERFLOW for
+    key-shifted ids (the sf1 replica reaches ~7.7e10)."""
+    from avk_job_skill_analytics_spark.operators import sampling
+
+    big = spark.createDataFrame(
+        [((1 << 33) * r + i,) for r in range(10) for i in range(20)],
+        "doc_id long")
+    out = sampling.assign_split(big, "doc_id")
+    rows = out.collect()
+    assert len(rows) == 200
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
