@@ -155,14 +155,17 @@ def referential_orphans(pairs) -> DataFrame:
     child_key, parent_df, parent_key), count child rows whose key has
     no parent (NULL keys are orphans — a NULL FK cannot reference).
     Key-only projections feed LEFT ANTI joins, so each relation costs
-    a join on two single-column frames (the parent side deduplicated
-    map-side); results union into (relation, n_orphans)."""
+    a join on two single-column frames. No explicit distinct on the
+    parent: an anti-join only asks "exists?", its build side dedups
+    internally, and a distinct-first would add a second full shuffle
+    of the parent keys for nothing. Results union into
+    (relation, n_orphans)."""
     out = None
     for name, child, ck, parent, pk in pairs:
         orphans = (
             child.select(F.col(ck).alias("_k"))
             .join(
-                parent.select(F.col(pk).alias("_k")).distinct(),
+                parent.select(F.col(pk).alias("_k")),
                 on="_k", how="left_anti",
             )
             .agg(

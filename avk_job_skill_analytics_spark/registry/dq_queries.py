@@ -36,14 +36,13 @@ def _q(name, oracle=None):
 
 
 # ------------------------------------------------ dirty landing zone
-def landing_orders(spark, sf_dir):
-    """The synthesized landing-zone orders feed: deterministic dirt
-    keyed off o_orderkey so Spark and the oracle corrupt identical
-    rows (NULL FK every 97th, out-of-range FK every 89th, negative
-    price every 131st, unknown status every 113th)."""
-    o = load(spark, sf_dir, "orders")
+def landing_map(df):
+    """The deterministic dirt map (one definition — the batch suite,
+    the streaming gate, and the oracle SQL must corrupt identical
+    rows): NULL FK every 97th key, out-of-range FK every 89th,
+    unknown status every 113th, negative price every 131st."""
     k = F.col("o_orderkey")
-    return o.select(
+    return df.select(
         k.alias("okey"),
         F.when(k % 97 == 0, F.lit(None).cast("long"))
         .when(k % 89 == 0, F.col("o_custkey") + F.lit(10_000_000))
@@ -53,6 +52,11 @@ def landing_orders(spark, sf_dir):
         F.when(k % 131 == 0, -F.col("o_totalprice"))
         .otherwise(F.col("o_totalprice")).alias("price"),
     )
+
+
+def landing_orders(spark, sf_dir):
+    """The synthesized landing-zone orders feed (see landing_map)."""
+    return landing_map(load(spark, sf_dir, "orders"))
 
 
 _LANDING_SQL = """

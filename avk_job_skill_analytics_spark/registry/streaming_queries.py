@@ -1993,7 +1993,7 @@ def stream_dq_gate(spark, sf_dir):
         dq_state_report_rows,
         foreach_batch_dq_fold,
     )
-    from .dq_queries import landing_orders
+    from .dq_queries import landing_map
 
     src = _single_file_drops(
         spark, sf_dir, "orders",
@@ -2010,19 +2010,6 @@ def stream_dq_gate(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .load(src)
     )
-
-    def landing_map(bdf):
-        k = F.col("o_orderkey")
-        return bdf.select(
-            k.alias("okey"),
-            F.when(k % 97 == 0, F.lit(None).cast("long"))
-            .when(k % 89 == 0, F.col("o_custkey") + F.lit(10_000_000))
-            .otherwise(F.col("o_custkey")).alias("custkey"),
-            F.when(k % 113 == 0, F.lit("X"))
-            .otherwise(F.col("o_orderstatus")).alias("status"),
-            F.when(k % 131 == 0, -F.col("o_totalprice"))
-            .otherwise(F.col("o_totalprice")).alias("price"),
-        )
 
     checks = [
         ("completeness_custkey", "completeness", "custkey"),
