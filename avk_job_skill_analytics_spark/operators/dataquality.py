@@ -128,9 +128,13 @@ def column_profile(df: DataFrame, cols) -> DataFrame:
             F.countDistinct(col).alias(f"{c}__distinct"),
             F.min(s).alias(f"{c}__min"),
             F.max(s).alias(f"{c}__max"),
+            # decimal multiply: sum(length) reaches ~5e14 at 1e12
+            # rows x 500 chars, and x1e6 would wrap a long inside
+            # the 100 TB design point (the pure-count metrics stay
+            # long: 1e6 x row-count fits to ~9e12 rows)
             F.coalesce(
-                F.floor(F.lit(_MIL) * F.sum(F.length(s))
-                        / F.count(s)),
+                F.floor(F.lit(_MIL).cast("decimal(38,0)")
+                        * F.sum(F.length(s)) / F.count(s)),
                 F.lit(0),
             ).cast("long").alias(f"{c}__avglen"),
         ]
