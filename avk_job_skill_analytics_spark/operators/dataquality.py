@@ -302,10 +302,13 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10,
             F.col("n_keys").cast("long").alias("n_keys"),
             F.floor(F.lit(_MIL) * F.col("cnt") / F.col("n_rows"))
             .cast("long").alias("share_fp"),
-            # cnt / (n_rows / n_keys), exactly in integers
-            F.floor(F.lit(_MIL) * F.col("cnt") * F.col("n_keys")
-                    / F.col("n_rows"))
-            .cast("long").alias("x_avg_fp"),
+            # cnt / (n_rows / n_keys): exact decimal product (the
+            # long form wraps once cnt * n_keys passes ~9e12), then
+            # the same double division as the oracle
+            F.floor(
+                (F.lit(_MIL).cast("decimal(38,0)") * F.col("cnt")
+                 * F.col("n_keys")).cast("double") / F.col("n_rows")
+            ).cast("long").alias("x_avg_fp"),
             F.ceil(F.col("cnt") / F.lit(target_rows_per_task))
             .cast("long").alias("salt_factor"),
         )

@@ -118,9 +118,14 @@ def srm_check(events: DataFrame, user_col: str) -> DataFrame:
     )
     na, nb = F.col("_na"), F.col("_nb")
     n = na + nb
+    # exact decimal product (1e6 * d^2 wraps a long once the arm gap
+    # passes ~3e6 users), then the same double division as the oracle
     chi2_fp = F.when(
         n > 0,
-        F.floor(F.lit(1_000_000) * (na - nb) * (na - nb) / n),
+        F.floor(
+            (F.lit(1_000_000).cast("decimal(38,0)")
+             * (na - nb) * (na - nb)).cast("double") / n
+        ),
     ).cast("long")
     return card.select(
         na.cast("long").alias("n_a"),
