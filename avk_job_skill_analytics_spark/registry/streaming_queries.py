@@ -2088,3 +2088,83 @@ def stream_psi_drift(spark, sf_dir):
     return psi_report_from_state(
         spark, ref, "value", 0.0, 500.0, 10, state
     )
+
+
+def _stream_ab_sql() -> str:
+    from .scale_queries import _ARM_SQL
+
+    fp = ("CAST(floor(round({x}, 6) * CAST(1000000 AS DOUBLE)"
+          " + CAST('0.5' AS DOUBLE)) AS BIGINT)")
+    return f"""WITH e AS (SELECT {_ARM_SQL} AS arm,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100, 0) AS BIGINT)
+                ELSE 0 END AS cents
+           FROM events),
+       t AS (SELECT
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS ca,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+           sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS cb
+           FROM e)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              CAST(ca AS BIGINT) AS cents_a,
+              CAST(cb AS BIGINT) AS cents_b,
+              CASE WHEN na > 0 THEN CAST(floor(1000000 * ca / na)
+                  AS BIGINT) END AS rev_per_event_a_fp,
+              CASE WHEN nb > 0 THEN CAST(floor(1000000 * cb / nb)
+                  AS BIGINT) END AS rev_per_event_b_fp,
+              CASE WHEN na > 0 AND nb > 0 THEN
+                  {fp.format(x=("CAST(cb AS DOUBLE) / nb"
+                                " - CAST(ca AS DOUBLE) / na"))}
+                  END AS lift_fp
+       FROM t"""
+
+
+@_q("stream_ab_monitor", _stream_ab_sql())
+def stream_ab_monitor(spark, sf_dir):
+    """Live experiment dashboard
+    (streaming/dq_stream.foreach_batch_ab_fold): per-arm event
+    counts and revenue cents folded per micro-batch — the metrics
+    that MERGE (event-level, not per-user: 'ever converted' needs
+    user-keyed state and stays a batch readout). Four exact driver
+    integers, epoch-guarded; the drained card hash-matches the
+    one-shot batch aggregate over the full feed."""
+    from ..streaming.dq_stream import (
+        ab_monitor_card,
+        foreach_batch_ab_fold,
+    )
+
+    src = _single_file_drops(
+        spark, sf_dir, "events", ["user_id", "event_type", "value"],
+        [("0_even.parquet", F.col("user_id") % 2 == 0),
+         ("1_odd.parquet", F.col("user_id") % 2 == 1)],
+        "events_ab_src_",
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ab_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("long")) \
+        .otherwise(F.lit(0))
+    state: dict = {"seen": set()}
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_ab_fold(stream, "user_id", cents, state)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        ab_monitor_card(state),
+        "n_a long, n_b long, cents_a long, cents_b long, "
+        "rev_per_event_a_fp long, rev_per_event_b_fp long, "
+        "lift_fp long",
+    )

@@ -25,6 +25,8 @@ __all__ = [
     "dq_state_report_rows",
     "foreach_batch_psi_fold",
     "psi_report_from_state",
+    "foreach_batch_ab_fold",
+    "ab_monitor_card",
 ]
 
 _MIL = 1_000_000
@@ -146,3 +148,54 @@ def psi_report_from_state(spark, ref_df: DataFrame, value_col: str,
         "bucket int, n_b long",
     )
     return psi_from_counts(ref_counts, arr, n_buckets)
+
+
+def foreach_batch_ab_fold(stream: DataFrame, user_col: str,
+                          cents_expr, state: dict) -> "object":
+    """writeStream.foreachBatch sink folding a live experiment
+    dashboard: per-arm EVENT counts and revenue cents — the metrics
+    that merge by addition, so the fold is exact and order-free.
+
+    Per-USER metrics (conversion = 'ever purchased') deliberately do
+    NOT stream here: they need per-user state that grows with the
+    population — that is the batch readout's job (or a stateful
+    operator with a user-keyed store). Event-level revenue is what
+    live experiment dashboards actually fold. ``state``:
+    {"acc": {0: [n, cents], 1: [n, cents]}, "seen": set} — four
+    integers, epoch-guarded."""
+    from ..operators.experiment import _arm
+    from .incremental import epoch_already_applied, epoch_mark_applied
+
+    state.setdefault("acc", {0: [0, 0], 1: [0, 0]})
+
+    def batch_fn(bdf: DataFrame, epoch_id: int) -> None:
+        if epoch_already_applied(state, epoch_id):
+            return
+        rows = bdf.groupBy(_arm(user_col).alias("_a")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(cents_expr), F.lit(0)).alias("cents"),
+        ).collect()
+        for r in rows:
+            acc = state["acc"][int(r["_a"])]
+            acc[0] += int(r["n"])
+            acc[1] += int(r["cents"])
+        epoch_mark_applied(state, epoch_id)
+
+    return stream.writeStream.foreachBatch(batch_fn)
+
+
+def ab_monitor_card(state: dict):
+    """Drain the folded per-arm totals to the dashboard row:
+    (n_a, n_b, cents_a, cents_b, rev_per_event_a_fp,
+    rev_per_event_b_fp, lift_fp) with the batch suite's integer
+    discipline — floor(1e6 * cents / n) per arm, fp6 of the
+    canonical-order per-event revenue delta."""
+    import math
+
+    (na, ca), (nb, cb) = state["acc"][0], state["acc"][1]
+    rpe = lambda c, n: int(math.floor(_MIL * c / n)) if n else None
+    lift = None
+    if na and nb:
+        lift = int(math.floor(
+            round(cb / nb - ca / na, 6) * 1_000_000.0 + 0.5))
+    return [(na, nb, ca, cb, rpe(ca, na), rpe(cb, nb), lift)]

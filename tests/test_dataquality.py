@@ -328,3 +328,48 @@ def test_cms_overestimates_never_under(spark):
     # tiny vocab, wide sketch: collisions vanishingly unlikely
     assert out["a"]["est_freq"] == 100
     assert out["b"]["est_freq"] == 50
+
+
+def test_ab_fold_redelivery_and_card(spark):
+    """The live A/B fold must ignore redelivered epochs and drain to
+    the exact per-arm totals; degenerate (one-arm) streams report
+    NULL lift."""
+    from avk_job_skill_analytics_spark.streaming import dq_stream
+
+    class _FakeStream:
+        class writeStream:  # noqa: N801 — mimic the attribute chain
+            @staticmethod
+            def foreachBatch(fn):
+                return fn
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    a_user = next(u for u in range(1, 50) if arm(u) == 0)
+    b_user = next(u for u in range(1, 50) if arm(u) == 1)
+    df = spark.createDataFrame(
+        [(a_user, "purchase", 1.0), (a_user, "view", 0.0),
+         (b_user, "purchase", 3.0)],
+        "user_id long, event_type string, value double")
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("long")) \
+        .otherwise(F.lit(0))
+    state = {"seen": set()}
+    fn = dq_stream.foreach_batch_ab_fold(
+        _FakeStream(), "user_id", cents, state)
+    fn(df, 0)
+    fn(df, 0)          # redelivery ignored
+    fn(df, 1)
+    card = dq_stream.ab_monitor_card(state)[0]
+    n_a, n_b, ca, cb, rpa, rpb, lift = card
+    assert (n_a, n_b) == (4, 2) and (ca, cb) == (200, 600)
+    assert rpa == 50_000_000 and rpb == 300_000_000
+    assert lift == 250_000_000
+
+    # one-armed stream: NULL lift, NULL rev for the missing arm
+    s2 = {"seen": set()}
+    fn2 = dq_stream.foreach_batch_ab_fold(
+        _FakeStream(), "user_id", cents, s2)
+    fn2(df.filter(F.col("user_id") == a_user), 0)
+    c2 = dq_stream.ab_monitor_card(s2)[0]
+    assert c2[1] == 0 and c2[5] is None and c2[6] is None
