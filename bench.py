@@ -88,11 +88,13 @@ HEADLINE = [
     "stream_ssjoin_maintain",
     "ml_auc_gate",
     "ml_cascade_rerank",
+    "ml_ab_bootstrap",
+    "dq_expectations",
 ]
 
 _FAMILIES = (
     "tpch", "stream", "pipeline", "dd", "txt", "mm", "win",
-    "ann", "ml", "graph", "pii", "agg", "ud",
+    "ann", "ml", "graph", "pii", "agg", "ud", "dq", "er", "emb",
 )
 _IO_PREFIXES = ("s1_", "s2_", "s3_", "s4_", "s5_", "s6_", "s7_", "hf_", "io_")
 

@@ -35,8 +35,11 @@ def main(log_path: str) -> None:
     )
     src = open(COVERAGE).read()
     start = src.index("| query | status | rows |")
-    # table ends at the first blank line that follows it
-    end = src.index("\n\n", start)
+    # table ends at the first blank line that follows it (or EOF —
+    # the table is currently the file's last section)
+    end = src.find("\n\n", start)
+    if end == -1:
+        end = len(src.rstrip("\n"))
     open(COVERAGE, "w").write(src[:start] + table.rstrip("\n")
                               + src[end:])
     n_ok = sum(1 for _, s, _ in rows if s == "ok")
