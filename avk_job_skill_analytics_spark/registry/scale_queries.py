@@ -5819,3 +5819,104 @@ def agg_cms_frequency(spark, sf_dir):
         toks, "token",
         ["join", "hash", "scan", "filter", "zz_absent"],
     )
+
+
+# ------------------------------------------------ spatial grid family
+def _geo_coord_sql(key: str, tag: str, base: int, span: int) -> str:
+    from ..operators.hashing import md5_long_sql
+
+    h = md5_long_sql(f"concat('{tag}#', CAST({key} AS VARCHAR))")
+    return f"({base} + {h} % {span})"
+
+
+def _geo_knn_sql() -> str:
+    # brute-force circle + rank: the grid join must be LOSSLESS for
+    # bounded-radius kNN, so the oracle needn't know about cells
+    qlat = _geo_coord_sql("s_suppkey", "lat", 40_000_000, 100_000)
+    qlon = _geo_coord_sql("s_suppkey", "lon", -74_050_000, 100_000)
+    plat = _geo_coord_sql("c_custkey", "lat", 40_000_000, 100_000)
+    plon = _geo_coord_sql("c_custkey", "lon", -74_050_000, 100_000)
+    return f"""WITH q AS (SELECT s_suppkey AS qid,
+                    {qlat} AS qlat, {qlon} AS qlon
+               FROM supplier WHERE s_suppkey < 10),
+       p AS (SELECT c_custkey AS pid,
+                    {plat} AS plat, {plon} AS plon
+             FROM customer),
+       d AS (SELECT qid, pid,
+                    (plat - qlat) * (plat - qlat)
+                    + (plon - qlon) * (plon - qlon) AS dist2
+             FROM q, p),
+       r AS (SELECT qid, pid, dist2,
+                    row_number() OVER (PARTITION BY qid
+                        ORDER BY dist2, pid) AS rk
+             FROM d WHERE dist2 <= 10000 * 10000)
+       SELECT qid AS query_id, CAST(pid AS BIGINT) AS point_id,
+              CAST(dist2 AS BIGINT) AS dist2, CAST(rk AS BIGINT) AS rk
+       FROM r WHERE rk <= 5"""
+
+
+def _geo_points(spark, sf_dir, table, key):
+    """Synthesized city-scale coordinates (integer micro-degrees)
+    hash-derived from the key — a ~11 km box around an NYC-ish
+    anchor, identical arithmetic in the oracle."""
+    from ..operators.hashing import md5_long
+
+    df = load(spark, sf_dir, table)
+    lat = F.lit(40_000_000) + md5_long(
+        F.concat(F.lit("lat#"), F.col(key).cast("string"))
+    ) % F.lit(100_000)
+    lon = F.lit(-74_050_000) + md5_long(
+        F.concat(F.lit("lon#"), F.col(key).cast("string"))
+    ) % F.lit(100_000)
+    return df.select(F.col(key), lat.alias("lat"), lon.alias("lon"))
+
+
+@_q("geo_radius_knn", _geo_knn_sql())
+def geo_radius_knn(spark, sf_dir):
+    """Bounded-radius kNN via the grid-partitioned spatial join
+    (operators/spatial.radius_knn): 5 nearest customers within
+    10,000 micro-degrees of each probe supplier, coordinates in
+    exact integer micro-degrees (no trig, no floats — the result
+    hash-replays). The grid is LOSSLESS for bounded radius — every
+    in-range point lives in a probed cell — so the oracle is the
+    brute-force circle, proving no false negatives. Candidates =
+    |queries| x 3x3-cell local density, never |queries| x |corpus|."""
+    from ..operators.spatial import radius_knn
+
+    pts = _geo_points(spark, sf_dir, "customer", "c_custkey")
+    qs = _geo_points(spark, sf_dir, "supplier", "s_suppkey") \
+        .filter(F.col("s_suppkey") < 10)
+    out = radius_knn(
+        pts, "c_custkey", "lat", "lon",
+        qs, "s_suppkey", "lat", "lon",
+        radius=10_000, k=5,
+    )
+    return out.select(
+        F.col("query_id"), F.col("point_id").cast("long").alias("point_id"),
+        "dist2", F.col("rk").cast("long").alias("rk"),
+    )
+
+
+@_q(
+    "geo_cell_density",
+    f"""WITH p AS (SELECT
+           {_geo_coord_sql("c_custkey", "lat", 40_000_000, 100_000)}
+               AS lat,
+           {_geo_coord_sql("c_custkey", "lon", -74_050_000, 100_000)}
+               AS lon
+           FROM customer)
+       SELECT CAST(floor(lat / 10000) AS BIGINT) AS cell_lat,
+              CAST(floor(lon / 10000) AS BIGINT) AS cell_lon,
+              count(*) AS n_points
+       FROM p GROUP BY 1, 2
+       ORDER BY n_points DESC, cell_lat, cell_lon LIMIT 20""",
+)
+def geo_cell_density(spark, sf_dir):
+    """The heatmap query (operators/spatial.cell_density): customer
+    points per 10,000-micro-degree grid cell, densest 20 — one
+    hash-agg on the cell key + TakeOrdered. The build side every
+    spatial join in this family probes."""
+    from ..operators.spatial import cell_density
+
+    pts = _geo_points(spark, sf_dir, "customer", "c_custkey")
+    return cell_density(pts, "lat", "lon", step=10_000, top_n=20)
