@@ -684,3 +684,39 @@ def boilerplate_fraction(df: DataFrame, id_col: str, text_col: str,
             ),
         )
     )
+
+
+def duplicate_weights(docs: DataFrame, id_col: str,
+                      pairs: DataFrame) -> DataFrame:
+    """Count-aware duplicate DOWNWEIGHTING — the alternative to
+    dropping: every document trains, but a document in a k-member
+    near-dup cluster carries weight 1/k, so duplicated content
+    contributes once in expectation (the standard remedy for
+    memorization-prone repeated text when hard dedup is too lossy).
+
+    Returns one row per document: (id, cluster_id, cluster_size,
+    weight_fp) with weight = floor(1e6 / cluster_size); documents in
+    no pair are their own singleton (weight exactly 1e6). Cost on
+    top of the pair evidence: the cluster map (bounded-round CC over
+    PAIRS, never the corpus), one broadcast-or-shuffle left join to
+    stamp it, one cluster-size aggregate."""
+    clusters = duplicate_clusters(pairs)
+    stamped = docs.select(F.col(id_col)).join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )
+    sizes = stamped.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        stamped.join(sizes, "cluster_id")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.floor(F.lit(1_000_000) / F.col("cluster_size"))
+            .cast("long").alias("weight_fp"),
+        )
+    )

@@ -296,3 +296,56 @@ def grouped_binary_metrics(scored: DataFrame, group_col: str,
                        + F.col("_fn"))),
         ).cast("long").alias("f1_fp"),
     )
+
+
+def cohen_kappa(df: "DataFrame", a_col: str, b_col: str) -> "DataFrame":
+    """Inter-annotator agreement card (Cohen's kappa): (n, n_agree,
+    po_fp, pe_fp, kappa_fp) — the QA gate a labeling pipeline runs
+    before trusting a batch of human (or LLM-judge) labels.
+
+    po = observed agreement; pe = chance agreement from the two
+    annotators' marginals, with the cross-product sum accumulated as
+    an exact decimal integer (sum over labels of n_a[l]*n_b[l]) so
+    the only floats are three canonical-order divisions. kappa NULL
+    when pe = 1 (both annotators constant — agreement is vacuous and
+    the statistic is undefined). Cost: one grouped count per label
+    pair (<= |labels|^2 cells), then 1-row arithmetic; rows with a
+    NULL on either side are excluded (unlabeled != disagreement)."""
+    labeled = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    )
+    cells = labeled.groupBy(
+        F.col(a_col).alias("_la"), F.col(b_col).alias("_lb")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    per_a = cells.groupBy("_la").agg(F.sum("_c").alias("_na"))
+    per_b = cells.groupBy("_lb").agg(F.sum("_c").alias("_nb"))
+    cross = per_a.join(
+        per_b, per_a["_la"] == per_b["_lb"], "inner"
+    ).agg(
+        F.coalesce(
+            F.sum((F.col("_na") * F.col("_nb"))
+                  .cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_s")
+    )
+    tot = cells.agg(
+        F.sum("_c").alias("_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("_la") == F.col("_lb"), F.col("_c"))),
+            F.lit(0),
+        ).alias("_agree"),
+    )
+    d = "double"
+    po = F.col("_agree").cast(d) / F.col("_n")
+    pe = F.col("_s").cast(d) / (F.col("_n").cast(d) * F.col("_n"))
+    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
+        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    return tot.crossJoin(F.broadcast(cross)).select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_agree").cast("long").alias("n_agree"),
+        fp6(po).alias("po_fp"),
+        fp6(pe).alias("pe_fp"),
+        F.when(pe < F.lit(1.0), fp6((po - pe) / (F.lit(1.0) - pe)))
+        .alias("kappa_fp"),
+    )

@@ -5920,3 +5920,101 @@ def geo_cell_density(spark, sf_dir):
 
     pts = _geo_points(spark, sf_dir, "customer", "c_custkey")
     return cell_density(pts, "lat", "lon", step=10_000, top_n=20)
+
+
+@_q(
+    "dd_dup_weighting",
+    f"""WITH RECURSIVE pairs AS (
+{_NGRAM_PAIRS_SQL}
+       ),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(v, r) AS (
+         SELECT s, s FROM edges
+         UNION
+         SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
+       ),
+       cl AS (SELECT v AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY v),
+       stamped AS (SELECT d.doc_id,
+                          coalesce(cl.cluster_id, d.doc_id)
+                              AS cluster_id
+                   FROM documents d LEFT JOIN cl USING (doc_id)),
+       sz AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM stamped GROUP BY cluster_id)
+       SELECT s.doc_id, s.cluster_id,
+              CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+              CAST(floor(1000000 / sz.cluster_size) AS BIGINT)
+                  AS weight_fp
+       FROM stamped s JOIN sz USING (cluster_id)""",
+)
+def dd_dup_weighting(spark, sf_dir):
+    """Count-aware duplicate downweighting
+    (operators/dedup.duplicate_weights): instead of dropping
+    near-dups, every document trains with weight 1/cluster-size, so
+    repeated content contributes once in expectation — the
+    memorization remedy when hard dedup is too lossy. Singletons
+    carry exactly 1e6; the cluster map costs a bounded-round CC over
+    PAIRS (never the corpus) plus one stamp join and one size
+    aggregate."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3,
+                                      threshold=0.5)
+    return dedup.duplicate_weights(d, "doc_id", pairs)
+
+
+@_q(
+    "ml_label_agreement",
+    """WITH two AS (SELECT label AS la,
+           CASE WHEN vec_id % 7 = 0 THEN (label + 1) % 10
+                ELSE label END AS lb
+           FROM embeddings),
+       cells AS (SELECT la, lb, count(*) AS c FROM two GROUP BY la, lb),
+       pa AS (SELECT la, sum(c) AS na FROM cells GROUP BY la),
+       pb AS (SELECT lb, sum(c) AS nb FROM cells GROUP BY lb),
+       x AS (SELECT coalesce(sum(CAST(na AS HUGEINT) * nb), 0) AS s
+             FROM pa JOIN pb ON pa.la = pb.lb),
+       t AS (SELECT sum(c) AS n,
+                    coalesce(sum(CASE WHEN la = lb THEN c END), 0)
+                        AS agree
+             FROM cells)
+       SELECT CAST(n AS BIGINT) AS n,
+              CAST(agree AS BIGINT) AS n_agree,
+              CAST(floor(round(CAST(agree AS DOUBLE) / n, 6)
+                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   AS BIGINT) AS po_fp,
+              CAST(floor(round(CAST(s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n), 6)
+                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   AS BIGINT) AS pe_fp,
+              CASE WHEN CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                        < 1.0 THEN
+                  CAST(floor(round(
+                       (CAST(agree AS DOUBLE) / n
+                        - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+                       / (CAST('1.0' AS DOUBLE)
+                          - CAST(s AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * n)), 6)
+                       * CAST(1000000 AS DOUBLE)
+                       + CAST('0.5' AS DOUBLE)) AS BIGINT)
+              END AS kappa_fp
+       FROM t, x""",
+)
+def ml_label_agreement(spark, sf_dir):
+    """Inter-annotator agreement card
+    (operators/evalmetrics.cohen_kappa): the labeling-QA gate —
+    annotator B re-labels the embedding corpus with deterministic
+    disagreements (every 7th id shifts one class), and the card
+    reports observed vs chance agreement and Cohen's kappa. Chance
+    agreement's marginal cross-product accumulates as an exact
+    decimal integer; three canonical-order float divisions finish.
+    One <=|labels|^2-cell aggregate, then 1-row arithmetic."""
+    from ..operators.evalmetrics import cohen_kappa
+
+    e = load(spark, sf_dir, "embeddings")
+    two = e.select(
+        F.col("label").alias("la"),
+        F.when(F.col("vec_id") % 7 == 0, (F.col("label") + 1) % 10)
+        .otherwise(F.col("label")).alias("lb"),
+    )
+    return cohen_kappa(two, "la", "lb")

@@ -517,3 +517,33 @@ def test_stratified_readout_simpsons_guard(spark):
     # pooled = g1's contribution alone (weight 1.0 * lift)
     assert g1["pooled_lift_fp"] == g1["lift_fp"]
     assert g2["pooled_lift_fp"] == g1["pooled_lift_fp"]
+
+
+def test_cohen_kappa_hand_computed_and_degenerate(spark):
+    """2x2 hand case; perfect agreement -> kappa 1; constant
+    annotators -> pe = 1 -> NULL kappa; NULL labels excluded."""
+    from avk_job_skill_analytics_spark.operators.evalmetrics import (
+        cohen_kappa,
+    )
+
+    # confusion: a=yes,b=yes:20  a=yes,b=no:5  a=no,b=yes:10  a=no,b=no:15
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15
+            + [(None, "y"), ("y", None)])          # excluded
+    df = spark.createDataFrame(rows, "a string, b string")
+    m = cohen_kappa(df, "a", "b").collect()[0]
+    assert m["n"] == 50 and m["n_agree"] == 35
+    assert m["po_fp"] == 700_000
+    # pe = (25*30 + 25*20) / 2500 = 0.5 -> kappa = 0.2/0.5 = 0.4
+    assert m["pe_fp"] == 500_000
+    assert m["kappa_fp"] == 400_000
+
+    same = spark.createDataFrame(
+        [("x", "x"), ("z", "z"), ("x", "x")], "a string, b string")
+    assert cohen_kappa(same, "a", "b").collect()[0]["kappa_fp"] \
+        == 1_000_000
+
+    const = spark.createDataFrame(
+        [("k", "k")] * 4, "a string, b string")
+    c = cohen_kappa(const, "a", "b").collect()[0]
+    assert c["pe_fp"] == 1_000_000 and c["kappa_fp"] is None

@@ -1466,3 +1466,25 @@ def test_knn_graph_is_bucketed_and_ranked(spark):
     assert all((r.src < 10) == (r.neighbor_id < 10) for r in out)
     assert all(r.rk in (1, 2) for r in out)
     assert all(r.src != r.neighbor_id for r in out)
+
+
+def test_duplicate_weights_cover_corpus_once_in_expectation(spark):
+    """Every doc appears exactly once; cluster members share the
+    cluster and split the weight; singletons carry exactly 1e6."""
+    from avk_job_skill_analytics_spark.operators import dedup
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in dedup.duplicate_weights(
+        docs, "doc_id", pairs).collect()}
+    assert set(out) == set(range(1, 8))
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] \
+        == out[3]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 3
+    assert out[1]["weight_fp"] == 333_333       # floor(1e6/3)
+    assert out[5]["cluster_size"] == 2 and out[5]["weight_fp"] == 500_000
+    assert out[4]["cluster_size"] == 1 and out[4]["weight_fp"] == 1_000_000
+    assert out[4]["cluster_id"] == 4            # singleton = itself
