@@ -391,3 +391,72 @@ def peak_concurrency(intervals: DataFrame, start_col: str,
         .groupBy("day")
         .agg(F.max("_run").cast("long").alias("peak_concurrency"))
     )
+
+
+def survival_curve(users: DataFrame, duration_col: str,
+                   censored_col: str) -> DataFrame:
+    """Kaplan-Meier survival estimate over right-censored lifetimes
+    (the churn/retention curve BI actually wants: 'what fraction of
+    users survive past t, accounting for users we simply stopped
+    observing').
+
+    Input: one row per subject with an integer ``duration_col`` and
+    boolean ``censored_col`` (True = observation ended, no churn
+    event). Output: one row per duration where anyone left the risk
+    set — (t, n_risk, n_churn, n_censored, hazard_fp, survival_fp)
+    with hazard = d/n and S(t) = prod_{s<=t} (1 - d(s)/n(s)).
+
+    Determinism: the curve is a SEQUENTIAL product of per-day
+    factors; both this plan and the oracle multiply the identical
+    doubles in ascending-duration order (here: a left fold over an
+    ordered collect_list; there: DuckDB's ordered product window),
+    so even the chained float product hash-matches. The windows run
+    on the per-duration frame — at most max-duration rows, corpus-
+    size independent (the post-aggregate window class plan_audit
+    allowlists)."""
+    per_t = users.groupBy(
+        F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum((~F.col(censored_col)).cast("long")).alias("n_churn"),
+        F.sum(F.col(censored_col).cast("long")).alias("n_censored"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1)
+    total = per_t.agg(
+        F.sum(F.col("n_churn") + F.col("n_censored")).alias("_tot")
+    )
+    risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("_tot")
+            - F.coalesce(
+                F.sum(F.col("n_churn") + F.col("n_censored"))
+                .over(w_prev),
+                F.lit(0),
+            ),
+        )
+    )
+    factor = (
+        F.lit(1.0)
+        - F.col("n_churn").cast("double") / F.col("n_risk")
+    )
+    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
+        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    surv = F.aggregate(
+        F.collect_list(factor).over(w_all),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return risk.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_churn").cast("long").alias("n_churn"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        fp6(F.col("n_churn").cast("double") / F.col("n_risk"))
+        .alias("hazard_fp"),
+        fp6(surv).alias("survival_fp"),
+    )

@@ -1480,3 +1480,69 @@ def win_peak_concurrency(spark, sf_dir):
         .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
     )
     return A.peak_concurrency(sess, "st", "en")
+
+
+@_q(
+    "win_survival_curve",
+    """WITH pu AS (SELECT user_id,
+                          min(day(ts)) AS first_day,
+                          max(day(ts)) AS last_day
+               FROM events GROUP BY user_id),
+       obs AS (SELECT max(day(ts)) AS obs_end FROM events),
+       subj AS (SELECT
+           CASE WHEN last_day = obs_end THEN obs_end - first_day
+                ELSE last_day - first_day END AS t,
+           last_day = obs_end AS censored
+           FROM pu, obs),
+       per AS (SELECT t,
+                      sum(CASE WHEN censored THEN 0 ELSE 1 END)
+                          AS n_churn,
+                      sum(CASE WHEN censored THEN 1 ELSE 0 END)
+                          AS n_censored
+               FROM subj GROUP BY t),
+       tot AS (SELECT sum(n_churn + n_censored) AS total FROM per),
+       risk AS (SELECT t, n_churn, n_censored,
+                       total - coalesce(sum(n_churn + n_censored)
+                           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING), 0)
+                           AS n_risk
+                FROM per, tot),
+       surv AS (SELECT t, n_risk, n_churn, n_censored,
+                       product(1.0 - CAST(n_churn AS DOUBLE) / n_risk)
+                           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS s
+                FROM risk)
+       SELECT CAST(t AS BIGINT) AS t,
+              CAST(n_risk AS BIGINT) AS n_risk,
+              CAST(n_churn AS BIGINT) AS n_churn,
+              CAST(n_censored AS BIGINT) AS n_censored,
+              CAST(floor(round(CAST(n_churn AS DOUBLE) / n_risk, 6)
+                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   AS BIGINT) AS hazard_fp,
+              CAST(floor(round(s, 6)
+                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   AS BIGINT) AS survival_fp
+       FROM surv""",
+)
+def win_survival_curve(spark, sf_dir):
+    """Kaplan-Meier churn/retention curve
+    (operators/analytics.survival_curve): user lifetime = first to
+    last active day, right-censored for users still active at the
+    observation end. The chained survival product is SEQUENTIAL in
+    ascending duration on BOTH engines (ordered left fold here,
+    DuckDB's ordered product window there), so even the float chain
+    hash-matches. All windows run on the <=31-row per-duration
+    frame — corpus-size independent."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.dayofmonth("ts")).alias("first_day"),
+        F.max(F.dayofmonth("ts")).alias("last_day"),
+    )
+    obs = ev.agg(F.max(F.dayofmonth("ts")).alias("obs_end"))
+    subj = pu.crossJoin(F.broadcast(obs)).select(
+        F.when(F.col("last_day") == F.col("obs_end"),
+               F.col("obs_end") - F.col("first_day"))
+        .otherwise(F.col("last_day") - F.col("first_day")).alias("dur"),
+        (F.col("last_day") == F.col("obs_end")).alias("censored"),
+    )
+    return A.survival_curve(subj, "dur", "censored")

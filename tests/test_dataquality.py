@@ -373,3 +373,34 @@ def test_ab_fold_redelivery_and_card(spark):
     fn2(df.filter(F.col("user_id") == a_user), 0)
     c2 = dq_stream.ab_monitor_card(s2)[0]
     assert c2[1] == 0 and c2[5] is None and c2[6] is None
+
+
+def test_survival_curve_textbook_km(spark):
+    """Classic KM with interleaved censoring: durations
+    deaths at t=1 (2 of 10), censor at t=2 (1), death at t=3
+    (1 of 7), censor at t=4 (2), death at t=5 (1 of 4):
+      S(1) = 8/10
+      S(3) = 8/10 * 6/7
+      S(5) = 8/10 * 6/7 * 3/4"""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        survival_curve,
+    )
+
+    rows = ([(1, False)] * 2 + [(2, True)]
+            + [(3, False)] + [(4, True)] * 2
+            + [(5, False)] + [(6, True)] * 3)
+    df = spark.createDataFrame(rows, "dur int, censored boolean")
+    out = {r["t"]: r for r in survival_curve(
+        df, "dur", "censored").collect()}
+    assert out[1]["n_risk"] == 10 and out[1]["n_churn"] == 2
+    assert out[1]["survival_fp"] == 800_000
+    assert out[3]["n_risk"] == 7
+    s3 = 0.8 * (1 - 1 / 7)
+    assert abs(out[3]["survival_fp"] - round(s3 * 1e6)) <= 1
+    assert out[5]["n_risk"] == 4
+    s5 = s3 * (1 - 1 / 4)
+    assert abs(out[5]["survival_fp"] - round(s5 * 1e6)) <= 1
+    # censoring-only durations: hazard 0, survival unchanged
+    assert out[2]["n_churn"] == 0
+    assert out[2]["survival_fp"] == out[1]["survival_fp"]
+    assert out[6]["n_risk"] == 3 and out[6]["n_censored"] == 3
