@@ -460,3 +460,63 @@ def survival_curve(users: DataFrame, duration_col: str,
         .alias("hazard_fp"),
         fp6(surv).alias("survival_fp"),
     )
+
+
+def ewma_control(series: DataFrame, t_col: str, x_col: str,
+                 alpha: float = 0.3, k: float = 3.0) -> DataFrame:
+    """EWMA control chart over an ordered series (the monitoring
+    query behind 'did today's volume drift?'): e(t) = α·x(t) +
+    (1−α)·e(t−1) with e(t₀) = x(t₀), alarm when the residual against
+    the PRIOR smoothed level exceeds k population sigmas.
+
+    Determinism: the recurrence is a SEQUENTIAL fold in ascending t —
+    computed here as an ordered left fold (collect_list over the
+    ordered window, NULL-seeded so the first element initializes),
+    and in the oracle as a recursive CTE applying the identical
+    α·x + (1−α)·e literal order — so the float chain hash-matches.
+    Sigma comes from exact integer moments (sqrt(n·Σx² − (Σx)²)/n).
+    The window runs on the aggregated series frame (days, not
+    events) — corpus-size independent."""
+    w = Window.orderBy(t_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    xs = F.collect_list(F.col(x_col).cast("double")).over(w)
+    ewma = F.aggregate(
+        xs,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.coalesce(
+            F.lit(alpha) * x + F.lit(1.0 - alpha) * acc, x
+        ),
+    )
+    moments = series.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(x_col)).alias("_sx"),
+        F.sum((F.col(x_col) * F.col(x_col)).cast("decimal(38,0)"))
+        .alias("_sxx"),
+    )
+    sigma = (
+        F.sqrt((F.col("_sxx").cast("double") * F.col("_n")
+                - F.col("_sx").cast("double") * F.col("_sx")))
+        / F.col("_n")
+    )
+    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
+        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    with_e = series.select(
+        F.col(t_col), F.col(x_col), ewma.alias("_e")
+    ).withColumn("_e_prev", F.lag("_e").over(Window.orderBy(t_col)))
+    resid = F.col(x_col) - F.col("_e_prev")
+    return (
+        with_e.crossJoin(F.broadcast(moments))
+        .select(
+            F.col(t_col),
+            F.col(x_col).cast("long").alias("x"),
+            fp6(F.col("_e")).alias("ewma_fp"),
+            F.when(F.col("_e_prev").isNotNull(), fp6(resid))
+            .alias("resid_fp"),
+            fp6(sigma).alias("sigma_fp"),
+            F.when(
+                F.col("_e_prev").isNotNull(),
+                F.abs(resid) > F.lit(k) * sigma,
+            ).alias("alarm"),
+        )
+    )

@@ -219,3 +219,35 @@ def erasure_audit(tables, subject_pred) -> "DataFrame":
         )
         out = card if out is None else out.unionByName(card)
     return out
+
+
+def l_diversity_audit(df, quasi_cols: list[str], sensitive_col: str,
+                      l: int = 3):  # noqa: E741 — the metric's own name
+    """l-diversity audit (Machanavajjhala et al., 2007) — the
+    homogeneity check k-anonymity misses: an equivalence class can
+    be large yet reveal everyone's sensitive value if that value is
+    constant within it. Counts classes whose sensitive-value
+    diversity falls below ``l`` and the row mass exposed.
+
+    One aggregate on (quasi-tuple): per class, size and exact
+    distinct sensitive values; then a 1-row rollup. Returns (l,
+    n_rows, n_classes, n_low_diversity_classes, n_exposed_rows,
+    exposed_frac rounded 6)."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col(sensitive_col)).alias("ndv"),
+    )
+    low = F.col("ndv") < l
+    return classes.agg(
+        F.lit(l).alias("l"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(low.cast("int")).cast("long")
+        .alias("n_low_diversity_classes"),
+        F.sum(F.when(low, F.col("n")).otherwise(0)).cast("long")
+        .alias("n_exposed_rows"),
+        F.round(
+            F.sum(F.when(low, F.col("n")).otherwise(0))
+            / F.sum("n"), 6
+        ).alias("exposed_frac"),
+    )

@@ -6018,3 +6018,37 @@ def ml_label_agreement(spark, sf_dir):
         .otherwise(F.col("label")).alias("lb"),
     )
     return cohen_kappa(two, "la", "lb")
+
+
+@_q(
+    "pii_l_diversity",
+    """WITH c AS (SELECT c_nationkey, c_mktsegment,
+                        count(*) AS n,
+                        count(DISTINCT CAST(c_acctbal > 0 AS INT))
+                            AS ndv
+               FROM customer GROUP BY c_nationkey, c_mktsegment)
+       SELECT CAST(2 AS BIGINT) AS l,
+              CAST(sum(n) AS BIGINT) AS n_rows,
+              count(*) AS n_classes,
+              CAST(sum(CASE WHEN ndv < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_low_diversity_classes,
+              CAST(sum(CASE WHEN ndv < 2 THEN n ELSE 0 END) AS BIGINT)
+                  AS n_exposed_rows,
+              round(sum(CASE WHEN ndv < 2 THEN n ELSE 0 END)
+                    / sum(n), 6) AS exposed_frac
+       FROM c""",
+)
+def pii_l_diversity(spark, sf_dir):
+    """l-diversity audit (operators/privacy.l_diversity_audit) — the
+    homogeneity exposure k-anonymity misses: equivalence classes on
+    (nation, segment) where the sensitive attribute (account in the
+    black vs red) takes fewer than 2 distinct values reveal it for
+    every member. One class aggregate + 1-row rollup."""
+    from ..operators.privacy import l_diversity_audit
+
+    c = load(spark, sf_dir, "customer").withColumn(
+        "in_black", (F.col("c_acctbal") > 0).cast("int")
+    )
+    return l_diversity_audit(
+        c, ["c_nationkey", "c_mktsegment"], "in_black", l=2
+    )

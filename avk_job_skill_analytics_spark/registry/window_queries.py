@@ -1546,3 +1546,56 @@ def win_survival_curve(spark, sf_dir):
         (F.col("last_day") == F.col("obs_end")).alias("censored"),
     )
     return A.survival_curve(subj, "dur", "censored")
+
+
+@_q(
+    "win_ewma_control",
+    """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
+               FROM events GROUP BY 1),
+       seq AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn
+               FROM daily),
+       rec AS (
+           WITH RECURSIVE r(rn, d, x, e) AS (
+               SELECT rn, d, x, CAST(x AS DOUBLE) FROM seq
+               WHERE rn = 1
+               UNION ALL
+               SELECT s.rn, s.d, s.x, 0.3 * s.x + 0.7 * r.e
+               FROM seq s JOIN r ON s.rn = r.rn + 1)
+           SELECT * FROM r),
+       m AS (SELECT count(*) AS n, sum(x) AS sx,
+                    sum(CAST(x AS HUGEINT) * x) AS sxx
+             FROM daily),
+       p AS (SELECT rn, d, x, e,
+                    lag(x) OVER (ORDER BY d) AS x_prev,
+                    lag(e) OVER (ORDER BY d) AS e_prev
+             FROM rec),
+       s AS (SELECT sqrt(CAST(sxx AS DOUBLE) * n
+                         - CAST(sx AS DOUBLE) * sx) / n AS sigma
+             FROM m)
+       SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x,
+              CAST(floor(round(e, 6) * CAST(1000000 AS DOUBLE)
+                   + CAST('0.5' AS DOUBLE)) AS BIGINT) AS ewma_fp,
+              CASE WHEN e_prev IS NOT NULL THEN
+                  CAST(floor(round(x - e_prev, 6)
+                       * CAST(1000000 AS DOUBLE)
+                       + CAST('0.5' AS DOUBLE)) AS BIGINT)
+                  END AS resid_fp,
+              CAST(floor(round(sigma, 6) * CAST(1000000 AS DOUBLE)
+                   + CAST('0.5' AS DOUBLE)) AS BIGINT) AS sigma_fp,
+              CASE WHEN e_prev IS NOT NULL THEN
+                  abs(x - e_prev) > 3.0 * sigma END AS alarm
+       FROM p, s""",
+)
+def win_ewma_control(spark, sf_dir):
+    """EWMA control chart over daily event volume
+    (operators/analytics.ewma_control): the monitoring query behind
+    'did today drift?'. The recurrence is a sequential fold in
+    ascending day on BOTH engines (ordered left fold here, recursive
+    CTE with the identical literal order in the oracle), so the
+    float chain hash-matches; sigma from exact integer moments. The
+    window runs on the 30-row daily frame, never events."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return A.ewma_control(daily, "d", "x", alpha=0.3, k=3.0)

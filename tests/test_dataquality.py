@@ -404,3 +404,30 @@ def test_survival_curve_textbook_km(spark):
     assert out[2]["n_churn"] == 0
     assert out[2]["survival_fp"] == out[1]["survival_fp"]
     assert out[6]["n_risk"] == 3 and out[6]["n_censored"] == 3
+
+
+def test_ewma_control_recurrence_and_alarm(spark):
+    """Hand-checked recurrence (alpha=0.5 keeps arithmetic exact in
+    binary): e = [10, 15, 12.5]; a level shift far beyond 3 sigma
+    trips the alarm, steady values don't."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        ewma_control,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 10)], "d int, x long")
+    out = {r["d"]: r for r in ewma_control(
+        df, "d", "x", alpha=0.5, k=3.0).collect()}
+    assert out[1]["ewma_fp"] == 10_000_000
+    assert out[1]["resid_fp"] is None and out[1]["alarm"] is None
+    assert out[2]["ewma_fp"] == 15_000_000
+    assert out[3]["ewma_fp"] == 12_500_000
+    assert out[3]["resid_fp"] == -5_000_000   # 10 - 15
+
+    # 20 flat days then a 100x spike: alarm fires on the spike only
+    rows = [(i, 50) for i in range(1, 21)] + [(21, 5000)]
+    df2 = spark.createDataFrame(rows, "d int, x long")
+    out2 = {r["d"]: r for r in ewma_control(
+        df2, "d", "x", alpha=0.3, k=3.0).collect()}
+    assert out2[21]["alarm"] is True
+    assert all(out2[i]["alarm"] is False for i in range(2, 21))
