@@ -53,6 +53,19 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
     "win_month_over_month": [
         ("empty-partition-window", "ordered trend over per-month aggregate"),
     ],
+    "win_survival_curve": [
+        ("empty-partition-window",
+         "cumulative risk-set + ordered survival fold over the "
+         "per-DURATION frame (<= max-duration rows, 31 here) — the "
+         "corpus collapses in the per-user aggregate before any "
+         "window; same class as win_day_over_day"),
+    ],
+    "win_ewma_control": [
+        ("empty-partition-window",
+         "sequential EWMA fold + lag over the per-DAY frame (30 "
+         "rows) — the recurrence is inherently ordered and the "
+         "frame is corpus-size independent"),
+    ],
     "win_day_over_day": [
         ("empty-partition-window", "ordered trend over per-day aggregate"),
     ],
