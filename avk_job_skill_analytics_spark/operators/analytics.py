@@ -520,3 +520,46 @@ def ewma_control(series: DataFrame, t_col: str, x_col: str,
             ).alias("alarm"),
         )
     )
+
+
+def seasonal_backtest(series: DataFrame, t_col: str, x_col: str,
+                      season: int = 7) -> DataFrame:
+    """Forecast-quality card for the seasonal-naive baseline
+    (forecast(t) = x(t − season)) — the number every fancier model
+    must beat, and the honest first question of any volume forecast.
+
+    Returns 1 row: (n_scored, mae_fp, mape_fp, bias_fp) over the
+    points that have a lagged ancestor. All three metrics reduce to
+    exact integer sums (|err|, err, and per-point 1e6-quantized
+    |err|/actual) before one final division, so the card is
+    order-free and hash-replays. The lag runs on the aggregated
+    series frame — days, not events."""
+    w = Window.orderBy(t_col)
+    scored = series.select(
+        F.col(x_col).alias("_x"),
+        F.lag(x_col, season).over(w).alias("_f"),
+    ).filter(F.col("_f").isNotNull())
+    err = F.col("_x") - F.col("_f")
+    ape_fp = F.when(
+        F.col("_x") != 0,
+        F.floor(F.lit(1_000_000) * F.abs(err) / F.col("_x")),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.abs(err)).alias("_sae"),
+        F.sum(err).alias("_se"),
+        F.sum(ape_fp).alias("_sape"),
+        F.count(ape_fp).alias("_nape"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_scored"),
+        F.when(F.col("_n") > 0,
+               F.floor(F.lit(1_000_000) * F.col("_sae") / F.col("_n")))
+        .cast("long").alias("mae_fp"),
+        F.when(F.col("_nape") > 0,
+               F.floor(F.col("_sape") / F.col("_nape")))
+        .cast("long").alias("mape_fp"),
+        F.when(F.col("_n") > 0,
+               F.floor(F.lit(1_000_000) * F.col("_se") / F.col("_n")))
+        .cast("long").alias("bias_fp"),
+    )

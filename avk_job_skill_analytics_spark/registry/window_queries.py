@@ -1599,3 +1599,39 @@ def win_ewma_control(spark, sf_dir):
         F.count(F.lit(1)).alias("x")
     )
     return A.ewma_control(daily, "d", "x", alpha=0.3, k=3.0)
+
+
+@_q(
+    "win_seasonal_backtest",
+    """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
+               FROM events GROUP BY 1),
+       s AS (SELECT x, lag(x, 7) OVER (ORDER BY d) AS f FROM daily),
+       sc AS (SELECT x, f, x - f AS err FROM s WHERE f IS NOT NULL),
+       a AS (SELECT count(*) AS n,
+                    sum(abs(err)) AS sae, sum(err) AS se,
+                    sum(CASE WHEN x <> 0 THEN
+                        CAST(floor(1000000 * abs(err) / x) AS BIGINT)
+                        END) AS sape,
+                    count(CASE WHEN x <> 0 THEN 1 END) AS nape
+             FROM sc)
+       SELECT CAST(n AS BIGINT) AS n_scored,
+              CASE WHEN n > 0 THEN CAST(floor(1000000 * sae / n)
+                  AS BIGINT) END AS mae_fp,
+              CASE WHEN nape > 0 THEN CAST(floor(sape / nape)
+                  AS BIGINT) END AS mape_fp,
+              CASE WHEN n > 0 THEN CAST(floor(1000000 * se / n)
+                  AS BIGINT) END AS bias_fp
+       FROM a""",
+)
+def win_seasonal_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest
+    (operators/analytics.seasonal_backtest): forecast tomorrow's
+    event volume as last week's same weekday, score MAE/MAPE/bias
+    over the days that have an ancestor — the baseline every model
+    must beat. Exact integer error sums, one final division each;
+    the lag runs on the 30-row daily frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return A.seasonal_backtest(daily, "d", "x", season=7)

@@ -431,3 +431,25 @@ def test_ewma_control_recurrence_and_alarm(spark):
         df2, "d", "x", alpha=0.3, k=3.0).collect()}
     assert out2[21]["alarm"] is True
     assert all(out2[i]["alarm"] is False for i in range(2, 21))
+
+
+def test_seasonal_backtest_hand_computed(spark):
+    """season=2 over [10, 20, 12, 26]: scored points are t3 (f=10,
+    err=2) and t4 (f=20, err=6): MAE=4, bias=+4, MAPE from exact
+    per-point quantization. Degenerate short series scores nothing."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        seasonal_backtest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 12), (4, 26)], "t int, x long")
+    m = seasonal_backtest(df, "t", "x", season=2).collect()[0]
+    assert m["n_scored"] == 2
+    assert m["mae_fp"] == 4_000_000
+    assert m["bias_fp"] == 4_000_000
+    # ape: floor(1e6*2/12)=166666, floor(1e6*6/26)=230769 -> mean 198717
+    assert m["mape_fp"] == (166_666 + 230_769) // 2
+
+    short = spark.createDataFrame([(1, 5)], "t int, x long")
+    s = seasonal_backtest(short, "t", "x", season=7).collect()[0]
+    assert s["n_scored"] == 0 and s["mae_fp"] is None
