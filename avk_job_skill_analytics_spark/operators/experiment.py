@@ -33,6 +33,7 @@ __all__ = [
     "cuped_readout",
     "bootstrap_lift_ci",
     "stratified_readout",
+    "welch_t_readout",
     "POISSON1_THRESHOLDS",
 ]
 
@@ -409,4 +410,69 @@ def stratified_readout(events: DataFrame, user_col: str, conv_expr,
     return rows.crossJoin(F.broadcast(pooled)).select(
         "stratum", "n_a", "n_b", "rate_a_fp", "rate_b_fp",
         "lift_fp", "weight_fp", "pooled_lift_fp",
+    )
+
+
+def welch_t_readout(events: DataFrame, user_col: str,
+                    metric_cents) -> DataFrame:
+    """Welch's unequal-variance t for a continuous per-user metric —
+    the mean-revenue companion of the proportion z card: (n_a, n_b,
+    mean_a_fp, mean_b_fp, lift_fp, t_fp, df_fp).
+
+    Per-arm sums of the integer-cents metric and its square are
+    exact (decimal second moments, the CUPED discipline); the
+    sample variances, Welch statistic, and Welch-Satterthwaite
+    degrees of freedom are canonical-order float ops over six
+    integers, so the card hash-replays. NULL t/df when either arm
+    has < 2 users or both variances vanish."""
+    per_user = events.groupBy(F.col(user_col)).agg(
+        F.coalesce(F.sum(metric_cents), F.lit(0)).cast("long")
+        .alias("_y")
+    )
+    m = per_user.withColumn("_arm", _arm(user_col)).groupBy().agg(
+        *[
+            agg.alias(name)
+            for arm in (0, 1)
+            for name, agg in (
+                (f"n{arm}", F.sum(F.when(F.col("_arm") == arm, 1)
+                                  .otherwise(0))),
+                (f"s{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                         F.col("_y")).otherwise(0))),
+                (f"q{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                         F.col("_y") * F.col("_y"))
+                                  .otherwise(0)
+                                  .cast("decimal(38,0)"))),
+            )
+        ]
+    )
+    d = "double"
+    mean = lambda a: F.col(f"s{a}").cast(d) / F.col(f"n{a}")  # noqa: E731
+    # unbiased sample variance from exact moments:
+    # (n*q - s^2) / (n * (n-1))
+    var = lambda a: (  # noqa: E731
+        (F.col(f"q{a}").cast(d) * F.col(f"n{a}")
+         - F.col(f"s{a}").cast(d) * F.col(f"s{a}"))
+        / (F.col(f"n{a}").cast(d) * (F.col(f"n{a}") - F.lit(1)))
+    )
+    se2 = var(0) / F.col("n0") + var(1) / F.col("n1")
+    t = (mean(1) - mean(0)) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (var(0) / F.col("n0")) * (var(0) / F.col("n0"))
+        / (F.col("n0") - F.lit(1))
+        + (var(1) / F.col("n1")) * (var(1) / F.col("n1"))
+        / (F.col("n1") - F.lit(1))
+    )
+    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
+        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    ok = (F.col("n0") > 1) & (F.col("n1") > 1)
+    return m.select(
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("n1").cast("long").alias("n_b"),
+        F.when(F.col("n0") > 0, fp6(mean(0))).alias("mean_a_fp"),
+        F.when(F.col("n1") > 0, fp6(mean(1))).alias("mean_b_fp"),
+        F.when((F.col("n0") > 0) & (F.col("n1") > 0),
+               fp6(mean(1) - mean(0))).alias("lift_fp"),
+        F.when(ok & (se2 > F.lit(0.0)), fp6(t)).alias("t_fp"),
+        F.when(ok & (se2 > F.lit(0.0)), fp6(dof)).alias("df_fp"),
     )

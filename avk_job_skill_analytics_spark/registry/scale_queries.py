@@ -6052,3 +6052,73 @@ def pii_l_diversity(spark, sf_dir):
     return l_diversity_audit(
         c, ["c_nationkey", "c_mktsegment"], "in_black", l=2
     )
+
+
+@_q(
+    "ml_ab_welch",
+    f"""WITH pu AS (SELECT user_id,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT)
+               ELSE 0 END), 0) AS y
+           FROM events GROUP BY user_id),
+       pa AS (SELECT {_ARM_SQL} AS arm, y FROM pu),
+       m AS (SELECT
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS s0,
+           sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS s1,
+           sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS q0,
+           sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS q1
+           FROM pa),
+       e AS (SELECT n0, n1,
+           CAST(s0 AS DOUBLE) / n0 AS m0,
+           CAST(s1 AS DOUBLE) / n1 AS m1,
+           (CAST(q0 AS DOUBLE) * n0 - CAST(s0 AS DOUBLE) * s0)
+               / (CAST(n0 AS DOUBLE) * (n0 - 1)) AS v0,
+           (CAST(q1 AS DOUBLE) * n1 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1
+           FROM m),
+       f AS (SELECT n0, n1, m0, m1, v0, v1,
+                    v0 / n0 + v1 / n1 AS se2
+             FROM e)
+       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CASE WHEN n0 > 0 THEN
+               CAST(floor(round(m0, 6) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS mean_a_fp,
+           CASE WHEN n1 > 0 THEN
+               CAST(floor(round(m1, 6) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS mean_b_fp,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+               CAST(floor(round(m1 - m0, 6) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS lift_fp,
+           CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0 THEN
+               CAST(floor(round((m1 - m0) / sqrt(se2), 6)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS t_fp,
+           CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0 THEN
+               CAST(floor(round((se2 * se2)
+                    / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                       + (v1 / n1) * (v1 / n1) / (n1 - 1)), 6)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS df_fp
+       FROM f""",
+)
+def ml_ab_welch(spark, sf_dir):
+    """Welch's unequal-variance t for per-user revenue
+    (operators/experiment.welch_t_readout) — the mean-metric
+    companion of the proportion z card, with Welch-Satterthwaite
+    degrees of freedom. Exact integer/decimal sufficient statistics
+    in one pass; the statistic is canonical-order float ops over six
+    integers, so even t and df hash-replay."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.welch_t_readout(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+    )

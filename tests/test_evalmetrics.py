@@ -547,3 +547,45 @@ def test_cohen_kappa_hand_computed_and_degenerate(spark):
         [("k", "k")] * 4, "a string, b string")
     c = cohen_kappa(const, "a", "b").collect()[0]
     assert c["pe_fp"] == 1_000_000 and c["kappa_fp"] is None
+
+
+def test_welch_t_hand_computed_and_degenerate(spark):
+    """Hand case with unequal variances; single-user arms and
+    zero-variance degenerate cases yield NULL t/df."""
+    import math
+
+    from avk_job_skill_analytics_spark.operators import experiment
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    a_users = [u for u in range(1, 100) if arm(u) == 0][:4]
+    b_users = [u for u in range(1, 100) if arm(u) == 1][:3]
+    a_vals = [10.0, 12.0, 14.0, 16.0]      # mean 13, var 20/3
+    b_vals = [20.0, 30.0, 40.0]            # mean 30, var 100
+    rows = [(u, "purchase", v) for u, v in zip(a_users, a_vals)] + \
+           [(u, "purchase", v) for u, v in zip(b_users, b_vals)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double")
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("long")) \
+        .otherwise(F.lit(0))
+    card = experiment.welch_t_readout(ev, "user_id", cents).collect()[0]
+    assert (card["n_a"], card["n_b"]) == (4, 3)
+    assert card["mean_a_fp"] == 1_300_000_000   # 1300 cents
+    assert card["mean_b_fp"] == 3_000_000_000
+    # hand Welch on cents: va=66666.66.., vb=1e6
+    va, vb = 200000 / 3, 1_000_000.0
+    se2 = va / 4 + vb / 3
+    t = (3000 - 1300) / math.sqrt(se2)
+    df = se2 * se2 / ((va / 4) ** 2 / 3 + (vb / 3) ** 2 / 2)
+    assert abs(card["t_fp"] - round(t * 1e6)) <= 2
+    assert abs(card["df_fp"] - round(df * 1e6)) <= 2
+
+    # degenerate: constant outcomes in both arms -> se2 = 0 -> NULL
+    ev2 = spark.createDataFrame(
+        [(u, "purchase", 5.0) for u in a_users + b_users],
+        "user_id long, event_type string, value double")
+    c2 = experiment.welch_t_readout(ev2, "user_id", cents).collect()[0]
+    assert c2["t_fp"] is None and c2["df_fp"] is None
+    assert c2["lift_fp"] == 0
