@@ -34,6 +34,8 @@ __all__ = [
     "bootstrap_lift_ci",
     "stratified_readout",
     "welch_t_readout",
+    "ratio_delta_readout",
+    "quantile_lift",
     "POISSON1_THRESHOLDS",
 ]
 
@@ -473,6 +475,138 @@ def welch_t_readout(events: DataFrame, user_col: str,
         F.when(F.col("n1") > 0, fp6(mean(1))).alias("mean_b_fp"),
         F.when((F.col("n0") > 0) & (F.col("n1") > 0),
                fp6(mean(1) - mean(0))).alias("lift_fp"),
-        F.when(ok & (se2 > F.lit(0.0)), fp6(t)).alias("t_fp"),
-        F.when(ok & (se2 > F.lit(0.0)), fp6(dof)).alias("df_fp"),
+        # nested when: ANSI mode evaluates a compound condition's
+        # divisions eagerly, so the se2 > 0 test must sit INSIDE the
+        # ok branch (CASE branches are lazy; & is not)
+        F.when(ok, F.when(se2 > F.lit(0.0), fp6(t))).alias("t_fp"),
+        F.when(ok, F.when(se2 > F.lit(0.0), fp6(dof)))
+        .alias("df_fp"),
+    )
+
+
+def ratio_delta_readout(events: DataFrame, user_col: str,
+                        num_cents, den_count) -> DataFrame:
+    """Delta-method card for a RATIO metric (revenue per session,
+    clicks per view — anything whose denominator varies per user):
+    (n_a, n_b, ratio_a_fp, ratio_b_fp, lift_fp, z_fp).
+
+    Ratio metrics break the naive per-user-mean t because the
+    denominator is random too; the standard fix (Deng et al.,
+    KDD'18) linearizes: for arm means N̄, D̄ the ratio r = ΣN/ΣD has
+    Var(r) ≈ (var_n − 2r·cov + r²·var_d) / (n·D̄²), all of which
+    reduce to the usual exact sufficient statistics — n, ΣN, ΣD,
+    ΣN², ΣD², ΣND per arm (decimal second moments). z compares the
+    two linearized ratios in one canonical float order; NULL when
+    either arm's denominator total is 0 or the combined variance
+    vanishes."""
+    per_user = events.groupBy(F.col(user_col)).agg(
+        F.coalesce(F.sum(num_cents), F.lit(0)).cast("long")
+        .alias("_nu"),
+        F.coalesce(F.sum(den_count), F.lit(0)).cast("long")
+        .alias("_de"),
+    )
+    m = per_user.withColumn("_arm", _arm(user_col)).groupBy().agg(
+        *[
+            agg.alias(name)
+            for arm in (0, 1)
+            for name, agg in (
+                (f"n{arm}", F.sum(F.when(F.col("_arm") == arm, 1)
+                                  .otherwise(0))),
+                (f"sn{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                          F.col("_nu")).otherwise(0))),
+                (f"sd{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                          F.col("_de")).otherwise(0))),
+                (f"qn{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                          F.col("_nu") * F.col("_nu"))
+                                   .otherwise(0)
+                                   .cast("decimal(38,0)"))),
+                (f"qd{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                          F.col("_de") * F.col("_de"))
+                                   .otherwise(0)
+                                   .cast("decimal(38,0)"))),
+                (f"qx{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                          F.col("_nu") * F.col("_de"))
+                                   .otherwise(0)
+                                   .cast("decimal(38,0)"))),
+            )
+        ]
+    )
+    d = "double"
+
+    def stats(a):
+        n = F.col(f"n{a}").cast(d)
+        mn = F.col(f"sn{a}").cast(d) / n
+        md = F.col(f"sd{a}").cast(d) / n
+        vn = (F.col(f"qn{a}").cast(d) * n
+              - F.col(f"sn{a}").cast(d) * F.col(f"sn{a}")) / (n * n)
+        vd = (F.col(f"qd{a}").cast(d) * n
+              - F.col(f"sd{a}").cast(d) * F.col(f"sd{a}")) / (n * n)
+        cv = (F.col(f"qx{a}").cast(d) * n
+              - F.col(f"sn{a}").cast(d) * F.col(f"sd{a}")) / (n * n)
+        r = F.col(f"sn{a}").cast(d) / F.col(f"sd{a}")
+        var_r = (vn - F.lit(2.0) * r * cv + r * r * vd) / (n * md * md)
+        return r, var_r
+
+    r0, v0 = stats(0)
+    r1, v1 = stats(1)
+    se2 = v0 + v1
+    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
+        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    ok = (F.col("sd0") > 0) & (F.col("sd1") > 0)
+    return m.select(
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("n1").cast("long").alias("n_b"),
+        F.when(F.col("sd0") > 0, fp6(r0)).alias("ratio_a_fp"),
+        F.when(F.col("sd1") > 0, fp6(r1)).alias("ratio_b_fp"),
+        F.when(ok, fp6(r1 - r0)).alias("lift_fp"),
+        # nested when: see welch_t_readout — the variance expression
+        # divides by arm totals that are zero exactly when ok is False
+        F.when(ok, F.when(se2 > F.lit(0.0),
+                          fp6((r1 - r0) / F.sqrt(se2))))
+        .alias("z_fp"),
+    )
+
+
+def quantile_lift(events: DataFrame, user_col: str, metric_cents,
+                  quantiles=(0.5, 0.9, 0.99)) -> DataFrame:
+    """Quantile treatment effects: per-arm EXACT interpolated
+    percentiles of the per-user metric and their differences — the
+    right lens for heavy-tailed outcomes, where a mean lift can be
+    one whale and the median never moved.
+
+    One row per quantile: (q_pmil, q_a, q_b, lift). Exact
+    percentiles need the per-arm sorted values, but only of the
+    PER-USER frame (one row per user, already a >=1e3x reduction of
+    the event corpus); Spark's `percentile` and the oracle's
+    quantile_cont share the linear-interpolation definition, so
+    values match to the cent (the agg_percentiles precedent)."""
+    per_user = events.groupBy(F.col(user_col)).agg(
+        F.coalesce(F.sum(metric_cents), F.lit(0)).cast("long")
+        .alias("_y")
+    ).withColumn("_arm", _arm(user_col))
+    qs = F.array(*[F.lit(q) for q in quantiles])
+    per_arm = per_user.groupBy("_arm").agg(
+        F.percentile(F.col("_y"), qs).alias("_q")
+    )
+    a = per_arm.filter(F.col("_arm") == 0).select(
+        F.col("_q").alias("_qa"))
+    b = per_arm.filter(F.col("_arm") == 1).select(
+        F.col("_q").alias("_qb"))
+    rows = F.array(*[
+        F.struct(
+            F.lit(int(q * 1000)).alias("q_pmil"),
+            F.round(F.element_at("_qa", i + 1), 2).alias("q_a"),
+            F.round(F.element_at("_qb", i + 1), 2).alias("q_b"),
+            F.round(
+                F.element_at("_qb", i + 1)
+                - F.element_at("_qa", i + 1), 2
+            ).alias("lift"),
+        )
+        for i, q in enumerate(quantiles)
+    ])
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(F.explode(rows).alias("r"))
+        .select("r.*")
     )

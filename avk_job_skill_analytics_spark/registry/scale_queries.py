@@ -6122,3 +6122,142 @@ def ml_ab_welch(spark, sf_dir):
                F.round(F.col("value") * 100).cast("long"))
         .otherwise(F.lit(0)),
     )
+
+
+@_q(
+    "ml_ab_ratio_delta",
+    f"""WITH pu AS (SELECT user_id,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT)
+               ELSE 0 END), 0) AS nu,
+           coalesce(sum(CASE WHEN event_type IN ('view', 'click')
+               THEN 1 ELSE 0 END), 0) AS de
+           FROM events GROUP BY user_id),
+       pa AS (SELECT {_ARM_SQL} AS arm, nu, de FROM pu),
+       m AS (SELECT
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN nu ELSE 0 END) AS sn0,
+           sum(CASE WHEN arm = 1 THEN nu ELSE 0 END) AS sn1,
+           sum(CASE WHEN arm = 0 THEN de ELSE 0 END) AS sd0,
+           sum(CASE WHEN arm = 1 THEN de ELSE 0 END) AS sd1,
+           sum(CASE WHEN arm = 0 THEN nu * nu ELSE 0 END) AS qn0,
+           sum(CASE WHEN arm = 1 THEN nu * nu ELSE 0 END) AS qn1,
+           sum(CASE WHEN arm = 0 THEN de * de ELSE 0 END) AS qd0,
+           sum(CASE WHEN arm = 1 THEN de * de ELSE 0 END) AS qd1,
+           sum(CASE WHEN arm = 0 THEN nu * de ELSE 0 END) AS qx0,
+           sum(CASE WHEN arm = 1 THEN nu * de ELSE 0 END) AS qx1
+           FROM pa),
+       e AS (SELECT n0, n1, sd0, sd1,
+           CAST(sn0 AS DOUBLE) / sd0 AS r0,
+           CAST(sn1 AS DOUBLE) / sd1 AS r1,
+           ((CAST(qn0 AS DOUBLE) * n0 - CAST(sn0 AS DOUBLE) * sn0)
+                / (CAST(n0 AS DOUBLE) * n0)
+            - 2.0 * (CAST(sn0 AS DOUBLE) / sd0)
+              * ((CAST(qx0 AS DOUBLE) * n0
+                  - CAST(sn0 AS DOUBLE) * sd0)
+                 / (CAST(n0 AS DOUBLE) * n0))
+            + (CAST(sn0 AS DOUBLE) / sd0)
+              * (CAST(sn0 AS DOUBLE) / sd0)
+              * ((CAST(qd0 AS DOUBLE) * n0
+                  - CAST(sd0 AS DOUBLE) * sd0)
+                 / (CAST(n0 AS DOUBLE) * n0)))
+           / (CAST(n0 AS DOUBLE) * (CAST(sd0 AS DOUBLE) / n0)
+              * (CAST(sd0 AS DOUBLE) / n0)) AS v0,
+           ((CAST(qn1 AS DOUBLE) * n1 - CAST(sn1 AS DOUBLE) * sn1)
+                / (CAST(n1 AS DOUBLE) * n1)
+            - 2.0 * (CAST(sn1 AS DOUBLE) / sd1)
+              * ((CAST(qx1 AS DOUBLE) * n1
+                  - CAST(sn1 AS DOUBLE) * sd1)
+                 / (CAST(n1 AS DOUBLE) * n1))
+            + (CAST(sn1 AS DOUBLE) / sd1)
+              * (CAST(sn1 AS DOUBLE) / sd1)
+              * ((CAST(qd1 AS DOUBLE) * n1
+                  - CAST(sd1 AS DOUBLE) * sd1)
+                 / (CAST(n1 AS DOUBLE) * n1)))
+           / (CAST(n1 AS DOUBLE) * (CAST(sd1 AS DOUBLE) / n1)
+              * (CAST(sd1 AS DOUBLE) / n1)) AS v1
+           FROM m)
+       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CASE WHEN sd0 > 0 THEN
+               CAST(floor(round(r0, 6) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS ratio_a_fp,
+           CASE WHEN sd1 > 0 THEN
+               CAST(floor(round(r1, 6) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS ratio_b_fp,
+           CASE WHEN sd0 > 0 AND sd1 > 0 THEN
+               CAST(floor(round(r1 - r0, 6)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS lift_fp,
+           CASE WHEN sd0 > 0 AND sd1 > 0 AND v0 + v1 > 0.0 THEN
+               CAST(floor(round((r1 - r0) / sqrt(v0 + v1), 6)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS z_fp
+       FROM e""",
+)
+def ml_ab_ratio_delta(spark, sf_dir):
+    """Delta-method ratio-metric card
+    (operators/experiment.ratio_delta_readout, Deng et al. KDD'18):
+    revenue per engagement event (purchases' cents over view+click
+    counts) — a metric whose denominator varies per user, where the
+    naive per-user-mean t is wrong. Linearized variance from the
+    same one-pass exact sufficient statistics; canonical-order float
+    pipeline, hash-replayed."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.ratio_delta_readout(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+        F.when(F.col("event_type").isin("view", "click"), 1)
+        .otherwise(0),
+    )
+
+
+@_q(
+    "ml_ab_quantile_lift",
+    f"""WITH pu AS (SELECT user_id,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT)
+               ELSE 0 END), 0) AS y
+           FROM events GROUP BY user_id),
+       pa AS (SELECT {_ARM_SQL} AS arm, y FROM pu),
+       q AS (SELECT arm,
+                    quantile_cont(y, 0.5) AS p50,
+                    quantile_cont(y, 0.9) AS p90,
+                    quantile_cont(y, 0.99) AS p99
+             FROM pa GROUP BY arm),
+       a AS (SELECT p50, p90, p99 FROM q WHERE arm = 0),
+       b AS (SELECT p50 AS b50, p90 AS b90, p99 AS b99
+             FROM q WHERE arm = 1)
+       SELECT 500 AS q_pmil, round(p50, 2) AS q_a,
+              round(b50, 2) AS q_b, round(b50 - p50, 2) AS lift
+       FROM a, b
+       UNION ALL
+       SELECT 900, round(p90, 2), round(b90, 2), round(b90 - p90, 2)
+       FROM a, b
+       UNION ALL
+       SELECT 990, round(p99, 2), round(b99, 2), round(b99 - p99, 2)
+       FROM a, b""",
+)
+def ml_ab_quantile_lift(spark, sf_dir):
+    """Quantile treatment effects
+    (operators/experiment.quantile_lift): per-arm exact p50/p90/p99
+    of per-user revenue and their differences — the heavy-tail lens
+    where a mean lift can be one whale and the median never moved.
+    Exact interpolated percentiles over the per-user frame (>=1e3x
+    smaller than events); Spark percentile == DuckDB quantile_cont
+    by definition, the agg_percentiles precedent."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.quantile_lift(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+    )

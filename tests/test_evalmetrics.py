@@ -589,3 +589,84 @@ def test_welch_t_hand_computed_and_degenerate(spark):
     c2 = experiment.welch_t_readout(ev2, "user_id", cents).collect()[0]
     assert c2["t_fp"] is None and c2["df_fp"] is None
     assert c2["lift_fp"] == 0
+
+
+def test_ratio_delta_degenerate_and_sign(spark):
+    """Zero denominators -> NULL ratios; a genuinely higher per-event
+    revenue in arm B yields positive lift; identical arms -> lift 0."""
+    from avk_job_skill_analytics_spark.operators import experiment
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    a_users = [u for u in range(1, 200) if arm(u) == 0][:10]
+    b_users = [u for u in range(1, 200) if arm(u) == 1][:10]
+    rows = []
+    for i, u in enumerate(a_users):
+        rows += [(u, "view", 0.0)] * 4 + [(u, "purchase", 4.0 + i % 3)]
+    for i, u in enumerate(b_users):
+        rows += [(u, "view", 0.0)] * 2 + [(u, "purchase", 4.0 + i % 3)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double")
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("long")) \
+        .otherwise(F.lit(0))
+    views = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    card = experiment.ratio_delta_readout(
+        ev, "user_id", cents, views).collect()[0]
+    # B spends the same per user over half the views: ratio doubles
+    assert card["ratio_b_fp"] > card["ratio_a_fp"] > 0
+    assert card["lift_fp"] > 0 and card["z_fp"] is not None
+
+    # denominator absent in one arm -> NULL ratio and z
+    ev2 = spark.createDataFrame(
+        [(a_users[0], "purchase", 5.0), (b_users[0], "view", 0.0)],
+        "user_id long, event_type string, value double")
+    c2 = experiment.ratio_delta_readout(
+        ev2, "user_id", cents, views).collect()[0]
+    assert c2["ratio_a_fp"] is None and c2["z_fp"] is None
+
+
+def test_quantile_lift_shifted_distribution(spark):
+    """Arm B = arm A's spend + 100 cents shift: every quantile lift
+    is exactly 100 cents."""
+    from avk_job_skill_analytics_spark.operators import experiment
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    a_users = [u for u in range(1, 300) if arm(u) == 0][:20]
+    b_users = [u for u in range(1, 300) if arm(u) == 1][:20]
+    rows = [(u, "purchase", float(i + 1)) for i, u in enumerate(a_users)]
+    rows += [(u, "purchase", float(i + 2)) for i, u in enumerate(b_users)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double")
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("long")) \
+        .otherwise(F.lit(0))
+    out = {r["q_pmil"]: r for r in experiment.quantile_lift(
+        ev, "user_id", cents).collect()}
+    assert set(out) == {500, 900, 990}
+    for r in out.values():
+        assert abs(r["lift"] - 100.0) < 1e-9
+
+
+def test_welch_single_user_arm_no_crash(spark):
+    """A 1-user arm must yield NULL t/df, not an ANSI
+    divide-by-zero from eager condition evaluation."""
+    from avk_job_skill_analytics_spark.operators import experiment
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    a = [u for u in range(1, 50) if arm(u) == 0][:1]
+    b = [u for u in range(1, 50) if arm(u) == 1][:3]
+    ev = spark.createDataFrame(
+        [(u, "purchase", 1.0 + u % 5) for u in a + b],
+        "user_id long, event_type string, value double")
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("long")) \
+        .otherwise(F.lit(0))
+    card = experiment.welch_t_readout(ev, "user_id", cents).collect()[0]
+    assert card["n_a"] == 1
+    assert card["t_fp"] is None and card["df_fp"] is None
