@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "check_num_den",
     "expectation_report",
+    "expectation_trend",
     "column_profile",
     "referential_orphans",
     "psi_drift",
@@ -370,4 +371,40 @@ def information_value(df: DataFrame, value_col: str, label_expr,
         per.crossJoin(F.broadcast(total))
         .select("bucket", "n_pos", "n_neg", "woe_fp",
                 "iv_contrib_fp", "iv_fp")
+    )
+
+
+def expectation_trend(df: DataFrame, slice_col: str,
+                      checks) -> DataFrame:
+    """The constraint suite PER SLICE (per day, per source, per
+    partition) — 'which day broke the feed', not just 'the feed is
+    broken'. Same fused conditional aggregates as
+    ``expectation_report``, grouped by the slice: one hash-agg
+    shuffle on the slice key, then the per-slice 1-row explode.
+    Rows: (slice, constraint, metric_fp, passed)."""
+    aggs, names = [], []
+    for chk in checks:
+        name = chk[0]
+        names.append(name)
+        num, den = check_num_den(chk[1], chk[2:])
+        metric = F.when(
+            den > 0, F.floor(F.lit(_MIL) * num / den)
+        ).otherwise(F.lit(0)).cast("long")
+        aggs.append(metric.alias(name))
+    per_slice = df.groupBy(F.col(slice_col).alias("slice")).agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(n).alias("constraint"),
+            F.col(n).alias("metric_fp"),
+        )
+        for n in names
+    ])
+    return (
+        per_slice.select("slice", F.explode(pairs).alias("r"))
+        .select(
+            "slice",
+            F.col("r.constraint").alias("constraint"),
+            F.col("r.metric_fp").alias("metric_fp"),
+            (F.col("r.metric_fp") == _MIL).alias("passed"),
+        )
     )

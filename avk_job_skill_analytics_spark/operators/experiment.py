@@ -36,6 +36,7 @@ __all__ = [
     "welch_t_readout",
     "ratio_delta_readout",
     "quantile_lift",
+    "mde_card",
     "POISSON1_THRESHOLDS",
 ]
 
@@ -609,4 +610,61 @@ def quantile_lift(events: DataFrame, user_col: str, metric_cents,
         a.crossJoin(F.broadcast(b))
         .select(F.explode(rows).alias("r"))
         .select("r.*")
+    )
+
+
+def mde_card(events: DataFrame, user_col: str,
+             metric_cents) -> DataFrame:
+    """Minimum-detectable-effect card — 'is this experiment even big
+    enough?': given the CURRENT arms and outcome variance, the
+    smallest true lift a 5%-alpha / 80%-power two-sided test would
+    detect, in absolute cents and as a fraction of the control mean.
+
+    MDE = (z_{0.975} + z_{0.80}) · sqrt(var_a/n_a + var_b/n_b), with
+    the z constants fixed literals (1.959964, 0.841621) and the
+    variances from the same exact one-pass sufficient statistics as
+    the Welch card. Returns (n_a, n_b, mean_a_fp, mde_abs_fp,
+    mde_rel_fp); NULL when either arm has < 2 users."""
+    per_user = events.groupBy(F.col(user_col)).agg(
+        F.coalesce(F.sum(metric_cents), F.lit(0)).cast("long")
+        .alias("_y")
+    )
+    m = per_user.withColumn("_arm", _arm(user_col)).groupBy().agg(
+        *[
+            agg.alias(name)
+            for arm in (0, 1)
+            for name, agg in (
+                (f"n{arm}", F.sum(F.when(F.col("_arm") == arm, 1)
+                                  .otherwise(0))),
+                (f"s{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                         F.col("_y")).otherwise(0))),
+                (f"q{arm}", F.sum(F.when(F.col("_arm") == arm,
+                                         F.col("_y") * F.col("_y"))
+                                  .otherwise(0)
+                                  .cast("decimal(38,0)"))),
+            )
+        ]
+    )
+    d = "double"
+    var = lambda a: (  # noqa: E731
+        (F.col(f"q{a}").cast(d) * F.col(f"n{a}")
+         - F.col(f"s{a}").cast(d) * F.col(f"s{a}"))
+        / (F.col(f"n{a}").cast(d) * (F.col(f"n{a}") - F.lit(1)))
+    )
+    mean_a = F.col("s0").cast(d) / F.col("n0")
+    # one literal, not a float sum: 1.959964 + 0.841621 computed at
+    # runtime could differ from the oracle's literal by an ulp
+    z_sum = F.lit(2.801585)
+    mde = z_sum * F.sqrt(var(0) / F.col("n0") + var(1) / F.col("n1"))
+    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
+        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    ok = (F.col("n0") > 1) & (F.col("n1") > 1)
+    return m.select(
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("n1").cast("long").alias("n_b"),
+        F.when(F.col("n0") > 0, fp6(mean_a)).alias("mean_a_fp"),
+        F.when(ok, fp6(mde)).alias("mde_abs_fp"),
+        F.when(ok, F.when(mean_a > F.lit(0.0), fp6(mde / mean_a)))
+        .alias("mde_rel_fp"),
     )

@@ -427,3 +427,48 @@ def ml_information_value(spark, sf_dir):
         o, "o_totalprice", F.col("o_orderstatus") == "F",
         0.0, 500_000.0, 10,
     )
+
+
+# ------------------------------------------------ per-slice trend
+@_q(
+    "dq_expectations_by_day",
+    f"""WITH landing AS (
+           SELECT day(o_orderdate) AS d,
+                  CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                       ELSE o_custkey END AS custkey,
+                  CASE WHEN o_orderkey % 131 = 0 THEN -o_totalprice
+                       ELSE o_totalprice END AS price
+           FROM orders),
+       m AS (SELECT d,
+           CAST(floor(1000000 * count(custkey) / count(*)) AS BIGINT)
+               AS completeness_custkey,
+           CAST(floor(1000000 * count(CASE WHEN price >= 0 THEN 1
+                    END) / count(price)) AS BIGINT) AS nonneg_price
+           FROM landing GROUP BY d)
+       SELECT d AS slice, "constraint", metric_fp,
+              metric_fp = 1000000 AS passed
+       FROM (
+           SELECT d, 'completeness_custkey' AS "constraint",
+                  completeness_custkey AS metric_fp FROM m
+           UNION ALL SELECT d, 'nonneg_price', nonneg_price FROM m
+       )""",
+)
+def dq_expectations_by_day(spark, sf_dir):
+    """The constraint suite per ORDER DAY
+    (operators/dataquality.expectation_trend): which day the landing
+    feed broke, not just that it broke — the triage view an on-call
+    engineer actually opens. Same fused conditional aggregates as
+    the one-shot suite, grouped by day: one shuffle on the day key."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    landing = o.select(
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.when(k % 97 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey")).alias("custkey"),
+        F.when(k % 131 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    return DQ.expectation_trend(landing, "d", [
+        ("completeness_custkey", "completeness", "custkey"),
+        ("nonneg_price", "non_negative", "price"),
+    ])

@@ -6261,3 +6261,63 @@ def ml_ab_quantile_lift(spark, sf_dir):
                F.round(F.col("value") * 100).cast("long"))
         .otherwise(F.lit(0)),
     )
+
+
+@_q(
+    "ml_ab_mde",
+    f"""WITH pu AS (SELECT user_id,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT)
+               ELSE 0 END), 0) AS y
+           FROM events GROUP BY user_id),
+       pa AS (SELECT {_ARM_SQL} AS arm, y FROM pu),
+       m AS (SELECT
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS s0,
+           sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS s1,
+           sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS q0,
+           sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS q1
+           FROM pa),
+       e AS (SELECT n0, n1,
+           CAST(s0 AS DOUBLE) / n0 AS m0,
+           (CAST(q0 AS DOUBLE) * n0 - CAST(s0 AS DOUBLE) * s0)
+               / (CAST(n0 AS DOUBLE) * (n0 - 1)) AS v0,
+           (CAST(q1 AS DOUBLE) * n1 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1
+           FROM m),
+       f AS (SELECT n0, n1, m0,
+                    2.801585 * sqrt(v0 / n0 + v1 / n1) AS mde
+             FROM e)
+       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CASE WHEN n0 > 0 THEN
+               CAST(floor(round(m0, 6) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS mean_a_fp,
+           CASE WHEN n0 > 1 AND n1 > 1 THEN
+               CAST(floor(round(mde, 6) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS mde_abs_fp,
+           CASE WHEN n0 > 1 AND n1 > 1 THEN
+               CASE WHEN m0 > 0.0 THEN
+                   CAST(floor(round(mde / m0, 6)
+                        * CAST(1000000 AS DOUBLE)
+                        + CAST('0.5' AS DOUBLE)) AS BIGINT)
+                   END END AS mde_rel_fp
+       FROM f""",
+)
+def ml_ab_mde(spark, sf_dir):
+    """Minimum-detectable-effect card (operators/experiment.mde_card):
+    given the current arms and revenue variance, the smallest true
+    lift a 5%-alpha / 80%-power test would detect — the 'is this
+    experiment big enough yet' planning number. Same one-pass exact
+    sufficient statistics as the Welch card; fixed z literals."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.mde_card(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+    )

@@ -453,3 +453,20 @@ def test_seasonal_backtest_hand_computed(spark):
     short = spark.createDataFrame([(1, 5)], "t int, x long")
     s = seasonal_backtest(short, "t", "x", season=7).collect()[0]
     assert s["n_scored"] == 0 and s["mae_fp"] is None
+
+
+def test_expectation_trend_isolates_broken_slice(spark):
+    """A feed where only one day is broken: the trend shows that
+    day failing and the others passing."""
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+
+    rows = [(1, 1.0)] * 5 + [(2, -1.0)] * 2 + [(2, 1.0)] * 3 \
+        + [(3, 1.0)] * 4
+    df = spark.createDataFrame(rows, "d int, v double")
+    out = {(r["slice"], r["constraint"]): r
+           for r in DQ.expectation_trend(
+               df, "d", [("nonneg_v", "non_negative", "v")]).collect()}
+    assert out[(1, "nonneg_v")]["passed"]
+    assert not out[(2, "nonneg_v")]["passed"]
+    assert out[(2, "nonneg_v")]["metric_fp"] == 600_000
+    assert out[(3, "nonneg_v")]["passed"]

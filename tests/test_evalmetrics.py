@@ -670,3 +670,40 @@ def test_welch_single_user_arm_no_crash(spark):
     card = experiment.welch_t_readout(ev, "user_id", cents).collect()[0]
     assert card["n_a"] == 1
     assert card["t_fp"] is None and card["df_fp"] is None
+
+
+def test_mde_card_scales_with_n(spark):
+    """More users -> smaller detectable effect; the card equals the
+    closed form on hand data."""
+    import math
+
+    from avk_job_skill_analytics_spark.operators import experiment
+
+    def arm(uid):
+        return (uid * 2654435761) % 4294967296 % 2
+
+    def build(n_per_arm):
+        a = [u for u in range(1, 2000) if arm(u) == 0][:n_per_arm]
+        b = [u for u in range(1, 2000) if arm(u) == 1][:n_per_arm]
+        rows = [(u, "purchase", float(10 + i % 5))
+                for i, u in enumerate(a + b)]
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, value double")
+
+    cents = F.when(F.col("event_type") == "purchase",
+                   F.round(F.col("value") * 100).cast("long")) \
+        .otherwise(F.lit(0))
+    small = experiment.mde_card(build(10), "user_id", cents).collect()[0]
+    big = experiment.mde_card(build(100), "user_id", cents).collect()[0]
+    assert small["mde_abs_fp"] > big["mde_abs_fp"] > 0
+    # closed form check on the small card
+    ys = {}
+    a = [u for u in range(1, 2000) if arm(u) == 0][:10]
+    b = [u for u in range(1, 2000) if arm(u) == 1][:10]
+    vals = [1000 + (i % 5) * 100 for i in range(20)]
+    av, bv = vals[:10], vals[10:]
+    def var(x):
+        m = sum(x) / len(x)
+        return sum((v - m) ** 2 for v in x) / (len(x) - 1)
+    mde = 2.801585 * math.sqrt(var(av) / 10 + var(bv) / 10)
+    assert abs(small["mde_abs_fp"] - round(mde * 1e6)) <= 2
