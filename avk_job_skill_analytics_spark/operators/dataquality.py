@@ -31,14 +31,9 @@ __all__ = [
     "skew_report",
 ]
 
+from .exactlog import as_dec, fp6_floor, frac, log_frac
+
 _MIL = 1_000_000
-
-
-def _fp6(x):
-    """Half-up 1e-6 fixed point of a double — the engine's shared
-    float→integer convention (round to 6 places, scale, floor)."""
-    return F.floor(F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)) \
-        .cast("long")
 
 
 def check_num_den(kind: str, args):
@@ -243,17 +238,25 @@ def psi_from_counts(a: DataFrame, b: DataFrame,
     tot = j.agg(
         F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
     )
-    eps = F.lit(1e-6)
-    pa = F.col("n_a").cast("double") / F.col("ta") + eps
-    pb = F.col("n_b").cast("double") / F.col("tb") + eps
-    contrib = (pa - pb) * F.log(pa / pb)
+    # eps-smoothed shares as EXACT integer fractions (eps = 1e-6):
+    #   pa = n_a/ta + 1e-6 = (n_a·M + ta) / (ta·M),  M = 1e6
+    # so ln() receives ONE division of two exact decimal(38,0)
+    # integers — identical bits on both engines — and the (pa−pb)
+    # factor is ONE division of the cross-multiplied difference.
+    # See exactlog's module docstring (round-8 driver-gate flip).
+    m = F.lit(_MIL).cast("decimal(38,0)")
+    na, nb = as_dec(F.col("n_a")), as_dec(F.col("n_b"))
+    ta, tb = as_dec(F.col("ta")), as_dec(F.col("tb"))
+    pa_num, pb_num = na * m + ta, nb * m + tb
+    lr = log_frac(pa_num * tb, pb_num * ta)
+    diff = frac(pa_num * tb - pb_num * ta, ta * tb * m)
     per = (
         j.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
-            _fp6(pa).alias("share_a_fp"),
-            _fp6(pb).alias("share_b_fp"),
-            _fp6(contrib).alias("contrib_fp"),
+            fp6_floor(frac(pa_num, ta * m)).alias("share_a_fp"),
+            fp6_floor(frac(pb_num, tb * m)).alias("share_b_fp"),
+            fp6_floor(diff * lr).alias("contrib_fp"),
         )
     )
     # total = integer sum of the per-bucket fixed-point contribs:
@@ -352,18 +355,23 @@ def information_value(df: DataFrame, value_col: str, label_expr,
         )
     )
     tot = j.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
-    eps = F.lit(1e-6)
-    ps = F.col("n_pos").cast("double") / F.col("tp") + eps
-    ns = F.col("n_neg").cast("double") / F.col("tn") + eps
-    woe = F.log(ps / ns)
+    # Same exact-integer-fraction spelling as psi_from_counts:
+    # ps = n_pos/tp + 1e-6 = (n_pos·M + tp)/(tp·M), WOE = ONE log of
+    # the cross-multiplied fraction, (ps−ns) = ONE division.
+    m = F.lit(_MIL).cast("decimal(38,0)")
+    np_, nn_ = as_dec(F.col("n_pos")), as_dec(F.col("n_neg"))
+    tp, tn = as_dec(F.col("tp")), as_dec(F.col("tn"))
+    ps_num, ns_num = np_ * m + tp, nn_ * m + tn
+    woe = log_frac(ps_num * tn, ns_num * tp)
+    diff = frac(ps_num * tn - ns_num * tp, tp * tn * m)
     per = (
         j.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             F.col("n_pos").cast("long").alias("n_pos"),
             F.col("n_neg").cast("long").alias("n_neg"),
-            _fp6(woe).alias("woe_fp"),
-            _fp6((ps - ns) * woe).alias("iv_contrib_fp"),
+            fp6_floor(woe).alias("woe_fp"),
+            fp6_floor(diff * woe).alias("iv_contrib_fp"),
         )
     )
     total = per.agg(F.sum("iv_contrib_fp").alias("iv_fp"))

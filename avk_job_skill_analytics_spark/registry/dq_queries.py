@@ -211,7 +211,22 @@ def dq_referential(spark, sf_dir):
 
 
 # ------------------------------------------------ PSI drift
-_PSI_SQL = """WITH a AS (SELECT least(greatest(CAST(floor((value - 0.0)
+def _psi_sql() -> str:
+    """The PSI oracle on the exactlog discipline: eps-smoothed
+    shares as exact HUGEINT fractions (pa = (n_a·1e6 + ta)/(ta·1e6)),
+    ONE ln of the cross-multiplied fraction, single-rounding fp6 —
+    generated from the same ``exactlog`` spellings the Spark plan
+    uses so the two can't drift."""
+    from ..operators.exactlog import (
+        fp6_floor_sql, frac_sql, log_frac_sql,
+    )
+
+    pa_num = "(CAST(n_a AS HUGEINT) * 1000000 + ta)"
+    pb_num = "(CAST(n_b AS HUGEINT) * 1000000 + tb)"
+    lr = log_frac_sql(f"({pa_num} * tb)", f"({pb_num} * ta)")
+    diff = frac_sql(f"({pa_num} * tb - {pb_num} * ta)",
+                    "(ta * tb * 1000000)")
+    return f"""WITH a AS (SELECT least(greatest(CAST(floor((value - 0.0)
                       / 50.0) AS INT), 0), 9) AS bucket,
                       count(*) AS n_a
               FROM events
@@ -230,23 +245,18 @@ _PSI_SQL = """WITH a AS (SELECT least(greatest(CAST(floor((value - 0.0)
                     LEFT JOIN b ON g.bucket = b.bucket),
        t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
        per AS (SELECT bucket,
-           CAST(floor(round(CAST(n_a AS DOUBLE) / ta + 1e-6, 6)
-                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                AS BIGINT) AS share_a_fp,
-           CAST(floor(round(CAST(n_b AS DOUBLE) / tb + 1e-6, 6)
-                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                AS BIGINT) AS share_b_fp,
-           CAST(floor(round(
-                (CAST(n_a AS DOUBLE) / ta + 1e-6
-                 - (CAST(n_b AS DOUBLE) / tb + 1e-6))
-                * ln((CAST(n_a AS DOUBLE) / ta + 1e-6)
-                     / (CAST(n_b AS DOUBLE) / tb + 1e-6)), 6)
-                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                AS BIGINT) AS contrib_fp
+           {fp6_floor_sql(frac_sql(pa_num, "(ta * 1000000)"))}
+               AS share_a_fp,
+           {fp6_floor_sql(frac_sql(pb_num, "(tb * 1000000)"))}
+               AS share_b_fp,
+           {fp6_floor_sql(f"({diff} * {lr})")} AS contrib_fp
            FROM j, t)
        SELECT bucket, share_a_fp, share_b_fp, contrib_fp,
               (SELECT sum(contrib_fp) FROM per) AS psi_fp
        FROM per"""
+
+
+_PSI_SQL = _psi_sql()
 
 
 @_q("dq_psi_drift", _PSI_SQL)
@@ -380,9 +390,18 @@ def dq_join_estimate(spark, sf_dir):
 
 
 # ------------------------------------------------ WOE / IV screening
-@_q(
-    "ml_information_value",
-    """WITH c AS (SELECT
+def _iv_sql() -> str:
+    """IV oracle on the same exactlog discipline as the PSI twin."""
+    from ..operators.exactlog import (
+        fp6_floor_sql, frac_sql, log_frac_sql,
+    )
+
+    ps_num = "(CAST(n_pos AS HUGEINT) * 1000000 + tp)"
+    ns_num = "(CAST(n_neg AS HUGEINT) * 1000000 + tn)"
+    woe = log_frac_sql(f"({ps_num} * tn)", f"({ns_num} * tp)")
+    diff = frac_sql(f"({ps_num} * tn - {ns_num} * tp)",
+                    "(tp * tn * 1000000)")
+    return f"""WITH c AS (SELECT
            least(greatest(CAST(floor((o_totalprice - 0.0) / 50000.0)
                AS INT), 0), 9) AS bucket,
            sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
@@ -399,22 +418,15 @@ def dq_join_estimate(spark, sf_dir):
        per AS (SELECT bucket,
            CAST(n_pos AS BIGINT) AS n_pos,
            CAST(n_neg AS BIGINT) AS n_neg,
-           CAST(floor(round(ln((CAST(n_pos AS DOUBLE) / tp + 1e-6)
-                / (CAST(n_neg AS DOUBLE) / tn + 1e-6)), 6)
-                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                AS BIGINT) AS woe_fp,
-           CAST(floor(round(
-                (CAST(n_pos AS DOUBLE) / tp + 1e-6
-                 - (CAST(n_neg AS DOUBLE) / tn + 1e-6))
-                * ln((CAST(n_pos AS DOUBLE) / tp + 1e-6)
-                     / (CAST(n_neg AS DOUBLE) / tn + 1e-6)), 6)
-                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                AS BIGINT) AS iv_contrib_fp
+           {fp6_floor_sql(woe)} AS woe_fp,
+           {fp6_floor_sql(f"({diff} * {woe})")} AS iv_contrib_fp
            FROM j, t)
        SELECT bucket, n_pos, n_neg, woe_fp, iv_contrib_fp,
               (SELECT sum(iv_contrib_fp) FROM per) AS iv_fp
-       FROM per""",
-)
+       FROM per"""
+
+
+@_q("ml_information_value", _iv_sql())
 def ml_information_value(spark, sf_dir):
     """Weight-of-Evidence / Information Value screening
     (operators/dataquality.information_value): does order value
