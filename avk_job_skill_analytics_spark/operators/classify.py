@@ -26,23 +26,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .exactlog import as_dec, log_fp
 from .textstats import tokens
 
 __all__ = ["nb_train_weights", "nb_score", "nb_prior_fp"]
 
-_FP = 1_000_000.0
-
 
 def _llr_fp(num_a, den_a, num_b, den_b):
-    """floor(round(ln((num_a/den_a) / (num_b/den_b)), 6)·1e6 + 0.5)
-    as ONE log of one exact integer fraction — cross-multiplied so
-    both engines feed libm the identical double."""
-    ratio = (
-        (num_a * den_b).cast("double") / (num_b * den_a).cast("double")
+    """fp6 of ln((num_a/den_a) / (num_b/den_b)) as ONE log of one
+    exact integer fraction — cross-multiplied so both engines feed
+    libm the identical double (exactlog discipline; decimal carriers
+    keep 1e12-scale token counts from wrapping the cross products)."""
+    return log_fp(
+        as_dec(num_a) * as_dec(den_b), as_dec(num_b) * as_dec(den_a)
     )
-    return F.floor(
-        F.round(F.log(ratio), 6) * F.lit(_FP) + F.lit(0.5)
-    ).cast("long")
 
 
 def nb_train_weights(docs: DataFrame, id_col: str, text_col: str,

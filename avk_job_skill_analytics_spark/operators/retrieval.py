@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .exactlog import log_frac
 from .similarity import ivfpq_topk
 from .textstats import tokens
 
@@ -41,11 +42,13 @@ __all__ = ["bm25_topk", "bm25_rank", "rrf_fuse", "ivfpq_refine_topk",
 
 
 def _fp(x: Column, digits: int) -> Column:
-    """Round-half-up fixed-point quantization (the repo's shared
-    engine-exactness convention: quantize each float term BEFORE any
-    aggregation so summation order can't matter)."""
+    """Round-half-up fixed-point quantization in ONE rounding —
+    floor(x·10^digits + 0.5), no round() first (Spark's BigDecimal
+    round vs DuckDB's float round diverge at half boundaries; the
+    exactlog discipline). Quantize each float term BEFORE any
+    aggregation so summation order can't matter."""
     scale = F.lit(float(10 ** digits))
-    return F.floor(F.round(x, digits) * scale + F.lit(0.5)).cast("long")
+    return F.floor(x * scale + F.lit(0.5)).cast("long")
 
 
 def bm25_topk(docs: DataFrame, id_col: str, text_col: str,
@@ -102,10 +105,13 @@ def bm25_rank(tf: DataFrame, dl: DataFrame, id_col: str, k: int = 10,
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        (F.col("_n") - F.col("_df") + F.lit(0.5))
-        / (F.col("_df") + F.lit(0.5))
-        + F.lit(1.0)
+    # Lucene/ATIRE idf ln((N - df + 0.5)/(df + 0.5) + 1) re-spelled
+    # as ONE log of one exact integer fraction (2N+2)/(2df+1) — same
+    # value algebraically, but ln() now receives an identical double
+    # on both engines (exactlog discipline).
+    idf = log_frac(
+        F.lit(2) * F.col("_n") + F.lit(2),
+        F.lit(2) * F.col("_df") + F.lit(1),
     )
     # dl/avgdl written as dl * N / total — one canonical operand
     # order shared with the oracle so the doubles are bit-identical

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .exactlog import as_dec, log_frac
 from .hashing import MERSENNE_P, md5_long
 
 # language → marker-word regex (an n-gram/stopword heuristic in the
@@ -136,7 +137,8 @@ def tf_idf(df, id_col: str, text_col: str,
             F.col("tf").cast("long").alias("tf"),
             F.col("df").cast("long").alias("df"),
             F.round(
-                F.col("tf") * F.log(F.col("n") / F.col("df")), round_digits
+                F.col("tf") * log_frac(F.col("n"), F.col("df")),
+                round_digits,
             ).alias("tfidf"),
         )
     )
@@ -271,7 +273,8 @@ def unigram_logprob(df, id_col: str, text_col: str,
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                F.avg(F.log(F.col("c") / F.col("n_total"))), round_digits
+                F.avg(log_frac(F.col("c"), F.col("n_total"))),
+                round_digits,
             ).alias("avg_logprob"),
         )
     )
@@ -323,7 +326,7 @@ def bigram_logprob(df, id_col: str, text_col: str,
     model = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c"))
     ctx = model.groupBy("prev").agg(F.sum("c").alias("cc"))
     vocab = bg.agg(F.countDistinct("cur").alias("v"))
-    lp = F.log((F.col("c") + 1) / (F.col("cc") + F.col("v")).cast("double"))
+    lp = log_frac(F.col("c") + 1, F.col("cc") + F.col("v"))
     return (
         bg.join(model, ["prev", "cur"])
         .join(ctx, "prev")
@@ -365,7 +368,13 @@ def kl_by_source(df, source_col: str, text_col: str,
     corpus = per_src.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     corpus_tot = corpus.agg(F.sum("c_t").alias("n"))
     p = F.col("c_st") / F.col("n_s")
-    q = F.col("c_t") / F.col("n")
+    # ln(p/q) = ln((c_st·n)/(c_t·n_s)) — ONE log of one exact
+    # integer fraction (exactlog discipline; decimal carriers keep
+    # the 1e12×1e12 cross products from wrapping int64)
+    lpq = log_frac(
+        as_dec(F.col("c_st")) * as_dec(F.col("n")),
+        as_dec(F.col("c_t")) * as_dec(F.col("n_s")),
+    )
     return (
         per_src.join(src_tot, "source")
         .join(corpus, "term")
@@ -373,7 +382,7 @@ def kl_by_source(df, source_col: str, text_col: str,
         .groupBy("source")
         .agg(
             F.max("n_s").cast("long").alias("n_tokens"),
-            F.round(F.sum(p * F.log(p / q)), round_digits).alias("kl"),
+            F.round(F.sum(p * lpq), round_digits).alias("kl"),
         )
     )
 
@@ -617,15 +626,15 @@ def dsir_importance(raw, target, id_col: str, text_col: str,
         .crossJoin(F.broadcast(rt))
         .select(
             "b",
-            (
-                F.log(
-                    (F.coalesce("tc", F.lit(0)) + 1)
-                    / (F.col("t") + B).cast("double")
-                )
-                - F.log(
-                    (F.coalesce("rc", F.lit(0)) + 1)
-                    / (F.col("r") + B).cast("double")
-                )
+            # ln((tc+1)/(t+B)) − ln((rc+1)/(r+B)) collapsed to ONE
+            # log of one exact integer fraction
+            # ((tc+1)·(r+B)) / ((rc+1)·(t+B)) — one libm call
+            # instead of two, fed identical bits on both engines
+            log_frac(
+                as_dec(F.coalesce("tc", F.lit(0)) + 1)
+                * as_dec(F.col("r") + B),
+                as_dec(F.coalesce("rc", F.lit(0)) + 1)
+                * as_dec(F.col("t") + B),
             ).alias("lr"),
         )
     )
@@ -690,9 +699,11 @@ def pmi_collocations(df, id_col: str, text_col: str,
     ua = uni.select(F.col("t").alias("w1"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("t").alias("w2"), F.col("c").alias("c_b"))
     pmi = F.round(
-        F.log(
-            (F.col("c_ab") * F.col("nu") * F.col("nu"))
-            / (F.col("nb") * F.col("c_a") * F.col("c_b"))
+        log_frac(
+            as_dec(F.col("c_ab")) * as_dec(F.col("nu"))
+            * as_dec(F.col("nu")),
+            as_dec(F.col("nb")) * as_dec(F.col("c_a"))
+            * as_dec(F.col("c_b")),
         ),
         4,
     ) + F.lit(0.0)  # -0.0 normalization, cf. SCALING.md

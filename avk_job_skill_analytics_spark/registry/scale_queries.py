@@ -1746,8 +1746,8 @@ def txt_unigram_logprob(spark, sf_dir):
        tot AS (SELECT sum(c_t) AS n FROM ct)
        SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
               round(sum((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
-                        * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
-                             / (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)))),
+                        * ln((CAST((CAST(c_st AS HUGEINT) * n) AS DOUBLE)
+                              / CAST((c_t * n_s) AS DOUBLE)))),
                     4) AS kl
        FROM ps JOIN st USING (source) JOIN ct USING (term), tot
        GROUP BY source""",
@@ -2682,9 +2682,10 @@ def ml_pca_top_component(spark, sf_dir):
        rt AS (SELECT count(*) AS r FROM toks WHERE source <> 'src0'),
        bk AS (SELECT range AS b FROM range(0, 64)),
        lr AS (SELECT bk.b,
-                     ln((coalesce(tc.c, 0) + 1) / CAST(t + 64 AS DOUBLE))
-                     - ln((coalesce(rc.c, 0) + 1) / CAST(r + 64 AS DOUBLE))
-                         AS lr
+                     ln((CAST((CAST((coalesce(tc.c, 0) + 1) AS HUGEINT)
+                               * (r + 64)) AS DOUBLE)
+                         / CAST((CAST((coalesce(rc.c, 0) + 1) AS HUGEINT)
+                                 * (t + 64)) AS DOUBLE))) AS lr
               FROM bk LEFT JOIN tc ON tc.b = bk.b
                       LEFT JOIN rc ON rc.b = bk.b, tt, rt),
        dc AS (SELECT doc_id, b, count(*) AS c FROM toks
@@ -2808,8 +2809,9 @@ def emb_standardize(spark, sf_dir):
               HAVING count(*) >= 20),
        nb AS (SELECT sum(len(w) - 1) AS nb FROM w WHERE len(w) >= 2)
        SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
-              round(ln((c_ab * nu * nu)
-                       / CAST(nb * ua.c * ub.c AS DOUBLE)), 4) + 0.0 AS pmi
+              round(ln((CAST((CAST(c_ab AS HUGEINT) * nu * nu) AS DOUBLE)
+                        / CAST((nb * ua.c * ub.c) AS DOUBLE))), 4)
+                  + 0.0 AS pmi
        FROM bc JOIN uc ua ON ua.t = w1 JOIN uc ub ON ub.t = w2, nu, nb
        ORDER BY pmi DESC, w1, w2 LIMIT 20""",
 )
@@ -4425,13 +4427,13 @@ def _bm25_sql(terms=_BM25_TERMS, k=10) -> str:
               WHERE term IN ({in_list}) GROUP BY doc_id, term),
        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        s AS (SELECT tf.doc_id,
-               CAST(floor(round(
-                 ln((stats.n - dfreq.df + {half}) / (dfreq.df + {half})
-                    + {one})
+               CAST(floor(
+                 ln(CAST((2 * stats.n + 2) AS DOUBLE)
+                    / CAST((2 * dfreq.df + 1) AS DOUBLE))
                  * tf.tf * ({k1} + {one})
                  / (tf.tf + {k1} * ({one} - {b}
                     + {b} * (CAST(dl.dl AS DOUBLE) * stats.n / stats.tot)))
-               , 4) * CAST(10000 AS DOUBLE) + {half}) AS BIGINT) AS s_fp
+                 * CAST(10000 AS DOUBLE) + {half}) AS BIGINT) AS s_fp
              FROM tf
              JOIN dfreq USING (term)
              JOIN dl ON dl.doc_id = tf.doc_id, stats),
@@ -4576,14 +4578,16 @@ def _nb_sql() -> str:
                       count(DISTINCT term) AS v
                FROM tok),
        w AS (SELECT term,
-               CAST(floor(round(
+               CAST(floor(
                  ln(CAST((c1 + 1) * (t0 + v) AS DOUBLE)
-                    / CAST((c0 + 1) * (t1 + v) AS DOUBLE)), 6)
-                 * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_fp
+                    / CAST((c0 + 1) * (t1 + v) AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                 AS BIGINT) AS w_fp
              FROM cnt, tot),
-       pri AS (SELECT CAST(floor(round(
-                 ln(CAST(sum(y) AS DOUBLE) / CAST(sum(1 - y) AS DOUBLE)),
-                 6) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS prior_fp
+       pri AS (SELECT CAST(floor(
+                 ln(CAST(sum(y) AS DOUBLE) / CAST(sum(1 - y) AS DOUBLE))
+                 * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                 AS BIGINT) AS prior_fp
                FROM lab),
        tf AS (SELECT doc_id, term, count(*) AS tf
               FROM tok GROUP BY doc_id, term),

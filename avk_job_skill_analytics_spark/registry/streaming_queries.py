@@ -1801,10 +1801,11 @@ def _nb_weights_sql() -> str:
                       count(DISTINCT term) AS v
                FROM tok)
        SELECT term,
-              CAST(floor(round(
+              CAST(floor(
                 ln(CAST((c1 + 1) * (t0 + v) AS DOUBLE)
-                   / CAST((c0 + 1) * (t1 + v) AS DOUBLE)), 6)
-                * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w_fp
+                   / CAST((c0 + 1) * (t1 + v) AS DOUBLE))
+                * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                AS BIGINT) AS w_fp
        FROM cnt, tot"""
 
 
