@@ -95,12 +95,14 @@ def ab_test_readout(events: DataFrame, user_col: str,
 
 
 def _arm(user_col: str):
-    """The engine-portable Knuth-hash coin shared with
-    sampling.assign_split: arm = knuth(id) mod 2, via the
-    overflow-safe split multiply (hashing.knuth32)."""
-    from .hashing import knuth32
+    """The engine-portable Knuth-hash coin: arm = the TOP bit of the
+    multiplicative hash (hashing.knuth_bucket(id, 2)). The low bit
+    would be exactly id parity (K is odd) — a zero-mixing split that
+    confounds with any parity-structured id allocation and that
+    srm_check can't detect (parity splits are perfectly balanced)."""
+    from .hashing import knuth_bucket
 
-    return knuth32(F.col(user_col)) % F.lit(2)
+    return knuth_bucket(F.col(user_col), 2)
 
 
 def srm_check(events: DataFrame, user_col: str) -> DataFrame:

@@ -87,3 +87,28 @@ def knuth32(col: Column) -> Column:
         (h * F.lit(KNUTH) % F.lit(65536)) * F.lit(65536)
         + lo * F.lit(KNUTH)
     ) % F.lit(4294967296)
+
+
+def knuth_bucket(col: Column, modulus: int) -> Column:
+    """Bucket in [0, modulus) from the HIGH bits of the multiplicative
+    hash: floor(knuth32(col) · m / 2^32) — Knuth's own prescription
+    (TAOCP vol. 3 §6.4: "the most significant bits of the product are
+    the ones that are thoroughly mixed").
+
+    ``knuth32(col) % m`` is WRONG for small m: K is odd, so the low
+    bit of col·K mod 2^32 IS the low bit of col — ``% 2`` assigns by
+    id parity with zero mixing, and ``% 100``'s mod-4 component
+    depends only on the id's two low bits. Any parity/sharding
+    structure in the id space then confounds the split, and an SRM
+    check can't see it (parity splits are perfectly balanced).
+    Range-mapping the high bits fixes it: h·m ≤ 2^32·m stays inside
+    63 bits for any m ≤ 2^30, and the spelling is one extra multiply
+    + shift on both engines (DuckDB: ``(h * m) // 4294967296``)."""
+    return F.shiftright(knuth32(col) * F.lit(int(modulus)), 32)
+
+
+def knuth_bucket_sql(expr: str, modulus: int) -> str:
+    """DuckDB twin of :func:`knuth_bucket` — valid at validation
+    scale (ids < 2^31, cf. knuth32's naive-spelling note)."""
+    return (f"((({expr} * 2654435761) % 4294967296)"
+            f" * {int(modulus)}) // 4294967296")

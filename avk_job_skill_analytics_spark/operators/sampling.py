@@ -11,12 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import knuth32
-
-# Knuth's multiplicative-hash constant (2^32 / phi). Public-domain
-# folklore; gives a well-mixed deterministic bucket from an integer key
-# computable identically in any SQL engine (no engine-specific hash).
-_KNUTH = 2654435761
+from .hashing import knuth_bucket
 
 
 def sample_exact_n(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
@@ -46,7 +41,7 @@ def sample_hash_bucket(df: DataFrame, key: str, pct: int,
     buckets. No shuffle, no RNG — the same rows are selected on any
     engine, which makes it oracle-verifiable and stable across reruns
     (useful for repeatable pipeline debugging at 100 TB)."""
-    bucket = knuth32(F.col(key)) % F.lit(modulus)
+    bucket = knuth_bucket(F.col(key), modulus)
     return df.filter(bucket < pct)
 
 
@@ -95,9 +90,7 @@ def sample_stratified(df: DataFrame, strata_col: str, key: str,
     ``modulus``); unlisted strata keep ``default_pct``. No shuffle and
     no RNG: the filter is a scan-level CASE over a hash of the key, so
     at 100 TB this is a single embarrassingly-parallel pass."""
-    bucket = (
-        knuth32(F.col(key))
-    ) % F.lit(modulus)
+    bucket = knuth_bucket(F.col(key), modulus)
     pct = F.lit(default_pct)
     for value, p in pcts.items():
         pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
@@ -113,9 +106,7 @@ def sample_weighted(df: DataFrame, key: str, weight,
     replacing the RNG with the same multiplicative key hash as
     :func:`sample_hash_bucket` (finer-grained: millionths). No
     shuffle; one scan-level comparison per row at any corpus size."""
-    bucket = (
-        knuth32(F.col(key))
-    ) % F.lit(modulus)
+    bucket = knuth_bucket(F.col(key), modulus)
     w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
     return df.filter(bucket.cast("double") < w * F.lit(float(modulus)))
 
@@ -139,9 +130,7 @@ def assign_split(df: DataFrame, key: str,
     splits = splits or {"train": 90, "val": 5, "test": 5}
     if sum(splits.values()) != modulus:
         raise ValueError("split shares must sum to modulus")
-    bucket = (
-        knuth32(F.col(key))
-    ) % F.lit(modulus)
+    bucket = knuth_bucket(F.col(key), modulus)
     expr, lo = None, 0
     for name, share in splits.items():
         lo += share
@@ -246,9 +235,7 @@ def match_distribution(df: DataFrame, id_col: str, group_col: str,
         .select(F.col("_n").alias("_nm"), F.col("_w").alias("_wm"))
     )
     dec = "decimal(38,0)"
-    u = (
-        knuth32(F.col(id_col))
-    ) % F.lit(1_000_000)
+    u = knuth_bucket(F.col(id_col), 1_000_000)
     kept = (
         df.select(F.col(id_col), grp.alias("_g"))
         .withColumn("_u", u)

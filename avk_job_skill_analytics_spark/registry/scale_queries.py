@@ -2302,7 +2302,7 @@ def dd_fuzzy_match(spark, sf_dir):
 @_q(
     "dd_split_leakage",
     """WITH d AS (SELECT doc_id, text,
-                     CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                     CASE WHEN ((doc_id * 2654435761) % 4294967296 * 100) // 4294967296 < 90
                           THEN 'train' ELSE 'eval' END AS split
               FROM documents),
        w AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM d),
@@ -2357,7 +2357,8 @@ def dd_split_leakage(spark, sf_dir):
                FROM per_src, tgt),
        kept AS (SELECT d.doc_id, d.source, d.n_tokens
                 FROM d JOIN wts ON d.source = wts.source
-                WHERE CAST(d.doc_id * 2654435761 % 4294967296 % 1000000
+                WHERE CAST(((d.doc_id * 2654435761) % 4294967296
+                            * 1000000) // 4294967296
                            AS DOUBLE) < wts.p * 1000000)
        SELECT w.source, w.t_s AS orig_tokens,
               CAST(coalesce(count(k.doc_id), 0) AS BIGINT) AS kept_docs,
@@ -4164,9 +4165,9 @@ def _cluster_split_sql() -> str:
                        coalesce(cl.cluster_id, d.doc_id) AS cid
                 FROM documents d LEFT JOIN cl USING (doc_id)),
        sp AS (SELECT doc_id, cid,
-                     CASE WHEN (cid * 2654435761) % 4294967296 % 100 < 90
+                     CASE WHEN ((cid * 2654435761) % 4294967296 * 100) // 4294967296 < 90
                             THEN 'train'
-                          WHEN (cid * 2654435761) % 4294967296 % 100 < 95
+                          WHEN ((cid * 2654435761) % 4294967296 * 100) // 4294967296 < 95
                             THEN 'val'
                           ELSE 'test' END AS split
               FROM allc),
@@ -5369,8 +5370,9 @@ def dd_lsh_recall_audit(spark, sf_dir):
              ORDER BY CAST(n AS DOUBLE) / w, g LIMIT 1),
        kept AS (SELECT d.source AS g, count(*) AS k
                 FROM documents d JOIN cnt ON cnt.g = d.source, m
-                WHERE CAST(((d.doc_id * 2654435761) % 4294967296)
-                           % 1000000 AS HUGEINT) * m.wm * cnt.n
+                WHERE CAST(((d.doc_id * 2654435761) % 4294967296
+                            * 1000000) // 4294967296
+                           AS HUGEINT) * m.wm * cnt.n
                     < CAST(1000000 AS HUGEINT) * m.nm * cnt.w
                 GROUP BY d.source)
        SELECT cnt.g AS source, CAST(cnt.n AS BIGINT) AS n_before,
@@ -5403,7 +5405,7 @@ def o4_match_distribution(spark, sf_dir):
                                  AND value > 200.0
                            THEN 1 ELSE 0 END) AS c
                FROM events GROUP BY user_id),
-       t AS (SELECT (user_id * 2654435761) % 4294967296 % 2 AS arm,
+       t AS (SELECT ((user_id * 2654435761) % 4294967296 * 2) // 4294967296 AS arm,
                     count(*) AS n, sum(c) AS cv
              FROM u GROUP BY 1),
        a AS (SELECT n AS na, cv AS ca FROM t WHERE arm = 0),
@@ -5446,7 +5448,7 @@ def ml_ab_test(spark, sf_dir):
     )
 
 
-_ARM_SQL = "(user_id * 2654435761) % 4294967296 % 2"
+_ARM_SQL = "((user_id * 2654435761) % 4294967296 * 2) // 4294967296"
 
 
 @_q(

@@ -343,7 +343,7 @@ def test_ab_fold_redelivery_and_card(spark):
                 return fn
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     a_user = next(u for u in range(1, 50) if arm(u) == 0)
     b_user = next(u for u in range(1, 50) if arm(u) == 1)

@@ -327,7 +327,7 @@ def test_ab_test_readout_card_and_degenerate_z(spark):
     from avk_job_skill_analytics_spark.operators import experiment
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     # users 1..40, one event each; arm-B users convert, arm-A never
     rows = [(u, "purchase" if arm(u) == 1 else "view")
@@ -370,7 +370,7 @@ def test_srm_check_balanced_and_broken(spark):
     from avk_job_skill_analytics_spark.operators import experiment
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     ids = list(range(1, 201))
     ev = spark.createDataFrame([(u, "view") for u in ids],
@@ -399,7 +399,7 @@ def test_cuped_removes_covariate_driven_false_lift(spark):
     from pyspark.sql import functions as F  # noqa: F811
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     rows = []
     for u in range(1, 121):
@@ -452,7 +452,7 @@ def test_bootstrap_lift_ci_brackets_and_replays(spark):
     from avk_job_skill_analytics_spark.operators import experiment
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     # arm-B users spend 10.00, arm-A users spend 5.00 (one purchase)
     rows = [(u, "purchase", 10.0 if arm(u) == 1 else 5.0)
@@ -494,7 +494,7 @@ def test_stratified_readout_simpsons_guard(spark):
     from avk_job_skill_analytics_spark.operators import experiment
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     # stratum g1: ids 1..80; stratum g2: only arm-0 ids (degenerate)
     g2_only_a = [u for u in range(81, 200) if arm(u) == 0][:10]
@@ -557,7 +557,7 @@ def test_welch_t_hand_computed_and_degenerate(spark):
     from avk_job_skill_analytics_spark.operators import experiment
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     a_users = [u for u in range(1, 100) if arm(u) == 0][:4]
     b_users = [u for u in range(1, 100) if arm(u) == 1][:3]
@@ -597,7 +597,7 @@ def test_ratio_delta_degenerate_and_sign(spark):
     from avk_job_skill_analytics_spark.operators import experiment
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     a_users = [u for u in range(1, 200) if arm(u) == 0][:10]
     b_users = [u for u in range(1, 200) if arm(u) == 1][:10]
@@ -633,7 +633,7 @@ def test_quantile_lift_shifted_distribution(spark):
     from avk_job_skill_analytics_spark.operators import experiment
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     a_users = [u for u in range(1, 300) if arm(u) == 0][:20]
     b_users = [u for u in range(1, 300) if arm(u) == 1][:20]
@@ -657,7 +657,7 @@ def test_welch_single_user_arm_no_crash(spark):
     from avk_job_skill_analytics_spark.operators import experiment
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     a = [u for u in range(1, 50) if arm(u) == 0][:1]
     b = [u for u in range(1, 50) if arm(u) == 1][:3]
@@ -680,7 +680,7 @@ def test_mde_card_scales_with_n(spark):
     from avk_job_skill_analytics_spark.operators import experiment
 
     def arm(uid):
-        return (uid * 2654435761) % 4294967296 % 2
+        return ((uid * 2654435761) % 4294967296 * 2) >> 32
 
     def build(n_per_arm):
         a = [u for u in range(1, 2000) if arm(u) == 0][:n_per_arm]
