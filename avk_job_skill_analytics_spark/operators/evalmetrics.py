@@ -88,6 +88,10 @@ def binary_metrics(scored: DataFrame, score_col: str,
     )
 
     mil = F.lit(1_000_000)
+    # the same degenerate-input guards as the grouped twin:
+    # single-class input or an empty predicted-positive set yields
+    # NULL for the undefined ratio instead of a division blow-up
+    both = (F.col("_n1") > 0) & (F.col("_n0") > 0)
     return conf.crossJoin(F.broadcast(u2)).select(
         F.col("_n").cast("long").alias("n"),
         F.col("_n1").cast("long").alias("n_pos"),
@@ -95,16 +99,26 @@ def binary_metrics(scored: DataFrame, score_col: str,
         F.col("_fp").alias("fp"),
         F.col("_fn").alias("fn"),
         F.col("_tn").alias("tn"),
-        F.floor(
-            mil * F.col("_u2") / (F.lit(2) * F.col("_n1") * F.col("_n0"))
+        F.when(
+            both,
+            F.floor(mil * F.col("_u2")
+                    / (F.lit(2) * F.col("_n1") * F.col("_n0"))),
         ).cast("long").alias("auc_fp"),
-        F.floor(mil * F.col("_tp") / (F.col("_tp") + F.col("_fp")))
-        .cast("long").alias("prec_fp"),
-        F.floor(mil * F.col("_tp") / (F.col("_tp") + F.col("_fn")))
-        .cast("long").alias("rec_fp"),
-        F.floor(
-            mil * F.lit(2) * F.col("_tp")
-            / (F.lit(2) * F.col("_tp") + F.col("_fp") + F.col("_fn"))
+        F.when(
+            F.col("_tp") + F.col("_fp") > 0,
+            F.floor(mil * F.col("_tp")
+                    / (F.col("_tp") + F.col("_fp"))),
+        ).cast("long").alias("prec_fp"),
+        F.when(
+            F.col("_n1") > 0,
+            F.floor(mil * F.col("_tp")
+                    / (F.col("_tp") + F.col("_fn"))),
+        ).cast("long").alias("rec_fp"),
+        F.when(
+            F.lit(2) * F.col("_tp") + F.col("_fp") + F.col("_fn") > 0,
+            F.floor(mil * F.lit(2) * F.col("_tp")
+                    / (F.lit(2) * F.col("_tp") + F.col("_fp")
+                       + F.col("_fn"))),
         ).cast("long").alias("f1_fp"),
     )
 
@@ -193,8 +207,10 @@ def pr_curve(scored: DataFrame, score_col: str,
         F.col("fp").cast("long").alias("fp"),
         F.floor(mil * F.col("tp") / (F.col("tp") + F.col("fp")))
         .cast("long").alias("prec_fp"),
-        F.floor(mil * F.col("tp") / F.col("_n1"))
-        .cast("long").alias("rec_fp"),
+        F.when(
+            F.col("_n1") > 0,
+            F.floor(mil * F.col("tp") / F.col("_n1")),
+        ).cast("long").alias("rec_fp"),
         # 2tp + fp + fn = tp + fp + n1 — one exact division
         F.floor(
             mil * F.lit(2) * F.col("tp")

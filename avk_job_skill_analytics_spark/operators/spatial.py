@@ -79,8 +79,11 @@ def radius_knn(points: DataFrame, p_id: str, p_lat: str, p_lon: str,
         (F.col("_qcl") + F.col("_dl")).alias("_cl"),
         (F.col("_qcn") + F.col("_dn")).alias("_cn"),
     )
-    dlat = F.col("_plat") - F.col("_qlat")
-    dlon = F.col("_plon") - F.col("_qlon")
+    # widen BEFORE squaring: with IntegerType micro-degree columns
+    # the delta itself fits int, but its square past ~46k micro-deg
+    # wraps 32 bits (wrong ranks or ANSI ARITHMETIC_OVERFLOW)
+    dlat = (F.col("_plat") - F.col("_qlat")).cast("long")
+    dlon = (F.col("_plon") - F.col("_qlon")).cast("long")
     dist2 = dlat * dlat + dlon * dlon
     cand = (
         qs.join(pts, ["_cl", "_cn"])

@@ -1862,12 +1862,11 @@ def stream_nb_train(spark, sf_dir):
 # ------------------------------------ growing EXACT prefix-postings index
 def _ssjoin_stream_sql(tn: int = 1, td: int = 2) -> str:
     """Oracle for the streaming exact ss-join drain: because the
-    operator is EXACT (no false negatives at the threshold), the
-    oracle needs no prefix machinery at all — brute-force distinct
-    3-shingle Jaccard, restricted to pairs whose members arrived in
-    DIFFERENT batches (even-id batch 0 indexed first, odd-id batch 1
-    verified against it; intra-batch pairs are by design next-batch
-    work). Intersections count DISTINCT shingles, matching the
+    operator is EXACT over ALL ingested pairs (committed-index AND
+    co-arrival candidates, no false negatives at the threshold), the
+    oracle needs no prefix machinery and no batch bookkeeping at all
+    — brute-force distinct 3-shingle Jaccard over every document
+    pair. Intersections count DISTINCT shingles, matching the
     hash-set arithmetic (60-bit MD5 collisions absent at this
     scale)."""
     return f"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -1894,8 +1893,7 @@ def _ssjoin_stream_sql(tn: int = 1, td: int = 2) -> str:
               CAST(uni AS BIGINT) AS uni,
               CAST(floor(1000000 * inter / uni) AS BIGINT) AS jacc_fp
        FROM j
-       WHERE inter * {td} >= {tn} * uni
-         AND (id_a % 2) <> (id_b % 2)"""
+       WHERE inter * {td} >= {tn} * uni"""
 
 
 @_q("stream_ssjoin_maintain", _ssjoin_stream_sql())
@@ -1904,13 +1902,13 @@ def stream_ssjoin_maintain(spark, sf_dir):
     prefix-postings index (streaming/ssjoin_stream) — the
     no-false-negative twin of stream_lsh_index_maintain: each
     micro-batch's arrivals are verified against everything indexed so
-    far (prefix-hash candidates, exact-integer size filter,
-    array_intersect Jaccard), then their own postings append exactly
-    once under the shared marker protocol; compact_every=2 makes the
-    drain exercise the journaled generation fold end-to-end. Even-id
-    documents arrive as batch 0 (empty index — no pairs), odd-id as
-    batch 1, so the drained pairs are exactly the cross-parity
-    members of the exact Jaccard>=1/2 pair set — which is what the
+    far AND against their own co-arrivals (batch prefix self-join —
+    no co-arriving-duplicate blind spot), then their postings append
+    exactly once under the shared marker protocol; compact_every=2
+    makes the drain exercise the journaled generation fold
+    end-to-end. Even-id documents arrive as batch 0, odd-id as batch
+    1, and the drained pairs are exactly the FULL exact Jaccard>=1/2
+    pair set regardless of arrival batching — which is what the
     brute-force oracle checks, no prefix machinery needed (exactness
     makes the filter invisible in the result)."""
     from ..streaming.ssjoin_stream import foreach_batch_ssjoin_maintain

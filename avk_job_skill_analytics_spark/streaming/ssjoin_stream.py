@@ -4,9 +4,13 @@ prefix-postings index.
 The streaming LSH family (``minhash_stream``) admits false negatives
 by construction; this module is its exact counterpart, the streaming
 twin of ``operators/ssjoin.prefix_filter_pairs``: every arriving
-document is checked against everything indexed so far with a
-NO-FALSE-NEGATIVE guarantee at the Jaccard threshold, then its own
-prefix postings join the index exactly once.
+document is checked against everything indexed so far AND against
+its own micro-batch's co-arrivals (a self-join of the batch's prefix
+postings — co-arriving duplicates are the common case for
+crawl/replay bursts), so the emitted pair set carries a
+NO-FALSE-NEGATIVE guarantee at the Jaccard threshold over ALL
+ingested pairs; then the arrivals' prefix postings join the index
+exactly once.
 
 The one semantic adaptation for incremental ingest: the batch
 operator orders tokens by global document frequency (best pruning),
@@ -129,57 +133,78 @@ def _ssjoin_maintain_batch_fn(index_dir: str, id_col: str,
         )
         committed_p = committed_table_dirs(fs, "postings", committed)
         committed_s = committed_table_dirs(fs, "sets", committed)
+        probe = post_new.select(
+            F.col("_idx_id").alias("_new_id"),
+            F.col("_idx_n").alias("_new_n"),
+            "h",
+        )
+        # Intra-batch candidates: the arrivals' prefix postings
+        # self-joined (strict id order keeps each unordered pair
+        # once and drops self-pairs). Prefix-vs-prefix is still
+        # no-false-negative (Bayardo et al. WWW'07 §3 — two sets at
+        # the threshold must collide inside BOTH prefixes), and the
+        # join is O(batch postings)² per hash — batch-sized, the
+        # price of not silently missing co-arriving duplicates
+        # (crawl/replay bursts are exactly that case).
+        right = post_new.select(
+            F.col("_idx_id").alias("_r_id"),
+            F.col("_idx_n").alias("_r_n"),
+            F.col("h").alias("_r_h"),
+        )
+        cand = (
+            probe.join(right, F.col("h") == F.col("_r_h"))
+            .filter(F.col("_new_id") < F.col("_r_id"))
+            .select(
+                "_new_id", "_new_n", "h",
+                F.col("_r_id").alias("_idx_id"),
+                F.col("_r_n").alias("_idx_n"),
+            )
+        )
+        idx_sets = sets_new.select("_idx_id", "_idx_sh")
         if committed_p:
             idx_p = spark.read.parquet(*committed_p)
             idx_s = spark.read.parquet(*committed_s)
-            cand = (
-                post_new.select(
-                    F.col("_idx_id").alias("_new_id"),
-                    F.col("_idx_n").alias("_new_n"),
-                    "h",
-                )
-                .join(idx_p, "h")
-                .filter(
-                    F.least("_new_n", "_idx_n") * F.lit(t_den)
-                    >= F.lit(t_num) * F.greatest("_new_n", "_idx_n")
-                )
-                .select("_new_id", "_idx_id", "_new_n", "_idx_n")
-                .distinct()
+            cand = cand.unionByName(probe.join(idx_p, "h"))
+            idx_sets = idx_s.select("_idx_id", "_idx_sh").unionByName(
+                sets_new.select("_idx_id", "_idx_sh")
             )
-            inter = F.size(F.array_intersect("_new_sh", "_idx_sh"))
-            uni = F.col("_new_n") + F.col("_idx_n") - F.col("inter")
-            pairs = (
-                cand.join(
-                    signed.select(
-                        F.col(id_col).alias("_new_id"),
-                        F.col("_sh").alias("_new_sh"),
-                    ),
-                    "_new_id",
-                )
-                .join(
-                    idx_s.select("_idx_id", "_idx_sh"),
-                    "_idx_id",
-                )
-                .withColumn("inter", inter)
-                .filter(
-                    F.col("inter") * F.lit(t_den) >= F.lit(t_num) * uni
-                )
-                .select(
-                    F.least("_new_id", "_idx_id").cast("long")
-                    .alias("id_a"),
-                    F.greatest("_new_id", "_idx_id").cast("long")
-                    .alias("id_b"),
-                    F.col("inter").cast("long").alias("inter"),
-                    uni.cast("long").alias("uni"),
-                    F.floor(F.lit(1_000_000) * F.col("inter") / uni)
-                    .cast("long").alias("jacc_fp"),
-                )
+        cand = (
+            cand.filter(
+                F.least("_new_n", "_idx_n") * F.lit(t_den)
+                >= F.lit(t_num) * F.greatest("_new_n", "_idx_n")
             )
-        else:
-            pairs = spark.createDataFrame(
-                [], "id_a long, id_b long, inter long, uni long, "
-                    "jacc_fp long"
+            .select("_new_id", "_idx_id", "_new_n", "_idx_n")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect("_new_sh", "_idx_sh"))
+        uni = F.col("_new_n") + F.col("_idx_n") - F.col("inter")
+        pairs = (
+            cand.join(
+                signed.select(
+                    F.col(id_col).alias("_new_id"),
+                    F.col("_sh").alias("_new_sh"),
+                ),
+                "_new_id",
             )
+            .join(
+                idx_sets,
+                "_idx_id",
+            )
+            .withColumn("inter", inter)
+            .filter(
+                F.col("inter") * F.lit(t_den) >= F.lit(t_num) * uni
+            )
+            .select(
+                F.least("_new_id", "_idx_id").cast("long")
+                .alias("id_a"),
+                F.greatest("_new_id", "_idx_id").cast("long")
+                .alias("id_b"),
+                F.col("inter").cast("long").alias("inter"),
+                uni.cast("long").alias("uni"),
+                F.floor(F.lit(1_000_000) * F.col("inter") / uni)
+                .cast("long").alias("jacc_fp"),
+            )
+        )
         pairs.write.mode("overwrite").parquet(
             fs.uri(f"pairs/batch={batch_id}")
         )
@@ -226,7 +251,8 @@ def foreach_batch_ssjoin_maintain(stream: DataFrame, index_dir: str,
                                   compact_every: int | None = None
                                   ) -> "object":
     """Growing-index streaming EXACT dedup: per micro-batch, (1)
-    arrivals are verified against every document indexed so far —
+    arrivals are verified against every document indexed so far AND
+    against each other (batch prefix-postings self-join) —
     prefix-postings candidates, size filter, exact
     ``array_intersect`` Jaccard, no false negative possible at the
     threshold — and the pairs land in ``pairs/batch=<b>``; (2) the

@@ -707,3 +707,33 @@ def test_mde_card_scales_with_n(spark):
         return sum((v - m) ** 2 for v in x) / (len(x) - 1)
     mde = 2.801585 * math.sqrt(var(av) / 10 + var(bv) / 10)
     assert abs(small["mde_abs_fp"] - round(mde * 1e6)) <= 2
+
+
+def test_binary_metrics_degenerate_inputs_yield_null(spark):
+    """Single-class input or an empty predicted-positive set must
+    yield NULL for the undefined ratios (the grouped twin's
+    contract), not a division blow-up / ANSI error."""
+    # all-positive labels, nothing predicted positive
+    rows = [(1, 5, 0, 1), (2, 3, 0, 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score_fp long, pred long, actual long"
+    )
+    m = evalmetrics.binary_metrics(
+        df, "score_fp", "pred", "actual"
+    ).collect()[0]
+    assert m["auc_fp"] is None             # n0 == 0: AUC undefined
+    assert m["prec_fp"] is None            # tp + fp == 0
+    assert m["rec_fp"] == 0                # n1 > 0, tp == 0
+    # all-negative labels: recall and AUC undefined, f1 undefined
+    rows = [(1, 5, 0, 0), (2, 3, 0, 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score_fp long, pred long, actual long"
+    )
+    m = evalmetrics.binary_metrics(
+        df, "score_fp", "pred", "actual"
+    ).collect()[0]
+    assert m["auc_fp"] is None and m["rec_fp"] is None
+    assert m["f1_fp"] is None
+    # pr_curve on an all-negative frame: rec_fp NULL on every row
+    curve = evalmetrics.pr_curve(df, "score_fp", "actual").collect()
+    assert curve and all(r["rec_fp"] is None for r in curve)
