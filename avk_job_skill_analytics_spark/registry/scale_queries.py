@@ -970,6 +970,47 @@ def mm_frame_sample(spark, sf_dir):
     return frames.select("doc_id", F.col("frame_idx").cast("long"))
 
 
+@_q(
+    "mm_pixel_stats",
+    """WITH g AS (SELECT doc_id, doc_id % 16 + 1 AS w,
+                         doc_id % 12 + 1 AS h
+               FROM documents),
+       px AS (SELECT doc_id, w, h, sx.x AS x, sy.y AS y
+              FROM g,
+                   LATERAL (SELECT unnest(generate_series(0, w - 1))
+                            AS x) sx,
+                   LATERAL (SELECT unnest(generate_series(0, h - 1))
+                            AS y) sy)
+       SELECT doc_id,
+              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+              CAST(3 AS BIGINT) AS channels,
+              CAST(w * h AS BIGINT) AS n_pixels,
+              CAST(1000000 * sum((3*x + 5*y + doc_id) % 256)
+                   // (w*h) AS BIGINT) AS mean_r_fp,
+              CAST(1000000 * sum((7*x + y + 2*doc_id) % 256)
+                   // (w*h) AS BIGINT) AS mean_g_fp,
+              CAST(1000000 * sum((x + 11*y + 3*doc_id) % 256)
+                   // (w*h) AS BIGINT) AS mean_b_fp
+       FROM px GROUP BY doc_id, w, h""",
+)
+def mm_pixel_stats(spark, sf_dir):
+    """REAL pixel decode end-to-end (multimodal.decode_pixels →
+    pixel_stats): per document a full raster payload is synthesized —
+    even ids a genuine zlib-compressed PNG, odd ids a genuine 24-bit
+    padded bottom-up BMP, pixels a pure integer function of
+    (x, y, id) — then decoded back with the stdlib decoders (chunk
+    walk + inflate + five-filter reconstruction for PNG; BGR/padding/
+    row-flip for BMP) and reduced to exact per-channel byte sums in
+    1e-6 fixed point. The oracle recomputes every channel sum
+    arithmetically from the synthesis parameters: one misread byte
+    anywhere in the codec path hash-mismatches. Payload bytes stay
+    inside one mapInPandas stage — never shuffled."""
+    d = load(spark, sf_dir, "documents")
+    return multimodal.pixel_stats(
+        multimodal.attach_pixel_media(d, "doc_id")
+    )
+
+
 # -------------------------------------------------- text: quality filter
 # Quality-score SQL shared by txt_quality_filter and the curation
 # funnel (single source — the two oracles cannot drift). {src} is the

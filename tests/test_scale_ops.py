@@ -1488,3 +1488,146 @@ def test_duplicate_weights_cover_corpus_once_in_expectation(spark):
     assert out[5]["cluster_size"] == 2 and out[5]["weight_fp"] == 500_000
     assert out[4]["cluster_size"] == 1 and out[4]["weight_fp"] == 1_000_000
     assert out[4]["cluster_id"] == 4            # singleton = itself
+
+
+def test_llm_skill_extractor_end_to_end_with_fake_client(spark):
+    """UD1's production path driven through mapInPandas with an
+    injected scripted client (reference data_extract.py:108-150
+    semantics): batch_size batching, the P6 short-text guard, the
+    4000-char truncation, and the failure->empty contract all
+    verified THROUGH the interface, not by unit-testing fragments.
+    The client runs in Python workers, so the evidence is encoded in
+    its return values (call size / seen text length), not driver
+    state."""
+    from avk_job_skill_analytics_spark.operators.skills import (
+        MAX_PROMPT_CHARS,
+        MIN_TEXT_LEN,
+        LLMSkillExtractor,
+    )
+
+    def client(texts):
+        if any("BOOM" in t for t in texts):
+            raise RuntimeError("api down")
+        # encode call shape into the outputs: tech = batch size the
+        # client actually saw, soft = the (truncated) text length
+        return [(f"T{len(texts)}", f"L{len(t)}") for t in texts]
+
+    rows = [
+        (1, "python and sql everywhere " * 4),
+        (2, "x" * (MAX_PROMPT_CHARS + 1000)),    # must arrive truncated
+        (3, "short"),                            # P6: below MIN_TEXT_LEN
+        (4, None),                               # null: skipped
+        (5, "a decent length description ok " * 2),
+        (6, "also a decent length description " * 2),
+        (7, "yet another decent length text!! " * 2),
+    ]
+    assert len("short") < MIN_TEXT_LEN
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(1)
+    out = {
+        r["doc_id"]: (r["technical_skills"], r["soft_skills"])
+        for r in LLMSkillExtractor(client, batch_size=2)
+        .extract(df, "doc_id", "text").collect()
+    }
+    assert len(out) == 7
+    # P6 guard + null handling: never reach the client
+    assert out[3] == ("", "") and out[4] == ("", "")
+    # truncation: the client saw exactly MAX_PROMPT_CHARS chars
+    assert out[2][1] == f"L{MAX_PROMPT_CHARS}"
+    # batching: 5 eligible rows at batch_size=2 -> calls of 2, 2, 1
+    assert sorted(out[i][0] for i in (1, 2, 5, 6, 7)) \
+        == ["T1", "T2", "T2", "T2", "T2"]
+
+    # failure contract: a raising call degrades ITS rows to empty
+    # and the run continues (per-chunk isolation at batch_size=1)
+    rows2 = [(1, "BOOM " + "x" * 40), (2, "fine text, long enough to pass the guard")]
+    df2 = spark.createDataFrame(
+        rows2, "doc_id long, text string"
+    ).repartition(1)
+    out2 = {
+        r["doc_id"]: (r["technical_skills"], r["soft_skills"])
+        for r in LLMSkillExtractor(client, batch_size=1)
+        .extract(df2, "doc_id", "text").collect()
+    }
+    assert out2[1] == ("", "")
+    assert out2[2][0] == "T1"
+
+
+def test_pixel_decode_round_trips_and_inverts_all_png_filters():
+    """The stdlib pixel decoders are REAL: a zlib-compressed PNG and
+    a padded bottom-up BMP built from the same pixel function decode
+    to the identical raster; a PNG forward-filtered with types 1-4
+    (independent spec arithmetic in the test) inverts exactly;
+    top-down BMPs flip correctly; undecodable bytes quarantine to
+    None instead of raising."""
+    import struct
+    import zlib
+
+    import avk_job_skill_analytics_spark.operators.multimodal as M
+
+    def fn(x, y):
+        return ((3 * x + 5 * y + 7) % 256, (7 * x + y + 14) % 256,
+                (x + 11 * y + 21) % 256)
+
+    w, h, ch = 13, 9, 3
+    expect = bytearray()
+    for y in range(h):
+        for x in range(w):
+            expect += bytes(fn(x, y))
+    dp = M.decode_png_pixels(M.build_png_pixels(w, h, fn))
+    db = M.decode_bmp_pixels(M.build_bmp_pixels(w, h, fn))
+    assert dp == (w, h, 3, bytes(expect))
+    assert db == (w, h, 3, bytes(expect))
+
+    # forward-filter rows with types 1..4, decoder must invert each
+    stride = w * ch
+    rows = [expect[y * stride:(y + 1) * stride] for y in range(h)]
+
+    def fwd(f, line, prev):
+        out = bytearray()
+        for i, v in enumerate(line):
+            left = line[i - ch] if i >= ch else 0
+            up, ul = prev[i], (prev[i - ch] if i >= ch else 0)
+            sub = (left, up, (left + up) >> 1,
+                   M._paeth(left, up, ul))[f - 1]
+            out.append((v - sub) & 255)
+        return bytes(out)
+
+    raw, prev = bytearray(), bytearray(stride)
+    for y, line in enumerate(rows):
+        f = (y % 4) + 1
+        raw.append(f)
+        raw += fwd(f, line, prev)
+        prev = line
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    png = (M._PNG_SIG
+           + chunk(b"IHDR", struct.pack(">II5B", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert M.decode_png_pixels(png) == (w, h, 3, bytes(expect))
+
+    # top-down BMP (negative height, rows stored first-to-last)
+    pad = (-(w * 3)) % 4
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r, g, b = fn(x, y)
+            px += bytes((b, g, r))
+        px += b"\x00" * pad
+    bmp = bytearray(M.build_bmp_pixels(w, h, fn))
+    bmp[22:26] = struct.pack("<i", -h)
+    assert M.decode_bmp_pixels(bytes(bmp[:54]) + bytes(px)) \
+        == (w, h, 3, bytes(expect))
+
+    # quarantine: junk, truncated PNG, 8-bit BMP -> None, no raise
+    assert M.decode_pixels(b"\xff\xd8not really a jpeg") is None
+    assert M.decode_png_pixels(
+        M.build_png_pixels(4, 4, fn)[:30]) is None
+    bad = bytearray(M.build_bmp_pixels(4, 4, fn))
+    bad[28] = 8  # bpp
+    assert M.decode_bmp_pixels(bytes(bad)) is None

@@ -5,13 +5,18 @@ Usage:
     python tools/verify_local.py /root/testdata/sf0.01 | tee /tmp/sweep.log
     python tools/coverage_report.py /tmp/sweep.log
 
-Parses the ``ok``/``ROWS``/``FAIL`` lines and rewrites the status
-table between the ``| query | status | rows |`` header and the next
-heading, leaving everything else untouched.
+Parses the ``ok``/``ROWS``/``FAIL`` lines and rewrites (1) the
+status table between the ``| query | status | rows |`` header and
+the next heading, (2) the ``**Totals: ...**`` inventory line, and
+(3) the §Local-oracle report header + summary — all derived from the
+same sweep log, so the prose counts can never drift from the table
+(they were hand-edited through round 8). Running the tool twice on
+the same log is idempotent.
 """
 
 from __future__ import annotations
 
+import datetime
 import re
 import sys
 
@@ -40,13 +45,37 @@ def main(log_path: str) -> None:
     end = src.find("\n\n", start)
     if end == -1:
         end = len(src.rstrip("\n"))
-    open(COVERAGE, "w").write(src[:start] + table.rstrip("\n")
-                              + src[end:])
+    src = src[:start] + table.rstrip("\n") + src[end:]
     n_ok = sum(1 for _, s, _ in rows if s == "ok")
     n_ro = sum(1 for _, s, _ in rows if s == "rows-only")
     n_f = sum(1 for _, s, _ in rows if s == "FAIL")
+
+    # (2) the inventory totals line
+    src, n1 = re.subn(
+        r"\*\*Totals: \d+ queries — \d+ oracle-verified, "
+        r"\d+ rows-only by design\*\*",
+        f"**Totals: {len(rows)} queries — {n_ok} oracle-verified, "
+        f"{n_ro} rows-only by design**",
+        src,
+    )
+    # (3) the local-oracle report header + summary lines
+    today = datetime.date.today().isoformat()
+    src, n2 = re.subn(
+        r"## Local-oracle report \([^)]*\)\n\n"
+        r"`python tools/verify_local\.py [^`]*` — [^\n]*\n"
+        r"\*\*\d+ hash-matched vs DuckDB, \d+ rows-only by design, "
+        r"\d+ failed / \d+\.\*\*",
+        "## Local-oracle report (sf0.01, driver's NTZ parquet)\n\n"
+        f"`python tools/verify_local.py /root/testdata/sf0.01` — {today}.\n"
+        f"**{n_ok} hash-matched vs DuckDB, {n_ro} rows-only by design, "
+        f"{n_f} failed / {len(rows)}.**",
+        src,
+    )
+    open(COVERAGE, "w").write(src)
     print(f"table rewritten: {len(rows)} rows "
-          f"({n_ok} ok, {n_ro} rows-only, {n_f} FAIL)")
+          f"({n_ok} ok, {n_ro} rows-only, {n_f} FAIL); "
+          f"totals line {'updated' if n1 else 'NOT FOUND'}, "
+          f"report header {'updated' if n2 else 'NOT FOUND'}")
 
 
 if __name__ == "__main__":
