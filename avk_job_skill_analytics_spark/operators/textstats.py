@@ -965,3 +965,124 @@ def char_entropy(df, id_col: str, text_col: str,
             (ent < F.lit(low_threshold)).alias("low_entropy"),
         )
     )
+
+
+def repetition_rules(df, id_col: str, text_col: str,
+                     top_ns: tuple = (2, 3, 4),
+                     dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+                     top_caps_fp: tuple = (200_000, 180_000, 160_000),
+                     dup_caps_fp: tuple = (150_000, 140_000, 130_000,
+                                           120_000, 110_000, 100_000)):
+    """Gopher/MassiveText n-gram REPETITION rules (Rae et al. 2021
+    Table A1) — the half of the §A1.1 suite ``gopher_quality`` does
+    not cover: per document, the character mass of the most frequent
+    word n-gram (n=2..4, capped at 20/18/16 %) and the character mass
+    of all occurrences of duplicated word n-grams (n=5..10, capped at
+    15 % down to 10 %). Templated spam, lyrics-style chorus repetition
+    and boilerplate walls trip these long before perplexity filters
+    see them.
+
+    Exact conventions (engine-portable): character mass of one gram
+    occurrence = length of the gram joined with single spaces; the
+    denominator is the length of the whole space-normalized token
+    stream; occurrences are counted with overlap (the standard
+    count·len spelling — fractions may exceed 1 on degenerate docs,
+    by design); duplicated-gram mass counts ALL cnt occurrences once
+    a gram repeats. Every feature is an fp6 integer
+    ``floor(1e6·mass/total_chars)`` on exact integer operands and the
+    ``passes`` verdict compares those integers, so any engine
+    reproduces identical rows.
+
+    Scale shape: ONE n-gram expansion pass emits (n, gram) structs
+    for all nine n values in a single generator projection (the token
+    split runs once per row), then one (id, n, gram) hash aggregate
+    and one (id, n) fold — both keyed by unique doc ids, linear and
+    skew-free at 100 TB; no windows, no UDFs, no driver state."""
+    all_ns = list(top_ns) + list(dup_ns)
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = (
+        df.select(F.col(id_col), w.alias("_w"))
+        .filter(F.size("_w") >= 1)
+        .select(
+            id_col,
+            "_w",
+            F.length(F.concat_ws(" ", F.col("_w")))
+            .cast("long")
+            .alias("total_chars"),
+        )
+    )
+    ns_arr = F.array(*[F.lit(n) for n in all_ns])
+    grams = F.flatten(
+        F.transform(
+            ns_arr,
+            lambda n: F.transform(
+                # sequence(1, 0) would generate DESCENDING [1, 0]:
+                # guard short docs to an empty slot list instead.
+                F.when(
+                    F.size("_w") >= n,
+                    F.sequence(F.lit(1), F.size("_w") - n + F.lit(1)),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.struct(
+                    n.alias("n"),
+                    F.array_join(F.slice(F.col("_w"), i, n), " ").alias(
+                        "gram"
+                    ),
+                ),
+            ),
+        )
+    )
+    counts = (
+        base.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy(
+            id_col,
+            F.col("_g.n").alias("_n"),
+            F.col("_g.gram").alias("_gram"),
+        )
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    glen = F.length("_gram").cast("long")
+    mass = counts.groupBy(id_col, "_n").agg(
+        F.max(F.col("_cnt") * glen).alias("_top_mass"),
+        F.sum(
+            F.when(F.col("_cnt") > 1, F.col("_cnt") * glen).otherwise(
+                F.lit(0)
+            )
+        ).alias("_dup_mass"),
+    )
+    per_doc = mass.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_top_mass"))).alias(
+                f"_t{n}"
+            )
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_dup_mass"))).alias(
+                f"_d{n}"
+            )
+            for n in dup_ns
+        ],
+    )
+    joined = base.select(id_col, "total_chars").join(
+        per_doc, id_col, "left"
+    )
+
+    def fp(raw):
+        return F.floor(
+            F.lit(1_000_000) * F.coalesce(raw, F.lit(0))
+            / F.col("total_chars")
+        ).cast("long")
+
+    top_cols = [
+        fp(F.col(f"_t{n}")).alias(f"top_{n}gram_fp") for n in top_ns
+    ]
+    dup_cols = [
+        fp(F.col(f"_d{n}")).alias(f"dup_{n}gram_fp") for n in dup_ns
+    ]
+    out = joined.select(F.col(id_col), *top_cols, *dup_cols)
+    passes = F.lit(True)
+    for n, cap in zip(top_ns, top_caps_fp):
+        passes = passes & (F.col(f"top_{n}gram_fp") <= cap)
+    for n, cap in zip(dup_ns, dup_caps_fp):
+        passes = passes & (F.col(f"dup_{n}gram_fp") <= cap)
+    return out.withColumn("passes", passes)

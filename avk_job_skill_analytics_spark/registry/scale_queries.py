@@ -1506,6 +1506,82 @@ def txt_gopher_rules(spark, sf_dir):
     return textstats.gopher_quality(docs, "doc_id", "text")
 
 
+@_q(
+    "txt_repetition_rules",
+    """WITH t AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+  base AS (SELECT doc_id,
+                  CAST(length(array_to_string(w, ' ')) AS BIGINT)
+                      AS total_chars
+           FROM t WHERE len(w) >= 1),
+  g AS (SELECT doc_id, n,
+               unnest(list_transform(
+                   generate_series(1, len(w) - n + 1),
+                   i -> array_to_string(w[i:i+n-1], ' '))) AS gram
+        FROM t, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) ns(n)
+        WHERE len(w) >= n),
+  c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g
+        GROUP BY doc_id, n, gram),
+  m AS (SELECT doc_id, n,
+               max(cnt * length(gram)) AS top_mass,
+               sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                        ELSE 0 END) AS dup_mass
+        FROM c GROUP BY doc_id, n),
+  p AS (SELECT b.doc_id, b.total_chars,
+               coalesce(max(CASE WHEN n=2 THEN top_mass END), 0) AS t2,
+               coalesce(max(CASE WHEN n=3 THEN top_mass END), 0) AS t3,
+               coalesce(max(CASE WHEN n=4 THEN top_mass END), 0) AS t4,
+               coalesce(max(CASE WHEN n=5 THEN dup_mass END), 0) AS d5,
+               coalesce(max(CASE WHEN n=6 THEN dup_mass END), 0) AS d6,
+               coalesce(max(CASE WHEN n=7 THEN dup_mass END), 0) AS d7,
+               coalesce(max(CASE WHEN n=8 THEN dup_mass END), 0) AS d8,
+               coalesce(max(CASE WHEN n=9 THEN dup_mass END), 0) AS d9,
+               coalesce(max(CASE WHEN n=10 THEN dup_mass END), 0)
+                   AS d10
+        FROM base b LEFT JOIN m USING (doc_id)
+        GROUP BY b.doc_id, b.total_chars)
+  SELECT doc_id,
+         CAST(floor(1000000 * t2 / total_chars) AS BIGINT)
+             AS top_2gram_fp,
+         CAST(floor(1000000 * t3 / total_chars) AS BIGINT)
+             AS top_3gram_fp,
+         CAST(floor(1000000 * t4 / total_chars) AS BIGINT)
+             AS top_4gram_fp,
+         CAST(floor(1000000 * d5 / total_chars) AS BIGINT)
+             AS dup_5gram_fp,
+         CAST(floor(1000000 * d6 / total_chars) AS BIGINT)
+             AS dup_6gram_fp,
+         CAST(floor(1000000 * d7 / total_chars) AS BIGINT)
+             AS dup_7gram_fp,
+         CAST(floor(1000000 * d8 / total_chars) AS BIGINT)
+             AS dup_8gram_fp,
+         CAST(floor(1000000 * d9 / total_chars) AS BIGINT)
+             AS dup_9gram_fp,
+         CAST(floor(1000000 * d10 / total_chars) AS BIGINT)
+             AS dup_10gram_fp,
+         (floor(1000000 * t2 / total_chars) <= 200000
+          AND floor(1000000 * t3 / total_chars) <= 180000
+          AND floor(1000000 * t4 / total_chars) <= 160000
+          AND floor(1000000 * d5 / total_chars) <= 150000
+          AND floor(1000000 * d6 / total_chars) <= 140000
+          AND floor(1000000 * d7 / total_chars) <= 130000
+          AND floor(1000000 * d8 / total_chars) <= 120000
+          AND floor(1000000 * d9 / total_chars) <= 110000
+          AND floor(1000000 * d10 / total_chars) <= 100000) AS passes
+  FROM p""",
+)
+def txt_repetition_rules(spark, sf_dir):
+    """Gopher/MassiveText n-gram repetition rules — the other half of
+    the Rae et al. Table A1 suite next to txt_gopher_rules: per-doc
+    fp6 character mass of the most frequent 2/3/4-gram and of all
+    duplicated 5..10-grams, with the thresholded pass verdict
+    (operators/textstats.repetition_rules). One generator projection
+    emits all nine n values in a single pass."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.repetition_rules(docs, "doc_id", "text")
+
+
 _DECON_SHINGLE_CTE = """
   w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
   sh AS (SELECT DISTINCT doc_id, source,
