@@ -720,3 +720,67 @@ def duplicate_weights(docs: DataFrame, id_col: str,
             .cast("long").alias("weight_fp"),
         )
     )
+
+
+def source_overlap_matrix(df: DataFrame, source_col: str,
+                          text_col: str, k: int = 5) -> DataFrame:
+    """Pairwise cross-source k-shingle overlap matrix: for every
+    unordered source pair (a < b) that shares at least one distinct
+    k-word shingle, the shared-shingle count, each side's
+    distinct-shingle total, and the fp6 Jaccard between the two
+    shingle sets. ``decontaminate`` answers "is doc X contaminated
+    vs THE benchmark"; this answers the corpus-level question a
+    curation team asks first — which source pairs bleed into each
+    other at all, and how badly.
+
+    Scale shape: ONE groupBy collects each shingle's source set
+    (bounded by the number of sources, not the corpus), pairs expand
+    map-side from the sorted array (i < j ⇒ a < b), and the final
+    aggregate is keyed by source pairs — output is at most
+    |sources|², never corpus-sized. The shingle relation is never
+    self-joined. Totals are a |sources|-row broadcast."""
+    sh = word_shingles(df, source_col, text_col, k=k)
+    totals = sh.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set(source_col)).alias("_s"))
+        .filter(F.size("_s") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_s"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_s"), i + 2, F.size("_s")),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    shared = (
+        groups.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"),
+            F.col("p.b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ta = totals.select(
+        F.col(source_col).alias("source_a"), F.col("_n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col(source_col).alias("source_b"), F.col("_n").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.floor(
+                F.lit(1_000_000) * F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).cast("long").alias("jaccard_fp"),
+        )
+    )

@@ -1086,3 +1086,46 @@ def repetition_rules(df, id_col: str, text_col: str,
     for n, cap in zip(dup_ns, dup_caps_fp):
         passes = passes & (F.col(f"dup_{n}gram_fp") <= cap)
     return out.withColumn("passes", passes)
+
+
+def vocab_coverage(df, id_col: str, text_col: str,
+                   vocab_size: int = 4096):
+    """Out-of-vocabulary rate per document against the corpus' own
+    top-``vocab_size`` word vocabulary — the tokenizer-health audit a
+    training pipeline runs before committing to a vocab: documents
+    with high OOV mass either carry a different language/domain than
+    the vocabulary was sized for or are noise the quality gates
+    missed. Deterministic vocabulary: count desc, term asc — the
+    boundary tie-break is total, so every engine picks the same V
+    terms.
+
+    Scale shape: the vocabulary is a bounded TakeOrderedAndProject
+    (V rows) broadcast to the token relation — the big side never
+    shuffles; the per-doc fold is one hash aggregate keyed by unique
+    doc ids. Output fractions are fp6 integers on exact counts."""
+    toks = tokens(df, id_col, text_col)
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("_in"))
+    )
+    marked = toks.join(F.broadcast(vocab), "term", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_oov",
+            F.floor(
+                F.lit(1_000_000) * F.col("n_oov") / F.col("n_tokens")
+            ).cast("long").alias("oov_fp"),
+        )
+    )

@@ -1582,6 +1582,72 @@ def txt_repetition_rules(spark, sf_dir):
     return textstats.repetition_rules(docs, "doc_id", "text")
 
 
+@_q(
+    "txt_oov_rate",
+    """WITH e AS (SELECT doc_id,
+              unnest(list_filter(string_split(text, ' '),
+                     x -> x <> '')) AS term
+       FROM documents),
+  v AS (SELECT term FROM (SELECT term, count(*) AS c FROM e
+                          GROUP BY term
+                          ORDER BY c DESC, term ASC LIMIT 16) q),
+  m AS (SELECT e.doc_id, v.term IS NOT NULL AS inv
+        FROM e LEFT JOIN v ON e.term = v.term)
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_oov,
+         CAST(floor(1000000 * sum(CASE WHEN inv THEN 0 ELSE 1 END)
+                    / count(*)) AS BIGINT) AS oov_fp
+  FROM m GROUP BY doc_id""",
+)
+def txt_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the corpus' own
+    top-16 word vocabulary (operators/textstats.vocab_coverage):
+    deterministic count-desc/term-asc vocabulary boundary, broadcast
+    to the token relation, fp6 OOV fraction per doc — the
+    tokenizer-health audit run before freezing a vocab."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.vocab_coverage(docs, "doc_id", "text",
+                                    vocab_size=16)
+
+
+@_q(
+    "dd_source_overlap_matrix",
+    """WITH w AS (SELECT source, string_split(text, ' ') AS w
+              FROM documents),
+  sh AS (SELECT DISTINCT source,
+                unnest(list_transform(
+                    generate_series(1, len(w) - 4),
+                    i -> array_to_string(w[i:i+4], ' '))) AS shingle
+         FROM w WHERE len(w) >= 5),
+  t AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+  p AS (SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS shared
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2)
+  SELECT source_a, source_b,
+         CAST(shared AS BIGINT) AS shared,
+         CAST(ta.n AS BIGINT) AS n_a,
+         CAST(tb.n AS BIGINT) AS n_b,
+         CAST(floor(1000000 * shared / (ta.n + tb.n - shared))
+              AS BIGINT) AS jaccard_fp
+  FROM p
+  JOIN t ta ON ta.source = p.source_a
+  JOIN t tb ON tb.source = p.source_b""",
+)
+def dd_source_overlap_matrix(spark, sf_dir):
+    """Corpus-level cross-source contamination matrix
+    (operators/dedup.source_overlap_matrix): for every source pair
+    sharing at least one distinct 5-word shingle, the shared count,
+    per-source totals, and fp6 Jaccard. One shingle→source-set
+    aggregate with map-side pair expansion — |sources|²-bounded
+    output, no corpus self-join."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.source_overlap_matrix(docs, "source", "text", k=5)
+
+
 _DECON_SHINGLE_CTE = """
   w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
   sh AS (SELECT DISTINCT doc_id, source,

@@ -1694,3 +1694,53 @@ def test_repetition_rules_short_and_degenerate_docs(spark):
     assert rows[2]["passes"] is False
     for n in (2, 3, 4):
         assert rows[2][f"top_{n}gram_fp"] > 1_000_000
+
+
+def test_vocab_coverage_boundary_and_counts(spark):
+    """The vocabulary boundary is deterministic (count desc, term asc)
+    and per-doc OOV counts are exact: with V=2 over a corpus where
+    'b' and 'c' tie on count, 'b' wins the tie lexicographically."""
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        vocab_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b c c d")],
+        "doc_id long, text string",
+    )
+    # counts: a=3, b=3, c=3, d=1 -> top-2 by (count desc, term asc)
+    # is {a, b}; c and d are OOV.
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in vocab_coverage(df, "doc_id", "text", vocab_size=2)
+        .collect()
+    }
+    assert rows[1]["n_tokens"] == 6 and rows[1]["n_oov"] == 1
+    assert rows[1]["oov_fp"] == 1_000_000 // 6
+    assert rows[2]["n_tokens"] == 4 and rows[2]["n_oov"] == 3
+    assert rows[2]["oov_fp"] == (1_000_000 * 3) // 4
+
+
+def test_source_overlap_matrix_exact_jaccard(spark):
+    """Hand-built three-source corpus: the matrix emits exactly the
+    overlapping pairs with exact shared/total counts and fp6 Jaccard,
+    and never emits a non-overlapping pair."""
+    from avk_job_skill_analytics_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "p q r s"),       # shingles (k=3): "p q r", "q r s"
+            ("s2", "p q r t"),       # "p q r", "q r t"
+            ("s3", "x y z w"),       # disjoint from s1/s2
+        ],
+        "source string, text string",
+    )
+    rows = source_overlap_matrix(df, "source", "text", k=3).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+    assert r["shared"] == 1 and r["n_a"] == 2 and r["n_b"] == 2
+    # jaccard = 1 / (2 + 2 - 1)
+    assert r["jaccard_fp"] == 1_000_000 // 3
