@@ -739,6 +739,67 @@ def tpch_q15_top_supplier(spark, sf_dir):
 
 
 @_q(
+    "tpch_q16_parts_supplier",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       SELECT p.p_brand, p.p_type, p.p_size,
+              CAST(count(DISTINCT ps.l_suppkey) AS BIGINT)
+                  AS supplier_cnt
+       FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+       WHERE p.p_brand <> 'Brand#2'
+         AND p.p_type NOT LIKE 'MEDIUM%'
+         AND p.p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+         AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+       GROUP BY p.p_brand, p.p_type, p.p_size""",
+)
+def tpch_q16_parts_supplier(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers can furnish parts matching a multi-predicate
+    spec (brand exclusion + NOT LIKE type + size IN-list), excluding
+    a complaint blocklist via NOT IN. Testdata has no partsupp, so
+    the distinct (l_partkey, l_suppkey) relation stands in (the q11 /
+    q20 convention); no s_comment either, so negative account balance
+    stands in for the complaints predicate — both substitutions keep
+    the Q16 plan shape intact: broadcast anti-join for NOT IN BEFORE
+    the distinct (map-side, shrinks the shuffle), one pair-distinct
+    shuffle, broadcast dimension filter, then a grouped
+    count-distinct. At 100 TB the only wide exchanges are the two
+    keyed by the well-distributed (partkey, suppkey) pair."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excl = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = (
+        li.join(
+            F.broadcast(excl),
+            li.l_suppkey == excl.s_suppkey,
+            "left_anti",
+        )
+        .distinct()
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#2")
+            & ~F.col("p_type").like("MEDIUM%")
+            & F.col("p_size").isin([3, 9, 14, 19, 23, 36, 45, 49])
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias(
+                "supplier_cnt"
+            )
+        )
+    )
+
+
+@_q(
     "tpch_q17_small_quantity",
     """WITH part_avg AS (
          SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
