@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["binary_metrics", "calibration_bins", "pr_curve",
-           "best_threshold", "grouped_binary_metrics"]
+           "best_threshold", "grouped_binary_metrics", "lift_table"]
 
 
 def binary_metrics(scored: DataFrame, score_col: str,
@@ -364,4 +364,92 @@ def cohen_kappa(df: "DataFrame", a_col: str, b_col: str) -> "DataFrame":
         fp6(pe).alias("pe_fp"),
         F.when(pe < F.lit(1.0), fp6((po - pe) / (F.lit(1.0) - pe)))
         .alias("kappa_fp"),
+    )
+
+
+def lift_table(scored: DataFrame, id_col: str, score_col: str,
+               label_col: str, n_bins: int = 10) -> DataFrame:
+    """Decile gains/lift table — the campaign-targeting readout: rank
+    by score DESC, cut into ``n_bins`` equal-count bins (bin 0 = the
+    top-scored decile), and report per bin the size, positives, the
+    CUMULATIVE counts, the cumulative capture rate (share of all
+    positives reached so far) and the cumulative lift (capture rate
+    over population share). A useful scorer shows lift >> 1e6 (fp6
+    for 1.0) in bin 0 decaying toward 1e6 by the last bin.
+
+    Rank determinism and scale follow ``calibration_bins``: the
+    global (score DESC, id ASC) rank decomposes into a
+    per-score-group window plus the cumulative size of strictly
+    HIGHER score groups — no corpus-sized single-partition sort.
+    capture_fp and the population-share denominator are fp6 integers
+    on exact counts; lift_fp is the fp6 ratio of those two ROUNDED
+    fp6 values (the repo's compare-the-rounded-features discipline),
+    so every engine reproduces identical rows. The cumulative window
+    at the end runs over n_bins rows — bounded post-aggregate
+    state."""
+    grp = scored.groupBy(F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    wg = (
+        Window.orderBy(F.desc("_s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = grp.select(
+        "_s",
+        F.coalesce(F.sum("_cnt").over(wg), F.lit(0)).alias("_start"),
+    )
+    wi = Window.partitionBy(score_col).orderBy(F.asc(id_col))
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("_ntot"),
+        F.sum(label_col).cast("long").alias("_ptot"),
+    )
+    binned = (
+        scored.withColumn("_off", F.row_number().over(wi))
+        .join(starts, on=F.col(score_col) == F.col("_s"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bin",
+            F.floor(
+                (F.col("_start") + F.col("_off") - 1)
+                * F.lit(n_bins) / F.col("_ntot")
+            ).cast("long"),
+        )
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(label_col).cast("long").alias("n_pos"),
+        F.first("_ntot").alias("_ntot"),
+        F.first("_ptot").alias("_ptot"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+        "_ntot",
+        "_ptot",
+    )
+    capture = F.when(
+        F.col("_ptot") > 0,
+        F.floor(
+            F.lit(1_000_000) * F.col("cum_pos") / F.col("_ptot")
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    share = F.floor(
+        F.lit(1_000_000) * F.col("cum_n") / F.col("_ntot")
+    ).cast("long")
+    return cum.select(
+        "bin",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        capture.alias("capture_fp"),
+        F.floor(F.lit(1_000_000) * capture / share)
+        .cast("long")
+        .alias("lift_fp"),
     )

@@ -5256,6 +5256,59 @@ def ml_calibration_bins(spark, sf_dir):
     )
 
 
+@_q(
+    "ml_lift_table",
+    f"""WITH scored AS ({_nb_sql()}),
+       nt AS (SELECT count(*) AS ntot, sum(actual) AS ptot
+              FROM scored),
+       rn AS (SELECT actual,
+                row_number() OVER (ORDER BY score_fp DESC,
+                                            doc_id ASC) AS rn
+              FROM scored),
+       b AS (SELECT actual,
+               CAST(floor((rn - 1) * 10 / nt.ntot) AS BIGINT) AS bin
+             FROM rn, nt),
+       g AS (SELECT bin, count(*) AS n, sum(actual) AS n_pos
+             FROM b GROUP BY bin),
+       c AS (SELECT bin, n, n_pos,
+               sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cum_n,
+               sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cum_pos
+             FROM g)
+       SELECT bin, CAST(n AS BIGINT) AS n,
+              CAST(n_pos AS BIGINT) AS n_pos,
+              CAST(cum_n AS BIGINT) AS cum_n,
+              CAST(cum_pos AS BIGINT) AS cum_pos,
+              CAST(CASE WHEN ptot > 0
+                   THEN floor(1000000 * cum_pos / ptot)
+                   ELSE 0 END AS BIGINT) AS capture_fp,
+              CAST(floor(1000000 *
+                     (CASE WHEN ptot > 0
+                      THEN floor(1000000 * cum_pos / ptot)
+                      ELSE 0 END)
+                     / floor(1000000 * cum_n / ntot)) AS BIGINT)
+                  AS lift_fp
+       FROM c, nt""",
+)
+def ml_lift_table(spark, sf_dir):
+    """Decile gains/lift table for the NB gate
+    (evalmetrics.lift_table): cumulative capture rate and lift per
+    score-DESC decile, the campaign-targeting readout next to the
+    reliability diagram. Rank decomposition and fp6 discipline as in
+    ml_calibration_bins."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.lift_table(
+        scored, "doc_id", "score_fp", "actual", n_bins=10
+    )
+
+
 # ---------------------------------------------- PR curve + gate tuning
 @_q(
     "ml_pr_curve",

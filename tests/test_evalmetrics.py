@@ -737,3 +737,47 @@ def test_binary_metrics_degenerate_inputs_yield_null(spark):
     # pr_curve on an all-negative frame: rec_fp NULL on every row
     curve = evalmetrics.pr_curve(df, "score_fp", "actual").collect()
     assert curve and all(r["rec_fp"] is None for r in curve)
+
+
+def test_lift_table_hand_computed(spark):
+    """A perfectly-ranked scorer over 10 rows with 2 positives at the
+    top: bin 0 captures both positives (capture 100%, lift 5x at 20%
+    population share); later bins decay to lift 1x."""
+    from avk_job_skill_analytics_spark.operators.evalmetrics import (
+        lift_table,
+    )
+
+    rows = [(i, 1_000_000 - i * 1000, 1 if i < 2 else 0)
+            for i in range(10)]
+    scored = spark.createDataFrame(
+        rows, "id long, score_fp long, y int"
+    )
+    out = {
+        r["bin"]: r.asDict()
+        for r in lift_table(scored, "id", "score_fp", "y",
+                            n_bins=5).collect()
+    }
+    assert len(out) == 5
+    # bin 0 = top 2 rows = both positives
+    assert out[0]["n"] == 2 and out[0]["n_pos"] == 2
+    assert out[0]["capture_fp"] == 1_000_000       # 2/2 positives
+    # share = 2/10 -> 200000; lift = floor(1e6 * 1e6 / 2e5) = 5e6
+    assert out[0]["lift_fp"] == 5_000_000
+    # last bin: capture still 100%, share 100% -> lift exactly 1.0
+    assert out[4]["cum_n"] == 10 and out[4]["cum_pos"] == 2
+    assert out[4]["lift_fp"] == 1_000_000
+
+
+def test_lift_table_no_positives_guard(spark):
+    """Zero positives: capture_fp pins to 0 instead of dividing by
+    zero, and lift_fp follows."""
+    from avk_job_skill_analytics_spark.operators.evalmetrics import (
+        lift_table,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, i * 10, 0) for i in range(6)],
+        "id long, score_fp long, y int",
+    )
+    out = lift_table(scored, "id", "score_fp", "y", n_bins=3).collect()
+    assert all(r["capture_fp"] == 0 and r["lift_fp"] == 0 for r in out)
