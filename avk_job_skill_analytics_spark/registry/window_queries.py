@@ -1602,6 +1602,51 @@ def win_ewma_control(spark, sf_dir):
 
 
 @_q(
+    "win_cusum_changepoint",
+    """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
+               FROM events GROUP BY 1),
+       seq AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn
+               FROM daily),
+       t AS (SELECT sum(CASE WHEN rn <= 7 THEN x END) AS tw
+             FROM seq),
+       base AS (SELECT d, x, 7 * x - tw AS dev,
+                       CAST(floor(tw / 2) AS BIGINT) AS ks,
+                       2 * tw AS h
+                FROM seq, t),
+       p AS (SELECT d, x, h,
+               sum(dev - ks) OVER w AS pu,
+               sum(-dev - ks) OVER w AS pd
+             FROM base
+             WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW)),
+       c AS (SELECT d, x, h, pu, pd,
+               least(0, min(pu) OVER w) AS mu,
+               least(0, min(pd) OVER w) AS md
+             FROM p
+             WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW))
+       SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x,
+              CAST(pu - mu AS BIGINT) AS cusum_up,
+              CAST(pd - md AS BIGINT) AS cusum_down,
+              (pu - mu) > h AS alarm_up,
+              (pd - md) > h AS alarm_down
+       FROM c""",
+)
+def win_cusum_changepoint(spark, sf_dir):
+    """Two-sided CUSUM changepoint chart over daily event volume
+    (operators/analytics.cusum_changepoint): catches SUSTAINED small
+    drifts the EWMA residual test misses. Exact integers end-to-end
+    (7-scaled deviations vs the first-week baseline, half-mean
+    allowance, prefix-sum/running-min identity instead of the
+    sequential fold); windows run on the ~30-row daily frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return A.cusum_changepoint(daily, "d", "x", baseline_w=7)
+
+
+@_q(
     "win_seasonal_backtest",
     """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
                FROM events GROUP BY 1),

