@@ -29,6 +29,7 @@ __all__ = [
     "psi_from_counts",
     "information_value",
     "skew_report",
+    "freshness",
 ]
 
 from .exactlog import as_dec, fp6_floor, frac, log_frac
@@ -415,4 +416,40 @@ def expectation_trend(df: DataFrame, slice_col: str,
             F.col("r.metric_fp").alias("metric_fp"),
             (F.col("r.metric_fp") == _MIL).alias("passed"),
         )
+    )
+
+
+def freshness(df: DataFrame, dim_col: str, ts_col: str,
+              max_lag_s: int = 86_400) -> DataFrame:
+    """Per-slice data-freshness audit — the first page of every
+    pipeline-health dashboard: for each ``dim_col`` slice, the row
+    count, the latest event time, the staleness lag behind the
+    freshest slice, and a boolean gate at ``max_lag_s``. A feed that
+    silently stopped landing shows up here hours before any
+    distribution test notices.
+
+    Exact and engine-portable: event times reduce to integer epoch
+    MICROSECONDS (max over longs), the lag is one floor-divide to
+    whole seconds, and the gate compares integers. Only the
+    DIFFERENCE is emitted, never an absolute epoch — the testdata
+    timestamps are tz-naive (TIMESTAMP_NTZ), and any fixed
+    session-timezone offset the epoch extraction applies cancels in
+    the subtraction (the core_queries dwell-time convention), so the
+    card replays under any driver session timezone. One hash
+    aggregate keyed by the slice column plus a 1-row broadcast of the
+    global max — no windows, corpus scans once."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per = df.groupBy(dim_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(us).alias("_us"),
+    )
+    g = per.agg(F.max("_us").alias("_g"))
+    lag = F.floor(
+        (F.col("_g") - F.col("_us")) / F.lit(1_000_000)
+    ).cast("long")
+    return per.crossJoin(F.broadcast(g)).select(
+        dim_col,
+        "n",
+        lag.alias("lag_s"),
+        (lag > F.lit(max_lag_s)).alias("stale"),
     )

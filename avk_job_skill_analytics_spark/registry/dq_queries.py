@@ -484,3 +484,26 @@ def dq_expectations_by_day(spark, sf_dir):
         ("completeness_custkey", "completeness", "custkey"),
         ("nonneg_price", "non_negative", "price"),
     ])
+
+
+@_q(
+    "dq_freshness",
+    """WITH per AS (SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                max(epoch_us(ts)) AS max_ts_us
+         FROM events GROUP BY event_type),
+       g AS (SELECT max(max_ts_us) AS gm FROM per)
+       SELECT event_type, n,
+              CAST(floor((gm - max_ts_us) / 1000000) AS BIGINT)
+                  AS lag_s,
+              floor((gm - max_ts_us) / 1000000) > 600 AS stale
+       FROM per, g""",
+)
+def dq_freshness(spark, sf_dir):
+    """Per-slice feed-freshness audit over event types
+    (operators/dataquality.freshness): row count, whole-second
+    staleness lag behind the freshest slice, and a 10-minute gate — a feed that stopped
+    landing trips this before any distribution test notices. One
+    hash aggregate + a 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    return DQ.freshness(ev, "event_type", "ts", max_lag_s=600)

@@ -524,3 +524,27 @@ def test_cusum_alarm_fires_on_large_shift(spark):
     assert not out[11]["alarm_up"]       # 4 shifted days: 1400, not > h
     assert out[12]["alarm_up"]           # 5th: 1750 > 1400
     assert all(not out[d]["alarm_down"] for d in out)
+
+
+def test_freshness_lag_and_gate(spark):
+    """Hand-built feed: source 'b' stopped 2 hours before 'a';
+    lag is exact whole seconds behind the freshest slice and the
+    gate fires only past max_lag_s."""
+    from datetime import datetime as dt
+
+    from avk_job_skill_analytics_spark.operators.dataquality import (
+        freshness,
+    )
+
+    rows = [
+        ("a", dt(2024, 1, 5, 12, 0, 0)),
+        ("a", dt(2024, 1, 5, 14, 0, 30)),
+        ("b", dt(2024, 1, 5, 12, 0, 30)),
+    ]
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    out = {r["src"]: r.asDict()
+           for r in freshness(df, "src", "ts", max_lag_s=3600)
+           .collect()}
+    assert out["a"]["lag_s"] == 0 and out["a"]["stale"] is False
+    assert out["b"]["lag_s"] == 7200 and out["b"]["stale"] is True
+    assert out["a"]["n"] == 2 and out["b"]["n"] == 1
