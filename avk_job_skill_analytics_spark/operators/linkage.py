@@ -167,3 +167,49 @@ def golden_records(resolved: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_records") >= 2)
     )
+
+
+def blocking_audit(recs: DataFrame, cands: DataFrame,
+                   truth: DataFrame) -> DataFrame:
+    """Blocking-quality audit — the two numbers every record-linkage
+    textbook demands before trusting a blocking scheme: REDUCTION
+    RATIO (how much of the all-pairs quadratic the blocks pruned) and
+    PAIR COMPLETENESS (how many TRUE duplicate pairs survived into
+    the candidate set; every pair lost here is an unrecoverable
+    linkage miss, including pairs dropped with over-cap blocks).
+
+    ``cands`` and ``truth`` are (a_rec_id, b_rec_id) relations with
+    a < b. One-row output, all exact integers: n·(n−1)/2 all-pairs,
+    fp6 ratios via the shared identical-spelling floor division; the
+    truth join is a broadcast semi-join (truth is duplicate-sized,
+    not corpus-sized)."""
+    n = recs.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    nc = cands.agg(F.count(F.lit(1)).cast("long").alias("_nc"))
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("_nt"))
+    nf = cands.join(
+        F.broadcast(truth), ["a_rec_id", "b_rec_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).cast("long").alias("_nf"))
+    ap = F.floor(
+        F.col("_n") * (F.col("_n") - 1) / F.lit(2)
+    ).cast("long")
+    red = F.floor(
+        F.lit(1_000_000) * (ap - F.col("_nc")) / ap
+    ).cast("long")
+    comp = F.when(
+        F.col("_nt") > 0,
+        F.floor(F.lit(1_000_000) * F.col("_nf") / F.col("_nt")),
+    ).cast("long")
+    return (
+        n.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            F.col("_n").alias("n_records"),
+            ap.alias("n_all_pairs"),
+            F.col("_nc").alias("n_candidates"),
+            red.alias("reduction_fp"),
+            F.col("_nt").alias("n_true"),
+            F.col("_nf").alias("n_true_found"),
+            comp.alias("completeness_fp"),
+        )
+    )

@@ -253,3 +253,44 @@ def er_golden_record(spark, sf_dir):
         "entity_id", "n_records", "n_sources", "name", "acctbal",
         "segment",
     )
+
+
+@_q(
+    "er_blocking_audit",
+    f"""WITH {_RECS_SQL}, {_CAND_SQL},
+       n AS (SELECT count(*) AS n FROM recs),
+       t AS (SELECT count(*) AS n_true FROM recs WHERE src = 'web'),
+       c AS (SELECT count(*) AS n_cand,
+               sum(CASE WHEN a_rec_id % 2 = 0
+                         AND b_rec_id = a_rec_id + 1
+                        THEN 1 ELSE 0 END) AS n_found
+             FROM cand)
+       SELECT CAST(n AS BIGINT) AS n_records,
+              CAST(floor(n * (n - 1) / 2) AS BIGINT) AS n_all_pairs,
+              CAST(n_cand AS BIGINT) AS n_candidates,
+              CAST(floor(1000000 * (floor(n * (n - 1) / 2) - n_cand)
+                         / floor(n * (n - 1) / 2)) AS BIGINT)
+                  AS reduction_fp,
+              CAST(n_true AS BIGINT) AS n_true,
+              CAST(n_found AS BIGINT) AS n_true_found,
+              CAST(CASE WHEN n_true > 0
+                   THEN floor(1000000 * n_found / n_true) END
+                   AS BIGINT) AS completeness_fp
+       FROM n, t, c""",
+)
+def er_blocking_audit(spark, sf_dir):
+    """ER stage-0 audit — reduction ratio and pair completeness of
+    the blocking scheme (operators/linkage.blocking_audit): the
+    registry's recoverable ground truth (every web record's true
+    match is its rec_id−1 crm twin) joins against the capped
+    candidate set, so pairs lost to over-cap block drops are charged
+    as linkage misses. One-row card, exact integers + fp6 ratios."""
+    recs = dirty_registry(spark, sf_dir)
+    cands = linkage.candidate_pairs_blocked(
+        recs, max_block=_MAX_BLOCK
+    ).select("a_rec_id", "b_rec_id")
+    truth = recs.filter(F.col("src") == "web").select(
+        (F.col("rec_id") - 1).alias("a_rec_id"),
+        F.col("rec_id").alias("b_rec_id"),
+    )
+    return linkage.blocking_audit(recs, cands, truth)

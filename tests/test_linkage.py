@@ -76,3 +76,29 @@ def test_survivorship_rules(spark):
     # every golden entity is exactly the 2-record crm+web pair
     assert golden.filter(F.col("n_records") != 2).count() == 0
     assert golden.filter(F.col("n_sources") != 2).count() == 0
+
+
+def test_blocking_audit_charges_lost_pairs(spark):
+    """A blocking scheme that separates one true pair must show
+    completeness < 100% while reduction stays high; all-pairs,
+    candidate and truth counts are exact."""
+    from avk_job_skill_analytics_spark.operators.linkage import (
+        blocking_audit,
+    )
+
+    # 6 records; candidates = pairs co-blocked by the scheme under
+    # test: truth (0,1) found, truth (2,3) LOST (different blocks),
+    # plus one non-true candidate (4,5).
+    recs = spark.createDataFrame(
+        [(i,) for i in range(6)], "rec_id long")
+    cands = spark.createDataFrame(
+        [(0, 1), (4, 5)], "a_rec_id long, b_rec_id long")
+    truth = spark.createDataFrame(
+        [(0, 1), (2, 3)], "a_rec_id long, b_rec_id long")
+    r = blocking_audit(recs, cands, truth).collect()[0].asDict()
+    assert r["n_records"] == 6
+    assert r["n_all_pairs"] == 15
+    assert r["n_candidates"] == 2
+    assert r["reduction_fp"] == (1_000_000 * 13) // 15
+    assert r["n_true"] == 2 and r["n_true_found"] == 1
+    assert r["completeness_fp"] == 500_000
