@@ -1310,3 +1310,74 @@ def semihard_negative_topk(corpus: DataFrame, queries: DataFrame,
         .select("query_id", "neighbor_id", "cosine", "pos_sim",
                 F.col("rk").cast("long").alias("rk"))
     )
+
+
+def similarity_histogram(df: DataFrame, id_col: str, vec_col: str,
+                         sample_k: int = 128, n_buckets: int = 16,
+                         round_digits: int = 6) -> DataFrame:
+    """Embedding-space health histogram: the distribution of pairwise
+    cosines over a deterministic bounded sample — the anisotropy /
+    collapse audit run before trusting an embedding column for dedup
+    or retrieval (a healthy space centers near 0; mass piled at
+    cos ~ 1 means the encoder collapsed and every downstream
+    similarity op is noise).
+
+    Scale design: the sample is a TakeOrderedAndProject of exactly
+    ``sample_k`` rows ordered by (knuth32(id), id) — deterministic at
+    every corpus size, no full sort — and the pair expansion is a
+    broadcast self-join of that k-row frame (k·(k−1)/2 pairs, fixed
+    cost regardless of corpus). The corpus itself is scanned once.
+    Cosines follow the repo's left-fold dot / rounded-fp6 convention;
+    bucket ids and per-bucket means are exact integer arithmetic on
+    the fp6 values."""
+    from .hashing import knuth32
+
+    s = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(knuth32(F.col(id_col)), F.col(id_col))
+        .limit(sample_k)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_nm"),
+        )
+    )
+    a = s.select(
+        F.col("_id").alias("_ia"),
+        F.col("_v").alias("_va"),
+        F.col("_nm").alias("_na"),
+    )
+    b = s.select(
+        F.col("_id").alias("_ib"),
+        F.col("_v").alias("_vb"),
+        F.col("_nm").alias("_nb"),
+    )
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb"))
+        / (F.col("_na") * F.col("_nb")),
+        round_digits,
+    )
+    cos_fp = F.floor(
+        cos * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    pairs = (
+        F.broadcast(a)
+        .join(F.broadcast(b), F.col("_ia") < F.col("_ib"))
+        .select(cos_fp.alias("_cfp"))
+    )
+    width = 2_000_000 // n_buckets
+    bucket = F.least(
+        F.floor(
+            (F.col("_cfp") + F.lit(1_000_000)) / F.lit(width)
+        ).cast("long"),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    return (
+        pairs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.floor(F.sum("_cfp") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_cos_fp"),
+        )
+    )

@@ -324,6 +324,35 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @_q(
+    "emb_similarity_histogram",
+    f"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+           LIMIT 128),
+       p AS (SELECT CAST(floor(
+               round({_cos_sql('a.embedding', 'b.embedding')}, 6)
+               * 1000000.0 + 0.5) AS BIGINT) AS cos_fp
+             FROM s a JOIN s b ON a.vec_id < b.vec_id),
+       h AS (SELECT least(CAST(floor((cos_fp + 1000000) / 125000)
+                          AS BIGINT), 15) AS bucket,
+                    count(*) AS n, sum(cos_fp) AS sc
+             FROM p GROUP BY 1)
+       SELECT bucket, CAST(n AS BIGINT) AS n,
+              CAST(floor(sc / n) AS BIGINT) AS mean_cos_fp
+       FROM h""",
+)
+def emb_similarity_histogram(spark, sf_dir):
+    """Embedding anisotropy/collapse audit
+    (operators/similarity.similarity_histogram): pairwise-cosine
+    distribution over a deterministic 128-vector knuth-ordered
+    sample — TakeOrderedAndProject sample, broadcast k-row self-join,
+    fixed 8128-pair cost at every corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.similarity_histogram(
+        e, "vec_id", "embedding", sample_k=128, n_buckets=16
+    )
+
+
+@_q(
     "ann_ivf_topk",
     f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
                      FROM embeddings ORDER BY vec_id LIMIT 8),

@@ -1744,3 +1744,37 @@ def test_source_overlap_matrix_exact_jaccard(spark):
     assert r["shared"] == 1 and r["n_a"] == 2 and r["n_b"] == 2
     # jaccard = 1 / (2 + 2 - 1)
     assert r["jaccard_fp"] == 1_000_000 // 3
+
+
+def test_similarity_histogram_detects_collapse(spark):
+    """A collapsed space (all vectors identical up to scale) piles
+    every pair into the top bucket with mean cos = 1; an orthogonal
+    basis puts every pair at exactly 0. Bucket arithmetic is exact:
+    cos 1.0 -> fp 1000000 -> bucket min(16,15)=15; cos 0 -> bucket 8."""
+    from avk_job_skill_analytics_spark.operators.similarity import (
+        similarity_histogram,
+    )
+
+    collapsed = spark.createDataFrame(
+        [(i, [1.0 * (i + 1), 2.0 * (i + 1), 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity_histogram(
+        collapsed, "vec_id", "embedding", sample_k=6
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["bucket"] == 15
+    assert out[0]["n"] == 15                 # C(6,2)
+    assert out[0]["mean_cos_fp"] == 1_000_000
+
+    ortho = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(4)])
+         for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = similarity_histogram(
+        ortho, "vec_id", "embedding", sample_k=4
+    ).collect()
+    assert len(out2) == 1
+    assert out2[0]["bucket"] == 8 and out2[0]["n"] == 6
+    assert out2[0]["mean_cos_fp"] == 0
