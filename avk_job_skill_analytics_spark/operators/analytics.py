@@ -522,6 +522,60 @@ def ewma_control(series: DataFrame, t_col: str, x_col: str,
     )
 
 
+def holt_linear(series: DataFrame, t_col: str, x_col: str,
+                alpha: float = 0.5, beta: float = 0.25) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing over an
+    ordered series — the one-step forecaster that tracks a DRIFTING
+    level, where plain EWMA lags a trending metric by a constant:
+
+        l(t) = α·x(t) + (1−α)·(l(t−1) + b(t−1))
+        b(t) = β·(l(t) − l(t−1)) + (1−β)·b(t−1)
+
+    with l(t₀) = x(t₀), b(t₀) = 0, forecast(t+1) = l(t) + b(t).
+
+    Determinism follows the ewma_control discipline: the two-state
+    recurrence is a SEQUENTIAL left fold in ascending t (struct
+    accumulator over the ordered prefix list; the oracle replays a
+    recursive CTE inlining the IDENTICAL arithmetic, including the
+    doubled l(t) subexpression inside b(t)), and the smoothing
+    constants default to exactly-representable binary fractions
+    (0.5, 0.25, 0.75) so no literal can differ by an ulp. Windows run
+    over the aggregated series frame, never the corpus."""
+    w = Window.orderBy(t_col).rowsBetween(
+        Window.unboundedPreceding, 0)
+    xs = F.collect_list(F.col(x_col).cast("double")).over(w)
+
+    def step(acc, x):
+        prev_l = acc.getField("l")
+        prev_b = acc.getField("b")
+        new_l = F.when(prev_l.isNull(), x).otherwise(
+            F.lit(alpha) * x + F.lit(1.0 - alpha) * (prev_l + prev_b)
+        )
+        new_b = F.when(prev_l.isNull(), F.lit(0.0)).otherwise(
+            F.lit(beta)
+            * ((F.lit(alpha) * x
+                + F.lit(1.0 - alpha) * (prev_l + prev_b)) - prev_l)
+            + F.lit(1.0 - beta) * prev_b
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+    )
+    st = F.aggregate(xs, init, step)
+    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
+        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    return series.select(
+        F.col(t_col),
+        F.col(x_col).cast("long").alias("x"),
+        fp6(st.getField("l")).alias("level_fp"),
+        fp6(st.getField("b")).alias("trend_fp"),
+        fp6(st.getField("l") + st.getField("b")).alias("forecast_fp"),
+    )
+
+
 def cusum_changepoint(series: DataFrame, t_col: str, x_col: str,
                       baseline_w: int = 7) -> DataFrame:
     """Two-sided CUSUM changepoint detector over an ordered integer

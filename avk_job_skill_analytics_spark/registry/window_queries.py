@@ -1602,6 +1602,46 @@ def win_ewma_control(spark, sf_dir):
 
 
 @_q(
+    "win_holt_linear",
+    """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
+               FROM events GROUP BY 1),
+       seq AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn
+               FROM daily),
+       rec AS (
+           WITH RECURSIVE r(rn, d, x, l, b) AS (
+               SELECT rn, d, x, CAST(x AS DOUBLE), CAST(0 AS DOUBLE)
+               FROM seq WHERE rn = 1
+               UNION ALL
+               SELECT s.rn, s.d, s.x,
+                      0.5 * s.x + 0.5 * (r.l + r.b),
+                      0.25 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l)
+                          + 0.75 * r.b
+               FROM seq s JOIN r ON s.rn = r.rn + 1)
+           SELECT * FROM r)
+       SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x,
+              CAST(floor(round(l, 6) * CAST(1000000 AS DOUBLE)
+                   + CAST('0.5' AS DOUBLE)) AS BIGINT) AS level_fp,
+              CAST(floor(round(b, 6) * CAST(1000000 AS DOUBLE)
+                   + CAST('0.5' AS DOUBLE)) AS BIGINT) AS trend_fp,
+              CAST(floor(round(l + b, 6) * CAST(1000000 AS DOUBLE)
+                   + CAST('0.5' AS DOUBLE)) AS BIGINT) AS forecast_fp
+       FROM rec""",
+)
+def win_holt_linear(spark, sf_dir):
+    """Holt linear-trend smoothing over daily event volume
+    (operators/analytics.holt_linear): level + trend double
+    recurrence as an ordered two-state fold, oracle-replayed by a
+    recursive CTE inlining the identical arithmetic; smoothing
+    constants are exact binary fractions. forecast_fp is the
+    one-step-ahead prediction EWMA structurally lags on trends."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return A.holt_linear(daily, "d", "x", alpha=0.5, beta=0.25)
+
+
+@_q(
     "win_cusum_changepoint",
     """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
                FROM events GROUP BY 1),

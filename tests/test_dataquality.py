@@ -548,3 +548,39 @@ def test_freshness_lag_and_gate(spark):
     assert out["a"]["lag_s"] == 0 and out["a"]["stale"] is False
     assert out["b"]["lag_s"] == 7200 and out["b"]["stale"] is True
     assert out["a"]["n"] == 2 and out["b"]["n"] == 1
+
+
+def test_holt_linear_tracks_trend_ewma_lags(spark):
+    """On a pure linear ramp the Holt recurrence converges its trend
+    toward the true slope and its one-step forecast toward the next
+    value; the per-row fold must equal a hand-rolled sequential
+    reference exactly."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        holt_linear,
+    )
+
+    xs = [100 + 10 * i for i in range(20)]          # slope 10
+    df = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(xs)], "d int, x long"
+    )
+    out = {r["d"]: r.asDict()
+           for r in holt_linear(df, "d", "x").collect()}
+
+    l = b = None
+    for d, x in enumerate(xs, start=1):
+        if l is None:
+            l, b = float(x), 0.0
+        else:
+            new_l = 0.5 * x + 0.5 * (l + b)
+            b = 0.25 * (new_l - l) + 0.75 * b
+            l = new_l
+        import math
+        fp6 = lambda v: math.floor(round(v, 6) * 1_000_000.0 + 0.5)  # noqa: E731
+        assert out[d]["level_fp"] == fp6(l), d
+        assert out[d]["trend_fp"] == fp6(b), d
+        assert out[d]["forecast_fp"] == fp6(l + b), d
+    # by day 20 the learned trend sits near the true slope of 10
+    assert abs(out[20]["trend_fp"] - 10_000_000) < 1_500_000
+    # and the one-step forecast is within ~2 units of day 21's true
+    # value (100 + 10*20 = 300)
+    assert abs(out[20]["forecast_fp"] - 300_000_000) < 2_000_000
