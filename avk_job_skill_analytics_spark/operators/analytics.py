@@ -522,6 +522,57 @@ def ewma_control(series: DataFrame, t_col: str, x_col: str,
     )
 
 
+def robust_anomaly_mad(series: DataFrame, t_col: str, x_col: str,
+                       k: int = 3) -> DataFrame:
+    """Median/MAD robust anomaly flags over an ordered integer series
+    — the twin of the z-score chart that a single huge outlier cannot
+    blind: one bad day inflates the mean AND the sigma, so the
+    z-score test under-flags exactly when it matters; the median and
+    the median-absolute-deviation barely move.
+
+    Exact integers end-to-end: the median is the ORDER STATISTIC at
+    rank floor((n+1)/2) under the total (x, t) order (no
+    interpolation, so no float ever appears), MAD is the same rank of
+    the integer deviations, and the flag compares dev > k·MAD. A
+    zero MAD (over half the points identical) degrades to flagging
+    any deviation, documented rather than dividing. Scale: two
+    row_number windows and three 1-row broadcasts over the AGGREGATED
+    series frame — days, not events."""
+    wx = Window.orderBy(F.asc(x_col), F.asc(t_col))
+    s = series.select(F.col(t_col), F.col(x_col)).withColumn(
+        "_rx", F.row_number().over(wx)
+    )
+    n1 = s.agg(F.count(F.lit(1)).alias("_n"))
+    med_rank = F.floor((F.col("_n") + 1) / 2)
+    med = (
+        s.crossJoin(F.broadcast(n1))
+        .filter(F.col("_rx") == med_rank)
+        .select(F.col(x_col).cast("long").alias("_med"))
+    )
+    dv = s.crossJoin(F.broadcast(med)).withColumn(
+        "_dev", F.abs(F.col(x_col) - F.col("_med")).cast("long")
+    )
+    wd = Window.orderBy(F.asc("_dev"), F.asc(t_col))
+    r = dv.withColumn("_rd", F.row_number().over(wd))
+    mad = (
+        r.crossJoin(F.broadcast(n1))
+        .filter(F.col("_rd") == med_rank)
+        .select(F.col("_dev").alias("_mad"))
+    )
+    return r.crossJoin(F.broadcast(mad)).select(
+        F.col(t_col),
+        F.col(x_col).cast("long").alias("x"),
+        F.col("_med").alias("median_x"),
+        F.col("_dev").alias("dev"),
+        F.col("_mad").alias("mad"),
+        F.when(
+            F.col("_mad") > 0, F.col("_dev") > F.lit(k) * F.col("_mad")
+        )
+        .otherwise(F.col("_dev") > 0)
+        .alias("anomaly"),
+    )
+
+
 def holt_linear(series: DataFrame, t_col: str, x_col: str,
                 alpha: float = 0.5, beta: float = 0.25) -> DataFrame:
     """Holt's linear-trend double exponential smoothing over an

@@ -2035,6 +2035,60 @@ def stream_dq_gate(spark, sf_dir):
     )
 
 
+def _stream_freshness_sql() -> str:
+    from .dq_queries import ORACLES as _DQO
+
+    return _DQO["dq_freshness"]
+
+
+@_q("stream_freshness_monitor", _stream_freshness_sql())
+def stream_freshness_monitor(spark, sf_dir):
+    """Streaming feed-freshness monitor
+    (streaming/dq_stream.foreach_batch_freshness_fold): events arrive
+    as TWO micro-batches; each pays one per-slice (count, max-micros)
+    aggregate folded into two driver integers per slice — sum and max
+    both merge order-free, so the drained report hash-matches the
+    batch dq_freshness over the full feed (the shared oracle). The
+    monitor that notices a feed STOPPING as it stops, not at the
+    nightly scan."""
+    from ..streaming.dq_stream import (
+        foreach_batch_freshness_fold,
+        freshness_report_rows,
+    )
+
+    src = _single_file_drops(
+        spark, sf_dir, "events", ["event_id", "ts", "event_type"],
+        [("0_even.parquet", F.col("event_id") % 2 == 0),
+         ("1_odd.parquet", F.col("event_id") % 2 == 1)],
+        "events_fresh_src_",
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_fresh_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts timestamp_ntz, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    state: dict = {"seen": set()}
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_freshness_fold(
+                    stream, "event_type", "ts", state
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        freshness_report_rows(state, max_lag_s=600),
+        "event_type string, n long, lag_s long, stale boolean",
+    )
+
+
 def _stream_psi_sql() -> str:
     from .dq_queries import _PSI_SQL
 

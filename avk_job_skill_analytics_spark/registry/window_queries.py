@@ -1602,6 +1602,41 @@ def win_ewma_control(spark, sf_dir):
 
 
 @_q(
+    "win_anomaly_mad",
+    """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
+               FROM events GROUP BY 1),
+       s AS (SELECT d, x, row_number() OVER (ORDER BY x, d) AS rx
+             FROM daily),
+       n AS (SELECT count(*) AS n FROM daily),
+       m AS (SELECT x AS med FROM s, n WHERE rx = floor((n + 1) / 2)),
+       dv AS (SELECT d, x, med, abs(x - med) AS dev FROM s, m),
+       r AS (SELECT *, row_number() OVER (ORDER BY dev, d) AS rd
+             FROM dv),
+       md AS (SELECT dev AS mad FROM r, n
+              WHERE rd = floor((n + 1) / 2))
+       SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x,
+              CAST(med AS BIGINT) AS median_x,
+              CAST(dev AS BIGINT) AS dev,
+              CAST(mad AS BIGINT) AS mad,
+              CASE WHEN mad > 0 THEN dev > 3 * mad
+                   ELSE dev > 0 END AS anomaly
+       FROM r, md""",
+)
+def win_anomaly_mad(spark, sf_dir):
+    """Median/MAD robust anomaly flags over daily event volume
+    (operators/analytics.robust_anomaly_mad) — the outlier test a
+    single huge spike cannot blind, unlike win_anomaly_zscore whose
+    mean and sigma the spike itself inflates. Order-statistic median
+    (no interpolation), integer deviations, dev > 3*MAD gate; windows
+    on the ~30-row daily frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return A.robust_anomaly_mad(daily, "d", "x", k=3)
+
+
+@_q(
     "win_holt_linear",
     """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
                FROM events GROUP BY 1),

@@ -27,6 +27,8 @@ __all__ = [
     "psi_report_from_state",
     "foreach_batch_ab_fold",
     "ab_monitor_card",
+    "foreach_batch_freshness_fold",
+    "freshness_report_rows",
 ]
 
 _MIL = 1_000_000
@@ -199,3 +201,61 @@ def ab_monitor_card(state: dict):
         lift = int(math.floor(
             round(cb / nb - ca / na, 6) * 1_000_000.0 + 0.5))
     return [(na, nb, ca, cb, rpe(ca, na), rpe(cb, nb), lift)]
+
+
+def foreach_batch_freshness_fold(stream: DataFrame, dim_col: str,
+                                 ts_col: str, state: dict) -> "object":
+    """writeStream.foreachBatch sink folding per-slice feed freshness.
+
+    Per micro-batch: ONE hash aggregate to (count, max epoch-micros)
+    per slice, folded into bounded driver state — (sum, max) both
+    merge order-free, so the drained report is bit-identical to the
+    batch ``dataquality.freshness`` over the union of every arrival
+    (the oracle the driver gate replays). This is the monitor that
+    notices a feed STOPPING: a slice whose max stops advancing while
+    the global max moves drifts into staleness trigger by trigger.
+    ``state``: {"acc": {slice: [n, max_us]}, "seen": set} — two
+    numbers per slice, bounded regardless of stream length.
+    Epoch-guarded against at-least-once redelivery."""
+    from .incremental import epoch_already_applied, epoch_mark_applied
+
+    state.setdefault("acc", {})
+
+    def batch_fn(bdf: DataFrame, epoch_id: int) -> None:
+        if epoch_already_applied(state, epoch_id):
+            return
+        rows = (
+            bdf.groupBy(dim_col)
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.max(
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                ).alias("_mx"),
+            )
+            .collect()  # bounded: one row per slice value
+        )
+        for r in rows:
+            acc = state["acc"].setdefault(r[0], [0, None])
+            acc[0] += r["_n"]
+            acc[1] = (
+                r["_mx"] if acc[1] is None else max(acc[1], r["_mx"])
+            )
+        epoch_mark_applied(state, epoch_id)
+
+    return stream.writeStream.foreachBatch(batch_fn)
+
+
+def freshness_report_rows(state: dict, max_lag_s: int = 600):
+    """Drain the freshness fold into (slice, n, lag_s, stale) rows —
+    the same integer arithmetic as the batch operator: whole-second
+    lag behind the freshest slice via exact integer floor-division of
+    the epoch-micros DIFFERENCE (timezone offsets cancel)."""
+    acc = state.get("acc", {})
+    if not acc:
+        return []
+    g = max(v[1] for v in acc.values())
+    return [
+        (k, v[0], (g - v[1]) // 1_000_000,
+         (g - v[1]) // 1_000_000 > max_lag_s)
+        for k, v in acc.items()
+    ]

@@ -584,3 +584,42 @@ def test_holt_linear_tracks_trend_ewma_lags(spark):
     # and the one-step forecast is within ~2 units of day 21's true
     # value (100 + 10*20 = 300)
     assert abs(out[20]["forecast_fp"] - 300_000_000) < 2_000_000
+
+
+def test_robust_anomaly_mad_survives_single_spike(spark):
+    """One huge spike: z-score masks itself (it inflates mean and
+    sigma) but the median/MAD chart flags exactly the spike. Median
+    and MAD are exact order statistics, no interpolation."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        robust_anomaly_mad,
+    )
+
+    xs = [100, 102, 98, 101, 99, 100, 103, 97, 10_000]
+    df = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(xs)], "d int, x long"
+    )
+    out = {r["d"]: r.asDict()
+           for r in robust_anomaly_mad(df, "d", "x").collect()}
+    # sorted x: 97,98,99,100,100,101,102,103,10000 -> rank 5 = 100
+    assert out[1]["median_x"] == 100
+    # deviations: 3,2,1,0,0,1,2,3,9900 sorted -> rank 5 = 2
+    assert out[1]["mad"] == 2
+    flagged = [d for d, r in out.items() if r["anomaly"]]
+    assert flagged == [9]
+
+
+def test_robust_anomaly_mad_zero_mad_degrades(spark):
+    """Over half the points identical -> MAD 0: the chart degrades to
+    flagging any deviation instead of dividing by zero."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        robust_anomaly_mad,
+    )
+
+    xs = [5, 5, 5, 5, 9]
+    df = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(xs)], "d int, x long"
+    )
+    out = {r["d"]: r.asDict()
+           for r in robust_anomaly_mad(df, "d", "x").collect()}
+    assert out[1]["mad"] == 0
+    assert [d for d, r in out.items() if r["anomaly"]] == [5]

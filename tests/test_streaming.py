@@ -561,3 +561,42 @@ def test_cdc_apply_batch_semantics(spark):
     got = {r["k"]: r["v"]
            for r in cdc_apply(target, changes, ["k"], "seq").collect()}
     assert got == {2: 20.0, 3: 3.0, 4: 4.0}
+
+
+def test_freshness_fold_merges_and_guards_redelivery(spark):
+    """The streaming freshness fold: (sum, max) merge across batches,
+    epoch redelivery is ignored, and the drained report equals the
+    batch freshness arithmetic."""
+    from datetime import datetime as dt
+
+    from avk_job_skill_analytics_spark.streaming.dq_stream import (
+        foreach_batch_freshness_fold,
+        freshness_report_rows,
+    )
+
+    class _FakeStream:
+        class writeStream:  # noqa: N801 — mimic the attribute chain
+            @staticmethod
+            def foreachBatch(fn):
+                return fn
+
+    state: dict = {"seen": set()}
+    fn = foreach_batch_freshness_fold(_FakeStream(), "src", "ts", state)
+    b0 = spark.createDataFrame(
+        [("a", dt(2024, 1, 5, 12, 0, 0)),
+         ("b", dt(2024, 1, 5, 11, 0, 0))],
+        "src string, ts timestamp",
+    )
+    b1 = spark.createDataFrame(
+        [("a", dt(2024, 1, 5, 14, 0, 0))], "src string, ts timestamp"
+    )
+    fn(b0, 0)
+    fn(b0, 0)                     # redelivered epoch: ignored
+    fn(b1, 1)
+    rows = {r[0]: r for r in freshness_report_rows(state,
+                                                   max_lag_s=3600)}
+    assert rows["a"][1] == 2 and rows["a"][2] == 0
+    assert not rows["a"][3]
+    # b last seen 11:00, global max 14:00 -> 3h lag, stale
+    assert rows["b"][1] == 1 and rows["b"][2] == 10_800
+    assert rows["b"][3] is True
