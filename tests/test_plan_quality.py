@@ -653,3 +653,24 @@ def test_prefix_filter_join_no_cartesian(spark, queries):
     plan = I.plan_string(df)
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"windowspecdefinition\(doc_id", plan), plan
+
+
+def test_lift_table_rank_partitions_by_score(spark, queries):
+    """ml_lift_table inherits ml_calibration_bins's scale contract:
+    the corpus-sized rank window is PARTITIONED by score; no range
+    partitioning (global sort) of the scored corpus anywhere."""
+    df = queries["ml_lift_table"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert re.search(r"hashpartitioning\(score_fp", plan), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_similarity_histogram_sample_is_bounded(spark, queries):
+    """emb_similarity_histogram's scale contract: the sample is a
+    TakeOrderedAndProject (bounded top-k, never a global sort
+    exchange) and the pair expansion joins two BROADCAST sides."""
+    df = queries["emb_similarity_histogram"](spark, SF_DIR)
+    plan = I.plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

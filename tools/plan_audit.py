@@ -143,6 +143,36 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "the sketch); the data-scaled work is the map-side-combined "
          "bin count, not this window"),
     ],
+    "win_seasonal_backtest": [
+        ("empty-partition-window",
+         "lag(season) over the AGGREGATED daily frame (~31 rows, "
+         "corpus-size independent; the data-scaled work is the "
+         "per-day count aggregate) — same class as win_ewma_control"),
+    ],
+    "win_cusum_changepoint": [
+        ("empty-partition-window",
+         "prefix-sum + running-min over the AGGREGATED daily frame "
+         "(~31 rows, corpus-size independent) — the CUSUM identity's "
+         "two stacked integer windows"),
+    ],
+    "win_holt_linear": [
+        ("empty-partition-window",
+         "ordered two-state fold over the AGGREGATED daily frame "
+         "(~31 rows) — same sequential-recurrence class as "
+         "win_ewma_control"),
+    ],
+    "win_anomaly_mad": [
+        ("empty-partition-window",
+         "two order-statistic row_numbers over the AGGREGATED daily "
+         "frame (~31 rows); the corpus never enters a window"),
+    ],
+    "ml_lift_table": [
+        ("empty-partition-window",
+         "group-start cumulative over the DISTINCT-SCORE relation "
+         "plus the n_bins-row bin cumulative; the corpus-sized rank "
+         "is PARTITIONED by score — the ml_calibration_bins "
+         "decomposed-rank discipline"),
+    ],
 }
 
 
