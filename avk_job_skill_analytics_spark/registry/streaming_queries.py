@@ -2089,6 +2089,62 @@ def stream_freshness_monitor(spark, sf_dir):
     )
 
 
+def _stream_cusum_sql() -> str:
+    from .window_queries import ORACLES as _WO
+
+    return _WO["win_cusum_changepoint"]
+
+
+@_q("stream_cusum_monitor", _stream_cusum_sql())
+def stream_cusum_monitor(spark, sf_dir):
+    """Online CUSUM changepoint monitor
+    (streaming/dq_stream.foreach_batch_key_count_fold +
+    operators/analytics.cusum_changepoint): events arrive as TWO
+    micro-batches; per batch one per-day count aggregate folds into
+    one driver integer per day (addition merges order-free,
+    epoch-guarded), and the drain runs the exact integer CUSUM over
+    the merged daily series — so the online chart hash-matches the
+    batch win_cusum_changepoint over the full feed (the shared
+    oracle). Sustained small drifts caught as data lands."""
+    from ..operators import analytics as A
+    from ..streaming.dq_stream import (
+        foreach_batch_key_count_fold,
+        key_count_rows,
+    )
+
+    src = _single_file_drops(
+        spark, sf_dir, "events", ["event_id", "ts"],
+        [("0_even.parquet", F.col("event_id") % 2 == 0),
+         ("1_odd.parquet", F.col("event_id") % 2 == 1)],
+        "events_cusum_src_",
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cusum_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    state: dict = {"seen": set()}
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_key_count_fold(
+                    stream, F.dayofmonth("ts"), state
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    daily = spark.createDataFrame(
+        key_count_rows(state), "d int, x long"
+    )
+    return A.cusum_changepoint(daily, "d", "x", baseline_w=7)
+
+
 def _stream_psi_sql() -> str:
     from .dq_queries import _PSI_SQL
 

@@ -29,6 +29,8 @@ __all__ = [
     "ab_monitor_card",
     "foreach_batch_freshness_fold",
     "freshness_report_rows",
+    "foreach_batch_key_count_fold",
+    "key_count_rows",
 ]
 
 _MIL = 1_000_000
@@ -259,3 +261,42 @@ def freshness_report_rows(state: dict, max_lag_s: int = 600):
          (g - v[1]) // 1_000_000 > max_lag_s)
         for k, v in acc.items()
     ]
+
+
+def foreach_batch_key_count_fold(stream: DataFrame, key_expr,
+                                 state: dict) -> "object":
+    """writeStream.foreachBatch sink folding per-key row counts —
+    the mergeable primitive under any ONLINE control chart whose
+    statistic derives from per-key totals (CUSUM, MAD, seasonal):
+    counts merge by addition across micro-batches, so the drained
+    per-key series is bit-identical to a one-shot batch aggregate
+    over the union of every arrival, and any downstream chart
+    operator applied at drain time is exact-online by construction.
+
+    ``key_expr`` is a Column (e.g. ``F.dayofmonth("ts")``); state is
+    {"acc": {key: n}, "seen": set} — one integer per key, bounded by
+    the key domain regardless of stream length. Epoch-guarded."""
+    from .incremental import epoch_already_applied, epoch_mark_applied
+
+    state.setdefault("acc", {})
+
+    def batch_fn(bdf: DataFrame, epoch_id: int) -> None:
+        if epoch_already_applied(state, epoch_id):
+            return
+        rows = (
+            bdf.groupBy(key_expr.alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()  # bounded: one row per key value
+        )
+        for r in rows:
+            state["acc"][r["_k"]] = (
+                state["acc"].get(r["_k"], 0) + r["_n"]
+            )
+        epoch_mark_applied(state, epoch_id)
+
+    return stream.writeStream.foreachBatch(batch_fn)
+
+
+def key_count_rows(state: dict):
+    """Drain the key-count fold as (key, n) tuples."""
+    return [(k, v) for k, v in state.get("acc", {}).items()]

@@ -600,3 +600,30 @@ def test_freshness_fold_merges_and_guards_redelivery(spark):
     # b last seen 11:00, global max 14:00 -> 3h lag, stale
     assert rows["b"][1] == 1 and rows["b"][2] == 10_800
     assert rows["b"][3] is True
+
+
+def test_key_count_fold_merges_and_guards_redelivery(spark):
+    """Per-key counts merge by addition across batches; epoch
+    redelivery is ignored; the drained series equals the batch
+    aggregate over the union."""
+    from pyspark.sql import functions as F
+
+    from avk_job_skill_analytics_spark.streaming.dq_stream import (
+        foreach_batch_key_count_fold,
+        key_count_rows,
+    )
+
+    class _FakeStream:
+        class writeStream:  # noqa: N801 — mimic the attribute chain
+            @staticmethod
+            def foreachBatch(fn):
+                return fn
+
+    state: dict = {"seen": set()}
+    fn = foreach_batch_key_count_fold(_FakeStream(), F.col("k"), state)
+    b0 = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    b1 = spark.createDataFrame([("a",), ("c",)], "k string")
+    fn(b0, 0)
+    fn(b0, 0)                  # redelivered epoch: ignored
+    fn(b1, 1)
+    assert dict(key_count_rows(state)) == {"a": 3, "b": 1, "c": 1}
