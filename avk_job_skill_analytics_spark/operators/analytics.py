@@ -522,6 +522,33 @@ def ewma_control(series: DataFrame, t_col: str, x_col: str,
     )
 
 
+def rolling_median(series: DataFrame, t_col: str, x_col: str,
+                   w: int = 7) -> DataFrame:
+    """Rolling w-point median over an ordered integer series — the
+    robust trend line that a weekend dip or a single spike cannot
+    bend, where the rolling MEAN follows every outlier. Exact order
+    statistics: the window's values sort in an array and the LOWER
+    median (rank floor((n+1)/2), no interpolation) is selected, so
+    every value is an integer from the input and both engines agree
+    bit-for-bit. Warm-up rows use the shorter available window
+    (standard min_periods=1 semantics), making the first w−1 rows
+    well-defined instead of NULL.
+
+    Scale: the frame is the AGGREGATED series (days, not events);
+    the per-row sort is over ≤ w elements."""
+    win = Window.orderBy(t_col).rowsBetween(-(w - 1), 0)
+    xs = F.array_sort(F.collect_list(F.col(x_col)).over(win))
+    med = F.element_at(
+        xs, F.floor((F.size(xs) + 1) / 2).cast("int")
+    ).cast("long")
+    return series.select(
+        F.col(t_col),
+        F.col(x_col).cast("long").alias("x"),
+        med.alias("med"),
+        (F.col(x_col) - med).cast("long").alias("dev"),
+    )
+
+
 def robust_anomaly_mad(series: DataFrame, t_col: str, x_col: str,
                        k: int = 3) -> DataFrame:
     """Median/MAD robust anomaly flags over an ordered integer series

@@ -1129,3 +1129,42 @@ def vocab_coverage(df, id_col: str, text_col: str,
             ).cast("long").alias("oov_fp"),
         )
     )
+
+
+def hapax_ratio(df, id_col: str, text_col: str, n: int = 3):
+    """Corpus lexical-health card over word n-grams: type count,
+    token (window) count, hapax legomena count (n-grams occurring
+    exactly once) and the fp6 hapax share and type-token ratio — the
+    Heaps'-law signals that move when a corpus saturates (hapax share
+    collapses as duplication grows) or degenerates into templates
+    (TTR collapses). One n-gram expansion, one (gram) hash aggregate,
+    one 1-row fold — the only shuffle is keyed by gram text, linear
+    and skew-free. All ratios are fp6 on exact counts."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = df.select(w.alias("_w")).filter(F.size("_w") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, n), " "),
+    )
+    counts = (
+        toks.select(F.explode(grams).alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("_n").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    ).select(
+        "n_types",
+        "n_tokens",
+        "n_hapax",
+        F.floor(
+            F.lit(1_000_000) * F.col("n_hapax") / F.col("n_types")
+        ).cast("long").alias("hapax_fp"),
+        F.floor(
+            F.lit(1_000_000) * F.col("n_types") / F.col("n_tokens")
+        ).cast("long").alias("ttr_fp"),
+    )

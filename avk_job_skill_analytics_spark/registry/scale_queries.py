@@ -1612,6 +1612,38 @@ def txt_repetition_rules(spark, sf_dir):
 
 
 @_q(
+    "txt_hapax_ratio",
+    """WITH t AS (SELECT list_filter(string_split(text, ' '),
+                             x -> x <> '') AS w
+              FROM documents),
+       g AS (SELECT unnest(list_transform(
+                 generate_series(1, len(w) - 2),
+                 i -> array_to_string(w[i:i+2], ' '))) AS gram
+             FROM t WHERE len(w) >= 3),
+       c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram)
+       SELECT CAST(count(*) AS BIGINT) AS n_types,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hapax,
+              CAST(floor(1000000 * sum(CASE WHEN n = 1 THEN 1
+                         ELSE 0 END) / count(*)) AS BIGINT)
+                  AS hapax_fp,
+              CAST(floor(1000000 * count(*) / sum(n)) AS BIGINT)
+                  AS ttr_fp
+       FROM c""",
+)
+def txt_hapax_ratio(spark, sf_dir):
+    """Corpus lexical-health card over 3-gram windows
+    (operators/textstats.hapax_ratio): type/token/hapax counts and
+    the fp6 hapax share + type-token ratio — the Heaps'-law signals
+    that collapse when a corpus saturates with duplication or
+    degenerates into templates. One expansion + one gram-keyed
+    aggregate + a 1-row fold."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.hapax_ratio(docs, "doc_id", "text", n=3)
+
+
+@_q(
     "txt_oov_rate",
     """WITH e AS (SELECT doc_id,
               unnest(list_filter(string_split(text, ' '),

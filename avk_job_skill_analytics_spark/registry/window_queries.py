@@ -1602,6 +1602,34 @@ def win_ewma_control(spark, sf_dir):
 
 
 @_q(
+    "win_rolling_median",
+    """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
+               FROM events GROUP BY 1),
+       l AS (SELECT d, x,
+               list_sort(list(x) OVER (ORDER BY d ROWS BETWEEN 6
+                 PRECEDING AND CURRENT ROW)) AS ls
+             FROM daily)
+       SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x,
+              CAST(ls[CAST(floor((len(ls) + 1) / 2) AS INT)]
+                   AS BIGINT) AS med,
+              CAST(x - ls[CAST(floor((len(ls) + 1) / 2) AS INT)]
+                   AS BIGINT) AS dev
+       FROM l""",
+)
+def win_rolling_median(spark, sf_dir):
+    """Rolling 7-day median of daily event volume
+    (operators/analytics.rolling_median): the robust trend line a
+    spike cannot bend, via exact order statistics (sorted window
+    array, lower median, no interpolation); min_periods=1 warm-up.
+    Windows on the ~30-row daily frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    return A.rolling_median(daily, "d", "x", w=7)
+
+
+@_q(
     "win_anomaly_mad",
     """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
                FROM events GROUP BY 1),

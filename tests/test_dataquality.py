@@ -623,3 +623,24 @@ def test_robust_anomaly_mad_zero_mad_degrades(spark):
            for r in robust_anomaly_mad(df, "d", "x").collect()}
     assert out[1]["mad"] == 0
     assert [d for d, r in out.items() if r["anomaly"]] == [5]
+
+
+def test_rolling_median_warmup_and_robustness(spark):
+    """min_periods=1 warm-up (first rows use the shorter window) and
+    a mid-series spike leaves the median untouched."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        rolling_median,
+    )
+
+    xs = [10, 20, 30, 1000, 40, 50, 60]
+    df = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(xs)], "d int, x long"
+    )
+    out = {r["d"]: r.asDict()
+           for r in rolling_median(df, "d", "x", w=3).collect()}
+    assert out[1]["med"] == 10          # window [10]
+    assert out[2]["med"] == 10          # [10,20] lower median
+    assert out[3]["med"] == 20          # [10,20,30]
+    assert out[4]["med"] == 30          # [20,30,1000] — spike ignored
+    assert out[5]["med"] == 40          # [30,1000,40]
+    assert out[6]["dev"] == out[6]["x"] - out[6]["med"]

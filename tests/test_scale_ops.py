@@ -1778,3 +1778,27 @@ def test_similarity_histogram_detects_collapse(spark):
     assert len(out2) == 1
     assert out2[0]["bucket"] == 8 and out2[0]["n"] == 6
     assert out2[0]["mean_cos_fp"] == 0
+
+
+def test_hapax_ratio_exact_counts(spark):
+    """Hand-countable corpus: 3-gram types, windows, and hapax counts
+    are exact; a fully duplicated corpus has zero hapax."""
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        hapax_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c")],    # windows: abc, bcd | abc
+        "doc_id long, text string",
+    )
+    r = hapax_ratio(df, "doc_id", "text", n=3).collect()[0].asDict()
+    assert r["n_types"] == 2 and r["n_tokens"] == 3
+    assert r["n_hapax"] == 1              # "b c d"
+    assert r["hapax_fp"] == 500_000
+    assert r["ttr_fp"] == (1_000_000 * 2) // 3
+
+    dup = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z")], "doc_id long, text string"
+    )
+    r2 = hapax_ratio(dup, "doc_id", "text", n=3).collect()[0].asDict()
+    assert r2["n_hapax"] == 0 and r2["hapax_fp"] == 0
