@@ -352,9 +352,11 @@ def emb_similarity_histogram(spark, sf_dir):
     )
 
 
-@_q(
-    "ann_ivf_topk",
-    f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+def _ivf_probe_sql(n_probe: int) -> str:
+    """DuckDB twin of similarity.ivf_topk at a given probe width —
+    shared by ann_ivf_topk (n_probe=2) and the ann_probe_sweep
+    recall curve."""
+    return f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
                      FROM embeddings ORDER BY vec_id LIMIT 8),
        asg AS (SELECT e.vec_id AS neighbor_id, e.embedding AS ev, c.cid,
                       row_number() OVER (PARTITION BY e.vec_id
@@ -369,7 +371,8 @@ def emb_similarity_histogram(spark, sf_dir):
                           ORDER BY round({_cos_sql('x.qv', 'c.cv')}, 6) DESC,
                                    c.cid) AS rk
                  FROM q x, cent c),
-       pr AS (SELECT query_id, qv, cid FROM probe WHERE rk <= 2),
+       pr AS (SELECT query_id, qv, cid FROM probe
+              WHERE rk <= {n_probe}),
        s AS (SELECT pr.query_id, cell.neighbor_id,
                     round({_cos_sql('pr.qv', 'cell.ev')}, 6) AS cosine
              FROM pr JOIN cell USING (cid)
@@ -378,8 +381,10 @@ def emb_similarity_histogram(spark, sf_dir):
          SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
          FROM s) t
-       WHERE rk <= 5""",
-)
+       WHERE rk <= 5"""
+
+
+@_q("ann_ivf_topk", _ivf_probe_sql(2))
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-5: corpus partitioned into 8 centroid
     cells, queries probe their 2 nearest cells. The oracle replays the
@@ -391,6 +396,69 @@ def ann_ivf_topk(spark, sf_dir):
         e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
         k=5, n_centroids=8, n_probe=2,
     )
+
+
+_SWEEP_PROBES = (1, 2, 4, 8)
+
+
+def _probe_sweep_block(p: int) -> str:
+    return f"""SELECT CAST({p} AS BIGINT) AS n_probe,
+       CAST(sum(h) AS BIGINT) AS n_hits,
+       CAST(floor(1000000 * sum(h) / 50) AS BIGINT) AS recall_fp,
+       CAST(min(h) AS BIGINT) AS min_hits
+    FROM (SELECT b.query_id, count(i.neighbor_id) AS h
+          FROM ({ORACLES["ann_cosine_topk"]}) b
+          LEFT JOIN ({_ivf_probe_sql(p)}) i
+            ON i.query_id = b.query_id
+           AND i.neighbor_id = b.neighbor_id
+          GROUP BY b.query_id)"""
+
+
+@_q(
+    "ann_probe_sweep",
+    " UNION ALL ".join(_probe_sweep_block(p) for p in _SWEEP_PROBES),
+)
+def ann_probe_sweep(spark, sf_dir):
+    """The IVF tuning curve an operator reads before picking n_probe:
+    recall@5 against the exact brute-force truth at probe widths
+    1/2/4/8 (total and worst-query hits per width). Monotone in
+    n_probe by construction — the row where the curve flattens is the
+    cheapest safe setting. Composes the existing ivf_topk and
+    cosine_topk operators four times; the brute truth plan is
+    identical in every branch and the probed side is cell-bounded, so
+    the sweep costs ~4x one probed query, not 4x a corpus scan."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    parts = []
+    for p in _SWEEP_PROBES:
+        ivf = similarity.ivf_topk(
+            e, q, "vec_id", "embedding",
+            k=5, n_centroids=8, n_probe=p,
+        ).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        per_q = (
+            brute.join(ivf, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.col("_hit")).alias("_h"))
+        )
+        parts.append(
+            per_q.agg(
+                F.sum("_h").alias("_hits"), F.min("_h").alias("_mn")
+            ).select(
+                F.lit(p).cast("long").alias("n_probe"),
+                F.col("_hits").cast("long").alias("n_hits"),
+                F.floor(
+                    F.lit(1_000_000) * F.col("_hits") / F.lit(50)
+                ).cast("long").alias("recall_fp"),
+                F.col("_mn").cast("long").alias("min_hits"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def _rp_sql(d_in: int, d_out: int, seed: int) -> str:

@@ -1802,3 +1802,17 @@ def test_hapax_ratio_exact_counts(spark):
     )
     r2 = hapax_ratio(dup, "doc_id", "text", n=3).collect()[0].asDict()
     assert r2["n_hapax"] == 0 and r2["hapax_fp"] == 0
+
+
+def test_probe_sweep_monotone_and_saturates(spark):
+    """Recall@5 is monotone non-decreasing in n_probe and reaches
+    100% when every cell is probed (n_probe = n_centroids = 8 makes
+    IVF exhaustive)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["ann_probe_sweep"](spark, "/root/testdata/sf0.001")
+    rows = {r["n_probe"]: r.asDict() for r in df.collect()}
+    rec = [rows[p]["recall_fp"] for p in (1, 2, 4, 8)]
+    assert rec == sorted(rec)
+    assert rows[8]["recall_fp"] == 1_000_000
+    assert rows[8]["min_hits"] == 5
