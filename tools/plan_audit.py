@@ -166,6 +166,11 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "two order-statistic row_numbers over the AGGREGATED daily "
          "frame (~31 rows); the corpus never enters a window"),
     ],
+    "win_rolling_median": [
+        ("empty-partition-window",
+         "rolling w-element sorted-array median over the AGGREGATED "
+         "daily frame (~31 rows) — same class as win_ewma_control"),
+    ],
     "ml_lift_table": [
         ("empty-partition-window",
          "group-start cumulative over the DISTINCT-SCORE relation "
