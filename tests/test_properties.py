@@ -392,3 +392,74 @@ def test_knuth_bucket_uses_high_bits_not_parity(spark):
         per_residue[r["id"] % 4].add(r["b100"] % 4)
     for residue, seen in per_residue.items():
         assert len(seen) == 4, f"bucket%4 pinned for id%4=={residue}"
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+            min_size=0, max_size=14,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_repetition_fold_equals_brute_counts(spark, docs):
+    """The sorted-run array fold must equal the brute-force
+    counter-based definition (count per gram, overlap-counted) for
+    every n on arbitrary token streams — including heavy duplication,
+    empty docs, and docs shorter than n."""
+    from collections import Counter
+
+    from avk_job_skill_analytics_spark.operators.textstats import (
+        repetition_rules,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_rules(df, "doc_id", "text").collect()}
+    for i, toks in enumerate(docs):
+        toks = [t for t in toks if t]
+        if not toks:
+            assert i not in got     # empty docs drop (no token mass)
+            continue
+        total = len(" ".join(toks))
+        for n in range(2, 11):
+            grams = [" ".join(toks[j:j + n])
+                     for j in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            top = max((k * len(g) for g, k in c.items()), default=0)
+            dup = sum(k * len(g) for g, k in c.items() if k > 1)
+            want = top if n <= 4 else dup
+            col = (f"top_{n}gram_fp" if n <= 4 else f"dup_{n}gram_fp")
+            assert got[i][col] == (1_000_000 * want) // total, (i, n)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000),
+             min_size=1, max_size=40)
+)
+@settings(**_SETTINGS)
+def test_cusum_identity_equals_sequential_fold(spark, xs):
+    """The prefix-sum/running-min spelling equals the classic
+    sequential max(0, S + dev - ks) fold on arbitrary non-negative
+    integer series (including all-zero baselines)."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    df = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(xs)], "d int, x long"
+    )
+    out = {r["d"]: r.asDict()
+           for r in cusum_changepoint(df, "d", "x").collect()}
+    tw = sum(xs[:7])
+    ks = tw // 2
+    up = down = 0
+    for d, x in enumerate(xs, start=1):
+        dev = 7 * x - tw
+        up = max(0, up + dev - ks)
+        down = max(0, down - dev - ks)
+        assert out[d]["cusum_up"] == up, d
+        assert out[d]["cusum_down"] == down, d
