@@ -160,6 +160,77 @@ def win_month_over_month(spark, sf_dir):
 
 
 @_q(
+    "agg_weighted_median",
+    """WITH j AS (
+         SELECT p.p_type,
+                CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                    AS cents,
+                CAST(floor(l.l_quantity) AS BIGINT) AS w
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+       g AS (SELECT p_type, cents, sum(w) AS w FROM j
+             GROUP BY p_type, cents),
+       c AS (SELECT p_type, cents, w,
+               sum(w) OVER (PARTITION BY p_type ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               sum(w) OVER (PARTITION BY p_type) AS tw
+             FROM g),
+       m AS (SELECT p_type, cents, tw,
+               row_number() OVER (PARTITION BY p_type
+                                  ORDER BY cents) AS rk
+             FROM c WHERE 2 * cw >= tw)
+       SELECT p_type, CAST(tw AS BIGINT) AS total_w,
+              CAST(cents AS BIGINT) AS wmedian_cents
+       FROM m WHERE rk = 1""",
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact quantity-weighted median unit revenue per part type —
+    the weighted order statistic percentile sketches approximate:
+    the smallest cents value whose cumulative quantity weight covers
+    half the group's total (lower weighted median, integer-exact via
+    the 2*cumw >= totw spelling — no halving, no interpolation, no
+    floats). Scale shape: one (type, cents) hash aggregate collapses
+    the fact table to DISTINCT price points; every window after that
+    is PARTITIONED by type over that granularity-bounded frame. The
+    dimension side broadcasts."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    ).select(
+        "p_type",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.floor("l_quantity").cast("long").alias("w"),
+    )
+    g = j.groupBy("p_type", "cents").agg(F.sum("w").alias("w"))
+    wc = Window.partitionBy("p_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("p_type")
+    c = g.select(
+        "p_type",
+        "cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    wr = Window.partitionBy("p_type").orderBy("cents")
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_type",
+            F.col("tw").cast("long").alias("total_w"),
+            F.col("cents").cast("long").alias("wmedian_cents"),
+        )
+    )
+
+
+@_q(
     "agg_percentiles",
     """SELECT l_returnflag,
               round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,

@@ -498,3 +498,39 @@ def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 10_000
     assert back.agg(F.sum("id")).first()[0] == sum(range(10_000))
+
+
+def test_weighted_median_definition(spark):
+    """Lower weighted median: smallest value whose cumulative weight
+    covers half the total — checked against hand arithmetic including
+    the exact-half boundary."""
+    import __spark_entry__  # noqa: F401 — registry import side effects
+    from avk_job_skill_analytics_spark.registry.window_queries import (
+        QUERIES,
+    )
+
+    # values 10(w=1), 20(w=1): total 2, half 1 -> 2*cw(10)=2 >= 2:
+    # the LOWER median is 10.  values 1(w=1), 5(w=9): median 5.
+    # Build via a temp parquet pair shaped like lineitem/part.
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="wmed_")
+    try:
+        spark.createDataFrame(
+            [(1, 0.10, 1.0), (1, 0.20, 1.0),
+             (2, 0.01, 1.0), (2, 0.05, 9.0)],
+            "l_partkey long, l_extendedprice double, l_quantity double",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            [(1, "A"), (2, "B")], "p_partkey long, p_type string"
+        ).write.parquet(f"{d}/part.parquet")
+        out = {r["p_type"]: r.asDict()
+               for r in QUERIES["agg_weighted_median"](spark, d)
+               .collect()}
+        assert out["A"]["wmedian_cents"] == 10
+        assert out["A"]["total_w"] == 2
+        assert out["B"]["wmedian_cents"] == 5
+        assert out["B"]["total_w"] == 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
