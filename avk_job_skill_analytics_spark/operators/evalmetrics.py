@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["binary_metrics", "calibration_bins", "pr_curve",
-           "best_threshold", "grouped_binary_metrics", "lift_table"]
+           "best_threshold", "grouped_binary_metrics", "lift_table",
+           "roc_points"]
 
 
 def binary_metrics(scored: DataFrame, score_col: str,
@@ -452,4 +453,53 @@ def lift_table(scored: DataFrame, id_col: str, score_col: str,
         F.floor(F.lit(1_000_000) * capture / share)
         .cast("long")
         .alias("lift_fp"),
+    )
+
+
+def roc_points(scored: DataFrame, score_col: str,
+               label_col: str) -> DataFrame:
+    """The ROC curve over every candidate gate threshold — pr_curve's
+    twin in (FPR, TPR) space, the view that stays readable under
+    class imbalance shifts (precision moves with prevalence, the ROC
+    does not). One row per DISTINCT score with the confusion a
+    ``score >= threshold`` gate would produce; same
+    granularity-bounded distinct-score window as pr_curve, the corpus
+    never enters a window. Degenerate single-class inputs yield NULL
+    for the undefined rate instead of dividing by zero. Returns
+    (thr, tp, fp, tpr_fp, fpr_fp, youden_fp) — youden = tpr − fpr,
+    the threshold-picker's balanced-accuracy criterion, computed on
+    the ROUNDED fp6 rates."""
+    by_score = scored.groupBy(
+        F.col(score_col).alias("thr")
+    ).agg(
+        F.sum(F.col(label_col)).alias("_pos"),
+        F.sum(F.lit(1) - F.col(label_col)).alias("_neg"),
+    )
+    w = (
+        Window.orderBy(F.desc("thr"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = scored.agg(
+        F.sum(F.col(label_col)).alias("_n1"),
+        F.sum(F.lit(1) - F.col(label_col)).alias("_n0"),
+    )
+    mil = F.lit(1_000_000)
+    cum = (
+        by_score.withColumn("tp", F.sum("_pos").over(w))
+        .withColumn("fp", F.sum("_neg").over(w))
+        .crossJoin(F.broadcast(totals))
+    )
+    tpr = F.when(
+        F.col("_n1") > 0, F.floor(mil * F.col("tp") / F.col("_n1"))
+    ).cast("long")
+    fpr = F.when(
+        F.col("_n0") > 0, F.floor(mil * F.col("fp") / F.col("_n0"))
+    ).cast("long")
+    return cum.select(
+        F.col("thr").cast("long").alias("thr"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        tpr.alias("tpr_fp"),
+        fpr.alias("fpr_fp"),
+        (tpr - fpr).alias("youden_fp"),
     )

@@ -5438,6 +5438,51 @@ def ml_lift_table(spark, sf_dir):
     )
 
 
+@_q(
+    "ml_roc_points",
+    f"""WITH scored AS ({_nb_sql()}),
+       bys AS (SELECT score_fp AS thr, sum(actual) AS pos,
+                      sum(1 - actual) AS neg
+               FROM scored GROUP BY 1),
+       tot AS (SELECT sum(actual) AS n1, sum(1 - actual) AS n0
+               FROM scored),
+       cum AS (SELECT thr,
+                 sum(pos) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS tp,
+                 sum(neg) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS fp
+               FROM bys)
+       SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
+              CAST(fp AS BIGINT) AS fp,
+              CAST(CASE WHEN n1 > 0
+                   THEN floor(1000000 * tp / n1) END AS BIGINT)
+                  AS tpr_fp,
+              CAST(CASE WHEN n0 > 0
+                   THEN floor(1000000 * fp / n0) END AS BIGINT)
+                  AS fpr_fp,
+              CAST(CASE WHEN n1 > 0 THEN floor(1000000 * tp / n1) END
+                   - CASE WHEN n0 > 0
+                     THEN floor(1000000 * fp / n0) END AS BIGINT)
+                  AS youden_fp
+       FROM cum, tot""",
+)
+def ml_roc_points(spark, sf_dir):
+    """ROC curve for the NB gate (evalmetrics.roc_points): (FPR, TPR)
+    per distinct threshold plus the Youden J criterion on the rounded
+    fp6 rates — pr_curve's prevalence-stable twin, same
+    granularity-bounded distinct-score window."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.roc_points(scored, "score_fp", "actual")
+
+
 # ---------------------------------------------- PR curve + gate tuning
 @_q(
     "ml_pr_curve",

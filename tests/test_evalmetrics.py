@@ -781,3 +781,33 @@ def test_lift_table_no_positives_guard(spark):
     )
     out = lift_table(scored, "id", "score_fp", "y", n_bins=3).collect()
     assert all(r["capture_fp"] == 0 and r["lift_fp"] == 0 for r in out)
+
+
+def test_roc_points_hand_computed_and_guarded(spark):
+    """ROC endpoints and a mid-threshold on a tiny scored frame, plus
+    the single-class NULL guard."""
+    from avk_job_skill_analytics_spark.operators.evalmetrics import (
+        roc_points,
+    )
+
+    scored = spark.createDataFrame(
+        [(90, 1), (80, 1), (70, 0), (60, 1), (50, 0)],
+        "score_fp long, y int",
+    )
+    out = {r["thr"]: r.asDict()
+           for r in roc_points(scored, "score_fp", "y").collect()}
+    # thr=90: tp=1 fp=0 -> tpr 1/3, fpr 0
+    assert out[90]["tpr_fp"] == 333_333 and out[90]["fpr_fp"] == 0
+    assert out[90]["youden_fp"] == 333_333
+    # thr=60: tp=3 fp=1 -> tpr 1.0, fpr 1/2
+    assert out[60]["tpr_fp"] == 1_000_000
+    assert out[60]["fpr_fp"] == 500_000
+    # lowest threshold accepts everything
+    assert out[50]["tpr_fp"] == 1_000_000
+    assert out[50]["fpr_fp"] == 1_000_000 and out[50]["youden_fp"] == 0
+
+    ones = spark.createDataFrame(
+        [(10, 1), (20, 1)], "score_fp long, y int"
+    )
+    rows = roc_points(ones, "score_fp", "y").collect()
+    assert all(r["fpr_fp"] is None for r in rows)   # n0=0 guard
