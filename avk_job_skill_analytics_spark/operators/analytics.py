@@ -522,6 +522,65 @@ def ewma_control(series: DataFrame, t_col: str, x_col: str,
     )
 
 
+def longest_streak(series: DataFrame, key_col: str, t_col: str,
+                   x_col: str) -> DataFrame:
+    """Longest consecutive-period streak above the slice's own median
+    — the classic gaps-and-islands readout ('how long did the surge
+    last?'), one row per slice with the streak length and its span.
+    Islands form with the textbook identity: among qualifying periods
+    ordered by t, ``t − row_number()`` is constant exactly within a
+    consecutive run. The qualifying bar is the slice's order-statistic
+    LOWER median (exact integer, no interpolation, the
+    robust_anomaly_mad discipline), ``x > median`` strictly — so
+    roughly half the periods qualify and ties at the median do not.
+    Tie between equal-length streaks breaks to the earliest start.
+
+    Scale: every window is PARTITIONED by the slice key over the
+    AGGREGATED period frame (periods, not events); the island
+    groupBy is keyed by (slice, island) — bounded by the period
+    count."""
+    wx = Window.partitionBy(key_col).orderBy(
+        F.asc(x_col), F.asc(t_col))
+    s = series.select(
+        F.col(key_col), F.col(t_col), F.col(x_col)
+    ).withColumn("_rx", F.row_number().over(wx))
+    n = series.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    med = (
+        s.join(F.broadcast(n), key_col)
+        .filter(F.col("_rx") == F.floor((F.col("_n") + 1) / 2))
+        .select(
+            F.col(key_col),
+            F.col(x_col).cast("long").alias("_med"),
+        )
+    )
+    qual = (
+        s.join(F.broadcast(med), key_col)
+        .filter(F.col(x_col) > F.col("_med"))
+    )
+    wq = Window.partitionBy(key_col).orderBy(t_col)
+    isl = qual.withColumn(
+        "_grp", F.col(t_col) - F.row_number().over(wq)
+    )
+    runs = isl.groupBy(key_col, "_med", "_grp").agg(
+        F.count(F.lit(1)).cast("long").alias("_len"),
+        F.min(t_col).alias("_start"),
+        F.max(t_col).alias("_end"),
+    )
+    wr = Window.partitionBy(key_col).orderBy(
+        F.desc("_len"), F.asc("_start"))
+    return (
+        runs.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(key_col),
+            F.col("_med").alias("median_x"),
+            F.col("_len").alias("longest_streak"),
+            F.col("_start").cast("long").alias("streak_start"),
+            F.col("_end").cast("long").alias("streak_end"),
+        )
+    )
+
+
 def rolling_median(series: DataFrame, t_col: str, x_col: str,
                    w: int = 7) -> DataFrame:
     """Rolling w-point median over an ordered integer series — the

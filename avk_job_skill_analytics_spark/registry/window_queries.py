@@ -1673,6 +1673,49 @@ def win_ewma_control(spark, sf_dir):
 
 
 @_q(
+    "win_longest_streak",
+    """WITH daily AS (SELECT event_type, day(ts) AS d, count(*) AS x
+               FROM events GROUP BY event_type, day(ts)),
+       s AS (SELECT event_type, d, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY x, d) AS rx,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM daily),
+       med AS (SELECT event_type, x AS m FROM s
+               WHERE rx = floor((n + 1) / 2)),
+       qual AS (SELECT s.event_type, s.d, med.m FROM s
+                JOIN med ON med.event_type = s.event_type
+                WHERE s.x > med.m),
+       isl AS (SELECT event_type, d, m,
+                 d - row_number() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS grp
+               FROM qual),
+       runs AS (SELECT event_type, m, grp, count(*) AS len,
+                       min(d) AS st, max(d) AS en
+                FROM isl GROUP BY event_type, m, grp),
+       best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY len DESC, st ASC) AS rk
+                FROM runs)
+       SELECT event_type, CAST(m AS BIGINT) AS median_x,
+              CAST(len AS BIGINT) AS longest_streak,
+              CAST(st AS BIGINT) AS streak_start,
+              CAST(en AS BIGINT) AS streak_end
+       FROM best WHERE rk = 1""",
+)
+def win_longest_streak(spark, sf_dir):
+    """Longest above-median surge per event type
+    (operators/analytics.longest_streak): the gaps-and-islands idiom
+    — t minus row_number is constant within a consecutive run — over
+    each slice's own order-statistic median bar. Every window is
+    partitioned by the slice key over the ~30-row daily frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return A.longest_streak(daily, "event_type", "d", "x")
+
+
+@_q(
     "win_rolling_median",
     """WITH daily AS (SELECT day(ts) AS d, count(*) AS x
                FROM events GROUP BY 1),

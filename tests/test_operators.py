@@ -534,3 +534,29 @@ def test_weighted_median_definition(spark):
         assert out["B"]["total_w"] == 10
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_longest_streak_islands_and_tiebreak(spark):
+    """Hand-built series: median bar, strict inequality, island
+    grouping across a gap, and earliest-start tie-break."""
+    from avk_job_skill_analytics_spark.operators.analytics import (
+        longest_streak,
+    )
+
+    # key 'a': xs by day 1..9 = [1,9,9,1,9,9,1,1,1]; sorted rank 5
+    # median = 1; qualifying days (x>1): 2,3,5,6 -> islands
+    # {2,3} and {5,6}, both length 2 -> earliest start wins (2).
+    rows = [("a", d, x) for d, x in
+            enumerate([1, 9, 9, 1, 9, 9, 1, 1, 1], start=1)]
+    # key 'b': one long surge: [1,1,5,5,5,1] -> median 1(lower),
+    # wait: sorted [1,1,1,5,5,5] rank 3 -> 1; qual days 3,4,5 len 3
+    rows += [("b", d, x) for d, x in
+             enumerate([1, 1, 5, 5, 5, 1], start=1)]
+    df = spark.createDataFrame(rows, "k string, d int, x long")
+    out = {r["k"]: r.asDict()
+           for r in longest_streak(df, "k", "d", "x").collect()}
+    assert out["a"]["median_x"] == 1
+    assert out["a"]["longest_streak"] == 2
+    assert (out["a"]["streak_start"], out["a"]["streak_end"]) == (2, 3)
+    assert out["b"]["longest_streak"] == 3
+    assert (out["b"]["streak_start"], out["b"]["streak_end"]) == (3, 5)
