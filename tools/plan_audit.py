@@ -124,6 +124,11 @@ ALLOW: dict[str, list[tuple[str, str]]] = {
          "(granularity-bounded, aggregated before the window — same "
          "class as ml_auc_gate)"),
     ],
+    "ml_roc_points": [
+        ("empty-partition-window",
+         "cumulative tp/fp over the DISTINCT-SCORE relation — "
+         "pr_curve's twin, same granularity-bounded class"),
+    ],
     "ml_best_threshold": [
         ("empty-partition-window",
          "top-1 over the distinct-score PR curve plus its cumulative "
