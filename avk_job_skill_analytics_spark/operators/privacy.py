@@ -251,3 +251,28 @@ def l_diversity_audit(df, quasi_cols: list[str], sensitive_col: str,
             / F.sum("n"), 6
         ).alias("exposed_frac"),
     )
+
+
+def pseudonymize(df: DataFrame, key_col: str, salt: str,
+                 out_col: str = "pseudonym") -> DataFrame:
+    """Deterministic keyed pseudonymization: replace an identifier
+    with ``md5_long(salt | key)`` — the de-identification step that
+    keeps JOINS working: the same (salt, key) maps to the same
+    pseudonym in every table, on every engine, in every run, so
+    referential integrity survives while the raw identifier never
+    leaves the trust boundary (rotate the salt to break linkage with
+    previously released data). One projection inside whole-stage
+    codegen, no UDF, no lookup table to guard — the mapping is the
+    hash itself. (Caveat, by design: a pseudonym is reversible by
+    anyone holding the salt and the key space — this is
+    de-identification for internal joins, not anonymization; pair
+    with k-anonymity/dp for releases.)"""
+    from .hashing import md5_long
+
+    return df.withColumn(
+        out_col,
+        md5_long(
+            F.concat(F.lit(salt + "|"),
+                     F.col(key_col).cast("string"))
+        ),
+    )

@@ -1897,6 +1897,59 @@ def _pii_oracle_sql() -> str:
     )
 
 
+
+@_q(
+    "pii_pseudonymize",
+    f"""WITH c AS (SELECT {md5_long_sql("concat('pseud|', CAST(c_custkey AS VARCHAR))")} AS pseudonym,
+                c_mktsegment
+         FROM customer),
+       o AS (SELECT {md5_long_sql("concat('pseud|', CAST(o_custkey AS VARCHAR))")} AS pseudonym,
+                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders)
+       SELECT c.c_mktsegment,
+              CAST(count(DISTINCT c.pseudonym) AS BIGINT)
+                  AS n_customers,
+              CAST(count(o.pseudonym) AS BIGINT) AS n_orders,
+              CAST(coalesce(sum(o.cents), 0) AS BIGINT)
+                  AS revenue_cents
+       FROM c LEFT JOIN o ON o.pseudonym = c.pseudonym
+       GROUP BY c.c_mktsegment""",
+)
+def pii_pseudonymize(spark, sf_dir):
+    """Keyed pseudonymization preserving referential integrity
+    (operators/privacy.pseudonymize): customer and orders both
+    replace the raw key with md5(salt|key), the raw identifier is
+    DROPPED before the join, and the per-segment revenue rollup runs
+    entirely on pseudonyms — proving joins survive
+    de-identification. The salt is the linkage boundary: rotate it
+    and previously released pseudonyms no longer link. Same
+    plan shape as the raw-key join (hash equi-join on the projected
+    pseudonym), so de-identification costs one codegen'd hash per
+    row, no UDF, no mapping table."""
+    c = privacy.pseudonymize(
+        load(spark, sf_dir, "customer"), "c_custkey", "pseud"
+    ).select("pseudonym", "c_mktsegment")
+    o = privacy.pseudonymize(
+        load(spark, sf_dir, "orders"), "o_custkey", "pseud"
+    ).select(
+        "pseudonym",
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        c.join(o, "pseudonym", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct(c["pseudonym"]).cast("long")
+            .alias("n_customers"),
+            F.count(o["cents"]).cast("long").alias("n_orders"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
 @_q("pii_redact", _pii_oracle_sql())
 def pii_redact(spark, sf_dir):
     """PII scan-and-scrub over the documents table

@@ -560,3 +560,28 @@ def test_longest_streak_islands_and_tiebreak(spark):
     assert (out["a"]["streak_start"], out["a"]["streak_end"]) == (2, 3)
     assert out["b"]["longest_streak"] == 3
     assert (out["b"]["streak_start"], out["b"]["streak_end"]) == (3, 5)
+
+
+def test_pseudonymize_preserves_joins_and_rotates(spark):
+    """The pseudonym join reproduces the raw-key join exactly, and
+    rotating the salt breaks cross-release linkage."""
+    from avk_job_skill_analytics_spark.operators.privacy import (
+        pseudonymize,
+    )
+
+    c = spark.createDataFrame([(1, "A"), (2, "B")], "k long, seg string")
+    o = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (9, 99)], "k long, v int"
+    )
+    cp = pseudonymize(c, "k", "s1").drop("k")
+    op = pseudonymize(o, "k", "s1").drop("k")
+    joined = cp.join(op, "pseudonym").groupBy("seg").count().collect()
+    assert {r["seg"]: r["count"] for r in joined} == {"A": 2, "B": 1}
+    # determinism: same salt+key -> same pseudonym across frames
+    a = pseudonymize(c, "k", "s1").select("pseudonym").collect()
+    b = pseudonymize(c, "k", "s1").select("pseudonym").collect()
+    assert [r[0] for r in a] == [r[0] for r in b]
+    # rotation: a different salt shares no pseudonyms
+    rot = {r[0] for r in pseudonymize(c, "k", "s2")
+           .select("pseudonym").collect()}
+    assert rot.isdisjoint({r[0] for r in a})
