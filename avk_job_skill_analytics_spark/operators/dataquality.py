@@ -32,7 +32,7 @@ __all__ = [
     "freshness",
 ]
 
-from .exactlog import as_dec, fp6_floor, frac, log_frac
+from .exactlog import as_dec
 
 _MIL = 1_000_000
 
@@ -241,24 +241,47 @@ def psi_from_counts(a: DataFrame, b: DataFrame,
     )
     # eps-smoothed shares as EXACT integer fractions (eps = 1e-6):
     #   pa = n_a/ta + 1e-6 = (n_a·M + ta) / (ta·M),  M = 1e6
-    # so ln() receives ONE division of two exact decimal(38,0)
-    # integers — identical bits on both engines — and the (pa−pb)
-    # factor is ONE division of the cross-multiplied difference.
-    # See exactlog's module docstring (round-8 driver-gate flip).
+    # and from round 10 the ln itself is LIBM-FREE: intlog evaluates
+    # ln(pa_num·tb / (pb_num·ta)) in pure decimal(38,0) integer
+    # arithmetic (HUGEINT in the oracle), so every compared column is
+    # an exact integer with NO float anywhere in its lineage — the
+    # round-8/9 driver-gate 1-ulp libm skew has nothing left to act
+    # on. Shares use the exact half-up integer ratio; the
+    # (pa−pb)·ln(pa/pb) contribution multiplies the scale-1e10 signed
+    # difference by the scale-1e14 log and quantizes once.
+    from .intlog import (
+        contrib_fp6_sql, fp6_ratio_sql, sdiv10_steps, with_ln14,
+    )
+
     m = F.lit(_MIL).cast("decimal(38,0)")
     na, nb = as_dec(F.col("n_a")), as_dec(F.col("n_b"))
     ta, tb = as_dec(F.col("ta")), as_dec(F.col("tb"))
-    pa_num, pb_num = na * m + ta, nb * m + tb
-    lr = log_frac(pa_num * tb, pb_num * ta)
-    diff = frac(pa_num * tb - pb_num * ta, ta * tb * m)
-    per = (
+    base = (
         j.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
-            fp6_floor(frac(pa_num, ta * m)).alias("share_a_fp"),
-            fp6_floor(frac(pb_num, tb * m)).alias("share_b_fp"),
-            fp6_floor(diff * lr).alias("contrib_fp"),
+            (na * m + ta).alias("_pa_num"),
+            (nb * m + tb).alias("_pb_num"),
+            ta.alias("_ta"), tb.alias("_tb"),
         )
+        .withColumn("_lnum", F.col("_pa_num") * F.col("_tb"))
+        .withColumn("_lden", F.col("_pb_num") * F.col("_ta"))
+        .withColumn("_dnum", F.col("_lnum") - F.col("_lden"))
+        .withColumn("_dden", F.col("_ta") * F.col("_tb")
+                    * F.lit(_MIL).cast("decimal(38,0)"))
+    )
+    base = with_ln14(base, "_lnum", "_lden", "_lr14")
+    for nm, ex in sdiv10_steps("_dnum", "_dden", "_d10", "spark"):
+        base = base.withColumn(nm, F.expr(ex))
+    _m = "CAST(1000000 AS DECIMAL(38,0))"
+    per = base.select(
+        "bucket",
+        F.expr(fp6_ratio_sql("_pa_num", f"(_ta * {_m})", "spark"))
+        .alias("share_a_fp"),
+        F.expr(fp6_ratio_sql("_pb_num", f"(_tb * {_m})", "spark"))
+        .alias("share_b_fp"),
+        F.expr(contrib_fp6_sql("_d10", "_lr14", "spark"))
+        .alias("contrib_fp"),
     )
     # total = integer sum of the per-bucket fixed-point contribs:
     # float addition is not associative, so summing doubles would
@@ -356,24 +379,41 @@ def information_value(df: DataFrame, value_col: str, label_expr,
         )
     )
     tot = j.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
-    # Same exact-integer-fraction spelling as psi_from_counts:
-    # ps = n_pos/tp + 1e-6 = (n_pos·M + tp)/(tp·M), WOE = ONE log of
-    # the cross-multiplied fraction, (ps−ns) = ONE division.
+    # Same libm-free integer spelling as psi_from_counts (round 10):
+    # ps = n_pos/tp + 1e-6 = (n_pos·M + tp)/(tp·M); WOE is intlog's
+    # pure-integer ln of the cross-multiplied fraction; the IV
+    # contribution quantizes (ps−ns)·WOE from exact integer factors.
+    from .intlog import (
+        contrib_fp6_sql, fp6_from_ln14_sql, sdiv10_steps, with_ln14,
+    )
+
     m = F.lit(_MIL).cast("decimal(38,0)")
     np_, nn_ = as_dec(F.col("n_pos")), as_dec(F.col("n_neg"))
     tp, tn = as_dec(F.col("tp")), as_dec(F.col("tn"))
-    ps_num, ns_num = np_ * m + tp, nn_ * m + tn
-    woe = log_frac(ps_num * tn, ns_num * tp)
-    diff = frac(ps_num * tn - ns_num * tp, tp * tn * m)
-    per = (
+    base = (
         j.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             F.col("n_pos").cast("long").alias("n_pos"),
             F.col("n_neg").cast("long").alias("n_neg"),
-            fp6_floor(woe).alias("woe_fp"),
-            fp6_floor(diff * woe).alias("iv_contrib_fp"),
+            (np_ * m + tp).alias("_ps_num"),
+            (nn_ * m + tn).alias("_ns_num"),
+            tp.alias("_tp"), tn.alias("_tn"),
         )
+        .withColumn("_lnum", F.col("_ps_num") * F.col("_tn"))
+        .withColumn("_lden", F.col("_ns_num") * F.col("_tp"))
+        .withColumn("_dnum", F.col("_lnum") - F.col("_lden"))
+        .withColumn("_dden", F.col("_tp") * F.col("_tn")
+                    * F.lit(_MIL).cast("decimal(38,0)"))
+    )
+    base = with_ln14(base, "_lnum", "_lden", "_woe14")
+    for nm, ex in sdiv10_steps("_dnum", "_dden", "_d10", "spark"):
+        base = base.withColumn(nm, F.expr(ex))
+    per = base.select(
+        "bucket", "n_pos", "n_neg",
+        F.expr(fp6_from_ln14_sql("_woe14", "spark")).alias("woe_fp"),
+        F.expr(contrib_fp6_sql("_d10", "_woe14", "spark"))
+        .alias("iv_contrib_fp"),
     )
     total = per.agg(F.sum("iv_contrib_fp").alias("iv_fp"))
     return (

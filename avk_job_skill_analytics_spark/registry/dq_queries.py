@@ -212,20 +212,23 @@ def dq_referential(spark, sf_dir):
 
 # ------------------------------------------------ PSI drift
 def _psi_sql() -> str:
-    """The PSI oracle on the exactlog discipline: eps-smoothed
-    shares as exact HUGEINT fractions (pa = (n_a·1e6 + ta)/(ta·1e6)),
-    ONE ln of the cross-multiplied fraction, single-rounding fp6 —
-    generated from the same ``exactlog`` spellings the Spark plan
-    uses so the two can't drift."""
-    from ..operators.exactlog import (
-        fp6_floor_sql, frac_sql, log_frac_sql,
+    """The PSI oracle on the round-10 LIBM-FREE discipline: every
+    compared column is an exact HUGEINT — shares via the half-up
+    integer ratio, ln via intlog's pure-integer series, the
+    contribution via one quantized integer product. Generated from
+    the SAME intlog spellings the Spark plan uses, so neither the
+    algorithm nor a libm build can make the engines disagree."""
+    from ..operators.intlog import (
+        contrib_fp6_sql, fp6_ratio_sql, ln14_ctes, sdiv10_ctes,
     )
 
-    pa_num = "(CAST(n_a AS HUGEINT) * 1000000 + ta)"
-    pb_num = "(CAST(n_b AS HUGEINT) * 1000000 + tb)"
-    lr = log_frac_sql(f"({pa_num} * tb)", f"({pb_num} * ta)")
-    diff = frac_sql(f"({pa_num} * tb - {pb_num} * ta)",
-                    "(ta * tb * 1000000)")
+    pa_num = "(CAST(n_a AS HUGEINT) * 1000000 + CAST(ta AS HUGEINT))"
+    pb_num = "(CAST(n_b AS HUGEINT) * 1000000 + CAST(tb AS HUGEINT))"
+    ln_frag, ln_rel = ln14_ctes(
+        "base", "(_pa_num * _tb)", "(_pb_num * _ta)", "_lr14")
+    sd_frag, sd_rel = sdiv10_ctes(
+        ln_rel, "(_pa_num * _tb - _pb_num * _ta)",
+        "(_ta * _tb * CAST(1000000 AS HUGEINT))", "_d10")
     return f"""WITH a AS (SELECT least(greatest(CAST(floor((value - 0.0)
                       / 50.0) AS INT), 0), 9) AS bucket,
                       count(*) AS n_a
@@ -244,13 +247,22 @@ def _psi_sql() -> str:
              FROM g LEFT JOIN a ON g.bucket = a.bucket
                     LEFT JOIN b ON g.bucket = b.bucket),
        t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+       base AS (SELECT bucket, {pa_num} AS _pa_num,
+                       {pb_num} AS _pb_num,
+                       CAST(ta AS HUGEINT) AS _ta,
+                       CAST(tb AS HUGEINT) AS _tb
+                FROM j, t),
+       {ln_frag},
+       {sd_frag},
        per AS (SELECT bucket,
-           {fp6_floor_sql(frac_sql(pa_num, "(ta * 1000000)"))}
-               AS share_a_fp,
-           {fp6_floor_sql(frac_sql(pb_num, "(tb * 1000000)"))}
-               AS share_b_fp,
-           {fp6_floor_sql(f"({diff} * {lr})")} AS contrib_fp
-           FROM j, t)
+           {fp6_ratio_sql("_pa_num",
+                          "(_ta * CAST(1000000 AS HUGEINT))",
+                          "duckdb")} AS share_a_fp,
+           {fp6_ratio_sql("_pb_num",
+                          "(_tb * CAST(1000000 AS HUGEINT))",
+                          "duckdb")} AS share_b_fp,
+           {contrib_fp6_sql("_d10", "_lr14", "duckdb")} AS contrib_fp
+           FROM {sd_rel})
        SELECT bucket, share_a_fp, share_b_fp, contrib_fp,
               (SELECT sum(contrib_fp) FROM per) AS psi_fp
        FROM per"""
@@ -391,16 +403,20 @@ def dq_join_estimate(spark, sf_dir):
 
 # ------------------------------------------------ WOE / IV screening
 def _iv_sql() -> str:
-    """IV oracle on the same exactlog discipline as the PSI twin."""
-    from ..operators.exactlog import (
-        fp6_floor_sql, frac_sql, log_frac_sql,
+    """IV oracle on the same round-10 libm-free intlog discipline as
+    the PSI twin — WOE and the IV contribution are exact integers on
+    both engines."""
+    from ..operators.intlog import (
+        contrib_fp6_sql, fp6_from_ln14_sql, ln14_ctes, sdiv10_ctes,
     )
 
-    ps_num = "(CAST(n_pos AS HUGEINT) * 1000000 + tp)"
-    ns_num = "(CAST(n_neg AS HUGEINT) * 1000000 + tn)"
-    woe = log_frac_sql(f"({ps_num} * tn)", f"({ns_num} * tp)")
-    diff = frac_sql(f"({ps_num} * tn - {ns_num} * tp)",
-                    "(tp * tn * 1000000)")
+    ps_num = "(CAST(n_pos AS HUGEINT) * 1000000 + CAST(tp AS HUGEINT))"
+    ns_num = "(CAST(n_neg AS HUGEINT) * 1000000 + CAST(tn AS HUGEINT))"
+    ln_frag, ln_rel = ln14_ctes(
+        "base", "(_ps_num * _tn)", "(_ns_num * _tp)", "_woe14")
+    sd_frag, sd_rel = sdiv10_ctes(
+        ln_rel, "(_ps_num * _tn - _ns_num * _tp)",
+        "(_tp * _tn * CAST(1000000 AS HUGEINT))", "_d10")
     return f"""WITH c AS (SELECT
            least(greatest(CAST(floor((o_totalprice - 0.0) / 50000.0)
                AS INT), 0), 9) AS bucket,
@@ -415,12 +431,20 @@ def _iv_sql() -> str:
                     coalesce(n_neg, 0) AS n_neg
              FROM g LEFT JOIN c ON g.bucket = c.bucket),
        t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM j),
-       per AS (SELECT bucket,
-           CAST(n_pos AS BIGINT) AS n_pos,
-           CAST(n_neg AS BIGINT) AS n_neg,
-           {fp6_floor_sql(woe)} AS woe_fp,
-           {fp6_floor_sql(f"({diff} * {woe})")} AS iv_contrib_fp
-           FROM j, t)
+       base AS (SELECT bucket,
+                       CAST(n_pos AS BIGINT) AS n_pos,
+                       CAST(n_neg AS BIGINT) AS n_neg,
+                       {ps_num} AS _ps_num, {ns_num} AS _ns_num,
+                       CAST(tp AS HUGEINT) AS _tp,
+                       CAST(tn AS HUGEINT) AS _tn
+                FROM j, t),
+       {ln_frag},
+       {sd_frag},
+       per AS (SELECT bucket, n_pos, n_neg,
+           {fp6_from_ln14_sql("_woe14", "duckdb")} AS woe_fp,
+           {contrib_fp6_sql("_d10", "_woe14", "duckdb")}
+               AS iv_contrib_fp
+           FROM {sd_rel})
        SELECT bucket, n_pos, n_neg, woe_fp, iv_contrib_fp,
               (SELECT sum(iv_contrib_fp) FROM per) AS iv_fp
        FROM per"""
