@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .exactlog import fp6_floor
+
 
 def _apply_filters(df: DataFrame, filters: Sequence[Column] | None) -> DataFrame:
     """P7 slicer/filter context: every BI query is parameterized by
@@ -443,9 +445,7 @@ def survival_curve(users: DataFrame, duration_col: str,
         F.lit(1.0)
         - F.col("n_churn").cast("double") / F.col("n_risk")
     )
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    fp6 = fp6_floor  # single-rounding half-up (exactlog, round 10)
     surv = F.aggregate(
         F.collect_list(factor).over(w_all),
         F.lit(1.0),
@@ -498,9 +498,7 @@ def ewma_control(series: DataFrame, t_col: str, x_col: str,
                 - F.col("_sx").cast("double") * F.col("_sx")))
         / F.col("_n")
     )
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    fp6 = fp6_floor  # single-rounding half-up (exactlog, round 10)
     with_e = series.select(
         F.col(t_col), F.col(x_col), ewma.alias("_e")
     ).withColumn("_e_prev", F.lag("_e").over(Window.orderBy(t_col)))
@@ -701,9 +699,12 @@ def holt_linear(series: DataFrame, t_col: str, x_col: str,
         F.lit(None).cast("double").alias("b"),
     )
     st = F.aggregate(xs, init, step)
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    # single-rounding fixed point (exactlog.fp6_floor): floor(round(
+    # x,6)·1e6+0.5) is the engine-divergent double-rounding spelling
+    # (Spark BigDecimal HALF_UP vs DuckDB float round) removed
+    # repo-wide in round 9 — this was the last holdout (ADVICE r9).
+    from .exactlog import fp6_floor as fp6
+
     return series.select(
         F.col(t_col),
         F.col(x_col).cast("long").alias("x"),

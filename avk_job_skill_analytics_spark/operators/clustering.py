@@ -361,8 +361,8 @@ def kmeans_parallel_init(df: DataFrame, id_col: str, vec_col: str,
 
     def micro(cv):
         return (
-            f"CAST(floor(round({sqdist_sql(f'`{vec_col}`', cv)}, "
-            f"{round_digits}) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            f"CAST(floor(({sqdist_sql(f'`{vec_col}`', cv)})"
+            " * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
         )
 
     dec = "decimal(38,0)"

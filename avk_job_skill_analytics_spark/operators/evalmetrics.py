@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .exactlog import fp6_floor
+
 __all__ = ["binary_metrics", "calibration_bins", "pr_curve",
            "best_threshold", "grouped_binary_metrics", "lift_table",
            "roc_points"]
@@ -355,9 +357,7 @@ def cohen_kappa(df: "DataFrame", a_col: str, b_col: str) -> "DataFrame":
     d = "double"
     po = F.col("_agree").cast(d) / F.col("_n")
     pe = F.col("_s").cast(d) / (F.col("_n").cast(d) * F.col("_n"))
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    fp6 = fp6_floor  # single-rounding half-up (exactlog, round 10)
     return tot.crossJoin(F.broadcast(cross)).select(
         F.col("_n").cast("long").alias("n"),
         F.col("_agree").cast("long").alias("n_agree"),
@@ -434,12 +434,16 @@ def lift_table(scored: DataFrame, id_col: str, score_col: str,
         "_ntot",
         "_ptot",
     )
+    # NULL-for-undefined (ADVICE r9): with zero positives the capture
+    # ratio does not exist — pinning it to 0 made 'no positives to
+    # capture' indistinguishable from 'scorer captured nothing',
+    # unlike every other undefined ratio in this module
     capture = F.when(
         F.col("_ptot") > 0,
         F.floor(
             F.lit(1_000_000) * F.col("cum_pos") / F.col("_ptot")
         ),
-    ).otherwise(F.lit(0)).cast("long")
+    ).cast("long")
     share = F.floor(
         F.lit(1_000_000) * F.col("cum_n") / F.col("_ntot")
     ).cast("long")

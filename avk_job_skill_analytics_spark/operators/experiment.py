@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .exactlog import fp6_floor
+
 __all__ = [
     "ab_test_readout",
     "srm_check",
@@ -77,9 +79,7 @@ def ab_test_readout(events: DataFrame, user_col: str,
         * (F.lit(1.0) / F.col("_na") + F.lit(1.0) / F.col("_nb"))
     )
     mil = F.lit(1_000_000)
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    fp6 = fp6_floor  # single-rounding half-up (exactlog, round 10)
     return a.crossJoin(F.broadcast(b)).select(
         F.col("_na").cast("long").alias("n_a"),
         F.col("_nb").cast("long").alias("n_b"),
@@ -212,9 +212,7 @@ def cuped_readout(events: DataFrame, user_col: str, pre_expr,
     mean_y = lambda a: F.col(f"sy{a}").cast(d) / F.col(f"n{a}")  # noqa: E731
     mean_x = lambda a: F.col(f"sx{a}").cast(d) / F.col(f"n{a}")  # noqa: E731
     adj = lambda a: mean_y(a) - theta * (mean_x(a) - mx_pool)  # noqa: E731
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    fp6 = fp6_floor  # single-rounding half-up (exactlog, round 10)
     ok = (F.col("n0") > 0) & (F.col("n1") > 0) & (var_x > F.lit(0.0))
     return moments.select(
         F.col("n0").cast("long").alias("n_a"),
@@ -305,9 +303,7 @@ def bootstrap_lift_ci(events: DataFrame, user_col: str, metric_cents,
              - F.col("sa").cast("double") / F.col("na")).alias("_lift"),
         )
     )
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    fp6 = fp6_floor  # single-rounding half-up (exactlog, round 10)
     # point estimate: the unweighted (all-weights-1) lift
     point = per_user.groupBy().agg(
         F.sum(F.when(F.col("_arm") == 0, 1).otherwise(0)).alias("na"),
@@ -384,9 +380,7 @@ def stratified_readout(events: DataFrame, user_col: str, conv_expr,
     ok = (F.col("_na") > 0) & (F.col("_nb") > 0)
     lift = (F.col("_cb").cast(d) / F.col("_nb")
             - F.col("_ca").cast(d) / F.col("_na"))
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    fp6 = fp6_floor  # single-rounding half-up (exactlog, round 10)
     # pooled weight mass counts only strata that CAN estimate a lift
     tot = per.filter(ok).agg(
         F.sum(F.col("_na") + F.col("_nb")).alias("_nw")
@@ -467,9 +461,7 @@ def welch_t_readout(events: DataFrame, user_col: str,
         + (var(1) / F.col("n1")) * (var(1) / F.col("n1"))
         / (F.col("n1") - F.lit(1))
     )
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    fp6 = fp6_floor  # single-rounding half-up (exactlog, round 10)
     ok = (F.col("n0") > 1) & (F.col("n1") > 1)
     return m.select(
         F.col("n0").cast("long").alias("n_a"),
@@ -553,9 +545,7 @@ def ratio_delta_readout(events: DataFrame, user_col: str,
     r0, v0 = stats(0)
     r1, v1 = stats(1)
     se2 = v0 + v1
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    fp6 = fp6_floor  # single-rounding half-up (exactlog, round 10)
     ok = (F.col("sd0") > 0) & (F.col("sd1") > 0)
     return m.select(
         F.col("n0").cast("long").alias("n_a"),
@@ -658,9 +648,7 @@ def mde_card(events: DataFrame, user_col: str,
     # runtime could differ from the oracle's literal by an ulp
     z_sum = F.lit(2.801585)
     mde = z_sum * F.sqrt(var(0) / F.col("n0") + var(1) / F.col("n1"))
-    fp6 = lambda x: F.floor(  # noqa: E731 — shared half-up convention
-        F.round(x, 6) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
+    fp6 = fp6_floor  # single-rounding half-up (exactlog, round 10)
     ok = (F.col("n0") > 1) & (F.col("n1") > 1)
     return m.select(
         F.col("n0").cast("long").alias("n_a"),

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import graph
+from .exactlog import as_dec
 
 # Fellegi-Sunter agreement / disagreement weights (scaled integer
 # log2(m/u) ratios, precomputed so Spark and the SQL oracle share the
@@ -189,11 +190,16 @@ def blocking_audit(recs: DataFrame, cands: DataFrame,
     nf = cands.join(
         F.broadcast(truth), ["a_rec_id", "b_rec_id"], "left_semi"
     ).agg(F.count(F.lit(1)).cast("long").alias("_nf"))
-    ap = F.floor(
-        F.col("_n") * (F.col("_n") - 1) / F.lit(2)
-    ).cast("long")
+    # n·(n−1) carried in decimal(38,0) (oracle: HUGEINT) — the long
+    # product overflows at n ≳ 3.04e9, inside the 100 TB design
+    # point; the /2 is exact (consecutive integers ⇒ even product),
+    # and the reduction ratio keeps the 1e6-scaled product exact too,
+    # with ONE double division at the end (ADVICE r9).
+    ap_d = as_dec(F.col("_n")) * as_dec(F.col("_n") - 1) / F.lit(2)
+    ap = ap_d.cast("long")
     red = F.floor(
-        F.lit(1_000_000) * (ap - F.col("_nc")) / ap
+        (as_dec(F.lit(1_000_000)) * (ap_d - F.col("_nc")))
+        .cast("double") / ap_d.cast("double")
     ).cast("long")
     comp = F.when(
         F.col("_nt") > 0,

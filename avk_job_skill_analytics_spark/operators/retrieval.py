@@ -228,8 +228,7 @@ def ivfpq_refine_topk(corpus: DataFrame, queries: DataFrame,
         .withColumn(
             "dist_fp",
             F.floor(
-                F.round(sq, round_digits) * F.lit(1_000_000.0)
-                + F.lit(0.5)
+                sq * F.lit(1_000_000.0) + F.lit(0.5)
             ).cast("long"),
         )
     )

@@ -675,7 +675,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     def micro(dist_sql):
         return (
-            f"CAST(floor(round({dist_sql}, {round_digits}) * 1000000 "
+            f"CAST(floor(({dist_sql}) * 1000000 "
             "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
         )
 
@@ -1164,7 +1164,7 @@ def ivfpq_probes(queries: DataFrame, id_col: str, vec_col: str,
 
     def micro(dist_sql):
         return (
-            f"CAST(floor(round({dist_sql}, {round_digits}) * 1000000 "
+            f"CAST(floor(({dist_sql}) * 1000000 "
             "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
         )
 
@@ -1352,11 +1352,12 @@ def similarity_histogram(df: DataFrame, id_col: str, vec_col: str,
         F.col("_v").alias("_vb"),
         F.col("_nm").alias("_nb"),
     )
-    cos = F.round(
+    cos = (
         _dot(F.col("_va"), F.col("_vb"))
-        / (F.col("_na") * F.col("_nb")),
-        round_digits,
+        / (F.col("_na") * F.col("_nb"))
     )
+    # single-rounding fp6 (exactlog discipline, round 10): no
+    # round() before the floor — the quantization IS the rounding
     cos_fp = F.floor(
         cos * F.lit(1_000_000.0) + F.lit(0.5)
     ).cast("long")

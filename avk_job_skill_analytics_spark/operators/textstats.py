@@ -1173,18 +1173,29 @@ def hapax_ratio(df, id_col: str, text_col: str, n: int = 3):
     )
     return counts.agg(
         F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum("_n").cast("long").alias("n_tokens"),
-        F.sum(F.when(F.col("_n") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_hapax"),
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long")
+        .alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") == 1, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_hapax"),
     ).select(
         "n_types",
         "n_tokens",
         "n_hapax",
-        F.floor(
-            F.lit(1_000_000) * F.col("n_hapax") / F.col("n_types")
+        # degenerate-corpus guard (ADVICE r9): no document reaches n
+        # tokens ⇒ n_types = 0 ⇒ NULL (ANSI mode would otherwise
+        # raise DIVIDE_BY_ZERO), matching the evalmetrics
+        # NULL-for-undefined contract
+        F.when(
+            F.col("n_types") > 0,
+            F.floor(
+                F.lit(1_000_000) * F.col("n_hapax") / F.col("n_types")
+            ),
         ).cast("long").alias("hapax_fp"),
-        F.floor(
-            F.lit(1_000_000) * F.col("n_types") / F.col("n_tokens")
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(
+                F.lit(1_000_000) * F.col("n_types") / F.col("n_tokens")
+            ),
         ).cast("long").alias("ttr_fp"),
     )

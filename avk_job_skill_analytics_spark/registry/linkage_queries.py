@@ -266,10 +266,14 @@ def er_golden_record(spark, sf_dir):
                         THEN 1 ELSE 0 END) AS n_found
              FROM cand)
        SELECT CAST(n AS BIGINT) AS n_records,
-              CAST(floor(n * (n - 1) / 2) AS BIGINT) AS n_all_pairs,
+              CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT)
+                  AS n_all_pairs,
               CAST(n_cand AS BIGINT) AS n_candidates,
-              CAST(floor(1000000 * (floor(n * (n - 1) / 2) - n_cand)
-                         / floor(n * (n - 1) / 2)) AS BIGINT)
+              CAST(floor(CAST(1000000 *
+                         (CAST(n AS HUGEINT) * (n - 1) // 2 - n_cand)
+                         AS DOUBLE)
+                         / CAST(CAST(n AS HUGEINT) * (n - 1) // 2
+                                AS DOUBLE)) AS BIGINT)
                   AS reduction_fp,
               CAST(n_true AS BIGINT) AS n_true,
               CAST(n_found AS BIGINT) AS n_true_found,

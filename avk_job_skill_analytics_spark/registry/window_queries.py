@@ -1587,10 +1587,10 @@ def win_peak_concurrency(spark, sf_dir):
               CAST(n_risk AS BIGINT) AS n_risk,
               CAST(n_churn AS BIGINT) AS n_churn,
               CAST(n_censored AS BIGINT) AS n_censored,
-              CAST(floor(round(CAST(n_churn AS DOUBLE) / n_risk, 6)
+              CAST(floor((CAST(n_churn AS DOUBLE) / n_risk)
                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                    AS BIGINT) AS hazard_fp,
-              CAST(floor(round(s, 6)
+              CAST(floor((s)
                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
                    AS BIGINT) AS survival_fp
        FROM surv""",
@@ -1644,14 +1644,14 @@ def win_survival_curve(spark, sf_dir):
                          - CAST(sx AS DOUBLE) * sx) / n AS sigma
              FROM m)
        SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x,
-              CAST(floor(round(e, 6) * CAST(1000000 AS DOUBLE)
+              CAST(floor((e) * CAST(1000000 AS DOUBLE)
                    + CAST('0.5' AS DOUBLE)) AS BIGINT) AS ewma_fp,
               CASE WHEN e_prev IS NOT NULL THEN
-                  CAST(floor(round(x - e_prev, 6)
+                  CAST(floor((x - e_prev)
                        * CAST(1000000 AS DOUBLE)
                        + CAST('0.5' AS DOUBLE)) AS BIGINT)
                   END AS resid_fp,
-              CAST(floor(round(sigma, 6) * CAST(1000000 AS DOUBLE)
+              CAST(floor((sigma) * CAST(1000000 AS DOUBLE)
                    + CAST('0.5' AS DOUBLE)) AS BIGINT) AS sigma_fp,
               CASE WHEN e_prev IS NOT NULL THEN
                   abs(x - e_prev) > 3.0 * sigma END AS alarm
@@ -1796,11 +1796,11 @@ def win_anomaly_mad(spark, sf_dir):
                FROM seq s JOIN r ON s.rn = r.rn + 1)
            SELECT * FROM r)
        SELECT CAST(d AS BIGINT) AS d, CAST(x AS BIGINT) AS x,
-              CAST(floor(round(l, 6) * CAST(1000000 AS DOUBLE)
+              CAST(floor((l) * CAST(1000000 AS DOUBLE)
                    + CAST('0.5' AS DOUBLE)) AS BIGINT) AS level_fp,
-              CAST(floor(round(b, 6) * CAST(1000000 AS DOUBLE)
+              CAST(floor((b) * CAST(1000000 AS DOUBLE)
                    + CAST('0.5' AS DOUBLE)) AS BIGINT) AS trend_fp,
-              CAST(floor(round(l + b, 6) * CAST(1000000 AS DOUBLE)
+              CAST(floor((l + b) * CAST(1000000 AS DOUBLE)
                    + CAST('0.5' AS DOUBLE)) AS BIGINT) AS forecast_fp
        FROM rec""",
 )

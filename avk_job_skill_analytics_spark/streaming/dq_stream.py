@@ -200,8 +200,10 @@ def ab_monitor_card(state: dict):
     rpe = lambda c, n: int(math.floor(_MIL * c / n)) if n else None
     lift = None
     if na and nb:
+        # single rounding (exactlog discipline): Python's round() is
+        # HALF_EVEN — a third convention neither engine uses
         lift = int(math.floor(
-            round(cb / nb - ca / na, 6) * 1_000_000.0 + 0.5))
+            (cb / nb - ca / na) * 1_000_000.0 + 0.5))
     return [(na, nb, ca, cb, rpe(ca, na), rpe(cb, nb), lift)]
 
 

@@ -769,8 +769,10 @@ def test_lift_table_hand_computed(spark):
 
 
 def test_lift_table_no_positives_guard(spark):
-    """Zero positives: capture_fp pins to 0 instead of dividing by
-    zero, and lift_fp follows."""
+    """Zero positives: the capture ratio does not exist, so
+    capture_fp and lift_fp are NULL (the module's NULL-for-undefined
+    contract) — 0 would be indistinguishable from 'scorer captured
+    nothing', which is a real value."""
     from avk_job_skill_analytics_spark.operators.evalmetrics import (
         lift_table,
     )
@@ -780,7 +782,9 @@ def test_lift_table_no_positives_guard(spark):
         "id long, score_fp long, y int",
     )
     out = lift_table(scored, "id", "score_fp", "y", n_bins=3).collect()
-    assert all(r["capture_fp"] == 0 and r["lift_fp"] == 0 for r in out)
+    assert all(
+        r["capture_fp"] is None and r["lift_fp"] is None for r in out
+    )
 
 
 def test_roc_points_hand_computed_and_guarded(spark):

