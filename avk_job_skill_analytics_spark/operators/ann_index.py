@@ -112,19 +112,33 @@ def build_index(spark, corpus: DataFrame, id_col: str, vec_col: str,
         .collect()
     )
     coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
+    # deliberately NOT checkpointed/cached: assignment is one codegen
+    # projection, and its two consumers (the 8-row PQ seed TakeOrdered
+    # and the encode pass) re-derive it cheaper than a corpus-sized
+    # materialization — which at the 100 TB design point would pin
+    # the whole assignment in executor storage (round 10; was
+    # localCheckpoint, ~1.2 s/build at sf0.1 for zero scan savings)
     asg = similarity._ivfpq_assign(
         corpus, id_col, vec_col, coarse, round_digits
-    ).localCheckpoint()
+    )
     cbs = similarity._ivfpq_seed_cbs(asg, m, sub_d, k_star, round_digits)
     codes = similarity.ivfpq_encode(asg, cbs, m, sub_d, round_digits)
     write_cells(codes, f"{index_dir}/cells", -1)
+    # single-partition from birth: createDataFrame spreads these few
+    # rows over defaultParallelism partitions, and coalesce(1) would
+    # then evaluate all 32 python partitions SEQUENTIALLY in one task
+    # (~4s per tiny write — measured round 10); parallelize(_, 1)
+    # keeps the whole side table one cheap task
+    sc = spark.sparkContext
     spark.createDataFrame(
-        list(coarse), "cell long, cv array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/coarse")
+        sc.parallelize(list(coarse), 1), "cell long, cv array<double>"
+    ).write.mode("overwrite").parquet(f"{index_dir}/coarse")
     spark.createDataFrame(
-        [(s, cid, bv) for s, sub in enumerate(cbs) for cid, bv in sub],
+        sc.parallelize(
+            [(s, cid, bv)
+             for s, sub in enumerate(cbs) for cid, bv in sub], 1),
         "s int, cid long, bv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq")
+    ).write.mode("overwrite").parquet(f"{index_dir}/pq")
     # commit the base build under the shared marker protocol: readers
     # (serve_topk, compact_cells) only trust marker-committed batches
     from ..streaming.fsio import PROTOCOL, IndexFS

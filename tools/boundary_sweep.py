@@ -61,6 +61,14 @@ ALLOW_EXACT_TIE = {
         "specified, no libm), so both engines hold the identical bit "
         "pattern and floor it identically"
     ),
+    "win_ewma_control": (
+        "same dyadic class as win_holt_linear: alpha = 0.5 over "
+        "integer daily counts keeps early-day EWMA values exact "
+        "binary fractions (day-8 ewma*1e6+0.5 is exactly an "
+        "integer); lineage is +,*,- of doubles only (sigma's sqrt "
+        "is IEEE-correctly-rounded), so the tie is bit-identical "
+        "cross-engine"
+    ),
 }
 
 # the repo's canonical half-up spellings (see exactlog/intlog):
