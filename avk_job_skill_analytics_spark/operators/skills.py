@@ -118,3 +118,95 @@ class LLMSkillExtractor:
         # would change which rows get billed requests). Asserted by
         # tests/test_plan_quality.py::test_ud1_filter_stays_above_python_eval.
         return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def parse_tech_soft(reply: str) -> tuple[str, str]:
+    """The reference's reply parser, verbatim semantics
+    (src/data_extract.py:126-133): split on SOFT:, strip the TECH:
+    tag and ' []\\n' framing from each side. Shared by the live
+    client and the fake-client tests so the parsing contract is
+    pinned regardless of which client runs."""
+    tech, soft = "", ""
+    if "TECH:" in reply:
+        parts = reply.split("SOFT:")
+        tech = parts[0].replace("TECH:", "").strip(" []\n")
+        soft = parts[1].strip(" []\n") if len(parts) > 1 else ""
+    return tech, soft
+
+
+def build_prompt(text: str) -> str:
+    """The reference's extraction prompt (src/data_extract.py:111-120)
+    over pre-truncated text — truncation happens in the extractor's
+    batch loop, not here."""
+    return f"""
+    Extract two comma-separated lists from this job description:
+    1. Technical skills (languages, tools, frameworks)
+    2. Soft skills (communication, teamwork, leadership, problem-solving)
+
+    Description: {text}
+    Format strictly as:
+    TECH: [..]
+    SOFT: [..]
+    """
+
+
+def openai_chat_client(model: str = "gpt-4o-mini",
+                       temperature: float = 0.4):
+    """Production client binding for :class:`LLMSkillExtractor`
+    (VERDICT r9 stretch): a ``list[str] -> list[(tech, soft)]``
+    callable over the public OpenAI chat API, matching the
+    reference's call shape (src/data_extract.py:108-135: gpt-4o-mini,
+    temperature 0.4, one request per description, per-row degrade to
+    empty on failure). Import- and env-gated: raises RuntimeError
+    with a clear message when the ``openai`` package or
+    ``OPENAI_API_KEY`` is absent, so the engine itself never needs
+    network — tests inject fakes, and the live smoke test
+    (tests/test_scale_ops.py) skips without a key."""
+    import os
+
+    if not os.environ.get("OPENAI_API_KEY"):
+        raise RuntimeError(
+            "OPENAI_API_KEY not set — LLMSkillExtractor's live path "
+            "needs a real endpoint; inject a fake client instead"
+        )
+    try:
+        from openai import OpenAI  # modern SDK
+    except ImportError:
+        try:
+            import openai  # legacy SDK, the reference's import
+        except ImportError as e:
+            raise RuntimeError(
+                "the 'openai' package is not installed in this "
+                "environment"
+            ) from e
+        OpenAI = None  # noqa: N806
+
+    if OpenAI is not None:
+        api = OpenAI()
+
+        def one(prompt: str) -> str:
+            res = api.chat.completions.create(
+                model=model,
+                messages=[{"role": "user", "content": prompt}],
+                temperature=temperature,
+            )
+            return res.choices[0].message.content or ""
+    else:
+        def one(prompt: str) -> str:
+            res = openai.ChatCompletion.create(
+                model=model,
+                messages=[{"role": "user", "content": prompt}],
+                temperature=temperature,
+            )
+            return res.choices[0].message["content"]
+
+    def client(texts: list[str]) -> list[tuple[str, str]]:
+        out = []
+        for t in texts:
+            try:
+                out.append(parse_tech_soft(one(build_prompt(t))))
+            except Exception:
+                out.append(("", ""))  # reference contract: degrade
+        return out
+
+    return client

@@ -1926,3 +1926,59 @@ def test_frame_stats_spark_end_to_end(spark):
     assert r["mean_u_fp"] is None and r["mean_v_fp"] is None
     assert r["mean_y_fp"] == 1_000_000 * sum(
         (x + y) % 256 for y in range(2) for x in range(3)) // 6
+
+
+def test_llm_client_parsing_contract_and_gating():
+    """The live-client plumbing without a network: the reply parser
+    pins the reference's TECH:/SOFT: semantics for every client, and
+    the production binding refuses cleanly without a key instead of
+    failing mid-stream."""
+    import os
+
+    import pytest as _pytest
+
+    from avk_job_skill_analytics_spark.operators.skills import (
+        build_prompt,
+        openai_chat_client,
+        parse_tech_soft,
+    )
+
+    assert parse_tech_soft(
+        "TECH: [python, spark]\nSOFT: [teamwork, mentoring]"
+    ) == ("python, spark", "teamwork, mentoring")
+    assert parse_tech_soft("TECH: [sql]") == ("sql", "")
+    assert parse_tech_soft("free-form refusal") == ("", "")
+    assert "Format strictly as" in build_prompt("desc")
+
+    if not os.environ.get("OPENAI_API_KEY"):
+        with _pytest.raises(RuntimeError, match="OPENAI_API_KEY"):
+            openai_chat_client()
+
+
+def test_llm_live_smoke(spark):
+    """3-row LIVE extraction through the real endpoint — runs only
+    when OPENAI_API_KEY is present (VERDICT r9 stretch); the CI path
+    stays the fake-client e2e test above."""
+    import os
+
+    import pytest as _pytest
+
+    if not os.environ.get("OPENAI_API_KEY"):
+        _pytest.skip("no OPENAI_API_KEY — live smoke is opt-in")
+    from avk_job_skill_analytics_spark.operators.skills import (
+        LLMSkillExtractor,
+        openai_chat_client,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "We need a Python and Spark engineer with strong "
+              "communication skills and teamwork."),
+         (2, "Senior SQL analyst; leadership and mentoring a plus."),
+         (3, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in LLMSkillExtractor(
+        openai_chat_client(), batch_size=3
+    ).extract(df, "doc_id", "text").collect()}
+    assert out[3]["technical_skills"] == ""      # P6 short-text guard
+    assert out[1]["technical_skills"] != ""      # live model answered

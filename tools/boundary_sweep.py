@@ -100,6 +100,43 @@ def _perturb_libm(sql: str, scale: float) -> tuple[str, int]:
     return sql, n
 
 
+def _perturb_round(sql: str) -> tuple[str, int]:
+    """Route every round(...) through a macro that scales the input
+    by (1 + 1e-12) first: a hash flip means some rounded value
+    (output column OR an ORDER-BY tie key inside a rank) sits within
+    ~4500 ulps of a .5·10^-d boundary — the territory where Spark's
+    BigDecimal HALF_UP and DuckDB's float rounding can disagree on
+    bit-identical inputs. Exact dyadic values (0.25 etc.) are
+    unaffected by a RELATIVE perturbation, so benign exact sites
+    pass without an allowlist. DuckDB macros don't overload by
+    arity, so 1-arg and 2-arg calls are routed to separate macros by
+    a balanced-paren top-level-comma scan."""
+    out, n, i = [], 0, 0
+    pat = re.compile(r"(?<![a-zA-Z_0-9])round\(")
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        # scan the balanced argument list for a top-level comma
+        j, depth, two_arg = m.end(), 1, False
+        while depth and j < len(sql):
+            c = sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                two_arg = True
+            j += 1
+        name = "__p_round2" if two_arg else "__p_round1"
+        out.append(sql[i:m.start()])
+        out.append(f"{name}(")
+        i = m.end()
+        n += 1
+    return "".join(out), n
+
+
 def _run(con, sql):
     res = con.execute(sql)
     cols = [d[0] for d in res.description]
@@ -123,6 +160,14 @@ def main():
             f"CREATE MACRO __p_{fn}(x) AS {fn}(x)"
             f" * (1.0 + {EPS_LIBM!r})"
         )
+    con.execute(
+        f"CREATE MACRO __p_round2(x, d) AS"
+        f" round(x * (1.0 + {EPS_LIBM!r}), d)"
+    )
+    con.execute(
+        f"CREATE MACRO __p_round1(x) AS"
+        f" round(x * (1.0 + {EPS_LIBM!r}))"
+    )
 
     report, n_flip = {}, 0
     for name, sql in E.oracle_sql().items():
@@ -163,6 +208,19 @@ def main():
                 inv = f"error: {str(e)[:120]}"
             entry["libm_sites"] = n_libm
             entry["libm_perturb_1e-12"] = (
+                "invariant" if inv is True else
+                ("FLIPS" if inv is False else inv))
+            if inv is not True:
+                n_flip += 1
+
+        rsql, n_round = _perturb_round(sql)
+        if n_round:
+            try:
+                inv = _run(con, rsql)[1] == base_h
+            except Exception as e:
+                inv = f"error: {str(e)[:120]}"
+            entry["round_sites"] = n_round
+            entry["round_perturb_1e-12"] = (
                 "invariant" if inv is True else
                 ("FLIPS" if inv is False else inv))
             if inv is not True:

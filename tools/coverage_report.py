@@ -17,10 +17,24 @@ the same log is idempotent.
 from __future__ import annotations
 
 import datetime
+import glob
+import json
 import re
 import sys
 
 COVERAGE = "/root/repo/COVERAGE.md"
+
+
+def _driver_verdicts() -> tuple[str, dict]:
+    """The latest driver CORRECTNESS file: per-query provenance so
+    the table distinguishes 'the driver's own gate saw this row
+    green' from 'verified locally only' (VERDICT r9 #6 — the
+    round-over-round brief must lead with the driver's numbers)."""
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if not files:
+        return "none", {}
+    latest = files[-1]
+    return latest.rsplit("/", 1)[1], json.load(open(latest))
 
 
 def main(log_path: str) -> None:
@@ -35,8 +49,21 @@ def main(log_path: str) -> None:
     if not rows:
         raise SystemExit(f"no sweep lines found in {log_path}")
     rows.sort()
-    table = "| query | status | rows |\n|---|---|---|\n" + "".join(
-        f"| `{q}` | {s} | {n} |\n" for q, s, n in rows
+    drv_name, drv = _driver_verdicts()
+
+    def prov(q: str) -> str:
+        if q not in drv:
+            return "local"
+        v = drv[q]
+        if v.get("hash_match"):
+            return "driver ok + local"
+        return "driver FAIL + local"
+
+    table = (
+        f"| query | status | rows | provenance ({drv_name}) |\n"
+        "|---|---|---|---|\n" + "".join(
+            f"| `{q}` | {s} | {n} | {prov(q)} |\n" for q, s, n in rows
+        )
     )
     src = open(COVERAGE).read()
     start = src.index("| query | status | rows |")
