@@ -181,3 +181,66 @@ def test_exact_powers_of_two(shift):
     dn = ln14_py(1, 1 << shift)
     assert up == shift * LN2_S
     assert dn == -shift * LN2_S
+
+
+def test_no_double_rounding_spelling_anywhere():
+    """Regression lock for the round-10 sweep: no oracle may ever
+    reintroduce floor(round(x, d) * scale + 0.5) — the
+    double-rounding spelling where Spark's BigDecimal HALF_UP and
+    DuckDB's float rounding can disagree on bit-identical doubles."""
+    import re
+
+    import __spark_entry__ as E
+
+    for name, sql in E.oracle_sql().items():
+        flat = re.sub(r"\s+", "", sql).lower()
+        assert "floor(round(" not in flat, (
+            f"{name}: double-rounding fixed point crept back in"
+        )
+
+
+def test_psi_at_trillion_row_counts(spark):
+    """The 100 TB design claim, executed: psi_from_counts over
+    bucket-count frames with 1e12-scale totals (the counts ARE the
+    sufficient statistics, so trillion-row snapshots reduce to
+    n_buckets integers) must neither overflow decimal(38,0) nor
+    deviate from a pure-Python integer replay of the exact same
+    algorithm (intlog spec functions on arbitrary-precision ints)."""
+    from avk_job_skill_analytics_spark.operators.dataquality import (
+        psi_from_counts,
+    )
+    from avk_job_skill_analytics_spark.operators.intlog import (
+        contrib_fp6_py,
+        ln14_py,
+        sdiv10_py,
+    )
+
+    n_buckets = 5
+    counts_a = [400_000_000_000, 300_000_000_000, 200_000_000_000,
+                99_999_999_999, 1]
+    counts_b = [100_000_000_000, 350_000_000_000, 250_000_000_000,
+                299_999_999_998, 2]
+    a = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts_a)], "bucket int, n_a long"
+    )
+    b = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts_b)], "bucket int, n_b long"
+    )
+    got = {r["bucket"]: r.asDict()
+           for r in psi_from_counts(a, b, n_buckets).collect()}
+
+    M = 1_000_000
+    ta, tb = sum(counts_a), sum(counts_b)
+    exp_contribs = {}
+    for i in range(n_buckets):
+        pa_num = counts_a[i] * M + ta
+        pb_num = counts_b[i] * M + tb
+        lr14 = ln14_py(pa_num * tb, pb_num * ta)
+        d10 = sdiv10_py(pa_num * tb - pb_num * ta, ta * tb * M)
+        exp_contribs[i] = contrib_fp6_py(d10, lr14)
+        exp_share_a = (2 * M * pa_num + ta * M) // (2 * ta * M)
+        assert got[i]["share_a_fp"] == exp_share_a
+        assert got[i]["contrib_fp"] == exp_contribs[i], i
+    assert got[0]["psi_fp"] == sum(exp_contribs.values())
+    # sanity: a genuinely drifted pair produces a big positive PSI
+    assert got[0]["psi_fp"] > 100_000
