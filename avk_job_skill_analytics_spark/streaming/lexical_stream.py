@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .batched_index import spread_batch
+
 from ..operators.retrieval import bm25_rank
 from ..operators.textstats import tokens
 from .fsio import (
@@ -90,7 +92,9 @@ def _bm25_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
             return
         ensure_protocol(fs, *_legacy_probes(fs))
         recover_compaction(fs, _delete_bm25_batches)
-        toks = tokens(bdf, id_col, text_col).localCheckpoint()
+        toks = tokens(
+            spread_batch(bdf), id_col, text_col
+        ).localCheckpoint()
         tf = toks.groupBy(id_col, "term").agg(
             F.count(F.lit(1)).alias("_tf")
         )

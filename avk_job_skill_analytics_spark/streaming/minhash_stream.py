@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .batched_index import spread_batch
+
 from ..operators.dedup import minhash_signatures, word_shingles
 from ..operators.hashing import (
     MERSENNE_P,
@@ -274,7 +276,7 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
         # localCheckpoint: one micro-batch of signatures, reused by
         # the pair join AND both index appends without re-signing
         signed = _sign_documents(
-            bdf, id_col, text_col, k, num_hashes, seed
+            spread_batch(bdf), id_col, text_col, k, num_hashes, seed
         ).withColumn("_sh", F.sort_array("_sh")).localCheckpoint()
         banded_new = signed.select(
             F.col(id_col).alias("_idx_id"),

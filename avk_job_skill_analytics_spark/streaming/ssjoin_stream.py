@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .batched_index import (
+    spread_batch,
     committed_table_dirs,
     compact_batched_index,
     make_delete_batches,
@@ -119,7 +120,7 @@ def _ssjoin_maintain_batch_fn(index_dir: str, id_col: str,
         recover_compaction(fs, _delete_ssjoin_batches)
         committed = committed_batch_ids(fs)
         signed = signed_sets(
-            bdf, id_col, text_col, k, t_num, t_den
+            spread_batch(bdf), id_col, text_col, k, t_num, t_den
         ).localCheckpoint()
         post_new = signed.select(
             F.col(id_col).alias("_idx_id"),
