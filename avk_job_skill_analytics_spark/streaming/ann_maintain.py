@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from .batched_index import spread_batch
+
 # the layout contract lives in ONE place — operators/ann_index —
 # shared with the batch build/serve queries; these aliases keep the
 # streaming-facing names stable
@@ -72,7 +74,7 @@ def foreach_batch_drift_fold(stream: DataFrame, coarse: list, cbs: list,
         if epoch_already_applied(state, epoch_id):
             return
         asg = similarity._ivfpq_assign(
-            bdf, id_col, vec_col, coarse, round_digits
+            spread_batch(bdf), id_col, vec_col, coarse, round_digits
         )
         qe = similarity.quantization_error(asg, cbs, m, sub_d,
                                            round_digits)
@@ -134,7 +136,7 @@ def _ivfpq_append_batch_fn(index_dir: str, id_col: str, vec_col: str,
             frozen["cb"] = load_ivfpq_codebooks(spark, index_dir)
         coarse, cbs = frozen["cb"]
         asg = similarity._ivfpq_assign(
-            bdf, id_col, vec_col, coarse, round_digits
+            spread_batch(bdf), id_col, vec_col, coarse, round_digits
         )
         codes = similarity.ivfpq_encode(asg, cbs, m, sub_d, round_digits)
         write_ivfpq_cells(codes, fs.uri("cells"), batch_id)
@@ -339,7 +341,7 @@ def _auto_retrain_batch_fn(root_dir: str, base: DataFrame, id_col: str,
         coarse, cbs = state["cb"]
         # 4. this batch's drift under the current frozen quantizers
         asg = similarity._ivfpq_assign(
-            bdf, id_col, vec_col, coarse, round_digits
+            spread_batch(bdf), id_col, vec_col, coarse, round_digits
         )
         qe = similarity.quantization_error(asg, cbs, m, sub_d, round_digits)
         n, total = _err_stats(qe)
