@@ -250,7 +250,8 @@ def psi_from_counts(a: DataFrame, b: DataFrame,
     # (pa−pb)·ln(pa/pb) contribution multiplies the scale-1e10 signed
     # difference by the scale-1e14 log and quantizes once.
     from .intlog import (
-        contrib_fp6_sql, fp6_ratio_sql, sdiv10_steps, with_ln14,
+        apply_steps, contrib_fp6_sql, fp6_ratio_sql, ln14_steps,
+        sdiv10_steps,
     )
 
     m = F.lit(_MIL).cast("decimal(38,0)")
@@ -264,24 +265,30 @@ def psi_from_counts(a: DataFrame, b: DataFrame,
             (nb * m + tb).alias("_pb_num"),
             ta.alias("_ta"), tb.alias("_tb"),
         )
-        .withColumn("_lnum", F.col("_pa_num") * F.col("_tb"))
-        .withColumn("_lden", F.col("_pb_num") * F.col("_ta"))
-        .withColumn("_dnum", F.col("_lnum") - F.col("_lden"))
-        .withColumn("_dden", F.col("_ta") * F.col("_tb")
-                    * F.lit(_MIL).cast("decimal(38,0)"))
     )
-    base = with_ln14(base, "_lnum", "_lden", "_lr14")
-    for nm, ex in sdiv10_steps("_dnum", "_dden", "_d10", "spark"):
-        base = base.withColumn(nm, F.expr(ex))
     _m = "CAST(1000000 AS DECIMAL(38,0))"
-    per = base.select(
-        "bucket",
-        F.expr(fp6_ratio_sql("_pa_num", f"(_ta * {_m})", "spark"))
-        .alias("share_a_fp"),
-        F.expr(fp6_ratio_sql("_pb_num", f"(_tb * {_m})", "spark"))
-        .alias("share_b_fp"),
-        F.expr(contrib_fp6_sql("_d10", "_lr14", "spark"))
-        .alias("contrib_fp"),
+    # the whole derivation — cross-multiplied log operands, the
+    # integer ln ladder, the signed difference ratio, and the three
+    # fixed-point outputs — is ONE lateral-alias projection (one
+    # analysis pass; a withColumn chain re-analyzes per step)
+    steps = [
+        ("_lnum", "(_pa_num * _tb)"),
+        ("_lden", "(_pb_num * _ta)"),
+        ("_dnum", "(_lnum - _lden)"),
+        ("_dden", f"(_ta * _tb * {_m})"),
+        # K=24 exponent chain: the 1e-6 smoothing bounds the ratio
+        # within [1/(M+1), M+1] ⊂ [2^-20, 2^20]; shorter chains are
+        # value-identical in range and ~40% less plan to analyze
+        *ln14_steps("_lnum", "_lden", "_lr14", "spark", k_exp=24),
+        *sdiv10_steps("_dnum", "_dden", "_d10", "spark"),
+        ("share_a_fp", fp6_ratio_sql("_pa_num", f"(_ta * {_m})",
+                                     "spark")),
+        ("share_b_fp", fp6_ratio_sql("_pb_num", f"(_tb * {_m})",
+                                     "spark")),
+        ("contrib_fp", contrib_fp6_sql("_d10", "_lr14", "spark")),
+    ]
+    per = apply_steps(base, steps).select(
+        "bucket", "share_a_fp", "share_b_fp", "contrib_fp",
     )
     # total = integer sum of the per-bucket fixed-point contribs:
     # float addition is not associative, so summing doubles would
@@ -384,7 +391,8 @@ def information_value(df: DataFrame, value_col: str, label_expr,
     # pure-integer ln of the cross-multiplied fraction; the IV
     # contribution quantizes (ps−ns)·WOE from exact integer factors.
     from .intlog import (
-        contrib_fp6_sql, fp6_from_ln14_sql, sdiv10_steps, with_ln14,
+        apply_steps, contrib_fp6_sql, fp6_from_ln14_sql, ln14_steps,
+        sdiv10_steps,
     )
 
     m = F.lit(_MIL).cast("decimal(38,0)")
@@ -400,20 +408,21 @@ def information_value(df: DataFrame, value_col: str, label_expr,
             (nn_ * m + tn).alias("_ns_num"),
             tp.alias("_tp"), tn.alias("_tn"),
         )
-        .withColumn("_lnum", F.col("_ps_num") * F.col("_tn"))
-        .withColumn("_lden", F.col("_ns_num") * F.col("_tp"))
-        .withColumn("_dnum", F.col("_lnum") - F.col("_lden"))
-        .withColumn("_dden", F.col("_tp") * F.col("_tn")
-                    * F.lit(_MIL).cast("decimal(38,0)"))
     )
-    base = with_ln14(base, "_lnum", "_lden", "_woe14")
-    for nm, ex in sdiv10_steps("_dnum", "_dden", "_d10", "spark"):
-        base = base.withColumn(nm, F.expr(ex))
-    per = base.select(
-        "bucket", "n_pos", "n_neg",
-        F.expr(fp6_from_ln14_sql("_woe14", "spark")).alias("woe_fp"),
-        F.expr(contrib_fp6_sql("_d10", "_woe14", "spark"))
-        .alias("iv_contrib_fp"),
+    _m = "CAST(1000000 AS DECIMAL(38,0))"
+    # one lateral-alias projection, same as psi_from_counts
+    steps = [
+        ("_lnum", "(_ps_num * _tn)"),
+        ("_lden", "(_ns_num * _tp)"),
+        ("_dnum", "(_lnum - _lden)"),
+        ("_dden", f"(_tp * _tn * {_m})"),
+        *ln14_steps("_lnum", "_lden", "_woe14", "spark", k_exp=24),
+        *sdiv10_steps("_dnum", "_dden", "_d10", "spark"),
+        ("woe_fp", fp6_from_ln14_sql("_woe14", "spark")),
+        ("iv_contrib_fp", contrib_fp6_sql("_d10", "_woe14", "spark")),
+    ]
+    per = apply_steps(base, steps).select(
+        "bucket", "n_pos", "n_neg", "woe_fp", "iv_contrib_fp",
     )
     total = per.agg(F.sum("iv_contrib_fp").alias("iv_fp"))
     return (

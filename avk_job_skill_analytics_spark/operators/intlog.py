@@ -76,6 +76,7 @@ __all__ = [
     "idiv_sql",
     "big_sql",
     "ln14_steps",
+    "apply_steps",
     "with_ln14",
     "ln14_ctes",
     "ln14_py",
@@ -117,7 +118,8 @@ def _pow2(k: int) -> int:
 
 
 def ln14_steps(num_col: str, den_col: str, out_col: str,
-               dialect: str, pfx: str = "_il") -> list[tuple[str, str]]:
+               dialect: str, pfx: str = "_il",
+               k_exp: int = K_EXP) -> list[tuple[str, str]]:
     """The ordered (column, expression) chain computing
     ``out_col = round-down-ish(ln(num_col/den_col) * 1e14)`` as a
     signed wide integer. Each expression references only the two
@@ -134,12 +136,12 @@ def ln14_steps(num_col: str, den_col: str, out_col: str,
     ups = [
         f"(CASE WHEN {idiv_sql(n, B(_pow2(k)), d)} >= {dn}"
         f" THEN 1 ELSE 0 END)"
-        for k in range(1, K_EXP + 1)
+        for k in range(1, k_exp + 1)
     ]
     downs = [
         f"(CASE WHEN {idiv_sql(f'({dn} - {B(1)})', B(_pow2(k - 1)), d)}"
         f" >= {n} THEN 1 ELSE 0 END)"
-        for k in range(1, K_EXP + 1)
+        for k in range(1, k_exp + 1)
     ]
     up2 = " * ".join(u.replace("THEN 1", f"THEN {B(2)}")
                      .replace("ELSE 0", f"ELSE {B(1)}") for u in ups)
@@ -181,15 +183,28 @@ def ln14_steps(num_col: str, den_col: str, out_col: str,
     return steps
 
 
+def apply_steps(df: DataFrame, steps: list[tuple[str, str]],
+                keep: list[str] | None = None) -> DataFrame:
+    """Apply a step chain as ONE projection using Spark's lateral
+    column aliases (each step expression references earlier steps by
+    name inside the same SELECT). A ``withColumn`` loop would
+    re-analyze the accumulated plan per step — ~3.7 s of driver time
+    for the 22-step ln ladder (round 10, measured); one ``selectExpr``
+    analyzes once. Values are identical: the aliases name the same
+    expressions the loop would build."""
+    out = df.selectExpr("*", *[f"{e} AS {n}" for n, e in steps])
+    if keep is not None:
+        out = out.drop(*[n for n, _ in steps if n not in keep])
+    return out
+
+
 def with_ln14(df: DataFrame, num_col: str, den_col: str,
               out_col: str, pfx: str = "_il") -> DataFrame:
     """Append ``out_col = ln14(num_col/den_col)`` to a DataFrame via
     the step chain (intermediates dropped). Pure per-row scalar
     arithmetic — no shuffle, no UDF, stays inside codegen."""
     steps = ln14_steps(num_col, den_col, out_col, "spark", pfx)
-    for name, expr in steps:
-        df = df.withColumn(name, F.expr(expr))
-    return df.drop(*[nm for nm, _ in steps if nm != out_col])
+    return apply_steps(df, steps, keep=[out_col])
 
 
 def _steps_ctes(src: str, head: list[tuple[str, str]],
@@ -211,14 +226,14 @@ def _steps_ctes(src: str, head: list[tuple[str, str]],
 
 
 def ln14_ctes(src: str, num_expr: str, den_expr: str, out_col: str,
-              pfx: str = "_il") -> tuple[str, str]:
+              pfx: str = "_il", k_exp: int = K_EXP) -> tuple[str, str]:
     """DuckDB CTE ladder: returns (fragment, final_relation). The
     fragment is a comma-joined list of CTE definitions (append after
     an existing WITH list); the final relation carries every ``src``
     column plus ``out_col``. ``num_expr``/``den_expr`` may be
     arbitrary expressions over ``src`` columns."""
     steps = ln14_steps(f"{pfx}_num", f"{pfx}_den", out_col,
-                       "duckdb", pfx)
+                       "duckdb", pfx, k_exp=k_exp)
     return _steps_ctes(
         src,
         [(f"{pfx}_num", num_expr), (f"{pfx}_den", den_expr)],
@@ -236,16 +251,16 @@ def sdiv10_ctes(src: str, num_expr: str, den_expr: str, out_col: str,
         steps, pfx)
 
 
-def ln14_py(num: int, den: int) -> int:
+def ln14_py(num: int, den: int, k_exp: int = K_EXP) -> int:
     """Pure-Python twin — the executable spec both engines must
     match bit-for-bit (Python ints are exact; // of positives is the
     same floor both dialects compute)."""
     assert num >= 1 and den >= 1
     e = 0
-    for k in range(1, K_EXP + 1):
+    for k in range(1, k_exp + 1):
         if num // _pow2(k) >= den:
             e += 1
-    for k in range(1, K_EXP + 1):
+    for k in range(1, k_exp + 1):
         if (den - 1) // _pow2(k - 1) >= num:
             e -= 1
     mn = num * _pow2(max(-e, 0))

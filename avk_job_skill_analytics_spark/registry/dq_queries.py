@@ -225,7 +225,8 @@ def _psi_sql() -> str:
     pa_num = "(CAST(n_a AS HUGEINT) * 1000000 + CAST(ta AS HUGEINT))"
     pb_num = "(CAST(n_b AS HUGEINT) * 1000000 + CAST(tb AS HUGEINT))"
     ln_frag, ln_rel = ln14_ctes(
-        "base", "(_pa_num * _tb)", "(_pb_num * _ta)", "_lr14")
+        "base", "(_pa_num * _tb)", "(_pb_num * _ta)", "_lr14",
+        k_exp=24)
     sd_frag, sd_rel = sdiv10_ctes(
         ln_rel, "(_pa_num * _tb - _pb_num * _ta)",
         "(_ta * _tb * CAST(1000000 AS HUGEINT))", "_d10")
@@ -413,7 +414,8 @@ def _iv_sql() -> str:
     ps_num = "(CAST(n_pos AS HUGEINT) * 1000000 + CAST(tp AS HUGEINT))"
     ns_num = "(CAST(n_neg AS HUGEINT) * 1000000 + CAST(tn AS HUGEINT))"
     ln_frag, ln_rel = ln14_ctes(
-        "base", "(_ps_num * _tn)", "(_ns_num * _tp)", "_woe14")
+        "base", "(_ps_num * _tn)", "(_ns_num * _tp)", "_woe14",
+        k_exp=24)
     sd_frag, sd_rel = sdiv10_ctes(
         ln_rel, "(_ps_num * _tn - _ns_num * _tp)",
         "(_tp * _tn * CAST(1000000 AS HUGEINT))", "_d10")
