@@ -265,7 +265,8 @@ def _psi_sql() -> str:
            {contrib_fp6_sql("_d10", "_lr14", "duckdb")} AS contrib_fp
            FROM {sd_rel})
        SELECT bucket, share_a_fp, share_b_fp, contrib_fp,
-              (SELECT sum(contrib_fp) FROM per) AS psi_fp
+              CAST((SELECT sum(contrib_fp) FROM per) AS BIGINT)
+                  AS psi_fp
        FROM per"""
 
 
@@ -448,7 +449,8 @@ def _iv_sql() -> str:
                AS iv_contrib_fp
            FROM {sd_rel})
        SELECT bucket, n_pos, n_neg, woe_fp, iv_contrib_fp,
-              (SELECT sum(iv_contrib_fp) FROM per) AS iv_fp
+              CAST((SELECT sum(iv_contrib_fp) FROM per) AS BIGINT)
+                  AS iv_fp
        FROM per"""
 
 

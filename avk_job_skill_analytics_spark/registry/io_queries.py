@@ -1292,7 +1292,8 @@ def io_jsonl_quarantine(spark, sf_dir):
                           o_orderpriority)), 1, 15)) AS BIGINT) AS h
          FROM orders)
        SELECT count(*) AS n_rows,
-              CAST(sum(h) AS DECIMAL(38,0)) AS content_checksum
+              CAST(CAST(sum(h) AS HUGEINT) AS VARCHAR)
+                  AS content_checksum
        FROM r""",
 )
 def io_table_checksum(spark, sf_dir):
@@ -1320,7 +1321,9 @@ def io_table_checksum(spark, sf_dir):
     )
     return o.select(md5_long(canon).alias("_h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("_h").cast("decimal(38,0)")).alias("content_checksum"),
+        F.sum(F.col("_h").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("content_checksum"),
     )
 
 

@@ -626,10 +626,14 @@ def tpch_q9_product_profit(spark, sf_dir):
 @_q(
     "tpch_q12_late_shipments",
     """SELECT l.l_linestatus,
-              sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-              sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_line_count
+              CAST(sum(CASE WHEN o.o_orderpriority IN
+                           ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+                  AS high_line_count,
+              CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                           ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+                  AS low_line_count
        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
        GROUP BY l.l_linestatus""",
