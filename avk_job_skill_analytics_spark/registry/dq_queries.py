@@ -288,6 +288,217 @@ def dq_psi_drift(spark, sf_dir):
     return DQ.psi_drift(a, b, "value", 0.0, 500.0, 10)
 
 
+# ------------------------------------------------ driver-env probes
+#
+# Three rounds of increasingly rigorous local PSI/IV fixes passed in
+# this container while the driver's gate stayed red (VERDICT r8-r10);
+# round 11 localized the divergence to HUGEINT fetch rendering and
+# fixed it (CAST ... AS BIGINT above). These probes stay registered —
+# and in the driver-sample PRIORITY window — so if any future red row
+# reappears, the failing LAYER names itself in CORRECTNESS_r{N}.json:
+#   dq_psi_buckets   red => upstream day(ts)/float-bucket/parquet read
+#   dq_intlog_probe  red => integer ln ladder in the driver's DuckDB
+#   dq_fp6_probe     red => fixed-point quantizers / signed division
+#   dq_psi_drift     red (others green) => report assembly only
+# Each is a sub-second scan (buckets) or a literal-driven ladder with
+# no table input at all.
+
+_LN_PROBE = [
+    # (name, num, den): fixed integer fractions spanning the PSI/IV
+    # operating envelope — exponent extremes (+-24 with the k_exp=24
+    # chain), mantissa corners, near-1 ratios, and 29-30 digit
+    # operands that exercise HUGEINT *, %, // near the 38-digit cap.
+    ("unit", 1, 1),
+    ("ratio_2", 2, 1),
+    ("ratio_half", 1, 2),
+    ("e_hi_24", 1 << 24, 1),
+    ("e_lo_24", 1, 1 << 24),
+    ("near1_up", 10**6 + 1, 10**6),
+    ("near1_dn", 10**6 - 1, 10**6),
+    ("third", 1, 3),
+    ("two_thirds", 2, 3),
+    ("mant_mid", 3, 2),
+    ("mant_hi", (1 << 24) - 1, 1 << 23),
+    ("psi_like", 632097 * 10**22 + 123456789,
+     618000 * 10**22 + 987654321),
+    ("woe_like", 496 * 10**6 + 4960, 964 * 10**6 + 9640),
+    ("big_close", 10**29 + 7, 10**29 - 63),
+    ("big_pow2", 3 * (1 << 50), 1 << 49),
+    ("huge_ops", 14 * 10**28 + 3, 9 * 10**28 + 1),
+]
+
+_FP6_PROBE = [
+    # (name, dnum, dden, ln14, pnum, pden): signed scale-1e10 ratio
+    # inputs, a fixed scale-1e14 log, and a positive ratio — driving
+    # sdiv10, contrib_fp6 (incl. exact half-up ties on both signs),
+    # and fp6_ratio through the same spellings PSI/IV use.
+    ("zero", 0, 10**12, 0, 1, 2),
+    ("tie_ratio", 1, 10**10, 0, 1, 2 * 10**6),
+    ("tie_contrib", 1, 2, 10**8, 3, 4),
+    ("neg_tie", -1, 2, 10**8, 1, 10**6),
+    ("neg", -3, 7, -69314718055994, 5, 8),
+    ("pos_small", 123456, 10**10, 69314718055994, 1, 3),
+    ("big_ops", 10**28 + 7, 10**29 + 11, 1386294361119890,
+     10**28 + 7, 3 * 10**28),
+    ("neg_big", -(10**28), 10**29, -2772588722239780,
+     999999, 10**6),
+]
+
+
+def _psi_buckets_sql() -> str:
+    return """WITH a AS (SELECT least(greatest(CAST(floor((value - 0.0)
+                      / 50.0) AS INT), 0), 9) AS bucket,
+                      count(*) AS n_a
+              FROM events
+              WHERE value IS NOT NULL AND day(ts) <= 15
+              GROUP BY 1),
+       b AS (SELECT least(greatest(CAST(floor((value - 0.0)
+                      / 50.0) AS INT), 0), 9) AS bucket,
+                      count(*) AS n_b
+              FROM events
+              WHERE value IS NOT NULL AND day(ts) > 15
+              GROUP BY 1),
+       g AS (SELECT CAST(range AS INT) AS bucket FROM range(10))
+       SELECT g.bucket,
+              CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+              CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+       FROM g LEFT JOIN a ON g.bucket = a.bucket
+              LEFT JOIN b ON g.bucket = b.bucket"""
+
+
+@_q("dq_psi_buckets", _psi_buckets_sql())
+def dq_psi_buckets(spark, sf_dir):
+    """PSI upstream probe: the exact per-bucket counts feeding
+    dq_psi_drift — same day(ts) split, same float bucket expression,
+    no log/fixed-point downstream. Integer counts only, so a red
+    driver row here indicts the scan/bucket layer, not arithmetic."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+
+    def counts(df, tag):
+        return df.groupBy(
+            DQ.psi_bucket("value", 0.0, 500.0, 10).alias("bucket")
+        ).agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+
+    a = counts(ev.filter(F.dayofmonth("ts") <= 15), "a")
+    b = counts(ev.filter(F.dayofmonth("ts") > 15), "b")
+    g = spark.range(10).select(
+        F.col("id").cast("int").alias("bucket"))
+    return (
+        g.join(F.broadcast(a), "bucket", "left")
+        .join(F.broadcast(b), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+
+
+def _intlog_probe_sql() -> str:
+    from ..operators.intlog import fp6_from_ln14_sql, ln14_ctes
+
+    vals = ",\n              ".join(
+        f"('{n}', CAST('{a}' AS HUGEINT), CAST('{b}' AS HUGEINT))"
+        for n, a, b in _LN_PROBE
+    )
+    frag, rel = ln14_ctes("src", "num", "den", "_ln14", k_exp=24)
+    return f"""WITH src(probe, num, den) AS (VALUES
+              {vals}),
+       {frag}
+       SELECT probe, CAST(_ln14 AS BIGINT) AS ln14,
+              {fp6_from_ln14_sql("_ln14", "duckdb")} AS ln_fp6
+       FROM {rel}"""
+
+
+@_q("dq_intlog_probe", _intlog_probe_sql())
+def dq_intlog_probe(spark, sf_dir):
+    """Integer-ln probe: the intlog ladder (exactly as PSI/IV run it,
+    k_exp=24) over fixed literal fractions — no table input, so a red
+    driver row here means the driver's DuckDB disagrees on pure
+    HUGEINT arithmetic, independent of any data or timestamp."""
+    from ..operators.intlog import (
+        apply_steps, fp6_from_ln14_sql, ln14_steps,
+    )
+
+    rows = [(n, str(a), str(b)) for n, a, b in _LN_PROBE]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "probe string, num_s string, den_s string",
+    )
+    base = df.select(
+        "probe",
+        F.col("num_s").cast("decimal(38,0)").alias("_num"),
+        F.col("den_s").cast("decimal(38,0)").alias("_den"),
+    )
+    steps = [
+        *ln14_steps("_num", "_den", "_ln14", "spark", k_exp=24),
+        ("ln14", "CAST(_ln14 AS BIGINT)"),
+        ("ln_fp6", fp6_from_ln14_sql("_ln14", "spark")),
+    ]
+    return apply_steps(base, steps).select("probe", "ln14", "ln_fp6")
+
+
+def _fp6_probe_sql() -> str:
+    from ..operators.intlog import (
+        contrib_fp6_sql, fp6_ratio_sql, sdiv10_ctes,
+    )
+
+    vals = ",\n              ".join(
+        f"('{n}', CAST('{dn}' AS HUGEINT), CAST('{dd}' AS HUGEINT),"
+        f" CAST('{l}' AS HUGEINT), CAST('{pn}' AS HUGEINT),"
+        f" CAST('{pd}' AS HUGEINT))"
+        for n, dn, dd, l, pn, pd in _FP6_PROBE
+    )
+    frag, rel = sdiv10_ctes("src", "dnum", "dden", "_d10")
+    return f"""WITH src(probe, dnum, dden, ln14, pnum, pden) AS (VALUES
+              {vals}),
+       {frag}
+       SELECT probe, CAST(_d10 AS BIGINT) AS d10,
+              {contrib_fp6_sql("_d10", "ln14", "duckdb")}
+                  AS contrib_fp,
+              {fp6_ratio_sql("pnum", "pden", "duckdb")} AS ratio_fp
+       FROM {rel}"""
+
+
+@_q("dq_fp6_probe", _fp6_probe_sql())
+def dq_fp6_probe(spark, sf_dir):
+    """Fixed-point quantizer probe: sdiv10 signed division, the
+    contrib product quantizer (with exact half-up ties on both
+    signs), and the fp6 ratio — over literals, through the same
+    spellings PSI/IV compile to. Localizes quantizer-layer
+    divergence away from the ln ladder and the data scan."""
+    from ..operators.intlog import (
+        apply_steps, contrib_fp6_sql, fp6_ratio_sql, sdiv10_steps,
+    )
+
+    rows = [
+        (n, str(dn), str(dd), str(l), str(pn), str(pd))
+        for n, dn, dd, l, pn, pd in _FP6_PROBE
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "probe string, dnum_s string, dden_s string, ln14_s string,"
+        " pnum_s string, pden_s string",
+    )
+    base = df.select(
+        "probe",
+        F.col("dnum_s").cast("decimal(38,0)").alias("_dnum"),
+        F.col("dden_s").cast("decimal(38,0)").alias("_dden"),
+        F.col("ln14_s").cast("decimal(38,0)").alias("_ln14"),
+        F.col("pnum_s").cast("decimal(38,0)").alias("_pnum"),
+        F.col("pden_s").cast("decimal(38,0)").alias("_pden"),
+    )
+    steps = [
+        *sdiv10_steps("_dnum", "_dden", "_d10", "spark"),
+        ("d10", "CAST(_d10 AS BIGINT)"),
+        ("contrib_fp", contrib_fp6_sql("_d10", "_ln14", "spark")),
+        ("ratio_fp", fp6_ratio_sql("_pnum", "_pden", "spark")),
+    ]
+    return apply_steps(base, steps).select(
+        "probe", "d10", "contrib_fp", "ratio_fp")
+
+
 # ------------------------------------------------ join-key skew audit
 @_q(
     "dq_skew_report",
