@@ -194,9 +194,13 @@ def blocking_audit(recs: DataFrame, cands: DataFrame,
     # product overflows at n ≳ 3.04e9, inside the 100 TB design
     # point; the /2 is exact (consecutive integers ⇒ even product),
     # and the reduction ratio keeps the 1e6-scaled product exact too,
-    # with ONE double division at the end (ADVICE r9).
+    # with ONE double division at the end (ADVICE r9). n_all_pairs is
+    # REPORTED AS A STRING: a BIGINT cast would go NULL on Spark but
+    # hard-error on DuckDB beyond n ≈ 4.3e9 (ADVICE r10) — the string
+    # render of the exact decimal degrades identically on both
+    # engines at any n.
     ap_d = as_dec(F.col("_n")) * as_dec(F.col("_n") - 1) / F.lit(2)
-    ap = ap_d.cast("long")
+    ap = ap_d.cast("decimal(38,0)").cast("string")
     red = F.floor(
         (as_dec(F.lit(1_000_000)) * (ap_d - F.col("_nc")))
         .cast("double") / ap_d.cast("double")

@@ -378,15 +378,34 @@ def frame_sample_plan(df: DataFrame, id_col: str = "doc_id",
                       payload_col: str = "payload",
                       every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled
-    frame index (explode of a stride sequence — the distributed
-    expansion that fans per-asset decode work across the cluster).
-    The per-frame decode itself is REAL since round 10 for Y4M
-    streams (:func:`decode_y4m` / :func:`frame_stats`, oracle-matched
-    in ``mm_frame_stats``); ``decode_frame`` below returns the raw
-    planes for a sampled index, or None for non-Y4M payloads
-    (entropy-coded codecs still need ffmpeg, absent here)."""
-    n_frames = (F.length(F.col(payload_col)) % 100 + 1).alias("n_frames")
-    frames = df.select(F.col(id_col), n_frames).withColumn(
+    frame index, where the frame count comes from ACTUALLY decoding
+    the Y4M stream (:func:`decode_y4m`) — so every emitted
+    ``frame_idx`` names a real frame ``decode_frame`` can return
+    (ADVICE r10: the former ``length(payload) % 100`` stub emitted
+    indices past the real stream). Undecodable payloads drop
+    (quarantine-and-continue), matching :func:`frame_stats`. The
+    mapInPandas stage emits only ``(id, n_frames)`` — payload bytes
+    never shuffle; the explode then fans per-frame decode work across
+    the cluster."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def count(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns = [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = decode_y4m(bytes(payload))
+                if dec is None:
+                    continue
+                ids.append(int(did))
+                ns.append(len(dec[3]))
+            yield pd.DataFrame({id_col: ids, "n_frames": ns})
+
+    counts = df.select(id_col, payload_col).mapInPandas(
+        count, f"{id_col} long, n_frames long"
+    )
+    frames = counts.filter(F.col("n_frames") > 0).withColumn(
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))),
     )
@@ -955,13 +974,17 @@ def decode_y4m(payload: bytes):
         if not tok:
             continue
         key, val = tok[:1], tok[1:]
-        if key == b"W":
-            width = int(val)
-        elif key == b"H":
-            height = int(val)
-        elif key == b"C":
-            chroma = val
-    if not width or not height or chroma not in _Y4M_CHROMA:
+        try:
+            if key == b"W":
+                width = int(val)
+            elif key == b"H":
+                height = int(val)
+            elif key == b"C":
+                chroma = val
+        except ValueError:
+            return None  # corrupt header param: quarantine, not crash
+    if width is None or height is None or width <= 0 or height <= 0 \
+            or chroma not in _Y4M_CHROMA:
         return None
     sub = _Y4M_CHROMA[chroma]
     ysz = width * height

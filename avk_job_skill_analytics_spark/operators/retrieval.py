@@ -197,7 +197,7 @@ def ivfpq_refine_topk(corpus: DataFrame, queries: DataFrame,
     Scale shape: the candidate list (|Q|·r rows of ids) BROADCASTS
     against the corpus — the raw-vector fetch is a broadcast
     semi-join, never a corpus shuffle — and the exact distance reuses
-    the ADC fixed-point convention (floor(round(d, 6)·1e6 + 0.5)) so
+    the ADC fixed-point convention (single-rounding: floor(d·1e6 + 0.5)) so
     ranking is engine-exact. Returns (query_id, neighbor_id, dist_fp,
     rk)."""
     cand = ivfpq_topk(

@@ -642,7 +642,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
     Engine-exact: assignments argmin on (rounded distance, centroid
     id) via struct ordering; ADC entries are INTEGER micro-distances
-    (floor(round(d,6)*1e6 + .5)), so per-pair sums are exact and the
+    (single-rounding: floor(d*1e6 + 0.5)), so per-pair sums are exact and the
     ranking (adc ASC, neighbor ASC) is deterministic on any engine.
     Returns (query_id, neighbor_id, adc_dist, rk)."""
     from .clustering import codebook_argmin, sqdist_sql

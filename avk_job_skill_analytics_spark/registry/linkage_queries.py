@@ -266,7 +266,7 @@ def er_golden_record(spark, sf_dir):
                         THEN 1 ELSE 0 END) AS n_found
              FROM cand)
        SELECT CAST(n AS BIGINT) AS n_records,
-              CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS BIGINT)
+              CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS VARCHAR)
                   AS n_all_pairs,
               CAST(n_cand AS BIGINT) AS n_candidates,
               CAST(floor(CAST(1000000 *

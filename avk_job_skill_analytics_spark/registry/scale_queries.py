@@ -1052,17 +1052,21 @@ def mm_extract_features(spark, sf_dir):
 @_q(
     "mm_frame_sample",
     """SELECT doc_id,
-              unnest(generate_series(
-                0, octet_length(encode(text)) % 100, 10)) AS frame_idx
+              unnest(generate_series(0, doc_id % 4 + 1, 2))
+                  AS frame_idx
        FROM documents""",
 )
 def mm_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing: explode a stride-10 frame-index
-    sequence per asset (one row per frame to decode). The per-frame
-    decode stays a stub; the distributed expansion is the deliverable."""
+    """Video frame-sampling plumbing over REAL decode: per document a
+    genuine Y4M stream (attach_video_media, n_frames = id%4+2), whose
+    frame count is read back by actually parsing the stream
+    (frame_sample_plan → decode_y4m), then exploded to one row per
+    stride-2 sampled frame index. The oracle recomputes the sampled
+    index set from the synthesis parameter, so an off-by-one in
+    header/frame parsing mismatches."""
     d = load(spark, sf_dir, "documents")
     frames = multimodal.frame_sample_plan(
-        multimodal.attach_binary(d), every_n=10
+        multimodal.attach_video_media(d), every_n=2
     )
     return frames.select("doc_id", F.col("frame_idx").cast("long"))
 

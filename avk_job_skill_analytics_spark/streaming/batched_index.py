@@ -47,8 +47,13 @@ def spread_batch(bdf):
     expressions, so repartitioning cannot change any result. On a
     real cluster a large micro-batch already arrives as many
     partitions and this is a no-op."""
-    target = int(bdf.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"))
+    try:
+        target = int(bdf.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # some distributions allow non-numeric values here ("auto");
+        # fall back rather than fail every micro-batch of the drain
+        target = bdf.sparkSession.sparkContext.defaultParallelism
     if bdf.rdd.getNumPartitions() >= target:
         return bdf
     return bdf.repartition(target)

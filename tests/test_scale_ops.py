@@ -1871,6 +1871,11 @@ def test_y4m_decode_is_real_all_layouts():
     assert M.decode_y4m(b"YUV4MPEG2 W4 H4 C999\n") is None
     assert M.decode_y4m(
         b"YUV4MPEG2 W2 H2 C444\nGARBAGE\n" + bytes(12)) is None
+    # corrupt header params quarantine (None), never raise (ADVICE r10)
+    assert M.decode_y4m(b"YUV4MPEG2 Wxx H4 C444\nFRAME\n") is None
+    assert M.decode_y4m(b"YUV4MPEG2 W4 Hxx C444\nFRAME\n") is None
+    assert M.decode_y4m(b"YUV4MPEG2 W-4 H4 C444\nFRAME\n") is None
+    assert M.decode_y4m(b"YUV4MPEG2 W4 H0 C444\nFRAME\n") is None
 
     # a sampled mid-stream frame decodes to its exact plane
     stream = M.build_y4m(4, 2, 3, fn, "444")
