@@ -791,17 +791,25 @@ def decode_bmp_pixels(payload: bytes):
 
 
 def decode_pixels(payload: bytes):
-    """Pixel-decode dispatch: stdlib PNG/BMP decoders first; when a
-    payload is neither and Pillow happens to be installed
+    """Pixel-decode dispatch: stdlib PNG/BMP/baseline-JPEG decoders
+    first (operators/jpegcodec for JPEG — round 11); when a payload
+    is none of those and Pillow happens to be installed
     (import-gated — NOT a dependency), fall back to
     ``PIL.Image.open``; otherwise None. The default environment
-    decodes PNG/BMP for real and quarantines the rest."""
+    decodes PNG/BMP/JPEG for real and quarantines the rest
+    (progressive JPEG, WebP)."""
+    from .jpegcodec import decode_jpeg_pixels
+
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
         return decode_png_pixels(b)
     if b[:2] == b"BM":
         return decode_bmp_pixels(b)
-    try:  # optional Pillow path (jpeg/webp/...) — never required
+    if b[:2] == b"\xff\xd8":
+        dec = decode_jpeg_pixels(b)
+        if dec is not None:
+            return dec
+    try:  # optional Pillow path (progressive jpeg/webp/...) — never required
         from io import BytesIO
 
         from PIL import Image
@@ -865,14 +873,28 @@ def pixel_stats(df: DataFrame, id_col: str = "doc_id",
 
 def attach_pixel_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Testdata adapter for the pixel path: per row a FULL raster
-    payload — even ids a real zlib-compressed PNG, odd ids a real
-    24-bit BMP — w = id%16+1, h = id%12+1, pixel (x, y) ->
-    ((3x+5y+id)%256, (7x+y+2id)%256, (x+11y+3id)%256). The synthesis
-    parameters are pure integer arithmetic on the id, so a SQL
-    oracle recomputes every channel sum exactly; a decoder that
-    misreads any byte (filter reconstruction, BGR order, row
-    padding, bottom-up flip) hash-mismatches immediately."""
+    payload covering all three real codecs —
+
+    - id % 3 == 0: real zlib-compressed PNG, w = id%16+1,
+      h = id%12+1, pixel (x, y) -> ((3x+5y+id)%256, (7x+y+2id)%256,
+      (x+11y+3id)%256);
+    - id % 3 == 1: real 24-bit padded bottom-up BMP, same geometry
+      and pixel formula;
+    - id % 3 == 2: real baseline greyscale JPEG (operators/jpegcodec,
+      round 11), w = 8·(id%5+1), h = 8·(id%4+1), every 8x8 block
+      CONSTANT at (5·bx + 7·by + id) % 256 — block-constant inputs
+      round-trip the DCT/quantize/IDCT pipeline BIT-EXACTLY (DC-only
+      spectrum, q_DC = 8), so JPEG's lossiness vanishes and the sum
+      replays in SQL.
+
+    The synthesis parameters are pure integer arithmetic on the id,
+    so a SQL oracle recomputes every channel sum exactly; a decoder
+    that misreads any byte (filter reconstruction, BGR order, row
+    padding, bottom-up flip, Huffman/IDCT/zig-zag) hash-mismatches
+    immediately."""
     import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    from .jpegcodec import build_jpeg_pixels
 
     def run(batches):
         import pandas as pd
@@ -881,17 +903,27 @@ def attach_pixel_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids, payloads = [], []
             for did in pdf[id_col]:
                 did = int(did)
-                w, h = did % 16 + 1, did % 12 + 1
+                m = did % 3
+                if m == 2:
+                    w, h = 8 * (did % 5 + 1), 8 * (did % 4 + 1)
 
-                def fn(x, y, _id=did):
-                    return ((3 * x + 5 * y + _id) % 256,
-                            (7 * x + y + 2 * _id) % 256,
-                            (x + 11 * y + 3 * _id) % 256)
+                    def gfn(x, y, _id=did):
+                        return (5 * (x // 8) + 7 * (y // 8) + _id) % 256
 
-                payloads.append(
-                    build_png_pixels(w, h, fn) if did % 2 == 0
-                    else build_bmp_pixels(w, h, fn)
-                )
+                    payloads.append(
+                        build_jpeg_pixels(w, h, gfn, grey=True))
+                else:
+                    w, h = did % 16 + 1, did % 12 + 1
+
+                    def fn(x, y, _id=did):
+                        return ((3 * x + 5 * y + _id) % 256,
+                                (7 * x + y + 2 * _id) % 256,
+                                (x + 11 * y + 3 * _id) % 256)
+
+                    payloads.append(
+                        build_png_pixels(w, h, fn) if m == 0
+                        else build_bmp_pixels(w, h, fn)
+                    )
                 ids.append(did)
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 

@@ -1075,14 +1075,14 @@ def mm_frame_sample(spark, sf_dir):
     "mm_pixel_stats",
     """WITH g AS (SELECT doc_id, doc_id % 16 + 1 AS w,
                          doc_id % 12 + 1 AS h
-               FROM documents),
+               FROM documents WHERE doc_id % 3 < 2),
        px AS (SELECT doc_id, w, h, sx.x AS x, sy.y AS y
               FROM g,
                    LATERAL (SELECT unnest(generate_series(0, w - 1))
                             AS x) sx,
                    LATERAL (SELECT unnest(generate_series(0, h - 1))
-                            AS y) sy)
-       SELECT doc_id,
+                            AS y) sy),
+       rgb AS (SELECT doc_id,
               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
               CAST(3 AS BIGINT) AS channels,
               CAST(w * h AS BIGINT) AS n_pixels,
@@ -1092,20 +1092,43 @@ def mm_frame_sample(spark, sf_dir):
                    // (w*h) AS BIGINT) AS mean_g_fp,
               CAST(1000000 * sum((x + 11*y + 3*doc_id) % 256)
                    // (w*h) AS BIGINT) AS mean_b_fp
-       FROM px GROUP BY doc_id, w, h""",
+       FROM px GROUP BY doc_id, w, h),
+       jg AS (SELECT doc_id, 8 * (doc_id % 5 + 1) AS w,
+                     8 * (doc_id % 4 + 1) AS h
+              FROM documents WHERE doc_id % 3 = 2),
+       jb AS (SELECT doc_id, w, h,
+                     sum((5*bx.x + 7*by.y + doc_id) % 256) AS sv
+              FROM jg,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, w // 8 - 1)) AS x) bx,
+                   LATERAL (SELECT unnest(generate_series(
+                       0, h // 8 - 1)) AS y) by
+              GROUP BY doc_id, w, h),
+       grey AS (SELECT doc_id,
+              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+              CAST(1 AS BIGINT) AS channels,
+              CAST(w * h AS BIGINT) AS n_pixels,
+              CAST(1000000 * sv * 64 // (w*h) AS BIGINT) AS mean_r_fp,
+              CAST(1000000 * sv * 64 // (w*h) AS BIGINT) AS mean_g_fp,
+              CAST(1000000 * sv * 64 // (w*h) AS BIGINT) AS mean_b_fp
+       FROM jb)
+       SELECT * FROM rgb UNION ALL SELECT * FROM grey""",
 )
 def mm_pixel_stats(spark, sf_dir):
     """REAL pixel decode end-to-end (multimodal.decode_pixels →
-    pixel_stats): per document a full raster payload is synthesized —
-    even ids a genuine zlib-compressed PNG, odd ids a genuine 24-bit
-    padded bottom-up BMP, pixels a pure integer function of
-    (x, y, id) — then decoded back with the stdlib decoders (chunk
-    walk + inflate + five-filter reconstruction for PNG; BGR/padding/
-    row-flip for BMP) and reduced to exact per-channel byte sums in
-    1e-6 fixed point. The oracle recomputes every channel sum
-    arithmetically from the synthesis parameters: one misread byte
-    anywhere in the codec path hash-mismatches. Payload bytes stay
-    inside one mapInPandas stage — never shuffled."""
+    pixel_stats), covering all THREE raster codecs: per document a
+    full payload is synthesized — id%3=0 a genuine zlib-compressed
+    PNG, id%3=1 a genuine 24-bit padded bottom-up BMP (pixels a pure
+    integer function of (x, y, id)), id%3=2 a genuine baseline
+    greyscale JPEG whose 8x8 blocks are constant (block-constant
+    inputs round-trip Huffman→dequant→IDCT bit-exactly; see
+    operators/jpegcodec) — then decoded back with the stdlib decoders
+    and reduced to exact per-channel byte sums in 1e-6 fixed point.
+    The oracle recomputes every channel sum arithmetically from the
+    synthesis parameters (per-pixel for PNG/BMP, per-block ×64 for
+    JPEG): one misread byte anywhere in any codec path
+    hash-mismatches. Payload bytes stay inside one mapInPandas
+    stage — never shuffled."""
     d = load(spark, sf_dir, "documents")
     return multimodal.pixel_stats(
         multimodal.attach_pixel_media(d, "doc_id")

@@ -1,0 +1,121 @@
+"""Baseline JPEG codec (operators/jpegcodec): exact block-constant
+roundtrip (the oracle-replayed contract), bounded error on general
+content, header-walk consistency, and quarantine semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from avk_job_skill_analytics_spark.operators.jpegcodec import (
+    build_jpeg_pixels,
+    decode_jpeg_pixels,
+)
+
+
+@pytest.mark.parametrize("did", [2, 5, 8, 11, 14, 17])
+def test_block_constant_grey_roundtrip_exact(did):
+    """Block-constant greyscale = DC-only spectrum with q_DC = 8:
+    the decode must be BIT-EXACT (this is what lets mm_pixel_stats
+    hash-replay a lossy codec)."""
+    w, h = 8 * (did % 5 + 1), 8 * (did % 4 + 1)
+
+    def fn(x, y):
+        return (5 * (x // 8) + 7 * (y // 8) + did) % 256
+
+    dec = decode_jpeg_pixels(build_jpeg_pixels(w, h, fn, grey=True))
+    assert dec is not None
+    dw, dh, ch, raw = dec
+    assert (dw, dh, ch) == (w, h, 1)
+    a = np.frombuffer(raw, np.uint8).reshape(h, w)
+    want = np.array(
+        [[fn(x, y) for x in range(w)] for y in range(h)], np.uint8
+    )
+    assert (a == want).all()
+
+
+def test_gradient_grey_bounded_error_odd_dims():
+    """Non-multiple-of-8 geometry (edge-replicated padding blocks,
+    decoder crops) and non-constant content: normal baseline-JPEG
+    approximation, bounded."""
+    w, h = 13, 10
+
+    def fn(x, y):
+        return (x * 20 + y * 15) % 256
+
+    dw, dh, ch, raw = decode_jpeg_pixels(
+        build_jpeg_pixels(w, h, fn, grey=True)
+    )
+    assert (dw, dh, ch) == (w, h, 1)
+    a = np.frombuffer(raw, np.uint8).reshape(h, w).astype(int)
+    want = np.array([[fn(x, y) for x in range(w)] for y in range(h)])
+    assert np.abs(a - want).max() <= 12
+
+
+def test_color_444_roundtrip_bounded_error():
+    def fn(x, y):
+        return ((x * 9) % 256, (y * 11) % 256, (x + y) % 256)
+
+    dw, dh, ch, raw = decode_jpeg_pixels(build_jpeg_pixels(16, 16, fn))
+    assert (dw, dh, ch) == (16, 16, 3)
+    a = np.frombuffer(raw, np.uint8).reshape(16, 16, 3).astype(int)
+    want = np.array(
+        [[fn(x, y) for x in range(16)] for y in range(16)]
+    )
+    assert np.abs(a - want).max() <= 16
+
+
+def test_header_walk_agrees_with_pixel_decode():
+    """parse_media_header's SOFn marker walk and the full decoder
+    must report the same geometry on the same payload."""
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    p = build_jpeg_pixels(24, 16, lambda x, y: (x + y) % 256,
+                          grey=True)
+    hdr = parse_media_header(p)
+    assert hdr is not None and hdr[3] == "jpeg"
+    assert (hdr[1], hdr[2]) == (24, 16)
+    dw, dh, _, _ = decode_jpeg_pixels(p)
+    assert (dw, dh) == (24, 16)
+
+
+def test_quarantine_not_crash():
+    assert decode_jpeg_pixels(b"\xff\xd8not really a jpeg") is None
+    assert decode_jpeg_pixels(b"plainly not") is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    # truncated mid-entropy-data: quarantine
+    p = build_jpeg_pixels(16, 16, lambda x, y: 7, grey=True)
+    assert decode_jpeg_pixels(p[: len(p) - (len(p) // 3)]) is None
+    # progressive frame marker (SOF2): explicitly unsupported
+    prog = bytearray(p)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert decode_jpeg_pixels(bytes(prog)) is None
+
+
+def test_decode_pixels_dispatch_routes_jpeg(spark):
+    """pixel_stats over a mixed PNG/BMP/JPEG batch decodes all three
+    codecs (channels column distinguishes the grey JPEG rows)."""
+    from avk_job_skill_analytics_spark.operators import multimodal as M
+    from pyspark.sql import functions as F
+
+    docs = spark.range(9).select(F.col("id").alias("doc_id"))
+    rows = M.pixel_stats(M.attach_pixel_media(docs, "doc_id")).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(by_id) == 9
+    for did, r in by_id.items():
+        if did % 3 == 2:
+            assert r["channels"] == 1
+            assert r["width"] == 8 * (did % 5 + 1)
+            n = r["width"] * r["height"]
+            sv = sum(
+                (5 * bx + 7 * by + did) % 256
+                for bx in range(r["width"] // 8)
+                for by in range(r["height"] // 8)
+            )
+            assert r["mean_r_fp"] == 1_000_000 * sv * 64 // n
+        else:
+            assert r["channels"] == 3
+            assert r["width"] == did % 16 + 1
