@@ -7,12 +7,18 @@ rows sorted, values stringified with float rounding).
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
        python tools/verify_local.py --manifest OUT.json [sf_dir]
+       python tools/verify_local.py --vanilla [sf_dir] [query ...]
 
 ``--manifest`` additionally writes a CORRECTNESS-shaped JSON (the
 driver's per-query row/schema/hash verdict format) covering EVERY
 registered query — the auditable artifact behind the coverage
 table's hash-matched totals (the driver's own file samples ~50
 queries per round).
+
+``--vanilla`` runs the queries on a DEFAULT SparkSession (no tuned
+factory — the driver builds its own session), so conf-dependence
+bugs surface here instead of in the driver's gate. Pair with the
+PRIORITY window: `python tools/verify_local.py --vanilla`.
 """
 
 from __future__ import annotations
@@ -59,17 +65,31 @@ def table_hash(cols, rows):
 def main():
     args = sys.argv[1:]
     manifest_path = None
-    if args and args[0] == "--manifest":
-        manifest_path = args[1]
-        args = args[2:]
+    vanilla = False
+    while args and args[0].startswith("--"):
+        if args[0] == "--manifest":
+            manifest_path = args[1]
+            args = args[2:]
+        elif args[0] == "--vanilla":
+            vanilla = True
+            args = args[1:]
+        else:
+            raise SystemExit(f"unknown flag {args[0]}")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     manifest = {}
 
     import __spark_entry__ as E
-    from avk_job_skill_analytics_spark.plans.session import get_spark
 
-    spark = get_spark()
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("driver-sim").getOrCreate())
+    else:
+        from avk_job_skill_analytics_spark.plans.session import get_spark
+
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
