@@ -5,13 +5,14 @@ metadata alongside. The Spark-side machinery — schema, Arrow batch
 shape, ``mapInPandas`` signature, partition sizing — is real and
 tested. Header-level decode is REAL for PNG/BMP/JPEG/WebP/WAV via the
 stdlib ``struct`` parser (:func:`parse_media_header`); PIXEL decode
-is REAL for PNG (zlib inflate + five-filter reconstruction) and
-24-bit BMP via :func:`decode_pixels`, and VIDEO frame decode is REAL
-for YUV4MPEG2 streams via :func:`decode_y4m` / :func:`frame_stats`
-(round 10), with an import-gated Pillow fallback for codec formats;
-only entropy-coded payloads without Pillow/ffmpeg fall back to
-``_decode_stub``, which computes deterministic fakes so pipelines
-stay testable end-to-end.
+is REAL for PNG (zlib inflate + five-filter reconstruction), 24-bit
+BMP, and baseline-sequential JPEG (operators/jpegcodec: Huffman +
+IDCT, round 11) via :func:`decode_pixels`, and VIDEO frame decode is
+REAL for YUV4MPEG2 streams via :func:`decode_y4m` /
+:func:`frame_stats` (round 10), with an import-gated Pillow fallback
+for the remaining codec formats (WebP, progressive JPEG); only such
+payloads without Pillow/ffmpeg fall back to ``_decode_stub``, which
+computes deterministic fakes so pipelines stay testable end-to-end.
 
 Scale notes: binary payloads ride through Arrow record batches;
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in the session
