@@ -333,6 +333,8 @@ def decode_jpeg_pixels(payload: bytes):
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
                 return None
+            while b[pos + 1] == 0xFF and pos + 4 <= len(b):
+                pos += 1  # T.81 allows 0xFF fill bytes before markers
             marker = b[pos + 1]
             if marker == 0xD9:
                 return None  # EOI before SOS

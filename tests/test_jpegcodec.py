@@ -119,3 +119,15 @@ def test_decode_pixels_dispatch_routes_jpeg(spark):
         else:
             assert r["channels"] == 3
             assert r["width"] == did % 16 + 1
+
+
+def test_fill_bytes_before_markers():
+    """T.81 allows 0xFF fill bytes before a marker; the segment walk
+    must skip them instead of quarantining the file."""
+    p = build_jpeg_pixels(
+        16, 8, lambda x, y: (3 * (x // 8) + 7 * (y // 8) + 5) % 256,
+        grey=True,
+    )
+    i = p.find(b"\xff\xc0")
+    padded = p[:i] + b"\xff\xff\xff" + p[i:]
+    assert decode_jpeg_pixels(padded) == decode_jpeg_pixels(p)
