@@ -401,7 +401,13 @@ def frame_sample_plan(df: DataFrame, id_col: str = "doc_id",
                     continue
                 ids.append(int(did))
                 ns.append(len(dec[3]))
-            yield pd.DataFrame({id_col: ids, "n_frames": ns})
+            # typed Series: an all-quarantined batch must still emit
+            # int64 columns (empty python lists infer object/float64,
+            # which Arrow won't coerce to long)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "n_frames": pd.Series(ns, dtype="int64"),
+            })
 
     counts = df.select(id_col, payload_col).mapInPandas(
         count, f"{id_col} long, n_frames long"

@@ -131,3 +131,21 @@ def test_fill_bytes_before_markers():
     i = p.find(b"\xff\xc0")
     padded = p[:i] + b"\xff\xff\xff" + p[i:]
     assert decode_jpeg_pixels(padded) == decode_jpeg_pixels(p)
+
+
+def test_frame_sample_plan_all_quarantined_batch(spark):
+    """An all-undecodable micro-batch must yield an EMPTY but
+    correctly-typed frame plan (empty python lists infer
+    object/float64 in pandas, which Arrow won't coerce to long)."""
+    from avk_job_skill_analytics_spark.operators import multimodal as M
+    from pyspark.sql import functions as F
+
+    docs = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.lit(b"not a video").alias("payload"),
+    )
+    out = M.frame_sample_plan(docs, every_n=2)
+    assert out.collect() == []
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,frame_idx:bigint>"
+    )
