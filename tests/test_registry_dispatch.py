@@ -79,3 +79,21 @@ def test_loaded_timestamps_are_ntz(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert n_utc == n_ny
+
+
+def test_tune_session_rightsizes_only_stock_shuffle(spark):
+    """tune_session fixes Spark's stock 200 shuffle partitions on an
+    untuned session but never overrides a deliberate setting."""
+    from avk_job_skill_analytics_spark.plans.session import tune_session
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        tune_session(spark)
+        got = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert got != 200 and got >= 4
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        tune_session(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
