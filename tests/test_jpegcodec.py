@@ -149,3 +149,39 @@ def test_frame_sample_plan_all_quarantined_batch(spark):
     assert out.schema.simpleString() == (
         "struct<doc_id:bigint,frame_idx:bigint>"
     )
+
+
+def test_block_constant_exactness_property():
+    """Property: ANY block-constant greyscale image round-trips
+    bit-exactly (the mm_pixel_stats oracle contract), not just the
+    attach_pixel_media formula."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        bw=st.integers(1, 4),
+        bh=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(bw, bh, seed):
+        w, h = 8 * bw, 8 * bh
+
+        def fn(x, y):
+            # arbitrary per-block byte derived from the seed
+            return (seed // (1 + (x // 8) + bw * (y // 8))) % 256
+
+        dec = decode_jpeg_pixels(
+            build_jpeg_pixels(w, h, fn, grey=True)
+        )
+        assert dec is not None
+        dw, dh, ch, raw = dec
+        assert (dw, dh, ch) == (w, h, 1)
+        a = np.frombuffer(raw, np.uint8).reshape(h, w)
+        want = np.array(
+            [[fn(x, y) for x in range(w)] for y in range(h)],
+            np.uint8,
+        )
+        assert (a == want).all()
+
+    check()
