@@ -662,6 +662,70 @@ def io_sorted_skip(spark, sf_dir):
     )
 
 
+# --------------------------------------------- bloom-filtered layout
+_BLOOM_DIRS: dict = {}
+
+
+def bloom_events_layout(spark, sf_dir: str) -> str:
+    """Events rewritten WITHOUT any clustering (hash repartition, so
+    every file's event_id min/max spans the full key range and
+    stats-based skipping is useless) but WITH a parquet bloom filter
+    on the unique event_id key — dictionary encoding disabled for
+    that column (a dictionary over unique values is pure overhead,
+    and parquet-mr omits the bloom filter for fully dict-encoded
+    chunks because the dictionary already answers membership
+    exactly). This is the point-lookup layout for high-cardinality
+    NON-sort keys at the 100 TB point: the sort key buys min/max
+    skipping for one dimension; bloom filters buy probabilistic
+    row-group rejection for everything else at ~1 byte/key. Footer
+    presence is asserted in tests/test_io_bloom.py via parquet-mr."""
+    if sf_dir not in _BLOOM_DIRS:
+        d = tempfile.mkdtemp(prefix="events_bloom_")
+        (
+            load(spark, sf_dir, "events")
+            .repartition(8)
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#event_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#event_id",
+                    "1000000")
+            .option("parquet.enable.dictionary#event_id", "false")
+            .parquet(f"{d}/events_bloom")
+        )
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _BLOOM_DIRS[sf_dir] = d
+    return f"{_BLOOM_DIRS[sf_dir]}/events_bloom"
+
+
+@_q(
+    "io_bloom_skip",
+    """SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS total_value
+       FROM events
+       WHERE event_id IN (13, 777, 131313131)
+       GROUP BY event_type""",
+)
+def io_bloom_skip(spark, sf_dir):
+    """Point lookups by primary key on the bloom-filtered,
+    deliberately UNclustered events copy. The IN predicate reaches
+    the parquet reader (PushedFilters — asserted in tests), where
+    parquet-mr tests each row group's bloom filter BEFORE decoding:
+    groups that provably lack all probed keys (like the absent
+    131313131) are rejected without reading data pages — min/max
+    stats cannot help because the hash layout spreads every key
+    range across every file, and there is no dictionary to consult
+    on the plain-encoded unique key. The oracle replays the lookup
+    as a row filter on the flat table."""
+    ev = spark.read.parquet(bloom_events_layout(spark, sf_dir))
+    return (
+        ev.filter(F.col("event_id").isin(13, 777, 131313131))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 # --------------------------------------------- z-order clustered layout
 _ZORDER_DIRS: dict = {}
 
