@@ -726,6 +726,37 @@ def io_bloom_skip(spark, sf_dir):
     )
 
 
+@_q(
+    "io_dict_skip",
+    """SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS total_value
+       FROM events
+       WHERE user_id IN (7, 93, 987654321)
+       GROUP BY event_type""",
+)
+def io_dict_skip(spark, sf_dir):
+    """Dictionary-based row-group pruning — the EXACT sibling of
+    io_bloom_skip, on the same unclustered layout: user_id stays
+    dictionary-encoded there (low cardinality), so parquet-mr's
+    dictionary filter reads each row group's dictionary page and
+    rejects groups where NO probed key appears — exact membership,
+    no false-positive reads, at the cost of one dictionary page per
+    group. The division of labor at 100 TB: dictionary pruning for
+    low-cardinality keys, bloom filters for unique keys whose
+    dictionary would be pure overhead (io_bloom_skip), min/max
+    stats for the sort dimension (io_sorted_skip). Dictionary-page
+    presence is footer-asserted in tests/test_io_bloom.py."""
+    ev = spark.read.parquet(bloom_events_layout(spark, sf_dir))
+    return (
+        ev.filter(F.col("user_id").isin(7, 93, 987654321))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 # --------------------------------------------- z-order clustered layout
 _ZORDER_DIRS: dict = {}
 

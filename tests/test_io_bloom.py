@@ -53,6 +53,38 @@ def test_layout_writes_bloom_filters(spark):
     assert all(o == -1 for o in v_offs), v_offs
 
 
+def test_dict_sibling_has_dictionary_and_pushes(spark):
+    """io_dict_skip's key keeps its dictionary page (the exact
+    pruning path), and the lookup pushes to the scan."""
+    from avk_job_skill_analytics_spark.registry.io_queries import (
+        io_dict_skip,
+    )
+
+    layout = bloom_events_layout(spark, SF_DIR)
+    f = sorted(glob.glob(f"{layout}/*.parquet"))[0]
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(f), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        dict_off = {
+            cols.get(i).getPath().toDotString():
+                cols.get(i).getDictionaryPageOffset()
+            for i in range(cols.size())
+        }
+    finally:
+        reader.close()
+    assert dict_off["user_id"] > 0      # dictionary present: exact prune
+    assert dict_off["event_id"] == 0    # disabled: bloom carries it
+    df = io_dict_skip(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(user_id" in plan, plan[:2000]
+    assert df.count() > 0
+
+
 def test_lookup_pushes_and_matches_flat_table(spark):
     df = io_bloom_skip(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
