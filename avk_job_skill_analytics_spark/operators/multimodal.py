@@ -6,13 +6,15 @@ shape, ``mapInPandas`` signature, partition sizing — is real and
 tested. Header-level decode is REAL for PNG/BMP/JPEG/WebP/WAV via the
 stdlib ``struct`` parser (:func:`parse_media_header`); PIXEL decode
 is REAL for PNG (zlib inflate + five-filter reconstruction), 24-bit
-BMP, and baseline-sequential JPEG (operators/jpegcodec: Huffman +
-IDCT, round 11) via :func:`decode_pixels`, and VIDEO frame decode is
-REAL for YUV4MPEG2 streams via :func:`decode_y4m` /
+BMP, baseline-sequential JPEG (operators/jpegcodec: Huffman + IDCT,
+round 11), and lossless WebP (operators/webpcodec: VP8L prefix codes
++ LZ77, round 11) via :func:`decode_pixels`, and VIDEO frame decode
+is REAL for YUV4MPEG2 streams via :func:`decode_y4m` /
 :func:`frame_stats` (round 10), with an import-gated Pillow fallback
-for the remaining codec formats (WebP, progressive JPEG); only such
-payloads without Pillow/ffmpeg fall back to ``_decode_stub``, which
-computes deterministic fakes so pipelines stay testable end-to-end.
+for the remaining codec formats (lossy-VP8 WebP, progressive JPEG);
+only such payloads without Pillow/ffmpeg fall back to
+``_decode_stub``, which computes deterministic fakes so pipelines
+stay testable end-to-end.
 
 Scale notes: binary payloads ride through Arrow record batches;
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in the session
@@ -798,14 +800,15 @@ def decode_bmp_pixels(payload: bytes):
 
 
 def decode_pixels(payload: bytes):
-    """Pixel-decode dispatch: stdlib PNG/BMP/baseline-JPEG decoders
-    first (operators/jpegcodec for JPEG — round 11); when a payload
-    is none of those and Pillow happens to be installed
-    (import-gated — NOT a dependency), fall back to
-    ``PIL.Image.open``; otherwise None. The default environment
-    decodes PNG/BMP/JPEG for real and quarantines the rest
-    (progressive JPEG, WebP)."""
+    """Pixel-decode dispatch: stdlib PNG/BMP/baseline-JPEG/lossless-
+    WebP decoders first (operators/jpegcodec for JPEG,
+    operators/webpcodec for VP8L — round 11); when a payload is none
+    of those and Pillow happens to be installed (import-gated — NOT a
+    dependency), fall back to ``PIL.Image.open``; otherwise None. The
+    default environment decodes PNG/BMP/JPEG/VP8L-WebP for real and
+    quarantines the rest (progressive JPEG, lossy-VP8 WebP)."""
     from .jpegcodec import decode_jpeg_pixels
+    from .webpcodec import decode_webp_pixels
 
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
@@ -814,6 +817,10 @@ def decode_pixels(payload: bytes):
         return decode_bmp_pixels(b)
     if b[:2] == b"\xff\xd8":
         dec = decode_jpeg_pixels(b)
+        if dec is not None:
+            return dec
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        dec = decode_webp_pixels(b)
         if dec is not None:
             return dec
     try:  # optional Pillow path (progressive jpeg/webp/...) — never required
@@ -931,6 +938,62 @@ def attach_pixel_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         build_png_pixels(w, h, fn) if m == 0
                         else build_bmp_pixels(w, h, fn)
                     )
+                ids.append(did)
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        run, f"{id_col} long, payload binary"
+    )
+
+
+def attach_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Testdata adapter for the WebP pixel path: per row a FULL
+    lossless WebP (operators/webpcodec, round 11) exercising both
+    prefix-code forms —
+
+    - even ids: NORMAL canonical codes (uniform 8-bit over all 256
+      channel values), w = id%14+1, h = id%10+1, pixel (x, y) ->
+      ((3x+5y+id)%256, (7x+y+2id)%256, (x+11y+3id)%256);
+    - odd ids: "SIMPLE" 1-bit codes (two values per channel picked by
+      the pixel parity p = (x+y+id)%2), w = id%12+1, h = id%8+1,
+      pixel -> ((5id+97p)%256, (3id+41p)%256, (7id+59p)%256).
+
+    VP8L is lossless, so unlike JPEG no exactness trick is needed:
+    the SQL oracle recomputes every channel sum from the same integer
+    formulas, and a decoder that misreads any bit (prefix-code build,
+    code-length repeats, LSB-first field vs MSB-first code order,
+    RIFF alignment) hash-mismatches immediately."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    from .webpcodec import build_webp_pixels
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                if did % 2 == 0:
+                    w, h = did % 14 + 1, did % 10 + 1
+
+                    def fn(x, y, _id=did):
+                        return ((3 * x + 5 * y + _id) % 256,
+                                (7 * x + y + 2 * _id) % 256,
+                                (x + 11 * y + 3 * _id) % 256)
+
+                    payloads.append(build_webp_pixels(w, h, fn))
+                else:
+                    w, h = did % 12 + 1, did % 8 + 1
+
+                    def fn(x, y, _id=did):
+                        p = (x + y + _id) % 2
+                        return ((5 * _id + 97 * p) % 256,
+                                (3 * _id + 41 * p) % 256,
+                                (7 * _id + 59 * p) % 256)
+
+                    payloads.append(build_webp_pixels(w, h, fn,
+                                                      simple=True))
                 ids.append(did)
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
