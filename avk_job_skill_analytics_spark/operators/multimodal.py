@@ -946,6 +946,176 @@ def attach_pixel_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+AHASH_SCHEMA = (
+    "doc_id long, format string, width long, height long, "
+    "ahash_hi long, ahash_lo long"
+)
+
+
+def ahash_payload(payload: bytes):
+    """Perceptual average-hash of one encoded raster: decode
+    (:func:`decode_pixels` — PNG/BMP/JPEG/WebP), reduce to an 8x8
+    grid of cell intensity sums (cell = floor(8x/w), floor(8y/h)),
+    and set bit (cy*8 + cx) when the cell mean exceeds the image
+    mean. All arithmetic is EXACT integers — intensity is r+g+b (3x
+    the luma byte for single-channel rasters, so a greyscale JPEG
+    and its RGB twin hash identically), and the bit rule is the
+    cross-multiplied comparison ``s_cell * n > total * c_cell`` (no
+    division) — so a SQL oracle replays every bit. Returns (format,
+    width, height, hash_hi, hash_lo) with the 64-bit hash split into
+    unsigned 32-bit halves (engine-stable BIGINTs, no sign-bit
+    gymnastics), or None for undecodable payloads."""
+    import numpy as np
+
+    b = bytes(payload)
+    dec = decode_pixels(b)
+    if dec is None:
+        return None
+    w, h, ch, raw = dec
+    a = np.frombuffer(raw, dtype=np.uint8) \
+        .reshape(h, w, ch).astype("int64")
+    inten = 3 * a[:, :, 0] if ch == 1 \
+        else a[:, :, 0] + a[:, :, 1] + a[:, :, 2]
+    cx = (8 * np.arange(w)) // w
+    cy = (8 * np.arange(h)) // h
+    s = np.zeros((8, 8), dtype="int64")
+    c = np.zeros((8, 8), dtype="int64")
+    np.add.at(s, (cy[:, None], cx[None, :]), inten)
+    np.add.at(c, (cy[:, None], cx[None, :]), 1)
+    total, n = int(inten.sum()), w * h
+    bits = s * n > total * c
+    hv = 0
+    for yy in range(8):
+        for xx in range(8):
+            if bits[yy, xx]:
+                hv |= 1 << (yy * 8 + xx)
+    if b[:8] == _PNG_SIG:
+        fmt = "png"
+    elif b[:2] == b"BM":
+        fmt = "bmp"
+    elif b[:2] == b"\xff\xd8":
+        fmt = "jpeg"
+    else:
+        fmt = "webp"
+    return fmt, w, h, hv >> 32, hv & 0xFFFFFFFF
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Codec-invariant perceptual dedup key over REAL decoded
+    rasters (:func:`ahash_payload` per asset): the SAME image
+    content re-encoded under a different container (PNG vs BMP vs
+    baseline JPEG vs lossless WebP) decodes to the same pixels, so
+    exact grouping on the hash finds cross-codec duplicates — the
+    image analog of dd_exact_groups. Undecodable payloads drop
+    (quarantine-and-continue). One Arrow-batched mapInPandas pass;
+    payload bytes never shuffle — only 6 small columns do."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    cols = ("doc_id", "format", "width", "height", "ahash_hi",
+            "ahash_lo")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                hashed = ahash_payload(bytes(payload))
+                if hashed is None:
+                    continue
+                fmt, w, h, hi, lo = hashed
+                out["doc_id"].append(int(did))
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash_hi"].append(hi)
+                out["ahash_lo"].append(lo)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "format": pd.Series(out["format"], dtype="object"),
+                "width": pd.Series(out["width"], dtype="int64"),
+                "height": pd.Series(out["height"], dtype="int64"),
+                "ahash_hi": pd.Series(out["ahash_hi"], dtype="int64"),
+                "ahash_lo": pd.Series(out["ahash_lo"], dtype="int64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, AHASH_SCHEMA
+    )
+
+
+def attach_ahash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Testdata adapter for codec-invariant perceptual dedup: per doc
+    one raster whose codec rotates over all FOUR real decoders —
+    id%4 = 0 PNG, 1 BMP, 2 greyscale baseline JPEG, 3 lossless WebP —
+    and for every 5th doc a CLONE row under id+100000 carrying the
+    SAME pixel content re-encoded with the NEXT codec. Content is
+    block-constant on the 8x8 grid (dims are multiples of 8, so the
+    JPEG decode is bit-exact — see operators/jpegcodec) with an
+    id-dependent QUADRATIC structure, not just an id brightness offset
+    (aHash is brightness-invariant by construction, so an additive
+    shift would collide everything; linear ramps still collide most
+    ids — measured 20/500 distinct — while the quadratic surface
+    below measures 378/500, leaving a realistic sprinkle of
+    accidental perceptual collisions both engines agree on):
+
+        w = 8*(id%6+1), h = 8*(id%5+1), bx = x//8, by = y//8,
+        v = ((13+id%251)(bx²+3by) + (7+id%241)(by²+5bx)
+             + (id%127)·bx·by + id) % 256
+
+    RGB codecs store (v, v, v); the JPEG stores v as single-channel
+    luma — image_ahash's 3x intensity rule makes them hash-equal. The
+    SQL oracle recomputes every payload's hash from these formulas."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    from .jpegcodec import build_jpeg_pixels
+    from .webpcodec import build_webp_pixels
+
+    def synth(did: int, content_id: int) -> bytes:
+        cid = content_id
+        w, h = 8 * (cid % 6 + 1), 8 * (cid % 5 + 1)
+
+        def grey(x, y):
+            bx, by = x // 8, y // 8
+            return ((13 + cid % 251) * (bx * bx + 3 * by)
+                    + (7 + cid % 241) * (by * by + 5 * bx)
+                    + (cid % 127) * bx * by + cid) % 256
+
+        def rgb(x, y):
+            v = grey(x, y)
+            return (v, v, v)
+
+        m = did % 4
+        if m == 0:
+            return build_png_pixels(w, h, rgb)
+        if m == 1:
+            return build_bmp_pixels(w, h, rgb)
+        if m == 2:
+            return build_jpeg_pixels(w, h, grey, grey=True)
+        return build_webp_pixels(w, h, rgb)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                ids.append(did)
+                payloads.append(synth(did, did))
+                if did % 5 == 0:  # clone: same content, next codec
+                    ids.append(did + 100000)
+                    payloads.append(synth(did + 1, did))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        run, f"{id_col} long, payload binary"
+    )
+
+
 def attach_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Testdata adapter for the WebP pixel path: per row a FULL
     lossless WebP (operators/webpcodec, round 11) exercising both

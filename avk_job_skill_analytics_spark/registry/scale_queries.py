@@ -1203,6 +1203,83 @@ def mm_webp_pixel_stats(spark, sf_dir):
 
 
 @_q(
+    "mm_ahash_dedup",
+    """WITH docs AS (
+         SELECT doc_id, doc_id AS cid, doc_id % 4 AS m FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, doc_id, (doc_id + 1) % 4
+         FROM documents WHERE doc_id % 5 = 0),
+       g AS (SELECT doc_id, cid, m, 8 * (cid % 6 + 1) AS w,
+                    8 * (cid % 5 + 1) AS h
+             FROM docs),
+       px AS (SELECT doc_id, cid, m, w, h, sx.x AS x, sy.y AS y
+              FROM g,
+                   LATERAL (SELECT unnest(generate_series(0, w - 1))
+                            AS x) sx,
+                   LATERAL (SELECT unnest(generate_series(0, h - 1))
+                            AS y) sy),
+       pv AS (SELECT doc_id, m, (8 * x) // w AS cx, (8 * y) // h AS cy,
+                     3 * (((13 + cid % 251)
+                             * ((x // 8) * (x // 8) + 3 * (y // 8))
+                           + (7 + cid % 241)
+                             * ((y // 8) * (y // 8) + 5 * (x // 8))
+                           + (cid % 127) * (x // 8) * (y // 8)
+                           + cid) % 256) AS inten
+              FROM px),
+       cells AS (SELECT doc_id, m, cy * 8 + cx AS idx,
+                        sum(inten) AS s, count(*) AS c
+                 FROM pv GROUP BY doc_id, m, cy * 8 + cx),
+       tot AS (SELECT doc_id, sum(s) AS total, sum(c) AS n
+               FROM cells GROUP BY doc_id),
+       bits AS (SELECT cells.doc_id, m, idx,
+                       CASE WHEN s * n > total * c THEN 1 ELSE 0 END
+                           AS bit
+                FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+       hashes AS (SELECT doc_id, max(m) AS m,
+                    sum(CASE WHEN idx >= 32 THEN
+                        bit * (CAST(1 AS BIGINT) << (idx - 32))
+                        ELSE 0 END) AS hi,
+                    sum(CASE WHEN idx < 32 THEN
+                        bit * (CAST(1 AS BIGINT) << idx)
+                        ELSE 0 END) AS lo
+                  FROM bits GROUP BY doc_id)
+       SELECT CAST(hi AS BIGINT) AS ahash_hi,
+              CAST(lo AS BIGINT) AS ahash_lo,
+              CAST(min(doc_id) AS BIGINT) AS keep_id,
+              count(*) AS n_copies,
+              count(DISTINCT m) AS n_formats
+       FROM hashes GROUP BY hi, lo""",
+)
+def mm_ahash_dedup(spark, sf_dir):
+    """Codec-invariant perceptual image dedup — the multimodal twin
+    of dd_exact_groups, running on REAL decoded pixels: every 5th
+    document's raster is cloned under a shifted id and RE-ENCODED
+    with the next codec (PNG -> BMP -> baseline JPEG -> lossless WebP
+    -> PNG), then each payload is decoded back
+    (multimodal.decode_pixels) and reduced to a 64-bit average hash
+    on exact integer arithmetic (multimodal.image_ahash: 8x8 cell
+    sums, cross-multiplied mean comparison, hash as two u32 halves).
+    Grouping on the hash finds every cross-codec duplicate pair
+    (n_formats = 2) no matter which container the bytes arrived in —
+    the image analog of text near-dup, and the reason the codec layer
+    exists: at 100 TB the same photo arrives re-encoded thousands of
+    times. The oracle recomputes every hash bit from the synthesis
+    formulas; decode had better be bit-exact across all four codecs
+    (it is: PNG/BMP/WebP lossless, JPEG block-constant). Payload
+    bytes stay inside one mapInPandas stage; only the 6-column hash
+    ledger shuffles."""
+    d = load(spark, sf_dir, "documents")
+    hashed = multimodal.image_ahash(
+        multimodal.attach_ahash_media(d, "doc_id")
+    )
+    return hashed.groupBy("ahash_hi", "ahash_lo").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("format").alias("n_formats"),
+    )
+
+
+@_q(
     "mm_frame_stats",
     """WITH g AS (SELECT doc_id,
               CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 2

@@ -1,0 +1,100 @@
+"""Perceptual average-hash (multimodal.ahash_payload /
+image_ahash): codec invariance across all four real decoders,
+brightness sensitivity contracts, and quarantine semantics — the
+per-payload core of mm_ahash_dedup, testable without Spark."""
+
+from __future__ import annotations
+
+import pytest
+
+from avk_job_skill_analytics_spark.operators.jpegcodec import (
+    build_jpeg_pixels,
+)
+from avk_job_skill_analytics_spark.operators.multimodal import (
+    ahash_payload,
+    build_bmp_pixels,
+    build_png_pixels,
+)
+from avk_job_skill_analytics_spark.operators.webpcodec import (
+    build_webp_pixels,
+)
+
+
+def _grey(cid):
+    def fn(x, y):
+        bx, by = x // 8, y // 8
+        return ((13 + cid % 251) * (bx * bx + 3 * by)
+                + (7 + cid % 241) * (by * by + 5 * bx)
+                + (cid % 127) * bx * by + cid) % 256
+    return fn
+
+
+def _rgb(cid):
+    g = _grey(cid)
+
+    def fn(x, y):
+        v = g(x, y)
+        return (v, v, v)
+    return fn
+
+
+@pytest.mark.parametrize("cid", [0, 3, 7, 12, 29, 58])
+def test_codec_invariance_all_four(cid):
+    """The SAME block-constant content encoded as PNG, BMP, greyscale
+    baseline JPEG, and lossless WebP must produce IDENTICAL hashes —
+    the contract mm_ahash_dedup's cross-codec grouping rests on.
+    (Block-constant + multiple-of-8 dims is what makes the JPEG
+    decode bit-exact; the other three are lossless for any input.)"""
+    w, h = 8 * (cid % 6 + 1), 8 * (cid % 5 + 1)
+    payloads = {
+        "png": build_png_pixels(w, h, _rgb(cid)),
+        "bmp": build_bmp_pixels(w, h, _rgb(cid)),
+        "jpeg": build_jpeg_pixels(w, h, _grey(cid), grey=True),
+        "webp": build_webp_pixels(w, h, _rgb(cid)),
+    }
+    hashes = {}
+    for fmt, p in payloads.items():
+        got = ahash_payload(p)
+        assert got is not None
+        gfmt, gw, gh, hi, lo = got
+        assert (gfmt, gw, gh) == (fmt, w, h)
+        hashes[fmt] = (hi, lo)
+    assert len(set(hashes.values())) == 1, hashes
+    hi, lo = hashes["png"]
+    assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+def test_brightness_invariance_and_structure_sensitivity():
+    """aHash thresholds each cell against the image mean, so a
+    uniform brightness shift (no wraparound) must NOT change the
+    hash, while transposing the gradient structure MUST."""
+    def base(x, y):
+        v = 10 * (x // 8) + 3 * (y // 8)
+        return (v, v, v)
+
+    def brighter(x, y):
+        r, g, b = base(x, y)
+        return (r + 40, g + 40, b + 40)
+
+    def transposed(x, y):
+        v = 10 * (y // 8) + 3 * (x // 8)
+        return (v, v, v)
+
+    h0 = ahash_payload(build_png_pixels(32, 24, base))[3:]
+    h1 = ahash_payload(build_png_pixels(32, 24, brighter))[3:]
+    h2 = ahash_payload(build_png_pixels(32, 24, transposed))[3:]
+    assert h0 == h1
+    assert h0 != h2
+
+
+def test_constant_image_hashes_to_zero():
+    """A flat image has no cell above the mean: hash (0, 0) — the
+    strict > in the bit rule, same as the SQL oracle's CASE."""
+    p = build_bmp_pixels(16, 16, lambda x, y: (90, 90, 90))
+    assert ahash_payload(p)[3:] == (0, 0)
+
+
+def test_undecodable_quarantines():
+    assert ahash_payload(b"not an image") is None
+    assert ahash_payload(build_png_pixels(8, 8, lambda x, y:
+                                          (1, 2, 3))[:20]) is None
