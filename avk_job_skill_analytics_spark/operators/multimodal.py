@@ -1341,6 +1341,150 @@ def frame_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+FRAME_SIG_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, sig long"
+)
+
+
+def video_frame_signatures(df: DataFrame, id_col: str = "doc_id",
+                           payload_col: str = "payload") -> DataFrame:
+    """Per-frame exact signatures over REAL decoded Y4M video: decode
+    the stream (:func:`decode_y4m`) and reduce every frame's luma
+    plane to the position-weighted integer sum
+    ``sig = Σ (1 + x + w·y) · Y(x, y)`` — exact (no mod, no floats:
+    bounded by 255·(wh)² « 2^63 for any sane frame), positionally
+    sensitive (a transposed or shifted plane changes it), and
+    SQL-replayable. This is the blocking key for video copy
+    detection: identical frames collide, nothing else is likely to.
+    One Arrow-batched mapInPandas pass; payload bytes never shuffle —
+    the downstream clip-alignment join sees only 5 small columns.
+    Undecodable payloads drop (quarantine-and-continue)."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    cols = ("doc_id", "frame_idx", "width", "height", "sig")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                dec = decode_y4m(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, _chroma, frames = dec
+                wts = 1 + np.arange(w * h, dtype="int64") % w \
+                    + w * (np.arange(w * h, dtype="int64") // w)
+                for t, (yp, _up, _vp) in enumerate(frames):
+                    ya = np.frombuffer(yp, dtype=np.uint8) \
+                        .astype("int64")
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(t)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sig"].append(int((wts * ya).sum()))
+            yield pd.DataFrame({
+                k: pd.Series(out[k], dtype="int64") for k in cols
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, FRAME_SIG_SCHEMA
+    )
+
+
+def clip_matches(sigs: DataFrame, min_run: int = 3) -> DataFrame:
+    """Video copy detection by diagonal alignment — the temporal
+    analog of n-gram containment: equal-signature frames across two
+    videos are candidate correspondences; a COPIED CLIP shows up as
+    many correspondences sharing one temporal offset (a diagonal in
+    the frame-pair matrix), so grouping matches by
+    (doc_a, doc_b, t_b − t_a) and keeping runs of ≥ ``min_run``
+    separates real clip reuse from stray single-frame collisions.
+
+    The join is signature-blocked (hash join on the exact sig +
+    geometry), never frames × frames: cost scales with actual
+    collisions, the same posting-list discipline as the LSH dedup
+    family. Returns (doc_a, doc_b, t_offset, n_matched,
+    first_frame_a) with doc_a < doc_b."""
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("frame_idx").alias("t_a"),
+        "width", "height", "sig",
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("frame_idx").alias("t_b"),
+        F.col("width").alias("_w"),
+        F.col("height").alias("_h"),
+        F.col("sig").alias("_sig"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("sig") == F.col("_sig"))
+        & (F.col("width") == F.col("_w"))
+        & (F.col("height") == F.col("_h"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    return (
+        pairs.groupBy(
+            "doc_a", "doc_b",
+            (F.col("t_b") - F.col("t_a")).alias("t_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.min("t_a").alias("first_frame_a"),
+        )
+        .filter(F.col("n_matched") >= min_run)
+    )
+
+
+def attach_clip_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Testdata adapter for video copy detection: per doc a mono Y4M
+    stream (w = id%6+3, h = id%5+3, n_frames = id%5+5) whose luma is
+
+        Y(x, y, t) = ((3 + id%7)·x + (5 + id%11)·y + 7t + id) % 256
+
+    — the per-id gradient coefficients make whole-plane collisions
+    across unrelated docs require id ≡ id' (mod 7 AND 11 AND the dim
+    moduli), pushing accidental diagonals out of the sf0.01 id range —
+    and for every 4th doc a CLIP COPY under id+100000 re-emitting the
+    original's frames 1..4 as its own frames 0..3 (same formula, t
+    shifted by 1). The oracle recomputes every frame signature from
+    the formula and replays the same alignment join."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def synth(cid: int, shift: int, nf: int) -> bytes:
+        w, h = cid % 6 + 3, cid % 5 + 3
+
+        def fn(x, y, t, _id=cid, _s=shift):
+            v = ((3 + _id % 7) * x + (5 + _id % 11) * y
+                 + 7 * (t + _s) + _id) % 256
+            return (v, 0, 0)
+
+        return build_y4m(w, h, nf, fn, chroma="mono")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                ids.append(did)
+                payloads.append(synth(did, 0, did % 5 + 5))
+                if did % 4 == 0:  # clip copy: orig frames 1..4
+                    ids.append(did + 100000)
+                    payloads.append(synth(did, 1, 4))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(
+        run, f"{id_col} long, payload binary"
+    )
+
+
 def attach_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Testdata adapter for the video path: per row a FULL Y4M
     stream — even ids C444 (w = id%8+2, h = id%6+2), odd ids C420

@@ -1280,6 +1280,64 @@ def mm_ahash_dedup(spark, sf_dir):
 
 
 @_q(
+    "mm_clip_matches",
+    """WITH docs AS (
+         SELECT doc_id, doc_id AS cid, 0 AS shift,
+                doc_id % 5 + 5 AS nf
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, doc_id, 1, 4
+         FROM documents WHERE doc_id % 4 = 0),
+       g AS (SELECT doc_id, cid, shift, nf, cid % 6 + 3 AS w,
+                    cid % 5 + 3 AS h
+             FROM docs),
+       f AS (SELECT g.*, st.t
+             FROM g, LATERAL (SELECT unnest(generate_series(
+                 0, nf - 1)) AS t) st),
+       sigs AS (SELECT doc_id, t, w, h,
+                  sum((1 + sx.x + w * sy.y)
+                      * (((3 + cid % 7) * sx.x + (5 + cid % 11) * sy.y
+                          + 7 * (t + shift) + cid) % 256)) AS sig
+                FROM f,
+                  LATERAL (SELECT unnest(generate_series(0, w - 1))
+                           AS x) sx,
+                  LATERAL (SELECT unnest(generate_series(0, h - 1))
+                           AS y) sy
+                GROUP BY doc_id, t, w, h),
+       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.t AS t_a, b.t AS t_b
+             FROM sigs a JOIN sigs b
+               ON a.sig = b.sig AND a.w = b.w AND a.h = b.h
+                  AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST(t_b - t_a AS BIGINT) AS t_offset,
+              count(*) AS n_matched,
+              CAST(min(t_a) AS BIGINT) AS first_frame_a
+       FROM m GROUP BY doc_a, doc_b, t_b - t_a
+       HAVING count(*) >= 3""",
+)
+def mm_clip_matches(spark, sf_dir):
+    """Video copy detection over REAL decoded Y4M streams — the
+    temporal analog of n-gram containment dedup: every 4th document's
+    video gets a CLIP COPY (its frames 1..4 re-emitted as a new
+    4-frame stream under a shifted id), then each stream is decoded
+    back (multimodal.decode_y4m), every frame reduced to an exact
+    position-weighted luma signature, and copied clips recovered by
+    the diagonal-alignment join (multimodal.clip_matches: equal-sig
+    blocking, group by temporal offset, keep runs >= 3). The join is
+    signature-blocked, never frames x frames — posting-list cost
+    discipline, same as the LSH text-dedup family, which is what
+    survives at 100 TB of video. The oracle recomputes every frame
+    signature analytically from the synthesis formula and replays the
+    same alignment. Payload bytes stay inside one mapInPandas stage;
+    only the 5-column signature ledger shuffles."""
+    d = load(spark, sf_dir, "documents")
+    sigs = multimodal.video_frame_signatures(
+        multimodal.attach_clip_media(d, "doc_id")
+    )
+    return multimodal.clip_matches(sigs, min_run=3)
+
+
+@_q(
     "mm_frame_stats",
     """WITH g AS (SELECT doc_id,
               CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 2
