@@ -297,6 +297,160 @@ def build_wav(sample_rate: int, channels: int) -> bytes:
     )
 
 
+def build_wav_pcm(sample_rate: int, channels: int,
+                  samples) -> bytes:
+    """FULL valid PCM16 WAV from an interleaved sample sequence:
+    RIFF header with the real total size, canonical 16-byte 'fmt '
+    chunk (format tag 1 = PCM, 16 bits/sample), and a 'data' chunk
+    of little-endian int16 frames — any external audio tool opens
+    it. ``samples`` is an iterable of ints in [-32768, 32767],
+    frame-interleaved for multi-channel."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav_pcm(payload: bytes):
+    """REAL WAV PCM decode, stdlib only: RIFF chunk walk to 'fmt '
+    (must declare format 1 = integer PCM, 16 bits/sample) and 'data',
+    then the samples parsed as little-endian int16. Returns
+    (sample_rate, channels, samples) with ``samples`` a flat
+    frame-interleaved tuple of Python ints, or None for anything
+    else (compressed/float/8-bit WAV, truncated chunks):
+    quarantine-and-continue, like every decoder in this module."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        off, rate, ch, bits, data = 12, None, None, None, None
+        while off + 8 <= len(payload):
+            cid = payload[off:off + 4]
+            (csz,) = struct.unpack("<I", payload[off + 4:off + 8])
+            body = payload[off + 8:off + 8 + csz]
+            if len(body) < csz:
+                return None  # truncated chunk
+            if cid == b"fmt " and csz >= 16:
+                tag, ch, rate = struct.unpack("<HHI", body[:8])
+                (bits,) = struct.unpack("<H", body[14:16])
+                if tag != 1 or bits != 16 or ch < 1:
+                    return None
+            elif cid == b"data":
+                data = body
+            off += 8 + csz + (csz & 1)
+        if rate is None or data is None or len(data) % (2 * ch):
+            return None
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data)
+    except (struct.error, IndexError):
+        return None
+    return rate, ch, samples
+
+
+PCM_STATS_SCHEMA = (
+    "doc_id long, sample_rate long, channels long, n_samples long, "
+    "sum_abs long, peak long, n_zero_cross long"
+)
+
+
+def pcm_stats(df: DataFrame, id_col: str = "doc_id",
+              payload_col: str = "payload") -> DataFrame:
+    """Per-asset audio statistics over REAL decoded PCM — the audio
+    twin of :func:`pixel_stats` (audio_windows frames raw BYTES; this
+    decodes actual int16 samples): total sample count, exact
+    absolute-amplitude sum, peak |amplitude|, and the zero-crossing
+    count (strict sign flips per channel, zeros break a run — the
+    classic voiced/unvoiced and pitch proxy). All exact integers, so
+    a SQL oracle replays every value. One Arrow-batched mapInPandas
+    pass; payload bytes never shuffle; undecodable or non-PCM16
+    payloads drop (quarantine-and-continue)."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    cols = ("doc_id", "sample_rate", "channels", "n_samples",
+            "sum_abs", "peak", "n_zero_cross")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                dec = decode_wav_pcm(bytes(payload))
+                if dec is None:
+                    continue
+                rate, ch, samples = dec
+                a = np.array(samples, dtype="int64").reshape(-1, ch)
+                sgn = np.sign(a)
+                cross = 0
+                for c in range(ch):
+                    s = sgn[:, c]
+                    cross += int(((s[1:] * s[:-1]) < 0).sum())
+                out["doc_id"].append(int(did))
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_samples"].append(a.size)
+                out["sum_abs"].append(int(np.abs(a).sum()))
+                out["peak"].append(int(np.abs(a).max())
+                                   if a.size else 0)
+                out["n_zero_cross"].append(cross)
+            yield pd.DataFrame({
+                k: pd.Series(out[k], dtype="int64") for k in cols
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, PCM_STATS_SCHEMA
+    )
+
+
+def attach_pcm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Testdata adapter for the PCM path: per doc a FULL PCM16 WAV —
+    sample_rate = 8000 + (id%8)·1000, channels = id%2+1,
+    n = id%50+30 frames, channel c's sample at frame i
+
+        s(c, i) = (((7 + id%13)·i² + (11 + id%17)·i + 31·c + id)
+                   % 4001) - 2000
+
+    — a quadratic integer sweep crossing zero often enough to
+    exercise the zero-crossing counter. The SQL oracle recomputes
+    every stat from the same formula; a decoder that misreads the
+    fmt chunk, deinterleaves wrongly, or flips byte order
+    hash-mismatches."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def synth(did: int) -> bytes:
+        ch, n = did % 2 + 1, did % 50 + 30
+
+        def s(c, i):
+            return (((7 + did % 13) * i * i + (11 + did % 17) * i
+                     + 31 * c + did) % 4001) - 2000
+
+        interleaved = [s(c, i) for i in range(n) for c in range(ch)]
+        return build_wav_pcm(8000 + (did % 8) * 1000, ch, interleaved)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf[id_col]]
+            yield pd.DataFrame({
+                id_col: ids, "payload": [synth(d) for d in ids],
+            })
+
+    return df.select(id_col).mapInPandas(
+        run, f"{id_col} long, payload binary"
+    )
+
+
 def attach_synthetic_media(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            out: str = "payload") -> DataFrame:

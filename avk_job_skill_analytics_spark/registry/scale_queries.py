@@ -1280,6 +1280,64 @@ def mm_ahash_dedup(spark, sf_dir):
 
 
 @_q(
+    "mm_pcm_stats",
+    """WITH g AS (SELECT doc_id, doc_id % 2 + 1 AS ch,
+                         doc_id % 50 + 30 AS n,
+                         8000 + (doc_id % 8) * 1000 AS rate
+              FROM documents),
+       smp AS (SELECT doc_id, sc.c AS c, si.i AS i,
+                 (((7 + doc_id % 13) * si.i * si.i
+                   + (11 + doc_id % 17) * si.i + 31 * sc.c + doc_id)
+                  % 4001) - 2000 AS s
+               FROM g,
+                 LATERAL (SELECT unnest(generate_series(0, ch - 1))
+                          AS c) sc,
+                 LATERAL (SELECT unnest(generate_series(0, n - 1))
+                          AS i) si),
+       sgn AS (SELECT doc_id, c, i, s,
+                 CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1
+                      ELSE 0 END AS sg
+               FROM smp),
+       stats AS (SELECT doc_id, sum(abs(s)) AS sum_abs,
+                        max(abs(s)) AS peak
+                 FROM sgn GROUP BY doc_id),
+       cr AS (SELECT doc_id, sg,
+                lag(sg) OVER (PARTITION BY doc_id, c ORDER BY i)
+                    AS pg
+              FROM sgn),
+       crs AS (SELECT doc_id,
+                 count(*) FILTER (WHERE pg IS NOT NULL
+                                  AND pg * sg < 0) AS nzc
+               FROM cr GROUP BY doc_id)
+       SELECT g.doc_id, CAST(rate AS BIGINT) AS sample_rate,
+              CAST(ch AS BIGINT) AS channels,
+              CAST(ch * n AS BIGINT) AS n_samples,
+              CAST(sum_abs AS BIGINT) AS sum_abs,
+              CAST(peak AS BIGINT) AS peak,
+              CAST(nzc AS BIGINT) AS n_zero_cross
+       FROM g JOIN stats USING (doc_id) JOIN crs USING (doc_id)""",
+)
+def mm_pcm_stats(spark, sf_dir):
+    """REAL audio decode end-to-end (multimodal.decode_wav_pcm →
+    pcm_stats) — the audio twin of mm_pixel_stats, and the row that
+    upgrades the audio family from byte-window plumbing
+    (mm_audio_windows) to actual samples: per document a genuine
+    PCM16 WAV is synthesized (quadratic integer sweep, mono/stereo
+    alternating, varied sample rates), the int16 frames are decoded
+    back through a real RIFF fmt/data chunk walk, and each asset
+    reduces to exact integer stats — amplitude mass, peak, and the
+    per-channel zero-crossing count (the classic voiced/unvoiced
+    proxy). The oracle recomputes every stat from the synthesis
+    formula: a byte-order flip, a mis-deinterleave, or an off-by-one
+    in the crossing rule hash-mismatches. Payload bytes stay inside
+    one mapInPandas stage — never shuffled."""
+    d = load(spark, sf_dir, "documents")
+    return multimodal.pcm_stats(
+        multimodal.attach_pcm_media(d, "doc_id")
+    )
+
+
+@_q(
     "mm_clip_matches",
     """WITH docs AS (
          SELECT doc_id, doc_id AS cid, 0 AS shift,
