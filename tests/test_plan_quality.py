@@ -336,6 +336,61 @@ def test_image_patches_no_shuffle(spark, queries):
     assert "Exchange" not in plan, plan
 
 
+def _exchange_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "Exchange" in ln]
+
+
+def test_media_payloads_never_shuffle(spark, queries):
+    # the multimodal contract: binary payloads are synthesized AND
+    # consumed inside one pipelined mapInPandas pair; the only
+    # Exchanges are the bare-id spread before synthesis and hash
+    # shuffles of the small typed ledgers after decode — a payload
+    # column in any Exchange means megabytes of bytes started riding
+    # the shuffle
+    for name in ("mm_webp_pixel_stats", "mm_ahash_dedup",
+                 "mm_clip_matches", "mm_pcm_stats", "mm_pixel_stats",
+                 "mm_frame_stats"):
+        df = queries[name](spark, SF_DIR)
+        for ln in _exchange_lines(I.plan_string(df)):
+            assert "payload" not in ln, (name, ln)
+
+
+def test_pcm_and_webp_stats_single_spread_exchange(spark, queries):
+    # per-row-pure decode chains: the id spread is the ONLY shuffle,
+    # and the scan reads just the id column
+    for name in ("mm_pcm_stats", "mm_webp_pixel_stats"):
+        df = queries[name](spark, SF_DIR)
+        plan = I.plan_string(df, mode="simple")
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert "RoundRobinPartitioning" in plan, (name, plan)
+        schemas = I.read_schemas(df)
+        assert schemas and all("doc_id" in s and "text" not in s
+                               for s in schemas), (name, schemas)
+
+
+def test_ahash_dedup_aggregates_map_side(spark, queries):
+    # the hash groupBy must start with a partial aggregate below the
+    # Exchange (map-side combine), so the shuffle carries one row per
+    # (hash, format), not one per image
+    df = queries["mm_ahash_dedup"](spark, SF_DIR)
+    plan = I.plan_string(df, mode="simple")
+    # bottom-most HashAggregate (map side, below every Exchange) must
+    # be a partial aggregate
+    assert "partial" in plan[plan.rindex("HashAggregate"):], plan
+    assert plan.index("HashAggregate") < plan.index(
+        "Exchange hashpartitioning"), plan
+
+
+def test_clip_matches_join_is_sig_blocked(spark, queries):
+    # video copy detection must join on the signature key (hash or
+    # broadcast-hash), never degenerate into frames x frames
+    df = queries["mm_clip_matches"](spark, SF_DIR)
+    plan = I.plan_string(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "sig" in plan.split("Join", 1)[1][:200], plan
+
+
 def test_bucketed_join_query_single_exchange(spark, queries):
     # bucketed scans satisfy the join's distribution: the only
     # Exchange left is the final priority rollup above the join
