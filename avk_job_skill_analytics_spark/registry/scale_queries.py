@@ -1202,9 +1202,11 @@ def mm_webp_pixel_stats(spark, sf_dir):
     )
 
 
-@_q(
-    "mm_ahash_dedup",
-    """WITH docs AS (
+# shared with streaming_queries.stream_media_dedup: recomputes every
+# payload's 64-bit average hash from attach_ahash_media's synthesis
+# formulas (doc list incl. the re-encoded clones, pixel expansion,
+# 8x8 cell sums, cross-multiplied mean threshold, u32-half packing)
+AHASH_HASHES_CTE = """docs AS (
          SELECT doc_id, doc_id AS cid, doc_id % 4 AS m FROM documents
          UNION ALL
          SELECT doc_id + 100000, doc_id, (doc_id + 1) % 4
@@ -1242,7 +1244,12 @@ def mm_webp_pixel_stats(spark, sf_dir):
                     sum(CASE WHEN idx < 32 THEN
                         bit * (CAST(1 AS BIGINT) << idx)
                         ELSE 0 END) AS lo
-                  FROM bits GROUP BY doc_id)
+                  FROM bits GROUP BY doc_id)"""
+
+
+@_q(
+    "mm_ahash_dedup",
+    f"""WITH {AHASH_HASHES_CTE}
        SELECT CAST(hi AS BIGINT) AS ahash_hi,
               CAST(lo AS BIGINT) AS ahash_lo,
               CAST(min(doc_id) AS BIGINT) AS keep_id,

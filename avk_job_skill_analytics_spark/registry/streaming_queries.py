@@ -2277,3 +2277,66 @@ def stream_ab_monitor(spark, sf_dir):
         "rev_per_event_a_fp long, rev_per_event_b_fp long, "
         "lift_fp long",
     )
+
+
+def _media_dedup_oracle() -> str:
+    from .scale_queries import AHASH_HASHES_CTE
+
+    return f"""WITH {AHASH_HASHES_CTE},
+       named AS (SELECT doc_id, hi, lo,
+                   CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                          WHEN 2 THEN 'jpeg' ELSE 'webp' END AS fmt
+                 FROM hashes)
+       SELECT CAST(hi AS BIGINT) AS ahash_hi,
+              CAST(lo AS BIGINT) AS ahash_lo,
+              count(*) AS n_copies,
+              CAST(min(doc_id) AS BIGINT) AS keep_id,
+              min(fmt) AS first_format
+       FROM named GROUP BY hi, lo"""
+
+
+@_q("stream_media_dedup", _media_dedup_oracle())
+def stream_media_dedup(spark, sf_dir):
+    """Ingest-time perceptual media dedup — the streaming twin of
+    mm_ahash_dedup, and the shape that matters at 100 TB: binary
+    assets are decoded and content-hashed AS THEY ARRIVE (two
+    micro-batches via maxFilesPerTrigger over a doubled source dir:
+    every asset arrives twice, the second arrival a byte-identical
+    re-delivery), with streaming state keyed by the 64-bit average
+    hash of the DECODED pixels (multimodal.image_ahash over
+    attach_ahash_media's four-codec corpus incl. the re-encoded
+    clones). The complete-mode aggregate carries (n_copies, keep_id,
+    first_format) per content hash; re-deliveries and cross-codec
+    clones both land on their existing key instead of growing state.
+    Deterministic reductions only (count/min — no first-arrival
+    races), so the batch oracle replays the exact table halved:
+    the doubled delivery doubles n_copies, which the final projection
+    divides back out to prove exactly-two-deliveries accounting."""
+    from ..operators import multimodal
+
+    src_dir = _source_dir(
+        sf_dir,
+        {"docs_a.parquet": "documents.parquet",
+         "docs_b.parquet": "documents.parquet"},
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .select("doc_id")
+    )
+    hashed = multimodal.image_ahash(
+        multimodal.attach_ahash_media(stream, "doc_id")
+    )
+    agg = hashed.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count(F.lit(1)).alias("n_copies_2x"),
+        F.min("doc_id").alias("keep_id"),
+        F.min("format").alias("first_format"),
+    )
+    drained = _drain(spark, agg, "complete", "st_media_dedup")
+    return drained.select(
+        "ahash_hi", "ahash_lo",
+        (F.col("n_copies_2x") / 2).cast("long").alias("n_copies"),
+        "keep_id", "first_format",
+    )

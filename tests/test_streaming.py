@@ -627,3 +627,25 @@ def test_key_count_fold_merges_and_guards_redelivery(spark):
     fn(b0, 0)                  # redelivered epoch: ignored
     fn(b1, 1)
     assert dict(key_count_rows(state)) == {"a": 3, "b": 1, "c": 1}
+
+
+def test_stream_media_dedup_matches_batch_ledger(spark):
+    """Ingest-time perceptual dedup must agree with the batch sweep:
+    the streaming drain (every asset delivered twice across two
+    micro-batches) and mm_ahash_dedup's batch grouping produce the
+    SAME (hash, n_copies, keep_id) ledger — re-deliveries land on
+    their existing state key and divide back out exactly."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.ahash_hi, r.ahash_lo): (r.n_copies, r.keep_id)
+        for r in qs["mm_ahash_dedup"](spark, sf).collect()
+    }
+    streamed = {
+        (r.ahash_hi, r.ahash_lo): (r.n_copies, r.keep_id)
+        for r in qs["stream_media_dedup"](spark, sf).collect()
+    }
+    assert streamed == batch
+    assert any(n >= 2 for n, _ in batch.values())  # clones present
