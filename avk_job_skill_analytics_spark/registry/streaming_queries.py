@@ -102,7 +102,22 @@ def _source_dir(sf_dir: str, links: dict) -> str:
     if key not in _SRC_DIRS:
         d = tempfile.mkdtemp(prefix="stream_src_")
         for link_name, target in links.items():
-            os.symlink(f"{sf_dir}/{target}", f"{d}/{link_name}")
+            tpath = f"{sf_dir}/{target}"
+            if os.path.isdir(tpath):
+                # Spark-written dataset (sf1 replica): the file source
+                # does NOT recurse through a symlinked directory entry,
+                # so a plain dir symlink silently drains ZERO rows —
+                # expose each part file under a per-link prefix instead
+                stem = link_name.rsplit(".parquet", 1)[0]
+                parts = sorted(
+                    p for p in os.listdir(tpath)
+                    if p.endswith(".parquet")
+                )
+                for i, part in enumerate(parts):
+                    os.symlink(f"{tpath}/{part}",
+                               f"{d}/{stem}_{i:05d}.parquet")
+            else:
+                os.symlink(tpath, f"{d}/{link_name}")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         _SRC_DIRS[key] = d
     return _SRC_DIRS[key]
@@ -2319,10 +2334,14 @@ def stream_media_dedup(spark, sf_dir):
         {"docs_a.parquet": "documents.parquet",
          "docs_b.parquet": "documents.parquet"},
     )
+    # one micro-batch per delivery at ANY source layout: single files
+    # give 2 files total (1 per trigger), the sf1 directory replica
+    # gives 2N part files (N per trigger)
+    n_files = len(os.listdir(src_dir))
     stream = (
         spark.readStream.format("parquet")
         .schema(_DOCS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max(1, n_files // 2))
         .load(src_dir)
         .select("doc_id")
     )
