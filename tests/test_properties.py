@@ -463,3 +463,47 @@ def test_cusum_identity_equals_sequential_fold(spark, xs):
         down = max(0, down - dev - ks)
         assert out[d]["cusum_up"] == up, d
         assert out[d]["cusum_down"] == down, d
+
+
+@given(
+    kind=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+    n_flips=st.integers(1, 12),
+)
+@settings(max_examples=120, deadline=None)
+def test_decoders_never_raise_on_corrupt_payloads(kind, seed, n_flips):
+    """Quarantine-and-continue, adversarially: every media decoder
+    must either decode or return None on arbitrarily bit-flipped
+    payloads — ONE raised exception inside the mapInPandas stage
+    would kill a whole Arrow batch of good assets. (Deterministic
+    LCG corruption — no RNG in tests.)"""
+    from avk_job_skill_analytics_spark.operators import multimodal as M
+    from avk_job_skill_analytics_spark.operators.jpegcodec import (
+        build_jpeg_pixels,
+        decode_jpeg_pixels,
+    )
+    from avk_job_skill_analytics_spark.operators.webpcodec import (
+        build_webp_pixels,
+        decode_webp_pixels,
+    )
+
+    builders = (
+        lambda: M.build_png_pixels(6, 5, lambda x, y: (x, y, 7)),
+        lambda: M.build_bmp_pixels(6, 5, lambda x, y: (x, y, 7)),
+        lambda: build_jpeg_pixels(8, 8, lambda x, y: 99, grey=True),
+        lambda: build_webp_pixels(6, 5, lambda x, y: (x, y, 7)),
+        lambda: M.build_wav_pcm(8000, 1, [3, -3, 5, -5]),
+    )
+    decoders = (
+        M.decode_png_pixels, M.decode_bmp_pixels, decode_jpeg_pixels,
+        decode_webp_pixels, M.decode_wav_pcm,
+    )
+    payload = bytearray(builders[kind]())
+    state = seed
+    for _ in range(n_flips):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        payload[state % len(payload)] ^= 1 << (state % 8)
+    for dec in (*decoders, M.decode_y4m, M.decode_pixels,
+                M.parse_media_header, M.ahash_payload):
+        out = dec(bytes(payload))  # must not raise
+        assert out is None or isinstance(out, tuple)
