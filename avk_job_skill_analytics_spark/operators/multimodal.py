@@ -1283,6 +1283,112 @@ def attach_ahash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def ahash_near_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming near-dup over perceptual hashes — the image
+    analog of dd_simhash's banded text near-dup: split each 64-bit
+    aHash into four 16-bit bands; two hashes within Hamming distance
+    ``max_hamming`` <= 3 MUST agree on at least one whole band
+    (pigeonhole: 4 flips are needed to wound all 4 bands), so the
+    band-equality join is a LOSSLESS candidate generator at this
+    threshold, and candidates verify with two bit_count(xor) — the
+    posting-list discipline that replaces the O(n²) scan at 100 TB.
+    The oracle is the brute-force all-pairs filter, so a hash match
+    PROVES the banding lost nothing. Returns (doc_a, doc_b, hamming)
+    with doc_a < doc_b."""
+    h = hashed.select("doc_id", "ahash_hi", "ahash_lo")
+
+    def _band(i: int, col: str, shift: int):
+        return F.struct(
+            F.lit(i).alias("band"),
+            (F.shiftright(F.col(col), shift) % 65536).alias("band_val"),
+        )
+
+    bands = h.select(
+        "doc_id", "ahash_hi", "ahash_lo",
+        F.explode(F.array(
+            _band(0, "ahash_lo", 0), _band(1, "ahash_lo", 16),
+            _band(2, "ahash_hi", 0), _band(3, "ahash_hi", 16),
+        )).alias("bv"),
+    ).select(
+        "doc_id", "ahash_hi", "ahash_lo",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ahash_hi").alias("hi_a"),
+        F.col("ahash_lo").alias("lo_a"),
+        "band", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash_hi").alias("hi_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        F.col("band").alias("_band"), F.col("band_val").alias("_bv"),
+    )
+    cand = (
+        a.join(b, (F.col("band") == F.col("_band"))
+               & (F.col("band_val") == F.col("_bv"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def attach_near_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Testdata adapter for perceptual NEAR-dup: per doc a BMP raster
+    with the attach_ahash_media content surface, and for every 7th
+    doc an EDITED TWIN under id+200000 — the same image with the
+    pixels of hash cell (7, 7) brightened by +96 (mod 256). Measured
+    on this corpus: ~63% of edits flip EXACTLY one hash bit, ~20%
+    zero (edit invisible to aHash), ~10% two-three, ~7% land beyond
+    the threshold and are correctly missed — i.e. genuine near-dup
+    structure, not exact clones in disguise. BMP for both rows: the
+    codec layer is proven elsewhere (mm_ahash_dedup); this query
+    prices the BANDED JOIN, not the encoders."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def synth(cid: int, edit: bool) -> bytes:
+        w, h = 8 * (cid % 6 + 1), 8 * (cid % 5 + 1)
+
+        def fn(x, y):
+            v = ((13 + cid % 251) * ((x // 8) * (x // 8) + 3 * (y // 8))
+                 + (7 + cid % 241) * ((y // 8) * (y // 8) + 5 * (x // 8))
+                 + (cid % 127) * (x // 8) * (y // 8) + cid) % 256
+            if edit and (8 * x) // w == 7 and (8 * y) // h == 7:
+                v = (v + 96) % 256
+            return (v, v, v)
+
+        return build_bmp_pixels(w, h, fn)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                ids.append(did)
+                payloads.append(synth(did, False))
+                if did % 7 == 0:
+                    ids.append(did + 200000)
+                    payloads.append(synth(did, True))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return _spread_ids(df, id_col).mapInPandas(
+        run, f"{id_col} long, payload binary"
+    )
+
+
 def attach_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Testdata adapter for the WebP pixel path: per row a FULL
     lossless WebP (operators/webpcodec, round 11) exercising both

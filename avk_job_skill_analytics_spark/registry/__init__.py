@@ -76,8 +76,13 @@ PRIORITY = (
     "dd_exact_groups", "dd_minhash_lsh", "dd_ngram_jaccard",
     "dd_simhash", "dd_prefix_filter_join", "dd_dup_clusters",
     "ann_cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-    "txt_lang_id", "txt_quality", "txt_token_counts",
-    "txt_gopher_rules", "txt_bm25_topk",
+    "txt_lang_id", "txt_gopher_rules", "txt_bm25_topk",
+    # round-11 continuation: the new codec surface (VP8L decode,
+    # four-codec perceptual dedup) is the riskiest never-driver-
+    # validated code — swapped in for txt_quality/txt_token_counts,
+    # which carry 10 rounds of local hash evidence and exercise no
+    # novel machinery
+    "mm_webp_pixel_stats", "mm_ahash_dedup",
 )
 
 

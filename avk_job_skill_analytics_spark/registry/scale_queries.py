@@ -1287,6 +1287,76 @@ def mm_ahash_dedup(spark, sf_dir):
 
 
 @_q(
+    "mm_ahash_near",
+    """WITH docs AS (
+         SELECT doc_id, doc_id AS cid, 0 AS e FROM documents
+         UNION ALL
+         SELECT doc_id + 200000, doc_id, 1
+         FROM documents WHERE doc_id % 7 = 0),
+       g AS (SELECT doc_id, cid, e, 8 * (cid % 6 + 1) AS w,
+                    8 * (cid % 5 + 1) AS h
+             FROM docs),
+       px AS (SELECT doc_id, cid, e, w, h, sx.x AS x, sy.y AS y
+              FROM g,
+                   LATERAL (SELECT unnest(generate_series(0, w - 1))
+                            AS x) sx,
+                   LATERAL (SELECT unnest(generate_series(0, h - 1))
+                            AS y) sy),
+       pv AS (SELECT doc_id, (8 * x) // w AS cx, (8 * y) // h AS cy,
+                     3 * ((((13 + cid % 251)
+                              * ((x // 8) * (x // 8) + 3 * (y // 8))
+                            + (7 + cid % 241)
+                              * ((y // 8) * (y // 8) + 5 * (x // 8))
+                            + (cid % 127) * (x // 8) * (y // 8) + cid)
+                           + CASE WHEN e = 1 AND (8 * x) // w = 7
+                                       AND (8 * y) // h = 7
+                                  THEN 96 ELSE 0 END) % 256) AS inten
+              FROM px),
+       cells AS (SELECT doc_id, cy * 8 + cx AS idx,
+                        sum(inten) AS s, count(*) AS c
+                 FROM pv GROUP BY doc_id, cy * 8 + cx),
+       tot AS (SELECT doc_id, sum(s) AS total, sum(c) AS n
+               FROM cells GROUP BY doc_id),
+       bits AS (SELECT cells.doc_id, idx,
+                       CASE WHEN s * n > total * c THEN 1 ELSE 0 END
+                           AS bit
+                FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
+       hashes AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN idx >= 32 THEN
+                        bit * (CAST(1 AS BIGINT) << (idx - 32))
+                        ELSE 0 END) AS BIGINT) AS hi,
+                    CAST(sum(CASE WHEN idx < 32 THEN
+                        bit * (CAST(1 AS BIGINT) << idx)
+                        ELSE 0 END) AS BIGINT) AS lo
+                  FROM bits GROUP BY doc_id)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.hi, b.hi))
+                   + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+       FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) <= 3""",
+)
+def mm_ahash_near(spark, sf_dir):
+    """Perceptual image NEAR-dup — banded Hamming search over aHashes
+    of REAL decoded pixels (multimodal.ahash_near_pairs): every 7th
+    document gets an EDITED TWIN (one hash-cell region brightened),
+    and pairs within Hamming distance 3 are recovered through the
+    4x16-bit band join. The banding is LOSSLESS at this threshold
+    (pigeonhole: <= 3 flips cannot wound all four bands), and the
+    ORACLE IS THE BRUTE FORCE — all-pairs xor/popcount in SQL — so a
+    hash match proves the posting-list plan finds exactly what the
+    O(n²) scan finds, the same guarantee pattern as
+    geo_radius_knn/dd_lsh_recall_audit. This is how image near-dup
+    survives 100 TB: candidates scale with band-bucket occupancy,
+    never with corpus²."""
+    d = load(spark, sf_dir, "documents")
+    hashed = multimodal.image_ahash(
+        multimodal.attach_near_media(d, "doc_id")
+    )
+    return multimodal.ahash_near_pairs(hashed, max_hamming=3)
+
+
+@_q(
     "mm_pcm_stats",
     """WITH g AS (SELECT doc_id, doc_id % 2 + 1 AS ch,
                          doc_id % 50 + 30 AS n,

@@ -98,3 +98,41 @@ def test_undecodable_quarantines():
     assert ahash_payload(b"not an image") is None
     assert ahash_payload(build_png_pixels(8, 8, lambda x, y:
                                           (1, 2, 3))[:20]) is None
+
+
+def test_banded_near_pairs_lossless_and_deduped(spark):
+    """Pigeonhole contract of ahash_near_pairs: <= 3 flips always
+    leave a whole 16-bit band intact, so every such pair MUST surface
+    (even with the flips spread across three different bands); a pair
+    matching in several bands surfaces ONCE; distance-4 pairs are
+    outside the threshold."""
+    import pandas as pd
+
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        ahash_near_pairs,
+    )
+
+    base_hi, base_lo = 0x12345678, 0x9ABCDEF0
+    rows = [
+        (1, base_hi, base_lo),
+        # 3 flips in 3 different bands (lo bit 0, lo bit 16, hi bit 0)
+        (2, base_hi ^ 1, base_lo ^ 1 ^ (1 << 16)),
+        # identical twin: matches doc 1 in all 4 bands -> one row
+        (3, base_hi, base_lo),
+        # 4 flips, one per band: correctly outside the threshold
+        (4, base_hi ^ 1 ^ (1 << 16), base_lo ^ 1 ^ (1 << 16)),
+        # unrelated
+        (5, 0x0F0F0F0F, 0x33CC33CC),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "ahash_hi", "ahash_lo"])
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in ahash_near_pairs(df, max_hamming=3).collect()}
+    assert got[(1, 2)] == 3
+    assert got[(1, 3)] == 0
+    assert got[(2, 3)] == 3
+    assert (1, 4) not in got and (3, 4) not in got
+    # doc 2 vs 4: differs only in hi bit 16 -> hamming 1, found
+    assert got[(2, 4)] == 1
+    assert len(got) == 4
