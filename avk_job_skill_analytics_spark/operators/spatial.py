@@ -115,3 +115,39 @@ def cell_density(points: DataFrame, lat_col: str, lon_col: str,
                  F.asc("cell_lon"))
         .limit(top_n)
     )
+
+
+def point_in_polygon(lat_col, lon_col, verts_col):
+    """EXACT integer ray-casting point-in-polygon test as a pure
+    Column expression (no trig, no floats, no UDF): cast a ray in
+    the +lon direction and count edge crossings with the half-open
+    rule ``(y1 > py) != (y2 > py)``; the "ray passes left of the
+    intersection" comparison is cross-multiplied by (y2 - y1) with
+    the inequality flipped for descending edges, so every operand
+    stays an exact integer and the SQL oracle replays bit-for-bit.
+
+    ``verts_col`` is an ``array<struct<lat: long, lon: long>>``
+    simple ring (first vertex NOT repeated). Returns a boolean
+    Column: odd crossing count = inside. Cost is O(vertices) per
+    (point, polygon) pair inside whole-stage codegen — pair small
+    polygon sets with ``F.broadcast`` and the corpus never
+    shuffles."""
+    py, px = F.col(lat_col), F.col(lon_col)
+    n = F.size(verts_col)
+
+    def crossing(i):
+        a = F.element_at(verts_col, i + 1)
+        b = F.element_at(verts_col, ((i + 1) % n) + 1)
+        y1, x1, y2, x2 = a["lat"], a["lon"], b["lat"], b["lon"]
+        straddles = (y1 > py) != (y2 > py)
+        d = y2 - y1
+        left = (px - x1) * d
+        right = (x2 - x1) * (py - y1)
+        hit = F.when(d > 0, left < right).otherwise(left > right)
+        return F.when(straddles & hit, 1).otherwise(0)
+
+    crossings = F.aggregate(
+        F.sequence(F.lit(0), n - 1), F.lit(0),
+        lambda acc, i: acc + crossing(i),
+    )
+    return crossings % 2 == 1

@@ -6817,6 +6817,107 @@ def geo_cell_density(spark, sf_dir):
     return cell_density(pts, "lat", "lon", step=10_000, top_n=20)
 
 
+# geofence rings (integer micro-degrees, simple rings, first vertex
+# not repeated) inside the _geo_points city box; the oracle's edge
+# VALUES are GENERATED from these same constants
+GEO_ZONES = {
+    "triangle": [(40_010_000, -74_040_000), (40_090_000, -74_020_000),
+                 (40_030_000, -73_970_000)],
+    "quad": [(40_050_000, -74_045_000), (40_080_000, -74_030_000),
+             (40_070_000, -73_990_000), (40_040_000, -74_000_000)],
+    # concave L-shape: the notch catches convex-hull shortcuts
+    "lshape": [(40_000_500, -73_990_000), (40_060_500, -73_990_000),
+               (40_060_500, -73_970_000), (40_020_500, -73_970_000),
+               (40_020_500, -73_955_000), (40_000_500, -73_955_000)],
+}
+
+
+def _geo_pip_sql() -> str:
+    plat = _geo_coord_sql("c_custkey", "lat", 40_000_000, 100_000)
+    plon = _geo_coord_sql("c_custkey", "lon", -74_050_000, 100_000)
+    edges = []
+    for zone, ring in GEO_ZONES.items():
+        for i, (y1, x1) in enumerate(ring):
+            y2, x2 = ring[(i + 1) % len(ring)]
+            edges.append(f"('{zone}', {y1}, {x1}, {y2}, {x2})")
+    values = ",\n              ".join(edges)
+    return f"""WITH p AS (SELECT c_custkey AS key, {plat} AS py,
+                    {plon} AS px
+               FROM customer),
+       e(zone, y1, x1, y2, x2) AS (VALUES
+              {values}),
+       cr AS (SELECT p.key, e.zone,
+                CASE WHEN ((y1 > py) != (y2 > py))
+                     AND (CASE WHEN y2 - y1 > 0
+                          THEN (px - x1) * (y2 - y1)
+                               < (x2 - x1) * (py - y1)
+                          ELSE (px - x1) * (y2 - y1)
+                               > (x2 - x1) * (py - y1) END)
+                     THEN 1 ELSE 0 END AS c
+              FROM p, e),
+       ins AS (SELECT key, zone, sum(c) % 2 = 1 AS inside
+               FROM cr GROUP BY key, zone),
+       zrows AS (SELECT zone, count(*) AS n_points,
+                        CAST(min(key) AS BIGINT) AS min_key,
+                        CAST(max(key) AS BIGINT) AS max_key
+                 FROM ins WHERE inside GROUP BY zone),
+       nokey AS (SELECT key FROM ins GROUP BY key
+                 HAVING max(CASE WHEN inside THEN 1 ELSE 0 END) = 0)
+       SELECT * FROM zrows
+       UNION ALL
+       SELECT 'none', count(*),
+              CAST(min(key) AS BIGINT), CAST(max(key) AS BIGINT)
+       FROM nokey"""
+
+
+@_q("geo_point_in_polygon", _geo_pip_sql())
+def geo_point_in_polygon(spark, sf_dir):
+    """Geofencing (operators/spatial.point_in_polygon): classify
+    every customer point against three literal zone rings — a
+    triangle, a convex quad, and a CONCAVE L-shape (the notch is
+    what separates real ray casting from bounding-box or hull
+    approximations) — with the exact integer crossing rule, then one
+    membership card per zone (count + key range) plus the 'none'
+    row. Zones broadcast (the corpus never shuffles for the test
+    itself); the crossing count is O(vertices) per pair inside
+    whole-stage codegen; the oracle replays the same
+    cross-multiplied comparisons from the same ring constants.
+    Geo-stratifying a training corpus by region is this exact
+    shape."""
+    from ..operators.spatial import point_in_polygon
+
+    pts = _geo_points(spark, sf_dir, "customer", "c_custkey")
+    zones = spark.createDataFrame(
+        [(z, ring) for z, ring in GEO_ZONES.items()],
+        "zone string, verts array<struct<lat: long, lon: long>>",
+    )
+    flag = pts.crossJoin(F.broadcast(zones)).withColumn(
+        "inside", point_in_polygon("lat", "lon", F.col("verts"))
+    )
+    zrows = (
+        flag.filter(F.col("inside"))
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+    )
+    none_row = (
+        flag.groupBy("c_custkey")
+        .agg(F.max(F.col("inside").cast("int")).alias("_any"))
+        .filter(F.col("_any") == 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .select(F.lit("none").alias("zone"), "n_points", "min_key",
+                "max_key")
+    )
+    return zrows.unionByName(none_row)
+
+
 @_q(
     "dd_dup_weighting",
     f"""WITH RECURSIVE pairs AS (

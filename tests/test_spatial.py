@@ -81,3 +81,41 @@ def test_cell_density_totals(spark):
     # tie on count -> cell coords ascending
     assert [(r["cell_lat"], r["cell_lon"]) for r in out] == \
         [(0, 0), (1, 0)]
+
+
+def test_point_in_polygon_concave_and_exact(spark):
+    """Ray casting must respect the CONCAVE notch (a bounding box or
+    convex hull would misclassify it), stay exact on integer coords,
+    and use the half-open edge rule deterministically."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from avk_job_skill_analytics_spark.operators.spatial import (
+        point_in_polygon,
+    )
+
+    # L-shape: (0,0)(60,0)(60,20)(20,20)(20,35)(0,35) in (lat, lon)
+    ring = [(0, 0), (60, 0), (60, 20), (20, 20), (20, 35), (0, 35)]
+    cases = [
+        (10, 10, True),    # lower arm
+        (50, 10, True),    # upper arm
+        (50, 30, False),   # inside the notch: OUTSIDE the L
+        (10, 30, True),    # lower-right arm
+        (70, 10, False),   # above
+        (10, 40, False),   # right of everything
+        (-5, 10, False),   # below
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        [(la, lo) for la, lo, _ in cases], columns=["lat", "lon"]
+    ))
+    verts = F.array(*[
+        F.struct(F.lit(a).cast("long").alias("lat"),
+                 F.lit(b).cast("long").alias("lon"))
+        for a, b in ring
+    ])
+    got = df.select(
+        "lat", "lon", point_in_polygon("lat", "lon", verts).alias("i")
+    ).collect()
+    want = {(la, lo): exp for la, lo, exp in cases}
+    for r in got:
+        assert r.i == want[(r.lat, r.lon)], (r.lat, r.lon, r.i)
