@@ -1285,17 +1285,30 @@ def attach_ahash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def ahash_near_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Banded Hamming near-dup over perceptual hashes — the image
-    analog of dd_simhash's banded text near-dup: split each 64-bit
-    aHash into four 16-bit bands; two hashes within Hamming distance
+    analog of dd_simhash's banded text near-dup, in the shape that
+    survives 100 TB: identical hashes COLLAPSE FIRST to one
+    representative per group (a linear groupBy — exact duplicates
+    are mm_ahash_dedup's job and must never reach a pair expansion:
+    a re-encoded-thousands-of-times photo would otherwise expand
+    C(n,2) pairs inside one band bucket, which is exactly the OOM
+    this module measured at the sf1 probe), then the DISTINCT hashes
+    split into four 16-bit bands. Two hashes within Hamming distance
     ``max_hamming`` <= 3 MUST agree on at least one whole band
     (pigeonhole: 4 flips are needed to wound all 4 bands), so the
-    band-equality join is a LOSSLESS candidate generator at this
-    threshold, and candidates verify with two bit_count(xor) — the
-    posting-list discipline that replaces the O(n²) scan at 100 TB.
-    The oracle is the brute-force all-pairs filter, so a hash match
-    PROVES the banding lost nothing. Returns (doc_a, doc_b, hamming)
-    with doc_a < doc_b."""
-    h = hashed.select("doc_id", "ahash_hi", "ahash_lo")
+    band-equality join over representatives is a LOSSLESS candidate
+    generator at this threshold, and candidates verify with two
+    bit_count(xor). The oracle is the brute-force all-pairs filter
+    over the same representatives, so a hash match PROVES the
+    banding lost nothing. Returns one row per near-duplicate GROUP
+    pair: (doc_a, doc_b, hamming, n_docs_a, n_docs_b) with
+    doc_a/doc_b the min-id representatives, hamming in
+    [1, max_hamming], and the doc-level pair mass available as
+    n_docs_a * n_docs_b without ever materializing it."""
+    h = (
+        hashed.groupBy("ahash_hi", "ahash_lo")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.count(F.lit(1)).alias("n_docs"))
+    )
 
     def _band(i: int, col: str, shift: int):
         return F.struct(
@@ -1304,13 +1317,13 @@ def ahash_near_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
 
     bands = h.select(
-        "doc_id", "ahash_hi", "ahash_lo",
+        "doc_id", "ahash_hi", "ahash_lo", "n_docs",
         F.explode(F.array(
             _band(0, "ahash_lo", 0), _band(1, "ahash_lo", 16),
             _band(2, "ahash_hi", 0), _band(3, "ahash_hi", 16),
         )).alias("bv"),
     ).select(
-        "doc_id", "ahash_hi", "ahash_lo",
+        "doc_id", "ahash_hi", "ahash_lo", "n_docs",
         F.col("bv.band").alias("band"),
         F.col("bv.band_val").alias("band_val"),
     )
@@ -1318,19 +1331,22 @@ def ahash_near_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         F.col("ahash_hi").alias("hi_a"),
         F.col("ahash_lo").alias("lo_a"),
+        F.col("n_docs").alias("n_docs_a"),
         "band", "band_val",
     )
     b = bands.select(
         F.col("doc_id").alias("doc_b"),
         F.col("ahash_hi").alias("hi_b"),
         F.col("ahash_lo").alias("lo_b"),
+        F.col("n_docs").alias("n_docs_b"),
         F.col("band").alias("_band"), F.col("band_val").alias("_bv"),
     )
     cand = (
         a.join(b, (F.col("band") == F.col("_band"))
                & (F.col("band_val") == F.col("_bv"))
                & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b",
+                "n_docs_a", "n_docs_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = (
@@ -1340,7 +1356,7 @@ def ahash_near_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming", "n_docs_a", "n_docs_b")
     )
 
 

@@ -1328,11 +1328,15 @@ def mm_ahash_dedup(spark, sf_dir):
                     CAST(sum(CASE WHEN idx < 32 THEN
                         bit * (CAST(1 AS BIGINT) << idx)
                         ELSE 0 END) AS BIGINT) AS lo
-                  FROM bits GROUP BY doc_id)
-       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  FROM bits GROUP BY doc_id),
+       grp AS (SELECT hi, lo, CAST(min(doc_id) AS BIGINT) AS rep,
+                      count(*) AS n
+               FROM hashes GROUP BY hi, lo)
+       SELECT a.rep AS doc_a, b.rep AS doc_b,
               CAST(bit_count(xor(a.hi, b.hi))
-                   + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
-       FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+                   + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
+              a.n AS n_docs_a, b.n AS n_docs_b
+       FROM grp a JOIN grp b ON a.rep < b.rep
        WHERE bit_count(xor(a.hi, b.hi))
              + bit_count(xor(a.lo, b.lo)) <= 3""",
 )
@@ -1340,15 +1344,19 @@ def mm_ahash_near(spark, sf_dir):
     """Perceptual image NEAR-dup — banded Hamming search over aHashes
     of REAL decoded pixels (multimodal.ahash_near_pairs): every 7th
     document gets an EDITED TWIN (one hash-cell region brightened),
-    and pairs within Hamming distance 3 are recovered through the
-    4x16-bit band join. The banding is LOSSLESS at this threshold
-    (pigeonhole: <= 3 flips cannot wound all four bands), and the
-    ORACLE IS THE BRUTE FORCE — all-pairs xor/popcount in SQL — so a
-    hash match proves the posting-list plan finds exactly what the
-    O(n²) scan finds, the same guarantee pattern as
-    geo_radius_knn/dd_lsh_recall_audit. This is how image near-dup
-    survives 100 TB: candidates scale with band-bucket occupancy,
-    never with corpus²."""
+    identical hashes collapse to min-id representatives FIRST (the
+    sf1 probe proved why: exact-dup mega groups expanded O(group²)
+    pairs inside band buckets and OOMed — collapsing makes exact
+    mass a linear groupBy carried as n_docs_a x n_docs_b, the
+    dedup-then-near staging every production pipeline uses), and
+    representative pairs within Hamming distance 3 are recovered
+    through the 4x16-bit band join. The banding is LOSSLESS at this
+    threshold (pigeonhole: <= 3 flips cannot wound all four bands),
+    and the ORACLE IS THE BRUTE FORCE over the same representatives —
+    all-pairs xor/popcount in SQL — so a hash match proves the
+    posting-list plan finds exactly what the O(distinct²) scan
+    finds, the same guarantee pattern as
+    geo_radius_knn/dd_lsh_recall_audit."""
     d = load(spark, sf_dir, "documents")
     hashed = multimodal.image_ahash(
         multimodal.attach_near_media(d, "doc_id")

@@ -102,10 +102,12 @@ def test_undecodable_quarantines():
 
 def test_banded_near_pairs_lossless_and_deduped(spark):
     """Pigeonhole contract of ahash_near_pairs: <= 3 flips always
-    leave a whole 16-bit band intact, so every such pair MUST surface
-    (even with the flips spread across three different bands); a pair
-    matching in several bands surfaces ONCE; distance-4 pairs are
-    outside the threshold."""
+    leave a whole 16-bit band intact, so every such group pair MUST
+    surface (even with the flips spread across three different
+    bands); identical hashes collapse to ONE representative (exact
+    mass rides as n_docs, never pair-expanded); a pair matching in
+    several bands surfaces ONCE; distance-4 pairs are outside the
+    threshold."""
     import pandas as pd
 
     from avk_job_skill_analytics_spark.operators.multimodal import (
@@ -117,7 +119,7 @@ def test_banded_near_pairs_lossless_and_deduped(spark):
         (1, base_hi, base_lo),
         # 3 flips in 3 different bands (lo bit 0, lo bit 16, hi bit 0)
         (2, base_hi ^ 1, base_lo ^ 1 ^ (1 << 16)),
-        # identical twin: matches doc 1 in all 4 bands -> one row
+        # identical twin of doc 1: collapses into its group (n=2)
         (3, base_hi, base_lo),
         # 4 flips, one per band: correctly outside the threshold
         (4, base_hi ^ 1 ^ (1 << 16), base_lo ^ 1 ^ (1 << 16)),
@@ -127,12 +129,12 @@ def test_banded_near_pairs_lossless_and_deduped(spark):
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["doc_id", "ahash_hi", "ahash_lo"])
     )
-    got = {(r.doc_a, r.doc_b): r.hamming
+    got = {(r.doc_a, r.doc_b): (r.hamming, r.n_docs_a, r.n_docs_b)
            for r in ahash_near_pairs(df, max_hamming=3).collect()}
-    assert got[(1, 2)] == 3
-    assert got[(1, 3)] == 0
-    assert got[(2, 3)] == 3
+    # group {1,3} is represented by 1 with n_docs=2; no hamming-0 row
+    assert got[(1, 2)] == (3, 2, 1)
+    assert (1, 3) not in got and (2, 3) not in got
     assert (1, 4) not in got and (3, 4) not in got
     # doc 2 vs 4: differs only in hi bit 16 -> hamming 1, found
-    assert got[(2, 4)] == 1
-    assert len(got) == 4
+    assert got[(2, 4)] == (1, 1, 1)
+    assert len(got) == 2
