@@ -464,6 +464,99 @@ def attach_pcm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def pcm_window_signatures(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "payload",
+                          window: int = 16) -> DataFrame:
+    """Per-window exact signatures over REAL decoded PCM — the audio
+    twin of :func:`video_frame_signatures`, emitting the SAME ledger
+    shape so :func:`clip_matches` serves both media: each full
+    non-overlapping ``window``-sample span of the (mono) stream
+    reduces to the position-weighted integer sum
+    ``sig = Σ (j+1)·s[j]`` (exact int16 arithmetic — no floats), and
+    rows come out as (doc_id, frame_idx=window index, width=window,
+    height=channels, sig) so the alignment join's geometry guard
+    carries over unchanged. A copied audio CLIP that starts on a
+    window boundary shows up as a run of equal signatures on one
+    temporal offset — the same diagonal the video path recovers.
+    Undecodable or non-PCM16 payloads drop."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    cols = ("doc_id", "frame_idx", "width", "height", "sig")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        wts = np.arange(1, window + 1, dtype="int64")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                dec = decode_wav_pcm(bytes(payload))
+                if dec is None:
+                    continue
+                _rate, ch, samples = dec
+                a = np.array(samples, dtype="int64")
+                n_win = len(a) // (window * ch)
+                for w in range(n_win):
+                    span = a[w * window * ch:(w + 1) * window * ch]
+                    # interleaved frames: weight by frame position
+                    sig = int((span.reshape(window, ch).sum(axis=1)
+                               * wts).sum())
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(w)
+                    out["width"].append(window)
+                    out["height"].append(ch)
+                    out["sig"].append(sig)
+            yield pd.DataFrame({
+                k: pd.Series(out[k], dtype="int64") for k in cols
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, FRAME_SIG_SCHEMA
+    )
+
+
+def attach_audio_clip_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Testdata adapter for audio copy detection: per doc a mono
+    PCM16 WAV of n = id%40+64 samples with the quadratic sweep
+
+        s(i) = (((7 + id%13)·i² + (11 + id%17)·i + id) % 4001) - 2000
+
+    and for every 6th doc a CLIP COPY under id+300000 re-emitting the
+    original's samples [16, 64) as its own stream — three full
+    16-sample windows aligned one window later than the original's.
+    The oracle recomputes every window signature from the formula and
+    replays the same alignment join."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    def synth(cid: int, start: int, n: int) -> bytes:
+        def s(i):
+            return (((7 + cid % 13) * i * i + (11 + cid % 17) * i
+                     + cid) % 4001) - 2000
+
+        return build_wav_pcm(8000, 1, [s(start + i) for i in range(n)])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                ids.append(did)
+                payloads.append(synth(did, 0, did % 40 + 64))
+                if did % 6 == 0:
+                    ids.append(did + 300000)
+                    payloads.append(synth(did, 16, 48))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return _spread_ids(df, id_col).mapInPandas(
+        run, f"{id_col} long, payload binary"
+    )
+
+
 def attach_synthetic_media(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text",
                            out: str = "payload") -> DataFrame:

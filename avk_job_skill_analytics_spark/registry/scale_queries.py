@@ -1423,6 +1423,58 @@ def mm_pcm_stats(spark, sf_dir):
 
 
 @_q(
+    "mm_audio_matches",
+    """WITH docs AS (
+         SELECT doc_id, doc_id AS cid, 0 AS s0,
+                (doc_id % 40 + 64) // 16 AS nw
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 300000, doc_id, 16, 3
+         FROM documents WHERE doc_id % 6 = 0),
+       w AS (SELECT doc_id, cid, s0, sw.w AS w
+             FROM docs, LATERAL (SELECT unnest(generate_series(
+                 0, nw - 1)) AS w) sw),
+       sigs AS (SELECT doc_id, w,
+                  sum((sj.j + 1)
+                      * ((((7 + cid % 13) * (s0 + w*16 + sj.j)
+                               * (s0 + w*16 + sj.j)
+                           + (11 + cid % 17) * (s0 + w*16 + sj.j)
+                           + cid) % 4001) - 2000)) AS sig
+                FROM w, LATERAL (SELECT unnest(generate_series(0, 15))
+                                 AS j) sj
+                GROUP BY doc_id, w),
+       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.w AS t_a, b.w AS t_b
+             FROM sigs a JOIN sigs b
+               ON a.sig = b.sig AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST(t_b - t_a AS BIGINT) AS t_offset,
+              count(*) AS n_matched,
+              CAST(min(t_a) AS BIGINT) AS first_frame_a
+       FROM m GROUP BY doc_a, doc_b, t_b - t_a
+       HAVING count(*) >= 3""",
+)
+def mm_audio_matches(spark, sf_dir):
+    """Audio copy detection over REAL decoded PCM — the third medium
+    served by the SAME diagonal-alignment operator
+    (multimodal.clip_matches): every 6th document's audio gets a CLIP
+    COPY (its samples 16..63 re-emitted as a new stream, i.e. three
+    full 16-sample windows starting one window later), each stream is
+    decoded back through the real WAV walk
+    (multimodal.pcm_window_signatures → decode_wav_pcm), windows
+    reduce to exact position-weighted sums, and copied clips surface
+    as >= 3 equal signatures on one temporal offset. Images dedupe by
+    perceptual hash, video by frame signatures, audio by window
+    signatures — one blocking-join discipline across all three; this
+    is the row that proves the alignment core is media-agnostic. The
+    oracle recomputes every signature from the synthesis formula."""
+    d = load(spark, sf_dir, "documents")
+    sigs = multimodal.pcm_window_signatures(
+        multimodal.attach_audio_clip_media(d, "doc_id")
+    )
+    return multimodal.clip_matches(sigs, min_run=3)
+
+
+@_q(
     "mm_clip_matches",
     """WITH docs AS (
          SELECT doc_id, doc_id AS cid, 0 AS shift,

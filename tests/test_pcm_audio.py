@@ -93,3 +93,38 @@ def test_pcm_stats_zero_crossing_rule(spark):
     assert rows[1].sum_abs == 6 and rows[1].peak == 2
     assert rows[2].n_zero_cross == 0
     assert rows[2].n_samples == 6 and rows[2].channels == 2
+
+
+def test_audio_window_signatures_feed_clip_matches(spark):
+    """The audio window-signature ledger must drive the SAME
+    alignment operator as video: a stream re-emitting another's
+    samples from a window boundary surfaces as one diagonal run;
+    partial-window tails are dropped (full windows only)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        clip_matches,
+        pcm_window_signatures,
+    )
+
+    def s(i):
+        return ((37 * i * i + 11 * i) % 4001) - 2000
+
+    a = build_wav_pcm(8000, 1, [s(i) for i in range(70)])     # 4 windows
+    b = build_wav_pcm(8000, 1, [s(16 + i) for i in range(48)])  # 3
+    c = build_wav_pcm(8000, 1, [1000 - 13 * i for i in range(40)])
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, a), (2, b), (3, c), (4, b"junk")],
+        columns=["doc_id", "payload"],
+    ))
+    sigs = pcm_window_signatures(df, window=16)
+    per_doc = {r.doc_id: r.cnt for r in
+               sigs.groupBy("doc_id")
+               .agg(F.count("sig").alias("cnt")).collect()}
+    assert per_doc == {1: 4, 2: 3, 3: 2}  # 70//16=4, 48//16=3, junk gone
+    out = clip_matches(sigs, min_run=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b, r.t_offset, r.n_matched,
+            r.first_frame_a) == (1, 2, -1, 3, 1)
