@@ -1286,9 +1286,10 @@ def mm_ahash_dedup(spark, sf_dir):
     )
 
 
-@_q(
-    "mm_ahash_near",
-    """WITH docs AS (
+# shared by mm_ahash_near and mm_pixel_knn: per-doc 8x8 cell
+# intensity sums over attach_near_media's corpus (originals + every
+# 7th doc's edited twin), exactly the synthesis formulas
+NEAR_CELLS_CTE = """docs AS (
          SELECT doc_id, doc_id AS cid, 0 AS e FROM documents
          UNION ALL
          SELECT doc_id + 200000, doc_id, 1
@@ -1314,7 +1315,12 @@ def mm_ahash_dedup(spark, sf_dir):
               FROM px),
        cells AS (SELECT doc_id, cy * 8 + cx AS idx,
                         sum(inten) AS s, count(*) AS c
-                 FROM pv GROUP BY doc_id, cy * 8 + cx),
+                 FROM pv GROUP BY doc_id, cy * 8 + cx)"""
+
+
+@_q(
+    "mm_ahash_near",
+    f"""WITH {NEAR_CELLS_CTE},
        tot AS (SELECT doc_id, sum(s) AS total, sum(c) AS n
                FROM cells GROUP BY doc_id),
        bits AS (SELECT cells.doc_id, idx,
@@ -1362,6 +1368,52 @@ def mm_ahash_near(spark, sf_dir):
         multimodal.attach_near_media(d, "doc_id")
     )
     return multimodal.ahash_near_pairs(hashed, max_hamming=3)
+
+
+@_q(
+    "mm_pixel_knn",
+    f"""WITH {NEAR_CELLS_CTE},
+       mv AS (SELECT doc_id, idx, s // c AS m FROM cells),
+       q AS (SELECT doc_id AS query_id FROM docs
+             WHERE doc_id % 50 = 0 AND doc_id < 500),
+       d AS (SELECT q.query_id, b.doc_id AS neighbor_id,
+                    sum((a.m - b.m) * (a.m - b.m)) AS dist2
+             FROM q
+             JOIN mv a ON a.doc_id = q.query_id
+             JOIN mv b ON a.idx = b.idx AND b.doc_id != q.query_id
+             GROUP BY q.query_id, b.doc_id),
+       r AS (SELECT query_id, neighbor_id,
+                    CAST(dist2 AS BIGINT) AS dist2,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY dist2, neighbor_id) AS BIGINT) AS rk
+             FROM d)
+       SELECT * FROM r WHERE rk <= 5""",
+)
+def mm_pixel_knn(spark, sf_dir):
+    """Visual similarity search over REAL decoded pixels — the
+    multimodal -> embedding -> ANN composition with the stub REMOVED:
+    every raster decodes to a 64-dim exact-integer thumbnail vector
+    (multimodal.cell_mean_vectors: 8x8 cell intensity floor-means),
+    and a bounded query set (every 50th id) finds its 5 nearest
+    images by squared-L2 evaluated as one zip_with+aggregate fold in
+    whole-stage codegen — no UDF, no floats, total (dist2, id)
+    order, so the oracle replays every distance exactly. The corpus
+    includes the edited twins, whose nearest neighbor is their
+    original — a visible sanity signal in the result. Brute scoring
+    here is the ANN family's baseline contract (broadcast queries,
+    one corpus scan); the IVF/LSH index paths swap the candidate
+    set, not the scoring. The query set is id-BOUNDED (< 500), so
+    the workload grows linearly with the corpus at every SF — the
+    unbounded %50 predicate measured quadratic (queries x corpus)
+    growth at the sf1 probe."""
+    d = load(spark, sf_dir, "documents")
+    vecs = multimodal.cell_mean_vectors(
+        multimodal.attach_near_media(d, "doc_id")
+    )
+    return multimodal.pixel_knn(
+        vecs, (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 500),
+        k=5,
+    )
 
 
 @_q(

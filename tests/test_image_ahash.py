@@ -138,3 +138,50 @@ def test_banded_near_pairs_lossless_and_deduped(spark):
     # doc 2 vs 4: differs only in hi bit 16 -> hamming 1, found
     assert got[(2, 4)] == (1, 1, 1)
     assert len(got) == 2
+
+
+def test_pixel_knn_exact_l2_and_twin_nearest(spark):
+    """cell_mean_vectors must floor-quantize decoded cell means to
+    exact integers, and pixel_knn's zip_with fold must rank by exact
+    squared-L2 with the (dist2, id) total order: a lightly edited
+    twin outranks unrelated images, and an identical copy sits at
+    distance 0."""
+    import pandas as pd
+
+    from avk_job_skill_analytics_spark.operators.multimodal import (
+        cell_mean_vectors,
+        pixel_knn,
+    )
+    from pyspark.sql import functions as F
+
+    def base(x, y):
+        v = (11 * (x // 8) + 29 * (y // 8)) % 256
+        return (v, v, v)
+
+    def edited(x, y):
+        # shift exactly hash cell (0, 0): at 32x24 a cell is 4x3 px
+        v, _, _ = base(x, y)
+        if x < 4 and y < 3:
+            v = (v + 40) % 256
+        return (v, v, v)
+
+    def far(x, y):
+        v = (200 - 3 * (x // 8) * (y // 8)) % 256
+        return (v, v, v)
+
+    rows = [
+        (1, build_png_pixels(32, 24, base)),
+        (2, build_bmp_pixels(32, 24, base)),      # identical content
+        (3, build_png_pixels(32, 24, edited)),    # one cell shifted
+        (4, build_png_pixels(32, 24, far)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload"])
+    )
+    vecs = cell_mean_vectors(df)
+    out = pixel_knn(vecs, F.col("doc_id") == 1, k=3).collect()
+    ranked = sorted(out, key=lambda r: r.rk)
+    assert [r.neighbor_id for r in ranked] == [2, 3, 4]
+    assert ranked[0].dist2 == 0       # cross-codec identical copy
+    # one whole cell's mean shifted by +40 luma = +120 intensity
+    assert ranked[1].dist2 == 120 * 120
