@@ -30,6 +30,16 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Synthetic clone/twin/copy ids live in a HIGH-BIT id space disjoint
+# from every genuine doc id: real ids (including tools/make_sf1's
+# 2^33-shifted replicas, < 2^40 while the replica count stays < 128)
+# can never reach a clone id, so the shared oracle CTEs' GROUP BY
+# doc_id can never silently merge a genuine document with a
+# synthesized clone — the failure mode a low offset like +100000
+# invites the moment a corpus carries ids above it. Each adapter uses
+# its own multiple so the spaces stay distinct in mixed fixtures.
+CLONE_ID_BASE = 1 << 40
+
 DECODED_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, format string"
 )
@@ -524,7 +534,7 @@ def attach_audio_clip_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         s(i) = (((7 + id%13)·i² + (11 + id%17)·i + id) % 4001) - 2000
 
-    and for every 6th doc a CLIP COPY under id+300000 re-emitting the
+    and for every 6th doc a CLIP COPY under id + 3*2^40 re-emitting the
     original's samples [16, 64) as its own stream — three full
     16-sample windows aligned one window later than the original's.
     The oracle recomputes every window signature from the formula and
@@ -548,7 +558,7 @@ def attach_audio_clip_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(did)
                 payloads.append(synth(did, 0, did % 40 + 64))
                 if did % 6 == 0:
-                    ids.append(did + 300000)
+                    ids.append(did + 3 * CLONE_ID_BASE)
                     payloads.append(synth(did, 16, 48))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
@@ -1311,7 +1321,7 @@ def attach_ahash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Testdata adapter for codec-invariant perceptual dedup: per doc
     one raster whose codec rotates over all FOUR real decoders —
     id%4 = 0 PNG, 1 BMP, 2 greyscale baseline JPEG, 3 lossless WebP —
-    and for every 5th doc a CLONE row under id+100000 carrying the
+    and for every 5th doc a CLONE row under id + 2^40 carrying the
     SAME pixel content re-encoded with the NEXT codec. Content is
     block-constant on the 8x8 grid (dims are multiples of 8, so the
     JPEG decode is bit-exact — see operators/jpegcodec) with an
@@ -1367,7 +1377,7 @@ def attach_ahash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(did)
                 payloads.append(synth(did, did))
                 if did % 5 == 0:  # clone: same content, next codec
-                    ids.append(did + 100000)
+                    ids.append(did + CLONE_ID_BASE)
                     payloads.append(synth(did + 1, did))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
@@ -1544,7 +1554,7 @@ def pixel_knn(vectors: DataFrame, query_pred, k: int = 5) -> DataFrame:
 def attach_near_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Testdata adapter for perceptual NEAR-dup: per doc a BMP raster
     with the attach_ahash_media content surface, and for every 7th
-    doc an EDITED TWIN under id+200000 — the same image with the
+    doc an EDITED TWIN under id + 2*2^40 — the same image with the
     pixels of hash cell (7, 7) brightened by +96 (mod 256). Measured
     on this corpus: ~63% of edits flip EXACTLY one hash bit, ~20%
     zero (edit invisible to aHash), ~10% two-three, ~7% land beyond
@@ -1577,7 +1587,7 @@ def attach_near_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(did)
                 payloads.append(synth(did, False))
                 if did % 7 == 0:
-                    ids.append(did + 200000)
+                    ids.append(did + 2 * CLONE_ID_BASE)
                     payloads.append(synth(did, True))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
@@ -1920,7 +1930,7 @@ def attach_clip_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     — the per-id gradient coefficients make whole-plane collisions
     across unrelated docs require id ≡ id' (mod 7 AND 11 AND the dim
     moduli), pushing accidental diagonals out of the sf0.01 id range —
-    and for every 4th doc a CLIP COPY under id+100000 re-emitting the
+    and for every 4th doc a CLIP COPY under id + 2^40 re-emitting the
     original's frames 1..4 as its own frames 0..3 (same formula, t
     shifted by 1). The oracle recomputes every frame signature from
     the formula and replays the same alignment join."""
@@ -1946,7 +1956,7 @@ def attach_clip_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(did)
                 payloads.append(synth(did, 0, did % 5 + 5))
                 if did % 4 == 0:  # clip copy: orig frames 1..4
-                    ids.append(did + 100000)
+                    ids.append(did + CLONE_ID_BASE)
                     payloads.append(synth(did, 1, 4))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 

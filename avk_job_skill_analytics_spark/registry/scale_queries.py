@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.multimodal import CLONE_ID_BASE
 from ..operators import (
     dedup,
     graph,
@@ -1206,10 +1207,10 @@ def mm_webp_pixel_stats(spark, sf_dir):
 # payload's 64-bit average hash from attach_ahash_media's synthesis
 # formulas (doc list incl. the re-encoded clones, pixel expansion,
 # 8x8 cell sums, cross-multiplied mean threshold, u32-half packing)
-AHASH_HASHES_CTE = """docs AS (
+AHASH_HASHES_CTE = f"""docs AS (
          SELECT doc_id, doc_id AS cid, doc_id % 4 AS m FROM documents
          UNION ALL
-         SELECT doc_id + 100000, doc_id, (doc_id + 1) % 4
+         SELECT doc_id + {CLONE_ID_BASE}, doc_id, (doc_id + 1) % 4
          FROM documents WHERE doc_id % 5 = 0),
        g AS (SELECT doc_id, cid, m, 8 * (cid % 6 + 1) AS w,
                     8 * (cid % 5 + 1) AS h
@@ -1289,10 +1290,10 @@ def mm_ahash_dedup(spark, sf_dir):
 # shared by mm_ahash_near and mm_pixel_knn: per-doc 8x8 cell
 # intensity sums over attach_near_media's corpus (originals + every
 # 7th doc's edited twin), exactly the synthesis formulas
-NEAR_CELLS_CTE = """docs AS (
+NEAR_CELLS_CTE = f"""docs AS (
          SELECT doc_id, doc_id AS cid, 0 AS e FROM documents
          UNION ALL
-         SELECT doc_id + 200000, doc_id, 1
+         SELECT doc_id + {2 * CLONE_ID_BASE}, doc_id, 1
          FROM documents WHERE doc_id % 7 = 0),
        g AS (SELECT doc_id, cid, e, 8 * (cid % 6 + 1) AS w,
                     8 * (cid % 5 + 1) AS h
@@ -1481,7 +1482,7 @@ def mm_pcm_stats(spark, sf_dir):
                 (doc_id % 40 + 64) // 16 AS nw
          FROM documents
          UNION ALL
-         SELECT doc_id + 300000, doc_id, 16, 3
+         SELECT doc_id + 3298534883328, doc_id, 16, 3
          FROM documents WHERE doc_id % 6 = 0),
        w AS (SELECT doc_id, cid, s0, sw.w AS w
              FROM docs, LATERAL (SELECT unnest(generate_series(
@@ -1533,7 +1534,7 @@ def mm_audio_matches(spark, sf_dir):
                 doc_id % 5 + 5 AS nf
          FROM documents
          UNION ALL
-         SELECT doc_id + 100000, doc_id, 1, 4
+         SELECT doc_id + 1099511627776, doc_id, 1, 4
          FROM documents WHERE doc_id % 4 = 0),
        g AS (SELECT doc_id, cid, shift, nf, cid % 6 + 3 AS w,
                     cid % 5 + 3 AS h

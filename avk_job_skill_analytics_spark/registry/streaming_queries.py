@@ -2323,11 +2323,26 @@ def stream_media_dedup(spark, sf_dir):
     clones). The complete-mode aggregate carries (n_copies, keep_id,
     first_format) per content hash; re-deliveries and cross-codec
     clones both land on their existing key instead of growing state.
-    Deterministic reductions only (count/min — no first-arrival
-    races), so the batch oracle replays the exact table halved:
-    the doubled delivery doubles n_copies, which the final projection
-    divides back out to prove exactly-two-deliveries accounting."""
+    The ledger is PRODUCTION-SHAPED state, not a complete-mode memory
+    drain: per trigger the batch collapses to one row per content
+    hash and folds into a hash-bucketed on-disk ledger via the
+    journaled per-bucket create-only upsert
+    (incremental.foreach_batch_dedup_ledger_partitioned on the
+    stream_upsert_partitioned commit machinery) — per-trigger cost
+    O(batch + touched buckets) and bounded per-trigger output, where
+    complete mode re-emits the entire distinct-asset ledger every
+    trigger. Deterministic reductions only (count folds additively,
+    keep_id/first_format fold by min — no first-arrival races), so
+    the batch oracle replays the exact table halved: the doubled
+    delivery doubles n_copies, which the final projection divides
+    back out to prove exactly-two-deliveries accounting."""
+    import tempfile as _tf
+
     from ..operators import multimodal
+    from ..streaming.incremental import (
+        foreach_batch_dedup_ledger_partitioned,
+        upsert_state_partitioned,
+    )
 
     src_dir = _source_dir(
         sf_dir,
@@ -2347,15 +2362,26 @@ def stream_media_dedup(spark, sf_dir):
     )
     hashed = multimodal.image_ahash(
         multimodal.attach_ahash_media(stream, "doc_id")
-    )
-    agg = hashed.groupBy("ahash_hi", "ahash_lo").agg(
-        F.count(F.lit(1)).alias("n_copies_2x"),
-        F.min("doc_id").alias("keep_id"),
-        F.min("format").alias("first_format"),
-    )
-    drained = _drain(spark, agg, "complete", "st_media_dedup")
-    return drained.select(
+    ).select("ahash_hi", "ahash_lo", "doc_id", "format")
+    state_dir = _tf.mkdtemp(prefix="media_ledger_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_media_dedup_")
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_dedup_ledger_partitioned(
+                    hashed, state_dir, buckets=8
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    ledger = upsert_state_partitioned(spark, state_dir)
+    return ledger.select(
         "ahash_hi", "ahash_lo",
-        (F.col("n_copies_2x") / 2).cast("long").alias("n_copies"),
+        (F.col("n_copies") / 2).cast("long").alias("n_copies"),
         "keep_id", "first_format",
     )

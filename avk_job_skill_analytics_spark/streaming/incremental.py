@@ -789,6 +789,85 @@ def foreach_batch_agg_mv_partitioned(
     return stream.writeStream.foreachBatch(sink)
 
 
+def _composite_bucket_col(key_cols: tuple, buckets: int):
+    """Bucket id for a COMPOSITE key: xxhash64 over all key columns,
+    folded non-negative. Only Spark ever computes this (state-internal
+    layout, never compared against another engine), so xxhash64's
+    engine-specificity is fine where :func:`_bucket_col`'s pmod had to
+    stay portable."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]),
+                  F.lit(int(buckets)))
+
+
+def _dedup_ledger_reduce(key_cols: tuple, count_col: str,
+                         min_cols: dict, buckets: int):
+    def reduce_batch(bdf: DataFrame) -> DataFrame:
+        return (
+            bdf.groupBy(*key_cols)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(count_col),
+                *[
+                    F.min(F.col(src)).alias(dst)
+                    for dst, src in min_cols.items()
+                ],
+            )
+            .withColumn("_b", _composite_bucket_col(key_cols, buckets))
+        )
+
+    return reduce_batch
+
+
+def _dedup_ledger_merge(key_cols: tuple, count_col: str,
+                        min_cols: dict):
+    def merge(old: DataFrame | None, new: DataFrame) -> DataFrame:
+        if old is None:
+            return new
+        return (
+            old.unionByName(new)
+            .groupBy(*key_cols, "_b")
+            .agg(
+                F.sum(count_col).cast("long").alias(count_col),
+                *[F.min(F.col(dst)).alias(dst) for dst in min_cols],
+            )
+        )
+
+    return merge
+
+
+def foreach_batch_dedup_ledger_partitioned(
+    stream: DataFrame,
+    state_dir: str,
+    key_cols: tuple = ("ahash_hi", "ahash_lo"),
+    count_col: str = "n_copies",
+    min_cols: dict | None = None,
+    buckets: int = 16,
+) -> "object":
+    """Content-hash dedup ledger with per-bucket rewrites — the
+    ingest-gate state shape for perceptual/exact media dedup at fact
+    scale: per trigger the micro-batch collapses to one row per
+    content hash (count + deterministic min-folds such as keep_id and
+    first_format), and ONLY the hash buckets the batch touches
+    rewrite, each committing its own create-only version
+    (O(touched buckets) per trigger where a complete-mode aggregate
+    re-emits — and a memory sink re-materializes — the ENTIRE ledger
+    every trigger). Counts fold additively and mins associatively, so
+    the drained ledger equals the one-shot batch groupBy; the
+    create-only commit protocol of :func:`_partitioned_state_batch_fn`
+    makes crash redeliveries converge without double-counting. Read
+    the ledger back with :func:`upsert_state_partitioned`."""
+    if min_cols is None:
+        min_cols = {"keep_id": "doc_id", "first_format": "format"}
+    sink = _partitioned_state_batch_fn(
+        state_dir,
+        _dedup_ledger_reduce(key_cols, count_col, min_cols, buckets),
+        _dedup_ledger_merge(key_cols, count_col, min_cols),
+        lambda df: df.withColumn(
+            "_b", _composite_bucket_col(key_cols, buckets)
+        ),
+    )
+    return stream.writeStream.foreachBatch(sink)
+
+
 def upsert_state_partitioned(spark, state_dir: str) -> DataFrame:
     """The partitioned state table: per bucket, resolve the highest
     committed version and union the leaves (an untouched bucket's

@@ -490,6 +490,77 @@ def test_partitioned_upsert_retire_grace(spark, tmp_path):
     assert leaves == ["_v=1", "_v=2"]
 
 
+def test_dedup_ledger_partial_commit_redelivery(spark, tmp_path):
+    """The media-dedup ledger's additive count fold must survive the
+    worst crash window WITHOUT double-counting: after a crash where
+    SOME bucket committed but the root marker (and one bucket commit)
+    was lost, the redelivered batch skips already-committed buckets
+    and recomputes the rest from their previous versions — final
+    (hash -> n_copies, keep_id, first_format) equals a crash-free
+    run's. This is the property that makes the production sink shape
+    safe: a complete-mode drain is trivially idempotent, a
+    sum-folding ledger is only exactly-once because of the per-bucket
+    create-only commit protocol."""
+    import os
+
+    from avk_job_skill_analytics_spark.streaming.fsio import IndexFS
+    from avk_job_skill_analytics_spark.streaming.incremental import (
+        _composite_bucket_col,
+        _dedup_ledger_merge,
+        _dedup_ledger_reduce,
+        _partitioned_state_batch_fn,
+        upsert_state_partitioned,
+    )
+
+    B = 4
+    keys = ("ahash_hi", "ahash_lo")
+    mins = {"keep_id": "doc_id", "first_format": "format"}
+    schema = ("ahash_hi long, ahash_lo long, doc_id long, "
+              "format string")
+    # two hashes; batch 1 re-delivers hash (1,1) and adds (2,2)
+    b0 = spark.createDataFrame(
+        [(1, 1, 10, "png"), (1, 1, 11, "bmp"), (7, 7, 12, "jpeg")],
+        schema)
+    b1 = spark.createDataFrame(
+        [(1, 1, 13, "webp"), (2, 2, 14, "png")], schema)
+
+    def mk(d):
+        os.makedirs(d)
+        return _partitioned_state_batch_fn(
+            d, _dedup_ledger_reduce(keys, "n_copies", mins, B),
+            _dedup_ledger_merge(keys, "n_copies", mins),
+            lambda df: df.withColumn(
+                "_b", _composite_bucket_col(keys, B)),
+        )
+
+    def ledger(d):
+        return sorted(map(tuple, upsert_state_partitioned(spark, d)
+                          .select("ahash_hi", "ahash_lo", "n_copies",
+                                  "keep_id", "first_format")
+                          .collect()))
+
+    clean_d = str(tmp_path / "clean")
+    sink = mk(clean_d)
+    sink(b0, 0)
+    sink(b1, 1)
+    expected = ledger(clean_d)
+    assert (1, 1, 3, 10, "bmp") in expected  # counts fold across batches
+    crash_d = str(tmp_path / "crash")
+    sink = mk(crash_d)
+    sink(b0, 0)
+    sink(b1, 1)
+    fs = IndexFS(spark, crash_d)
+    # worst window: root marker lost AND one touched bucket's commit
+    # lost while its data leaf survives
+    fs.delete("_batch_1")
+    lost = next(n for n in fs.listdir() if n.endswith("_1")
+                and n.startswith("_commit_b"))
+    fs.delete(lost)
+    sink(b1, 1)  # redelivery — must NOT double n_copies anywhere
+    assert fs.exists("_batch_1")
+    assert ledger(crash_d) == expected
+
+
 def test_cdc_tombstone_blocks_late_update(spark, tmp_path):
     """A delete must not be resurrected by a LOWER-seq update arriving
     in a LATER micro-batch — the tombstone-retention contract of
