@@ -45,15 +45,16 @@ _MODULES = (
 # The driver's correctness gate samples the FIRST ~50 registered
 # queries (verified: CORRECTNESS_r09/r10 are exactly registration
 # order positions 0-49). This window is therefore curated, not
-# accidental: the reference-parity core, the dq family with its
-# driver-environment probes (see dq_queries "driver-env probes"), the
-# round-11 type-fixed queries, and the LLM-pipeline flagships that
-# had never received a driver row through round 10. Everything else
-# keeps registration order behind it. Array-valued outputs stay OUT
-# of this window (their fetch rendering across duckdb builds is
+# accidental. Round-12 policy (VERDICT r11 #3): the reference-parity
+# core and the five type-fixed sentinels hold their slots every
+# round; the remaining ~21 slots ROTATE each round onto queries that
+# have never had a driver row (261 of 343 as of r12), plus any query
+# whose machinery changed this round. Everything else keeps
+# registration order behind the window. Array-valued outputs stay
+# OUT of this window (their fetch rendering across duckdb builds is
 # unproven — tests/test_oracle_types.py).
 PRIORITY = (
-    # reference-parity core (SURVEY.md §2)
+    # reference-parity core (SURVEY.md §2) — permanent
     "a1_total_count", "a2_distinct_counts", "a3_a5_kpi_cards",
     "a6_count_by_dim", "a7_pricing_summary", "a8_argmax_top_type",
     "a9_events_latest_month", "a10_events_per_day",
@@ -63,26 +64,27 @@ PRIORITY = (
     "u1_union_by_name", "u2_dedup_keep_first",
     "p3_isin_filter", "p4_regex_filter", "p5_range_filter",
     "p7_filtered_agg", "f3_infer_multilabel", "f4_normalize_salary",
-    # dq family: the 3-round-contested pair, its layer probes, and
-    # the rest of the suite
-    "dq_expectations", "dq_psi_drift", "ml_information_value",
-    "dq_psi_buckets", "dq_intlog_probe", "dq_fp6_probe",
-    "dq_skew_report", "dq_join_estimate",
-    # round-11 type-fixed (driver evidence wanted on every fix)
-    "io_table_checksum", "tpch_q12_late_shipments",
-    "stream_psi_drift",
-    # LLM-pipeline flagships: dedup / ANN / text / streaming
-    "stream_tumbling_counts",
-    "dd_exact_groups", "dd_minhash_lsh", "dd_ngram_jaccard",
-    "dd_simhash", "dd_prefix_filter_join", "dd_dup_clusters",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-    "txt_lang_id", "txt_gopher_rules", "txt_bm25_topk",
-    # round-11 continuation: the new codec surface (VP8L decode,
-    # four-codec perceptual dedup) is the riskiest never-driver-
-    # validated code — swapped in for txt_quality/txt_token_counts,
-    # which carry 10 rounds of local hash evidence and exercise no
-    # novel machinery
-    "mm_webp_pixel_stats", "mm_ahash_dedup",
+    # type-fixed sentinels (r11 HUGEINT-fetch fix) — permanent
+    "dq_psi_drift", "ml_information_value", "io_table_checksum",
+    "tpch_q12_late_shipments", "stream_psi_drift",
+    # --- r12 rotation: 21 first-time driver rows ---
+    # this round's reworked machinery: the media-dedup ledger now
+    # drains through the journaled per-bucket upsert, and the two
+    # r11-continuation queries were verified individually after the
+    # sf0.1 sweep but never by the driver
+    "stream_media_dedup", "mm_pixel_knn", "mm_audio_matches",
+    # window family (26 queries, zero driver rows before r12)
+    "win_sessionize", "win_rolling_7d", "win_retention_cohorts",
+    "win_scd2_merge", "win_anomaly_zscore",
+    # ml metrics/selection family
+    "ml_auc_gate", "ml_ab_test", "ml_retrieval_metrics",
+    # pii/privacy family
+    "pii_erasure_audit", "pii_k_anonymity", "pii_cc_luhn",
+    # agg family
+    "agg_weighted_median", "agg_grouping_sets", "agg_heavy_hitters",
+    # io/layout family + the iterative-graph family
+    "io_zorder_skip", "io_bucketed_join", "io_schema_evolution",
+    "graph_pagerank_suppliers",
 )
 
 
