@@ -33,6 +33,7 @@ from ..operators.skills import (
 )
 from ..plans.bucketing import time_clustered
 from ..plans.schemas import load
+from ._fixtures import FixtureMemo
 from ..sources import readers, sinks
 from ..sources.manifest import Manifest
 
@@ -154,7 +155,7 @@ def ud1_skill_extract(spark, sf_dir):
 # ------------------------------------------- S1/S5 partitioned layout
 # One partitioned copy per (process, sf_dir), removed at exit — the
 # write is the setup, the PRUNED READ is the operator under test.
-_PART_DIRS: dict = {}
+_PART_DIRS: dict = FixtureMemo()
 
 
 def _partitioned_events(spark, sf_dir: str) -> str:
@@ -209,7 +210,7 @@ def io_partitioned_prune(spark, sf_dir):
 # ------------------------------------------- ANN index physical layout
 # One cell-partitioned inventory per (process, sf_dir): the write is
 # the setup; the CELL-PRUNED read is the operator under test.
-_ANN_DIRS: dict = {}
+_ANN_DIRS: dict = FixtureMemo()
 
 
 def _ann_index_dir(spark, sf_dir: str) -> str:
@@ -446,7 +447,7 @@ def ann_int8_served(spark, sf_dir):
 # per-subspace PQ codebooks, and the cell-partitioned code inventory
 # are all PERSISTED — the serving query below reads stored artifacts
 # only, never recomputing codes from raw corpus embeddings.
-_IVFPQ_DIRS: dict = {}
+_IVFPQ_DIRS: dict = FixtureMemo()
 
 
 def _ann_ivfpq_index_dir(spark, sf_dir: str) -> str:
@@ -497,7 +498,7 @@ def ann_ivfpq_served(spark, sf_dir):
     )
 
 
-_REBUILD_ROOTS: dict = {}
+_REBUILD_ROOTS: dict = FixtureMemo()
 
 
 @_q("ann_index_rebuild_swap", _ivfpq_served_sql())
@@ -541,7 +542,7 @@ def ann_index_rebuild_swap(spark, sf_dir):
 # One bucketed copy per (process, sf_dir): the CTAS pays the shuffle
 # at write time; the QUERY below joins with zero Exchange before the
 # final rollup (plan asserted in tests/test_plan_quality.py).
-_BUCKETED: dict = {}
+_BUCKETED: dict = FixtureMemo()
 
 
 def _bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
@@ -616,7 +617,7 @@ def io_bucketed_join(spark, sf_dir):
 # data-skipping companion to io_partitioned_prune's directory pruning
 # (clustering keeps file counts flat where per-key directories would
 # explode: at 100 TB you partition by day AND range-sort within it).
-_SORTED_DIRS: dict = {}
+_SORTED_DIRS: dict = FixtureMemo()
 
 
 def sorted_events_layout(spark, sf_dir: str) -> str:
@@ -663,7 +664,7 @@ def io_sorted_skip(spark, sf_dir):
 
 
 # --------------------------------------------- bloom-filtered layout
-_BLOOM_DIRS: dict = {}
+_BLOOM_DIRS: dict = FixtureMemo()
 
 
 def bloom_events_layout(spark, sf_dir: str) -> str:
@@ -758,7 +759,7 @@ def io_dict_skip(spark, sf_dir):
 
 
 # --------------------------------------------- z-order clustered layout
-_ZORDER_DIRS: dict = {}
+_ZORDER_DIRS: dict = FixtureMemo()
 
 
 def zorder_events_layout(spark, sf_dir: str) -> str:
@@ -812,7 +813,7 @@ def io_zorder_skip(spark, sf_dir):
 
 
 # ------------------------------------------------ small-files compaction
-_COMPACT_DIRS: dict = {}
+_COMPACT_DIRS: dict = FixtureMemo()
 
 
 def _compacted_events(spark, sf_dir: str) -> str:

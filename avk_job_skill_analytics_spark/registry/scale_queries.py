@@ -38,6 +38,7 @@ from ..operators.hashing import (
     minhash_coeffs,
 )
 from ..plans.schemas import load
+from ._fixtures import FixtureMemo
 
 QUERIES = {}
 ORACLES = {}
@@ -4180,7 +4181,7 @@ def ann_pq_trained(spark, sf_dir):
 # downstream decision consumes it — mirroring that here also keeps
 # the bench honest about marginal cost. Keyed by (Spark app id,
 # sf_dir); frames are localCheckpoint-ed so the lineage is cut.
-_CLUSTER_CACHE: dict = {}
+_CLUSTER_CACHE: dict = FixtureMemo()
 
 
 def _cluster_map(spark, sf_dir):

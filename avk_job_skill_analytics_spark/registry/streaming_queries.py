@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.schemas import load
+from ._fixtures import FixtureMemo
 from ..streaming.incremental import (
     session_window_counts,
     sliding_window_counts,
@@ -679,7 +680,7 @@ def stream_lsh_index_maintain(spark, sf_dir):
 
 
 # --------------------------------------- incremental IVF-PQ index append
-_IVFPQ_INC_DIRS: dict = {}
+_IVFPQ_INC_DIRS: dict = FixtureMemo()
 
 
 def _ivfpq_base_index_dir(spark, sf_dir: str) -> str:
@@ -782,7 +783,7 @@ def _absorb_stream(spark, sf_dir: str, index_dir: str,
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-_IVFPQ_ABSORBED: dict = {}
+_IVFPQ_ABSORBED: dict = FixtureMemo()
 
 
 def _ivfpq_absorbed_dir(spark, sf_dir: str) -> str:
@@ -824,7 +825,7 @@ def stream_ivfpq_index_append(spark, sf_dir):
     )
 
 
-_IVFPQ_AC_DIRS: dict = {}
+_IVFPQ_AC_DIRS: dict = FixtureMemo()
 
 
 @_q("stream_ivfpq_autocompact", _ivfpq_append_sql())
@@ -956,7 +957,7 @@ def _auto_retrain_sql() -> str:
     )
 
 
-_AUTO_RETRAIN_ROOTS: dict = {}
+_AUTO_RETRAIN_ROOTS: dict = FixtureMemo()
 
 
 def _shifted_embeddings(df):

@@ -60,6 +60,7 @@ sys.path.insert(0, ROOT)
 
 from avk_job_skill_analytics_spark.plans.session import get_spark  # noqa: E402
 from avk_job_skill_analytics_spark.registry import all_queries  # noqa: E402
+from avk_job_skill_analytics_spark.registry import _fixtures  # noqa: E402
 
 # Headline queries for the compact stdout line: the most expensive /
 # most representative member of each family (full dict lands in
@@ -282,6 +283,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     sample_failures: dict[str, int] = {}
+    # fixture accounting (VERDICT r11 #2): a query whose FIRST timing
+    # builds an expensive memoized fixture records fixture_cold: true
+    # (the number includes one-off build cost); a query that resolved
+    # through an already-built fixture records false (steady-state
+    # replay). Queries touching no registered memo get no tag, so
+    # round-over-round deltas need no prose footnote to interpret.
+    fixture_cold: dict[str, bool] = {}
     order = sorted(queries.items(), key=lambda kv: (group(kv[0]), kv[0]))
     prev_group = None
     for name, fn in order:
@@ -293,6 +301,7 @@ def main() -> None:
             _jvm_gc(spark)
         prev_group = g
         obs: list[float] = []
+        builds0, hits0 = _fixtures.counters()
         for _ in range(n_reruns):
             try:
                 obs.append(_one_timing(fn))
@@ -300,6 +309,11 @@ def main() -> None:
                 print(f"# FAIL {name}: {exc}", file=sys.stderr)
                 break
             _cleanup()
+        builds1, hits1 = _fixtures.counters()
+        if builds1 > builds0:
+            fixture_cold[name] = True
+        elif hits1 > hits0:
+            fixture_cold[name] = False
         if len(obs) < n_reruns:
             # a later-rerun failure must be VISIBLE in the artifact —
             # a flaky query in isolation mode would otherwise record a
@@ -378,10 +392,28 @@ def main() -> None:
         "sample_failures": sample_failures,
         "n_reruns_per_query": n_reruns,
         "resettle": resettle,
+        "fixture_cold": fixture_cold,
         "sf": sf_from_dir(sf_dir),
     }
     with open(os.path.join(ROOT, "BENCH_DETAIL.json"), "w") as f:
         f.write(json.dumps(full, separators=(",", ":")) + "\n")
+    if not only:
+        # archive FULL sweeps per round (VERDICT r11 #2): the round
+        # number is inferred from the driver's BENCH_r<N>.json ledger
+        # (this run feeds round max+1). Partial runs never archive —
+        # they'd overwrite a full sweep with a fragment.
+        import glob as _glob
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for f in _glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+        ]
+        n = max(rounds, default=0) + 1
+        with open(os.path.join(ROOT, f"BENCH_DETAIL_r{n:02d}.json"),
+                  "w") as f:
+            f.write(json.dumps(full, separators=(",", ":")) + "\n")
 
     compact = dict(full)
     compact["queries"] = {
@@ -389,6 +421,8 @@ def main() -> None:
     }
     compact.pop("samples", None)
     compact.pop("sample_failures", None)
+    compact.pop("fixture_cold", None)
+    compact["n_fixture_cold"] = sum(fixture_cold.values())
     compact["n_reruns"] = len(samples)
     compact["n_flaky"] = len(sample_failures)
     compact["detail"] = "BENCH_DETAIL.json"
