@@ -295,3 +295,59 @@ def test_simple_encoder_rejects_rich_channels():
         build_webp_pixels(4, 4, lambda x, y: (x * 16, 0, 0), simple=True)
     with pytest.raises(ValueError):
         build_webp_pixels(0x4001, 1, lambda x, y: (0, 0, 0))
+
+
+# Golden VP8L stream assembled BY HAND from RFC 9649 (bit-by-bit,
+# sharing no code with operators/webpcodec — see derivation below),
+# so the decoder is validated against an independently produced
+# bitstream even where Pillow/libwebp is unavailable and the
+# roundtrip tests would otherwise only ever exercise encoder and
+# decoder together (a symmetric misinterpretation would pass both).
+#
+# Layout (all multi-bit fields LSB-first; prefix codes MSB-first):
+#   RIFF/WEBP container, one VP8L chunk, signature 0x2F
+#   width-1=3 (14b), height-1=1 (14b), alpha_used=0, version=0
+#   transform list: SUBTRACT_GREEN only
+#   color cache: cache_bits=2
+#   GREEN: normal prefix code — 6-entry code-length code
+#     (lengths: sym0=3, sym2=2, sym3=2, sym17=3, sym18=2), max_symbol
+#     early stop, zero runs via codes 17 (3+3b) and 18 (11+7b), one
+#     literal zero; green alphabet {0,10,20, 257 (LZ77 len-2),
+#     281/283 (cache refs)} with lengths {2,3,3,3,3,3}
+#   RED simple 2-symbol {30,100}; BLUE simple 2-symbol {40,200};
+#   ALPHA simple 1-symbol {255}; DIST simple 1-symbol {13}
+#   pixels: 2 literals, LZ77 copy (len 2, dist code 122 -> d=2 via
+#     5 extra bits), 2 color-cache hits, 1 literal, 1 cache hit
+# Every feature here (SUBTRACT_GREEN, color cache, LZ77 backrefs,
+# repeat/zero codes, max_symbol) is OUTSIDE what build_webp_pixels
+# emits, so this cannot be satisfied by encoder symmetry.
+_GOLDEN_VP8L = bytes.fromhex(
+    "524946462a000000574542505650384c1d0000002f034000005590699052"
+    "236e6efb773586f31e644741ee7f1b3c34ef3c00"
+)
+# stored (a,r,g,b) pixels: px0=(255,100,10,200), px1=(255,30,20,40),
+# px6=(255,100,0,200); sequence px0,px1,[LZ77: px0,px1],[cache: px0,
+# px1],px6,[cache: px6]; output applies inverse SUBTRACT_GREEN
+# (r+=g, b+=g mod 256) -> rows of RGB triples below, computed by hand
+_GOLDEN_RGB = bytes.fromhex(
+    "6e0ad232143c6e0ad232143c6e0ad232143c6400c86400c8"
+)
+
+
+def test_golden_spec_assembled_stream_decodes_exactly():
+    """decode_webp_pixels must reproduce the hand-computed pixels of
+    a spec-assembled stream it did not help create — the
+    encoder-independent gate ADVICE r11 #2 asked for."""
+    assert decode_pixels(_GOLDEN_VP8L) == (4, 2, 3, _GOLDEN_RGB)
+
+
+def test_golden_stream_survives_container_padding():
+    """The RIFF walk must reach VP8L behind a preceding chunk (the
+    spec allows e.g. VP8X ahead of the bitstream chunk)."""
+    import struct as _struct
+
+    vp8l_off = _GOLDEN_VP8L.index(b"VP8L")
+    extra = b"XTRA" + _struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = b"WEBP" + extra + _GOLDEN_VP8L[vp8l_off:]
+    payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+    assert decode_pixels(payload) == (4, 2, 3, _GOLDEN_RGB)
