@@ -1,0 +1,568 @@
+"""ANN / embedding similarity family: brute cosine, IVF, LSH, PQ / IVF-PQ, recall audits, gram matrices, random projection.
+
+Split out of scale_queries.py in round 12 (VERDICT r11 #6); query
+bodies and oracles preserved verbatim in their original registration
+order. ``scale_queries`` merges the family registries back into the
+original global order, so the driver surface is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators import (
+    dedup,
+    graph,
+    multimodal,
+    privacy,
+    sampling,
+    similarity,
+    ssjoin,
+    textstats,
+)
+from ..operators.hashing import (
+    MERSENNE_P,
+    affine_hash_sql,
+    md5_long,
+    md5_long_sql,
+    minhash_coeffs,
+)
+from ..operators.multimodal import CLONE_ID_BASE
+from ..plans.schemas import load
+from ._fixtures import FixtureMemo
+from .scale_common import (
+    _DOT,
+    _SWEEP_PROBES,
+    _cos_sql,
+    _drift_quantizers,
+    _drift_sql,
+    _ivf_probe_sql,
+    _ivf_trained_sql,
+    _ivfpq_sql,
+    _knn_graph_ctes,
+    _lsh_topk_sql,
+    _pq_sql,
+    _pq_trained_sql,
+    _probe_sweep_block,
+    _refine_sql,
+    _rp_sql,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# ------------------------------------------------------------ ANN top-k
+@_q(
+    "ann_cosine_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cosine
+             FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+       SELECT query_id, neighbor_id, cosine, rk FROM (
+         SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM s) t
+       WHERE rk <= 5""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for a 10-query batch: broadcast
+    queries, single corpus scan, per-query bounded window. The exact
+    baseline every ANN variant is measured against."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+@_q(
+    "emb_similarity_histogram",
+    f"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+           LIMIT 128),
+       p AS (SELECT CAST(floor(
+               ({_cos_sql('a.embedding', 'b.embedding')})
+               * 1000000.0 + 0.5) AS BIGINT) AS cos_fp
+             FROM s a JOIN s b ON a.vec_id < b.vec_id),
+       h AS (SELECT least(CAST(floor((cos_fp + 1000000) / 125000)
+                          AS BIGINT), 15) AS bucket,
+                    count(*) AS n, sum(cos_fp) AS sc
+             FROM p GROUP BY 1)
+       SELECT bucket, CAST(n AS BIGINT) AS n,
+              CAST(floor(sc / n) AS BIGINT) AS mean_cos_fp
+       FROM h""",
+)
+def emb_similarity_histogram(spark, sf_dir):
+    """Embedding anisotropy/collapse audit
+    (operators/similarity.similarity_histogram): pairwise-cosine
+    distribution over a deterministic 128-vector knuth-ordered
+    sample — TakeOrderedAndProject sample, broadcast k-row self-join,
+    fixed 8128-pair cost at every corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.similarity_histogram(
+        e, "vec_id", "embedding", sample_k=128, n_buckets=16
+    )
+
+
+@_q("ann_ivf_topk", _ivf_probe_sql(2))
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: corpus partitioned into 8 centroid
+    cells, queries probe their 2 nearest cells. The oracle replays the
+    same assignment/probe/scoring in SQL (same rounded-cosine
+    tie-breaks), so recall loss vs brute force is identical on both
+    engines."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=2,
+    )
+
+
+@_q(
+    "ann_probe_sweep",
+    " UNION ALL ".join(_probe_sweep_block(p) for p in _SWEEP_PROBES),
+)
+def ann_probe_sweep(spark, sf_dir):
+    """The IVF tuning curve an operator reads before picking n_probe:
+    recall@5 against the exact brute-force truth at probe widths
+    1/2/4/8 (total and worst-query hits per width). Monotone in
+    n_probe by construction — the row where the curve flattens is the
+    cheapest safe setting. Composes the existing ivf_topk and
+    cosine_topk operators four times; the brute truth plan is
+    identical in every branch and the probed side is cell-bounded, so
+    the sweep costs ~4x one probed query, not 4x a corpus scan."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    parts = []
+    for p in _SWEEP_PROBES:
+        ivf = similarity.ivf_topk(
+            e, q, "vec_id", "embedding",
+            k=5, n_centroids=8, n_probe=p,
+        ).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        per_q = (
+            brute.join(ivf, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count(F.col("_hit")).alias("_h"))
+        )
+        parts.append(
+            per_q.agg(
+                F.sum("_h").alias("_hits"), F.min("_h").alias("_mn")
+            ).select(
+                F.lit(p).cast("long").alias("n_probe"),
+                F.col("_hits").cast("long").alias("n_hits"),
+                F.floor(
+                    F.lit(1_000_000) * F.col("_hits") / F.lit(50)
+                ).cast("long").alias("recall_fp"),
+                F.col("_mn").cast("long").alias("min_hits"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+@_q("emb_random_projection", _rp_sql(64, 16, 7))
+def emb_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection 64 → 16 dims
+    (linalg.random_projection): the dimensionality-reduction front end
+    for ANN/clustering at large d, one corpus scan with the ±1 matrix
+    inlined as literals — zero shuffle, zero Python. The oracle folds
+    the identical sign constants in the identical order."""
+    from ..operators.linalg import random_projection
+
+    e = load(spark, sf_dir, "embeddings")
+    return random_projection(
+        e, "vec_id", "embedding", d_in=64, d_out=16, seed=7
+    )
+
+
+@_q(
+    "ann_recall_report",
+    f"""WITH ivf AS ({ORACLES["ann_ivf_topk"]}),
+       brute AS ({ORACLES["ann_cosine_topk"]})
+       SELECT b.query_id,
+              count(i.neighbor_id) AS n_hits,
+              round(count(i.neighbor_id) / 5.0, 4) AS recall_at_5
+       FROM brute b LEFT JOIN ivf i
+         ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       GROUP BY b.query_id""",
+)
+def ann_recall_report(spark, sf_dir):
+    """The honesty ledger for approximate search: per query, how many
+    of the exact brute-force top-5 the probed IVF index actually
+    returned (recall@5). Publish this next to any ANN deployment —
+    approximation error becomes a per-query number instead of a
+    footnote, and a recall regression (bad centroids, too few probes)
+    shows up in the artifact. Composes the two existing operators;
+    the oracle composes their two existing replays."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    ivf = similarity.ivf_topk(
+        e, q, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2
+    ).select(
+        F.col("query_id"), F.col("neighbor_id"), F.lit(1).alias("_hit")
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.col("_hit")).alias("n_hits"),
+            F.round(F.count(F.col("_hit")) / F.lit(5.0), 4)
+            .alias("recall_at_5"),
+        )
+    )
+
+
+@_q("ann_lsh_topk", _lsh_topk_sql(64, 4, 10, 5))
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH bucketing (recall<1
+    by design — the scale path when the query set is itself huge).
+    The hyperplane signs are deterministic md5-derived constants
+    computed driver-side, so the oracle replays the identical
+    signatures and bucket joins — both engines miss the same
+    neighbors and the survivor ranking hash-matches."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        dim=64, k=5, planes=4,
+    )
+
+
+@_q(
+    "ann_knn_graph",
+    f"""WITH {_knn_graph_ctes(64, 4, 3)}
+       SELECT src, neighbor_id, cosine, rk FROM knn""",
+)
+def ann_knn_graph(spark, sf_dir):
+    """Approximate k-NN GRAPH over the whole corpus — the all-pairs
+    regime (every vector is query and corpus at once) where brute
+    force is n^2: hyperplane-LSH bucketing caps the self-join at
+    sum(bucket_size^2) pairs and each node ranks its top-3 inside its
+    bucket only. planes is the cost dial (each extra plane halves
+    expected bucket size). The oracle replays identical signatures
+    and ranking, so both engines miss exactly the same cross-bucket
+    neighbors. The edge list feeds mutual-kNN clustering and
+    SemDeDup-style graph pruning downstream."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(
+        e, "vec_id", "embedding", dim=64, k=3, planes=4
+    )
+
+
+@_q(
+    "emb_l2_normalize",
+    f"""WITH n AS (SELECT vec_id, embedding,
+                         sqrt({_DOT.format(a='embedding', b='embedding')})
+                           AS l2_norm
+                  FROM embeddings)
+       SELECT vec_id, round(l2_norm, 6) AS l2_norm,
+              round(CAST(embedding[1] AS DOUBLE) / l2_norm, 6) AS u0
+       FROM n WHERE l2_norm > 0""",
+)
+def emb_l2_normalize(spark, sf_dir):
+    """L2-normalize the embedding column (unit vectors make cosine a
+    plain dot product downstream — normalize once, compare many).
+    Output projects the norm and the first unit component; the full
+    unit array stays available to downstream operators."""
+    e = load(spark, sf_dir, "embeddings")
+    u = similarity.l2_normalize(e, "embedding")
+    return u.filter(F.col("norm") > 0.0).select(
+        "vec_id",
+        F.round("norm", 6).alias("l2_norm"),
+        F.round(F.element_at("unit", 1), 6).alias("u0"),
+    )
+
+
+@_q("ann_ivf_trained", _ivf_trained_sql(4, 1, 2, 10, 5))
+def ann_ivf_trained(spark, sf_dir):
+    """IVF with TRAINED centroids: kmeans_fit (k=4, 1 Lloyd round)
+    learns the coarse quantizer and feeds ivf_topk's ``centroids``
+    seam — the composition a production index build actually runs
+    (train on a sample, assign the corpus). The oracle replays the
+    Lloyd round and the probe/score chain in generated SQL."""
+    from ..operators import clustering
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=1)
+    return similarity.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_probe=2, centroids=cents,
+    )
+
+
+@_q(
+    "emb_quantize_int8",
+    """WITH q AS (
+         SELECT vec_id, embedding,
+                list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS amax
+         FROM embeddings)
+       SELECT vec_id,
+              CASE WHEN amax > 0.0 THEN amax / 127.0 ELSE 0.0 END AS scale,
+              CASE WHEN amax > 0.0
+                   THEN list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0))
+                                  AS INT))
+                   ELSE list_transform(embedding, x -> 0) END AS codes
+       FROM q""",
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding column
+    (operators/similarity.quantize_int8): scale = max|x|/127, codes =
+    round(x/scale) — the standard 4x ANN index compression."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb, "vec_id", "embedding")
+
+
+@_q(
+    "emb_gram_matrix",
+    """WITH q AS (SELECT list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                    AS qv
+              FROM embeddings)
+       SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+              CAST(sum(qv[i] * qv[j]) AS BIGINT) AS gram
+       FROM q, range(1, 65) t1(i), range(1, 65) t2(j)
+       WHERE j >= i GROUP BY i, j""",
+)
+def emb_gram_matrix(spark, sf_dir):
+    """Upper-triangle integer Gram matrix of the embedding table
+    (operators/linalg.gram_matrix): per-partition numpy folds emit
+    d(d+1)/2 partial rows each, one (i,j) sum — the shuffle payload
+    is O(d^2 * partitions), never O(rows). Quantizing to integer
+    millionths BEFORE summation makes the entries bit-identical to
+    the DuckDB oracle's naive O(rows * d^2) expansion regardless of
+    partition layout — the reproducibility property a whitening /
+    drift-monitoring pipeline needs from its second-order stats."""
+    from ..operators.linalg import gram_matrix
+
+    e = load(spark, sf_dir, "embeddings")
+    return gram_matrix(e, "embedding", d=64)
+
+
+@_q(
+    "emb_standardize",
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                    AS qv
+              FROM embeddings),
+       e AS (SELECT vec_id, i AS dim, qv[i] AS q
+             FROM q, range(1, 65) t(i)),
+       s AS (SELECT dim, CAST(sum(q) AS DOUBLE) AS sm,
+                    CAST(sum(q * q) AS DOUBLE) AS ss,
+                    CAST(count(*) AS DOUBLE) AS n
+             FROM e GROUP BY dim)
+       SELECT vec_id, CAST(e.dim AS INT) AS dim,
+              CASE WHEN ss / n - (sm / n) * (sm / n) > 0.0
+                   THEN round((q - sm / n)
+                              / sqrt(ss / n - (sm / n) * (sm / n)), 4)
+                        + 0.0
+              END AS z
+       FROM e JOIN s USING (dim)""",
+)
+def emb_standardize(spark, sf_dir):
+    """Per-dimension z-scores of the embedding table
+    (similarity.standardize_dims): exact integer sum/sumsq per
+    dimension, the 64-row stats table broadcast back, one float
+    expression per output value from identical integer operands on
+    both engines -> rounded scores hash-match. The preprocessing step
+    distance-based curation runs when dimensions are unevenly
+    scaled."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.standardize_dims(e, "vec_id", "embedding")
+
+
+@_q("ann_pq_topk", _pq_sql(8, 8, 8, 10, 5))
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-5 (similarity.pq_topk): 64-dim
+    vectors quantized to 8 one-byte codes via per-subspace seed
+    codebooks, queries scored against CODES through integer ADC
+    lookup tables — the ~32x memory-traffic reduction that makes
+    exhaustive billion-vector scoring feasible (compose with IVF
+    cells for IVF-PQ). Every assignment and the ranking follow the
+    rounded-distance + id tie-break convention, ADC sums are exact
+    integers — the full pipeline hash-matches the oracle replay."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, m=8, sub_d=8, k_star=8,
+    )
+
+
+@_q("ann_pq_trained", _pq_trained_sql(8, 8, 4, 1, 10, 5))
+def ann_pq_trained(spark, sf_dir):
+    """PQ ANN with TRAINED codebooks (similarity.pq_train_codebooks →
+    pq_topk): per-subspace k-means (k*=4, one Lloyd iteration,
+    deterministic seeds) learns each codebook, proving the training
+    path composes with the quantize/ADC contract — not just the
+    seeded one. The oracle replays the per-subspace Lloyd round, the
+    encode, and the integer-ADC ranking in generated SQL."""
+    e = load(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_train_codebooks(
+        e, "vec_id", "embedding", m=8, sub_d=8, k_star=4, iters=1
+    )
+    return similarity.pq_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, m=8, sub_d=8, codebooks=cbs,
+    )
+
+
+@_q("ann_drift_monitor", _drift_sql())
+def ann_drift_monitor(spark, sf_dir):
+    """Quantizer drift monitor (similarity.quantization_error) — the
+    operational answer to FROZEN quantizers: coarse cells + PQ
+    codebooks derive from the base (even-id) cohort exactly as the
+    incremental-index family's, then EVERY vector's quantization
+    error (sum of per-subspace min micro-distances) aggregates into
+    base vs arrivals cohorts. A rising arrivals mean against the base
+    mean is the retrain signal — emitted from one zero-Exchange
+    codegen scan, exact-integer end to end, so the oracle replays it
+    bit-for-bit. Completes the stored-index lifecycle: build → absorb
+    (stream_ivfpq_index_append) → compact (stream_ivfpq_autocompact)
+    → serve (ann_ivfpq_served) → monitor → retrain offline."""
+    e = load(spark, sf_dir, "embeddings")
+    coarse, cbs = _drift_quantizers(spark, e)
+    asg_all = similarity._ivfpq_assign(e, "vec_id", "embedding", coarse, 6)
+    qe = similarity.quantization_error(asg_all, cbs, 8, 8, 6)
+    return (
+        qe.select(
+            F.when(F.col("_id") % 2 == 0, "base")
+            .otherwise("arrivals").alias("cohort"),
+            "_qerr",
+        )
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_qerr").cast("long").alias("total_err"),
+        )
+        .withColumn(
+            "mean_err_fp",
+            F.expr(
+                "CAST(floor(CAST(total_err AS DOUBLE)"
+                " / CAST(n_vecs AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+    )
+
+
+@_q("ann_ivfpq_topk", _ivfpq_sql(8, 2, 8, 8, 8, 10, 5))
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-5 (similarity.ivfpq_topk) — the billion-scale ANN
+    pipeline end-to-end: coarse cells bound the search to 2 of 8
+    probed cells, residual PQ codes bound memory to 8 bytes/vector,
+    integer ADC bounds the float math to one m x k* table per
+    (query, cell). The full composition — cell assignment, residual
+    encoding, probing, ADC, ranking — hash-matches the oracle
+    replay."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
+    )
+
+
+@_q("ann_ivfpq_refine", _refine_sql())
+def ann_ivfpq_refine(spark, sf_dir):
+    """Two-stage ANN (retrieval.ivfpq_refine_topk — the FAISS
+    IndexRefine discipline): IVF-PQ integer ADC proposes top-20
+    candidates per query from the compressed domain, then the |Q|·20
+    candidate ids BROADCAST against the corpus for an exact L2
+    re-rank of the top-5 — recall recovered at r raw-vector reads per
+    query, never a corpus shuffle. Candidate stage, refine join, and
+    final ranking all hash-match the oracle replay."""
+    from ..operators import retrieval
+
+    e = load(spark, sf_dir, "embeddings")
+    return retrieval.ivfpq_refine_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, r=20, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
+    )
+
+
+# ------------------------------------------------ filtered vector search
+@_q(
+    "ann_filtered_brute",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cosine
+             FROM q, embeddings c
+             WHERE c.vec_id <> q.query_id AND c.label < 3)
+       SELECT query_id, neighbor_id, cosine, rk FROM (
+         SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM s) t
+       WHERE rk <= 5""",
+)
+def ann_filtered_brute(spark, sf_dir):
+    """Filtered vector search, exact path: top-5 among ONLY the
+    vectors satisfying a metadata predicate (label < 3 — ~30% of the
+    corpus). The pre-filter composes with the brute scan: the
+    predicate pushes into the corpus read, so selectivity directly
+    cuts the scan — the right strategy when the filter is strong
+    enough that the survivor set is brute-forceable."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        e.filter(F.col("label") < 3),
+        e.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5,
+    )
+
+
+@_q("ann_filtered_ivfpq",
+    _ivfpq_sql(8, 2, 8, 8, 8, 10, 5, inv_pred="label < 3"))
+def ann_filtered_ivfpq(spark, sf_dir):
+    """Filtered vector search over a SHARED index: the IVF-PQ
+    quantizers stay trained on the FULL corpus (one index serves
+    every predicate), and the metadata constraint restricts only the
+    inventory the ADC join scores — a broadcast semi-join of the
+    allowed-id table against the codes, applied BEFORE ranking so the
+    top-5 are the best among eligible candidates, not a post-filtered
+    stump of the unfiltered list (the classic filtered-ANN recall
+    bug). Hash-matches the oracle replay with the same predicate."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
+        allowed=e.filter(F.col("label") < 3),
+    )
+
+
+__all__ = [
+    "ann_cosine_topk",
+    "emb_similarity_histogram",
+    "ann_ivf_topk",
+    "ann_probe_sweep",
+    "emb_random_projection",
+    "ann_recall_report",
+    "ann_lsh_topk",
+    "ann_knn_graph",
+    "emb_l2_normalize",
+    "ann_ivf_trained",
+    "emb_quantize_int8",
+    "emb_gram_matrix",
+    "emb_standardize",
+    "ann_pq_topk",
+    "ann_pq_trained",
+    "ann_drift_monitor",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_refine",
+    "ann_filtered_brute",
+    "ann_filtered_ivfpq",
+]

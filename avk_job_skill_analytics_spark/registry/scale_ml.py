@@ -1,0 +1,1389 @@
+"""ML metrics / selection family: kmeans, PCA, coresets, retrieval metrics, AUC/ROC/PR, calibration, A/B analysis, negative mining.
+
+Split out of scale_queries.py in round 12 (VERDICT r11 #6); query
+bodies and oracles preserved verbatim in their original registration
+order. ``scale_queries`` merges the family registries back into the
+original global order, so the driver surface is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators import (
+    dedup,
+    graph,
+    multimodal,
+    privacy,
+    sampling,
+    similarity,
+    ssjoin,
+    textstats,
+)
+from ..operators.hashing import (
+    MERSENNE_P,
+    affine_hash_sql,
+    md5_long,
+    md5_long_sql,
+    minhash_coeffs,
+)
+from ..operators.multimodal import CLONE_ID_BASE
+from ..plans.schemas import load
+from ._fixtures import FixtureMemo
+from .scale_common import (
+    _ARM_SQL,
+    _BM25_TERMS,
+    _NEG_KEY_SQL,
+    _bm25_sql,
+    _bootstrap_sql,
+    _cos_sql,
+    _kcenter_sql,
+    _kmeans_parallel_sql,
+    _kmeans_sql,
+    _mmr_sql,
+    _nb_sql,
+    _ndcg_gain_fp,
+    _pca_power_sql,
+    _retrieval_metrics_sql,
+    _rrf_sql,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+@_q("ml_kmeans_centroids", _kmeans_sql(4, 2))
+def ml_kmeans_centroids(spark, sf_dir):
+    """K-means (k=4, 2 Lloyd iterations, deterministic lowest-id
+    seeds) over the embeddings table — the iterative-algorithm
+    pattern as pure DataFrame ops: broadcast argmin assignment +
+    posexplode per-dimension mean update, localCheckpoint between
+    rounds. The oracle replays both iterations in generated SQL."""
+    from ..operators import clustering
+
+    e = load(spark, sf_dir, "embeddings")
+    return clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)
+
+
+@_q("ml_kmeans_scalable_init", _kmeans_parallel_sql(4, 3, 8, 7, 2))
+def ml_kmeans_scalable_init(spark, sf_dir):
+    """K-means seeded by k-means‖ scalable init (Bahmani et al.
+    VLDB'12; clustering.kmeans_parallel_init): 3 parallel
+    oversampling rounds select ~l=8 candidates each by cost-share
+    (integer micro-distance sums, MD5 coin — RNG-free, replayable),
+    the k=4 heaviest candidates become the seeds, and the SAME Lloyd
+    path as ml_kmeans_centroids runs 2 iterations downstream. The
+    oracle replays every oversampling round, the weighted reduction,
+    and both Lloyd iterations in generated SQL."""
+    from ..operators import clustering
+
+    e = load(spark, sf_dir, "embeddings")
+    seeds = clustering.kmeans_parallel_init(
+        e, "vec_id", "embedding", k=4, rounds=3, l=8, seed=7
+    )
+    return clustering.kmeans_fit(
+        e, "vec_id", "embedding", k=4, iters=2, init=seeds
+    )
+
+
+@_q("ml_pca_top_component", _pca_power_sql(64, 96))
+def ml_pca_top_component(spark, sf_dir):
+    """Leading principal component via fixed-point power iteration
+    (operators/linalg.pca_power_component): the distributed work is
+    the integer Gram + column-sum aggregates (bit-exact — see
+    emb_gram_matrix); the d×d iteration runs driver-side in EXACT
+    integer arithmetic with one IEEE-identical float normalization
+    per step, so 96 unrolled steps hash-match the plain-SQL replay —
+    the former rows-only eigensolve, made oracle-checkable. Direction
+    quality vs LAPACK's eigenvector is locked by a numpy parity test
+    in tests/test_scale_ops."""
+    from ..operators.linalg import pca_power_component
+
+    e = load(spark, sf_dir, "embeddings")
+    return pca_power_component(e, "embedding", d=64, iters=96)
+
+
+@_q("ml_kcenter_coreset", _kcenter_sql(8))
+def ml_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset of the embedding table
+    (clustering.kcenter_coreset): 8 farthest-point rounds, each one
+    broadcast of the <= k selected vectors + one corpus scan + a
+    1-row argmax collect — the diversity-maximizing subset selection
+    for data-efficient labeling/distillation. Selection order and
+    radii hash-match the oracle's unrolled traversal."""
+    from ..operators.clustering import kcenter_coreset
+
+    e = load(spark, sf_dir, "embeddings")
+    return kcenter_coreset(e, "vec_id", "embedding", k=8)
+
+
+@_q(
+    "ml_negative_audit",
+    f"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
+       a AS (SELECT vec_id AS anchor_id, embedding AS av
+             FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT anchor_id, av, t.slot
+             FROM a, LATERAL (SELECT unnest(generate_series(0, 3))
+                              AS slot) t),
+       x AS (SELECT anchor_id, av, slot,
+                    {_NEG_KEY_SQL} % (SELECT n FROM nrows) AS raw
+             FROM s),
+       y AS (SELECT anchor_id, av, slot,
+                    CASE WHEN raw = anchor_id
+                         THEN (raw + 1) % (SELECT n FROM nrows)
+                         ELSE raw END AS neg_id
+             FROM x)
+       SELECT y.anchor_id, CAST(y.slot AS BIGINT) AS slot, y.neg_id,
+              round({_cos_sql('y.av', 'e.embedding')}, 6) AS cosine,
+              round({_cos_sql('y.av', 'e.embedding')}, 6) >= 0.15
+                  AS hard_negative
+       FROM y JOIN embeddings e ON e.vec_id = y.neg_id""",
+)
+def ml_negative_audit(spark, sf_dir):
+    """Deterministic negative sampling + false-negative audit for
+    contrastive training pairs: each anchor draws 4 'random' negatives
+    via the engine-portable md5 hash (reproducible across reruns and
+    engines — no RNG), then every sampled negative is scored against
+    its anchor and flagged when the cosine says it is actually a NEAR
+    match (a false negative that would poison a contrastive loss).
+    Corpus side is one scan + a broadcast join against the tiny
+    (anchor × slot) table — the negatives' vectors are fetched without
+    shuffling the corpus. Oracle replays the hash, the collision
+    bump, and the scoring."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    anchors = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("_av"),
+        similarity._norm(F.col("embedding")).alias("_an"),
+    )
+    negs = (
+        anchors.select(
+            "anchor_id", "_av", "_an",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("slot"),
+        )
+        .withColumn(
+            "_raw",
+            md5_long(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ) % F.lit(n),
+        )
+        .withColumn(
+            "neg_id",
+            F.when(
+                F.col("_raw") == F.col("anchor_id"),
+                (F.col("_raw") + 1) % F.lit(n),
+            ).otherwise(F.col("_raw")),
+        )
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("_nv"),
+        similarity._norm(F.col("embedding")).alias("_nn"),
+    )
+    return (
+        corpus.join(F.broadcast(negs), "neg_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                similarity._dot(F.col("_av"), F.col("_nv"))
+                / (F.col("_an") * F.col("_nn")),
+                6,
+            ),
+        )
+        .select(
+            "anchor_id",
+            F.col("slot").cast("long").alias("slot"),
+            "neg_id",
+            "cosine",
+            (F.col("cosine") >= 0.15).alias("hard_negative"),
+        )
+    )
+
+
+@_q("ml_mmr_select", _mmr_sql(6, 0.7))
+def ml_mmr_select(spark, sf_dir):
+    """Maximal Marginal Relevance selection (similarity.mmr_select):
+    6 greedy rounds balancing relevance to the lowest-id query vector
+    against redundancy with what's already picked (λ=0.7) — the
+    reranking/diverse-subset primitive for retrieval and training-data
+    curation. Each round is one broadcast + one corpus scan + a 1-row
+    argmax collect; the oracle unrolls the identical sweep."""
+    from ..operators.similarity import mmr_select
+
+    e = load(spark, sf_dir, "embeddings")
+    return mmr_select(e, "vec_id", "embedding", k=6, lam=0.7)
+
+
+@_q("ml_hybrid_rrf", _rrf_sql())
+def ml_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (retrieval.rrf_fuse
+    — Cormack et al. SIGIR'09): the BM25 lexical top-10 and the
+    brute-cosine vector top-10 (query = embedding 0; vec_id aligns
+    with doc_id in the testdata) fuse on RANKS with exact integer
+    1/(60+rank) contributions — no score calibration between the two
+    incommensurable scales, no floats in the fold. The fused list is
+    what a retrieval endpoint actually serves when both indexes
+    exist."""
+    from ..operators import retrieval, similarity
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_topk(
+        docs, "doc_id", "text", list(_BM25_TERMS), k=10
+    ).select("doc_id", "rk")
+    vec = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=10,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rk")
+    return retrieval.rrf_fuse([("lex", lex), ("vec", vec)], "doc_id",
+                              k=10, k0=60)
+
+
+@_q("ml_retrieval_metrics", _retrieval_metrics_sql())
+def ml_retrieval_metrics(spark, sf_dir):
+    """The retrieval honesty ledger beyond recall: per query, MRR
+    (reciprocal rank of the first exact-top-5 hit in the ADC list)
+    and binary-relevance NDCG@5 of IVF-PQ against the exact
+    brute-force ranking — the two metrics a retrieval deployment
+    reports next to recall@k. All arithmetic is exact fixed point:
+    rank reciprocals are integer divisions, the DCG gains are five
+    Python-computed literals shared by both engines, and the NDCG
+    ratio is exact integer division by the constant ideal DCG."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    sys_ = similarity.ivfpq_topk(
+        e, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=2,
+        m=8, sub_d=8, k_star=8,
+    )
+    gains = spark.createDataFrame(
+        [(i, _ndcg_gain_fp(i)) for i in range(1, 6)],
+        "rk long, gain_fp long",
+    )
+    idcg = sum(_ndcg_gain_fp(i) for i in range(1, 6))
+    hits = (
+        sys_.join(
+            brute.select(
+                F.col("query_id").alias("_bq"),
+                F.col("neighbor_id").alias("_bn"),
+            ),
+            on=[
+                sys_["query_id"] == F.col("_bq"),
+                sys_["neighbor_id"] == F.col("_bn"),
+            ],
+            how="left",
+        ).select(
+            "query_id",
+            "rk",
+            F.when(F.col("_bn").isNull(), F.lit(0))
+            .otherwise(F.lit(1)).alias("rel"),
+        )
+    )
+    agg = (
+        hits.join(F.broadcast(gains), "rk")
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.floor(
+                            F.lit(1_000_000.0) / F.col("rk")
+                        ).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("mrr_fp"),
+            F.sum(F.col("rel") * F.col("gain_fp")).cast("long")
+            .alias("dcg_fp"),
+        )
+    )
+    # explicit floor on BOTH engines: a bare cast truncates in Spark
+    # but rounds-half-away in DuckDB — a parity break the fixture's
+    # current dcg values merely happen to dodge
+    return agg.withColumn(
+        "ndcg_fp",
+        F.floor(
+            (F.col("dcg_fp") * F.lit(1_000_000)).cast("double")
+            / F.lit(idcg)
+        ).cast("long"),
+    )
+
+
+# ----------------------------------------------- hard-negative mining
+@_q(
+    "ml_hard_negatives",
+    f"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+                         embedding AS qv
+                  FROM embeddings WHERE vec_id < 10),
+       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    round({_cos_sql('q.qv', 'c.embedding')}, 6)
+                        AS cosine
+             FROM q, embeddings c WHERE c.label <> q.ql)
+       SELECT query_id, neighbor_id, cosine, rk FROM (
+         SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM s) t
+       WHERE rk <= 5""",
+)
+def ml_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive pairs
+    (similarity.hard_negative_topk): per anchor, the top-5
+    most-similar vectors with a DIFFERENT label — the negatives that
+    actually move a contrastive or reranker objective. Broadcast
+    anchors, one corpus scan, label-mismatch filter ahead of the dot
+    product; the 100 TB serving path swaps the scan for the stored
+    IVF-PQ index with a label partition filter, and this exact form
+    is its recall oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", "label", k=5,
+    )
+
+
+# -------------------------------------------- cascade lexical→vector
+@_q(
+    "ml_cascade_rerank",
+    f"""WITH cand AS ({_bm25_sql(_BM25_TERMS, 50)}),
+       qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       s AS (SELECT c.doc_id, c.bm25_fp, c.rk AS lex_rk,
+                    round({_cos_sql('qv.qv', 'e.embedding')}, 6)
+                        AS cosine
+             FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, qv)
+       SELECT doc_id, bm25_fp, CAST(lex_rk AS BIGINT) AS lex_rk,
+              cosine, CAST(rk AS BIGINT) AS rk
+       FROM (SELECT *, row_number() OVER (
+                ORDER BY cosine DESC, doc_id) AS rk FROM s) t
+       WHERE rk <= 10""",
+)
+def ml_cascade_rerank(spark, sf_dir):
+    """Two-stage cascade retrieval (retrieval.cascade_rerank): BM25
+    generates 50 lexical candidates (only query-term postings
+    shuffle), then exact cosine re-ranks the BROADCAST candidate list
+    against one query vector — 50 dot products, not 500/|corpus|.
+    The candidate-generation → expensive-scorer split every
+    production retrieval stack serves with; both stages replay
+    bit-identically in the oracle."""
+    from ..operators import retrieval
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return retrieval.cascade_rerank(
+        docs, emb, "doc_id", "text", "vec_id", "embedding",
+        list(_BM25_TERMS),
+        emb.filter(F.col("vec_id") == 0),
+        n_candidates=50, k=10,
+    )
+
+
+# ------------------------------------------ classifier evaluation card
+@_q(
+    "ml_auc_gate",
+    f"""WITH scored AS ({_nb_sql()}),
+       bys AS (SELECT score_fp AS s, sum(actual) AS pos,
+                      sum(1 - actual) AS neg
+               FROM scored GROUP BY 1),
+       cum AS (SELECT s, pos, neg,
+                 coalesce(sum(neg) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS negb
+               FROM bys),
+       uu AS (SELECT sum(pos * (2 * negb + neg)) AS u2,
+                     sum(pos) AS n1, sum(neg) AS n0
+              FROM cum),
+       conf AS (SELECT count(*) AS n,
+                       sum(pred * actual) AS tp,
+                       sum(pred * (1 - actual)) AS fp,
+                       sum((1 - pred) * actual) AS fn,
+                       sum((1 - pred) * (1 - actual)) AS tn
+                FROM scored)
+       SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n_pos,
+              CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+              CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+              CAST(floor(1000000 * u2 / (2 * n1 * n0)) AS BIGINT)
+                  AS auc_fp,
+              CAST(floor(1000000 * tp / (tp + fp)) AS BIGINT)
+                  AS prec_fp,
+              CAST(floor(1000000 * tp / (tp + fn)) AS BIGINT)
+                  AS rec_fp,
+              CAST(floor(1000000 * 2 * tp / (2 * tp + fp + fn))
+                   AS BIGINT) AS f1_fp
+       FROM conf, uu""",
+)
+def ml_auc_gate(spark, sf_dir):
+    """The classifier-gate evaluation card
+    (operators/evalmetrics.binary_metrics) over the trained NB
+    lang-classifier's scores: tie-corrected Mann-Whitney AUC (one
+    window over DISTINCT scores, never rows), confusion counts, and
+    precision/recall/F1 — every ratio a single exact integer
+    division in 1e-6 fixed point. The report a curation deployment
+    runs after every gate retrain, and the companion the
+    stream_nb_train / stream_nb_gate pair was missing."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.binary_metrics(
+        scored, "score_fp", "pred", "actual"
+    )
+
+
+@_q(
+    "ml_calibration_bins",
+    f"""WITH scored AS ({_nb_sql()}),
+       nt AS (SELECT count(*) AS n FROM scored),
+       rn AS (SELECT doc_id, score_fp, actual,
+                row_number() OVER (ORDER BY score_fp, doc_id) AS rn
+              FROM scored),
+       b AS (SELECT actual, score_fp,
+               CAST(floor((rn - 1) * 10 / nt.n) AS BIGINT) AS bin
+             FROM rn, nt)
+       SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(actual) AS BIGINT) AS n_pos,
+              CAST(floor(1000000 * sum(actual) / count(*)) AS BIGINT)
+                  AS rate_fp,
+              CAST(sum(score_fp) AS BIGINT) AS sum_score_fp
+       FROM b GROUP BY bin""",
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Equal-count calibration deciles for the NB gate
+    (evalmetrics.calibration_bins): per bin, size, positive count and
+    rate — the reliability diagram's data. The global (score, id)
+    rank DECOMPOSES into a per-score-group window plus the
+    distinct-score cumulative (no corpus-sized single-partition sort)
+    yet replays bit-identically against the oracle's naive global
+    row_number — the same decomposed-rank discipline
+    pipeline_global_shuffle established."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.calibration_bins(
+        scored, "doc_id", "score_fp", "actual", n_bins=10
+    )
+
+
+@_q(
+    "ml_lift_table",
+    f"""WITH scored AS ({_nb_sql()}),
+       nt AS (SELECT count(*) AS ntot, sum(actual) AS ptot
+              FROM scored),
+       rn AS (SELECT actual,
+                row_number() OVER (ORDER BY score_fp DESC,
+                                            doc_id ASC) AS rn
+              FROM scored),
+       b AS (SELECT actual,
+               CAST(floor((rn - 1) * 10 / nt.ntot) AS BIGINT) AS bin
+             FROM rn, nt),
+       g AS (SELECT bin, count(*) AS n, sum(actual) AS n_pos
+             FROM b GROUP BY bin),
+       c AS (SELECT bin, n, n_pos,
+               sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cum_n,
+               sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cum_pos
+             FROM g)
+       SELECT bin, CAST(n AS BIGINT) AS n,
+              CAST(n_pos AS BIGINT) AS n_pos,
+              CAST(cum_n AS BIGINT) AS cum_n,
+              CAST(cum_pos AS BIGINT) AS cum_pos,
+              CAST(CASE WHEN ptot > 0
+                   THEN floor(1000000 * cum_pos / ptot)
+                   END AS BIGINT) AS capture_fp,
+              CAST(CASE WHEN ptot > 0 THEN
+                   floor(1000000 *
+                     floor(1000000 * cum_pos / ptot)
+                     / floor(1000000 * cum_n / ntot))
+                   END AS BIGINT) AS lift_fp
+       FROM c, nt""",
+)
+def ml_lift_table(spark, sf_dir):
+    """Decile gains/lift table for the NB gate
+    (evalmetrics.lift_table): cumulative capture rate and lift per
+    score-DESC decile, the campaign-targeting readout next to the
+    reliability diagram. Rank decomposition and fp6 discipline as in
+    ml_calibration_bins."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.lift_table(
+        scored, "doc_id", "score_fp", "actual", n_bins=10
+    )
+
+
+@_q(
+    "ml_roc_points",
+    f"""WITH scored AS ({_nb_sql()}),
+       bys AS (SELECT score_fp AS thr, sum(actual) AS pos,
+                      sum(1 - actual) AS neg
+               FROM scored GROUP BY 1),
+       tot AS (SELECT sum(actual) AS n1, sum(1 - actual) AS n0
+               FROM scored),
+       cum AS (SELECT thr,
+                 sum(pos) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS tp,
+                 sum(neg) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS fp
+               FROM bys)
+       SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
+              CAST(fp AS BIGINT) AS fp,
+              CAST(CASE WHEN n1 > 0
+                   THEN floor(1000000 * tp / n1) END AS BIGINT)
+                  AS tpr_fp,
+              CAST(CASE WHEN n0 > 0
+                   THEN floor(1000000 * fp / n0) END AS BIGINT)
+                  AS fpr_fp,
+              CAST(CASE WHEN n1 > 0 THEN floor(1000000 * tp / n1) END
+                   - CASE WHEN n0 > 0
+                     THEN floor(1000000 * fp / n0) END AS BIGINT)
+                  AS youden_fp
+       FROM cum, tot""",
+)
+def ml_roc_points(spark, sf_dir):
+    """ROC curve for the NB gate (evalmetrics.roc_points): (FPR, TPR)
+    per distinct threshold plus the Youden J criterion on the rounded
+    fp6 rates — pr_curve's prevalence-stable twin, same
+    granularity-bounded distinct-score window."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.roc_points(scored, "score_fp", "actual")
+
+
+# ---------------------------------------------- PR curve + gate tuning
+@_q(
+    "ml_pr_curve",
+    f"""WITH scored AS ({_nb_sql()}),
+       bys AS (SELECT score_fp AS thr, sum(actual) AS pos,
+                      sum(1 - actual) AS neg
+               FROM scored GROUP BY 1),
+       tot AS (SELECT sum(actual) AS n1 FROM scored),
+       cum AS (SELECT thr,
+                 sum(pos) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS tp,
+                 sum(neg) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS fp
+               FROM bys)
+       SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
+              CAST(fp AS BIGINT) AS fp,
+              CAST(floor(1000000 * tp / (tp + fp)) AS BIGINT)
+                  AS prec_fp,
+              CAST(floor(1000000 * tp / n1) AS BIGINT) AS rec_fp,
+              CAST(floor(1000000 * 2 * tp / (tp + fp + n1)) AS BIGINT)
+                  AS f1_fp
+       FROM cum, tot""",
+)
+def ml_pr_curve(spark, sf_dir):
+    """The full precision-recall curve for the NB gate
+    (evalmetrics.pr_curve): one row per distinct score, the confusion
+    a ``score >= thr`` gate would produce — cumulative sums over the
+    DISTINCT-SCORE relation only, every ratio one exact integer
+    division. The artifact you read before picking a gate threshold;
+    ml_best_threshold is its argmax."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.pr_curve(scored, "score_fp", "actual")
+
+
+@_q(
+    "ml_best_threshold",
+    f"""WITH scored AS ({_nb_sql()}),
+       bys AS (SELECT score_fp AS thr, sum(actual) AS pos,
+                      sum(1 - actual) AS neg
+               FROM scored GROUP BY 1),
+       tot AS (SELECT sum(actual) AS n1 FROM scored),
+       cum AS (SELECT thr,
+                 sum(pos) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS tp,
+                 sum(neg) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS fp
+               FROM bys),
+       curve AS (SELECT CAST(thr AS BIGINT) AS thr,
+                        CAST(tp AS BIGINT) AS tp,
+                        CAST(fp AS BIGINT) AS fp,
+                        CAST(floor(1000000 * tp / (tp + fp)) AS BIGINT)
+                            AS prec_fp,
+                        CAST(floor(1000000 * tp / n1) AS BIGINT)
+                            AS rec_fp,
+                        CAST(floor(1000000 * 2 * tp / (tp + fp + n1))
+                             AS BIGINT) AS f1_fp
+                 FROM cum, tot)
+       SELECT thr, tp, fp, prec_fp, rec_fp, f1_fp FROM (
+         SELECT *, row_number() OVER (
+            ORDER BY f1_fp DESC, thr DESC) AS rk FROM curve) t
+       WHERE rk = 1""",
+)
+def ml_best_threshold(spark, sf_dir):
+    """Gate-threshold selection (evalmetrics.best_threshold): the
+    F1-maximizing point on the PR curve, ties toward the stricter
+    gate — the one-row operational answer a retrain hands to the
+    curation filter. Bounded top-1 over the distinct-score curve."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    return evalmetrics.best_threshold(scored, "score_fp", "actual")
+
+
+# ----------------------------------------- per-slice gate evaluation
+@_q(
+    "ml_grouped_metrics",
+    f"""WITH scored AS ({_nb_sql()}),
+       s AS (SELECT sc.score_fp, sc.pred, sc.actual,
+                    d.source AS grp
+             FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id),
+       bys AS (SELECT grp, score_fp AS sv, sum(actual) AS pos,
+                      sum(1 - actual) AS neg
+               FROM s GROUP BY 1, 2),
+       cum AS (SELECT grp, pos, neg,
+                 coalesce(sum(neg) OVER (PARTITION BY grp
+                   ORDER BY sv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS negb
+               FROM bys),
+       uu AS (SELECT grp, sum(pos * (2 * negb + neg)) AS u2
+              FROM cum GROUP BY 1),
+       conf AS (SELECT grp, count(*) AS n, sum(actual) AS n1,
+                       sum(1 - actual) AS n0,
+                       sum(pred * actual) AS tp,
+                       sum(pred * (1 - actual)) AS fp,
+                       sum((1 - pred) * actual) AS fn,
+                       sum((1 - pred) * (1 - actual)) AS tn
+                FROM s GROUP BY 1)
+       SELECT conf.grp AS source, CAST(n AS BIGINT) AS n,
+              CAST(n1 AS BIGINT) AS n_pos, CAST(tp AS BIGINT) AS tp,
+              CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+              CAST(tn AS BIGINT) AS tn,
+              CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
+                     floor(1000000 * u2 / (2 * n1 * n0)) END
+                   AS BIGINT) AS auc_fp,
+              CAST(CASE WHEN tp + fp > 0 THEN
+                     floor(1000000 * tp / (tp + fp)) END
+                   AS BIGINT) AS prec_fp,
+              CAST(CASE WHEN n1 > 0 THEN
+                     floor(1000000 * tp / (tp + fn)) END
+                   AS BIGINT) AS rec_fp,
+              CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
+                     floor(1000000 * 2 * tp / (2 * tp + fp + fn)) END
+                   AS BIGINT) AS f1_fp
+       FROM conf JOIN uu ON uu.grp = conf.grp""",
+)
+def ml_grouped_metrics(spark, sf_dir):
+    """The gate evaluation card PER SOURCE
+    (evalmetrics.grouped_binary_metrics): tie-corrected AUC and
+    confusion ratios sliced by the corpus source column, every window
+    partitioned by the slice — the report that catches a classifier
+    that is fine on average and broken on one slice (the per-language
+    / per-domain honesty check every curation deployment runs).
+    Degenerate slices yield NULL ratios, not division blow-ups."""
+    from ..operators import classify, evalmetrics
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_y", (F.col("lang") == "en").cast("int")
+    )
+    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
+    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
+    joined = scored.join(
+        load(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+    )
+    return evalmetrics.grouped_binary_metrics(
+        joined, "source", "score_fp", "pred", "actual"
+    )
+
+
+# ----------------------------------------- semi-hard negative mining
+@_q(
+    "ml_semihard_negatives",
+    f"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+                         embedding AS qv
+                  FROM embeddings WHERE vec_id < 10),
+       pos AS (SELECT q.query_id,
+                      max(round({_cos_sql('q.qv', 'c.embedding')}, 6))
+                          AS pos_sim
+               FROM q, embeddings c
+               WHERE c.label = q.ql AND c.vec_id <> q.query_id
+               GROUP BY 1),
+       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                    round({_cos_sql('q.qv', 'c.embedding')}, 6)
+                        AS cosine
+             FROM q, embeddings c WHERE c.label <> q.ql),
+       f AS (SELECT s.query_id, s.neighbor_id, s.cosine, pos.pos_sim
+             FROM s JOIN pos USING (query_id)
+             WHERE s.cosine < pos.pos_sim)
+       SELECT query_id, neighbor_id, cosine, pos_sim, rk FROM (
+         SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk
+         FROM f) t
+       WHERE rk <= 5""",
+)
+def ml_semihard_negatives(spark, sf_dir):
+    """Semi-hard negative mining (similarity.semihard_negative_topk —
+    the FaceNet triplet criterion, Schroff et al. CVPR'15): per
+    anchor, the top-5 different-label vectors still LESS similar than
+    the anchor's nearest same-label vector — the margin-band
+    negatives that tighten a contrastive objective without the
+    collapse risk of hardest-negatives. Two broadcast-anchor corpus
+    scans, bounded per-anchor top-k."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.semihard_negative_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", "label", k=5,
+    )
+
+
+# ------------------------------------------------ experiment readout
+@_q(
+    "ml_ab_test",
+    """WITH u AS (SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                 AND value > 200.0
+                           THEN 1 ELSE 0 END) AS c
+               FROM events GROUP BY user_id),
+       t AS (SELECT ((user_id * 2654435761) % 4294967296 * 2) // 4294967296 AS arm,
+                    count(*) AS n, sum(c) AS cv
+             FROM u GROUP BY 1),
+       a AS (SELECT n AS na, cv AS ca FROM t WHERE arm = 0),
+       b AS (SELECT n AS nb, cv AS cb FROM t WHERE arm = 1)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+              CAST(floor(1000000 * ca / na) AS BIGINT) AS rate_a_fp,
+              CAST(floor(1000000 * cb / nb) AS BIGINT) AS rate_b_fp,
+              CAST(floor((CAST(cb AS DOUBLE) / nb
+                               - CAST(ca AS DOUBLE) / na)
+                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   AS BIGINT) AS lift_fp,
+              CAST(floor((
+                    (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+                    / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                           * (CAST('1.0' AS DOUBLE)
+                              - CAST(ca + cb AS DOUBLE) / (na + nb))
+                           * (CAST('1.0' AS DOUBLE) / na
+                              + CAST('1.0' AS DOUBLE) / nb)))
+                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   AS BIGINT) AS z_fp
+       FROM a, b""",
+)
+def ml_ab_test(spark, sf_dir):
+    """The experiment readout (operators/experiment.ab_test_readout):
+    users deterministically assigned to two arms by the shared
+    Knuth-hash coin (the user id IS the assignment — no table to
+    store), per-arm conversion (a high-value purchase: value > 200)
+    and the pooled two-proportion z statistic — the one-row card
+    every launch decision reads. Counts and rates are exact
+    integers; the z float pipeline uses one canonical operand order
+    on both engines so even the statistic hash-matches. One
+    per-user aggregate, one 2-row aggregate, 1-row broadcasts."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.ab_test_readout(
+        ev, "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 200.0),
+    )
+
+
+@_q(
+    "ml_ab_srm",
+    f"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       c AS (SELECT
+           sum(CASE WHEN {_ARM_SQL} = 0 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN {_ARM_SQL} = 1 THEN 1 ELSE 0 END) AS nb
+           FROM u)
+       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              CAST(floor(1000000 * (na - nb) * (na - nb) / (na + nb))
+                  AS BIGINT) AS chi2_fp,
+              CAST(floor(1000000 * (na - nb) * (na - nb) / (na + nb))
+                  AS BIGINT) > 10828000 AS srm_suspect
+       FROM c""",
+)
+def ml_ab_srm(spark, sf_dir):
+    """Sample-ratio-mismatch guard (operators/experiment.srm_check):
+    before anyone reads ml_ab_test's lift card, this card proves the
+    50/50 assignment itself is healthy. The 1-dof chi-square
+    collapses algebraically to (n_a - n_b)^2 / N — exact integer
+    numerator, one float division — and srm_suspect fires at the
+    0.1% critical value. One distinct + one 2-row aggregate."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.srm_check(ev, "user_id")
+
+
+@_q(
+    "ml_ab_cuped",
+    f"""WITH pu AS (SELECT user_id,
+           sum(CASE WHEN day(ts) <= 10 THEN 1 ELSE 0 END) AS x,
+           coalesce(sum(CASE WHEN day(ts) > 10 THEN
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100, 0) AS BIGINT)
+                    ELSE 0 END END), 0) AS y
+           FROM events GROUP BY user_id),
+       pa AS (SELECT {_ARM_SQL} AS arm, x, y FROM pu),
+       m AS (SELECT
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sx0,
+           sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx1,
+           sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sy0,
+           sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sy1,
+           sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS sxx0,
+           sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS sxx1,
+           sum(CASE WHEN arm = 0 THEN x * y ELSE 0 END) AS sxy0,
+           sum(CASE WHEN arm = 1 THEN x * y ELSE 0 END) AS sxy1,
+           sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS syy0,
+           sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS syy1
+           FROM pa),
+       e AS (SELECT n0, n1,
+           CAST(n0 + n1 AS DOUBLE) AS n,
+           CAST(sx0 + sx1 AS DOUBLE) AS sx,
+           CAST(sy0 + sy1 AS DOUBLE) AS sy,
+           CAST(sxx0 + sxx1 AS DOUBLE) AS sxx,
+           CAST(sxy0 + sxy1 AS DOUBLE) AS sxy,
+           CAST(syy0 + syy1 AS DOUBLE) AS syy,
+           CAST(sy0 AS DOUBLE) / n0 AS my0,
+           CAST(sy1 AS DOUBLE) / n1 AS my1,
+           CAST(sx0 AS DOUBLE) / n0 AS mx0,
+           CAST(sx1 AS DOUBLE) / n1 AS mx1
+           FROM m),
+       f AS (SELECT n0, n1, my0, my1, mx0, mx1,
+           sxx * n - sx * sx AS var_x,
+           syy * n - sy * sy AS var_y,
+           sxy * n - sx * sy AS cov,
+           sx / n AS mxp
+           FROM e)
+       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0 THEN
+               CAST(floor((cov / var_x)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS theta_fp,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+               CAST(floor((my1 - my0)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS lift_raw_fp,
+           CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0 THEN
+               CAST(floor((
+                    (my1 - cov / var_x * (mx1 - mxp))
+                    - (my0 - cov / var_x * (mx0 - mxp)))
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS lift_cuped_fp,
+           CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0
+                     AND var_y > 0.0 THEN
+               CAST(floor((cov * cov / (var_x * var_y))
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS rho2_fp
+       FROM f""",
+)
+def ml_ab_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment card
+    (operators/experiment.cuped_readout, Deng et al. WSDM'13): the
+    pre-period event count (days 1-10) is the covariate, post-period
+    purchase revenue in integer cents is the outcome, theta =
+    cov/var over the pooled users, and rho^2 reports how much
+    outcome variance the covariate removed. Everything data-sized
+    reduces to integer sufficient statistics in one map-side-combined
+    pass (second moments in decimal so 1e9 users can't wrap); the
+    card is a handful of canonical-order float ops over 6 integers,
+    so it hash-replays in the oracle."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.cuped_readout(
+        ev, "user_id",
+        F.dayofmonth("ts") <= 10,
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+    )
+
+
+@_q("ml_ab_bootstrap", _bootstrap_sql())
+def ml_ab_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the A/B revenue lift
+    (operators/experiment.bootstrap_lift_ci): 40 resamples without
+    ever materializing one — each replica weights every user by a
+    Poisson(1) draw inverse-CDF'd from md5(user||replica), integer
+    thresholds shared verbatim with the oracle, so the whole CI
+    replays bit-for-bit. One per-user pass, a bounded ×40 explode
+    map-side combined into 80 groups, order-statistic CI over the
+    40 replica lifts. The distributed bootstrap, deterministic."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.bootstrap_lift_ci(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+        n_replicas=40,
+    )
+
+
+@_q(
+    "ml_ab_stratified",
+    f"""WITH u AS (SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' AND value > 200.0
+               THEN 1 ELSE 0 END) AS c
+           FROM events GROUP BY user_id),
+       j AS (SELECT u.user_id, u.c, cu.c_mktsegment AS stratum,
+                    {_ARM_SQL} AS arm
+             FROM u JOIN customer cu ON u.user_id = cu.c_custkey),
+       per AS (SELECT stratum,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS ca,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+           sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS cb
+           FROM j GROUP BY stratum),
+       t AS (SELECT sum(na + nb) AS nw FROM per
+             WHERE na > 0 AND nb > 0),
+       rows_ AS (SELECT stratum,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 THEN CAST(floor(1000000 * ca / na)
+               AS BIGINT) END AS rate_a_fp,
+           CASE WHEN nb > 0 THEN CAST(floor(1000000 * cb / nb)
+               AS BIGINT) END AS rate_b_fp,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(floor((CAST(cb AS DOUBLE) / nb
+                    - CAST(ca AS DOUBLE) / na)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS lift_fp,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(floor(1000000 * (na + nb) / nw) AS BIGINT)
+               END AS weight_fp,
+           CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(floor((CAST(na + nb AS DOUBLE) / nw
+                    * (CAST(cb AS DOUBLE) / nb
+                       - CAST(ca AS DOUBLE) / na))
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT)
+               ELSE 0 END AS contrib_fp
+           FROM per, t)
+       SELECT stratum, n_a, n_b, rate_a_fp, rate_b_fp, lift_fp,
+              weight_fp,
+              (SELECT CAST(sum(contrib_fp) AS BIGINT) FROM rows_)
+                  AS pooled_lift_fp
+       FROM rows_""",
+)
+def ml_ab_stratified(spark, sf_dir):
+    """Stratified experiment readout
+    (operators/experiment.stratified_readout): the A/B conversion
+    card per customer market segment — the Simpson's-paradox guard —
+    with the post-stratified pooled lift as the integer sum of
+    fixed-point per-stratum contributions (the PSI discipline, so
+    the headline replays regardless of partition order). One per-user
+    aggregate, one broadcast join to the customer dim, one 5x2
+    aggregate."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    return experiment.stratified_readout(
+        ev, "user_id",
+        (F.col("event_type") == "purchase") & (F.col("value") > 200.0),
+        cust, "c_custkey", "c_mktsegment",
+    )
+
+
+@_q(
+    "ml_label_agreement",
+    """WITH two AS (SELECT label AS la,
+           CASE WHEN vec_id % 7 = 0 THEN (label + 1) % 10
+                ELSE label END AS lb
+           FROM embeddings),
+       cells AS (SELECT la, lb, count(*) AS c FROM two GROUP BY la, lb),
+       pa AS (SELECT la, sum(c) AS na FROM cells GROUP BY la),
+       pb AS (SELECT lb, sum(c) AS nb FROM cells GROUP BY lb),
+       x AS (SELECT coalesce(sum(CAST(na AS HUGEINT) * nb), 0) AS s
+             FROM pa JOIN pb ON pa.la = pb.lb),
+       t AS (SELECT sum(c) AS n,
+                    coalesce(sum(CASE WHEN la = lb THEN c END), 0)
+                        AS agree
+             FROM cells)
+       SELECT CAST(n AS BIGINT) AS n,
+              CAST(agree AS BIGINT) AS n_agree,
+              CAST(floor((CAST(agree AS DOUBLE) / n)
+                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   AS BIGINT) AS po_fp,
+              CAST(floor((CAST(s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n))
+                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                   AS BIGINT) AS pe_fp,
+              CASE WHEN CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                        < 1.0 THEN
+                  CAST(floor((
+                       (CAST(agree AS DOUBLE) / n
+                        - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+                       / (CAST('1.0' AS DOUBLE)
+                          - CAST(s AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * n)))
+                       * CAST(1000000 AS DOUBLE)
+                       + CAST('0.5' AS DOUBLE)) AS BIGINT)
+              END AS kappa_fp
+       FROM t, x""",
+)
+def ml_label_agreement(spark, sf_dir):
+    """Inter-annotator agreement card
+    (operators/evalmetrics.cohen_kappa): the labeling-QA gate —
+    annotator B re-labels the embedding corpus with deterministic
+    disagreements (every 7th id shifts one class), and the card
+    reports observed vs chance agreement and Cohen's kappa. Chance
+    agreement's marginal cross-product accumulates as an exact
+    decimal integer; three canonical-order float divisions finish.
+    One <=|labels|^2-cell aggregate, then 1-row arithmetic."""
+    from ..operators.evalmetrics import cohen_kappa
+
+    e = load(spark, sf_dir, "embeddings")
+    two = e.select(
+        F.col("label").alias("la"),
+        F.when(F.col("vec_id") % 7 == 0, (F.col("label") + 1) % 10)
+        .otherwise(F.col("label")).alias("lb"),
+    )
+    return cohen_kappa(two, "la", "lb")
+
+
+@_q(
+    "ml_ab_welch",
+    f"""WITH pu AS (SELECT user_id,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT)
+               ELSE 0 END), 0) AS y
+           FROM events GROUP BY user_id),
+       pa AS (SELECT {_ARM_SQL} AS arm, y FROM pu),
+       m AS (SELECT
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS s0,
+           sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS s1,
+           sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS q0,
+           sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS q1
+           FROM pa),
+       e AS (SELECT n0, n1,
+           CAST(s0 AS DOUBLE) / n0 AS m0,
+           CAST(s1 AS DOUBLE) / n1 AS m1,
+           (CAST(q0 AS DOUBLE) * n0 - CAST(s0 AS DOUBLE) * s0)
+               / (CAST(n0 AS DOUBLE) * (n0 - 1)) AS v0,
+           (CAST(q1 AS DOUBLE) * n1 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1
+           FROM m),
+       f AS (SELECT n0, n1, m0, m1, v0, v1,
+                    v0 / n0 + v1 / n1 AS se2
+             FROM e)
+       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CASE WHEN n0 > 0 THEN
+               CAST(floor((m0) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS mean_a_fp,
+           CASE WHEN n1 > 0 THEN
+               CAST(floor((m1) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS mean_b_fp,
+           CASE WHEN n0 > 0 AND n1 > 0 THEN
+               CAST(floor((m1 - m0) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS lift_fp,
+           CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0 THEN
+               CAST(floor(((m1 - m0) / sqrt(se2))
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS t_fp,
+           CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0 THEN
+               CAST(floor(((se2 * se2)
+                    / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                       + (v1 / n1) * (v1 / n1) / (n1 - 1)))
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS df_fp
+       FROM f""",
+)
+def ml_ab_welch(spark, sf_dir):
+    """Welch's unequal-variance t for per-user revenue
+    (operators/experiment.welch_t_readout) — the mean-metric
+    companion of the proportion z card, with Welch-Satterthwaite
+    degrees of freedom. Exact integer/decimal sufficient statistics
+    in one pass; the statistic is canonical-order float ops over six
+    integers, so even t and df hash-replay."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.welch_t_readout(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+    )
+
+
+@_q(
+    "ml_ab_ratio_delta",
+    f"""WITH pu AS (SELECT user_id,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT)
+               ELSE 0 END), 0) AS nu,
+           coalesce(sum(CASE WHEN event_type IN ('view', 'click')
+               THEN 1 ELSE 0 END), 0) AS de
+           FROM events GROUP BY user_id),
+       pa AS (SELECT {_ARM_SQL} AS arm, nu, de FROM pu),
+       m AS (SELECT
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN nu ELSE 0 END) AS sn0,
+           sum(CASE WHEN arm = 1 THEN nu ELSE 0 END) AS sn1,
+           sum(CASE WHEN arm = 0 THEN de ELSE 0 END) AS sd0,
+           sum(CASE WHEN arm = 1 THEN de ELSE 0 END) AS sd1,
+           sum(CASE WHEN arm = 0 THEN nu * nu ELSE 0 END) AS qn0,
+           sum(CASE WHEN arm = 1 THEN nu * nu ELSE 0 END) AS qn1,
+           sum(CASE WHEN arm = 0 THEN de * de ELSE 0 END) AS qd0,
+           sum(CASE WHEN arm = 1 THEN de * de ELSE 0 END) AS qd1,
+           sum(CASE WHEN arm = 0 THEN nu * de ELSE 0 END) AS qx0,
+           sum(CASE WHEN arm = 1 THEN nu * de ELSE 0 END) AS qx1
+           FROM pa),
+       e AS (SELECT n0, n1, sd0, sd1,
+           CAST(sn0 AS DOUBLE) / sd0 AS r0,
+           CAST(sn1 AS DOUBLE) / sd1 AS r1,
+           ((CAST(qn0 AS DOUBLE) * n0 - CAST(sn0 AS DOUBLE) * sn0)
+                / (CAST(n0 AS DOUBLE) * n0)
+            - 2.0 * (CAST(sn0 AS DOUBLE) / sd0)
+              * ((CAST(qx0 AS DOUBLE) * n0
+                  - CAST(sn0 AS DOUBLE) * sd0)
+                 / (CAST(n0 AS DOUBLE) * n0))
+            + (CAST(sn0 AS DOUBLE) / sd0)
+              * (CAST(sn0 AS DOUBLE) / sd0)
+              * ((CAST(qd0 AS DOUBLE) * n0
+                  - CAST(sd0 AS DOUBLE) * sd0)
+                 / (CAST(n0 AS DOUBLE) * n0)))
+           / (CAST(n0 AS DOUBLE) * (CAST(sd0 AS DOUBLE) / n0)
+              * (CAST(sd0 AS DOUBLE) / n0)) AS v0,
+           ((CAST(qn1 AS DOUBLE) * n1 - CAST(sn1 AS DOUBLE) * sn1)
+                / (CAST(n1 AS DOUBLE) * n1)
+            - 2.0 * (CAST(sn1 AS DOUBLE) / sd1)
+              * ((CAST(qx1 AS DOUBLE) * n1
+                  - CAST(sn1 AS DOUBLE) * sd1)
+                 / (CAST(n1 AS DOUBLE) * n1))
+            + (CAST(sn1 AS DOUBLE) / sd1)
+              * (CAST(sn1 AS DOUBLE) / sd1)
+              * ((CAST(qd1 AS DOUBLE) * n1
+                  - CAST(sd1 AS DOUBLE) * sd1)
+                 / (CAST(n1 AS DOUBLE) * n1)))
+           / (CAST(n1 AS DOUBLE) * (CAST(sd1 AS DOUBLE) / n1)
+              * (CAST(sd1 AS DOUBLE) / n1)) AS v1
+           FROM m)
+       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CASE WHEN sd0 > 0 THEN
+               CAST(floor((r0) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS ratio_a_fp,
+           CASE WHEN sd1 > 0 THEN
+               CAST(floor((r1) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS ratio_b_fp,
+           CASE WHEN sd0 > 0 AND sd1 > 0 THEN
+               CAST(floor((r1 - r0)
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS lift_fp,
+           CASE WHEN sd0 > 0 AND sd1 > 0 AND v0 + v1 > 0.0 THEN
+               CAST(floor(((r1 - r0) / sqrt(v0 + v1))
+                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
+                    AS BIGINT) END AS z_fp
+       FROM e""",
+)
+def ml_ab_ratio_delta(spark, sf_dir):
+    """Delta-method ratio-metric card
+    (operators/experiment.ratio_delta_readout, Deng et al. KDD'18):
+    revenue per engagement event (purchases' cents over view+click
+    counts) — a metric whose denominator varies per user, where the
+    naive per-user-mean t is wrong. Linearized variance from the
+    same one-pass exact sufficient statistics; canonical-order float
+    pipeline, hash-replayed."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.ratio_delta_readout(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+        F.when(F.col("event_type").isin("view", "click"), 1)
+        .otherwise(0),
+    )
+
+
+@_q(
+    "ml_ab_quantile_lift",
+    f"""WITH pu AS (SELECT user_id,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT)
+               ELSE 0 END), 0) AS y
+           FROM events GROUP BY user_id),
+       pa AS (SELECT {_ARM_SQL} AS arm, y FROM pu),
+       q AS (SELECT arm,
+                    quantile_cont(y, 0.5) AS p50,
+                    quantile_cont(y, 0.9) AS p90,
+                    quantile_cont(y, 0.99) AS p99
+             FROM pa GROUP BY arm),
+       a AS (SELECT p50, p90, p99 FROM q WHERE arm = 0),
+       b AS (SELECT p50 AS b50, p90 AS b90, p99 AS b99
+             FROM q WHERE arm = 1)
+       SELECT 500 AS q_pmil, round(p50, 2) AS q_a,
+              round(b50, 2) AS q_b, round(b50 - p50, 2) AS lift
+       FROM a, b
+       UNION ALL
+       SELECT 900, round(p90, 2), round(b90, 2), round(b90 - p90, 2)
+       FROM a, b
+       UNION ALL
+       SELECT 990, round(p99, 2), round(b99, 2), round(b99 - p99, 2)
+       FROM a, b""",
+)
+def ml_ab_quantile_lift(spark, sf_dir):
+    """Quantile treatment effects
+    (operators/experiment.quantile_lift): per-arm exact p50/p90/p99
+    of per-user revenue and their differences — the heavy-tail lens
+    where a mean lift can be one whale and the median never moved.
+    Exact interpolated percentiles over the per-user frame (>=1e3x
+    smaller than events); Spark percentile == DuckDB quantile_cont
+    by definition, the agg_percentiles precedent."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.quantile_lift(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+    )
+
+
+@_q(
+    "ml_ab_mde",
+    f"""WITH pu AS (SELECT user_id,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100, 0) AS BIGINT)
+               ELSE 0 END), 0) AS y
+           FROM events GROUP BY user_id),
+       pa AS (SELECT {_ARM_SQL} AS arm, y FROM pu),
+       m AS (SELECT
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS s0,
+           sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS s1,
+           sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS q0,
+           sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS q1
+           FROM pa),
+       e AS (SELECT n0, n1,
+           CAST(s0 AS DOUBLE) / n0 AS m0,
+           (CAST(q0 AS DOUBLE) * n0 - CAST(s0 AS DOUBLE) * s0)
+               / (CAST(n0 AS DOUBLE) * (n0 - 1)) AS v0,
+           (CAST(q1 AS DOUBLE) * n1 - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1
+           FROM m),
+       f AS (SELECT n0, n1, m0,
+                    2.801585 * sqrt(v0 / n0 + v1 / n1) AS mde
+             FROM e)
+       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+           CASE WHEN n0 > 0 THEN
+               CAST(floor((m0) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS mean_a_fp,
+           CASE WHEN n0 > 1 AND n1 > 1 THEN
+               CAST(floor((mde) * CAST(1000000 AS DOUBLE)
+                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
+               END AS mde_abs_fp,
+           CASE WHEN n0 > 1 AND n1 > 1 THEN
+               CASE WHEN m0 > 0.0 THEN
+                   CAST(floor((mde / m0)
+                        * CAST(1000000 AS DOUBLE)
+                        + CAST('0.5' AS DOUBLE)) AS BIGINT)
+                   END END AS mde_rel_fp
+       FROM f""",
+)
+def ml_ab_mde(spark, sf_dir):
+    """Minimum-detectable-effect card (operators/experiment.mde_card):
+    given the current arms and revenue variance, the smallest true
+    lift a 5%-alpha / 80%-power test would detect — the 'is this
+    experiment big enough yet' planning number. Same one-pass exact
+    sufficient statistics as the Welch card; fixed z literals."""
+    from ..operators import experiment
+
+    ev = load(spark, sf_dir, "events")
+    return experiment.mde_card(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+        .otherwise(F.lit(0)),
+    )
+
+
+__all__ = [
+    "ml_kmeans_centroids",
+    "ml_kmeans_scalable_init",
+    "ml_pca_top_component",
+    "ml_kcenter_coreset",
+    "ml_negative_audit",
+    "ml_mmr_select",
+    "ml_hybrid_rrf",
+    "ml_retrieval_metrics",
+    "ml_hard_negatives",
+    "ml_cascade_rerank",
+    "ml_auc_gate",
+    "ml_calibration_bins",
+    "ml_lift_table",
+    "ml_roc_points",
+    "ml_pr_curve",
+    "ml_best_threshold",
+    "ml_grouped_metrics",
+    "ml_semihard_negatives",
+    "ml_ab_test",
+    "ml_ab_srm",
+    "ml_ab_cuped",
+    "ml_ab_bootstrap",
+    "ml_ab_stratified",
+    "ml_label_agreement",
+    "ml_ab_welch",
+    "ml_ab_ratio_delta",
+    "ml_ab_quantile_lift",
+    "ml_ab_mde",
+]

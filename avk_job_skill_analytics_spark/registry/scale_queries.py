@@ -1,10 +1,15 @@
-"""Beyond-reference scale operators bound to driver testdata.
+"""Beyond-reference scale operators bound to driver testdata — façade.
 
-Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
-cosine), ANN similarity search, text analysis, and multimodal
-plumbing — each with a DuckDB oracle where SQL can express it.
+Round 12 split the former 7.4k-line module into family files
+(scale_dd / scale_ann / scale_mm / scale_txt / scale_ml / scale_misc
+over shared helpers in scale_common); this module merges their
+registries back into the ORIGINAL registration order — the driver's
+correctness gate samples the head of the registry, so order is part
+of the surface — and re-exports every helper and query function so
+existing importers (streaming_queries, io_queries, tests) are
+unchanged.
 
-Oracle-generation notes:
+Oracle-generation notes (unchanged from the pre-split module):
 - MinHash/SimHash/fingerprint SQL is GENERATED from the same constants
   as the Spark plan (operators/hashing.py), so both engines compute
   bit-identical signatures;
@@ -16,7418 +21,191 @@ Oracle-generation notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Window
-from pyspark.sql import functions as F
-
-from ..operators.multimodal import CLONE_ID_BASE
-from ..operators import (
-    dedup,
-    graph,
-    multimodal,
-    privacy,
-    sampling,
-    similarity,
-    ssjoin,
-    textstats,
+from .scale_common import *  # noqa: F401,F403
+from .scale_dd import *  # noqa: F401,F403
+from .scale_ann import *  # noqa: F401,F403
+from .scale_mm import *  # noqa: F401,F403
+from .scale_txt import *  # noqa: F401,F403
+from .scale_ml import *  # noqa: F401,F403
+from .scale_misc import *  # noqa: F401,F403
+from . import (  # noqa: E402  (import order fixed: dd before misc,
+    scale_ann,  # ann before ml — the lazy cross-family oracle
+    scale_common,  # accessors in scale_common resolve at call time)
+    scale_dd,
+    scale_misc,
+    scale_ml,
+    scale_mm,
+    scale_txt,
 )
-from ..operators.hashing import (
-    MERSENNE_P,
-    affine_hash_sql,
-    md5_long,
-    md5_long_sql,
-    minhash_coeffs,
-)
-from ..plans.schemas import load
-from ._fixtures import FixtureMemo
 
-QUERIES = {}
-ORACLES = {}
+_PARTS = (scale_dd, scale_ann, scale_mm, scale_txt, scale_ml,
+          scale_misc)
 
-
-def _q(name, oracle=None):
-    def reg(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-    return reg
-
-
-# ---------------------------------------------------------- exact dedup
-@_q(
+# The exact pre-split registration order (families interleave — the
+# file grew by accretion over rounds 4-11 and the driver gate samples
+# the registry head, so the order is pinned, not cosmetic).
+_ORDER = (
     "dd_exact_groups",
-    """WITH all_docs AS (
-         SELECT doc_id, text FROM documents
-         UNION ALL
-         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
-       SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
-              count(*) AS n_copies
-       FROM all_docs GROUP BY md5(text)""",
-)
-def dd_exact_groups(spark, sf_dir):
-    """Exact dedup via hash-groupBy. Duplicates are synthesized
-    in-query (testdata texts are all distinct): every 5th doc is
-    re-inserted under a shifted id, so 1/5 of groups have n_copies=2."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = d.filter(F.col("doc_id") % 5 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 100000
-    )
-    groups = dedup.exact_dup_groups(d.unionByName(dup), "doc_id", "text")
-    return groups.select(
-        F.md5("text").alias("text_hash"), "keep_id", "n_copies"
-    )
-
-
-# ------------------------------------------------------- shared SQL CTEs
-_SHINGLE_CTE = """
-  w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-  sh AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(generate_series(1, len(w) - 2),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-         FROM w WHERE len(w) >= 3)
-"""
-
-_VERIFY_SQL = """
-  sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-  inter AS (SELECT c.a, c.b, count(*) AS i
-            FROM cand c
-            JOIN sh s1 ON s1.doc_id = c.a
-            JOIN sh s2 ON s2.doc_id = c.b AND s1.shingle = s2.shingle
-            GROUP BY c.a, c.b)
-  SELECT i.a AS doc_a, i.b AS doc_b,
-         round(i.i / (x.n + y.n - i.i), 4) AS jaccard
-  FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
-  WHERE round(i.i / (x.n + y.n - i.i), 4) >= {thr}
-"""
-
-
-def _lsh_cand_ctes(num_hashes: int, bands: int, src: str = "sh") -> str:
-    """sig_t/bands_t/cand CTE block over an in-scope ``src(doc_id,
-    shingle)`` relation — the banding replay shared by every
-    LSH-candidate oracle (same hash constants as the engine, so
-    candidate sets match bit-for-bit)."""
-    rows = num_hashes // bands
-    h = f"({md5_long_sql('shingle')} % {MERSENNE_P})"
-    mins = ",\n            ".join(
-        f"min({affine_hash_sql(h, a, b)}) AS m{j}"
-        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    )
-    band_selects = "\n    UNION ALL\n".join(
-        "    SELECT doc_id, {b} AS band, concat({cols}) AS sig FROM sig_t".format(
-            b=b,
-            cols=", '_', ".join(
-                f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
-            ),
-        )
-        for b in range(bands)
-    )
-    return f"""sig_t AS (SELECT doc_id,
-            {mins}
-            FROM {src} GROUP BY doc_id),
-  bands_t AS (
-{band_selects}),
-  cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           FROM bands_t x JOIN bands_t y
-             ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"""
-
-
-def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
-    return f"""WITH {_SHINGLE_CTE},
-  {_lsh_cand_ctes(num_hashes, bands)},
-{_VERIFY_SQL.format(thr=threshold)}"""
-
-
-@_q("dd_minhash_lsh", _minhash_sql(16, 8, 0.5))
-def dd_minhash_lsh(spark, sf_dir):
-    """MinHash(16) + LSH(8 bands x 2 rows) near-dup pairs, exact-Jaccard
-    verified at >= 0.5. The oracle SQL is generated from the same hash
-    constants, so candidate sets match bit-for-bit."""
-    d = load(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_dedup(
-        d, "doc_id", "text", k=3, num_hashes=16, bands=8, threshold=0.5
-    )
-
-
-@_q(
+    "dd_minhash_lsh",
     "dd_lsh_bucket_audit",
-    f"""WITH {_SHINGLE_CTE},
-  {_lsh_cand_ctes(16, 8)},
-  bsz AS (SELECT band, sig, count(*) AS n
-          FROM bands_t GROUP BY band, sig)
-  SELECT CAST(band AS BIGINT) AS band,
-         count(*) AS colliding_buckets,
-         CAST(max(n) AS BIGINT) AS max_bucket,
-         count(*) FILTER (WHERE n > 2) AS dropped_buckets,
-         CAST(coalesce(sum(CAST(n AS BIGINT) * (n - 1) // 2)
-                           FILTER (WHERE n > 2), 0) AS BIGINT)
-             AS pruned_pairs
-  FROM bsz WHERE n > 1 GROUP BY band""",
-)
-def dd_lsh_bucket_audit(spark, sf_dir):
-    """The no-silent-caps ledger for the LSH stage
-    (dedup.lsh_bucket_census): per band, colliding buckets, the
-    largest bucket, and — at a deliberately aggressive cap of 2 so
-    the drop path is exercised at test scale — how many buckets the
-    cap would drop and the candidate-pair mass they would have
-    expanded. In production the same census runs at the real
-    max_bucket_size (10,000) and lands in the data card
-    (pipeline_data_card.lsh_dropped_buckets), so candidate pruning
-    is always a published number, never a silent footnote."""
-    d = load(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(d, "doc_id", "text", 3)
-    sig = dedup.minhash_signatures(sh, "doc_id", 16)
-    bands_df = dedup.lsh_bands(sig, "doc_id", 8, 2)
-    return dedup.lsh_bucket_census(bands_df, "doc_id", max_bucket_size=2)
-
-
-@_q(
     "dd_ngram_jaccard",
-    f"""WITH {_SHINGLE_CTE},
-  cand AS (SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
-           FROM sh s1 JOIN sh s2
-             ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
-{_VERIFY_SQL.format(thr=0.5)}""",
-)
-def dd_ngram_jaccard(spark, sf_dir):
-    """Exact all-pairs 3-gram Jaccard >= 0.5 via the inverted index —
-    the exhaustive baseline for the LSH path (same verify stage, no
-    candidate pruning)."""
-    d = load(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
-
-
-_NGRAM_PAIRS_SQL = f"""WITH {_SHINGLE_CTE},
-  cand AS (SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
-           FROM sh s1 JOIN sh s2
-             ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
-{_VERIFY_SQL.format(thr=0.5)}"""
-
-
-@_q(
     "dd_dup_clusters",
-    f"""WITH RECURSIVE pairs AS (
-{_NGRAM_PAIRS_SQL}
-       ),
-       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                 UNION SELECT doc_b, doc_a FROM pairs),
-       reach(v, r) AS (
-         SELECT s, s FROM edges
-         UNION
-         SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
-       )
-       SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""",
-)
-def dd_dup_clusters(spark, sf_dir):
-    """Near-dup pairs → duplicate clusters via connected components
-    (min-label propagation; the oracle computes the same components
-    with a recursive transitive-closure CTE). cluster_id = the
-    surviving (minimum) doc id of each component."""
-    d = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
-    return dedup.duplicate_clusters(pairs)
-
-
-@_q("dd_dup_clusters_twostar", ORACLES["dd_dup_clusters"])
-def dd_dup_clusters_twostar(spark, sf_dir):
-    """Same components, scale algorithm: large-star/small-star
-    alternation (O(log n) rounds regardless of graph diameter —
-    the variant you'd run on an adversarial 100 TB pair graph).
-    Shares dd_dup_clusters' transitive-closure oracle: identical
-    (doc_id, cluster_id) output is the point."""
-    d = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
-    return graph.connected_components_twostar(pairs)
-
-
-# --------------------------------------------------------------- SimHash
-def _simhash_sql(bits: int) -> str:
-    h = md5_long_sql("tok")
-    votes = ",\n           ".join(
-        f"sum((( {h} >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(bits)
-    )
-    sig = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
-    )
-    return f"""WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-               FROM documents),
-  v AS (SELECT doc_id,
-           {votes}
-        FROM t WHERE tok <> '' GROUP BY doc_id)
-  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v"""
-
-
-@_q("dd_simhash", _simhash_sql(16))
-def dd_simhash(spark, sf_dir):
-    """16-bit SimHash signatures per document (near-dups collide;
-    bucket by signature to dedup). Oracle generated from the same
-    bit-vote construction."""
-    d = load(spark, sf_dir, "documents")
-    return dedup.simhash_signatures(d, "doc_id", "text", bits=16)
-
-
-# ------------------------------------------------- embedding cosine dedup
-_DOT = (
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform(generate_series(1, len({a})), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
-    "(x, y) -> x + y)"
-)
-
-
-def _cos_sql(a: str, b: str) -> str:
-    return (
-        f"({_DOT.format(a=a, b=b)} / "
-        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})))"
-    )
-
-
-@_q(
+    "dd_dup_clusters_twostar",
+    "dd_simhash",
     "dd_embedding_cosine",
-    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
-       FROM embeddings a JOIN embeddings b
-         ON a.label = b.label AND a.vec_id < b.vec_id
-       WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.4""",
-)
-def dd_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: cosine >= 0.4 blocked by label
-    (all-pairs within a block only — the blocked/clustered regime that
-    scales; label stands in for a cluster/LSH-bucket assignment)."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.blocked_cosine_pairs(
-        e, "vec_id", "embedding", "label", threshold=0.4
-    ).select(
-        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
-    )
-
-
-# ------------------------------------------------------------ ANN top-k
-@_q(
     "ann_cosine_topk",
-    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                  FROM embeddings WHERE vec_id < 10),
-       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-                    round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cosine
-             FROM q, embeddings c WHERE c.vec_id <> q.query_id)
-       SELECT query_id, neighbor_id, cosine, rk FROM (
-         SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         FROM s) t
-       WHERE rk <= 5""",
-)
-def ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-5 for a 10-query batch: broadcast
-    queries, single corpus scan, per-query bounded window. The exact
-    baseline every ANN variant is measured against."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(
-        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
-    )
-
-
-@_q(
     "emb_similarity_histogram",
-    f"""WITH s AS (SELECT vec_id, embedding FROM embeddings
-           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-           LIMIT 128),
-       p AS (SELECT CAST(floor(
-               ({_cos_sql('a.embedding', 'b.embedding')})
-               * 1000000.0 + 0.5) AS BIGINT) AS cos_fp
-             FROM s a JOIN s b ON a.vec_id < b.vec_id),
-       h AS (SELECT least(CAST(floor((cos_fp + 1000000) / 125000)
-                          AS BIGINT), 15) AS bucket,
-                    count(*) AS n, sum(cos_fp) AS sc
-             FROM p GROUP BY 1)
-       SELECT bucket, CAST(n AS BIGINT) AS n,
-              CAST(floor(sc / n) AS BIGINT) AS mean_cos_fp
-       FROM h""",
-)
-def emb_similarity_histogram(spark, sf_dir):
-    """Embedding anisotropy/collapse audit
-    (operators/similarity.similarity_histogram): pairwise-cosine
-    distribution over a deterministic 128-vector knuth-ordered
-    sample — TakeOrderedAndProject sample, broadcast k-row self-join,
-    fixed 8128-pair cost at every corpus size."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.similarity_histogram(
-        e, "vec_id", "embedding", sample_k=128, n_buckets=16
-    )
-
-
-def _ivf_probe_sql(n_probe: int) -> str:
-    """DuckDB twin of similarity.ivf_topk at a given probe width —
-    shared by ann_ivf_topk (n_probe=2) and the ann_probe_sweep
-    recall curve."""
-    return f"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
-                     FROM embeddings ORDER BY vec_id LIMIT 8),
-       asg AS (SELECT e.vec_id AS neighbor_id, e.embedding AS ev, c.cid,
-                      row_number() OVER (PARTITION BY e.vec_id
-                        ORDER BY round({_cos_sql('e.embedding', 'c.cv')}, 6) DESC,
-                                 c.cid) AS rk
-               FROM embeddings e, cent c),
-       cell AS (SELECT neighbor_id, ev, cid FROM asg WHERE rk = 1),
-       q AS (SELECT vec_id AS query_id, embedding AS qv
-             FROM embeddings WHERE vec_id < 10),
-       probe AS (SELECT x.query_id, x.qv, c.cid,
-                        row_number() OVER (PARTITION BY x.query_id
-                          ORDER BY round({_cos_sql('x.qv', 'c.cv')}, 6) DESC,
-                                   c.cid) AS rk
-                 FROM q x, cent c),
-       pr AS (SELECT query_id, qv, cid FROM probe
-              WHERE rk <= {n_probe}),
-       s AS (SELECT pr.query_id, cell.neighbor_id,
-                    round({_cos_sql('pr.qv', 'cell.ev')}, 6) AS cosine
-             FROM pr JOIN cell USING (cid)
-             WHERE cell.neighbor_id <> pr.query_id)
-       SELECT query_id, neighbor_id, cosine, rk FROM (
-         SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         FROM s) t
-       WHERE rk <= 5"""
-
-
-@_q("ann_ivf_topk", _ivf_probe_sql(2))
-def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-5: corpus partitioned into 8 centroid
-    cells, queries probe their 2 nearest cells. The oracle replays the
-    same assignment/probe/scoring in SQL (same rounded-cosine
-    tie-breaks), so recall loss vs brute force is identical on both
-    engines."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, n_centroids=8, n_probe=2,
-    )
-
-
-_SWEEP_PROBES = (1, 2, 4, 8)
-
-
-def _probe_sweep_block(p: int) -> str:
-    return f"""SELECT CAST({p} AS BIGINT) AS n_probe,
-       CAST(sum(h) AS BIGINT) AS n_hits,
-       CAST(floor(1000000 * sum(h) / 50) AS BIGINT) AS recall_fp,
-       CAST(min(h) AS BIGINT) AS min_hits
-    FROM (SELECT b.query_id, count(i.neighbor_id) AS h
-          FROM ({ORACLES["ann_cosine_topk"]}) b
-          LEFT JOIN ({_ivf_probe_sql(p)}) i
-            ON i.query_id = b.query_id
-           AND i.neighbor_id = b.neighbor_id
-          GROUP BY b.query_id)"""
-
-
-@_q(
+    "ann_ivf_topk",
     "ann_probe_sweep",
-    " UNION ALL ".join(_probe_sweep_block(p) for p in _SWEEP_PROBES),
-)
-def ann_probe_sweep(spark, sf_dir):
-    """The IVF tuning curve an operator reads before picking n_probe:
-    recall@5 against the exact brute-force truth at probe widths
-    1/2/4/8 (total and worst-query hits per width). Monotone in
-    n_probe by construction — the row where the curve flattens is the
-    cheapest safe setting. Composes the existing ivf_topk and
-    cosine_topk operators four times; the brute truth plan is
-    identical in every branch and the probed side is cell-bounded, so
-    the sweep costs ~4x one probed query, not 4x a corpus scan."""
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    brute = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
-    parts = []
-    for p in _SWEEP_PROBES:
-        ivf = similarity.ivf_topk(
-            e, q, "vec_id", "embedding",
-            k=5, n_centroids=8, n_probe=p,
-        ).select(
-            "query_id", "neighbor_id", F.lit(1).alias("_hit")
-        )
-        per_q = (
-            brute.join(ivf, ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(F.count(F.col("_hit")).alias("_h"))
-        )
-        parts.append(
-            per_q.agg(
-                F.sum("_h").alias("_hits"), F.min("_h").alias("_mn")
-            ).select(
-                F.lit(p).cast("long").alias("n_probe"),
-                F.col("_hits").cast("long").alias("n_hits"),
-                F.floor(
-                    F.lit(1_000_000) * F.col("_hits") / F.lit(50)
-                ).cast("long").alias("recall_fp"),
-                F.col("_mn").cast("long").alias("min_hits"),
-            )
-        )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
-    return out
-
-
-def _rp_sql(d_in: int, d_out: int, seed: int) -> str:
-    """DuckDB twin of linalg.random_projection: the SAME ±1 sign
-    constants (generated by the same rp_signs call) folded in the
-    same left-to-right order, scaled and rounded identically."""
-    import math
-
-    from ..operators.linalg import rp_signs
-
-    signs = rp_signs(seed, d_in, d_out)
-    scale = f"CAST('{math.sqrt(float(d_out))!r}' AS DOUBLE)"
-
-    def arr(vals):
-        return "[" + ", ".join(
-            f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals
-        ) + "]"
-
-    selects = []
-    for j in range(d_out):
-        dot = (
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {d_in}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr(signs[j])})[i])), "
-            "(x, y) -> x + y)"
-        )
-        selects.append(
-            f"SELECT vec_id, CAST({j + 1} AS BIGINT) AS out_dim, "
-            f"round({dot} / {scale}, 6) + CAST(0.0 AS DOUBLE) AS value "
-            "FROM embeddings"
-        )
-    return "\nUNION ALL\n".join(selects)
-
-
-@_q("emb_random_projection", _rp_sql(64, 16, 7))
-def emb_random_projection(spark, sf_dir):
-    """Johnson–Lindenstrauss sign projection 64 → 16 dims
-    (linalg.random_projection): the dimensionality-reduction front end
-    for ANN/clustering at large d, one corpus scan with the ±1 matrix
-    inlined as literals — zero shuffle, zero Python. The oracle folds
-    the identical sign constants in the identical order."""
-    from ..operators.linalg import random_projection
-
-    e = load(spark, sf_dir, "embeddings")
-    return random_projection(
-        e, "vec_id", "embedding", d_in=64, d_out=16, seed=7
-    )
-
-
-@_q(
+    "emb_random_projection",
     "ann_recall_report",
-    f"""WITH ivf AS ({ORACLES["ann_ivf_topk"]}),
-       brute AS ({ORACLES["ann_cosine_topk"]})
-       SELECT b.query_id,
-              count(i.neighbor_id) AS n_hits,
-              round(count(i.neighbor_id) / 5.0, 4) AS recall_at_5
-       FROM brute b LEFT JOIN ivf i
-         ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
-       GROUP BY b.query_id""",
-)
-def ann_recall_report(spark, sf_dir):
-    """The honesty ledger for approximate search: per query, how many
-    of the exact brute-force top-5 the probed IVF index actually
-    returned (recall@5). Publish this next to any ANN deployment —
-    approximation error becomes a per-query number instead of a
-    footnote, and a recall regression (bad centroids, too few probes)
-    shows up in the artifact. Composes the two existing operators;
-    the oracle composes their two existing replays."""
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    brute = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
-    ivf = similarity.ivf_topk(
-        e, q, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2
-    ).select(
-        F.col("query_id"), F.col("neighbor_id"), F.lit(1).alias("_hit")
-    )
-    return (
-        brute.join(ivf, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.col("_hit")).alias("n_hits"),
-            F.round(F.count(F.col("_hit")) / F.lit(5.0), 4)
-            .alias("recall_at_5"),
-        )
-    )
-
-
-def _lsh_topk_sql(dim: int, planes: int, n_queries: int,
-                  topk: int) -> str:
-    """DuckDB twin of similarity.lsh_topk: the hyperplane components
-    are deterministic driver-side constants (similarity._plane_sign),
-    so the oracle inlines the SAME ±1 arrays and folds the same
-    left-to-right dot — signatures, buckets, and the recall loss all
-    match bit-for-bit."""
-    from ..operators.similarity import _plane_sign
-
-    def dot_p(p: int) -> str:
-        arr = "[" + ", ".join(
-            f"CAST('{_plane_sign(p, i)!r}' AS DOUBLE)" for i in range(dim)
-        ) + "]"
-        return (
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
-            "(x, y) -> x + y)"
-        )
-
-    sig = " + ".join(
-        f"CASE WHEN {dot_p(p)} > 0 THEN CAST({1 << p} AS BIGINT) "
-        "ELSE CAST(0 AS BIGINT) END"
-        for p in range(planes)
-    )
-    cos = _cos_sql("c.cv", "q.qv")
-    return f"""WITH sigs AS MATERIALIZED (
-         SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
-       q AS (SELECT vec_id AS query_id, embedding AS qv, sig
-             FROM sigs WHERE vec_id < {n_queries}),
-       c AS (SELECT vec_id AS neighbor_id, embedding AS cv, sig
-             FROM sigs),
-       s AS (SELECT q.query_id, c.neighbor_id,
-                    round({cos}, 6) AS cosine
-             FROM c JOIN q USING (sig)
-             WHERE c.neighbor_id <> q.query_id)
-       SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
-       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY cosine DESC, neighbor_id) AS rk FROM s) t
-       WHERE rk <= {topk}"""
-
-
-@_q("ann_lsh_topk", _lsh_topk_sql(64, 4, 10, 5))
-def ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k via random-hyperplane LSH bucketing (recall<1
-    by design — the scale path when the query set is itself huge).
-    The hyperplane signs are deterministic md5-derived constants
-    computed driver-side, so the oracle replays the identical
-    signatures and bucket joins — both engines miss the same
-    neighbors and the survivor ranking hash-matches."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(
-        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        dim=64, k=5, planes=4,
-    )
-
-
-# ---------------------------------------------------------- k-NN graph
-def _knn_graph_ctes(dim: int, planes: int, topk: int) -> str:
-    """sigs/knn CTE block — the DuckDB replay of similarity.knn_graph
-    (same hyperplane constants, same within-bucket top-k)."""
-    from ..operators.similarity import _plane_sign
-
-    def dot_p(p: int) -> str:
-        arr = "[" + ", ".join(
-            f"CAST('{_plane_sign(p, i)!r}' AS DOUBLE)" for i in range(dim)
-        ) + "]"
-        return (
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
-            "(x, y) -> x + y)"
-        )
-
-    sig = " + ".join(
-        f"CASE WHEN {dot_p(p)} > 0 THEN CAST({1 << p} AS BIGINT) "
-        "ELSE CAST(0 AS BIGINT) END"
-        for p in range(planes)
-    )
-    cos = _cos_sql("a.embedding", "b.embedding")
-    return f"""sigs AS MATERIALIZED (
-         SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
-       sp AS (SELECT a.vec_id AS src, b.vec_id AS neighbor_id,
-                     round({cos}, 6) AS cosine
-              FROM sigs a JOIN sigs b
-                ON a.sig = b.sig AND a.vec_id <> b.vec_id),
-       knn AS MATERIALIZED (
-         SELECT src, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
-         FROM (SELECT *, row_number() OVER (PARTITION BY src
-                  ORDER BY cosine DESC, neighbor_id) AS rk FROM sp) t
-         WHERE rk <= {topk})"""
-
-
-@_q(
+    "ann_lsh_topk",
     "ann_knn_graph",
-    f"""WITH {_knn_graph_ctes(64, 4, 3)}
-       SELECT src, neighbor_id, cosine, rk FROM knn""",
-)
-def ann_knn_graph(spark, sf_dir):
-    """Approximate k-NN GRAPH over the whole corpus — the all-pairs
-    regime (every vector is query and corpus at once) where brute
-    force is n^2: hyperplane-LSH bucketing caps the self-join at
-    sum(bucket_size^2) pairs and each node ranks its top-3 inside its
-    bucket only. planes is the cost dial (each extra plane halves
-    expected bucket size). The oracle replays identical signatures
-    and ranking, so both engines miss exactly the same cross-bucket
-    neighbors. The edge list feeds mutual-kNN clustering and
-    SemDeDup-style graph pruning downstream."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.knn_graph(
-        e, "vec_id", "embedding", dim=64, k=3, planes=4
-    )
-
-
-@_q(
     "graph_knn_mutual_components",
-    f"""WITH RECURSIVE {_knn_graph_ctes(64, 4, 3)},
-       mut AS (SELECT x.src AS s, x.neighbor_id AS d
-               FROM knn x JOIN knn y
-                 ON x.src = y.neighbor_id AND x.neighbor_id = y.src
-               WHERE x.src < x.neighbor_id),
-       edges AS (SELECT s, d FROM mut UNION SELECT d, s FROM mut),
-       reach(v, r) AS (
-         SELECT s, s FROM edges
-         UNION
-         SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v),
-       comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
-       sizes AS (SELECT cluster_id, count(*) AS csize
-                 FROM comp GROUP BY cluster_id)
-       SELECT csize, count(*) AS n_components
-       FROM sizes GROUP BY csize""",
-)
-def graph_knn_mutual_components(spark, sf_dir):
-    """Mutual-kNN clustering: keep only RECIPROCATED 3-NN edges (the
-    hubness filter — a one-way edge usually just points into a dense
-    region), then connected components via two-star alternation
-    (O(log n) rounds) and a component-size histogram. This is the
-    scalable semantic-clustering recipe (mutual-kNN components are
-    the standard cheap proxy for cluster structure before anything
-    as heavy as k-means): LSH bounds edge generation, the mutual
-    filter is a self-join on the existing edge key, and CC never
-    materializes anything bigger than the edge list. Oracle replays
-    the closure with a recursive CTE."""
-    e = load(spark, sf_dir, "embeddings")
-    edges = similarity.knn_graph(
-        e, "vec_id", "embedding", dim=64, k=3, planes=4
-    )
-    mut = graph.mutual_edges(edges, "src", "neighbor_id")
-    comp = graph.connected_components_twostar(
-        mut.select(
-            F.col("src").alias("doc_a"),
-            F.col("neighbor_id").alias("doc_b"),
-        )
-    )
-    sizes = comp.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("csize")
-    )
-    return sizes.groupBy("csize").agg(
-        F.count(F.lit(1)).alias("n_components")
-    )
-
-
-@_q(
     "emb_l2_normalize",
-    f"""WITH n AS (SELECT vec_id, embedding,
-                         sqrt({_DOT.format(a='embedding', b='embedding')})
-                           AS l2_norm
-                  FROM embeddings)
-       SELECT vec_id, round(l2_norm, 6) AS l2_norm,
-              round(CAST(embedding[1] AS DOUBLE) / l2_norm, 6) AS u0
-       FROM n WHERE l2_norm > 0""",
-)
-def emb_l2_normalize(spark, sf_dir):
-    """L2-normalize the embedding column (unit vectors make cosine a
-    plain dot product downstream — normalize once, compare many).
-    Output projects the norm and the first unit component; the full
-    unit array stays available to downstream operators."""
-    e = load(spark, sf_dir, "embeddings")
-    u = similarity.l2_normalize(e, "embedding")
-    return u.filter(F.col("norm") > 0.0).select(
-        "vec_id",
-        F.round("norm", 6).alias("l2_norm"),
-        F.round(F.element_at("unit", 1), 6).alias("u0"),
-    )
-
-
-# ------------------------------------------------------------- text: lang
-@_q(
     "txt_lang_id",
-    r"""SELECT pred_lang, count(*) AS cnt FROM (
-         SELECT CASE
-           WHEN len(regexp_extract_all(text, '\b(the|and|of|to|data)\b')) > 0
-            AND len(regexp_extract_all(text, '\b(the|and|of|to|data)\b'))
-                >= len(regexp_extract_all(text, '\b(el|la|los|las|de)\b'))
-            AND len(regexp_extract_all(text, '\b(the|and|of|to|data)\b'))
-                >= len(regexp_extract_all(text, '\b(le|la|les|des|une)\b'))
-           THEN 'en'
-           WHEN len(regexp_extract_all(text, '\b(el|la|los|las|de)\b')) > 0
-            AND len(regexp_extract_all(text, '\b(el|la|los|las|de)\b'))
-                >= len(regexp_extract_all(text, '\b(le|la|les|des|une)\b'))
-           THEN 'es'
-           WHEN len(regexp_extract_all(text, '\b(le|la|les|des|une)\b')) > 0
-           THEN 'fr'
-           ELSE 'unknown' END AS pred_lang
-         FROM documents) t
-       GROUP BY pred_lang""",
-)
-def txt_lang_id(spark, sf_dir):
-    """Marker-word language ID (argmax with code-order tie-break)."""
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.select(textstats.predict_lang(F.col("text")).alias("pred_lang"))
-        .groupBy("pred_lang")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-
-
-# ---------------------------------------------------------- text: quality
-@_q(
     "txt_quality",
-    r"""SELECT doc_id,
-              CAST(length(text) AS BIGINT) AS n_chars,
-              CAST(len(list_filter(string_split_regex(text, '\s+'),
-                                   x -> x <> '')) AS BIGINT) AS n_words,
-              round(len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
-                    / greatest(len(list_filter(string_split_regex(text, '\s+'),
-                                               x -> x <> '')), 1), 4) AS stop_ratio,
-              round(len(regexp_extract_all(text, '[^\w\s]'))
-                    / greatest(length(text), 1), 4) AS punct_ratio
-       FROM documents""",
-)
-def txt_quality(spark, sf_dir):
-    """Quality features: length, word count, stopword & punctuation
-    ratios (the standard pre-training heuristics)."""
-    d = load(spark, sf_dir, "documents")
-    f = textstats.quality_features(F.col("text"))
-    return d.select(
-        "doc_id",
-        f["n_chars"].alias("n_chars"),
-        f["n_words"].alias("n_words"),
-        f["stop_ratio"].alias("stop_ratio"),
-        f["punct_ratio"].alias("punct_ratio"),
-    )
-
-
-# ------------------------------------------------------- text: token count
-@_q(
     "txt_token_counts",
-    r"""SELECT doc_id,
-              CAST(len(list_filter(string_split_regex(text, '\s+'),
-                                   x -> x <> '')) AS BIGINT) AS n_tokens_ws,
-              CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe
-       FROM documents""",
-)
-def txt_token_counts(spark, sf_dir):
-    """Whitespace token count + BPE-ish estimate (ceil(chars/4))."""
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        textstats.word_count(F.col("text")).alias("n_tokens_ws"),
-        textstats.bpe_token_estimate(F.col("text")).alias("n_tokens_bpe"),
-    )
-
-
-# ------------------------------------------------------ text: fingerprints
-_ROLL_H = f"({md5_long_sql('x')} % {MERSENNE_P})"
-
-@_q(
     "txt_fingerprint",
-    rf"""SELECT doc_id,
-              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
-              list_reduce(
-                list_prepend(CAST(0 AS BIGINT),
-                  list_transform(
-                    list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
-                    x -> {_ROLL_H})),
-                (a, b) -> (a * 31 + b) % {MERSENNE_P}) AS fp_rolling
-       FROM documents""",
-)
-def txt_fingerprint(spark, sf_dir):
-    """Document fingerprints: canonical-form md5 (formatting-robust
-    exact dup) + order-sensitive polynomial rolling hash over token
-    hashes."""
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        textstats.canonical_fingerprint(F.col("text")).alias("fp_md5"),
-        textstats.rolling_fingerprint(F.col("text")).alias("fp_rolling"),
-    )
-
-
-# ------------------------------------------------------- text: tf-idf
-@_q(
     "txt_tfidf",
-    r"""WITH tok AS (
-         SELECT doc_id,
-                unnest(list_filter(string_split_regex(text, '\s+'),
-                                   x -> x <> '')) AS term
-         FROM documents),
-       tf AS (SELECT doc_id, term, count(*) AS tf
-              FROM tok GROUP BY doc_id, term),
-       dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
-                 FROM tok GROUP BY term),
-       n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
-       SELECT tf.doc_id, tf.term,
-              CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
-              round(tf.tf * ln(n.n / dfreq.df), 4) AS tfidf
-       FROM tf JOIN dfreq USING (term), n""",
-)
-def txt_tfidf(spark, sf_dir):
-    """TF-IDF per (document, term): two hash aggregates over the token
-    relation + a join on term; N broadcasts as a scalar. The raw-count
-    tf and ln(N/df) idf keep the math identical across engines."""
-    d = load(spark, sf_dir, "documents")
-    return textstats.tf_idf(d, "doc_id", "text")
-
-
-@_q(
     "txt_top_bigrams",
-    r"""WITH w AS (SELECT list_filter(string_split_regex(text, '\s+'),
-                                     x -> x <> '') AS w
-                  FROM documents),
-       g AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
-                           i -> w[i] || ' ' || w[i+1])) AS ngram
-             FROM w WHERE len(w) >= 2)
-       SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
-       ORDER BY cnt DESC, ngram LIMIT 20""",
-)
-def txt_top_bigrams(spark, sf_dir):
-    """Global top-20 word bigrams (corpus phrase statistics): sliding
-    n-gram expansion, one aggregate, bounded top-k."""
-    d = load(spark, sf_dir, "documents")
-    return textstats.top_ngrams(d, "doc_id", "text", n=2, k=20)
-
-
-# ------------------------------------------------------ skew-safe aggregate
-@_q(
     "a6_salted_counts",
-    "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment",
-)
-def a6_salted_counts(spark, sf_dir):
-    """A6 under key skew: explicit two-phase salted aggregate — same
-    answer as the plain groupBy (the oracle), but a hot key's rows
-    fan out over 16 reducers in phase 1 (SURVEY.md §7.4 skew note)."""
-    from ..operators import analytics as A
-
-    c = load(spark, sf_dir, "customer")
-    return A.salted_count_by_dim(c, "c_mktsegment", buckets=16)
-
-
-@_q(
     "j8_skew_join",
-    """WITH f AS (
-         SELECT CASE WHEN l_partkey % 1000 < 900 THEN 0
-                     ELSE l_partkey % 1000 END AS sk,
-                l_extendedprice
-         FROM lineitem),
-       d AS (
-         SELECT p_partkey AS sk, p_type AS type_label
-         FROM part WHERE p_partkey < 1000)
-       SELECT d.type_label, count(*) AS n_lines,
-              round(sum(f.l_extendedprice), 2) AS revenue
-       FROM f JOIN d ON f.sk = d.sk
-       GROUP BY d.type_label""",
-)
-def j8_skew_join(spark, sf_dir):
-    """Join under deliberate key skew: ~90% of fact rows share one hot
-    key (the head-category pattern SURVEY.md §7.4 flags as the 100 TB
-    risk). The values are oracle-checked here; the scale story is
-    AQE's skew-join split — the hot shuffle partition fanned out over
-    several reducer tasks at runtime — which
-    tests/test_plan_quality.py::test_skew_join_aqe_splits_hot_partition
-    asserts in the executed plan under a forced shuffle-join regime
-    (at 100 TB the build side is far beyond broadcast size).
-
-    Plan-shape note: OptimizeSkewedJoin only matches
-    SMJ(Sort(shuffle), Sort(shuffle)) — both join inputs must be raw
-    shuffle stages. The dim side is therefore a plain filtered
-    relation (unique keys via the p_partkey < 1000 slice), NOT an
-    aggregate: a HashAggregate between the Sort and the shuffle
-    defeats the rewrite and silently forfeits skew handling. Also,
-    the split granularity is map-output chunks — a fact scan that
-    reads as ONE task (e.g. a single-row-group parquet file) leaves
-    the hot partition unsplittable, so the rule reports no skew; any
-    real multi-file/multi-row-group layout scans as many tasks."""
-    hot = lambda c: F.when(c % 1000 < 900, F.lit(0)).otherwise(c % 1000)
-    f = load(spark, sf_dir, "lineitem").select(
-        hot(F.col("l_partkey")).alias("sk"), "l_extendedprice"
-    )
-    d = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") < 1000)
-        .select(F.col("p_partkey").alias("sk"), F.col("p_type").alias("type_label"))
-    )
-    return (
-        f.join(d, "sk")
-        .groupBy("type_label")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
-        )
-    )
-
-
-# ------------------------------------------------------------- multimodal
-@_q(
     "mm_decode_metadata",
-    """SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-              CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
-              CASE octet_length(encode(text)) % 3
-                WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp'
-              END AS format
-       FROM documents""",
-)
-def mm_decode_metadata(spark, sf_dir):
-    """Multimodal plumbing: opaque binary payload column → Arrow-batched
-    mapInPandas 'decode' producing typed metadata. The decode itself is
-    a deterministic stub (no codec libs here); the distributed shape —
-    binary column, batch iterator, output schema — is the real thing,
-    and the oracle checks it end-to-end."""
-    d = load(spark, sf_dir, "documents")
-    return multimodal.decode_metadata(multimodal.attach_binary(d))
-
-
-@_q(
     "mm_decode_real_headers",
-    """SELECT doc_id,
-              CAST(CASE doc_id % 6
-                WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 44
-                WHEN 3 THEN 41
-                WHEN 4 THEN (CASE WHEN (doc_id // 6) % 2 = 1
-                             THEN 26 ELSE 30 END)
-                ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
-              CAST(CASE doc_id % 6
-                WHEN 0 THEN doc_id % 640 + 1
-                WHEN 1 THEN doc_id % 320 + 1
-                WHEN 2 THEN 8000 + (doc_id % 8) * 1000
-                WHEN 3 THEN doc_id % 640 + 1
-                WHEN 4 THEN doc_id % 300 + 1
-                ELSE octet_length(encode(text)) % 640 + 1
-              END AS BIGINT) AS width,
-              CAST(CASE doc_id % 6
-                WHEN 0 THEN (doc_id * 7) % 480 + 1
-                WHEN 1 THEN doc_id % 240 + 1
-                WHEN 2 THEN doc_id % 2 + 1
-                WHEN 3 THEN (doc_id * 5) % 400 + 1
-                WHEN 4 THEN doc_id % 200 + 1
-                ELSE (octet_length(encode(text)) * 7) % 480 + 1
-              END AS BIGINT) AS height,
-              CASE doc_id % 6
-                WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
-                WHEN 3 THEN 'jpeg' WHEN 4 THEN 'webp'
-                ELSE (CASE octet_length(encode(text)) % 3
-                      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-                      ELSE 'webp' END)
-              END AS format
-       FROM documents""",
-)
-def mm_decode_real_headers(spark, sf_dir):
-    """REAL media-header decode (multimodal.parse_media_header): honest
-    struct-packed PNG/BMP/WAV/JPEG/WebP containers are synthesized per
-    document (geometry derived from the id), and the mapInPandas
-    decode reads the geometry back out of the actual header bytes —
-    big-endian IHDR for PNG, little-endian BITMAPINFOHEADER for BMP, a
-    RIFF chunk walk for WAV, a marker walk to SOF0 for JPEG, and VP8 /
-    VP8L stream headers for WebP (lossy and lossless alternate) —
-    with every 6th row a raw-text payload taking the declared stub
-    fallback. The oracle recomputes the expected ledger from the
-    synthesis parameters, so a parser that misreads any field
-    hash-mismatches immediately."""
-    d = load(spark, sf_dir, "documents")
-    return multimodal.decode_metadata(
-        multimodal.attach_synthetic_media(d, "doc_id", "text")
-    )
-
-
-@_q(
     "mm_extract_features",
-    """SELECT doc_id,
-              list_transform(
-                [CAST(octet_length(encode(text)) % 7 AS DOUBLE) / 7,
-                 CAST(octet_length(encode(text)) % 11 AS DOUBLE) / 11,
-                 CAST(octet_length(encode(text)) % 13 AS DOUBLE) / 13,
-                 CAST(octet_length(encode(text)) % 17 AS DOUBLE) / 17],
-                x -> round(x, 6)) AS embedding
-       FROM documents""",
-)
-def mm_extract_features(spark, sf_dir):
-    """Multimodal feature extraction: binary payload → fixed-dim
-    embedding via Arrow-batched mapInPandas (deterministic stub body;
-    real plumbing). Output composes directly with the ANN operators."""
-    d = load(spark, sf_dir, "documents")
-    out = multimodal.extract_features(multimodal.attach_binary(d))
-    return out.select(
-        "doc_id",
-        F.transform(F.col("embedding"), lambda x: F.round(x, 6)).alias(
-            "embedding"
-        ),
-    )
-
-
-@_q(
     "mm_frame_sample",
-    """SELECT doc_id,
-              unnest(generate_series(0, doc_id % 4 + 1, 2))
-                  AS frame_idx
-       FROM documents""",
-)
-def mm_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing over REAL decode: per document a
-    genuine Y4M stream (attach_video_media, n_frames = id%4+2), whose
-    frame count is read back by actually parsing the stream
-    (frame_sample_plan → decode_y4m), then exploded to one row per
-    stride-2 sampled frame index. The oracle recomputes the sampled
-    index set from the synthesis parameter, so an off-by-one in
-    header/frame parsing mismatches."""
-    d = load(spark, sf_dir, "documents")
-    frames = multimodal.frame_sample_plan(
-        multimodal.attach_video_media(d), every_n=2
-    )
-    return frames.select("doc_id", F.col("frame_idx").cast("long"))
-
-
-@_q(
     "mm_pixel_stats",
-    """WITH g AS (SELECT doc_id, doc_id % 16 + 1 AS w,
-                         doc_id % 12 + 1 AS h
-               FROM documents WHERE doc_id % 3 < 2),
-       px AS (SELECT doc_id, w, h, sx.x AS x, sy.y AS y
-              FROM g,
-                   LATERAL (SELECT unnest(generate_series(0, w - 1))
-                            AS x) sx,
-                   LATERAL (SELECT unnest(generate_series(0, h - 1))
-                            AS y) sy),
-       rgb AS (SELECT doc_id,
-              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-              CAST(3 AS BIGINT) AS channels,
-              CAST(w * h AS BIGINT) AS n_pixels,
-              CAST(1000000 * sum((3*x + 5*y + doc_id) % 256)
-                   // (w*h) AS BIGINT) AS mean_r_fp,
-              CAST(1000000 * sum((7*x + y + 2*doc_id) % 256)
-                   // (w*h) AS BIGINT) AS mean_g_fp,
-              CAST(1000000 * sum((x + 11*y + 3*doc_id) % 256)
-                   // (w*h) AS BIGINT) AS mean_b_fp
-       FROM px GROUP BY doc_id, w, h),
-       jg AS (SELECT doc_id, 8 * (doc_id % 5 + 1) AS w,
-                     8 * (doc_id % 4 + 1) AS h
-              FROM documents WHERE doc_id % 3 = 2),
-       jb AS (SELECT doc_id, w, h,
-                     sum((5*bx.x + 7*by.y + doc_id) % 256) AS sv
-              FROM jg,
-                   LATERAL (SELECT unnest(generate_series(
-                       0, w // 8 - 1)) AS x) bx,
-                   LATERAL (SELECT unnest(generate_series(
-                       0, h // 8 - 1)) AS y) by
-              GROUP BY doc_id, w, h),
-       grey AS (SELECT doc_id,
-              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-              CAST(1 AS BIGINT) AS channels,
-              CAST(w * h AS BIGINT) AS n_pixels,
-              CAST(1000000 * sv * 64 // (w*h) AS BIGINT) AS mean_r_fp,
-              CAST(1000000 * sv * 64 // (w*h) AS BIGINT) AS mean_g_fp,
-              CAST(1000000 * sv * 64 // (w*h) AS BIGINT) AS mean_b_fp
-       FROM jb)
-       SELECT * FROM rgb UNION ALL SELECT * FROM grey""",
-)
-def mm_pixel_stats(spark, sf_dir):
-    """REAL pixel decode end-to-end (multimodal.decode_pixels →
-    pixel_stats), covering all THREE raster codecs: per document a
-    full payload is synthesized — id%3=0 a genuine zlib-compressed
-    PNG, id%3=1 a genuine 24-bit padded bottom-up BMP (pixels a pure
-    integer function of (x, y, id)), id%3=2 a genuine baseline
-    greyscale JPEG whose 8x8 blocks are constant (block-constant
-    inputs round-trip Huffman→dequant→IDCT bit-exactly; see
-    operators/jpegcodec) — then decoded back with the stdlib decoders
-    and reduced to exact per-channel byte sums in 1e-6 fixed point.
-    The oracle recomputes every channel sum arithmetically from the
-    synthesis parameters (per-pixel for PNG/BMP, per-block ×64 for
-    JPEG): one misread byte anywhere in any codec path
-    hash-mismatches. Payload bytes stay inside one mapInPandas
-    stage — never shuffled."""
-    d = load(spark, sf_dir, "documents")
-    return multimodal.pixel_stats(
-        multimodal.attach_pixel_media(d, "doc_id")
-    )
-
-
-@_q(
     "mm_webp_pixel_stats",
-    """WITH ne AS (SELECT doc_id, doc_id % 14 + 1 AS w,
-                          doc_id % 10 + 1 AS h
-               FROM documents WHERE doc_id % 2 = 0),
-       npx AS (SELECT doc_id, w, h, sx.x AS x, sy.y AS y
-              FROM ne,
-                   LATERAL (SELECT unnest(generate_series(0, w - 1))
-                            AS x) sx,
-                   LATERAL (SELECT unnest(generate_series(0, h - 1))
-                            AS y) sy),
-       norm AS (SELECT doc_id,
-              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-              CAST(3 AS BIGINT) AS channels,
-              CAST(w * h AS BIGINT) AS n_pixels,
-              CAST(1000000 * sum((3*x + 5*y + doc_id) % 256)
-                   // (w*h) AS BIGINT) AS mean_r_fp,
-              CAST(1000000 * sum((7*x + y + 2*doc_id) % 256)
-                   // (w*h) AS BIGINT) AS mean_g_fp,
-              CAST(1000000 * sum((x + 11*y + 3*doc_id) % 256)
-                   // (w*h) AS BIGINT) AS mean_b_fp
-       FROM npx GROUP BY doc_id, w, h),
-       se AS (SELECT doc_id, doc_id % 12 + 1 AS w,
-                     doc_id % 8 + 1 AS h
-              FROM documents WHERE doc_id % 2 = 1),
-       spx AS (SELECT doc_id, w, h,
-                      (sx.x + sy.y + doc_id) % 2 AS p
-              FROM se,
-                   LATERAL (SELECT unnest(generate_series(0, w - 1))
-                            AS x) sx,
-                   LATERAL (SELECT unnest(generate_series(0, h - 1))
-                            AS y) sy),
-       simp AS (SELECT doc_id,
-              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-              CAST(3 AS BIGINT) AS channels,
-              CAST(w * h AS BIGINT) AS n_pixels,
-              CAST(1000000 * sum((5*doc_id + 97*p) % 256)
-                   // (w*h) AS BIGINT) AS mean_r_fp,
-              CAST(1000000 * sum((3*doc_id + 41*p) % 256)
-                   // (w*h) AS BIGINT) AS mean_g_fp,
-              CAST(1000000 * sum((7*doc_id + 59*p) % 256)
-                   // (w*h) AS BIGINT) AS mean_b_fp
-       FROM spx GROUP BY doc_id, w, h)
-       SELECT * FROM norm UNION ALL SELECT * FROM simp""",
-)
-def mm_webp_pixel_stats(spark, sf_dir):
-    """REAL lossless-WebP pixel decode end-to-end
-    (operators/webpcodec.decode_webp_pixels → multimodal.pixel_stats):
-    per document a genuine VP8L WebP is synthesized — even ids with
-    NORMAL canonical prefix codes (uniform 8-bit, transmitted through
-    the 19-symbol code-length code with repeat runs), odd ids with
-    1-bit "SIMPLE" codes (two values per channel by pixel parity) —
-    then decoded back bit-exactly (VP8L is lossless: no JPEG-style
-    exactness trick needed) and reduced to per-channel byte sums in
-    1e-6 fixed point. With this row the raster-codec ledger closes:
-    PNG, BMP, baseline JPEG, and lossless WebP all decode to pixels
-    with the stdlib (VERDICT r10 "What's missing" #2). The oracle
-    recomputes every channel sum from the synthesis formulas; one
-    misread bit anywhere in the prefix-code machinery
-    hash-mismatches. Payload bytes stay inside one mapInPandas
-    stage — never shuffled."""
-    d = load(spark, sf_dir, "documents")
-    return multimodal.pixel_stats(
-        multimodal.attach_webp_media(d, "doc_id")
-    )
-
-
-# shared with streaming_queries.stream_media_dedup: recomputes every
-# payload's 64-bit average hash from attach_ahash_media's synthesis
-# formulas (doc list incl. the re-encoded clones, pixel expansion,
-# 8x8 cell sums, cross-multiplied mean threshold, u32-half packing)
-AHASH_HASHES_CTE = f"""docs AS (
-         SELECT doc_id, doc_id AS cid, doc_id % 4 AS m FROM documents
-         UNION ALL
-         SELECT doc_id + {CLONE_ID_BASE}, doc_id, (doc_id + 1) % 4
-         FROM documents WHERE doc_id % 5 = 0),
-       g AS (SELECT doc_id, cid, m, 8 * (cid % 6 + 1) AS w,
-                    8 * (cid % 5 + 1) AS h
-             FROM docs),
-       px AS (SELECT doc_id, cid, m, w, h, sx.x AS x, sy.y AS y
-              FROM g,
-                   LATERAL (SELECT unnest(generate_series(0, w - 1))
-                            AS x) sx,
-                   LATERAL (SELECT unnest(generate_series(0, h - 1))
-                            AS y) sy),
-       pv AS (SELECT doc_id, m, (8 * x) // w AS cx, (8 * y) // h AS cy,
-                     3 * (((13 + cid % 251)
-                             * ((x // 8) * (x // 8) + 3 * (y // 8))
-                           + (7 + cid % 241)
-                             * ((y // 8) * (y // 8) + 5 * (x // 8))
-                           + (cid % 127) * (x // 8) * (y // 8)
-                           + cid) % 256) AS inten
-              FROM px),
-       cells AS (SELECT doc_id, m, cy * 8 + cx AS idx,
-                        sum(inten) AS s, count(*) AS c
-                 FROM pv GROUP BY doc_id, m, cy * 8 + cx),
-       tot AS (SELECT doc_id, sum(s) AS total, sum(c) AS n
-               FROM cells GROUP BY doc_id),
-       bits AS (SELECT cells.doc_id, m, idx,
-                       CASE WHEN s * n > total * c THEN 1 ELSE 0 END
-                           AS bit
-                FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
-       hashes AS (SELECT doc_id, max(m) AS m,
-                    sum(CASE WHEN idx >= 32 THEN
-                        bit * (CAST(1 AS BIGINT) << (idx - 32))
-                        ELSE 0 END) AS hi,
-                    sum(CASE WHEN idx < 32 THEN
-                        bit * (CAST(1 AS BIGINT) << idx)
-                        ELSE 0 END) AS lo
-                  FROM bits GROUP BY doc_id)"""
-
-
-@_q(
     "mm_ahash_dedup",
-    f"""WITH {AHASH_HASHES_CTE}
-       SELECT CAST(hi AS BIGINT) AS ahash_hi,
-              CAST(lo AS BIGINT) AS ahash_lo,
-              CAST(min(doc_id) AS BIGINT) AS keep_id,
-              count(*) AS n_copies,
-              count(DISTINCT m) AS n_formats
-       FROM hashes GROUP BY hi, lo""",
-)
-def mm_ahash_dedup(spark, sf_dir):
-    """Codec-invariant perceptual image dedup — the multimodal twin
-    of dd_exact_groups, running on REAL decoded pixels: every 5th
-    document's raster is cloned under a shifted id and RE-ENCODED
-    with the next codec (PNG -> BMP -> baseline JPEG -> lossless WebP
-    -> PNG), then each payload is decoded back
-    (multimodal.decode_pixels) and reduced to a 64-bit average hash
-    on exact integer arithmetic (multimodal.image_ahash: 8x8 cell
-    sums, cross-multiplied mean comparison, hash as two u32 halves).
-    Grouping on the hash finds every cross-codec duplicate pair
-    (n_formats = 2) no matter which container the bytes arrived in —
-    the image analog of text near-dup, and the reason the codec layer
-    exists: at 100 TB the same photo arrives re-encoded thousands of
-    times. The oracle recomputes every hash bit from the synthesis
-    formulas; decode had better be bit-exact across all four codecs
-    (it is: PNG/BMP/WebP lossless, JPEG block-constant). Payload
-    bytes stay inside one mapInPandas stage; only the 6-column hash
-    ledger shuffles."""
-    d = load(spark, sf_dir, "documents")
-    hashed = multimodal.image_ahash(
-        multimodal.attach_ahash_media(d, "doc_id")
-    )
-    return hashed.groupBy("ahash_hi", "ahash_lo").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-        F.countDistinct("format").alias("n_formats"),
-    )
-
-
-# shared by mm_ahash_near and mm_pixel_knn: per-doc 8x8 cell
-# intensity sums over attach_near_media's corpus (originals + every
-# 7th doc's edited twin), exactly the synthesis formulas
-NEAR_CELLS_CTE = f"""docs AS (
-         SELECT doc_id, doc_id AS cid, 0 AS e FROM documents
-         UNION ALL
-         SELECT doc_id + {2 * CLONE_ID_BASE}, doc_id, 1
-         FROM documents WHERE doc_id % 7 = 0),
-       g AS (SELECT doc_id, cid, e, 8 * (cid % 6 + 1) AS w,
-                    8 * (cid % 5 + 1) AS h
-             FROM docs),
-       px AS (SELECT doc_id, cid, e, w, h, sx.x AS x, sy.y AS y
-              FROM g,
-                   LATERAL (SELECT unnest(generate_series(0, w - 1))
-                            AS x) sx,
-                   LATERAL (SELECT unnest(generate_series(0, h - 1))
-                            AS y) sy),
-       pv AS (SELECT doc_id, (8 * x) // w AS cx, (8 * y) // h AS cy,
-                     3 * ((((13 + cid % 251)
-                              * ((x // 8) * (x // 8) + 3 * (y // 8))
-                            + (7 + cid % 241)
-                              * ((y // 8) * (y // 8) + 5 * (x // 8))
-                            + (cid % 127) * (x // 8) * (y // 8) + cid)
-                           + CASE WHEN e = 1 AND (8 * x) // w = 7
-                                       AND (8 * y) // h = 7
-                                  THEN 96 ELSE 0 END) % 256) AS inten
-              FROM px),
-       cells AS (SELECT doc_id, cy * 8 + cx AS idx,
-                        sum(inten) AS s, count(*) AS c
-                 FROM pv GROUP BY doc_id, cy * 8 + cx)"""
-
-
-@_q(
     "mm_ahash_near",
-    f"""WITH {NEAR_CELLS_CTE},
-       tot AS (SELECT doc_id, sum(s) AS total, sum(c) AS n
-               FROM cells GROUP BY doc_id),
-       bits AS (SELECT cells.doc_id, idx,
-                       CASE WHEN s * n > total * c THEN 1 ELSE 0 END
-                           AS bit
-                FROM cells JOIN tot ON cells.doc_id = tot.doc_id),
-       hashes AS (SELECT doc_id,
-                    CAST(sum(CASE WHEN idx >= 32 THEN
-                        bit * (CAST(1 AS BIGINT) << (idx - 32))
-                        ELSE 0 END) AS BIGINT) AS hi,
-                    CAST(sum(CASE WHEN idx < 32 THEN
-                        bit * (CAST(1 AS BIGINT) << idx)
-                        ELSE 0 END) AS BIGINT) AS lo
-                  FROM bits GROUP BY doc_id),
-       grp AS (SELECT hi, lo, CAST(min(doc_id) AS BIGINT) AS rep,
-                      count(*) AS n
-               FROM hashes GROUP BY hi, lo)
-       SELECT a.rep AS doc_a, b.rep AS doc_b,
-              CAST(bit_count(xor(a.hi, b.hi))
-                   + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming,
-              a.n AS n_docs_a, b.n AS n_docs_b
-       FROM grp a JOIN grp b ON a.rep < b.rep
-       WHERE bit_count(xor(a.hi, b.hi))
-             + bit_count(xor(a.lo, b.lo)) <= 3""",
-)
-def mm_ahash_near(spark, sf_dir):
-    """Perceptual image NEAR-dup — banded Hamming search over aHashes
-    of REAL decoded pixels (multimodal.ahash_near_pairs): every 7th
-    document gets an EDITED TWIN (one hash-cell region brightened),
-    identical hashes collapse to min-id representatives FIRST (the
-    sf1 probe proved why: exact-dup mega groups expanded O(group²)
-    pairs inside band buckets and OOMed — collapsing makes exact
-    mass a linear groupBy carried as n_docs_a x n_docs_b, the
-    dedup-then-near staging every production pipeline uses), and
-    representative pairs within Hamming distance 3 are recovered
-    through the 4x16-bit band join. The banding is LOSSLESS at this
-    threshold (pigeonhole: <= 3 flips cannot wound all four bands),
-    and the ORACLE IS THE BRUTE FORCE over the same representatives —
-    all-pairs xor/popcount in SQL — so a hash match proves the
-    posting-list plan finds exactly what the O(distinct²) scan
-    finds, the same guarantee pattern as
-    geo_radius_knn/dd_lsh_recall_audit."""
-    d = load(spark, sf_dir, "documents")
-    hashed = multimodal.image_ahash(
-        multimodal.attach_near_media(d, "doc_id")
-    )
-    return multimodal.ahash_near_pairs(hashed, max_hamming=3)
-
-
-@_q(
     "mm_pixel_knn",
-    f"""WITH {NEAR_CELLS_CTE},
-       mv AS (SELECT doc_id, idx, s // c AS m FROM cells),
-       q AS (SELECT doc_id AS query_id FROM docs
-             WHERE doc_id % 50 = 0 AND doc_id < 500),
-       d AS (SELECT q.query_id, b.doc_id AS neighbor_id,
-                    sum((a.m - b.m) * (a.m - b.m)) AS dist2
-             FROM q
-             JOIN mv a ON a.doc_id = q.query_id
-             JOIN mv b ON a.idx = b.idx AND b.doc_id != q.query_id
-             GROUP BY q.query_id, b.doc_id),
-       r AS (SELECT query_id, neighbor_id,
-                    CAST(dist2 AS BIGINT) AS dist2,
-                    CAST(row_number() OVER (PARTITION BY query_id
-                         ORDER BY dist2, neighbor_id) AS BIGINT) AS rk
-             FROM d)
-       SELECT * FROM r WHERE rk <= 5""",
-)
-def mm_pixel_knn(spark, sf_dir):
-    """Visual similarity search over REAL decoded pixels — the
-    multimodal -> embedding -> ANN composition with the stub REMOVED:
-    every raster decodes to a 64-dim exact-integer thumbnail vector
-    (multimodal.cell_mean_vectors: 8x8 cell intensity floor-means),
-    and a bounded query set (every 50th id) finds its 5 nearest
-    images by squared-L2 evaluated as one zip_with+aggregate fold in
-    whole-stage codegen — no UDF, no floats, total (dist2, id)
-    order, so the oracle replays every distance exactly. The corpus
-    includes the edited twins, whose nearest neighbor is their
-    original — a visible sanity signal in the result. Brute scoring
-    here is the ANN family's baseline contract (broadcast queries,
-    one corpus scan); the IVF/LSH index paths swap the candidate
-    set, not the scoring. The query set is id-BOUNDED (< 500), so
-    the workload grows linearly with the corpus at every SF — the
-    unbounded %50 predicate measured quadratic (queries x corpus)
-    growth at the sf1 probe."""
-    d = load(spark, sf_dir, "documents")
-    vecs = multimodal.cell_mean_vectors(
-        multimodal.attach_near_media(d, "doc_id")
-    )
-    return multimodal.pixel_knn(
-        vecs, (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 500),
-        k=5,
-    )
-
-
-@_q(
     "mm_pcm_stats",
-    """WITH g AS (SELECT doc_id, doc_id % 2 + 1 AS ch,
-                         doc_id % 50 + 30 AS n,
-                         8000 + (doc_id % 8) * 1000 AS rate
-              FROM documents),
-       smp AS (SELECT doc_id, sc.c AS c, si.i AS i,
-                 (((7 + doc_id % 13) * si.i * si.i
-                   + (11 + doc_id % 17) * si.i + 31 * sc.c + doc_id)
-                  % 4001) - 2000 AS s
-               FROM g,
-                 LATERAL (SELECT unnest(generate_series(0, ch - 1))
-                          AS c) sc,
-                 LATERAL (SELECT unnest(generate_series(0, n - 1))
-                          AS i) si),
-       sgn AS (SELECT doc_id, c, i, s,
-                 CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1
-                      ELSE 0 END AS sg
-               FROM smp),
-       stats AS (SELECT doc_id, sum(abs(s)) AS sum_abs,
-                        max(abs(s)) AS peak
-                 FROM sgn GROUP BY doc_id),
-       cr AS (SELECT doc_id, sg,
-                lag(sg) OVER (PARTITION BY doc_id, c ORDER BY i)
-                    AS pg
-              FROM sgn),
-       crs AS (SELECT doc_id,
-                 count(*) FILTER (WHERE pg IS NOT NULL
-                                  AND pg * sg < 0) AS nzc
-               FROM cr GROUP BY doc_id)
-       SELECT g.doc_id, CAST(rate AS BIGINT) AS sample_rate,
-              CAST(ch AS BIGINT) AS channels,
-              CAST(ch * n AS BIGINT) AS n_samples,
-              CAST(sum_abs AS BIGINT) AS sum_abs,
-              CAST(peak AS BIGINT) AS peak,
-              CAST(nzc AS BIGINT) AS n_zero_cross
-       FROM g JOIN stats USING (doc_id) JOIN crs USING (doc_id)""",
-)
-def mm_pcm_stats(spark, sf_dir):
-    """REAL audio decode end-to-end (multimodal.decode_wav_pcm →
-    pcm_stats) — the audio twin of mm_pixel_stats, and the row that
-    upgrades the audio family from byte-window plumbing
-    (mm_audio_windows) to actual samples: per document a genuine
-    PCM16 WAV is synthesized (quadratic integer sweep, mono/stereo
-    alternating, varied sample rates), the int16 frames are decoded
-    back through a real RIFF fmt/data chunk walk, and each asset
-    reduces to exact integer stats — amplitude mass, peak, and the
-    per-channel zero-crossing count (the classic voiced/unvoiced
-    proxy). The oracle recomputes every stat from the synthesis
-    formula: a byte-order flip, a mis-deinterleave, or an off-by-one
-    in the crossing rule hash-mismatches. Payload bytes stay inside
-    one mapInPandas stage — never shuffled."""
-    d = load(spark, sf_dir, "documents")
-    return multimodal.pcm_stats(
-        multimodal.attach_pcm_media(d, "doc_id")
-    )
-
-
-@_q(
     "mm_audio_matches",
-    """WITH docs AS (
-         SELECT doc_id, doc_id AS cid, 0 AS s0,
-                (doc_id % 40 + 64) // 16 AS nw
-         FROM documents
-         UNION ALL
-         SELECT doc_id + 3298534883328, doc_id, 16, 3
-         FROM documents WHERE doc_id % 6 = 0),
-       w AS (SELECT doc_id, cid, s0, sw.w AS w
-             FROM docs, LATERAL (SELECT unnest(generate_series(
-                 0, nw - 1)) AS w) sw),
-       sigs AS (SELECT doc_id, w,
-                  sum((sj.j + 1)
-                      * ((((7 + cid % 13) * (s0 + w*16 + sj.j)
-                               * (s0 + w*16 + sj.j)
-                           + (11 + cid % 17) * (s0 + w*16 + sj.j)
-                           + cid) % 4001) - 2000)) AS sig
-                FROM w, LATERAL (SELECT unnest(generate_series(0, 15))
-                                 AS j) sj
-                GROUP BY doc_id, w),
-       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    a.w AS t_a, b.w AS t_b
-             FROM sigs a JOIN sigs b
-               ON a.sig = b.sig AND a.doc_id < b.doc_id)
-       SELECT doc_a, doc_b, CAST(t_b - t_a AS BIGINT) AS t_offset,
-              count(*) AS n_matched,
-              CAST(min(t_a) AS BIGINT) AS first_frame_a
-       FROM m GROUP BY doc_a, doc_b, t_b - t_a
-       HAVING count(*) >= 3""",
-)
-def mm_audio_matches(spark, sf_dir):
-    """Audio copy detection over REAL decoded PCM — the third medium
-    served by the SAME diagonal-alignment operator
-    (multimodal.clip_matches): every 6th document's audio gets a CLIP
-    COPY (its samples 16..63 re-emitted as a new stream, i.e. three
-    full 16-sample windows starting one window later), each stream is
-    decoded back through the real WAV walk
-    (multimodal.pcm_window_signatures → decode_wav_pcm), windows
-    reduce to exact position-weighted sums, and copied clips surface
-    as >= 3 equal signatures on one temporal offset. Images dedupe by
-    perceptual hash, video by frame signatures, audio by window
-    signatures — one blocking-join discipline across all three; this
-    is the row that proves the alignment core is media-agnostic. The
-    oracle recomputes every signature from the synthesis formula."""
-    d = load(spark, sf_dir, "documents")
-    sigs = multimodal.pcm_window_signatures(
-        multimodal.attach_audio_clip_media(d, "doc_id")
-    )
-    return multimodal.clip_matches(sigs, min_run=3)
-
-
-@_q(
     "mm_clip_matches",
-    """WITH docs AS (
-         SELECT doc_id, doc_id AS cid, 0 AS shift,
-                doc_id % 5 + 5 AS nf
-         FROM documents
-         UNION ALL
-         SELECT doc_id + 1099511627776, doc_id, 1, 4
-         FROM documents WHERE doc_id % 4 = 0),
-       g AS (SELECT doc_id, cid, shift, nf, cid % 6 + 3 AS w,
-                    cid % 5 + 3 AS h
-             FROM docs),
-       f AS (SELECT g.*, st.t
-             FROM g, LATERAL (SELECT unnest(generate_series(
-                 0, nf - 1)) AS t) st),
-       sigs AS (SELECT doc_id, t, w, h,
-                  sum((1 + sx.x + w * sy.y)
-                      * (((3 + cid % 7) * sx.x + (5 + cid % 11) * sy.y
-                          + 7 * (t + shift) + cid) % 256)) AS sig
-                FROM f,
-                  LATERAL (SELECT unnest(generate_series(0, w - 1))
-                           AS x) sx,
-                  LATERAL (SELECT unnest(generate_series(0, h - 1))
-                           AS y) sy
-                GROUP BY doc_id, t, w, h),
-       m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    a.t AS t_a, b.t AS t_b
-             FROM sigs a JOIN sigs b
-               ON a.sig = b.sig AND a.w = b.w AND a.h = b.h
-                  AND a.doc_id < b.doc_id)
-       SELECT doc_a, doc_b, CAST(t_b - t_a AS BIGINT) AS t_offset,
-              count(*) AS n_matched,
-              CAST(min(t_a) AS BIGINT) AS first_frame_a
-       FROM m GROUP BY doc_a, doc_b, t_b - t_a
-       HAVING count(*) >= 3""",
-)
-def mm_clip_matches(spark, sf_dir):
-    """Video copy detection over REAL decoded Y4M streams — the
-    temporal analog of n-gram containment dedup: every 4th document's
-    video gets a CLIP COPY (its frames 1..4 re-emitted as a new
-    4-frame stream under a shifted id), then each stream is decoded
-    back (multimodal.decode_y4m), every frame reduced to an exact
-    position-weighted luma signature, and copied clips recovered by
-    the diagonal-alignment join (multimodal.clip_matches: equal-sig
-    blocking, group by temporal offset, keep runs >= 3). The join is
-    signature-blocked, never frames x frames — posting-list cost
-    discipline, same as the LSH text-dedup family, which is what
-    survives at 100 TB of video. The oracle recomputes every frame
-    signature analytically from the synthesis formula and replays the
-    same alignment. Payload bytes stay inside one mapInPandas stage;
-    only the 5-column signature ledger shuffles."""
-    d = load(spark, sf_dir, "documents")
-    sigs = multimodal.video_frame_signatures(
-        multimodal.attach_clip_media(d, "doc_id")
-    )
-    return multimodal.clip_matches(sigs, min_run=3)
-
-
-@_q(
     "mm_frame_stats",
-    """WITH g AS (SELECT doc_id,
-              CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 2
-                   ELSE 2 * (doc_id % 4 + 1) END AS w,
-              CASE WHEN doc_id % 2 = 0 THEN doc_id % 6 + 2
-                   ELSE 2 * (doc_id % 3 + 1) END AS h,
-              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS sub,
-              doc_id % 4 + 2 AS nf
-           FROM documents),
-       f AS (SELECT g.*, st.t
-             FROM g, LATERAL (SELECT unnest(generate_series(
-                 0, nf - 1, 2)) AS t) st),
-       ys AS (SELECT doc_id, t,
-                sum((3*sx.x + 5*sy.y + 7*t + doc_id) % 256) AS sy
-              FROM f,
-                LATERAL (SELECT unnest(generate_series(0, w - 1))
-                         AS x) sx,
-                LATERAL (SELECT unnest(generate_series(0, h - 1))
-                         AS y) sy
-              GROUP BY doc_id, t),
-       cs AS (SELECT doc_id, t,
-                sum((cx.x + 2*cy.y + t + 2*doc_id) % 256) AS su,
-                sum((2*cx.x + cy.y + 3*t + 3*doc_id) % 256) AS sv
-              FROM f,
-                LATERAL (SELECT unnest(generate_series(
-                    0, w // sub - 1)) AS x) cx,
-                LATERAL (SELECT unnest(generate_series(
-                    0, h // sub - 1)) AS y) cy
-              GROUP BY doc_id, t)
-       SELECT f.doc_id, CAST(f.t AS BIGINT) AS frame_idx,
-              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-              CAST(nf AS BIGINT) AS n_frames,
-              CAST(1000000 * sy // (w * h) AS BIGINT) AS mean_y_fp,
-              CAST(1000000 * su // ((w // sub) * (h // sub))
-                   AS BIGINT) AS mean_u_fp,
-              CAST(1000000 * sv // ((w // sub) * (h // sub))
-                   AS BIGINT) AS mean_v_fp
-       FROM f
-       JOIN ys ON f.doc_id = ys.doc_id AND f.t = ys.t
-       JOIN cs ON f.doc_id = cs.doc_id AND f.t = cs.t""",
-)
-def mm_frame_stats(spark, sf_dir):
-    """REAL video-frame decode end-to-end (multimodal.decode_y4m →
-    frame_stats): per document a genuine YUV4MPEG2 stream is
-    synthesized — even ids C444, odd ids C420, planes a pure integer
-    function of (x, y, t, id) — then parsed back with the stdlib
-    (tokenized stream header, per-frame FRAME markers, exact plane
-    sizes per chroma mode), strided every 2nd frame, and reduced to
-    exact per-plane byte sums in 1e-6 fixed point. The oracle
-    recomputes every plane sum arithmetically from the synthesis
-    parameters: one misplaced plane boundary, frame offset, or
-    chroma-grid error hash-mismatches. Video bytes stay inside one
-    mapInPandas stage — never shuffled. Closes VERDICT r9 #3 (the
-    frame-decode stub)."""
-    d = load(spark, sf_dir, "documents")
-    return multimodal.frame_stats(
-        multimodal.attach_video_media(d, "doc_id"), every_n=2
-    )
-
-
-# -------------------------------------------------- text: quality filter
-# Quality-score SQL shared by txt_quality_filter and the curation
-# funnel (single source — the two oracles cannot drift). {src} is the
-# relation providing (doc_id, text).
-_QUALITY_F_CTE = r"""
-         SELECT doc_id, text,
-                CAST(length(text) AS BIGINT) AS n_chars,
-                len(regexp_extract_all(text, '\b(the|a|an|and|or|of|to|in|is|it)\b'))
-                  / greatest(len(list_filter(string_split_regex(text, '\s+'),
-                                             x -> x <> '')), 1) AS stop_r,
-                len(regexp_extract_all(text, '[^\w\s]'))
-                  / greatest(length(text), 1) AS punct_r
-         FROM {src}"""
-
-_QUALITY_SCORE_SQL = """round(CAST(
-        (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.4
-      + (CASE WHEN round(stop_r, 4) >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
-      + (CASE WHEN round(punct_r, 4) <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.3
-        AS DOUBLE), 4)"""
-
-
-@_q(
     "txt_quality_filter",
-    f"""WITH f AS ({_QUALITY_F_CTE.format(src="documents")})
-       SELECT doc_id, {_QUALITY_SCORE_SQL} AS quality
-       FROM f
-       WHERE {_QUALITY_SCORE_SQL} >= 0.7""",
-)
-def txt_quality_filter(spark, sf_dir):
-    """Corpus quality gate: score each document with the deterministic
-    heuristic (length band, stopword presence, punctuation soup) and
-    keep docs above threshold — the standard pre-training filter pass,
-    entirely in whole-stage codegen."""
-    d = load(spark, sf_dir, "documents")
-    q = textstats.quality_score(F.col("text"))
-    return d.select("doc_id", q.alias("quality")).filter(
-        F.col("quality") >= 0.7
-    )
-
-
-# ---------------------------------------------------------- k-means (ML)
-_SQDIST = (
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-    "list_transform(generate_series(1, len({a})), "
-    "j -> (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE)) "
-    "* (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE)))), "
-    "(x, y) -> x + y)"
-)
-
-
-def _kmeans_ctes(k: int, iters: int,
-                 cent0_sql: str | None = None) -> list[str]:
-    """Shared CTE chain for the k-means oracles: seed centroids
-    (lowest-id by default; pass ``cent0_sql`` for an alternative
-    init's (cluster, centroid) body), then per iteration an
-    assignment (argmin by rounded distance, cluster tie-break) and a
-    per-dimension mean re-assembled in dimension order. Final
-    centroid table is ``cent{iters}``."""
-    body = cent0_sql or f"""SELECT CAST(vec_id AS BIGINT) AS cluster,
-              list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
-                AS centroid
-           FROM embeddings ORDER BY vec_id LIMIT {k}"""
-    ctes = [f"cent0 AS ({body})"]
-    for i in range(1, iters + 1):
-        prev, dist = f"cent{i-1}", _SQDIST.format(a="e.embedding", b="c.centroid")
-        ctes.append(f"""asg{i} AS (
-          SELECT e.vec_id, e.embedding, c.cluster,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY round({dist}, 6), c.cluster) AS rk
-          FROM embeddings e, {prev} c)""")
-        ctes.append(f"""dims{i} AS (
-          SELECT cluster, t.j AS dim,
-                 round(avg(CAST(embedding[t.j] AS DOUBLE)), 6) AS m
-          FROM asg{i}, LATERAL (SELECT unnest(generate_series(1,
-                 len(embedding))) AS j) t
-          WHERE rk = 1 GROUP BY cluster, t.j)""")
-        ctes.append(f"""cent{i} AS (
-          SELECT cluster, list(m ORDER BY dim) AS centroid
-          FROM dims{i} GROUP BY cluster)""")
-    return ctes
-
-
-def _kmeans_sql(k: int, iters: int) -> str:
-    """DuckDB twin of clustering.kmeans_fit."""
-    joined = ",\n".join(_kmeans_ctes(k, iters))
-    return f"WITH {joined}\nSELECT cluster, centroid FROM cent{iters}"
-
-
-def _kmeans_parallel_sql(k: int, rounds: int, l: int, seed: int,
-                         lloyd_iters: int) -> str:
-    """DuckDB twin of clustering.kmeans_parallel_init + the Lloyd
-    chain from its seeds: every oversampling round replays the
-    integer micro-distance cost sum (exact, order-free), the
-    MD5-coin selection as a pure HUGEINT comparison, and the
-    weighted top-k reduction — then the shared _kmeans_ctes run with
-    cent0 = the k-means‖ seeds."""
-    from ..operators.hashing import md5_long_sql
-
-    dist = _SQDIST.format(a="e.embedding", b="c.cv")
-    rcv = "list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))"
-    ctes = [f"""kp_c0 AS (
-      SELECT CAST(vec_id AS BIGINT) AS cid, {rcv} AS cv
-      FROM embeddings ORDER BY vec_id LIMIT 1)"""]
-    for r in range(1, rounds + 1):
-        u = md5_long_sql(
-            f"concat('km||:{seed}:{r}:', CAST(d.vec_id AS VARCHAR))"
-        )
-        ctes.append(f"""kp_dq{r} AS MATERIALIZED (
-          SELECT e.vec_id,
-                 min(CAST(floor(({dist}) * 1000000 + 0.5)
-                          AS BIGINT)) AS dq
-          FROM embeddings e, kp_c{r - 1} c GROUP BY e.vec_id)""")
-        ctes.append(f"""kp_phi{r} AS (
-          SELECT CAST(sum(dq) AS HUGEINT) AS phi FROM kp_dq{r})""")
-        ctes.append(f"""kp_sel{r} AS MATERIALIZED (
-          SELECT d.vec_id FROM kp_dq{r} d, kp_phi{r} p
-          WHERE CAST({u} AS HUGEINT) * p.phi
-              < CAST(d.dq AS HUGEINT)
-                * CAST('{l * (1 << 60)}' AS HUGEINT))""")
-        ctes.append(f"""kp_c{r} AS MATERIALIZED (
-          SELECT * FROM kp_c{r - 1}
-          UNION ALL
-          SELECT CAST(e.vec_id AS BIGINT) AS cid, {rcv} AS cv
-          FROM embeddings e JOIN kp_sel{r} s ON e.vec_id = s.vec_id
-          WHERE CAST(e.vec_id AS BIGINT) NOT IN
-                (SELECT cid FROM kp_c{r - 1}))""")
-    ctes.append(f"""kp_asg AS MATERIALIZED (
-      SELECT e.vec_id, c.cid,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY round({dist}, 6), c.cid) AS rk
-      FROM embeddings e, kp_c{rounds} c)""")
-    ctes.append("""kp_w AS (
-      SELECT cid, count(*) AS w FROM kp_asg WHERE rk = 1 GROUP BY cid)""")
-    cent0 = (f"""SELECT c.cid AS cluster, c.cv AS centroid
-      FROM kp_c{rounds} c JOIN kp_w USING (cid)
-      ORDER BY kp_w.w DESC, c.cid LIMIT {k}""")
-    ctes.extend(_kmeans_ctes(k, lloyd_iters, cent0_sql=cent0))
-    joined = ",\n".join(ctes)
-    return f"WITH {joined}\nSELECT cluster, centroid FROM cent{lloyd_iters}"
-
-
-def _semantic_prune_sql(k: int, iters: int, threshold: float) -> str:
-    """DuckDB twin of similarity.semantic_prune: the k-means chain,
-    a final assignment against cent{iters} (same rounded-distance /
-    cluster tie-break as assign_clusters), within-cluster cosine
-    pairs, and the dominated-by-lower-id drop rule."""
-    ctes = _kmeans_ctes(k, iters)
-    dist = _SQDIST.format(a="e.embedding", b="c.centroid")
-    cos = _cos_sql("a.embedding", "b.embedding")
-    ctes.append(f"""asg_f AS (
-      SELECT e.vec_id, e.embedding, c.cluster,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY round({dist}, 6), c.cluster) AS rk
-      FROM embeddings e, cent{iters} c)""")
-    ctes.append("""fin AS (
-      SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding, cluster
-      FROM asg_f WHERE rk = 1)""")
-    ctes.append(f"""drops AS (
-      SELECT DISTINCT b.vec_id
-      FROM fin a JOIN fin b
-        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE round({cos}, 6) >= {threshold})""")
-    joined = ",\n".join(ctes)
-    return (
-        f"WITH {joined}\n"
-        "SELECT f.vec_id, f.cluster, (d.vec_id IS NULL) AS keep\n"
-        "FROM fin f LEFT JOIN drops d ON d.vec_id = f.vec_id"
-    )
-
-
-@_q("ml_kmeans_centroids", _kmeans_sql(4, 2))
-def ml_kmeans_centroids(spark, sf_dir):
-    """K-means (k=4, 2 Lloyd iterations, deterministic lowest-id
-    seeds) over the embeddings table — the iterative-algorithm
-    pattern as pure DataFrame ops: broadcast argmin assignment +
-    posexplode per-dimension mean update, localCheckpoint between
-    rounds. The oracle replays both iterations in generated SQL."""
-    from ..operators import clustering
-
-    e = load(spark, sf_dir, "embeddings")
-    return clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=2)
-
-
-@_q("ml_kmeans_scalable_init", _kmeans_parallel_sql(4, 3, 8, 7, 2))
-def ml_kmeans_scalable_init(spark, sf_dir):
-    """K-means seeded by k-means‖ scalable init (Bahmani et al.
-    VLDB'12; clustering.kmeans_parallel_init): 3 parallel
-    oversampling rounds select ~l=8 candidates each by cost-share
-    (integer micro-distance sums, MD5 coin — RNG-free, replayable),
-    the k=4 heaviest candidates become the seeds, and the SAME Lloyd
-    path as ml_kmeans_centroids runs 2 iterations downstream. The
-    oracle replays every oversampling round, the weighted reduction,
-    and both Lloyd iterations in generated SQL."""
-    from ..operators import clustering
-
-    e = load(spark, sf_dir, "embeddings")
-    seeds = clustering.kmeans_parallel_init(
-        e, "vec_id", "embedding", k=4, rounds=3, l=8, seed=7
-    )
-    return clustering.kmeans_fit(
-        e, "vec_id", "embedding", k=4, iters=2, init=seeds
-    )
-
-
-@_q("dd_semantic_prune", _semantic_prune_sql(8, 2, 0.4))
-def dd_semantic_prune(spark, sf_dir):
-    """SemDeDup-style semantic dedup (similarity.semantic_prune):
-    deterministic k-means (k=8, 2 iterations) partitions the
-    embedding corpus, then within each cluster every vector with a
-    lower-id neighbor at cosine >= 0.4 is marked keep=false. The
-    oracle replays the full chain — both Lloyd iterations, the final
-    assignment, the within-cluster pair scan — in generated SQL with
-    the same rounding and tie-breaks."""
-    from ..operators.similarity import semantic_prune
-
-    e = load(spark, sf_dir, "embeddings")
-    return semantic_prune(
-        e, "vec_id", "embedding", k=8, iters=2, threshold=0.4
-    ).select(F.col("vec_id").cast("long"), "cluster", "keep")
-
-
-@_q(
+    "ml_kmeans_centroids",
+    "ml_kmeans_scalable_init",
+    "dd_semantic_prune",
     "dd_chunk_dedup",
-    """WITH all_docs AS (
-         SELECT doc_id, text FROM documents
-         UNION ALL
-         SELECT doc_id + 300000, text FROM documents WHERE doc_id % 5 = 0),
-       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs
-             WHERE len(string_split(text, ' ')) >= 1),
-       ch AS (SELECT doc_id, i - 1 AS chunk_idx,
-                     array_to_string(list_slice(w, (i - 1) * 20 + 1,
-                         least(i * 20, len(w))), ' ') AS chunk
-              FROM w, LATERAL (SELECT unnest(generate_series(1,
-                     CAST(ceil(len(w) / 20.0) AS INT))) AS i) t),
-       r AS (SELECT doc_id, chunk_idx,
-                    row_number() OVER (PARTITION BY md5(chunk)
-                      ORDER BY doc_id, chunk_idx) AS rk
-             FROM ch)
-       SELECT doc_id, count(*) AS n_chunks,
-              CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_kept,
-              round(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) / count(*), 4)
-                  AS retention
-       FROM r GROUP BY doc_id""",
-)
-def dd_chunk_dedup(spark, sf_dir):
-    """Sub-document dedup at chunk granularity (the Lee et al.
-    "Deduplicating Training Data Makes Language Models Better"
-    regime applied at paragraph/window level): split every document
-    into 20-word chunks, keep the globally FIRST copy of each
-    distinct chunk (min (doc_id, chunk_idx) — deterministic), and
-    report per-document retention. Full-document dup twins are
-    synthesized (every 5th doc re-inserted shifted), so their chunks
-    all lose to the original and retention exposes them at 0.0 while
-    unique docs sit at 1.0. One narrow chunk explode + ONE shuffle
-    keyed on the chunk hash — the sub-document dedup a 100 TB
-    curation pass actually runs (dedup the repeated boilerplate
-    paragraph, keep the surrounding document)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.unionByName(
-        d.filter(F.col("doc_id") % 5 == 0).withColumn(
-            "doc_id", F.col("doc_id") + 300000
-        )
-    )
-    words = corpus.select(
-        "doc_id", F.split(F.col("text"), " ").alias("_w")
-    ).filter(F.size("_w") >= 1)
-    chunks = words.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("_w") / F.lit(20.0)).cast("int") - 1,
-                ),
-                lambda i: F.array_join(
-                    F.slice(F.col("_w"), i * 20 + 1, 20), " "
-                ),
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    w_keep = Window.partitionBy(F.md5("chunk")).orderBy(
-        "doc_id", "chunk_idx"
-    )
-    ranked = chunks.withColumn("_rk", F.row_number().over(w_keep))
-    return ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0))
-        .cast("long").alias("n_kept"),
-        F.round(
-            F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0))
-            / F.count(F.lit(1)),
-            4,
-        ).alias("retention"),
-    )
-
-
-def _ivf_trained_sql(k: int, iters: int, n_probe: int, n_queries: int,
-                     topk: int) -> str:
-    """DuckDB twin of kmeans_fit → ivf_topk: the Lloyd chain trains
-    the coarse codebook, then the standard IVF assign/probe/score
-    replay (same rounded-cosine tie-breaks as ann_ivf_topk)."""
-    ctes = _kmeans_ctes(k, iters)
-    ctes.append(
-        f"cent AS MATERIALIZED (SELECT cluster AS cid, centroid AS cv "
-        f"FROM cent{iters})"
-    )
-    ctes.append(f"""asg_v AS MATERIALIZED (
-          SELECT e.vec_id AS neighbor_id, e.embedding AS ev, c.cid,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY round({_cos_sql('e.embedding', 'c.cv')}, 6) DESC,
-                            c.cid) AS rk
-          FROM embeddings e, cent c)""")
-    ctes.append(
-        "cell AS MATERIALIZED "
-        "(SELECT neighbor_id, ev, cid FROM asg_v WHERE rk = 1)"
-    )
-    ctes.append(
-        f"q AS (SELECT vec_id AS query_id, embedding AS qv "
-        f"FROM embeddings WHERE vec_id < {n_queries})"
-    )
-    ctes.append(f"""probe AS MATERIALIZED (
-          SELECT x.query_id, x.qv, c.cid,
-                 row_number() OVER (PARTITION BY x.query_id
-                   ORDER BY round({_cos_sql('x.qv', 'c.cv')}, 6) DESC,
-                            c.cid) AS rk
-          FROM q x, cent c)""")
-    ctes.append(
-        f"pr AS (SELECT query_id, qv, cid FROM probe WHERE rk <= {n_probe})"
-    )
-    ctes.append(f"""s AS (SELECT pr.query_id, cell.neighbor_id,
-                round({_cos_sql('pr.qv', 'cell.ev')}, 6) AS cosine
-          FROM pr JOIN cell USING (cid)
-          WHERE cell.neighbor_id <> pr.query_id)""")
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined}
-       SELECT query_id, neighbor_id, cosine, rk FROM (
-         SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         FROM s) t
-       WHERE rk <= {topk}"""
-
-
-@_q("ann_ivf_trained", _ivf_trained_sql(4, 1, 2, 10, 5))
-def ann_ivf_trained(spark, sf_dir):
-    """IVF with TRAINED centroids: kmeans_fit (k=4, 1 Lloyd round)
-    learns the coarse quantizer and feeds ivf_topk's ``centroids``
-    seam — the composition a production index build actually runs
-    (train on a sample, assign the corpus). The oracle replays the
-    Lloyd round and the probe/score chain in generated SQL."""
-    from ..operators import clustering
-
-    e = load(spark, sf_dir, "embeddings")
-    cents = clustering.kmeans_fit(e, "vec_id", "embedding", k=4, iters=1)
-    return similarity.ivf_topk(
-        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, n_probe=2, centroids=cents,
-    )
-
-
-@_q(
+    "ann_ivf_trained",
     "dd_containment",
-    """WITH all_docs AS (
-         SELECT doc_id, text FROM documents
-         UNION ALL
-         SELECT doc_id + 200000,
-                array_to_string(list_slice(string_split(text, ' '), 1,
-                    len(string_split(text, ' ')) // 2), ' ')
-         FROM documents WHERE doc_id % 7 = 0),
-       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
-       sh AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(generate_series(1, len(w) - 2),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-              FROM w WHERE len(w) >= 3),
-       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i
-                 FROM sh s1 JOIN sh s2
-                   ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-                 GROUP BY s1.doc_id, s2.doc_id)
-       SELECT i.a AS doc_a, i.b AS doc_b,
-              round(i.i / x.n, 4) AS cont_a_in_b,
-              round(i.i / y.n, 4) AS cont_b_in_a
-       FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
-       WHERE greatest(round(i.i / x.n, 4), round(i.i / y.n, 4)) >= 0.8""",
-)
-def dd_containment(spark, sf_dir):
-    """Asymmetric near-dup via Broder containment
-    (dedup.containment_pairs): every 7th document gets a HALF-LENGTH
-    prefix twin synthesized in-query (id + 200000) — contained ~1.0
-    in its source while Jaccard sits near 0.5, exactly the case
-    symmetric dedup misses. Pairs where either direction reaches 0.8
-    are flagged."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    prefixes = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.expr(
-            "array_join(slice(split(text, ' '), 1,"
-            " size(split(text, ' ')) div 2), ' ')"
-        ).alias("text"),
-    )
-    return dedup.containment_pairs(
-        d.unionByName(prefixes), "doc_id", "text", k=3, threshold=0.8
-    )
-
-
-_PREFIX_TWIN_DOCS = """all_docs AS (
-         SELECT doc_id, text FROM documents
-         UNION ALL
-         SELECT doc_id + 200000,
-                array_to_string(list_slice(string_split(text, ' '), 1,
-                    len(string_split(text, ' ')) // 2), ' ')
-         FROM documents WHERE doc_id % 7 = 0),
-       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
-       sh AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(generate_series(1, len(w) - 2),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-              FROM w WHERE len(w) >= 3)"""
-
-
-@_q(
     "dd_containment_lsh",
-    f"""WITH {_PREFIX_TWIN_DOCS},
-       {_lsh_cand_ctes(16, 8)},
-       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       inter AS (SELECT c.a, c.b, count(*) AS i
-                 FROM cand c
-                 JOIN sh s1 ON s1.doc_id = c.a
-                 JOIN sh s2 ON s2.doc_id = c.b AND s1.shingle = s2.shingle
-                 GROUP BY c.a, c.b)
-       SELECT i.a AS doc_a, i.b AS doc_b,
-              round(i.i / x.n, 4) AS cont_a_in_b,
-              round(i.i / y.n, 4) AS cont_b_in_a
-       FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
-       WHERE greatest(round(i.i / x.n, 4), round(i.i / y.n, 4)) >= 0.8""",
-)
-def dd_containment_lsh(spark, sf_dir):
-    """Containment at LSH scale (dedup.containment_lsh): the SAME
-    prefix-twin corpus as dd_containment, but candidates come from
-    MinHash(16)+LSH(8 bands) banding and only survivors pay the exact
-    containment verify — the composed path a 100 TB run actually
-    takes for asymmetric dups (dd_containment is the validation-scale
-    inverted-index twin). A half-prefix twin sits at Jaccard≈0.5,
-    where the 8x2 banding curve catches ≈90% of pairs; the oracle
-    replays the identical hash family, so engine and oracle miss the
-    same pairs and the survivor set hash-matches."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    prefixes = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.expr(
-            "array_join(slice(split(text, ' '), 1,"
-            " size(split(text, ' ')) div 2), ' ')"
-        ).alias("text"),
-    )
-    return dedup.containment_lsh(
-        d.unionByName(prefixes), "doc_id", "text",
-        k=3, num_hashes=16, bands=8, threshold=0.8,
-    )
-
-
-@_q(
     "txt_gopher_rules",
-    """WITH t AS (SELECT doc_id,
-                         list_filter(string_split(text, ' '), x -> x <> '') AS w
-                  FROM documents),
-       s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-                    round(list_sum(list_transform(w,
-                          x -> CAST(length(x) AS DOUBLE))) / len(w), 4)
-                        AS mean_word_len,
-                    round(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
-                        AS ttr
-             FROM t WHERE len(w) >= 1),
-       e AS (SELECT doc_id, unnest(w) AS term FROM t),
-       c AS (SELECT doc_id, max(cnt) AS top_cnt
-             FROM (SELECT doc_id, term, count(*) AS cnt
-                   FROM e GROUP BY doc_id, term)
-             GROUP BY doc_id)
-       SELECT s.doc_id, s.n_words, s.mean_word_len, s.ttr,
-              round(c.top_cnt / CAST(s.n_words AS DOUBLE), 4)
-                  AS top_word_frac,
-              (s.n_words BETWEEN 10 AND 100000
-               AND s.mean_word_len BETWEEN 2.0 AND 10.0
-               AND s.ttr >= 0.2
-               AND round(c.top_cnt / CAST(s.n_words AS DOUBLE), 4) <= 0.2)
-                  AS passes
-       FROM s JOIN c USING (doc_id)""",
-)
-def txt_gopher_rules(spark, sf_dir):
-    """Gopher-style quality rules per document: word-count bounds,
-    mean-word-length bounds, type-token-ratio floor, most-common-word
-    share cap, and the combined pass/fail verdict
-    (operators/textstats.gopher_quality)."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.gopher_quality(docs, "doc_id", "text")
-
-
-@_q(
     "txt_repetition_rules",
-    """WITH t AS (SELECT doc_id,
-                list_filter(string_split(text, ' '), x -> x <> '') AS w
-         FROM documents),
-  base AS (SELECT doc_id,
-                  CAST(length(array_to_string(w, ' ')) AS BIGINT)
-                      AS total_chars
-           FROM t WHERE len(w) >= 1),
-  g AS (SELECT doc_id, n,
-               unnest(list_transform(
-                   generate_series(1, len(w) - n + 1),
-                   i -> array_to_string(w[i:i+n-1], ' '))) AS gram
-        FROM t, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) ns(n)
-        WHERE len(w) >= n),
-  c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g
-        GROUP BY doc_id, n, gram),
-  m AS (SELECT doc_id, n,
-               max(cnt * length(gram)) AS top_mass,
-               sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
-                        ELSE 0 END) AS dup_mass
-        FROM c GROUP BY doc_id, n),
-  p AS (SELECT b.doc_id, b.total_chars,
-               coalesce(max(CASE WHEN n=2 THEN top_mass END), 0) AS t2,
-               coalesce(max(CASE WHEN n=3 THEN top_mass END), 0) AS t3,
-               coalesce(max(CASE WHEN n=4 THEN top_mass END), 0) AS t4,
-               coalesce(max(CASE WHEN n=5 THEN dup_mass END), 0) AS d5,
-               coalesce(max(CASE WHEN n=6 THEN dup_mass END), 0) AS d6,
-               coalesce(max(CASE WHEN n=7 THEN dup_mass END), 0) AS d7,
-               coalesce(max(CASE WHEN n=8 THEN dup_mass END), 0) AS d8,
-               coalesce(max(CASE WHEN n=9 THEN dup_mass END), 0) AS d9,
-               coalesce(max(CASE WHEN n=10 THEN dup_mass END), 0)
-                   AS d10
-        FROM base b LEFT JOIN m USING (doc_id)
-        GROUP BY b.doc_id, b.total_chars)
-  SELECT doc_id,
-         CAST(floor(1000000 * t2 / total_chars) AS BIGINT)
-             AS top_2gram_fp,
-         CAST(floor(1000000 * t3 / total_chars) AS BIGINT)
-             AS top_3gram_fp,
-         CAST(floor(1000000 * t4 / total_chars) AS BIGINT)
-             AS top_4gram_fp,
-         CAST(floor(1000000 * d5 / total_chars) AS BIGINT)
-             AS dup_5gram_fp,
-         CAST(floor(1000000 * d6 / total_chars) AS BIGINT)
-             AS dup_6gram_fp,
-         CAST(floor(1000000 * d7 / total_chars) AS BIGINT)
-             AS dup_7gram_fp,
-         CAST(floor(1000000 * d8 / total_chars) AS BIGINT)
-             AS dup_8gram_fp,
-         CAST(floor(1000000 * d9 / total_chars) AS BIGINT)
-             AS dup_9gram_fp,
-         CAST(floor(1000000 * d10 / total_chars) AS BIGINT)
-             AS dup_10gram_fp,
-         (floor(1000000 * t2 / total_chars) <= 200000
-          AND floor(1000000 * t3 / total_chars) <= 180000
-          AND floor(1000000 * t4 / total_chars) <= 160000
-          AND floor(1000000 * d5 / total_chars) <= 150000
-          AND floor(1000000 * d6 / total_chars) <= 140000
-          AND floor(1000000 * d7 / total_chars) <= 130000
-          AND floor(1000000 * d8 / total_chars) <= 120000
-          AND floor(1000000 * d9 / total_chars) <= 110000
-          AND floor(1000000 * d10 / total_chars) <= 100000) AS passes
-  FROM p""",
-)
-def txt_repetition_rules(spark, sf_dir):
-    """Gopher/MassiveText n-gram repetition rules — the other half of
-    the Rae et al. Table A1 suite next to txt_gopher_rules: per-doc
-    fp6 character mass of the most frequent 2/3/4-gram and of all
-    duplicated 5..10-grams, with the thresholded pass verdict
-    (operators/textstats.repetition_rules). One generator projection
-    emits all nine n values in a single pass."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.repetition_rules(docs, "doc_id", "text")
-
-
-@_q(
     "txt_hapax_ratio",
-    """WITH t AS (SELECT list_filter(string_split(text, ' '),
-                             x -> x <> '') AS w
-              FROM documents),
-       g AS (SELECT unnest(list_transform(
-                 generate_series(1, len(w) - 2),
-                 i -> array_to_string(w[i:i+2], ' '))) AS gram
-             FROM t WHERE len(w) >= 3),
-       c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram)
-       SELECT CAST(count(*) AS BIGINT) AS n_types,
-              CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
-              CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END),
-                            0) AS BIGINT) AS n_hapax,
-              CAST(CASE WHEN count(*) > 0 THEN
-                   floor(1000000 * sum(CASE WHEN n = 1 THEN 1
-                         ELSE 0 END) / count(*)) END AS BIGINT)
-                  AS hapax_fp,
-              CAST(CASE WHEN sum(n) > 0 THEN
-                   floor(1000000 * count(*) / sum(n)) END AS BIGINT)
-                  AS ttr_fp
-       FROM c""",
-)
-def txt_hapax_ratio(spark, sf_dir):
-    """Corpus lexical-health card over 3-gram windows
-    (operators/textstats.hapax_ratio): type/token/hapax counts and
-    the fp6 hapax share + type-token ratio — the Heaps'-law signals
-    that collapse when a corpus saturates with duplication or
-    degenerates into templates. One expansion + one gram-keyed
-    aggregate + a 1-row fold."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.hapax_ratio(docs, "doc_id", "text", n=3)
-
-
-@_q(
     "txt_oov_rate",
-    """WITH e AS (SELECT doc_id,
-              unnest(list_filter(string_split(text, ' '),
-                     x -> x <> '')) AS term
-       FROM documents),
-  v AS (SELECT term FROM (SELECT term, count(*) AS c FROM e
-                          GROUP BY term
-                          ORDER BY c DESC, term ASC LIMIT 16) q),
-  m AS (SELECT e.doc_id, v.term IS NOT NULL AS inv
-        FROM e LEFT JOIN v ON e.term = v.term)
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT)
-             AS n_oov,
-         CAST(floor(1000000 * sum(CASE WHEN inv THEN 0 ELSE 1 END)
-                    / count(*)) AS BIGINT) AS oov_fp
-  FROM m GROUP BY doc_id""",
-)
-def txt_oov_rate(spark, sf_dir):
-    """Per-document out-of-vocabulary rate against the corpus' own
-    top-16 word vocabulary (operators/textstats.vocab_coverage):
-    deterministic count-desc/term-asc vocabulary boundary, broadcast
-    to the token relation, fp6 OOV fraction per doc — the
-    tokenizer-health audit run before freezing a vocab."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.vocab_coverage(docs, "doc_id", "text",
-                                    vocab_size=16)
-
-
-@_q(
     "dd_source_overlap_matrix",
-    """WITH w AS (SELECT source, string_split(text, ' ') AS w
-              FROM documents),
-  sh AS (SELECT DISTINCT source,
-                unnest(list_transform(
-                    generate_series(1, len(w) - 4),
-                    i -> array_to_string(w[i:i+4], ' '))) AS shingle
-         FROM w WHERE len(w) >= 5),
-  t AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
-  p AS (SELECT a.source AS source_a, b.source AS source_b,
-               count(*) AS shared
-        FROM sh a JOIN sh b
-          ON a.shingle = b.shingle AND a.source < b.source
-        GROUP BY 1, 2)
-  SELECT source_a, source_b,
-         CAST(shared AS BIGINT) AS shared,
-         CAST(ta.n AS BIGINT) AS n_a,
-         CAST(tb.n AS BIGINT) AS n_b,
-         CAST(floor(1000000 * shared / (ta.n + tb.n - shared))
-              AS BIGINT) AS jaccard_fp
-  FROM p
-  JOIN t ta ON ta.source = p.source_a
-  JOIN t tb ON tb.source = p.source_b""",
-)
-def dd_source_overlap_matrix(spark, sf_dir):
-    """Corpus-level cross-source contamination matrix
-    (operators/dedup.source_overlap_matrix): for every source pair
-    sharing at least one distinct 5-word shingle, the shared count,
-    per-source totals, and fp6 Jaccard. One shingle→source-set
-    aggregate with map-side pair expansion — |sources|²-bounded
-    output, no corpus self-join."""
-    docs = load(spark, sf_dir, "documents")
-    return dedup.source_overlap_matrix(docs, "source", "text", k=5)
-
-
-_DECON_SHINGLE_CTE = """
-  w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-  sh AS (SELECT DISTINCT doc_id, source,
-                unnest(list_transform(generate_series(1, len(w) - 4),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                            || ' ' || w[i+3] || ' ' || w[i+4])) AS shingle
-         FROM w WHERE len(w) >= 5)
-"""
-
-
-@_q(
     "dd_decontaminate",
-    f"""WITH {_DECON_SHINGLE_CTE},
-       b AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
-       hits AS (SELECT s.doc_id, count(*) AS n_shared
-                FROM sh s JOIN b USING (shingle)
-                WHERE s.source <> 'src0'
-                GROUP BY s.doc_id)
-       SELECT t.doc_id,
-              CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
-              coalesce(h.n_shared, 0) > 0 AS contaminated
-       FROM (SELECT doc_id FROM documents WHERE source <> 'src0') t
-       LEFT JOIN hits h USING (doc_id)""",
-)
-def dd_decontaminate(spark, sf_dir):
-    """Benchmark decontamination: docs from source 'src0' act as the
-    held-out eval set; every other doc is flagged if it shares any
-    5-word shingle with that set (operators/dedup.decontaminate)."""
-    docs = load(spark, sf_dir, "documents")
-    train = docs.filter(F.col("source") != "src0")
-    bench = docs.filter(F.col("source") == "src0")
-    return dedup.decontaminate(train, bench, "doc_id", "text", k=5)
-
-
-@_q("dd_bloom_prefilter", ORACLES["dd_decontaminate"])
-def dd_bloom_prefilter(spark, sf_dir):
-    """dd_decontaminate through a broadcast Bloom prefilter
-    (operators/bloom.py): an m-bit filter over the held-out shingle
-    set is OR-aggregated distributedly, broadcast as m/64 longs, and
-    applied to the training shingles inside whole-stage codegen BEFORE
-    the shuffle — at 100 TB only true hits plus the ~fp-rate sliver
-    reach the exact join. Same oracle as dd_decontaminate because the
-    exact join removes the false positives: bit-identical output by
-    construction, proven by the shared hash."""
-    from ..operators.bloom import bloom_decontaminate
-
-    docs = load(spark, sf_dir, "documents")
-    train = docs.filter(F.col("source") != "src0")
-    bench = docs.filter(F.col("source") == "src0")
-    return bloom_decontaminate(train, bench, "doc_id", "text", k=5)
-
-
-@_q(
+    "dd_bloom_prefilter",
     "emb_quantize_int8",
-    """WITH q AS (
-         SELECT vec_id, embedding,
-                list_max(list_transform(embedding,
-                         x -> abs(CAST(x AS DOUBLE)))) AS amax
-         FROM embeddings)
-       SELECT vec_id,
-              CASE WHEN amax > 0.0 THEN amax / 127.0 ELSE 0.0 END AS scale,
-              CASE WHEN amax > 0.0
-                   THEN list_transform(embedding,
-                        x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0))
-                                  AS INT))
-                   ELSE list_transform(embedding, x -> 0) END AS codes
-       FROM q""",
-)
-def emb_quantize_int8(spark, sf_dir):
-    """Symmetric per-vector int8 quantization of the embedding column
-    (operators/similarity.quantize_int8): scale = max|x|/127, codes =
-    round(x/scale) — the standard 4x ANN index compression."""
-    emb = load(spark, sf_dir, "embeddings")
-    return similarity.quantize_int8(emb, "vec_id", "embedding")
-
-
-# ------------------------------------------------------- PII scrubbing
-
-# The oracle SQL is GENERATED at import from the same constants the
-# Spark plan compiles (operators/privacy.PII_PATTERNS), so the two
-# engines can never drift. Testdata text is synthetic word-salad with
-# no PII, so the query laces a deterministic email/SSN/phone/IP mix
-# per doc_id: both engines build, count, and scrub identical strings.
-_PII_LACED = """
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 3 = 0
-                 THEN ' mail bob' || CAST(doc_id AS VARCHAR) || '@example.com'
-                 ELSE '' END
-         || CASE WHEN doc_id % 4 = 0 THEN ' ssn 123-45-6789' ELSE '' END
-         || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-123-4567' ELSE '' END
-         || CASE WHEN doc_id % 7 = 0 THEN ' ip 10.0.0.7' ELSE '' END
-             AS pii_text
-  FROM documents
-"""
-
-
-def _pii_oracle_sql() -> str:
-    quote = lambda s: s.replace("'", "''")
-    counts = ",\n              ".join(
-        f"CAST(len(regexp_extract_all(pii_text, '{quote(pat)}'))"
-        f" AS BIGINT) AS n_{name}"
-        for name, (pat, _) in privacy.PII_PATTERNS.items()
-    )
-    total = " + ".join(
-        f"len(regexp_extract_all(pii_text, '{quote(pat)}'))"
-        for pat, _ in privacy.PII_PATTERNS.values()
-    )
-    red = "pii_text"
-    for pat, token in privacy.PII_PATTERNS.values():
-        red = f"regexp_replace({red}, '{quote(pat)}', '{token}', 'g')"
-    return (
-        f"WITH laced AS ({_PII_LACED})\n"
-        f"       SELECT doc_id,\n              {counts},\n"
-        f"              CAST({total} AS BIGINT) AS n_pii,\n"
-        f"              {red} AS redacted\n"
-        f"       FROM laced"
-    )
-
-
-
-@_q(
     "pii_pseudonymize",
-    f"""WITH c AS (SELECT {md5_long_sql("concat('pseud|', CAST(c_custkey AS VARCHAR))")} AS pseudonym,
-                c_mktsegment
-         FROM customer),
-       o AS (SELECT {md5_long_sql("concat('pseud|', CAST(o_custkey AS VARCHAR))")} AS pseudonym,
-                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
-         FROM orders)
-       SELECT c.c_mktsegment,
-              CAST(count(DISTINCT c.pseudonym) AS BIGINT)
-                  AS n_customers,
-              CAST(count(o.pseudonym) AS BIGINT) AS n_orders,
-              CAST(coalesce(sum(o.cents), 0) AS BIGINT)
-                  AS revenue_cents
-       FROM c LEFT JOIN o ON o.pseudonym = c.pseudonym
-       GROUP BY c.c_mktsegment""",
-)
-def pii_pseudonymize(spark, sf_dir):
-    """Keyed pseudonymization preserving referential integrity
-    (operators/privacy.pseudonymize): customer and orders both
-    replace the raw key with md5(salt|key), the raw identifier is
-    DROPPED before the join, and the per-segment revenue rollup runs
-    entirely on pseudonyms — proving joins survive
-    de-identification. The salt is the linkage boundary: rotate it
-    and previously released pseudonyms no longer link. Same
-    plan shape as the raw-key join (hash equi-join on the projected
-    pseudonym), so de-identification costs one codegen'd hash per
-    row, no UDF, no mapping table."""
-    c = privacy.pseudonymize(
-        load(spark, sf_dir, "customer"), "c_custkey", "pseud"
-    ).select("pseudonym", "c_mktsegment")
-    o = privacy.pseudonymize(
-        load(spark, sf_dir, "orders"), "o_custkey", "pseud"
-    ).select(
-        "pseudonym",
-        F.floor(F.col("o_totalprice") * 100)
-        .cast("long")
-        .alias("cents"),
-    )
-    return (
-        c.join(o, "pseudonym", "left")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.countDistinct(c["pseudonym"]).cast("long")
-            .alias("n_customers"),
-            F.count(o["cents"]).cast("long").alias("n_orders"),
-            F.coalesce(F.sum("cents"), F.lit(0)).cast("long")
-            .alias("revenue_cents"),
-        )
-    )
-
-
-@_q("pii_redact", _pii_oracle_sql())
-def pii_redact(spark, sf_dir):
-    """PII scan-and-scrub over the documents table
-    (operators/privacy.redact_pii): per-category counts on the raw
-    text plus the sequentially redacted text. The lacing CASEs inject
-    a deterministic email/SSN/phone/IP mix so the detectors have
-    ground truth to find."""
-    d = load(spark, sf_dir, "documents")
-    laced = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(
-                    F.lit(" mail bob"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@example.com"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 4 == 0, F.lit(" ssn 123-45-6789"))
-            .otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 5 == 0, F.lit(" tel 555-123-4567"))
-            .otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 7 == 0, F.lit(" ip 10.0.0.7"))
-            .otherwise(F.lit("")),
-        ).alias("pii_text"),
-    )
-    return privacy.redact_pii(laced, "doc_id", "pii_text")
-
-
-# --------------------------------------- differential-privacy release
-_DP_EPS = 0.5
-_DP_TAU = 20  # noisy-count suppression threshold
-_DP_CAP_EVENTS = 3        # max events one user contributes
-_DP_CLAMP = 50.0          # per-event value clamp [0, 50]
-_DP_SENS_CENTS = 15000    # = cap_events * clamp * 100
-
-
-def _dp_release_sql() -> str:
-    noise = privacy.dp_noise_sql("event_type", "dp-count-v1", _DP_EPS)
-    return f"""WITH agg AS (
-         SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
-       SELECT event_type, CAST(n + ({noise}) AS BIGINT) AS noisy_n
-       FROM agg WHERE n + ({noise}) >= {_DP_TAU}"""
-
-
-@_q("pii_dp_release", _dp_release_sql())
-def pii_dp_release(spark, sf_dir):
-    """Differentially-private count release (two-sided geometric /
-    discrete-Laplace mechanism — Ghosh et al., STOC 2009): per-group
-    true counts from one hash aggregate, integer noise derived from a
-    keyed hash of the release key (operators/privacy.dp_noise — pure
-    threshold comparisons against driver-precomputed constants, so
-    the draw replays bit-identically on any engine), and
-    noisy-threshold suppression of small groups (the release never
-    looks at the true count when deciding to publish — tau applies to
-    the noised value). Cost at 100 TB: the aggregate's one shuffle;
-    the mechanism itself is constant work per released row."""
-    ev = load(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    noisy = agg.withColumn(
-        "noisy_n",
-        (F.col("n")
-         + privacy.dp_noise(F.col("event_type"), "dp-count-v1", _DP_EPS)
-         ).cast("long"),
-    )
-    return noisy.filter(F.col("noisy_n") >= _DP_TAU).select(
-        "event_type", "noisy_n"
-    )
-
-
-def _dp_bounded_sum_sql() -> str:
-    noise = privacy.dp_noise_sql("event_type", "dp-sum-v1", _DP_EPS)
-    return f"""WITH ranked AS (
-         SELECT event_type,
-                CAST(floor(least(greatest(value, 0.0), {_DP_CLAMP}) * 100)
-                     AS BIGINT) AS cents,
-                row_number() OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS rk
-         FROM events),
-       agg AS (SELECT event_type, sum(cents) AS s
-               FROM ranked WHERE rk <= {_DP_CAP_EVENTS}
-               GROUP BY event_type)
-       SELECT event_type,
-              CAST(s + ({noise}) * {_DP_SENS_CENTS} AS BIGINT)
-                  AS noisy_total_cents
-       FROM agg"""
-
-
-@_q("pii_dp_bounded_sum", _dp_bounded_sum_sql())
-def pii_dp_bounded_sum(spark, sf_dir):
-    """DP sum with BOUNDED SENSITIVITY — the step naive noisy sums
-    skip: every user's contribution is capped at 3 events (earliest
-    by time — a per-user window, partition-bounded by that user's
-    rows) and every value clamped to [0, 50] before aggregation, so
-    one user can shift any group total by at most 3*50 = 150.00 and
-    the geometric noise scaled by that sensitivity actually delivers
-    its epsilon. Sums run in exact integer cents end to end — the
-    released value is a BIGINT, immune to float accumulation order.
-    Contribution bounding IS the scale design: without the cap, a
-    single bot user makes the sensitivity — and the required noise —
-    unbounded."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cents = F.floor(
-        F.least(F.greatest(F.col("value"), F.lit(0.0)),
-                F.lit(_DP_CLAMP)) * 100
-    ).cast("long")
-    capped = (
-        ev.select("event_type", "user_id", "ts", "event_id",
-                  cents.alias("cents"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _DP_CAP_EVENTS)
-    )
-    agg = capped.groupBy("event_type").agg(F.sum("cents").alias("s"))
-    return agg.select(
-        "event_type",
-        (F.col("s")
-         + privacy.dp_noise(F.col("event_type"), "dp-sum-v1", _DP_EPS)
-         * F.lit(_DP_SENS_CENTS)).cast("long").alias("noisy_total_cents"),
-    )
-
-
-@_q(
+    "pii_redact",
+    "pii_dp_release",
+    "pii_dp_bounded_sum",
     "txt_unigram_logprob",
-    """WITH toks AS (
-         SELECT doc_id,
-                unnest(list_filter(string_split(text, ' '),
-                       x -> x <> '')) AS term
-         FROM documents),
-       vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
-       tot AS (SELECT sum(c) AS n_total FROM vocab)
-       SELECT doc_id, count(*) AS n_tokens,
-              round(avg(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))), 4)
-                  AS avg_logprob
-       FROM toks JOIN vocab USING (term), tot
-       GROUP BY doc_id""",
-)
-def txt_unigram_logprob(spark, sf_dir):
-    """Mean unigram log-likelihood per document under the corpus's own
-    term distribution — the cheap perplexity-style quality signal
-    (operators/textstats.unigram_logprob)."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.unigram_logprob(docs, "doc_id", "text")
-
-
-@_q(
     "txt_kl_by_source",
-    """WITH toks AS (
-         SELECT source,
-                unnest(list_filter(string_split(text, ' '),
-                       x -> x <> '')) AS term
-         FROM documents),
-       ps AS (SELECT source, term, count(*) AS c_st
-              FROM toks GROUP BY source, term),
-       st AS (SELECT source, sum(c_st) AS n_s FROM ps GROUP BY source),
-       ct AS (SELECT term, sum(c_st) AS c_t FROM ps GROUP BY term),
-       tot AS (SELECT sum(c_t) AS n FROM ct)
-       SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
-              round(sum((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
-                        * ln((CAST((CAST(c_st AS HUGEINT) * n) AS DOUBLE)
-                              / CAST((c_t * n_s) AS DOUBLE)))),
-                    4) AS kl
-       FROM ps JOIN st USING (source) JOIN ct USING (term), tot
-       GROUP BY source""",
-)
-def txt_kl_by_source(spark, sf_dir):
-    """Unigram-distribution KL divergence of each source against the
-    whole corpus — the distribution-shift monitor for a mixed-source
-    training set (operators/textstats.kl_by_source)."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.kl_by_source(docs, "source", "text")
-
-
-@_q(
     "txt_bigram_perplexity",
-    r"""WITH t AS (
-         SELECT doc_id,
-                list_filter(string_split_regex(text, '\s+'),
-                            x -> x <> '') AS w
-         FROM documents),
-       bg AS (SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
-              FROM t, LATERAL (SELECT unnest(generate_series(1,
-                     len(w) - 1)) AS i) s
-              WHERE len(w) >= 2),
-       m AS (SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur),
-       ctx AS (SELECT prev, sum(c) AS cc FROM m GROUP BY prev),
-       v AS (SELECT count(DISTINCT cur) AS v FROM bg)
-       SELECT doc_id, count(*) AS n_bigrams,
-              round(avg(ln((m.c + 1)
-                    / CAST(ctx.cc + v.v AS DOUBLE))), 4) AS avg_logprob,
-              round(exp(-avg(ln((m.c + 1)
-                    / CAST(ctx.cc + v.v AS DOUBLE)))), 4) AS ppl
-       FROM bg JOIN m USING (prev, cur) JOIN ctx USING (prev), v
-       GROUP BY doc_id""",
-)
-def txt_bigram_perplexity(spark, sf_dir):
-    """CCNet-style per-document perplexity under the corpus's own
-    add-1-smoothed bigram LM (textstats.bigram_logprob) — the
-    perplexity quality gate one rung up from txt_unigram_logprob:
-    boilerplate scores improbably LOW perplexity, token soup HIGH,
-    curation keeps the middle band. Exact-integer counts make the
-    model engine-identical; the only float ops are one divide + ln
-    per bigram and the rounded per-doc mean."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.bigram_logprob(docs, "doc_id", "text")
-
-
-@_q(
     "txt_chunk_windows",
-    """WITH t AS (
-         SELECT doc_id,
-                list_filter(string_split_regex(text, '\\s+'),
-                            x -> x <> '') AS w
-         FROM documents),
-       n AS (SELECT doc_id, w,
-                    greatest(1, CAST(ceil((len(w) - 8) / 24.0) AS INT))
-                        AS n_chunks
-             FROM t WHERE len(w) >= 1),
-       e AS (SELECT doc_id, w,
-                    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
-             FROM n)
-       SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-              CAST(len(list_slice(w, chunk_idx * 24 + 1,
-                                  chunk_idx * 24 + 32)) AS BIGINT)
-                  AS chunk_n_tokens,
-              array_to_string(list_slice(w, chunk_idx * 24 + 1,
-                                         chunk_idx * 24 + 32), ' ')
-                  AS chunk_text
-       FROM e""",
-)
-def txt_chunk_windows(spark, sf_dir):
-    """Overlapping token-window chunking (32-token chunks, 8-token
-    overlap) of every document — the RAG/embedding context-window
-    prep (operators/textstats.chunk_documents). (doc_id, chunk_idx)
-    is the stable chunk key; the oracle rebuilds identical windows
-    with list_slice."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.chunk_documents(
-        docs, "doc_id", "text", chunk_tokens=32, overlap=8
-    )
-
-
-@_q(
     "pipeline_corpus_funnel",
-    f"""WITH corpus AS (
-         SELECT doc_id, text FROM documents WHERE source <> 'src0'
-         UNION ALL
-         SELECT doc_id + 100000, text FROM documents
-         WHERE source <> 'src0' AND doc_id % 5 = 0),
-       f AS ({_QUALITY_F_CTE.format(src="corpus")}),
-       q AS (SELECT doc_id, text FROM f
-             WHERE {_QUALITY_SCORE_SQL} >= 0.7),
-       d AS (SELECT min(doc_id) AS doc_id, any_value(text) AS text
-             FROM q GROUP BY md5(text)),
-       dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
-       dsh AS (SELECT DISTINCT doc_id,
-                      unnest(list_transform(generate_series(1, len(w) - 4),
-                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                  || ' ' || w[i+3] || ' ' || w[i+4]))
-                          AS shingle
-               FROM dw WHERE len(w) >= 5),
-       bw AS (SELECT string_split(text, ' ') AS w FROM documents
-              WHERE source = 'src0'),
-       bsh AS (SELECT DISTINCT
-                      unnest(list_transform(generate_series(1, len(w) - 4),
-                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                  || ' ' || w[i+3] || ' ' || w[i+4]))
-                          AS shingle
-               FROM bw WHERE len(w) >= 5),
-       hit AS (SELECT DISTINCT s.doc_id
-               FROM dsh s JOIN bsh USING (shingle)),
-       clean AS (SELECT d.doc_id, d.text FROM d
-                 LEFT JOIN hit ON hit.doc_id = d.doc_id
-                 WHERE hit.doc_id IS NULL),
-       cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM clean
-              WHERE len(string_split(text, ' ')) >= 1),
-       cch AS (SELECT doc_id, i - 1 AS chunk_idx,
-                      array_to_string(list_slice(w, (i - 1) * 20 + 1,
-                          least(i * 20, len(w))), ' ') AS chunk
-               FROM cw, LATERAL (SELECT unnest(generate_series(1,
-                      CAST(ceil(len(w) / 20.0) AS INT))) AS i) t),
-       cr AS (SELECT row_number() OVER (PARTITION BY md5(chunk)
-                       ORDER BY doc_id, chunk_idx) AS rk
-              FROM cch)
-       SELECT 'raw' AS stage, (SELECT count(*) FROM corpus) AS n_units
-       UNION ALL
-       SELECT 'quality', (SELECT count(*) FROM q)
-       UNION ALL
-       SELECT 'dedup', (SELECT count(*) FROM d)
-       UNION ALL
-       SELECT 'decontaminated', (SELECT count(*) FROM clean)
-       UNION ALL
-       SELECT 'chunks_raw', (SELECT count(*) FROM cr)
-       UNION ALL
-       SELECT 'chunks_kept',
-              (SELECT count(CASE WHEN rk = 1 THEN 1 END) FROM cr)""",
-)
-def pipeline_corpus_funnel(spark, sf_dir):
-    """The full corpus-curation funnel COMPOSED from the individual
-    operators, reporting survivors per stage: raw (with synthesized
-    duplicates — testdata texts are unique), quality gate
-    (textstats.quality_score >= 0.7), exact dedup keep-first, and
-    benchmark decontamination (dedup.decontaminate vs the held-out
-    src0 docs). The composition is what a real pre-training data
-    build runs nightly; each operator is oracle-verified on its own
-    elsewhere, and the funnel verifies they compose (counts chain
-    monotonically).
-
-    Single-pass shape: every document is ANNOTATED with its funnel
-    verdicts (quality boolean, keep-first rank among quality
-    survivors) and the doc-stage totals come out of one aggregate —
-    no per-stage re-scan of the corpus. Decontamination runs on the
-    collapsed survivor set (it needs the shingle join), with the
-    small benchmark side AQE-broadcast; the release card then also
-    reports the CHUNK-level yield of the final corpus — 20-word
-    chunks, keep-first (dd_chunk_dedup's granularity) — so document-
-    AND sub-document dedup savings land in one artifact. The
-    annotated/kept frames localCheckpoint because three consumers
-    read them; at 100 TB those materializations ARE the pipeline's
-    published outputs (annotated corpus, curated set), not extra
-    cost. One corpus scan, one text-hash window shuffle, one shingle
-    join, one chunk-hash window over the survivors."""
-    docs = load(spark, sf_dir, "documents")
-    base = docs.filter(F.col("source") != "src0").select("doc_id", "text")
-    corpus = base.unionByName(
-        base.filter(F.col("doc_id") % 5 == 0).withColumn(
-            "doc_id", F.col("doc_id") + 100000
-        )
-    )
-    w = Window.partitionBy(F.md5("text")).orderBy(
-        F.desc("q_pass"), F.asc("doc_id")
-    )
-    ann = (
-        corpus.withColumn(
-            "q_pass", textstats.quality_score(F.col("text")) >= 0.7
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("kept", F.col("q_pass") & (F.col("_rn") == 1))
-        .localCheckpoint()
-    )
-    bench = docs.filter(F.col("source") == "src0")
-    kept_docs = ann.filter("kept").select("doc_id", "text")
-    decon = dedup.decontaminate(
-        kept_docs, bench, "doc_id", "text", k=5
-    ).localCheckpoint()
-    clean_n = decon.agg(
-        F.sum(F.when(~F.col("contaminated"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_clean")
-    )
-    survivors = kept_docs.join(
-        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-    )
-    words = survivors.select(
-        "doc_id", F.split(F.col("text"), " ").alias("_w")
-    ).filter(F.size("_w") >= 1)
-    chunks = words.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("_w") / F.lit(20.0)).cast("int") - 1,
-                ),
-                lambda i: F.array_join(
-                    F.slice(F.col("_w"), i * 20 + 1, 20), " "
-                ),
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    wk = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
-    chunk_n = (
-        chunks.withColumn("_rk", F.row_number().over(wk))
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks_raw"),
-            F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_chunks_kept"),
-        )
-    )
-    totals = ann.agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.sum(F.when(F.col("q_pass"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_quality"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_dedup"),
-    )
-    return totals.crossJoin(clean_n).crossJoin(chunk_n).selectExpr(
-        """stack(6,
-                 'raw', n_raw,
-                 'quality', n_quality,
-                 'dedup', n_dedup,
-                 'decontaminated', n_clean,
-                 'chunks_raw', n_chunks_raw,
-                 'chunks_kept', n_chunks_kept) AS (stage, n_units)"""
-    )
-
-
-@_q(
     "dd_incremental_new_docs",
-    """WITH seen AS (
-         SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-                    AS fp
-         FROM documents WHERE doc_id % 2 = 0),
-       batch AS (
-         SELECT doc_id, text,
-                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-         FROM documents WHERE doc_id % 2 = 1)
-       SELECT b.doc_id, b.fp
-       FROM batch b LEFT JOIN seen s ON s.fp = b.fp
-       WHERE s.fp IS NULL""",
-)
-def dd_incremental_new_docs(spark, sf_dir):
-    """Incremental corpus dedup: an arriving batch (odd doc ids)
-    anti-joined on canonical fingerprints against the already-ingested
-    index (even doc ids) — the nightly-growth companion to the batch
-    dedup ops (same shape as the S7/S8 file manifest, applied to
-    CONTENT identity). The fingerprint is
-    textstats.canonical_fingerprint (lowercase, whitespace-collapsed
-    md5), so formatting-only rewrites of an already-ingested doc are
-    caught. At 100 TB the index side is a compact one-column table;
-    the anti-join shuffles fingerprints, never text bytes."""
-    docs = load(spark, sf_dir, "documents")
-    fp = textstats.canonical_fingerprint(F.col("text"))
-    seen = (
-        docs.filter(F.col("doc_id") % 2 == 0)
-        .select(fp.alias("fp"))
-        .distinct()
-    )
-    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", fp.alias("fp")
-    )
-    return batch.join(seen, "fp", "left_anti").select("doc_id", "fp")
-
-
-@_q(
     "mm_audio_windows",
-    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-       w AS (SELECT doc_id, text,
-                    unnest(generate_series(0,
-                           CAST(floor((n - 128) / 64.0) AS INT))) AS win_idx
-             FROM d WHERE n >= 128)
-       SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
-              CAST(win_idx * 64 AS BIGINT) AS start_byte,
-              CAST(128 AS BIGINT) AS n_bytes,
-              round(list_sum(list_transform(
-                        generate_series(win_idx * 64 + 1, win_idx * 64 + 128),
-                        i -> CAST(unicode(substr(text, i, 1)) AS DOUBLE)))
-                    / 128.0, 4) AS mean_amp
-       FROM w""",
-)
-def mm_audio_windows(spark, sf_dir):
-    """Audio-style overlapping framing of binary payloads with a
-    per-window amplitude feature (operators/multimodal.audio_windows,
-    mapInPandas). Payloads are the UTF-8 bytes of the ASCII testdata
-    text, so the oracle recomputes the same byte means from
-    codepoints — the one multimodal op whose VALUES are
-    oracle-checkable end-to-end through the Python boundary."""
-    docs = load(spark, sf_dir, "documents")
-    with_payload = multimodal.attach_binary(docs, "text", "payload")
-    return multimodal.audio_windows(
-        with_payload, "doc_id", "payload", window=128, hop=64
-    )
-
-
-@_q(
     "txt_pack_sequences",
-    """WITH t AS (
-         SELECT doc_id, doc_id % 8 AS shard,
-                len(list_filter(string_split_regex(text, '\\s+'),
-                                x -> x <> '')) AS n_tokens
-         FROM documents),
-       s AS (
-         SELECT *,
-                CAST(floor(coalesce(sum(n_tokens) OVER (
-                       PARTITION BY shard ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING), 0) / 256.0)
-                     AS BIGINT) AS seq_idx
-         FROM t WHERE n_tokens >= 1)
-       SELECT shard, seq_idx, count(*) AS n_docs,
-              CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
-              min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
-       FROM s GROUP BY shard, seq_idx""",
-)
-def txt_pack_sequences(spark, sf_dir):
-    """Example packing: documents concatenated in id order within 8
-    shards and split into 256-token training sequences at document
-    boundaries (operators/textstats.pack_sequences). One shuffle
-    total — the running-sum window and the per-sequence rollup share
-    the shard partitioning."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.pack_sequences(
-        docs, "doc_id", "text", budget=256, n_shards=8
-    )
-
-
-@_q(
     "mm_image_patches",
-    """WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
-       m AS (SELECT doc_id, n % 640 + 1 AS width,
-                    (n * 7) % 480 + 1 AS height
-             FROM d),
-       g AS (SELECT doc_id, width, height,
-                    CAST(ceil(width / 64.0) AS INT) AS nx,
-                    CAST(ceil(height / 64.0) AS INT) AS ny
-             FROM m),
-       e AS (SELECT doc_id, width, height, nx,
-                    unnest(generate_series(0, nx * ny - 1)) AS patch_id
-             FROM g)
-       SELECT doc_id, CAST(patch_id AS BIGINT) AS patch_id,
-              CAST(patch_id % nx AS BIGINT) AS patch_x,
-              CAST(patch_id // nx AS BIGINT) AS patch_y,
-              CAST(least(64, width - (patch_id % nx) * 64) AS BIGINT)
-                  AS patch_w,
-              CAST(least(64, height - (patch_id // nx) * 64) AS BIGINT)
-                  AS patch_h
-       FROM e""",
-)
-def mm_image_patches(spark, sf_dir):
-    """ViT-style 64px patch grid over stub-decoded image dimensions
-    (operators/multimodal.image_patches): decode is the one Python
-    pass, the grid explode is pipelined JVM-side. The oracle
-    recomputes the stub dimensions from the payload byte length
-    (ASCII testdata: length(text) == byte count) and rebuilds the
-    same clipped grid."""
-    docs = load(spark, sf_dir, "documents")
-    with_payload = multimodal.attach_binary(docs, "text", "payload")
-    return multimodal.image_patches(with_payload, "doc_id", "payload", patch=64)
-
-
-def _pagerank_sql(iterations: int = 3, damping: int = 85,
-                  scale: int = 10 ** 9) -> str:
-    """DuckDB twin of graph.pagerank_fixedpoint over the
-    customer↔supplier co-purchase graph — the iteration is unrolled
-    into chained CTEs generated from the SAME constants, and every
-    step is integer arithmetic, so both engines produce bit-identical
-    ranks."""
-    sql = f"""WITH e0 AS (
-         SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
-         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       edges AS (SELECT src, dst FROM e0
-                 UNION SELECT dst, src FROM e0),
-       nodes AS (SELECT DISTINCT src AS node FROM edges),
-       nn AS (SELECT count(*) AS n FROM nodes),
-       deg AS (SELECT src AS node, count(*) AS deg
-               FROM edges GROUP BY src),
-       r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS rank
-              FROM nodes)"""
-    for i in range(1, iterations + 1):
-        sql += f""",
-       c{i} AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s
-               FROM edges e
-               JOIN r{i - 1} r ON e.src = r.node
-               JOIN deg d ON e.src = d.node
-               GROUP BY e.dst),
-       r{i} AS (SELECT n.node,
-                      ((100 - {damping})
-                       * ({scale} // (SELECT n FROM nn))) // 100
-                      + ({damping} * coalesce(c.s, 0)) // 100 AS rank
-               FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"""
-    sql += f"""
-       SELECT node, CAST(rank AS BIGINT) AS rank
-       FROM r{iterations}
-       ORDER BY rank DESC, node LIMIT 25"""
-    return sql
-
-
-@_q("graph_pagerank_suppliers", _pagerank_sql())
-def graph_pagerank_suppliers(spark, sf_dir):
-    """Top-25 nodes of the customer↔supplier co-purchase graph by
-    3-iteration fixed-point PageRank (operators/graph.py). The edge
-    list is join-derived (orders ⋈ lineitem, supplier keys offset into
-    their own id space), symmetrized so no node dangles; integer
-    ranks make the LIMIT set and the hash engine-exact."""
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 10000000).alias("dst"),
-        )
-        .distinct()
-    )
-    sym = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    rank = graph.pagerank_fixedpoint(sym, "src", "dst", iterations=3)
-    return rank.orderBy(F.desc("rank"), "node").limit(25)
-
-
-@_q(
+    "graph_pagerank_suppliers",
     "graph_triangles",
-    """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
-               FROM lineitem WHERE l_quantity >= 48),
-       e AS (SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
-                             greatest(a.l_suppkey, b.l_suppkey) AS v
-             FROM li a JOIN li b
-               ON a.l_orderkey = b.l_orderkey
-              AND a.l_suppkey < b.l_suppkey),
-       tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-               FROM e e1
-               JOIN e e2 ON e2.u = e1.v
-               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-       n AS (SELECT a AS node FROM tri
-             UNION ALL SELECT b FROM tri
-             UNION ALL SELECT c FROM tri)
-       SELECT node, count(*) AS n_triangles FROM n GROUP BY node""",
-)
-def graph_triangles(spark, sf_dir):
-    """Per-supplier triangle counts over the high-quantity co-supply
-    graph (suppliers sharing an order with l_quantity >= 48) —
-    community cohesion via degree-oriented triangle enumeration
-    (operators/graph.triangle_counts). The orientation caps wedge work
-    at O(m^1.5) no matter how hubby the co-occurrence graph gets; the
-    id-ordered DuckDB 3-way join enumerates the identical triangle
-    set, so the exact per-node counts hash-match."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 48)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sb")
-    )
-    e = (
-        a.join(b, "k")
-        .filter(F.col("sa") < F.col("sb"))
-        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-        .distinct()
-    )
-    return graph.triangle_counts(e)
-
-
-@_q(
     "dd_fuzzy_match",
-    """WITH t AS (SELECT p_partkey, p_name,
-                     (p_partkey % (length(p_name) - 1)) + 2 AS q
-              FROM part WHERE p_partkey % 7 = 0),
-       ty AS (SELECT p_partkey,
-                     substr(p_name, 1, q - 1) || substr(p_name, q + 1)
-                         AS typo_name
-              FROM t),
-       cat AS (SELECT DISTINCT p_name AS cand FROM part),
-       cd AS (SELECT p_partkey, typo_name, cand,
-                     levenshtein(typo_name, cand) AS dist
-              FROM ty JOIN cat
-                ON substr(typo_name, 1, 1) = substr(cand, 1, 1)
-               AND levenshtein(typo_name, cand) <= 1),
-       r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
-                                          ORDER BY dist, cand) AS rn
-             FROM cd)
-       SELECT p_partkey, typo_name, cand AS matched_name,
-              CAST(dist AS INT) AS dist
-       FROM r WHERE rn = 1""",
-)
-def dd_fuzzy_match(spark, sf_dir):
-    """Edit-distance fuzzy matching against a canonical dictionary —
-    the typo-level dedup modality the shingle/minhash family can't
-    see (a one-character slip barely moves token sets). Every 7th
-    part name gets a deterministic single-character deletion, then is
-    matched back to the clean catalog: candidates blocked on the
-    first letter (never deleted by construction), scored with
-    ``levenshtein`` ≤ 1, best match picked by (distance, name) — a
-    deterministic argmin. The dictionary side is tiny and broadcast;
-    the blocked candidate set keeps the quadratic distance kernel off
-    the full cross product, which is the only shape that survives a
-    catalog of millions at 100 TB (block key would become (first
-    letter, length band))."""
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
-    q = (F.col("p_partkey") % (F.length("p_name") - 1)) + 2
-    typo = (
-        part.filter(F.col("p_partkey") % 7 == 0)
-        .withColumn("q", q)
-        .select(
-            "p_partkey",
-            F.concat(
-                F.expr("substr(p_name, 1, q - 1)"),
-                F.expr("substr(p_name, q + 1)"),
-            ).alias("typo_name"),
-        )
-    )
-    cat = part.select(F.col("p_name").alias("cand")).distinct()
-    cand = typo.join(
-        F.broadcast(cat),
-        (
-            F.substring("typo_name", 1, 1) == F.substring("cand", 1, 1)
-        )
-        & (F.levenshtein("typo_name", "cand") <= 1),
-    ).select(
-        "p_partkey", "typo_name", "cand",
-        F.levenshtein("typo_name", "cand").alias("dist"),
-    )
-    w = Window.partitionBy("p_partkey").orderBy("dist", "cand")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "p_partkey", "typo_name",
-            F.col("cand").alias("matched_name"),
-            F.col("dist").cast("int").alias("dist"),
-        )
-    )
-
-
-@_q(
     "dd_split_leakage",
-    """WITH d AS (SELECT doc_id, text,
-                     CASE WHEN ((doc_id * 2654435761) % 4294967296 * 100) // 4294967296 < 90
-                          THEN 'train' ELSE 'eval' END AS split
-              FROM documents),
-       w AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM d),
-       sh AS (SELECT DISTINCT doc_id, split,
-                     unnest(list_transform(generate_series(1, len(w) - 4),
-                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                 || ' ' || w[i+3] || ' ' || w[i+4]))
-                         AS shingle
-              FROM w WHERE len(w) >= 5),
-       tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
-       hits AS (SELECT s.doc_id, count(*) AS n_shared
-                FROM sh s JOIN tr USING (shingle)
-                WHERE s.split = 'eval'
-                GROUP BY s.doc_id)
-       SELECT t.doc_id,
-              CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
-              coalesce(h.n_shared, 0) > 0 AS contaminated
-       FROM (SELECT doc_id FROM d WHERE split = 'eval') t
-       LEFT JOIN hits h USING (doc_id)""",
-)
-def dd_split_leakage(spark, sf_dir):
-    """Train/eval leakage audit — the check a split pipeline runs
-    BEFORE shipping an eval set: documents land in train (90%) or
-    eval (10%) via the engine-portable hash carve
-    (operators/sampling.assign_split), and every eval doc is flagged
-    if it shares a 5-word shingle with ANY train doc
-    (operators/dedup.decontaminate with the roles swapped —
-    composition, not new machinery). The train shingle set is the big
-    side here, so the shingle-keyed equi-join shuffles instead of
-    broadcasting — same operator, opposite asymmetry, and the reason
-    decontaminate takes no hard broadcast hint."""
-    docs = sampling.assign_split(
-        load(spark, sf_dir, "documents"), "doc_id",
-        {"train": 90, "eval": 10},
-    )
-    train = docs.filter(F.col("split") == "train")
-    ev = docs.filter(F.col("split") == "eval")
-    return dedup.decontaminate(ev, train, "doc_id", "text", k=5)
-
-
-@_q(
     "pipeline_remix_sources",
-    """WITH d AS (SELECT doc_id, source,
-                     len(list_filter(string_split_regex(text, '\\s+'),
-                                     x -> x <> '')) AS n_tokens
-              FROM documents),
-       per_src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s
-                   FROM d GROUP BY source),
-       tgt AS (SELECT min(t_s) AS t_min FROM per_src),
-       wts AS (SELECT source, t_s,
-                      CAST(t_min AS DOUBLE) / t_s AS p
-               FROM per_src, tgt),
-       kept AS (SELECT d.doc_id, d.source, d.n_tokens
-                FROM d JOIN wts ON d.source = wts.source
-                WHERE CAST(((d.doc_id * 2654435761) % 4294967296
-                            * 1000000) // 4294967296
-                           AS DOUBLE) < wts.p * 1000000)
-       SELECT w.source, w.t_s AS orig_tokens,
-              CAST(coalesce(count(k.doc_id), 0) AS BIGINT) AS kept_docs,
-              CAST(coalesce(sum(k.n_tokens), 0) AS BIGINT) AS kept_tokens
-       FROM wts w LEFT JOIN kept k ON w.source = k.source
-       GROUP BY w.source, w.t_s""",
-)
-def pipeline_remix_sources(spark, sf_dir):
-    """Source rebalancing — the data-mixing step that downsamples
-    every source to the smallest source's token budget before
-    training: per-source keep-probability p = min(T)/T_s, applied
-    per document through the deterministic millionth-bucket hash
-    rule (operators/sampling.sample_weighted), reported as the
-    per-source before/after token ledger. The weights frame is one
-    row per source (broadcast); the sample is a scan-level
-    comparison — no shuffle touches the corpus beyond the two token
-    rollups, so the remix costs two aggregates at any corpus size.
-    Engine-exact because p is an exact integer ratio and the bucket
-    rule has no RNG."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source",
-        F.size(
-            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
-        ).cast("long").alias("n_tokens"),
-    )
-    per_src = toks.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
-    tgt = per_src.agg(F.min("t_s").alias("t_min"))
-    wts = per_src.crossJoin(F.broadcast(tgt)).select(
-        "source", "t_s",
-        (F.col("t_min").cast("double") / F.col("t_s")).alias("p"),
-    )
-    kept = sampling.sample_weighted(
-        toks.join(F.broadcast(wts.select("source", "p")), "source"),
-        "doc_id", F.col("p"),
-    )
-    stats = kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("kept_docs"),
-        F.sum("n_tokens").alias("kept_tokens"),
-    )
-    return (
-        wts.select("source", "t_s")
-        .join(stats, "source", "left")
-        .select(
-            "source",
-            F.col("t_s").alias("orig_tokens"),
-            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
-            F.coalesce("kept_tokens", F.lit(0)).cast("long")
-            .alias("kept_tokens"),
-        )
-    )
-
-
-@_q(
     "pipeline_global_shuffle",
-    f"""WITH h AS (SELECT doc_id, source,
-                 {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':7')")} AS hh
-              FROM documents)
-       SELECT doc_id, source,
-              CAST(row_number() OVER (ORDER BY hh, doc_id) - 1 AS BIGINT)
-                AS shuffle_pos
-       FROM h""",
-)
-def pipeline_global_shuffle(spark, sf_dir):
-    """Deterministic global training-order permutation
-    (operators/sampling.global_shuffle): every document gets a dense
-    0-based position from a seeded MD5 ordering. The Spark plan is the
-    scale spelling — rank within hash buckets (parallel windows) +
-    prefix-summed bucket offsets broadcast back — while the oracle
-    runs the naive single-stream ORDER BY; bit-identical output
-    proves the decomposition is exact. At 100 TB the naive spelling
-    is a one-reducer funnel; this one is a single bucket-partitioned
-    window shuffle."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    return sampling.global_shuffle(docs, "doc_id", seed=7).select(
-        "doc_id", "source", "shuffle_pos"
-    )
-
-
-@_q(
     "txt_line_filter",
-    """WITH d AS (SELECT doc_id, string_split(text, ' a ') AS lines
-              FROM documents),
-       k AS (SELECT doc_id, lines,
-                    list_filter(lines,
-                      x -> len(list_filter(string_split(x, ' '),
-                               w -> w <> '')) >= 5
-                       AND list_contains(string_split(x, ' '), 'the'))
-                      AS kept
-             FROM d)
-       SELECT doc_id,
-              CAST(len(lines) AS BIGINT) AS n_lines,
-              CAST(len(kept) AS BIGINT) AS kept_lines,
-              CAST(coalesce(list_sum(list_transform(kept,
-                     x -> len(list_filter(string_split(x, ' '),
-                              w -> w <> '')))), 0) AS BIGINT) AS kept_words
-       FROM k""",
-)
-def txt_line_filter(spark, sf_dir):
-    """C4-style per-line cleanup (textstats.line_filter): the corpus
-    texts carry no newlines, so the token ' a ' serves as the line
-    delimiter and 'the' as the must-contain token (the stand-in for
-    C4's terminal-punctuation rule — both engines split on the same
-    literal, so the ledger is engine-exact). Reports the per-doc
-    total/kept-line/kept-word ledger; the reassembled clean_text is
-    dropped here only to keep the compared surface numeric."""
-    docs = load(spark, sf_dir, "documents")
-    out = textstats.line_filter(
-        docs, "doc_id", "text", delim=" a ", min_words=5,
-        must_contain="the",
-    )
-    return out.select("doc_id", "n_lines", "kept_lines", "kept_words")
-
-
-@_q(
     "pii_cc_luhn",
-    """SELECT doc_id,
-              CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
-                 + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
-                AS n_cc_candidates,
-              CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
-                AS n_cc_valid
-       FROM documents""",
-)
-def pii_cc_luhn(spark, sf_dir):
-    """Checksum-validated card detection (privacy.credit_card_audit):
-    docs with doc_id%7==0 are laced with a Luhn-VALID test PAN
-    (4111 1111 1111 1111) and docs with doc_id%11==0 with a Luhn-
-    INVALID 16-digit run — the oracle knows the ground truth by
-    construction, so the Spark side must both extract the candidates
-    AND classify them correctly through the sequence→transform→
-    aggregate Luhn fold. The candidate-minus-valid gap is exactly the
-    false-positive mass a regex-only scrubber would mislabel."""
-    d = load(spark, sf_dir, "documents")
-    laced = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.lit(" card 4111 1111 1111 1111"),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 11 == 0,
-                F.lit(" ref 1234 5678 9012 3456"),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    return privacy.credit_card_audit(laced, "doc_id", "text")
-
-
-@_q(
     "mm_decode_arrow",
-    """SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-              CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height,
-              CASE octet_length(encode(text)) % 3
-                WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp'
-              END AS format
-       FROM documents""",
-)
-def mm_decode_arrow(spark, sf_dir):
-    """decode_metadata through mapInArrow (multimodal.
-    decode_metadata_arrow): same metadata ledger as mm_decode_metadata
-    but computed from the Arrow binary array's offsets buffer with the
-    payload bytes never copied into Python — the zero-copy batch path
-    for asset bookkeeping at scale. Same oracle as the pandas twin, so
-    the two spellings are proven interchangeable."""
-    d = load(spark, sf_dir, "documents")
-    return multimodal.decode_metadata_arrow(multimodal.attach_binary(d))
-
-
-@_q(
     "txt_length_buckets",
-    """WITH t AS (SELECT doc_id,
-                 CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                                      x -> x <> '')) AS BIGINT) AS n
-              FROM documents),
-       b AS (SELECT doc_id, n,
-                    CASE WHEN n <= 32 THEN 0
-                         WHEN n <= 64 THEN 1
-                         WHEN n <= 128 THEN 2
-                         ELSE 3 END AS bucket
-             FROM t)
-       SELECT bucket, count(*) AS n_docs,
-              CAST(sum(n) AS BIGINT) AS sum_tokens,
-              CAST(max(n) AS BIGINT) AS bucket_max,
-              round((count(*) * max(n) - sum(n))
-                    / CAST(count(*) * max(n) AS DOUBLE), 6) AS pad_frac
-       FROM b GROUP BY bucket""",
-)
-def txt_length_buckets(spark, sf_dir):
-    """Length-bucketed batching ledger (textstats.length_buckets):
-    token-length buckets at fixed boundaries with per-bucket doc/token
-    mass and the padding fraction of batching each bucket to its own
-    max — the padded-batching counterpart of txt_pack_sequences'
-    concatenation strategy, and the number that justifies bucketing's
-    extra shuffle in a training-prep pipeline."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.length_buckets(docs, "doc_id", "text")
-
-
-@_q(
     "emb_gram_matrix",
-    """WITH q AS (SELECT list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-                    AS qv
-              FROM embeddings)
-       SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-              CAST(sum(qv[i] * qv[j]) AS BIGINT) AS gram
-       FROM q, range(1, 65) t1(i), range(1, 65) t2(j)
-       WHERE j >= i GROUP BY i, j""",
-)
-def emb_gram_matrix(spark, sf_dir):
-    """Upper-triangle integer Gram matrix of the embedding table
-    (operators/linalg.gram_matrix): per-partition numpy folds emit
-    d(d+1)/2 partial rows each, one (i,j) sum — the shuffle payload
-    is O(d^2 * partitions), never O(rows). Quantizing to integer
-    millionths BEFORE summation makes the entries bit-identical to
-    the DuckDB oracle's naive O(rows * d^2) expansion regardless of
-    partition layout — the reproducibility property a whitening /
-    drift-monitoring pipeline needs from its second-order stats."""
-    from ..operators.linalg import gram_matrix
-
-    e = load(spark, sf_dir, "embeddings")
-    return gram_matrix(e, "embedding", d=64)
-
-
-def _pca_power_sql(d: int, iters: int) -> str:
-    """DuckDB twin of linalg.pca_power_component: the same integer
-    Gram/sums, the same exact-integer covariance numerator, and the
-    same ``iters`` unrolled max-norm power steps — HUGEINT keeps every
-    sum exact (order-free), and the one float op per step
-    (floor(double·scale / double(max))) runs on identical operands.
-    Every step CTE is MATERIALIZED (the DuckDB CTE-inlining trap:
-    each v{t} is referenced by w{t+1} twice transitively — unrolled
-    references would blow up the scan tree exponentially)."""
-    ctes = [
-        f"""q AS MATERIALIZED (
-          SELECT list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-                 AS qv
-          FROM embeddings)""",
-        f"""g AS MATERIALIZED (
-          SELECT i, j, sum(CAST(qv[i] AS HUGEINT) * qv[j]) AS g
-          FROM q, range(1, {d + 1}) t1(i), range(1, {d + 1}) t2(j)
-          GROUP BY i, j)""",
-        f"""s AS MATERIALIZED (
-          SELECT i, sum(CAST(qv[i] AS HUGEINT)) AS s
-          FROM q, range(1, {d + 1}) t1(i) GROUP BY i)""",
-        """nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q)""",
-        """c AS MATERIALIZED (
-          SELECT g.i, g.j, nn.n * g.g - si.s * sj.s AS c
-          FROM g, nn, s si, s sj WHERE si.i = g.i AND sj.i = g.j)""",
-        f"""v0 AS MATERIALIZED (
-          SELECT i, CAST(1000000 AS HUGEINT) AS v
-          FROM range(1, {d + 1}) t(i))""",
-    ]
-    for t in range(1, iters + 1):
-        ctes.append(f"""w{t} AS MATERIALIZED (
-          SELECT c.i, sum(c.c * v.v) AS w
-          FROM c JOIN v{t - 1} v ON c.j = v.i GROUP BY c.i)""")
-        ctes.append(f"""m{t} AS MATERIALIZED (
-          SELECT max(abs(w)) AS mx FROM w{t})""")
-        # mx = 0 (degenerate/constant cloud: C is all zeros, so every
-        # w is too) carries the previous v forward — the SQL twin of
-        # the Python early-break (linalg.pca_power_component: `if mx
-        # == 0: break` keeps the prior v); an unguarded divide would
-        # diverge from the engine on degenerate input
-        ctes.append(f"""v{t} AS MATERIALIZED (
-          SELECT p.i,
-                 CASE WHEN m.mx = 0 THEN p.v
-                      ELSE CAST(floor(CAST(w.w * 1000000 AS DOUBLE)
-                                      / CAST(m.mx AS DOUBLE)) AS HUGEINT)
-                 END AS v
-          FROM v{t - 1} p JOIN w{t} w ON w.i = p.i, m{t} m)""")
-    ctes.append(f"""sg AS (
-          SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
-          FROM v{iters}
-          WHERE abs(v) = (SELECT max(abs(v)) FROM v{iters})
-          ORDER BY i LIMIT 1)""")
-    joined = ",\n       ".join(ctes)
-    return f"""WITH {joined}
-       SELECT CAST(v.i AS INT) AS dim,
-              CAST(v.v * sg.sg AS BIGINT) AS loading_fp
-       FROM v{iters} v, sg"""
-
-
-@_q("ml_pca_top_component", _pca_power_sql(64, 96))
-def ml_pca_top_component(spark, sf_dir):
-    """Leading principal component via fixed-point power iteration
-    (operators/linalg.pca_power_component): the distributed work is
-    the integer Gram + column-sum aggregates (bit-exact — see
-    emb_gram_matrix); the d×d iteration runs driver-side in EXACT
-    integer arithmetic with one IEEE-identical float normalization
-    per step, so 96 unrolled steps hash-match the plain-SQL replay —
-    the former rows-only eigensolve, made oracle-checkable. Direction
-    quality vs LAPACK's eigenvector is locked by a numpy parity test
-    in tests/test_scale_ops."""
-    from ..operators.linalg import pca_power_component
-
-    e = load(spark, sf_dir, "embeddings")
-    return pca_power_component(e, "embedding", d=64, iters=96)
-
-
-@_q(
+    "ml_pca_top_component",
     "txt_dsir_importance",
-    r"""WITH toks AS (
-         SELECT doc_id, source,
-                CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT)
-                    % 64 AS b
-         FROM (SELECT doc_id, source,
-                      unnest(list_filter(string_split_regex(text, '\s+'),
-                             x -> x <> '')) AS term
-               FROM documents)),
-       tc AS (SELECT b, count(*) AS c FROM toks
-              WHERE source = 'src0' GROUP BY b),
-       rc AS (SELECT b, count(*) AS c FROM toks
-              WHERE source <> 'src0' GROUP BY b),
-       tt AS (SELECT count(*) AS t FROM toks WHERE source = 'src0'),
-       rt AS (SELECT count(*) AS r FROM toks WHERE source <> 'src0'),
-       bk AS (SELECT range AS b FROM range(0, 64)),
-       lr AS (SELECT bk.b,
-                     ln((CAST((CAST((coalesce(tc.c, 0) + 1) AS HUGEINT)
-                               * (r + 64)) AS DOUBLE)
-                         / CAST((CAST((coalesce(rc.c, 0) + 1) AS HUGEINT)
-                                 * (t + 64)) AS DOUBLE))) AS lr
-              FROM bk LEFT JOIN tc ON tc.b = bk.b
-                      LEFT JOIN rc ON rc.b = bk.b, tt, rt),
-       dc AS (SELECT doc_id, b, count(*) AS c FROM toks
-              WHERE source <> 'src0' GROUP BY doc_id, b)
-       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-              round(sum(c * lr), 4) + 0.0 AS dsir_logweight
-       FROM dc JOIN lr USING (b) GROUP BY doc_id""",
-)
-def txt_dsir_importance(spark, sf_dir):
-    """DSIR importance weights (textstats.dsir_importance): every
-    non-src0 document scored by the hashed-unigram log-likelihood
-    ratio against the src0 docs as the in-domain target — the cheap
-    domain-selection signal you resample by before training. The
-    64-bucket hashed model is what scales: bucket counts partial-
-    aggregate map-side and the log-ratio table broadcasts as 64 rows
-    regardless of corpus size. Same md5 bucket hash on both engines."""
-    docs = load(spark, sf_dir, "documents")
-    raw = docs.filter(F.col("source") != "src0")
-    target = docs.filter(F.col("source") == "src0")
-    return textstats.dsir_importance(raw, target, "doc_id", "text")
-
-
-@_q(
     "dd_substring_spans",
-    """WITH all_docs AS (
-         SELECT doc_id, text FROM documents
-         UNION ALL
-         SELECT doc_id + 200000,
-                array_to_string(string_split(text, ' ')[11:], ' ')
-         FROM documents WHERE doc_id % 7 = 0),
-       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
-       g AS (SELECT doc_id,
-                    unnest(list_transform(generate_series(1, len(w) - 7),
-                           i -> {'pos': i,
-                                 'h': CAST(concat('0x',
-                                        substring(md5(array_to_string(
-                                          w[i:i+7], ' ')), 1, 15))
-                                      AS BIGINT)})) AS s
-             FROM w WHERE len(w) >= 8),
-       g2 AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g),
-       p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
-                    b.pos AS pb, a.pos - b.pos AS diag
-             FROM g2 a JOIN g2 b
-               ON a.h = b.h AND a.doc_id < b.doc_id),
-       r AS (SELECT *, row_number() OVER (
-                PARTITION BY da, db, diag ORDER BY pa) AS rn FROM p)
-       SELECT da AS doc_a, db AS doc_b,
-              CAST(min(pa) AS BIGINT) AS start_a,
-              CAST(min(pb) AS BIGINT) AS start_b,
-              CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
-       FROM r GROUP BY da, db, diag, pa - rn""",
-)
-def dd_substring_spans(spark, sf_dir):
-    """Exact shared-substring spans >= 8 tokens across documents
-    (dedup.substring_spans) — the Lee et al. ACL'22 exact-substring
-    dedup re-expressed as a positional L-gram inverted index +
-    diagonal gaps-and-islands merge. Overlap is synthesized in-query
-    (every 7th doc re-enters as its own 10-words-later suffix), so
-    the expected spans are knowable: each synthetic pair shares one
-    maximal span starting at (11, 1). Both engines build the same
-    md5 gram hashes -> identical span sets, hash-matched."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    suffix = (
-        docs.filter(F.col("doc_id") % 7 == 0)
-        .select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.array_join(
-                F.slice(F.split(F.col("text"), " "), 11, 1_000_000), " "
-            ).alias("text"),
-        )
-    )
-    all_docs = docs.unionByName(suffix)
-    return dedup.substring_spans(all_docs, "doc_id", "text", min_tokens=8)
-
-
-@_q(
     "emb_standardize",
-    """WITH q AS (SELECT vec_id, list_transform(embedding,
-                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-                    AS qv
-              FROM embeddings),
-       e AS (SELECT vec_id, i AS dim, qv[i] AS q
-             FROM q, range(1, 65) t(i)),
-       s AS (SELECT dim, CAST(sum(q) AS DOUBLE) AS sm,
-                    CAST(sum(q * q) AS DOUBLE) AS ss,
-                    CAST(count(*) AS DOUBLE) AS n
-             FROM e GROUP BY dim)
-       SELECT vec_id, CAST(e.dim AS INT) AS dim,
-              CASE WHEN ss / n - (sm / n) * (sm / n) > 0.0
-                   THEN round((q - sm / n)
-                              / sqrt(ss / n - (sm / n) * (sm / n)), 4)
-                        + 0.0
-              END AS z
-       FROM e JOIN s USING (dim)""",
-)
-def emb_standardize(spark, sf_dir):
-    """Per-dimension z-scores of the embedding table
-    (similarity.standardize_dims): exact integer sum/sumsq per
-    dimension, the 64-row stats table broadcast back, one float
-    expression per output value from identical integer operands on
-    both engines -> rounded scores hash-match. The preprocessing step
-    distance-based curation runs when dimensions are unevenly
-    scaled."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.standardize_dims(e, "vec_id", "embedding")
-
-
-@_q(
     "txt_pmi_collocations",
-    r"""WITH w AS (SELECT list_filter(string_split_regex(text, '\s+'),
-                                      x -> x <> '') AS w
-                  FROM documents),
-       uni AS (SELECT unnest(w) AS t FROM w),
-       uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
-       nu AS (SELECT sum(c) AS nu FROM uc),
-       bi AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
-                     i -> {'w1': w[i], 'w2': w[i+1]})) AS p
-              FROM w WHERE len(w) >= 2),
-       bc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_ab
-              FROM bi GROUP BY p.w1, p.w2
-              HAVING count(*) >= 20),
-       nb AS (SELECT sum(len(w) - 1) AS nb FROM w WHERE len(w) >= 2)
-       SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
-              round(ln((CAST((CAST(c_ab AS HUGEINT) * nu * nu) AS DOUBLE)
-                        / CAST((nb * ua.c * ub.c) AS DOUBLE))), 4)
-                  + 0.0 AS pmi
-       FROM bc JOIN uc ua ON ua.t = w1 JOIN uc ub ON ub.t = w2, nu, nb
-       ORDER BY pmi DESC, w1, w2 LIMIT 20""",
-)
-def txt_pmi_collocations(spark, sf_dir):
-    """Top-20 collocations by PMI over the documents corpus
-    (textstats.pmi_collocations): the phrase-mining step that feeds a
-    tokenizer's multiword vocabulary. PMI is one log of an exact
-    integer fraction and ranking uses the rounded value with a
-    lexicographic tie-break, so the top-k set and every value
-    hash-match the oracle."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.pmi_collocations(docs, "doc_id", "text")
-
-
-def _kcore_sql(k: int, rounds: int) -> str:
-    """DuckDB twin of graph.k_core over the high-quantity co-supply
-    graph: the peel unrolled ``rounds`` times (comfortably past the
-    measured fixpoint at every test sf — 3 rounds at sf0.01, 4 at
-    sf0.1 — so the unrolled result IS the fixpoint the Spark loop's
-    convergence probe stops at)."""
-    sql = """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
-               FROM lineitem WHERE l_quantity >= 48),
-       e0 AS MATERIALIZED (
-              SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
-                              greatest(a.l_suppkey, b.l_suppkey) AS v
-              FROM li a JOIN li b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_suppkey < b.l_suppkey)"""
-    # MATERIALIZED: each e_i is referenced 4x downstream; inlined CTEs
-    # would expand the scan tree exponentially in the round count
-    # (DuckDB hit its file-handle cap at 8 rounds before this)
-    for i in range(rounds):
-        sql += f""",
-       d{i} AS MATERIALIZED (
-               SELECT node, count(*) AS deg
-               FROM (SELECT u AS node FROM e{i}
-                     UNION ALL SELECT v FROM e{i})
-               GROUP BY node),
-       k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
-       e{i + 1} AS MATERIALIZED (
-                SELECT u, v FROM e{i}
-                WHERE u IN (SELECT node FROM k{i})
-                  AND v IN (SELECT node FROM k{i}))"""
-    sql += f"""
-       SELECT node, count(*) AS core_deg
-       FROM (SELECT u AS node FROM e{rounds}
-             UNION ALL SELECT v FROM e{rounds})
-       GROUP BY node"""
-    return sql
-
-
-@_q("graph_kcore", _kcore_sql(5, 8))
-def graph_kcore(spark, sf_dir):
-    """5-core of the l_quantity>=48 co-supply graph
-    (operators/graph.k_core): iterative peeling with per-round
-    edge-sized shuffles and a 1-row convergence probe. The oracle
-    unrolls 8 peel rounds — past the measured fixpoint at every test
-    sf — so both engines land on the identical core membership and
-    within-core degrees."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 48)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_suppkey").alias("sa"))
-    b = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_suppkey").alias("sb"))
-    e = (
-        a.join(b, "k")
-        .filter(F.col("sa") < F.col("sb"))
-        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-        .distinct()
-    )
-    return graph.k_core(e, k=5)
-
-
-@_q(
+    "graph_kcore",
     "dd_boilerplate",
-    """WITH d AS (SELECT doc_id,
-                       CASE WHEN doc_id % 3 <> 0
-                            THEN text || ' spark footer generated legal text'
-                            ELSE text END AS text
-              FROM documents),
-       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
-       pos AS (SELECT doc_id,
-                      unnest(list_transform(generate_series(1, len(w) - 2),
-                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                          AS shingle
-               FROM w WHERE len(w) >= 3),
-       nd AS (SELECT count(DISTINCT doc_id) AS nd FROM d),
-       dfq AS (SELECT shingle, count(DISTINCT doc_id) AS df
-               FROM pos GROUP BY shingle),
-       boiler AS (SELECT shingle FROM dfq, nd WHERE df > nd * 0.2)
-       SELECT p.doc_id, count(*) AS n_shingles,
-              CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_boiler,
-              round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
-                    / CAST(count(*) AS DOUBLE), 4) AS boiler_frac
-       FROM pos p LEFT JOIN boiler b ON b.shingle = p.shingle
-       GROUP BY p.doc_id""",
-)
-def dd_boilerplate(spark, sf_dir):
-    """Template/boilerplate contamination ledger
-    (dedup.boilerplate_fraction): shingles appearing in >20% of
-    documents mark boilerplate, each doc scored by the fraction of
-    its shingle positions covered. A fixed footer is synthesized onto
-    2/3 of the docs in-query (testdata texts share no natural
-    3-gram at 20% df), so the expected ledger is knowable: footer
-    shingles cross the threshold, footered docs score ~5/100, the
-    rest 0."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 3 != 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" spark footer generated legal text"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    return dedup.boilerplate_fraction(docs, "doc_id", "text",
-                                      k=3, df_frac=0.2)
-
-
-def _bpe_sql(n_merges: int) -> str:
-    """DuckDB twin of textstats.bpe_merges, rounds unrolled. Every
-    round CTE is MATERIALIZED (each is referenced by both the pair
-    count and the rewrite — inlining would re-derive the whole merge
-    chain per reference). The middle-dot symbol form and the literal
-    replace give both engines identical leftmost-nonoverlapping merge
-    semantics."""
-    sql = r"""WITH toks AS (
-         SELECT unnest(list_filter(string_split_regex(text, '\s+'),
-                x -> x <> '' AND NOT contains(x, '·'))) AS word
-         FROM documents),
-       wf AS MATERIALIZED (
-         SELECT word, count(*) AS freq FROM toks GROUP BY word),
-       v1 AS MATERIALIZED (
-         SELECT '·' || array_to_string(string_split_regex(word, ''), '··')
-                    || '·' AS sym,
-                freq FROM wf)"""
-    for i in range(1, n_merges + 1):
-        sql += f""",
-       a{i} AS MATERIALIZED (
-         SELECT string_split(trim(sym, '·'), '··') AS arr, freq
-         FROM v{i}),
-       p{i} AS MATERIALIZED (
-         SELECT p.l AS l, p.r AS r, sum(freq) AS cnt
-         FROM (SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
-                      j -> {{'l': arr[j], 'r': arr[j+1]}})) AS p, freq
-               FROM a{i} WHERE len(arr) >= 2)
-         GROUP BY p.l, p.r),
-       m{i} AS MATERIALIZED (
-         SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
-       v{i + 1} AS MATERIALIZED (
-         SELECT replace(sym, '·' || l || '··' || r || '·',
-                        '·' || l || r || '·') AS sym, freq
-         FROM v{i}, m{i})"""
-    steps = "\n       UNION ALL ".join(
-        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, "
-        f"CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
-        for i in range(1, n_merges + 1)
-    )
-    return sql + f"\n       {steps}"
-
-
-def _bpe_encode_sql(n_merges: int) -> str:
-    """Per-source tokenization-economics twin: reuses the unrolled
-    merge-learning chain, then encodes the distinct word-form table
-    with ONE nested literal replace per learned rule (no further
-    iteration — merges are known) and joins the per-word token count
-    back onto the (source, word) stream."""
-    chain = _bpe_sql(n_merges)
-    # strip the final UNION-ALL select: keep everything up to the last
-    # v{n+1} CTE (the chain ends right before the first "SELECT 1 AS")
-    cut = chain.index("\n       SELECT 1 AS step")
-    chain = chain[:cut]
-    base = ("'·' || array_to_string(string_split_regex(word, ''), '··')"
-            " || '·'")
-    expr = base
-    for i in range(1, n_merges + 1):
-        expr = (f"replace({expr}, '·' || q{i}.l || '··' || q{i}.r || '·',"
-                f" '·' || q{i}.l || q{i}.r || '·')")
-    froms = ", ".join(f"m{i} AS q{i}" for i in range(1, n_merges + 1))
-    return chain + f""",
-       tk AS MATERIALIZED (
-         SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
-                x -> x <> '' AND NOT contains(x, '·'))) AS word
-         FROM documents),
-       wfw AS MATERIALIZED (SELECT DISTINCT word FROM tk),
-       enc AS MATERIALIZED (
-         SELECT word, CAST(length(word) AS BIGINT) AS nchars,
-                CAST(len(string_split(trim({expr}, '·'), '··')) AS BIGINT)
-                    AS ntok
-         FROM wfw, {froms})
-       SELECT source, count(*) AS n_words,
-              CAST(sum(nchars) AS BIGINT) AS n_chars,
-              CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
-              round(sum(nchars) / CAST(sum(ntok) AS DOUBLE), 4)
-                  AS chars_per_token
-       FROM tk JOIN enc USING (word) GROUP BY source"""
-
-
-@_q("txt_bpe_encode", _bpe_encode_sql(6))
-def txt_bpe_encode(spark, sf_dir):
-    """Apply the learned BPE merge table and report per-source
-    tokenization economics (textstats.bpe_encode_report): word count,
-    character mass, BPE token count and chars-per-token — what a
-    token budget buys from each source. Encoding is iteration-free
-    (one chained literal replace per rule over the DISTINCT word-form
-    table, joined back by word), so the corpus-scale cost is one
-    token-stream join regardless of merge count."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.bpe_encode_report(docs, "source", "text", n_merges=6)
-
-
-@_q("txt_bpe_merges", _bpe_sql(6))
-def txt_bpe_merges(spark, sf_dir):
-    """First 6 BPE merge rules learned from the documents corpus
-    (textstats.bpe_merges): one corpus-scale word-count aggregate,
-    then vocabulary-sized merge rounds with a 1-row argmax collect
-    each — the tokenizer-training artifact, engine-exact via the
-    (count DESC, pair ASC) tie-break and shared leftmost-
-    nonoverlapping replace semantics."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.bpe_merges(docs, "text", n_merges=6)
-
-
-@_q(
+    "txt_bpe_encode",
+    "txt_bpe_merges",
     "pii_k_anonymity",
-    """WITH c AS (SELECT o_orderstatus, o_orderpriority,
-                       CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-                       o_custkey % 100 AS cust_bucket,
-                       count(*) AS n
-              FROM orders
-              GROUP BY o_orderstatus, o_orderpriority, m, cust_bucket)
-       SELECT 5 AS k, CAST(sum(n) AS BIGINT) AS n_rows,
-              count(*) AS n_classes,
-              CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_small_classes,
-              CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
-                  AS n_risky_rows,
-              round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
-                    / CAST(sum(n) AS DOUBLE), 6) AS risky_frac
-       FROM c""",
-)
-def pii_k_anonymity(spark, sf_dir):
-    """k-anonymity audit (privacy.k_anonymity_audit) over a
-    quasi-identifier tuple of orders (status, priority, order month,
-    customer bucket): equivalence classes smaller than k=5 and the
-    fraction of rows they expose — the release-review number for any
-    data product leaving the pipeline. One linear aggregate + 1-row
-    rollup at any scale."""
-    from ..operators.privacy import k_anonymity_audit
-
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderstatus",
-        "o_orderpriority",
-        F.trunc("o_orderdate", "month").alias("m"),
-        (F.col("o_custkey") % 100).alias("cust_bucket"),
-    )
-    return k_anonymity_audit(
-        o, ["o_orderstatus", "o_orderpriority", "m", "cust_bucket"], k=5
-    )
-
-
-@_q(
     "mm_shard_assign",
-    """WITH p AS (SELECT doc_id, octet_length(encode(text)) AS nb
-              FROM documents),
-       c AS (SELECT doc_id, nb,
-                    coalesce(sum(nb) OVER (ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING), 0) AS off
-             FROM p)
-       SELECT CAST(off // 65536 AS BIGINT) AS shard_id,
-              count(*) AS n_docs,
-              CAST(sum(nb) AS BIGINT) AS shard_bytes,
-              min(doc_id) AS first_doc, max(doc_id) AS last_doc
-       FROM c GROUP BY shard_id""",
-)
-def mm_shard_assign(spark, sf_dir):
-    """WebDataset shard-packing ledger (multimodal.shard_assign):
-    64 KiB byte-budget shards along the id-ordered payload stream.
-    The oracle computes the naive single-window prefix sum; the
-    engine computes the SAME offsets via the bucketed two-phase
-    decomposition (per-bucket totals -> bounded histogram prefix ->
-    broadcast offsets -> bucket-partitioned window), so the ledgers
-    match bit-for-bit while the plan stays shardable at 10^12 rows."""
-    from ..operators.multimodal import attach_binary, shard_assign
-
-    docs = attach_binary(load(spark, sf_dir, "documents"))
-    sized = docs.select("doc_id", F.length("payload").alias("n_bytes"))
-    return shard_assign(sized, "doc_id", "n_bytes", shard_bytes=1 << 16)
-
-
-def _pq_sql(m: int, sub_d: int, k_star: int, n_queries: int,
-            topk: int) -> str:
-    """DuckDB twin of similarity.pq_topk: per-subspace seed codebooks,
-    argmin code assignment (rounded distance + centroid-id tie-break),
-    integer ADC lookup tables, exact integer sums, deterministic
-    ranking. Sub-vector s is embedding[s*sub_d+1 : (s+1)*sub_d]
-    (DuckDB slices are 1-based inclusive)."""
-    ctes = []
-    for s in range(m):
-        a, b = s * sub_d + 1, (s + 1) * sub_d
-        sl = f"e.embedding[{a}:{b}]"
-        qsl = f"q.embedding[{a}:{b}]"
-        cb = (f"list_transform(embedding[{a}:{b}], "
-              "x -> round(CAST(x AS DOUBLE), 6))")
-        dist = _SQDIST.format(a=sl, b="c.cv")
-        qdist = _SQDIST.format(a=qsl, b="c.cv")
-        ctes.append(f"""cb{s} AS MATERIALIZED (
-          SELECT CAST(vec_id AS BIGINT) AS cid, {cb} AS cv
-          FROM embeddings ORDER BY vec_id LIMIT {k_star})""")
-        ctes.append(f"""code{s} AS MATERIALIZED (
-          SELECT vec_id, {s} AS s, cid AS code FROM (
-            SELECT e.vec_id, c.cid,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY round({dist}, 6), c.cid) AS rk
-            FROM embeddings e, cb{s} c) t WHERE rk = 1)""")
-        ctes.append(f"""qt{s} AS MATERIALIZED (
-          SELECT q.vec_id AS qid, {s} AS s, c.cid AS code,
-                 CAST(floor(({qdist}) * 1000000 + 0.5) AS BIGINT)
-                     AS d
-          FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q,
-               cb{s} c)""")
-    codes_u = " UNION ALL ".join(
-        f"SELECT * FROM code{s}" for s in range(m)
-    )
-    qt_u = " UNION ALL ".join(f"SELECT * FROM qt{s}" for s in range(m))
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined},
-       codes AS MATERIALIZED ({codes_u}),
-       qt AS MATERIALIZED ({qt_u}),
-       adc AS (SELECT qt.qid AS query_id, codes.vec_id AS neighbor_id,
-                      sum(qt.d) AS adc_dist
-               FROM codes JOIN qt ON qt.s = codes.s
-                                 AND qt.code = codes.code
-               WHERE codes.vec_id <> qt.qid
-               GROUP BY qt.qid, codes.vec_id)
-       SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
-              CAST(rk AS BIGINT) AS rk
-       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY adc_dist, neighbor_id) AS rk FROM adc) t
-       WHERE rk <= {topk}"""
-
-
-@_q("ann_pq_topk", _pq_sql(8, 8, 8, 10, 5))
-def ann_pq_topk(spark, sf_dir):
-    """Product-quantization ANN top-5 (similarity.pq_topk): 64-dim
-    vectors quantized to 8 one-byte codes via per-subspace seed
-    codebooks, queries scored against CODES through integer ADC
-    lookup tables — the ~32x memory-traffic reduction that makes
-    exhaustive billion-vector scoring feasible (compose with IVF
-    cells for IVF-PQ). Every assignment and the ranking follow the
-    rounded-distance + id tie-break convention, ADC sums are exact
-    integers — the full pipeline hash-matches the oracle replay."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(
-        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, m=8, sub_d=8, k_star=8,
-    )
-
-
-def _pq_trained_sql(m: int, sub_d: int, k_star: int, iters: int,
-                    n_queries: int, topk: int) -> str:
-    """DuckDB twin of pq_train_codebooks + pq_topk: per-subspace
-    k-means (the _kmeans_ctes conventions — rounded seeds, argmin with
-    cluster tie-break, per-dimension rounded means — applied to each
-    sub-vector slice), then the standard PQ encode/ADC/rank chain
-    against the TRAINED codebooks. Every iterative CTE is MATERIALIZED
-    (DuckDB inlines CTEs; the multiply-referenced rounds would expand
-    the scan tree exponentially otherwise)."""
-    ctes = []
-    for s in range(m):
-        a, b = s * sub_d + 1, (s + 1) * sub_d
-        sl = f"e.embedding[{a}:{b}]"
-        ctes.append(f"""p{s}c0 AS MATERIALIZED (
-          SELECT CAST(vec_id AS BIGINT) AS cluster,
-                 list_transform(embedding[{a}:{b}],
-                                x -> round(CAST(x AS DOUBLE), 6)) AS centroid
-          FROM embeddings ORDER BY vec_id LIMIT {k_star})""")
-        for i in range(1, iters + 1):
-            dist = _SQDIST.format(a=sl, b="c.centroid")
-            ctes.append(f"""p{s}a{i} AS MATERIALIZED (
-              SELECT e.vec_id, {sl} AS sv, c.cluster,
-                     row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY round({dist}, 6), c.cluster) AS rk
-              FROM embeddings e, p{s}c{i-1} c)""")
-            ctes.append(f"""p{s}d{i} AS MATERIALIZED (
-              SELECT cluster, t.j AS dim,
-                     round(avg(CAST(sv[t.j] AS DOUBLE)), 6) AS m
-              FROM p{s}a{i}, LATERAL (SELECT unnest(generate_series(1,
-                     len(sv))) AS j) t
-              WHERE rk = 1 GROUP BY cluster, t.j)""")
-            ctes.append(f"""p{s}c{i} AS MATERIALIZED (
-              SELECT cluster, list(m ORDER BY dim) AS centroid
-              FROM p{s}d{i} GROUP BY cluster)""")
-        dist_f = _SQDIST.format(a=sl, b="c.centroid")
-        qdist_f = _SQDIST.format(a=f"q.embedding[{a}:{b}]", b="c.centroid")
-        ctes.append(f"""code{s} AS MATERIALIZED (
-          SELECT vec_id, {s} AS s, cluster AS code FROM (
-            SELECT e.vec_id, c.cluster,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY round({dist_f}, 6), c.cluster) AS rk
-            FROM embeddings e, p{s}c{iters} c) t WHERE rk = 1)""")
-        ctes.append(f"""qt{s} AS MATERIALIZED (
-          SELECT q.vec_id AS qid, {s} AS s, c.cluster AS code,
-                 CAST(floor(({qdist_f}) * 1000000 + 0.5) AS BIGINT)
-                     AS d
-          FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q,
-               p{s}c{iters} c)""")
-    codes_u = " UNION ALL ".join(f"SELECT * FROM code{s}" for s in range(m))
-    qt_u = " UNION ALL ".join(f"SELECT * FROM qt{s}" for s in range(m))
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined},
-       codes AS MATERIALIZED ({codes_u}),
-       qt AS MATERIALIZED ({qt_u}),
-       adc AS (SELECT qt.qid AS query_id, codes.vec_id AS neighbor_id,
-                      sum(qt.d) AS adc_dist
-               FROM codes JOIN qt ON qt.s = codes.s
-                                 AND qt.code = codes.code
-               WHERE codes.vec_id <> qt.qid
-               GROUP BY qt.qid, codes.vec_id)
-       SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
-              CAST(rk AS BIGINT) AS rk
-       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY adc_dist, neighbor_id) AS rk FROM adc) t
-       WHERE rk <= {topk}"""
-
-
-@_q("ann_pq_trained", _pq_trained_sql(8, 8, 4, 1, 10, 5))
-def ann_pq_trained(spark, sf_dir):
-    """PQ ANN with TRAINED codebooks (similarity.pq_train_codebooks →
-    pq_topk): per-subspace k-means (k*=4, one Lloyd iteration,
-    deterministic seeds) learns each codebook, proving the training
-    path composes with the quantize/ADC contract — not just the
-    seeded one. The oracle replays the per-subspace Lloyd round, the
-    encode, and the integer-ADC ranking in generated SQL."""
-    e = load(spark, sf_dir, "embeddings")
-    cbs = similarity.pq_train_codebooks(
-        e, "vec_id", "embedding", m=8, sub_d=8, k_star=4, iters=1
-    )
-    return similarity.pq_topk(
-        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, m=8, sub_d=8, codebooks=cbs,
-    )
-
-
-
-
-# Shared near-dup cluster map for the composition queries
-# (savings ledger / keep-best / cluster split): in production the
-# cluster map is computed ONCE per corpus snapshot and every
-# downstream decision consumes it — mirroring that here also keeps
-# the bench honest about marginal cost. Keyed by (Spark app id,
-# sf_dir); frames are localCheckpoint-ed so the lineage is cut.
-_CLUSTER_CACHE: dict = FixtureMemo()
-
-
-def _cluster_map(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CLUSTER_CACHE:
-        d = load(spark, sf_dir, "documents")
-        pairs = dedup.ngram_jaccard_pairs(
-            d, "doc_id", "text", k=3, threshold=0.5
-        ).localCheckpoint()
-        clusters = dedup.duplicate_clusters(pairs).localCheckpoint()
-        _CLUSTER_CACHE[key] = (pairs, clusters)
-    return _CLUSTER_CACHE[key]
-
-
-@_q(
+    "ann_pq_topk",
+    "ann_pq_trained",
     "dd_savings_ledger",
-    f"""WITH clusters AS ({ORACLES["dd_dup_clusters"]}),
-       sized AS (SELECT c.cluster_id, c.doc_id, d.n_chars
-                 FROM clusters c JOIN documents d USING (doc_id))
-       SELECT cluster_id, count(*) AS n_members,
-              CAST(sum(n_chars) AS BIGINT) AS bytes_total,
-              CAST(sum(n_chars)
-                   - max(CASE WHEN doc_id = cluster_id THEN n_chars END)
-                   AS BIGINT) AS bytes_saved
-       FROM sized GROUP BY cluster_id HAVING count(*) > 1""",
-)
-def dd_savings_ledger(spark, sf_dir):
-    """What dedup actually BUYS: per near-dup cluster, the member
-    count, total byte mass, and bytes reclaimed by keeping only the
-    cluster head (minimum doc id) — the ledger that justifies the
-    dedup stage's cost in a 100 TB curation budget review. One join
-    of the cluster map onto document sizes plus a cluster-keyed
-    aggregate on top of the oracle-shared connected components."""
-    d = load(spark, sf_dir, "documents")
-    _, clusters = _cluster_map(spark, sf_dir)
-    sized = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
-    return (
-        sized.groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum("n_chars").cast("long").alias("bytes_total"),
-            (
-                F.sum("n_chars")
-                - F.max(
-                    F.when(
-                        F.col("doc_id") == F.col("cluster_id"),
-                        F.col("n_chars"),
-                    )
-                )
-            )
-            .cast("long")
-            .alias("bytes_saved"),
-        )
-        .filter(F.col("n_members") > 1)
-    )
-
-
-@_q(
     "pipeline_mix_planner",
-    r"""WITH d AS (SELECT source,
-                len(list_filter(string_split_regex(text, '\s+'),
-                                x -> x <> '')) AS n_tokens
-              FROM documents),
-       per_src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s
-                   FROM d GROUP BY source),
-       tot AS (SELECT sum(t_s) AS t_tot FROM per_src),
-       w AS (SELECT source, t_s, sqrt(CAST(t_s AS DOUBLE)) AS ws
-             FROM per_src),
-       z AS (SELECT sum(ws) AS z FROM w)
-       SELECT source, t_s AS orig_tokens,
-              round(ws / z, 4) + 0.0 AS weight,
-              CAST(floor((ws / z * (2.0 * t_tot)) + 0.5)
-                   AS BIGINT) AS target_tokens,
-              round(ws / z * (2.0 * t_tot) / CAST(t_s AS DOUBLE), 4)
-                  + 0.0 AS epochs
-       FROM w, z, tot""",
-)
-def pipeline_mix_planner(spark, sf_dir):
-    """Temperature-mixture planning — the step BEFORE
-    pipeline_remix_sources' enforcement: given per-source token masses
-    T_s and a token budget B (here 2x the corpus, so some sources must
-    repeat), allocate B by temperature sampling with alpha = 0.5 —
-    w_s ∝ T_s^0.5, the standard multilingual rebalancing exponent
-    (XLM-R-style temperature sampling) that upweights small sources
-    without flattening the mixture. Emits per source the weight, the
-    target token allocation, and ``epochs`` = target/T_s (>1 means the
-    source upsamples/repeats — the number a 100 TB pretraining run
-    publishes in its data table).
-
-    Scale shape: one token rollup over the corpus (the only
-    data-sized work), then all planning math happens on the ≤|sources|
-    row frame with two 1-row broadcast joins (Σ weights, Σ tokens).
-    Floats are fenced by convention: weights/epochs round-4 (+0.0 for
-    IEEE -0.0), the token allocation quantizes via round-6 + floor+0.5
-    so both engines land the same integer."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.size(
-            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
-        ).cast("long").alias("n_tokens"),
-    )
-    per_src = toks.groupBy("source").agg(
-        F.sum("n_tokens").cast("long").alias("t_s")
-    )
-    return mix_plan_from_tokens(per_src)
-
-
-def mix_plan_from_tokens(per_src):
-    """The planning math of `pipeline_mix_planner` over a
-    (source, t_s) frame — shared with the streaming mixture monitor so
-    the drained fold and the batch planner emit IDENTICAL expressions
-    (same rounding fences, same float discipline)."""
-    w = per_src.withColumn("ws", F.sqrt(F.col("t_s").cast("double")))
-    z = w.agg(F.sum("ws").alias("z"))
-    tot = per_src.agg(F.sum("t_s").alias("t_tot"))
-    alloc = F.col("ws") / F.col("z") * (2.0 * F.col("t_tot"))
-    return (
-        w.crossJoin(F.broadcast(z))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            F.col("t_s").alias("orig_tokens"),
-            (F.round(F.col("ws") / F.col("z"), 4) + F.lit(0.0))
-            .alias("weight"),
-            F.floor(alloc + F.lit(0.5)).cast("long")
-            .alias("target_tokens"),
-            (F.round(alloc / F.col("t_s").cast("double"), 4)
-             + F.lit(0.0)).alias("epochs"),
-        )
-    )
-
-
-@_q(
     "txt_char_entropy",
-    """WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch
-              FROM documents,
-                   LATERAL (SELECT unnest(generate_series(1, len(text)))
-                            AS i) s),
-       counts AS (SELECT doc_id, ch, count(*) AS c
-                  FROM ch GROUP BY doc_id, ch),
-       per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
-                      sum(c * ln(c)) AS clogc
-               FROM counts GROUP BY doc_id)
-       SELECT doc_id, n_chars,
-              round(ln(n_chars) - clogc / n_chars, 4) + 0.0
-                  AS entropy_nats,
-              (round(ln(n_chars) - clogc / n_chars, 4) + 0.0) < 2.5
-                  AS low_entropy
-       FROM per""",
-)
-def txt_char_entropy(spark, sf_dir):
-    """Character-distribution Shannon entropy per document
-    (textstats.char_entropy) — the degenerate-content tripwire run
-    before any model-based quality scoring: mono-character runs,
-    base64 walls and template spam sit far outside natural text's
-    entropy band. Every log is taken on an exact integer count
-    (ln(n) - Σc·ln(c)/n form), so the only float noise is the final
-    accumulation — round-4 absorbed; the low_entropy flag compares the
-    ROUNDED value so both engines emit identical booleans."""
-    docs = load(spark, sf_dir, "documents")
-    return textstats.char_entropy(docs, "doc_id", "text")
-
-
-def _ivfpq_sql(n_cells: int, n_probe: int, m: int, sub_d: int,
-               k_star: int, n_queries: int, topk: int,
-               seed_pred: str | None = None,
-               inv_pred: str | None = None,
-               q_pred: str | None = None) -> str:
-    """DuckDB twin of similarity.ivfpq_topk: coarse cells, residual
-    encoding, per-subspace seed codebooks over residuals, integer ADC
-    restricted to probed cells — every argmin/ranking shares the
-    rounded-distance + id tie-break convention. ``seed_pred``
-    restricts CODEBOOK derivation (coarse seeds + PQ residual seeds)
-    to a sub-corpus — the incremental-index contract where arrivals
-    are encoded with quantizers frozen on the base corpus.
-    ``inv_pred`` restricts the INVENTORY the ADC join scores (the
-    filtered-search contract: shared quantizers, metadata-constrained
-    candidates). ``q_pred`` overrides the query-set predicate
-    (default ``vec_id < n_queries``) — e.g. an anchor cohort by
-    label for served hard-negative mining."""
-    seed_where = f"WHERE {seed_pred} " if seed_pred else ""
-    q_pred = q_pred or f"vec_id < {n_queries}"
-    inv_where = (
-        f" AND codes.vec_id IN (SELECT vec_id FROM embeddings "
-        f"WHERE {inv_pred})" if inv_pred else ""
-    )
-    d_full = m * sub_d
-    res = (f"list_transform(generate_series(1, {d_full}), "
-           "j -> CAST(e.embedding[j] AS DOUBLE) - c.cv[j])")
-    qres = (f"list_transform(generate_series(1, {d_full}), "
-            "j -> CAST(q.embedding[j] AS DOUBLE) - c.cv[j])")
-    dist = _SQDIST.format(a="e.embedding", b="c.cv")
-    qdist = _SQDIST.format(a="q.embedding", b="c.cv")
-    ctes = [f"""cells AS MATERIALIZED (
-          SELECT CAST(vec_id AS BIGINT) AS cell,
-                 list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
-                     AS cv
-          FROM embeddings {seed_where}ORDER BY vec_id LIMIT {n_cells})""",
-            f"""asg AS MATERIALIZED (
-          SELECT vec_id, cell, res FROM (
-            SELECT e.vec_id, c.cell, {res} AS res,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY round({dist}, 6), c.cell) AS rk
-            FROM embeddings e, cells c) t WHERE rk = 1)""",
-            f"""probes AS MATERIALIZED (
-          SELECT qid, cell, qres FROM (
-            SELECT q.vec_id AS qid, c.cell, {qres} AS qres,
-                   row_number() OVER (PARTITION BY q.vec_id
-                     ORDER BY round({qdist}, 6), c.cell) AS rk
-            FROM (SELECT * FROM embeddings WHERE {q_pred}) q,
-                 cells c) t WHERE rk <= {n_probe})"""]
-    for s in range(m):
-        a, b = s * sub_d + 1, (s + 1) * sub_d
-        sdist = _SQDIST.format(a=f"e.res[{a}:{b}]", b="c.bv")
-        sqd = _SQDIST.format(a=f"p.qres[{a}:{b}]", b="c.bv")
-        ctes.append(f"""cb{s} AS MATERIALIZED (
-          SELECT CAST(vec_id AS BIGINT) AS cid,
-                 list_transform(res[{a}:{b}], x -> round(x, 6)) AS bv
-          FROM asg {seed_where}ORDER BY vec_id LIMIT {k_star})""")
-        ctes.append(f"""code{s} AS MATERIALIZED (
-          SELECT vec_id, cell, {s} AS s, cid AS code FROM (
-            SELECT e.vec_id, e.cell, c.cid,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY round({sdist}, 6), c.cid) AS rk
-            FROM asg e, cb{s} c) t WHERE rk = 1)""")
-        ctes.append(f"""qt{s} AS MATERIALIZED (
-          SELECT p.qid, p.cell, {s} AS s, c.cid AS code,
-                 CAST(floor(({sqd}) * 1000000 + 0.5) AS BIGINT)
-                     AS d
-          FROM probes p, cb{s} c)""")
-    codes_u = " UNION ALL ".join(f"SELECT * FROM code{s}"
-                                 for s in range(m))
-    qt_u = " UNION ALL ".join(f"SELECT * FROM qt{s}" for s in range(m))
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined},
-       codes AS MATERIALIZED ({codes_u}),
-       qt AS MATERIALIZED ({qt_u}),
-       adc AS (SELECT qt.qid AS query_id, codes.vec_id AS neighbor_id,
-                      sum(qt.d) AS adc_dist
-               FROM codes JOIN qt ON qt.cell = codes.cell
-                                 AND qt.s = codes.s
-                                 AND qt.code = codes.code
-               WHERE codes.vec_id <> qt.qid{inv_where}
-               GROUP BY qt.qid, codes.vec_id)
-       SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
-              CAST(rk AS BIGINT) AS rk
-       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY adc_dist, neighbor_id) AS rk FROM adc) t
-       WHERE rk <= {topk}"""
-
-
-def _drift_sql(n_cells: int = 8, m: int = 8, sub_d: int = 8,
-               k_star: int = 8,
-               seed_pred: str = "vec_id % 2 = 0") -> str:
-    """DuckDB twin of similarity.quantization_error over base-trained
-    quantizers: the same cells/asg/cb CTE conventions as _ivfpq_sql
-    (seed_pred restricts quantizer derivation to the base cohort),
-    then per-vector sums of per-subspace MIN micro-distances, grouped
-    into base vs arrivals cohorts. All sums are exact integers; the
-    one float op (the cohort mean) divides identical operands."""
-    seed_where = f"WHERE {seed_pred} "
-    d_full = m * sub_d
-    res = (f"list_transform(generate_series(1, {d_full}), "
-           "j -> CAST(e.embedding[j] AS DOUBLE) - c.cv[j])")
-    dist = _SQDIST.format(a="e.embedding", b="c.cv")
-    ctes = [f"""cells AS MATERIALIZED (
-          SELECT CAST(vec_id AS BIGINT) AS cell,
-                 list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))
-                     AS cv
-          FROM embeddings {seed_where}ORDER BY vec_id LIMIT {n_cells})""",
-            f"""asg AS MATERIALIZED (
-          SELECT vec_id, cell, res FROM (
-            SELECT e.vec_id, c.cell, {res} AS res,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY round({dist}, 6), c.cell) AS rk
-            FROM embeddings e, cells c) t WHERE rk = 1)"""]
-    for s in range(m):
-        a, b = s * sub_d + 1, (s + 1) * sub_d
-        sdist = _SQDIST.format(a=f"e.res[{a}:{b}]", b="c.bv")
-        ctes.append(f"""cb{s} AS MATERIALIZED (
-          SELECT CAST(vec_id AS BIGINT) AS cid,
-                 list_transform(res[{a}:{b}], x -> round(x, 6)) AS bv
-          FROM asg {seed_where}ORDER BY vec_id LIMIT {k_star})""")
-        ctes.append(f"""mind{s} AS MATERIALIZED (
-          SELECT e.vec_id,
-                 min(CAST(floor(({sdist}) * 1000000
-                                + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS d
-          FROM asg e, cb{s} c GROUP BY e.vec_id)""")
-    err_sum = " + ".join(f"m{s}.d" for s in range(m))
-    err_join = " ".join(
-        f"JOIN mind{s} m{s} ON m{s}.vec_id = m0.vec_id"
-        for s in range(1, m)
-    )
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined},
-       err AS (SELECT m0.vec_id, {err_sum} AS err
-               FROM mind0 m0 {err_join})
-       SELECT CASE WHEN {seed_pred} THEN 'base' ELSE 'arrivals' END
-                  AS cohort,
-              count(*) AS n_vecs,
-              CAST(sum(err) AS BIGINT) AS total_err,
-              CAST(floor(CAST(sum(err) AS DOUBLE)
-                         / CAST(count(*) AS DOUBLE)) AS BIGINT)
-                  AS mean_err_fp
-       FROM err GROUP BY 1"""
-
-
-def _drift_quantizers(spark, e) -> tuple[list, list]:
-    """Base-cohort (even vec_id) coarse cells + PQ codebooks with the
-    exact conventions of `_drift_sql` / the incremental-index family —
-    shared by the batch monitor and its streaming twin."""
-    base = e.filter(F.col("vec_id") % 2 == 0)
-    cell_rows = (
-        base.orderBy("vec_id").limit(8)
-        .select(
-            F.col("vec_id").cast("long").alias("_cell"),
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.round(x.cast("double"), 6),
-            ).alias("_cv"),
-        )
-        .collect()
-    )
-    coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
-    asg_base = similarity._ivfpq_assign(
-        base, "vec_id", "embedding", coarse, 6
-    )
-    cbs = similarity._ivfpq_seed_cbs(asg_base, 8, 8, 8, 6)
-    return coarse, cbs
-
-
-@_q("ann_drift_monitor", _drift_sql())
-def ann_drift_monitor(spark, sf_dir):
-    """Quantizer drift monitor (similarity.quantization_error) — the
-    operational answer to FROZEN quantizers: coarse cells + PQ
-    codebooks derive from the base (even-id) cohort exactly as the
-    incremental-index family's, then EVERY vector's quantization
-    error (sum of per-subspace min micro-distances) aggregates into
-    base vs arrivals cohorts. A rising arrivals mean against the base
-    mean is the retrain signal — emitted from one zero-Exchange
-    codegen scan, exact-integer end to end, so the oracle replays it
-    bit-for-bit. Completes the stored-index lifecycle: build → absorb
-    (stream_ivfpq_index_append) → compact (stream_ivfpq_autocompact)
-    → serve (ann_ivfpq_served) → monitor → retrain offline."""
-    e = load(spark, sf_dir, "embeddings")
-    coarse, cbs = _drift_quantizers(spark, e)
-    asg_all = similarity._ivfpq_assign(e, "vec_id", "embedding", coarse, 6)
-    qe = similarity.quantization_error(asg_all, cbs, 8, 8, 6)
-    return (
-        qe.select(
-            F.when(F.col("_id") % 2 == 0, "base")
-            .otherwise("arrivals").alias("cohort"),
-            "_qerr",
-        )
-        .groupBy("cohort")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.sum("_qerr").cast("long").alias("total_err"),
-        )
-        .withColumn(
-            "mean_err_fp",
-            F.expr(
-                "CAST(floor(CAST(total_err AS DOUBLE)"
-                " / CAST(n_vecs AS DOUBLE)) AS BIGINT)"
-            ),
-        )
-    )
-
-
-@_q("ann_ivfpq_topk", _ivfpq_sql(8, 2, 8, 8, 8, 10, 5))
-def ann_ivfpq_topk(spark, sf_dir):
-    """IVF-PQ top-5 (similarity.ivfpq_topk) — the billion-scale ANN
-    pipeline end-to-end: coarse cells bound the search to 2 of 8
-    probed cells, residual PQ codes bound memory to 8 bytes/vector,
-    integer ADC bounds the float math to one m x k* table per
-    (query, cell). The full composition — cell assignment, residual
-    encoding, probing, ADC, ranking — hash-matches the oracle
-    replay."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.ivfpq_topk(
-        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
-    )
-
-
-def _kcenter_sql(k: int) -> str:
-    """DuckDB twin of clustering.kcenter_coreset: the greedy
-    farthest-point traversal unrolled k-1 rounds, every argmax on
-    (rounded distance DESC, id ASC)."""
-    dist = _SQDIST.format(a="e.embedding", b="s.embedding")
-    ctes = ["""sel1 AS MATERIALIZED (
-          SELECT 1 AS step, vec_id, embedding
-          FROM embeddings ORDER BY vec_id LIMIT 1)"""]
-    for r in range(1, k):
-        ctes.append(f"""dm{r} AS MATERIALIZED (
-          SELECT e.vec_id, min(round({dist}, 6)) AS dm
-          FROM embeddings e JOIN sel{r} s ON e.vec_id <> s.vec_id
-          WHERE e.vec_id NOT IN (SELECT vec_id FROM sel{r})
-          GROUP BY e.vec_id)""")
-        ctes.append(f"""nx{r} AS MATERIALIZED (
-          SELECT vec_id, dm FROM dm{r}
-          ORDER BY dm DESC, vec_id LIMIT 1)""")
-        ctes.append(f"""sel{r + 1} AS MATERIALIZED (
-          SELECT * FROM sel{r}
-          UNION ALL
-          SELECT {r + 1}, vec_id, embedding FROM embeddings
-          WHERE vec_id = (SELECT vec_id FROM nx{r}))""")
-    picks = "\n       UNION ALL ".join(
-        f"SELECT {r + 1} AS sel_order, vec_id, "
-        f"CAST(floor(dm * 1000000 + 0.5) AS BIGINT) AS maxmin_dist "
-        f"FROM nx{r}"
-        for r in range(1, k)
-    )
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined}
-       SELECT 1 AS sel_order, vec_id, CAST(0 AS BIGINT) AS maxmin_dist
-       FROM sel1
-       UNION ALL {picks}"""
-
-
-@_q("ml_kcenter_coreset", _kcenter_sql(8))
-def ml_kcenter_coreset(spark, sf_dir):
-    """Greedy k-center coreset of the embedding table
-    (clustering.kcenter_coreset): 8 farthest-point rounds, each one
-    broadcast of the <= k selected vectors + one corpus scan + a
-    1-row argmax collect — the diversity-maximizing subset selection
-    for data-efficient labeling/distillation. Selection order and
-    radii hash-match the oracle's unrolled traversal."""
-    from ..operators.clustering import kcenter_coreset
-
-    e = load(spark, sf_dir, "embeddings")
-    return kcenter_coreset(e, "vec_id", "embedding", k=8)
-
-
-_NEG_KEY_SQL = md5_long_sql(
-    "concat('neg:', CAST(anchor_id AS VARCHAR), ':', "
-    "CAST(slot AS VARCHAR))"
-)
-
-
-@_q(
+    "ann_drift_monitor",
+    "ann_ivfpq_topk",
+    "ml_kcenter_coreset",
     "ml_negative_audit",
-    f"""WITH nrows AS (SELECT count(*) AS n FROM embeddings),
-       a AS (SELECT vec_id AS anchor_id, embedding AS av
-             FROM embeddings WHERE vec_id < 10),
-       s AS (SELECT anchor_id, av, t.slot
-             FROM a, LATERAL (SELECT unnest(generate_series(0, 3))
-                              AS slot) t),
-       x AS (SELECT anchor_id, av, slot,
-                    {_NEG_KEY_SQL} % (SELECT n FROM nrows) AS raw
-             FROM s),
-       y AS (SELECT anchor_id, av, slot,
-                    CASE WHEN raw = anchor_id
-                         THEN (raw + 1) % (SELECT n FROM nrows)
-                         ELSE raw END AS neg_id
-             FROM x)
-       SELECT y.anchor_id, CAST(y.slot AS BIGINT) AS slot, y.neg_id,
-              round({_cos_sql('y.av', 'e.embedding')}, 6) AS cosine,
-              round({_cos_sql('y.av', 'e.embedding')}, 6) >= 0.15
-                  AS hard_negative
-       FROM y JOIN embeddings e ON e.vec_id = y.neg_id""",
-)
-def ml_negative_audit(spark, sf_dir):
-    """Deterministic negative sampling + false-negative audit for
-    contrastive training pairs: each anchor draws 4 'random' negatives
-    via the engine-portable md5 hash (reproducible across reruns and
-    engines — no RNG), then every sampled negative is scored against
-    its anchor and flagged when the cosine says it is actually a NEAR
-    match (a false negative that would poison a contrastive loss).
-    Corpus side is one scan + a broadcast join against the tiny
-    (anchor × slot) table — the negatives' vectors are fetched without
-    shuffling the corpus. Oracle replays the hash, the collision
-    bump, and the scoring."""
-    e = load(spark, sf_dir, "embeddings")
-    n = e.count()
-    anchors = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("embedding").alias("_av"),
-        similarity._norm(F.col("embedding")).alias("_an"),
-    )
-    negs = (
-        anchors.select(
-            "anchor_id", "_av", "_an",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("slot"),
-        )
-        .withColumn(
-            "_raw",
-            md5_long(
-                F.concat(
-                    F.lit("neg:"),
-                    F.col("anchor_id").cast("string"),
-                    F.lit(":"),
-                    F.col("slot").cast("string"),
-                )
-            ) % F.lit(n),
-        )
-        .withColumn(
-            "neg_id",
-            F.when(
-                F.col("_raw") == F.col("anchor_id"),
-                (F.col("_raw") + 1) % F.lit(n),
-            ).otherwise(F.col("_raw")),
-        )
-    )
-    corpus = e.select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("embedding").alias("_nv"),
-        similarity._norm(F.col("embedding")).alias("_nn"),
-    )
-    return (
-        corpus.join(F.broadcast(negs), "neg_id")
-        .withColumn(
-            "cosine",
-            F.round(
-                similarity._dot(F.col("_av"), F.col("_nv"))
-                / (F.col("_an") * F.col("_nn")),
-                6,
-            ),
-        )
-        .select(
-            "anchor_id",
-            F.col("slot").cast("long").alias("slot"),
-            "neg_id",
-            "cosine",
-            (F.col("cosine") >= 0.15).alias("hard_negative"),
-        )
-    )
-
-
-def _mmr_sql(k: int, lam: float) -> str:
-    """DuckDB twin of similarity.mmr_select: the greedy MMR sweep
-    unrolled k−1 rounds; the λ/(1−λ) constants are rendered from the
-    same Python doubles the engine inlines, every ranking on
-    (rounded score DESC, id ASC), +0.0 collapsing −0.0."""
-    oml = 1.0 - lam
-    lam_s = f"CAST('{float(lam)!r}' AS DOUBLE)"
-    oml_s = f"CAST('{oml!r}' AS DOUBLE)"
-    cos = _cos_sql("b.embedding", "s.embedding")
-    relcos = _cos_sql("e.embedding", "q.qv")
-    ctes = [
-        """q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv
-          FROM embeddings ORDER BY vec_id LIMIT 1)""",
-        f"""base AS MATERIALIZED (
-          SELECT e.vec_id, e.embedding, round({relcos}, 6) AS rel
-          FROM embeddings e, q WHERE e.vec_id <> q.qid)""",
-        """sel1 AS MATERIALIZED (
-          SELECT 1 AS step, vec_id, embedding, rel FROM base
-          ORDER BY rel DESC, vec_id LIMIT 1)""",
-    ]
-    for r in range(1, k):
-        ctes.append(f"""ms{r} AS MATERIALIZED (
-          SELECT b.vec_id, b.rel, max(round({cos}, 6)) AS msim
-          FROM base b JOIN sel{r} s ON b.vec_id <> s.vec_id
-          WHERE b.vec_id NOT IN (SELECT vec_id FROM sel{r})
-          GROUP BY b.vec_id, b.rel)""")
-        ctes.append(f"""nx{r} AS MATERIALIZED (
-          SELECT vec_id,
-                 round({lam_s} * rel - {oml_s} * msim, 6)
-                   + CAST(0.0 AS DOUBLE) AS score
-          FROM ms{r} ORDER BY score DESC, vec_id LIMIT 1)""")
-        ctes.append(f"""sel{r + 1} AS MATERIALIZED (
-          SELECT * FROM sel{r}
-          UNION ALL
-          SELECT {r + 1}, b.vec_id, b.embedding, b.rel FROM base b
-          WHERE b.vec_id = (SELECT vec_id FROM nx{r}))""")
-    picks = "\n       UNION ALL ".join(
-        f"SELECT {r + 1} AS sel_order, vec_id, score FROM nx{r}"
-        for r in range(1, k)
-    )
-    joined = ",\n".join(ctes)
-    return f"""WITH {joined}
-       SELECT 1 AS sel_order, vec_id,
-              rel + CAST(0.0 AS DOUBLE) AS score
-       FROM sel1
-       UNION ALL {picks}"""
-
-
-@_q("ml_mmr_select", _mmr_sql(6, 0.7))
-def ml_mmr_select(spark, sf_dir):
-    """Maximal Marginal Relevance selection (similarity.mmr_select):
-    6 greedy rounds balancing relevance to the lowest-id query vector
-    against redundancy with what's already picked (λ=0.7) — the
-    reranking/diverse-subset primitive for retrieval and training-data
-    curation. Each round is one broadcast + one corpus scan + a 1-row
-    argmax collect; the oracle unrolls the identical sweep."""
-    from ..operators.similarity import mmr_select
-
-    e = load(spark, sf_dir, "embeddings")
-    return mmr_select(e, "vec_id", "embedding", k=6, lam=0.7)
-
-
-@_q(
+    "ml_mmr_select",
     "dd_url_canonicalize",
-    r"""WITH raw AS (
-         SELECT doc_id,
-                CASE doc_id % 5
-                  WHEN 0 THEN 'https://site' || ((doc_id // 5) % 7)
-                       || '.example.com/page/' || (doc_id // 5)
-                  WHEN 1 THEN 'https://site' || ((doc_id // 5) % 7)
-                       || '.example.com/page/' || (doc_id // 5)
-                       || '?utm_source=news&utm_campaign=x'
-                  WHEN 2 THEN 'https://site' || ((doc_id // 5) % 7)
-                       || '.example.com/page/' || (doc_id // 5) || '/'
-                  WHEN 3 THEN 'HTTPS://SITE' || ((doc_id // 5) % 7)
-                       || '.Example.COM/page/' || (doc_id // 5)
-                  ELSE 'https://site' || ((doc_id // 5) % 7)
-                       || '.example.com:443/page/' || (doc_id // 5)
-                END AS url
-         FROM documents),
-       canon AS (
-         SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         lower(regexp_extract(trim(url),
-                             '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
-                         || substring(trim(url),
-                            length(regexp_extract(trim(url),
-                              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
-                            + 1),
-                       '^(https?://[^/?#:]*):80(/|\?|#|$)', '\1\2'),
-                     '^(https?://[^/?#:]*):443(/|\?|#|$)', '\1\2'),
-                   '#.*$', ''),
-                   '[?&](utm_[a-z]+|fbclid)=[^&#]*', '', 'g'),
-                 '\?&', '?'),
-               '^([^?&]*)&', '\1?'),
-             '\?$', '') AS c0
-         FROM raw),
-       canon2 AS (
-         SELECT doc_id,
-                regexp_replace(c0,
-                  '^([a-z][a-z0-9+.-]*://[^/?#]+/[^?#]*[^/?#])/$', '\1')
-                    AS canonical_url
-         FROM canon)
-       SELECT canonical_url, count(*) AS n_variants,
-              CAST(min(doc_id) AS BIGINT) AS keep_id
-       FROM canon2 GROUP BY canonical_url""",
-)
-def dd_url_canonicalize(spark, sf_dir):
-    """URL canonicalization dedup (textstats.canonicalize_url) — the
-    FIRST dedup a web corpus runs, before any content hashing:
-    lowercase authority, default-port strip, fragment drop,
-    utm_*/fbclid removal, trailing-slash collapse. Five deterministic
-    variants per page are synthesized in-query (plain, tracking
-    params, trailing slash, shouted host, explicit :443); every
-    5-block collapses to one canonical key with keep_id = min doc_id.
-    Pure regexp Column chain at scan speed; identical rules in the
-    oracle's RE2."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    base = F.concat(
-        F.lit("https://site"), (F.floor(F.col("doc_id") / 5) % 7).cast("long").cast("string"),
-        F.lit(".example.com/page/"),
-        F.floor(F.col("doc_id") / 5).cast("long").cast("string"),
-    )
-    shout = F.concat(
-        F.lit("HTTPS://SITE"), (F.floor(F.col("doc_id") / 5) % 7).cast("long").cast("string"),
-        F.lit(".Example.COM/page/"),
-        F.floor(F.col("doc_id") / 5).cast("long").cast("string"),
-    )
-    port = F.concat(
-        F.lit("https://site"), (F.floor(F.col("doc_id") / 5) % 7).cast("long").cast("string"),
-        F.lit(".example.com:443/page/"),
-        F.floor(F.col("doc_id") / 5).cast("long").cast("string"),
-    )
-    raw = (
-        F.when(F.col("doc_id") % 5 == 0, base)
-        .when(F.col("doc_id") % 5 == 1,
-              F.concat(base, F.lit("?utm_source=news&utm_campaign=x")))
-        .when(F.col("doc_id") % 5 == 2, F.concat(base, F.lit("/")))
-        .when(F.col("doc_id") % 5 == 3, shout)
-        .otherwise(port)
-    )
-    canon = textstats.canonicalize_url(raw)
-    return (
-        docs.select("doc_id", canon.alias("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(
-            F.count(F.lit(1)).alias("n_variants"),
-            F.min("doc_id").cast("long").alias("keep_id"),
-        )
-    )
-
-
-@_q(
     "txt_html_strip",
-    r"""WITH raw AS (
-         SELECT doc_id,
-                '<html><head><script type="x">var a=1 &amp;&amp; 2;'
-                || '</script><style>p { color: red; }</style></head>'
-                || '<body><h1>Doc ' || doc_id || '</h1><p>' || text
-                || '</p><div>footer &amp; nav</div></body></html>'
-                    AS html
-         FROM documents),
-       s1 AS (SELECT doc_id,
-                     regexp_replace(html,
-                       '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') AS t
-              FROM raw),
-       s2 AS (SELECT doc_id,
-                     regexp_replace(t,
-                       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') AS t
-              FROM s1),
-       s3 AS (SELECT doc_id,
-                     regexp_replace(t,
-                       '(?i)</(p|div|br|li|h[1-6]|tr)\s*>', chr(10),
-                       'g') AS t
-              FROM s2),
-       s4 AS (SELECT doc_id,
-                     regexp_replace(t, '<[^>]+>', ' ', 'g') AS t
-              FROM s3),
-       s5 AS (SELECT doc_id,
-                     replace(replace(replace(replace(replace(t,
-                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-                       '&quot;', '"'), '&#39;', '''') AS t
-              FROM s4),
-       s6 AS (SELECT doc_id,
-                     regexp_replace(t, '[ \t\r\f]+', ' ', 'g') AS t
-              FROM s5),
-       s7 AS (SELECT doc_id,
-                     regexp_replace(
-                       regexp_replace(t, ' ?\n ?', chr(10), 'g'),
-                       '^\s+|\s+$', '', 'g') AS t
-              FROM s6)
-       SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_text,
-              md5(t) AS text_hash
-       FROM s7""",
-)
-def txt_html_strip(spark, sf_dir):
-    """HTML-to-text extraction lite (textstats.strip_html) over
-    documents wrapped in-query with realistic chrome (script + style
-    blocks, headings, entity-encoded footer): script/style content
-    dropped, block closers become newlines, tags stripped, core
-    entities decoded, whitespace collapsed. Pure regexp/replace chain
-    inside codegen — the declarative core of web text extraction (a
-    production pipeline swaps a real extractor in via mapInPandas
-    with this as the fallback); the md5 of every extracted text
-    hash-matches the oracle running the identical RE2 chain."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    html = F.concat(
-        F.lit('<html><head><script type="x">var a=1 &amp;&amp; 2;'
-              '</script><style>p { color: red; }</style></head>'
-              '<body><h1>Doc '),
-        F.col("doc_id").cast("string"),
-        F.lit("</h1><p>"),
-        F.col("text"),
-        F.lit("</p><div>footer &amp; nav</div></body></html>"),
-    )
-    stripped = textstats.strip_html(html)
-    return docs.select(
-        "doc_id",
-        F.length(stripped).cast("long").alias("n_chars_text"),
-        F.md5(stripped).alias("text_hash"),
-    )
-
-
-def _bfs_sql(rounds: int) -> str:
-    """DuckDB twin of graph.bfs_hops over the co-supply graph from
-    its 3 lowest supplier ids, the relaxation unrolled ``rounds``
-    times with MATERIALIZED round CTEs."""
-    sql = """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
-               FROM lineitem WHERE l_quantity >= 48),
-       e0 AS MATERIALIZED (
-              SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
-                              greatest(a.l_suppkey, b.l_suppkey) AS v
-              FROM li a JOIN li b
-                ON a.l_orderkey = b.l_orderkey
-               AND a.l_suppkey < b.l_suppkey),
-       sym AS MATERIALIZED (
-              SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-       d0 AS MATERIALIZED (
-              SELECT node, 0 AS h FROM (
-                SELECT u AS node FROM sym UNION SELECT v FROM sym)
-              ORDER BY node LIMIT 3)"""
-    for r in range(rounds):
-        sql += f""",
-       d{r + 1} AS MATERIALIZED (
-         SELECT node, min(h) AS h FROM (
-           SELECT node, h FROM d{r}
-           UNION ALL
-           SELECT e.v AS node, d.h + 1
-           FROM sym e JOIN d{r} d ON e.u = d.node) t
-         GROUP BY node)"""
-    return sql + f"""
-       SELECT node, CAST(h AS INT) AS hops FROM d{rounds}"""
-
-
-@_q("graph_bfs_hops", _bfs_sql(6))
-def graph_bfs_hops(spark, sf_dir):
-    """BFS hop distance of every supplier from the 3 lowest-id nodes
-    of the high-quantity co-supply graph (graph.bfs_hops): 6 fixed
-    relaxation rounds — one O(E) join+min per round, shuffles sized
-    to the edge count — matching the oracle's unrolled recurrence
-    exactly, converged or not."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= 48)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_suppkey").alias("sa"))
-    b = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_suppkey").alias("sb"))
-    e = (
-        a.join(b, "k")
-        .filter(F.col("sa") < F.col("sb"))
-        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-        .distinct()
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    sources = nodes.orderBy("node").limit(3)
-    return graph.bfs_hops(e, sources, rounds=6)
-
-
-def _keep_best_sql() -> str:
-    return f"""WITH clusters AS ({ORACLES["dd_dup_clusters"]}),
-       f AS ({_QUALITY_F_CTE.format(src="documents")}),
-       scored AS (SELECT c.cluster_id, c.doc_id,
-                         {_QUALITY_SCORE_SQL} AS quality
-                  FROM clusters c JOIN f USING (doc_id))
-       SELECT cluster_id, count(*) AS n_members,
-              CAST(min(doc_id) FILTER (WHERE rk = 1) AS BIGINT)
-                  AS keep_id,
-              max(quality) AS best_quality
-       FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
-                ORDER BY quality DESC, doc_id) AS rk
-             FROM scored) t
-       GROUP BY cluster_id HAVING count(*) > 1"""
-
-
-@_q("dd_keep_best_quality", _keep_best_sql())
-def dd_keep_best_quality(spark, sf_dir):
-    """The dedup DECISION rule production pipelines actually use:
-    keep each near-dup cluster's highest-QUALITY member (rounded
-    quality score, doc-id tie-break) rather than the arbitrary
-    minimum id — the difference between deduping and deduping while
-    throwing away the best copy. One join of the cluster map onto the
-    codegen quality score plus a per-cluster argmax window (cluster
-    keys partition; no global window)."""
-    d = load(spark, sf_dir, "documents")
-    _, clusters = _cluster_map(spark, sf_dir)
-    scored = clusters.join(
-        d.select(
-            "doc_id", textstats.quality_score(F.col("text")).alias("quality")
-        ),
-        "doc_id",
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality"), F.asc("doc_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
-            .cast("long")
-            .alias("keep_id"),
-            F.max("quality").alias("best_quality"),
-        )
-        .filter(F.col("n_members") > 1)
-    )
-
-
-def _cluster_split_sql() -> str:
-    return f"""WITH RECURSIVE pairs AS (
-{_NGRAM_PAIRS_SQL}
-       ),
-       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                 UNION SELECT doc_b, doc_a FROM pairs),
-       reach(v, r) AS (
-         SELECT s, s FROM edges
-         UNION
-         SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
-       ),
-       cl AS (SELECT v AS doc_id, min(r) AS cluster_id
-              FROM reach GROUP BY v),
-       allc AS (SELECT d.doc_id,
-                       coalesce(cl.cluster_id, d.doc_id) AS cid
-                FROM documents d LEFT JOIN cl USING (doc_id)),
-       sp AS (SELECT doc_id, cid,
-                     CASE WHEN ((cid * 2654435761) % 4294967296 * 100) // 4294967296 < 90
-                            THEN 'train'
-                          WHEN ((cid * 2654435761) % 4294967296 * 100) // 4294967296 < 95
-                            THEN 'val'
-                          ELSE 'test' END AS split
-              FROM allc),
-       leak AS (SELECT a.split, count(*) AS leaked
-                FROM pairs p
-                JOIN sp a ON a.doc_id = p.doc_a
-                JOIN sp b ON b.doc_id = p.doc_b
-                WHERE a.split <> b.split
-                GROUP BY a.split)
-       SELECT sp.split, count(*) AS n_docs,
-              count(DISTINCT cid) AS n_clusters,
-              CAST(coalesce(max(leak.leaked), 0) AS BIGINT)
-                  AS leaked_pairs
-       FROM sp LEFT JOIN leak ON leak.split = sp.split
-       GROUP BY sp.split"""
-
-
-def _cluster_cap_sql(cap: int) -> str:
-    from ..operators.hashing import md5_long_sql
-
-    u = md5_long_sql("concat('capsample:', CAST(doc_id AS VARCHAR))")
-    return f"""WITH RECURSIVE pairs AS (
-{_NGRAM_PAIRS_SQL}
-       ),
-       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                 UNION SELECT doc_b, doc_a FROM pairs),
-       reach(v, r) AS (
-         SELECT s, s FROM edges
-         UNION
-         SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
-       ),
-       cl AS (SELECT v AS doc_id, min(r) AS cluster_id
-              FROM reach GROUP BY v),
-       allc AS (SELECT d.doc_id,
-                       coalesce(cl.cluster_id, d.doc_id) AS cid
-                FROM documents d LEFT JOIN cl USING (doc_id)),
-       rk AS (SELECT doc_id, cid,
-                     row_number() OVER (PARTITION BY cid
-                       ORDER BY {u}, doc_id) AS pick_rank
-              FROM allc)
-       SELECT doc_id, cid AS cluster_id,
-              CAST(pick_rank AS BIGINT) AS pick_rank
-       FROM rk WHERE pick_rank <= {cap}"""
-
-
-@_q("o4_cluster_cap_sample", _cluster_cap_sql(2))
-def o4_cluster_cap_sample(spark, sf_dir):
-    """Cluster-capped corpus sampling: every near-dup family
-    contributes at most 2 documents to the training mix, picked by a
-    deterministic MD5 coin (no RNG — the same engine-portable hash as
-    o4_sample_hash) with a doc-id tie-break. This is the head-cap
-    that keeps boilerplate families from dominating a mixture after
-    LESS-aggressive dedup settings, and the selection composes with
-    the leakage-safe split (same shared cluster map — one connected
-    components run per (app, sf_dir) serves this, the savings ledger,
-    keep-best-quality, and the split audit)."""
-    from ..operators.hashing import md5_long
-
-    _pairs, clusters = _cluster_map(spark, sf_dir)
-    d = load(spark, sf_dir, "documents").select("doc_id")
-    allc = d.join(clusters, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cid"),
-    )
-    u = md5_long(
-        F.concat(F.lit("capsample:"), F.col("doc_id").cast("string"))
-    )
-    w = Window.partitionBy("cid").orderBy(u, F.col("doc_id"))
-    return (
-        allc.withColumn("pick_rank", F.row_number().over(w))
-        .filter(F.col("pick_rank") <= 2)
-        .select(
-            "doc_id",
-            F.col("cid").alias("cluster_id"),
-            F.col("pick_rank").cast("long").alias("pick_rank"),
-        )
-    )
-
-
-@_q("o4_cluster_split", _cluster_split_sql())
-def o4_cluster_split(spark, sf_dir):
-    """Leakage-SAFE train/val/test assignment — the fix for the
-    failure mode dd_split_leakage detects: split by the near-dup
-    CLUSTER id (singletons use their own id), so every member of a
-    duplicate family lands in the same split by construction and the
-    cross-split near-dup pair count is provably zero. Same
-    engine-portable hash carve as o4_split_assign, keyed one level
-    up; one extra key-partitioned join over the cluster map."""
-    d = load(spark, sf_dir, "documents")
-    pairs, clusters = _cluster_map(spark, sf_dir)
-    allc = (
-        d.select("doc_id")
-        .join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cid"),
-        )
-    )
-    sp = sampling.assign_split(allc, "cid")
-    pa = pairs.join(
-        sp.select(F.col("doc_id").alias("doc_a"),
-                  F.col("split").alias("split_a")),
-        "doc_a",
-    ).join(
-        sp.select(F.col("doc_id").alias("doc_b"),
-                  F.col("split").alias("split_b")),
-        "doc_b",
-    )
-    leak = (
-        pa.filter(F.col("split_a") != F.col("split_b"))
-        .groupBy(F.col("split_a").alias("split"))
-        .agg(F.count(F.lit(1)).alias("leaked"))
-    )
-    return (
-        sp.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("cid").alias("n_clusters"),
-        )
-        .join(leak, "split", "left")
-        .select(
-            "split",
-            "n_docs",
-            "n_clusters",
-            F.coalesce("leaked", F.lit(0)).cast("long").alias(
-                "leaked_pairs"
-            ),
-        )
-    )
-
-
-def _data_card_sql() -> str:
-    return rf"""WITH cl AS ({ORACLES["dd_dup_clusters"]}),
-       f AS ({_QUALITY_F_CTE.format(src="documents")}),
-       {_DECON_SHINGLE_CTE},
-       b AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
-       contam AS (SELECT count(DISTINCT s.doc_id) AS n
-                  FROM sh s JOIN b USING (shingle)
-                  WHERE s.source <> 'src0'),
-       wl AS (SELECT doc_id, string_split(text, ' ') AS w
-              FROM documents),
-       shl AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(generate_series(1, len(w) - 2),
-                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                    AS shingle
-               FROM wl WHERE len(w) >= 3),
-       {_lsh_cand_ctes(16, 8, src="shl")},
-       bsz AS (SELECT band, sig, count(*) AS n
-               FROM bands_t GROUP BY band, sig),
-       lshcap AS (SELECT
-               CAST(coalesce(count(*) FILTER (WHERE n > 10000), 0)
-                    AS BIGINT) AS db,
-               CAST(coalesce(sum(CAST(n AS BIGINT) * (n - 1) // 2)
-                                 FILTER (WHERE n > 10000), 0) AS BIGINT)
-                   AS pp
-           FROM bsz WHERE n > 1)
-       SELECT (SELECT count(*) FROM documents) AS n_docs,
-              (SELECT CAST(sum(len(list_filter(
-                   string_split_regex(text, '\s+'), x -> x <> '')))
-                   AS BIGINT) FROM documents) AS n_tokens,
-              (SELECT count(DISTINCT source) FROM documents)
-                  AS n_sources,
-              (SELECT count(*) FROM cl) AS near_dup_docs,
-              (SELECT count(DISTINCT cluster_id) FROM cl)
-                  AS near_dup_clusters,
-              (SELECT n FROM contam) AS contaminated_docs,
-              (SELECT round(avg({_QUALITY_SCORE_SQL}), 4) FROM f)
-                  AS mean_quality,
-              (SELECT db FROM lshcap) AS lsh_dropped_buckets,
-              (SELECT pp FROM lshcap) AS lsh_pruned_pairs"""
-
-
-@_q("pipeline_data_card", _data_card_sql())
-def pipeline_data_card(spark, sf_dir):
-    """The one-row dataset release card — the summary sheet that
-    accompanies a corpus snapshot (docs / exact token mass / source
-    count / near-dup exposure / benchmark contamination / mean
-    quality), assembled from the SAME relational pieces the pipeline
-    already maintains: the shared cluster map, the shingle index
-    against the held-out set, and the codegen quality score. Every
-    sub-aggregate is a 1-row broadcast; nothing here adds a pass a
-    curation pipeline wasn't already running."""
-    docs = load(spark, sf_dir, "documents")
-    _, clusters = _cluster_map(spark, sf_dir)
-    base = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(
-            F.size(F.filter(F.split(F.col("text"), r"\s+"),
-                            lambda x: x != ""))
-        ).cast("long").alias("n_tokens"),
-        F.countDistinct("source").alias("n_sources"),
-    )
-    dups = clusters.agg(
-        F.count(F.lit(1)).alias("near_dup_docs"),
-        F.countDistinct("cluster_id").alias("near_dup_clusters"),
-    )
-    decon = dedup.decontaminate(
-        docs.filter(F.col("source") != "src0"),
-        docs.filter(F.col("source") == "src0"),
-        "doc_id", "text", k=5,
-    )
-    contam = decon.agg(
-        F.sum(F.col("contaminated").cast("int")).cast("long").alias(
-            "contaminated_docs"
-        )
-    )
-    qual = docs.agg(
-        F.round(
-            F.avg(textstats.quality_score(F.col("text"))), 4
-        ).alias("mean_quality")
-    )
-    # the no-silent-caps line: the LSH bucket census at the PRODUCTION
-    # cap (candidate_pairs' default), folded to two card numbers —
-    # zero means "the near-dup candidate stage pruned nothing"; a
-    # nonzero value puts the pruned pair mass on the release record
-    sh3 = dedup.word_shingles(docs, "doc_id", "text", 3)
-    bands_df = dedup.lsh_bands(
-        dedup.minhash_signatures(sh3, "doc_id", 16), "doc_id", 8, 2
-    )
-    lshcap = dedup.lsh_bucket_census(
-        bands_df, "doc_id", max_bucket_size=10_000
-    ).agg(
-        F.coalesce(F.sum("dropped_buckets"), F.lit(0))
-        .cast("long").alias("lsh_dropped_buckets"),
-        F.coalesce(F.sum("pruned_pairs"), F.lit(0))
-        .cast("long").alias("lsh_pruned_pairs"),
-    )
-    return (
-        base.crossJoin(F.broadcast(dups))
-        .crossJoin(F.broadcast(contam))
-        .crossJoin(F.broadcast(qual))
-        .crossJoin(F.broadcast(lshcap))
-    )
-
-
-# ------------------------------------------------- lexical retrieval: BM25
-_BM25_TERMS = ("scan", "hash", "merge")
-
-
-def _bm25_sql(terms=_BM25_TERMS, k=10) -> str:
-    """DuckDB twin of retrieval.bm25_topk: same Lucene-variant idf,
-    same canonical operand order for every double (dl·N/total, never
-    dl/avgdl), per-term scores quantized to 1e-4 fixed point BEFORE
-    the per-doc integer sum. All float literals CAST('x' AS DOUBLE)
-    (bare decimals are DECIMAL in DuckDB — the known parity trap)."""
-    in_list = ", ".join(f"'{t}'" for t in terms)
-    d = "CAST('{v}' AS DOUBLE)"
-    k1, b, half, one = (d.format(v="1.2"), d.format(v="0.75"),
-                        d.format(v="0.5"), d.format(v="1.0"))
-    return rf"""WITH tok AS (
-         SELECT doc_id,
-                unnest(list_filter(string_split_regex(text, '\s+'),
-                                   x -> x <> '')) AS term
-         FROM documents),
-       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-       stats AS (SELECT count(*) AS n, sum(dl) AS tot FROM dl),
-       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-              WHERE term IN ({in_list}) GROUP BY doc_id, term),
-       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       s AS (SELECT tf.doc_id,
-               CAST(floor(
-                 ln(CAST((2 * stats.n + 2) AS DOUBLE)
-                    / CAST((2 * dfreq.df + 1) AS DOUBLE))
-                 * tf.tf * ({k1} + {one})
-                 / (tf.tf + {k1} * ({one} - {b}
-                    + {b} * (CAST(dl.dl AS DOUBLE) * stats.n / stats.tot)))
-                 * CAST(10000 AS DOUBLE) + {half}) AS BIGINT) AS s_fp
-             FROM tf
-             JOIN dfreq USING (term)
-             JOIN dl ON dl.doc_id = tf.doc_id, stats),
-       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-                      CAST(sum(s_fp) AS BIGINT) AS bm25_fp
-               FROM s GROUP BY doc_id)
-       SELECT doc_id, n_terms, bm25_fp, CAST(rk AS BIGINT) AS rk
-       FROM (SELECT *, row_number() OVER (
-                ORDER BY bm25_fp DESC, doc_id) AS rk FROM agg) t
-       WHERE rk <= {k}"""
-
-
-@_q("txt_bm25_topk", _bm25_sql())
-def txt_bm25_topk(spark, sf_dir):
-    """BM25 top-10 documents for a bag-of-words query
-    (retrieval.bm25_topk — Robertson & Zaragoza's Okapi weighting):
-    the lexical-retrieval baseline every RAG/curation stack pairs with
-    its vector index. The query-term filter pushes below the tf
-    aggregate (only matching postings shuffle), df and corpus stats
-    broadcast, and per-term partial scores quantize to fixed point
-    before the per-doc sum — exact integer addition, hash-exact
-    against the oracle."""
-    from ..operators import retrieval
-
-    docs = load(spark, sf_dir, "documents")
-    return retrieval.bm25_topk(
-        docs, "doc_id", "text", list(_BM25_TERMS), k=10
-    )
-
-
-# --------------------------------------------- hybrid retrieval: RRF fusion
-def _rrf_sql() -> str:
-    """DuckDB twin of retrieval.rrf_fuse over (BM25 top-10, cosine
-    top-10 for query vec_id 0): contributions are exact integers
-    floor(1e6 / (60 + rank)) — no floats anywhere in the fusion."""
-    vec_cos = _cos_sql("q.embedding", "c.embedding")
-    return f"""WITH lex AS ({_bm25_sql()}),
-       vec AS (SELECT neighbor_id AS doc_id, rk FROM (
-           SELECT c.vec_id AS neighbor_id,
-                  row_number() OVER (
-                    ORDER BY round({vec_cos}, 6) DESC, c.vec_id) AS rk
-           FROM (SELECT * FROM embeddings WHERE vec_id = 0) q,
-                embeddings c
-           WHERE c.vec_id <> 0) t
-         WHERE rk <= 10),
-       u AS (SELECT doc_id, 'lex' AS sys, rk FROM lex
-             UNION ALL
-             SELECT doc_id, 'vec' AS sys, rk FROM vec),
-       agg AS (SELECT doc_id,
-                 CAST(coalesce(max(CASE WHEN sys = 'lex' THEN rk END), 0)
-                      AS BIGINT) AS lex_rk,
-                 CAST(coalesce(max(CASE WHEN sys = 'vec' THEN rk END), 0)
-                      AS BIGINT) AS vec_rk,
-                 CAST(sum(CAST(floor(CAST(1000000 AS DOUBLE) / (60 + rk))
-                               AS BIGINT)) AS BIGINT) AS rrf_fp
-               FROM u GROUP BY doc_id)
-       SELECT doc_id, lex_rk, vec_rk, rrf_fp, CAST(rk AS BIGINT) AS rk
-       FROM (SELECT *, row_number() OVER (
-                ORDER BY rrf_fp DESC, doc_id) AS rk FROM agg) t
-       WHERE rk <= 10"""
-
-
-@_q("ml_hybrid_rrf", _rrf_sql())
-def ml_hybrid_rrf(spark, sf_dir):
-    """Hybrid retrieval via reciprocal-rank fusion (retrieval.rrf_fuse
-    — Cormack et al. SIGIR'09): the BM25 lexical top-10 and the
-    brute-cosine vector top-10 (query = embedding 0; vec_id aligns
-    with doc_id in the testdata) fuse on RANKS with exact integer
-    1/(60+rank) contributions — no score calibration between the two
-    incommensurable scales, no floats in the fold. The fused list is
-    what a retrieval endpoint actually serves when both indexes
-    exist."""
-    from ..operators import retrieval, similarity
-
-    docs = load(spark, sf_dir, "documents")
-    emb = load(spark, sf_dir, "embeddings")
-    lex = retrieval.bm25_topk(
-        docs, "doc_id", "text", list(_BM25_TERMS), k=10
-    ).select("doc_id", "rk")
-    vec = similarity.cosine_topk(
-        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding",
-        k=10,
-    ).select(F.col("neighbor_id").alias("doc_id"), "rk")
-    return retrieval.rrf_fuse([("lex", lex), ("vec", vec)], "doc_id",
-                              k=10, k0=60)
-
-
-# --------------------------------------- ANN: exact re-rank of PQ candidates
-def _refine_sql(r: int = 20, k: int = 5) -> str:
-    """DuckDB twin of retrieval.ivfpq_refine_topk: the IVF-PQ ADC
-    top-r oracle as the candidate CTE, exact squared-L2 on the raw
-    vectors in the shared ADC fixed-point convention for the final
-    rank."""
-    sq = _SQDIST.format(a="q.embedding", b="c.embedding")
-    return f"""WITH cand AS MATERIALIZED ({_ivfpq_sql(8, 2, 8, 8, 8, 10, r)}),
-       ref AS (SELECT cand.query_id, cand.neighbor_id,
-                 CAST(floor(({sq}) * 1000000
-                            + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dist_fp
-               FROM cand
-               JOIN embeddings c ON c.vec_id = cand.neighbor_id
-               JOIN embeddings q ON q.vec_id = cand.query_id)
-       SELECT query_id, neighbor_id, dist_fp, CAST(rk AS BIGINT) AS rk
-       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY dist_fp, neighbor_id) AS rk FROM ref) t
-       WHERE rk <= {k}"""
-
-
-@_q("ann_ivfpq_refine", _refine_sql())
-def ann_ivfpq_refine(spark, sf_dir):
-    """Two-stage ANN (retrieval.ivfpq_refine_topk — the FAISS
-    IndexRefine discipline): IVF-PQ integer ADC proposes top-20
-    candidates per query from the compressed domain, then the |Q|·20
-    candidate ids BROADCAST against the corpus for an exact L2
-    re-rank of the top-5 — recall recovered at r raw-vector reads per
-    query, never a corpus shuffle. Candidate stage, refine join, and
-    final ranking all hash-match the oracle replay."""
-    from ..operators import retrieval
-
-    e = load(spark, sf_dir, "embeddings")
-    return retrieval.ivfpq_refine_topk(
-        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, r=20, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
-    )
-
-
-# ------------------------------------- trained Naive Bayes quality classifier
-def _nb_sql() -> str:
-    """DuckDB twin of classify.nb_train_weights + nb_score: exact
-    integer counts, each weight ONE log of one exact integer fraction
-    quantized at 1e-6, document scores exact integer sums."""
-    return r"""WITH lab AS (
-         SELECT doc_id, text,
-                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-         FROM documents),
-       tok AS (SELECT doc_id, y,
-                      unnest(list_filter(string_split_regex(text, '\s+'),
-                                         x -> x <> '')) AS term
-               FROM lab),
-       cnt AS (SELECT term, sum(y) AS c1, sum(1 - y) AS c0
-               FROM tok GROUP BY term),
-       tot AS (SELECT sum(y) AS t1, sum(1 - y) AS t0,
-                      count(DISTINCT term) AS v
-               FROM tok),
-       w AS (SELECT term,
-               CAST(floor(
-                 ln(CAST((c1 + 1) * (t0 + v) AS DOUBLE)
-                    / CAST((c0 + 1) * (t1 + v) AS DOUBLE))
-                 * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                 AS BIGINT) AS w_fp
-             FROM cnt, tot),
-       pri AS (SELECT CAST(floor(
-                 ln(CAST(sum(y) AS DOUBLE) / CAST(sum(1 - y) AS DOUBLE))
-                 * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                 AS BIGINT) AS prior_fp
-               FROM lab),
-       tf AS (SELECT doc_id, term, count(*) AS tf
-              FROM tok GROUP BY doc_id, term),
-       sc AS (SELECT tf.doc_id,
-                     sum(tf.tf * coalesce(w.w_fp, 0)) AS s
-              FROM tf LEFT JOIN w USING (term) GROUP BY tf.doc_id)
-       SELECT lab.doc_id,
-              CAST(coalesce(sc.s, 0) + pri.prior_fp AS BIGINT)
-                  AS score_fp,
-              CAST(CASE WHEN coalesce(sc.s, 0) + pri.prior_fp > 0
-                        THEN 1 ELSE 0 END AS BIGINT) AS pred,
-              CAST(lab.y AS BIGINT) AS actual
-       FROM lab LEFT JOIN sc ON sc.doc_id = lab.doc_id, pri"""
-
-
-@_q("txt_nb_classifier", _nb_sql())
-def txt_nb_classifier(spark, sf_dir):
-    """Distributed multinomial Naive Bayes, trained AND served
-    (operators/classify.py) — the fastText-style document classifier
-    curation pipelines gate on (CCNet's lang/quality filters), done
-    as pure aggregations: two training aggregates build the per-term
-    weight table (each weight one log of an exact integer fraction,
-    fixed-point), scoring is one term join + one exact integer sum
-    per document. Labels here are lang='en' — the engine-portability
-    point is that TRAINING, the model table, and SERVING all replay
-    bit-for-bit in the oracle."""
-    from ..operators import classify
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "_y", (F.col("lang") == "en").cast("int")
-    )
-    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
-    return classify.nb_score(docs, w, "doc_id", "text", "_y")
-
-
-# --------------------------------------- retrieval quality metrics (per query)
-def _retrieval_metrics_sql() -> str:
-    """DuckDB twin of ml_retrieval_metrics: relevance = exact brute
-    cosine top-5, system = IVF-PQ ADC top-5; MRR and binary-relevance
-    NDCG@5 in exact fixed point (the per-rank 1/log2(i+1) gains are
-    five shared constants, ratios are exact integer division)."""
-    gains = ", ".join(
-        f"({i}, {_ndcg_gain_fp(i)})" for i in range(1, 6)
-    )
-    idcg = sum(_ndcg_gain_fp(i) for i in range(1, 6))
-    return f"""WITH brute AS ({ORACLES["ann_cosine_topk"]}),
-       sys AS ({_ivfpq_sql(8, 2, 8, 8, 8, 10, 5)}),
-       g(rk, gain_fp) AS (VALUES {gains}),
-       hits AS (SELECT s.query_id, s.rk,
-                       CASE WHEN b.neighbor_id IS NULL THEN 0 ELSE 1 END
-                           AS rel
-                FROM sys s LEFT JOIN brute b
-                  ON b.query_id = s.query_id
-                 AND b.neighbor_id = s.neighbor_id),
-       agg AS (SELECT h.query_id,
-                 CAST(coalesce(
-                   max(CASE WHEN h.rel = 1
-                       THEN CAST(floor(CAST(1000000 AS DOUBLE) / h.rk)
-                                 AS BIGINT) END), 0) AS BIGINT) AS mrr_fp,
-                 CAST(sum(h.rel * g.gain_fp) AS BIGINT) AS dcg_fp
-               FROM hits h JOIN g ON g.rk = h.rk
-               GROUP BY h.query_id)
-       SELECT query_id, mrr_fp, dcg_fp,
-              CAST(floor(CAST(dcg_fp * 1000000 AS DOUBLE) / {idcg})
-                   AS BIGINT) AS ndcg_fp
-       FROM agg"""
-
-
-def _ndcg_gain_fp(rank: int) -> int:
-    """floor((1/log2(rank+1))·1e6): the five binary-relevance
-    DCG gain constants, computed ONCE in Python and inlined as
-    literals on both engines — no cross-engine log2 at query time."""
-    import math
-
-    return int(math.floor((1.0 / math.log2(rank + 1)) * 1e6))
-
-
-@_q("ml_retrieval_metrics", _retrieval_metrics_sql())
-def ml_retrieval_metrics(spark, sf_dir):
-    """The retrieval honesty ledger beyond recall: per query, MRR
-    (reciprocal rank of the first exact-top-5 hit in the ADC list)
-    and binary-relevance NDCG@5 of IVF-PQ against the exact
-    brute-force ranking — the two metrics a retrieval deployment
-    reports next to recall@k. All arithmetic is exact fixed point:
-    rank reciprocals are integer divisions, the DCG gains are five
-    Python-computed literals shared by both engines, and the NDCG
-    ratio is exact integer division by the constant ideal DCG."""
-    e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    brute = similarity.cosine_topk(e, q, "vec_id", "embedding", k=5)
-    sys_ = similarity.ivfpq_topk(
-        e, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=2,
-        m=8, sub_d=8, k_star=8,
-    )
-    gains = spark.createDataFrame(
-        [(i, _ndcg_gain_fp(i)) for i in range(1, 6)],
-        "rk long, gain_fp long",
-    )
-    idcg = sum(_ndcg_gain_fp(i) for i in range(1, 6))
-    hits = (
-        sys_.join(
-            brute.select(
-                F.col("query_id").alias("_bq"),
-                F.col("neighbor_id").alias("_bn"),
-            ),
-            on=[
-                sys_["query_id"] == F.col("_bq"),
-                sys_["neighbor_id"] == F.col("_bn"),
-            ],
-            how="left",
-        ).select(
-            "query_id",
-            "rk",
-            F.when(F.col("_bn").isNull(), F.lit(0))
-            .otherwise(F.lit(1)).alias("rel"),
-        )
-    )
-    agg = (
-        hits.join(F.broadcast(gains), "rk")
-        .groupBy("query_id")
-        .agg(
-            F.coalesce(
-                F.max(
-                    F.when(
-                        F.col("rel") == 1,
-                        F.floor(
-                            F.lit(1_000_000.0) / F.col("rk")
-                        ).cast("long"),
-                    )
-                ),
-                F.lit(0),
-            ).cast("long").alias("mrr_fp"),
-            F.sum(F.col("rel") * F.col("gain_fp")).cast("long")
-            .alias("dcg_fp"),
-        )
-    )
-    # explicit floor on BOTH engines: a bare cast truncates in Spark
-    # but rounds-half-away in DuckDB — a parity break the fixture's
-    # current dcg values merely happen to dodge
-    return agg.withColumn(
-        "ndcg_fp",
-        F.floor(
-            (F.col("dcg_fp") * F.lit(1_000_000)).cast("double")
-            / F.lit(idcg)
-        ).cast("long"),
-    )
-
-
-# ------------------------------------------------ filtered vector search
-@_q(
+    "graph_bfs_hops",
+    "dd_keep_best_quality",
+    "o4_cluster_cap_sample",
+    "o4_cluster_split",
+    "pipeline_data_card",
+    "txt_bm25_topk",
+    "ml_hybrid_rrf",
+    "ann_ivfpq_refine",
+    "txt_nb_classifier",
+    "ml_retrieval_metrics",
     "ann_filtered_brute",
-    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                  FROM embeddings WHERE vec_id < 10),
-       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-                    round({_cos_sql('q.qv', 'c.embedding')}, 6) AS cosine
-             FROM q, embeddings c
-             WHERE c.vec_id <> q.query_id AND c.label < 3)
-       SELECT query_id, neighbor_id, cosine, rk FROM (
-         SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         FROM s) t
-       WHERE rk <= 5""",
-)
-def ann_filtered_brute(spark, sf_dir):
-    """Filtered vector search, exact path: top-5 among ONLY the
-    vectors satisfying a metadata predicate (label < 3 — ~30% of the
-    corpus). The pre-filter composes with the brute scan: the
-    predicate pushes into the corpus read, so selectivity directly
-    cuts the scan — the right strategy when the filter is strong
-    enough that the survivor set is brute-forceable."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(
-        e.filter(F.col("label") < 3),
-        e.filter(F.col("vec_id") < 10),
-        "vec_id", "embedding", k=5,
-    )
-
-
-@_q("ann_filtered_ivfpq",
-    _ivfpq_sql(8, 2, 8, 8, 8, 10, 5, inv_pred="label < 3"))
-def ann_filtered_ivfpq(spark, sf_dir):
-    """Filtered vector search over a SHARED index: the IVF-PQ
-    quantizers stay trained on the FULL corpus (one index serves
-    every predicate), and the metadata constraint restricts only the
-    inventory the ADC join scores — a broadcast semi-join of the
-    allowed-id table against the codes, applied BEFORE ranking so the
-    top-5 are the best among eligible candidates, not a post-filtered
-    stump of the unfiltered list (the classic filtered-ANN recall
-    bug). Hash-matches the oracle replay with the same predicate."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.ivfpq_topk(
-        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
-        k=5, n_cells=8, n_probe=2, m=8, sub_d=8, k_star=8,
-        allowed=e.filter(F.col("label") < 3),
-    )
-
-
-# ------------------------------------- preference-pair construction (RLHF)
-def _pref_pairs_sql() -> str:
-    return f"""WITH f AS (
-         SELECT d.doc_id, d.source, ff.n_chars, ff.stop_r, ff.punct_r
-         FROM documents d JOIN ({_QUALITY_F_CTE.format(src="documents")}) ff
-           ON ff.doc_id = d.doc_id),
-       scored AS (SELECT source, doc_id,
-                         {_QUALITY_SCORE_SQL} AS quality
-                  FROM f),
-       ranked AS (SELECT *,
-                    row_number() OVER (PARTITION BY source
-                      ORDER BY quality DESC, doc_id) AS rk_top,
-                    row_number() OVER (PARTITION BY source
-                      ORDER BY quality ASC, doc_id) AS rk_low
-                  FROM scored)
-       SELECT ch.source,
-              CAST(ch.doc_id AS BIGINT) AS chosen_id,
-              CAST(rj.doc_id AS BIGINT) AS rejected_id,
-              ch.quality AS q_chosen,
-              rj.quality AS q_rejected,
-              round(ch.quality - rj.quality, 4) AS margin
-       FROM ranked ch JOIN ranked rj
-         ON rj.source = ch.source AND rj.rk_low <= 3
-       WHERE ch.rk_top = 1 AND rj.quality < ch.quality"""
-
-
-@_q("pipeline_preference_pairs", _pref_pairs_sql())
-def pipeline_preference_pairs(spark, sf_dir):
-    """Preference-pair construction for reward-model / DPO training
-    data: within each SOURCE cohort (same domain, comparable style),
-    the highest-quality document becomes CHOSEN and each of the
-    cohort's 3 lowest-quality documents with STRICTLY lower quality
-    becomes REJECTED — matched-context pairs whose contrast is
-    quality, the cheapest honest preference signal a curation
-    pipeline mints without human labels (ties excluded: an
-    equal-quality pair teaches the reward model noise). One codegen
-    quality scan, two source-partitioned rank windows, one bounded
-    chosen×bottom-3 join — at 100 TB the pair count is
-    |sources| × 3, never quadratic in documents."""
-    d = load(spark, sf_dir, "documents")
-    scored = d.select(
-        "source", "doc_id",
-        textstats.quality_score(F.col("text")).alias("quality"),
-    )
-    w_top = Window.partitionBy("source").orderBy(
-        F.desc("quality"), F.asc("doc_id")
-    )
-    w_low = Window.partitionBy("source").orderBy(
-        F.asc("quality"), F.asc("doc_id")
-    )
-    ranked = scored.withColumn(
-        "rk_top", F.row_number().over(w_top)
-    ).withColumn("rk_low", F.row_number().over(w_low))
-    chosen = ranked.filter(F.col("rk_top") == 1).select(
-        "source",
-        F.col("doc_id").cast("long").alias("chosen_id"),
-        F.col("quality").alias("q_chosen"),
-    )
-    rejected = ranked.filter(F.col("rk_low") <= 3).select(
-        "source",
-        F.col("doc_id").cast("long").alias("rejected_id"),
-        F.col("quality").alias("q_rejected"),
-    )
-    return (
-        chosen.join(rejected, "source")
-        .filter(F.col("q_rejected") < F.col("q_chosen"))
-        .select(
-            "source", "chosen_id", "rejected_id",
-            "q_chosen", "q_rejected",
-            F.round(F.col("q_chosen") - F.col("q_rejected"), 4)
-            .alias("margin"),
-        )
-    )
-
-
-# --------------------------- exact set-similarity join (prefix filter)
-def _prefix_filter_sql(tn: int = 1, td: int = 2) -> str:
-    """DuckDB twin of ssjoin.prefix_filter_pairs over 3-word
-    shingles: same rarity order (df asc, shingle asc), same
-    exact-integer prefix length and size filter, same fixed-point
-    Jaccard — candidates and survivors replay identically."""
-    return f"""WITH {_SHINGLE_CTE.replace('AS shingle', 'AS term')},
-  dfc AS (SELECT term, count(*) AS df FROM sh GROUP BY term),
-  siz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-  ord AS (SELECT t.doc_id, t.term, s.n,
-            row_number() OVER (PARTITION BY t.doc_id
-                               ORDER BY d.df, t.term) AS pos
-          FROM sh t JOIN dfc d USING (term) JOIN siz s USING (doc_id)),
-  pref AS (SELECT doc_id, term, n FROM ord
-           WHERE pos <= n - CAST(({tn}*n + {td - 1}) // {td} AS BIGINT)
-                            + 1),
-  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                  a.n AS na, b.n AS nb
-           FROM pref a JOIN pref b
-             ON a.term = b.term AND a.doc_id < b.doc_id
-           WHERE least(a.n, b.n) * {td} >= {tn} * greatest(a.n, b.n)),
-  ver AS (SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS inter
-          FROM cand c JOIN sh x ON x.doc_id = c.id_a
-                      JOIN sh y ON y.doc_id = c.id_b
-                                AND y.term = x.term
-          GROUP BY 1, 2, 3, 4)
-  SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
-         CAST(na + nb - inter AS BIGINT) AS uni,
-         CAST(floor(1000000 * inter / (na + nb - inter)) AS BIGINT)
-             AS jacc_fp
-  FROM ver WHERE inter * {td} >= {tn} * (na + nb - inter)"""
-
-
-@_q("dd_prefix_filter_join", _prefix_filter_sql())
-def dd_prefix_filter_join(spark, sf_dir):
-    """EXACT set-similarity self-join at Jaccard >= 1/2 via prefix
-    filtering (AllPairs/PPJoin — Bayardo et al. WWW'07, Xiao et al.
-    WWW'08; operators/ssjoin.py): the lossless counterpart to the
-    banded-MinHash path. Each 3-shingle set joins only on the
-    ``n - ceil(t*n) + 1`` globally RAREST of its shingles, the
-    size-ratio filter prunes the rest, and only survivors pay exact
-    verification — on this corpus 124,750 possible pairs become ~772
-    candidates and the same 25 near-dup pairs LSH finds, with a
-    no-false-negative guarantee LSH cannot give."""
-    docs = load(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", k=3)
-    return ssjoin.prefix_filter_pairs(
-        sh, "doc_id", "shingle", t_num=1, t_den=2
-    )
-
-
-# ----------------------------------------------- hard-negative mining
-@_q(
+    "ann_filtered_ivfpq",
+    "pipeline_preference_pairs",
+    "dd_prefix_filter_join",
     "ml_hard_negatives",
-    f"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
-                         embedding AS qv
-                  FROM embeddings WHERE vec_id < 10),
-       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-                    round({_cos_sql('q.qv', 'c.embedding')}, 6)
-                        AS cosine
-             FROM q, embeddings c WHERE c.label <> q.ql)
-       SELECT query_id, neighbor_id, cosine, rk FROM (
-         SELECT *, row_number() OVER (
-            PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS rk
-         FROM s) t
-       WHERE rk <= 5""",
-)
-def ml_hard_negatives(spark, sf_dir):
-    """Hard-negative mining for contrastive pairs
-    (similarity.hard_negative_topk): per anchor, the top-5
-    most-similar vectors with a DIFFERENT label — the negatives that
-    actually move a contrastive or reranker objective. Broadcast
-    anchors, one corpus scan, label-mismatch filter ahead of the dot
-    product; the 100 TB serving path swaps the scan for the stored
-    IVF-PQ index with a label partition filter, and this exact form
-    is its recall oracle."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.hard_negative_topk(
-        e, e.filter(F.col("vec_id") < 10),
-        "vec_id", "embedding", "label", k=5,
-    )
-
-
-# -------------------------------------------- cascade lexical→vector
-@_q(
     "ml_cascade_rerank",
-    f"""WITH cand AS ({_bm25_sql(_BM25_TERMS, 50)}),
-       qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-       s AS (SELECT c.doc_id, c.bm25_fp, c.rk AS lex_rk,
-                    round({_cos_sql('qv.qv', 'e.embedding')}, 6)
-                        AS cosine
-             FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, qv)
-       SELECT doc_id, bm25_fp, CAST(lex_rk AS BIGINT) AS lex_rk,
-              cosine, CAST(rk AS BIGINT) AS rk
-       FROM (SELECT *, row_number() OVER (
-                ORDER BY cosine DESC, doc_id) AS rk FROM s) t
-       WHERE rk <= 10""",
-)
-def ml_cascade_rerank(spark, sf_dir):
-    """Two-stage cascade retrieval (retrieval.cascade_rerank): BM25
-    generates 50 lexical candidates (only query-term postings
-    shuffle), then exact cosine re-ranks the BROADCAST candidate list
-    against one query vector — 50 dot products, not 500/|corpus|.
-    The candidate-generation → expensive-scorer split every
-    production retrieval stack serves with; both stages replay
-    bit-identically in the oracle."""
-    from ..operators import retrieval
-
-    docs = load(spark, sf_dir, "documents")
-    emb = load(spark, sf_dir, "embeddings")
-    return retrieval.cascade_rerank(
-        docs, emb, "doc_id", "text", "vec_id", "embedding",
-        list(_BM25_TERMS),
-        emb.filter(F.col("vec_id") == 0),
-        n_candidates=50, k=10,
-    )
-
-
-# ------------------------------------------ classifier evaluation card
-@_q(
     "ml_auc_gate",
-    f"""WITH scored AS ({_nb_sql()}),
-       bys AS (SELECT score_fp AS s, sum(actual) AS pos,
-                      sum(1 - actual) AS neg
-               FROM scored GROUP BY 1),
-       cum AS (SELECT s, pos, neg,
-                 coalesce(sum(neg) OVER (ORDER BY s
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS negb
-               FROM bys),
-       uu AS (SELECT sum(pos * (2 * negb + neg)) AS u2,
-                     sum(pos) AS n1, sum(neg) AS n0
-              FROM cum),
-       conf AS (SELECT count(*) AS n,
-                       sum(pred * actual) AS tp,
-                       sum(pred * (1 - actual)) AS fp,
-                       sum((1 - pred) * actual) AS fn,
-                       sum((1 - pred) * (1 - actual)) AS tn
-                FROM scored)
-       SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n_pos,
-              CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
-              CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-              CAST(floor(1000000 * u2 / (2 * n1 * n0)) AS BIGINT)
-                  AS auc_fp,
-              CAST(floor(1000000 * tp / (tp + fp)) AS BIGINT)
-                  AS prec_fp,
-              CAST(floor(1000000 * tp / (tp + fn)) AS BIGINT)
-                  AS rec_fp,
-              CAST(floor(1000000 * 2 * tp / (2 * tp + fp + fn))
-                   AS BIGINT) AS f1_fp
-       FROM conf, uu""",
-)
-def ml_auc_gate(spark, sf_dir):
-    """The classifier-gate evaluation card
-    (operators/evalmetrics.binary_metrics) over the trained NB
-    lang-classifier's scores: tie-corrected Mann-Whitney AUC (one
-    window over DISTINCT scores, never rows), confusion counts, and
-    precision/recall/F1 — every ratio a single exact integer
-    division in 1e-6 fixed point. The report a curation deployment
-    runs after every gate retrain, and the companion the
-    stream_nb_train / stream_nb_gate pair was missing."""
-    from ..operators import classify, evalmetrics
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "_y", (F.col("lang") == "en").cast("int")
-    )
-    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
-    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
-    return evalmetrics.binary_metrics(
-        scored, "score_fp", "pred", "actual"
-    )
-
-
-@_q(
     "ml_calibration_bins",
-    f"""WITH scored AS ({_nb_sql()}),
-       nt AS (SELECT count(*) AS n FROM scored),
-       rn AS (SELECT doc_id, score_fp, actual,
-                row_number() OVER (ORDER BY score_fp, doc_id) AS rn
-              FROM scored),
-       b AS (SELECT actual, score_fp,
-               CAST(floor((rn - 1) * 10 / nt.n) AS BIGINT) AS bin
-             FROM rn, nt)
-       SELECT bin, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(actual) AS BIGINT) AS n_pos,
-              CAST(floor(1000000 * sum(actual) / count(*)) AS BIGINT)
-                  AS rate_fp,
-              CAST(sum(score_fp) AS BIGINT) AS sum_score_fp
-       FROM b GROUP BY bin""",
-)
-def ml_calibration_bins(spark, sf_dir):
-    """Equal-count calibration deciles for the NB gate
-    (evalmetrics.calibration_bins): per bin, size, positive count and
-    rate — the reliability diagram's data. The global (score, id)
-    rank DECOMPOSES into a per-score-group window plus the
-    distinct-score cumulative (no corpus-sized single-partition sort)
-    yet replays bit-identically against the oracle's naive global
-    row_number — the same decomposed-rank discipline
-    pipeline_global_shuffle established."""
-    from ..operators import classify, evalmetrics
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "_y", (F.col("lang") == "en").cast("int")
-    )
-    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
-    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
-    return evalmetrics.calibration_bins(
-        scored, "doc_id", "score_fp", "actual", n_bins=10
-    )
-
-
-@_q(
     "ml_lift_table",
-    f"""WITH scored AS ({_nb_sql()}),
-       nt AS (SELECT count(*) AS ntot, sum(actual) AS ptot
-              FROM scored),
-       rn AS (SELECT actual,
-                row_number() OVER (ORDER BY score_fp DESC,
-                                            doc_id ASC) AS rn
-              FROM scored),
-       b AS (SELECT actual,
-               CAST(floor((rn - 1) * 10 / nt.ntot) AS BIGINT) AS bin
-             FROM rn, nt),
-       g AS (SELECT bin, count(*) AS n, sum(actual) AS n_pos
-             FROM b GROUP BY bin),
-       c AS (SELECT bin, n, n_pos,
-               sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
-                 PRECEDING AND CURRENT ROW) AS cum_n,
-               sum(n_pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
-                 PRECEDING AND CURRENT ROW) AS cum_pos
-             FROM g)
-       SELECT bin, CAST(n AS BIGINT) AS n,
-              CAST(n_pos AS BIGINT) AS n_pos,
-              CAST(cum_n AS BIGINT) AS cum_n,
-              CAST(cum_pos AS BIGINT) AS cum_pos,
-              CAST(CASE WHEN ptot > 0
-                   THEN floor(1000000 * cum_pos / ptot)
-                   END AS BIGINT) AS capture_fp,
-              CAST(CASE WHEN ptot > 0 THEN
-                   floor(1000000 *
-                     floor(1000000 * cum_pos / ptot)
-                     / floor(1000000 * cum_n / ntot))
-                   END AS BIGINT) AS lift_fp
-       FROM c, nt""",
-)
-def ml_lift_table(spark, sf_dir):
-    """Decile gains/lift table for the NB gate
-    (evalmetrics.lift_table): cumulative capture rate and lift per
-    score-DESC decile, the campaign-targeting readout next to the
-    reliability diagram. Rank decomposition and fp6 discipline as in
-    ml_calibration_bins."""
-    from ..operators import classify, evalmetrics
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "_y", (F.col("lang") == "en").cast("int")
-    )
-    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
-    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
-    return evalmetrics.lift_table(
-        scored, "doc_id", "score_fp", "actual", n_bins=10
-    )
-
-
-@_q(
     "ml_roc_points",
-    f"""WITH scored AS ({_nb_sql()}),
-       bys AS (SELECT score_fp AS thr, sum(actual) AS pos,
-                      sum(1 - actual) AS neg
-               FROM scored GROUP BY 1),
-       tot AS (SELECT sum(actual) AS n1, sum(1 - actual) AS n0
-               FROM scored),
-       cum AS (SELECT thr,
-                 sum(pos) OVER (ORDER BY thr DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS tp,
-                 sum(neg) OVER (ORDER BY thr DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS fp
-               FROM bys)
-       SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
-              CAST(fp AS BIGINT) AS fp,
-              CAST(CASE WHEN n1 > 0
-                   THEN floor(1000000 * tp / n1) END AS BIGINT)
-                  AS tpr_fp,
-              CAST(CASE WHEN n0 > 0
-                   THEN floor(1000000 * fp / n0) END AS BIGINT)
-                  AS fpr_fp,
-              CAST(CASE WHEN n1 > 0 THEN floor(1000000 * tp / n1) END
-                   - CASE WHEN n0 > 0
-                     THEN floor(1000000 * fp / n0) END AS BIGINT)
-                  AS youden_fp
-       FROM cum, tot""",
-)
-def ml_roc_points(spark, sf_dir):
-    """ROC curve for the NB gate (evalmetrics.roc_points): (FPR, TPR)
-    per distinct threshold plus the Youden J criterion on the rounded
-    fp6 rates — pr_curve's prevalence-stable twin, same
-    granularity-bounded distinct-score window."""
-    from ..operators import classify, evalmetrics
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "_y", (F.col("lang") == "en").cast("int")
-    )
-    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
-    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
-    return evalmetrics.roc_points(scored, "score_fp", "actual")
-
-
-# ---------------------------------------------- PR curve + gate tuning
-@_q(
     "ml_pr_curve",
-    f"""WITH scored AS ({_nb_sql()}),
-       bys AS (SELECT score_fp AS thr, sum(actual) AS pos,
-                      sum(1 - actual) AS neg
-               FROM scored GROUP BY 1),
-       tot AS (SELECT sum(actual) AS n1 FROM scored),
-       cum AS (SELECT thr,
-                 sum(pos) OVER (ORDER BY thr DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS tp,
-                 sum(neg) OVER (ORDER BY thr DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS fp
-               FROM bys)
-       SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
-              CAST(fp AS BIGINT) AS fp,
-              CAST(floor(1000000 * tp / (tp + fp)) AS BIGINT)
-                  AS prec_fp,
-              CAST(floor(1000000 * tp / n1) AS BIGINT) AS rec_fp,
-              CAST(floor(1000000 * 2 * tp / (tp + fp + n1)) AS BIGINT)
-                  AS f1_fp
-       FROM cum, tot""",
-)
-def ml_pr_curve(spark, sf_dir):
-    """The full precision-recall curve for the NB gate
-    (evalmetrics.pr_curve): one row per distinct score, the confusion
-    a ``score >= thr`` gate would produce — cumulative sums over the
-    DISTINCT-SCORE relation only, every ratio one exact integer
-    division. The artifact you read before picking a gate threshold;
-    ml_best_threshold is its argmax."""
-    from ..operators import classify, evalmetrics
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "_y", (F.col("lang") == "en").cast("int")
-    )
-    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
-    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
-    return evalmetrics.pr_curve(scored, "score_fp", "actual")
-
-
-@_q(
     "ml_best_threshold",
-    f"""WITH scored AS ({_nb_sql()}),
-       bys AS (SELECT score_fp AS thr, sum(actual) AS pos,
-                      sum(1 - actual) AS neg
-               FROM scored GROUP BY 1),
-       tot AS (SELECT sum(actual) AS n1 FROM scored),
-       cum AS (SELECT thr,
-                 sum(pos) OVER (ORDER BY thr DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS tp,
-                 sum(neg) OVER (ORDER BY thr DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS fp
-               FROM bys),
-       curve AS (SELECT CAST(thr AS BIGINT) AS thr,
-                        CAST(tp AS BIGINT) AS tp,
-                        CAST(fp AS BIGINT) AS fp,
-                        CAST(floor(1000000 * tp / (tp + fp)) AS BIGINT)
-                            AS prec_fp,
-                        CAST(floor(1000000 * tp / n1) AS BIGINT)
-                            AS rec_fp,
-                        CAST(floor(1000000 * 2 * tp / (tp + fp + n1))
-                             AS BIGINT) AS f1_fp
-                 FROM cum, tot)
-       SELECT thr, tp, fp, prec_fp, rec_fp, f1_fp FROM (
-         SELECT *, row_number() OVER (
-            ORDER BY f1_fp DESC, thr DESC) AS rk FROM curve) t
-       WHERE rk = 1""",
-)
-def ml_best_threshold(spark, sf_dir):
-    """Gate-threshold selection (evalmetrics.best_threshold): the
-    F1-maximizing point on the PR curve, ties toward the stricter
-    gate — the one-row operational answer a retrain hands to the
-    curation filter. Bounded top-1 over the distinct-score curve."""
-    from ..operators import classify, evalmetrics
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "_y", (F.col("lang") == "en").cast("int")
-    )
-    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
-    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
-    return evalmetrics.best_threshold(scored, "score_fp", "actual")
-
-
-# ------------------------------------------ time-decayed engagement
-@_q(
     "agg_decayed_engagement",
-    """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
-       w AS (SELECT user_id, value,
-               date_diff('day', CAST(ts AS DATE), ref.r) AS d
-             FROM events, ref),
-       q AS (SELECT user_id,
-               CAST(floor((
-                 pow(CAST('2.0' AS DOUBLE),
-                     -d / CAST('7.0' AS DOUBLE)))
-                 * 1000000 + CAST('0.5' AS DOUBLE)) AS BIGINT) AS w_fp,
-               CAST(floor((
-                 pow(CAST('2.0' AS DOUBLE),
-                     -d / CAST('7.0' AS DOUBLE)) * value)
-                 * 1000000 + CAST('0.5' AS DOUBLE)) AS BIGINT) AS wv_fp
-             FROM w)
-       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-              CAST(sum(w_fp) AS BIGINT) AS decayed_fp,
-              CAST(sum(wv_fp) AS BIGINT) AS decayed_value_fp
-       FROM q GROUP BY user_id""",
-)
-def agg_decayed_engagement(spark, sf_dir):
-    """Exponentially time-decayed per-user engagement
-    (operators/temporal.decayed_counts, half-life 7 days, anchored at
-    the corpus max date): the recency-weighted activity feature of
-    every CTR/engagement pipeline, as ONE map-side-combined
-    aggregate — each event's 2^(-age/h) weight quantizes to fixed
-    point before the integer sum, so the feature replays exactly and
-    no window or second shuffle appears."""
-    from ..operators import temporal
-
-    ev = load(spark, sf_dir, "events")
-    return temporal.decayed_counts(ev, "user_id", "ts", "value",
-                                   half_life_days=7)
-
-
-# ----------------------------------------- per-slice gate evaluation
-@_q(
     "ml_grouped_metrics",
-    f"""WITH scored AS ({_nb_sql()}),
-       s AS (SELECT sc.score_fp, sc.pred, sc.actual,
-                    d.source AS grp
-             FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id),
-       bys AS (SELECT grp, score_fp AS sv, sum(actual) AS pos,
-                      sum(1 - actual) AS neg
-               FROM s GROUP BY 1, 2),
-       cum AS (SELECT grp, pos, neg,
-                 coalesce(sum(neg) OVER (PARTITION BY grp
-                   ORDER BY sv
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS negb
-               FROM bys),
-       uu AS (SELECT grp, sum(pos * (2 * negb + neg)) AS u2
-              FROM cum GROUP BY 1),
-       conf AS (SELECT grp, count(*) AS n, sum(actual) AS n1,
-                       sum(1 - actual) AS n0,
-                       sum(pred * actual) AS tp,
-                       sum(pred * (1 - actual)) AS fp,
-                       sum((1 - pred) * actual) AS fn,
-                       sum((1 - pred) * (1 - actual)) AS tn
-                FROM s GROUP BY 1)
-       SELECT conf.grp AS source, CAST(n AS BIGINT) AS n,
-              CAST(n1 AS BIGINT) AS n_pos, CAST(tp AS BIGINT) AS tp,
-              CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
-              CAST(tn AS BIGINT) AS tn,
-              CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
-                     floor(1000000 * u2 / (2 * n1 * n0)) END
-                   AS BIGINT) AS auc_fp,
-              CAST(CASE WHEN tp + fp > 0 THEN
-                     floor(1000000 * tp / (tp + fp)) END
-                   AS BIGINT) AS prec_fp,
-              CAST(CASE WHEN n1 > 0 THEN
-                     floor(1000000 * tp / (tp + fn)) END
-                   AS BIGINT) AS rec_fp,
-              CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
-                     floor(1000000 * 2 * tp / (2 * tp + fp + fn)) END
-                   AS BIGINT) AS f1_fp
-       FROM conf JOIN uu ON uu.grp = conf.grp""",
-)
-def ml_grouped_metrics(spark, sf_dir):
-    """The gate evaluation card PER SOURCE
-    (evalmetrics.grouped_binary_metrics): tie-corrected AUC and
-    confusion ratios sliced by the corpus source column, every window
-    partitioned by the slice — the report that catches a classifier
-    that is fine on average and broken on one slice (the per-language
-    / per-domain honesty check every curation deployment runs).
-    Degenerate slices yield NULL ratios, not division blow-ups."""
-    from ..operators import classify, evalmetrics
-
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "_y", (F.col("lang") == "en").cast("int")
-    )
-    w = classify.nb_train_weights(docs, "doc_id", "text", "_y")
-    scored = classify.nb_score(docs, w, "doc_id", "text", "_y")
-    joined = scored.join(
-        load(spark, sf_dir, "documents").select("doc_id", "source"),
-        "doc_id",
-    )
-    return evalmetrics.grouped_binary_metrics(
-        joined, "source", "score_fp", "pred", "actual"
-    )
-
-
-# ----------------------------------------- semi-hard negative mining
-@_q(
     "ml_semihard_negatives",
-    f"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
-                         embedding AS qv
-                  FROM embeddings WHERE vec_id < 10),
-       pos AS (SELECT q.query_id,
-                      max(round({_cos_sql('q.qv', 'c.embedding')}, 6))
-                          AS pos_sim
-               FROM q, embeddings c
-               WHERE c.label = q.ql AND c.vec_id <> q.query_id
-               GROUP BY 1),
-       s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-                    round({_cos_sql('q.qv', 'c.embedding')}, 6)
-                        AS cosine
-             FROM q, embeddings c WHERE c.label <> q.ql),
-       f AS (SELECT s.query_id, s.neighbor_id, s.cosine, pos.pos_sim
-             FROM s JOIN pos USING (query_id)
-             WHERE s.cosine < pos.pos_sim)
-       SELECT query_id, neighbor_id, cosine, pos_sim, rk FROM (
-         SELECT *, row_number() OVER (
-            PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS rk
-         FROM f) t
-       WHERE rk <= 5""",
-)
-def ml_semihard_negatives(spark, sf_dir):
-    """Semi-hard negative mining (similarity.semihard_negative_topk —
-    the FaceNet triplet criterion, Schroff et al. CVPR'15): per
-    anchor, the top-5 different-label vectors still LESS similar than
-    the anchor's nearest same-label vector — the margin-band
-    negatives that tighten a contrastive objective without the
-    collapse risk of hardest-negatives. Two broadcast-anchor corpus
-    scans, bounded per-anchor top-k."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.semihard_negative_topk(
-        e, e.filter(F.col("vec_id") < 10),
-        "vec_id", "embedding", "label", k=5,
-    )
-
-
-# ------------------------------------ LSH recall audit vs exact join
-@_q(
     "dd_lsh_recall_audit",
-    f"""WITH ex AS ({_prefix_filter_sql()}),
-       lsh AS ({_minhash_sql(16, 8, 0.5)}),
-       j AS (SELECT ex.jacc_fp,
-                    CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END
-                        AS found
-             FROM ex LEFT JOIN lsh l
-               ON l.doc_a = ex.id_a AND l.doc_b = ex.id_b)
-       SELECT CAST(jacc_fp // 100000 AS BIGINT) AS band,
-              CAST(count(*) AS BIGINT) AS n_exact,
-              CAST(sum(found) AS BIGINT) AS n_lsh,
-              CAST(count(*) - sum(found) AS BIGINT) AS missed
-       FROM j GROUP BY 1""",
-)
-def dd_lsh_recall_audit(spark, sf_dir):
-    """The measured false-negative ledger for the LSH dedup path:
-    ground truth is the EXACT prefix-filtered join (no false
-    negatives by theorem), and per Jaccard decile band the audit
-    counts how many true pairs the banded-MinHash path actually
-    surfaced — LSH recall as a published number per similarity band,
-    not a formula. The exact side is affordable precisely because the
-    prefix filter prunes it; at 100 TB this runs on a sample and the
-    band-wise recall extrapolates (the banding S-curve is
-    similarity-determined, not corpus-size-determined)."""
-    docs = load(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", k=3)
-    exact = ssjoin.prefix_filter_pairs(
-        sh, "doc_id", "shingle", t_num=1, t_den=2
-    )
-    lsh = dedup.minhash_lsh_dedup(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=8,
-        threshold=0.5,
-    ).select(
-        F.col("doc_a").alias("_la"), F.col("doc_b").alias("_lb"),
-    )
-    joined = exact.join(
-        lsh,
-        on=[exact["id_a"] == F.col("_la"),
-            exact["id_b"] == F.col("_lb")],
-        how="left",
-    ).select(
-        F.floor(F.col("jacc_fp") / F.lit(100_000)).alias("band"),
-        F.when(F.col("_la").isNull(), F.lit(0)).otherwise(F.lit(1))
-        .alias("_found"),
-    )
-    return joined.groupBy("band").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact"),
-        F.sum("_found").cast("long").alias("n_lsh"),
-        (F.count(F.lit(1)) - F.sum("_found")).cast("long")
-        .alias("missed"),
-    )
-
-
-# ------------------------------------- distribution-matched sampling
-@_q(
     "o4_match_distribution",
-    """WITH cnt AS (SELECT source AS g, count(*) AS n,
-                         1 + length(source) % 3 AS w
-               FROM documents GROUP BY source),
-       m AS (SELECT n AS nm, w AS wm FROM cnt
-             ORDER BY CAST(n AS DOUBLE) / w, g LIMIT 1),
-       kept AS (SELECT d.source AS g, count(*) AS k
-                FROM documents d JOIN cnt ON cnt.g = d.source, m
-                WHERE CAST(((d.doc_id * 2654435761) % 4294967296
-                            * 1000000) // 4294967296
-                           AS HUGEINT) * m.wm * cnt.n
-                    < CAST(1000000 AS HUGEINT) * m.nm * cnt.w
-                GROUP BY d.source)
-       SELECT cnt.g AS source, CAST(cnt.n AS BIGINT) AS n_before,
-              CAST(cnt.w AS BIGINT) AS target_w,
-              CAST(coalesce(kept.k, 0) AS BIGINT) AS n_after
-       FROM cnt LEFT JOIN kept ON kept.g = cnt.g""",
-)
-def o4_match_distribution(spark, sf_dir):
-    """Source-mix rebalancing by deterministic rejection sampling
-    (sampling.match_distribution): retained counts follow the target
-    weights (here 1 + len(source) % 3 — a non-uniform synthetic
-    target) while the binding source keeps everything — the
-    downsample-to-target primitive every multi-source corpus build
-    runs. The acceptance test is a pure integer comparison on the
-    Knuth-hash coin (DECIMAL(38,0)/HUGEINT products), so both
-    engines retain the identical row set; the data rows see only a
-    map-side filter — no window, no shuffle."""
-    docs = load(spark, sf_dir, "documents")
-    return sampling.match_distribution(
-        docs, "doc_id", "source",
-        lambda g: (F.length(g) % 3 + F.lit(1)).cast("long"),
-    )
-
-
-# ------------------------------------------------ experiment readout
-@_q(
     "ml_ab_test",
-    """WITH u AS (SELECT user_id,
-                       max(CASE WHEN event_type = 'purchase'
-                                 AND value > 200.0
-                           THEN 1 ELSE 0 END) AS c
-               FROM events GROUP BY user_id),
-       t AS (SELECT ((user_id * 2654435761) % 4294967296 * 2) // 4294967296 AS arm,
-                    count(*) AS n, sum(c) AS cv
-             FROM u GROUP BY 1),
-       a AS (SELECT n AS na, cv AS ca FROM t WHERE arm = 0),
-       b AS (SELECT n AS nb, cv AS cb FROM t WHERE arm = 1)
-       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-              CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
-              CAST(floor(1000000 * ca / na) AS BIGINT) AS rate_a_fp,
-              CAST(floor(1000000 * cb / nb) AS BIGINT) AS rate_b_fp,
-              CAST(floor((CAST(cb AS DOUBLE) / nb
-                               - CAST(ca AS DOUBLE) / na)
-                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                   AS BIGINT) AS lift_fp,
-              CAST(floor((
-                    (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
-                    / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
-                           * (CAST('1.0' AS DOUBLE)
-                              - CAST(ca + cb AS DOUBLE) / (na + nb))
-                           * (CAST('1.0' AS DOUBLE) / na
-                              + CAST('1.0' AS DOUBLE) / nb)))
-                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                   AS BIGINT) AS z_fp
-       FROM a, b""",
-)
-def ml_ab_test(spark, sf_dir):
-    """The experiment readout (operators/experiment.ab_test_readout):
-    users deterministically assigned to two arms by the shared
-    Knuth-hash coin (the user id IS the assignment — no table to
-    store), per-arm conversion (a high-value purchase: value > 200)
-    and the pooled two-proportion z statistic — the one-row card
-    every launch decision reads. Counts and rates are exact
-    integers; the z float pipeline uses one canonical operand order
-    on both engines so even the statistic hash-matches. One
-    per-user aggregate, one 2-row aggregate, 1-row broadcasts."""
-    from ..operators import experiment
-
-    ev = load(spark, sf_dir, "events")
-    return experiment.ab_test_readout(
-        ev, "user_id",
-        (F.col("event_type") == "purchase") & (F.col("value") > 200.0),
-    )
-
-
-_ARM_SQL = "((user_id * 2654435761) % 4294967296 * 2) // 4294967296"
-
-
-@_q(
     "ml_ab_srm",
-    f"""WITH u AS (SELECT DISTINCT user_id FROM events),
-       c AS (SELECT
-           sum(CASE WHEN {_ARM_SQL} = 0 THEN 1 ELSE 0 END) AS na,
-           sum(CASE WHEN {_ARM_SQL} = 1 THEN 1 ELSE 0 END) AS nb
-           FROM u)
-       SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-              CAST(floor(1000000 * (na - nb) * (na - nb) / (na + nb))
-                  AS BIGINT) AS chi2_fp,
-              CAST(floor(1000000 * (na - nb) * (na - nb) / (na + nb))
-                  AS BIGINT) > 10828000 AS srm_suspect
-       FROM c""",
-)
-def ml_ab_srm(spark, sf_dir):
-    """Sample-ratio-mismatch guard (operators/experiment.srm_check):
-    before anyone reads ml_ab_test's lift card, this card proves the
-    50/50 assignment itself is healthy. The 1-dof chi-square
-    collapses algebraically to (n_a - n_b)^2 / N — exact integer
-    numerator, one float division — and srm_suspect fires at the
-    0.1% critical value. One distinct + one 2-row aggregate."""
-    from ..operators import experiment
-
-    ev = load(spark, sf_dir, "events")
-    return experiment.srm_check(ev, "user_id")
-
-
-@_q(
     "ml_ab_cuped",
-    f"""WITH pu AS (SELECT user_id,
-           sum(CASE WHEN day(ts) <= 10 THEN 1 ELSE 0 END) AS x,
-           coalesce(sum(CASE WHEN day(ts) > 10 THEN
-               CASE WHEN event_type = 'purchase'
-                    THEN CAST(round(value * 100, 0) AS BIGINT)
-                    ELSE 0 END END), 0) AS y
-           FROM events GROUP BY user_id),
-       pa AS (SELECT {_ARM_SQL} AS arm, x, y FROM pu),
-       m AS (SELECT
-           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
-           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
-           sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sx0,
-           sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx1,
-           sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sy0,
-           sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sy1,
-           sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS sxx0,
-           sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS sxx1,
-           sum(CASE WHEN arm = 0 THEN x * y ELSE 0 END) AS sxy0,
-           sum(CASE WHEN arm = 1 THEN x * y ELSE 0 END) AS sxy1,
-           sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS syy0,
-           sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS syy1
-           FROM pa),
-       e AS (SELECT n0, n1,
-           CAST(n0 + n1 AS DOUBLE) AS n,
-           CAST(sx0 + sx1 AS DOUBLE) AS sx,
-           CAST(sy0 + sy1 AS DOUBLE) AS sy,
-           CAST(sxx0 + sxx1 AS DOUBLE) AS sxx,
-           CAST(sxy0 + sxy1 AS DOUBLE) AS sxy,
-           CAST(syy0 + syy1 AS DOUBLE) AS syy,
-           CAST(sy0 AS DOUBLE) / n0 AS my0,
-           CAST(sy1 AS DOUBLE) / n1 AS my1,
-           CAST(sx0 AS DOUBLE) / n0 AS mx0,
-           CAST(sx1 AS DOUBLE) / n1 AS mx1
-           FROM m),
-       f AS (SELECT n0, n1, my0, my1, mx0, mx1,
-           sxx * n - sx * sx AS var_x,
-           syy * n - sy * sy AS var_y,
-           sxy * n - sx * sy AS cov,
-           sx / n AS mxp
-           FROM e)
-       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
-           CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0 THEN
-               CAST(floor((cov / var_x)
-                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                    AS BIGINT) END AS theta_fp,
-           CASE WHEN n0 > 0 AND n1 > 0 THEN
-               CAST(floor((my1 - my0)
-                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                    AS BIGINT) END AS lift_raw_fp,
-           CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0 THEN
-               CAST(floor((
-                    (my1 - cov / var_x * (mx1 - mxp))
-                    - (my0 - cov / var_x * (mx0 - mxp)))
-                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                    AS BIGINT) END AS lift_cuped_fp,
-           CASE WHEN n0 > 0 AND n1 > 0 AND var_x > 0.0
-                     AND var_y > 0.0 THEN
-               CAST(floor((cov * cov / (var_x * var_y))
-                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                    AS BIGINT) END AS rho2_fp
-       FROM f""",
-)
-def ml_ab_cuped(spark, sf_dir):
-    """CUPED variance-reduced experiment card
-    (operators/experiment.cuped_readout, Deng et al. WSDM'13): the
-    pre-period event count (days 1-10) is the covariate, post-period
-    purchase revenue in integer cents is the outcome, theta =
-    cov/var over the pooled users, and rho^2 reports how much
-    outcome variance the covariate removed. Everything data-sized
-    reduces to integer sufficient statistics in one map-side-combined
-    pass (second moments in decimal so 1e9 users can't wrap); the
-    card is a handful of canonical-order float ops over 6 integers,
-    so it hash-replays in the oracle."""
-    from ..operators import experiment
-
-    ev = load(spark, sf_dir, "events")
-    return experiment.cuped_readout(
-        ev, "user_id",
-        F.dayofmonth("ts") <= 10,
-        F.when(F.col("event_type") == "purchase",
-               F.round(F.col("value") * 100).cast("long"))
-        .otherwise(F.lit(0)),
-    )
-
-
-def _bootstrap_sql() -> str:
-    from ..operators.experiment import POISSON1_THRESHOLDS
-    from ..operators.hashing import md5_long_sql
-
-    t = POISSON1_THRESHOLDS
-    h = md5_long_sql(
-        "concat(CAST(user_id AS VARCHAR), '#', CAST(r AS VARCHAR))"
-    )
-    fp = ("CAST(floor(({x}) * CAST(1000000 AS DOUBLE)"
-          " + CAST('0.5' AS DOUBLE)) AS BIGINT)")
-    lift = ("CAST(sum(CASE WHEN arm = 1 THEN s END) AS DOUBLE)"
-            " / sum(CASE WHEN arm = 1 THEN n END)"
-            " - CAST(sum(CASE WHEN arm = 0 THEN s END) AS DOUBLE)"
-            " / sum(CASE WHEN arm = 0 THEN n END)")
-    return f"""WITH pu AS (SELECT user_id,
-           {_ARM_SQL} AS arm,
-           coalesce(sum(CASE WHEN event_type = 'purchase'
-               THEN CAST(round(value * 100, 0) AS BIGINT)
-               ELSE 0 END), 0) AS y
-           FROM events GROUP BY user_id),
-       reps AS (SELECT user_id, arm, y, CAST(t.range AS INT) AS r
-                FROM pu, range(40) t),
-       hw AS (SELECT arm, r, y,
-           CASE WHEN {h} < {t[0]} THEN 0
-                WHEN {h} < {t[1]} THEN 1
-                WHEN {h} < {t[2]} THEN 2
-                WHEN {h} < {t[3]} THEN 3
-                WHEN {h} < {t[4]} THEN 4
-                ELSE 5 END AS w
-           FROM reps),
-       sums AS (SELECT r, arm, sum(w) AS n, sum(w * y) AS s
-                FROM hw GROUP BY r, arm),
-       lifts AS (SELECT r, {fp.format(x=lift)} AS lift_fp
-                 FROM sums GROUP BY r
-                 HAVING sum(CASE WHEN arm = 0 THEN n END) > 0
-                    AND sum(CASE WHEN arm = 1 THEN n END) > 0),
-       srt AS (SELECT list_sort(list(lift_fp)) AS ls,
-                      count(*) AS nr FROM lifts),
-       pt AS (SELECT
-           CASE WHEN sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
-                 AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
-           THEN {fp.format(x=(
-               "CAST(sum(CASE WHEN arm = 1 THEN y END) AS DOUBLE)"
-               " / sum(CASE WHEN arm = 1 THEN 1 END)"
-               " - CAST(sum(CASE WHEN arm = 0 THEN y END) AS DOUBLE)"
-               " / sum(CASE WHEN arm = 0 THEN 1 END)"))}
-           END AS lift_point_fp
-           FROM pu)
-       SELECT CAST(nr AS BIGINT) AS n_replicas,
-              lift_point_fp,
-              ls[1] AS lift_lo_fp,
-              ls[39] AS lift_hi_fp
-       FROM srt, pt"""
-
-
-@_q("ml_ab_bootstrap", _bootstrap_sql())
-def ml_ab_bootstrap(spark, sf_dir):
-    """Poisson-bootstrap 95% CI for the A/B revenue lift
-    (operators/experiment.bootstrap_lift_ci): 40 resamples without
-    ever materializing one — each replica weights every user by a
-    Poisson(1) draw inverse-CDF'd from md5(user||replica), integer
-    thresholds shared verbatim with the oracle, so the whole CI
-    replays bit-for-bit. One per-user pass, a bounded ×40 explode
-    map-side combined into 80 groups, order-statistic CI over the
-    40 replica lifts. The distributed bootstrap, deterministic."""
-    from ..operators import experiment
-
-    ev = load(spark, sf_dir, "events")
-    return experiment.bootstrap_lift_ci(
-        ev, "user_id",
-        F.when(F.col("event_type") == "purchase",
-               F.round(F.col("value") * 100).cast("long"))
-        .otherwise(F.lit(0)),
-        n_replicas=40,
-    )
-
-
-@_q(
+    "ml_ab_bootstrap",
     "pii_erasure_audit",
-    """SELECT 'events' AS table_name,
-              CAST(sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_purge,
-              CAST(sum(CASE WHEN user_id % 37 = 0 OR user_id IS NULL
-                  THEN 0 ELSE 1 END) + sum(CASE WHEN user_id IS NULL
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
-       FROM events
-       UNION ALL
-       SELECT 'orders',
-              CAST(sum(CASE WHEN o_custkey % 37 = 0 THEN 1 ELSE 0 END)
-                  AS BIGINT),
-              CAST(sum(CASE WHEN o_custkey % 37 = 0 THEN 0 ELSE 1 END)
-                  AS BIGINT)
-       FROM orders
-       UNION ALL
-       SELECT 'customer',
-              CAST(sum(CASE WHEN c_custkey % 37 = 0 THEN 1 ELSE 0 END)
-                  AS BIGINT),
-              CAST(sum(CASE WHEN c_custkey % 37 = 0 THEN 0 ELSE 1 END)
-                  AS BIGINT)
-       FROM customer""",
-)
-def pii_erasure_audit(spark, sf_dir):
-    """Right-to-erasure impact audit (operators/privacy.erasure_audit):
-    the deletion cohort (every 37th subject key) counted across every
-    table that references it — events by user, orders by customer
-    key, and the customer master itself. One conditional aggregate
-    per table, no joins; NULL references are kept (an anonymous row
-    needs no erasure). The sign-off card before the purge job runs,
-    and its reconciliation target afterwards."""
-    from ..operators.privacy import erasure_audit
-
-    return erasure_audit(
-        [
-            ("events", load(spark, sf_dir, "events")),
-            ("orders", load(spark, sf_dir, "orders").withColumnRenamed(
-                "o_custkey", "subject_key")),
-            ("customer", load(spark, sf_dir, "customer")
-             .withColumnRenamed("c_custkey", "subject_key")),
-        ],
-        lambda df: (
-            F.col("user_id") % 37 == 0 if "user_id" in df.columns
-            else F.col("subject_key") % 37 == 0
-        ),
-    )
-
-
-@_q(
     "ml_ab_stratified",
-    f"""WITH u AS (SELECT user_id,
-           max(CASE WHEN event_type = 'purchase' AND value > 200.0
-               THEN 1 ELSE 0 END) AS c
-           FROM events GROUP BY user_id),
-       j AS (SELECT u.user_id, u.c, cu.c_mktsegment AS stratum,
-                    {_ARM_SQL} AS arm
-             FROM u JOIN customer cu ON u.user_id = cu.c_custkey),
-       per AS (SELECT stratum,
-           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
-           sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS ca,
-           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
-           sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS cb
-           FROM j GROUP BY stratum),
-       t AS (SELECT sum(na + nb) AS nw FROM per
-             WHERE na > 0 AND nb > 0),
-       rows_ AS (SELECT stratum,
-           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-           CASE WHEN na > 0 THEN CAST(floor(1000000 * ca / na)
-               AS BIGINT) END AS rate_a_fp,
-           CASE WHEN nb > 0 THEN CAST(floor(1000000 * cb / nb)
-               AS BIGINT) END AS rate_b_fp,
-           CASE WHEN na > 0 AND nb > 0 THEN
-               CAST(floor((CAST(cb AS DOUBLE) / nb
-                    - CAST(ca AS DOUBLE) / na)
-                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                    AS BIGINT) END AS lift_fp,
-           CASE WHEN na > 0 AND nb > 0 THEN
-               CAST(floor(1000000 * (na + nb) / nw) AS BIGINT)
-               END AS weight_fp,
-           CASE WHEN na > 0 AND nb > 0 THEN
-               CAST(floor((CAST(na + nb AS DOUBLE) / nw
-                    * (CAST(cb AS DOUBLE) / nb
-                       - CAST(ca AS DOUBLE) / na))
-                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                    AS BIGINT)
-               ELSE 0 END AS contrib_fp
-           FROM per, t)
-       SELECT stratum, n_a, n_b, rate_a_fp, rate_b_fp, lift_fp,
-              weight_fp,
-              (SELECT CAST(sum(contrib_fp) AS BIGINT) FROM rows_)
-                  AS pooled_lift_fp
-       FROM rows_""",
-)
-def ml_ab_stratified(spark, sf_dir):
-    """Stratified experiment readout
-    (operators/experiment.stratified_readout): the A/B conversion
-    card per customer market segment — the Simpson's-paradox guard —
-    with the post-stratified pooled lift as the integer sum of
-    fixed-point per-stratum contributions (the PSI discipline, so
-    the headline replays regardless of partition order). One per-user
-    aggregate, one broadcast join to the customer dim, one 5x2
-    aggregate."""
-    from ..operators import experiment
-
-    ev = load(spark, sf_dir, "events")
-    cust = load(spark, sf_dir, "customer")
-    return experiment.stratified_readout(
-        ev, "user_id",
-        (F.col("event_type") == "purchase") & (F.col("value") > 200.0),
-        cust, "c_custkey", "c_mktsegment",
-    )
-
-
-def _cms_sql() -> str:
-    from ..operators.hashing import (
-        MERSENNE_P,
-        affine_hash_sql,
-        md5_long_sql,
-        minhash_coeffs,
-    )
-
-    d, w = 4, 256
-    cs = minhash_coeffs(d, seed=31)
-    h = md5_long_sql("tok")
-    cell = lambda j: (  # noqa: E731
-        f"({affine_hash_sql(h, cs[j][0], cs[j][1], MERSENNE_P)} % {w})"
-    )
-    probes = "('join', 'hash', 'scan', 'filter', 'zz_absent')"
-    return f"""WITH toks AS (
-           SELECT unnest(string_split_regex(text, '\\s+')) AS tok
-           FROM documents),
-       t AS (SELECT tok FROM toks WHERE tok <> ''),
-       cells AS (
-           SELECT row_j AS row, bucket, count(*) AS cnt FROM (
-               SELECT 0 AS row_j, {cell(0)} AS bucket FROM t
-               UNION ALL SELECT 1, {cell(1)} FROM t
-               UNION ALL SELECT 2, {cell(2)} FROM t
-               UNION ALL SELECT 3, {cell(3)} FROM t)
-           GROUP BY row_j, bucket),
-       probes AS (SELECT tok FROM (VALUES ('join'), ('hash'),
-           ('scan'), ('filter'), ('zz_absent')) v(tok)),
-       est AS (SELECT p.tok,
-           least(
-               coalesce((SELECT cnt FROM cells c WHERE c.row = 0
-                   AND c.bucket = ({cell(0).replace('tok', 'p.tok')})), 0),
-               coalesce((SELECT cnt FROM cells c WHERE c.row = 1
-                   AND c.bucket = ({cell(1).replace('tok', 'p.tok')})), 0),
-               coalesce((SELECT cnt FROM cells c WHERE c.row = 2
-                   AND c.bucket = ({cell(2).replace('tok', 'p.tok')})), 0),
-               coalesce((SELECT cnt FROM cells c WHERE c.row = 3
-                   AND c.bucket = ({cell(3).replace('tok', 'p.tok')})), 0)
-           ) AS est_freq
-           FROM probes p),
-       ex AS (SELECT tok, count(*) AS exact_freq FROM t
-              WHERE tok IN {probes} GROUP BY tok)
-       SELECT est.tok AS token,
-              CAST(est.est_freq AS BIGINT) AS est_freq,
-              CAST(coalesce(ex.exact_freq, 0) AS BIGINT) AS exact_freq
-       FROM est LEFT JOIN ex ON est.tok = ex.tok"""
-
-
-@_q("agg_cms_frequency", _cms_sql())
-def agg_cms_frequency(spark, sf_dir):
-    """Count-Min sketch point-frequency estimates
-    (operators/sketches.cms_counts/cms_estimate, Cormode &
-    Muthukrishnan): token frequencies estimated from a 4x256-cell
-    sketch whose ONLY corpus shuffle groups on (row, bucket) — at
-    most 1024 keys, map-side combined, the vocabulary itself never
-    shuffles. Probes read 4 cells each; the exact twin rides along
-    for the accuracy contract (est >= exact, within N·e/w whp).
-    Mergeable by cell addition — the KMV/Misra-Gries companion for
-    point lookups."""
-    from ..operators.sketches import cms_estimate
-
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
-    ).filter(F.col("token") != "")
-    return cms_estimate(
-        toks, "token",
-        ["join", "hash", "scan", "filter", "zz_absent"],
-    )
-
-
-# ------------------------------------------------ spatial grid family
-def _geo_coord_sql(key: str, tag: str, base: int, span: int) -> str:
-    from ..operators.hashing import md5_long_sql
-
-    h = md5_long_sql(f"concat('{tag}#', CAST({key} AS VARCHAR))")
-    return f"({base} + {h} % {span})"
-
-
-def _geo_knn_sql() -> str:
-    # brute-force circle + rank: the grid join must be LOSSLESS for
-    # bounded-radius kNN, so the oracle needn't know about cells
-    qlat = _geo_coord_sql("s_suppkey", "lat", 40_000_000, 100_000)
-    qlon = _geo_coord_sql("s_suppkey", "lon", -74_050_000, 100_000)
-    plat = _geo_coord_sql("c_custkey", "lat", 40_000_000, 100_000)
-    plon = _geo_coord_sql("c_custkey", "lon", -74_050_000, 100_000)
-    return f"""WITH q AS (SELECT s_suppkey AS qid,
-                    {qlat} AS qlat, {qlon} AS qlon
-               FROM supplier WHERE s_suppkey < 10),
-       p AS (SELECT c_custkey AS pid,
-                    {plat} AS plat, {plon} AS plon
-             FROM customer),
-       d AS (SELECT qid, pid,
-                    (plat - qlat) * (plat - qlat)
-                    + (plon - qlon) * (plon - qlon) AS dist2
-             FROM q, p),
-       r AS (SELECT qid, pid, dist2,
-                    row_number() OVER (PARTITION BY qid
-                        ORDER BY dist2, pid) AS rk
-             FROM d WHERE dist2 <= 10000 * 10000)
-       SELECT qid AS query_id, CAST(pid AS BIGINT) AS point_id,
-              CAST(dist2 AS BIGINT) AS dist2, CAST(rk AS BIGINT) AS rk
-       FROM r WHERE rk <= 5"""
-
-
-def _geo_points(spark, sf_dir, table, key):
-    """Synthesized city-scale coordinates (integer micro-degrees)
-    hash-derived from the key — a ~11 km box around an NYC-ish
-    anchor, identical arithmetic in the oracle."""
-    from ..operators.hashing import md5_long
-
-    df = load(spark, sf_dir, table)
-    lat = F.lit(40_000_000) + md5_long(
-        F.concat(F.lit("lat#"), F.col(key).cast("string"))
-    ) % F.lit(100_000)
-    lon = F.lit(-74_050_000) + md5_long(
-        F.concat(F.lit("lon#"), F.col(key).cast("string"))
-    ) % F.lit(100_000)
-    return df.select(F.col(key), lat.alias("lat"), lon.alias("lon"))
-
-
-@_q("geo_radius_knn", _geo_knn_sql())
-def geo_radius_knn(spark, sf_dir):
-    """Bounded-radius kNN via the grid-partitioned spatial join
-    (operators/spatial.radius_knn): 5 nearest customers within
-    10,000 micro-degrees of each probe supplier, coordinates in
-    exact integer micro-degrees (no trig, no floats — the result
-    hash-replays). The grid is LOSSLESS for bounded radius — every
-    in-range point lives in a probed cell — so the oracle is the
-    brute-force circle, proving no false negatives. Candidates =
-    |queries| x 3x3-cell local density, never |queries| x |corpus|."""
-    from ..operators.spatial import radius_knn
-
-    pts = _geo_points(spark, sf_dir, "customer", "c_custkey")
-    qs = _geo_points(spark, sf_dir, "supplier", "s_suppkey") \
-        .filter(F.col("s_suppkey") < 10)
-    out = radius_knn(
-        pts, "c_custkey", "lat", "lon",
-        qs, "s_suppkey", "lat", "lon",
-        radius=10_000, k=5,
-    )
-    return out.select(
-        F.col("query_id"), F.col("point_id").cast("long").alias("point_id"),
-        "dist2", F.col("rk").cast("long").alias("rk"),
-    )
-
-
-@_q(
+    "agg_cms_frequency",
+    "geo_radius_knn",
     "geo_cell_density",
-    f"""WITH p AS (SELECT
-           {_geo_coord_sql("c_custkey", "lat", 40_000_000, 100_000)}
-               AS lat,
-           {_geo_coord_sql("c_custkey", "lon", -74_050_000, 100_000)}
-               AS lon
-           FROM customer)
-       SELECT CAST(floor(lat / 10000) AS BIGINT) AS cell_lat,
-              CAST(floor(lon / 10000) AS BIGINT) AS cell_lon,
-              count(*) AS n_points
-       FROM p GROUP BY 1, 2
-       ORDER BY n_points DESC, cell_lat, cell_lon LIMIT 20""",
-)
-def geo_cell_density(spark, sf_dir):
-    """The heatmap query (operators/spatial.cell_density): customer
-    points per 10,000-micro-degree grid cell, densest 20 — one
-    hash-agg on the cell key + TakeOrdered. The build side every
-    spatial join in this family probes."""
-    from ..operators.spatial import cell_density
-
-    pts = _geo_points(spark, sf_dir, "customer", "c_custkey")
-    return cell_density(pts, "lat", "lon", step=10_000, top_n=20)
-
-
-# geofence rings (integer micro-degrees, simple rings, first vertex
-# not repeated) inside the _geo_points city box; the oracle's edge
-# VALUES are GENERATED from these same constants
-GEO_ZONES = {
-    "triangle": [(40_010_000, -74_040_000), (40_090_000, -74_020_000),
-                 (40_030_000, -73_970_000)],
-    "quad": [(40_050_000, -74_045_000), (40_080_000, -74_030_000),
-             (40_070_000, -73_990_000), (40_040_000, -74_000_000)],
-    # concave L-shape: the notch catches convex-hull shortcuts
-    "lshape": [(40_000_500, -73_990_000), (40_060_500, -73_990_000),
-               (40_060_500, -73_970_000), (40_020_500, -73_970_000),
-               (40_020_500, -73_955_000), (40_000_500, -73_955_000)],
-}
-
-
-def _geo_pip_sql() -> str:
-    plat = _geo_coord_sql("c_custkey", "lat", 40_000_000, 100_000)
-    plon = _geo_coord_sql("c_custkey", "lon", -74_050_000, 100_000)
-    edges = []
-    for zone, ring in GEO_ZONES.items():
-        for i, (y1, x1) in enumerate(ring):
-            y2, x2 = ring[(i + 1) % len(ring)]
-            edges.append(f"('{zone}', {y1}, {x1}, {y2}, {x2})")
-    values = ",\n              ".join(edges)
-    return f"""WITH p AS (SELECT c_custkey AS key, {plat} AS py,
-                    {plon} AS px
-               FROM customer),
-       e(zone, y1, x1, y2, x2) AS (VALUES
-              {values}),
-       cr AS (SELECT p.key, e.zone,
-                CASE WHEN ((y1 > py) != (y2 > py))
-                     AND (CASE WHEN y2 - y1 > 0
-                          THEN (px - x1) * (y2 - y1)
-                               < (x2 - x1) * (py - y1)
-                          ELSE (px - x1) * (y2 - y1)
-                               > (x2 - x1) * (py - y1) END)
-                     THEN 1 ELSE 0 END AS c
-              FROM p, e),
-       ins AS (SELECT key, zone, sum(c) % 2 = 1 AS inside
-               FROM cr GROUP BY key, zone),
-       zrows AS (SELECT zone, count(*) AS n_points,
-                        CAST(min(key) AS BIGINT) AS min_key,
-                        CAST(max(key) AS BIGINT) AS max_key
-                 FROM ins WHERE inside GROUP BY zone),
-       nokey AS (SELECT key FROM ins GROUP BY key
-                 HAVING max(CASE WHEN inside THEN 1 ELSE 0 END) = 0)
-       SELECT * FROM zrows
-       UNION ALL
-       SELECT 'none', count(*),
-              CAST(min(key) AS BIGINT), CAST(max(key) AS BIGINT)
-       FROM nokey"""
-
-
-@_q("geo_point_in_polygon", _geo_pip_sql())
-def geo_point_in_polygon(spark, sf_dir):
-    """Geofencing (operators/spatial.point_in_polygon): classify
-    every customer point against three literal zone rings — a
-    triangle, a convex quad, and a CONCAVE L-shape (the notch is
-    what separates real ray casting from bounding-box or hull
-    approximations) — with the exact integer crossing rule, then one
-    membership card per zone (count + key range) plus the 'none'
-    row. Zones broadcast (the corpus never shuffles for the test
-    itself); the crossing count is O(vertices) per pair inside
-    whole-stage codegen; the oracle replays the same
-    cross-multiplied comparisons from the same ring constants.
-    Geo-stratifying a training corpus by region is this exact
-    shape."""
-    from ..operators.spatial import point_in_polygon
-
-    pts = _geo_points(spark, sf_dir, "customer", "c_custkey")
-    zones = spark.createDataFrame(
-        [(z, ring) for z, ring in GEO_ZONES.items()],
-        "zone string, verts array<struct<lat: long, lon: long>>",
-    )
-    flag = pts.crossJoin(F.broadcast(zones)).withColumn(
-        "inside", point_in_polygon("lat", "lon", F.col("verts"))
-    )
-    zrows = (
-        flag.filter(F.col("inside"))
-        .groupBy("zone")
-        .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.min("c_custkey").alias("min_key"),
-            F.max("c_custkey").alias("max_key"),
-        )
-    )
-    none_row = (
-        flag.groupBy("c_custkey")
-        .agg(F.max(F.col("inside").cast("int")).alias("_any"))
-        .filter(F.col("_any") == 0)
-        .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.min("c_custkey").alias("min_key"),
-            F.max("c_custkey").alias("max_key"),
-        )
-        .select(F.lit("none").alias("zone"), "n_points", "min_key",
-                "max_key")
-    )
-    return zrows.unionByName(none_row)
-
-
-@_q(
+    "geo_point_in_polygon",
     "dd_dup_weighting",
-    f"""WITH RECURSIVE pairs AS (
-{_NGRAM_PAIRS_SQL}
-       ),
-       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                 UNION SELECT doc_b, doc_a FROM pairs),
-       reach(v, r) AS (
-         SELECT s, s FROM edges
-         UNION
-         SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.v
-       ),
-       cl AS (SELECT v AS doc_id, min(r) AS cluster_id
-              FROM reach GROUP BY v),
-       stamped AS (SELECT d.doc_id,
-                          coalesce(cl.cluster_id, d.doc_id)
-                              AS cluster_id
-                   FROM documents d LEFT JOIN cl USING (doc_id)),
-       sz AS (SELECT cluster_id, count(*) AS cluster_size
-              FROM stamped GROUP BY cluster_id)
-       SELECT s.doc_id, s.cluster_id,
-              CAST(sz.cluster_size AS BIGINT) AS cluster_size,
-              CAST(floor(1000000 / sz.cluster_size) AS BIGINT)
-                  AS weight_fp
-       FROM stamped s JOIN sz USING (cluster_id)""",
-)
-def dd_dup_weighting(spark, sf_dir):
-    """Count-aware duplicate downweighting
-    (operators/dedup.duplicate_weights): instead of dropping
-    near-dups, every document trains with weight 1/cluster-size, so
-    repeated content contributes once in expectation — the
-    memorization remedy when hard dedup is too lossy. Singletons
-    carry exactly 1e6; the cluster map costs a bounded-round CC over
-    PAIRS (never the corpus) plus one stamp join and one size
-    aggregate."""
-    d = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3,
-                                      threshold=0.5)
-    return dedup.duplicate_weights(d, "doc_id", pairs)
-
-
-@_q(
     "ml_label_agreement",
-    """WITH two AS (SELECT label AS la,
-           CASE WHEN vec_id % 7 = 0 THEN (label + 1) % 10
-                ELSE label END AS lb
-           FROM embeddings),
-       cells AS (SELECT la, lb, count(*) AS c FROM two GROUP BY la, lb),
-       pa AS (SELECT la, sum(c) AS na FROM cells GROUP BY la),
-       pb AS (SELECT lb, sum(c) AS nb FROM cells GROUP BY lb),
-       x AS (SELECT coalesce(sum(CAST(na AS HUGEINT) * nb), 0) AS s
-             FROM pa JOIN pb ON pa.la = pb.lb),
-       t AS (SELECT sum(c) AS n,
-                    coalesce(sum(CASE WHEN la = lb THEN c END), 0)
-                        AS agree
-             FROM cells)
-       SELECT CAST(n AS BIGINT) AS n,
-              CAST(agree AS BIGINT) AS n_agree,
-              CAST(floor((CAST(agree AS DOUBLE) / n)
-                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                   AS BIGINT) AS po_fp,
-              CAST(floor((CAST(s AS DOUBLE)
-                   / (CAST(n AS DOUBLE) * n))
-                   * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                   AS BIGINT) AS pe_fp,
-              CASE WHEN CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n)
-                        < 1.0 THEN
-                  CAST(floor((
-                       (CAST(agree AS DOUBLE) / n
-                        - CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * n))
-                       / (CAST('1.0' AS DOUBLE)
-                          - CAST(s AS DOUBLE)
-                            / (CAST(n AS DOUBLE) * n)))
-                       * CAST(1000000 AS DOUBLE)
-                       + CAST('0.5' AS DOUBLE)) AS BIGINT)
-              END AS kappa_fp
-       FROM t, x""",
-)
-def ml_label_agreement(spark, sf_dir):
-    """Inter-annotator agreement card
-    (operators/evalmetrics.cohen_kappa): the labeling-QA gate —
-    annotator B re-labels the embedding corpus with deterministic
-    disagreements (every 7th id shifts one class), and the card
-    reports observed vs chance agreement and Cohen's kappa. Chance
-    agreement's marginal cross-product accumulates as an exact
-    decimal integer; three canonical-order float divisions finish.
-    One <=|labels|^2-cell aggregate, then 1-row arithmetic."""
-    from ..operators.evalmetrics import cohen_kappa
-
-    e = load(spark, sf_dir, "embeddings")
-    two = e.select(
-        F.col("label").alias("la"),
-        F.when(F.col("vec_id") % 7 == 0, (F.col("label") + 1) % 10)
-        .otherwise(F.col("label")).alias("lb"),
-    )
-    return cohen_kappa(two, "la", "lb")
-
-
-@_q(
     "pii_l_diversity",
-    """WITH c AS (SELECT c_nationkey, c_mktsegment,
-                        count(*) AS n,
-                        count(DISTINCT CAST(c_acctbal > 0 AS INT))
-                            AS ndv
-               FROM customer GROUP BY c_nationkey, c_mktsegment)
-       SELECT CAST(2 AS BIGINT) AS l,
-              CAST(sum(n) AS BIGINT) AS n_rows,
-              count(*) AS n_classes,
-              CAST(sum(CASE WHEN ndv < 2 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_low_diversity_classes,
-              CAST(sum(CASE WHEN ndv < 2 THEN n ELSE 0 END) AS BIGINT)
-                  AS n_exposed_rows,
-              round(sum(CASE WHEN ndv < 2 THEN n ELSE 0 END)
-                    / sum(n), 6) AS exposed_frac
-       FROM c""",
-)
-def pii_l_diversity(spark, sf_dir):
-    """l-diversity audit (operators/privacy.l_diversity_audit) — the
-    homogeneity exposure k-anonymity misses: equivalence classes on
-    (nation, segment) where the sensitive attribute (account in the
-    black vs red) takes fewer than 2 distinct values reveal it for
-    every member. One class aggregate + 1-row rollup."""
-    from ..operators.privacy import l_diversity_audit
-
-    c = load(spark, sf_dir, "customer").withColumn(
-        "in_black", (F.col("c_acctbal") > 0).cast("int")
-    )
-    return l_diversity_audit(
-        c, ["c_nationkey", "c_mktsegment"], "in_black", l=2
-    )
-
-
-@_q(
     "ml_ab_welch",
-    f"""WITH pu AS (SELECT user_id,
-           coalesce(sum(CASE WHEN event_type = 'purchase'
-               THEN CAST(round(value * 100, 0) AS BIGINT)
-               ELSE 0 END), 0) AS y
-           FROM events GROUP BY user_id),
-       pa AS (SELECT {_ARM_SQL} AS arm, y FROM pu),
-       m AS (SELECT
-           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
-           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
-           sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS s0,
-           sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS s1,
-           sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS q0,
-           sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS q1
-           FROM pa),
-       e AS (SELECT n0, n1,
-           CAST(s0 AS DOUBLE) / n0 AS m0,
-           CAST(s1 AS DOUBLE) / n1 AS m1,
-           (CAST(q0 AS DOUBLE) * n0 - CAST(s0 AS DOUBLE) * s0)
-               / (CAST(n0 AS DOUBLE) * (n0 - 1)) AS v0,
-           (CAST(q1 AS DOUBLE) * n1 - CAST(s1 AS DOUBLE) * s1)
-               / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1
-           FROM m),
-       f AS (SELECT n0, n1, m0, m1, v0, v1,
-                    v0 / n0 + v1 / n1 AS se2
-             FROM e)
-       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
-           CASE WHEN n0 > 0 THEN
-               CAST(floor((m0) * CAST(1000000 AS DOUBLE)
-                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
-               END AS mean_a_fp,
-           CASE WHEN n1 > 0 THEN
-               CAST(floor((m1) * CAST(1000000 AS DOUBLE)
-                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
-               END AS mean_b_fp,
-           CASE WHEN n0 > 0 AND n1 > 0 THEN
-               CAST(floor((m1 - m0) * CAST(1000000 AS DOUBLE)
-                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
-               END AS lift_fp,
-           CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0 THEN
-               CAST(floor(((m1 - m0) / sqrt(se2))
-                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                    AS BIGINT) END AS t_fp,
-           CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0.0 THEN
-               CAST(floor(((se2 * se2)
-                    / ((v0 / n0) * (v0 / n0) / (n0 - 1)
-                       + (v1 / n1) * (v1 / n1) / (n1 - 1)))
-                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                    AS BIGINT) END AS df_fp
-       FROM f""",
-)
-def ml_ab_welch(spark, sf_dir):
-    """Welch's unequal-variance t for per-user revenue
-    (operators/experiment.welch_t_readout) — the mean-metric
-    companion of the proportion z card, with Welch-Satterthwaite
-    degrees of freedom. Exact integer/decimal sufficient statistics
-    in one pass; the statistic is canonical-order float ops over six
-    integers, so even t and df hash-replay."""
-    from ..operators import experiment
-
-    ev = load(spark, sf_dir, "events")
-    return experiment.welch_t_readout(
-        ev, "user_id",
-        F.when(F.col("event_type") == "purchase",
-               F.round(F.col("value") * 100).cast("long"))
-        .otherwise(F.lit(0)),
-    )
-
-
-@_q(
     "ml_ab_ratio_delta",
-    f"""WITH pu AS (SELECT user_id,
-           coalesce(sum(CASE WHEN event_type = 'purchase'
-               THEN CAST(round(value * 100, 0) AS BIGINT)
-               ELSE 0 END), 0) AS nu,
-           coalesce(sum(CASE WHEN event_type IN ('view', 'click')
-               THEN 1 ELSE 0 END), 0) AS de
-           FROM events GROUP BY user_id),
-       pa AS (SELECT {_ARM_SQL} AS arm, nu, de FROM pu),
-       m AS (SELECT
-           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
-           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
-           sum(CASE WHEN arm = 0 THEN nu ELSE 0 END) AS sn0,
-           sum(CASE WHEN arm = 1 THEN nu ELSE 0 END) AS sn1,
-           sum(CASE WHEN arm = 0 THEN de ELSE 0 END) AS sd0,
-           sum(CASE WHEN arm = 1 THEN de ELSE 0 END) AS sd1,
-           sum(CASE WHEN arm = 0 THEN nu * nu ELSE 0 END) AS qn0,
-           sum(CASE WHEN arm = 1 THEN nu * nu ELSE 0 END) AS qn1,
-           sum(CASE WHEN arm = 0 THEN de * de ELSE 0 END) AS qd0,
-           sum(CASE WHEN arm = 1 THEN de * de ELSE 0 END) AS qd1,
-           sum(CASE WHEN arm = 0 THEN nu * de ELSE 0 END) AS qx0,
-           sum(CASE WHEN arm = 1 THEN nu * de ELSE 0 END) AS qx1
-           FROM pa),
-       e AS (SELECT n0, n1, sd0, sd1,
-           CAST(sn0 AS DOUBLE) / sd0 AS r0,
-           CAST(sn1 AS DOUBLE) / sd1 AS r1,
-           ((CAST(qn0 AS DOUBLE) * n0 - CAST(sn0 AS DOUBLE) * sn0)
-                / (CAST(n0 AS DOUBLE) * n0)
-            - 2.0 * (CAST(sn0 AS DOUBLE) / sd0)
-              * ((CAST(qx0 AS DOUBLE) * n0
-                  - CAST(sn0 AS DOUBLE) * sd0)
-                 / (CAST(n0 AS DOUBLE) * n0))
-            + (CAST(sn0 AS DOUBLE) / sd0)
-              * (CAST(sn0 AS DOUBLE) / sd0)
-              * ((CAST(qd0 AS DOUBLE) * n0
-                  - CAST(sd0 AS DOUBLE) * sd0)
-                 / (CAST(n0 AS DOUBLE) * n0)))
-           / (CAST(n0 AS DOUBLE) * (CAST(sd0 AS DOUBLE) / n0)
-              * (CAST(sd0 AS DOUBLE) / n0)) AS v0,
-           ((CAST(qn1 AS DOUBLE) * n1 - CAST(sn1 AS DOUBLE) * sn1)
-                / (CAST(n1 AS DOUBLE) * n1)
-            - 2.0 * (CAST(sn1 AS DOUBLE) / sd1)
-              * ((CAST(qx1 AS DOUBLE) * n1
-                  - CAST(sn1 AS DOUBLE) * sd1)
-                 / (CAST(n1 AS DOUBLE) * n1))
-            + (CAST(sn1 AS DOUBLE) / sd1)
-              * (CAST(sn1 AS DOUBLE) / sd1)
-              * ((CAST(qd1 AS DOUBLE) * n1
-                  - CAST(sd1 AS DOUBLE) * sd1)
-                 / (CAST(n1 AS DOUBLE) * n1)))
-           / (CAST(n1 AS DOUBLE) * (CAST(sd1 AS DOUBLE) / n1)
-              * (CAST(sd1 AS DOUBLE) / n1)) AS v1
-           FROM m)
-       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
-           CASE WHEN sd0 > 0 THEN
-               CAST(floor((r0) * CAST(1000000 AS DOUBLE)
-                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
-               END AS ratio_a_fp,
-           CASE WHEN sd1 > 0 THEN
-               CAST(floor((r1) * CAST(1000000 AS DOUBLE)
-                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
-               END AS ratio_b_fp,
-           CASE WHEN sd0 > 0 AND sd1 > 0 THEN
-               CAST(floor((r1 - r0)
-                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                    AS BIGINT) END AS lift_fp,
-           CASE WHEN sd0 > 0 AND sd1 > 0 AND v0 + v1 > 0.0 THEN
-               CAST(floor(((r1 - r0) / sqrt(v0 + v1))
-                    * CAST(1000000 AS DOUBLE) + CAST('0.5' AS DOUBLE))
-                    AS BIGINT) END AS z_fp
-       FROM e""",
-)
-def ml_ab_ratio_delta(spark, sf_dir):
-    """Delta-method ratio-metric card
-    (operators/experiment.ratio_delta_readout, Deng et al. KDD'18):
-    revenue per engagement event (purchases' cents over view+click
-    counts) — a metric whose denominator varies per user, where the
-    naive per-user-mean t is wrong. Linearized variance from the
-    same one-pass exact sufficient statistics; canonical-order float
-    pipeline, hash-replayed."""
-    from ..operators import experiment
-
-    ev = load(spark, sf_dir, "events")
-    return experiment.ratio_delta_readout(
-        ev, "user_id",
-        F.when(F.col("event_type") == "purchase",
-               F.round(F.col("value") * 100).cast("long"))
-        .otherwise(F.lit(0)),
-        F.when(F.col("event_type").isin("view", "click"), 1)
-        .otherwise(0),
-    )
-
-
-@_q(
     "ml_ab_quantile_lift",
-    f"""WITH pu AS (SELECT user_id,
-           coalesce(sum(CASE WHEN event_type = 'purchase'
-               THEN CAST(round(value * 100, 0) AS BIGINT)
-               ELSE 0 END), 0) AS y
-           FROM events GROUP BY user_id),
-       pa AS (SELECT {_ARM_SQL} AS arm, y FROM pu),
-       q AS (SELECT arm,
-                    quantile_cont(y, 0.5) AS p50,
-                    quantile_cont(y, 0.9) AS p90,
-                    quantile_cont(y, 0.99) AS p99
-             FROM pa GROUP BY arm),
-       a AS (SELECT p50, p90, p99 FROM q WHERE arm = 0),
-       b AS (SELECT p50 AS b50, p90 AS b90, p99 AS b99
-             FROM q WHERE arm = 1)
-       SELECT 500 AS q_pmil, round(p50, 2) AS q_a,
-              round(b50, 2) AS q_b, round(b50 - p50, 2) AS lift
-       FROM a, b
-       UNION ALL
-       SELECT 900, round(p90, 2), round(b90, 2), round(b90 - p90, 2)
-       FROM a, b
-       UNION ALL
-       SELECT 990, round(p99, 2), round(b99, 2), round(b99 - p99, 2)
-       FROM a, b""",
-)
-def ml_ab_quantile_lift(spark, sf_dir):
-    """Quantile treatment effects
-    (operators/experiment.quantile_lift): per-arm exact p50/p90/p99
-    of per-user revenue and their differences — the heavy-tail lens
-    where a mean lift can be one whale and the median never moved.
-    Exact interpolated percentiles over the per-user frame (>=1e3x
-    smaller than events); Spark percentile == DuckDB quantile_cont
-    by definition, the agg_percentiles precedent."""
-    from ..operators import experiment
-
-    ev = load(spark, sf_dir, "events")
-    return experiment.quantile_lift(
-        ev, "user_id",
-        F.when(F.col("event_type") == "purchase",
-               F.round(F.col("value") * 100).cast("long"))
-        .otherwise(F.lit(0)),
-    )
-
-
-@_q(
     "ml_ab_mde",
-    f"""WITH pu AS (SELECT user_id,
-           coalesce(sum(CASE WHEN event_type = 'purchase'
-               THEN CAST(round(value * 100, 0) AS BIGINT)
-               ELSE 0 END), 0) AS y
-           FROM events GROUP BY user_id),
-       pa AS (SELECT {_ARM_SQL} AS arm, y FROM pu),
-       m AS (SELECT
-           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
-           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
-           sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS s0,
-           sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS s1,
-           sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS q0,
-           sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS q1
-           FROM pa),
-       e AS (SELECT n0, n1,
-           CAST(s0 AS DOUBLE) / n0 AS m0,
-           (CAST(q0 AS DOUBLE) * n0 - CAST(s0 AS DOUBLE) * s0)
-               / (CAST(n0 AS DOUBLE) * (n0 - 1)) AS v0,
-           (CAST(q1 AS DOUBLE) * n1 - CAST(s1 AS DOUBLE) * s1)
-               / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1
-           FROM m),
-       f AS (SELECT n0, n1, m0,
-                    2.801585 * sqrt(v0 / n0 + v1 / n1) AS mde
-             FROM e)
-       SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
-           CASE WHEN n0 > 0 THEN
-               CAST(floor((m0) * CAST(1000000 AS DOUBLE)
-                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
-               END AS mean_a_fp,
-           CASE WHEN n0 > 1 AND n1 > 1 THEN
-               CAST(floor((mde) * CAST(1000000 AS DOUBLE)
-                    + CAST('0.5' AS DOUBLE)) AS BIGINT)
-               END AS mde_abs_fp,
-           CASE WHEN n0 > 1 AND n1 > 1 THEN
-               CASE WHEN m0 > 0.0 THEN
-                   CAST(floor((mde / m0)
-                        * CAST(1000000 AS DOUBLE)
-                        + CAST('0.5' AS DOUBLE)) AS BIGINT)
-                   END END AS mde_rel_fp
-       FROM f""",
 )
-def ml_ab_mde(spark, sf_dir):
-    """Minimum-detectable-effect card (operators/experiment.mde_card):
-    given the current arms and revenue variance, the smallest true
-    lift a 5%-alpha / 80%-power test would detect — the 'is this
-    experiment big enough yet' planning number. Same one-pass exact
-    sufficient statistics as the Welch card; fixed z literals."""
-    from ..operators import experiment
 
-    ev = load(spark, sf_dir, "events")
-    return experiment.mde_card(
-        ev, "user_id",
-        F.when(F.col("event_type") == "purchase",
-               F.round(F.col("value") * 100).cast("long"))
-        .otherwise(F.lit(0)),
+_merged_q: dict = {}
+_merged_o: dict = {}
+for _m in _PARTS:
+    _dup = _merged_q.keys() & _m.QUERIES.keys()
+    if _dup:
+        raise ValueError(f"duplicate scale query names: {_dup}")
+    _merged_q.update(_m.QUERIES)
+    _merged_o.update(_m.ORACLES)
+if set(_ORDER) != set(_merged_q) or len(set(_ORDER)) != len(_ORDER):
+    raise ValueError(
+        "scale family modules drifted from _ORDER: "
+        f"missing={set(_ORDER) - set(_merged_q)} "
+        f"extra={set(_merged_q) - set(_ORDER)}"
     )
+QUERIES = {n: _merged_q[n] for n in _ORDER}
+ORACLES = {n: _merged_o[n] for n in _ORDER if n in _merged_o}
