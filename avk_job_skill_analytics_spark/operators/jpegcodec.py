@@ -10,14 +10,28 @@ this module adds ITU-T T.81 baseline-sequential JPEG:
   zig-zag order, matrix IDCT, MCU interleave with sampling factors up
   to 2x2, chroma upsampling by replication, and the JFIF YCbCr→RGB
   transform. Greyscale (1 component) and YCbCr (3 components)
-  supported; progressive (SOF2), arithmetic coding, and 12-bit
-  precision return None (quarantine-and-continue, like the PNG/BMP
-  decoders). Any external baseline encoder's output decodes here.
+  supported. Round 12 adds PROGRESSIVE (SOF2) decode: spectral
+  selection, successive approximation (DC and AC first + refinement
+  passes per ITU-T T.81 §G.1.2 — the libjpeg
+  decode_mcu_DC/AC_refine state machines), EOB runs, per-scan
+  DHT/DQT/DRI refresh, and restart markers; coefficients accumulate
+  across scans and dequantize + IDCT once at EOI. Arithmetic coding,
+  hierarchical and 12-bit precision return None
+  (quarantine-and-continue, like the PNG/BMP decoders). Any external
+  baseline or progressive Huffman encoder's output decodes here.
 
 - :func:`build_jpeg_pixels` — a REAL encoder (level shift → DCT →
   quantize → zig-zag → Huffman with byte stuffing) used to synthesize
   test assets. It emits the Annex K luminance Huffman tables and a
   flat quantization table of 8s.
+
+- :func:`build_jpeg_progressive` — the progressive (SOF2) encoder
+  twin: identical front-end and quantizer, a four-pass scan script
+  (interleaved DC first Al=1, DC refinement, per-component AC first
+  Ss=1..63 Al=1 with EOB runs, AC refinement with correction bits),
+  so for the same pixel function baseline and progressive files
+  decode to IDENTICAL pixels — the cross-validation the tests and
+  the mm_pixel_stats oracle lean on.
 
 Exactness contract for the oracle-replayed test assets: a block that
 is CONSTANT has a DC-only DCT (DC = 8·(v−128) exactly; every AC is
@@ -41,7 +55,8 @@ from __future__ import annotations
 import math
 import struct
 
-__all__ = ["build_jpeg_pixels", "decode_jpeg_pixels"]
+__all__ = ["build_jpeg_pixels", "build_jpeg_progressive",
+           "decode_jpeg_pixels"]
 
 # zig-zag scan order: index = zigzag position, value = row*8 + col
 ZIGZAG = (
@@ -164,13 +179,12 @@ def _encode_block(w: _BitWriter, coefs, dc_pred: int,
     return coefs[0]
 
 
-def build_jpeg_pixels(width: int, height: int, fn,
-                      grey: bool = False) -> bytes:
-    """FULL valid baseline JFIF from a pixel function. ``fn(x, y)``
-    returns (r, g, b) — or a single 0-255 luma value when ``grey``.
-    Color uses 4:4:4 sampling (no chroma subsampling). Edge blocks
+def _quantized_blocks(width: int, height: int, fn, grey: bool):
+    """Shared encoder front-end: level shift → DCT → flat-table
+    quantize → zig-zag. Returns (ncomp, bw, bh, blocks) with
+    ``blocks[c][by][bx]`` a 64-int list in zig-zag order. Edge blocks
     pad by edge replication (the padding never reaches decoded
-    output — the decoder crops to the declared geometry)."""
+    output — decoders crop to the declared geometry)."""
     import numpy as np
 
     ncomp = 1 if grey else 3
@@ -192,10 +206,7 @@ def build_jpeg_pixels(width: int, height: int, fn,
     dct = _dct_matrix()
     q = np.array(_QTABLE, dtype=np.float64)[np.argsort(ZIGZAG)] \
         .reshape(8, 8)
-    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
-    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
-    w = _BitWriter()
-    preds = [0] * ncomp
+    blocks = [[[None] * bw for _ in range(bh)] for _ in range(ncomp)]
     for by in range(bh):
         for bx in range(bw):
             for c in range(ncomp):
@@ -206,12 +217,33 @@ def build_jpeg_pixels(width: int, height: int, fn,
                 block = planes[c][np.ix_(ys, xs)] - 128.0
                 coef = dct @ block @ dct.T
                 quant = np.floor(np.abs(coef) / q + 0.5) * np.sign(coef)
-                zz = [int(quant.flat[ZIGZAG[i]]) for i in range(64)]
-                preds[c] = _encode_block(w, zz, preds[c],
-                                         dc_codes, ac_codes)
+                blocks[c][by][bx] = [
+                    int(quant.flat[ZIGZAG[i]]) for i in range(64)
+                ]
+    return ncomp, bw, bh, blocks
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def build_jpeg_pixels(width: int, height: int, fn,
+                      grey: bool = False) -> bytes:
+    """FULL valid baseline JFIF from a pixel function. ``fn(x, y)``
+    returns (r, g, b) — or a single 0-255 luma value when ``grey``.
+    Color uses 4:4:4 sampling (no chroma subsampling)."""
+    ncomp, bw, bh, blocks = _quantized_blocks(width, height, fn, grey)
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(ncomp):
+                preds[c] = _encode_block(w, blocks[c][by][bx],
+                                         preds[c], dc_codes, ac_codes)
+
+    seg = _seg
 
     dqt = seg(0xDB, b"\x00" + bytes(_QTABLE))
     comps = b"".join(
@@ -329,6 +361,7 @@ def decode_jpeg_pixels(payload: bytes):
         huff: dict[tuple[int, int], dict] = {}
         restart = 0
         frame = None
+        progressive = False
         pos = 2
         while pos + 4 <= len(b):
             if b[pos] != 0xFF:
@@ -349,7 +382,7 @@ def decode_jpeg_pixels(payload: bytes):
                         return None  # 16-bit tables: not baseline
                     qt[tq] = list(body[o + 1:o + 65])
                     o += 65
-            elif marker == 0xC0:
+            elif marker in (0xC0, 0xC2):
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
                 if prec != 8 or nc not in (1, 3) or not w or not h:
                     return None
@@ -362,9 +395,10 @@ def decode_jpeg_pixels(payload: bytes):
                     comps.append({"id": cid, "h": hi, "v": vi,
                                   "tq": tq})
                 frame = (w, h, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                progressive = marker == 0xC2
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline frame type
+                return None  # neither baseline nor progressive
             elif marker == 0xC4:
                 o = 0
                 while o < len(body):
@@ -379,6 +413,10 @@ def decode_jpeg_pixels(payload: bytes):
             elif marker == 0xDA:
                 if frame is None:
                     return None
+                if progressive:
+                    return _decode_progressive(
+                        b, pos, body, frame, qt, huff, restart, np
+                    )
                 ns = body[0]
                 scan = []
                 for i in range(ns):
@@ -451,6 +489,12 @@ def _decode_scan(b, pos, frame, scan, qt, huff, restart, np):
                         x0 = (mx * c["h"] + hh) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = spat
             mcu_count += 1
+    return _planes_to_pixels(planes, comps, w, h, hmax, vmax, np)
+
+
+def _planes_to_pixels(planes, comps, w, h, hmax, vmax, np):
+    """Shared decoder tail: crop to geometry, upsample subsampled
+    chroma by replication, JFIF YCbCr→RGB."""
     out = []
     for ci, c in enumerate(comps):
         p = np.clip(np.floor(planes[ci] + 128.5), 0, 255)
@@ -468,3 +512,461 @@ def _decode_scan(b, pos, frame, scan, qt, huff, restart, np):
         axis=-1,
     )
     return w, h, 3, rgb.astype(np.uint8).tobytes()
+
+
+# ------------------------------------------------------------------
+# progressive (SOF2) — round 12 (VERDICT r11 #7). Coefficients
+# accumulate across scans (spectral selection Ss..Se, successive
+# approximation Ah/Al, DC and AC first + refinement passes, EOB runs,
+# restart markers), then dequantize + IDCT once at EOI. The
+# refinement algorithms follow ITU-T T.81 §G.1.2 (the same state
+# machines libjpeg's decode_mcu_DC/AC_refine implement).
+
+
+def _comp_grid(w, h, c, hmax, vmax):
+    """Block grid of one component for a NON-interleaved scan
+    (T.81 §A.2.2: ceil of the scaled dimensions, not the padded MCU
+    grid)."""
+    cw = (w * c["h"] + hmax - 1) // hmax
+    ch = (h * c["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _prog_ac_first(br, coef, Ss, Se, Al, atree, state):
+    if state["eobrun"]:
+        state["eobrun"] -= 1
+        return
+    k = Ss
+    while k <= Se:
+        rs = _read_symbol(br, atree)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.bits(r)
+            break
+        k += r
+        if k > Se:
+            raise ValueError("AC run past Se")
+        coef[k] = _extend(br.bits(s), s) << Al
+        k += 1
+
+
+def _prog_ac_refine(br, coef, Ss, Se, Al, atree, state):
+    p1, m1 = 1 << Al, -(1 << Al)
+
+    def correct(k):
+        if br.bit() and not (coef[k] & p1):
+            coef[k] += p1 if coef[k] > 0 else m1
+
+    k = Ss
+    if state["eobrun"] == 0:
+        while k <= Se:
+            rs = _read_symbol(br, atree)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # unlike the first-scan EOB, the refine EOB keeps
+                    # the CURRENT block in the count: its tail still
+                    # carries correction bits (T.81 G.1.2.3 /
+                    # libjpeg decode_mcu_AC_refine)
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.bits(r)
+                    break
+                # r == 15: run of 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refine s != 1")
+                val = p1 if br.bit() else m1
+            while k <= Se:
+                if coef[k]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > Se:
+                    raise ValueError("AC refine past Se")
+                coef[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= Se:
+            if coef[k]:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _prog_one_scan(b, pos, frame, scan_body, qt, huff, restart,
+                   coefs, np):
+    """Decode one progressive scan's entropy data into ``coefs``
+    (per-comp [by][bx][64] zig-zag ints). Returns the byte offset of
+    the next marker."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    ns = scan_body[0]
+    sel = []
+    for i in range(ns):
+        cs, tt = scan_body[1 + 2 * i], scan_body[2 + 2 * i]
+        ci = next(
+            (j for j, c in enumerate(comps) if c["id"] == cs), None
+        )
+        if ci is None:
+            raise ValueError("scan references unknown component")
+        sel.append((ci, tt >> 4, tt & 15))
+    Ss, Se = scan_body[1 + 2 * ns], scan_body[2 + 2 * ns]
+    aa = scan_body[3 + 2 * ns]
+    Ah, Al = aa >> 4, aa & 15
+    if Ss > Se or Se > 63 or (Ss == 0) != (Se == 0):
+        raise ValueError("bad spectral selection")
+    if Ss > 0 and ns != 1:
+        raise ValueError("interleaved AC scan")  # T.81 forbids
+    br = _BitReader(b, pos)
+    state = {"eobrun": 0}
+    preds = [0] * len(comps)
+
+    def check_restart(count):
+        if restart and count and count % restart == 0:
+            m = br.cross_marker()
+            if m is not None and not (0xD0 <= m <= 0xD7):
+                raise ValueError("bad restart marker")
+            state["eobrun"] = 0
+            for j in range(len(preds)):
+                preds[j] = 0
+
+    if Ss == 0:                         # DC scan
+        if ns > 1:                      # interleaved MCU order
+            mcx = (w + 8 * hmax - 1) // (8 * hmax)
+            mcy = (h + 8 * vmax - 1) // (8 * vmax)
+            units = [
+                (my, mx) for my in range(mcy) for mx in range(mcx)
+            ]
+        else:
+            ci0 = sel[0][0]
+            bw_c, bh_c = _comp_grid(w, h, comps[ci0], hmax, vmax)
+            units = [(by, bx) for by in range(bh_c)
+                     for bx in range(bw_c)]
+        for n, (uy, ux) in enumerate(units):
+            check_restart(n)
+            for ci, td, _ in sel:
+                c = comps[ci]
+                dtree = huff.get((0, td))
+                if Ah == 0 and dtree is None:
+                    raise ValueError("missing DC table")
+                reps = (
+                    [(uy, ux)] if ns == 1 else
+                    [(uy * c["v"] + v, ux * c["h"] + hh)
+                     for v in range(c["v"]) for hh in range(c["h"])]
+                )
+                for by, bx in reps:
+                    coef = coefs[ci][by][bx]
+                    if Ah == 0:
+                        cat = _read_symbol(br, dtree)
+                        diff = (
+                            _extend(br.bits(cat), cat) if cat else 0
+                        )
+                        preds[ci] += diff
+                        coef[0] = preds[ci] << Al
+                    else:               # refinement: one raw bit
+                        coef[0] |= br.bit() << Al
+    else:                               # AC scan: single component
+        ci0, _, ta = sel[0]
+        atree = huff.get((1, ta))
+        if atree is None:
+            raise ValueError("missing AC table")
+        bw_c, bh_c = _comp_grid(w, h, comps[ci0], hmax, vmax)
+        n = 0
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                check_restart(n)
+                coef = coefs[ci0][by][bx]
+                if Ah == 0:
+                    _prog_ac_first(br, coef, Ss, Se, Al, atree, state)
+                else:
+                    _prog_ac_refine(br, coef, Ss, Se, Al, atree,
+                                    state)
+                n += 1
+    # realign to the next marker (skip pad bits / stuffed bytes)
+    p = br.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            if 0xD0 <= b[p + 1] <= 0xD7:  # stray trailing RST
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("no marker after scan")
+
+
+def _decode_progressive(b, pos, first_sos, frame, qt, huff, restart,
+                        np):
+    """Multi-scan progressive decode: accumulate coefficients scan by
+    scan (DHT/DQT/DRI may be refreshed between scans), reconstruct at
+    EOI."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = [
+        [
+            [[0] * 64 for _ in range(mcx * c["h"])]
+            for _ in range(mcy * c["v"])
+        ]
+        for c in comps
+    ]
+    pos = _prog_one_scan(b, pos, frame, first_sos, qt, huff, restart,
+                         coefs, np)
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1                    # fill bytes
+        marker = b[pos + 1]
+        if marker == 0xD9:              # EOI: reconstruct
+            break
+        if pos + 4 > len(b):
+            return None
+        (ln,) = struct.unpack(">H", b[pos + 2:pos + 4])
+        body = b[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1:o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17:o + 17 + n])
+                huff[(tc, th)] = _build_decode_tree(bits, vals)
+                o += 17 + n
+        elif marker == 0xDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq != 0:
+                    return None
+                qt[tq] = list(body[o + 1:o + 65])
+                o += 65
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            pos = _prog_one_scan(b, pos, frame, body, qt, huff,
+                                 restart, coefs, np)
+        # anything else (APPn/COM): skipped
+    idct = _dct_matrix()
+    nat = np.array(ZIGZAG)
+    planes = []
+    for ci, c in enumerate(comps):
+        qtab = qt.get(c["tq"])
+        if qtab is None:
+            return None
+        plane = np.zeros((mcy * 8 * c["v"], mcx * 8 * c["h"]))
+        for by in range(mcy * c["v"]):
+            for bx in range(mcx * c["h"]):
+                zz = coefs[ci][by][bx]
+                coef = np.zeros(64)
+                coef[nat] = [zz[k] * qtab[k] for k in range(64)]
+                spat = idct.T @ coef.reshape(8, 8) @ idct
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = spat
+        planes.append(plane)
+    return _planes_to_pixels(planes, comps, w, h, hmax, vmax, np)
+
+
+# ------------------------------------------------------------------
+# progressive encoder — used to synthesize test assets whose decode
+# exercises every progressive path above. Simple flat Huffman tables
+# (all DC categories at 4 bits, all 176 AC symbols incl. the EOBRUN
+# codes (r,0) r<15 at 8 bits — incomplete canonical codes are legal
+# in T.81 and the decoder's tree builder handles them).
+
+_PDC_BITS = (0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_PDC_VALS = tuple(range(12))
+_PAC_VALS = tuple(
+    (r << 4) | s for r in range(16) for s in range(11)
+)
+_PAC_BITS = (0, 0, 0, 0, 0, 0, 0, len(_PAC_VALS), 0, 0, 0, 0, 0, 0,
+             0, 0)
+
+
+def _put_eobrun(w, ac_codes, state):
+    n = state["eobrun"]
+    if not n:
+        return
+    r = n.bit_length() - 1
+    code, ln = ac_codes[r << 4]
+    w.put(code, ln)
+    if r:
+        w.put(n - (1 << r), r)
+    for bit in state["bits"]:
+        w.put(bit, 1)
+    state["eobrun"] = 0
+    state["bits"] = []
+
+
+def _enc_ac_first(w, zz, Ss, Se, Al, ac_codes, state):
+    t = [0] * 64
+    for k in range(Ss, Se + 1):
+        v = zz[k]
+        t[k] = (v >> Al) if v >= 0 else -((-v) >> Al)
+    last = max((k for k in range(Ss, Se + 1) if t[k]), default=None)
+    if last is None:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _put_eobrun(w, ac_codes, state)
+        return
+    _put_eobrun(w, ac_codes, state)
+    run = 0
+    for k in range(Ss, last + 1):
+        v = t[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            w.put(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        w.put(code, ln)
+        w.put(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last < Se:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _put_eobrun(w, ac_codes, state)
+
+
+def _enc_ac_refine(w, zz, Ss, Se, Al, ac_codes, state):
+    """T.81 §G.1.2.3 encoder (the libjpeg encode_mcu_AC_refine state
+    machine): newly-significant coefficients (history magnitude 1)
+    emit (run, 1) + a sign bit; already-nonzero coefficients buffer a
+    correction bit that flushes right after the next symbol — the
+    flush-at-every-nonzero-position ZRL discipline keeps every
+    buffered bit inside the 16-zero window its decoder walk reads."""
+    t = [0] * 64
+    for k in range(Ss, Se + 1):
+        t[k] = abs(zz[k]) >> Al
+    eob = max((k for k in range(Ss, Se + 1) if t[k] == 1),
+              default=Ss - 1)
+    run = 0
+    pend = []
+    for k in range(Ss, Se + 1):
+        v = t[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            _put_eobrun(w, ac_codes, state)
+            code, ln = ac_codes[0xF0]
+            w.put(code, ln)
+            run -= 16
+            for bit in pend:
+                w.put(bit, 1)
+            pend = []
+        if v > 1:                       # history coefficient
+            pend.append(v & 1)
+            continue
+        _put_eobrun(w, ac_codes, state)
+        code, ln = ac_codes[(run << 4) | 1]
+        w.put(code, ln)
+        w.put(1 if zz[k] >= 0 else 0, 1)
+        for bit in pend:
+            w.put(bit, 1)
+        pend = []
+        run = 0
+    if run > 0 or pend:
+        state["eobrun"] += 1
+        state["bits"].extend(pend)
+        if state["eobrun"] == 0x7FFF or len(state["bits"]) > 900:
+            _put_eobrun(w, ac_codes, state)
+
+
+def build_jpeg_progressive(width: int, height: int, fn,
+                           grey: bool = False) -> bytes:
+    """FULL valid progressive (SOF2) JFIF from a pixel function —
+    same pixel front-end and flat quantizer as
+    :func:`build_jpeg_pixels`, so for identical inputs the quantized
+    coefficients (and therefore the decoded pixels) are identical to
+    the baseline file's. Scan script: interleaved DC first pass
+    (Al=1), DC refinement (one raw bit per block), then per component
+    an AC first pass Ss=1..Se=63 (Al=1, EOB runs across blocks) and
+    an AC refinement pass (Al=0, correction bits) — every progressive
+    decode path above is exercised. 4:4:4 only."""
+    ncomp, bw, bh, blocks = _quantized_blocks(width, height, fn, grey)
+    dc_codes = _canonical_codes(_PDC_BITS, _PDC_VALS)
+    ac_codes = _canonical_codes(_PAC_BITS, _PAC_VALS)
+    seg = _seg
+    dqt = seg(0xDB, b"\x00" + bytes(_QTABLE))
+    comps_hdr = b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
+    )
+    sof = seg(0xC2, struct.pack(">BHHB", 8, height, width, ncomp)
+              + comps_hdr)
+    dht = seg(0xC4, b"\x00" + bytes(_PDC_BITS) + bytes(_PDC_VALS)
+              + b"\x10" + bytes(_PAC_BITS) + bytes(_PAC_VALS))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out = bytearray(b"\xff\xd8" + app0 + dqt + sof + dht)
+
+    def sos(sel, Ss, Se, Ah, Al):
+        body = bytes([len(sel)]) + b"".join(
+            struct.pack(">BB", cid, tt) for cid, tt in sel
+        ) + bytes([Ss, Se, (Ah << 4) | Al])
+        return seg(0xDA, body)
+
+    # scan 1: DC first, all components, Al=1
+    out += sos([(i + 1, 0x00) for i in range(ncomp)], 0, 0, 0, 1)
+    w = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(ncomp):
+                v = blocks[c][by][bx][0] >> 1
+                diff = v - preds[c]
+                preds[c] = v
+                cat = _category(diff)
+                code, ln = dc_codes[cat]
+                w.put(code, ln)
+                if cat:
+                    w.put(
+                        diff if diff >= 0 else diff + (1 << cat) - 1,
+                        cat,
+                    )
+    out += w.flush()
+    # scan 2: DC refinement, Al=0 — one raw bit per block
+    out += sos([(i + 1, 0x00) for i in range(ncomp)], 0, 0, 1, 0)
+    w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(ncomp):
+                w.put(blocks[c][by][bx][0] & 1, 1)
+    out += w.flush()
+    # per component: AC first (Al=1) then AC refinement (Al=0)
+    for c in range(ncomp):
+        out += sos([(c + 1, 0x00)], 1, 63, 0, 1)
+        w = _BitWriter()
+        state = {"eobrun": 0, "bits": []}
+        for by in range(bh):
+            for bx in range(bw):
+                _enc_ac_first(w, blocks[c][by][bx], 1, 63, 1,
+                              ac_codes, state)
+        _put_eobrun(w, ac_codes, state)
+        out += w.flush()
+        out += sos([(c + 1, 0x00)], 1, 63, 1, 0)
+        w = _BitWriter()
+        state = {"eobrun": 0, "bits": []}
+        for by in range(bh):
+            for bx in range(bw):
+                _enc_ac_refine(w, blocks[c][by][bx], 1, 63, 0,
+                               ac_codes, state)
+        _put_eobrun(w, ac_codes, state)
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1164,21 +1164,26 @@ def attach_pixel_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
       (x+11y+3id)%256);
     - id % 3 == 1: real 24-bit padded bottom-up BMP, same geometry
       and pixel formula;
-    - id % 3 == 2: real baseline greyscale JPEG (operators/jpegcodec,
-      round 11), w = 8·(id%5+1), h = 8·(id%4+1), every 8x8 block
-      CONSTANT at (5·bx + 7·by + id) % 256 — block-constant inputs
-      round-trip the DCT/quantize/IDCT pipeline BIT-EXACTLY (DC-only
-      spectrum, q_DC = 8), so JPEG's lossiness vanishes and the sum
-      replays in SQL.
+    - id % 3 == 2: real greyscale JPEG (operators/jpegcodec),
+      w = 8·(id%5+1), h = 8·(id%4+1), every 8x8 block CONSTANT at
+      (5·bx + 7·by + id) % 256 — block-constant inputs round-trip the
+      DCT/quantize/IDCT pipeline BIT-EXACTLY (DC-only spectrum,
+      q_DC = 8), so JPEG's lossiness vanishes and the sum replays in
+      SQL. Even ids encode baseline-sequential (SOF0); odd ids encode
+      PROGRESSIVE (SOF2, round 12: DC first + refinement scans, AC
+      spectral band with successive approximation, EOB runs) — the
+      decoded pixels are identical by the same exactness argument, so
+      ONE oracle covers both entropy-coding paths and a bug in either
+      hash-mismatches.
 
     The synthesis parameters are pure integer arithmetic on the id,
     so a SQL oracle recomputes every channel sum exactly; a decoder
     that misreads any byte (filter reconstruction, BGR order, row
-    padding, bottom-up flip, Huffman/IDCT/zig-zag) hash-mismatches
-    immediately."""
+    padding, bottom-up flip, Huffman/IDCT/zig-zag, progressive
+    refinement) hash-mismatches immediately."""
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
-    from .jpegcodec import build_jpeg_pixels
+    from .jpegcodec import build_jpeg_pixels, build_jpeg_progressive
 
     def run(batches):
         import pandas as pd
@@ -1194,8 +1199,9 @@ def attach_pixel_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     def gfn(x, y, _id=did):
                         return (5 * (x // 8) + 7 * (y // 8) + _id) % 256
 
-                    payloads.append(
-                        build_jpeg_pixels(w, h, gfn, grey=True))
+                    build = (build_jpeg_progressive if did % 2
+                             else build_jpeg_pixels)
+                    payloads.append(build(w, h, gfn, grey=True))
                 else:
                     w, h = did % 16 + 1, did % 12 + 1
 

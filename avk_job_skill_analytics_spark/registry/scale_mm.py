@@ -218,10 +218,14 @@ def mm_pixel_stats(spark, sf_dir):
     pixel_stats), covering all THREE raster codecs: per document a
     full payload is synthesized — id%3=0 a genuine zlib-compressed
     PNG, id%3=1 a genuine 24-bit padded bottom-up BMP (pixels a pure
-    integer function of (x, y, id)), id%3=2 a genuine baseline
-    greyscale JPEG whose 8x8 blocks are constant (block-constant
-    inputs round-trip Huffman→dequant→IDCT bit-exactly; see
-    operators/jpegcodec) — then decoded back with the stdlib decoders
+    integer function of (x, y, id)), id%3=2 a genuine greyscale JPEG
+    whose 8x8 blocks are constant (block-constant inputs round-trip
+    Huffman→dequant→IDCT bit-exactly; see operators/jpegcodec) —
+    baseline SOF0 for even ids, PROGRESSIVE SOF2 for odd ids (r12:
+    DC/AC first + refinement scans, EOB runs), identical decoded
+    pixels by the same exactness argument, so the one oracle covers
+    both entropy-coding paths — then decoded back with the stdlib
+    decoders
     and reduced to exact per-channel byte sums in 1e-6 fixed point.
     The oracle recomputes every channel sum arithmetically from the
     synthesis parameters (per-pixel for PNG/BMP, per-block ×64 for

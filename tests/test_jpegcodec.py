@@ -88,7 +88,9 @@ def test_quarantine_not_crash():
     # truncated mid-entropy-data: quarantine
     p = build_jpeg_pixels(16, 16, lambda x, y: 7, grey=True)
     assert decode_jpeg_pixels(p[: len(p) - (len(p) // 3)]) is None
-    # progressive frame marker (SOF2): explicitly unsupported
+    # a BASELINE stream mislabeled SOF2: the progressive scan header
+    # check (baseline SOS has Ss=0, Se=63 — an illegal progressive
+    # spectral selection) quarantines it rather than mis-decoding
     prog = bytearray(p)
     i = prog.find(b"\xff\xc0")
     prog[i + 1] = 0xC2
@@ -185,3 +187,85 @@ def test_block_constant_exactness_property():
         assert (a == want).all()
 
     check()
+
+
+# ------------------------------------------------------------ progressive
+
+
+def test_progressive_equals_baseline_exact():
+    """build_jpeg_progressive shares the baseline front-end and
+    quantizer, so for the same pixel function the SOF2 file must
+    decode to EXACTLY the baseline file's pixels — this single
+    equality exercises DC first + refinement, AC first (EOB runs,
+    ZRL) and AC refinement (correction bits) against the
+    baseline-proven reconstruction."""
+    from avk_job_skill_analytics_spark.operators.jpegcodec import (
+        build_jpeg_progressive,
+    )
+
+    cases = [
+        # (w, h, fn, grey): exactness class + rich + sparse + flat
+        (16, 16, lambda x, y: ((x // 8) * 37 + (y // 8) * 91) % 256,
+         True),
+        (24, 17, lambda x, y: (x * 7 + y * 13 + (x * y) % 31) % 256,
+         True),
+        (13, 9, lambda x, y: ((x * 23) % 256, (y * 41) % 256,
+                              (x * y) % 256), False),
+        (8, 8, lambda x, y: 255 if (x, y) == (7, 7) else 0, True),
+        (40, 24, lambda x, y: 77, True),
+    ]
+    for w, h, fn, grey in cases:
+        base = decode_jpeg_pixels(build_jpeg_pixels(w, h, fn,
+                                                    grey=grey))
+        prog = decode_jpeg_pixels(build_jpeg_progressive(w, h, fn,
+                                                         grey=grey))
+        assert base is not None
+        assert prog == base, (w, h, grey)
+
+
+def test_progressive_block_constant_bit_exact():
+    """The mm_pixel_stats exactness contract must hold through the
+    progressive path too: block-constant input -> DC-only spectrum ->
+    bit-exact reconstruction (this is what lets odd ids rotate to
+    SOF2 under the SAME analytic oracle)."""
+    from avk_job_skill_analytics_spark.operators.jpegcodec import (
+        build_jpeg_progressive,
+    )
+
+    w, h = 24, 16
+    fn = lambda x, y: (5 * (x // 8) + 7 * (y // 8) + 3) % 256  # noqa: E731
+    got = decode_jpeg_pixels(build_jpeg_progressive(w, h, fn,
+                                                    grey=True))
+    assert got is not None and got[:3] == (w, h, 1)
+    exp = bytes(fn(x, y) for y in range(h) for x in range(w))
+    assert got[3] == exp
+
+
+def test_progressive_quarantine():
+    """Out-of-subset / corrupt progressive streams quarantine."""
+    from avk_job_skill_analytics_spark.operators.jpegcodec import (
+        build_jpeg_progressive,
+    )
+
+    p = build_jpeg_progressive(16, 16, lambda x, y: x * 9 % 256,
+                               grey=True)
+    # truncated mid-scan
+    assert decode_jpeg_pixels(p[: len(p) * 2 // 3]) is None
+    # interleaved AC scan is illegal in progressive (T.81): force the
+    # first single-component AC SOS to claim 2 components
+    b = bytearray(p)
+    i = 2
+    while i + 4 <= len(b):          # find an SOS with Ss > 0
+        if b[i] == 0xFF and b[i + 1] == 0xDA:
+            ln = (b[i + 2] << 8) | b[i + 3]
+            ns = b[i + 4]
+            ss = b[i + 5 + 2 * ns]
+            if ss > 0:
+                b[i + 4] = 2        # lie about component count
+                assert decode_jpeg_pixels(bytes(b)) is None
+                break
+            i += 2 + ln
+        else:
+            i += 1
+    else:
+        raise AssertionError("no AC scan found")

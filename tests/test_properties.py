@@ -466,7 +466,7 @@ def test_cusum_identity_equals_sequential_fold(spark, xs):
 
 
 @given(
-    kind=st.integers(0, 4),
+    kind=st.integers(0, 5),
     seed=st.integers(0, 2**31 - 1),
     n_flips=st.integers(1, 12),
 )
@@ -480,6 +480,7 @@ def test_decoders_never_raise_on_corrupt_payloads(kind, seed, n_flips):
     from avk_job_skill_analytics_spark.operators import multimodal as M
     from avk_job_skill_analytics_spark.operators.jpegcodec import (
         build_jpeg_pixels,
+        build_jpeg_progressive,
         decode_jpeg_pixels,
     )
     from avk_job_skill_analytics_spark.operators.webpcodec import (
@@ -493,10 +494,12 @@ def test_decoders_never_raise_on_corrupt_payloads(kind, seed, n_flips):
         lambda: build_jpeg_pixels(8, 8, lambda x, y: 99, grey=True),
         lambda: build_webp_pixels(6, 5, lambda x, y: (x, y, 7)),
         lambda: M.build_wav_pcm(8000, 1, [3, -3, 5, -5]),
+        lambda: build_jpeg_progressive(
+            16, 16, lambda x, y: (x * 5 + y * 3) % 256, grey=True),
     )
     decoders = (
         M.decode_png_pixels, M.decode_bmp_pixels, decode_jpeg_pixels,
-        decode_webp_pixels, M.decode_wav_pcm,
+        decode_webp_pixels, M.decode_wav_pcm, decode_jpeg_pixels,
     )
     payload = bytearray(builders[kind]())
     state = seed
