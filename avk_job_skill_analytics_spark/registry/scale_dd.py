@@ -217,7 +217,17 @@ def dd_semantic_prune(spark, sf_dir):
     lower-id neighbor at cosine >= 0.4 is marked keep=false. The
     oracle replays the full chain — both Lloyd iterations, the final
     assignment, the within-cluster pair scan — in generated SQL with
-    the same rounding and tie-breaks."""
+    the same rounding and tie-breaks.
+
+    LABELED FIXED-k AUDIT: the oracle pins k=8 at every SF, so the
+    within-cluster pair scan is Sigma n_c^2 with n_c growing linearly
+    in the corpus — measured 4.4 s at sf0.1 -> 44.2 s at sf1 (10x
+    data, 10x wall; the quadratic term dominates beyond that). This
+    is the verification harness, not the production spelling: the
+    OPERATOR's k parameter is the scale lever (semantic_prune's
+    docstring — target 1-10K vectors per cluster, SemDeDup itself
+    runs ~100K clusters at web scale), which keeps n_c bounded and
+    the pair scan linear in the corpus."""
     from ..operators.similarity import semantic_prune
 
     e = load(spark, sf_dir, "embeddings")

@@ -14,6 +14,11 @@ where batches keep their size and only their COUNT grows.
 
 Usage: ``python tools/probe_stream_sf1.py [sf_dir ...]``
 (defaults to /root/testdata/sf0.1 and <repo>/.bench_sf1/sf1).
+``--queries a,b,c`` overrides the probed set (r12: used for the
+trigger-count-scaling class — stream_minhash_dedup /
+stream_heavy_hitters / stream_media_dedup); results MERGE into
+BENCH_sf1_TRIGGERS.json by (sf_dir, query) instead of overwriting, so
+successive probe runs accumulate one ledger.
 Prints one JSON object per (sf_dir, query) with the per-trigger table.
 """
 
@@ -83,7 +88,13 @@ def _drain(tap: _TriggerTap, n_before: int, timeout_s: float = 10.0) -> None:
 
 
 def main() -> None:
-    sf_dirs = sys.argv[1:] or [
+    args = sys.argv[1:]
+    queries = list(QUERIES)
+    if "--queries" in args:
+        i = args.index("--queries")
+        queries = args[i + 1].split(",")
+        del args[i:i + 2]
+    sf_dirs = args or [
         "/root/testdata/sf0.1",
         os.path.join(ROOT, ".bench_sf1", "sf1"),
     ]
@@ -96,7 +107,7 @@ def main() -> None:
         if not os.path.isdir(sf_dir):
             print(f"skip missing {sf_dir}", file=sys.stderr)
             continue
-        for name in QUERIES:
+        for name in queries:
             n_before = len(tap.rows)
             t0 = time.time()
             registry[name](spark, sf_dir).count()
@@ -116,8 +127,19 @@ def main() -> None:
             out.append(rec)
             print(json.dumps(rec), flush=True)
     spark.streams.removeListener(tap)
-    with open(os.path.join(ROOT, "BENCH_sf1_TRIGGERS.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    path = os.path.join(ROOT, "BENCH_sf1_TRIGGERS.json")
+    merged = []
+    try:
+        with open(path) as f:
+            merged = json.load(f)
+    except Exception:
+        pass
+    fresh = {(r["sf_dir"], r["query"]) for r in out}
+    merged = [
+        r for r in merged if (r["sf_dir"], r["query"]) not in fresh
+    ] + out
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
