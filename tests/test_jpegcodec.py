@@ -269,3 +269,48 @@ def test_progressive_quarantine():
             i += 1
     else:
         raise AssertionError("no AC scan found")
+
+
+def test_progressive_equals_baseline_randomized():
+    """Deterministic LCG sweep over sizes/content classes/colorspaces:
+    the progressive file must decode bit-identically to the baseline
+    file for every case — shakes out the rare refinement paths
+    (ZRL-in-refine with interleaved history coefficients, EOB runs
+    spanning blocks, newly-significant at k=Se)."""
+    from avk_job_skill_analytics_spark.operators.jpegcodec import (
+        build_jpeg_progressive,
+    )
+
+    def lcg(seed):
+        s = seed
+        while True:
+            s = (1103515245 * s + 12345) % (1 << 31)
+            yield s
+
+    for seed in range(12):
+        g = lcg(seed + 1)
+        w, h = next(g) % 37 + 1, next(g) % 29 + 1
+        grey = next(g) % 2 == 0
+        mode = next(g) % 4
+        a = next(g) % 256
+        b, c, d = next(g) % 7, next(g) % 11, next(g) % 5
+        if mode == 0:
+            f1 = lambda x, y: (a + b * x + c * y) % 256  # noqa: E731
+        elif mode == 1:
+            f1 = lambda x, y: (a + 97 * x * y + 31 * x  # noqa: E731
+                               + 57 * y) % 256
+        elif mode == 2:
+            f1 = lambda x, y: (250 if ((x * 7 + y * 13 + a)  # noqa: E731
+                                       % 23) == 0 else 3)
+        else:
+            f1 = lambda x, y: (a if ((x + y * w) % 19)  # noqa: E731
+                               else (a + d + 1) % 256)
+        fn = f1 if grey else (
+            lambda x, y: (f1(x, y), f1(y, x), (f1(x, y) * 3 + 7) % 256)
+        )
+        base = decode_jpeg_pixels(build_jpeg_pixels(w, h, fn,
+                                                    grey=grey))
+        prog = decode_jpeg_pixels(build_jpeg_progressive(w, h, fn,
+                                                         grey=grey))
+        assert base is not None and prog == base, (seed, w, h, grey,
+                                                   mode)
