@@ -227,21 +227,58 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
 
+def _entropy_with_restarts(units, emit, reset, restart,
+                           pre_boundary=None) -> bytes:
+    """Drive one entropy-coded scan with optional restart intervals:
+    every ``restart`` units, flush pending state (``pre_boundary``),
+    pad to a byte, emit RSTn (cycling D0..D7, unstuffed — restart
+    markers are the one FFxx the entropy stream carries raw), start a
+    fresh bit writer and ``reset()`` the predictors/EOB-run state."""
+    chunks = []
+    w = _BitWriter()
+    rst = 0
+    for n, u in enumerate(units):
+        if restart and n and n % restart == 0:
+            if pre_boundary is not None:
+                pre_boundary(w)
+            chunks.append(w.flush())
+            chunks.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            w = _BitWriter()
+            reset()
+        emit(w, u)
+    if pre_boundary is not None:
+        pre_boundary(w)
+    chunks.append(w.flush())
+    return b"".join(chunks)
+
+
 def build_jpeg_pixels(width: int, height: int, fn,
-                      grey: bool = False) -> bytes:
+                      grey: bool = False, restart: int = 0) -> bytes:
     """FULL valid baseline JFIF from a pixel function. ``fn(x, y)``
     returns (r, g, b) — or a single 0-255 luma value when ``grey``.
-    Color uses 4:4:4 sampling (no chroma subsampling)."""
+    Color uses 4:4:4 sampling (no chroma subsampling). ``restart``
+    > 0 emits a DRI segment and an RSTn marker every ``restart``
+    MCUs (predictors reset — the error-resilience shape real
+    encoders emit, and the decoder path it exercises)."""
     ncomp, bw, bh, blocks = _quantized_blocks(width, height, fn, grey)
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
-    w = _BitWriter()
     preds = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(ncomp):
-                preds[c] = _encode_block(w, blocks[c][by][bx],
-                                         preds[c], dc_codes, ac_codes)
+
+    def emit(w, unit):
+        by, bx = unit
+        for c in range(ncomp):
+            preds[c] = _encode_block(w, blocks[c][by][bx],
+                                     preds[c], dc_codes, ac_codes)
+
+    def reset():
+        preds[:] = [0] * ncomp
+
+    entropy = _entropy_with_restarts(
+        [(by, bx) for by in range(bh) for bx in range(bw)],
+        emit, reset, restart,
+    )
 
     seg = _seg
 
@@ -258,8 +295,9 @@ def build_jpeg_pixels(width: int, height: int, fn,
     )
     sos = seg(0xDA, bytes([ncomp]) + scomps + b"\x00\x3f\x00")
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return (b"\xff\xd8" + app0 + dqt + sof + dht + sos
-            + w.flush() + b"\xff\xd9")
+    dri = seg(0xDD, struct.pack(">H", restart)) if restart else b""
+    return (b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
+            + entropy + b"\xff\xd9")
 
 
 # ------------------------------------------------------------------
@@ -309,12 +347,26 @@ class _BitReader:
         return v
 
     def cross_marker(self) -> int | None:
-        """Consume a pending RSTn and realign to the next byte."""
+        """Consume a restart marker and realign to the next byte.
+
+        Two ways the marker can sit at a restart boundary: a mid-byte
+        read already tripped over it (``pending_marker`` set by
+        ``_fill``), or — the common case — the interval's bits ended
+        exactly on the pad boundary, nothing forced another ``_fill``,
+        and ``pos`` points straight at the raw ``FF Dn`` bytes. The
+        pre-r12 version handled only the first, so ANY stream with a
+        DRI segment quarantined; now both consume the marker."""
         self.acc = 0
         self.n = 0
         m = self.pending_marker
         if m is not None:
             self.pending_marker = None
+            self.pos += 2
+            return m
+        d = self.data
+        if (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and d[self.pos + 1] != 0x00):
+            m = d[self.pos + 1]
             self.pos += 2
         return m
 
@@ -346,6 +398,30 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _parse_dqt(body, qt) -> bool:
+    """DQT segment -> ``qt``; False for non-baseline 16-bit tables."""
+    o = 0
+    while o < len(body):
+        pq, tq = body[o] >> 4, body[o] & 15
+        if pq != 0:
+            return False
+        qt[tq] = list(body[o + 1:o + 65])
+        o += 65
+    return True
+
+
+def _parse_dht(body, huff) -> None:
+    """DHT segment -> decode trees in ``huff`` keyed (class, id)."""
+    o = 0
+    while o < len(body):
+        tc, th = body[o] >> 4, body[o] & 15
+        bits = list(body[o + 1:o + 17])
+        n = sum(bits)
+        vals = list(body[o + 17:o + 17 + n])
+        huff[(tc, th)] = _build_decode_tree(bits, vals)
+        o += 17 + n
+
+
 def decode_jpeg_pixels(payload: bytes):
     """REAL baseline JPEG decode, stdlib + numpy: returns (width,
     height, channels, raw_pixels) row-major top-down (RGB for 3
@@ -375,13 +451,8 @@ def decode_jpeg_pixels(payload: bytes):
             body = b[pos + 4:pos + 2 + ln]
             pos += 2 + ln
             if marker == 0xDB:
-                o = 0
-                while o < len(body):
-                    pq, tq = body[o] >> 4, body[o] & 15
-                    if pq != 0:
-                        return None  # 16-bit tables: not baseline
-                    qt[tq] = list(body[o + 1:o + 65])
-                    o += 65
+                if not _parse_dqt(body, qt):
+                    return None  # 16-bit tables: not baseline
             elif marker in (0xC0, 0xC2):
                 prec, h, w, nc = struct.unpack(">BHHB", body[:6])
                 if prec != 8 or nc not in (1, 3) or not w or not h:
@@ -400,14 +471,7 @@ def decode_jpeg_pixels(payload: bytes):
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # neither baseline nor progressive
             elif marker == 0xC4:
-                o = 0
-                while o < len(body):
-                    tc, th = body[o] >> 4, body[o] & 15
-                    bits = list(body[o + 1:o + 17])
-                    n = sum(bits)
-                    vals = list(body[o + 17:o + 17 + n])
-                    huff[(tc, th)] = _build_decode_tree(bits, vals)
-                    o += 17 + n
+                _parse_dht(body, huff)
             elif marker == 0xDD:
                 (restart,) = struct.unpack(">H", body[:2])
             elif marker == 0xDA:
@@ -739,22 +803,10 @@ def _decode_progressive(b, pos, first_sos, frame, qt, huff, restart,
         body = b[pos + 4:pos + 2 + ln]
         pos += 2 + ln
         if marker == 0xC4:
-            o = 0
-            while o < len(body):
-                tc, th = body[o] >> 4, body[o] & 15
-                bits = list(body[o + 1:o + 17])
-                n = sum(bits)
-                vals = list(body[o + 17:o + 17 + n])
-                huff[(tc, th)] = _build_decode_tree(bits, vals)
-                o += 17 + n
+            _parse_dht(body, huff)
         elif marker == 0xDB:
-            o = 0
-            while o < len(body):
-                pq, tq = body[o] >> 4, body[o] & 15
-                if pq != 0:
-                    return None
-                qt[tq] = list(body[o + 1:o + 65])
-                o += 65
+            if not _parse_dqt(body, qt):
+                return None
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
@@ -890,7 +942,8 @@ def _enc_ac_refine(w, zz, Ss, Se, Al, ac_codes, state):
 
 
 def build_jpeg_progressive(width: int, height: int, fn,
-                           grey: bool = False) -> bytes:
+                           grey: bool = False,
+                           restart: int = 0) -> bytes:
     """FULL valid progressive (SOF2) JFIF from a pixel function —
     same pixel front-end and flat quantizer as
     :func:`build_jpeg_pixels`, so for identical inputs the quantized
@@ -899,7 +952,10 @@ def build_jpeg_progressive(width: int, height: int, fn,
     (Al=1), DC refinement (one raw bit per block), then per component
     an AC first pass Ss=1..Se=63 (Al=1, EOB runs across blocks) and
     an AC refinement pass (Al=0, correction bits) — every progressive
-    decode path above is exercised. 4:4:4 only."""
+    decode path above is exercised. ``restart`` > 0 emits DRI +
+    RSTn markers every ``restart`` units in EVERY scan (predictors
+    and EOB-run state reset per interval — an EOB run may not span a
+    restart). 4:4:4 only."""
     ncomp, bw, bh, blocks = _quantized_blocks(width, height, fn, grey)
     dc_codes = _canonical_codes(_PDC_BITS, _PDC_VALS)
     ac_codes = _canonical_codes(_PAC_BITS, _PAC_VALS)
@@ -914,6 +970,8 @@ def build_jpeg_progressive(width: int, height: int, fn,
               + b"\x10" + bytes(_PAC_BITS) + bytes(_PAC_VALS))
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out = bytearray(b"\xff\xd8" + app0 + dqt + sof + dht)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
 
     def sos(sel, Ss, Se, Ah, Al):
         body = bytes([len(sel)]) + b"".join(
@@ -921,52 +979,68 @@ def build_jpeg_progressive(width: int, height: int, fn,
         ) + bytes([Ss, Se, (Ah << 4) | Al])
         return seg(0xDA, body)
 
+    units = [(by, bx) for by in range(bh) for bx in range(bw)]
+    preds = [0] * ncomp
+
     # scan 1: DC first, all components, Al=1
     out += sos([(i + 1, 0x00) for i in range(ncomp)], 0, 0, 0, 1)
-    w = _BitWriter()
-    preds = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(ncomp):
-                v = blocks[c][by][bx][0] >> 1
-                diff = v - preds[c]
-                preds[c] = v
-                cat = _category(diff)
-                code, ln = dc_codes[cat]
-                w.put(code, ln)
-                if cat:
-                    w.put(
-                        diff if diff >= 0 else diff + (1 << cat) - 1,
-                        cat,
-                    )
-    out += w.flush()
+
+    def emit_dc_first(w, unit):
+        by, bx = unit
+        for c in range(ncomp):
+            v = blocks[c][by][bx][0] >> 1
+            diff = v - preds[c]
+            preds[c] = v
+            cat = _category(diff)
+            code, ln = dc_codes[cat]
+            w.put(code, ln)
+            if cat:
+                w.put(diff if diff >= 0 else diff + (1 << cat) - 1,
+                      cat)
+
+    preds[:] = [0] * ncomp
+    out += _entropy_with_restarts(
+        units, emit_dc_first, lambda: preds.__setitem__(
+            slice(None), [0] * ncomp), restart,
+    )
+
     # scan 2: DC refinement, Al=0 — one raw bit per block
     out += sos([(i + 1, 0x00) for i in range(ncomp)], 0, 0, 1, 0)
-    w = _BitWriter()
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(ncomp):
-                w.put(blocks[c][by][bx][0] & 1, 1)
-    out += w.flush()
+
+    def emit_dc_refine(w, unit):
+        by, bx = unit
+        for c in range(ncomp):
+            w.put(blocks[c][by][bx][0] & 1, 1)
+
+    out += _entropy_with_restarts(
+        units, emit_dc_refine, lambda: None, restart,
+    )
+
     # per component: AC first (Al=1) then AC refinement (Al=0)
     for c in range(ncomp):
-        out += sos([(c + 1, 0x00)], 1, 63, 0, 1)
-        w = _BitWriter()
-        state = {"eobrun": 0, "bits": []}
-        for by in range(bh):
-            for bx in range(bw):
-                _enc_ac_first(w, blocks[c][by][bx], 1, 63, 1,
-                              ac_codes, state)
-        _put_eobrun(w, ac_codes, state)
-        out += w.flush()
-        out += sos([(c + 1, 0x00)], 1, 63, 1, 0)
-        w = _BitWriter()
-        state = {"eobrun": 0, "bits": []}
-        for by in range(bh):
-            for bx in range(bw):
-                _enc_ac_refine(w, blocks[c][by][bx], 1, 63, 0,
-                               ac_codes, state)
-        _put_eobrun(w, ac_codes, state)
-        out += w.flush()
+        for refine in (False, True):
+            out += sos([(c + 1, 0x00)], 1, 63,
+                       1 if refine else 0, 0 if refine else 1)
+            state = {"eobrun": 0, "bits": []}
+            enc = _enc_ac_refine if refine else _enc_ac_first
+            al = 0 if refine else 1
+
+            def emit_ac(w, unit, _c=c, _enc=enc, _al=al,
+                        _state=state):
+                by, bx = unit
+                _enc(w, blocks[_c][by][bx], 1, 63, _al, ac_codes,
+                     _state)
+
+            def reset_ac(_state=state):
+                _state["eobrun"] = 0
+                _state["bits"] = []
+
+            def flush_ac(w, _state=state):
+                _put_eobrun(w, ac_codes, _state)
+
+            out += _entropy_with_restarts(
+                units, emit_ac, reset_ac, restart,
+                pre_boundary=flush_ac,
+            )
     out += b"\xff\xd9"
     return bytes(out)

@@ -502,12 +502,12 @@ def mm_pcm_stats(spark, sf_dir):
 
 @_q(
     "mm_audio_matches",
-    """WITH docs AS (
+    f"""WITH docs AS (
          SELECT doc_id, doc_id AS cid, 0 AS s0,
                 (doc_id % 40 + 64) // 16 AS nw
          FROM documents
          UNION ALL
-         SELECT doc_id + 3298534883328, doc_id, 16, 3
+         SELECT doc_id + {3 * CLONE_ID_BASE}, doc_id, 16, 3
          FROM documents WHERE doc_id % 6 = 0),
        w AS (SELECT doc_id, cid, s0, sw.w AS w
              FROM docs, LATERAL (SELECT unnest(generate_series(
@@ -554,12 +554,12 @@ def mm_audio_matches(spark, sf_dir):
 
 @_q(
     "mm_clip_matches",
-    """WITH docs AS (
+    f"""WITH docs AS (
          SELECT doc_id, doc_id AS cid, 0 AS shift,
                 doc_id % 5 + 5 AS nf
          FROM documents
          UNION ALL
-         SELECT doc_id + 1099511627776, doc_id, 1, 4
+         SELECT doc_id + {CLONE_ID_BASE}, doc_id, 1, 4
          FROM documents WHERE doc_id % 4 = 0),
        g AS (SELECT doc_id, cid, shift, nf, cid % 6 + 3 AS w,
                     cid % 5 + 3 AS h

@@ -28,7 +28,6 @@ from ..operators.hashing import (
     md5_long_sql,
     minhash_coeffs,
 )
-from ..operators.multimodal import CLONE_ID_BASE
 from ..plans.schemas import load
 from ._fixtures import FixtureMemo
 from .scale_common import (

@@ -311,7 +311,11 @@ def main() -> None:
             _cleanup()
         builds1, hits1 = _fixtures.counters()
         if builds1 > builds0:
-            fixture_cold[name] = True
+            # with reruns, only the first observation paid the build;
+            # the published median is warm-dominated for n >= 3, so
+            # the tag tracks what the NUMBER contains, not whether a
+            # build happened (the cold sample survives in "samples")
+            fixture_cold[name] = n_reruns == 1
         elif hits1 > hits0:
             fixture_cold[name] = False
         if len(obs) < n_reruns:
@@ -369,6 +373,13 @@ def main() -> None:
                 spark.catalog.clearCache()
             samples[name] = obs
             timings[name] = round(statistics.median(obs), 3)
+            if fixture_cold.get(name):
+                # the published median is now dominated by warm
+                # re-samples (the fixture was memoized by sample 1) —
+                # a true tag would launder warm-path regressions as
+                # fixture noise; the cold first observation stays
+                # visible in "samples"
+                fixture_cold[name] = False
             _cleanup()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)

@@ -314,3 +314,33 @@ def test_progressive_equals_baseline_randomized():
                                                          grey=grey))
         assert base is not None and prog == base, (seed, w, h, grey,
                                                    mode)
+
+
+def test_restart_markers_decode_baseline_and_progressive():
+    """DRI/RSTn streams must decode identically to marker-free ones —
+    the r12 code-review repro: at a clean interval boundary the
+    marker bytes sit unbuffered ahead of the reader, and the pre-fix
+    cross_marker never consumed them, so ANY encoder emitting DRI
+    quarantined (EOFError -> None). Covers predictor reset, the RSTn
+    D0..D7 cycle, and (progressive) per-interval EOB-run flush."""
+    from avk_job_skill_analytics_spark.operators.jpegcodec import (
+        build_jpeg_progressive,
+    )
+
+    fn = lambda x, y: (x * 7 + y * 13 + (x * y) % 31) % 256  # noqa: E731
+    ref = decode_jpeg_pixels(build_jpeg_pixels(24, 17, fn, grey=True))
+    assert ref is not None
+    for r in (1, 2, 5, 9):              # 9 intervals > 8 wraps RSTn
+        got = decode_jpeg_pixels(
+            build_jpeg_pixels(24, 17, fn, grey=True, restart=r))
+        assert got == ref, f"baseline restart={r}"
+        got = decode_jpeg_pixels(
+            build_jpeg_progressive(24, 17, fn, grey=True, restart=r))
+        assert got == ref, f"progressive restart={r}"
+    cf = lambda x, y: ((x * 23) % 256, (y * 41) % 256,  # noqa: E731
+                       (x * y) % 256)
+    ref = decode_jpeg_pixels(build_jpeg_pixels(13, 9, cf))
+    assert decode_jpeg_pixels(
+        build_jpeg_pixels(13, 9, cf, restart=1)) == ref
+    assert decode_jpeg_pixels(
+        build_jpeg_progressive(13, 9, cf, restart=1)) == ref

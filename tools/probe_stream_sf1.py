@@ -129,11 +129,11 @@ def main() -> None:
     spark.streams.removeListener(tap)
     path = os.path.join(ROOT, "BENCH_sf1_TRIGGERS.json")
     merged = []
-    try:
+    if os.path.exists(path):
+        # a parse failure must ABORT, not silently clobber the
+        # accumulated ledger with this run's fragment
         with open(path) as f:
             merged = json.load(f)
-    except Exception:
-        pass
     fresh = {(r["sf_dir"], r["query"]) for r in out}
     merged = [
         r for r in merged if (r["sf_dir"], r["query"]) not in fresh
