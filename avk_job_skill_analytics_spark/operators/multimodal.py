@@ -1171,10 +1171,11 @@ def attach_pixel_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
       q_DC = 8), so JPEG's lossiness vanishes and the sum replays in
       SQL. Even ids encode baseline-sequential (SOF0); odd ids encode
       PROGRESSIVE (SOF2, round 12: DC first + refinement scans, AC
-      spectral band with successive approximation, EOB runs) — the
-      decoded pixels are identical by the same exactness argument, so
-      ONE oracle covers both entropy-coding paths and a bug in either
-      hash-mismatches.
+      spectral band with successive approximation, EOB runs); ids
+      with id % 4 >= 2 additionally carry DRI/RSTn restart intervals
+      — decoded pixels are identical in every case, so ONE oracle
+      covers both entropy codings AND the restart-marker path, and a
+      bug in any of them hash-mismatches.
 
     The synthesis parameters are pure integer arithmetic on the id,
     so a SQL oracle recomputes every channel sum exactly; a decoder
@@ -1201,7 +1202,13 @@ def attach_pixel_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
                     build = (build_jpeg_progressive if did % 2
                              else build_jpeg_pixels)
-                    payloads.append(build(w, h, gfn, grey=True))
+                    # every other JPEG of each coding also carries
+                    # DRI/RSTn restart intervals (r12) — decoded
+                    # pixels are identical, so the SAME oracle gates
+                    # the restart-marker decode path too
+                    payloads.append(build(w, h, gfn, grey=True,
+                                          restart=2 if did % 4 >= 2
+                                          else 0))
                 else:
                     w, h = did % 16 + 1, did % 12 + 1
 

@@ -222,10 +222,11 @@ def mm_pixel_stats(spark, sf_dir):
     whose 8x8 blocks are constant (block-constant inputs round-trip
     Huffman→dequant→IDCT bit-exactly; see operators/jpegcodec) —
     baseline SOF0 for even ids, PROGRESSIVE SOF2 for odd ids (r12:
-    DC/AC first + refinement scans, EOB runs), identical decoded
-    pixels by the same exactness argument, so the one oracle covers
-    both entropy-coding paths — then decoded back with the stdlib
-    decoders
+    DC/AC first + refinement scans, EOB runs), DRI/RSTn restart
+    intervals on ids with id % 4 >= 2 — identical decoded pixels in
+    every case by the same exactness argument, so the one oracle
+    covers both entropy codings and the restart-marker path — then
+    decoded back with the stdlib decoders
     and reduced to exact per-channel byte sums in 1e-6 fixed point.
     The oracle recomputes every channel sum arithmetically from the
     synthesis parameters (per-pixel for PNG/BMP, per-block ×64 for
