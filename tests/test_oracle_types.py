@@ -70,3 +70,30 @@ def test_no_engine_variant_oracle_types(con):
         "oracle columns with engine-variant fetch types (cast to"
         f" BIGINT or VARCHAR): {bad}"
     )
+
+
+def test_priority_window_has_no_array_outputs(con):
+    """The comment in ALLOWED is a CONSTRAINT, not advice: array
+    outputs fetch stably via fetchall but their rendering under other
+    duckdb fetch paths is unproven, so no PRIORITY-window (driver-
+    sampled) query may emit one. Window rotations (r12+) must keep
+    satisfying this mechanically, not by reviewer memory."""
+    import __spark_entry__ as E
+    from avk_job_skill_analytics_spark.registry import PRIORITY
+
+    oracles = E.oracle_sql()
+    offenders = {}
+    for name in PRIORITY:
+        sql = oracles.get(name)
+        if sql is None:
+            continue          # rows-only queries have no oracle
+        types = [
+            r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0"
+            ).fetchall()
+        ]
+        arr = [t for t in types if t.endswith("[]") or "STRUCT" in t
+               or "MAP" in t]
+        if arr:
+            offenders[name] = arr
+    assert not offenders, offenders
