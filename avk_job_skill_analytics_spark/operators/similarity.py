@@ -557,6 +557,106 @@ def semantic_prune(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def banded_semantic_prune(df: DataFrame, id_col: str, vec_col: str,
+                          dim: int, bands: int = 4,
+                          rows_per_band: int = 8,
+                          threshold: float = 0.4,
+                          max_bucket: int = 256,
+                          round_digits: int = 6) -> DataFrame:
+    """SemDeDup at the production scale shape: banded random-hyperplane
+    LSH replaces :func:`semantic_prune`'s fixed-k k-means partition.
+    Each vector gets ``bands`` signatures of ``rows_per_band`` sign
+    bits (Charikar hyperplanes, deterministic ±1 constants — the same
+    :func:`_plane_sign` family the LSH top-k uses, so a SQL oracle
+    replays every bit); vectors sharing ANY band signature become
+    candidate pairs, candidates verify by EXACT cosine, and a vector
+    with a verified lower-id neighbor is dropped (keep = false,
+    ``dominator`` = its smallest such neighbor).
+
+    Scale shape vs the fixed-k audit: no iterative centroid fit (one
+    corpus scan emits all signatures), candidate generation is a
+    bucket join (never all-pairs), and buckets larger than
+    ``max_bucket`` are dropped ENTIRELY before pair expansion — the
+    boilerplate-noise guard, same discipline as dedup.py's LSH cap:
+    a degenerate embedding cluster would otherwise expand O(n²)
+    inside one task. ``rows_per_band`` is the scale lever (bucket
+    population halves per bit; grow it with log(corpus) to hold
+    bucket sizes flat), and the cap bounds the worst case whatever
+    the parameters. Recall < 1 by construction — the price of
+    linearity, measured by the exact twin on samples."""
+    sig_structs = []
+    for b in range(bands):
+        bits = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            pl = b * rows_per_band + r
+            arr = F.array(
+                *[F.lit(_plane_sign(pl, i)) for i in range(dim)]
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), arr,
+                           lambda x, sgn: x.cast("double") * sgn),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits = bits + F.when(dot > 0, F.lit(1 << r))                 .otherwise(F.lit(0)).cast("long")
+        sig_structs.append(
+            F.struct(F.lit(b).alias("band"), bits.alias("sig"))
+        )
+    sigs = (
+        df.select(F.col(id_col), F.col(vec_col),
+                  F.explode(F.array(*sig_structs)).alias("_bs"))
+        .select(F.col(id_col), F.col(vec_col),
+                F.col("_bs.band").alias("band"),
+                F.col("_bs.sig").alias("sig"))
+    )
+    # bucket sizes: at most bands * 2^rows_per_band rows — broadcast
+    ok_buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "sig")
+    )
+    eligible = sigs.join(F.broadcast(ok_buckets), ["band", "sig"])
+    a = eligible.select(
+        "band", "sig", F.col(id_col).alias("id_a")
+    )
+    bb = eligible.select(
+        "band", "sig", F.col(id_col).alias("id_b")
+    )
+    cand = (
+        a.join(bb, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("_vb"))
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb"))
+        / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+        round_digits,
+    )
+    dominated = (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dominator"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(dominated.withColumnRenamed("id_b", id_col), id_col,
+              "left")
+        .select(
+            F.col(id_col),
+            F.col("dominator").isNull().alias("keep"),
+            "dominator",
+        )
+    )
+
+
 def standardize_dims(df: DataFrame, id_col: str, vec_col: str,
                      scale: int = 10 ** 6,
                      round_digits: int = 4) -> DataFrame:

@@ -191,6 +191,8 @@ _ORDER = (
     "ml_ab_ratio_delta",
     "ml_ab_quantile_lift",
     "ml_ab_mde",
+    # round-12 addition (appended — the head window must not move)
+    "dd_semantic_prune_lsh",
 )
 
 _merged_q: dict = {}

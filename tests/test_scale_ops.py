@@ -1987,3 +1987,35 @@ def test_llm_live_smoke(spark):
     ).extract(df, "doc_id", "text").collect()}
     assert out[3]["technical_skills"] == ""      # P6 short-text guard
     assert out[1]["technical_skills"] != ""      # live model answered
+
+
+def test_banded_semantic_prune_cap_and_domination(spark):
+    """The bucket cap must drop oversized buckets ENTIRELY (identical
+    vectors all land in one bucket; with the cap below that size no
+    pairs expand and everything survives), and under the cap a
+    duplicate pair prunes the higher id with dominator = lower id."""
+    from avk_job_skill_analytics_spark.operators.similarity import (
+        banded_semantic_prune,
+    )
+
+    vec = [1.0, -2.0, 3.0, 0.5]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    capped = banded_semantic_prune(
+        df, "vec_id", "embedding", dim=4, bands=2, rows_per_band=3,
+        threshold=0.4, max_bucket=4,
+    ).collect()
+    assert all(r.keep and r.dominator is None for r in capped)
+
+    ok = {
+        r.vec_id: (r.keep, r.dominator)
+        for r in banded_semantic_prune(
+            df, "vec_id", "embedding", dim=4, bands=2,
+            rows_per_band=3, threshold=0.4, max_bucket=100,
+        ).collect()
+    }
+    assert ok[0] == (True, None)          # lowest id always survives
+    for i in range(1, 8):
+        assert ok[i] == (False, 0), i     # identical -> dominated by 0
