@@ -78,8 +78,12 @@ PRIORITY = (
     "win_scd2_merge", "win_anomaly_zscore",
     # ml metrics/selection family
     "ml_auc_gate", "ml_ab_test", "ml_retrieval_metrics",
-    # pii/privacy family
-    "pii_erasure_audit", "pii_k_anonymity", "pii_cc_luhn",
+    # pii/privacy family (pii_cc_luhn yielded its slot to the r12
+    # tail addition below — pure Column math, lowest-novelty pick)
+    "pii_erasure_audit", "pii_k_anonymity",
+    # r12 addition: the production-shaped SemDeDup twin, newest code
+    # in the registry — first driver row wanted immediately
+    "dd_semantic_prune_lsh",
     # agg family
     "agg_weighted_median", "agg_grouping_sets", "agg_heavy_hitters",
     # io/layout family + the iterative-graph family
