@@ -557,6 +557,107 @@ def semantic_prune(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def band_sig_structs(vec_col: str, dim: int, bands: int,
+                     rows_per_band: int) -> Column:
+    """array<struct<band, sig>> of banded hyperplane signatures —
+    band b packs ``rows_per_band`` deterministic sign bits (planes
+    p = b*rows_per_band + r, the :func:`_plane_sign` constants), so
+    the batch prune, the streaming ingest gate and the SQL oracles
+    all band identically. Pure Column expression (codegen, no
+    shuffle)."""
+    sig_structs = []
+    for b in range(bands):
+        bits = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            pl = b * rows_per_band + r
+            arr = F.array(
+                *[F.lit(_plane_sign(pl, i)) for i in range(dim)]
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), arr,
+                           lambda x, sgn: x.cast("double") * sgn),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits = (bits
+                    + F.when(dot > 0, F.lit(1 << r))
+                    .otherwise(F.lit(0)).cast("long"))
+        sig_structs.append(
+            F.struct(F.lit(b).alias("band"), bits.alias("sig"))
+        )
+    return F.array(*sig_structs)
+
+
+def build_semantic_lsh_index(static_df: DataFrame, id_col: str,
+                             vec_col: str, dim: int, bands: int = 4,
+                             rows_per_band: int = 8) -> tuple:
+    """Batch-side index over the curated embedding corpus for the
+    streaming ingest gate: the banded signature table
+    ``(band, sig, _idx_id)`` arriving vectors join for candidates,
+    and the vector table ``(_idx_id, _idx_vec, _idx_norm)`` they
+    join for exact cosine verification. Built from the SAME banding
+    as :func:`banded_semantic_prune`, so batch and stream agree
+    bit-for-bit (the embedding analog of
+    streaming/minhash_stream.build_lsh_index)."""
+    sigs = static_df.select(
+        F.col(id_col).alias("_idx_id"),
+        F.explode(band_sig_structs(vec_col, dim, bands,
+                                   rows_per_band)).alias("_bs"),
+    ).select("_idx_id", F.col("_bs.band").alias("band"),
+             F.col("_bs.sig").alias("sig"))
+    vecs = static_df.select(
+        F.col(id_col).alias("_idx_id"),
+        F.col(vec_col).alias("_idx_vec"),
+        _norm(F.col(vec_col)).alias("_idx_norm"),
+    )
+    return sigs, vecs
+
+
+def stream_semantic_dedup_pairs(stream: DataFrame,
+                                index_bands: DataFrame,
+                                index_vecs: DataFrame, id_col: str,
+                                vec_col: str, dim: int,
+                                bands: int = 4,
+                                rows_per_band: int = 8,
+                                threshold: float = 0.4,
+                                round_digits: int = 6) -> DataFrame:
+    """Ingest-time semantic dedup — the embedding analog of the
+    MinHash ingest gate (streaming/minhash_stream): arriving vectors
+    band with the SAME deterministic hyperplanes as the batch prune,
+    candidates come from a stream-static join against the frozen
+    banded index (per-trigger work O(batch x matched buckets),
+    independent of corpus size — the corpus appears only through the
+    index), band collisions and file re-deliveries collapse in
+    dropDuplicates state, and every candidate verifies by EXACT
+    cosine before emitting (vec_id, dominator, cosine)."""
+    sigs = stream.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(band_sig_structs(vec_col, dim, bands,
+                                   rows_per_band)).alias("_bs"),
+    ).select(F.col(id_col), F.col(vec_col),
+             F.col("_bs.band").alias("band"),
+             F.col("_bs.sig").alias("sig"))
+    cand = (
+        sigs.join(index_bands, ["band", "sig"])
+        .filter(F.col("_idx_id") != F.col(id_col))
+        .select(F.col(id_col), F.col(vec_col), "_idx_id")
+        .dropDuplicates([id_col, "_idx_id"])
+    )
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("_idx_vec"))
+        / (_norm(F.col(vec_col)) * F.col("_idx_norm")),
+        round_digits,
+    )
+    return (
+        cand.join(index_vecs, "_idx_id")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(id_col), F.col("_idx_id").alias("dominator"),
+                "cosine")
+    )
+
+
+
 def banded_semantic_prune(df: DataFrame, id_col: str, vec_col: str,
                           dim: int, bands: int = 4,
                           rows_per_band: int = 8,
@@ -584,27 +685,11 @@ def banded_semantic_prune(df: DataFrame, id_col: str, vec_col: str,
     bucket sizes flat), and the cap bounds the worst case whatever
     the parameters. Recall < 1 by construction — the price of
     linearity, measured by the exact twin on samples."""
-    sig_structs = []
-    for b in range(bands):
-        bits = F.lit(0).cast("long")
-        for r in range(rows_per_band):
-            pl = b * rows_per_band + r
-            arr = F.array(
-                *[F.lit(_plane_sign(pl, i)) for i in range(dim)]
-            )
-            dot = F.aggregate(
-                F.zip_with(F.col(vec_col), arr,
-                           lambda x, sgn: x.cast("double") * sgn),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits = bits + F.when(dot > 0, F.lit(1 << r))                 .otherwise(F.lit(0)).cast("long")
-        sig_structs.append(
-            F.struct(F.lit(b).alias("band"), bits.alias("sig"))
-        )
     sigs = (
         df.select(F.col(id_col), F.col(vec_col),
-                  F.explode(F.array(*sig_structs)).alias("_bs"))
+                  F.explode(band_sig_structs(
+                      vec_col, dim, bands, rows_per_band
+                  )).alias("_bs"))
         .select(F.col(id_col), F.col(vec_col),
                 F.col("_bs.band").alias("band"),
                 F.col("_bs.sig").alias("sig"))

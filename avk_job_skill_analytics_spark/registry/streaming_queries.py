@@ -2386,3 +2386,108 @@ def stream_media_dedup(spark, sf_dir):
         (F.col("n_copies") / 2).cast("long").alias("n_copies"),
         "keep_id", "first_format",
     )
+
+
+def _stream_semantic_sql(dim: int = 64, bands: int = 4,
+                         rows_per_band: int = 8,
+                         threshold: float = 0.4) -> str:
+    """DuckDB twin of the streaming semantic ingest gate: the batch
+    banding SQL (same deterministic hyperplane constants as
+    similarity.band_sig_structs) restricted to even-index vs
+    odd-arrival candidate pairs, verified by the strict-left-fold
+    cosine — the doubled delivery collapses in stream state, so the
+    batch replay needs no halving."""
+    from ..operators.similarity import _plane_sign
+    from .scale_common import _cos_sql
+
+    def dot_p(pl: int) -> str:
+        arr = "[" + ", ".join(
+            f"CAST('{_plane_sign(pl, i)!r}' AS DOUBLE)"
+            for i in range(dim)
+        ) + "]"
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
+            "(x, y) -> x + y)"
+        )
+
+    band_rows = []
+    for b in range(bands):
+        sig = " + ".join(
+            f"CASE WHEN {dot_p(b * rows_per_band + r)} > 0 "
+            f"THEN CAST({1 << r} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+            for r in range(rows_per_band)
+        )
+        band_rows.append(
+            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
+            f"{sig} AS sig FROM embeddings"
+        )
+    sigs = " UNION ALL ".join(band_rows)
+    cos = _cos_sql("va.embedding", "vb.embedding")
+    return f"""WITH sigs AS MATERIALIZED ({sigs}),
+       cand AS (SELECT DISTINCT s.vec_id AS vec_id,
+                       i.vec_id AS dominator
+                FROM sigs i JOIN sigs s
+                  ON i.band = s.band AND i.sig = s.sig
+                 AND i.vec_id % 2 = 0 AND s.vec_id % 2 = 1)
+       SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+              CAST(c.dominator AS BIGINT) AS dominator,
+              round({cos}, 6) AS cosine
+       FROM cand c
+       JOIN embeddings va ON va.vec_id = c.dominator
+       JOIN embeddings vb ON vb.vec_id = c.vec_id
+       WHERE round({cos}, 6) >= {threshold}"""
+
+
+@_q("stream_semantic_dedup", _stream_semantic_sql())
+def stream_semantic_dedup(spark, sf_dir):
+    """Ingest-time SEMANTIC dedup (r12) — the embedding analog of
+    stream_minhash_dedup, completing the one-gate-per-family pattern
+    (text: MinHash bands; media: perceptual-hash ledger; embeddings:
+    THIS): even vec_ids form the curated corpus whose banded
+    hyperplane index is built batch-side with the SAME deterministic
+    constants as dd_semantic_prune_lsh and frozen (localCheckpoint);
+    odd vec_ids arrive on the file stream TWICE (doubled source, one
+    file per trigger) so the second delivery exercises the replay
+    path — every re-generated candidate is already in dropDuplicates
+    state and the sink sees each verified (vec_id, dominator) pair
+    exactly once. Signatures on the stream side are pure Column
+    expressions; per-trigger work is O(batch x matched buckets),
+    independent of corpus size. Oracle: the batch banding SQL
+    restricted to even-vs-odd pairs with exact cosine >= 0.4."""
+    from ..operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    static = emb.filter(F.col("vec_id") % 2 == 0)
+    index_bands, index_vecs = similarity.build_semantic_lsh_index(
+        static, "vec_id", "embedding", dim=64, bands=4,
+        rows_per_band=8,
+    )
+    index_bands = index_bands.localCheckpoint()
+    index_vecs = index_vecs.localCheckpoint()
+    src_dir = _source_dir(
+        sf_dir,
+        {"emb_a.parquet": "embeddings.parquet",
+         "emb_b.parquet": "embeddings.parquet"},
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .filter(F.col("vec_id") % 2 == 1)
+    )
+    out = similarity.stream_semantic_dedup_pairs(
+        stream, index_bands, index_vecs, "vec_id", "embedding",
+        dim=64, bands=4, rows_per_band=8, threshold=0.4,
+    )
+    drained = _drain(spark, out, "append", "st_semantic_dedup")
+    return drained.select(
+        F.col("vec_id").cast("long"),
+        F.col("dominator").cast("long"),
+        "cosine",
+    )

@@ -720,3 +720,22 @@ def test_stream_media_dedup_matches_batch_ledger(spark):
     }
     assert streamed == batch
     assert any(n >= 2 for n, _ in batch.values())  # clones present
+
+
+def test_stream_semantic_dedup_exactly_once_pairs(spark):
+    """The embedding ingest gate must emit each verified
+    (vec_id, dominator) pair exactly once despite the doubled
+    delivery (re-deliveries and band collisions collapse in
+    dropDuplicates state), dominators must be even (index side) and
+    vec_ids odd (arrival side), and every emitted cosine clears the
+    threshold."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["stream_semantic_dedup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "gate emitted nothing — banding broken?"
+    pairs = [(r.vec_id, r.dominator) for r in rows]
+    assert len(pairs) == len(set(pairs))        # exactly once
+    assert all(v % 2 == 1 and d % 2 == 0 for v, d in pairs)
+    assert all(r.cosine >= 0.4 for r in rows)
