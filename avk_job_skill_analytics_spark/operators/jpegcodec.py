@@ -797,6 +797,12 @@ def _decode_progressive(b, pos, first_sos, frame, qt, huff, restart,
         marker = b[pos + 1]
         if marker == 0xD9:              # EOI: reconstruct
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone TEM/RSTn carry NO length segment (T.81 B.1.1.3)
+            # — reading one as length-bearing misparses the stream and
+            # quarantines a decodable file (ADVICE r12)
+            pos += 2
+            continue
         if pos + 4 > len(b):
             return None
         (ln,) = struct.unpack(">H", b[pos + 2:pos + 4])

@@ -629,7 +629,18 @@ def stream_semantic_dedup_pairs(stream: DataFrame,
     independent of corpus size — the corpus appears only through the
     index), band collisions and file re-deliveries collapse in
     dropDuplicates state, and every candidate verifies by EXACT
-    cosine before emitting (vec_id, dominator, cosine)."""
+    cosine before emitting (vec_id, dominator, cosine).
+
+    State caveat (ADVICE r12): the dropDuplicates has NO watermark,
+    so its state grows with the number of distinct (id, index-id)
+    pairs ever seen — exact and fine for the availableNow drain shape
+    this engine ships (state dies with the run), but a CONTINUOUS
+    deployment must bound it: add an event-time column and
+    ``withWatermark`` before the dropDuplicates (collapsing only
+    re-deliveries inside the lateness window), or use
+    :func:`streaming.batched_index`'s journaled growing-index shape
+    (stream_semantic_index_maintain) where dedup is a keyed ledger
+    upsert instead of operator state."""
     sigs = stream.select(
         F.col(id_col), F.col(vec_col),
         F.explode(band_sig_structs(vec_col, dim, bands,

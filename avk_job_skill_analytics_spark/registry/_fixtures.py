@@ -35,7 +35,11 @@ class FixtureMemo(dict):
 
     The memo sites all follow ``if key not in memo: ... memo[key] =
     ...`` then ``return memo[key]`` — so ``__setitem__`` with a new
-    key is a build and ``__getitem__``/``get`` are hits.
+    key is a build, and a ``__getitem__``/``get`` that actually FINDS
+    the key is a hit (ADVICE r12: a miss or the lookup right after a
+    build must not inflate the hit counter — bench checks builds
+    first, so cold/warm tagging was already unaffected, but the
+    counters should mean what they say).
     """
 
     def __init__(self) -> None:
@@ -50,11 +54,13 @@ class FixtureMemo(dict):
         super().__setitem__(key, value)
 
     def __getitem__(self, key):
-        self.hits += 1
+        if key in self:
+            self.hits += 1
         return super().__getitem__(key)
 
     def get(self, key, default=None):
-        self.hits += 1
+        if key in self:
+            self.hits += 1
         return super().get(key, default)
 
 

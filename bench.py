@@ -225,6 +225,16 @@ def _wait_for_settle(max_wait_s: int = MAX_LOAD_WAIT_S,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Round for the archived BENCH_DETAIL_r<N>.json: explicit beats
+    # inference (ADVICE r12 — the max(BENCH_r*)+1 guess lands under the
+    # wrong round if the driver ledger is written before/after this
+    # run). `--round N` or SPARK_GRAFT_ROUND=N; else infer.
+    argv = sys.argv[1:]
+    round_override = os.environ.get("SPARK_GRAFT_ROUND")
+    if "--round" in argv:
+        i = argv.index("--round")
+        round_override = argv[i + 1]
+        del argv[i:i + 2]
     load_wait_s = _wait_for_settle()
     if load_wait_s:
         print(f"# waited {load_wait_s}s for load to settle",
@@ -247,7 +257,7 @@ def main() -> None:
         pass
 
     queries = all_queries()
-    only = sys.argv[1:]
+    only = argv
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
 
@@ -410,20 +420,73 @@ def main() -> None:
         f.write(json.dumps(full, separators=(",", ":")) + "\n")
     if not only:
         # archive FULL sweeps per round (VERDICT r11 #2): the round
-        # number is inferred from the driver's BENCH_r<N>.json ledger
-        # (this run feeds round max+1). Partial runs never archive —
-        # they'd overwrite a full sweep with a fragment.
+        # comes from --round/SPARK_GRAFT_ROUND when given, else is
+        # inferred from the driver's BENCH_r<N>.json ledger (this run
+        # feeds round max+1). Partial runs never archive — they'd
+        # overwrite a full sweep with a fragment.
         import glob as _glob
         import re as _re
 
-        rounds = [
-            int(m.group(1))
-            for f in _glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
-            if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+        if round_override is not None:
+            n = int(round_override)
+        else:
+            rounds = [
+                int(m.group(1))
+                for f in _glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+                if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+            ]
+            n = max(rounds, default=0) + 1
+        # DRIFT GUARD (VERDICT r12 #1): the r12 archive shipped a
+        # 1.22x uniform machine-load drift as if it were a code
+        # regression. A sweep may not become the round-of-record when
+        # (a) its own resettle pass could not settle, or (b) the
+        # median per-query ratio vs the PREVIOUS archived sweep at the
+        # same sf exceeds 1.1 — uniform drift of that size is machine
+        # load, not code (code regressions are never uniform across
+        # ~345 independent plans). The run still lands in
+        # BENCH_DETAIL.json for inspection; re-run from a settled
+        # machine to archive.
+        drift_median = None
+        prev_detail = sorted(
+            _glob.glob(os.path.join(ROOT, "BENCH_DETAIL_r*.json"))
+        )
+        prev_detail = [
+            p for p in prev_detail
+            if (m := _re.search(r"_r(\d+)\.json$", p)) and int(m.group(1)) < n
         ]
-        n = max(rounds, default=0) + 1
-        with open(os.path.join(ROOT, f"BENCH_DETAIL_r{n:02d}.json"),
-                  "w") as f:
+        if prev_detail:
+            try:
+                with open(prev_detail[-1]) as f:
+                    ref = json.load(f)
+                if ref.get("sf") == full["sf"]:
+                    ratios = sorted(
+                        timings[k] / v
+                        for k, v in ref.get("queries", {}).items()
+                        if v >= 0.2 and timings.get(k, -1) > 0
+                    )
+                    if ratios:
+                        drift_median = round(
+                            ratios[len(ratios) // 2], 3
+                        )
+            except Exception:
+                pass
+        refused = None
+        if resettle and not resettle.get("settled", True):
+            refused = "resettle_never_settled"
+        elif drift_median is not None and drift_median > 1.1:
+            refused = f"median_drift_{drift_median}x_vs_r{n - 1}"
+        full["drift_median"] = drift_median
+        if refused:
+            full["archive_refused"] = refused
+            print(f"# ARCHIVE REFUSED ({refused}): BENCH_DETAIL_r{n:02d}"
+                  ".json NOT written — re-run load-clean",
+                  file=sys.stderr)
+        else:
+            with open(os.path.join(ROOT, f"BENCH_DETAIL_r{n:02d}.json"),
+                      "w") as f:
+                f.write(json.dumps(full, separators=(",", ":")) + "\n")
+        # the inspection copy must carry the guard's verdict too
+        with open(os.path.join(ROOT, "BENCH_DETAIL.json"), "w") as f:
             f.write(json.dumps(full, separators=(",", ":")) + "\n")
 
     compact = dict(full)

@@ -344,3 +344,28 @@ def test_restart_markers_decode_baseline_and_progressive():
         build_jpeg_pixels(13, 9, cf, restart=1)) == ref
     assert decode_jpeg_pixels(
         build_jpeg_progressive(13, 9, cf, restart=1)) == ref
+
+
+def test_progressive_standalone_markers_between_scans():
+    """Stray standalone TEM (FF 01) / RSTn (FF D0-D7) markers BETWEEN
+    progressive scans carry no length segment (T.81 B.1.1.3); the
+    inter-scan walk must skip them instead of misparsing the next two
+    bytes as a length and quarantining a decodable file (ADVICE r12)."""
+    from avk_job_skill_analytics_spark.operators.jpegcodec import (
+        build_jpeg_progressive,
+    )
+
+    fn = lambda x, y: (x * 7 + y * 13 + (x * y) % 31) % 256  # noqa: E731
+    p = build_jpeg_progressive(24, 17, fn, grey=True)
+    ref = decode_jpeg_pixels(p)
+    assert ref is not None
+    # every FF DA in the file is a real SOS (entropy data stuffs FF as
+    # FF 00 and only RSTn may follow FF inside a scan) — inject the
+    # standalone markers immediately before the 2nd and 3rd SOS
+    sos = [i for i in range(len(p) - 1)
+           if p[i] == 0xFF and p[i + 1] == 0xDA]
+    assert len(sos) >= 3, "progressive stream should be multi-scan"
+    b = bytearray(p)
+    b[sos[2]:sos[2]] = b"\xff\xd3"      # stray RSTn between scans
+    b[sos[1]:sos[1]] = b"\xff\x01"      # standalone TEM between scans
+    assert decode_jpeg_pixels(bytes(b)) == ref
