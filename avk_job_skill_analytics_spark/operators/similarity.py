@@ -487,6 +487,41 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     )
 
 
+def adaptive_planes(n: int, target_bucket: int = 128, lo: int = 4,
+                    hi: int = 12) -> int:
+    """Plane count that holds expected LSH bucket population at
+    ~``target_bucket`` as the corpus grows: ceil(log2(n / target)),
+    clamped to [lo, hi]. This is THE scale lever for the self-join
+    families (knn_graph, banded prune): with planes fixed, in-bucket
+    pair cost is n²/2^planes — quadratic; growing planes with
+    log(corpus) keeps buckets flat and total pair work ~linear. The
+    formula is replayed verbatim in SQL by the adaptive oracle CTEs
+    (LEAST/GREATEST/CEIL/LOG2 over count(*)), so both engines pick
+    the same bucketing at every scale."""
+    import math
+
+    if n <= 0:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(n / target_bucket))))
+
+
+def knn_graph_adaptive(df: DataFrame, id_col: str, vec_col: str,
+                       dim: int, k: int = 3, target_bucket: int = 128,
+                       lo_planes: int = 4, hi_planes: int = 12,
+                       round_digits: int = 6) -> DataFrame:
+    """:func:`knn_graph` with the plane count chosen from the corpus
+    size (:func:`adaptive_planes`) — one count() job (parquet footer
+    metadata, near-free) buys a bucketing that survives 10×/100×
+    growth instead of going quadratic. At the verified gate scales
+    (n ≤ 2048 with the defaults) this resolves to exactly
+    ``planes=4``, so results are bit-identical to the fixed
+    parameterization there."""
+    planes = adaptive_planes(df.count(), target_bucket, lo_planes,
+                             hi_planes)
+    return knn_graph(df, id_col, vec_col, dim, k=k, planes=planes,
+                     round_digits=round_digits)
+
+
 def knn_graph(df: DataFrame, id_col: str, vec_col: str, dim: int,
               k: int = 3, planes: int = 4,
               round_digits: int = 6) -> DataFrame:

@@ -39,7 +39,7 @@ from .scale_common import (
     _ivf_probe_sql,
     _ivf_trained_sql,
     _ivfpq_sql,
-    _knn_graph_ctes,
+    _knn_graph_adaptive_ctes,
     _lsh_topk_sql,
     _pq_sql,
     _pq_trained_sql,
@@ -245,7 +245,7 @@ def ann_lsh_topk(spark, sf_dir):
 
 @_q(
     "ann_knn_graph",
-    f"""WITH {_knn_graph_ctes(64, 4, 3)}
+    f"""WITH {_knn_graph_adaptive_ctes(64, 3)}
        SELECT src, neighbor_id, cosine, rk FROM knn""",
 )
 def ann_knn_graph(spark, sf_dir):
@@ -253,14 +253,16 @@ def ann_knn_graph(spark, sf_dir):
     regime (every vector is query and corpus at once) where brute
     force is n^2: hyperplane-LSH bucketing caps the self-join at
     sum(bucket_size^2) pairs and each node ranks its top-3 inside its
-    bucket only. planes is the cost dial (each extra plane halves
-    expected bucket size). The oracle replays identical signatures
-    and ranking, so both engines miss exactly the same cross-bucket
+    bucket only. The plane count scales with log(corpus)
+    (similarity.adaptive_planes) so bucket population stays ~flat —
+    at the verified gate scales it resolves to the historical
+    planes=4. The oracle replays identical adaptive signatures and
+    ranking, so both engines miss exactly the same cross-bucket
     neighbors. The edge list feeds mutual-kNN clustering and
     SemDeDup-style graph pruning downstream."""
     e = load(spark, sf_dir, "embeddings")
-    return similarity.knn_graph(
-        e, "vec_id", "embedding", dim=64, k=3, planes=4
+    return similarity.knn_graph_adaptive(
+        e, "vec_id", "embedding", dim=64, k=3
     )
 
 

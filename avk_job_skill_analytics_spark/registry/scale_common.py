@@ -299,6 +299,59 @@ def _knn_graph_ctes(dim: int, planes: int, topk: int) -> str:
                   ORDER BY cosine DESC, neighbor_id) AS rk FROM sp) t
          WHERE rk <= {topk})"""
 
+# ----------------------------------------------- adaptive k-NN graph
+def _knn_graph_adaptive_ctes(dim: int, topk: int, lo: int = 4,
+                             hi: int = 12, target: int = 128) -> str:
+    """sigs/knn CTE block replaying similarity.knn_graph_adaptive:
+    the full ``hi``-plane signature is computed once and masked to
+    the low ``planes`` bits, where planes =
+    LEAST(hi, GREATEST(lo, CEIL(LOG2(count(*) / target)))) — the
+    exact formula of similarity.adaptive_planes. Masking works
+    because signature bit p IS plane p, so ``sig_hi & (2^planes - 1)``
+    equals the planes-bit signature the Spark side builds directly.
+    At the verified gate scales (n ≤ 2048 with defaults) planes
+    resolves to ``lo`` = the historical fixed parameterization, so
+    hashes are unchanged there."""
+    from ..operators.similarity import _plane_sign
+
+    def dot_p(p: int) -> str:
+        arr = "[" + ", ".join(
+            f"CAST('{_plane_sign(p, i)!r}' AS DOUBLE)" for i in range(dim)
+        ) + "]"
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
+            "(x, y) -> x + y)"
+        )
+
+    sig = " + ".join(
+        f"CASE WHEN {dot_p(p)} > 0 THEN CAST({1 << p} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for p in range(hi)
+    )
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""params AS (
+         SELECT LEAST({hi}, GREATEST({lo},
+                  CAST(CEIL(LOG2(count(*) / {target}.0)) AS BIGINT)))
+                AS planes
+         FROM embeddings),
+       rawsigs AS MATERIALIZED (
+         SELECT vec_id, embedding, {sig} AS sig_hi FROM embeddings),
+       sigs AS MATERIALIZED (
+         SELECT vec_id, embedding,
+                sig_hi & ((CAST(1 AS BIGINT) << planes) - 1) AS sig
+         FROM rawsigs, params),
+       sp AS (SELECT a.vec_id AS src, b.vec_id AS neighbor_id,
+                     round({cos}, 6) AS cosine
+              FROM sigs a JOIN sigs b
+                ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+       knn AS MATERIALIZED (
+         SELECT src, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk
+         FROM (SELECT *, row_number() OVER (PARTITION BY src
+                  ORDER BY cosine DESC, neighbor_id) AS rk FROM sp) t
+         WHERE rk <= {topk})"""
+
 # ------------------------------------------------------ text: fingerprints
 _ROLL_H = f"({md5_long_sql('x')} % {MERSENNE_P})"
 
@@ -1882,6 +1935,7 @@ __all__ = [
     "_rp_sql",
     "_lsh_topk_sql",
     "_knn_graph_ctes",
+    "_knn_graph_adaptive_ctes",
     "_ROLL_H",
     "AHASH_HASHES_CTE",
     "NEAR_CELLS_CTE",

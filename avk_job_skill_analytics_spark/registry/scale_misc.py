@@ -52,7 +52,7 @@ from .scale_common import (
     _geo_pip_sql,
     _geo_points,
     _kcore_sql,
-    _knn_graph_ctes,
+    _knn_graph_adaptive_ctes,
     _pagerank_sql,
     _pii_oracle_sql,
     _pref_pairs_sql,
@@ -74,7 +74,7 @@ def _q(name, oracle=None):
 
 @_q(
     "graph_knn_mutual_components",
-    f"""WITH RECURSIVE {_knn_graph_ctes(64, 4, 3)},
+    f"""WITH RECURSIVE {_knn_graph_adaptive_ctes(64, 3)},
        mut AS (SELECT x.src AS s, x.neighbor_id AS d
                FROM knn x JOIN knn y
                  ON x.src = y.neighbor_id AND x.neighbor_id = y.src
@@ -97,13 +97,17 @@ def graph_knn_mutual_components(spark, sf_dir):
     (O(log n) rounds) and a component-size histogram. This is the
     scalable semantic-clustering recipe (mutual-kNN components are
     the standard cheap proxy for cluster structure before anything
-    as heavy as k-means): LSH bounds edge generation, the mutual
-    filter is a self-join on the existing edge key, and CC never
-    materializes anything bigger than the edge list. Oracle replays
+    as heavy as k-means): LSH bounds edge generation with a plane
+    count that GROWS with log(corpus) (adaptive_planes — fixed
+    planes made in-bucket pair cost n²/2^planes, the r12 5.0×-at-10×
+    finding; adaptively it resolves to the historical planes=4 at
+    every verified gate scale), the mutual filter is a self-join on
+    the existing edge key, and CC never materializes anything bigger
+    than the edge list. Oracle replays the adaptive bucketing and
     the closure with a recursive CTE."""
     e = load(spark, sf_dir, "embeddings")
-    edges = similarity.knn_graph(
-        e, "vec_id", "embedding", dim=64, k=3, planes=4
+    edges = similarity.knn_graph_adaptive(
+        e, "vec_id", "embedding", dim=64, k=3
     )
     mut = graph.mutual_edges(edges, "src", "neighbor_id")
     comp = graph.connected_components_twostar(

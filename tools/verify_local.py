@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -92,9 +93,11 @@ def main():
         spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # Spark-written replicas (tools/make_sf1.py) are DIRECTORIES
+        # of part files; DuckDB needs the glob form for those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures, n_pass, n_rows_only = [], 0, 0
