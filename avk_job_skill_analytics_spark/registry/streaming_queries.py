@@ -2491,3 +2491,112 @@ def stream_semantic_dedup(spark, sf_dir):
         F.col("dominator").cast("long"),
         "cosine",
     )
+
+
+def _stream_semantic_maintain_sql(dim: int = 64, bands: int = 4,
+                                  rows_per_band: int = 8,
+                                  threshold: float = 0.4) -> str:
+    """DuckDB twin of the GROWING semantic index drain: every
+    ingested pair sharing a band signature is checked exactly once
+    (intra-batch or against-the-committed-index), so the drained pair
+    set equals the one-shot batch banding over the full corpus —
+    distinct (id_a < id_b) band collisions verified by the
+    strict-left-fold exact cosine. No batch bookkeeping needed."""
+    from ..operators.similarity import _plane_sign
+    from .scale_common import _cos_sql
+
+    def dot_p(pl: int) -> str:
+        arr = "[" + ", ".join(
+            f"CAST('{_plane_sign(pl, i)!r}' AS DOUBLE)"
+            for i in range(dim)
+        ) + "]"
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
+            "(x, y) -> x + y)"
+        )
+
+    band_rows = []
+    for b in range(bands):
+        sig = " + ".join(
+            f"CASE WHEN {dot_p(b * rows_per_band + r)} > 0 "
+            f"THEN CAST({1 << r} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+            for r in range(rows_per_band)
+        )
+        band_rows.append(
+            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
+            f"{sig} AS sig FROM embeddings"
+        )
+    sigs = " UNION ALL ".join(band_rows)
+    cos = _cos_sql("va.embedding", "vb.embedding")
+    return f"""WITH sigs AS MATERIALIZED ({sigs}),
+       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON a.band = b.band AND a.sig = b.sig
+                 AND a.vec_id < b.vec_id)
+       SELECT CAST(c.id_a AS BIGINT) AS id_a,
+              CAST(c.id_b AS BIGINT) AS id_b,
+              round({cos}, 6) AS cosine
+       FROM cand c
+       JOIN embeddings va ON va.vec_id = c.id_a
+       JOIN embeddings vb ON vb.vec_id = c.id_b
+       WHERE round({cos}, 6) >= {threshold}"""
+
+
+@_q("stream_semantic_index_maintain", _stream_semantic_maintain_sql())
+def stream_semantic_index_maintain(spark, sf_dir):
+    """GROWING-index streaming semantic dedup (r13, VERDICT r12 #6 —
+    streaming/semantic_stream): the production twin of
+    stream_semantic_dedup, completing the journaled incremental-index
+    family for embeddings the way minhash/BM25/ssjoin/IVF-PQ already
+    have. Even vec_ids arrive as batch 0, odd as batch 1; each
+    batch's arrivals band with the SAME hyperplanes as the batch
+    prune, verify by exact cosine against everything indexed so far
+    AND their own co-arrivals (the frozen gate's blind spot), then
+    their band postings append exactly once under the shared marker
+    protocol; compact_every=2 exercises the journaled generation
+    fold end-to-end. No per-pair operator state — dedup is the
+    on-disk ledger, which is the ADVICE-r12 answer to the frozen
+    gate's unbounded dropDuplicates. Because every ingested pair
+    sharing a band is checked exactly once, the drained pairs equal
+    the one-shot batch banding over the full corpus — the oracle."""
+    from ..streaming.semantic_stream import (
+        foreach_batch_semantic_maintain,
+    )
+
+    src = _single_file_drops(
+        spark, sf_dir, "embeddings", ["vec_id", "embedding"],
+        [("0_even.parquet", F.col("vec_id") % 2 == 0),
+         ("1_odd.parquet", F.col("vec_id") % 2 == 1)],
+        "semantic_stream_src_",
+    )
+    index_dir = tempfile.mkdtemp(prefix="semantic_index_")
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_semantic_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_semantic_maintain(
+                    stream, index_dir, "vec_id", "embedding",
+                    dim=64, bands=4, rows_per_band=8, threshold=0.4,
+                    compact_every=2,
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(f"{index_dir}/pairs")
+        .select("id_a", "id_b", "cosine")
+    )
