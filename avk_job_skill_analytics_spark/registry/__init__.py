@@ -67,28 +67,28 @@ PRIORITY = (
     # type-fixed sentinels (r11 HUGEINT-fetch fix) — permanent
     "dq_psi_drift", "ml_information_value", "io_table_checksum",
     "tpch_q12_late_shipments", "stream_psi_drift",
-    # --- r12 rotation: 21 first-time driver rows ---
-    # this round's reworked machinery: the media-dedup ledger now
-    # drains through the journaled per-bucket upsert, and the two
-    # r11-continuation queries were verified individually after the
-    # sf0.1 sweep but never by the driver
-    "stream_media_dedup", "mm_pixel_knn", "mm_audio_matches",
-    # window family (26 queries, zero driver rows before r12)
-    "win_sessionize", "win_rolling_7d", "win_retention_cohorts",
-    "win_scd2_merge", "win_anomaly_zscore",
-    # ml metrics/selection family
-    "ml_auc_gate", "ml_ab_test", "ml_retrieval_metrics",
-    # pii/privacy family (pii_cc_luhn yielded its slot to the r12
-    # tail addition below — pure Column math, lowest-novelty pick)
-    "pii_erasure_audit", "pii_k_anonymity",
-    # r12 addition: the production-shaped SemDeDup twin, newest code
-    # in the registry — first driver row wanted immediately
-    "dd_semantic_prune_lsh",
-    # agg family
-    "agg_weighted_median", "agg_grouping_sets", "agg_heavy_hitters",
-    # io/layout family + the iterative-graph family
-    "io_zorder_skip", "io_bucketed_join", "io_schema_evolution",
-    "graph_pagerank_suppliers",
+    # --- r13 rotation: 21 first-time driver rows ---
+    # this round's new/reworked machinery first: the growing banded
+    # embedding index (new), and the two kNN-graph queries whose LSH
+    # plane count became corpus-adaptive (machinery changed)
+    "stream_semantic_index_maintain",
+    "graph_knn_mutual_components", "ann_knn_graph",
+    # tpch family (21 never-gated; eight join/agg/exists shapes —
+    # the rest rotate in over r14/r15)
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q18_large_volume",
+    "tpch_q19_disjunctive", "tpch_q21_waiting_supplier",
+    # entity-resolution family (all five, zero driver rows before)
+    "er_candidate_pairs", "er_fellegi_sunter", "er_entity_clusters",
+    "er_golden_record", "er_blocking_audit",
+    # embedding-prep family (array-free members only:
+    # emb_quantize_int8 emits INTEGER[] and stays out per the
+    # oracle-types constraint)
+    "emb_similarity_histogram", "emb_standardize",
+    # text + streaming classifier/index slots
+    "txt_nb_classifier", "stream_nb_gate",
+    "stream_bm25_index_maintain",
 )
 
 
