@@ -103,7 +103,11 @@ def _source_dir(sf_dir: str, links: dict) -> str:
     if key not in _SRC_DIRS:
         d = tempfile.mkdtemp(prefix="stream_src_")
         for link_name, target in links.items():
-            tpath = f"{sf_dir}/{target}"
+            # absolutize: the symlink lives under /tmp, so a relative
+            # sf_dir (e.g. `.bench_sf1/sf1`) would otherwise produce a
+            # dangling link that Spark's file listing silently skips —
+            # the stream "succeeds" having drained zero rows
+            tpath = os.path.abspath(f"{sf_dir}/{target}")
             if os.path.isdir(tpath):
                 # Spark-written dataset (sf1 replica): the file source
                 # does NOT recurse through a symlinked directory entry,
