@@ -77,9 +77,9 @@ def knuth32(col: Column) -> Column:
     fits comfortably in 63 bits (l·K <= 1.8e14), and the result is
     bit-identical to the naive form wherever that form didn't
     overflow — so every recorded oracle stays hash-matched. The
-    DuckDB oracles keep the naive spelling: they evaluate only at
-    validation scale (ids < 2^31), where the forms agree; an oracle
-    at sf1-shifted ids would need a HUGEINT cast."""
+    DuckDB oracles use the same split spelling (knuth32_sql), so
+    they too verify at sf1-shifted ids (~7.7e10) without a HUGEINT
+    cast."""
     y = col.cast("long") % F.lit(4294967296)
     h = F.shiftright(y, 16)
     lo = y.bitwiseAND(F.lit(65535))
@@ -107,8 +107,19 @@ def knuth_bucket(col: Column, modulus: int) -> Column:
     return F.shiftright(knuth32(col) * F.lit(int(modulus)), 32)
 
 
+def knuth32_sql(expr: str) -> str:
+    """DuckDB twin of :func:`knuth32` — the same overflow-free split
+    multiply, so the oracle evaluates at ANY non-negative 64-bit id
+    (the naive ``expr * 2654435761`` raises DuckDB's INT64 overflow
+    once ids exceed 2^63/K ~ 3.47e9, e.g. the sf1 key-shifted
+    replicas). Bit-identical to the naive form below 2^31, so every
+    recorded validation-scale hash is unchanged."""
+    y = f"({expr} % 4294967296)"
+    return (f"(((({y} // 65536) * 2654435761) % 65536) * 65536 + "
+            f"({y} % 65536) * 2654435761) % 4294967296")
+
+
 def knuth_bucket_sql(expr: str, modulus: int) -> str:
-    """DuckDB twin of :func:`knuth_bucket` — valid at validation
-    scale (ids < 2^31, cf. knuth32's naive-spelling note)."""
-    return (f"((({expr} * 2654435761) % 4294967296)"
-            f" * {int(modulus)}) // 4294967296")
+    """DuckDB twin of :func:`knuth_bucket`, overflow-free at any id
+    scale via :func:`knuth32_sql`."""
+    return f"(({knuth32_sql(expr)}) * {int(modulus)}) // 4294967296"

@@ -297,7 +297,7 @@ def o3_topk_customers(spark, sf_dir):
 @_q(
     "o4_sample_hash",
     """SELECT c_custkey, c_name FROM customer
-       WHERE ((c_custkey * 2654435761) % 4294967296 * 100) // 4294967296 < 10""",
+       WHERE (((((((c_custkey % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((c_custkey % 4294967296) % 65536) * 2654435761) % 4294967296) * 100) // 4294967296 < 10""",
 )
 def o4_sample_hash(spark, sf_dir):
     """O4 — deterministic engine-portable sample (multiplicative hash
@@ -311,7 +311,7 @@ def o4_sample_hash(spark, sf_dir):
 @_q(
     "o4_sample_stratified",
     """SELECT o_orderkey, o_orderpriority FROM orders
-       WHERE ((o_orderkey * 2654435761) % 4294967296 * 100) // 4294967296 <
+       WHERE (((((((o_orderkey % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((o_orderkey % 4294967296) % 65536) * 2654435761) % 4294967296) * 100) // 4294967296 <
              CASE o_orderpriority
                WHEN '1-URGENT' THEN 30
                WHEN '2-HIGH' THEN 10
@@ -337,9 +337,9 @@ def o4_sample_stratified(spark, sf_dir):
               CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
                                        x -> x <> ''))) AS BIGINT) AS n_tokens
        FROM (SELECT *,
-                    CASE WHEN ((doc_id * 2654435761) % 4294967296 * 100) // 4294967296 < 90
+                    CASE WHEN (((((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296) * 100) // 4294967296 < 90
                            THEN 'train'
-                         WHEN ((doc_id * 2654435761) % 4294967296 * 100) // 4294967296 < 95
+                         WHEN (((((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296) * 100) // 4294967296 < 95
                            THEN 'val'
                          ELSE 'test' END AS split
              FROM documents) s
@@ -659,7 +659,7 @@ def u3_cohort_set_ops(spark, sf_dir):
     "o4_sample_weighted",
     """SELECT doc_id, n_chars
        FROM documents
-       WHERE CAST(((doc_id * 2654435761) % 4294967296 * 1000000)
+       WHERE CAST((((((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296) * 1000000)
                   // 4294967296 AS DOUBLE)
              < least(1.0, greatest(0.0, n_chars / 400.0)) * 1000000.0""",
 )

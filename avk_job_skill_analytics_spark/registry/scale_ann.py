@@ -88,7 +88,7 @@ def ann_cosine_topk(spark, sf_dir):
 @_q(
     "emb_similarity_histogram",
     f"""WITH s AS (SELECT vec_id, embedding FROM embeddings
-           ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+           ORDER BY ((((((vec_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((vec_id % 4294967296) % 65536) * 2654435761) % 4294967296), vec_id
            LIMIT 128),
        p AS (SELECT CAST(floor(
                ({_cos_sql('a.embedding', 'b.embedding')})

@@ -1400,9 +1400,9 @@ def _cluster_split_sql() -> str:
                        coalesce(cl.cluster_id, d.doc_id) AS cid
                 FROM documents d LEFT JOIN cl USING (doc_id)),
        sp AS (SELECT doc_id, cid,
-                     CASE WHEN ((cid * 2654435761) % 4294967296 * 100) // 4294967296 < 90
+                     CASE WHEN (((((((cid % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((cid % 4294967296) % 65536) * 2654435761) % 4294967296) * 100) // 4294967296 < 90
                             THEN 'train'
-                          WHEN ((cid * 2654435761) % 4294967296 * 100) // 4294967296 < 95
+                          WHEN (((((((cid % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((cid % 4294967296) % 65536) * 2654435761) % 4294967296) * 100) // 4294967296 < 95
                             THEN 'val'
                           ELSE 'test' END AS split
               FROM allc),
@@ -1718,7 +1718,7 @@ def _prefix_filter_sql(tn: int = 1, td: int = 2) -> str:
              AS jacc_fp
   FROM ver WHERE inter * {td} >= {tn} * (na + nb - inter)"""
 
-_ARM_SQL = "((user_id * 2654435761) % 4294967296 * 2) // 4294967296"
+_ARM_SQL = "(((((((user_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((user_id % 4294967296) % 65536) * 2654435761) % 4294967296) * 2) // 4294967296"
 
 def _bootstrap_sql() -> str:
     from ..operators.experiment import POISSON1_THRESHOLDS

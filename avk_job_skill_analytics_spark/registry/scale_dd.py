@@ -587,7 +587,7 @@ def dd_fuzzy_match(spark, sf_dir):
 @_q(
     "dd_split_leakage",
     """WITH d AS (SELECT doc_id, text,
-                     CASE WHEN ((doc_id * 2654435761) % 4294967296 * 100) // 4294967296 < 90
+                     CASE WHEN (((((((doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((doc_id % 4294967296) % 65536) * 2654435761) % 4294967296) * 100) // 4294967296 < 90
                           THEN 'train' ELSE 'eval' END AS split
               FROM documents),
        w AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM d),

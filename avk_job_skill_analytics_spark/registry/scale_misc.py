@@ -578,7 +578,7 @@ def graph_triangles(spark, sf_dir):
                FROM per_src, tgt),
        kept AS (SELECT d.doc_id, d.source, d.n_tokens
                 FROM d JOIN wts ON d.source = wts.source
-                WHERE CAST(((d.doc_id * 2654435761) % 4294967296
+                WHERE CAST((((((((d.doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((d.doc_id % 4294967296) % 65536) * 2654435761) % 4294967296)
                             * 1000000) // 4294967296
                            AS DOUBLE) < wts.p * 1000000)
        SELECT w.source, w.t_s AS orig_tokens,
@@ -1089,7 +1089,7 @@ def agg_decayed_engagement(spark, sf_dir):
              ORDER BY CAST(n AS DOUBLE) / w, g LIMIT 1),
        kept AS (SELECT d.source AS g, count(*) AS k
                 FROM documents d JOIN cnt ON cnt.g = d.source, m
-                WHERE CAST(((d.doc_id * 2654435761) % 4294967296
+                WHERE CAST((((((((d.doc_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((d.doc_id % 4294967296) % 65536) * 2654435761) % 4294967296)
                             * 1000000) // 4294967296
                            AS HUGEINT) * m.wm * cnt.n
                     < CAST(1000000 AS HUGEINT) * m.nm * cnt.w

@@ -786,7 +786,7 @@ def ml_semihard_negatives(spark, sf_dir):
                                  AND value > 200.0
                            THEN 1 ELSE 0 END) AS c
                FROM events GROUP BY user_id),
-       t AS (SELECT ((user_id * 2654435761) % 4294967296 * 2) // 4294967296 AS arm,
+       t AS (SELECT (((((((user_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536 + ((user_id % 4294967296) % 65536) * 2654435761) % 4294967296) * 2) // 4294967296 AS arm,
                     count(*) AS n, sum(c) AS cv
              FROM u GROUP BY 1),
        a AS (SELECT n AS na, cv AS ca FROM t WHERE arm = 0),
