@@ -92,6 +92,15 @@ def main():
 
         spark = get_spark()
     con = duckdb.connect()
+    # Bound the oracle: an unbounded DuckDB run of a heavy self-join
+    # oracle at sf1 grows past physical RAM and the kernel OOM-kills
+    # the whole sweep (losing every already-computed verdict in this
+    # process). With a limit DuckDB spills to temp or raises a clean
+    # OutOfMemoryException that lands in the manifest as an oracle
+    # error instead.
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "48GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         # Spark-written replicas (tools/make_sf1.py) are DIRECTORIES
         # of part files; DuckDB needs the glob form for those
