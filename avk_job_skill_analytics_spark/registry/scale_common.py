@@ -111,10 +111,34 @@ def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
   {_lsh_cand_ctes(num_hashes, bands)},
 {_VERIFY_SQL.format(thr=threshold)}"""
 
+# Candidate generation is PREFIX-FILTERED (AllPairs, Bayardo et al.
+# WWW'07) rather than the exhaustive inverted-index self-join: the
+# exhaustive `sh JOIN sh ON shingle` form is quadratic in shingle
+# document-frequency and made every cluster-family oracle infeasible
+# in DuckDB at the sf1 replica (>77 GB of spill). Losslessness for
+# the verify predicate round(j, 4) >= 0.5: that predicate implies
+# exact j >= 0.49995 > 4999/10000, and the prefix filter at
+# t = 4999/10000 (prefix length n - ceil(t*n) + 1 under the global
+# df-asc/shingle-asc term order, plus the min*td >= tn*max size
+# filter) provably emits every pair with exact j >= t. The verify
+# stage below is unchanged — same exact intersection over the FULL
+# shingle sets, same rounding — so the surviving pairs are identical
+# at every scale (re-verified: hashes unchanged at sf0.01/sf0.1).
 _NGRAM_PAIRS_SQL = f"""WITH {_SHINGLE_CTE},
-  cand AS (SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
-           FROM sh s1 JOIN sh s2
-             ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
+  dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+  siz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  ordp AS (SELECT t.doc_id, t.shingle, s.n,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.shingle) AS pos
+           FROM sh t JOIN dfc d USING (shingle)
+                     JOIN siz s USING (doc_id)),
+  pref AS (SELECT doc_id, shingle, n FROM ordp
+           WHERE pos <= n - CAST((4999 * n + 9999) // 10000 AS BIGINT)
+                            + 1),
+  cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+           FROM pref a JOIN pref b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE least(a.n, b.n) * 10000 >= 4999 * greatest(a.n, b.n)),
 {_VERIFY_SQL.format(thr=0.5)}"""
 
 # --------------------------------------------------------------- SimHash
@@ -1384,10 +1408,10 @@ def _keep_best_sql() -> str:
        GROUP BY cluster_id HAVING count(*) > 1"""
 
 def _cluster_split_sql() -> str:
-    return f"""WITH RECURSIVE pairs AS (
+    return f"""WITH RECURSIVE pairs AS MATERIALIZED (
 {_NGRAM_PAIRS_SQL}
        ),
-       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
                  UNION SELECT doc_b, doc_a FROM pairs),
        reach(v, r) AS (
          SELECT s, s FROM edges
@@ -1423,10 +1447,10 @@ def _cluster_cap_sql(cap: int) -> str:
     from ..operators.hashing import md5_long_sql
 
     u = md5_long_sql("concat('capsample:', CAST(doc_id AS VARCHAR))")
-    return f"""WITH RECURSIVE pairs AS (
+    return f"""WITH RECURSIVE pairs AS MATERIALIZED (
 {_NGRAM_PAIRS_SQL}
        ),
-       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
                  UNION SELECT doc_b, doc_a FROM pairs),
        reach(v, r) AS (
          SELECT s, s FROM edges

@@ -145,10 +145,10 @@ def dd_ngram_jaccard(spark, sf_dir):
 
 @_q(
     "dd_dup_clusters",
-    f"""WITH RECURSIVE pairs AS (
+    f"""WITH RECURSIVE pairs AS MATERIALIZED (
 {_NGRAM_PAIRS_SQL}
        ),
-       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
                  UNION SELECT doc_b, doc_a FROM pairs),
        reach(v, r) AS (
          SELECT s, s FROM edges
@@ -979,10 +979,10 @@ def dd_lsh_recall_audit(spark, sf_dir):
 
 @_q(
     "dd_dup_weighting",
-    f"""WITH RECURSIVE pairs AS (
+    f"""WITH RECURSIVE pairs AS MATERIALIZED (
 {_NGRAM_PAIRS_SQL}
        ),
-       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
                  UNION SELECT doc_b, doc_a FROM pairs),
        reach(v, r) AS (
          SELECT s, s FROM edges
