@@ -127,18 +127,14 @@ def dd_lsh_bucket_audit(spark, sf_dir):
     return dedup.lsh_bucket_census(bands_df, "doc_id", max_bucket_size=2)
 
 
-@_q(
-    "dd_ngram_jaccard",
-    f"""WITH {_SHINGLE_CTE},
-  cand AS (SELECT DISTINCT s1.doc_id AS a, s2.doc_id AS b
-           FROM sh s1 JOIN sh s2
-             ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id),
-{_VERIFY_SQL.format(thr=0.5)}""",
-)
+@_q("dd_ngram_jaccard", _NGRAM_PAIRS_SQL)
 def dd_ngram_jaccard(spark, sf_dir):
     """Exact all-pairs 3-gram Jaccard >= 0.5 via the inverted index —
     the exhaustive baseline for the LSH path (same verify stage, no
-    candidate pruning)."""
+    candidate pruning). The oracle shares _NGRAM_PAIRS_SQL, whose
+    prefix-filtered candidate stage is provably lossless for the
+    rounded >= 0.5 predicate — identical pairs, DuckDB-feasible at
+    sf1 where the exhaustive spelling spilled past free disk."""
     d = load(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
 
