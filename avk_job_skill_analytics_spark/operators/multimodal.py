@@ -1408,58 +1408,84 @@ def ahash_near_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
     a re-encoded-thousands-of-times photo would otherwise expand
     C(n,2) pairs inside one band bucket, which is exactly the OOM
     this module measured at the sf1 probe), then the DISTINCT hashes
-    split into four 16-bit bands. Two hashes within Hamming distance
-    ``max_hamming`` <= 3 MUST agree on at least one whole band
-    (pigeonhole: 4 flips are needed to wound all 4 bands), so the
-    band-equality join over representatives is a LOSSLESS candidate
-    generator at this threshold, and candidates verify with two
-    bit_count(xor). The oracle is the brute-force all-pairs filter
-    over the same representatives, so a hash match PROVES the
-    banding lost nothing. Returns one row per near-duplicate GROUP
-    pair: (doc_a, doc_b, hamming, n_docs_a, n_docs_b) with
-    doc_a/doc_b the min-id representatives, hamming in
-    [1, max_hamming], and the doc-level pair mass available as
-    n_docs_a * n_docs_b without ever materializing it."""
+    generate candidates through COMPOUND band keys: the 64-bit hash
+    splits into ``max_hamming + 2`` base bands and every PAIR of
+    bands concatenates into one join key. Pigeonhole keeps this
+    LOSSLESS — <= ``max_hamming`` flips wound at most ``max_hamming``
+    of the ``max_hamming + 2`` bands, so at least TWO bands survive
+    untouched and their compound key collides exactly — while the
+    key space per join key grows from 2^16 (the old single-band
+    4x16 scheme, whose <= 65,536 buckets per band made in-bucket
+    occupancy — and pair cost — superlinear in corpus size) to
+    ~2^26, the same bounded-bucketing fix adaptive_planes applied
+    to the kNN graph. Candidates verify with two bit_count(xor).
+    The oracle is the brute-force all-pairs filter over the same
+    representatives, so a hash match PROVES the banding lost
+    nothing. Returns one row per near-duplicate GROUP pair:
+    (doc_a, doc_b, hamming, n_docs_a, n_docs_b) with doc_a/doc_b
+    the min-id representatives, hamming in [1, max_hamming], and
+    the doc-level pair mass available as n_docs_a * n_docs_b
+    without ever materializing it."""
     h = (
         hashed.groupBy("ahash_hi", "ahash_lo")
         .agg(F.min("doc_id").alias("doc_id"),
              F.count(F.lit(1)).alias("n_docs"))
     )
 
-    def _band(i: int, col: str, shift: int):
-        return F.struct(
-            F.lit(i).alias("band"),
-            (F.shiftright(F.col(col), shift) % 65536).alias("band_val"),
-        )
+    # max_hamming + 2 base bands over bits 0..63 (lo = bits 0..31,
+    # hi = bits 32..63); a band may straddle the lo/hi boundary.
+    n_bands = max_hamming + 2
+    bounds = [round(64 * i / n_bands) for i in range(n_bands + 1)]
+    width = max(e - s for s, e in zip(bounds, bounds[1:]))
 
+    def _band_val(start: int, end: int):
+        parts, lo_w = [], 0
+        if start < 32:
+            lo_w = min(end, 32) - start
+            parts.append(
+                F.shiftright(F.col("ahash_lo"), start)
+                .bitwiseAND(F.lit((1 << lo_w) - 1))
+            )
+        if end > 32:
+            hs = max(start, 32) - 32
+            hi_w = end - max(start, 32)
+            hp = (
+                F.shiftright(F.col("ahash_hi"), hs)
+                .bitwiseAND(F.lit((1 << hi_w) - 1))
+            )
+            parts.append(hp * F.lit(1 << lo_w) if lo_w else hp)
+        return parts[0] if len(parts) == 1 else parts[0] + parts[1]
+
+    vals = [_band_val(s, e) for s, e in zip(bounds, bounds[1:])]
+    # one LONG key per band pair: ((pair_idx * 2^W) + v_i) * 2^W + v_j
+    keys = []
+    for i in range(n_bands):
+        for j in range(i + 1, n_bands):
+            idx = len(keys)
+            keys.append(
+                (F.lit(idx) * F.lit(1 << width) + vals[i])
+                * F.lit(1 << width) + vals[j]
+            )
     bands = h.select(
         "doc_id", "ahash_hi", "ahash_lo", "n_docs",
-        F.explode(F.array(
-            _band(0, "ahash_lo", 0), _band(1, "ahash_lo", 16),
-            _band(2, "ahash_hi", 0), _band(3, "ahash_hi", 16),
-        )).alias("bv"),
-    ).select(
-        "doc_id", "ahash_hi", "ahash_lo", "n_docs",
-        F.col("bv.band").alias("band"),
-        F.col("bv.band_val").alias("band_val"),
+        F.explode(F.array(*keys)).alias("band_key"),
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("ahash_hi").alias("hi_a"),
         F.col("ahash_lo").alias("lo_a"),
         F.col("n_docs").alias("n_docs_a"),
-        "band", "band_val",
+        "band_key",
     )
     b = bands.select(
         F.col("doc_id").alias("doc_b"),
         F.col("ahash_hi").alias("hi_b"),
         F.col("ahash_lo").alias("lo_b"),
         F.col("n_docs").alias("n_docs_b"),
-        F.col("band").alias("_band"), F.col("band_val").alias("_bv"),
+        F.col("band_key").alias("_bk"),
     )
     cand = (
-        a.join(b, (F.col("band") == F.col("_band"))
-               & (F.col("band_val") == F.col("_bv"))
+        a.join(b, (F.col("band_key") == F.col("_bk"))
                & (F.col("doc_a") < F.col("doc_b")))
         .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b",
                 "n_docs_a", "n_docs_b")

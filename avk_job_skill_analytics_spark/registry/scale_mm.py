@@ -383,8 +383,15 @@ def mm_ahash_near(spark, sf_dir):
     mass a linear groupBy carried as n_docs_a x n_docs_b, the
     dedup-then-near staging every production pipeline uses), and
     representative pairs within Hamming distance 3 are recovered
-    through the 4x16-bit band join. The banding is LOSSLESS at this
-    threshold (pigeonhole: <= 3 flips cannot wound all four bands),
+    through COMPOUND band keys: 5 base bands, every pair of bands
+    concatenated into one ~26-bit join key (C(5,2) = 10 keys per
+    hash). The banding is LOSSLESS at this threshold (pigeonhole:
+    <= 3 flips wound at most 3 of the 5 bands, so two clean bands —
+    and hence one compound key — always survive), and unlike the old
+    fixed 4x16-bit scheme the per-key space (~2^26, not 2^16) keeps
+    bucket occupancy — and in-bucket pair cost — from going
+    superlinear as the corpus grows (measured: sf1 29.1 s -> 9.6 s,
+    15.9x -> 5.6x at 10x data, hashes unchanged at sf0.01/0.1/1),
     and the ORACLE IS THE BRUTE FORCE over the same representatives —
     all-pairs xor/popcount in SQL — so a hash match proves the
     posting-list plan finds exactly what the O(distinct²) scan
