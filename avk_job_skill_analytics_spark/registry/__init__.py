@@ -67,28 +67,30 @@ PRIORITY = (
     # type-fixed sentinels (r11 HUGEINT-fetch fix) — permanent
     "dq_psi_drift", "ml_information_value", "io_table_checksum",
     "tpch_q12_late_shipments", "stream_psi_drift",
-    # --- r13 rotation: 21 first-time driver rows ---
-    # this round's new/reworked machinery first: the growing banded
-    # embedding index (new), and the two kNN-graph queries whose LSH
-    # plane count became corpus-adaptive (machinery changed)
-    "stream_semantic_index_maintain",
-    "graph_knn_mutual_components", "ann_knn_graph",
-    # tpch family (21 never-gated; eight join/agg/exists shapes —
-    # the rest rotate in over r14/r15)
-    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_revenue", "tpch_q9_product_profit",
-    "tpch_q10_returned_items", "tpch_q18_large_volume",
-    "tpch_q19_disjunctive", "tpch_q21_waiting_supplier",
-    # entity-resolution family (all five, zero driver rows before)
-    "er_candidate_pairs", "er_fellegi_sunter", "er_entity_clusters",
-    "er_golden_record", "er_blocking_audit",
-    # embedding-prep family (array-free members only:
-    # emb_quantize_int8 emits INTEGER[] and stays out per the
-    # oracle-types constraint)
-    "emb_similarity_histogram", "emb_standardize",
-    # text + streaming classifier/index slots
-    "txt_nb_classifier", "stream_nb_gate",
-    "stream_bm25_index_maintain",
+    # --- r14 rotation: 21 first-time driver rows ---
+    # this round's reworked machinery first: mm_ahash_near's
+    # candidate stage moved from fixed 4x16-bit bands to compound
+    # C(5,2) band-pair keys (never driver-gated before either)
+    "mm_ahash_near",
+    # mm codec flagships (real-decode pixel ledger + CLIP-style
+    # cross-modal matcher)
+    "mm_pixel_stats", "mm_clip_matches",
+    # io scan-pruning family (bloom skip, runtime dynamic prune,
+    # static partition prune, sorted-file min/max skip)
+    "io_bloom_skip", "io_dynamic_partition_prune",
+    "io_partitioned_prune", "io_sorted_skip",
+    # geo family (all three, zero driver rows before)
+    "geo_cell_density", "geo_point_in_polygon", "geo_radius_knn",
+    # ANN serve paths (on-disk index lifecycle consumers)
+    "ann_ivfpq_served", "ann_filtered_served", "ann_int8_served",
+    # pipeline composites (curate = headline transform chain)
+    "pipeline_curate", "pipeline_extract", "pipeline_warehouse",
+    "pipeline_corpus_funnel",
+    # streaming CDC apply + tpch rotation continues (r13 gated 8;
+    # q2/q4/q7 here, remainder r15)
+    "stream_cdc_apply",
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
 )
 
 

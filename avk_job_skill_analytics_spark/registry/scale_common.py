@@ -116,14 +116,23 @@ def _minhash_sql(num_hashes: int, bands: int, threshold: float) -> str:
 # exhaustive `sh JOIN sh ON shingle` form is quadratic in shingle
 # document-frequency and made every cluster-family oracle infeasible
 # in DuckDB at the sf1 replica (>77 GB of spill). Losslessness for
-# the verify predicate round(j, 4) >= 0.5: that predicate implies
-# exact j >= 0.49995 > 4999/10000, and the prefix filter at
-# t = 4999/10000 (prefix length n - ceil(t*n) + 1 under the global
-# df-asc/shingle-asc term order, plus the min*td >= tn*max size
-# filter) provably emits every pair with exact j >= t. The verify
-# stage below is unchanged — same exact intersection over the FULL
-# shingle sets, same rounding — so the surviving pairs are identical
-# at every scale (re-verified: hashes unchanged at sf0.01/sf0.1).
+# the verify predicate round(j, 4) >= thr: that predicate implies
+# exact j >= thr - 0.5e-4, and the prefix filter at t = tn/td
+# (prefix length n - ceil(t*n) + 1 under the global df-asc/
+# shingle-asc term order, plus the min*td >= tn*max size filter)
+# provably emits every pair with exact j >= t. The verify stage is
+# unchanged — same exact intersection over the FULL shingle sets,
+# same rounding — so the surviving pairs are identical at every
+# scale (re-verified: hashes unchanged at sf0.01/sf0.1). The filter
+# constants DERIVE from the single threshold below (tn = thr*td - 1)
+# and the assert pins the superset bound, so an edit to the verify
+# threshold cannot silently leave the candidate stage lossy.
+_NGRAM_THR = 0.5
+_NGRAM_TD = 10000
+_NGRAM_TN = int(_NGRAM_THR * _NGRAM_TD) - 1
+assert _NGRAM_TN / _NGRAM_TD < _NGRAM_THR - 0.5e-4, (
+    "prefix filter no longer a superset of the verify threshold"
+)
 _NGRAM_PAIRS_SQL = f"""WITH {_SHINGLE_CTE},
   dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
   siz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -133,13 +142,15 @@ _NGRAM_PAIRS_SQL = f"""WITH {_SHINGLE_CTE},
            FROM sh t JOIN dfc d USING (shingle)
                      JOIN siz s USING (doc_id)),
   pref AS (SELECT doc_id, shingle, n FROM ordp
-           WHERE pos <= n - CAST((4999 * n + 9999) // 10000 AS BIGINT)
+           WHERE pos <= n - CAST(({_NGRAM_TN} * n + {_NGRAM_TD - 1})
+                                 // {_NGRAM_TD} AS BIGINT)
                             + 1),
   cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
            FROM pref a JOIN pref b
              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           WHERE least(a.n, b.n) * 10000 >= 4999 * greatest(a.n, b.n)),
-{_VERIFY_SQL.format(thr=0.5)}"""
+           WHERE least(a.n, b.n) * {_NGRAM_TD}
+                 >= {_NGRAM_TN} * greatest(a.n, b.n)),
+{_VERIFY_SQL.format(thr=_NGRAM_THR)}"""
 
 # --------------------------------------------------------------- SimHash
 def _simhash_sql(bits: int) -> str:

@@ -99,7 +99,11 @@ _SRC_DIRS: dict = {}
 
 
 def _source_dir(sf_dir: str, links: dict) -> str:
-    key = (sf_dir, tuple(sorted(links)))
+    # abspath the cache KEY too: the symlink targets below resolve
+    # against the CWD at first call, so a relative sf_dir reused
+    # after a chdir must not hit a cache entry whose links point at
+    # paths resolved against the OLD working directory.
+    key = (os.path.abspath(sf_dir), tuple(sorted(links)))
     if key not in _SRC_DIRS:
         d = tempfile.mkdtemp(prefix="stream_src_")
         for link_name, target in links.items():

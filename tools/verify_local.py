@@ -98,7 +98,15 @@ def main():
     # process). With a limit DuckDB spills to temp or raises a clean
     # OutOfMemoryException that lands in the manifest as an oracle
     # error instead.
-    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "48GB")
+    # Default to min(48GB, 75% of physical RAM): a flat 48GB default
+    # would RAISE DuckDB's own 80%-of-RAM bound on hosts under ~60GB
+    # and reintroduce the OOM-kill risk this limit exists to remove.
+    try:
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        default_mem = f"{min(48, max(1, int(ram * 0.75 / 2**30)))}GB"
+    except (ValueError, OSError):
+        default_mem = "48GB"
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", default_mem)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
