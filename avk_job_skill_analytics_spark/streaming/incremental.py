@@ -1151,8 +1151,13 @@ def stream_kmv_distinct(stream, value_col: str, k: int = 128):
     as stream_mg_heavy_hitters — harmless here because kmv_merge is
     idempotent (re-merging the same sketch changes nothing).
 
-    Returns (sketch list[int], n_batches) after an availableNow
-    drain; estimate via sketches.kmv_estimate."""
+    Returns (sketch list[int], n_batches, n_rows) after an
+    availableNow drain; estimate via sketches.kmv_estimate. n_batches
+    is the TRIGGER count — a function of how the source is split into
+    files, so scale fixtures that stage a table as N part files see N
+    triggers per delivery; n_rows (total input rows drained) is the
+    split-invariant volume number callers should report when they
+    mean "how many deliveries of the table arrived"."""
     import shutil as _sh
     import tempfile as _tf
 
@@ -1160,7 +1165,7 @@ def stream_kmv_distinct(stream, value_col: str, k: int = 128):
 
     from ..operators.sketches import kmv_merge, kmv_sketch
 
-    state = {"sketch": [], "batches": 0}
+    state = {"sketch": [], "batches": 0, "rows": 0}
 
     def batch_fn(bdf, epoch_id):
         sk = kmv_sketch(
@@ -1171,6 +1176,7 @@ def stream_kmv_distinct(stream, value_col: str, k: int = 128):
             merged = sorted(set(state["sketch"]) | set(batch_sketch))[:k]
             state["sketch"] = merged
         state["batches"] += 1
+        state["rows"] += bdf.count()
 
     ckpt = _tf.mkdtemp(prefix="ckpt_kmv_")
     try:
@@ -1184,7 +1190,7 @@ def stream_kmv_distinct(stream, value_col: str, k: int = 128):
     finally:
         _sh.rmtree(ckpt, ignore_errors=True)
     _ = kmv_merge  # the driver-side fold above IS kmv_merge's set form
-    return state["sketch"], state["batches"]
+    return state["sketch"], state["batches"], state["rows"]
 
 
 def foreach_batch_mix_fold(stream, source_col: str, tokens_expr,

@@ -240,12 +240,13 @@ def test_stream_kmv_distinct_bounded_and_replay_idempotent(spark, tmp_path):
             .load(str(src) + "/*")
         )
 
-    sk, n = stream_kmv_distinct(make_stream(), "uid", k=128)
+    sk, n, rows = stream_kmv_distinct(make_stream(), "uid", k=128)
     assert n == 2
+    assert rows == 120            # split-invariant drained volume
     assert len(sk) == 90          # 90 distinct < k: sketch IS the set
-    sk2, _ = stream_kmv_distinct(make_stream(), "uid", k=128)
+    sk2, _, _ = stream_kmv_distinct(make_stream(), "uid", k=128)
     assert sk2 == sk              # replay is a no-op
-    sk_small, _ = stream_kmv_distinct(make_stream(), "uid", k=16)
+    sk_small, _, _ = stream_kmv_distinct(make_stream(), "uid", k=16)
     assert len(sk_small) == 16    # bounded state at tiny k
     assert sk_small == sk[:16]    # and it IS the global bottom-k
 

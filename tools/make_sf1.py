@@ -19,8 +19,10 @@ once. Two content tweaks keep the workload's SHAPE honest at 10x:
 - embeddings: replica r adds ``r * 1e-6`` to every component so
   cosine top-k has no 10-way exact ties.
 
-Usage: ``python tools/make_sf1.py`` then
-``SPARK_GRAFT_SF_DIR=<repo>/.bench_sf1/sf1 python bench.py <queries>``.
+Usage: ``python tools/make_sf1.py [sf]`` (sf in {1, 10, ...}; default
+1 → 10 replicas at ``.bench_sf1/sf1``, 10 → 100 replicas at
+``.bench_sf1/sf10`` for the second-decade probe) then
+``SPARK_GRAFT_SF_DIR=<repo>/.bench_sf1/sf<sf> python bench.py <queries>``.
 """
 
 from __future__ import annotations
@@ -37,9 +39,11 @@ from avk_job_skill_analytics_spark.plans.schemas import load  # noqa: E402
 from avk_job_skill_analytics_spark.plans.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(ROOT, ".bench_sf1", "sf1")
-REPLICAS = 10
-OFF = 1 << 33  # far above every sf0.1 surrogate key
+SF = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+DST = os.path.join(ROOT, ".bench_sf1", f"sf{SF}")
+REPLICAS = 10 * SF
+OFF = 1 << 33  # far above every sf0.1 surrogate key; 1000 replicas
+# still top out near 2^43, far inside the split-multiply hash domain
 
 SHIFT_KEYS = {
     "customer": ["c_custkey"],
