@@ -592,6 +592,30 @@ def semantic_prune(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+# Adaptive band widening draws EXTRA sign bits (rows 8..15 of a
+# band) from a plane range disjoint from every historical plane
+# index, so the first 8 bits of band b are bit-identical to the
+# fixed rows_per_band=8 parameterization at every corpus size —
+# hashes at the verified gate scales cannot move when a query
+# switches to the adaptive width.
+EXT_PLANE_OFFSET = 4096
+_BASE_ROWS = 8
+
+
+def adaptive_rows_per_band(n: int, target_bucket: int = 128,
+                           lo: int = 8, hi: int = 16) -> int:
+    """Band width (sign bits per band) that holds expected semantic
+    LSH bucket population at ~``target_bucket`` as the corpus grows —
+    :func:`adaptive_planes` with the banded family's clamps. With the
+    width fixed at 8, the per-band key space is 256 buckets FOREVER,
+    so in-bucket pair cost is n²/256 — quadratic (the sf10 probe
+    filled 78 GB of spill exactly this way); growing the width with
+    log(corpus) keeps buckets flat. At n ≤ 32768·target the formula
+    resolves to 8 = the historical fixed parameterization, so every
+    recorded gate/sf0.1/sf1 hash is unchanged."""
+    return adaptive_planes(n, target_bucket, lo, hi)
+
+
 def band_sig_structs(vec_col: str, dim: int, bands: int,
                      rows_per_band: int) -> Column:
     """array<struct<band, sig>> of banded hyperplane signatures —
@@ -599,12 +623,25 @@ def band_sig_structs(vec_col: str, dim: int, bands: int,
     p = b*rows_per_band + r, the :func:`_plane_sign` constants), so
     the batch prune, the streaming ingest gate and the SQL oracles
     all band identically. Pure Column expression (codegen, no
-    shuffle)."""
+    shuffle).
+
+    For ``rows_per_band > 8`` (the adaptive widths of
+    :func:`adaptive_rows_per_band`) the first 8 bits keep the
+    historical planes ``b*8 + r`` and bits 8.. draw from
+    ``EXT_PLANE_OFFSET + b*8 + (r-8)`` — a disjoint plane range —
+    so widening REFINES the historical buckets (every wide bucket is
+    a subset of a base bucket) and the base-8 signatures never
+    change."""
     sig_structs = []
     for b in range(bands):
         bits = F.lit(0).cast("long")
         for r in range(rows_per_band):
-            pl = b * rows_per_band + r
+            if rows_per_band <= _BASE_ROWS:
+                pl = b * rows_per_band + r
+            elif r < _BASE_ROWS:
+                pl = b * _BASE_ROWS + r
+            else:
+                pl = EXT_PLANE_OFFSET + b * _BASE_ROWS + (r - _BASE_ROWS)
             arr = F.array(
                 *[F.lit(_plane_sign(pl, i)) for i in range(dim)]
             )

@@ -387,6 +387,62 @@ def _knn_graph_adaptive_ctes(dim: int, topk: int, lo: int = 4,
                   ORDER BY cosine DESC, neighbor_id) AS rk FROM sp) t
          WHERE rk <= {topk})"""
 
+def _banded_sigs_adaptive_ctes(dim: int, bands: int, lo: int = 8,
+                               hi: int = 16, target: int = 128) -> str:
+    """params/sigs CTE block replaying similarity.band_sig_structs at
+    the adaptive width of similarity.adaptive_rows_per_band —
+    rpb = LEAST(hi, GREATEST(lo, CEIL(LOG2(count(*) / target)))),
+    the exact adaptive_planes formula the kNN CTE already replays.
+    Band b's first 8 bits use the historical planes ``b*8 + r``; the
+    widening bits draw from the disjoint EXT_PLANE_OFFSET range and
+    are masked to ``rpb - 8`` bits, so at rpb = 8 (every corpus up to
+    target·2^8) the signature is BIT-IDENTICAL to the fixed-width
+    SQL this block replaced — recorded hashes cannot move."""
+    from ..operators.similarity import EXT_PLANE_OFFSET, _plane_sign
+
+    assert lo >= 8, "base-8 plane layout requires lo >= 8"
+
+    def dot_p(pl: int) -> str:
+        arr = "[" + ", ".join(
+            f"CAST('{_plane_sign(pl, i)!r}' AS DOUBLE)"
+            for i in range(dim)
+        ) + "]"
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
+            "(x, y) -> x + y)"
+        )
+
+    band_rows = []
+    for b in range(bands):
+        base = " + ".join(
+            f"CASE WHEN {dot_p(b * 8 + r)} > 0 "
+            f"THEN CAST({1 << r} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+            for r in range(8)
+        )
+        ext = " + ".join(
+            f"CASE WHEN {dot_p(EXT_PLANE_OFFSET + b * 8 + r)} > 0 "
+            f"THEN CAST({1 << r} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+            for r in range(hi - 8)
+        )
+        band_rows.append(
+            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
+            f"({base}) + ((({ext}) & "
+            "((CAST(1 AS BIGINT) << (rpb - 8)) - 1)) * 256) AS sig "
+            "FROM embeddings, params"
+        )
+    sigs = " UNION ALL ".join(band_rows)
+    return f"""params AS (
+         SELECT LEAST({hi}, GREATEST({lo},
+                  CAST(CEIL(LOG2(count(*) / {target}.0)) AS BIGINT)))
+                AS rpb
+         FROM embeddings),
+       sigs AS MATERIALIZED ({sigs})"""
+
+
 # ------------------------------------------------------ text: fingerprints
 _ROLL_H = f"({md5_long_sql('x')} % {MERSENNE_P})"
 
@@ -1971,6 +2027,7 @@ __all__ = [
     "_lsh_topk_sql",
     "_knn_graph_ctes",
     "_knn_graph_adaptive_ctes",
+    "_banded_sigs_adaptive_ctes",
     "_ROLL_H",
     "AHASH_HASHES_CTE",
     "NEAR_CELLS_CTE",

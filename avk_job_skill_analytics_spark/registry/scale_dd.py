@@ -1014,42 +1014,19 @@ def dd_dup_weighting(spark, sf_dir):
     return dedup.duplicate_weights(d, "doc_id", pairs)
 
 
-def _banded_prune_sql(dim: int, bands: int, rows_per_band: int,
-                      threshold: float, max_bucket: int) -> str:
-    """DuckDB twin of similarity.banded_semantic_prune: the SAME
-    deterministic hyperplane constants, band packing, bucket-size
-    cap, strict-left-fold cosine and rounding — every bit of the
-    banding AND the recall loss replay exactly."""
-    from ..operators.similarity import _plane_sign
-    from .scale_common import _cos_sql
+def _banded_prune_sql(dim: int, bands: int, threshold: float,
+                      max_bucket: int) -> str:
+    """DuckDB twin of similarity.banded_semantic_prune at the
+    ADAPTIVE band width (r14): the SAME deterministic hyperplane
+    constants, band packing (shared _banded_sigs_adaptive_ctes —
+    width grows with log corpus, bit-identical to the historical
+    fixed 8 at every verified gate scale), bucket-size cap,
+    strict-left-fold cosine and rounding — every bit of the banding
+    AND the recall loss replay exactly."""
+    from .scale_common import _banded_sigs_adaptive_ctes, _cos_sql
 
-    def dot_p(pl: int) -> str:
-        arr = "[" + ", ".join(
-            f"CAST('{_plane_sign(pl, i)!r}' AS DOUBLE)"
-            for i in range(dim)
-        ) + "]"
-        return (
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
-            "(x, y) -> x + y)"
-        )
-
-    band_rows = []
-    for b in range(bands):
-        sig = " + ".join(
-            f"CASE WHEN {dot_p(b * rows_per_band + r)} > 0 "
-            f"THEN CAST({1 << r} AS BIGINT) "
-            "ELSE CAST(0 AS BIGINT) END"
-            for r in range(rows_per_band)
-        )
-        band_rows.append(
-            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
-            f"{sig} AS sig FROM embeddings"
-        )
-    sigs = " UNION ALL ".join(band_rows)
     cos = _cos_sql("va.embedding", "vb.embedding")
-    return f"""WITH sigs AS MATERIALIZED ({sigs}),
+    return f"""WITH {_banded_sigs_adaptive_ctes(dim, bands)},
        ok_buckets AS (SELECT band, sig FROM sigs
                       GROUP BY band, sig
                       HAVING count(*) <= {max_bucket}),
@@ -1070,26 +1047,33 @@ def _banded_prune_sql(dim: int, bands: int, rows_per_band: int,
        FROM embeddings e LEFT JOIN dominated d ON d.id_b = e.vec_id"""
 
 
-@_q("dd_semantic_prune_lsh", _banded_prune_sql(64, 4, 8, 0.4, 256))
+@_q("dd_semantic_prune_lsh", _banded_prune_sql(64, 4, 0.4, 256))
 def dd_semantic_prune_lsh(spark, sf_dir):
-    """SemDeDup at the PRODUCTION scale shape (r12) — the linear
-    twin of the labeled fixed-k audit dd_semantic_prune: banded
-    random-hyperplane LSH (4 bands x 8 sign bits, deterministic
-    constants) replaces the iterative k-means partition, candidate
-    pairs come from a bucket join (never all-pairs), buckets larger
-    than 256 are dropped ENTIRELY before expansion (the
-    boilerplate-noise guard — a degenerate embedding cluster cannot
-    expand O(n^2) inside one task), and candidates verify by exact
-    cosine >= 0.4 before a vector with a lower-id verified neighbor
-    is dropped. One signature scan instead of 2 Lloyd iterations;
-    rows_per_band is the scale lever (bucket population halves per
-    bit). The oracle replays the identical banding, cap and
-    verification, so the hash match covers the recall loss too."""
-    from ..operators.similarity import banded_semantic_prune
+    """SemDeDup at the PRODUCTION scale shape (r12; adaptive width
+    r14) — the linear twin of the labeled fixed-k audit
+    dd_semantic_prune: banded random-hyperplane LSH (4 bands of
+    adaptive_rows_per_band sign bits — 8 at every verified gate
+    scale, growing with log corpus past ~33K vectors so the per-band
+    key space is never the bounded 256 buckets that go quadratic;
+    deterministic constants) replaces the iterative k-means
+    partition, candidate pairs come from a bucket join (never
+    all-pairs), buckets larger than 256 are dropped ENTIRELY before
+    expansion (the boilerplate-noise guard — a degenerate embedding
+    cluster cannot expand O(n^2) inside one task), and candidates
+    verify by exact cosine >= 0.4 before a vector with a lower-id
+    verified neighbor is dropped. One signature scan instead of 2
+    Lloyd iterations. The oracle replays the identical adaptive
+    banding, cap and verification, so the hash match covers the
+    recall loss too."""
+    from ..operators.similarity import (
+        adaptive_rows_per_band,
+        banded_semantic_prune,
+    )
 
     e = load(spark, sf_dir, "embeddings")
+    rpb = adaptive_rows_per_band(e.count())
     return banded_semantic_prune(
-        e, "vec_id", "embedding", dim=64, bands=4, rows_per_band=8,
+        e, "vec_id", "embedding", dim=64, bands=4, rows_per_band=rpb,
         threshold=0.4, max_bucket=256,
     ).select(F.col("vec_id").cast("long"), "keep",
              F.col("dominator").cast("long"))

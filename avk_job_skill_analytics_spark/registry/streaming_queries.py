@@ -2404,44 +2404,19 @@ def stream_media_dedup(spark, sf_dir):
 
 
 def _stream_semantic_sql(dim: int = 64, bands: int = 4,
-                         rows_per_band: int = 8,
                          threshold: float = 0.4) -> str:
     """DuckDB twin of the streaming semantic ingest gate: the batch
-    banding SQL (same deterministic hyperplane constants as
-    similarity.band_sig_structs) restricted to even-index vs
-    odd-arrival candidate pairs, verified by the strict-left-fold
-    cosine — the doubled delivery collapses in stream state, so the
-    batch replay needs no halving."""
-    from ..operators.similarity import _plane_sign
-    from .scale_common import _cos_sql
+    banding SQL at the ADAPTIVE width (shared
+    _banded_sigs_adaptive_ctes — same deterministic hyperplane
+    constants as similarity.band_sig_structs, width resolves to the
+    historical 8 at every verified gate scale) restricted to
+    even-index vs odd-arrival candidate pairs, verified by the
+    strict-left-fold cosine — the doubled delivery collapses in
+    stream state, so the batch replay needs no halving."""
+    from .scale_common import _banded_sigs_adaptive_ctes, _cos_sql
 
-    def dot_p(pl: int) -> str:
-        arr = "[" + ", ".join(
-            f"CAST('{_plane_sign(pl, i)!r}' AS DOUBLE)"
-            for i in range(dim)
-        ) + "]"
-        return (
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
-            "(x, y) -> x + y)"
-        )
-
-    band_rows = []
-    for b in range(bands):
-        sig = " + ".join(
-            f"CASE WHEN {dot_p(b * rows_per_band + r)} > 0 "
-            f"THEN CAST({1 << r} AS BIGINT) "
-            "ELSE CAST(0 AS BIGINT) END"
-            for r in range(rows_per_band)
-        )
-        band_rows.append(
-            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
-            f"{sig} AS sig FROM embeddings"
-        )
-    sigs = " UNION ALL ".join(band_rows)
     cos = _cos_sql("va.embedding", "vb.embedding")
-    return f"""WITH sigs AS MATERIALIZED ({sigs}),
+    return f"""WITH {_banded_sigs_adaptive_ctes(dim, bands)},
        cand AS (SELECT DISTINCT s.vec_id AS vec_id,
                        i.vec_id AS dominator
                 FROM sigs i JOIN sigs s
@@ -2470,17 +2445,20 @@ def stream_semantic_dedup(spark, sf_dir):
     state and the sink sees each verified (vec_id, dominator) pair
     exactly once. Signatures on the stream side are pure Column
     expressions; per-trigger work is O(batch x matched buckets),
-    independent of corpus size. Oracle: the batch banding SQL
-    restricted to even-vs-odd pairs with exact cosine >= 0.4."""
+    independent of corpus size. Band width is the adaptive
+    corpus-sized choice (r14: adaptive_rows_per_band — 8 at every
+    verified gate scale). Oracle: the batch banding SQL restricted
+    to even-vs-odd pairs with exact cosine >= 0.4."""
     from ..operators import similarity
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    rpb = similarity.adaptive_rows_per_band(emb.count())
     static = emb.filter(F.col("vec_id") % 2 == 0)
     index_bands, index_vecs = similarity.build_semantic_lsh_index(
         static, "vec_id", "embedding", dim=64, bands=4,
-        rows_per_band=8,
+        rows_per_band=rpb,
     )
     index_bands = index_bands.localCheckpoint()
     index_vecs = index_vecs.localCheckpoint()
@@ -2498,7 +2476,7 @@ def stream_semantic_dedup(spark, sf_dir):
     )
     out = similarity.stream_semantic_dedup_pairs(
         stream, index_bands, index_vecs, "vec_id", "embedding",
-        dim=64, bands=4, rows_per_band=8, threshold=0.4,
+        dim=64, bands=4, rows_per_band=rpb, threshold=0.4,
     )
     drained = _drain(spark, out, "append", "st_semantic_dedup")
     return drained.select(
@@ -2509,44 +2487,18 @@ def stream_semantic_dedup(spark, sf_dir):
 
 
 def _stream_semantic_maintain_sql(dim: int = 64, bands: int = 4,
-                                  rows_per_band: int = 8,
                                   threshold: float = 0.4) -> str:
-    """DuckDB twin of the GROWING semantic index drain: every
+    """DuckDB twin of the GROWING semantic index drain at the
+    ADAPTIVE band width (shared _banded_sigs_adaptive_ctes): every
     ingested pair sharing a band signature is checked exactly once
     (intra-batch or against-the-committed-index), so the drained pair
     set equals the one-shot batch banding over the full corpus —
     distinct (id_a < id_b) band collisions verified by the
     strict-left-fold exact cosine. No batch bookkeeping needed."""
-    from ..operators.similarity import _plane_sign
-    from .scale_common import _cos_sql
+    from .scale_common import _banded_sigs_adaptive_ctes, _cos_sql
 
-    def dot_p(pl: int) -> str:
-        arr = "[" + ", ".join(
-            f"CAST('{_plane_sign(pl, i)!r}' AS DOUBLE)"
-            for i in range(dim)
-        ) + "]"
-        return (
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(generate_series(1, {dim}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
-            "(x, y) -> x + y)"
-        )
-
-    band_rows = []
-    for b in range(bands):
-        sig = " + ".join(
-            f"CASE WHEN {dot_p(b * rows_per_band + r)} > 0 "
-            f"THEN CAST({1 << r} AS BIGINT) "
-            "ELSE CAST(0 AS BIGINT) END"
-            for r in range(rows_per_band)
-        )
-        band_rows.append(
-            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
-            f"{sig} AS sig FROM embeddings"
-        )
-    sigs = " UNION ALL ".join(band_rows)
     cos = _cos_sql("va.embedding", "vb.embedding")
-    return f"""WITH sigs AS MATERIALIZED ({sigs}),
+    return f"""WITH {_banded_sigs_adaptive_ctes(dim, bands)},
        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM sigs a JOIN sigs b
                   ON a.band = b.band AND a.sig = b.sig
@@ -2576,11 +2528,21 @@ def stream_semantic_index_maintain(spark, sf_dir):
     on-disk ledger, which is the ADVICE-r12 answer to the frozen
     gate's unbounded dropDuplicates. Because every ingested pair
     sharing a band is checked exactly once, the drained pairs equal
-    the one-shot batch banding over the full corpus — the oracle."""
+    the one-shot batch banding over the full corpus — the oracle.
+    Band width is chosen at INDEX CREATION from the corpus size
+    (r14: adaptive_rows_per_band; 8 at every verified gate scale) —
+    the deployment contract every stored-signature index carries:
+    when the corpus outgrows the width, rebuild wider through the
+    retrain/swap lifecycle (ann_index_rebuild_swap), exactly like
+    the IVF-PQ quantizer refresh."""
+    from ..operators.similarity import adaptive_rows_per_band
     from ..streaming.semantic_stream import (
         foreach_batch_semantic_maintain,
     )
 
+    rpb = adaptive_rows_per_band(
+        load(spark, sf_dir, "embeddings").count()
+    )
     src = _single_file_drops(
         spark, sf_dir, "embeddings", ["vec_id", "embedding"],
         [("0_even.parquet", F.col("vec_id") % 2 == 0),
@@ -2601,7 +2563,7 @@ def stream_semantic_index_maintain(spark, sf_dir):
             q = (
                 foreach_batch_semantic_maintain(
                     stream, index_dir, "vec_id", "embedding",
-                    dim=64, bands=4, rows_per_band=8, threshold=0.4,
+                    dim=64, bands=4, rows_per_band=rpb, threshold=0.4,
                     compact_every=2,
                 )
                 .option("checkpointLocation", ckpt)

@@ -2019,3 +2019,49 @@ def test_banded_semantic_prune_cap_and_domination(spark):
     assert ok[0] == (True, None)          # lowest id always survives
     for i in range(1, 8):
         assert ok[i] == (False, 0), i     # identical -> dominated by 0
+
+
+def test_adaptive_band_width_refines_base_buckets(spark):
+    """The r14 scale-lever contract for the semantic band family:
+    (a) adaptive_rows_per_band resolves to the historical 8 at every
+    verified ledger scale (sf0.01/0.1/1 embedding counts) and grows
+    past the saturation point; (b) widening REFINES the base
+    bucketing — the low 8 bits of every widened band signature equal
+    the rows_per_band=8 signature bit-for-bit (the disjoint
+    EXT_PLANE_OFFSET plane range), which is what keeps recorded
+    hashes frozen wherever the formula resolves to 8."""
+    import pandas as pd
+
+    from avk_job_skill_analytics_spark.operators.similarity import (
+        adaptive_rows_per_band,
+        band_sig_structs,
+    )
+
+    # (a) the formula at the ledger scales and beyond
+    assert adaptive_rows_per_band(200) == 8        # sf0.01
+    assert adaptive_rows_per_band(2_000) == 8      # sf0.1
+    assert adaptive_rows_per_band(20_000) == 8     # sf1
+    assert adaptive_rows_per_band(200_000) == 11   # sf10
+    assert adaptive_rows_per_band(128 << 20) == 16  # hi clamp
+
+    # (b) widened signatures refine the base ones
+    vecs = [
+        (i, [((7 * i + 3 * j) % 17) - 8.0 for j in range(16)])
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+    )
+    base = df.select(
+        "vec_id",
+        band_sig_structs("embedding", 16, 4, 8).alias("s"),
+    ).collect()
+    wide = df.select(
+        "vec_id",
+        band_sig_structs("embedding", 16, 4, 11).alias("s"),
+    ).collect()
+    base_sigs = {r["vec_id"]: [b["sig"] for b in r["s"]] for r in base}
+    for r in wide:
+        for band, b in enumerate(r["s"]):
+            assert b["sig"] % 256 == base_sigs[r["vec_id"]][band]
+            assert 0 <= b["sig"] < (1 << 11)

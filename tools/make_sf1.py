@@ -73,6 +73,28 @@ def replica(df, table: str, r: int):
             ),
         )
     if table == "embeddings" and r > 0:
+        # Replicas within a decade group (r // 10) keep the sf1
+        # construction exactly (so sf1 output is bit-identical to
+        # the recorded ledger); each GROUP beyond the first applies
+        # a cyclic component rotation — an orthogonal transform that
+        # preserves every intra-group cosine while decorrelating
+        # hyperplane sign bits ACROSS groups. Without it, sf10's 100
+        # replicas of +r*1e-6 are 100-way band twins (cross-replica
+        # cosine ~1.0): every LSH bucket inherits 100x occupancy and
+        # the near-dup workload becomes quadratic by construction —
+        # "a different workload, not a bigger one" (the documents
+        # column already avoids this with disjoint ~r shingle
+        # suffixes). With the rotation, sf10 is 10 independent
+        # copies of the sf1 workload: 10x scale, same shape.
+        shift = (r // 10) % 64
+        if shift:
+            out = out.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", shift + 1, 64 - shift),
+                    F.slice("embedding", 1, shift),
+                ),
+            )
         out = out.withColumn(
             "embedding",
             F.transform(F.col("embedding"),
