@@ -49,16 +49,48 @@ THRESH_MATCH = 30   # score >= -> match
 THRESH_POSSIBLE = 10  # score in [possible, match) -> clerical review
 
 
-def block_key(name_col: str = "name", nation_col: str = "nation"):
-    """(nation, last-3-digits of the trailing digit run) — cheap,
+# the blocking key's digit width resolves to the historical 3 at
+# every verified ledger scale and widens one digit per decade past
+# ~200K records — pinned by exact INTEGER threshold comparisons so
+# both engines pick the same width at every count (no libm log10 at
+# a power-of-10 boundary can flip it).
+_BLOCK_NATIONS = 25
+_BLOCK_TARGET = 8
+_BLOCK_BASE_DIGITS = 3
+_BLOCK_MAX_DIGITS = 8
+
+
+def adaptive_block_digits(n_recs: int) -> int:
+    """Blocking-key digit width that holds expected block population
+    ~flat as the registry grows. A FIXED right-3 key is a bounded
+    space of 1000 cells per nation — at a 100x registry every cell
+    carries 100x the records, the census cap rightfully drops ALL of
+    them, and candidate generation silently degenerates to zero
+    pairs (the sf10 probe's finding; the same bounded-key-space
+    class as fixed LSH bands and 4x16 Hamming bands). One extra
+    digit per decade of growth keeps expected block size constant;
+    the census cap still bounds the worst case."""
+    d = _BLOCK_BASE_DIGITS
+    for k in range(_BLOCK_BASE_DIGITS, _BLOCK_MAX_DIGITS):
+        if n_recs > _BLOCK_NATIONS * _BLOCK_TARGET * 10 ** k:
+            d += 1
+    return d
+
+
+def block_key(name_col: str = "name", nation_col: str = "nation",
+              digits: int = _BLOCK_BASE_DIGITS):
+    """(nation, last-``digits`` of the trailing digit run) — cheap,
     deterministic, survives the case/prefix perturbations that break
     exact-name matching, and spreads uniformly (the digits are the
-    entity's serial number)."""
-    digits = F.regexp_extract(F.col(name_col), r"([0-9]+)$", 1)
-    return F.col(nation_col), F.substring(digits, -3, 3).alias("blk")
+    entity's serial number). ``digits`` is the scale lever
+    (:func:`adaptive_block_digits`)."""
+    tail = F.regexp_extract(F.col(name_col), r"([0-9]+)$", 1)
+    return (F.col(nation_col),
+            F.substring(tail, -digits, digits).alias("blk"))
 
 
 def candidate_pairs_blocked(recs: DataFrame, max_block: int = 16,
+                            digits: int = _BLOCK_BASE_DIGITS,
                             ) -> DataFrame:
     """Within-block candidate pairs with both sides' attributes.
 
@@ -67,7 +99,7 @@ def candidate_pairs_blocked(recs: DataFrame, max_block: int = 16,
     census + both join sides into one shuffle of the block key, and
     the pair count is bounded by ``n_blocks * max_block^2 / 2``.
     """
-    nation, blk = block_key()
+    nation, blk = block_key(digits=digits)
     keyed = recs.withColumn("blk", blk)
     census = keyed.groupBy("nation", "blk").agg(
         F.count(F.lit(1)).alias("blk_n")

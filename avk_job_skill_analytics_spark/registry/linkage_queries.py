@@ -93,10 +93,37 @@ _RECS_SQL = """
 
 _MAX_BLOCK = 16
 
+
+def _blocked_pairs(recs):
+    """Candidate pairs at the ADAPTIVE blocking-key width (r14):
+    one count() sizes the registry, linkage.adaptive_block_digits
+    picks the digit width (3 at every verified ledger scale), and
+    the oracle replays the identical integer-threshold formula in
+    _BLK_DIGITS_SQL."""
+    digits = linkage.adaptive_block_digits(recs.count())
+    return linkage.candidate_pairs_blocked(
+        recs, max_block=_MAX_BLOCK, digits=digits
+    )
+
+# blocking-key width replays linkage.adaptive_block_digits through
+# exact integer threshold comparisons (r14): resolves to the
+# historical 3 at every verified ledger scale, +1 digit per decade
+# past ~200K records so the 1000-cells-per-nation key space can
+# never saturate the census cap into zero candidates.
+_BLK_DIGITS_SQL = str(linkage._BLOCK_BASE_DIGITS) + "".join(
+    f" + (CASE WHEN count(*) > "
+    f"{linkage._BLOCK_NATIONS * linkage._BLOCK_TARGET * 10 ** k} "
+    "THEN 1 ELSE 0 END)"
+    for k in range(linkage._BLOCK_BASE_DIGITS,
+                   linkage._BLOCK_MAX_DIGITS)
+)
+
 _CAND_SQL = f"""
+  blkparams AS (SELECT {_BLK_DIGITS_SQL} AS blkd FROM recs),
   keyed AS MATERIALIZED (
-    SELECT r.*, right(regexp_extract(name, '([0-9]+)$', 1), 3) AS blk
-    FROM recs r),
+    SELECT r.*, right(regexp_extract(name, '([0-9]+)$', 1),
+                      CAST(blkd AS INTEGER)) AS blk
+    FROM recs r, blkparams),
   census AS (SELECT nation, blk, count(*) AS blk_n
              FROM keyed GROUP BY nation, blk),
   bounded AS MATERIALIZED (
@@ -159,7 +186,7 @@ def er_candidate_pairs(spark, sf_dir):
     linkage). Emits the pair inventory with its block provenance —
     the audit that shows candidate cost stayed bounded."""
     recs = dirty_registry(spark, sf_dir)
-    pairs = linkage.candidate_pairs_blocked(recs, max_block=_MAX_BLOCK)
+    pairs = _blocked_pairs(recs)
     return pairs.select(
         F.col("a_rec_id").alias("rec_a"),
         F.col("b_rec_id").alias("rec_b"),
@@ -185,7 +212,7 @@ def er_fellegi_sunter(spark, sf_dir):
     on any engine — no float log accumulation to drift."""
     recs = dirty_registry(spark, sf_dir)
     scored = linkage.fs_score(
-        linkage.candidate_pairs_blocked(recs, max_block=_MAX_BLOCK)
+        _blocked_pairs(recs)
     )
     return scored.filter(F.col("decision") != "nonmatch").select(
         F.col("a_rec_id").alias("rec_a"),
@@ -212,7 +239,7 @@ def er_entity_clusters(spark, sf_dir):
     the pair list, matches."""
     recs = dirty_registry(spark, sf_dir)
     scored = linkage.fs_score(
-        linkage.candidate_pairs_blocked(recs, max_block=_MAX_BLOCK)
+        _blocked_pairs(recs)
     )
     resolved = linkage.resolve_entities(
         recs, scored.filter(F.col("decision") == "match")
@@ -244,7 +271,7 @@ def er_golden_record(spark, sf_dir):
     dirty registry."""
     recs = dirty_registry(spark, sf_dir)
     scored = linkage.fs_score(
-        linkage.candidate_pairs_blocked(recs, max_block=_MAX_BLOCK)
+        _blocked_pairs(recs)
     )
     resolved = linkage.resolve_entities(
         recs, scored.filter(F.col("decision") == "match")
@@ -290,9 +317,7 @@ def er_blocking_audit(spark, sf_dir):
     candidate set, so pairs lost to over-cap block drops are charged
     as linkage misses. One-row card, exact integers + fp6 ratios."""
     recs = dirty_registry(spark, sf_dir)
-    cands = linkage.candidate_pairs_blocked(
-        recs, max_block=_MAX_BLOCK
-    ).select("a_rec_id", "b_rec_id")
+    cands = _blocked_pairs(recs).select("a_rec_id", "b_rec_id")
     truth = recs.filter(F.col("src") == "web").select(
         (F.col("rec_id") - 1).alias("a_rec_id"),
         F.col("rec_id").alias("b_rec_id"),

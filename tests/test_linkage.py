@@ -102,3 +102,22 @@ def test_blocking_audit_charges_lost_pairs(spark):
     assert r["reduction_fp"] == (1_000_000 * 13) // 15
     assert r["n_true"] == 2 and r["n_true_found"] == 1
     assert r["completeness_fp"] == 500_000
+
+
+def test_adaptive_block_digits_thresholds():
+    """The r14 blocking-key scale lever: width resolves to the
+    historical 3 at every verified ledger scale (sf0.01/0.1/1
+    registry sizes — including the EXACT sf1 boundary of 200,000
+    records, pinned by strict integer comparison, no libm), and
+    widens one digit per decade after."""
+    from avk_job_skill_analytics_spark.operators.linkage import (
+        adaptive_block_digits,
+    )
+
+    assert adaptive_block_digits(2_000) == 3       # sf0.01
+    assert adaptive_block_digits(20_000) == 3      # sf0.1
+    assert adaptive_block_digits(200_000) == 3     # sf1 (boundary)
+    assert adaptive_block_digits(200_001) == 4
+    assert adaptive_block_digits(2_000_000) == 4   # sf10
+    assert adaptive_block_digits(20_000_000) == 5
+    assert adaptive_block_digits(10 ** 12) == 8    # hi clamp

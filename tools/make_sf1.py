@@ -72,6 +72,24 @@ def replica(df, table: str, r: int):
                 " ",
             ),
         )
+    if table == "customer" and (r // 10) > 0:
+        # Decade-group decorrelation for the ER workload: replicas
+        # share c_name verbatim, so at 100 replicas every name's
+        # digit tail appears 100x and lands in ONE blocking cell
+        # regardless of the key's width — the census cap rightfully
+        # drops ALL of them and candidate generation degenerates to
+        # zero pairs (a fixture-shape artifact, not a bigger
+        # registry). Groups beyond the first rewrite the name's
+        # serial digits to the SHIFTED custkey — what a genuinely
+        # 10x registry looks like: serial numbers keep growing.
+        # Group 0 (replicas 0-9) stays bit-identical to sf1.
+        out = out.withColumn(
+            "c_name",
+            F.regexp_replace(
+                F.col("c_name"), r"[0-9]+$",
+                F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+            ),
+        )
     if table == "embeddings" and r > 0:
         # Replicas within a decade group (r // 10) keep the sf1
         # construction exactly (so sf1 output is bit-identical to
