@@ -389,3 +389,75 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, rounds: int = 6,
                 .localCheckpoint()
             )
     return d.select("node", F.col("h").cast("int").alias("hops"))
+
+
+def common_neighbor_topk(edges: DataFrame, k: int = 25,
+                         min_center_cap: int = 64,
+                         src_col: str = "src",
+                         dst_col: str = "dst") -> DataFrame:
+    """Link prediction by common-neighbor counting: the top-k
+    NON-adjacent node pairs ranked by how many neighbors they share,
+    with the exact Jaccard coefficient ``cn / (deg(u)+deg(v)-cn)``
+    as the tie-scoring signal — the classic "who should be
+    connected" primitive (Liben-Nowell & Kleinberg, CIKM'03) over an
+    entity co-occurrence graph.
+
+    Scale shape: candidate pairs are enumerated as wedges through a
+    shared neighbor w, which costs Σ_w deg(w)² and explodes on hubs.
+    The lever is the adaptive center cap — wedge centers are limited
+    to deg(w) <= max(min_center_cap, floor(sqrt(m))), which bounds
+    total wedge work at cap·Σdeg = O(m^1.5) (the triangle-counting
+    bound) while dropping only super-hub centers, whose shared-ness
+    carries near-zero link signal (a neighbor shared with everyone
+    distinguishes nothing — the same reason Adamic-Adar discounts
+    high-degree witnesses). The cap formula is replayed verbatim by
+    the oracle, and Jaccard uses the FULL degrees, so published
+    scores are exact for every surviving pair. Driver holds one
+    scalar (the edge count); three shuffles total (degree agg, wedge
+    join, pair count) before the bounded top-k.
+    """
+    import math
+
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    m = e.count()
+    cap = max(min_center_cap, math.floor(math.sqrt(float(m))))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    adj = e.select(F.col("u").alias("w"), F.col("v").alias("x")).unionByName(
+        e.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    centers = adj.join(
+        deg.filter(F.col("deg") <= cap).select(F.col("node").alias("w")),
+        "w",
+        "left_semi",
+    )
+    a1 = centers.select("w", F.col("x").alias("u"))
+    a2 = centers.select("w", F.col("x").alias("v"))
+    wedges = a1.join(a2, "w").filter(F.col("u") < F.col("v"))
+    cn = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    cand = cn.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    scored = cand.join(du, "u").join(dv, "v").selectExpr(
+        "u", "v", "CAST(cn AS BIGINT) AS cn",
+        "CAST(du AS BIGINT) AS deg_u", "CAST(dv AS BIGINT) AS deg_v",
+        "CAST(floor((CAST(cn AS DOUBLE) * 1000000.0)"
+        " / CAST((du + dv) - cn AS DOUBLE)) AS BIGINT) AS jaccard_fp",
+    )
+    return scored.orderBy(
+        F.desc("cn"), F.desc("jaccard_fp"), "u", "v"
+    ).limit(k)

@@ -2011,6 +2011,212 @@ def _geo_pip_sql() -> str:
        FROM nokey"""
 
 
+
+# ---------------------------------------------------------------------------
+# Logistic-regression GD (ml_logreg_gd) — shared feature spec + oracle
+# ---------------------------------------------------------------------------
+
+# Feature SQL is shared VERBATIM between the Spark selectExpr and the
+# oracle so every per-row double matches bit-for-bit (the scalings
+# bound |x| <= ~1 so micro-gradients stay far below 2^53 at any sf).
+LOGREG_FEATURES = (
+    ("x0", "1.0"),
+    ("xq", "CAST(l_quantity AS DOUBLE) / 50.0"),
+    ("xd", "l_discount * 10.0"),
+)
+LOGREG_LABEL = "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END"
+LOGREG_WHERE = ("l_quantity IS NOT NULL AND l_discount IS NOT NULL "
+                "AND l_returnflag IS NOT NULL")
+LOGREG_STATS = ("w_bias", "w_qty", "w_disc")
+LOGREG_ITERS = 3
+LOGREG_LR = (1.0, 2.0)  # lr_num / lr_den
+
+
+def _logreg_sql(iters: int = LOGREG_ITERS,
+                lr_num: float = LOGREG_LR[0],
+                lr_den: float = LOGREG_LR[1]) -> str:
+    """DuckDB twin of linearmodel.logreg_fit_gd + logreg_report:
+    every GD round unrolled as a (gradient-sum, weight-update) CTE
+    pair, weights carried as exact BIGINT micro-units, followed by
+    the z>=0 confusion ledger. Margin/residual/gradient expressions
+    come from the SAME generators the Spark plan uses."""
+    from ..operators import linearmodel as lm
+
+    names = [n for n, _ in LOGREG_FEATURES]
+    fsel = ", ".join(f"{sql} AS {n}" for n, sql in LOGREG_FEATURES)
+    ctes = [
+        f"lrf AS MATERIALIZED (SELECT {fsel}, {LOGREG_LABEL} AS y "
+        f"FROM lineitem WHERE {LOGREG_WHERE})",
+        "lrn AS (SELECT count(*) AS n FROM lrf)",
+        "lw0 AS (SELECT " + ", ".join(
+            f"CAST(0 AS BIGINT) AS w{j}" for j in range(len(names))
+        ) + ")",
+    ]
+    for i in range(1, iters + 1):
+        ws = [f"c.w{j}" for j in range(len(names))]
+        grads = lm.grad_exprs(ws, names, "y", as_literal=False)
+        gsel = ", ".join(
+            f"{g} AS g{j}" for j, g in enumerate(grads)
+        )
+        ctes.append(f"lg{i} AS (SELECT {gsel} FROM lrf, lw{i - 1} c)")
+        upd = ", ".join(
+            f"c.w{j} - CAST(floor(({lr_num!r} * CAST(g.g{j} AS DOUBLE))"
+            f" / ({lr_den!r} * CAST(n.n AS DOUBLE))) AS BIGINT) AS w{j}"
+            for j in range(len(names))
+        )
+        ctes.append(
+            f"lw{i} AS (SELECT {upd} FROM lw{i - 1} c, lg{i} g, lrn n)"
+        )
+    ws = [f"c.w{j}" for j in range(len(names))]
+    z = lm._z_sql(ws, names, as_literal=False)
+    ctes.append(
+        f"lfin AS (SELECT {z} AS z, y FROM lrf, lw{iters} c)"
+    )
+    ctes.append(
+        "lagg AS (SELECT sum(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END)"
+        " AS n_pred_pos, sum(CASE WHEN (CASE WHEN z >= 0.0 THEN 1.0"
+        " ELSE 0.0 END) = y THEN 1 ELSE 0 END) AS n_correct,"
+        " count(*) AS n_total FROM lfin)"
+    )
+    stats = "\n UNION ALL ".join(
+        f"SELECT '{s}' AS stat, CAST(c.w{j} AS BIGINT) AS value "
+        f"FROM lw{iters} c"
+        for j, s in enumerate(LOGREG_STATS)
+    )
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"{stats}\n"
+        " UNION ALL SELECT 'n_pred_pos', CAST(n_pred_pos AS BIGINT)"
+        " FROM lagg\n"
+        " UNION ALL SELECT 'n_correct', CAST(n_correct AS BIGINT)"
+        " FROM lagg\n"
+        " UNION ALL SELECT 'n_total', CAST(n_total AS BIGINT) FROM lagg"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini decision stump (ml_gini_stump) — shared grids + oracle
+# ---------------------------------------------------------------------------
+
+# (name, spark_x_sql, duckdb_x_sql, grid). The token count reuses the
+# engine-wide whitespace rule (textstats.word_count ==
+# len(list_filter(string_split_regex(text,'\\s+'), x -> x <> ''))).
+_STUMP_TOK_DUCK = ("CAST(len(list_filter(string_split_regex(text, "
+                   "'\\s+'), x -> x <> '')) AS BIGINT)")
+STUMP_FEATURES = (
+    ("awl", "(CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE))",
+     (4.6, 4.8, 5.0, 5.2, 5.4, 5.6)),
+    ("chars", "CAST(n_chars AS DOUBLE)",
+     (150.0, 200.0, 250.0, 300.0, 350.0, 400.0, 450.0)),
+    ("tokens", "CAST(n_tok AS DOUBLE)",
+     (30.0, 40.0, 50.0, 60.0, 70.0, 80.0)),
+)
+STUMP_LABEL = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+
+
+def _stump_sql() -> str:
+    """DuckDB twin of trees.gini_stump over the documents table:
+    identical grid-bucket lambda, histogram, cumulative range join
+    and the shared trees.score_sql purity fragment."""
+    from ..operators.clustering import sql_double
+    from ..operators.trees import bucket_expr_duckdb, score_sql
+
+    buckets = ", ".join(
+        f"{bucket_expr_duckdb(x, list(grid))} AS b_{name}"
+        for name, x, grid in STUMP_FEATURES
+    )
+    longs = "\n UNION ALL ".join(
+        f"SELECT '{name}' AS feature, b_{name} AS bucket, y FROM h0"
+        for name, _, _ in STUMP_FEATURES
+    )
+    grid_rows = ", ".join(
+        f"('{name}', {i}, {sql_double(t)})"
+        for name, _, grid in STUMP_FEATURES
+        for i, t in enumerate(grid)
+    )
+    score = score_sql("c.pos_l", "c.n_l", "t.pos_t", "t.n_t")
+    return f"""WITH h0 AS MATERIALIZED (
+         SELECT {buckets}, CAST({STUMP_LABEL} AS BIGINT) AS y
+         FROM (SELECT lang, n_chars, {_STUMP_TOK_DUCK} AS n_tok, text
+               FROM documents) WHERE n_tok >= 1),
+       hlong AS ({longs}),
+       hist AS (SELECT feature, bucket, count(*) AS cnt, sum(y) AS pos
+                FROM hlong GROUP BY feature, bucket),
+       grid(feature, i, thr) AS (VALUES {grid_rows}),
+       tot AS (SELECT feature, sum(cnt) AS n_t, sum(pos) AS pos_t
+               FROM hist GROUP BY feature),
+       cum AS (SELECT g.feature, g.i, g.thr,
+                      sum(h.cnt) AS n_l, sum(h.pos) AS pos_l
+               FROM grid g JOIN hist h
+                 ON h.feature = g.feature AND h.bucket <= g.i
+               GROUP BY g.feature, g.i, g.thr),
+       scored AS (SELECT c.feature, c.thr,
+                         CAST(c.n_l AS BIGINT) AS n_left,
+                         CAST(c.pos_l AS BIGINT) AS pos_left,
+                         CAST(t.n_t - c.n_l AS BIGINT) AS n_right,
+                         CAST(t.pos_t - c.pos_l AS BIGINT) AS pos_right,
+                         CAST(floor(({score}) * 1000000.0) AS BIGINT)
+                             AS score_fp
+                  FROM cum c JOIN tot t ON t.feature = c.feature
+                  WHERE c.n_l > 0 AND t.n_t - c.n_l > 0),
+       ranked AS (SELECT *, row_number() OVER (
+                      PARTITION BY feature
+                      ORDER BY score_fp DESC, thr) AS rk
+                  FROM scored)
+       SELECT feature, thr AS threshold, n_left, pos_left,
+              n_right, pos_right, score_fp
+       FROM ranked WHERE rk = 1
+       ORDER BY score_fp DESC, feature, threshold"""
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction (graph_link_prediction) — oracle
+# ---------------------------------------------------------------------------
+
+def _link_pred_sql(k: int = 25, min_center_cap: int = 64) -> str:
+    """DuckDB twin of graph.common_neighbor_topk over the co-supply
+    graph (suppliers sharing a high-quantity order): the adaptive
+    center cap greatest(cap_floor, floor(sqrt(m))), hub-capped wedge
+    enumeration, existing-edge anti-join, and exact full-degree
+    Jaccard replayed verbatim."""
+    return f"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lineitem WHERE l_quantity >= 48),
+       e AS MATERIALIZED (
+         SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                         greatest(a.l_suppkey, b.l_suppkey) AS v
+         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_suppkey < b.l_suppkey),
+       m AS (SELECT count(*) AS m FROM e),
+       cap AS (SELECT greatest({min_center_cap},
+                 CAST(floor(sqrt(CAST(m AS DOUBLE))) AS BIGINT)) AS cap
+               FROM m),
+       deg AS (SELECT node, count(*) AS deg
+               FROM (SELECT u AS node FROM e
+                     UNION ALL SELECT v FROM e) GROUP BY node),
+       adj AS (SELECT u AS w, v AS x FROM e
+               UNION ALL SELECT v AS w, u AS x FROM e),
+       ctr AS (SELECT a.w, a.x FROM adj a
+               JOIN deg d ON d.node = a.w, cap
+               WHERE d.deg <= cap.cap),
+       wed AS (SELECT a1.x AS u, a2.x AS v
+               FROM ctr a1 JOIN ctr a2
+                 ON a1.w = a2.w AND a1.x < a2.x),
+       cnt AS (SELECT u, v, count(*) AS cn FROM wed GROUP BY u, v),
+       cand AS (SELECT c.u, c.v, c.cn FROM cnt c
+                WHERE NOT EXISTS (SELECT 1 FROM e
+                                  WHERE e.u = c.u AND e.v = c.v)),
+       sc AS (SELECT c.u, c.v, CAST(c.cn AS BIGINT) AS cn,
+                     CAST(du.deg AS BIGINT) AS deg_u,
+                     CAST(dv.deg AS BIGINT) AS deg_v,
+                     CAST(floor((CAST(c.cn AS DOUBLE) * 1000000.0)
+                          / CAST((du.deg + dv.deg) - c.cn AS DOUBLE))
+                          AS BIGINT) AS jaccard_fp
+              FROM cand c JOIN deg du ON du.node = c.u
+                          JOIN deg dv ON dv.node = c.v)
+       SELECT u, v, cn, deg_u, deg_v, jaccard_fp FROM sc
+       ORDER BY cn DESC, jaccard_fp DESC, u, v LIMIT {k}"""
+
 __all__ = [
     "_SHINGLE_CTE",
     "_VERIFY_SQL",
@@ -2090,4 +2296,15 @@ __all__ = [
     "_geo_pip_sql",
     "_dd_oracles",
     "_ann_oracles",
+    "LOGREG_FEATURES",
+    "LOGREG_LABEL",
+    "LOGREG_WHERE",
+    "LOGREG_STATS",
+    "LOGREG_ITERS",
+    "LOGREG_LR",
+    "_logreg_sql",
+    "STUMP_FEATURES",
+    "STUMP_LABEL",
+    "_stump_sql",
+    "_link_pred_sql",
 ]

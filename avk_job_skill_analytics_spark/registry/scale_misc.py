@@ -57,6 +57,7 @@ from .scale_common import (
     _pii_oracle_sql,
     _pref_pairs_sql,
     mix_plan_from_tokens,
+    _link_pred_sql,
 )
 
 QUERIES = {}
@@ -1321,6 +1322,40 @@ def pii_l_diversity(spark, sf_dir):
     )
 
 
+
+@_q("graph_link_prediction", _link_pred_sql())
+def graph_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction over the high-quantity
+    co-supply graph (same edge fixture as graph_triangles): the
+    top-25 non-adjacent supplier pairs by shared-neighbor count with
+    exact full-degree Jaccard as the tie signal
+    (graph.common_neighbor_topk; Liben-Nowell & Kleinberg CIKM'03).
+    Wedge centers are capped at deg <= max(64, floor(sqrt(m))) — the
+    adaptive-planes family discipline applied to wedge enumeration,
+    bounding total wedge work at O(m^1.5) while dropping only
+    super-hub witnesses whose shared-ness carries no link signal.
+    The oracle replays the cap formula, the capped wedge join and
+    the anti-join verbatim."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sb")
+    )
+    e = (
+        a.join(b, "k")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return graph.common_neighbor_topk(e, k=25)
+
 __all__ = [
     "graph_knn_mutual_components",
     "a6_salted_counts",
@@ -1351,4 +1386,5 @@ __all__ = [
     "geo_cell_density",
     "geo_point_in_polygon",
     "pii_l_diversity",
+    "graph_link_prediction",
 ]

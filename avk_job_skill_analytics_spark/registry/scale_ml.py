@@ -31,6 +31,14 @@ from ..operators.hashing import (
 from ..plans.schemas import load
 from ._fixtures import FixtureMemo
 from .scale_common import (
+    LOGREG_FEATURES,
+    LOGREG_ITERS,
+    LOGREG_LABEL,
+    LOGREG_LR,
+    LOGREG_STATS,
+    LOGREG_WHERE,
+    STUMP_FEATURES,
+    STUMP_LABEL,
     _ARM_SQL,
     _BM25_TERMS,
     _NEG_KEY_SQL,
@@ -44,8 +52,10 @@ from .scale_common import (
     _nb_sql,
     _ndcg_gain_fp,
     _pca_power_sql,
+    _logreg_sql,
     _retrieval_metrics_sql,
     _rrf_sql,
+    _stump_sql,
 )
 
 QUERIES = {}
@@ -1355,6 +1365,59 @@ def ml_ab_mde(spark, sf_dir):
         .otherwise(F.lit(0)),
     )
 
+
+
+@_q("ml_logreg_gd", _logreg_sql())
+def ml_logreg_gd(spark, sf_dir):
+    """Full-batch gradient-descent logistic regression over lineitem
+    (predicting returned lines from scaled quantity/discount) — the
+    distributed-GD pattern done Spark-first: each of the 3 rounds is
+    ONE scan reduced map-side to a d-element integer micro-gradient
+    (the treeAggregate shape — O(partitions·d) on the wire at any
+    corpus size), the driver holds d integers between rounds, and
+    the rational sigmoid + floor-quantized gradients keep every step
+    engine-exact (operators/linearmodel.py). The oracle unrolls all
+    three (gradient, weight-update) rounds plus the z>=0 confusion
+    ledger in generated SQL — full-trajectory hash verification of
+    an iterative learner."""
+    from ..operators import linearmodel as lm
+
+    names = [n for n, _ in LOGREG_FEATURES]
+    feats = (
+        load(spark, sf_dir, "lineitem")
+        .filter(LOGREG_WHERE)
+        .selectExpr(
+            *(f"{sql} AS {n}" for n, sql in LOGREG_FEATURES),
+            f"{LOGREG_LABEL} AS y",
+        )
+    )
+    w, _ = lm.logreg_fit_gd(
+        feats, names, "y", iters=LOGREG_ITERS,
+        lr_num=LOGREG_LR[0], lr_den=LOGREG_LR[1],
+    )
+    return lm.logreg_report(feats, names, "y", w, list(LOGREG_STATS))
+
+
+@_q("ml_gini_stump", _stump_sql())
+def ml_gini_stump(spark, sf_dir):
+    """Best Gini split per text-quality feature (chars, whitespace
+    tokens, avg word length) for the is-English label — the
+    tree-node histogram primitive (LightGBM-style): one documents
+    scan computes grid-bucket ids as pure Column lambdas, a stack
+    pivots row-locally, and a single partial+final aggregate leaves
+    O(features·|grid|) histogram rows on the wire; threshold scoring
+    runs on that micro-frame (operators/trees.py). Purity scores use
+    a pinned-association double expression shared verbatim with the
+    oracle, so the ranked splits hash-match."""
+    from ..operators import trees
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("n_tok", textstats.word_count(F.col("text")))
+        .filter(F.col("n_tok") >= 1)
+    )
+    feats = [(n, x, list(grid)) for n, x, grid in STUMP_FEATURES]
+    return trees.gini_stump(d, feats, STUMP_LABEL)
 
 __all__ = [
     "ml_kmeans_centroids",

@@ -193,6 +193,10 @@ _ORDER = (
     "ml_ab_mde",
     # round-12 addition (appended — the head window must not move)
     "dd_semantic_prune_lsh",
+    # round-14 additions (appended — the head window must not move)
+    "ml_logreg_gd",
+    "ml_gini_stump",
+    "graph_link_prediction",
 )
 
 _merged_q: dict = {}
