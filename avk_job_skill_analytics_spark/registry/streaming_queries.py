@@ -2577,3 +2577,144 @@ def stream_semantic_index_maintain(spark, sf_dir):
         spark.read.parquet(f"{index_dir}/pairs")
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --------------------------------- incremental GD logistic regression
+_LOGREG_BATCH_PREDS = (
+    "(l_orderkey % 3) = 0",
+    "(l_orderkey % 3) = 1",
+    "(l_orderkey % 3) = 2",
+)
+
+
+def _logreg_stream_sql() -> str:
+    """Oracle for the streaming mini-batch SGD drain: the trajectory
+    is ORDER-DEPENDENT (each step is evaluated at the previous
+    step's weights), so the SQL replays the batch sequence exactly —
+    one (source, count, gradient, update) CTE quartet per arrival in
+    mtime order, sharing the margin/residual/gradient generators
+    with the Spark plan (operators/linearmodel). Batch predicates
+    are guaranteed non-empty at every sf, so no round degenerates."""
+    from ..operators import linearmodel as lm
+    from .scale_common import (
+        LOGREG_FEATURES,
+        LOGREG_LABEL,
+        LOGREG_LR,
+        LOGREG_STATS,
+        LOGREG_WHERE,
+    )
+
+    names = [n for n, _ in LOGREG_FEATURES]
+    nd = len(names)
+    lr_num, lr_den = LOGREG_LR
+    fsel = ", ".join(f"{sql} AS {n}" for n, sql in LOGREG_FEATURES)
+    ctes = [
+        "sw0 AS (SELECT " + ", ".join(
+            f"CAST(0 AS BIGINT) AS w{j}" for j in range(nd)
+        ) + ")",
+    ]
+    for i, pred in enumerate(_LOGREG_BATCH_PREDS, start=1):
+        ctes.append(
+            f"ssf{i} AS MATERIALIZED (SELECT {fsel}, {LOGREG_LABEL} "
+            f"AS y FROM lineitem WHERE ({pred}) AND {LOGREG_WHERE})"
+        )
+        ctes.append(f"ssn{i} AS (SELECT count(*) AS n FROM ssf{i})")
+        ws = [f"c.w{j}" for j in range(nd)]
+        grads = lm.grad_exprs(ws, names, "y", as_literal=False)
+        gsel = ", ".join(f"{g} AS g{j}" for j, g in enumerate(grads))
+        ctes.append(
+            f"ssg{i} AS (SELECT {gsel} FROM ssf{i}, sw{i - 1} c)"
+        )
+        upd = ", ".join(
+            f"c.w{j} - CAST(floor(({lr_num!r} * CAST(g.g{j} AS DOUBLE))"
+            f" / ({lr_den!r} * CAST(n.n AS DOUBLE))) AS BIGINT) AS w{j}"
+            for j in range(nd)
+        )
+        ctes.append(
+            f"sw{i} AS (SELECT {upd} FROM sw{i - 1} c, ssg{i} g, "
+            f"ssn{i} n)"
+        )
+    last = len(_LOGREG_BATCH_PREDS)
+    nseen = " + ".join(f"n{i}.n" for i in range(1, last + 1))
+    nfrom = ", ".join(f"ssn{i} n{i}" for i in range(1, last + 1))
+    stats = "\n UNION ALL ".join(
+        f"SELECT '{s}' AS stat, CAST(c.w{j} AS BIGINT) AS value "
+        f"FROM sw{last} c"
+        for j, s in enumerate(LOGREG_STATS)
+    )
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\n{stats}\n"
+        f" UNION ALL SELECT 'n_batches', CAST({last} AS BIGINT)\n"
+        f" UNION ALL SELECT 'n_seen', CAST({nseen} AS BIGINT) "
+        f"FROM {nfrom}"
+    )
+
+
+@_q("stream_logreg_train", _logreg_stream_sql())
+def stream_logreg_train(spark, sf_dir):
+    """Incrementally-TRAINED logistic regression
+    (streaming/linear_stream.foreach_batch_logreg_train — the commit
+    protocol's latest-state layout): labeled lineitem rows arrive as
+    three disjoint micro-batches; each takes ONE exact GD step from
+    the latest committed weights and journals the new state exactly
+    once; ``compact_every=2`` folds the state partitions into one
+    newest-seq generation mid-drain. Because an SGD trajectory is
+    order-dependent, the oracle replays the batch SEQUENCE — three
+    unrolled (gradient, update) rounds over the same deterministic
+    splits — so the served weights are hash-verified as exact
+    mini-batch SGD, not an associative approximation. The per-batch
+    work is one aggregate over the arrivals (d BIGINT micro-gradient
+    sums) + a d-row state write: O(batch) compute, O(d) state, no
+    corpus rescan at any scale."""
+    from ..streaming.linear_stream import (
+        foreach_batch_logreg_train,
+        serve_logreg_weights,
+    )
+    from .scale_common import (
+        LOGREG_FEATURES,
+        LOGREG_LABEL,
+        LOGREG_LR,
+        LOGREG_STATS,
+        LOGREG_WHERE,
+    )
+
+    names = [n for n, _ in LOGREG_FEATURES]
+    src = _single_file_drops(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_quantity", "l_discount", "l_returnflag"],
+        [(f"{i}_mod3.parquet", F.expr(pred))
+         for i, pred in enumerate(_LOGREG_BATCH_PREDS)],
+        "logreg_train_src_",
+    )
+    index_dir = tempfile.mkdtemp(prefix="logreg_model_")
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_logregtrain_")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("l_orderkey long, l_quantity double, "
+                "l_discount double, l_returnflag string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .filter(LOGREG_WHERE)
+        .selectExpr(
+            *(f"{sql} AS {n}" for n, sql in LOGREG_FEATURES),
+            f"{LOGREG_LABEL} AS y",
+        )
+    )
+    try:
+        with _stream_shuffle(spark):
+            q = (
+                foreach_batch_logreg_train(
+                    stream, index_dir, names, "y",
+                    lr_num=LOGREG_LR[0], lr_den=LOGREG_LR[1],
+                    compact_every=2,
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return serve_logreg_weights(spark, index_dir, list(LOGREG_STATS))
