@@ -122,8 +122,14 @@ def _logreg_train_batch_fn(index_dir: str, feature_cols: list[str],
             grads = [int(row[f"g{j}"]) for j in range(d)]
             w = lm.update_weights(w, grads, n, lr_num, lr_den)
             rows = [(j, w[j], cum_n + n, seq + 1) for j in range(d)]
-            spark.createDataFrame(rows, _SCHEMA).coalesce(
-                1
+            # single-partition from birth: createDataFrame spreads d
+            # python rows over defaultParallelism partitions, and
+            # coalesce(1) then evaluates ALL parent python partitions
+            # sequentially inside the one write task (~4 s per tiny
+            # state write — same pathology as ann_index round 10);
+            # parallelize(_, 1) keeps the write one cheap task
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1), _SCHEMA
             ).write.mode("overwrite").parquet(
                 fs.uri(f"weights/batch={batch_id}")
             )
@@ -170,7 +176,10 @@ def serve_logreg_weights(spark, index_dir: str,
     w, cum_n, seq = _latest_state(spark, fs, d)
     rows = [(s, w[j]) for j, s in enumerate(stat_names)]
     rows += [("n_batches", seq), ("n_seen", cum_n)]
-    return spark.createDataFrame(rows, "stat string, value long")
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "stat string, value long",
+    )
 
 
 def compact_logreg_weights(spark, index_dir: str,
