@@ -845,9 +845,14 @@ def f15_winsorize(spark, sf_dir):
     the clamped doubles directly would accumulate in partition order
     and can flip the cent rounding between engines."""
     o = load(spark, sf_dir, "orders")
+    # one array-percentile agg: two scalar percentile aggs each buffer
+    # and sort their own copy of the column (group_percentiles fix)
     pct = o.agg(
-        F.percentile("o_totalprice", 0.05).alias("lo"),
-        F.percentile("o_totalprice", 0.95).alias("hi"),
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.05), F.lit(0.95))
+        ).alias("_ps")
+    ).select(
+        F.col("_ps")[0].alias("lo"), F.col("_ps")[1].alias("hi")
     )
     j = o.crossJoin(F.broadcast(pct))
     price, lo, hi = F.col("o_totalprice"), F.col("lo"), F.col("hi")

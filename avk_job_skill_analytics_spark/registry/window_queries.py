@@ -1444,15 +1444,24 @@ def win_rfm_segments(spark, sf_dir):
             "monetary",
         )
     )
+    # one array-percentile agg per column (not one agg per (col, prob):
+    # each percentile agg buffers+sorts its own copy of the column, so
+    # 9 aggs paid 9 sorts where 3 suffice — the group_percentiles fix)
+    probs = F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
     q = c.agg(
         *[
-            F.percentile(col, F.lit(pp)).alias(f"{al}{int(pp * 100)}")
+            F.percentile(col, probs).alias(f"_{al}")
             for col, al in (
                 ("recency_days", "r"),
                 ("frequency", "f"),
                 ("monetary", "m"),
             )
-            for pp in (0.25, 0.50, 0.75)
+        ]
+    ).select(
+        *[
+            F.col(f"_{al}")[i].alias(f"{al}{int(pp * 100)}")
+            for al in ("r", "f", "m")
+            for i, pp in enumerate((0.25, 0.50, 0.75))
         ]
     )
     t = c.crossJoin(F.broadcast(q)).select(
