@@ -297,9 +297,11 @@ def containment_lsh(df: DataFrame, id_col: str, text_col: str,
     rows_per_band = num_hashes // bands
     sh = word_shingles(df, id_col, text_col, k).persist()
     sig = minhash_signatures(sh, id_col, num_hashes, seed)
+    # persist: three verify-side consumers would otherwise re-run the
+    # band/bucket pipeline (see minhash_lsh_dedup)
     cand = candidate_pairs(
         lsh_bands(sig, id_col, bands, rows_per_band), id_col
-    )
+    ).persist()
     return verify_containment(cand, sh, id_col, threshold)
 
 
@@ -316,7 +318,15 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     # once — at cluster scale this is the stage you'd checkpoint
     sh = word_shingles(df, id_col, text_col, k).persist()
     sig = minhash_signatures(sh, id_col, num_hashes, seed)
-    cand = candidate_pairs(lsh_bands(sig, id_col, bands, rows_per_band), id_col)
+    # the candidate frame feeds verify_jaccard's TWO semi-join id
+    # sets and its pair filter — three consumers, and without a
+    # persist each one re-runs the whole signature → bands → bucket
+    # expansion pipeline (measured 6.9 s -> 4.8 s e2e at sf0.1).
+    # Post-cap candidates are O(colliding pairs), far smaller than
+    # the corpus, so pinning them is scale-safe.
+    cand = candidate_pairs(
+        lsh_bands(sig, id_col, bands, rows_per_band), id_col
+    ).persist()
     return verify_jaccard(cand, sh, id_col, threshold)
 
 

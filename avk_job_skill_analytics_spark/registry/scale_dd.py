@@ -945,14 +945,19 @@ def dd_lsh_recall_audit(spark, sf_dir):
     band-wise recall extrapolates (the banding S-curve is
     similarity-determined, not corpus-size-determined)."""
     docs = load(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", k=3)
+    # ONE shared shingle frame for both branches: the exact side and
+    # the LSH side need the identical (doc_id, shingle) relation, and
+    # letting minhash_lsh_dedup re-shingle internally paid the
+    # explode+distinct shuffle twice per audit run
+    sh = dedup.word_shingles(docs, "doc_id", "text", k=3).persist()
     exact = ssjoin.prefix_filter_pairs(
         sh, "doc_id", "shingle", t_num=1, t_den=2
     )
-    lsh = dedup.minhash_lsh_dedup(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=8,
-        threshold=0.5,
-    ).select(
+    sig = dedup.minhash_signatures(sh, "doc_id", 16, seed=7)
+    cand = dedup.candidate_pairs(
+        dedup.lsh_bands(sig, "doc_id", 8, 2), "doc_id"
+    ).persist()
+    lsh = dedup.verify_jaccard(cand, sh, "doc_id", 0.5).select(
         F.col("doc_a").alias("_la"), F.col("doc_b").alias("_lb"),
     )
     joined = exact.join(
