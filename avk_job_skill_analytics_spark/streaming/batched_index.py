@@ -32,7 +32,29 @@ __all__ = [
     "committed_table_dirs",
     "compact_batched_index",
     "spread_batch",
+    "parallel_writes",
 ]
+
+
+def parallel_writes(*thunks) -> None:
+    """Run a batch's INDEPENDENT per-table write jobs concurrently
+    from a small driver thread pool (guide-§2.6 job overlap: the
+    scheduler back-fills idle cores with the next job's tasks while
+    the current one drains its tail). Every sink writes 2-3 sibling
+    ``<table>/batch=<b>`` directories per trigger from the SAME
+    localCheckpoint-ed batch frame, so the jobs share no lineage and
+    any order is correct; the commit marker must still land AFTER all
+    of them, so this joins every thunk (and re-raises the first
+    failure) before returning."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
 
 
 def spread_batch(bdf):

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import _dot, _norm, band_sig_structs
 from .batched_index import (
     committed_table_dirs,
+    parallel_writes,
     compact_batched_index,
     make_delete_batches,
     spread_batch,
@@ -150,14 +151,16 @@ def _semantic_maintain_batch_fn(index_dir: str, id_col: str,
                 "cosine",
             )
         )
-        pairs.write.mode("overwrite").parquet(
-            fs.uri(f"pairs/batch={batch_id}")
-        )
-        bands_new.write.mode("overwrite").parquet(
-            fs.uri(f"bands/batch={batch_id}")
-        )
-        vecs_new.write.mode("overwrite").parquet(
-            fs.uri(f"vecs/batch={batch_id}")
+        parallel_writes(
+            lambda: pairs.write.mode("overwrite").parquet(
+                fs.uri(f"pairs/batch={batch_id}")
+            ),
+            lambda: bands_new.write.mode("overwrite").parquet(
+                fs.uri(f"bands/batch={batch_id}")
+            ),
+            lambda: vecs_new.write.mode("overwrite").parquet(
+                fs.uri(f"vecs/batch={batch_id}")
+            ),
         )
         fs.touch(f"_batch_{batch_id}")
         if compact_every:
