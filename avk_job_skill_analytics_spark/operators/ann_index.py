@@ -56,10 +56,22 @@ def _leaf_batch_ids(fs) -> set[str]:
 
 
 def write_cells(codes: DataFrame, cells_path: str,
-                batch_id: int) -> None:
+                batch_id: int, distribute: bool = True) -> None:
     """Write one batch's (_id, _cell, _codes) rows into the two-level
     layout as a DYNAMIC partition overwrite of its own leaves — a
-    redelivered batch rewrites identical directories and converges."""
+    redelivered batch rewrites identical directories and converges.
+
+    ``distribute`` hash-clusters the codes by ``_cell`` before the
+    partitioned write (guide §6 file sizing): without it every input
+    partition opens a file in every cell directory it touches —
+    input_partitions × cells tiny files per batch (measured 64 files
+    for a 250-row batch at sf0.1); clustered, each cell lands wholly
+    in one task, so each ``(_cell, _batch)`` leaf is exactly one
+    file. The shuffle moves only (id, cell, m-byte codes) — the
+    lightweight proxy, never vectors. Callers that already clustered
+    (compact_cells' bucketed repartition) pass ``distribute=False``."""
+    if distribute:
+        codes = codes.repartition("_cell")
     (
         codes.withColumn("_batch", F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -123,22 +135,30 @@ def build_index(spark, corpus: DataFrame, id_col: str, vec_col: str,
     )
     cbs = similarity._ivfpq_seed_cbs(asg, m, sub_d, k_star, round_digits)
     codes = similarity.ivfpq_encode(asg, cbs, m, sub_d, round_digits)
-    write_cells(codes, f"{index_dir}/cells", -1)
     # single-partition from birth: createDataFrame spreads these few
     # rows over defaultParallelism partitions, and coalesce(1) would
     # then evaluate all 32 python partitions SEQUENTIALLY in one task
     # (~4s per tiny write — measured round 10); parallelize(_, 1)
-    # keeps the whole side table one cheap task
+    # keeps the whole side table one cheap task. The three writes
+    # (cells inventory, coarse, pq) share no lineage with each other,
+    # so they overlap from a driver thread pool (guide §2.6) — the
+    # tiny side-table jobs back-fill cores while the cells write
+    # drains its tail; the commit markers below land after ALL three.
+    from ..streaming.batched_index import parallel_writes
+
     sc = spark.sparkContext
-    spark.createDataFrame(
-        sc.parallelize(list(coarse), 1), "cell long, cv array<double>"
-    ).write.mode("overwrite").parquet(f"{index_dir}/coarse")
-    spark.createDataFrame(
-        sc.parallelize(
-            [(s, cid, bv)
-             for s, sub in enumerate(cbs) for cid, bv in sub], 1),
-        "s int, cid long, bv array<double>",
-    ).write.mode("overwrite").parquet(f"{index_dir}/pq")
+    parallel_writes(
+        lambda: write_cells(codes, f"{index_dir}/cells", -1),
+        lambda: spark.createDataFrame(
+            sc.parallelize(list(coarse), 1), "cell long, cv array<double>"
+        ).write.mode("overwrite").parquet(f"{index_dir}/coarse"),
+        lambda: spark.createDataFrame(
+            sc.parallelize(
+                [(s, cid, bv)
+                 for s, sub in enumerate(cbs) for cid, bv in sub], 1),
+            "s int, cid long, bv array<double>",
+        ).write.mode("overwrite").parquet(f"{index_dir}/pq"),
+    )
     # commit the base build under the shared marker protocol: readers
     # (serve_topk, compact_cells) only trust marker-committed batches
     from ..streaming.fsio import PROTOCOL, IndexFS
@@ -381,7 +401,8 @@ def compact_cells(spark, index_dir: str, buckets: int = 1,
     )
     rows = inv.count()
     gen = next_generation(fs)
-    write_cells(inv, fs.uri("cells"), gen)
+    # inv is already bucket-clustered by _cell — no second shuffle
+    write_cells(inv, fs.uri("cells"), gen, distribute=False)
     write_journal(fs, gen, sorted(committed))  # the atomic commit point
     _recover_cells(fs)  # apply via the shared idempotent path
     # every committed real batch is now absorbed — retire markers far
