@@ -701,13 +701,17 @@ def test_calibration_rank_partitions_by_score(spark, queries):
 
 
 def test_prefix_filter_join_no_cartesian(spark, queries):
-    """The exact ss-join must stay an equi-join on prefix tokens with
-    the per-doc window keyed by doc id — no cartesian pair explosion,
-    no unpartitioned corpus window."""
+    """The exact ss-join must stay an equi-join on prefix tokens —
+    no cartesian pair explosion, no corpus-sized window anywhere
+    (the per-doc prefix slice is an array_sort + slice projection
+    off one groupBy(doc_id), r14 optimization), and verification is
+    the map-side array_intersect, not a token-level equijoin."""
     df = queries["dd_prefix_filter_join"](spark, SF_DIR)
     plan = I.plan_string(df)
     assert "CartesianProduct" not in plan, plan
-    assert re.search(r"windowspecdefinition\(doc_id", plan), plan
+    assert "windowspecdefinition" not in plan, plan
+    assert "array_intersect" in plan, plan
+    assert "sort_array" in plan or "array_sort" in plan, plan
 
 
 def test_lift_table_rank_partitions_by_score(spark, queries):
