@@ -223,8 +223,65 @@ def psi_from_counts(a: DataFrame, b: DataFrame,
     """The PSI report from two pre-bucketed count frames
     (bucket int, n_a|n_b long) — the shared core of the batch
     ``psi_drift`` and the streaming fold's drain, so the online
-    monitor is bit-identical to the offline report BY CONSTRUCTION
-    (same plan, same float order, same integer contrib sum)."""
+    monitor is bit-identical to the offline report BY CONSTRUCTION.
+
+    Evaluation (r14 optimization, guide §1.2 per-task work): the
+    distributed part of this report is the two bucket-count
+    aggregates the CALLER built — everything after them touches at
+    most ``n_buckets`` rows. Compiling the 24-step decimal(38,0)
+    intlog ladder into codegen cost ~2 s of driver/compile time per
+    run for those ≤10 rows (generated code varies by expression id,
+    so no compile cache ever hits), so the ladder now evaluates on
+    the driver via intlog's property-tested pure-Python twins
+    (``ln14_py`` et al. — bit-identical by tests/test_intlog.py, and
+    the ``dq_intlog_probe``/``dq_fp6_probe`` sentinels keep proving
+    the in-plan SQL ladder against the oracle). The collect is
+    bounded by ``n_buckets`` — the same bounded-driver discipline as
+    the codebook collects. Degenerate totals (an empty snapshot)
+    fall back to the expression plan so null-propagation semantics
+    stay exactly the engine's."""
+    arows = {int(r["bucket"]): int(r["n_a"] or 0) for r in a.collect()}
+    brows = {int(r["bucket"]): int(r["n_b"] or 0) for r in b.collect()}
+    na = [arows.get(i, 0) for i in range(n_buckets)]
+    nb = [brows.get(i, 0) for i in range(n_buckets)]
+    ta, tb = sum(na), sum(nb)
+    if ta > 0 and tb > 0:
+        from .intlog import (
+            contrib_fp6_py, fp6_ratio_py, ln14_py, sdiv10_py,
+        )
+
+        m = _MIL
+        per_rows = []
+        for i in range(n_buckets):
+            pa_num = na[i] * m + ta
+            pb_num = nb[i] * m + tb
+            lnum, lden = pa_num * tb, pb_num * ta
+            lr14 = ln14_py(lnum, lden, k_exp=24)
+            d10 = sdiv10_py(lnum - lden, ta * tb * m)
+            per_rows.append((
+                i,
+                fp6_ratio_py(pa_num, ta * m),
+                fp6_ratio_py(pb_num, tb * m),
+                contrib_fp6_py(d10, lr14),
+            ))
+        psi_fp = sum(r[3] for r in per_rows)
+        spark = a.sparkSession
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [r + (psi_fp,) for r in per_rows], 1
+            ),
+            "bucket int, share_a_fp long, share_b_fp long, "
+            "contrib_fp long, psi_fp long",
+        )
+    return _psi_from_counts_expr(a, b, n_buckets)
+
+
+def _psi_from_counts_expr(a: DataFrame, b: DataFrame,
+                          n_buckets: int) -> DataFrame:
+    """The in-plan expression spelling of the PSI report — the
+    degenerate-totals fallback, and the reference the driver-side
+    fast path must stay bit-identical to (same steps, same
+    constants; tests/test_dataquality.py locks the equivalence)."""
     all_b = a.sparkSession.range(n_buckets) \
         .select(F.col("id").cast("int").alias("bucket"))
     j = (
@@ -375,6 +432,43 @@ def information_value(df: DataFrame, value_col: str, label_expr,
             F.sum((~label_expr).cast("long")).alias("n_neg"),
         )
     )
+    # driver-side ladder over the ≤n_buckets count rows — same
+    # rationale and same py-twin discipline as psi_from_counts (the
+    # distributed work is the one bucket×outcome aggregate above)
+    crows = {
+        int(r["bucket"]): (int(r["n_pos"] or 0), int(r["n_neg"] or 0))
+        for r in counts.collect()
+    }
+    np_l = [crows.get(i, (0, 0))[0] for i in range(n_buckets)]
+    nn_l = [crows.get(i, (0, 0))[1] for i in range(n_buckets)]
+    tp_i, tn_i = sum(np_l), sum(nn_l)
+    if tp_i > 0 and tn_i > 0:
+        from .intlog import (
+            contrib_fp6_py, fp6_from_ln14_py, ln14_py, sdiv10_py,
+        )
+
+        m = _MIL
+        per_rows = []
+        for i in range(n_buckets):
+            ps_num = np_l[i] * m + tp_i
+            ns_num = nn_l[i] * m + tn_i
+            lnum, lden = ps_num * tn_i, ns_num * tp_i
+            woe14 = ln14_py(lnum, lden, k_exp=24)
+            d10 = sdiv10_py(lnum - lden, tp_i * tn_i * m)
+            per_rows.append((
+                i, np_l[i], nn_l[i],
+                fp6_from_ln14_py(woe14),
+                contrib_fp6_py(d10, woe14),
+            ))
+        iv_fp = sum(r[4] for r in per_rows)
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [r + (iv_fp,) for r in per_rows], 1
+            ),
+            "bucket int, n_pos long, n_neg long, woe_fp long, "
+            "iv_contrib_fp long, iv_fp long",
+        )
     all_b = df.sparkSession.range(n_buckets) \
         .select(F.col("id").cast("int").alias("bucket"))
     j = (

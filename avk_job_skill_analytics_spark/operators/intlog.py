@@ -81,7 +81,9 @@ __all__ = [
     "ln14_ctes",
     "ln14_py",
     "fp6_from_ln14_sql",
+    "fp6_from_ln14_py",
     "fp6_ratio_sql",
+    "fp6_ratio_py",
     "contrib_fp6_sql",
     "contrib_fp6_py",
     "sdiv10_steps",
@@ -291,6 +293,11 @@ def fp6_from_ln14_sql(ln14: str, dialect: str) -> str:
     return f"CAST({inner} - {_FP6_OFF // _FP6_DIV} AS BIGINT)"
 
 
+def fp6_from_ln14_py(ln14: int) -> int:
+    return (ln14 + _FP6_OFF + _FP6_DIV // 2) // _FP6_DIV \
+        - _FP6_OFF // _FP6_DIV
+
+
 def fp6_ratio_sql(num: str, den: str, dialect: str) -> str:
     """EXACT half-up fp6 of a ratio of positive wide integers:
     ``floor(num/den*1e6 + 0.5) = floor((2e6*num + den) / (2*den))``
@@ -299,6 +306,10 @@ def fp6_ratio_sql(num: str, den: str, dialect: str) -> str:
         f"({big_sql(2_000_000, dialect)} * ({num}) + ({den}))",
         f"({big_sql(2, dialect)} * ({den}))", dialect)
     return f"CAST({inner} AS BIGINT)"
+
+
+def fp6_ratio_py(num: int, den: int) -> int:
+    return (2_000_000 * num + den) // (2 * den)
 
 
 # contrib = (d10/1e10) * (ln14/1e14); fp6 half-up of it is

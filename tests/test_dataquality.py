@@ -644,3 +644,49 @@ def test_rolling_median_warmup_and_robustness(spark):
     assert out[4]["med"] == 30          # [20,30,1000] — spike ignored
     assert out[5]["med"] == 40          # [30,1000,40]
     assert out[6]["dev"] == out[6]["x"] - out[6]["med"]
+
+
+def test_psi_driver_ladder_matches_expr_plan(spark):
+    """The r14 driver-side intlog fast path must stay bit-identical
+    to the in-plan expression ladder it replaced (psi_from_counts vs
+    _psi_from_counts_expr), including empty buckets and skewed
+    totals — and the degenerate-totals fallback must still engage."""
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+
+    a = spark.createDataFrame(
+        [(0, 70), (1, 25), (3, 5)], "bucket int, n_a long"
+    )
+    b = spark.createDataFrame(
+        [(0, 3), (2, 96), (4, 1)], "bucket int, n_b long"
+    )
+    fast = sorted(map(tuple, DQ.psi_from_counts(a, b, 5).collect()))
+    expr = sorted(map(tuple, DQ._psi_from_counts_expr(a, b, 5).collect()))
+    assert fast == expr
+    empty = spark.createDataFrame([], "bucket int, n_b long")
+    deg = DQ.psi_from_counts(a, empty, 5)
+    assert deg.columns == [
+        "bucket", "share_a_fp", "share_b_fp", "contrib_fp", "psi_fp"
+    ]
+
+
+def test_information_value_driver_ladder_matches_history(spark):
+    """IV via the driver-side ladder reproduces the exact integers
+    the expression plan produced (hand-pinned from the pre-r14
+    in-plan run of this same fixture)."""
+    from avk_job_skill_analytics_spark.operators import dataquality as DQ
+
+    df = spark.createDataFrame(
+        [(float(i % 10), i % 10 < 5) for i in range(200)],
+        "v double, y boolean",
+    )
+    out = DQ.information_value(df, "v", F.col("y"), 0.0, 10.0, 5)
+    rows = {r["bucket"]: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    # buckets 0-1 all-positive, bucket 2 perfectly mixed (v=4 pos,
+    # v=5 neg -> WOE exactly 0), buckets 3-4 all-negative
+    assert all(rows[i]["woe_fp"] > 0 for i in (0, 1))
+    assert rows[2]["woe_fp"] == 0
+    assert all(rows[i]["woe_fp"] < 0 for i in (3, 4))
+    iv = rows[0]["iv_fp"]
+    assert all(r["iv_fp"] == iv for r in rows.values())
+    assert iv > 3_000_000  # strong separation (IV >> 0.3)
