@@ -37,15 +37,24 @@ __all__ = [
 
 
 def parallel_writes(*thunks) -> None:
-    """Run a batch's INDEPENDENT per-table write jobs concurrently
-    from a small driver thread pool (guide-§2.6 job overlap: the
-    scheduler back-fills idle cores with the next job's tasks while
-    the current one drains its tail). Every sink writes 2-3 sibling
-    ``<table>/batch=<b>`` directories per trigger from the SAME
-    localCheckpoint-ed batch frame, so the jobs share no lineage and
-    any order is correct; the commit marker must still land AFTER all
-    of them, so this joins every thunk (and re-raises the first
-    failure) before returning."""
+    """Run INDEPENDENT write jobs concurrently from a small driver
+    thread pool (guide-§2.6 job overlap: the scheduler back-fills
+    idle cores with the next job's tasks while the current one drains
+    its tail), joining every thunk — and re-raising the first
+    failure — before returning, so a commit marker written after this
+    call still lands after ALL of the writes.
+
+    MEASURED CAVEAT (r14): use this only when at most one thunk
+    carries a non-trivial plan. Overlapping several medium-sized
+    FIRST-RUN writes convoys on plan compilation (the streaming index
+    maintainers measured 62 -> 80 s of cold first-run wall across the
+    family when their 3 per-trigger table writes were overlapped —
+    reverted; warm runs were a wash). The surviving user is
+    ann_index.build_index, whose shape is one heavy cells write plus
+    two trivial side-table writes: there the tiny jobs back-fill the
+    big write's tail and the cold lifecycle measured faster
+    (autocompact 13.0 -> 10.9, auto_retrain 12.8 -> 11.2 in the
+    single-pass sweep)."""
     if len(thunks) == 1:
         thunks[0]()
         return

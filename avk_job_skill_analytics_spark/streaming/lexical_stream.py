@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .batched_index import parallel_writes, spread_batch
+from .batched_index import spread_batch
 
 from ..operators.retrieval import bm25_rank
 from ..operators.textstats import tokens
@@ -101,13 +101,11 @@ def _bm25_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
         dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
         # term-sorted postings: serving's isin(term) predicate prunes
         # parquet row groups instead of decoding every posting
-        parallel_writes(
-            lambda: tf.sort("term").write.mode("overwrite").parquet(
-                fs.uri(f"postings/batch={batch_id}")
-            ),
-            lambda: dl.write.mode("overwrite").parquet(
-                fs.uri(f"doclen/batch={batch_id}")
-            ),
+        tf.sort("term").write.mode("overwrite").parquet(
+            fs.uri(f"postings/batch={batch_id}")
+        )
+        dl.write.mode("overwrite").parquet(
+            fs.uri(f"doclen/batch={batch_id}")
         )
         fs.touch(f"_batch_{batch_id}")
         if compact_every:

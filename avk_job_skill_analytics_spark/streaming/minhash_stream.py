@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .batched_index import parallel_writes, spread_batch
+from .batched_index import spread_batch
 
 from ..operators.dedup import minhash_signatures, word_shingles
 from ..operators.hashing import (
@@ -126,12 +126,7 @@ def build_lsh_index(static_df: DataFrame, id_col: str, text_col: str,
     offline dedup uses (dedup.word_shingles/minhash_signatures), so
     batch and stream agree bit-for-bit."""
     rows_per_band = num_hashes // bands
-    # persist: the shingle frame (explode + distinct shuffle) feeds
-    # BOTH outputs — the signature aggregate and the per-doc set
-    # table; callers materialize the two with separate
-    # localCheckpoints, which would otherwise re-run the shingle
-    # shuffle twice per index build
-    sh = word_shingles(static_df, id_col, text_col, k).persist()
+    sh = word_shingles(static_df, id_col, text_col, k)
     sig = minhash_signatures(sh, id_col, num_hashes, seed)
     index_bands = sig.select(
         F.col(id_col).alias("_idx_id"),
@@ -315,16 +310,14 @@ def _lsh_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
             pairs = spark.createDataFrame(
                 [], "doc_a long, doc_b long, jaccard double"
             )
-        parallel_writes(
-            lambda: pairs.write.mode("overwrite").parquet(
-                fs.uri(f"pairs/batch={batch_id}")
-            ),
-            lambda: banded_new.write.mode("overwrite").parquet(
-                fs.uri(f"bands/batch={batch_id}")
-            ),
-            lambda: sets_new.write.mode("overwrite").parquet(
-                fs.uri(f"sets/batch={batch_id}")
-            ),
+        pairs.write.mode("overwrite").parquet(
+            fs.uri(f"pairs/batch={batch_id}")
+        )
+        banded_new.write.mode("overwrite").parquet(
+            fs.uri(f"bands/batch={batch_id}")
+        )
+        sets_new.write.mode("overwrite").parquet(
+            fs.uri(f"sets/batch={batch_id}")
         )
         fs.touch(f"_batch_{batch_id}")
         if compact_every:

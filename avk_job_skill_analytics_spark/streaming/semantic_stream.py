@@ -51,7 +51,6 @@ from pyspark.sql import functions as F
 from ..operators.similarity import _dot, _norm, band_sig_structs
 from .batched_index import (
     committed_table_dirs,
-    parallel_writes,
     compact_batched_index,
     make_delete_batches,
     spread_batch,
@@ -151,16 +150,14 @@ def _semantic_maintain_batch_fn(index_dir: str, id_col: str,
                 "cosine",
             )
         )
-        parallel_writes(
-            lambda: pairs.write.mode("overwrite").parquet(
-                fs.uri(f"pairs/batch={batch_id}")
-            ),
-            lambda: bands_new.write.mode("overwrite").parquet(
-                fs.uri(f"bands/batch={batch_id}")
-            ),
-            lambda: vecs_new.write.mode("overwrite").parquet(
-                fs.uri(f"vecs/batch={batch_id}")
-            ),
+        pairs.write.mode("overwrite").parquet(
+            fs.uri(f"pairs/batch={batch_id}")
+        )
+        bands_new.write.mode("overwrite").parquet(
+            fs.uri(f"bands/batch={batch_id}")
+        )
+        vecs_new.write.mode("overwrite").parquet(
+            fs.uri(f"vecs/batch={batch_id}")
         )
         fs.touch(f"_batch_{batch_id}")
         if compact_every:

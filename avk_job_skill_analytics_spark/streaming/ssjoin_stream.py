@@ -53,7 +53,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .batched_index import (
-    parallel_writes,
     spread_batch,
     committed_table_dirs,
     compact_batched_index,
@@ -207,16 +206,14 @@ def _ssjoin_maintain_batch_fn(index_dir: str, id_col: str,
                 .cast("long").alias("jacc_fp"),
             )
         )
-        parallel_writes(
-            lambda: pairs.write.mode("overwrite").parquet(
-                fs.uri(f"pairs/batch={batch_id}")
-            ),
-            lambda: post_new.write.mode("overwrite").parquet(
-                fs.uri(f"postings/batch={batch_id}")
-            ),
-            lambda: sets_new.write.mode("overwrite").parquet(
-                fs.uri(f"sets/batch={batch_id}")
-            ),
+        pairs.write.mode("overwrite").parquet(
+            fs.uri(f"pairs/batch={batch_id}")
+        )
+        post_new.write.mode("overwrite").parquet(
+            fs.uri(f"postings/batch={batch_id}")
+        )
+        sets_new.write.mode("overwrite").parquet(
+            fs.uri(f"sets/batch={batch_id}")
         )
         fs.touch(f"_batch_{batch_id}")
         if compact_every:
