@@ -399,10 +399,16 @@ def compact_cells(spark, index_dir: str, buckets: int = 1,
         .repartition(buckets, "_cell")
         .localCheckpoint()
     )
-    rows = inv.count()
+    # observe the row count inside the generation write instead of a
+    # separate count() job over the checkpointed snapshot (guide §1.2)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    inv = inv.observe(obs, F.count(F.lit(1)).alias("rows"))
     gen = next_generation(fs)
     # inv is already bucket-clustered by _cell — no second shuffle
     write_cells(inv, fs.uri("cells"), gen, distribute=False)
+    rows = obs.get["rows"]
     write_journal(fs, gen, sorted(committed))  # the atomic commit point
     _recover_cells(fs)  # apply via the shared idempotent path
     # every committed real batch is now absorbed — retire markers far

@@ -220,7 +220,12 @@ def compact_raw_log(spark, root_dir: str, id_col: str,
         .select(SF.col(id_col), SF.col(vec_col))
         .localCheckpoint()
     )
-    n = rows_df.count()
+    # observe the row count inside the generation write instead of a
+    # separate count() job over the checkpointed snapshot (guide §1.2)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rows_df = rows_df.observe(obs, SF.count(SF.lit(1)).alias("rows"))
     gen = next_generation(fs)
     (
         rows_df.withColumn("_rbatch", SF.lit(int(gen)))
@@ -229,6 +234,7 @@ def compact_raw_log(spark, root_dir: str, id_col: str,
         .partitionBy("_rbatch")
         .parquet(fs.uri("raw"))
     )
+    n = obs.get["rows"]
     write_journal(fs, gen, sorted(committed))  # the atomic commit
     _recover(fs, _delete_raw_batches)
     # committed view only: consumed leaves keep their data for one

@@ -186,9 +186,20 @@ def compact_batched_index(spark, index_dir: str,
             rep = df.repartition(buckets, *spec)
         else:
             rep = df.repartition(buckets)
+        obs = None
         if t == probe:
-            rows = rep.count()
+            # observe the row count INSIDE the write job: a separate
+            # count() action re-ran the whole committed-batches read +
+            # repartition a second time per compaction (guide §1.2 —
+            # the probe table is the big one, so this halved its cost)
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            rep = rep.observe(obs, F.count(F.lit(1)).alias("rows"))
         rep.write.mode("overwrite").parquet(fs.uri(f"{t}/batch={gen}"))
+        if obs is not None:
+            rows = obs.get["rows"]
         consumed |= {d.rsplit("=", 1)[1] for d in dirs[t]}
     write_journal(fs, gen, sorted(consumed))  # the atomic commit point
     recover_compaction(fs, delete_fn)  # apply via the idempotent path

@@ -1109,15 +1109,22 @@ def stream_mg_heavy_hitters(stream, item_col: str, k: int = 2000):
     def batch_fn(bdf, epoch_id):
         if epoch_id <= state["last_epoch"]:
             return  # redelivered epoch: skip even the Spark jobs
+        from pyspark.sql import Observation
+
         items = bdf.select(item_col)
         cand = mg_candidates(items, item_col, k).distinct()
+        # observe the batch size on the PROBE side (below the
+        # semi-join, so it sees every row) instead of a separate
+        # items.count() job that re-scanned the batch (guide §1.2)
+        obs = Observation()
         agg = (
-            items.join(SF.broadcast(cand), item_col, "left_semi")
+            items.observe(obs, SF.count(SF.lit(1)).alias("n"))
+            .join(SF.broadcast(cand), item_col, "left_semi")
             .groupBy(item_col)
             .agg(SF.count(SF.lit(1)).alias("freq"))
         )
         batch_counts = {r[item_col]: r["freq"] for r in agg.collect()}
-        mg_apply_epoch(state, batch_counts, items.count(), epoch_id, k)
+        mg_apply_epoch(state, batch_counts, obs.get["n"], epoch_id, k)
 
     ckpt = _tf.mkdtemp(prefix="ckpt_hh_")
     try:
@@ -1168,15 +1175,22 @@ def stream_kmv_distinct(stream, value_col: str, k: int = 128):
     state = {"sketch": [], "batches": 0, "rows": 0}
 
     def batch_fn(bdf, epoch_id):
+        from pyspark.sql import Observation
+
+        # observe the batch size BELOW the sketch's distinct, inside
+        # the same job — a separate bdf.count() re-scanned the batch
+        obs = Observation()
         sk = kmv_sketch(
-            bdf.withColumn("_g", SF.lit(1)), ["_g"], value_col, k
+            bdf.observe(obs, SF.count(SF.lit(1)).alias("n"))
+            .withColumn("_g", SF.lit(1)),
+            ["_g"], value_col, k,
         ).collect()
         if sk:
             batch_sketch = sk[0]["sketch"]
             merged = sorted(set(state["sketch"]) | set(batch_sketch))[:k]
             state["sketch"] = merged
         state["batches"] += 1
-        state["rows"] += bdf.count()
+        state["rows"] += obs.get["n"]
 
     ckpt = _tf.mkdtemp(prefix="ckpt_kmv_")
     try:
