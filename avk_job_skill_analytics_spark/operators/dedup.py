@@ -199,37 +199,59 @@ def lsh_bucket_census(bands_df: DataFrame, id_col: str,
     )
 
 
+def _candidate_shingle_arrays(pairs: DataFrame, shingles: DataFrame,
+                              id_col: str) -> DataFrame:
+    """Each candidate document as its sorted shingle-hash set plus its
+    exact shingle count: (id, _sh array<long>, _n). ONE aggregate over
+    the candidate-semi-joined shingle frame — the verify stages score
+    pairs map-side from these arrays (array_intersect), replacing the
+    former full-corpus sizes aggregate + two per-side semi-joined hash
+    projections + token-level equijoin + per-pair groupBy (three extra
+    exchanges, and a hot-shingle pair blowup the semi-join only
+    bounded, not removed). ``_n`` counts shingle ROWS (distinct
+    shingle strings), matching the oracle's per-doc size exactly even
+    if two strings were ever to share a 60-bit hash."""
+    ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .unionByName(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    return (
+        shingles.join(F.broadcast(ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_set(md5_long(F.col("shingle")))
+            ).alias("_sh"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+
+
 def verify_jaccard(pairs: DataFrame, shingles: DataFrame, id_col: str,
                    threshold: float) -> DataFrame:
-    """Exact Jaccard over candidate pairs via the shingle inverted
-    index: |A∩B| from a shingle-equijoin restricted to candidates,
-    |A∪B| = |A| + |B| - |A∩B|. Only candidate pairs are scored.
-
-    Scale notes: (a) each shingle side is first semi-joined to the
-    candidate ids, so after LSH pruning the inverted-index join touches
-    only colliding documents (a tiny fraction of the corpus) and the
-    candidate id sets broadcast; (b) the equi-join key is the 60-bit
-    shingle hash, not the shingle text — constant-width shuffle rows."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    hashed = shingles.select(
-        F.col(id_col), md5_long(F.col("shingle")).alias("sh")
+    """Exact Jaccard over candidate pairs, scored map-side: each
+    candidate doc is materialized once as its sorted shingle-hash
+    array (``_candidate_shingle_arrays``), the pair frame joins the
+    array for each side, and |A∩B| is a per-row ``array_intersect`` —
+    no token-level equijoin, so a hot shingle shared by many
+    candidates costs nothing beyond its array slots. Only candidate
+    pairs are ever scored, and only candidate documents' arrays are
+    ever built (semi-join pruning). |A∪B| = |A| + |B| - |A∩B|."""
+    arrs = _candidate_shingle_arrays(pairs, shingles, id_col)
+    va = arrs.select(
+        F.col(id_col).alias("a"), F.col("_sh").alias("_sha"),
+        F.col("_n").alias("na"),
     )
-    sa = hashed.join(
-        pairs.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
-    ).select(F.col(id_col).alias("a"), "sh")
-    sb = hashed.join(
-        pairs.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
-    ).select(F.col(id_col).alias("b"), "sh")
-    inter = (
-        sa.join(sb, "sh")
-        .join(pairs, ["a", "b"], "left_semi")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    vb = arrs.select(
+        F.col(id_col).alias("b"), F.col("_sh").alias("_shb"),
+        F.col("_n").alias("nb"),
     )
-    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "a").join(nb, "b")
+        pairs.join(va, "a").join(vb, "b")
+        .withColumn(
+            "i", F.size(F.array_intersect("_sha", "_shb")).cast("long")
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4),
@@ -253,28 +275,23 @@ def verify_containment(pairs: DataFrame, shingles: DataFrame,
     from LSH banding — a mostly-contained document still collides
     with its container through the shared shingles dominating its
     (smaller) shingle set — and only the survivors pay the exact
-    intersection join. ``containment_pairs`` is the validation-scale
-    all-pairs twin of this composition."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    hashed = shingles.select(
-        F.col(id_col), md5_long(F.col("shingle")).alias("sh")
+    intersection, scored map-side from the per-doc sorted hash arrays
+    (same shape as ``verify_jaccard``). ``containment_pairs`` is the
+    validation-scale all-pairs twin of this composition."""
+    arrs = _candidate_shingle_arrays(pairs, shingles, id_col)
+    va = arrs.select(
+        F.col(id_col).alias("a"), F.col("_sh").alias("_sha"),
+        F.col("_n").alias("na"),
     )
-    sa = hashed.join(
-        pairs.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
-    ).select(F.col(id_col).alias("a"), "sh")
-    sb = hashed.join(
-        pairs.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
-    ).select(F.col(id_col).alias("b"), "sh")
-    inter = (
-        sa.join(sb, "sh")
-        .join(pairs, ["a", "b"], "left_semi")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    vb = arrs.select(
+        F.col(id_col).alias("b"), F.col("_sh").alias("_shb"),
+        F.col("_n").alias("nb"),
     )
-    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "a").join(nb, "b")
+        pairs.join(va, "a").join(vb, "b")
+        .withColumn(
+            "i", F.size(F.array_intersect("_sha", "_shb")).cast("long")
+        )
         .withColumn("cont_a_in_b", F.round(F.col("i") / F.col("na"), 4))
         .withColumn("cont_b_in_a", F.round(F.col("i") / F.col("nb"), 4))
         .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
