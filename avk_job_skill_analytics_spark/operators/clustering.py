@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.session import tiny_df
+
 
 def _sqdist(a: Column, b: Column) -> Column:
     """Squared L2 distance as a strict left fold (deterministic
@@ -302,8 +304,9 @@ def kcenter_coreset(df: DataFrame, id_col: str, vec_col: str,
                 F.col("_id").alias("_sid"), F.col("_v").alias("_sv")
             )
         ).localCheckpoint()
-    return df.sparkSession.createDataFrame(
-        selected, "sel_order int, vec_id long, maxmin_dist long"
+    return tiny_df(
+        df.sparkSession, selected,
+        "sel_order int, vec_id long, maxmin_dist long",
     )
 
 
@@ -442,6 +445,6 @@ def kmeans_parallel_init(df: DataFrame, id_col: str, vec_col: str,
     )
     keep = {int(r["_cid"]) for r in weights}
     rows = [(cid, cv) for cid, cv in cands if cid in keep]
-    return df.sparkSession.createDataFrame(
-        rows, "cluster long, centroid array<double>"
+    return tiny_df(
+        df.sparkSession, rows, "cluster long, centroid array<double>"
     )

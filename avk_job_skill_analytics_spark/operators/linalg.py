@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.session import tiny_df
+
 QUANT_SCALE = 10 ** 6
 
 
@@ -129,8 +131,8 @@ def pca_top_component(df: DataFrame, vec_col: str, d: int,
     spark = df.sparkSession
     rows = [(i + 1, round(float(top[i]), 6), round(frac, 6))
             for i in range(d)]
-    return spark.createDataFrame(
-        rows, "dim int, loading double, explained_frac double"
+    return tiny_df(
+        spark, rows, "dim int, loading double, explained_frac double"
     )
 
 

@@ -130,3 +130,20 @@ def sized_partitions(spark, n_rows: int, rows_per_partition: int = 50_000) -> in
     except Exception:
         default = 200
     return max(4, min(default, n_rows // rows_per_partition + 1))
+
+
+def tiny_df(spark, rows, schema: str):
+    """Driver-built tiny frame as ONE partition from birth.
+
+    ``createDataFrame(list, schema)`` spreads even a handful of local
+    rows over defaultParallelism pickled Python partitions, so every
+    downstream consumer pays ~32 Python-worker round trips (and a
+    ``coalesce(1)`` would evaluate them SEQUENTIALLY in one task —
+    the round-10 tiny-write pathology). ``parallelize(rows, 1)``
+    keeps the whole frame one cheap task: measured ~1.3 s → ~0.9 s
+    warm (6.4 s → 1.9 s first-use) for a 31-row frame feeding two
+    window phases. Rows and dtypes are identical — the schema string
+    governs both paths — so results never change, only task count."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..operators import analytics as A
 from ..operators import sampling, setops
 from ..plans.schemas import load
+from ..plans.session import tiny_df
 
 QUERIES = {}
 ORACLES = {}
@@ -590,8 +591,8 @@ def j7_range_band_join(spark, sf_dir):
     from ..operators.rangejoin import binned_range_join
 
     li = load(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
-        _PRICE_BANDS, "band string, lo double, hi double"
+    bands = tiny_df(
+        spark, _PRICE_BANDS, "band string, lo double, hi double"
     )
     joined = binned_range_join(li, "l_extendedprice", bands,
                                "lo", "hi", bin_width=30000.0)

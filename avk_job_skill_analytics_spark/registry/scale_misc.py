@@ -29,6 +29,7 @@ from ..operators.hashing import (
     minhash_coeffs,
 )
 from ..plans.schemas import load
+from ..plans.session import tiny_df
 from ._fixtures import FixtureMemo
 from .scale_common import (
     GEO_ZONES,
@@ -1257,7 +1258,8 @@ def geo_point_in_polygon(spark, sf_dir):
     from ..operators.spatial import point_in_polygon
 
     pts = _geo_points(spark, sf_dir, "customer", "c_custkey")
-    zones = spark.createDataFrame(
+    zones = tiny_df(
+        spark,
         [(z, ring) for z, ring in GEO_ZONES.items()],
         "zone string, verts array<struct<lat: long, lon: long>>",
     )

@@ -29,6 +29,7 @@ from ..operators.hashing import (
     minhash_coeffs,
 )
 from ..plans.schemas import load
+from ..plans.session import tiny_df
 from ._fixtures import FixtureMemo
 from .scale_common import (
     LOGREG_FEATURES,
@@ -281,7 +282,8 @@ def ml_retrieval_metrics(spark, sf_dir):
         e, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=2,
         m=8, sub_d=8, k_star=8,
     )
-    gains = spark.createDataFrame(
+    gains = tiny_df(
+        spark,
         [(i, _ndcg_gain_fp(i)) for i in range(1, 6)],
         "rk long, gain_fp long",
     )

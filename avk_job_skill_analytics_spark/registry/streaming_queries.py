@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.schemas import load
+from ..plans.session import tiny_df
 from ._fixtures import FixtureMemo
 from ..streaming.incremental import (
     session_window_counts,
@@ -937,7 +938,8 @@ def stream_drift_monitor(spark, sf_dir):
         int(math.floor(float(state["total"]) / float(state["n"])))
         if state["n"] else 0
     )
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [("arrivals", state["n"], state["total"], mean_fp)],
         "cohort string, n_vecs long, total_err long, mean_err_fp long",
     )
@@ -1110,8 +1112,8 @@ def stream_mix_monitor(spark, sf_dir):
             q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    per_src = spark.createDataFrame(
-        sorted(state["tokens"].items()), "source string, t_s long"
+    per_src = tiny_df(
+        spark, sorted(state["tokens"].items()), "source string, t_s long"
     )
     return mix_plan_from_tokens(per_src)
 
@@ -1275,7 +1277,7 @@ def stream_heavy_hitters(spark, sf_dir):
     )
     counters, n = stream_mg_heavy_hitters(items, "ngram", k=2000)
     hot = [(t, int(c)) for t, c in counters.items() if c * 1000 > n]
-    return spark.createDataFrame(hot, "ngram string, freq long")
+    return tiny_df(spark, hot, "ngram string, freq long")
 
 
 def _stream_kmv_sql(k: int) -> str:
@@ -1336,8 +1338,8 @@ def stream_kmv_distinct(spark, sf_dir):
         est = (127 * HASH_SPACE) // sketch[127]
     n_events = load(spark, sf_dir, "events").count()
     deliveries = n_rows // n_events if n_events else 0
-    return spark.createDataFrame(
-        [(int(est), int(deliveries))], "est_users long, n_batches int"
+    return tiny_df(
+        spark, [(int(est), int(deliveries))], "est_users long, n_batches int"
     )
 
 
@@ -1807,7 +1809,8 @@ def stream_nb_gate(spark, sf_dir):
             q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(p, a, n) for (p, a), n in sorted(state["counts"].items())],
         "pred long, actual long, n long",
     )
@@ -2060,7 +2063,8 @@ def stream_dq_gate(spark, sf_dir):
             q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         dq_state_report_rows(state),
         "constraint string, metric_fp long, passed boolean",
     )
@@ -2114,7 +2118,8 @@ def stream_freshness_monitor(spark, sf_dir):
             q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         freshness_report_rows(state, max_lag_s=600),
         "event_type string, n long, lag_s long, stale boolean",
     )
@@ -2170,9 +2175,7 @@ def stream_cusum_monitor(spark, sf_dir):
             q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    daily = spark.createDataFrame(
-        key_count_rows(state), "d int, x long"
-    )
+    daily = tiny_df(spark, key_count_rows(state), "d int, x long")
     return A.cusum_changepoint(daily, "d", "x", baseline_w=7)
 
 
@@ -2302,7 +2305,8 @@ def stream_ab_monitor(spark, sf_dir):
             q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         ab_monitor_card(state),
         "n_a long, n_b long, cents_a long, cents_b long, "
         "rev_per_event_a_fp long, rev_per_event_b_fp long, "

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.session import tiny_df
+
 __all__ = [
     "foreach_batch_dq_fold",
     "dq_state_report_rows",
@@ -147,7 +149,8 @@ def psi_report_from_state(spark, ref_df: DataFrame, value_col: str,
                  .alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_a"))
     )
-    arr = spark.createDataFrame(
+    arr = tiny_df(
+        spark,
         [(i, n) for i, n in enumerate(state["counts"]) if n > 0],
         "bucket int, n_b long",
     )
