@@ -110,30 +110,54 @@ def build_index(spark, corpus: DataFrame, id_col: str, vec_col: str,
     ``_batch=-1`` plus both codebook side tables. Returns
     (coarse, cbs) so the builder can keep serving in-process."""
     from . import similarity
+    from ..plans.session import tiny_df
 
-    cell_rows = (
+    # ONE head TakeOrdered serves both quantizer seeds (guide §1.2 —
+    # don't scan the corpus twice for rows the first scan already
+    # found): the coarse centroids are the first n_cells corpus rows
+    # by id and the PQ seed residuals belong to the first k_star rows
+    # by id, so one collect of the first max(n_cells, k_star) rows
+    # feeds both. The seed residuals are then computed by the SAME
+    # _ivfpq_assign expression over a single-partition tiny frame of
+    # those head rows (bit-identical: identical expressions, and the
+    # first k_star ids of the corpus ARE the head's first k_star) —
+    # the former spelling ran a second full-corpus TakeOrdered for
+    # them.
+    head_rows = (
         corpus.orderBy(id_col)
-        .limit(n_cells)
+        .limit(max(n_cells, k_star))
         .select(
             F.col(id_col).cast("long").alias("_cell"),
             F.transform(
                 F.col(vec_col),
                 lambda x: F.round(x.cast("double"), round_digits),
             ).alias("_cv"),
+            F.col(vec_col).cast("array<double>").alias("_raw"),
         )
         .collect()
     )
-    coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
+    coarse = [
+        (int(r["_cell"]), list(r["_cv"])) for r in head_rows[:n_cells]
+    ]
+    seed_src = tiny_df(
+        spark,
+        [(int(r["_cell"]), list(r["_raw"])) for r in head_rows[:k_star]],
+        "_sid long, _sv array<double>",
+    )
+    cbs = similarity._ivfpq_seed_cbs(
+        similarity._ivfpq_assign(seed_src, "_sid", "_sv", coarse,
+                                 round_digits),
+        m, sub_d, k_star, round_digits,
+    )
     # deliberately NOT checkpointed/cached: assignment is one codegen
-    # projection, and its two consumers (the 8-row PQ seed TakeOrdered
-    # and the encode pass) re-derive it cheaper than a corpus-sized
-    # materialization — which at the 100 TB design point would pin
-    # the whole assignment in executor storage (round 10; was
-    # localCheckpoint, ~1.2 s/build at sf0.1 for zero scan savings)
+    # projection, and its one remaining consumer (the encode pass)
+    # re-derives it cheaper than a corpus-sized materialization —
+    # which at the 100 TB design point would pin the whole assignment
+    # in executor storage (round 10; was localCheckpoint, ~1.2 s/build
+    # at sf0.1 for zero scan savings)
     asg = similarity._ivfpq_assign(
         corpus, id_col, vec_col, coarse, round_digits
     )
-    cbs = similarity._ivfpq_seed_cbs(asg, m, sub_d, k_star, round_digits)
     codes = similarity.ivfpq_encode(asg, cbs, m, sub_d, round_digits)
     # single-partition from birth: createDataFrame spreads these few
     # rows over defaultParallelism partitions, and coalesce(1) would
@@ -191,20 +215,34 @@ def serve_topk(spark, index_dir: str, queries: DataFrame, id_col: str,
     )
 
     coarse, cbs = load_codebooks(spark, index_dir)
-    probes = similarity.ivfpq_probes(
+    # ONE job computes the probe frame AND the probed-cell literal
+    # set: collect the probes (bounded by |queries| x n_probe rows —
+    # the query frame is serving-tier sized by contract, same bounded
+    # driver discipline as the codebook collects) and rebuild them as
+    # a single-partition tiny frame for the broadcast score join. The
+    # former spelling paid a localCheckpoint job PLUS a separate
+    # distinct+collect job per serve (guide §1.2). All probe values
+    # are exact longs / integer micro-distances — the driver round
+    # trip is bit-lossless.
+    probe_rows = similarity.ivfpq_probes(
         queries, id_col, vec_col, coarse, cbs,
         n_probe=n_probe, m=len(cbs), sub_d=sub_d,
         round_digits=round_digits,
-    ).localCheckpoint()
-    probed = sorted(
-        int(r["_cell"]) for r in probes.select("_cell").distinct().collect()
-    )
+    ).collect()
+    probed = sorted({int(r["_cell"]) for r in probe_rows})
     if not probed:
         # degenerate query frame (no rows -> no probes): a typed
         # empty result, not an empty-isin scan or a crash
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, adc_dist long, rk int"
         )
+    from ..plans.session import tiny_df
+
+    probes = tiny_df(
+        spark,
+        [(r["_qid"], r["_cell"], r["_tbls"]) for r in probe_rows],
+        "_qid long, _cell long, _tbls array<map<long,long>>",
+    )
     fs = IndexFS(spark, index_dir)
     # pre-v2 compat, READ-ONLY: a legacy base build never touched
     # _batch_-1 — overlay it into this read's committed view instead
