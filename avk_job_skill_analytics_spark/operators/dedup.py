@@ -79,6 +79,36 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str,
 
 # ---------------------------------------------------------- MinHash + LSH
 
+def hashed_shingles(shingles: DataFrame, id_col: str) -> DataFrame:
+    """(id, _h60): each distinct shingle STRING's 60-bit MD5 hash —
+    the one shared representation every downstream LSH stage consumes
+    (signatures take ``_h60 %% P``, the verify stages collect ``_h60``
+    sets). Hashing ONCE here, after the string-level distinct, keeps
+    the per-doc row count equal to the distinct-string count (the
+    engine-exact convention) while every later shuffle moves 8-byte
+    longs instead of shingle strings (guide §2.3 shuffle fewer
+    bytes)."""
+    return shingles.select(
+        F.col(id_col), md5_long(F.col("shingle")).alias("_h60")
+    )
+
+
+def _minhash_signatures_h60(hashed: DataFrame, id_col: str,
+                            num_hashes: int = 16,
+                            seed: int = 7) -> DataFrame:
+    """MinHash signatures over a pre-hashed (id, _h60) shingle frame —
+    same arithmetic as :func:`minhash_signatures` (which wraps this),
+    without re-hashing a shingle frame the caller already hashed."""
+    h = hashed.select(
+        F.col(id_col), (F.col("_h60") % MERSENNE_P).alias("_h")
+    )
+    aggs = [
+        F.min(affine_hash(F.col("_h"), a, b)).alias(f"m{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(shingles: DataFrame, id_col: str,
                        num_hashes: int = 16, seed: int = 7) -> DataFrame:
     """MinHash signature per document: m_j = min over shingles of
@@ -86,14 +116,9 @@ def minhash_signatures(shingles: DataFrame, id_col: str,
     frame — num_hashes mins computed in a single pass. The base hash
     is projected once before the aggregate so the md5 runs once per
     shingle, not once per hash function."""
-    hashed = shingles.select(
-        F.col(id_col), (md5_long(F.col("shingle")) % MERSENNE_P).alias("_h")
+    return _minhash_signatures_h60(
+        hashed_shingles(shingles, id_col), id_col, num_hashes, seed
     )
-    aggs = [
-        F.min(affine_hash(F.col("_h"), a, b)).alias(f"m{j}")
-        for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str, bands: int,
@@ -199,36 +224,36 @@ def lsh_bucket_census(bands_df: DataFrame, id_col: str,
     )
 
 
-def _candidate_shingle_arrays(pairs: DataFrame, shingles: DataFrame,
+def _candidate_shingle_arrays(pairs: DataFrame, hashed: DataFrame,
                               id_col: str) -> DataFrame:
     """Each candidate document as its sorted shingle-hash set plus its
     exact shingle count: (id, _sh array<long>, _n). ONE aggregate over
-    the candidate-semi-joined shingle frame — the verify stages score
-    pairs map-side from these arrays (array_intersect), replacing the
-    former full-corpus sizes aggregate + two per-side semi-joined hash
+    the candidate-semi-joined hashed shingle frame (id, _h60 — see
+    :func:`hashed_shingles`) — the verify stages score pairs map-side
+    from these arrays (array_intersect), replacing the former
+    full-corpus sizes aggregate + two per-side semi-joined hash
     projections + token-level equijoin + per-pair groupBy (three extra
     exchanges, and a hot-shingle pair blowup the semi-join only
     bounded, not removed). ``_n`` counts shingle ROWS (distinct
-    shingle strings), matching the oracle's per-doc size exactly even
-    if two strings were ever to share a 60-bit hash."""
+    shingle strings — the hash projection is row-preserving), matching
+    the oracle's per-doc size exactly even if two strings were ever to
+    share a 60-bit hash."""
     ids = (
         pairs.select(F.col("a").alias(id_col))
         .unionByName(pairs.select(F.col("b").alias(id_col)))
         .distinct()
     )
     return (
-        shingles.join(F.broadcast(ids), id_col, "left_semi")
+        hashed.join(F.broadcast(ids), id_col, "left_semi")
         .groupBy(id_col)
         .agg(
-            F.sort_array(
-                F.collect_set(md5_long(F.col("shingle")))
-            ).alias("_sh"),
+            F.sort_array(F.collect_set(F.col("_h60"))).alias("_sh"),
             F.count(F.lit(1)).alias("_n"),
         )
     )
 
 
-def verify_jaccard(pairs: DataFrame, shingles: DataFrame, id_col: str,
+def verify_jaccard(pairs: DataFrame, hashed: DataFrame, id_col: str,
                    threshold: float) -> DataFrame:
     """Exact Jaccard over candidate pairs, scored map-side: each
     candidate doc is materialized once as its sorted shingle-hash
@@ -237,8 +262,9 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame, id_col: str,
     no token-level equijoin, so a hot shingle shared by many
     candidates costs nothing beyond its array slots. Only candidate
     pairs are ever scored, and only candidate documents' arrays are
-    ever built (semi-join pruning). |A∪B| = |A| + |B| - |A∩B|."""
-    arrs = _candidate_shingle_arrays(pairs, shingles, id_col)
+    ever built (semi-join pruning). |A∪B| = |A| + |B| - |A∩B|.
+    ``hashed`` is the (id, _h60) frame from :func:`hashed_shingles`."""
+    arrs = _candidate_shingle_arrays(pairs, hashed, id_col)
     va = arrs.select(
         F.col(id_col).alias("a"), F.col("_sh").alias("_sha"),
         F.col("_n").alias("na"),
@@ -263,7 +289,7 @@ def verify_jaccard(pairs: DataFrame, shingles: DataFrame, id_col: str,
     )
 
 
-def verify_containment(pairs: DataFrame, shingles: DataFrame,
+def verify_containment(pairs: DataFrame, hashed: DataFrame,
                        id_col: str, threshold: float) -> DataFrame:
     """Broder containment over candidate survivors — the same
     semi-join-pruned inverted-index shape as ``verify_jaccard``, but
@@ -277,8 +303,9 @@ def verify_containment(pairs: DataFrame, shingles: DataFrame,
     (smaller) shingle set — and only the survivors pay the exact
     intersection, scored map-side from the per-doc sorted hash arrays
     (same shape as ``verify_jaccard``). ``containment_pairs`` is the
-    validation-scale all-pairs twin of this composition."""
-    arrs = _candidate_shingle_arrays(pairs, shingles, id_col)
+    validation-scale all-pairs twin of this composition. ``hashed`` is
+    the (id, _h60) frame from :func:`hashed_shingles`."""
+    arrs = _candidate_shingle_arrays(pairs, hashed, id_col)
     va = arrs.select(
         F.col(id_col).alias("a"), F.col("_sh").alias("_sha"),
         F.col("_n").alias("na"),
@@ -312,8 +339,14 @@ def containment_lsh(df: DataFrame, id_col: str, text_col: str,
     f follows the banding curve at Jaccard≈f/(1+... ) — both engines
     share the deterministic hash family, so misses are identical."""
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, id_col, text_col, k).persist()
-    sig = minhash_signatures(sh, id_col, num_hashes, seed)
+    # persist the HASHED shingle frame: both consumers (signatures,
+    # verify arrays) read hashes only, so the md5 runs once at
+    # materialization and the pinned/scanned bytes are 8-byte longs,
+    # not shingle strings (guide §2.3)
+    sh = hashed_shingles(
+        word_shingles(df, id_col, text_col, k), id_col
+    ).persist()
+    sig = _minhash_signatures_h60(sh, id_col, num_hashes, seed)
     # persist: three verify-side consumers would otherwise re-run the
     # band/bucket pipeline (see minhash_lsh_dedup)
     cand = candidate_pairs(
@@ -330,11 +363,14 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     the candidate probability at Jaccard j is 1-(1-j²)⁸ (≈0.90 at
     j=0.5, ≈1.0 at j=0.8)."""
     rows_per_band = num_hashes // bands
-    # the shingle frame feeds both the signature aggregate and the
-    # verify stage; persist it so the (explode + distinct) shuffle runs
-    # once — at cluster scale this is the stage you'd checkpoint
-    sh = word_shingles(df, id_col, text_col, k).persist()
-    sig = minhash_signatures(sh, id_col, num_hashes, seed)
+    # the HASHED shingle frame feeds both the signature aggregate and
+    # the verify stage; persist it so the (explode + distinct) shuffle
+    # AND the md5 pass run once — at cluster scale this is the stage
+    # you'd checkpoint
+    sh = hashed_shingles(
+        word_shingles(df, id_col, text_col, k), id_col
+    ).persist()
+    sig = _minhash_signatures_h60(sh, id_col, num_hashes, seed)
     # the candidate frame feeds verify_jaccard's TWO semi-join id
     # sets and its pair filter — three consumers, and without a
     # persist each one re-runs the whole signature → bands → bucket
@@ -355,11 +391,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     index (no LSH pruning): the correctness baseline for
     ``minhash_lsh_dedup``. Cost grows with Σ_shingle df² — use only at
     validation scale or after aggressive shingle-df capping."""
-    sh = word_shingles(df, id_col, text_col, k).persist()
+    # persist the HASHED shingle frame: the size aggregate and both
+    # self-join sides read hashes only, so the md5 runs once and the
+    # pinned/joined bytes are longs, not shingle strings (guide §2.3)
+    sh = hashed_shingles(
+        word_shingles(df, id_col, text_col, k), id_col
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     # single self-join on the hashed shingle: intersection counts come
     # straight out of the join's groupBy — no separate candidate pass
-    hashed = sh.select(F.col(id_col), md5_long(F.col("shingle")).alias("sh"))
+    hashed = sh.select(F.col(id_col), F.col("_h60").alias("sh"))
     inter = (
         hashed.select(F.col(id_col).alias("a"), "sh")
         .join(hashed.select(F.col(id_col).alias("b"), "sh"), "sh")
@@ -398,9 +439,11 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     grows with Sigma_shingle df^2) — the validation-scale twin of
     ``containment_lsh``, which composes the MinHash-LSH candidate
     generator with ``verify_containment`` for the 100 TB path."""
-    sh = word_shingles(df, id_col, text_col, k).persist()
+    sh = hashed_shingles(
+        word_shingles(df, id_col, text_col, k), id_col
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    hashed = sh.select(F.col(id_col), md5_long(F.col("shingle")).alias("sh"))
+    hashed = sh.select(F.col(id_col), F.col("_h60").alias("sh"))
     inter = (
         hashed.select(F.col(id_col).alias("a"), "sh")
         .join(hashed.select(F.col(id_col).alias("b"), "sh"), "sh")

@@ -912,9 +912,18 @@ def dd_prefix_filter_join(spark, sf_dir):
     candidates and the same 25 near-dup pairs LSH finds, with a
     no-false-negative guarantee LSH cannot give."""
     docs = load(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(docs, "doc_id", "text", k=3)
+    # join on the 60-bit shingle HASH, not the shingle string: every
+    # prefix-filter stage (df aggregate, rarity join, sorted-array
+    # groupBy, prefix self-join, array_intersect verify) then moves
+    # 8-byte longs (guide §2.3). Lossless: the prefix theorem holds
+    # for ANY total order (hash rarity ties replace string ties), the
+    # verify is exact, and intersections over distinct 60-bit hashes
+    # equal string intersections (the repo-wide hash-set convention).
+    sh = dedup.hashed_shingles(
+        dedup.word_shingles(docs, "doc_id", "text", k=3), "doc_id"
+    )
     return ssjoin.prefix_filter_pairs(
-        sh, "doc_id", "shingle", t_num=1, t_den=2
+        sh, "doc_id", "_h60", t_num=1, t_den=2
     )
 
 
@@ -945,15 +954,20 @@ def dd_lsh_recall_audit(spark, sf_dir):
     band-wise recall extrapolates (the banding S-curve is
     similarity-determined, not corpus-size-determined)."""
     docs = load(spark, sf_dir, "documents")
-    # ONE shared shingle frame for both branches: the exact side and
-    # the LSH side need the identical (doc_id, shingle) relation, and
-    # letting minhash_lsh_dedup re-shingle internally paid the
-    # explode+distinct shuffle twice per audit run
-    sh = dedup.word_shingles(docs, "doc_id", "text", k=3).persist()
+    # ONE shared HASHED shingle frame for both branches: the exact
+    # side and the LSH side need the identical (doc_id, shingle-hash)
+    # relation — re-shingling (or re-hashing) per branch paid the
+    # explode+distinct shuffle and the md5 pass twice per audit run.
+    # The exact branch joins on the hash (lossless — see
+    # dd_prefix_filter_join); the LSH branch consumes hashes by
+    # construction.
+    sh = dedup.hashed_shingles(
+        dedup.word_shingles(docs, "doc_id", "text", k=3), "doc_id"
+    ).persist()
     exact = ssjoin.prefix_filter_pairs(
-        sh, "doc_id", "shingle", t_num=1, t_den=2
+        sh, "doc_id", "_h60", t_num=1, t_den=2
     )
-    sig = dedup.minhash_signatures(sh, "doc_id", 16, seed=7)
+    sig = dedup._minhash_signatures_h60(sh, "doc_id", 16, seed=7)
     cand = dedup.candidate_pairs(
         dedup.lsh_bands(sig, "doc_id", 8, 2), "doc_id"
     ).persist()

@@ -143,8 +143,14 @@ def build_lsh_index(static_df: DataFrame, id_col: str, text_col: str,
     offline dedup uses (dedup.word_shingles/minhash_signatures), so
     batch and stream agree bit-for-bit."""
     rows_per_band = num_hashes // bands
-    sh = word_shingles(static_df, id_col, text_col, k)
-    sig = minhash_signatures(sh, id_col, num_hashes, seed)
+    from ..operators.dedup import _minhash_signatures_h60, hashed_shingles
+
+    # hash the shingle frame ONCE: both index tables consume hashes
+    # only (signatures take _h60 % P, the set table collects _h60)
+    sh = hashed_shingles(
+        word_shingles(static_df, id_col, text_col, k), id_col
+    )
+    sig = _minhash_signatures_h60(sh, id_col, num_hashes, seed)
     index_bands = sig.select(
         F.col(id_col).alias("_idx_id"),
         F.explode(band_structs(bands, rows_per_band)).alias("bs"),
@@ -152,9 +158,8 @@ def build_lsh_index(static_df: DataFrame, id_col: str, text_col: str,
         "_idx_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     index_sets = (
-        sh.select(F.col(id_col), md5_long(F.col("shingle")).alias("_h"))
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("_h")).alias("_idx_sh"))
+        sh.groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("_h60")).alias("_idx_sh"))
         .select(
             F.col(id_col).alias("_idx_id"),
             "_idx_sh",
