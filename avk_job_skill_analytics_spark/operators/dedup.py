@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.session import scratch_persist
 from .hashing import MERSENNE_P, affine_hash, md5_long, minhash_coeffs
 
 # ------------------------------------------------------------- exact dedup
@@ -343,15 +344,15 @@ def containment_lsh(df: DataFrame, id_col: str, text_col: str,
     # verify arrays) read hashes only, so the md5 runs once at
     # materialization and the pinned/scanned bytes are 8-byte longs,
     # not shingle strings (guide §2.3)
-    sh = hashed_shingles(
+    sh = scratch_persist(hashed_shingles(
         word_shingles(df, id_col, text_col, k), id_col
-    ).persist()
+    ))
     sig = _minhash_signatures_h60(sh, id_col, num_hashes, seed)
     # persist: three verify-side consumers would otherwise re-run the
     # band/bucket pipeline (see minhash_lsh_dedup)
-    cand = candidate_pairs(
+    cand = scratch_persist(candidate_pairs(
         lsh_bands(sig, id_col, bands, rows_per_band), id_col
-    ).persist()
+    ))
     return verify_containment(cand, sh, id_col, threshold)
 
 
@@ -367,9 +368,9 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     # the verify stage; persist it so the (explode + distinct) shuffle
     # AND the md5 pass run once — at cluster scale this is the stage
     # you'd checkpoint
-    sh = hashed_shingles(
+    sh = scratch_persist(hashed_shingles(
         word_shingles(df, id_col, text_col, k), id_col
-    ).persist()
+    ))
     sig = _minhash_signatures_h60(sh, id_col, num_hashes, seed)
     # the candidate frame feeds verify_jaccard's TWO semi-join id
     # sets and its pair filter — three consumers, and without a
@@ -377,9 +378,9 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     # expansion pipeline (measured 6.9 s -> 4.8 s e2e at sf0.1).
     # Post-cap candidates are O(colliding pairs), far smaller than
     # the corpus, so pinning them is scale-safe.
-    cand = candidate_pairs(
+    cand = scratch_persist(candidate_pairs(
         lsh_bands(sig, id_col, bands, rows_per_band), id_col
-    ).persist()
+    ))
     return verify_jaccard(cand, sh, id_col, threshold)
 
 
@@ -394,9 +395,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # persist the HASHED shingle frame: the size aggregate and both
     # self-join sides read hashes only, so the md5 runs once and the
     # pinned/joined bytes are longs, not shingle strings (guide §2.3)
-    sh = hashed_shingles(
+    sh = scratch_persist(hashed_shingles(
         word_shingles(df, id_col, text_col, k), id_col
-    ).persist()
+    ))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     # single self-join on the hashed shingle: intersection counts come
     # straight out of the join's groupBy — no separate candidate pass
@@ -439,9 +440,9 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     grows with Sigma_shingle df^2) — the validation-scale twin of
     ``containment_lsh``, which composes the MinHash-LSH candidate
     generator with ``verify_containment`` for the 100 TB path."""
-    sh = hashed_shingles(
+    sh = scratch_persist(hashed_shingles(
         word_shingles(df, id_col, text_col, k), id_col
-    ).persist()
+    ))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     hashed = sh.select(F.col(id_col), F.col("_h60").alias("sh"))
     inter = (

@@ -88,8 +88,10 @@ def prefix_filter_pairs(sets: DataFrame, id_col: str,
             .alias("_terms"),
         )
         .withColumn("_n", F.size("_terms"))
-        .persist()
     )
+    from ..plans.session import scratch_persist
+
+    arr = scratch_persist(arr)
     # prefix length p = n - ceil(t*n) + 1, ceil in exact integers
     ceil_tn = F.floor(
         (F.lit(t_num) * F.col("_n") + F.lit(t_den - 1)) / F.lit(t_den)

@@ -147,3 +147,31 @@ def tiny_df(spark, rows, schema: str):
     return spark.createDataFrame(
         spark.sparkContext.parallelize(list(rows), 1), schema
     )
+
+
+_SCRATCH_PERSISTED: list = []
+
+
+def scratch_persist(df, keep: int = 8):
+    """``persist()`` with SESSION-LIFETIME bounds (guide §5: unpersist
+    when done): the frame is registered in a bounded FIFO and the
+    oldest entries beyond ``keep`` are unpersisted as new ones arrive.
+
+    The within-query persists (shared shingle frames, LSH candidate
+    frames, prefix-filter doc arrays) are consumed entirely by the
+    query that created them, but a long-lived session running many
+    such queries would otherwise accumulate every one of them in
+    storage memory until eviction pressure. Eviction here is safe by
+    construction: unpersisting a frame that somehow IS still
+    referenced only degrades to recomputation, never to wrong
+    results. ``keep`` comfortably exceeds the largest number of
+    scratch frames any single query pins at once (3)."""
+    df.persist()
+    _SCRATCH_PERSISTED.append(df)
+    while len(_SCRATCH_PERSISTED) > keep:
+        old = _SCRATCH_PERSISTED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return df

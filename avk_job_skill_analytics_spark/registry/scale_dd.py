@@ -961,16 +961,18 @@ def dd_lsh_recall_audit(spark, sf_dir):
     # The exact branch joins on the hash (lossless — see
     # dd_prefix_filter_join); the LSH branch consumes hashes by
     # construction.
-    sh = dedup.hashed_shingles(
+    from ..plans.session import scratch_persist
+
+    sh = scratch_persist(dedup.hashed_shingles(
         dedup.word_shingles(docs, "doc_id", "text", k=3), "doc_id"
-    ).persist()
+    ))
     exact = ssjoin.prefix_filter_pairs(
         sh, "doc_id", "_h60", t_num=1, t_den=2
     )
     sig = dedup._minhash_signatures_h60(sh, "doc_id", 16, seed=7)
-    cand = dedup.candidate_pairs(
+    cand = scratch_persist(dedup.candidate_pairs(
         dedup.lsh_bands(sig, "doc_id", 8, 2), "doc_id"
-    ).persist()
+    ))
     lsh = dedup.verify_jaccard(cand, sh, "doc_id", 0.5).select(
         F.col("doc_a").alias("_la"), F.col("doc_b").alias("_lb"),
     )

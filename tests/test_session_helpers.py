@@ -38,3 +38,25 @@ def test_tiny_df_nested_struct_array(spark):
     b = spark.createDataFrame(rows, schema)
     assert a.schema == b.schema
     assert a.collect() == b.collect()
+
+
+def test_scratch_persist_bounds_storage(spark):
+    """scratch_persist keeps at most `keep` frames pinned: a session
+    running many persist-bearing queries must not grow storage memory
+    without bound (round-15 unpersist discipline)."""
+    from avk_job_skill_analytics_spark.plans.session import (
+        _SCRATCH_PERSISTED,
+        scratch_persist,
+    )
+
+    start = spark.sparkContext._jsc.getPersistentRDDs().size()
+    frames = []
+    for i in range(12):
+        df = spark.range(10 + i).selectExpr("id", "id * 2 AS y")
+        frames.append(scratch_persist(df, keep=4))
+        df.count()  # materialize the persist
+    live = spark.sparkContext._jsc.getPersistentRDDs().size() - start
+    assert live <= 4, f"{live} scratch frames still pinned (keep=4)"
+    assert len(_SCRATCH_PERSISTED) <= 4
+    # evicted frames still compute correctly (recompute, not corruption)
+    assert frames[0].count() == 10
