@@ -30,14 +30,23 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """One large-star round over canonical (u, v) edges."""
+    """One large-star round over canonical (u, v) edges.
+
+    ``m = min(N(u) ∪ {u})`` is a WINDOW min over the neighborhood
+    partition instead of a groupBy + join-back: one exchange on ``u``
+    per star instead of two plus a per-round broadcast barrier for
+    the tiny m-relation (guide §2.4 — two operations keyed the same
+    way share one exchange). Row set identical: every (v > u) edge
+    re-attaches to the same m either way."""
+    from pyspark.sql import Window
+
     b = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    m = b.groupBy("u").agg(F.min(F.least("v", "u")).alias("m"))
+    m = F.min(F.least("v", "u")).over(Window.partitionBy("u"))
     return (
-        b.filter(F.col("v") > F.col("u"))
-        .join(m, "u")
+        b.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -45,13 +54,20 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """One small-star round: orient edges large→small first."""
+    """One small-star round: orient edges large→small first. Window
+    min per neighborhood, as in :func:`_large_star`; the self edge
+    (u, m) is emitted per input row and deduplicated by the final
+    distinct — same set as the former one-row-per-u join shape."""
+    from pyspark.sql import Window
+
     d = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    m = d.groupBy("u").agg(F.min("v").alias("m"))
-    nbr = d.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
-    self_ = m.select(F.col("u"), F.col("m").alias("v"))
+    dm = d.withColumn(
+        "m", F.min("v").over(Window.partitionBy("u"))
+    )
+    nbr = dm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_ = dm.select(F.col("u"), F.col("m").alias("v"))
     return (
         nbr.unionByName(self_)
         .filter(F.col("u") != F.col("v"))
