@@ -100,8 +100,14 @@ def _bm25_maintain_batch_fn(index_dir: str, id_col: str, text_col: str,
         )
         dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
         # term-sorted postings: serving's isin(term) predicate prunes
-        # parquet row groups instead of decoding every posting
-        tf.sort("term").write.mode("overwrite").parquet(
+        # parquet row groups instead of decoding every posting.
+        # sortWithinPartitions, not a global sort: row-group pruning
+        # only needs tight per-row-group term ranges (each output
+        # FILE sorted), and the global sort paid a range-sampling job
+        # plus a rangepartitioning exchange per micro-batch for
+        # cross-file ordering nothing reads (guide §2.4 — the
+        # compactor re-clusters the generation the same way)
+        tf.sortWithinPartitions("term").write.mode("overwrite").parquet(
             fs.uri(f"postings/batch={batch_id}")
         )
         dl.write.mode("overwrite").parquet(
