@@ -1258,47 +1258,24 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     one broadcast equi-join on the cell id + an m-term fold; only
     the final top-k window shuffles (adc triples, never vectors).
     Returns (query_id, neighbor_id, adc_dist, rk)."""
-    # ONE head TakeOrdered feeds both quantizer seeds (guide §1.2):
-    # the coarse centroids are the first n_cells corpus rows by id,
-    # the PQ seed residuals belong to the first k_star rows by id —
-    # one collect of max(n_cells, k_star) head rows covers both, and
-    # the seed residuals run the SAME _ivfpq_assign expression over a
-    # single-partition tiny frame of those rows (bit-identical). The
-    # former spelling localCheckpoint-ed the corpus-sized assignment
-    # just so the seed TakeOrdered and the encode pass could share it;
-    # with the seed off the corpus, encode is the lone consumer and
-    # recomputes the one-projection assignment cheaper than a
-    # corpus-sized materialization.
-    head_rows = (
+    cell_rows = (
         corpus.orderBy(id_col)
-        .limit(max(n_cells, k_star))
+        .limit(n_cells)
         .select(
             F.col(id_col).cast("long").alias("_cell"),
             F.transform(
                 F.col(vec_col),
                 lambda x: F.round(x.cast("double"), round_digits),
             ).alias("_cv"),
-            F.col(vec_col).cast("array<double>").alias("_raw"),
         )
         .collect()
     )
-    coarse = [
-        (int(r["_cell"]), list(r["_cv"])) for r in head_rows[:n_cells]
-    ]
+    coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
     if not coarse:
         return _empty_topk(corpus, "adc_dist", "long")
-    from ..plans.session import tiny_df
-
-    seed_src = tiny_df(
-        corpus.sparkSession,
-        [(int(r["_cell"]), list(r["_raw"])) for r in head_rows[:k_star]],
-        "_sid long, _sv array<double>",
-    )
-    cbs = _ivfpq_seed_cbs(
-        _ivfpq_assign(seed_src, "_sid", "_sv", coarse, round_digits),
-        m, sub_d, k_star, round_digits,
-    )
-    asg = _ivfpq_assign(corpus, id_col, vec_col, coarse, round_digits)
+    asg = _ivfpq_assign(corpus, id_col, vec_col, coarse,
+                        round_digits).localCheckpoint()
+    cbs = _ivfpq_seed_cbs(asg, m, sub_d, k_star, round_digits)
     codes = ivfpq_encode(asg, cbs, m, sub_d, round_digits)
     if allowed is not None:
         # filtered vector search over a SHARED index: quantizers stay
