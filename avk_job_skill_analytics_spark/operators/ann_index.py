@@ -110,54 +110,38 @@ def build_index(spark, corpus: DataFrame, id_col: str, vec_col: str,
     ``_batch=-1`` plus both codebook side tables. Returns
     (coarse, cbs) so the builder can keep serving in-process."""
     from . import similarity
-    from ..plans.session import tiny_df
 
-    # ONE head TakeOrdered serves both quantizer seeds (guide §1.2 —
-    # don't scan the corpus twice for rows the first scan already
-    # found): the coarse centroids are the first n_cells corpus rows
-    # by id and the PQ seed residuals belong to the first k_star rows
-    # by id, so one collect of the first max(n_cells, k_star) rows
-    # feeds both. The seed residuals are then computed by the SAME
-    # _ivfpq_assign expression over a single-partition tiny frame of
-    # those head rows (bit-identical: identical expressions, and the
-    # first k_star ids of the corpus ARE the head's first k_star) —
-    # the former spelling ran a second full-corpus TakeOrdered for
-    # them.
-    head_rows = (
+    # r15 MEASURED REVERT: a one-head-collect variant (coarse + PQ
+    # seeds from one TakeOrdered, seed residuals via a tiny literal
+    # frame) removed the second corpus TakeOrdered but lost the
+    # interleaved A/B on the lifecycle queries (retrain ~10.0 -> ~12.1
+    # s; per-phase, the seed frame's 512-literal plan cost more
+    # analysis+job time than the corpus TakeOrdered it saved at this
+    # SF). Kept the r14 shape; at true scale, revisit with a cheap
+    # local-relation seed.
+    cell_rows = (
         corpus.orderBy(id_col)
-        .limit(max(n_cells, k_star))
+        .limit(n_cells)
         .select(
             F.col(id_col).cast("long").alias("_cell"),
             F.transform(
                 F.col(vec_col),
                 lambda x: F.round(x.cast("double"), round_digits),
             ).alias("_cv"),
-            F.col(vec_col).cast("array<double>").alias("_raw"),
         )
         .collect()
     )
-    coarse = [
-        (int(r["_cell"]), list(r["_cv"])) for r in head_rows[:n_cells]
-    ]
-    seed_src = tiny_df(
-        spark,
-        [(int(r["_cell"]), list(r["_raw"])) for r in head_rows[:k_star]],
-        "_sid long, _sv array<double>",
-    )
-    cbs = similarity._ivfpq_seed_cbs(
-        similarity._ivfpq_assign(seed_src, "_sid", "_sv", coarse,
-                                 round_digits),
-        m, sub_d, k_star, round_digits,
-    )
+    coarse = [(int(r["_cell"]), list(r["_cv"])) for r in cell_rows]
     # deliberately NOT checkpointed/cached: assignment is one codegen
-    # projection, and its one remaining consumer (the encode pass)
-    # re-derives it cheaper than a corpus-sized materialization —
-    # which at the 100 TB design point would pin the whole assignment
-    # in executor storage (round 10; was localCheckpoint, ~1.2 s/build
-    # at sf0.1 for zero scan savings)
+    # projection, and its two consumers (the 8-row PQ seed TakeOrdered
+    # and the encode pass) re-derive it cheaper than a corpus-sized
+    # materialization — which at the 100 TB design point would pin
+    # the whole assignment in executor storage (round 10; was
+    # localCheckpoint, ~1.2 s/build at sf0.1 for zero scan savings)
     asg = similarity._ivfpq_assign(
         corpus, id_col, vec_col, coarse, round_digits
     )
+    cbs = similarity._ivfpq_seed_cbs(asg, m, sub_d, k_star, round_digits)
     codes = similarity.ivfpq_encode(asg, cbs, m, sub_d, round_digits)
     # single-partition from birth: createDataFrame spreads these few
     # rows over defaultParallelism partitions, and coalesce(1) would
