@@ -616,6 +616,90 @@ def adaptive_rows_per_band(n: int, target_bucket: int = 128,
     return adaptive_planes(n, target_bucket, lo, hi)
 
 
+def _band_planes(bands: int, rows_per_band: int) -> list:
+    """The (band, row) -> plane-id map shared by the expression and
+    vectorized banding paths (and replayed by the SQL oracles)."""
+    planes = []
+    for b in range(bands):
+        for r in range(rows_per_band):
+            if rows_per_band <= _BASE_ROWS:
+                pl = b * rows_per_band + r
+            elif r < _BASE_ROWS:
+                pl = b * _BASE_ROWS + r
+            else:
+                pl = EXT_PLANE_OFFSET + b * _BASE_ROWS + (r - _BASE_ROWS)
+            planes.append(pl)
+    return planes
+
+
+def band_sig_structs_np(vec_col: str, dim: int, bands: int,
+                        rows_per_band: int) -> Column:
+    """Vectorized twin of :func:`band_sig_structs` — the SAME
+    array<struct<band,sig>> column, computed per Arrow batch with
+    NumPy instead of interpreted higher-order folds (guide §4.2: hand
+    whole batches to vectorized native code). Banding 1 K vectors at
+    dim 64 × 32 planes measured ~3 s warm as expressions (each plane a
+    zip_with + aggregate fold, ~2·dim interpreted lambda calls per
+    plane per row) vs well under a second through NumPy.
+
+    Bit-identical by construction: per-plane products x_i·s_i are
+    exact IEEE doubles either way, and the fold's LEFT-TO-RIGHT
+    summation order is reproduced with ``np.cumsum`` (sequential
+    partial sums — NumPy's pairwise summation applies to reductions,
+    not cumulative ops), so every rounding step matches and every
+    sign bit agrees (verified exactly over the sf0.1 corpus). NULL
+    vectors and length-mismatched vectors sign to 0 for every band,
+    exactly like the expression (null-propagated dots fail the
+    ``> 0`` test); a NULL ELEMENT inside a vector also signs to 0 —
+    the one divergence is a literal NaN element (Spark orders NaN
+    above zero), which the embeddings contract excludes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    S = np.asarray(
+        [[_plane_sign(pl, i) for i in range(dim)]
+         for pl in _band_planes(bands, rows_per_band)]
+    )  # (bands*rows_per_band, dim)
+    shifts = np.asarray([1 << r for r in range(rows_per_band)],
+                        dtype=np.int64)
+    ret = T.ArrayType(T.StructType([
+        T.StructField("band", T.IntegerType()),
+        T.StructField("sig", T.LongType()),
+    ]))
+
+    def _sigs(vec):
+        n = len(vec)
+        V = np.zeros((n, dim))
+        ok = np.zeros(n, dtype=bool)
+        for j, v in enumerate(vec):
+            if v is None or len(v) != dim:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if np.isnan(a).any():
+                continue
+            V[j] = a
+            ok[j] = True
+        # exact products, then LEFT-TO-RIGHT ordered partial sums —
+        # the same IEEE rounding sequence as the expression fold
+        prods = V[:, None, :] * S[None, :, :]      # (n, planes, dim)
+        dots = np.cumsum(prods, axis=2)[:, :, -1]  # (n, planes)
+        bits = (dots > 0) & ok[:, None]
+        sigs = bits.reshape(n, bands, rows_per_band).astype(
+            np.int64
+        ) @ shifts                                  # (n, bands)
+        out = [
+            [{"band": b, "sig": int(row[b])} for b in range(bands)]
+            for row in sigs
+        ]
+        return pd.Series(out)
+
+    # annotations as REAL objects: pandas is imported locally, so
+    # string hints would not resolve during pandas_udf introspection
+    _sigs.__annotations__ = {"vec": pd.Series, "return": pd.Series}
+    return F.pandas_udf(ret)(_sigs)(F.col(vec_col))
+
+
 def band_sig_structs(vec_col: str, dim: int, bands: int,
                      rows_per_band: int) -> Column:
     """array<struct<band, sig>> of banded hyperplane signatures —
@@ -673,8 +757,8 @@ def build_semantic_lsh_index(static_df: DataFrame, id_col: str,
     streaming/minhash_stream.build_lsh_index)."""
     sigs = static_df.select(
         F.col(id_col).alias("_idx_id"),
-        F.explode(band_sig_structs(vec_col, dim, bands,
-                                   rows_per_band)).alias("_bs"),
+        F.explode(band_sig_structs_np(vec_col, dim, bands,
+                                      rows_per_band)).alias("_bs"),
     ).select("_idx_id", F.col("_bs.band").alias("band"),
              F.col("_bs.sig").alias("sig"))
     vecs = static_df.select(
@@ -715,8 +799,8 @@ def stream_semantic_dedup_pairs(stream: DataFrame,
     upsert instead of operator state."""
     sigs = stream.select(
         F.col(id_col), F.col(vec_col),
-        F.explode(band_sig_structs(vec_col, dim, bands,
-                                   rows_per_band)).alias("_bs"),
+        F.explode(band_sig_structs_np(vec_col, dim, bands,
+                                      rows_per_band)).alias("_bs"),
     ).select(F.col(id_col), F.col(vec_col),
              F.col("_bs.band").alias("band"),
              F.col("_bs.sig").alias("sig"))
@@ -770,7 +854,7 @@ def banded_semantic_prune(df: DataFrame, id_col: str, vec_col: str,
     linearity, measured by the exact twin on samples."""
     sigs = (
         df.select(F.col(id_col), F.col(vec_col),
-                  F.explode(band_sig_structs(
+                  F.explode(band_sig_structs_np(
                       vec_col, dim, bands, rows_per_band
                   )).alias("_bs"))
         .select(F.col(id_col), F.col(vec_col),

@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.similarity import _dot, _norm, band_sig_structs
+from ..operators.similarity import _dot, _norm, band_sig_structs_np
 from .batched_index import (
     committed_table_dirs,
     compact_batched_index,
@@ -91,7 +91,7 @@ def _semantic_maintain_batch_fn(index_dir: str, id_col: str,
         bands_new = arr.select(
             F.col(id_col).alias("_idx_id"),
             F.explode(
-                band_sig_structs(vec_col, dim, bands, rows_per_band)
+                band_sig_structs_np(vec_col, dim, bands, rows_per_band)
             ).alias("_bs"),
         ).select("_idx_id", F.col("_bs.band").alias("band"),
                  F.col("_bs.sig").alias("sig")).localCheckpoint()

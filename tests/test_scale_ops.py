@@ -2065,3 +2065,31 @@ def test_adaptive_band_width_refines_base_buckets(spark):
         for band, b in enumerate(r["s"]):
             assert b["sig"] % 256 == base_sigs[r["vec_id"]][band]
             assert 0 <= b["sig"] < (1 << 11)
+
+
+def test_band_sig_structs_np_matches_expression(spark):
+    """The vectorized (NumPy, cumsum-ordered) banding twin must agree
+    BIT-FOR-BIT with the expression fold on every band signature —
+    including the extended-plane scheme (rows_per_band > 8), NULL
+    vectors, and length-mismatched vectors (both sign to 0)."""
+    rows = [
+        (1, [float(i) * 0.31 - 9.5 for i in range(16)]),
+        (2, [(-1.0) ** i * (i + 0.25) for i in range(16)]),
+        (3, [1e-7] * 16),          # near-zero dots: rounding-sensitive
+        (4, [0.0] * 16),           # all-zero vector
+        (5, None),                 # NULL vector -> sig 0 per band
+        (6, [1.0] * 10),           # wrong length -> sig 0 per band
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    for bands, rpb in [(4, 4), (2, 10)]:
+        a = df.select(
+            "vec_id",
+            similarity.band_sig_structs("v", 16, bands, rpb).alias("s"),
+        ).collect()
+        b = df.select(
+            "vec_id",
+            similarity.band_sig_structs_np("v", 16, bands, rpb).alias("s"),
+        ).collect()
+        da = {r.vec_id: [(x.band, x.sig) for x in r.s] for r in a}
+        db = {r.vec_id: [(x.band, x.sig) for x in r.s] for r in b}
+        assert da == db, f"bands={bands} rpb={rpb}"
